@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Smoothing
+import graft.sources.SignalFixture
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Signal queries (q1..q10) run over the committed deterministic fixture
+  * at /root/repo/fixtures (both engines read the same Parquet bits;
+  * FIXTURES.md §A); relational queries (q11+) read the driver testdata
+  * under the sfDir argument.
+  */
 object SparkEntry {
+
+  private def sig(s: SparkSession): DataFrame = SignalFixture.signal(s)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_smooth")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_smooth" -> ((s, _) =>
+      Smoothing.withSmooth(sig(s))
+        .select("experiment_id", "channel", "sample_idx", "y_smooth"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_smooth" -> OracleSql.q1Smooth()
+  )
 }

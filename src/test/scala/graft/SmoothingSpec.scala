@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Smoothing
+
+class SmoothingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(ys: Seq[Double], ch: Int = 0) =
+    ys.zipWithIndex.map { case (y, i) =>
+      SignalRow("e", ch, i.toLong, i / 100.0, y)
+    }.toDS().toDF()
+
+  test("constant signal is unchanged (coeffs sum to 1, pad is benign)") {
+    val df = frame(Seq.fill(200)(7.5))
+    val out = Smoothing.withSmooth(df, 51, 7).collect()
+    assert(out.length === 200)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("y_smooth") - 7.5) < 1e-9)
+    }
+  }
+
+  test("interior of a cubic is reproduced exactly (polyorder 7 >= 3)") {
+    val ys = (0 until 300).map(i => 1.0 + 0.5 * i + 0.001 * i * i)
+    val df = frame(ys.map(_.toDouble))
+    val out = Smoothing.withSmooth(df, 51, 7)
+      .filter($"sample_idx" >= 25 && $"sample_idx" < 275)
+      .orderBy("sample_idx").collect()
+    out.foreach { r =>
+      val i = r.getAs[Long]("sample_idx").toInt
+      assert(math.abs(r.getAs[Double]("y_smooth") - ys(i)) < 1e-6,
+        s"at $i")
+    }
+  }
+
+  test("edge uses block-repeat pad, not mirror: matches direct computation") {
+    // Hand-compute smooth[0] from the padded array and compare.
+    val rng = new java.util.Random(7)
+    val ys = Seq.fill(120)(rng.nextDouble() * 100.0)
+    val c = graft.functions.SavitzkyGolay.coeffs(51, 7)
+    val padded = ys.take(25) ++ ys ++ ys.takeRight(25)
+    def expected(i: Int): Double = {
+      var acc = 0.0
+      (0 until 51).foreach(j => acc += c(j) * padded(i + j))
+      acc
+    }
+    val out = Smoothing.withSmooth(frame(ys), 51, 7)
+      .orderBy("sample_idx").collect()
+    Seq(0, 1, 24, 60, 118, 119).foreach { i =>
+      assert(math.abs(out(i).getAs[Double]("y_smooth") - expected(i)) < 1e-9,
+        s"at $i")
+    }
+  }
+
+  test("multi-channel independence: per-channel results unaffected by others") {
+    val a = frame(Seq.tabulate(100)(i => math.sin(i / 10.0) * 50), ch = 0)
+    val b = frame(Seq.fill(100)(3.0), ch = 1)
+    val out = Smoothing.withSmooth(a.unionByName(b), 51, 7)
+    val solo = Smoothing.withSmooth(a, 51, 7)
+    val joint = out.filter($"channel" === 0)
+      .select("sample_idx", "y_smooth").orderBy("sample_idx").collect()
+    val alone = solo.select("sample_idx", "y_smooth")
+      .orderBy("sample_idx").collect()
+    joint.zip(alone).foreach { case (x, y) =>
+      assert(x.getDouble(1) === y.getDouble(1))
+    }
+  }
+}
