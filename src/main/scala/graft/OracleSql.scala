@@ -19,8 +19,10 @@ object OracleSql {
     if (s.contains("E") || s.contains("e")) s.toLowerCase.replace("e", "e") else s
   }
 
-  /** Left-assoc FIR over a window named `w`: 0.0 + c₀·lag(v,k) + … +
-    * cₖ·v + … + c₂ₖ·lead(v,k). Exactly mirrors Smoothing.sgDot.
+  /** FIR over a window named `w`, chunked exactly like Smoothing.sgDot:
+    * (0.0 + c₀·lag(v,k) + … ≤100 terms) + (0.0 + …) + … — same chunk
+    * boundaries, same left-assoc order, bitwise-identical to the Spark
+    * plan. (Also keeps each chain under DuckDB's 128-deep binder limit.)
     */
   def sgTerms(valueCol: String, coeffs: Array[Double]): String = {
     val k = coeffs.length / 2
@@ -32,7 +34,9 @@ object OracleSql {
         else s"lead($valueCol, $off) OVER w"
       s"(${dlit(c)}) * $tap"
     }
-    "0.0 + " + terms.mkString(" + ")
+    terms.grouped(graft.operators.Smoothing.dotChunk)
+      .map(g => "(0.0 + " + g.mkString(" + ") + ")")
+      .mkString(" + ")
   }
 
   /** CTEs: `sig` (the committed fixture) and `cnt` (per-channel length). */
@@ -40,12 +44,14 @@ object OracleSql {
     s"""sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),
        |cnt AS (SELECT experiment_id, channel, count(*) AS n FROM sig GROUP BY 1, 2)""".stripMargin
 
-  /** Q1 — O3 smooth: block-repeat pad by 25, 51-tap SG, strip. */
-  def q1Smooth(window: Int = 51, polyorder: Int = 7): String = {
+  /** CTE chain: smooth series as `smooth(experiment_id, channel,
+    * sample_idx, v)` — mirrors Smoothing.withSmooth (block-repeat pad 25,
+    * 51-tap SG, strip).
+    */
+  def smoothCtes(window: Int = 51, polyorder: Int = 7): String = {
     val k = window / 2
     val c = SavitzkyGolay.coeffs(window, polyorder)
-    s"""WITH $sigCtes,
-       |padded AS (
+    s"""sp AS (
        |  SELECT experiment_id, channel, sample_idx AS pos, y FROM sig WHERE sample_idx < $k
        |  UNION ALL
        |  SELECT experiment_id, channel, sample_idx + $k AS pos, y FROM sig
@@ -55,12 +61,94 @@ object OracleSql {
        |  WHERE s.sample_idx >= c.n - $k
        |),
        |sm AS (
-       |  SELECT experiment_id, channel, pos, ${sgTerms("y", c)} AS y_smooth
-       |  FROM padded
+       |  SELECT experiment_id, channel, pos, ${sgTerms("y", c)} AS v
+       |  FROM sp
        |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY pos)
-       |)
-       |SELECT s.experiment_id, s.channel, s.pos - $k AS sample_idx, s.y_smooth
-       |FROM sm s JOIN cnt c USING (experiment_id, channel)
-       |WHERE s.pos >= $k AND s.pos < c.n + $k""".stripMargin
+       |),
+       |smooth AS (
+       |  SELECT s.experiment_id, s.channel, s.pos - $k AS sample_idx, s.v
+       |  FROM sm s JOIN cnt c USING (experiment_id, channel)
+       |  WHERE s.pos >= $k AND s.pos < c.n + $k
+       |)""".stripMargin
   }
+
+  /** CTE chain: envelopes + diastolic, ending in
+    * `enriched(experiment_id, channel, sample_idx, t, y, y_smooth,
+    * baseline, ceiling, diastolic, n)` — mirrors Envelopes.withEnvelopes
+    * (strict-neighbor extremum marking, forward-frame interior min/max,
+    * block-repeat pad 175, SG 301/3 with nearest-edge extension).
+    */
+  def enrichedCtes(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val bigW = cfg.auxWindowSize // 350
+    val sw = cfg.auxSmoothingWindow // 301
+    val pad = math.max(bigW, sw) / 2 // 175
+    val k = sw / 2 // 150
+    val c = SavitzkyGolay.coeffs(sw, cfg.auxPolyorder)
+    s"""$sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |mark AS (
+       |  SELECT s.experiment_id, s.channel, s.sample_idx, s.v, c.n,
+       |    CASE WHEN s.v < lag(s.v, 1) OVER w AND s.v < lead(s.v, 1) OVER w THEN s.v END AS valley_v,
+       |    CASE WHEN s.v > lag(s.v, 1) OVER w AND s.v > lead(s.v, 1) OVER w THEN s.v END AS peak_v
+       |  FROM smooth s JOIN cnt c USING (experiment_id, channel)
+       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |),
+       |fr AS (
+       |  SELECT experiment_id, channel, sample_idx, n,
+       |    min(valley_v) OVER wf AS fv,
+       |    max(peak_v) OVER wf AS cv
+       |  FROM mark
+       |  WINDOW wf AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
+       |                ROWS BETWEEN 1 FOLLOWING AND ${bigW - 2} FOLLOWING)
+       |),
+       |dom AS (
+       |  SELECT experiment_id, channel, sample_idx AS fi, fv, cv, n, n - $bigW AS m
+       |  FROM fr WHERE sample_idx < n - $bigW AND n - $bigW >= $pad
+       |),
+       |ep AS (
+       |  SELECT experiment_id, channel, fi AS pos, fv, cv, n FROM dom WHERE fi < $pad
+       |  UNION ALL
+       |  SELECT experiment_id, channel, fi + $pad AS pos, fv, cv, n FROM dom
+       |  UNION ALL
+       |  SELECT experiment_id, channel, fi + ${2 * pad} AS pos, fv, cv, n FROM dom WHERE fi >= m - $pad
+       |),
+       |ee AS (
+       |  SELECT * FROM ep
+       |  UNION ALL
+       |  SELECT p.experiment_id, p.channel, g.gs AS pos, p.fv, p.cv, p.n
+       |  FROM ep p, generate_series(-$k, -1) AS g(gs) WHERE p.pos = 0
+       |  UNION ALL
+       |  SELECT p.experiment_id, p.channel, p.n + g.gs AS pos, p.fv, p.cv, p.n
+       |  FROM ep p, generate_series(0, ${k - 1}) AS g(gs) WHERE p.pos = p.n - 1
+       |),
+       |env AS (
+       |  SELECT experiment_id, channel, pos AS sample_idx,
+       |    ${sgTerms("fv", c)} AS baseline,
+       |    ${sgTerms("cv", c)} AS ceiling
+       |  FROM ee
+       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY pos)
+       |  QUALIFY pos >= 0 AND pos < n
+       |),
+       |enriched AS (
+       |  SELECT s.experiment_id, s.channel, s.sample_idx, s.t, s.y,
+       |    sm2.v AS y_smooth, e.baseline, e.ceiling,
+       |    e.baseline + ${dlit(cfg.relativeToBaseline)} * (e.ceiling - e.baseline) AS diastolic,
+       |    c.n
+       |  FROM sig s
+       |  JOIN smooth sm2 USING (experiment_id, channel, sample_idx)
+       |  LEFT JOIN env e USING (experiment_id, channel, sample_idx)
+       |  JOIN cnt c USING (experiment_id, channel)
+       |)""".stripMargin
+  }
+
+  /** Q1 — O3 smooth: block-repeat pad by 25, 51-tap SG, strip. */
+  def q1Smooth(window: Int = 51, polyorder: Int = 7): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(window, polyorder)}
+       |SELECT experiment_id, channel, sample_idx, v AS y_smooth FROM smooth""".stripMargin
+
+  /** Q2/Q3/Q4 — envelope column projections off the enriched chain. */
+  def qEnriched(outCol: String): String =
+    s"""WITH ${enrichedCtes()}
+       |SELECT experiment_id, channel, sample_idx, $outCol FROM enriched""".stripMargin
 }

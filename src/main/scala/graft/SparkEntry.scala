@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Smoothing
+import graft.operators.{Envelopes, Smoothing}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,6 +16,10 @@ object SparkEntry {
 
   private def sig(s: SparkSession): DataFrame = SignalFixture.signal(s)
 
+  /** Smooth + envelopes + diastolic, the shared spine of q1..q9. */
+  private def enriched(s: SparkSession): DataFrame =
+    Envelopes.withEnvelopes(Smoothing.withSmooth(sig(s)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_smooth")(spark, "/root/testdata/sf0.001")
@@ -24,13 +28,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_smooth" -> ((s, _) =>
       Smoothing.withSmooth(sig(s))
-        .select("experiment_id", "channel", "sample_idx", "y_smooth"))
+        .select("experiment_id", "channel", "sample_idx", "y_smooth")),
+    "q2_baseline" -> ((s, _) =>
+      enriched(s).select("experiment_id", "channel", "sample_idx", "baseline")),
+    "q3_ceiling" -> ((s, _) =>
+      enriched(s).select("experiment_id", "channel", "sample_idx", "ceiling")),
+    "q4_diastolic" -> ((s, _) =>
+      enriched(s).select("experiment_id", "channel", "sample_idx", "diastolic"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_smooth" -> OracleSql.q1Smooth()
+    "q1_smooth" -> OracleSql.q1Smooth(),
+    "q2_baseline" -> OracleSql.qEnriched("baseline"),
+    "q3_ceiling" -> OracleSql.qEnriched("ceiling"),
+    "q4_diastolic" -> OracleSql.qEnriched("diastolic")
   )
 }

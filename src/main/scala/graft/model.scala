@@ -72,13 +72,13 @@ final case class PeakConfig(
   require(smoothWindow % 2 == 1, "smoothWindow must be odd")
   require(auxSmoothingWindow % 2 == 1, "auxSmoothingWindow must be odd")
   // SURVEY §8 Q2: the reference's pad algebra only yields an aligned,
-  // length-n envelope when 2*(auxWindowSize/2) == auxWindowSize (even) and
-  // the envelope pad equals auxWindowSize/2. Reject misaligning combos
-  // loudly instead of silently reproducing the reference's latent bug.
+  // length-n envelope when twice the envelope pad equals auxWindowSize
+  // (pad = max(auxWindowSize, auxSmoothingWindow)/2). Reject misaligning
+  // combos loudly instead of silently reproducing the reference's latent
+  // bug. Defaults (350, 301): pad = 175, 2*175 == 350 — OK.
   require(
-    auxWindowSize % 2 == 0 && auxSmoothingWindow >= auxWindowSize,
-    "envelope params must satisfy auxWindowSize even and " +
-      "auxSmoothingWindow >= auxWindowSize (else the reference recipe " +
-      "misaligns output; SURVEY §8 Q2)"
+    2 * (math.max(auxWindowSize, auxSmoothingWindow) / 2) == auxWindowSize,
+    "envelope params misalign the output (2*pad must equal auxWindowSize, " +
+      "pad = max(auxWindowSize, auxSmoothingWindow)/2; SURVEY §8 Q2)"
   )
 }

@@ -19,46 +19,74 @@ object Smoothing {
   val keyCols: Seq[String] = Seq("experiment_id", "channel")
   private def keys: Seq[Column] = keyCols.map(col)
 
-  /** Left-assoc FIR dot product: ((0.0 + c₀·x₀) + c₁·x₁) + … — the exact
-    * association order is mirrored in the generated DuckDB oracle SQL so
-    * both engines produce bitwise-identical doubles.
+  /** FIR dot product in a fixed, engine-portable association order:
+    * taps are split into chunks of ≤[[dotChunk]], each chunk folded
+    * left-assoc from 0.0, chunk sums added left-assoc. The generated
+    * DuckDB oracle SQL parenthesizes identically, so both engines
+    * produce bitwise-identical doubles (DuckDB's expression binder caps
+    * nesting at 128 — a single 301-term chain would not bind).
     */
-  def sgDot(taps: Column, coeffs: Array[Double]): Column =
-    aggregate(
-      zip_with(taps, typedLit(coeffs), (a, b) => a * b),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+  val dotChunk = 100
 
-  /** Block-repeat pad of a per-channel series `valueCol` ordered by
-    * `idxCol` (dense 0-based, per-channel length in `nCol`):
+  def sgDot(taps: Column, coeffs: Array[Double]): Column = {
+    var off = 0
+    val chunks = coeffs.grouped(dotChunk).map { g =>
+      val chunk = aggregate(
+        zip_with(slice(taps, off + 1, g.length), typedLit(g), (a, b) => a * b),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      off += g.length
+      chunk
+    }.toSeq
+    chunks.reduceLeft(_ + _)
+  }
+
+  /** Block-repeat pad of a per-channel series ordered by `idxCol`
+    * (dense 0-based, per-channel length in `nCol`):
     * concat(v[0:pad], v, v[m-pad:m]) laid out at positions
     * [0,pad) ∪ [pad,m+pad) ∪ [m+pad,m+2·pad). NOT mirror, NOT
     * edge-replicate — duplicated blocks keep original order
     * (`/root/reference/peak_detection.py:188-189`).
-    * Extra columns survive on the body rows (pads carry copies).
+    *
+    * Built by exploding a per-row array of target positions — a single
+    * narrow Generate, no union: one scan, and the upstream hash
+    * partitioning by channel stays genuinely intact for the downstream
+    * window. (A union of co-partitioned branches is a trap: Spark 4.1
+    * plans the following window without a merging Exchange while the
+    * union concatenates branch partitions — silently wrong frames.)
     */
   def blockRepeatPad(df: DataFrame, idxCol: String, nCol: String, pad: Int): DataFrame = {
-    val pre = df.filter(col(idxCol) < pad)
-      .withColumn("_pos", col(idxCol))
-    val body = df.withColumn("_pos", col(idxCol) + pad)
-    val post = df.filter(col(idxCol) >= col(nCol) - pad)
-      .withColumn("_pos", col(idxCol) + 2 * pad)
-    pre.unionByName(body).unionByName(post)
+    val i = col(idxCol)
+    val n = col(nCol)
+    val none = array().cast("array<bigint>")
+    val positions = concat(
+      when(i < pad, array(i.cast("bigint"))).otherwise(none),
+      array((i + pad).cast("bigint")),
+      when(i >= n - pad, array((i + 2 * pad).cast("bigint"))).otherwise(none)
+    )
+    df.withColumn("_pos", explode(positions))
   }
 
   /** `mode='nearest'` edge handling for the SG convolution: extend the
     * padded series with `k` replicas of its first/last value so every
     * evaluated position has a full window (scipy pads the input with the
     * edge value; clamping tap indices ≡ replicating edge rows). Series is
-    * at `_pos` in [0, len); `lenCol` gives per-channel length.
+    * at `_pos` in [0, len); `lenCol` gives per-channel length. Same
+    * explode-not-union construction as [[blockRepeatPad]].
     */
-  def nearestExtend(padded: DataFrame, valueCol: String, lenCol: String, k: Int): DataFrame = {
-    val left = padded.filter(col("_pos") === 0)
-      .withColumn("_pos", explode(sequence(lit(-k), lit(-1))))
-    val right = padded.filter(col("_pos") === col(lenCol) - 1)
-      .withColumn("_pos", explode(sequence(col(lenCol), col(lenCol) + k - 1)))
-    padded.unionByName(left).unionByName(right)
+  def nearestExtend(padded: DataFrame, lenCol: String, k: Int): DataFrame = {
+    val p = col("_pos")
+    val len = col(lenCol)
+    val none = array().cast("array<bigint>")
+    val positions = concat(
+      when(p === 0, sequence(lit(-k).cast("bigint"), lit(-1).cast("bigint")))
+        .otherwise(none),
+      array(p.cast("bigint")),
+      when(p === len - 1, sequence(len.cast("bigint"), (len + k - 1).cast("bigint")))
+        .otherwise(none)
+    )
+    padded.withColumn("_pos", explode(positions))
   }
 
   /** Adds `y_smooth` (SG window/polyorder over block-repeat-padded `y`,
