@@ -24,14 +24,14 @@ object OracleSql {
     * boundaries, same left-assoc order, bitwise-identical to the Spark
     * plan. (Also keeps each chain under DuckDB's 128-deep binder limit.)
     */
-  def sgTerms(valueCol: String, coeffs: Array[Double]): String = {
+  def sgTerms(valueCol: String, coeffs: Array[Double], win: String = "w"): String = {
     val k = coeffs.length / 2
     val terms = coeffs.zipWithIndex.map { case (c, j) =>
       val off = j - k
       val tap =
-        if (off < 0) s"lag($valueCol, ${-off}) OVER w"
+        if (off < 0) s"lag($valueCol, ${-off}) OVER $win"
         else if (off == 0) valueCol
-        else s"lead($valueCol, $off) OVER w"
+        else s"lead($valueCol, $off) OVER $win"
       s"(${dlit(c)}) * $tap"
     }
     terms.grouped(graft.operators.Smoothing.dotChunk)
@@ -61,9 +61,9 @@ object OracleSql {
        |  WHERE s.sample_idx >= c.n - $k
        |),
        |sm AS (
-       |  SELECT experiment_id, channel, pos, ${sgTerms("y", c)} AS v
+       |  SELECT experiment_id, channel, pos, ${sgTerms("y", c, "w_sm")} AS v
        |  FROM sp
-       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY pos)
+       |  WINDOW w_sm AS (PARTITION BY experiment_id, channel ORDER BY pos)
        |),
        |smooth AS (
        |  SELECT s.experiment_id, s.channel, s.pos - $k AS sample_idx, s.v
@@ -88,10 +88,10 @@ object OracleSql {
        |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
        |mark AS (
        |  SELECT s.experiment_id, s.channel, s.sample_idx, s.v, c.n,
-       |    CASE WHEN s.v < lag(s.v, 1) OVER w AND s.v < lead(s.v, 1) OVER w THEN s.v END AS valley_v,
-       |    CASE WHEN s.v > lag(s.v, 1) OVER w AND s.v > lead(s.v, 1) OVER w THEN s.v END AS peak_v
+       |    CASE WHEN s.v < lag(s.v, 1) OVER w_mk AND s.v < lead(s.v, 1) OVER w_mk THEN s.v END AS valley_v,
+       |    CASE WHEN s.v > lag(s.v, 1) OVER w_mk AND s.v > lead(s.v, 1) OVER w_mk THEN s.v END AS peak_v
        |  FROM smooth s JOIN cnt c USING (experiment_id, channel)
-       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |  WINDOW w_mk AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
        |),
        |fr AS (
        |  SELECT experiment_id, channel, sample_idx, n,
@@ -123,10 +123,10 @@ object OracleSql {
        |),
        |env AS (
        |  SELECT experiment_id, channel, pos AS sample_idx,
-       |    ${sgTerms("fv", c)} AS baseline,
-       |    ${sgTerms("cv", c)} AS ceiling
+       |    ${sgTerms("fv", c, "w_env")} AS baseline,
+       |    ${sgTerms("cv", c, "w_env")} AS ceiling
        |  FROM ee
-       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY pos)
+       |  WINDOW w_env AS (PARTITION BY experiment_id, channel ORDER BY pos)
        |  QUALIFY pos >= 0 AND pos < n
        |),
        |enriched AS (
@@ -151,4 +151,171 @@ object OracleSql {
   def qEnriched(outCol: String): String =
     s"""WITH ${enrichedCtes()}
        |SELECT experiment_id, channel, sample_idx, $outCol FROM enriched""".stripMargin
+
+  /** Rule-1 candidates of the smooth series (strict local maxima):
+    * `cand(experiment_id, channel, p, h, n)`.
+    */
+  def candCtes: String =
+    s"""cand AS (
+       |  SELECT experiment_id, channel, sample_idx AS p, v AS h, n
+       |  FROM (
+       |    SELECT s.*, c.n, lag(s.v, 1) OVER w_cand AS pv, lead(s.v, 1) OVER w_cand AS nv
+       |    FROM smooth s JOIN cnt c USING (experiment_id, channel)
+       |    WINDOW w_cand AS (PARTITION BY s.experiment_id, s.channel ORDER BY s.sample_idx)
+       |  ) WHERE v > pv AND v > nv
+       |)""".stripMargin
+
+  /** Prominence CTEs over a source CTE `src(experiment_id, channel, p,
+    * h, n)`: emits `promf(..., prominence, lbase, rbase, lmin, rmin)`.
+    * Mirrors FindPeaks.peakProminences: scan stops at the first strictly
+    * higher sample within the wlen-clipped window; min includes the peak.
+    */
+  def promCtes(src: String, wlen: Int): String = {
+    val half = (if (wlen % 2 == 0) wlen + 1 else wlen) / 2
+    s"""win AS (
+       |  SELECT c2.*, greatest(p - $half, 0) AS lo, least(p + $half, n - 1) AS hi FROM $src c2
+       |),
+       |stops AS (
+       |  SELECT w.experiment_id, w.channel, w.p, w.h, w.n, w.lo, w.hi,
+       |    max(s.sample_idx) FILTER (WHERE s.sample_idx < w.p AND s.v > w.h) AS lstop,
+       |    min(s.sample_idx) FILTER (WHERE s.sample_idx > w.p AND s.v > w.h) AS rstop
+       |  FROM win w JOIN smooth s
+       |    ON s.experiment_id = w.experiment_id AND s.channel = w.channel
+       |    AND s.sample_idx BETWEEN w.lo AND w.hi
+       |  GROUP BY ALL
+       |),
+       |proms AS (
+       |  SELECT st.experiment_id, st.channel, st.p, st.h, st.n, st.lo, st.hi, st.lstop, st.rstop,
+       |    min(s.v) FILTER (WHERE s.sample_idx BETWEEN coalesce(st.lstop + 1, st.lo) AND st.p) AS lmin,
+       |    arg_min(s.sample_idx, s.v) FILTER (WHERE s.sample_idx BETWEEN coalesce(st.lstop + 1, st.lo) AND st.p) AS lbase,
+       |    min(s.v) FILTER (WHERE s.sample_idx BETWEEN st.p AND coalesce(st.rstop - 1, st.hi)) AS rmin,
+       |    arg_min(s.sample_idx, s.v) FILTER (WHERE s.sample_idx BETWEEN st.p AND coalesce(st.rstop - 1, st.hi)) AS rbase
+       |  FROM stops st JOIN smooth s
+       |    ON s.experiment_id = st.experiment_id AND s.channel = st.channel
+       |    AND s.sample_idx BETWEEN st.lo AND st.hi
+       |  GROUP BY ALL
+       |),
+       |promf AS (
+       |  SELECT *, h - greatest(lmin, rmin) AS prominence FROM proms
+       |)""".stripMargin
+  }
+
+  /** Q5 — rule-1 candidate maxima of the smooth series. */
+  def q5Candidates: String =
+    s"""WITH $sigCtes,
+       |${smoothCtes()},
+       |$candCtes
+       |SELECT experiment_id, channel, p AS sample_idx FROM cand""".stripMargin
+
+  /** Q6 — candidates surviving the amplitude gate (null envelope keeps,
+    * mirroring Python NaN comparisons).
+    */
+  def q6Gate(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH ${enrichedCtes(cfg)},
+       |$candCtes
+       |SELECT c2.experiment_id, c2.channel, c2.p AS sample_idx
+       |FROM cand c2 JOIN enriched e
+       |  ON e.experiment_id = c2.experiment_id AND e.channel = c2.channel
+       |  AND e.sample_idx = c2.p
+       |WHERE e.baseline IS NULL OR e.ceiling IS NULL
+       |   OR c2.h >= (e.ceiling - e.baseline) * ${dlit(cfg.threshold)} + e.baseline""".stripMargin
+
+  /** Q7a — wlen-clipped prominence of every candidate. */
+  def q7aProminence(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes()},
+       |$candCtes,
+       |${promCtes("cand", cfg.wlen)}
+       |SELECT experiment_id, channel, p AS peak_idx, prominence FROM promf""".stripMargin
+
+  /** Q7b — full detect_peaks: greedy distance (recursive CTE, priority
+    * = height desc then index desc), prominence >= min, interpolated
+    * width >= min, amplitude gate. Mirrors PeakDetect.detectPeaks.
+    */
+  def q7bPeaks(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val dist = cfg.minDistance
+    s"""WITH RECURSIVE ${enrichedCtes(cfg)},
+       |$candCtes,
+       |ord AS (
+       |  SELECT *, row_number() OVER (PARTITION BY experiment_id, channel ORDER BY h DESC, p DESC) AS rn
+       |  FROM cand
+       |),
+       |maxrn AS (SELECT experiment_id, channel, max(rn) AS mx FROM ord GROUP BY 1, 2),
+       |greedy AS (
+       |  SELECT experiment_id, channel, rn, [p] AS kept FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.experiment_id, o.channel, o.rn,
+       |    CASE WHEN len(list_filter(g.kept, k -> abs(o.p - k) < $dist)) > 0
+       |         THEN g.kept ELSE list_append(g.kept, o.p) END
+       |  FROM greedy g JOIN ord o
+       |    ON o.experiment_id = g.experiment_id AND o.channel = g.channel AND o.rn = g.rn + 1
+       |),
+       |keptp AS (
+       |  SELECT g.experiment_id, g.channel, unnest(g.kept) AS p
+       |  FROM greedy g JOIN maxrn m
+       |    ON g.experiment_id = m.experiment_id AND g.channel = m.channel AND g.rn = m.mx
+       |),
+       |keptc AS (
+       |  SELECT c2.experiment_id, c2.channel, c2.p, c2.h, c2.n
+       |  FROM cand c2 JOIN keptp k
+       |    ON k.experiment_id = c2.experiment_id AND k.channel = c2.channel AND k.p = c2.p
+       |),
+       |${promCtes("keptc", cfg.wlen)},
+       |pk AS (
+       |  SELECT *, h - prominence * ${dlit(cfg.relHeight)} AS eh FROM promf
+       |  WHERE prominence >= ${dlit(cfg.prominence)}
+       |),
+       |wstops AS (
+       |  SELECT w.experiment_id, w.channel, w.p, w.h, w.eh, w.lbase, w.rbase,
+       |    max(s.sample_idx) FILTER (WHERE s.sample_idx BETWEEN w.lbase AND w.p AND s.v <= w.eh) AS li,
+       |    min(s.sample_idx) FILTER (WHERE s.sample_idx BETWEEN w.p AND w.rbase AND s.v <= w.eh) AS ri
+       |  FROM pk w JOIN smooth s
+       |    ON s.experiment_id = w.experiment_id AND s.channel = w.channel
+       |    AND s.sample_idx BETWEEN w.lbase AND w.rbase
+       |  GROUP BY ALL
+       |),
+       |winterp AS (
+       |  SELECT ws.*, coalesce(ws.li, ws.lbase) AS lidx, coalesce(ws.ri, ws.rbase) AS ridx FROM wstops ws
+       |),
+       |wvals AS (
+       |  SELECT wi.*, sl.v AS xl, sl1.v AS xl1, sr.v AS xr, sr1.v AS xr1
+       |  FROM winterp wi
+       |  JOIN smooth sl  ON sl.experiment_id  = wi.experiment_id AND sl.channel  = wi.channel AND sl.sample_idx  = wi.lidx
+       |  JOIN smooth sl1 ON sl1.experiment_id = wi.experiment_id AND sl1.channel = wi.channel AND sl1.sample_idx = wi.lidx + 1
+       |  JOIN smooth sr  ON sr.experiment_id  = wi.experiment_id AND sr.channel  = wi.channel AND sr.sample_idx  = wi.ridx
+       |  JOIN smooth sr1 ON sr1.experiment_id = wi.experiment_id AND sr1.channel = wi.channel AND sr1.sample_idx = wi.ridx - 1
+       |),
+       |wfinal AS (
+       |  SELECT *,
+       |    (CASE WHEN xl < eh THEN lidx + (eh - xl) / (xl1 - xl) ELSE CAST(lidx AS DOUBLE) END) AS lip,
+       |    (CASE WHEN xr < eh THEN ridx - (eh - xr) / (xr1 - xr) ELSE CAST(ridx AS DOUBLE) END) AS rip
+       |  FROM wvals
+       |)
+       |SELECT wf.experiment_id, wf.channel, wf.p AS peak_idx, e.t, wf.h AS peak_value
+       |FROM wfinal wf JOIN enriched e
+       |  ON e.experiment_id = wf.experiment_id AND e.channel = wf.channel AND e.sample_idx = wf.p
+       |WHERE wf.rip - wf.lip >= ${dlit(cfg.width)}
+       |  AND (e.baseline IS NULL OR e.ceiling IS NULL
+       |       OR NOT (wf.h < (e.ceiling - e.baseline) * ${dlit(cfg.threshold)} + e.baseline))""".stripMargin
+  }
+
+  /** Q10 — stim rescale to signal amplitude + bare local maxima. */
+  def q10Stim: String =
+    s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),
+       |stim AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$stimGlob')),
+       |smax AS (SELECT experiment_id, channel, max(y) AS sx FROM sig GROUP BY 1, 2),
+       |tmax AS (SELECT experiment_id, channel, max(y) AS tx FROM stim GROUP BY 1, 2),
+       |scaled AS (
+       |  SELECT st.experiment_id, st.channel, st.sample_idx, st.y * (sm.sx / tm.tx) AS y_scaled
+       |  FROM stim st
+       |  JOIN smax sm USING (experiment_id, channel)
+       |  JOIN tmax tm USING (experiment_id, channel)
+       |),
+       |mx AS (
+       |  SELECT *, lag(y_scaled, 1) OVER w AS pv, lead(y_scaled, 1) OVER w AS nv
+       |  FROM scaled
+       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |)
+       |SELECT experiment_id, channel, sample_idx, y_scaled FROM mx
+       |WHERE y_scaled > pv AND y_scaled > nv""".stripMargin
 }

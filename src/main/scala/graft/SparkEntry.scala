@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Envelopes, Smoothing}
+import graft.operators.{Envelopes, PeakDetect, Smoothing}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,7 +34,20 @@ object SparkEntry {
     "q3_ceiling" -> ((s, _) =>
       enriched(s).select("experiment_id", "channel", "sample_idx", "ceiling")),
     "q4_diastolic" -> ((s, _) =>
-      enriched(s).select("experiment_id", "channel", "sample_idx", "diastolic"))
+      enriched(s).select("experiment_id", "channel", "sample_idx", "diastolic")),
+    "q5_candidates" -> ((s, _) =>
+      PeakDetect.candidates(Smoothing.withSmooth(sig(s)))
+        .select("experiment_id", "channel", "sample_idx")),
+    "q6_gate" -> ((s, _) =>
+      PeakDetect.gated(enriched(s))
+        .select("experiment_id", "channel", "sample_idx")),
+    "q7a_prominence" -> ((s, _) =>
+      PeakDetect.candidateProminences(Smoothing.withSmooth(sig(s)))),
+    "q7b_peaks" -> ((s, _) =>
+      PeakDetect.detectPeaks(enriched(s)).toDF()),
+    "q10_stim" -> ((s, _) =>
+      PeakDetect.stimPeaks(
+        PeakDetect.rescaleStim(sig(s), SignalFixture.stim(s))))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,6 +57,11 @@ object SparkEntry {
     "q1_smooth" -> OracleSql.q1Smooth(),
     "q2_baseline" -> OracleSql.qEnriched("baseline"),
     "q3_ceiling" -> OracleSql.qEnriched("ceiling"),
-    "q4_diastolic" -> OracleSql.qEnriched("diastolic")
+    "q4_diastolic" -> OracleSql.qEnriched("diastolic"),
+    "q5_candidates" -> OracleSql.q5Candidates,
+    "q6_gate" -> OracleSql.q6Gate(),
+    "q7a_prominence" -> OracleSql.q7aProminence(),
+    "q7b_peaks" -> OracleSql.q7bPeaks(),
+    "q10_stim" -> OracleSql.q10Stim
   )
 }
