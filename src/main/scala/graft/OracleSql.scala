@@ -228,13 +228,15 @@ object OracleSql {
        |${promCtes("cand", cfg.wlen)}
        |SELECT experiment_id, channel, p AS peak_idx, prominence FROM promf""".stripMargin
 
-  /** Q7b — full detect_peaks: greedy distance (recursive CTE, priority
-    * = height desc then index desc), prominence >= min, interpolated
-    * width >= min, amplitude gate. Mirrors PeakDetect.detectPeaks.
+  /** Full detect_peaks chain ending in `detected(experiment_id,
+    * channel, peak_idx, t, peak_value)`: greedy distance (recursive CTE,
+    * priority = height desc then index desc), prominence >= min,
+    * interpolated width >= min, amplitude gate. Mirrors
+    * PeakDetect.detectPeaks. Must be used under `WITH RECURSIVE`.
     */
-  def q7bPeaks(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+  def detectCtes(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
     val dist = cfg.minDistance
-    s"""WITH RECURSIVE ${enrichedCtes(cfg)},
+    s"""${enrichedCtes(cfg)},
        |$candCtes,
        |ord AS (
        |  SELECT *, row_number() OVER (PARTITION BY experiment_id, channel ORDER BY h DESC, p DESC) AS rn
@@ -290,13 +292,101 @@ object OracleSql {
        |    (CASE WHEN xl < eh THEN lidx + (eh - xl) / (xl1 - xl) ELSE CAST(lidx AS DOUBLE) END) AS lip,
        |    (CASE WHEN xr < eh THEN ridx - (eh - xr) / (xr1 - xr) ELSE CAST(ridx AS DOUBLE) END) AS rip
        |  FROM wvals
-       |)
-       |SELECT wf.experiment_id, wf.channel, wf.p AS peak_idx, e.t, wf.h AS peak_value
-       |FROM wfinal wf JOIN enriched e
-       |  ON e.experiment_id = wf.experiment_id AND e.channel = wf.channel AND e.sample_idx = wf.p
-       |WHERE wf.rip - wf.lip >= ${dlit(cfg.width)}
-       |  AND (e.baseline IS NULL OR e.ceiling IS NULL
-       |       OR NOT (wf.h < (e.ceiling - e.baseline) * ${dlit(cfg.threshold)} + e.baseline))""".stripMargin
+       |),
+       |detected AS (
+       |  SELECT wf.experiment_id, wf.channel, wf.p AS peak_idx, e.t, wf.h AS peak_value
+       |  FROM wfinal wf JOIN enriched e
+       |    ON e.experiment_id = wf.experiment_id AND e.channel = wf.channel AND e.sample_idx = wf.p
+       |  WHERE wf.rip - wf.lip >= ${dlit(cfg.width)}
+       |    AND (e.baseline IS NULL OR e.ceiling IS NULL
+       |         OR NOT (wf.h < (e.ceiling - e.baseline) * ${dlit(cfg.threshold)} + e.baseline))
+       |)""".stripMargin
+  }
+
+  /** Q7b — the detected peaks themselves. */
+  def q7bPeaks(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)}
+       |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
+
+  /** Per-beat metric CTEs ending in `m(experiment_id, channel,
+    * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
+    * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:
+    * state-flip as-of lookups with the reference's edge rules.
+    */
+  def metricCtes(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""${detectCtes(cfg)},
+       |stt AS (
+       |  SELECT e.*,
+       |    coalesce(e.y_smooth >= e.diastolic, false) AS s_t,
+       |    coalesce(e.y_smooth <= e.diastolic, false) AS s_r
+       |  FROM enriched e
+       |),
+       |cr AS (
+       |  SELECT *,
+       |    max(CASE WHEN s_t THEN sample_idx END) OVER wp AS last_t,
+       |    max(CASE WHEN NOT s_t THEN sample_idx END) OVER wp AS last_f,
+       |    min(CASE WHEN s_r THEN sample_idx END) OVER wn AS next_t,
+       |    min(CASE WHEN NOT s_r THEN sample_idx END) OVER wn AS next_f
+       |  FROM stt
+       |  WINDOW wp AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |         wn AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
+       |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+       |),
+       |m0 AS (
+       |  SELECT d.experiment_id, d.channel, d.peak_idx, d.t, d.peak_value,
+       |    c2.baseline AS baseline_value,
+       |    d.peak_value - c2.baseline AS force,
+       |    (d.peak_idx = 0 OR d.peak_idx >= c2.n - 2) AS edge,
+       |    d.peak_idx - coalesce(CASE WHEN c2.s_t THEN c2.last_f ELSE c2.last_t END, 0) AS ttp_i,
+       |    least(coalesce(CASE WHEN c2.s_r THEN c2.next_f ELSE c2.next_t END, c2.n - 1), c2.n - 1) AS exit_idx,
+       |    c2.n
+       |  FROM detected d JOIN cr c2
+       |    ON c2.experiment_id = d.experiment_id AND c2.channel = d.channel
+       |    AND c2.sample_idx = d.peak_idx
+       |),
+       |m1 AS (
+       |  SELECT *,
+       |    CASE WHEN edge THEN NULL ELSE CAST(ttp_i AS DOUBLE) / $rate END AS time_to_peak,
+       |    CASE WHEN edge OR exit_idx = n - 1 THEN NULL
+       |         ELSE CAST(exit_idx - peak_idx AS DOUBLE) / $rate END AS time_to_relaxation
+       |  FROM m0
+       |),
+       |m AS (
+       |  SELECT experiment_id, channel, peak_idx, t, peak_value, baseline_value, force,
+       |    time_to_peak, time_to_relaxation,
+       |    CASE WHEN time_to_peak IS NOT NULL AND time_to_relaxation IS NOT NULL
+       |         THEN time_to_relaxation + time_to_peak END AS duration
+       |  FROM m1
+       |)""".stripMargin
+  }
+
+  /** Q8 — per-beat metrics. */
+  def q8Metrics(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${metricCtes(cfg)}
+       |SELECT experiment_id, channel, peak_idx, force, time_to_peak,
+       |  time_to_relaxation, duration FROM m""".stripMargin
+
+  /** Q9 — channel summary with exact DECIMAL-sum averages (identical
+    * doubles in both engines regardless of summation order).
+    */
+  def q9Summary(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    def avg(c: String, as: String) =
+      s"CAST(sum(CAST($c AS DECIMAL(20,6))) AS DOUBLE) / count($c) AS $as"
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |agg AS (
+       |  SELECT experiment_id, channel, count(*) AS n_peaks,
+       |    ${avg("time_to_peak", "avg_ttp")},
+       |    ${avg("time_to_relaxation", "avg_ttr")},
+       |    ${avg("duration", "avg_duration")},
+       |    ${avg("force", "avg_force")}
+       |  FROM m GROUP BY 1, 2
+       |),
+       |chans AS (SELECT DISTINCT experiment_id, channel FROM sig)
+       |SELECT c.experiment_id, c.channel, coalesce(a.n_peaks, 0) AS n_peaks,
+       |  a.avg_ttp, a.avg_ttr, a.avg_duration, a.avg_force
+       |FROM chans c LEFT JOIN agg a USING (experiment_id, channel)""".stripMargin
   }
 
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */

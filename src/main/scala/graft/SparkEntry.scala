@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Envelopes, PeakDetect, Smoothing}
+import graft.operators.{BeatMetrics, Envelopes, PeakDetect, Smoothing}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,6 +19,12 @@ object SparkEntry {
   /** Smooth + envelopes + diastolic, the shared spine of q1..q9. */
   private def enriched(s: SparkSession): DataFrame =
     Envelopes.withEnvelopes(Smoothing.withSmooth(sig(s)))
+
+  /** Per-beat metrics off the full detection pipeline. */
+  private def beatMetrics(s: SparkSession): DataFrame = {
+    val e = enriched(s)
+    BeatMetrics.metrics(e, PeakDetect.detectPeaks(e).toDF())
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -45,6 +51,11 @@ object SparkEntry {
       PeakDetect.candidateProminences(Smoothing.withSmooth(sig(s)))),
     "q7b_peaks" -> ((s, _) =>
       PeakDetect.detectPeaks(enriched(s)).toDF()),
+    "q8_metrics" -> ((s, _) =>
+      beatMetrics(s).select("experiment_id", "channel", "peak_idx",
+        "force", "time_to_peak", "time_to_relaxation", "duration")),
+    "q9_summary" -> ((s, _) =>
+      BeatMetrics.summary(enriched(s), beatMetrics(s))),
     "q10_stim" -> ((s, _) =>
       PeakDetect.stimPeaks(
         PeakDetect.rescaleStim(sig(s), SignalFixture.stim(s))))
@@ -62,6 +73,8 @@ object SparkEntry {
     "q6_gate" -> OracleSql.q6Gate(),
     "q7a_prominence" -> OracleSql.q7aProminence(),
     "q7b_peaks" -> OracleSql.q7bPeaks(),
+    "q8_metrics" -> OracleSql.q8Metrics(),
+    "q9_summary" -> OracleSql.q9Summary(),
     "q10_stim" -> OracleSql.q10Stim
   )
 }

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.PeakConfig
+import Smoothing.keyCols
+
+/** O9/O10 — per-beat metrics and channel summary
+  * (`/root/reference/peak_analysis.py:46-136`, SURVEY §2.6/§2.7).
+  *
+  * The reference walks away from each peak until the above/below-
+  * diastolic *state flips* relative to the state at the peak
+  * (`peak_analysis.py:81-107`; note TTP tests `>=`, TTR tests `<=`, and
+  * a NaN diastolic makes both comparisons False — exactly reproduced by
+  * `coalesce(cmp, false)`). The walk is an as-of lookup: the nearest
+  * index on that side whose state differs — computed as window
+  * aggregates over the enriched frame, then joined to the peaks. No
+  * per-peak scanning, no driver loops.
+  *
+  * Exact parity rules (SURVEY §8 Q7/Q8):
+  *  - edge guard: peak_idx == 0 or >= n−2 ⇒ ttp/ttr/duration null;
+  *  - TTP records a value even when the walk exhausts to the left edge
+  *    without crossing (i = peak_idx);
+  *  - TTR is null when the walk reaches the last sample — even if the
+  *    state flips exactly there;
+  *  - duration = ttr + ttp only when both present;
+  *  - force = peak_value − baseline[peak] regardless of the guard.
+  */
+object BeatMetrics {
+
+  private def keys: Seq[Column] = keyCols.map(col)
+
+  /** Joins per-peak metrics onto `peaks` (one row per detected peak).
+    * `enriched` must carry y_smooth/baseline/diastolic.
+    */
+  def metrics(
+      enriched: DataFrame,
+      peaks: DataFrame,
+      cfg: PeakConfig = PeakConfig()
+  ): DataFrame = {
+    val wch = Window.partitionBy(keys: _*)
+    val wo = Window.partitionBy(keys: _*).orderBy("sample_idx")
+    val wPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = wo.rowsBetween(1, Window.unboundedFollowing)
+
+    val stateT = coalesce(col("y_smooth") >= col("diastolic"), lit(false))
+    val stateR = coalesce(col("y_smooth") <= col("diastolic"), lit(false))
+
+    val crossed = enriched
+      .withColumn("_n", count(lit(1)).over(wch))
+      .withColumn("_st", stateT)
+      .withColumn("_sr", stateR)
+      .withColumn("_lastT", max(when(col("_st"), col("sample_idx"))).over(wPrev))
+      .withColumn("_lastF", max(when(!col("_st"), col("sample_idx"))).over(wPrev))
+      .withColumn("_nextT", min(when(col("_sr"), col("sample_idx"))).over(wNext))
+      .withColumn("_nextF", min(when(!col("_sr"), col("sample_idx"))).over(wNext))
+      .select(keys :+ col("sample_idx") :+ col("baseline") :+ col("_n") :+
+        col("_st") :+ col("_sr") :+ col("_lastT") :+ col("_lastF") :+
+        col("_nextT") :+ col("_nextF"): _*)
+
+    val joined = peaks.join(
+      crossed.withColumnRenamed("sample_idx", "peak_idx"),
+      keyCols :+ "peak_idx"
+    )
+
+    val edge = col("peak_idx") === 0 || col("peak_idx") >= col("_n") - 2
+    // TTP: nearest j < p with flipped state; no flip (or flip at 0) ⇒
+    // the walk exhausts at index 0 and still records p/rate.
+    val flipL = when(col("_st"), col("_lastF")).otherwise(col("_lastT"))
+    val ttpI = col("peak_idx") - coalesce(flipL, lit(0L))
+    // TTR: nearest j > p with flipped state, capped at the last sample;
+    // reaching (or flipping at) the last sample ⇒ null.
+    val flipR = when(col("_sr"), col("_nextF")).otherwise(col("_nextT"))
+    val exitIdx = least(coalesce(flipR, col("_n") - 1), col("_n") - 1)
+    val rate = lit(cfg.sampleRateHz)
+
+    joined
+      .withColumn("force", col("peak_value") - col("baseline"))
+      .withColumn("time_to_peak",
+        when(edge, lit(null).cast("double"))
+          .otherwise(ttpI.cast("double") / rate))
+      .withColumn("time_to_relaxation",
+        when(edge || exitIdx === col("_n") - 1, lit(null).cast("double"))
+          .otherwise((exitIdx - col("peak_idx")).cast("double") / rate))
+      .withColumn("duration",
+        when(col("time_to_peak").isNotNull &&
+          col("time_to_relaxation").isNotNull,
+          col("time_to_relaxation") + col("time_to_peak")))
+      .select((keys :+ col("peak_idx") :+ col("t") :+ col("peak_value") :+
+        col("baseline").as("baseline_value") :+ col("force") :+
+        col("time_to_peak") :+ col("time_to_relaxation") :+
+        col("duration")): _*)
+  }
+
+  /** O10 — channel summary: NaN-filtered means. Averages are computed
+    * as exact DECIMAL sums divided by non-null counts so Spark's partial
+    * aggregation order and DuckDB's serial sum produce the identical
+    * double (double-sum order is not associative; decimal is exact).
+    * Channels with no peaks get n_peaks=0 and null averages
+    * (`np.mean([])` → NaN, SURVEY §8 Q13).
+    */
+  def summary(enriched: DataFrame, metricsDf: DataFrame): DataFrame = {
+    def avgExact(c: String): Column =
+      (sum(col(c).cast("decimal(20,6)")).cast("double") / count(col(c)))
+        .as(s"avg_$c")
+    val agg = metricsDf
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_peaks"),
+        avgExact("time_to_peak"),
+        avgExact("time_to_relaxation"),
+        avgExact("duration"),
+        avgExact("force")
+      )
+    val chans = enriched.select(keys: _*).distinct()
+    chans.join(agg, keyCols, "left")
+      .select(keys :+ coalesce(col("n_peaks"), lit(0L)).as("n_peaks") :+
+        col("avg_time_to_peak").as("avg_ttp") :+
+        col("avg_time_to_relaxation").as("avg_ttr") :+
+        col("avg_duration") :+ col("avg_force"): _*)
+  }
+}

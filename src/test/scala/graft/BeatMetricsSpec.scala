@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BeatMetrics
+
+class BeatMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-built enriched frame: smooth crosses a flat diastolic at known
+  // indices. diastolic = 10; smooth above in [4..8], peak at 6.
+  private def enriched(n: Int, above: Range, dia: Double = 10.0) =
+    (0 until n).map { i =>
+      val y = if (above.contains(i)) 20.0 + (5 - math.abs(i - above.head - above.size / 2)) else 5.0
+      ("e", 0, i.toLong, i / 100.0, y, y, Option(5.0), Option(30.0), Option(dia))
+    }.toDF("experiment_id", "channel", "sample_idx", "t", "y", "y_smooth",
+      "baseline", "ceiling", "diastolic")
+
+  private def peakAt(idx: Long, v: Double) =
+    Seq(("e", 0, idx, idx / 100.0, v))
+      .toDF("experiment_id", "channel", "peak_idx", "t", "peak_value")
+
+  test("interior peak: ttp/ttr measured to the state flips, duration sums") {
+    val e = enriched(20, 4 to 8)
+    val m = BeatMetrics.metrics(e, peakAt(6, 25.0)).collect()(0)
+    // state at peak: above. nearest below on the left = idx 3 -> ttp = 3/100
+    assert(m.getAs[Double]("time_to_peak") === 0.03)
+    // nearest below right = idx 9 -> ttr = 3/100
+    assert(m.getAs[Double]("time_to_relaxation") === 0.03)
+    assert(m.getAs[Double]("duration") === 0.06)
+    assert(m.getAs[Double]("force") === 20.0) // 25 - baseline 5
+  }
+
+  test("edge guard: peak at 0 and at n-2 give null ttp/ttr/duration") {
+    val e = enriched(20, 0 to 3)
+    for (p <- Seq(0L, 18L, 19L)) {
+      val m = BeatMetrics.metrics(e, peakAt(p, 25.0)).collect()(0)
+      assert(m.isNullAt(m.fieldIndex("time_to_peak")), s"ttp at $p")
+      assert(m.isNullAt(m.fieldIndex("time_to_relaxation")), s"ttr at $p")
+      assert(m.isNullAt(m.fieldIndex("duration")), s"duration at $p")
+      assert(m.getAs[Double]("force") === 20.0) // force survives the guard
+    }
+  }
+
+  test("left-edge quirk: no crossing to the left records ttp = p/rate") {
+    // above-state from 0: walk exhausts at idx 0 without flip
+    val e = enriched(20, 0 to 8)
+    val m = BeatMetrics.metrics(e, peakAt(6, 25.0)).collect()(0)
+    assert(m.getAs[Double]("time_to_peak") === 0.06)
+  }
+
+  test("ttr null when the flip happens exactly at the last sample") {
+    // above until n-2, below exactly at n-1 -> exit at n-1 -> null
+    val e = enriched(10, 4 to 8)
+    val m = BeatMetrics.metrics(e, peakAt(6, 25.0)).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("time_to_relaxation")))
+    assert(m.getAs[Double]("time_to_peak") === 0.03)
+    assert(m.isNullAt(m.fieldIndex("duration")))
+  }
+
+  test("null diastolic region: comparisons are false, walk passes through") {
+    // diastolic null everywhere: state at peak = (y>=null)=false; walk
+    // left stops at first j with state true -> none -> ttp = p/rate
+    val rows = (0 until 12).map { i =>
+      ("e", 0, i.toLong, i / 100.0, 5.0, 5.0, Option(1.0), Option(9.0),
+        None: Option[Double])
+    }.toDF("experiment_id", "channel", "sample_idx", "t", "y", "y_smooth",
+      "baseline", "ceiling", "diastolic")
+    val m = BeatMetrics.metrics(rows, peakAt(5, 5.0)).collect()(0)
+    assert(m.getAs[Double]("time_to_peak") === 0.05)
+    // right walk: state never flips -> exit at n-1 -> null
+    assert(m.isNullAt(m.fieldIndex("time_to_relaxation")))
+  }
+
+  test("summary: exact averages, zero-peak channels present with nulls") {
+    val e = enriched(20, 4 to 8)
+      .unionByName(enriched(20, 4 to 8).withColumn("channel", lit(1)))
+    val peaks = peakAt(6, 25.0) // only channel 0
+    val s = BeatMetrics.summary(e, BeatMetrics.metrics(e, peaks))
+      .orderBy("channel").collect()
+    assert(s.length === 2)
+    assert(s(0).getAs[Long]("n_peaks") === 1)
+    assert(s(0).getAs[Double]("avg_ttp") === 0.03)
+    assert(s(1).getAs[Long]("n_peaks") === 0)
+    assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
+  }
+}
