@@ -56,8 +56,8 @@ def main() -> int:
                 print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}")
                 n_fail += 1
                 continue
-            if not duck.equals(spark):
-                neq = ~(duck.eq(spark) | (duck.isna() & spark.isna()))
+            neq = ~(duck.eq(spark) | (duck.isna() & spark.isna()))
+            if neq.any().any():
                 bad = neq.any(axis=1)
                 print(f"FAIL {name}: {int(bad.sum())}/{len(duck)} rows differ; "
                       f"first diffs:")

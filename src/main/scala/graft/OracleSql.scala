@@ -389,6 +389,91 @@ object OracleSql {
        |FROM chans c LEFT JOIN agg a USING (experiment_id, channel)""".stripMargin
   }
 
+  /** Q11 — revenue by nation (exact DECIMAL money sums). */
+  def q11Revenue: String =
+    s"""SELECT n.n_name,
+       |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA'
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n.n_name""".stripMargin
+
+  /** Q12 — top-3 parts by revenue per brand. */
+  def q12TopParts(k: Int = 3): String =
+    s"""WITH rev AS (
+       |  SELECT p.p_brand, p.p_partkey,
+       |    CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY p.p_brand, p.p_partkey
+       |),
+       |rnked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+       |  FROM rev
+       |)
+       |SELECT p_brand, p_partkey, revenue, rnk FROM rnked WHERE rnk <= $k""".stripMargin
+
+  /** Q13 — per-user daily rollup with JSON-extracted measure. */
+  def q13EventsDaily: String =
+    s"""SELECT user_id, strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+       |  sum(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q14 — token statistics. */
+  def q14Tokens: String =
+    s"""SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+       |FROM (
+       |  SELECT d.doc_id, unnest(string_split_regex(lower(d.text), '\\s+')) AS token
+       |  FROM documents d
+       |)
+       |WHERE token <> ''
+       |GROUP BY token""".stripMargin
+
+  /** Q15 — exact dedup survivors. */
+  def q15Dedup: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM documents GROUP BY text""".stripMargin
+
+  /** Q15b — near-dup candidate pairs by (length, prefix) blocking. */
+  def q15bNearDup: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, n_chars, substr(lower(text), 1, 32) AS pfx FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM b a JOIN b c
+       |  ON a.n_chars = c.n_chars AND a.pfx = c.pfx AND a.doc_id < c.doc_id""".stripMargin
+
+  /** Q16 — brute-force cosine top-k for probes vec_id < 3. The dot and
+    * norm sums are written in ascending element order from 0.0, exactly
+    * like Similarity.dot's fold.
+    */
+  def q16CosineTopK(dim: Int = 64, k: Int = 10): String = {
+    def sumTerms(a: String, b: String): String =
+      "(0.0 + " + (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ") + ")"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |p AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 3),
+       |sims AS (
+       |  SELECT p.probe_id, e.vec_id,
+       |    ${sumTerms("pe", "de")} / (sqrt(${sumTerms("pe", "pe")}) * sqrt(${sumTerms("de", "de")})) AS sim
+       |  FROM p, e WHERE e.vec_id <> p.probe_id
+       |),
+       |rnked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM sims
+       |)
+       |SELECT probe_id, vec_id, sim, rnk FROM rnked WHERE rnk <= $k""".stripMargin
+  }
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BeatMetrics, Envelopes, PeakDetect, Smoothing}
+import graft.operators.{BeatMetrics, Envelopes, PeakDetect, Relational,
+  Similarity, Smoothing, TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -58,7 +59,14 @@ object SparkEntry {
       BeatMetrics.summary(enriched(s), beatMetrics(s))),
     "q10_stim" -> ((s, _) =>
       PeakDetect.stimPeaks(
-        PeakDetect.rescaleStim(sig(s), SignalFixture.stim(s))))
+        PeakDetect.rescaleStim(sig(s), SignalFixture.stim(s)))),
+    "q11_revenue_by_nation" -> Relational.revenueByNation _,
+    "q12_topk_parts" -> ((s, dir) => Relational.topPartsByBrand(s, dir)),
+    "q13_events_daily" -> Relational.eventsDaily _,
+    "q14_token_stats" -> TextAnalysis.tokenStats _,
+    "q15_dedup_exact" -> TextAnalysis.dedupExact _,
+    "q15b_near_dup" -> TextAnalysis.nearDupCandidates _,
+    "q16_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +83,13 @@ object SparkEntry {
     "q7b_peaks" -> OracleSql.q7bPeaks(),
     "q8_metrics" -> OracleSql.q8Metrics(),
     "q9_summary" -> OracleSql.q9Summary(),
-    "q10_stim" -> OracleSql.q10Stim
+    "q10_stim" -> OracleSql.q10Stim,
+    "q11_revenue_by_nation" -> OracleSql.q11Revenue,
+    "q12_topk_parts" -> OracleSql.q12TopParts(),
+    "q13_events_daily" -> OracleSql.q13EventsDaily,
+    "q14_token_stats" -> OracleSql.q14Tokens,
+    "q15_dedup_exact" -> OracleSql.q15Dedup,
+    "q15b_near_dup" -> OracleSql.q15bNearDup,
+    "q16_cosine_topk" -> OracleSql.q16CosineTopK()
   )
 }

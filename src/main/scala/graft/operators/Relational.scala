@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension surface Q11-Q13 (SURVEY §2.9): TPC-H-style join+agg,
+  * windowed top-k, and event/JSON/time analytics over the driver
+  * testdata.
+  *
+  * Scale notes (100 TB):
+  *  - fact-to-fact joins (lineitem⋈orders) shuffle on the join key and
+  *    are left to Catalyst/AQE (sort-merge with runtime re-plan);
+  *  - dimensions (nation, region) are broadcast explicitly — they are
+  *    tiny at any scale factor;
+  *  - money aggregates are summed as DECIMAL: exact, order-independent
+  *    (so partial aggregation is free to reorder), and bitwise-equal to
+  *    the DuckDB oracle.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money sum: DECIMAL accumulate, DOUBLE out. */
+  def moneySum(c: Column): Column = sum(c.cast("decimal(20,4)")).cast("double")
+
+  /** Q11 — revenue by nation: 5-way join, region filter, date range. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .filter(r("r_name") === "ASIA" &&
+        o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Q12 — top-3 parts by revenue within each brand (window rank). */
+  def topPartsByBrand(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("p_brand", "p_partkey", "revenue", "rnk")
+  }
+
+  /** Q13 — per-user daily event rollup with a JSON-extracted measure.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    * with `spark.sql.legacy.parquet.nanosAsLong=true` (set by our
+    * session builders) — the column arrives as nanos-since-epoch LONG.
+    * `ts div 1000` keeps the conversion in exact integer arithmetic
+    * (nanos ≈ 1.7e18 exceeds double's 2^53 mantissa).
+    */
+  def eventsDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day = date_format(
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        to_date(expr("timestamp_micros(ts div 1000)"))
+      else to_date(col("ts")),
+      "yyyy-MM-dd") // string on both sides: no date-dtype ambiguity
+    ev.groupBy(col("user_id"), day.as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+  }
+}
