@@ -12,6 +12,7 @@ NOT part of the shipped engine — uses the driver-side python env.
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -44,6 +45,8 @@ def main() -> int:
     sqls = json.load(open(f"{outdir}/oracle_sql.json"))
     n_fail = 0
     for name in sorted(sqls):
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue  # dev runs may dump only a query subset
         try:
             duck = canon(con.execute(sqls[name]).df())
             spark = canon(pd.read_parquet(f"{outdir}/{name}"))

@@ -474,6 +474,120 @@ object OracleSql {
        |SELECT probe_id, vec_id, sim, rnk FROM rnked WHERE rnk <= $k""".stripMargin
   }
 
+  // ---- LLM-pipeline dedup family (operators/Dedup.scala) ----
+
+  /** Polynomial fold over character codes, identical to
+    * TextHash.polyHash: acc = (acc*31 + ascii(c)) % mod, from 0.
+    */
+  def polyHashSql(s: String, mod: Long = 1000000007L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % $mod)"
+
+  /** CTEs `toks(doc_id, toks)` and `shq(doc_id, h)` — distinct 3-word
+    * shingle hashes, mirroring Dedup.shingleHashes.
+    */
+  def shingleCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents
+       |),
+       |shq AS (
+       |  SELECT DISTINCT doc_id, ${polyHashSql("sh")} AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(tk) >= 3
+       |           THEN list_transform(range(1, len(tk) - 1),
+       |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |           ELSE [] END) AS sh
+       |    FROM toks
+       |  )
+       |)""".stripMargin
+
+  /** Q15c — MinHash+LSH candidate pairs with estimated Jaccard. */
+  def q15cMinhash: String = {
+    val params = graft.functions.TextHash.minhashParams()
+      .map { case (i, band, a, b) => s"($i, $band, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val p = graft.functions.TextHash.P
+    s"""WITH $shingleCtes,
+       |params(hi, band, ha, hb) AS (VALUES $params),
+       |sig AS (
+       |  SELECT s.doc_id, p2.hi, p2.band, min((p2.ha * s.h + p2.hb) % $p) AS mh
+       |  FROM shq s CROSS JOIN params p2
+       |  GROUP BY 1, 2, 3
+       |),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY hi)),
+       |                (a, x) -> (a * 31 + x) % $p) AS bh
+       |  FROM sig GROUP BY doc_id, band
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM cand c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
+       |GROUP BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  /** Q15d — SimHash byte-blocked pairs with Hamming distance. */
+  def q15dSimhash(maxHamming: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+       |  FROM documents
+       |),
+       |tc AS (
+       |  SELECT doc_id, ${polyHashSql("tok", 4294967296L)} AS h32, count(*) AS cnt
+       |  FROM toks GROUP BY doc_id, tok
+       |),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    sum(cnt * (2 * ((h32 >> j) & 1) - 1)) AS bs
+       |  FROM tc, generate_series(0, 31) AS g(j)
+       |  GROUP BY doc_id, j
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN bs > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |),
+       |blocks AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bk
+       |  FROM sig, generate_series(0, 3) AS g(b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa,
+       |                  y.doc_id AS doc_b, y.simhash AS sb
+       |  FROM blocks x JOIN blocks y
+       |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+
+  /** Q15e — exact 3-gram Jaccard over shingle-join candidates. */
+  def q15eNgramJaccard(minJaccard: Double = 0.5): String =
+    s"""WITH $shingleCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shq GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM shq x JOIN shq y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= ${dlit(minJaccard)}""".stripMargin
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

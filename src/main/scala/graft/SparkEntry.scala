@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BeatMetrics, Envelopes, PeakDetect, Relational,
-  Similarity, Smoothing, TextAnalysis}
+import graft.operators.{BeatMetrics, Dedup, Envelopes, PeakDetect,
+  Relational, Similarity, Smoothing, TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,9 @@ object SparkEntry {
     "q14_token_stats" -> TextAnalysis.tokenStats _,
     "q15_dedup_exact" -> TextAnalysis.dedupExact _,
     "q15b_near_dup" -> TextAnalysis.nearDupCandidates _,
+    "q15c_minhash_lsh" -> Dedup.minhashLsh _,
+    "q15d_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "q15e_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q16_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir))
   )
 
@@ -90,6 +93,9 @@ object SparkEntry {
     "q14_token_stats" -> OracleSql.q14Tokens,
     "q15_dedup_exact" -> OracleSql.q15Dedup,
     "q15b_near_dup" -> OracleSql.q15bNearDup,
+    "q15c_minhash_lsh" -> OracleSql.q15cMinhash,
+    "q15d_simhash" -> OracleSql.q15dSimhash(),
+    "q15e_ngram_jaccard" -> OracleSql.q15eNgramJaccard(),
     "q16_cosine_topk" -> OracleSql.q16CosineTopK()
   )
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text hashing shared by the dedup/fingerprint family
+  * (operators/Dedup.scala, operators/TextAnalysis.scala).
+  *
+  * Everything here is chosen to be *oracle-replicable*: a polynomial
+  * fold over character codes with the modulus applied at every step,
+  * so the identical arithmetic can be written in DuckDB
+  * (`list_reduce(list_prepend(0, list_transform(string_split(s,''),
+  * c -> ascii(c))), (a,x) -> (a*31+x) % p)`) and both engines produce
+  * the same 64-bit integers. Spark's own `xxhash64` would be faster
+  * but has no DuckDB twin, and hash parity IS the correctness gate.
+  * At 100 TB the fold is still a narrow per-row projection (no
+  * shuffle, codegen'd higher-order functions), so the scale story is
+  * unchanged.
+  */
+object TextHash {
+
+  /** 2^31-1-ish prime used for shingle/minhash arithmetic. */
+  val P: Long = 1000000007L
+
+  /** 2^32 — modulus for the 32-bit token hash behind SimHash. */
+  val M32: Long = 4294967296L
+
+  /** Polynomial rolling hash of a string column: fold over character
+    * codes, `acc = (acc*base + ascii(c)) % mod`, starting at 0.
+    */
+  def polyHash(s: Column, base: Long = 31L, mod: Long = P): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * lit(base) + x, lit(mod))
+    )
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** n-word shingles joined by single spaces, from a token array.
+    * Empty array when the document has fewer than n tokens.
+    */
+  def wordShingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** MinHash permutation parameters: (index 1..k, band, a, b) with
+    * a, b < P derived from fixed multiplicative constants — literal in
+    * both engines (OracleSql emits the same numbers).
+    */
+  def minhashParams(numHashes: Int = 16, rowsPerBand: Int = 4): Seq[(Int, Int, Long, Long)] =
+    (1 to numHashes).map { i =>
+      val a = (2654435761L * i) % P match { case 0 => 1L; case x => x }
+      val b = (40503L * 65537L * i + 17L) % P
+      (i, (i - 1) / rowsPerBand, a, b)
+    }
+}
