@@ -454,6 +454,16 @@ object OracleSql {
     * norm sums are written in ascending element order from 0.0, exactly
     * like Similarity.dot's fold.
     */
+  /** Ascending-order dot product a·b over dim elements, left-assoc
+    * from 0.0 — mirrors Similarity.dot's fold bitwise.
+    */
+  def sumTerms(a: String, b: String, dim: Int = 64): String =
+    "(0.0 + " + (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ") + ")"
+
+  /** cosine(a, b) with the same association order as Similarity.cosine. */
+  def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"${sumTerms(a, b, dim)} / (sqrt(${sumTerms(a, a, dim)}) * sqrt(${sumTerms(b, b, dim)}))"
+
   def q16CosineTopK(dim: Int = 64, k: Int = 10): String = {
     def sumTerms(a: String, b: String): String =
       "(0.0 + " + (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ") + ")"
@@ -473,6 +483,65 @@ object OracleSql {
        |)
        |SELECT probe_id, vec_id, sim, rnk FROM rnked WHERE rnk <= $k""".stripMargin
   }
+
+  /** Q16b — LSH-bucketed near-dup pairs (mirrors Similarity.lshNearDup:
+    * 6 deterministic hyperplanes → sign bucket → exact cosine gate).
+    */
+  def q16bLshNearDup(minSim: Double = 0.35, dim: Int = 64): String = {
+    val planes = graft.operators.Similarity.hyperplanes(dim = dim)
+    def planeDot(pl: Array[Double]): String =
+      "(0.0 + " + pl.zipWithIndex
+        .map { case (c, d) => s"(${dlit(c)}) * de[${d + 1}]" }
+        .mkString(" + ") + ")"
+    val bucket = planes.zipWithIndex
+      .map { case (pl, i) =>
+        s"(CASE WHEN ${planeDot(pl)} >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |eb AS (SELECT vec_id, de, $bucket AS bucket FROM e),
+       |pairs AS (
+       |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    ${cosSql("x.de", "y.de", dim)} AS sim
+       |  FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |)
+       |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= ${dlit(minSim)}""".stripMargin
+  }
+
+  /** Q16c — IVF-style ANN (mirrors Similarity.ivfTopK: fixed coarse
+    * quantizer = vec_id < nCentroids, nProbe inverted lists, top-k).
+    */
+  def q16cIvfTopK(nCentroids: Int = 8, nProbe: Int = 2, k: Int = 5,
+                  dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $nCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, e.de, c.cid, ${cosSql("e.de", "c.ce", dim)} AS csim
+       |  FROM e CROSS JOIN cent c
+       |),
+       |asg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+       |  FROM sims
+       |),
+       |lists AS (SELECT vec_id, de, cid AS list_id FROM asg WHERE crk = 1),
+       |pl AS (
+       |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id
+       |  FROM asg WHERE vec_id < 3 AND crk <= $nProbe
+       |),
+       |cs AS (
+       |  SELECT p.probe_id, l.vec_id, ${cosSql("p.pe", "l.de", dim)} AS sim
+       |  FROM pl p JOIN lists l USING (list_id) WHERE l.vec_id <> p.probe_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM cs
+       |)
+       |SELECT probe_id, vec_id, sim, rnk FROM rk WHERE rnk <= $k""".stripMargin
 
   // ---- LLM-pipeline dedup family (operators/Dedup.scala) ----
 

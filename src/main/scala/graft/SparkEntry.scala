@@ -69,7 +69,9 @@ object SparkEntry {
     "q15c_minhash_lsh" -> Dedup.minhashLsh _,
     "q15d_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "q15e_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
-    "q16_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir))
+    "q16_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "q16b_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(s, dir)),
+    "q16c_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,6 +98,8 @@ object SparkEntry {
     "q15c_minhash_lsh" -> OracleSql.q15cMinhash,
     "q15d_simhash" -> OracleSql.q15dSimhash(),
     "q15e_ngram_jaccard" -> OracleSql.q15eNgramJaccard(),
-    "q16_cosine_topk" -> OracleSql.q16CosineTopK()
+    "q16_cosine_topk" -> OracleSql.q16CosineTopK(),
+    "q16b_lsh_neardup" -> OracleSql.q16bLshNearDup(),
+    "q16c_ivf_topk" -> OracleSql.q16cIvfTopK()
   )
 }
