@@ -657,6 +657,90 @@ object OracleSql {
        |JOIN sizes zb ON zb.doc_id = i.doc_b
        |WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= ${dlit(minJaccard)}""".stripMargin
 
+  // ---- LLM-pipeline text analysis family ----
+
+  private def tokensSql: String =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Q17 — language-ID heuristic (mirrors TextAnalysis.langId). */
+  def q17LangId: String = {
+    val m = graft.operators.TextAnalysis.langMarkers.toMap
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ${hitsSql(m("en"))} AS en_hits, ${hitsSql(m("es"))} AS es_hits,
+       |    ${hitsSql(m("de"))} AS de_hits, ${hitsSql(m("fr"))} AS fr_hits
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+       |       WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |       WHEN de_hits >= fr_hits THEN 'de'
+       |       ELSE 'fr' END AS pred_lang,
+       |  en_hits, es_hits, de_hits, fr_hits
+       |FROM h""".stripMargin
+  }
+
+  /** Q18 — quality scoring (mirrors TextAnalysis.qualityScore). */
+  def q18Quality: String = {
+    val en = graft.operators.TextAnalysis.langMarkers.head._2
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, $tokensSql AS tk,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT doc_id, n_chars, n_punct,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS sum_len,
+       |    ${hitsSql(en)} AS en_hits
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+       |  CAST(en_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |    + 0.3 * (1.0 - CAST(en_hits AS DOUBLE) / n_tokens)
+       |    + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality_score
+       |FROM q""".stripMargin
+  }
+
+  /** Q19 — whitespace vs BPE-ish regex token counts. */
+  def q19BpeTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(n_chars AS DOUBLE) /
+       |    CAST(nullif(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')), 0) AS DOUBLE)
+       |    AS chars_per_token
+       |FROM documents""".stripMargin
+
+  /** Q20 — winnowing fingerprints (mirrors TextAnalysis.fingerprints:
+    * 8-char gram base-31 hash, min per 16-gram window, distinct).
+    */
+  def q20Fingerprints(k: Int = 8, w: Int = 16): String = {
+    val gram = "(0 + " + (0 until k)
+      .map(j => s"CAST(ascii(substring(lower(text), p + $j, 1)) AS BIGINT) * ${math.pow(31, k - 1 - j).toLong}")
+      .mkString(" + ") + ")"
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(range(1, len(text) - ${k - 2})) AS p
+       |  FROM documents WHERE len(text) >= $k
+       |),
+       |gh AS (SELECT doc_id, p, $gram AS gh FROM pos),
+       |wf AS (
+       |  SELECT doc_id,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY p
+       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM gh
+       |)
+       |SELECT DISTINCT doc_id, fp FROM wf""".stripMargin
+  }
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

@@ -71,7 +71,11 @@ object SparkEntry {
     "q15e_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "q16_cosine_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "q16b_lsh_neardup" -> ((s, dir) => Similarity.lshNearDup(s, dir)),
-    "q16c_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir))
+    "q16c_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q17_lang_id" -> TextAnalysis.langId _,
+    "q18_quality" -> TextAnalysis.qualityScore _,
+    "q19_bpe_tokens" -> TextAnalysis.bpeTokenStats _,
+    "q20_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +104,10 @@ object SparkEntry {
     "q15e_ngram_jaccard" -> OracleSql.q15eNgramJaccard(),
     "q16_cosine_topk" -> OracleSql.q16CosineTopK(),
     "q16b_lsh_neardup" -> OracleSql.q16bLshNearDup(),
-    "q16c_ivf_topk" -> OracleSql.q16cIvfTopK()
+    "q16c_ivf_topk" -> OracleSql.q16cIvfTopK(),
+    "q17_lang_id" -> OracleSql.q17LangId,
+    "q18_quality" -> OracleSql.q18Quality,
+    "q19_bpe_tokens" -> OracleSql.q19BpeTokens,
+    "q20_fingerprints" -> OracleSql.q20Fingerprints()
   )
 }

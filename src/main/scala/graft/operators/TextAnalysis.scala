@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.TextHash
 
 /** Q14/Q15 — text analytics and deduplication over the `documents`
   * table (extended with the LLM-pipeline operator family in
@@ -50,5 +51,104 @@ object TextAnalysis {
         col("a.pfx") === col("b.pfx") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  // ---- LLM-pipeline text analysis family ----
+
+  /** Stopword marker lists for the n-gram language-ID heuristic —
+    * literal in both engines (OracleSql.q17LangId emits the same
+    * lists). Order fixes the tie-break precedence.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "los", "es", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des")
+  )
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Q17 — language ID: stopword hit counts per candidate language,
+    * argmax with fixed precedence (en > es > de > fr), 'und' when no
+    * marker hits at all. A narrow projection — the per-language hit
+    * count is one codegen'd array filter, no shuffle.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val hits = langMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    val Seq(en, es, de, fr) = hits.map(_._2)
+    docs(s, dir).select(
+      col("doc_id"),
+      when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("pred_lang"),
+      en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"))
+  }
+
+  /** Q18 — quality scoring: token/length/stopword/punctuation ratios
+    * and a bounded composite score. All ratios are single divisions of
+    * exact integers, so both engines produce identical doubles.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("tk", TextHash.tokens(col("text")))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("tk"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long"))
+      .withColumn("en_hits",
+        markerHits(col("tk"), langMarkers.head._2).cast("long"))
+    d.select(
+      col("doc_id"),
+      col("n_tokens"),
+      (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+      (col("en_hits").cast("double") / col("n_tokens")).as("stopword_ratio"),
+      (col("n_punct").cast("double") / col("n_chars")).as("punct_ratio"),
+      (lit(0.4) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0))
+        + lit(0.3) * (lit(1.0) - col("en_hits").cast("double") / col("n_tokens"))
+        + lit(0.3) * least((col("sum_len").cast("double") / col("n_tokens")) / lit(8.0), lit(1.0)))
+        .as("quality_score"))
+  }
+
+  /** Q19 — token counting: whitespace tokens vs a BPE-ish regex
+    * segmentation (letter runs | digit runs | single symbol).
+    */
+  def bpeTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_ws_tokens", size(TextHash.tokens(col("text"))).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        (col("n_chars").cast("double") /
+          nullif(col("n_bpe_tokens"), lit(0L)).cast("double")).as("chars_per_token"))
+
+  /** Q20 — document fingerprinting by winnowing: polynomial hash of
+    * every 8-char gram (unrolled base-31 sum — exact in BIGINT), then
+    * the minimum per 16-gram window, distinct per document. Robust to
+    * insertions/reorderings the way MOSS-style fingerprints are; the
+    * gram explode is a narrow flatMap and the winnow is one bounded
+    * window frame per document.
+    */
+  def fingerprints(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame = {
+    val gram = (0 until k)
+      .map(j => expr(s"ascii(substring(lower(text), p + $j, 1))").cast("long") *
+        lit(math.pow(31, k - 1 - j).toLong))
+      .foldLeft(lit(0L))((acc, t) => acc + t)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(0, w - 1)
+    docs(s, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("p"))
+      .select(col("doc_id"), col("p"), gram.as("gh"))
+      .select(col("doc_id"), min(col("gh")).over(win).as("fp"))
+      .distinct()
   }
 }
