@@ -741,6 +741,28 @@ object OracleSql {
        |SELECT DISTINCT doc_id, fp FROM wf""".stripMargin
   }
 
+  /** Q21 — media metadata (mirrors Multimodal.mediaMeta over the
+    * UTF-8 bytes of `text`; the corpus is ASCII so ascii() sums equal
+    * unsigned-byte sums).
+    */
+  def q21MediaMeta(stride: Int = graft.operators.Multimodal.frameStride): String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  CASE WHEN len(text) = 0 THEN NULL ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+       |  CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+       |    c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT) AS checksum,
+       |  CAST(CASE WHEN len(text) = 0 THEN 0
+       |       ELSE (octet_length(encode(text)) - 1) // $stride + 1 END AS BIGINT) AS n_frames
+       |FROM documents""".stripMargin
+
+  /** Q21b — stride-aligned frame samples. */
+  def q21bFrames(stride: Int = graft.operators.Multimodal.frameStride): String =
+    s"""SELECT doc_id, f AS frame_idx,
+       |  ascii(substring(text, 1 + CAST(f AS INTEGER) * $stride, 1)) AS byte_val
+       |FROM documents,
+       |  unnest(range(0, CASE WHEN len(text) = 0 THEN 0
+       |                       ELSE (len(text) - 1) // $stride + 1 END)) AS g(f)""".stripMargin
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BeatMetrics, Dedup, Envelopes, PeakDetect,
-  Relational, Similarity, Smoothing, TextAnalysis}
+import graft.operators.{BeatMetrics, Dedup, Envelopes, Multimodal,
+  PeakDetect, Relational, Similarity, Smoothing, TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,7 +75,9 @@ object SparkEntry {
     "q17_lang_id" -> TextAnalysis.langId _,
     "q18_quality" -> TextAnalysis.qualityScore _,
     "q19_bpe_tokens" -> TextAnalysis.bpeTokenStats _,
-    "q20_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir))
+    "q20_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "q21_media_meta" -> Multimodal.mediaMeta _,
+    "q21b_frames" -> Multimodal.frameSamples _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +110,8 @@ object SparkEntry {
     "q17_lang_id" -> OracleSql.q17LangId,
     "q18_quality" -> OracleSql.q18Quality,
     "q19_bpe_tokens" -> OracleSql.q19BpeTokens,
-    "q20_fingerprints" -> OracleSql.q20Fingerprints()
+    "q20_fingerprints" -> OracleSql.q20Fingerprints(),
+    "q21_media_meta" -> OracleSql.q21MediaMeta(),
+    "q21b_frames" -> OracleSql.q21bFrames()
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted by batched per-partition
+  * functions (the Scala analog of arrow-batched UDFs — one iterator
+  * per partition, no per-row driver round trips, no shuffle).
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake; everything around it — the
+  * binary schema, the partition-iterator batch shape, the frame
+  * sampler, the metadata extraction — is real, tested, and
+  * oracle-checked (q21/q21b derive the media column from
+  * `documents.text` bytes so DuckDB can reproduce the numbers
+  * independently via ascii()/octet_length()).
+  */
+object Multimodal {
+
+  /** One extracted-metadata row per media blob. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, first_byte: Option[Int],
+                       checksum: Long, n_frames: Long)
+
+  /** One sampled frame per (blob, stride offset). */
+  case class FrameSample(doc_id: Long, frame_idx: Long, byte_val: Int)
+
+  /** Frame-sampling stride in bytes (stands in for e.g. every-Nth
+    * video frame).
+    */
+  val frameStride = 32
+
+  /** The media table: documents' text bytes as an opaque binary column
+    * plus a typed metadata struct — the schema a real image/audio
+    * table would carry (`media` would be JPEG/PCM bytes instead).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("media"),
+        struct(lit("text/plain").as("mime"), col("lang").as("lang"),
+          col("n_chars").cast("long").as("declared_len")).as("media_meta"))
+
+  private def blobs(s: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    mediaTable(s, dir).select("doc_id", "media").as[(Long, Array[Byte])]
+  }
+
+  /** Q21 — batched metadata extraction over the binary column: length,
+    * first byte, unsigned-byte checksum, sampled frame count. Runs as
+    * one tight loop per partition (mapPartitions), the shape a real
+    * decoder batch would use.
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val n = bytes.length.toLong
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        MediaMeta(
+          doc_id = id,
+          n_bytes = n,
+          first_byte = if (n == 0) None else Some(bytes(0) & 0xff),
+          checksum = sum,
+          n_frames = if (n == 0) 0L else (n - 1) / frameStride + 1)
+      }
+    }.toDF()
+  }
+
+  /** Q21b — frame sampling: one row per stride-aligned byte (the
+    * every-Nth-frame pattern for video/audio), exploded inside the
+    * partition iterator so output batches stay columnar.
+    */
+  def frameSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until (if (bytes.isEmpty) 0 else (bytes.length - 1) / frameStride + 1))
+          .iterator
+          .map(f => FrameSample(id, f.toLong, bytes(f * frameStride) & 0xff))
+      }
+    }.toDF()
+  }
+
+  /** STUB — stands in for a real image/audio decoder (???: no codec
+    * libraries in this environment). Deterministic fake features from
+    * the raw bytes: (mean byte, max byte, length mod 256, first byte).
+    * A real deployment swaps this body for JPEG/PCM decoding and keeps
+    * the identical batch plumbing (mapPartitions signature, fixed-width
+    * float output).
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    if (bytes.isEmpty) return Array(0f, 0f, 0f, 0f)
+    var sum = 0L; var max = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b; if (b > max) max = b
+      i += 1
+    }
+    Array(sum.toFloat / bytes.length, max.toFloat,
+      (bytes.length % 256).toFloat, (bytes(0) & 0xff).toFloat)
+  }
+
+  /** Feature extraction over the media column via the stub decoder —
+    * the end-to-end "decode into fixed-width embedding" pipeline shape.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).mapPartitions { it =>
+      it.map { case (id, bytes) => (id, decodeStub(bytes)) }
+    }.toDF("doc_id", "features")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withDocsDir(texts: Seq[String])(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    try {
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("mediaMeta: bytes, first byte, checksum, frame count match hand computation") {
+    val t = "abc" * 30 // 90 bytes -> 3 frames at stride 32
+    withDocsDir(Seq(t)) { dir =>
+      val r = Multimodal.mediaMeta(spark, dir).head()
+      assert(r.getAs[Long]("n_bytes") === 90L)
+      assert(r.getAs[Int]("first_byte") === 'a'.toInt)
+      assert(r.getAs[Long]("checksum") === t.map(_.toInt.toLong).sum)
+      assert(r.getAs[Long]("n_frames") === 3L)
+    }
+  }
+
+  test("frameSamples: stride-aligned bytes in order") {
+    val t = ("x" * 32) + ("y" * 32) + "z"
+    withDocsDir(Seq(t)) { dir =>
+      val rows = Multimodal.frameSamples(spark, dir)
+        .orderBy("frame_idx").collect()
+      assert(rows.map(_.getAs[Long]("frame_idx")).toSeq === Seq(0L, 1L, 2L))
+      assert(rows.map(_.getAs[Int]("byte_val")).toSeq ===
+        Seq('x'.toInt, 'y'.toInt, 'z'.toInt))
+    }
+  }
+
+  test("mediaTable carries an opaque binary column with typed metadata") {
+    withDocsDir(Seq("hello")) { dir =>
+      val df = Multimodal.mediaTable(spark, dir)
+      val schema = df.schema
+      assert(schema("media").dataType.typeName === "binary")
+      assert(schema("media_meta").dataType.typeName === "struct")
+      val bytes = df.head().getAs[Array[Byte]]("media")
+      assert(new String(bytes, "UTF-8") === "hello")
+    }
+  }
+
+  test("decodeStub: deterministic fixed-width features; empty input safe") {
+    val f = Multimodal.decodeStub("ab".getBytes("UTF-8"))
+    assert(f.toSeq === Seq((97 + 98) / 2f, 98f, 2f, 97f))
+    assert(Multimodal.decodeStub(Array.emptyByteArray).toSeq === Seq(0f, 0f, 0f, 0f))
+    // features flow through the batched pipeline
+    withDocsDir(Seq("ab", "cd")) { dir =>
+      val out = Multimodal.decodeFeatures(spark, dir).orderBy("doc_id").collect()
+      assert(out.length === 2)
+      assert(out(0).getSeq[Float](1).length === 4)
+    }
+  }
+}
