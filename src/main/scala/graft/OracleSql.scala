@@ -763,6 +763,19 @@ object OracleSql {
        |  unnest(range(0, CASE WHEN len(text) = 0 THEN 0
        |                       ELSE (len(text) - 1) // $stride + 1 END)) AS g(f)""".stripMargin
 
+  /** Q22 — streaming interior smooth: the incremental smoother emits
+    * exactly the batch SG values on interior samples (the pad region
+    * is never emitted — StreamingOps contract).
+    */
+  def q22StreamSmooth(window: Int = 51): String = {
+    val k = window / 2
+    s"""WITH $sigCtes,
+       |${smoothCtes(window, 7)}
+       |SELECT s.experiment_id, s.channel, s.sample_idx, s.v AS y_smooth
+       |FROM smooth s JOIN cnt c USING (experiment_id, channel)
+       |WHERE s.sample_idx >= $k AND s.sample_idx < c.n - $k""".stripMargin
+  }
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

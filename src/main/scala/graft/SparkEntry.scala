@@ -77,7 +77,9 @@ object SparkEntry {
     "q19_bpe_tokens" -> TextAnalysis.bpeTokenStats _,
     "q20_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "q21_media_meta" -> Multimodal.mediaMeta _,
-    "q21b_frames" -> Multimodal.frameSamples _
+    "q21b_frames" -> Multimodal.frameSamples _,
+    "q22_stream_smooth" -> ((s, _) =>
+      graft.streaming.StreamingOps.streamSmoothFixture(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,6 +114,7 @@ object SparkEntry {
     "q19_bpe_tokens" -> OracleSql.q19BpeTokens,
     "q20_fingerprints" -> OracleSql.q20Fingerprints(),
     "q21_media_meta" -> OracleSql.q21MediaMeta(),
-    "q21b_frames" -> OracleSql.q21bFrames()
+    "q21b_frames" -> OracleSql.q21bFrames(),
+    "q22_stream_smooth" -> OracleSql.q22StreamSmooth()
   )
 }

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.SignalRow
+import graft.functions.SavitzkyGolay
+
+/** M6 — Structured Streaming variants of the signal pipeline (SURVEY
+  * §2.8: the reference is batch-only, so this surface defines its own
+  * contract and tests it against the batch operators).
+  *
+  * Contract for the incremental smoother: samples arrive per channel
+  * in index order and dense (device streams are; out-of-order rows
+  * *within* a micro-batch are sorted, later gaps are skipped rather
+  * than filled). A centered 51-tap FIR needs 25 future samples, so
+  * emission trails arrival by exactly 25 samples and edge positions
+  * (the batch pad region) are never emitted — interior values equal
+  * the batch operator bitwise, which is what StreamingSpec asserts.
+  *
+  * At scale: state is one 51-double ring per channel — O(channels)
+  * state total, the shuffle key is the channel (same partitioning as
+  * the batch pipeline), and each micro-batch does O(new samples) work.
+  */
+object StreamingOps {
+
+  /** Smoothed sample emitted by the incremental smoother. */
+  case class SmoothOut(experiment_id: String, channel: Int,
+                       sample_idx: Long, y_smooth: Double)
+
+  /** Per-channel FIR state: index of the first buffered sample and up
+    * to `window` buffered values.
+    */
+  case class BufState(firstIdx: Long, buf: Seq[Double])
+
+  private lazy val coeffs51 = SavitzkyGolay.coeffs(51, 7)
+
+  /** The per-group incremental FIR step — shared by every micro-batch.
+    * Emits one smoothed value per sample once the sample has 25
+    * successors buffered.
+    */
+  private def step(window: Int)(
+      key: (String, Int), rows: Iterator[SignalRow],
+      state: GroupState[BufState]): Iterator[SmoothOut] = {
+    val half = window / 2
+    val c = coeffs51
+    val sorted = rows.toArray.sortBy(_.sample_idx)
+    var (firstIdx, buf) = state.getOption
+      .map(s => (s.firstIdx, s.buf.toVector))
+      .getOrElse {
+        val start = if (sorted.nonEmpty) sorted.head.sample_idx else 0L
+        (start, Vector.empty[Double])
+      }
+    val out = Vector.newBuilder[SmoothOut]
+    sorted.foreach { r =>
+      // dense in-order contract: drop stale/duplicate rows, skip gaps
+      if (r.sample_idx == firstIdx + buf.size) {
+        buf = buf :+ r.y
+        if (buf.size == window) {
+          var acc = 0.0
+          var j = 0
+          while (j < window) { acc += c(j) * buf(j); j += 1 }
+          out += SmoothOut(key._1, key._2, firstIdx + half, acc)
+          buf = buf.tail
+          firstIdx += 1
+        }
+      }
+    }
+    state.update(BufState(firstIdx, buf))
+    out.result().iterator
+  }
+
+  /** Incremental Savitzky-Golay smoothing of a (possibly streaming)
+    * Dataset[SignalRow], keyed by channel.
+    */
+  def incrementalSmooth(rows: Dataset[SignalRow], window: Int = 51): Dataset[SmoothOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r => (r.experiment_id, r.channel))
+      .flatMapGroupsWithState[BufState, SmoothOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(step(window))
+  }
+
+  /** Tumbling-window event rollup with a watermark — works unchanged
+    * over a stream (readStream) or a batch frame; streaming late data
+    * beyond 10 minutes is dropped at the watermark.
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** q22 — drive the incremental smoother over the committed signal
+    * fixture through a real MemoryStream (three micro-batches to
+    * exercise state carry-over), collect from the memory sink, and
+    * return the result. Matches the batch smooth on interior samples,
+    * which the DuckDB oracle checks.
+    */
+  def streamSmoothFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = graft.sources.SignalFixture.signal(s)
+      .as[SignalRow].collect().sortBy(r => (r.experiment_id, r.channel, r.sample_idx))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignalRow]
+    val name = s"q22_stream_smooth_${System.nanoTime()}"
+    val q = incrementalSmooth(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+  }
+}
