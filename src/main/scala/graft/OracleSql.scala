@@ -553,8 +553,9 @@ object OracleSql {
       s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * 31 + x) % $mod)"
 
-  /** CTEs `toks(doc_id, toks)` and `shq(doc_id, h)` — distinct 3-word
-    * shingle hashes, mirroring Dedup.shingleHashes.
+  /** CTEs `toks(doc_id, tk)`, `th(doc_id, th)` and `shq(doc_id, h)` —
+    * distinct 3-word shingle hashes, mirroring Dedup.shingleHashes
+    * (per-token char hash, arithmetic shingle combine).
     */
   def shingleCtes: String =
     s"""toks AS (
@@ -562,16 +563,17 @@ object OracleSql {
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
        |  FROM documents
        |),
+       |thc AS (
+       |  SELECT doc_id, list_transform(tk, t -> ${polyHashSql("t")}) AS th
+       |  FROM toks
+       |),
        |shq AS (
-       |  SELECT DISTINCT doc_id, ${polyHashSql("sh")} AS h
-       |  FROM (
-       |    SELECT doc_id, unnest(
-       |      CASE WHEN len(tk) >= 3
-       |           THEN list_transform(range(1, len(tk) - 1),
-       |                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-       |           ELSE [] END) AS sh
-       |    FROM toks
-       |  )
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(th) >= 3
+       |         THEN list_transform(range(1, len(th) - 1),
+       |                i -> ((th[i] * 31 + th[i+1]) % 1000000007 * 31 + th[i+2]) % 1000000007)
+       |         ELSE [] END) AS h
+       |  FROM thc
        |)""".stripMargin
 
   /** Q15c — MinHash+LSH candidate pairs with estimated Jaccard. */

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash hot path.
+  *
+  * The interpreted alternative — `aggregate(transform(split(s,''),
+  * ascii), ...)` — evaluates a lambda per character and allocates a
+  * UTF8String per character; profiled at ~10µs per 20-char string,
+  * it dominated MinHash/fingerprint runtime (SURVEY §4.3 anticipated
+  * exactly this custom-Expression escape hatch). These expressions
+  * do the same arithmetic in a tight codepoint loop with full
+  * whole-stage-codegen participation (doGenCode emits a static call),
+  * ~100× less per-row cost. Semantics stay oracle-replicable: the
+  * fold is `acc = (acc*base + codepoint) % mod`, identical to the
+  * DuckDB `list_reduce` the oracle runs.
+  */
+case class PolyHashExpr(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHashExpr.hash(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHashExpr.hash($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+object PolyHashExpr {
+  /** acc = floorMod(acc*base + codepoint, mod) over the string's code
+    * points — matches ascii()-per-split-char folds in both engines.
+    */
+  def hash(s: UTF8String, base: Long, mod: Long): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * base + cp, mod)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** All k-gram hashes of a string in one call: element i (0-based) is
+  * the plain (no-mod) base-31 polynomial of code points i..i+k-1 —
+  * one native rolling pass per document instead of k substring
+  * expressions per gram position.
+  */
+case class GramHashesExpr(child: Expression, k: Int, base: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    GramHashesExpr.compute(input.asInstanceOf[UTF8String], k, base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramHashesExpr.compute($c, $k, ${base}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+object GramHashesExpr {
+  def compute(s: UTF8String, k: Int, base: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = acc * base + cps(i + j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All 3-token shingle hashes of a document in one native pass:
+  * lowercase, split on \s+ runs, per-token polynomial hash mod `mod`,
+  * then combine each consecutive triple as
+  * ((h1*b + h2) % mod * b + h3) % mod.
+  *
+  * Exists because the compositional form —
+  * `transform(seq, i -> f(element_at(th, i+j)...))` over a computed
+  * array `th` — re-evaluates the whole token-hash subtree per tap in
+  * interpreted HOF evaluation: O(tokens²) per document (profiled at
+  * 14s for 5k docs). One native pass is O(chars).
+  */
+case class ShingleHashesExpr(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashesExpr.compute($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashesExpr {
+  // java-regex \s membership, the same class Spark's split uses
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(s: UTF8String, base: Long, mod: Long): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h1 = -1L; var h2 = -1L // ring of the previous two token hashes
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && !isWs(str.charAt(i))) {
+          val cp = str.codePointAt(i)
+          acc = java.lang.Math.floorMod(acc * base + cp, mod)
+          i += Character.charCount(cp)
+        }
+        if (h1 >= 0 && h2 >= 0) {
+          out += java.lang.Math.floorMod(
+            java.lang.Math.floorMod(h1 * base + h2, mod) * base + acc, mod)
+        }
+        h1 = h2; h2 = acc
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native dot product of two array<double> columns — the same
+  * left-associative ascending fold from 0.0 as
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bitwise-identical
+  * doubles, so the DuckDB oracle's unrolled sum still hash-matches),
+  * without the per-element lambda interpretation that made the
+  * brute-force cosine path the q16b hotspot.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DotProductExpr.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+}

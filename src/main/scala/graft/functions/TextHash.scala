@@ -26,14 +26,23 @@ object TextHash {
   val M32: Long = 4294967296L
 
   /** Polynomial rolling hash of a string column: fold over character
-    * codes, `acc = (acc*base + ascii(c)) % mod`, starting at 0.
+    * codes, `acc = (acc*base + codepoint) % mod`, starting at 0.
+    * Backed by the native PolyHashExpr (HashExpressions.scala) — the
+    * equivalent `aggregate(transform(split(s,''), ascii), ...)` HOF
+    * chain is ~100× slower per row and was the MinHash bottleneck.
     */
   def polyHash(s: Column, base: Long = 31L, mod: Long = P): Column =
-    aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => pmod(acc * lit(base) + x, lit(mod))
-    )
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      PolyHashExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(s), base, mod))
+
+  /** All k-gram base-`base` hashes of a string as one array column
+    * (no mod; exact in Long for k*log2(base*cp) < 63).
+    */
+  def gramHashes(s: Column, k: Int, base: Long = 31L): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      GramHashesExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(s), k, base))
 
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
@@ -47,6 +56,15 @@ object TextHash {
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     ).otherwise(array().cast("array<string>"))
+
+  /** All 3-token shingle hashes of a text column in one native pass —
+    * see ShingleHashesExpr for why the compositional
+    * transform/element_at form is quadratic and this isn't.
+    */
+  def shingleHashes(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      ShingleHashesExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), 31L, P))
 
   /** MinHash permutation parameters: (index 1..k, band, a, b) with
     * a, b < P derived from fixed multiplicative constants — literal in

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash
 
@@ -29,54 +29,71 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** doc_id + distinct 3-word shingle hashes (`h` in [0, P)). */
+  /** doc_id + distinct 3-word shingle hashes (`h` in [0, P)) — one
+    * native tokenize+hash+shingle pass per document
+    * (ShingleHashesExpr), then explode + distinct.
+    */
   def shingleHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-        explode(TextHash.wordShingles(TextHash.tokens(col("text")))).as("sh"))
-      .select(col("doc_id"), TextHash.polyHash(col("sh")).as("h"))
+        explode(TextHash.shingleHashes(col("text"))).as("h"))
       .distinct()
 
-  /** MinHash signatures: one row per (doc_id, hash index) with the
-    * permuted minimum. numHashes=16 permutations in 4 bands of 4.
+  /** MinHash signatures, one row per doc with 16 columns mh1..mh16 —
+    * all permuted minima computed in a single hash aggregate over the
+    * shingle table (columnar: no 16× row blow-up, one shuffle on
+    * doc_id; partial aggregation halves the exchange).
     */
   def minhashSignatures(s: SparkSession, d: DataFrame): DataFrame = {
-    val params = s.createDataFrame(TextHash.minhashParams())
-      .toDF("hi", "band", "ha", "hb")
-    shingleHashes(d)
-      .crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("hi"), col("band"))
-      .agg(min(pmod(col("ha") * col("h") + col("hb"), lit(P))).as("mh"))
+    val params = TextHash.minhashParams()
+    val aggs = params.map { case (i, _, a, b) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"mh$i")
+    }
+    shingleHashes(d).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Ordered fold of one band's signature columns into a single key
+    * (same arithmetic as the oracle's list_reduce).
+    */
+  private def bandKey(his: Seq[Int]): Column =
+    his.foldLeft(lit(0L): Column)((acc, i) =>
+      pmod(acc * lit(31L) + col(s"mh$i"), lit(P)))
 
   /** Q15c — MinHash+LSH near-dup candidate pairs with the estimated
     * Jaccard (fraction of the 16 signature slots that agree). A pair
-    * is a candidate iff it collides in at least one of the 4 bands.
+    * is a candidate iff it collides in at least one of the 4 bands;
+    * the band table is unpivoted with `stack` so the self-join
+    * shuffles on (band, band-key) only.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val params = TextHash.minhashParams()
     val sig = minhashSignatures(s, docs(s, dir)).cache()
-    // band key: ordered fold of the band's 4 signature values.
-    val bands = sig
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sort_array(collect_list(struct(col("hi"), col("mh")))).as("sl"))
-      .select(col("doc_id"), col("band"),
-        aggregate(col("sl"), lit(0L),
-          (acc, x) => pmod(acc * lit(31L) + x.getField("mh"), lit(P))).as("bh"))
+    val byBand = params.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (band, ps) => band -> ps.map(_._1) }
+    val stackArgs = byBand
+      .map { case (band, his) => Seq(lit(band), bandKey(his)) }
+    val bands = sig.select(col("doc_id"),
+      explode(array(stackArgs.map(p => struct(p(0).as("band"), p(1).as("bh"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val matches = params
+      .map { case (i, _, _, _) =>
+        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
+      .reduce(_ + _)
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sig.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.hi") === col("sb.hi"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("sa.mh") === col("sb.mh"), 1).otherwise(0))
-        .cast("double") / lit(16.0)).as("est_jaccard"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(16.0)).as("est_jaccard"))
   }
 
   /** 32-bit SimHash per document: token-count-weighted bit votes over
-    * the 32-bit polynomial token hash.
+    * the 32-bit polynomial token hash. All 32 bit-sums are columns of
+    * one hash aggregate (no 32× bit explode).
     */
   def simhashSignatures(s: SparkSession, d: DataFrame): DataFrame = {
     val tok = d
@@ -85,15 +102,15 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("cnt"),
         TextHash.polyHash(col("tok"), mod = TextHash.M32).as("h32"))
-    tok
-      .select(col("doc_id"), col("cnt"), col("h32"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("cnt") *
-        (expr("shiftright(h32, j) & 1") * lit(2L) - lit(1L))).as("bs"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("bs") > 0, expr("shiftleft(1L, j)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until 32).map { j =>
+      sum(col("cnt") *
+        (expr(s"shiftright(h32, $j) & 1") * lit(2L) - lit(1L))).as(s"bs$j")
+    }
+    val simhash = (0 until 32)
+      .map(j => when(col(s"bs$j") > 0, lit(1L << j)).otherwise(0L): Column)
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
   }
 
   /** Q15d — SimHash near-dup pairs: block on any of the 4 signature

@@ -19,10 +19,15 @@ object Similarity {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Ascending-order fold of elementwise products (both args cast to
-    * double upstream).
+    * double upstream). Native DotProductExpr — bitwise-identical to
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but a tight codegen'd
+    * loop instead of per-element lambda interpretation.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.DotProductExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -61,8 +66,7 @@ object Similarity {
     * association-order convention.
     */
   private def dotLit(coeffs: Array[Double], v: Column): Column =
-    aggregate(zip_with(lit(coeffs), v, (c, x) => c * x),
-      lit(0.0), (acc, x) => acc + x)
+    dot(lit(coeffs), v)
 
   /** Sign-of-projection bucket id: bit p set iff plane_p · v >= 0. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =

@@ -136,18 +136,17 @@ object TextAnalysis {
     * window frame per document.
     */
   def fingerprints(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame = {
-    val gram = (0 until k)
-      .map(j => expr(s"ascii(substring(lower(text), p + $j, 1))").cast("long") *
-        lit(math.pow(31, k - 1 - j).toLong))
-      .foldLeft(lit(0L))((acc, t) => acc + t)
+    // All gram hashes of a document come from ONE native rolling pass
+    // (GramHashesExpr) — not k substring/ascii expressions per gram
+    // position; posexplode preserves the position for the winnow
+    // window's ordering.
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(0, w - 1)
     docs(s, dir)
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("p"))
-      .select(col("doc_id"), col("p"), gram.as("gh"))
+      .select(col("doc_id"),
+        posexplode(TextHash.gramHashes(lower(col("text")), k)).as(Seq("p", "gh")))
       .select(col("doc_id"), min(col("gh")).over(win).as("fp"))
       .distinct()
   }

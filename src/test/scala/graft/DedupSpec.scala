@@ -39,12 +39,12 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getSeq[String](1) === Seq.empty)
   }
 
-  test("minhash: identical docs share the full signature") {
+  test("minhash: identical docs share the full 16-column signature") {
     val d = docsDf(Seq("w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6"))
-    val sig = Dedup.minhashSignatures(spark, d)
-      .groupBy("hi").agg(countDistinct($"mh").as("n")).collect()
-    assert(sig.length === 16)
-    sig.foreach(r => assert(r.getAs[Long]("n") === 1L))
+    val sig = Dedup.minhashSignatures(spark, d).orderBy("doc_id").collect()
+    assert(sig.length === 2)
+    assert(sig(0).length === 17) // doc_id + mh1..mh16
+    assert(sig(0).toSeq.tail === sig(1).toSeq.tail)
   }
 
   test("minhashLsh finds a planted near-duplicate, not the unrelated doc") {
