@@ -778,6 +778,44 @@ object OracleSql {
        |WHERE s.sample_idx >= $k AND s.sample_idx < c.n - $k""".stripMargin
   }
 
+  /** Q23 — backward as-of join (DuckDB native ASOF LEFT JOIN mirrors
+    * AsofJoin.backward's inclusive <= semantics).
+    */
+  def q23AsofPrevClick: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events
+       |),
+       |l AS (SELECT event_id, user_id, tsn FROM ev WHERE event_type <> 'click'),
+       |r AS (SELECT user_id, tsn AS click_tsn, value AS click_value
+       |      FROM ev WHERE event_type = 'click')
+       |SELECT l.event_id, l.user_id, l.tsn,
+       |  r.click_value AS prev_click_value, r.click_tsn AS prev_click_tsn
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.tsn >= r.click_tsn""".stripMargin
+
+  /** Q24 — session rollup via gaps-and-islands (equivalent to Spark's
+    * session_window: break when the inter-event gap >= 30 min).
+    */
+  def q24Sessions(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e2 AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
+       |),
+       |m AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+       |),
+       |sess AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+       |                           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m
+       |)
+       |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+  }
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

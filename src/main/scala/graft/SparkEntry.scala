@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BeatMetrics, Dedup, Envelopes, Multimodal,
-  PeakDetect, Relational, Similarity, Smoothing, TextAnalysis}
+import graft.operators.{AsofJoin, BeatMetrics, Dedup, Envelopes,
+  Multimodal, PeakDetect, Relational, Similarity, Smoothing, TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -79,7 +79,9 @@ object SparkEntry {
     "q21_media_meta" -> Multimodal.mediaMeta _,
     "q21b_frames" -> Multimodal.frameSamples _,
     "q22_stream_smooth" -> ((s, _) =>
-      graft.streaming.StreamingOps.streamSmoothFixture(s))
+      graft.streaming.StreamingOps.streamSmoothFixture(s)),
+    "q23_asof_prev_click" -> AsofJoin.prevClick _,
+    "q24_sessions" -> ((s, dir) => Relational.sessionRollup(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,6 +117,8 @@ object SparkEntry {
     "q20_fingerprints" -> OracleSql.q20Fingerprints(),
     "q21_media_meta" -> OracleSql.q21MediaMeta(),
     "q21b_frames" -> OracleSql.q21bFrames(),
-    "q22_stream_smooth" -> OracleSql.q22StreamSmooth()
+    "q22_stream_smooth" -> OracleSql.q22StreamSmooth(),
+    "q23_asof_prev_click" -> OracleSql.q23AsofPrevClick,
+    "q24_sessions" -> OracleSql.q24Sessions()
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY §2.6): the one join primitive the reference's
+  * TTP/TTR semantics need that Spark SQL lacks natively.
+  *
+  * Implementation is the scalable union+window form: tag both inputs,
+  * union them, and take `last(payload, ignoreNulls)` over
+  * (keys, time)-ordered unbounded-preceding frames. One shuffle+sort
+  * over |L|+|R| rows — no range-join row explosion, no per-key
+  * driver loops — and the same partitioning a downstream key-grouped
+  * operator can reuse.
+  */
+object AsofJoin {
+
+  /** Backward inclusive as-of join: every left row gets the payload of
+    * the latest right row with `right(rightTime) <= left(leftTime)`
+    * within the same `keys` (null payload when none precedes).
+    * Payload columns are attached as `prefix<name>`.
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("_t"),
+          struct(payload.map(col): _*).as("_p")): _*)
+      .withColumn("_side", lit(0))
+    val pType = r.schema("_p").dataType
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_p", lit(null).cast(pType))
+      .withColumn("_side", lit(1))
+    // right (side 0) sorts before left (side 1) at equal _t ⇒ inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"_match.$p").as(s"$prefix$p")): _*)
+  }
+
+  /** Q23 — for every non-click event, the value and time of the same
+    * user's latest click at or before it. Times are exact integer
+    * microseconds: parquet TIMESTAMP(NANOS) arrives as LongType nanos
+    * under nanosAsLong and DuckDB's parquet reader truncates nanos to
+    * micros, so `ts div 1000` == DuckDB `epoch_us(ts)`.
+    */
+  def prevClick(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsn =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else expr("unix_micros(ts)")
+    val base = ev.select(col("event_id"), col("user_id"), tsn.as("tsn"),
+      col("event_type"), col("value"))
+    val l = base.filter(col("event_type") =!= "click")
+      .select("event_id", "user_id", "tsn")
+    val r = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsn").as("click_tsn"),
+        col("value").as("click_value"))
+    backward(l, r, Seq("user_id"), "tsn", "click_tsn",
+      Seq("click_value", "click_tsn"), "prev_")
+  }
+}

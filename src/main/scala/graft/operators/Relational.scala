@@ -80,4 +80,27 @@ object Relational {
         moneySum(col("value")).as("sum_value"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
   }
+
+  /** Q24 — per-user sessionization with Spark's `session_window`
+    * (30-minute inactivity gap): sessions merge while consecutive
+    * events are < gap apart, exactly the semantics the same operator
+    * has under Structured Streaming. Output times in exact integer
+    * microseconds (the nanos→micros truncation is integer division on
+    * both engines).
+    */
+  def sessionRollup(s: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tsm =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("timestamp_micros(ts div 1000)")
+      else col("ts")
+    ev.select(col("user_id"), tsm.as("tsm"), col("value"))
+      .groupBy(col("user_id"),
+        session_window(col("tsm"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+  }
 }

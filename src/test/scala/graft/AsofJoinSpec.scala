@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward: latest right at-or-before each left row, per key") {
+    val left = Seq(("u1", 10L, "a"), ("u1", 25L, "b"), ("u2", 10L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("u1", 5L, 1.0), ("u1", 20L, 2.0), ("u2", 30L, 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt",
+        Seq("v", "rt"), "prev_")
+      .orderBy("k", "t").collect()
+    // u1@10 -> right@5; u1@25 -> right@20; u2@10 -> none
+    assert(out(0).getAs[Double]("prev_v") === 1.0)
+    assert(out(1).getAs[Double]("prev_v") === 2.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("prev_v")))
+  }
+
+  test("backward is inclusive: right row at the exact left time matches") {
+    val left = Seq(("k", 10L)).toDF("k", "t")
+    val right = Seq(("k", 10L, 7.0)).toDF("k", "rt", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+    assert(out.head.getAs[Double]("asof_v") === 7.0)
+  }
+
+  test("left columns pass through untouched") {
+    val left = Seq(("k", 10L, "payload")).toDF("k", "t", "extra")
+    val right = Seq(("k", 1L, 5.0)).toDF("k", "rt", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"))
+    assert(out.columns.toSeq === Seq("k", "t", "extra", "asof_v"))
+    assert(out.head().getAs[String]("extra") === "payload")
+  }
+}
