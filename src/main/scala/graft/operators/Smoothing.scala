@@ -28,19 +28,11 @@ object Smoothing {
     */
   val dotChunk = 100
 
-  def sgDot(taps: Column, coeffs: Array[Double]): Column = {
-    var off = 0
-    val chunks = coeffs.grouped(dotChunk).map { g =>
-      val chunk = aggregate(
-        zip_with(slice(taps, off + 1, g.length), typedLit(g), (a, b) => a * b),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      off += g.length
-      chunk
-    }.toSeq
-    chunks.reduceLeft(_ + _)
-  }
+  def sgDot(taps: Column, coeffs: Array[Double]): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.FirDotExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(taps),
+        coeffs, dotChunk))
 
   /** Block-repeat pad of a per-channel series ordered by `idxCol`
     * (dense 0-based, per-channel length in `nCol`):

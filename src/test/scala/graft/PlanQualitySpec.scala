@@ -1,0 +1,51 @@
+package graft
+
+/** Plan-shape regression guards: the physical plans the engine relies
+  * on at scale must not silently degrade (broadcasts becoming
+  * shuffles, pushdown lost, exchanges multiplying).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+
+  test("q11: all four dimensions broadcast; date filter pushed to the orders scan") {
+    val p = plan("q11_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), "date pushdown lost")
+  }
+
+  test("q12: single shuffle for the aggregate feeds the rank window") {
+    val p = plan("q12_topk_parts")
+    // part joins broadcast; the only wide dependencies are the revenue
+    // aggregate and the per-brand window sort
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: one window pass, native FIR, pad via a single narrow Generate") {
+    val p = plan("q1_smooth")
+    // two Window nodes (per-channel count, FIR taps) sharing one
+    // channel-hash exchange
+    assert("\\bWindow\\b".r.findAllIn(p).size === 2)
+    assert(p.contains("graft_fir_dot"), "native FIR expression missing")
+    // the block-repeat pad is ONE explode, not a 3-way union
+    assert("Generate explode".r.findAllIn(p).size === 1)
+  }
+
+  test("q16c: centroid side is broadcast, not shuffled") {
+    val p = plan("q16c_ivf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q15c: signature aggregate is partial+final (map-side combine)") {
+    val p = plan("q15c_minhash_lsh")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_min") || p.contains("merge_min")
+      || "HashAggregate".r.findAllIn(p).size >= 2)
+  }
+}
