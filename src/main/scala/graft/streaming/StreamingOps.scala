@@ -93,6 +93,17 @@ object StreamingOps {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming counterpart of the batch
+    * exact-dedup operator (Q15): `dropDuplicates` keeps per-key state
+    * across micro-batches; the watermark bounds that state (keys older
+    * than the horizon are forgotten — the standard stream-dedup trade:
+    * exact within the watermark, approximate beyond it).
+    */
+  def dedupStream(docs: DataFrame, idCol: String = "doc_id",
+                  tsCol: String = "ts"): DataFrame =
+    docs.withWatermark(tsCol, "1 hour")
+      .dropDuplicates(Seq(idCol, tsCol))
+
   /** q22 — drive the incremental smoother over the committed signal
     * fixture through a real MemoryStream (three micro-batches to
     * exercise state carry-over), collect from the memory sink, and

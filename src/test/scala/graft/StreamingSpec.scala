@@ -54,6 +54,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"channel" === 0).count() === 70L) // 120 - 50 edge
   }
 
+  test("dedupStream drops cross-micro-batch duplicates via keyed state") {
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+        stream.toDS().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "a-dup"))
+      q.processAllAvailable()
+      stream.addData((1L, t0, "a-again"), (3L, t0, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // dup in AND across batches dropped
+  }
+
   test("eventsHourly: streaming result equals the batch computation") {
     val evs = (0 until 300).map { i =>
       (Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
