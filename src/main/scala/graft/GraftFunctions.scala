@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProductExpr, GramHashesExpr, PolyHashExpr,
+  ShingleHashesExpr, TextHash}
+
+/** SQL-surface registration of the engine's native expressions, so
+  * `spark.sql("SELECT graft_poly_hash(text) ...")` works alongside
+  * the Column API:
+  *
+  *  - `GraftFunctions.register(spark)` on a live session, or
+  *  - `--conf spark.sql.extensions=graft.GraftExtensions` at deploy.
+  *
+  * Literal numeric arguments (base/mod/k) are folded at registration
+  * time — they must be literals, mirroring how the Column API fixes
+  * them per call site.
+  */
+object GraftFunctions {
+
+  private def longArg(e: Expression): Long =
+    e.eval(null) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"literal integer argument expected, got $other")
+    }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => PolyHashExpr(s, 31L, TextHash.P)
+        case Seq(s, b, m) => PolyHashExpr(s, longArg(b), longArg(m))
+        case _ => throw new IllegalArgumentException(
+          "graft_poly_hash(str[, base, mod])")
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => ShingleHashesExpr(s, 31L, TextHash.P)
+        case _ => throw new IllegalArgumentException("graft_shingle_hashes(str)")
+      }),
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gram_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, k) => GramHashesExpr(s, longArg(k).toInt, 31L)
+        case _ => throw new IllegalArgumentException("graft_gram_hashes(str, k)")
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+      })
+  )
+
+  /** Register every graft function on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftshim.ColumnBridge
+        .registerFunction(spark, id, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

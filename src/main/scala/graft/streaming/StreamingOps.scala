@@ -93,6 +93,61 @@ object StreamingOps {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** A rule-1 candidate peak of the smoothed stream. */
+  case class CandOut(experiment_id: String, channel: Int,
+                     sample_idx: Long, y_smooth: Double)
+
+  /** Smoother + candidate state: the FIR ring plus the last two
+    * emitted smooth values (for the strict-local-maximum check).
+    */
+  case class CandState(firstIdx: Long, buf: Seq[Double],
+                       m2: Double, m1: Double, emitted: Long)
+
+  /** Incremental smoothing + rule-1 candidate detection in ONE
+    * stateful operator (Spark rejects chained flatMapGroupsWithState
+    * in a single query, so the candidate ring rides on the smoother's
+    * state). Emits `sample_idx` where the smoothed series is strictly
+    * greater than both neighbors — the streaming counterpart of the
+    * batch Q5 — with a 26-sample arrival delay (25 for the FIR, 1 for
+    * the right neighbor).
+    */
+  def incrementalCandidates(rows: Dataset[SignalRow],
+                            window: Int = 51): Dataset[CandOut] = {
+    import rows.sparkSession.implicits._
+    val half = window / 2
+    val c = coeffs51
+    rows
+      .groupByKey(r => (r.experiment_id, r.channel))
+      .flatMapGroupsWithState[CandState, CandOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val sorted = it.toArray.sortBy(_.sample_idx)
+          var st = state.getOption.getOrElse {
+            val start = if (sorted.nonEmpty) sorted.head.sample_idx else 0L
+            CandState(start, Vector.empty, 0.0, 0.0, 0L)
+          }
+          val out = Vector.newBuilder[CandOut]
+          sorted.foreach { r =>
+            if (r.sample_idx == st.firstIdx + st.buf.size) {
+              var buf = st.buf :+ r.y
+              var firstIdx = st.firstIdx
+              if (buf.size == window) {
+                var acc = 0.0
+                var j = 0
+                while (j < window) { acc += c(j) * buf(j); j += 1 }
+                val smoothIdx = firstIdx + half
+                // strict maximum check on the previous smooth value
+                if (st.emitted >= 2 && st.m1 > st.m2 && st.m1 > acc)
+                  out += CandOut(key._1, key._2, smoothIdx - 1, st.m1)
+                st = CandState(firstIdx + 1, buf.tail, st.m1, acc, st.emitted + 1)
+              } else st = st.copy(buf = buf)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming counterpart of the batch
     * exact-dedup operator (Q15): `dropDuplicates` keeps per-key state
     * across micro-batches; the watermark bounds that state (keys older

@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter($"channel" === 0).count() === 70L) // 120 - 50 edge
   }
 
+  test("incremental candidates equal batch rule-1 maxima on the interior") {
+    val rng = new java.util.Random(9)
+    val rows = (0 until 400).map(i =>
+      SignalRow("e", 0, i.toLong, i / 100.0,
+        math.sin(i / 7.0) * 5 + rng.nextDouble()))
+    val batch = graft.operators.PeakDetect.candidates(
+        graft.operators.Smoothing.withSmooth(rows.toDS().toDF()))
+      .filter($"sample_idx" >= 26 && $"sample_idx" <= 400 - 27)
+      .select("sample_idx").collect().map(_.getLong(0)).toSet
+
+    val stream = MemoryStream[SignalRow]
+    val q = StreamingOps.incrementalCandidates(stream.toDS())
+      .writeStream.format("memory").queryName("cand_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(100)); q.processAllAvailable()
+      stream.addData(rows.drop(100)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cand_stream").collect()
+      .map(_.getAs[Long]("sample_idx"))
+      .filter(i => i >= 26 && i <= 400 - 27).toSet
+    assert(got === batch)
+  }
+
   test("dedupStream drops cross-micro-batch duplicates via keyed state") {
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val stream = MemoryStream[(Long, Timestamp, String)]
