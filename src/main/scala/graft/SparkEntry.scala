@@ -17,9 +17,14 @@ object SparkEntry {
 
   private def sig(s: SparkSession): DataFrame = SignalFixture.signal(s)
 
-  /** Smooth + envelopes + diastolic, the shared spine of q1..q9. */
+  /** Smooth + envelopes + diastolic, the shared spine of q1..q9.
+    * Cached: the CacheManager matches the canonicalized plan, so every
+    * query that rebuilds this lineage in the same session reuses one
+    * materialization — the compute-once EnrichedFrame of SURVEY §3.3
+    * (the reference recomputes this 4× per analysis, §4.1).
+    */
   private def enriched(s: SparkSession): DataFrame =
-    Envelopes.withEnvelopes(Smoothing.withSmooth(sig(s)))
+    Envelopes.withEnvelopes(Smoothing.withSmooth(sig(s))).cache()
 
   /** Per-beat metrics off the full detection pipeline. */
   private def beatMetrics(s: SparkSession): DataFrame = {
@@ -27,9 +32,13 @@ object SparkEntry {
     BeatMetrics.metrics(e, PeakDetect.detectPeaks(e).toDF())
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The channel summary exercises the whole engine end to
+    * end: smooth → envelopes → diastolic → find_peaks port → beat
+    * metrics → aggregate.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_smooth")(spark, "/root/testdata/sf0.001")
+    queries("q9_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
