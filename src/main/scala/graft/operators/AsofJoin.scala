@@ -45,6 +45,35 @@ object AsofJoin {
         payload.map(p => col(s"_match.$p").as(s"$prefix$p")): _*)
   }
 
+  /** Forward inclusive as-of join: every left row gets the payload of
+    * the earliest right row with `right(rightTime) >= left(leftTime)`
+    * within the same `keys` — the TTR-shaped mirror of [[backward]]
+    * (first-following instead of last-preceding).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("_t"),
+          struct(payload.map(col): _*).as("_p")): _*)
+      .withColumn("_side", lit(1))
+    val pType = r.schema("_p").dataType
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_p", lit(null).cast(pType))
+      .withColumn("_side", lit(0))
+    // left (side 0) sorts before right (side 1) at equal _t ⇒ inclusive
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_match", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"_match.$p").as(s"$prefix$p")): _*)
+  }
+
   /** Q23 — for every non-click event, the value and time of the same
     * user's latest click at or before it. Times are exact integer
     * microseconds: parquet TIMESTAMP(NANOS) arrives as LongType nanos

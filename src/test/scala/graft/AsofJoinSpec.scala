@@ -27,6 +27,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.head.getAs[Double]("asof_v") === 7.0)
   }
 
+  test("forward: earliest right at-or-after each left row, per key") {
+    val left = Seq(("u1", 10L), ("u1", 25L), ("u2", 40L)).toDF("k", "t")
+    val right = Seq(("u1", 10L, 1.0), ("u1", 30L, 2.0), ("u2", 5L, 9.0))
+      .toDF("k", "rt", "v")
+    val out = AsofJoin.forward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect()
+    assert(out(0).getAs[Double]("asof_v") === 1.0) // inclusive at t=10
+    assert(out(1).getAs[Double]("asof_v") === 2.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_v"))) // nothing follows
+  }
+
   test("left columns pass through untouched") {
     val left = Seq(("k", 10L, "payload")).toDF("k", "t", "extra")
     val right = Seq(("k", 1L, 5.0)).toDF("k", "rt", "v")
