@@ -95,6 +95,96 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L)) // dup in AND across batches dropped
   }
 
+  test("session_window aggregation works under streaming with a watermark") {
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = stream.toDS().toDF("tsm", "user_id", "value")
+      .withWatermark("tsm", "10 minutes")
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.session_window($"tsm", "30 minutes").as("w"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"user_id", $"w.start".as("start"), $"n")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 1.0), // merges
+        (Timestamp.valueOf("2024-01-01 02:00:00"), 1L, 1.0)) // new session
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_stream").orderBy("start").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(2) === 2L && rows(1).getLong(2) === 1L)
+  }
+
+  test("watermark drops events later than the lateness horizon") {
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.eventsHourly(
+        stream.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // advance event time far ahead so the watermark passes hour 0
+      stream.addData((Timestamp.valueOf("2024-01-01 00:30:00"), "a", 1.0))
+      q.processAllAvailable()
+      stream.addData((Timestamp.valueOf("2024-01-01 05:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      // 4.5h late: far beyond the 10-minute watermark -> dropped
+      stream.addData((Timestamp.valueOf("2024-01-01 00:45:00"), "a", 99.0))
+      q.processAllAvailable()
+      // move the watermark past hour 5 so every surviving window closes
+      stream.addData((Timestamp.valueOf("2024-01-01 07:00:00"), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hour0 = spark.table("late_drop")
+      .filter($"window_start" === Timestamp.valueOf("2024-01-01 00:00:00"))
+      .collect()
+    assert(hour0.length === 1)
+    assert(hour0.head.getAs[Long]("n_events") === 1L) // late row NOT counted
+  }
+
+  test("stateful smoother resumes from a checkpoint across query restarts") {
+    // file source (replayable) — MemoryStream cannot recover from a
+    // checkpoint by design
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (inDir, ckpt) = (s"$root/in", s"$root/ckpt")
+    new java.io.File(inDir).mkdirs()
+    val rows = (0 until 160).map(i =>
+      SignalRow("e", 0, i.toLong, i / 100.0, math.cos(i / 9.0) * 4))
+    def writeChunk(name: String, chunk: Seq[SignalRow]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$inDir/$name"),
+        chunk.map(r =>
+          s"""{"experiment_id":"${r.experiment_id}","channel":${r.channel},""" +
+          s""""sample_idx":${r.sample_idx},"t":${r.t},"y":${r.y}}""").mkString("\n"))
+    val outDir = s"$root/out"
+    def start() = StreamingOps.incrementalSmooth(
+        spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[SignalRow].schema)
+          .json(inDir).as[SignalRow])
+      .writeStream.format("parquet") // durable sink: recovery supported
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    writeChunk("a.json", rows.take(80))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val first = spark.read.parquet(outDir).select("sample_idx").collect()
+      .map(_.getLong(0)).sorted
+    assert(first.toSeq === (25L to 54L)) // 80 samples -> centers 25..54
+
+    writeChunk("b.json", rows.drop(80))
+    val q2 = start() // FIR ring + source offsets restored from ckpt
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(outDir).select("sample_idx").collect()
+      .map(_.getLong(0)).sorted
+    // contiguous continuation, no re-emission, no gap => state recovered
+    assert(all.toSeq === (25L to 134L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("eventsHourly: streaming result equals the batch computation") {
     val evs = (0 until 300).map { i =>
       (Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
