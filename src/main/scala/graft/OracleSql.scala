@@ -816,6 +816,16 @@ object OracleSql {
        |FROM sess GROUP BY user_id, sid""".stripMargin
   }
 
+  /** Q25 — streaming envelopes: batch baseline/ceiling/diastolic on
+    * the stream-computable interior [325, n-350] (StreamingOps
+    * contract — tail-pad-dependent positions are never emitted).
+    */
+  def q25StreamEnvelopes: String =
+    s"""WITH ${enrichedCtes()}
+       |SELECT experiment_id, channel, sample_idx, baseline, ceiling, diastolic
+       |FROM enriched
+       |WHERE sample_idx >= 325 AND sample_idx <= n - 350""".stripMargin
+
   /** Q10 — stim rescale to signal amplitude + bare local maxima. */
   def q10Stim: String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),

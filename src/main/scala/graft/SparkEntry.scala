@@ -90,7 +90,9 @@ object SparkEntry {
     "q22_stream_smooth" -> ((s, _) =>
       graft.streaming.StreamingOps.streamSmoothFixture(s)),
     "q23_asof_prev_click" -> AsofJoin.prevClick _,
-    "q24_sessions" -> ((s, dir) => Relational.sessionRollup(s, dir))
+    "q24_sessions" -> ((s, dir) => Relational.sessionRollup(s, dir)),
+    "q25_stream_envelopes" -> ((s, _) =>
+      graft.streaming.StreamingOps.streamEnvelopesFixture(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,6 +130,7 @@ object SparkEntry {
     "q21b_frames" -> OracleSql.q21bFrames(),
     "q22_stream_smooth" -> OracleSql.q22StreamSmooth(),
     "q23_asof_prev_click" -> OracleSql.q23AsofPrevClick,
-    "q24_sessions" -> OracleSql.q24Sessions()
+    "q24_sessions" -> OracleSql.q24Sessions(),
+    "q25_stream_envelopes" -> OracleSql.q25StreamEnvelopes
   )
 }

@@ -235,8 +235,11 @@ object FirDotExpr {
     java.lang.Double.valueOf(dotChunked(taps, coeffs, chunk))
   }
 
-  def dotChunked(taps: ArrayData, coeffs: Array[Double], chunk: Int): Double = {
-    val xs = taps.toDoubleArray()
+  def dotChunked(taps: ArrayData, coeffs: Array[Double], chunk: Int): Double =
+    dotChunked(taps.toDoubleArray(), coeffs, chunk)
+
+  /** Plain-array form, shared with the streaming envelope operator. */
+  def dotChunked(xs: Array[Double], coeffs: Array[Double], chunk: Int): Double = {
     var total = 0.0
     var first = true
     var i = 0

@@ -93,6 +93,157 @@ object StreamingOps {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** One enriched interior sample from the streaming envelope
+    * pipeline.
+    */
+  case class EnvOut(experiment_id: String, channel: Int, sample_idx: Long,
+                    baseline: Option[Double], ceiling: Option[Double],
+                    diastolic: Option[Double])
+
+  /** Full per-channel envelope state. Doubles use NaN as the internal
+    * null sentinel (converted to Option at emission).
+    *
+    *  - `prefix`   first 25 raw samples (the block-repeat pad source)
+    *  - `fir`      51-tap ring over the PADDED series
+    *  - `rawSeen`  raw samples consumed (dense contract)
+    *  - `sm`       smooth ring (valley/peak marking + 350-frames)
+    *  - `smFirst`  original index of sm.head
+    *  - `vv`/`pv`  valley/peak value rings (NaN where not an extremum),
+    *               aligned: vv(i) marks smooth position vvFirst + i
+    *  - `fl`/`cl`  floor/ceiling raw-envelope rings (≤ 301)
+    *  - `flFirst`  frame-start index of fl.head
+    */
+  case class EnvState(prefix: Seq[Double], fir: Seq[Double], rawSeen: Long,
+                      sm: Seq[Double], smFirst: Long,
+                      vv: Seq[Double], pv: Seq[Double], vvFirst: Long,
+                      fl: Seq[Double], cl: Seq[Double], flFirst: Long)
+
+  private lazy val coeffs301 = SavitzkyGolay.coeffs(301, 3)
+
+  /** Streaming O4/O5/O6: incremental baseline/ceiling/diastolic with
+    * exact batch parity on the interior.
+    *
+    * The batch recipe (SURVEY §2.3) is: block-repeat pad the raw
+    * series by 25 → 51-tap SG → per-position forward 350-frames of
+    * interior extrema → 175-prepend recentering → 301-tap SG. The
+    * prefix pad duplicates the FIRST 25 samples, so a stream can
+    * reproduce the batch values exactly for every position whose
+    * dependency cone avoids the channel TAIL: emission at position p
+    * requires raw samples through p+349 (env taps reach floor p-25,
+    * whose 350-frame reaches smooth p+324, whose FIR reaches raw
+    * p+349), and positions in [325, n-350] of a finite channel match
+    * the batch operator bitwise (beyond n-350 the batch values depend
+    * on the tail pad, which an unbounded stream cannot know) — proven
+    * in StreamingSpec.
+    */
+  def incrementalEnvelopes(rows: Dataset[SignalRow]): Dataset[EnvOut] = {
+    import rows.sparkSession.implicits._
+    val c51 = coeffs51
+    val c301 = coeffs301
+    val chunk = graft.operators.Smoothing.dotChunk
+
+    rows
+      .groupByKey(r => (r.experiment_id, r.channel))
+      .flatMapGroupsWithState[EnvState, EnvOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          var st = state.getOption.getOrElse(
+            EnvState(Vector.empty, Vector.empty, 0L,
+              Vector.empty, 0L, Vector.empty, Vector.empty, 0L,
+              Vector.empty, Vector.empty, 0L))
+          var prefix = st.prefix.toVector
+          var fir = st.fir.toVector
+          var rawSeen = st.rawSeen
+          var sm = st.sm.toVector
+          var smFirst = st.smFirst
+          var vv = st.vv.toVector
+          var pv = st.pv.toVector
+          var vvFirst = st.vvFirst
+          var fl = st.fl.toVector
+          var cl = st.cl.toVector
+          var flFirst = st.flFirst
+          val out = Vector.newBuilder[EnvOut]
+
+          def emitEnvelope(): Unit = {
+            // newest floor index j = flFirst + fl.size - 1; env position
+            // p = j + 25 valid once 301 floors are buffered (p >= 325)
+            if (fl.size == 301) {
+              val p = flFirst + 300 + 25
+              val b =
+                if (fl.exists(_.isNaN)) Double.NaN
+                else graft.functions.FirDotExpr.dotChunked(fl.toArray, c301, chunk)
+              val cv =
+                if (cl.exists(_.isNaN)) Double.NaN
+                else graft.functions.FirDotExpr.dotChunked(cl.toArray, c301, chunk)
+              val d = b + 0.1 * (cv - b)
+              def opt(x: Double) = if (x.isNaN) None else Some(x)
+              out += EnvOut(key._1, key._2, p, opt(b), opt(cv),
+                if (b.isNaN || cv.isNaN) None else opt(d))
+              fl = fl.tail; cl = cl.tail; flFirst += 1
+            }
+          }
+
+          def onMark(): Unit = {
+            // marks now cover positions vvFirst .. vvFirst+vv.size-1;
+            // floor[i] needs the 348 marks i+1 .. i+348 (frame interior)
+            while (vv.size >= 348) {
+              val i = vvFirst - 1 // frame start: marks i+1.. start at vv.head
+              val window = vv.take(348)
+              val valid = window.filterNot(_.isNaN)
+              val f = if (valid.isEmpty) Double.NaN else valid.min
+              val windowC = pv.take(348)
+              val validC = windowC.filterNot(_.isNaN)
+              val cMax = if (validC.isEmpty) Double.NaN else validC.max
+              fl = fl :+ f; cl = cl :+ cMax
+              if (fl.size == 1 && flFirst == 0L) flFirst = i
+              emitEnvelope()
+              vv = vv.tail; pv = pv.tail; vvFirst += 1
+            }
+          }
+
+          def onSmooth(s: Double): Unit = {
+            sm = sm :+ s
+            // mark decidable for the second-to-last smooth position
+            if (sm.size >= 3) {
+              val a = sm(sm.size - 3); val m = sm(sm.size - 2); val z = s
+              val q = smFirst + sm.size - 2
+              val isValley = m < a && m < z
+              val isPeak = m > a && m > z
+              if (vv.isEmpty && fl.isEmpty) vvFirst = q
+              vv = vv :+ (if (isValley) m else Double.NaN)
+              pv = pv :+ (if (isPeak) m else Double.NaN)
+              onMark()
+              // bound sm: marks only need the last 3
+              if (sm.size > 3) { sm = sm.tail; smFirst += 1 }
+            }
+          }
+
+          def pushPadded(v: Double): Unit = {
+            fir = fir :+ v
+            if (fir.size == 51) {
+              onSmooth(graft.functions.FirDotExpr.dotChunked(fir.toArray, c51, chunk))
+              fir = fir.tail
+            }
+          }
+
+          it.toArray.sortBy(_.sample_idx).foreach { r =>
+            if (r.sample_idx == rawSeen) { // dense in-order contract
+              rawSeen += 1
+              if (prefix.size < 25) {
+                prefix = prefix :+ r.y
+                if (prefix.size == 25) {
+                  prefix.foreach(pushPadded) // the block-repeat pad
+                  prefix.foreach(pushPadded) // raw samples 0..24
+                }
+              } else pushPadded(r.y)
+            }
+          }
+          state.update(EnvState(prefix, fir, rawSeen, sm, smFirst,
+            vv, pv, vvFirst, fl, cl, flFirst))
+          out.result().iterator
+      }
+  }
+
   /** A rule-1 candidate peak of the smoothed stream. */
   case class CandOut(experiment_id: String, channel: Int,
                      sample_idx: Long, y_smooth: Double)
@@ -174,6 +325,28 @@ object StreamingOps {
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignalRow]
     val name = s"q22_stream_smooth_${System.nanoTime()}"
     val q = incrementalSmooth(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+  }
+
+  /** q25 — the full streaming envelope pipeline over the fixture via
+    * MemoryStream; the oracle checks the batch envelope CTEs on the
+    * stream-computable interior [325, n-350].
+    */
+  def streamEnvelopesFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = graft.sources.SignalFixture.signal(s)
+      .as[SignalRow].collect().sortBy(r => (r.experiment_id, r.channel, r.sample_idx))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignalRow]
+    val name = s"q25_stream_env_${System.nanoTime()}"
+    val q = incrementalEnvelopes(stream.toDS())
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {

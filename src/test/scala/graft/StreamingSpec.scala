@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("incremental envelopes equal batch baseline/ceiling/diastolic on the interior") {
+    val rng = new java.util.Random(21)
+    val n = 1600
+    val rows = (0 until n).map { i =>
+      val beat = 300.0 * math.exp(-math.pow((i % 250) - 125.0, 2) / 300.0)
+      SignalRow("e", 0, i.toLong, i / 100.0, 1000.0 + beat + rng.nextGaussian() * 8)
+    }
+    def trip(r: org.apache.spark.sql.Row): (Option[Double], Option[Double], Option[Double]) = {
+      def g(c: String) =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Double](c))
+      (g("baseline"), g("ceiling"), g("diastolic"))
+    }
+    // parity interval: env[pos] needs floors to pos-25, a floor needs
+    // smooth to fi+349, and tail-pad-free smooth ends at n-26
+    // => pos <= n-350 (the lower bound 325 clears the prefix pad)
+    val batch = graft.operators.Envelopes.withEnvelopes(
+        graft.operators.Smoothing.withSmooth(rows.toDS().toDF()))
+      .filter($"sample_idx" >= 325 && $"sample_idx" <= n - 350)
+      .collect().map(r => r.getAs[Long]("sample_idx") -> trip(r)).toMap
+
+    val stream = MemoryStream[SignalRow]
+    val q = StreamingOps.incrementalEnvelopes(stream.toDS())
+      .writeStream.format("memory").queryName("env_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.take(500)); q.processAllAvailable()
+      stream.addData(rows.slice(500, 501)); q.processAllAvailable()
+      stream.addData(rows.drop(501)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("env_stream").collect()
+      .map(r => r.getAs[Long]("sample_idx") -> trip(r)).toMap
+      .filter { case (k, _) => k >= 325 && k <= n - 350 }
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (k, v) => assert(v === batch(k), s"at $k") } // bitwise
+  }
+
   test("dedupStream drops cross-micro-batch duplicates via keyed state") {
     val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
     val stream = MemoryStream[(Long, Timestamp, String)]
