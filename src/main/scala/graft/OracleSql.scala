@@ -422,7 +422,7 @@ object OracleSql {
     s"""SELECT user_id, strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
        |  count(*) AS n_events,
        |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
-       |  sum(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS sum_k
+       |  CAST(sum(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
        |FROM events
        |GROUP BY 1, 2""".stripMargin
 
