@@ -32,7 +32,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // session hygiene: a query's caches (spine, signatures) exist to
+      // dedupe work WITHIN one query; left persisted they accumulate
+      // across the 33-query session and the memory pressure inflates
+      // late queries, so the bench would measure the harness, not the
+      // operator. Drop them after the clock stops.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,11 +26,17 @@ object SparkEntry {
   private def enriched(s: SparkSession): DataFrame =
     Envelopes.withEnvelopes(Smoothing.withSmooth(sig(s))).cache()
 
+  /** Detected peaks off the cached spine. Cached for the same reason as
+    * [[enriched]]: the typed flatMapGroups pass is the most expensive
+    * stage of the signal pipeline, and q7b/q8/q8b/q9 all consume the
+    * identical lineage — one materialization serves them all.
+    */
+  private def detected(s: SparkSession): DataFrame =
+    PeakDetect.detectPeaks(enriched(s)).toDF().cache()
+
   /** Per-beat metrics off the full detection pipeline. */
-  private def beatMetrics(s: SparkSession): DataFrame = {
-    val e = enriched(s)
-    BeatMetrics.metrics(e, PeakDetect.detectPeaks(e).toDF())
-  }
+  private def beatMetrics(s: SparkSession): DataFrame =
+    BeatMetrics.metrics(enriched(s), detected(s))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The channel summary exercises the whole engine end to
@@ -59,8 +65,7 @@ object SparkEntry {
         .select("experiment_id", "channel", "sample_idx")),
     "q7a_prominence" -> ((s, _) =>
       PeakDetect.candidateProminences(Smoothing.withSmooth(sig(s)))),
-    "q7b_peaks" -> ((s, _) =>
-      PeakDetect.detectPeaks(enriched(s)).toDF()),
+    "q7b_peaks" -> ((s, _) => detected(s)),
     "q8_metrics" -> ((s, _) =>
       beatMetrics(s).select("experiment_id", "channel", "peak_idx",
         "force", "time_to_peak", "time_to_relaxation", "duration")),
