@@ -31,12 +31,36 @@ object TextAnalysis {
 
   /** Q15 — exact dedup: group identical texts, keep the minimum doc_id
     * as survivor.
+    *
+    * Hash-first plan: the shuffle key is `xxhash64(text)` — a narrow
+    * (doc_id, h) projection moves through the exchange, never the
+    * document bytes. Identical texts always share a hash, so a
+    * singleton hash group IS a unique document and is emitted directly.
+    * Only hash groups with ≥2 members can contain duplicates (or, in
+    * principle, 64-bit collisions), so full-text confirmation — an
+    * exact `GROUP BY text` — runs over just those documents, selected
+    * at the scan by a broadcast of the multi-member hash set. At 100 TB
+    * the bytes shuffled are proportional to the *duplicate* subset, not
+    * the corpus; the result is bit-identical to a naive GROUP BY text.
     */
-  def dedupExact(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(s, dir)
+      .select(col("doc_id"), xxhash64(col("text")).as("h"))
+    val groups = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val singles = groups.filter(col("n_copies") === 1)
+      .select("doc_id", "n_copies")
+    // hashes with ≥2 docs: a tiny set (actual dups + negligible
+    // collisions) — broadcast it so non-dup text never leaves the scan
+    val multiH = groups.filter(col("n_copies") > 1).select("h")
+    val confirmed = docs(s, dir)
+      .select(col("doc_id"), col("text"), xxhash64(col("text")).as("h"))
+      .join(broadcast(multiH), "h")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
+    singles.union(confirmed)
+  }
 
   /** Q15b — near-dup candidate pairs via (length, 32-char lowercase
     * prefix) blocking: classic candidate generation — the self-join

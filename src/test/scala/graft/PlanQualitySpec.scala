@@ -42,6 +42,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q15: dedup shuffles on xxhash64(text), and text never enters an exchange") {
+    val p = plan("q15_dedup_exact")
+    // the main aggregate's exchange partitions on the hash column
+    assert(p.contains("xxhash64"), "hash-first plan lost")
+    assert("hashpartitioning\\(h#".r.findFirstIn(p).isDefined
+      || "hashpartitioning\\(xxhash64".r.findFirstIn(p).isDefined,
+      s"shuffle key must be the text hash:\n$p")
+    // the only text-keyed aggregate sits above the broadcast-filtered
+    // dup subset, never above a full-corpus exchange
+    val exchanges = "Exchange hashpartitioning\\(text#".r.findAllIn(p).size
+    assert(exchanges <= 1, s"full text shuffled more than the dup subset:\n$p")
+  }
+
   test("q15c: signature aggregate is partial+final (map-side combine)") {
     val p = plan("q15c_minhash_lsh")
     assert(p.contains("HashAggregate"))
