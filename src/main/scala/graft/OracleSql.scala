@@ -485,7 +485,11 @@ object OracleSql {
   }
 
   /** Q16b — LSH-bucketed near-dup pairs (mirrors Similarity.lshNearDup:
-    * 6 deterministic hyperplanes → sign bucket → exact cosine gate).
+    * 12 deterministic hyperplanes → sign bucket → 1-bit multi-probe
+    * candidate rule → exact cosine gate). The candidate set "buckets
+    * differ in ≤ 1 bit" is written directly as a Hamming predicate —
+    * the oracle brute-forces what the engine reaches via the
+    * probe-key join.
     */
   def q16bLshNearDup(minSim: Double = 0.35, dim: Int = 64): String = {
     val planes = graft.operators.Similarity.hyperplanes(dim = dim)
@@ -505,7 +509,8 @@ object OracleSql {
        |pairs AS (
        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |    ${cosSql("x.de", "y.de", dim)} AS sim
-       |  FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  FROM eb x JOIN eb y
+       |    ON bit_count(xor(x.bucket, y.bucket)) <= 1 AND x.vec_id < y.vec_id
        |)
        |SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= ${dlit(minSim)}""".stripMargin
   }
@@ -546,12 +551,12 @@ object OracleSql {
   // ---- LLM-pipeline dedup family (operators/Dedup.scala) ----
 
   /** Polynomial fold over character codes, identical to
-    * TextHash.polyHash: acc = (acc*31 + ascii(c)) % mod, from 0.
+    * TextHash.polyHash: acc = (acc*base + ascii(c)) % mod, from 0.
     */
-  def polyHashSql(s: String, mod: Long = 1000000007L): String =
+  def polyHashSql(s: String, base: Long = 31L, mod: Long = 1000000007L): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, x) -> (a * 31 + x) % $mod)"
+      s"(a, x) -> (a * $base + x) % $mod)"
 
   /** CTEs `toks(doc_id, tk)`, `th(doc_id, th)` and `shq(doc_id, h)` —
     * distinct 3-word shingle hashes, mirroring Dedup.shingleHashes
@@ -608,48 +613,63 @@ object OracleSql {
        |GROUP BY c.doc_a, c.doc_b""".stripMargin
   }
 
-  /** Q15d — SimHash byte-blocked pairs with Hamming distance. */
-  def q15dSimhash(maxHamming: Int = 2): String =
+  /** Q15d — 64-bit SimHash (two 32-bit halves, base-31 and base-37
+    * token hashes), 4×16-bit pigeonhole bands, Hamming filter —
+    * mirrors Dedup.simhashSignatures/simhashPairs exactly.
+    */
+  def q15dSimhash(maxHamming: Int = 3): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
        |  FROM documents
        |),
        |tc AS (
-       |  SELECT doc_id, ${polyHashSql("tok", 4294967296L)} AS h32, count(*) AS cnt
+       |  SELECT doc_id, count(*) AS cnt,
+       |    (${polyHashSql("tok", 31L, 4294967296L)} * 1000003 + 12345) % 4294967296 AS ha,
+       |    (${polyHashSql("tok", 37L, 4294967296L)} * 999983 + 67891) % 4294967296 AS hb
        |  FROM toks GROUP BY doc_id, tok
        |),
        |bits AS (
        |  SELECT doc_id, j,
-       |    sum(cnt * (2 * ((h32 >> j) & 1) - 1)) AS bs
+       |    sum(cnt * (2 * ((ha >> j) & 1) - 1)) AS bsa,
+       |    sum(cnt * (2 * ((hb >> j) & 1) - 1)) AS bsb
        |  FROM tc, generate_series(0, 31) AS g(j)
        |  GROUP BY doc_id, j
        |),
        |sig AS (
        |  SELECT doc_id,
-       |    sum(CASE WHEN bs > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       |    CAST(sum(CASE WHEN bsa > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_lo,
+       |    CAST(sum(CASE WHEN bsb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_hi
        |  FROM bits GROUP BY doc_id
        |),
        |blocks AS (
-       |  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bk
+       |  SELECT doc_id, sim_lo, sim_hi, b,
+       |    CASE b WHEN 0 THEN sim_lo & 65535 WHEN 1 THEN (sim_lo >> 16) & 65535
+       |           WHEN 2 THEN sim_hi & 65535 ELSE (sim_hi >> 16) & 65535 END AS bk
        |  FROM sig, generate_series(0, 3) AS g(b)
        |),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa,
-       |                  y.doc_id AS doc_b, y.simhash AS sb
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sim_lo AS la, x.sim_hi AS ha,
+       |                  y.doc_id AS doc_b, y.sim_lo AS lb, y.sim_hi AS hb
        |  FROM blocks x JOIN blocks y
        |    ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
        |)
-       |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= $maxHamming""".stripMargin
+       |SELECT doc_a, doc_b,
+       |  bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS hamming
+       |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= $maxHamming""".stripMargin
 
-  /** Q15e — exact 3-gram Jaccard over shingle-join candidates. */
-  def q15eNgramJaccard(minJaccard: Double = 0.5): String =
+  /** Q15e — exact 3-gram Jaccard over shingle-join candidates, with
+    * the same document-frequency cap as Dedup.ngramJaccard (shingles
+    * in more than maxDf docs leave the Jaccard universe).
+    */
+  def q15eNgramJaccard(minJaccard: Double = 0.5, maxDf: Long = 100L): String =
     s"""WITH $shingleCtes,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM shq GROUP BY doc_id),
+       |hot AS (SELECT h FROM shq GROUP BY h HAVING count(*) > $maxDf),
+       |shc AS (SELECT * FROM shq WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-       |  FROM shq x JOIN shq y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  FROM shc x JOIN shc y ON x.h = y.h AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT i.doc_a, i.doc_b,

@@ -91,54 +91,103 @@ object Dedup {
         (matches.cast("double") / lit(16.0)).as("est_jaccard"))
   }
 
-  /** 32-bit SimHash per document: token-count-weighted bit votes over
-    * the 32-bit polynomial token hash. All 32 bit-sums are columns of
-    * one hash aggregate (no 32× bit explode).
+  /** 64-bit SimHash per document: token-count-weighted bit votes over
+    * TWO independent 32-bit polynomial token hashes (base 31 and 37).
+    * The signature is carried as two 32-bit halves (`sim_lo`/`sim_hi`)
+    * so every intermediate stays BIGINT-exact in both engines — a
+    * single 64-bit modulus would overflow DuckDB's checked BIGINT
+    * arithmetic. All 64 bit-sums are columns of one hash aggregate
+    * (no 64× bit explode).
     */
   def simhashSignatures(s: SparkSession, d: DataFrame): DataFrame = {
+    // affine bit-mix after the polynomial fold: a short token's poly
+    // hash is ≪ 2^32 (a 5-char word fills ~22 bits), which would leave
+    // the high band of each half nearly constant across the corpus and
+    // collapse the 16-bit banding into one giant bucket. Multiplying
+    // by an odd ~2^20 constant mod 2^32 spreads the entropy across all
+    // 32 bits while every intermediate stays < 2^52 — BIGINT-exact in
+    // both engines.
+    def mix(h: Column, m: Long, a: Long): Column =
+      (h * lit(m) + lit(a)) % lit(TextHash.M32)
     val tok = d
       .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("doc_id"), col("cnt"),
-        TextHash.polyHash(col("tok"), mod = TextHash.M32).as("h32"))
-    val bitSums = (0 until 32).map { j =>
+        mix(TextHash.polyHash(col("tok"), 31L, TextHash.M32), 1000003L, 12345L).as("ha"),
+        mix(TextHash.polyHash(col("tok"), 37L, TextHash.M32), 999983L, 67891L).as("hb"))
+    def bitSums(h: String, pfx: String) = (0 until 32).map { j =>
       sum(col("cnt") *
-        (expr(s"shiftright(h32, $j) & 1") * lit(2L) - lit(1L))).as(s"bs$j")
+        (expr(s"shiftright($h, $j) & 1") * lit(2L) - lit(1L))).as(s"$pfx$j")
     }
-    val simhash = (0 until 32)
-      .map(j => when(col(s"bs$j") > 0, lit(1L << j)).otherwise(0L): Column)
+    def packed(pfx: String) = (0 until 32)
+      .map(j => when(col(s"$pfx$j") > 0, lit(1L << j)).otherwise(0L): Column)
       .reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    val sums = bitSums("ha", "a") ++ bitSums("hb", "b")
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        packed("a").as("sim_lo"), packed("b").as("sim_hi"))
   }
 
-  /** Q15d — SimHash near-dup pairs: block on any of the 4 signature
-    * bytes, keep pairs within the Hamming radius.
+  /** Q15d — SimHash near-dup pairs, scale-hardened blocking: the
+    * 64-bit signature is split into 4 bands of 16 bits, and a pair is
+    * a candidate iff some band matches exactly. Pigeonhole: Hamming
+    * distance ≤ 3 flips bits in at most 3 bands, so recall within the
+    * default radius is EXACT. Random (unrelated) pairs collide in a
+    * band with p ≈ 4/2^16 — candidate volume ~n²/16384, vs ~n²/64 for
+    * the old 8-bit blocks — the difference between a bounded join and
+    * a quadratic blowup at 100 TB corpus sizes.
     */
-  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+  def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(s, docs(s, dir)).cache()
-    val blocks = sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bk", expr("shiftright(simhash, b * 8) & 255"))
+    val blocks = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      posexplode(array(
+        col("sim_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("sim_lo"), 16),
+        col("sim_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("sim_hi"), 16))).as(Seq("b", "bk")))
     val cand = blocks.as("x").join(blocks.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sa"),
-        col("y.doc_id").as("doc_b"), col("y.simhash").as("sb"))
+      .select(col("x.doc_id").as("doc_a"),
+        col("x.sim_lo").as("la"), col("x.sim_hi").as("ha"),
+        col("y.doc_id").as("doc_b"),
+        col("y.sim_lo").as("lb"), col("y.sim_hi").as("hb"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .withColumn("hamming",
+        bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Q15e — exact n-gram Jaccard: shingle-join candidate pairs (the
-    * shuffle key is the shingle hash, linear in corpus size), exact
-    * |A∩B| / |A∪B|, threshold 0.5.
+  /** Stopword-like shingles: document frequency above `maxDf`. A
+    * shingle appearing in d documents contributes d·(d−1)/2 rows to
+    * the candidate self-join, so one hot shingle is a quadratic blowup
+    * at corpus scale. Exposed so callers can count/log what the cap
+    * drops (no silent truncation): `droppedShingles(...).count()`.
     */
-  def ngramJaccard(s: SparkSession, dir: String, minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(docs(s, dir)).cache()
+  def droppedShingles(s: SparkSession, dir: String, maxDf: Long = 100L): DataFrame =
+    shingleHashes(docs(s, dir))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+
+  /** Q15e — n-gram Jaccard with a document-frequency cap: shingles in
+    * more than `maxDf` documents are removed from BOTH the candidate
+    * join and the per-doc set sizes (the Jaccard universe is the
+    * capped shingle space — mirrored exactly by the oracle). The hot
+    * set is tiny, so it is excluded by a broadcast anti-join at the
+    * scan — the shingle table itself never reshuffles for the cap —
+    * and each surviving shingle contributes ≤ maxDf²/2 join pairs, so
+    * candidate volume is linear in corpus size with a maxDf² constant,
+    * not quadratic in hot-shingle document counts.
+    */
+  def ngramJaccard(s: SparkSession, dir: String, minJaccard: Double = 0.5,
+                   maxDf: Long = 100L): DataFrame = {
+    val hot = droppedShingles(s, dir, maxDf).select("h")
+    val sh = shingleHashes(docs(s, dir))
+      .join(broadcast(hot), Seq("h"), "left_anti").cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))

@@ -53,14 +53,40 @@ object Similarity {
 
   // ---- scale-path variants: LSH bucketing and IVF-style ANN ----
 
-  /** Deterministic random-hyperplane matrix (LCG over the flattened
-    * (plane, dim) index) — literal in both engines, so bucket
-    * assignment is oracle-replicable bit for bit.
+  /** Default sign-LSH plane count: 12 planes = 4096 buckets, so the
+    * in-bucket pair volume at the driver's scale factors is far below
+    * the n²/64 a 6-plane geometry would allow. See [[planesForCorpus]]
+    * for the corpus-size-driven choice at real scale.
     */
-  def hyperplanes(nPlanes: Int = 6, dim: Int = 64): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dim) { (p, d) =>
-      ((1103515245L * (p * dim + d) + 12345L) % 2147483648L) / 2147483648.0 - 0.5
-    }
+  val defaultPlanes = 12
+
+  /** Planes needed so expected bucket occupancy stays ≈ `targetBucket`
+    * for a corpus of n vectors: p = ⌈log2(n / targetBucket)⌉, floored
+    * at the 12-plane default. Candidate volume is then
+    * ~n·targetBucket·(1+p)/2 — linear in n — instead of n²/2^p with a
+    * fixed p. Callers at real scale pass
+    * `hyperplanes(planesForCorpus(corpus.count()))`; recall lost to
+    * the finer buckets is recovered by the 1-bit multi-probe in
+    * [[lshNearDup]].
+    */
+  def planesForCorpus(n: Long, targetBucket: Long = 16L): Int =
+    math.max(defaultPlanes,
+      math.ceil(math.log(math.max(n / targetBucket, 1L).toDouble) / math.log(2.0)).toInt)
+
+  /** Deterministic Gaussian hyperplane matrix. java.util.Random's
+    * algorithm is pinned by its spec, so the coefficients are stable
+    * across JVMs, and they are emitted as double LITERALS into the
+    * oracle SQL — bucket assignment is replicable bit for bit with no
+    * arithmetic constraint on the generator. Gaussian coordinates make
+    * the plane directions rotation-invariant (the correct sign-LSH
+    * distribution); the LCG-over-index generator used previously
+    * produced correlated consecutive planes, which clustered buckets
+    * and inflated candidate volume ~6× (CandidateBoundSpec pins this).
+    */
+  def hyperplanes(nPlanes: Int = defaultPlanes, dim: Int = 64): Array[Array[Double]] = {
+    val rng = new java.util.Random(421984L)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
 
   /** Fold of coeffs·v in ascending element order from 0.0 — the shared
     * association-order convention.
@@ -74,21 +100,35 @@ object Similarity {
       when(dotLit(pl, v) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Q16b — LSH-bucketed cosine near-dup pairs: candidate pairs only
-    * within a 6-plane sign bucket (64 buckets ⇒ the self-join input is
-    * ~n²/64 instead of n²; at 100 TB the bucket is the shuffle key and
-    * more planes shrink buckets further), then exact cosine >= minSim.
-    * Approximate by design: cross-bucket pairs are unseen — the oracle
-    * replicates the same bucketing, so the contract is exact.
+  /** Q16b — LSH-bucketed cosine near-dup pairs with 1-bit multi-probe:
+    * a pair is a candidate iff its 12-plane sign buckets differ in at
+    * most one bit (each vector probes its own bucket plus the p
+    * one-bit flips), then exact cosine ≥ minSim. The probe side
+    * explodes to p+1 keys, so the join input is (p+1)·n rows shuffled
+    * on the bucket key and the in-bucket pair volume is
+    * ~n²·(1+p)/2^p — at 2^12 buckets that is 400× fewer random
+    * collisions than the old 6-plane/64-bucket geometry, while the
+    * multi-probe recovers the recall that the finer buckets would
+    * lose. Approximate by design: pairs further than one bucket-bit
+    * apart are unseen — the oracle replicates the identical candidate
+    * rule, so the contract is exact.
     */
-  def lshNearDup(s: SparkSession, dir: String, minSim: Double = 0.35): DataFrame = {
-    val planes = hyperplanes()
+  def lshNearDup(s: SparkSession, dir: String, minSim: Double = 0.35,
+                 nPlanes: Int = defaultPlanes): DataFrame = {
+    val planes = hyperplanes(nPlanes)
     val e = embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
       .withColumn("bucket", lshBucket(col("de"), planes))
-    e.as("x").join(e.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    // probe keys: own bucket + every 1-bit flip; joining probe keys to
+    // home buckets pairs exactly those whose buckets are ≤1 bit apart
+    val probeKeys = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val probes = e.select(col("vec_id"), col("de"), col("bucket"),
+      explode(transform(probeKeys, m => col("bucket").bitwiseXOR(m))).as("pk"))
+    probes.as("x").join(e.as("y"),
+        col("x.pk") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      // no dedup needed: the p+1 probe keys of a vector are distinct,
+      // so a candidate pair matches exactly one (pk, bucket) key
       .withColumn("sim", cosine(col("x.de"), col("y.de")))
       .filter(col("sim") >= minSim)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("sim"))

@@ -65,19 +65,36 @@ class DedupSpec extends SparkSpec {
   test("simhash: identical token multisets hash identically; disjoint differ") {
     val d = docsDf(Seq("aa bb aa cc", "cc aa bb aa", "xx yy zz qq"))
     val sig = Dedup.simhashSignatures(spark, d)
-      .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("sim_lo"), r.getAs[Long]("sim_hi")))
     assert(sig(0) === sig(1))
     assert(sig(0) !== sig(2))
+    // 32-bit halves: the packed values never exceed the BIGINT-safe range
+    sig.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    }
   }
 
-  test("simhashPairs: near-identical docs collide with small hamming") {
-    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
-    val near = ((1 to 58).map(i => s"tok$i") ++ Seq("aA", "bB")).mkString(" ")
-    val far = (200 to 260).map(i => s"qqq$i").mkString(" ")
-    withDocsDir(Seq(base, near, far)) { dir =>
-      val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 8)
+  test("simhashPairs: recall is exact within the pigeonhole radius") {
+    // candidate "near" docs: base with one token duplicated. Pick one
+    // whose 64-bit hamming lands in [1, 3] — inside that radius the
+    // 4×16-bit band recall is EXACT (≤3 flipped bits leave ≥1 of the 4
+    // bands untouched), so the pair MUST be found.
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val variants = (1 to 30).map(i => base + s" tok$i")
+    val far = (500 to 700).map(i => s"qqq$i").mkString(" ")
+    val sigs = Dedup.simhashSignatures(spark,
+        docsDf(base +: variants)).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("sim_lo"), r.getAs[Long]("sim_hi")))
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val hs = sigs.tail.map(s => hamming(sigs.head, s))
+    val pick = hs.indexWhere(h => h >= 1 && h <= 3)
+    assert(pick >= 0, s"no variant within radius 3 (hammings: ${hs.mkString(",")})")
+    withDocsDir(Seq(base, variants(pick), far)) { dir =>
+      val pairs = Dedup.simhashPairs(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(pairs.contains((0L, 1L)))
+      assert(pairs.contains((0L, 1L)), s"hamming ${hs(pick)} pair must be recalled")
       assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
     }
   }

@@ -31,7 +31,38 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("b", Similarity.lshBucket($"de", planes))
     val bs = df.orderBy("vec_id").collect().map(_.getAs[Long]("b"))
     assert(bs(0) === bs(1))
-    assert(bs(2) === (~bs(0) & 0x3fL))
+    assert(bs(2) === (~bs(0) & ((1L << Similarity.defaultPlanes) - 1)))
+  }
+
+  test("planesForCorpus grows log2 with corpus size, floored at the default") {
+    assert(Similarity.planesForCorpus(1000L) === Similarity.defaultPlanes)
+    assert(Similarity.planesForCorpus(1L << 30, targetBucket = 16L) === 26)
+    assert(Similarity.planesForCorpus(1L << 40, targetBucket = 16L) === 36)
+  }
+
+  test("multi-probe recovers a pair whose buckets differ in exactly one bit") {
+    // nudge the duplicate across exactly one hyperplane: buckets are 1
+    // bit apart, so the plain same-bucket join would miss it but the
+    // 1-bit probe must find it
+    val planes = Similarity.hyperplanes()
+    val v = randVecs(1, seed = 23L).head
+    val vd = v.map(_.toDouble)
+    val margins = planes.map(pl => pl.zip(vd).map { case (a, b) => a * b }.sum)
+    val iMin = margins.indices.minBy(i => math.abs(margins(i)))
+    val pl = planes(iMin)
+    val nrm = pl.map(x => x * x).sum
+    // reflect across plane iMin and push slightly beyond it
+    val w = v.indices.map(d =>
+      (vd(d) - 2.000001 * margins(iMin) / nrm * pl(d)).toFloat).toArray
+    withEmbDir(Seq(v, w)) { dir =>
+      val e = Similarity.embeddings(spark, dir)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("de"))
+        .withColumn("b", Similarity.lshBucket($"de", planes))
+      val bks = e.orderBy("vec_id").collect().map(_.getAs[Long]("b"))
+      assert(java.lang.Long.bitCount(bks(0) ^ bks(1)) === 1, "fixture must be 1 bit apart")
+      val rows = Similarity.lshNearDup(spark, dir, minSim = 0.9).collect()
+      assert(rows.exists(r => r.getLong(0) === 0L && r.getLong(1) === 1L))
+    }
   }
 
   test("lshNearDup finds a planted duplicate pair with sim ~ 1") {
