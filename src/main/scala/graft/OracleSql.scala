@@ -340,6 +340,7 @@ object OracleSql {
        |    d.peak_value - c2.baseline AS force,
        |    (d.peak_idx = 0 OR d.peak_idx >= c2.n - 2) AS edge,
        |    d.peak_idx - coalesce(CASE WHEN c2.s_t THEN c2.last_f ELSE c2.last_t END, 0) AS ttp_i,
+       |    coalesce(CASE WHEN c2.s_t THEN c2.last_f ELSE c2.last_t END, 0) AS ttp_idx,
        |    least(coalesce(CASE WHEN c2.s_r THEN c2.next_f ELSE c2.next_t END, c2.n - 1), c2.n - 1) AS exit_idx,
        |    c2.n
        |  FROM detected d JOIN cr c2
@@ -354,13 +355,33 @@ object OracleSql {
        |  FROM m0
        |),
        |m AS (
-       |  SELECT experiment_id, channel, peak_idx, t, peak_value, baseline_value, force,
+       |  SELECT m1.experiment_id, m1.channel, m1.peak_idx, m1.t, m1.peak_value,
+       |    m1.baseline_value, m1.force,
        |    time_to_peak, time_to_relaxation,
        |    CASE WHEN time_to_peak IS NOT NULL AND time_to_relaxation IS NOT NULL
-       |         THEN time_to_relaxation + time_to_peak END AS duration
+       |         THEN time_to_relaxation + time_to_peak END AS duration,
+       |    CASE WHEN time_to_peak IS NOT NULL
+       |         THEN m1.t - CAST(m1.peak_idx - m1.ttp_idx AS DOUBLE) / $rate END AS ttp_t,
+       |    CASE WHEN time_to_peak IS NOT NULL THEN sl.v END AS ttp_y,
+       |    CASE WHEN time_to_relaxation IS NOT NULL
+       |         THEN m1.t + CAST(m1.exit_idx - m1.peak_idx AS DOUBLE) / $rate END AS ttr_t,
+       |    CASE WHEN time_to_relaxation IS NOT NULL THEN sr.v END AS ttr_y
        |  FROM m1
+       |  LEFT JOIN smooth sl ON sl.experiment_id = m1.experiment_id
+       |    AND sl.channel = m1.channel AND sl.sample_idx = m1.ttp_idx
+       |  LEFT JOIN smooth sr ON sr.experiment_id = m1.experiment_id
+       |    AND sr.channel = m1.channel AND sr.sample_idx = m1.exit_idx
        |)""".stripMargin
   }
+
+  /** Q8b — per-beat TTP/TTR marker points (reference
+    * `peak_analysis.py:95,113`): the (timestamp, smooth-value) pair at
+    * the state-flip index each walk exits at.
+    */
+  def q8bMarkers(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${metricCtes(cfg)}
+       |SELECT experiment_id, channel, peak_idx, time_to_peak, ttp_t, ttp_y,
+       |  time_to_relaxation, ttr_t, ttr_y FROM m""".stripMargin
 
   /** Q8 — per-beat metrics. */
   def q8Metrics(cfg: graft.PeakConfig = graft.PeakConfig()): String =

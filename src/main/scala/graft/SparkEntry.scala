@@ -69,6 +69,10 @@ object SparkEntry {
     "q8_metrics" -> ((s, _) =>
       beatMetrics(s).select("experiment_id", "channel", "peak_idx",
         "force", "time_to_peak", "time_to_relaxation", "duration")),
+    "q8b_markers" -> ((s, _) =>
+      beatMetrics(s).select("experiment_id", "channel", "peak_idx",
+        "time_to_peak", "ttp_t", "ttp_y",
+        "time_to_relaxation", "ttr_t", "ttr_y")),
     "q9_summary" -> ((s, _) =>
       BeatMetrics.summary(enriched(s), beatMetrics(s))),
     "q10_stim" -> ((s, _) =>
@@ -113,6 +117,7 @@ object SparkEntry {
     "q7a_prominence" -> OracleSql.q7aProminence(),
     "q7b_peaks" -> OracleSql.q7bPeaks(),
     "q8_metrics" -> OracleSql.q8Metrics(),
+    "q8b_markers" -> OracleSql.q8bMarkers(),
     "q9_summary" -> OracleSql.q9Summary(),
     "q10_stim" -> OracleSql.q10Stim,
     "q11_revenue_by_nation" -> OracleSql.q11Revenue,

@@ -17,7 +17,12 @@ final case class SignalRow(
 )
 
 /** One detected contraction peak with its per-beat metrics
-  * (reference: dict at `/root/reference/peak_analysis.py:61-75`).
+  * (reference: dict at `/root/reference/peak_analysis.py:61-75`) and
+  * the TTP/TTR crossing-marker points the reference collects for its
+  * overlays (`peak_analysis.py:95,113`): the (timestamp, smooth-value)
+  * pair at the index where the above/below-diastolic state flips,
+  * with the time derived from the peak's timestamp ∓ i/rate. Null
+  * exactly when the corresponding metric is null.
   */
 final case class Peak(
     experiment_id: String,
@@ -29,7 +34,11 @@ final case class Peak(
     force: Option[Double],
     time_to_peak: Option[Double],
     time_to_relaxation: Option[Double],
-    duration: Option[Double]
+    duration: Option[Double],
+    ttp_t: Option[Double],
+    ttp_y: Option[Double],
+    ttr_t: Option[Double],
+    ttr_y: Option[Double]
 )
 
 /** Per-channel aggregate (reference:

@@ -75,7 +75,7 @@ object BeatMetrics {
     val exitIdx = least(coalesce(flipR, col("_n") - 1), col("_n") - 1)
     val rate = lit(cfg.sampleRateHz)
 
-    joined
+    val withMetrics = joined
       .withColumn("force", col("peak_value") - col("baseline"))
       .withColumn("time_to_peak",
         when(edge, lit(null).cast("double"))
@@ -87,10 +87,50 @@ object BeatMetrics {
         when(col("time_to_peak").isNotNull &&
           col("time_to_relaxation").isNotNull,
           col("time_to_relaxation") + col("time_to_peak")))
+      // walk-exit indices, null exactly when the metric is null — the
+      // TTP/TTR marker points (`peak_analysis.py:95,113`) live there
+      .withColumn("_ttp_idx",
+        when(col("time_to_peak").isNotNull, coalesce(flipL, lit(0L))))
+      .withColumn("_ttr_idx",
+        when(col("time_to_relaxation").isNotNull, exitIdx))
+
+    // marker values: y_smooth at the exit index, fetched by an equi
+    // join back to the enriched spine (same (channel, idx) shuffle
+    // family as the metrics join — no extra scan pattern)
+    def smoothAt(out: String): DataFrame = {
+      val pfx = s"_$out"
+      enriched.select(
+        (keyCols.map(k => col(k).as(s"$pfx$k")) :+
+          col("sample_idx").as(s"${pfx}i") :+
+          col("y_smooth").as(out)): _*)
+    }
+    def joinAt(df: DataFrame, lookup: DataFrame, idxCol: String, out: String): DataFrame = {
+      val pfx = s"_$out"
+      val cond = keyCols.map(k => col(k) === col(s"$pfx$k"))
+        .reduce(_ && _) && col(idxCol) === col(s"${pfx}i")
+      df.join(lookup, cond, "left")
+        .drop((keyCols.map(k => s"$pfx$k") :+ s"${pfx}i"): _*)
+    }
+
+    val withMarkers =
+      joinAt(
+        joinAt(withMetrics, smoothAt("ttp_y"), "_ttp_idx", "ttp_y"),
+        smoothAt("ttr_y"), "_ttr_idx", "ttr_y")
+      // marker times derive from the PEAK's timestamp (reference:
+      // peak_timestamp ∓ i/rate), not the exit sample's own t
+      .withColumn("ttp_t",
+        when(col("_ttp_idx").isNotNull,
+          col("t") - (col("peak_idx") - col("_ttp_idx")).cast("double") / rate))
+      .withColumn("ttr_t",
+        when(col("_ttr_idx").isNotNull,
+          col("t") + (col("_ttr_idx") - col("peak_idx")).cast("double") / rate))
+
+    withMarkers
       .select((keys :+ col("peak_idx") :+ col("t") :+ col("peak_value") :+
         col("baseline").as("baseline_value") :+ col("force") :+
         col("time_to_peak") :+ col("time_to_relaxation") :+
-        col("duration")): _*)
+        col("duration") :+ col("ttp_t") :+ col("ttp_y") :+
+        col("ttr_t") :+ col("ttr_y")): _*)
   }
 
   /** O10 — channel summary: NaN-filtered means. Averages are computed

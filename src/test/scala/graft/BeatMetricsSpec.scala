@@ -71,6 +71,38 @@ class BeatMetricsSpec extends SparkSpec {
     assert(m.isNullAt(m.fieldIndex("time_to_relaxation")))
   }
 
+  test("marker points: (t, y_smooth) at the walk-exit indices, peak-derived times") {
+    val e = enriched(20, 4 to 8)
+    val m = BeatMetrics.metrics(e, peakAt(6, 25.0)).collect()(0)
+    // ttp walk exits at idx 3 (first below-state left of the peak):
+    // time = peak t - i/rate, value = y_smooth[3] = 5.0
+    assert(m.getAs[Double]("ttp_t") === 0.06 - 0.03)
+    assert(m.getAs[Double]("ttp_y") === 5.0)
+    // ttr walk exits at idx 9: time = peak t + i/rate, value = y_smooth[9]
+    assert(m.getAs[Double]("ttr_t") === 0.06 + 0.03)
+    assert(m.getAs[Double]("ttr_y") === 5.0)
+  }
+
+  test("marker points are null exactly when their metric is null") {
+    // edge peak: everything null
+    val eEdge = enriched(20, 0 to 3)
+    val mEdge = BeatMetrics.metrics(eEdge, peakAt(0, 25.0)).collect()(0)
+    for (c <- Seq("ttp_t", "ttp_y", "ttr_t", "ttr_y"))
+      assert(mEdge.isNullAt(mEdge.fieldIndex(c)), c)
+    // flip at the last sample: ttr null -> ttr markers null, ttp present
+    val eLate = enriched(10, 4 to 8)
+    val mLate = BeatMetrics.metrics(eLate, peakAt(6, 25.0)).collect()(0)
+    assert(mLate.isNullAt(mLate.fieldIndex("ttr_t")))
+    assert(mLate.isNullAt(mLate.fieldIndex("ttr_y")))
+    assert(mLate.getAs[Double]("ttp_y") === 5.0)
+    // left-edge exhaustion: marker records y_smooth[0] even without a flip
+    val eEx = enriched(20, 0 to 8)
+    val mEx = BeatMetrics.metrics(eEx, peakAt(6, 25.0)).collect()(0)
+    assert(mEx.getAs[Double]("ttp_t") === 0.0)
+    assert(mEx.getAs[Double]("ttp_y") ===
+      eEx.filter($"sample_idx" === 0).head().getAs[Double]("y_smooth"))
+  }
+
   test("summary: exact averages, zero-peak channels present with nulls") {
     val e = enriched(20, 4 to 8)
       .unionByName(enriched(20, 4 to 8).withColumn("channel", lit(1)))
