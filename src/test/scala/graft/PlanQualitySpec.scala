@@ -55,6 +55,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"full text shuffled more than the dup subset:\n$p")
   }
 
+  test("q15e: the df cap is a broadcast anti-join, not a shuffle of the shingle table") {
+    val p = plan("q15e_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-shingle exclusion must be a broadcast anti-join:\n$p")
+  }
+
+  test("q16b: multi-probe candidate join is an equi join on the bucket key") {
+    val p = plan("q16b_lsh_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"probe-key join degraded to a non-equi join:\n$p")
+  }
+
   test("q15c: signature aggregate is partial+final (map-side combine)") {
     val p = plan("q15c_minhash_lsh")
     assert(p.contains("HashAggregate"))
