@@ -120,9 +120,10 @@ object TextAnalysis {
     val d = docs(s, dir)
       .withColumn("tk", TextHash.tokens(col("text")))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
-      .withColumn("sum_len",
-        aggregate(transform(col("tk"), t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x))
+      // sum of token lengths == length of the concatenation: one
+      // codegen'd pass instead of an interpreted aggregate(transform)
+      // lambda per token (HOFs are not codegen'd; same exact integer)
+      .withColumn("sum_len", length(concat_ws("", col("tk"))).cast("long"))
       .withColumn("n_punct",
         size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("long"))
       .withColumn("en_hits",

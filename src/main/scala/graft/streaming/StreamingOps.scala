@@ -310,6 +310,25 @@ object StreamingOps {
     docs.withWatermark(tsCol, "1 hour")
       .dropDuplicates(Seq(idCol, tsCol))
 
+  /** Stream-stream interval join: each left event joined to right
+    * events of the same user within `[l.ts − lookback, l.ts]`. Both
+    * sides carry watermarks and the join condition bounds the event
+    * times, so Spark can size the join state and evict rows past the
+    * horizon — the canonical bounded-state stream-stream join (without
+    * the interval bound the state would grow forever). Inner join:
+    * a row emits once per in-window partner.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id", tsCol: String = "ts",
+                   lookback: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$tsCol BETWEEN l.$tsCol - INTERVAL $lookback AND l.$tsCol"))
+  }
+
   /** q22 — drive the incremental smoother over the committed signal
     * fixture through a real MemoryStream (three micro-batches to
     * exercise state carry-over), collect from the memory sink, and

@@ -55,4 +55,21 @@ class GenericSourcesSpec extends SparkSpec {
       assert(new java.io.File(s"$dir/out/name=a").isDirectory)
     }
   }
+
+  test("partition filter prunes at the scan: only the matching directory is read") {
+    withTmp { dir =>
+      val df = (0 until 100).map(i => (i.toLong, s"day${i % 5}", i.toDouble))
+        .toDF("id", "day", "v")
+      GenericSources.writeParquet(df, s"$dir/out", partitionBy = Seq("day"))
+      val back = spark.read.parquet(s"$dir/out").filter($"day" === "day3")
+      assert(back.count() === 20)
+      val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+      // the predicate must land in PartitionFilters (directory pruning),
+      // not PushedFilters (row-group skipping) — at 100 TB this is the
+      // difference between listing 1/5 of the files and reading them all
+      assert(scan.contains("PartitionFilters"), scan)
+      assert(scan.replaceAll("(?s)PushedFilters.*", "").contains("day3"),
+        s"partition predicate not pruned at the scan:\n$scan")
+    }
+  }
 }

@@ -245,4 +245,45 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(3))).toSet
     assert(got === batch)
   }
+
+  test("stream-stream interval join equals the batch join across micro-batches") {
+    val t0 = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ts(min: Int) = new Timestamp(t0 + min * 60000L)
+    // left events, right events: (user_id, ts, v)
+    val lrows = Seq((1L, ts(20), 1.0), (2L, ts(5), 2.0), (3L, ts(40), 3.0))
+    val rrows = Seq(
+      (1L, ts(15), 10.0), // within [12:10, 12:20] of L1 -> joins
+      (1L, ts(9), 11.0),  // before the 10-min lookback   -> no
+      (2L, ts(0), 12.0),  // within [11:55, 12:05] of L2  -> joins
+      (2L, ts(30), 13.0), // after L2                     -> no
+      (9L, ts(20), 14.0)) // no left partner              -> no
+    def proj(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "l.user_id AS user_id", "l.ts AS l_ts", "r.ts AS r_ts", "r.v AS r_v")
+    val batch = proj(StreamingOps.intervalJoin(
+        lrows.toDF("user_id", "ts", "v"), rrows.toDF("user_id", "ts", "v")))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(batch === Set(
+      (1L, ts(20), ts(15), 10.0),
+      (2L, ts(5), ts(0), 12.0)))
+
+    val ls = MemoryStream[(Long, Timestamp, Double)]
+    val rs = MemoryStream[(Long, Timestamp, Double)]
+    val q = proj(StreamingOps.intervalJoin(
+        ls.toDS().toDF("user_id", "ts", "v"),
+        rs.toDS().toDF("user_id", "ts", "v")))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // uneven arrival: right side lags a micro-batch behind the left
+      ls.addData(lrows.take(2)); q.processAllAvailable()
+      rs.addData(rrows.take(3)); q.processAllAvailable()
+      ls.addData(lrows.drop(2)); rs.addData(rrows.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getDouble(3))).toSet
+    assert(got === batch)
+  }
 }
