@@ -424,6 +424,16 @@ object OracleSql {
        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
        |GROUP BY n.n_name""".stripMargin
 
+  /** Q11b — shipped revenue + supplier count by supplier nation. */
+  def q11bSupplierRevenue: String =
+    s"""SELECT n.n_name,
+       |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       |  count(DISTINCT s.s_suppkey) AS n_suppliers
+       |FROM lineitem l
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |GROUP BY n.n_name""".stripMargin
+
   /** Q12 — top-3 parts by revenue per brand. */
   def q12TopParts(k: Int = 3): String =
     s"""WITH rev AS (

@@ -79,6 +79,7 @@ object SparkEntry {
       PeakDetect.stimPeaks(
         PeakDetect.rescaleStim(sig(s), SignalFixture.stim(s)))),
     "q11_revenue_by_nation" -> Relational.revenueByNation _,
+    "q11b_supplier_revenue" -> Relational.supplierRevenue _,
     "q12_topk_parts" -> ((s, dir) => Relational.topPartsByBrand(s, dir)),
     "q13_events_daily" -> Relational.eventsDaily _,
     "q14_token_stats" -> TextAnalysis.tokenStats _,
@@ -121,6 +122,7 @@ object SparkEntry {
     "q9_summary" -> OracleSql.q9Summary(),
     "q10_stim" -> OracleSql.q10Stim,
     "q11_revenue_by_nation" -> OracleSql.q11Revenue,
+    "q11b_supplier_revenue" -> OracleSql.q11bSupplierRevenue,
     "q12_topk_parts" -> OracleSql.q12TopParts(),
     "q13_events_daily" -> OracleSql.q13EventsDaily,
     "q14_token_stats" -> OracleSql.q14Tokens,

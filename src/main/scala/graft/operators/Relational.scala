@@ -44,6 +44,24 @@ object Relational {
         .as("revenue"))
   }
 
+  /** Q11b — shipped revenue and supplier counts by the SUPPLIER's
+    * nation (vs Q11's customer-side nation): the second classic
+    * dimension path through the star schema. Both dims broadcast; the
+    * only shuffle is the final aggregate on n_name.
+    */
+  def supplierRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"))
+  }
+
   /** Q12 — top-3 parts by revenue within each brand (window rank). */
   def topPartsByBrand(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val li = t(s, dir, "lineitem")

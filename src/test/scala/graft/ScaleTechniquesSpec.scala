@@ -37,6 +37,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(spread.map(_.getLong(1)).max < 1000L) // not all in one bucket
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 100
+      val fact = (0 until 30000).map { i =>
+        (i.toLong, if (i % 10 < 9) 7L else (i % 100).toLong, pad)
+      }.toDF("row_id", "key", "pad")
+      val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("key", "name")
+      val joined = fact.join(dim, "key")
+      // execute THIS dataset (count() would plan a different query) so
+      // its adaptive plan finalizes, then inspect the final plan: the
+      // hot key-7 partition must have been split by OptimizeSkewedJoin
+      assert(joined.collect().length === 30000)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val n = 1000
     (0 until n).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
