@@ -34,9 +34,12 @@ object SparkEntry {
   private def detected(s: SparkSession): DataFrame =
     PeakDetect.detectPeaks(enriched(s)).toDF().cache()
 
-  /** Per-beat metrics off the full detection pipeline. */
-  private def beatMetrics(s: SparkSession): DataFrame =
-    BeatMetrics.metrics(enriched(s), detected(s))
+  /** Per-beat metrics off the full detection pipeline. Markers only
+    * where consumed (q8b): their spine lookups are joins Catalyst
+    * cannot prune for the metric-only consumers.
+    */
+  private def beatMetrics(s: SparkSession, markers: Boolean = false): DataFrame =
+    BeatMetrics.metrics(enriched(s), detected(s), markers = markers)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The channel summary exercises the whole engine end to
@@ -70,9 +73,10 @@ object SparkEntry {
       beatMetrics(s).select("experiment_id", "channel", "peak_idx",
         "force", "time_to_peak", "time_to_relaxation", "duration")),
     "q8b_markers" -> ((s, _) =>
-      beatMetrics(s).select("experiment_id", "channel", "peak_idx",
-        "time_to_peak", "ttp_t", "ttp_y",
-        "time_to_relaxation", "ttr_t", "ttr_y")),
+      beatMetrics(s, markers = true)
+        .select("experiment_id", "channel", "peak_idx",
+          "time_to_peak", "ttp_t", "ttp_y",
+          "time_to_relaxation", "ttr_t", "ttr_y")),
     "q9_summary" -> ((s, _) =>
       BeatMetrics.summary(enriched(s), beatMetrics(s))),
     "q10_stim" -> ((s, _) =>

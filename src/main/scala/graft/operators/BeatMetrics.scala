@@ -33,11 +33,18 @@ object BeatMetrics {
 
   /** Joins per-peak metrics onto `peaks` (one row per detected peak).
     * `enriched` must carry y_smooth/baseline/diastolic.
+    *
+    * `markers = false` skips the TTP/TTR marker-point columns: their
+    * y_smooth lookups are two joins against the full spine, which a
+    * consumer that only aggregates the metrics (Q9-style summaries)
+    * should not pay for at scale — Catalyst cannot prune an unused
+    * join on its own (it can't prove the lookup is 1:1).
     */
   def metrics(
       enriched: DataFrame,
       peaks: DataFrame,
-      cfg: PeakConfig = PeakConfig()
+      cfg: PeakConfig = PeakConfig(),
+      markers: Boolean = true
   ): DataFrame = {
     val wch = Window.partitionBy(keys: _*)
     val wo = Window.partitionBy(keys: _*).orderBy("sample_idx")
@@ -112,7 +119,12 @@ object BeatMetrics {
         .drop((keyCols.map(k => s"$pfx$k") :+ s"${pfx}i"): _*)
     }
 
-    val withMarkers =
+    val base = keys :+ col("peak_idx") :+ col("t") :+ col("peak_value") :+
+      col("baseline").as("baseline_value") :+ col("force") :+
+      col("time_to_peak") :+ col("time_to_relaxation") :+ col("duration")
+
+    if (!markers) withMetrics.select(base: _*)
+    else {
       joinAt(
         joinAt(withMetrics, smoothAt("ttp_y"), "_ttp_idx", "ttp_y"),
         smoothAt("ttr_y"), "_ttr_idx", "ttr_y")
@@ -124,13 +136,9 @@ object BeatMetrics {
       .withColumn("ttr_t",
         when(col("_ttr_idx").isNotNull,
           col("t") + (col("_ttr_idx") - col("peak_idx")).cast("double") / rate))
-
-    withMarkers
-      .select((keys :+ col("peak_idx") :+ col("t") :+ col("peak_value") :+
-        col("baseline").as("baseline_value") :+ col("force") :+
-        col("time_to_peak") :+ col("time_to_relaxation") :+
-        col("duration") :+ col("ttp_t") :+ col("ttp_y") :+
+      .select((base :+ col("ttp_t") :+ col("ttp_y") :+
         col("ttr_t") :+ col("ttr_y")): _*)
+    }
   }
 
   /** O10 — channel summary: NaN-filtered means. Averages are computed

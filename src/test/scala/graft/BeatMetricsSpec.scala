@@ -103,6 +103,21 @@ class BeatMetricsSpec extends SparkSpec {
       eEx.filter($"sample_idx" === 0).head().getAs[Double]("y_smooth"))
   }
 
+  test("markers=false skips the marker columns and their spine joins") {
+    val e = enriched(20, 4 to 8)
+    val lean = BeatMetrics.metrics(e, peakAt(6, 25.0), markers = false)
+    assert(!lean.columns.contains("ttp_y") && !lean.columns.contains("ttr_t"))
+    // metric values identical to the markers=true plan
+    val full = BeatMetrics.metrics(e, peakAt(6, 25.0))
+    assert(lean.collect()(0).toSeq ===
+      full.select(lean.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect()(0).toSeq)
+    // and the lean plan has strictly fewer joins
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(joins(lean) < joins(full))
+  }
+
   test("summary: exact averages, zero-peak channels present with nulls") {
     val e = enriched(20, 4 to 8)
       .unionByName(enriched(20, 4 to 8).withColumn("channel", lit(1)))
