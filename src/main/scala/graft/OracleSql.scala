@@ -467,6 +467,29 @@ object OracleSql {
        |WHERE token <> ''
        |GROUP BY token""".stripMargin
 
+  /** Q14b — TF-IDF top terms (mirrors TextAnalysis.tfIdfTopTerms:
+    * log-free idf N/df so the double arithmetic is engine-portable;
+    * identical association `tf * (N / df)`).
+    */
+  def q14bTfIdf(k: Int = 3): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY doc_id, token
+       |),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS score
+       |  FROM tf JOIN dfreq USING (token), n
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+       |  FROM scored
+       |)
+       |SELECT doc_id, token, tf, df, score, rnk FROM rk WHERE rnk <= $k""".stripMargin
+
   /** Q15 — exact dedup survivors. */
   def q15Dedup: String =
     s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -762,6 +785,57 @@ object OracleSql {
        |    + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality_score
        |FROM q""".stripMargin
   }
+
+  /** Q18b — Gopher-style filter rules (mirrors TextAnalysis.gopherRules;
+    * same nullif guards and division association; bigram key is the
+    * same (polyHash(a)*31 + polyHash(b)) % P arithmetic).
+    */
+  def q18bGopher(minWords: Long = 20L, maxWords: Long = 100000L,
+                 minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                 maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                 maxDupLineFrac: Double = 0.5,
+                 maxTopBigramFrac: Double = 0.3): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, $tokensSql AS tk FROM documents
+       |),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+       |      / CAST(nullif(len(tk), 0) AS DOUBLE) AS mean_word_len,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+       |      / CAST(nullif(len(tk), 0) AS DOUBLE) AS symbol_word_ratio,
+       |    CAST(len(regexp_extract_all(text, '(?m)^[-*] ')) AS DOUBLE)
+       |      / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullet_line_frac
+       |  FROM d
+       |),
+       |doclines AS (
+       |  SELECT doc_id,
+       |    1.0 - CAST(count(DISTINCT line) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_line_frac
+       |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+       |  GROUP BY doc_id
+       |),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |    i -> (${polyHashSql("tk[i]")} * 31 + ${polyHashSql("tk[i+1]")}) % 1000000007)) AS bg
+       |  FROM d
+       |),
+       |bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+       |bigrams AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+       |  FROM bgc GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, b.n_words, b.mean_word_len, b.symbol_word_ratio,
+       |  b.bullet_line_frac, l.dup_line_frac, g.top_bigram_frac,
+       |  (b.n_words >= $minWords AND b.n_words <= $maxWords
+       |   AND b.mean_word_len >= ${dlit(minMeanLen)} AND b.mean_word_len <= ${dlit(maxMeanLen)}
+       |   AND b.symbol_word_ratio <= ${dlit(maxSymbolRatio)}
+       |   AND b.bullet_line_frac <= ${dlit(maxBulletFrac)}
+       |   AND coalesce(l.dup_line_frac <= ${dlit(maxDupLineFrac)}, TRUE)
+       |   AND coalesce(g.top_bigram_frac <= ${dlit(maxTopBigramFrac)}, TRUE)) AS keep
+       |FROM base b
+       |LEFT JOIN doclines l ON l.doc_id = b.doc_id
+       |LEFT JOIN bigrams g ON g.doc_id = b.doc_id""".stripMargin
 
   /** Q19 — whitespace vs BPE-ish regex token counts. */
   def q19BpeTokens: String =

@@ -87,6 +87,7 @@ object SparkEntry {
     "q12_topk_parts" -> ((s, dir) => Relational.topPartsByBrand(s, dir)),
     "q13_events_daily" -> Relational.eventsDaily _,
     "q14_token_stats" -> TextAnalysis.tokenStats _,
+    "q14b_tfidf" -> ((s, dir) => TextAnalysis.tfIdfTopTerms(s, dir)),
     "q15_dedup_exact" -> TextAnalysis.dedupExact _,
     "q15b_near_dup" -> TextAnalysis.nearDupCandidates _,
     "q15c_minhash_lsh" -> Dedup.minhashLsh _,
@@ -97,6 +98,7 @@ object SparkEntry {
     "q16c_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q17_lang_id" -> TextAnalysis.langId _,
     "q18_quality" -> TextAnalysis.qualityScore _,
+    "q18b_gopher" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
     "q19_bpe_tokens" -> TextAnalysis.bpeTokenStats _,
     "q20_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "q21_media_meta" -> Multimodal.mediaMeta _,
@@ -130,6 +132,7 @@ object SparkEntry {
     "q12_topk_parts" -> OracleSql.q12TopParts(),
     "q13_events_daily" -> OracleSql.q13EventsDaily,
     "q14_token_stats" -> OracleSql.q14Tokens,
+    "q14b_tfidf" -> OracleSql.q14bTfIdf(),
     "q15_dedup_exact" -> OracleSql.q15Dedup,
     "q15b_near_dup" -> OracleSql.q15bNearDup,
     "q15c_minhash_lsh" -> OracleSql.q15cMinhash,
@@ -140,6 +143,7 @@ object SparkEntry {
     "q16c_ivf_topk" -> OracleSql.q16cIvfTopK(),
     "q17_lang_id" -> OracleSql.q17LangId,
     "q18_quality" -> OracleSql.q18Quality,
+    "q18b_gopher" -> OracleSql.q18bGopher(),
     "q19_bpe_tokens" -> OracleSql.q19BpeTokens,
     "q20_fingerprints" -> OracleSql.q20Fingerprints(),
     "q21_media_meta" -> OracleSql.q21MediaMeta(),

@@ -140,6 +140,99 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Q14b — TF-IDF top terms: per (doc, token) term frequency joined
+    * to corpus document frequency; score = tf · (N / df) — the
+    * log-free variant so both engines compute the identical double
+    * (libm `ln` implementations are not bitwise-pinned across
+    * engines); top-k terms per doc by (score desc, token).
+    * Two shuffles (doc-token tf, token df) plus a broadcast-size join
+    * of the df table per token — the standard scale shape.
+    */
+  def tfIdfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs(s, dir).count()
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rnk")
+  }
+
+  /** Q18b — Gopher-style filter rule flags: word count, mean word
+    * length, symbol-to-word ratio, bullet-line fraction, duplicate-line
+    * fraction, and top-bigram fraction, plus the combined keep flag.
+    * Thresholds are the Gopher-inspired defaults, adapted loosely —
+    * the contract is the exact arithmetic, which the oracle mirrors.
+    *
+    * Scale shape: the per-row features are codegen'd projections (no
+    * HOFs — the bullet/symbol counts are regexp counts); the
+    * repetition signals are two doc_id-keyed aggregates (lines,
+    * bigrams) joined back — three narrow shuffles, no quadratic work.
+    * The bigram table reuses the shingle machinery's per-token hashes:
+    * one window `lead` per doc-ordered token stream.
+    */
+  def gopherRules(s: SparkSession, dir: String,
+                  minWords: Long = 20L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxDupLineFrac: Double = 0.5,
+                  maxTopBigramFrac: Double = 0.3): DataFrame = {
+    val d = docs(s, dir)
+    val base = d
+      .withColumn("tk", TextHash.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        // nullif guard: a token-less doc must yield NULL in both
+        // engines (Spark 0.0/0.0 is NaN; NULL is the portable contract)
+        (length(concat_ws("", col("tk"))).cast("double") /
+          nullif(size(col("tk")), lit(0)).cast("double")).as("mean_word_len"),
+        (size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / nullif(size(col("tk")), lit(0)).cast("double"))
+          .as("symbol_word_ratio"),
+        (size(regexp_extract_all(col("text"), lit("(?m)^[-*] "), lit(0)))
+          .cast("double") /
+          (size(split(col("text"), "\n")).cast("double")))
+          .as("bullet_line_frac"))
+    val lines = d
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1.0) - countDistinct(col("line")).cast("double") /
+        count(lit(1)).cast("double")).as("dup_line_frac"))
+    val bigrams = d
+      .select(col("doc_id"),
+        posexplode(TextHash.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"),
+        TextHash.polyHash(col("tok")).as("h"))
+      .withColumn("bg",
+        pmod(col("h") * lit(31L) +
+          lead(col("h"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))), lit(TextHash.P)))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    base
+      .join(lines, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("symbol_word_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          coalesce(col("dup_line_frac") <= maxDupLineFrac, lit(true)) &&
+          coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true)))
+  }
+
   /** Q19 — token counting: whitespace tokens vs a BPE-ish regex
     * segmentation (letter runs | digit runs | single symbol).
     */

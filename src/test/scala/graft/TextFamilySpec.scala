@@ -62,6 +62,41 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("tfIdfTopTerms: hand-computed tf, df, log-free score, and tie-broken ranks") {
+    withDocsDir(Seq("a a b", "a c")) { dir =>
+      val rows = TextAnalysis.tfIdfTopTerms(spark, dir).orderBy("doc_id", "rnk")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"),
+          r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("score"),
+          r.getAs[Int]("rnk")))
+      // N=2; df: a=2, b=1, c=1. doc0: a 2*(2/2)=2, b 1*(2/1)=2 (tie -> token asc)
+      assert(rows === Array(
+        (0L, "a", 2L, 2L, 2.0, 1), (0L, "b", 1L, 1L, 2.0, 2),
+        (1L, "c", 1L, 1L, 2.0, 1), (1L, "a", 1L, 2L, 1.0, 2)))
+    }
+  }
+
+  test("gopherRules: hand-computed features, repeat-bigram rejection, keep flag, empty-doc guard") {
+    val good = (1 to 21).map(i => f"wd$i%03d").mkString(" ") // 21 distinct 5-char words
+    withDocsDir(Seq(good, "aa bb aa bb aa", " ")) { dir =>
+      val rows = TextAnalysis.gopherRules(spark, dir).orderBy("doc_id").collect()
+      val g = rows(0)
+      assert(g.getAs[Long]("n_words") === 21L)
+      assert(math.abs(g.getAs[Double]("mean_word_len") - 5.0) < 1e-12)
+      assert(g.getAs[Double]("symbol_word_ratio") === 0.0)
+      assert(g.getAs[Double]("bullet_line_frac") === 0.0)
+      assert(g.getAs[Double]("dup_line_frac") === 0.0)
+      assert(math.abs(g.getAs[Double]("top_bigram_frac") - 1.0 / 20) < 1e-12)
+      assert(g.getAs[Boolean]("keep"))
+      val rep = rows(1) // bigrams (aa,bb)x2 (bb,aa)x2 -> top frac 2/4
+      assert(math.abs(rep.getAs[Double]("top_bigram_frac") - 0.5) < 1e-12)
+      assert(!rep.getAs[Boolean]("keep")) // n_words=5 < 20 and bigram frac > 0.3
+      val empty = rows(2) // whitespace-only: token stats NULL, keep false
+      assert(empty.getAs[Long]("n_words") === 0L)
+      assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
+      assert(!empty.getAs[Boolean]("keep"))
+    }
+  }
+
   test("fingerprints: winnow keeps at most one fp per window position and is shift-stable inside") {
     // A doc shorter than k yields no rows.
     withDocsDir(Seq("short")) { dir =>
