@@ -970,4 +970,100 @@ object OracleSql {
        |)
        |SELECT experiment_id, channel, sample_idx, y_scaled FROM mx
        |WHERE y_scaled > pv AND y_scaled > nv""".stripMargin
+
+  // ---- Training-data pipeline family (operators/Pipeline.scala) ----
+
+  /** Q26 — KMV distinct-token sketch per source (mirrors
+    * functions/KmvSketch: the k smallest distinct hashes are
+    * order-independent, so a sorted-distinct window replays the
+    * sketch exactly).
+    */
+  def q26Kmv(k: Int = 64, space: Long = 1000000007L): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($tokensSql) AS token FROM documents
+       |),
+       |th AS (SELECT DISTINCT source, ${polyHashSql("token")} AS h FROM tok),
+       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r FROM th),
+       |agg AS (
+       |  SELECT source, count(*) AS nd, max(CASE WHEN r = $k THEN h END) AS kth
+       |  FROM rk WHERE r <= $k GROUP BY source
+       |)
+       |SELECT source, CAST(nd AS INTEGER) AS n_kept,
+       |  coalesce(kth, -1) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * CAST($space AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  END AS est_distinct
+       |FROM agg""".stripMargin
+
+  /** Q27 — deterministic hash split roll-up (mirrors
+    * Pipeline.hashSplit: bucket = polyHash(id-as-string) mod 100).
+    */
+  def q27HashSplit(trainPct: Int = 90, valPct: Int = 5): String =
+    s"""WITH b AS (
+       |  SELECT source, n_chars,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+       |  FROM documents
+       |)
+       |SELECT source,
+       |  CASE WHEN bucket < $trainPct THEN 'train'
+       |       WHEN bucket < ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Q28 — PII-style masking (mirrors Pipeline.piiMask; DuckDB
+    * regexp_replace needs the 'g' flag for replace-all parity with
+    * Spark).
+    */
+  def q28PiiMask: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '[0-9]+', '<NUM>', 'g') AS masked
+       |FROM documents""".stripMargin
+  }
+
+  /** Q29 — domain-mixture weighting (mirrors Pipeline.domainMix;
+    * identical division association).
+    */
+  def q29DomainMix: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM documents GROUP BY source, lang
+       |),
+       |t AS (SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS total FROM g)
+       |SELECT g.source, g.lang, g.n_docs, g.sum_chars,
+       |  CAST(g.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       |  least(CAST(1 AS DOUBLE),
+       |    (CAST(t.total AS DOUBLE) / CAST(t.n_groups AS DOUBLE))
+       |      / CAST(g.n_docs AS DOUBLE)) AS sample_rate
+       |FROM g, t""".stripMargin
+
+  /** Q30 — per-label centroid cosine (mirrors
+    * Similarity.labelCentroids; parity is rounding-level — see the
+    * operator's Scaladoc — which the driver's 6-decimal float
+    * canonicalization absorbs).
+    */
+  def q30LabelCentroids(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT vec_id, label, d AS dim, de[d] AS v
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(d)
+       |),
+       |c AS (SELECT label, dim, avg(v) AS c FROM x GROUP BY label, dim),
+       |j AS (
+       |  SELECT x.vec_id, x.label,
+       |    sum(x.v * c.c) AS dot, sum(x.v * x.v) AS nv, sum(c.c * c.c) AS nc
+       |  FROM x JOIN c ON c.label = x.label AND c.dim = x.dim
+       |  GROUP BY x.vec_id, x.label
+       |)
+       |SELECT vec_id, label, dot / (sqrt(nv) * sqrt(nc)) AS sim_centroid
+       |FROM j""".stripMargin
 }

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsofJoin, BeatMetrics, Dedup, Envelopes,
-  Multimodal, PeakDetect, Relational, Similarity, Smoothing, TextAnalysis}
+  Multimodal, PeakDetect, Pipeline, Relational, Similarity, Smoothing,
+  TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,7 +109,12 @@ object SparkEntry {
     "q23_asof_prev_click" -> AsofJoin.prevClick _,
     "q24_sessions" -> ((s, dir) => Relational.sessionRollup(s, dir)),
     "q25_stream_envelopes" -> ((s, _) =>
-      graft.streaming.StreamingOps.streamEnvelopesFixture(s))
+      graft.streaming.StreamingOps.streamEnvelopesFixture(s)),
+    "q26_kmv_distinct" -> ((s, dir) => Pipeline.kmvDistinctTokens(s, dir)),
+    "q27_hash_split" -> ((s, dir) => Pipeline.hashSplit(s, dir)),
+    "q28_pii_mask" -> Pipeline.piiMask _,
+    "q29_domain_mix" -> Pipeline.domainMix _,
+    "q30_label_centroids" -> Similarity.labelCentroids _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,6 +157,11 @@ object SparkEntry {
     "q22_stream_smooth" -> OracleSql.q22StreamSmooth(),
     "q23_asof_prev_click" -> OracleSql.q23AsofPrevClick,
     "q24_sessions" -> OracleSql.q24Sessions(),
-    "q25_stream_envelopes" -> OracleSql.q25StreamEnvelopes
+    "q25_stream_envelopes" -> OracleSql.q25StreamEnvelopes,
+    "q26_kmv_distinct" -> OracleSql.q26Kmv(),
+    "q27_hash_split" -> OracleSql.q27HashSplit(),
+    "q28_pii_mask" -> OracleSql.q28PiiMask,
+    "q29_domain_mix" -> OracleSql.q29DomainMix,
+    "q30_label_centroids" -> OracleSql.q30LabelCentroids()
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{KmvSketch, TextHash}
+
+/** Training-data pipeline operators beyond the per-document text
+  * family: corpus statistics (sketched distinct counts), deterministic
+  * dataset splits, PII-style masking, and domain-mixture weighting.
+  * All arithmetic is oracle-replicable (OracleSql q26–q29).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Q26 — KMV distinct-token sketch per `source`: bounded-state
+    * mergeable distinct estimate via [[KmvSketch]]. The typed
+    * aggregation runs partially on the map side (k longs per
+    * partition×source through the exchange), which is the whole point
+    * at 100 TB — `count(DISTINCT token)` would shuffle every token.
+    */
+  def kmvDistinctTokens(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    val sketch = new KmvSketch(k, TextHash.P)
+    docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .select(col("source"), TextHash.polyHash(col("token")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(sketch.toColumn)
+      .map { case (src, o) => (src, o.n_kept, o.kth_min, o.est_distinct) }
+      .toDF("source", "n_kept", "kth_min", "est_distinct")
+  }
+
+  /** Q27 — deterministic train/val/test split: bucket =
+    * polyHash(doc_id as string) mod 100, thresholds 90/95. A pure
+    * projection (no RNG, no shuffle before the roll-up aggregate), so
+    * the split is stable across runs, partitionings, and engines —
+    * the property a reproducible training pipeline actually needs.
+    * The string-hash avoids integer-multiply overflow under ANSI mode
+    * for arbitrarily large ids.
+    */
+  def hashSplit(s: SparkSession, dir: String,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    docs(s, dir)
+      .withColumn("bucket",
+        pmod(TextHash.polyHash(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Q28 — PII-style masking: count + redact email addresses and
+    * digit runs per document. Codegen'd regexp projections, no
+    * shuffle — the linear scan shape a redaction pass needs. The
+    * patterns are engine-portable (same leftmost non-overlapping
+    * semantics in Java regex and RE2).
+    */
+  def piiMask(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_numbers"),
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        "[0-9]+", "<NUM>").as("masked"))
+
+  /** Q29 — domain-mixture weighting: per (source, lang) corpus share
+    * and the uniform-over-groups target sampling rate
+    * `min(1, (N/G)/n_g)` — the rate that equalizes group volumes.
+    * Two stages: a corpus-wide aggregate (narrow shuffle), then a
+    * global window over the G-row aggregate — G = |sources×langs| is
+    * tiny by construction, so the single-partition window is safe at
+    * any corpus scale.
+    */
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val w = Window.partitionBy()
+    g.withColumn("total_docs", sum(col("n_docs")).over(w))
+      .withColumn("n_groups", count(lit(1)).over(w))
+      .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("share"),
+        least(lit(1.0),
+          (col("total_docs").cast("double") / col("n_groups").cast("double"))
+            / col("n_docs").cast("double")).as("sample_rate"))
+  }
+}

@@ -167,4 +167,37 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("probe_id", "vec_id", "sim", "rnk")
   }
+
+  /** Q30 — per-label centroids + each vector's cosine to its own
+    * label centroid (the standard embedding-space outlier/mislabel
+    * signal for training-data pruning).
+    *
+    * Scale shape: posexplode to (label, dim, v) rows — the columnar
+    * expansion an array-mean needs in SQL form — then one (label, dim)
+    * aggregate for the centroids (labels×dim rows, broadcast back) and
+    * one vec_id aggregate for the three folds. No quadratic work; the
+    * only wide exchange is keyed by vec_id.
+    *
+    * Unlike q16's probe folds, the per-dim sums here run in Spark's
+    * aggregate order, so this query's parity is rounding-level (the
+    * driver canonicalizes floats to 6 decimals), not bitwise — the sums
+    * span ≤64 unit-magnitude terms, error ~1e-15.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("vf").cast("double").as("v"))
+    val cent = e.groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    e.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sum(col("v") * col("v")).as("nv"),
+        sum(col("c") * col("c")).as("nc"))
+      .select(col("vec_id"), col("label"),
+        (col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))))
+          .as("sim_centroid"))
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.{KmvSketch, TextHash}
+import graft.operators.{Pipeline, Similarity}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCorpusDir(rows: Seq[(Long, String, String, String)])
+                           (f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("pipeline").toString
+    try {
+      rows.map { case (id, text, lang, source) =>
+        (id, text, lang, source, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  // ---- KmvSketch unit behavior ----
+
+  test("KmvSketch: exact below saturation, capped and order-insensitive above") {
+    val sk = new KmvSketch(4, 1000L)
+    val values = Seq(700L, 50L, 300L, 50L, 900L, 10L, 500L, 300L)
+    val fold = values.foldLeft(sk.zero)((b, v) => sk.reduce(b, ("g", v)))
+    assert(fold.toSeq === Seq(10L, 50L, 300L, 500L)) // 4 smallest distinct
+    // any partitioning into partial buffers merges to the same state
+    val (l, r) = values.splitAt(3)
+    val merged = sk.merge(
+      l.foldLeft(sk.zero)((b, v) => sk.reduce(b, ("g", v))),
+      r.reverse.foldLeft(sk.zero)((b, v) => sk.reduce(b, ("g", v))))
+    assert(merged.toSeq === fold.toSeq)
+    val out = sk.finish(fold)
+    assert(out.n_kept === 4 && out.kth_min === 500L)
+    assert(math.abs(out.est_distinct - 3.0 * 1000.0 / 500.0) < 1e-12)
+    // below saturation: exact count, no extrapolation
+    val small = sk.finish(sk.reduce(sk.reduce(sk.zero, ("g", 9L)), ("g", 2L)))
+    assert(small.n_kept === 2 && small.kth_min === -1L && small.est_distinct === 2.0)
+  }
+
+  test("kmvDistinctTokens: sketch is exact for a group with < k distinct tokens") {
+    withCorpusDir(Seq(
+      (0L, "a b c a", "en", "web"),
+      (1L, "b c d", "en", "web"),
+      (2L, "x y", "en", "books"))) { dir =>
+      val out = Pipeline.kmvDistinctTokens(spark, dir, k = 64).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("est_distinct")).toMap
+      assert(out === Map("web" -> 4.0, "books" -> 2.0))
+    }
+  }
+
+  // ---- hashSplit ----
+
+  test("hashSplit: partitions every doc exactly once with stable split labels") {
+    val docs = (0L until 200L).map(i => (i, s"doc number $i text", "en",
+      if (i % 2 == 0) "web" else "books"))
+    withCorpusDir(docs) { dir =>
+      val out = Pipeline.hashSplit(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("n_docs")).sum === 200L)
+      val splits = out.map(_.getAs[String]("split")).toSet
+      assert(splits.subsetOf(Set("train", "val", "test")))
+      assert(splits.contains("train")) // 90% of buckets — must appear
+      // determinism: a second run yields identical rows
+      val again = Pipeline.hashSplit(spark, dir).collect()
+      assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    }
+  }
+
+  // ---- piiMask ----
+
+  test("piiMask: masks emails then digit runs, counts both") {
+    withCorpusDir(Seq(
+      (0L, "mail me at jane.doe+x@example.org or call 555 1234", "en", "web"),
+      (1L, "no pii here", "en", "web"))) { dir =>
+      val rows = Pipeline.piiMask(spark, dir).orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("n_emails") === 1L)
+      assert(rows(0).getAs[Long]("n_numbers") === 2L)
+      assert(rows(0).getAs[String]("masked") ===
+        "mail me at <EMAIL> or call <NUM> <NUM>")
+      assert(rows(1).getAs[Long]("n_emails") === 0L)
+      assert(rows(1).getAs[String]("masked") === "no pii here")
+    }
+  }
+
+  // ---- domainMix ----
+
+  test("domainMix: uniform-over-groups rate upweights the rare group and caps at 1") {
+    // web/en: 8 docs, books/fr: 2 docs -> N=10, G=2, target N/G=5
+    val docs = (0L until 8L).map(i => (i, s"t$i", "en", "web")) ++
+      Seq((8L, "t8", "fr", "books"), (9L, "t9", "fr", "books"))
+    withCorpusDir(docs) { dir =>
+      val out = Pipeline.domainMix(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Double]("share"), r.getAs[Double]("sample_rate")))).toMap
+      assert(out("web") === ((0.8, 5.0 / 8.0)))
+      assert(out("books") === ((0.2, 1.0))) // 5/2 capped at 1
+    }
+  }
+
+  // ---- labelCentroids ----
+
+  test("labelCentroids: vectors identical to their centroid have sim 1; orthogonal outlier doesn't") {
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    try {
+      // label 0: two identical vectors -> centroid == vector -> sim 1
+      // label 1: two orthogonal vectors -> sim to mean = cos(45 deg)
+      Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+        (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1),
+        (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)
+      ).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.labelCentroids(spark, dir).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sim_centroid")).toMap
+      assert(math.abs(out(0L) - 1.0) < 1e-12)
+      assert(math.abs(out(1L) - 1.0) < 1e-12)
+      assert(math.abs(out(2L) - math.sqrt(0.5)) < 1e-12)
+      assert(math.abs(out(3L) - math.sqrt(0.5)) < 1e-12)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}
