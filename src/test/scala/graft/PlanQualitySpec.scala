@@ -73,4 +73,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("merge_min")
       || "HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q26: KMV sketch runs as a partial typed aggregate (k longs per partition cross the exchange)") {
+    val p = plan("q26_kmv_distinct")
+    // typed Aggregator lowers to ObjectHashAggregate / SortAggregate
+    // with a partial phase before the key exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("partial_kmvsketch") ||
+      "(?i)partial".r.findFirstIn(p).isDefined, s"no partial agg phase:\n$p")
+  }
+
+  test("q27: hash split is projection + one aggregate exchange — no join, no extra shuffle") {
+    val p = plan("q27_hash_split")
+    assert(!p.contains("Join"), "split must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("q30: centroid table is broadcast back, not shuffled into a sort-merge join") {
+    val p = plan("q30_label_centroids")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
