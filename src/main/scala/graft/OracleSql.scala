@@ -971,6 +971,40 @@ object OracleSql {
        |SELECT experiment_id, channel, sample_idx, y_scaled FROM mx
        |WHERE y_scaled > pv AND y_scaled > nv""".stripMargin
 
+  /** Q31 — within-doc repeated-line removal (mirrors
+    * TextAnalysis.dedupLines: first-occurrence order rebuild).
+    */
+  def q31DedupLines: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+       |l AS (
+       |  SELECT doc_id, i AS pos, ls[i] AS line
+       |  FROM d, unnest(range(1, len(ls) + 1)) AS t(i)
+       |),
+       |f AS (SELECT doc_id, line, min(pos) AS fpos FROM l GROUP BY doc_id, line),
+       |a AS (
+       |  SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY fpos) AS clean_text,
+       |    count(*) AS n_unique_lines
+       |  FROM f GROUP BY doc_id
+       |)
+       |SELECT d2.doc_id,
+       |  CAST(len(string_split(d2.text, chr(10))) AS BIGINT) AS n_lines,
+       |  a.clean_text, a.n_unique_lines,
+       |  CAST(len(string_split(d2.text, chr(10))) AS BIGINT) - a.n_unique_lines AS n_removed
+       |FROM documents d2 JOIN a ON a.doc_id = d2.doc_id""".stripMargin
+
+  /** Q32 — exact per-type percentiles: DuckDB `quantile_cont` and
+    * Spark `percentile` share the (n-1)·p linear-interpolation
+    * definition; last-bit float drift is absorbed by the driver's
+    * 6-decimal canonicalization.
+    */
+  def q32Percentiles: String =
+    s"""SELECT event_type, count(*) AS n,
+       |  quantile_cont(value, 0.5) AS p50,
+       |  quantile_cont(value, 0.9) AS p90,
+       |  quantile_cont(value, 0.99) AS p99
+       |FROM events GROUP BY event_type""".stripMargin
+
   // ---- Training-data pipeline family (operators/Pipeline.scala) ----
 
   /** Q26 — KMV distinct-token sketch per source (mirrors

@@ -114,7 +114,9 @@ object SparkEntry {
     "q27_hash_split" -> ((s, dir) => Pipeline.hashSplit(s, dir)),
     "q28_pii_mask" -> Pipeline.piiMask _,
     "q29_domain_mix" -> Pipeline.domainMix _,
-    "q30_label_centroids" -> Similarity.labelCentroids _
+    "q30_label_centroids" -> Similarity.labelCentroids _,
+    "q31_dedup_lines" -> TextAnalysis.dedupLines _,
+    "q32_percentiles" -> Relational.valuePercentiles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,6 +164,8 @@ object SparkEntry {
     "q27_hash_split" -> OracleSql.q27HashSplit(),
     "q28_pii_mask" -> OracleSql.q28PiiMask,
     "q29_domain_mix" -> OracleSql.q29DomainMix,
-    "q30_label_centroids" -> OracleSql.q30LabelCentroids()
+    "q30_label_centroids" -> OracleSql.q30LabelCentroids(),
+    "q31_dedup_lines" -> OracleSql.q31DedupLines,
+    "q32_percentiles" -> OracleSql.q32Percentiles
   )
 }

@@ -121,4 +121,24 @@ object Relational {
         unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
   }
+
+  /** Q32 — exact value percentiles per event type (p50/p90/p99 with
+    * the standard linear interpolation at rank (n-1)·p, matching
+    * DuckDB's `quantile_cont` definition).
+    *
+    * Exact percentile sorts within each group — fine for bounded
+    * group counts; at 100 TB the scale path is
+    * `approx_percentile(value, p, accuracy)` (t-digest-style sketch,
+    * partial+merge), which has no cross-engine oracle and therefore
+    * backs the spec-level check only (RelationalFamilySpec pins the
+    * approx result within the exact result's neighborhood).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"))
 }

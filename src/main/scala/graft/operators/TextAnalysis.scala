@@ -233,6 +233,36 @@ object TextAnalysis {
           coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true)))
   }
 
+  /** Q31 — within-document repetition removal: drop every repeated
+    * line after its first occurrence, rebuild the text, and report how
+    * many lines were removed (the intra-doc analog of the corpus-level
+    * dedup family — boilerplate/footer stripping).
+    *
+    * Scale shape: explode → (doc_id, line) first-occurrence aggregate →
+    * doc_id re-assembly — two doc_id-keyed shuffles, state bounded by
+    * the document's own line count. The rebuild is deterministic:
+    * lines are re-joined in first-occurrence order via an array_sort
+    * on (pos, line) structs, which the oracle mirrors with an
+    * ORDER BY inside string_agg.
+    */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val firsts = d
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(min(col("pos")).as("fpos"))
+    val rebuilt = firsts.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("fpos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_unique_lines"))
+    d.select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, "doc_id")
+      .withColumn("n_removed", col("n_lines") - col("n_unique_lines"))
+  }
+
   /** Q19 — token counting: whitespace tokens vs a BPE-ish regex
     * segmentation (letter runs | digit runs | single symbol).
     */

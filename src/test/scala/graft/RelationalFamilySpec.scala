@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalFamilySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withEventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)])
+                           (f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("relfam").toString
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("valuePercentiles: linear interpolation at (n-1)p, per group") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 5).map(i =>
+      (i.toLong, t0, 1L, "click", i.toDouble, "{}")) :+
+      (6L, t0, 1L, "view", 10.0, "{}")
+    withEventsDir(rows) { dir =>
+      val out = Relational.valuePercentiles(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("p50"),
+            r.getAs[Double]("p90"), r.getAs[Double]("p99")))).toMap
+      // click: sorted 1..5; idx(p)= (5-1)p -> p50=3, p90=4.6, p99=4.96
+      val (n, p50, p90, p99) = out("click")
+      assert(n === 5L && p50 === 3.0)
+      assert(math.abs(p90 - 4.6) < 1e-12)
+      assert(math.abs(p99 - 4.96) < 1e-12)
+      assert(out("view") === ((1L, 10.0, 10.0, 10.0)))
+    }
+  }
+
+  test("approx_percentile (the 100 TB path) lands in the exact percentile's neighborhood") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 1000).map(i => (i.toLong, t0, 1L, "click", i.toDouble, "{}"))
+    withEventsDir(rows) { dir =>
+      val exact = Relational.valuePercentiles(spark, dir)
+        .filter(col("event_type") === "click").head().getAs[Double]("p50")
+      val approx = spark.read.parquet(s"$dir/events.parquet")
+        .agg(approx_percentile(col("value"), lit(0.5), lit(10000)).as("a"))
+        .head().getAs[Double]("a")
+      assert(math.abs(approx - exact) <= 1.0) // element-valued sketch, tight at this accuracy
+    }
+  }
+}

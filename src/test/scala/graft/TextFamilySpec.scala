@@ -97,6 +97,18 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines: drops repeats after first occurrence, rebuilds in original order") {
+    withDocsDir(Seq("a\nb\na\nc\nb", "solo")) { dir =>
+      val rows = TextAnalysis.dedupLines(spark, dir).orderBy("doc_id").collect()
+      assert(rows(0).getAs[Long]("n_lines") === 5L)
+      assert(rows(0).getAs[Long]("n_unique_lines") === 3L)
+      assert(rows(0).getAs[Long]("n_removed") === 2L)
+      assert(rows(0).getAs[String]("clean_text") === "a\nb\nc")
+      assert(rows(1).getAs[String]("clean_text") === "solo")
+      assert(rows(1).getAs[Long]("n_removed") === 0L)
+    }
+  }
+
   test("fingerprints: winnow keeps at most one fp per window position and is shift-stable inside") {
     // A doc shorter than k yields no rows.
     withDocsDir(Seq("short")) { dir =>
