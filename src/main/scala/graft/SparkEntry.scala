@@ -116,7 +116,9 @@ object SparkEntry {
     "q29_domain_mix" -> Pipeline.domainMix _,
     "q30_label_centroids" -> Similarity.labelCentroids _,
     "q31_dedup_lines" -> TextAnalysis.dedupLines _,
-    "q32_percentiles" -> Relational.valuePercentiles _
+    "q32_percentiles" -> Relational.valuePercentiles _,
+    "q33_stream_kmv" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamKmvFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,6 +168,8 @@ object SparkEntry {
     "q29_domain_mix" -> OracleSql.q29DomainMix,
     "q30_label_centroids" -> OracleSql.q30LabelCentroids(),
     "q31_dedup_lines" -> OracleSql.q31DedupLines,
-    "q32_percentiles" -> OracleSql.q32Percentiles
+    "q32_percentiles" -> OracleSql.q32Percentiles,
+    // q33 converges to the batch sketch — same oracle as q26
+    "q33_stream_kmv" -> OracleSql.q26Kmv()
   )
 }

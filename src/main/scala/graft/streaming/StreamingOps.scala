@@ -329,6 +329,75 @@ object StreamingOps {
         s"r.$tsCol BETWEEN l.$tsCol - INTERVAL $lookback AND l.$tsCol"))
   }
 
+  /** KMV sketch state carried across micro-batches: the bounded
+    * sorted-distinct hash buffer plus an update counter (to select the
+    * final emission per group downstream).
+    */
+  case class KmvBuf(vals: Array[Long], version: Int)
+
+  /** Per-batch KMV emission for one group. */
+  case class KmvUpdate(source: String, version: Int, n_kept: Int,
+                       kth_min: Long, est_distinct: Double)
+
+  /** Q33 (operator) — continuous distinct-count sketch per key:
+    * [[graft.functions.KmvSketch]] state folded across micro-batches
+    * with `mapGroupsWithState`. State is k longs per key — bounded
+    * forever, no watermark needed (the sketch never grows) — and the
+    * emitted estimate after any prefix of the stream equals the batch
+    * sketch over that prefix, because KMV state is order-independent.
+    * That is the streaming-analytics shape for "distinct tokens per
+    * source so far" at 100 TB/day: no distinct shuffle, no unbounded
+    * state.
+    */
+  def streamKmv(ds: Dataset[(String, Long)], k: Int = 64,
+                space: Long = graft.functions.TextHash.P): Dataset[KmvUpdate] = {
+    import ds.sparkSession.implicits._
+    val sk = new graft.functions.KmvSketch(k, space)
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[KmvBuf, KmvUpdate](GroupStateTimeout.NoTimeout()) {
+        case (src, it, state) =>
+          val prev = if (state.exists) state.get else KmvBuf(Array.emptyLongArray, 0)
+          val buf = it.foldLeft(prev.vals)((b, r) => sk.reduce(b, r))
+          val ver = prev.version + 1
+          state.update(KmvBuf(buf, ver))
+          val o = sk.finish(buf)
+          KmvUpdate(src, ver, o.n_kept, o.kth_min, o.est_distinct)
+      }
+  }
+
+  /** q33 — [[streamKmv]] driven over the sfDir documents table via a
+    * 3-micro-batch MemoryStream; the final per-source emission equals
+    * the batch q26 sketch (same oracle SQL) because the KMV fold is
+    * order- and batching-independent. The collect feeds the
+    * MemoryStream test harness only — the production operator above is
+    * fully distributed.
+    */
+  def streamKmvFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("token"))
+      .select(col("source"), graft.functions.TextHash.polyHash(col("token")).as("h"))
+      .as[(String, Long)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val name = s"q33_stream_kmv_${System.nanoTime()}"
+    val q = streamKmv(stream.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("version").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("source", "n_kept", "kth_min", "est_distinct")
+  }
+
   /** q22 — drive the incremental smoother over the committed signal
     * fixture through a real MemoryStream (three micro-batches to
     * exercise state carry-over), collect from the memory sink, and
