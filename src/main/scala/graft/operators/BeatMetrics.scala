@@ -51,20 +51,35 @@ object BeatMetrics {
     val wPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
     val wNext = wo.rowsBetween(1, Window.unboundedFollowing)
 
+    // Aggregate struct(sample_idx, y_smooth) instead of the bare index:
+    // struct ordering is by leading field, so max/min-by-index also
+    // carries the y_smooth at the crossing — the marker VALUES come out
+    // of the same single window pass, with no join back to the spine.
+    val iy = struct(col("sample_idx"), col("y_smooth"))
     val stateT = coalesce(col("y_smooth") >= col("diastolic"), lit(false))
     val stateR = coalesce(col("y_smooth") <= col("diastolic"), lit(false))
+
+    val markerCols: Seq[Column] =
+      if (markers) Seq(col("_firstIy"), col("_lastTs"), col("_lastFs"),
+        col("_nextTs"), col("_nextFs"))
+      else Seq.empty
 
     val crossed = enriched
       .withColumn("_n", count(lit(1)).over(wch))
       .withColumn("_st", stateT)
       .withColumn("_sr", stateR)
-      .withColumn("_lastT", max(when(col("_st"), col("sample_idx"))).over(wPrev))
-      .withColumn("_lastF", max(when(!col("_st"), col("sample_idx"))).over(wPrev))
-      .withColumn("_nextT", min(when(col("_sr"), col("sample_idx"))).over(wNext))
-      .withColumn("_nextF", min(when(!col("_sr"), col("sample_idx"))).over(wNext))
+      .withColumn("_lastTs", max(when(col("_st"), iy)).over(wPrev))
+      .withColumn("_lastFs", max(when(!col("_st"), iy)).over(wPrev))
+      .withColumn("_nextTs", min(when(col("_sr"), iy)).over(wNext))
+      .withColumn("_nextFs", min(when(!col("_sr"), iy)).over(wNext))
+      .withColumn("_firstIy", min(iy).over(wch))
+      .withColumn("_lastT", col("_lastTs.sample_idx"))
+      .withColumn("_lastF", col("_lastFs.sample_idx"))
+      .withColumn("_nextT", col("_nextTs.sample_idx"))
+      .withColumn("_nextF", col("_nextFs.sample_idx"))
       .select(keys :+ col("sample_idx") :+ col("baseline") :+ col("_n") :+
         col("_st") :+ col("_sr") :+ col("_lastT") :+ col("_lastF") :+
-        col("_nextT") :+ col("_nextF"): _*)
+        col("_nextT") :+ col("_nextF") :++ markerCols: _*)
 
     val joined = peaks.join(
       crossed.withColumnRenamed("sample_idx", "peak_idx"),
@@ -94,50 +109,39 @@ object BeatMetrics {
         when(col("time_to_peak").isNotNull &&
           col("time_to_relaxation").isNotNull,
           col("time_to_relaxation") + col("time_to_peak")))
-      // walk-exit indices, null exactly when the metric is null — the
-      // TTP/TTR marker points (`peak_analysis.py:95,113`) live there
-      .withColumn("_ttp_idx",
-        when(col("time_to_peak").isNotNull, coalesce(flipL, lit(0L))))
-      .withColumn("_ttr_idx",
-        when(col("time_to_relaxation").isNotNull, exitIdx))
-
-    // marker values: y_smooth at the exit index, fetched by an equi
-    // join back to the enriched spine (same (channel, idx) shuffle
-    // family as the metrics join — no extra scan pattern)
-    def smoothAt(out: String): DataFrame = {
-      val pfx = s"_$out"
-      enriched.select(
-        (keyCols.map(k => col(k).as(s"$pfx$k")) :+
-          col("sample_idx").as(s"${pfx}i") :+
-          col("y_smooth").as(out)): _*)
-    }
-    def joinAt(df: DataFrame, lookup: DataFrame, idxCol: String, out: String): DataFrame = {
-      val pfx = s"_$out"
-      val cond = keyCols.map(k => col(k) === col(s"$pfx$k"))
-        .reduce(_ && _) && col(idxCol) === col(s"${pfx}i")
-      df.join(lookup, cond, "left")
-        .drop((keyCols.map(k => s"$pfx$k") :+ s"${pfx}i"): _*)
-    }
-
     val base = keys :+ col("peak_idx") :+ col("t") :+ col("peak_value") :+
       col("baseline").as("baseline_value") :+ col("force") :+
       col("time_to_peak") :+ col("time_to_relaxation") :+ col("duration")
 
     if (!markers) withMetrics.select(base: _*)
     else {
-      joinAt(
-        joinAt(withMetrics, smoothAt("ttp_y"), "_ttp_idx", "ttp_y"),
-        smoothAt("ttr_y"), "_ttr_idx", "ttr_y")
-      // marker times derive from the PEAK's timestamp (reference:
-      // peak_timestamp ∓ i/rate), not the exit sample's own t
-      .withColumn("ttp_t",
-        when(col("_ttp_idx").isNotNull,
-          col("t") - (col("peak_idx") - col("_ttp_idx")).cast("double") / rate))
-      .withColumn("ttr_t",
-        when(col("_ttr_idx").isNotNull,
-          col("t") + (col("_ttr_idx") - col("peak_idx")).cast("double") / rate))
-      .select((base :+ col("ttp_t") :+ col("ttp_y") :+
-        col("ttr_t") :+ col("ttr_y")): _*)
+      // marker points (`peak_analysis.py:95,113`): the walk-exit index
+      // and the y_smooth there, both read off the window structs — an
+      // exhausted left walk (flipL null) exits at the channel's first
+      // sample. Marker times derive from the PEAK's timestamp
+      // (peak_timestamp ∓ i/rate), not the exit sample's own t.
+      val flipLs = when(col("_st"), col("_lastFs")).otherwise(col("_lastTs"))
+      val flipRs = when(col("_sr"), col("_nextFs")).otherwise(col("_nextTs"))
+      val ttpIdx = when(col("time_to_peak").isNotNull,
+        coalesce(flipL, lit(0L)))
+      val ttrIdx = when(col("time_to_relaxation").isNotNull, exitIdx)
+      withMetrics
+        .withColumn("ttp_t",
+          when(ttpIdx.isNotNull,
+            col("t") - (col("peak_idx") - ttpIdx).cast("double") / rate))
+        .withColumn("ttp_y",
+          when(ttpIdx.isNotNull,
+            coalesce(flipLs.getField("y_smooth"),
+              col("_firstIy.y_smooth"))))
+        .withColumn("ttr_t",
+          when(ttrIdx.isNotNull,
+            col("t") + (ttrIdx - col("peak_idx")).cast("double") / rate))
+        // ttr non-null ⇒ exitIdx = flipR < n−1, so the y is the flip
+        // struct's own value — no edge fallback needed on the right
+        .withColumn("ttr_y",
+          when(ttrIdx.isNotNull, flipRs.getField("y_smooth")))
+        .select((base :+ col("ttp_t") :+ col("ttp_y") :+
+          col("ttr_t") :+ col("ttr_y")): _*)
     }
   }
 

@@ -103,7 +103,7 @@ class BeatMetricsSpec extends SparkSpec {
       eEx.filter($"sample_idx" === 0).head().getAs[Double]("y_smooth"))
   }
 
-  test("markers=false skips the marker columns and their spine joins") {
+  test("markers=false skips the marker columns; markers add no joins") {
     val e = enriched(20, 4 to 8)
     val lean = BeatMetrics.metrics(e, peakAt(6, 25.0), markers = false)
     assert(!lean.columns.contains("ttp_y") && !lean.columns.contains("ttr_t"))
@@ -112,10 +112,13 @@ class BeatMetricsSpec extends SparkSpec {
     assert(lean.collect()(0).toSeq ===
       full.select(lean.columns.map(org.apache.spark.sql.functions.col): _*)
         .collect()(0).toSeq)
-    // and the lean plan has strictly fewer joins
+    // marker values ride the window pass as struct aggregates: BOTH
+    // plans have exactly the one peaks↔spine metrics join — markers
+    // must never reintroduce a lookup join against the full spine
     def joins(df: org.apache.spark.sql.DataFrame) =
       "Join".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
-    assert(joins(lean) < joins(full))
+    assert(joins(lean) === 1)
+    assert(joins(full) === 1)
   }
 
   test("summary: exact averages, zero-peak channels present with nulls") {
