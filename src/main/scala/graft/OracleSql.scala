@@ -1005,6 +1005,34 @@ object OracleSql {
        |  quantile_cont(value, 0.99) AS p99
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Q34 — pricing-summary ROLLUP. GROUPING() bits reconstructed to
+    * match Spark's grouping_id bit-vector (first column = MSB); counts
+    * and gid CAST back to BIGINT (DuckDB sum/arith promotion would
+    * otherwise hash as float/HUGEINT — the q13 lesson).
+    */
+  def q34Rollup: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  count(*) AS n_rows,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Q34b — events CUBE over (event_type, day). */
+  def q34bCube: String =
+    s"""SELECT event_type, day,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+       |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+       |FROM (
+       |  SELECT event_type,
+       |    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       |    value
+       |  FROM events
+       |)
+       |GROUP BY CUBE(event_type, day)""".stripMargin
+
   // ---- Training-data pipeline family (operators/Pipeline.scala) ----
 
   /** Q26 — KMV distinct-token sketch per source (mirrors
@@ -1076,6 +1104,57 @@ object OracleSql {
        |    (CAST(t.total AS DOUBLE) / CAST(t.n_groups AS DOUBLE))
        |      / CAST(g.n_docs AS DOUBLE)) AS sample_rate
        |FROM g, t""".stripMargin
+
+  /** Q35 — benchmark decontamination (mirrors Pipeline.decontaminate:
+    * same 3-token shingle hashes via shingleCtes, benchmark slice
+    * doc_id % benchMod = 0, count of shared distinct shingles).
+    */
+  def q35Decontaminate(benchMod: Long = 50L, minShared: Long = 3L): String =
+    s"""WITH $shingleCtes,
+       |bench AS (SELECT DISTINCT h FROM shq WHERE doc_id % $benchMod = 0),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM shq s JOIN bench b ON s.h = b.h
+       |  WHERE s.doc_id % $benchMod <> 0
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(hh.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(hh.n_shared, 0) >= $minShared AS contaminated
+       |FROM documents d
+       |LEFT JOIN hits hh ON d.doc_id = hh.doc_id
+       |WHERE d.doc_id % $benchMod <> 0""".stripMargin
+
+  /** Q36 — deterministic quality-weighted sampling (mirrors
+    * Pipeline.qualitySample: the Q18 quality score and the
+    * polyHash(doc_id)-derived uniform, kept iff u < score).
+    */
+  def q36QualitySample(buckets: Long = 10000L): String = {
+    val en = graft.operators.TextAnalysis.langMarkers.head._2
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, $tokensSql AS tk,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT doc_id, n_chars, n_punct,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS sum_len,
+       |    ${hitsSql(en)} AS en_hits
+       |  FROM d
+       |),
+       |sc AS (
+       |  SELECT doc_id,
+       |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |      + 0.3 * (1.0 - CAST(en_hits AS DOUBLE) / n_tokens)
+       |      + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality_score,
+       |    CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} % $buckets AS DOUBLE)
+       |      / ${buckets}.0 AS u
+       |  FROM q
+       |)
+       |SELECT doc_id, quality_score, u, u < quality_score AS kept
+       |FROM sc""".stripMargin
+  }
 
   /** Q30 — per-label centroid cosine (mirrors
     * Similarity.labelCentroids; parity is rounding-level — see the

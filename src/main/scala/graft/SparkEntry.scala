@@ -118,7 +118,11 @@ object SparkEntry {
     "q31_dedup_lines" -> TextAnalysis.dedupLines _,
     "q32_percentiles" -> Relational.valuePercentiles _,
     "q33_stream_kmv" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamKmvFixture(s, dir))
+      graft.streaming.StreamingOps.streamKmvFixture(s, dir)),
+    "q34_rollup" -> Relational.pricingRollup _,
+    "q34b_cube" -> Relational.eventsCube _,
+    "q35_decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
+    "q36_quality_sample" -> ((s, dir) => Pipeline.qualitySample(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,6 +174,10 @@ object SparkEntry {
     "q31_dedup_lines" -> OracleSql.q31DedupLines,
     "q32_percentiles" -> OracleSql.q32Percentiles,
     // q33 converges to the batch sketch — same oracle as q26
-    "q33_stream_kmv" -> OracleSql.q26Kmv()
+    "q33_stream_kmv" -> OracleSql.q26Kmv(),
+    "q34_rollup" -> OracleSql.q34Rollup,
+    "q34b_cube" -> OracleSql.q34bCube,
+    "q35_decontaminate" -> OracleSql.q35Decontaminate(),
+    "q36_quality_sample" -> OracleSql.q36QualitySample()
   )
 }

@@ -95,4 +95,49 @@ object Pipeline {
           (col("total_docs").cast("double") / col("n_groups").cast("double"))
             / col("n_docs").cast("double")).as("sample_rate"))
   }
+
+  /** Q35 — benchmark decontamination: flag corpus documents sharing
+    * ≥ `minShared` distinct 3-token shingles with a benchmark/eval set
+    * (the GPT-3/Pile n-gram-overlap technique). The benchmark here is
+    * the deterministic slice `doc_id % benchMod == 0`; in production
+    * it is the eval suites — tiny relative to the corpus, which is
+    * exactly why the plan broadcasts the benchmark's distinct shingle
+    * set and keeps the corpus side to ONE doc_id-keyed shuffle
+    * (partial count on the map side). `explode_outer` over the
+    * per-document `array_distinct` keeps shingle-less docs in the
+    * output with n_shared = 0 and dedups within-doc shingles without
+    * any extra shuffle.
+    */
+  def decontaminate(s: SparkSession, dir: String,
+                    benchMod: Long = 50L, minShared: Long = 3L): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      array_distinct(TextHash.shingleHashes(col("text"))).as("sh"))
+    val isBench = col("doc_id") % benchMod === 0
+    val bench = sh.filter(isBench)
+      .select(explode(col("sh")).as("h")).distinct()
+      .withColumn("_hit", lit(1))
+    sh.filter(!isBench)
+      .select(col("doc_id"), explode_outer(col("sh")).as("h"))
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("_hit")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+  }
+
+  /** Q36 — deterministic quality-weighted downsampling: keep document
+    * d iff `u(d) < quality_score(d)` where u is the hash-derived
+    * uniform `polyHash(doc_id) % buckets / buckets`. A pure
+    * projection on top of the Q18 quality pass — no RNG state, no
+    * shuffle, reproducible across runs/partitionings/engines, and the
+    * keep-probability equals the quality score, which is the
+    * importance-sampling contract a data-mixing pipeline needs.
+    */
+  def qualitySample(s: SparkSession, dir: String,
+                    buckets: Long = 10000L): DataFrame = {
+    val u = (pmod(TextHash.polyHash(col("doc_id").cast("string")),
+      lit(buckets)).cast("double") / lit(buckets.toDouble)).as("u")
+    TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"), u)
+      .withColumn("kept", col("u") < col("quality_score"))
+  }
 }

@@ -141,4 +141,42 @@ object Relational {
         percentile(col("value"), lit(0.5)).as("p50"),
         percentile(col("value"), lit(0.9)).as("p90"),
         percentile(col("value"), lit(0.99)).as("p99"))
+
+  /** Q34 — pricing-summary ROLLUP over (returnflag, linestatus):
+    * per-combination, per-flag subtotal, and grand-total rows in one
+    * pass. Spark expands grouping sets BEFORE the partial aggregate,
+    * so the rollup still runs as partial+final hash aggregation — one
+    * shuffle, no extra pass per grouping level. `gid` is the standard
+    * bit-vector (first grouping column = MSB), which disambiguates
+    * "NULL because aggregated" from a genuinely NULL key at any scale.
+    */
+  def pricingRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
+          .as("sum_qty"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        grouping_id().as("gid"))
+
+  /** Q34b — full CUBE over (event_type, day): all four grouping sets
+    * (type×day, type, day, total) in one shuffle. Same nanos→day
+    * derivation as Q13.
+    */
+  def eventsCube(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day = date_format(
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        to_date(expr("timestamp_micros(ts div 1000)"))
+      else to_date(col("ts")),
+      "yyyy-MM-dd")
+    ev.select(col("event_type"), day.as("day"), col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"),
+        grouping_id().as("gid"))
+  }
 }

@@ -94,4 +94,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q35: benchmark shingle set is broadcast; corpus side shuffles once, on doc_id") {
+    val p = plan("q35_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shingles must never sort-merge against the benchmark")
+    // the only hash exchanges are the bench-distinct (tiny) and the
+    // final doc_id count — the exploded corpus never re-shuffles on h
+    assert("Exchange hashpartitioning\\(h".r.findAllIn(p).size <= 1)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size === 1)
+  }
+
+  test("q36: quality sampling is a pure projection — no shuffle at all") {
+    val p = plan("q36_quality_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
 }

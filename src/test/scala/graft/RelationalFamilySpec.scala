@@ -49,4 +49,49 @@ class RelationalFamilySpec extends SparkSpec {
       assert(math.abs(approx - exact) <= 1.0) // element-valued sketch, tight at this accuracy
     }
   }
+
+  test("eventsCube: all four grouping sets, gid disambiguates NULL keys") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"),
+      (2L, t0, 1L, "view", 2.0, "{}"),
+      (3L, t1, 1L, "click", 4.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.eventsCube(spark, dir).collect()
+      // 3 present (type, day) combos + 2 type subtotals + 2 day
+      // subtotals + 1 grand total
+      assert(out.length === 8)
+      val byGid = out.groupBy(_.getAs[Long]("gid")).view.mapValues(_.length).toMap
+      assert(byGid === Map(0L -> 3, 1L -> 2, 2L -> 2, 3L -> 1))
+      val total = out.find(_.getAs[Long]("gid") == 3L).get
+      assert(total.getAs[Long]("n_events") === 3L)
+      assert(total.getAs[Double]("sum_value") === 7.0)
+      // subtotal rows carry NULL in the aggregated-away key
+      assert(out.filter(_.getAs[Long]("gid") == 1L)
+        .forall(r => r.isNullAt(r.fieldIndex("day"))))
+    }
+  }
+
+  test("pricingRollup plan: one shuffle — Expand feeds partial+final hash agg") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    try {
+      Seq(("A", "F", 1.0, 10.0, 0.1), ("A", "O", 2.0, 20.0, 0.0),
+          ("R", "F", 3.0, 30.0, 0.2))
+        .toDF("l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val df = Relational.pricingRollup(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size === 1,
+        s"rollup must be a single partial+final aggregation:\n$plan")
+      assert(plan.contains("Expand"), "grouping sets expand before the agg")
+      // grand total present exactly once
+      val rows = df.collect()
+      assert(rows.count(_.getAs[Long]("gid") == 3L) === 1)
+      assert(rows.length === 3 + 2 + 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
