@@ -1156,6 +1156,81 @@ object OracleSql {
        |FROM sc""".stripMargin
   }
 
+  /** Q37 — sequence packing (mirrors Pipeline.packSequences: exclusive
+    * per-source token prefix sum in doc_id order, integer chunk ids).
+    * The oracle uses ONE window — the two-level bucket decomposition
+    * on the Spark side is algebraically the same prefix sum.
+    */
+  def q37Pack(ctxLen: Long = 512L): String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM d
+       |)
+       |SELECT source, doc_id, n_tokens, start_off,
+       |  CAST(start_off // $ctxLen AS BIGINT) AS first_chunk,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (start_off + n_tokens - 1) // $ctxLen
+       |            - start_off // $ctxLen + 1 END AS BIGINT) AS n_chunks
+       |FROM o""".stripMargin
+
+  /** Q38 — duplicate clusters (mirrors Dedup.dupClusters): connected
+    * components over the Q15c MinHash pairs at est_jaccard ≥ minJ.
+    * The recursive CTE computes min-reachable-id per node — the same
+    * fixpoint the Spark label propagation converges to.
+    */
+  def q38DupClusters(minJaccard: Double = 0.5): String = {
+    val params = graft.functions.TextHash.minhashParams()
+      .map { case (i, band, a, b) => s"($i, $band, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val p = graft.functions.TextHash.P
+    s"""WITH RECURSIVE $shingleCtes,
+       |params(hi, band, ha, hb) AS (VALUES $params),
+       |sig AS (
+       |  SELECT s.doc_id, p2.hi, p2.band, min((p2.ha * s.h + p2.hb) % $p) AS mh
+       |  FROM shq s CROSS JOIN params p2
+       |  GROUP BY 1, 2, 3
+       |),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY hi)),
+       |                (a, x) -> (a * 31 + x) % $p) AS bh
+       |  FROM sig GROUP BY doc_id, band
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
+       |         >= ${dlit(minJaccard)}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |),
+       |reach AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.label AS label
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |)
+       |SELECT node AS doc_id, min(label) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
+  }
+
   /** Q30 — per-label centroid cosine (mirrors
     * Similarity.labelCentroids; parity is rounding-level — see the
     * operator's Scaladoc — which the driver's 6-decimal float

@@ -122,7 +122,9 @@ object SparkEntry {
     "q34_rollup" -> Relational.pricingRollup _,
     "q34b_cube" -> Relational.eventsCube _,
     "q35_decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
-    "q36_quality_sample" -> ((s, dir) => Pipeline.qualitySample(s, dir))
+    "q36_quality_sample" -> ((s, dir) => Pipeline.qualitySample(s, dir)),
+    "q37_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
+    "q38_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +180,8 @@ object SparkEntry {
     "q34_rollup" -> OracleSql.q34Rollup,
     "q34b_cube" -> OracleSql.q34bCube,
     "q35_decontaminate" -> OracleSql.q35Decontaminate(),
-    "q36_quality_sample" -> OracleSql.q36QualitySample()
+    "q36_quality_sample" -> OracleSql.q36QualitySample(),
+    "q37_pack" -> OracleSql.q37Pack(),
+    "q38_dup_clusters" -> OracleSql.q38DupClusters()
   )
 }

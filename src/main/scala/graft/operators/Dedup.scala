@@ -202,4 +202,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Q38 — duplicate clusters: connected components over the MinHash
+    * candidate pairs at `minJaccard`, so a dedup pass can keep ONE
+    * representative per near-dup cluster instead of reasoning about
+    * pairs. Iterative min-label propagation: every node adopts the
+    * smallest label among itself and its neighbors until fixpoint, so
+    * `cluster_id` = min doc_id of the component. Each iteration is one
+    * doc_id-keyed shuffle over the EDGE table (pairs, not documents),
+    * and dup components are shallow (dup sets are near-cliques from
+    * band collisions), so convergence is a handful of rounds; the
+    * 100 TB upgrade for adversarially long chains is the
+    * large-star/small-star variant (O(log n) rounds) — same per-round
+    * plan shape as here.
+    */
+  def dupClusters(s: SparkSession, dir: String,
+                  minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(
+      minhashLsh(s, dir)
+        .filter(col("est_jaccard") >= minJaccard)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation over an undirected pair list
+    * (`doc_a`, `doc_b`); returns (doc_id, cluster_id = component min).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.doc_b") === col("l.doc_id"))
+        .groupBy(col("e.doc_a").as("doc_id"))
+        .agg(min(col("l.label")).as("nbr_label"))
+      val next = labels.as("lb").join(nbrMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lb.label"),
+            coalesce(col("n.nbr_label"), col("lb.label"))).as("label"))
+        .cache()
+      changed = next.as("a")
+        .join(labels.as("b"), Seq("doc_id"))
+        .filter(col("a.label") =!= col("b.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
 }

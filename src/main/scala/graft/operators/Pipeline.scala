@@ -140,4 +140,44 @@ object Pipeline {
       .select(col("doc_id"), col("quality_score"), u)
       .withColumn("kept", col("u") < col("quality_score"))
   }
+
+  /** Q37 — sequence packing: documents of a source are concatenated in
+    * doc_id order and split into fixed `ctxLen`-token training
+    * sequences (the standard pretraining concat-and-chunk). Each doc
+    * gets its global token offset and the chunk ids it spans.
+    *
+    * The prefix sum is computed in TWO levels: per-bucket subtotals
+    * (doc_id div `bucketSize`, ≤ bucketSize docs each) are
+    * prefix-summed per source, then each doc adds its local exclusive
+    * sum within its bucket. A single per-source window would sort a
+    * whole source inside one task — the classic 100 TB skew trap when
+    * one crawl dominates; here no window partition exceeds bucketSize
+    * rows except the tiny per-source bucket-subtotal pass (corpus /
+    * bucketSize rows). All arithmetic is integer-exact.
+    */
+  def packSequences(s: SparkSession, dir: String,
+                    ctxLen: Long = 512L, bucketSize: Long = 1000L): DataFrame = {
+    val d = docs(s, dir).select(
+      col("source"), col("doc_id"),
+      size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketSize").as("bucket"))
+    val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketStarts = d.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum(col("bucket_tokens")).over(wBuckets), lit(0L))
+          .as("bucket_start"))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val off = d
+      .join(bucketStarts, Seq("source", "bucket"))
+      .withColumn("start_off",
+        col("bucket_start") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    off.select(col("source"), col("doc_id"), col("n_tokens"), col("start_off"),
+      expr(s"start_off div $ctxLen").as("first_chunk"),
+      when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr(s"(start_off + n_tokens - 1) div $ctxLen") -
+          expr(s"start_off div $ctxLen") + lit(1L)).as("n_chunks"))
+  }
 }

@@ -108,4 +108,24 @@ class DedupSpec extends SparkSpec {
       assert(rows.head.getAs[Double]("jaccard") === 1.0)
     }
   }
+
+  test("connectedComponents: chain needs multi-round propagation; components separate") {
+    // chain 5-4, 4-3, 3-2 (reversed pair order so labels must travel)
+    // plus an isolated pair (10, 11) and edge order shuffled
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: planted near-dup trio collapses to one cluster id") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    withDocsDir(Seq(a, a, a, "totally unrelated words here nothing shared at all ok")) { dir =>
+      val out = Dedup.dupClusters(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    }
+  }
 }

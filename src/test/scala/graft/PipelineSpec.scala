@@ -102,6 +102,47 @@ class PipelineSpec extends SparkSpec {
 
   // ---- labelCentroids ----
 
+  test("packSequences: offsets are the exclusive prefix sum; chunk spans split at ctx boundaries") {
+    // source "web": docs of 3, 4, 2 tokens; ctx=4 =>
+    //   doc0: off 0, chunks [0,0] (tokens 0-2)        -> first 0, n 1
+    //   doc1: off 3, tokens 3-6 cross the 4-boundary  -> first 0, n 2
+    //   doc2: off 7, tokens 7-8 cross into chunk 2    -> first 1, n 2
+    // plus an empty doc and a second source restarting at offset 0
+    val docs = Seq(
+      (0L, "a b c", "en", "web"), (1L, "d e f g", "en", "web"),
+      (2L, "h i", "en", "web"), (3L, " ", "en", "web"),
+      (10L, "x y z w v", "en", "books"))
+    withCorpusDir(docs) { dir =>
+      val out = Pipeline.packSequences(spark, dir, ctxLen = 4L).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("start_off"), r.getAs[Long]("first_chunk"),
+            r.getAs[Long]("n_chunks")))).toMap
+      assert(out(0L) === ((0L, 0L, 1L)))
+      assert(out(1L) === ((3L, 0L, 2L)))
+      assert(out(2L) === ((7L, 1L, 2L)))
+      assert(out(3L) === ((9L, 2L, 0L))) // empty doc: position, no chunks
+      assert(out(10L) === ((0L, 0L, 2L))) // new source restarts
+    }
+  }
+
+  test("packSequences: two-level prefix sum equals a single global window per source") {
+    val docs = (0L until 300L).map(i =>
+      (i, ("tok " * ((i % 7).toInt + 1)).trim, "en", if (i % 3 == 0) "web" else "books"))
+    withCorpusDir(docs) { dir =>
+      // tiny bucketSize forces many buckets; must equal the bucketSize=∞ result
+      val fine = Pipeline.packSequences(spark, dir, ctxLen = 16L, bucketSize = 10L)
+        .collect().map(_.toString).sorted.toSeq
+      val coarse = Pipeline.packSequences(spark, dir, ctxLen = 16L, bucketSize = 1000000L)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fine === coarse)
+      // and no window partitions on source alone in the doc-level pass:
+      // the widest sort key is (source, bucket)
+      val plan = Pipeline.packSequences(spark, dir, ctxLen = 16L, bucketSize = 10L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bucket"), "bucketed decomposition missing from plan")
+    }
+  }
+
   test("labelCentroids: vectors identical to their centroid have sim 1; orthogonal outlier doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("centroids").toString
     try {
