@@ -225,33 +225,67 @@ object Dedup {
 
   /** Min-label propagation over an undirected pair list
     * (`doc_a`, `doc_b`); returns (doc_id, cluster_id = component min).
+    *
+    * One shuffle join + one aggregate per round: self-loops are added
+    * to the (cached) edge table so `min(label over neighbors ∪ self)`
+    * is a single groupBy — no second join to merge the old label.
+    * Convergence is detected by the per-node-monotone label sum
+    * (labels only ever decrease, so an unchanged DECIMAL-exact sum ⇔
+    * fixpoint) — a narrow aggregate on the cached result instead of a
+    * three-way diff join per round.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // cache the shared prefixes: `nodes` seeds the labels AND supplies
+    // the self-loops, and `sym` feeds both — without these, the first
+    // round recomputes the (expensive) upstream pair generation once
+    // per consumer
+    val sym = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    var changed = 1L
+    val nodes = sym.select(col("doc_a").as("doc_id")).distinct().cache()
+    val edges = sym.union(
+        nodes.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")))
+      .cache()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head() match {
+        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO
+        case r => r.getDecimal(0)
+      }
+    // localCheckpoint (NOT cache) after every round: an iterative
+    // fixpoint's logical plan otherwise grows by the whole round body
+    // each iteration — the self-join DOUBLES it — and Catalyst
+    // re-optimizes that exponentially growing tree every round even
+    // though execution would hit the cache. Truncating lineage keeps
+    // analysis cost constant per round (the GraphFrames
+    // checkpointInterval trick).
+    var labels = nodes.withColumn("label", col("doc_id")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val nbrMin = edges.as("e")
+    while (!converged && rounds < 50) {
+      // (1) adopt the min label over neighbors ∪ self
+      val prop = edges.as("e")
         .join(labels.as("l"), col("e.doc_b") === col("l.doc_id"))
         .groupBy(col("e.doc_a").as("doc_id"))
-        .agg(min(col("l.label")).as("nbr_label"))
-      val next = labels.as("lb").join(nbrMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lb.label"),
-            coalesce(col("n.nbr_label"), col("lb.label"))).as("label"))
-        .cache()
-      changed = next.as("a")
-        .join(labels.as("b"), Seq("doc_id"))
-        .filter(col("a.label") =!= col("b.label"))
-        .count()
-      labels.unpersist()
+        .agg(min(col("l.label")).as("label"))
+        .localCheckpoint() // referenced twice by the self-join below
+      // (2) pointer-jump: label ← label(label). Labels are node ids,
+      // and label(x) ≤ x, so the lookup only ever improves — this is
+      // the shortcutting step that turns O(diameter) rounds into
+      // O(log diameter) for chain-shaped components.
+      val next = prop.as("x")
+        .join(prop.as("y"), col("x.label") === col("y.doc_id"), "left")
+        .select(col("x.doc_id"),
+          coalesce(col("y.label"), col("x.label")).as("label"))
+        .localCheckpoint()
+      val curSum = labelSum(next)
       labels = next
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       rounds += 1
     }
+    sym.unpersist()
+    nodes.unpersist()
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }

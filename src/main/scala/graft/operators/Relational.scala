@@ -143,23 +143,31 @@ object Relational {
         percentile(col("value"), lit(0.99)).as("p99"))
 
   /** Q34 — pricing-summary ROLLUP over (returnflag, linestatus):
-    * per-combination, per-flag subtotal, and grand-total rows in one
-    * pass. Spark expands grouping sets BEFORE the partial aggregate,
-    * so the rollup still runs as partial+final hash aggregation — one
-    * shuffle, no extra pass per grouping level. `gid` is the standard
-    * bit-vector (first grouping column = MSB), which disambiguates
-    * "NULL because aggregated" from a genuinely NULL key at any scale.
+    * per-combination, per-flag subtotal, and grand-total rows. Spark
+    * expands grouping sets BEFORE the partial aggregate (3× the scan
+    * rows through the Expand), so for low-cardinality grouping keys we
+    * pre-aggregate to one row per (flag, status) FIRST and roll up the
+    * tiny aggregate table — Expand runs over ~|RF×LS| rows instead of
+    * the whole fact table. Lossless: counts re-sum and the DECIMAL
+    * sums are exact and associative. `gid` is the standard bit-vector
+    * (first grouping column = MSB), which disambiguates "NULL because
+    * aggregated" from a genuinely NULL key at any scale.
     */
-  def pricingRollup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
+  def pricingRollup(s: SparkSession, dir: String): DataFrame = {
+    val pre = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(20,4)")).cast("double")
-          .as("sum_qty"),
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"),
+        count(lit(1)).as("_n"),
+        sum(col("l_quantity").cast("decimal(20,4)")).as("_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(20,4)")).as("_rev"))
+    pre.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("_n")).as("n_rows"),
+        sum(col("_qty")).cast("double").as("sum_qty"),
+        sum(col("_rev")).cast("double").as("revenue"),
         grouping_id().as("gid"))
+  }
 
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day

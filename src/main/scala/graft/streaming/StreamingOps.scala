@@ -375,10 +375,15 @@ object StreamingOps {
   def streamKmvFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // distinct BEFORE the collect: the KMV fold is idempotent over
+    // repeated hashes, so the sketch is unchanged and the driver-side
+    // MemoryStream feed (test harness only) shrinks by the token
+    // repetition factor
     val data = s.read.parquet(s"$dir/documents.parquet")
       .select(col("source"),
         explode(graft.functions.TextHash.tokens(col("text"))).as("token"))
       .select(col("source"), graft.functions.TextHash.polyHash(col("token")).as("h"))
+      .distinct()
       .as[(String, Long)].collect()
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]

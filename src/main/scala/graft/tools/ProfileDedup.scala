@@ -28,6 +28,14 @@ object ProfileDedup {
     val sig = graft.operators.Dedup.minhashSignatures(spark, docs)
     time("signatures")(noop(sig))
     time("full q15c")(noop(graft.operators.Dedup.minhashLsh(spark, sfDir)))
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val mat = pairs.cache()
+    time("pairs materialize")(noop(mat))
+    time("cc over cached pairs")(
+      noop(graft.operators.Dedup.connectedComponents(mat)))
+    time("full q38")(noop(graft.operators.Dedup.dupClusters(spark, sfDir)))
     spark.stop()
   }
 }

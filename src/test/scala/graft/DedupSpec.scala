@@ -110,14 +110,39 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents: chain needs multi-round propagation; components separate") {
-    // chain 5-4, 4-3, 3-2 (reversed pair order so labels must travel)
-    // plus an isolated pair (10, 11) and edge order shuffled
-    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (10L, 11L))
-      .toDF("doc_a", "doc_b")
+    // a 16-node chain 20-21-...-35 (so the min label must travel the
+    // whole diameter — exercises the pointer-jump shortcut) plus an
+    // isolated pair (10, 11)
+    val chain = (20L until 35L).map(i => (i + 1, i)) // reversed pairs
+    val pairs = (chain :+ ((10L, 11L))).toDF("doc_a", "doc_b")
     val out = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out === Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L,
-      10L -> 10L, 11L -> 10L))
+    val expected = (20L to 35L).map(_ -> 20L).toMap ++
+      Map(10L -> 10L, 11L -> 10L)
+    assert(out === expected)
+  }
+
+  test("connectedComponents equals union-find on seeded random graphs") {
+    val rng = new java.util.Random(421984L)
+    for (trial <- 1 to 5) {
+      val n = 12 + rng.nextInt(15)
+      val edges = Seq.fill(6 + rng.nextInt(14)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // reference: union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = touched.map(v =>
+        v -> touched.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges=$edges")
+    }
   }
 
   test("dupClusters: planted near-dup trio collapses to one cluster id") {

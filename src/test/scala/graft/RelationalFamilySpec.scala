@@ -73,7 +73,7 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
-  test("pricingRollup plan: one shuffle — Expand feeds partial+final hash agg") {
+  test("pricingRollup plan: Expand runs over the pre-aggregate, not the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("rollup").toString
     try {
       Seq(("A", "F", 1.0, 10.0, 0.1), ("A", "O", 2.0, 20.0, 0.0),
@@ -83,9 +83,17 @@ class RelationalFamilySpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val df = Relational.pricingRollup(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
-      assert("Exchange".r.findAllIn(plan).size === 1,
-        s"rollup must be a single partial+final aggregation:\n$plan")
-      assert(plan.contains("Expand"), "grouping sets expand before the agg")
+      // two partial+final aggregations: the per-(flag,status) pre-agg
+      // over the scan, then the rollup over its tiny output — the
+      // Expand (3× multiplier) must sit ABOVE the first aggregate so
+      // it never triples the fact-table rows
+      assert("Exchange".r.findAllIn(plan).size === 2,
+        s"expected pre-agg + rollup exchanges:\n$plan")
+      assert(plan.contains("Expand"), "grouping sets expand missing")
+      val expandInput = plan.linesIterator
+        .dropWhile(l => !l.contains("Expand")).drop(1).next()
+      assert(expandInput.contains("HashAggregate"),
+        s"Expand must consume the pre-aggregate, not the scan:\n$plan")
       // grand total present exactly once
       val rows = df.collect()
       assert(rows.count(_.getAs[Long]("gid") == 3L) === 1)
