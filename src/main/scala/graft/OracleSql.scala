@@ -636,13 +636,15 @@ object OracleSql {
        |)""".stripMargin
 
   /** Q15c — MinHash+LSH candidate pairs with estimated Jaccard. */
-  def q15cMinhash: String = {
+  /** Shared CTE chain `params → sig → bands → cand` for the MinHash
+    * family (Q15c, Q38) — prefix with `WITH [RECURSIVE] $shingleCtes,`.
+    */
+  def minhashCtes: String = {
     val params = graft.functions.TextHash.minhashParams()
       .map { case (i, band, a, b) => s"($i, $band, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
     val p = graft.functions.TextHash.P
-    s"""WITH $shingleCtes,
-       |params(hi, band, ha, hb) AS (VALUES $params),
+    s"""params(hi, band, ha, hb) AS (VALUES $params),
        |sig AS (
        |  SELECT s.doc_id, p2.hi, p2.band, min((p2.ha * s.h + p2.hb) % $p) AS mh
        |  FROM shq s CROSS JOIN params p2
@@ -658,14 +660,18 @@ object OracleSql {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  def q15cMinhash: String =
+    s"""WITH $shingleCtes,
+       |$minhashCtes
        |SELECT c.doc_a, c.doc_b,
        |  CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
        |FROM cand c
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
        |GROUP BY c.doc_a, c.doc_b""".stripMargin
-  }
 
   /** Q15d — 64-bit SimHash (two 32-bit halves, base-31 and base-37
     * token hashes), 4×16-bit pigeonhole bands, Hamming filter —
@@ -762,9 +768,12 @@ object OracleSql {
   }
 
   /** Q18 — quality scoring (mirrors TextAnalysis.qualityScore). */
-  def q18Quality: String = {
+  /** Shared CTE chain `d → q` computing the Q18 quality features —
+    * used by Q18 and Q36.
+    */
+  def qualityCtes: String = {
     val en = graft.operators.TextAnalysis.langMarkers.head._2
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, n_chars, $tokensSql AS tk,
        |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
        |  FROM documents
@@ -775,7 +784,11 @@ object OracleSql {
        |    list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS sum_len,
        |    ${hitsSql(en)} AS en_hits
        |  FROM d
-       |)
+       |)""".stripMargin
+  }
+
+  def q18Quality: String = {
+    s"""WITH $qualityCtes
        |SELECT doc_id, n_tokens,
        |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
        |  CAST(en_hits AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -1130,19 +1143,7 @@ object OracleSql {
     * polyHash(doc_id)-derived uniform, kept iff u < score).
     */
   def q36QualitySample(buckets: Long = 10000L): String = {
-    val en = graft.operators.TextAnalysis.langMarkers.head._2
-    s"""WITH d AS (
-       |  SELECT doc_id, n_chars, $tokensSql AS tk,
-       |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
-       |  FROM documents
-       |),
-       |q AS (
-       |  SELECT doc_id, n_chars, n_punct,
-       |    CAST(len(tk) AS BIGINT) AS n_tokens,
-       |    list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))) AS sum_len,
-       |    ${hitsSql(en)} AS en_hits
-       |  FROM d
-       |),
+    s"""WITH $qualityCtes,
        |sc AS (
        |  SELECT doc_id,
        |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
@@ -1185,28 +1186,8 @@ object OracleSql {
     * fixpoint the Spark label propagation converges to.
     */
   def q38DupClusters(minJaccard: Double = 0.5): String = {
-    val params = graft.functions.TextHash.minhashParams()
-      .map { case (i, band, a, b) => s"($i, $band, ${a}::BIGINT, ${b}::BIGINT)" }
-      .mkString(", ")
-    val p = graft.functions.TextHash.P
     s"""WITH RECURSIVE $shingleCtes,
-       |params(hi, band, ha, hb) AS (VALUES $params),
-       |sig AS (
-       |  SELECT s.doc_id, p2.hi, p2.band, min((p2.ha * s.h + p2.hb) % $p) AS mh
-       |  FROM shq s CROSS JOIN params p2
-       |  GROUP BY 1, 2, 3
-       |),
-       |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY hi)),
-       |                (a, x) -> (a * 31 + x) % $p) AS bh
-       |  FROM sig GROUP BY doc_id, band
-       |),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-       |),
+       |$minhashCtes,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c
@@ -1230,6 +1211,17 @@ object OracleSql {
        |SELECT node AS doc_id, min(label) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
   }
+
+  /** Q39 — shard-writer round-trip summary (mirrors
+    * Pipeline.writeShards membership arithmetic directly — the Spark
+    * side answers from the files it wrote).
+    */
+  def q39Shards(nShards: Int = 8): String =
+    s"""SELECT ${polyHashSql("CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY 1""".stripMargin
 
   /** Q30 — per-label centroid cosine (mirrors
     * Similarity.labelCentroids; parity is rounding-level — see the

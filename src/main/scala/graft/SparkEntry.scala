@@ -124,7 +124,8 @@ object SparkEntry {
     "q35_decontaminate" -> ((s, dir) => Pipeline.decontaminate(s, dir)),
     "q36_quality_sample" -> ((s, dir) => Pipeline.qualitySample(s, dir)),
     "q37_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
-    "q38_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir))
+    "q38_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
+    "q39_shards" -> ((s, dir) => Pipeline.shardSummary(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,6 +183,7 @@ object SparkEntry {
     "q35_decontaminate" -> OracleSql.q35Decontaminate(),
     "q36_quality_sample" -> OracleSql.q36QualitySample(),
     "q37_pack" -> OracleSql.q37Pack(),
-    "q38_dup_clusters" -> OracleSql.q38DupClusters()
+    "q38_dup_clusters" -> OracleSql.q38DupClusters(),
+    "q39_shards" -> OracleSql.q39Shards()
   )
 }

@@ -180,4 +180,35 @@ object Pipeline {
         .otherwise(expr(s"(start_off + n_tokens - 1) div $ctxLen") -
           expr(s"start_off div $ctxLen") + lit(1L)).as("n_chunks"))
   }
+
+  /** Training-shard sink: deterministic hash-sharded partitioned
+    * parquet. Shard membership is `polyHash(doc_id) mod nShards` — a
+    * pure function of the row, so re-running the writer reproduces
+    * byte-identical shard membership regardless of cluster size or
+    * input partitioning (what makes training-data builds auditable).
+    * `repartition(shard)` co-locates each shard into one task and
+    * `partitionBy` lays out `shard=K/` directories; rows are sorted by
+    * doc_id within a shard so the files themselves are deterministic.
+    */
+  def writeShards(df: DataFrame, outDir: String, nShards: Int): Unit =
+    df.withColumn("shard",
+        pmod(TextHash.polyHash(col("doc_id").cast("string")), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  /** Q39 — end-to-end shard round-trip: write the documents table as
+    * `nShards` hash shards, read the SHARDED FILES back, and summarize
+    * per shard. The oracle recomputes the same membership arithmetic
+    * directly, so a writer bug (dropped rows, mis-assigned shard,
+    * partition-column mangling) fails the hash compare.
+    */
+  def shardSummary(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    writeShards(docs(s, dir), out, nShards)
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
 }

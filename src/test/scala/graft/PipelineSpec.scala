@@ -143,6 +143,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: one dir+file per shard, membership deterministic, rows preserved") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"doc $i body", "en", "web"))
+    withCorpusDir(docs) { dir =>
+      val out1 = java.nio.file.Files.createTempDirectory("shards1").toString
+      val out2 = java.nio.file.Files.createTempDirectory("shards2").toString
+      try {
+        val df = spark.read.parquet(s"$dir/documents.parquet")
+        Pipeline.writeShards(df, out1, nShards = 4)
+        // input arrives differently partitioned the second time
+        Pipeline.writeShards(df.repartition(13), out2, nShards = 4)
+        val dirs = new java.io.File(out1).listFiles()
+          .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+        assert(dirs.length === 4)
+        // exactly one data file per shard directory
+        dirs.foreach { d =>
+          val files = new java.io.File(s"$out1/$d").listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+          assert(files.length === 1, s"$d has ${files.length} files")
+        }
+        def membership(o: String) = spark.read.parquet(o)
+          .select($"doc_id", $"shard".cast("long"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val m1 = membership(out1)
+        assert(m1.size === 120)
+        assert(m1 === membership(out2), "shard membership must not depend on input partitioning")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out1))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+      }
+    }
+  }
+
   test("labelCentroids: vectors identical to their centroid have sim 1; orthogonal outlier doesn't") {
     val dir = java.nio.file.Files.createTempDirectory("centroids").toString
     try {

