@@ -1223,6 +1223,39 @@ object OracleSql {
        |FROM documents
        |GROUP BY 1""".stripMargin
 
+  /** Q40 — heavy-hitter tokens (exact regime: dev k exceeds the
+    * corpus vocabulary, so MG counts equal exact counts; ties broken
+    * (count desc, token asc) in both engines).
+    */
+  def q40HeavyHitters(m: Int = 5): String =
+    s"""WITH tc AS (
+       |  SELECT source, token, count(*) AS cnt
+       |  FROM (
+       |    SELECT source, unnest($tokensSql) AS token FROM documents
+       |  )
+       |  GROUP BY source, token
+       |)
+       |SELECT source, token, cnt,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+       |FROM tc
+       |QUALIFY rnk <= $m""".stripMargin
+
+  /** Q41 — deterministic per-source sample: the m smallest
+    * polyHash(doc_id) per source (mirrors Pipeline.groupSample).
+    */
+  def q41GroupSample(m: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents
+       |)
+       |SELECT source, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY hh, doc_id) AS BIGINT) AS rnk
+       |FROM h
+       |QUALIFY rnk <= $m""".stripMargin
+
   /** Q30 — per-label centroid cosine (mirrors
     * Similarity.labelCentroids; parity is rounding-level — see the
     * operator's Scaladoc — which the driver's 6-decimal float

@@ -125,7 +125,9 @@ object SparkEntry {
     "q36_quality_sample" -> ((s, dir) => Pipeline.qualitySample(s, dir)),
     "q37_pack" -> ((s, dir) => Pipeline.packSequences(s, dir)),
     "q38_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
-    "q39_shards" -> ((s, dir) => Pipeline.shardSummary(s, dir))
+    "q39_shards" -> ((s, dir) => Pipeline.shardSummary(s, dir)),
+    "q40_heavy_hitters" -> ((s, dir) => Pipeline.heavyHitters(s, dir)),
+    "q41_group_sample" -> ((s, dir) => Pipeline.groupSample(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -184,6 +186,8 @@ object SparkEntry {
     "q36_quality_sample" -> OracleSql.q36QualitySample(),
     "q37_pack" -> OracleSql.q37Pack(),
     "q38_dup_clusters" -> OracleSql.q38DupClusters(),
-    "q39_shards" -> OracleSql.q39Shards()
+    "q39_shards" -> OracleSql.q39Shards(),
+    "q40_heavy_hitters" -> OracleSql.q40HeavyHitters(),
+    "q41_group_sample" -> OracleSql.q41GroupSample()
   )
 }

@@ -181,6 +181,53 @@ object Pipeline {
           expr(s"start_off div $ctxLen") + lit(1L)).as("n_chunks"))
   }
 
+  /** Q40 — heavy-hitter tokens per source via the Misra-Gries sketch
+    * UDAF ([[graft.functions.MgSketch]]): top-`m` tokens by count with
+    * ≤ k counters of state per group through the exchange. With the
+    * dev `k` far above the corpus vocabulary the counts are exact and
+    * oracle-checkable; the saturated (approximate) regime is
+    * property-pinned in MgSketchSpec.
+    */
+  def heavyHitters(s: SparkSession, dir: String,
+                   k: Int = 1 << 16, m: Int = 5): DataFrame = {
+    import s.implicits._
+    val mg = new graft.functions.MgSketch(k)
+    docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .agg(mg.toColumn)
+      .flatMap { case (src, top) =>
+        top.take(m).zipWithIndex.map { case ((tok, cnt), i) =>
+          (src, tok, cnt, (i + 1).toLong)
+        }
+      }
+      .toDF("source", "token", "cnt", "rnk")
+  }
+
+  /** Q41 — deterministic per-source document sample: the `m` docs with
+    * the smallest `polyHash(doc_id)` per source, via the
+    * [[graft.functions.HashReservoir]] UDAF — bounded state, partial
+    * aggregation, NO per-group sort or window (the scale-correct
+    * top-k-per-group shape; a row_number window would sort every
+    * group's full extent).
+    */
+  def groupSample(s: SparkSession, dir: String, m: Int = 10): DataFrame = {
+    import s.implicits._
+    val res = new graft.functions.HashReservoir(m)
+    docs(s, dir)
+      .select(col("source"),
+        TextHash.polyHash(col("doc_id").cast("string")).as("h"),
+        col("doc_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(res.toColumn)
+      .flatMap { case (src, kept) =>
+        kept.zipWithIndex.map { case ((_, id), i) => (src, id, (i + 1).toLong) }
+      }
+      .toDF("source", "doc_id", "rnk")
+  }
+
   /** Training-shard sink: deterministic hash-sharded partitioned
     * parquet. Shard membership is `polyHash(doc_id) mod nShards` — a
     * pure function of the row, so re-running the writer reproduces

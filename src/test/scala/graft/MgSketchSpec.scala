@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{HashReservoir, MgSketch}
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+
+/** Sketch-guarantee pins for the heavy-hitter and reservoir UDAFs. */
+class MgSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCorpusDir(rows: Seq[(Long, String, String, String)])
+                           (f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("mg").toString
+    try {
+      rows.map { case (id, text, lang, source) =>
+        (id, text, lang, source, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("MgSketch below saturation: exact counts under any merge tree") {
+    val mg = new MgSketch(16)
+    val tokens = Seq.fill(3)(Seq("a", "b", "a", "c", "a", "b")).flatten
+    val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // three different merge shapes over the same multiset
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val shuffled = rng.shuffle(tokens)
+      val parts = shuffled.grouped(1 + rng.nextInt(5)).toSeq
+      val bufs = parts.map(_.foldLeft(mg.zero)((b, t) => mg.reduce(b, ("g", t))))
+      val merged = rng.shuffle(bufs).reduce(mg.merge _)
+      assert(merged === exact)
+    }
+  }
+
+  test("MgSketch saturated: epsilon guarantee holds under random merge trees") {
+    val k = 8
+    val mg = new MgSketch(k)
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      // zipf-ish: token i appears ~60/(i+1) times over 30 distinct
+      val tokens = rng.shuffle(
+        (0 until 30).flatMap(i => Seq.fill(60 / (i + 1))(s"t$i")))
+      val n = tokens.size.toLong
+      val exact = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val parts = tokens.grouped(1 + rng.nextInt(20)).toSeq
+      val bufs = parts.map(_.foldLeft(mg.zero)((b, t) => mg.reduce(b, ("g", t))))
+      val merged = rng.shuffle(bufs).reduce(mg.merge _)
+      val eps = n / (k + 1L)
+      assert(merged.size <= k)
+      merged.foreach { case (t, c) =>
+        assert(c <= exact(t), s"trial $trial: overcount of $t")
+        assert(c >= exact(t) - eps, s"trial $trial: undercount of $t beyond n/(k+1)")
+      }
+      // every token with true count > n/(k+1) must survive
+      exact.filter(_._2 > eps).keys.foreach { t =>
+        assert(merged.contains(t), s"trial $trial: heavy hitter $t dropped")
+      }
+    }
+  }
+
+  test("heavyHitters and groupSample are invariant to input partitioning") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"alpha beta tok$i alpha", "en", if (i % 2 == 0) "web" else "books"))
+    withCorpusDir(docs) { dir =>
+      val hh1 = Pipeline.heavyHitters(spark, dir).collect().map(_.toString).sorted
+      val gs1 = Pipeline.groupSample(spark, dir).collect().map(_.toString).sorted
+      // re-read with a different partitioning via a repartitioned copy
+      val dir2 = java.nio.file.Files.createTempDirectory("mg2").toString
+      try {
+        spark.read.parquet(s"$dir/documents.parquet").repartition(7)
+          .write.parquet(s"$dir2/documents.parquet")
+        val hh2 = Pipeline.heavyHitters(spark, dir2).collect().map(_.toString).sorted
+        val gs2 = Pipeline.groupSample(spark, dir2).collect().map(_.toString).sorted
+        assert(hh1.toSeq === hh2.toSeq)
+        assert(gs1.toSeq === gs2.toSeq)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+      }
+      // alpha dominates every source
+      val top = Pipeline.heavyHitters(spark, dir).filter($"rnk" === 1).collect()
+      assert(top.forall(_.getAs[String]("token") == "alpha"))
+    }
+  }
+
+  test("HashReservoir keeps the k smallest (hash, id) pairs, mergeable, no dups") {
+    val r = new HashReservoir(4)
+    val items = Seq((9L, 1L), (3L, 2L), (7L, 3L), (1L, 4L), (5L, 5L), (2L, 6L))
+      .map { case (h, id) => ("g", h, id) }
+    val whole = items.foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    assert(whole.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L))
+    // split + merge, with one duplicate element across partitions
+    val (p1, p2) = items.splitAt(3)
+    val b1 = (p1 :+ (("g", 1L, 4L))).foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    val b2 = p2.foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    assert(r.merge(b1, b2).toSeq === whole.toSeq)
+  }
+}
