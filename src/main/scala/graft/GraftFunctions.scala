@@ -55,15 +55,34 @@ object GraftFunctions {
       })
   )
 
-  /** Register every graft function on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every graft function on a live session — the scalar
+    * native expressions plus the sketch UDAFs (typed Aggregators
+    * exposed through `functions.udaf`, so `spark.sql` callers get the
+    * same bounded-state partial aggregates as the Column API).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graftshim.ColumnBridge
         .registerFunction(spark, id, info, builder)
     }
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.functions.udaf
+    spark.udf.register("graft_kmv",
+      udaf(new graft.functions.KmvSketch(64, TextHash.P),
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong)))
+    spark.udf.register("graft_heavy_hitters",
+      udaf(new graft.functions.MgSketch(1 << 16),
+        Encoders.tuple(Encoders.STRING, Encoders.STRING)))
+    spark.udf.register("graft_sample",
+      udaf(new graft.functions.HashReservoir(10),
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)))
+  }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point (scalar expressions; the sketch
+  * UDAFs bind to a live session via `GraftFunctions.register` because
+  * `udaf()` wraps a session-bound ScalaAggregator).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach(ext.injectFunction)

@@ -32,4 +32,33 @@ class GraftFunctionsSpec extends SparkSpec {
       spark.sql("SELECT graft_poly_hash('a', 'x', 7)").collect()
     }
   }
+
+  test("sketch UDAFs are callable from SQL and match the typed API") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("web", 5L), ("web", 3L), ("web", 5L), ("books", 9L))
+      .toDF("source", "h").createOrReplaceTempView("hashes")
+    val kmv = spark.sql(
+      """SELECT source, graft_kmv(source, h) AS sk FROM hashes GROUP BY source
+        |""".stripMargin)
+      .selectExpr("source", "sk.n_kept", "sk.est_distinct")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(kmv("web") === ((2, 2.0)))   // {5,3}: exact below saturation
+    assert(kmv("books") === ((1, 1.0)))
+
+    Seq(("web", "a"), ("web", "a"), ("web", "b"))
+      .toDF("source", "token").createOrReplaceTempView("toks")
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(source, token) AS s FROM toks GROUP BY source")
+      .selectExpr("inline(s)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh === Map("a" -> 2L, "b" -> 1L))
+
+    Seq(("web", 7L, 1L), ("web", 2L, 2L), ("web", 5L, 3L))
+      .toDF("source", "h", "doc_id").createOrReplaceTempView("samp")
+    val ids = spark.sql(
+      "SELECT graft_sample(source, h, doc_id) AS s FROM samp GROUP BY source")
+      .selectExpr("inline(s)").collect().map(_.getLong(1)).toSeq
+    assert(ids === Seq(2L, 3L, 1L)) // ordered by hash: 2<5<7
+  }
 }
