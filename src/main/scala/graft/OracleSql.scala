@@ -931,6 +931,19 @@ object OracleSql {
        |FROM l ASOF LEFT JOIN r
        |  ON l.user_id = r.user_id AND l.tsn >= r.click_tsn""".stripMargin
 
+  /** Q23b — forward as-of (earliest click at or after the event). */
+  def q23bAsofNextClick: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events
+       |),
+       |l AS (SELECT event_id, user_id, tsn FROM ev WHERE event_type <> 'click'),
+       |r AS (SELECT user_id, tsn AS click_tsn, value AS click_value
+       |      FROM ev WHERE event_type = 'click')
+       |SELECT l.event_id, l.user_id, l.tsn,
+       |  r.click_value AS next_click_value, r.click_tsn AS next_click_tsn
+       |FROM l ASOF LEFT JOIN r
+       |  ON l.user_id = r.user_id AND l.tsn <= r.click_tsn""".stripMargin
+
   /** Q24 — session rollup via gaps-and-islands (equivalent to Spark's
     * session_window: break when the inter-event gap >= 30 min).
     */
@@ -1117,6 +1130,27 @@ object OracleSql {
        |    (CAST(t.total AS DOUBLE) / CAST(t.n_groups AS DOUBLE))
        |      / CAST(g.n_docs AS DOUBLE)) AS sample_rate
        |FROM g, t""".stripMargin
+
+  /** Q21c — nearest-neighbor resize (mirrors Multimodal.resizeSamples
+    * over the text bytes; ASCII corpus ⇒ ascii() == unsigned byte).
+    */
+  def q21cResize(target: Int = 16): String =
+    s"""SELECT doc_id, p AS pos,
+       |  CAST(ascii(substring(text, CAST(p * n AS BIGINT) // $target + 1, 1)) AS BIGINT) AS byte_val
+       |FROM (
+       |  SELECT doc_id, text, len(text) AS n, unnest(range(0, $target)) AS p
+       |  FROM documents WHERE len(text) > 0
+       |)""".stripMargin
+
+  /** Q42 — FULL OUTER activity reconciliation. */
+  def q42Reconcile: String =
+    s"""SELECT coalesce(c.c_custkey, e.user_id) AS user_id,
+       |  c.c_custkey IS NOT NULL AS is_customer,
+       |  CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+       |FROM customer c
+       |FULL OUTER JOIN (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+       |) e ON c.c_custkey = e.user_id""".stripMargin
 
   /** Q35 — benchmark decontamination (mirrors Pipeline.decontaminate:
     * same 3-token shingle hashes via shingleCtes, benchmark slice

@@ -127,7 +127,10 @@ object SparkEntry {
     "q38_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "q39_shards" -> ((s, dir) => Pipeline.shardSummary(s, dir)),
     "q40_heavy_hitters" -> ((s, dir) => Pipeline.heavyHitters(s, dir)),
-    "q41_group_sample" -> ((s, dir) => Pipeline.groupSample(s, dir))
+    "q41_group_sample" -> ((s, dir) => Pipeline.groupSample(s, dir)),
+    "q42_reconcile" -> Relational.activityReconcile _,
+    "q23b_next_click" -> AsofJoin.nextClick _,
+    "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +191,9 @@ object SparkEntry {
     "q38_dup_clusters" -> OracleSql.q38DupClusters(),
     "q39_shards" -> OracleSql.q39Shards(),
     "q40_heavy_hitters" -> OracleSql.q40HeavyHitters(),
-    "q41_group_sample" -> OracleSql.q41GroupSample()
+    "q41_group_sample" -> OracleSql.q41GroupSample(),
+    "q42_reconcile" -> OracleSql.q42Reconcile,
+    "q23b_next_click" -> OracleSql.q23bAsofNextClick,
+    "q21c_resize" -> OracleSql.q21cResize()
   )
 }

@@ -84,6 +84,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Q21c — resize: nearest-neighbor resampling of every blob to a
+    * fixed `target` width (`out[i] = bytes[⌊i·n/target⌋]`) — the
+    * image-thumbnail / audio-downsample plumbing shape: fixed-width
+    * output per row, computed in the partition iterator. Empty blobs
+    * produce no rows (nothing to resample).
+    */
+  def resizeSamples(s: SparkSession, dir: String, target: Int = 16): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else (0 until target).iterator.map { i =>
+          val src = (i.toLong * bytes.length / target).toInt
+          (id, i.toLong, bytes(src) & 0xff)
+        }
+      }
+    }.toDF("doc_id", "pos", "byte_val")
+  }
+
   /** STUB — stands in for a real image/audio decoder (???: no codec
     * libraries in this environment). Deterministic fake features from
     * the raw bytes: (mean byte, max byte, length mod 256, first byte).

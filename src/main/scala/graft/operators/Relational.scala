@@ -169,6 +169,26 @@ object Relational {
         grouping_id().as("gid"))
   }
 
+  /** Q42 — activity reconciliation: FULL OUTER join of the customer
+    * dimension against per-user event activity — customers with no
+    * events and event users with no customer row both survive, with
+    * presence flags. Fact side pre-aggregated to one row per user
+    * before the join (join the small thing, not the event log); a full
+    * outer join cannot broadcast, so sort-merge on the key is the
+    * correct shape at every scale.
+    */
+  def activityReconcile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val ev = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    c.join(ev, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        col("c_name").isNotNull.as("is_customer"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

@@ -51,6 +51,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeSamples: nearest-neighbor down- and up-sampling, empty blobs dropped") {
+    // "abcd" (n=4) to target 16: src = i*4/16 = i/4 -> each byte ×4
+    withDocsDir(Seq("abcd", "")) { dir =>
+      val out = Multimodal.resizeSamples(spark, dir).orderBy("doc_id", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(out.length === 16) // empty doc contributes nothing
+      assert(out.map(_._3).toSeq ===
+        "abcd".flatMap(c => Seq.fill(4)(c.toInt)))
+      // downsample: 64 bytes -> 16 takes every 4th byte
+      val long = (0 until 64).map(i => ('a' + i % 26).toChar).mkString
+      withDocsDir(Seq(long)) { d2 =>
+        val ds = Multimodal.resizeSamples(spark, d2).orderBy("pos")
+          .collect().map(_.getInt(2))
+        assert(ds.toSeq === (0 until 16).map(i => long(i * 4).toInt))
+      }
+    }
+  }
+
   test("decodeStub: deterministic fixed-width features; empty input safe") {
     val f = Multimodal.decodeStub("ab".getBytes("UTF-8"))
     assert(f.toSeq === Seq((97 + 98) / 2f, 98f, 2f, 97f))
