@@ -111,4 +111,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
     assert(!p.contains("Join"))
   }
+
+  test("column pruning reaches the documents scan: text is not read when unused") {
+    // ReadSchema in the FileScan must exclude `text` for queries that
+    // only use metadata columns — at 100 TB, `text` IS the table
+    def readSchemas(p: String): Seq[String] = p.linesIterator
+      .filter(_.contains("ReadSchema"))
+      .map(_.split("ReadSchema: ").last).toSeq
+    for (q <- Seq("q27_hash_split", "q29_domain_mix")) {
+      val schemas = readSchemas(plan(q))
+      assert(schemas.nonEmpty, s"$q: no scan found")
+      schemas.foreach(s =>
+        assert(!s.contains("text"), s"$q reads text it never uses: $s"))
+    }
+    // q39's summary reads back the shard files it wrote: the readback
+    // scan must prune to (n_chars + the shard partition column) even
+    // though the files carry the full documents
+    val q39 = readSchemas(plan("q39_shards"))
+    assert(q39.nonEmpty)
+    q39.foreach(s => assert(!s.contains("text"),
+      s"shard summary reads text it never uses: $s"))
+    // and the date filter on q11 still reaches the orders scan as a
+    // pushed filter (guarded elsewhere) while lineitem reads only the
+    // needed money columns
+    val li = readSchemas(plan("q11_revenue_by_nation"))
+      .filter(_.contains("l_extendedprice"))
+    assert(li.nonEmpty)
+    li.foreach(s => assert(!s.contains("l_comment") && !s.contains("l_shipdate"),
+      s"lineitem scan reads unused columns: $s"))
+  }
 }
