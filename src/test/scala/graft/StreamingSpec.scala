@@ -310,4 +310,51 @@ class StreamingSpec extends SparkSpec {
       .join(broadcast(dim), Seq("user_id"), "left")
       .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("streaming partitioned parquet sink: shard layout + checkpointed exactly-once") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val out = java.nio.file.Files.createTempDirectory("ssink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sckpt").toString
+    try {
+      val stream = MemoryStream[(Long, String)]
+      def start() = stream.toDS().toDF("doc_id", "source")
+        .withColumn("shard",
+          pmod(graft.functions.TextHash.polyHash(col("doc_id").cast("string")),
+            lit(4L)))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .partitionBy("shard").outputMode(OutputMode.Append()).start()
+      val q1 = start()
+      try {
+        stream.addData((0L until 30L).map(i => (i, "web")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // restart from the checkpoint: the committed batch must not be
+      // re-emitted, the new batch must land
+      val q2 = start()
+      try {
+        stream.addData((30L until 50L).map(i => (i, "books")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val back = spark.read.parquet(out)
+      assert(back.count() === 50)
+      assert(back.select("doc_id").distinct().count() === 50, "duplicate emission")
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+      assert(dirs.subsetOf(Set("shard=0", "shard=1", "shard=2", "shard=3"))
+        && dirs.nonEmpty)
+      // membership equals the batch writer's arithmetic
+      val m = back.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Int]("shard").toLong).toMap
+      val want = spark.range(50).toDF("doc_id")
+        .withColumn("shard",
+          pmod(graft.functions.TextHash.polyHash(col("doc_id").cast("string")),
+            lit(4L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m === want)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    }
+  }
 }
