@@ -1142,6 +1142,20 @@ object OracleSql {
        |  FROM documents WHERE len(text) > 0
        |)""".stripMargin
 
+  /** Q43 — token-frequency spectrum (⌊log2⌋ via binary length —
+    * integer-exact, mirrors TextAnalysis.tokenSpectrum).
+    */
+  def q43TokenSpectrum: String =
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS cnt
+       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY token
+       |)
+       |SELECT CAST(len(printf('%b', cnt)) - 1 AS BIGINT) AS log2_cnt,
+       |  count(*) AS n_tokens,
+       |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
+       |FROM tc GROUP BY 1""".stripMargin
+
   /** Q42 — FULL OUTER activity reconciliation. */
   def q42Reconcile: String =
     s"""SELECT coalesce(c.c_custkey, e.user_id) AS user_id,

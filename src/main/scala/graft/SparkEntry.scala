@@ -36,8 +36,8 @@ object SparkEntry {
     PeakDetect.detectPeaks(enriched(s)).toDF().cache()
 
   /** Per-beat metrics off the full detection pipeline. Markers only
-    * where consumed (q8b): their spine lookups are joins Catalyst
-    * cannot prune for the metric-only consumers.
+    * where consumed (q8b): the marker struct aggregates ride the same
+    * window pass, so the flag now only trims unused output columns.
     */
   private def beatMetrics(s: SparkSession, markers: Boolean = false): DataFrame =
     BeatMetrics.metrics(enriched(s), detected(s), markers = markers)
@@ -130,7 +130,8 @@ object SparkEntry {
     "q41_group_sample" -> ((s, dir) => Pipeline.groupSample(s, dir)),
     "q42_reconcile" -> Relational.activityReconcile _,
     "q23b_next_click" -> AsofJoin.nextClick _,
-    "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir))
+    "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir)),
+    "q43_token_spectrum" -> TextAnalysis.tokenSpectrum _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,6 +195,7 @@ object SparkEntry {
     "q41_group_sample" -> OracleSql.q41GroupSample(),
     "q42_reconcile" -> OracleSql.q42Reconcile,
     "q23b_next_click" -> OracleSql.q23bAsofNextClick,
-    "q21c_resize" -> OracleSql.q21cResize()
+    "q21c_resize" -> OracleSql.q21cResize(),
+    "q43_token_spectrum" -> OracleSql.q43TokenSpectrum
   )
 }

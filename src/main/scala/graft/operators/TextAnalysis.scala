@@ -116,6 +116,24 @@ object TextAnalysis {
     * and a bounded composite score. All ratios are single divisions of
     * exact integers, so both engines produce identical doubles.
     */
+  /** Q43 — token-frequency spectrum: how many distinct tokens fall in
+    * each power-of-two occurrence bucket (the Zipf-shape QA check a
+    * corpus build runs before training). Bucket = ⌊log2(count)⌋
+    * computed as `length(bin(count)) - 1` — integer-exact in both
+    * engines, no floating log. Two narrow aggregates; the token-level
+    * one has map-side partials, so the shuffle carries one row per
+    * distinct token, not per occurrence.
+    */
+  def tokenSpectrum(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("log2_cnt"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("n_occurrences"))
+
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .withColumn("tk", TextHash.tokens(col("text")))
