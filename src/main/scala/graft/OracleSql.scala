@@ -1309,6 +1309,20 @@ object OracleSql {
     * operator's Scaladoc — which the driver's 6-decimal float
     * canonicalization absorbs).
     */
+  /** Q44 — followers-within-window range join (mirrors
+    * Relational.followerCounts). The oracle states the semantics as the
+    * naive inequality join; the engine's bucketed equi-join rewrite
+    * must produce the identical counts. Pure integer micros arithmetic.
+    */
+  def q44FollowerCounts(windowSec: Int = 300): String =
+    s"""SELECT e.event_id AS event_id,
+       |  count(CASE WHEN epoch_us(f.ts) > epoch_us(e.ts)
+       |              AND epoch_us(f.ts) <= epoch_us(e.ts) + ${windowSec}000000
+       |             THEN 1 END) AS n_follow
+       |FROM events e
+       |LEFT JOIN events f ON f.user_id = e.user_id
+       |GROUP BY e.event_id""".stripMargin
+
   def q30LabelCentroids(dim: Int = 64): String =
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de

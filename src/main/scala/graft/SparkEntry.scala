@@ -131,7 +131,8 @@ object SparkEntry {
     "q42_reconcile" -> Relational.activityReconcile _,
     "q23b_next_click" -> AsofJoin.nextClick _,
     "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir)),
-    "q43_token_spectrum" -> TextAnalysis.tokenSpectrum _
+    "q43_token_spectrum" -> TextAnalysis.tokenSpectrum _,
+    "q44_range_join" -> ((s, dir) => Relational.followerCounts(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,6 +197,7 @@ object SparkEntry {
     "q42_reconcile" -> OracleSql.q42Reconcile,
     "q23b_next_click" -> OracleSql.q23bAsofNextClick,
     "q21c_resize" -> OracleSql.q21cResize(),
-    "q43_token_spectrum" -> OracleSql.q43TokenSpectrum
+    "q43_token_spectrum" -> OracleSql.q43TokenSpectrum,
+    "q44_range_join" -> OracleSql.q44FollowerCounts()
   )
 }

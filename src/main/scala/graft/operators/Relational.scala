@@ -189,6 +189,59 @@ object Relational {
         coalesce(col("n_ev"), lit(0L)).as("n_events"))
   }
 
+  /** Exact integer microseconds from the events `ts` column, whether it
+    * arrives as nanos-since-epoch LONG (driver testdata, read with
+    * `nanosAsLong`) or as a genuine TIMESTAMP (micros) — both paths are
+    * integer-exact, matching DuckDB's `epoch_us(ts)`.
+    */
+  private def tsMicros(ev: DataFrame): Column =
+    if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      expr("ts div 1000")
+    else unix_micros(col("ts"))
+
+  /** Q44 — point-in-range self join via time-bucket binning: for every
+    * event, how many events of the same user fall strictly inside the
+    * following `windowSec` seconds.
+    *
+    * The naive form is an inequality join (`f.ts > e.ts AND f.ts <=
+    * e.ts + W`), which Spark can only execute as a broadcast
+    * nested-loop / cartesian per user — quadratic in per-user activity
+    * and not shuffle-partitionable. The scale shape used here is the
+    * standard *binning* rewrite: quantize time into buckets exactly
+    * `W` wide, replicate each probe row to its own bucket and the next
+    * (the interval (t, t+W] can only span those two), and equi-join on
+    * `(user_id, bucket)` with the range predicate demoted to a join
+    * filter. The join is then an ordinary shuffled equi-join — SMJ/SHJ,
+    * AQE-skew-splittable, no nested loop — and each pair is generated
+    * at most once because a match's single bucket meets exactly one of
+    * the two probe replicas.
+    *
+    * The probe's own-bucket replica always rejoins the event itself
+    * (`f_us >= t_us` keeps it), so zero-follower events survive the
+    * inner join and the conditional count needs no outer-join repair.
+    */
+  def followerCounts(s: SparkSession, dir: String,
+                     windowSec: Int = 300): DataFrame = {
+    val w = windowSec * 1000000L
+    val evRaw = t(s, dir, "events")
+    val base = evRaw.select(col("event_id"), col("user_id"),
+      tsMicros(evRaw).as("t_us"))
+    val bkt = expr(s"t_us div $w") // integer div: exact on epoch-micros longs
+    val probes = base.withColumn("bucket", explode(array(bkt, bkt + 1L)))
+    val cands = base.select(
+      col("user_id").as("f_user"),
+      col("t_us").as("f_us"),
+      bkt.as("f_bucket"))
+    probes.join(cands,
+        probes("user_id") === cands("f_user") &&
+          col("bucket") === col("f_bucket") &&
+          col("f_us") >= col("t_us"))
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("f_us") > col("t_us") &&
+          col("f_us") <= col("t_us") + w, 1L).otherwise(0L))
+        .as("n_follow"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

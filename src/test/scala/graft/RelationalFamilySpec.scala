@@ -73,6 +73,36 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("followerCounts: bucketed range join counts strictly-following events in window") {
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    val rows = Seq(
+      // user 1: chain crossing a bucket boundary (W=300s buckets)
+      (1L, ts(0), 1L, "click", 0.0, "{}"),    // followers: 100, 299, 300 (<=300) -> 3
+      (2L, ts(100), 1L, "click", 0.0, "{}"),  // followers: 299, 300, 400 -> 3
+      (3L, ts(299), 1L, "click", 0.0, "{}"),  // followers: 300, 400 -> 2
+      (4L, ts(300), 1L, "click", 0.0, "{}"),  // followers: 400, 600 -> 2
+      (5L, ts(400), 1L, "click", 0.0, "{}"),  // followers: 600 -> 1
+      (6L, ts(600), 1L, "click", 0.0, "{}"),  // followers: none -> 0 (zero survives)
+      // user 2: same timestamp as user 1's head — must not cross users;
+      // two equal timestamps must not count each other (strict >)
+      (7L, ts(0), 2L, "view", 0.0, "{}"),
+      (8L, ts(0), 2L, "view", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val df = Relational.followerCounts(spark, dir)
+      val out = df.collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_follow")).toMap
+      assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L,
+        5L -> 1L, 6L -> 0L, 7L -> 0L, 8L -> 0L))
+      // scale shape: the binning rewrite must yield an equi-join —
+      // never a cartesian / broadcast nested loop per user
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"range join fell back to a nested loop:\n$plan")
+    }
+  }
+
   test("pricingRollup plan: Expand runs over the pre-aggregate, not the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("rollup").toString
     try {
