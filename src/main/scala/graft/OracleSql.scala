@@ -1323,6 +1323,35 @@ object OracleSql {
        |LEFT JOIN events f ON f.user_id = e.user_id
        |GROUP BY e.event_id""".stripMargin
 
+  /** Q45 — semantic dedup (mirrors Similarity.semanticDedup): same
+    * coarse-quantizer assignment CTEs as q16c, then within-cluster
+    * pairs with cosine ≥ tau drop the larger vec_id.
+    */
+  def q45SemanticDedup(nCentroids: Int = 8, tau: Double = 0.35,
+                       dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $nCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, e.de, c.cid, ${cosSql("e.de", "c.ce", dim)} AS csim
+       |  FROM e CROSS JOIN cent c
+       |),
+       |asg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crk
+       |  FROM sims
+       |),
+       |lists AS (SELECT vec_id, de, cid AS cluster FROM asg WHERE crk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM lists a JOIN lists b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.de", "b.de", dim)} >= $tau
+       |)
+       |SELECT l.vec_id, l.cluster, (d.dup_id IS NULL) AS kept
+       |FROM lists l LEFT JOIN dups d ON d.dup_id = l.vec_id""".stripMargin
+
   def q30LabelCentroids(dim: Int = 64): String =
     s"""WITH e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de

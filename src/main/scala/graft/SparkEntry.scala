@@ -132,7 +132,8 @@ object SparkEntry {
     "q23b_next_click" -> AsofJoin.nextClick _,
     "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir)),
     "q43_token_spectrum" -> TextAnalysis.tokenSpectrum _,
-    "q44_range_join" -> ((s, dir) => Relational.followerCounts(s, dir))
+    "q44_range_join" -> ((s, dir) => Relational.followerCounts(s, dir)),
+    "q45_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +199,7 @@ object SparkEntry {
     "q23b_next_click" -> OracleSql.q23bAsofNextClick,
     "q21c_resize" -> OracleSql.q21cResize(),
     "q43_token_spectrum" -> OracleSql.q43TokenSpectrum,
-    "q44_range_join" -> OracleSql.q44FollowerCounts()
+    "q44_range_join" -> OracleSql.q44FollowerCounts(),
+    "q45_semantic_dedup" -> OracleSql.q45SemanticDedup()
   )
 }

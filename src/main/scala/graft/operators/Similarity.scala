@@ -168,6 +168,58 @@ object Similarity {
       .select("probe_id", "vec_id", "sim", "rnk")
   }
 
+  /** Centroid count that keeps expected cluster occupancy ≈
+    * `targetCluster` for an n-vector corpus, floored at the 8-centroid
+    * default. With c = n/targetCluster centroids the within-cluster
+    * pair volume is ~n·targetCluster/2 — linear in n — instead of
+    * n²/(2c) with a fixed c.
+    */
+  def centroidsForCorpus(n: Long, targetCluster: Long = 1024L): Int =
+    math.max(8L, n / math.max(targetCluster, 1L)).toInt
+
+  /** Q45 — semantic dedup (SemDeDup-style): embedding-cosine near-dup
+    * pruning bucketed by a coarse quantizer. Every vector is assigned
+    * to its nearest centroid (broadcast centroid table — the fixed
+    * vec_id < nCentroids quantizer shared with q16c); candidate pairs
+    * are generated ONLY within a cluster; a vector is dropped when a
+    * smaller-id vector in its cluster has cosine ≥ tau (deterministic
+    * keep-first rule). Output is the full decision table: one row per
+    * vector with its cluster and kept flag.
+    *
+    * Scale shape: assignment is a broadcast nested loop over c
+    * centroids (linear scan, no shuffle of the corpus beyond the
+    * cluster-keyed exchange); the pair join shuffles on the cluster id
+    * and is quadratic only WITHIN a cluster — callers at real scale
+    * pass `nCentroids = centroidsForCorpus(n)` so occupancy, and with
+    * it per-cluster pair volume, stays bounded as the corpus grows.
+    * Approximate by design (near-dups straddling a cluster boundary
+    * are unseen — the SemDeDup trade); the oracle replicates the same
+    * candidate rule, so the contract is exact.
+    */
+  def semanticDedup(s: SparkSession, dir: String, nCentroids: Int = 8,
+                    tau: Double = 0.35): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("de").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val lists = e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("de"), col("ce")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("de"), col("cid").as("cluster"))
+      .cache() // consumed twice: both sides of the pair join + the decision table
+    val dups = lists.as("a").join(lists.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.de"), col("b.de")) >= tau)
+      .select(col("b.vec_id").as("dup_id")).distinct()
+    lists.join(dups, lists("vec_id") === dups("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
+
   /** Q30 — per-label centroids + each vector's cosine to its own
     * label centroid (the standard embedding-space outlier/mislabel
     * signal for training-data pruning).

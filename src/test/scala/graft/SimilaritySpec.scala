@@ -23,6 +23,36 @@ class SimilaritySpec extends SparkSpec {
     Seq.fill(n)(Array.fill(dim)(rng.nextGaussian().toFloat))
   }
 
+  test("semanticDedup: keep-first within cluster, cross-cluster dups unseen, centroids broadcast") {
+    // 4 "centroid" seeds (nCentroids=4), then near-copies of seed 0 and
+    // an isolated vector. vec 4,5 ~ seed 0 (same cluster): 4 kept (dup
+    // of 0, but 0 is smaller -> 0 kept, 4 and 5 dropped).
+    val base = randVecs(4, seed = 7L)
+    def jig(v: Array[Float], eps: Float) = v.map(x => x * (1.0f + eps))
+    val vecs = base ++ Seq(jig(base(0), 0.01f), jig(base(0), 0.02f))
+    withEmbDir(vecs) { dir =>
+      val df = Similarity.semanticDedup(spark, dir, nCentroids = 4, tau = 0.95)
+      val out = df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Long]("cluster"), r.getAs[Boolean]("kept")))).toMap
+      assert(out.size === 6)
+      // scaled copies share cluster 0; keep-first drops 4 and 5 only
+      assert(out(0L) === ((0L, true)) && out(4L) === ((0L, false)) &&
+        out(5L) === ((0L, false)))
+      assert(Seq(1L, 2L, 3L).forall(i => out(i)._2))
+      // plan: centroid assignment must broadcast, never shuffle the corpus
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"), s"centroids not broadcast:\n$plan")
+    }
+  }
+
+  test("centroidsForCorpus keeps cluster occupancy bounded") {
+    assert(Similarity.centroidsForCorpus(500L) === 8)
+    assert(Similarity.centroidsForCorpus(1L << 20, targetCluster = 1024L) === 1024)
+    assert(Similarity.centroidsForCorpus(1L << 30, targetCluster = 1024L) === (1 << 20))
+  }
+
   test("lshBucket: identical vectors share a bucket; negation flips every bit") {
     val planes = Similarity.hyperplanes()
     val v = randVecs(1).head.map(_.toDouble)
