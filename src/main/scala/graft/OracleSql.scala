@@ -1323,6 +1323,29 @@ object OracleSql {
        |LEFT JOIN events f ON f.user_id = e.user_id
        |GROUP BY e.event_id""".stripMargin
 
+  /** Q46 — exact stratified split (mirrors Pipeline.stratifiedSplit):
+    * the oracle states the semantics directly as a per-stratum
+    * row_number over (hash, doc_id); the engine's bucketed two-level
+    * prefix-sum must assign identically.
+    */
+  def q46StratifiedSplit(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM h
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN rnk * 100 <= n * $trainPct THEN 'train'
+       |       WHEN rnk * 100 <= n * ${trainPct + valPct} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM r""".stripMargin
+
   /** Q45 — semantic dedup (mirrors Similarity.semanticDedup): same
     * coarse-quantizer assignment CTEs as q16c, then within-cluster
     * pairs with cosine ≥ tau drop the larger vec_id.

@@ -133,7 +133,8 @@ object SparkEntry {
     "q21c_resize" -> ((s, dir) => Multimodal.resizeSamples(s, dir)),
     "q43_token_spectrum" -> TextAnalysis.tokenSpectrum _,
     "q44_range_join" -> ((s, dir) => Relational.followerCounts(s, dir)),
-    "q45_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir))
+    "q45_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
+    "q46_stratified_split" -> ((s, dir) => Pipeline.stratifiedSplit(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +201,7 @@ object SparkEntry {
     "q21c_resize" -> OracleSql.q21cResize(),
     "q43_token_spectrum" -> OracleSql.q43TokenSpectrum,
     "q44_range_join" -> OracleSql.q44FollowerCounts(),
-    "q45_semantic_dedup" -> OracleSql.q45SemanticDedup()
+    "q45_semantic_dedup" -> OracleSql.q45SemanticDedup(),
+    "q46_stratified_split" -> OracleSql.q46StratifiedSplit()
   )
 }

@@ -54,6 +54,49 @@ object Pipeline {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Q46 — EXACT stratified split: within every `lang` stratum the
+    * docs are ranked by (polyHash(doc_id), doc_id) and the first
+    * ⌊trainPct%⌋ go to train, the next ⌊valPct%⌋ to val, the rest to
+    * test — exact per-stratum proportions (vs q27's hash-bucket split,
+    * which is only proportional in expectation).
+    *
+    * An exact split needs a per-stratum total order, and the naive
+    * `row_number() OVER (PARTITION BY lang)` puts an entire stratum in
+    * ONE task — a single "en" stratum at 100 TB would serialize. The
+    * skew-safe shape used here is the same two-level prefix sum as
+    * [[packSequences]], but bucketed on the HASH RANGE (bucket = hh
+    * div (P/B), monotone in hh, so bucket boundaries respect the sort
+    * order): per-(lang, bucket) counts roll up to broadcastable start
+    * offsets, ranks are row_numbers within a (lang, bucket) cell, and
+    * the global rank is offset + local rank. Parallelism is langs×B
+    * regardless of stratum skew; B grows with the corpus. The split
+    * thresholds compare in pure integer cross-multiplication
+    * (100·rank ≤ pct·n), so assignment is engine-exact.
+    */
+  def stratifiedSplit(s: SparkSession, dir: String,
+                      trainPct: Int = 80, valPct: Int = 10,
+                      nBuckets: Int = 64): DataFrame = {
+    val width = TextHash.P / nBuckets + 1L
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      .withColumn("hh", TextHash.polyHash(col("doc_id").cast("string")))
+      .withColumn("bucket", expr(s"hh div $width"))
+    val wCells = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = d.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("cell_n"))
+    val offs = cells.select(col("lang"), col("bucket"),
+      coalesce(sum(col("cell_n")).over(wCells), lit(0L)).as("cell_start"),
+      sum(col("cell_n")).over(Window.partitionBy(col("lang"))).as("n"))
+    val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("hh"), col("doc_id"))
+    d.join(broadcast(offs), Seq("lang", "bucket"))
+      .withColumn("rnk", col("cell_start") + row_number().over(wLocal))
+      .select(col("doc_id"), col("lang"),
+        when(col("rnk") * 100 <= col("n") * trainPct, "train")
+          .when(col("rnk") * 100 <= col("n") * (trainPct + valPct), "val")
+          .otherwise("test").as("split"))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Q28 — PII-style masking: count + redact email addresses and

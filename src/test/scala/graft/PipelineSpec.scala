@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{KmvSketch, TextHash}
 import graft.operators.{Pipeline, Similarity}
+import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +67,40 @@ class PipelineSpec extends SparkSpec {
       // determinism: a second run yields identical rows
       val again = Pipeline.hashSplit(spark, dir).collect()
       assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions, equals the single-window form") {
+    // two skewed strata: 100 "en" docs, 10 "fr" docs
+    val docs = (0L until 100L).map(i => (i, s"en doc $i", "en", "web")) ++
+      (100L until 110L).map(i => (i, s"fr doc $i", "fr", "web"))
+    withCorpusDir(docs) { dir =>
+      val out = Pipeline.stratifiedSplit(spark, dir).collect()
+      assert(out.length === 110)
+      val byLangSplit = out.groupBy(r =>
+        (r.getAs[String]("lang"), r.getAs[String]("split")))
+        .view.mapValues(_.length).toMap
+      // exact floors: en 80/10/10, fr 8/1/1
+      assert(byLangSplit === Map(("en", "train") -> 80, ("en", "val") -> 10,
+        ("en", "test") -> 10, ("fr", "train") -> 8, ("fr", "val") -> 1,
+        ("fr", "test") -> 1))
+      // the bucketed two-level rank must equal the naive global window
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("hh", TextHash.polyHash(col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("hh"), col("doc_id"))
+      val naive = d
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .select(col("doc_id"),
+          when(col("rnk") * 100 <= col("n") * 80, "train")
+            .when(col("rnk") * 100 <= col("n") * 90, "val")
+            .otherwise("test").as("split"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      assert(out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+        === naive)
     }
   }
 
