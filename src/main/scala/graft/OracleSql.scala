@@ -1346,6 +1346,29 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM r""".stripMargin
 
+  /** Q47 — event-rate spike detection (mirrors Relational.rateSpikes):
+    * RANGE frame over the integer minute index, integer
+    * cross-multiplied spike test.
+    */
+  def q47RateSpikes(trailMinutes: Int = 5, factor: Int = 3): String =
+    s"""WITH m AS (
+       |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+       |    count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |),
+       |w AS (
+       |  SELECT event_type, minute, n,
+       |    CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY minute
+       |      RANGE BETWEEN $trailMinutes PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS trail_n,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY minute
+       |      RANGE BETWEEN $trailMinutes PRECEDING AND 1 PRECEDING) AS obs
+       |  FROM m
+       |)
+       |SELECT event_type, minute * 60000000 AS minute_us, n, trail_n,
+       |  (obs = $trailMinutes AND n * $trailMinutes > trail_n * $factor) AS spike
+       |FROM w""".stripMargin
+
   /** Q45 — semantic dedup (mirrors Similarity.semanticDedup): same
     * coarse-quantizer assignment CTEs as q16c, then within-cluster
     * pairs with cosine ≥ tau drop the larger vec_id.

@@ -242,6 +242,43 @@ object Relational {
         .as("n_follow"))
   }
 
+  /** Q47 — event-rate spike detection: per (event_type, minute) counts
+    * flagged when the minute's count exceeds 3× its trailing 5-minute
+    * average. The trailing window is a RANGE frame over the integer
+    * minute index — gaps (empty minutes) simply contribute nothing, so
+    * the frame is calendar-correct without densifying the series — and
+    * a spike requires a FULLY-OBSERVED trailing window (all 5 trailing
+    * minutes non-empty): partial history divides by the full window
+    * length and would flag every early/post-gap minute. The spike test
+    * is a pure integer cross-multiplication (n·window >
+    * 3·trailing_sum), engine-exact with no float division.
+    *
+    * Scale shape: one shuffle to the (type, minute) pre-aggregate —
+    * the raw event log never enters a window — then the RANGE frame
+    * runs over the tiny per-type minute series. Skew-safe for bounded
+    * type cardinality; a high-cardinality key would use the q46
+    * bucketed-rank pattern instead.
+    */
+  def rateSpikes(s: SparkSession, dir: String,
+                 trailMinutes: Int = 5, factor: Int = 3): DataFrame = {
+    val ev = t(s, dir, "events")
+    val minutes = ev
+      .select(col("event_type"),
+        (tsMicros(ev) / lit(60000000L)).cast("long").as("minute"))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rangeBetween(-trailMinutes, -1)
+    minutes
+      .withColumn("trail_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("obs", count(lit(1)).over(w))
+      .select(col("event_type"),
+        (col("minute") * 60000000L).as("minute_us"),
+        col("n"), col("trail_n"),
+        (col("obs") === trailMinutes &&
+          col("n") * trailMinutes > col("trail_n") * factor).as("spike"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

@@ -103,6 +103,35 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("rateSpikes: RANGE frame skips gaps; spike = count > 3x trailing avg; no history = no spike") {
+    def ts(min: Int, k: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L + k))
+    // clicks: minutes 0..4 at 1/min, a 4-event burst at minute 5 (full
+    // trailing window 0..4 -> 4*5 > 5*3 -> spike), another burst at
+    // minute 10 after a gap (frame 5..9 has only minute 5 observed ->
+    // partial history, not a spike), and minute 12 (frame 7..11 =
+    // minute 10 only -> partial, not a spike).
+    var id = 0L
+    def ev(min: Int, n: Int) = (0 until n).map { k =>
+      id += 1; (id, ts(min, k), 1L, "click", 0.0, "{}")
+    }
+    val rows = (0 to 4).flatMap(m => ev(m, 1)) ++ ev(5, 4) ++
+      ev(10, 4) ++ ev(12, 4)
+    withEventsDir(rows) { dir =>
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .getEpochSecond / 60L
+      val out = Relational.rateSpikes(spark, dir).collect()
+        .map(r => (r.getAs[Long]("minute_us") / 60000000L - base).toInt ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("trail_n"),
+            r.getAs[Boolean]("spike")))).toMap
+      assert(out(1) === ((1L, 1L, false)))  // partial history
+      assert(out(4) === ((1L, 4L, false)))  // partial history
+      assert(out(5) === ((4L, 5L, true)))   // full window, 4 > 3x avg 1
+      assert(out(10) === ((4L, 4L, false))) // gap -> partial history
+      assert(out(12) === ((4L, 4L, false))) // gap -> partial history
+    }
+  }
+
   test("pricingRollup plan: Expand runs over the pre-aggregate, not the fact scan") {
     val dir = java.nio.file.Files.createTempDirectory("rollup").toString
     try {
