@@ -1156,6 +1156,26 @@ object OracleSql {
        |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
        |FROM tc GROUP BY 1""".stripMargin
 
+  /** Q48 — token-rarity document scoring (mirrors
+    * TextAnalysis.tokenRarity): integer log2-bucketed document
+    * frequencies, rarity summed over token occurrences.
+    */
+  def q48TokenRarity(rmax: Int = 40): String =
+    s"""WITH occ AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents
+       |),
+       |r AS (
+       |  SELECT token,
+       |    CAST($rmax - (len(printf('%b', count(DISTINCT doc_id))) - 1)
+       |      AS BIGINT) AS rarity
+       |  FROM occ GROUP BY token
+       |)
+       |SELECT o.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(r.rarity) AS BIGINT) AS rarity_sum,
+       |  CAST(sum(r.rarity) AS DOUBLE) / count(*) AS mean_rarity
+       |FROM occ o JOIN r USING (token)
+       |GROUP BY o.doc_id""".stripMargin
+
   /** Q42 — FULL OUTER activity reconciliation. */
   def q42Reconcile: String =
     s"""SELECT coalesce(c.c_custkey, e.user_id) AS user_id,

@@ -135,7 +135,8 @@ object SparkEntry {
     "q44_range_join" -> ((s, dir) => Relational.followerCounts(s, dir)),
     "q45_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "q46_stratified_split" -> ((s, dir) => Pipeline.stratifiedSplit(s, dir)),
-    "q47_rate_spikes" -> ((s, dir) => Relational.rateSpikes(s, dir))
+    "q47_rate_spikes" -> ((s, dir) => Relational.rateSpikes(s, dir)),
+    "q48_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,6 +205,7 @@ object SparkEntry {
     "q44_range_join" -> OracleSql.q44FollowerCounts(),
     "q45_semantic_dedup" -> OracleSql.q45SemanticDedup(),
     "q46_stratified_split" -> OracleSql.q46StratifiedSplit(),
-    "q47_rate_spikes" -> OracleSql.q47RateSpikes()
+    "q47_rate_spikes" -> OracleSql.q47RateSpikes(),
+    "q48_token_rarity" -> OracleSql.q48TokenRarity()
   )
 }

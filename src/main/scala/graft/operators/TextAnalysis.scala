@@ -134,6 +134,36 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("n_occurrences"))
 
+  /** Q48 — token-rarity document scoring, the integer-exact form of a
+    * unigram-LM quality proxy: each token's document frequency is
+    * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer
+    * trick as q43), its rarity is `40 − ⌊log2 df⌋` (40 covers df up to
+    * ~10^12 — positive at any conceivable corpus), and a document's
+    * score sums rarity over its token OCCURRENCES. Rare-token-dense
+    * documents score high, boilerplate scores low — the standard
+    * pretraining-corpus quality signal, with bucketed-integer
+    * arithmetic instead of float log-probs so the oracle compare is
+    * exact (the only float is one final IEEE division for the mean).
+    *
+    * Scale shape: one (doc, token)-distinct aggregate for df, one
+    * shuffle join keyed by token (the rarity table is vocabulary-
+    * sized — broadcastable when the vocab is bounded), one doc_id
+    * aggregate. No quadratic work, no driver participation.
+    */
+  def tokenRarity(s: SparkSession, dir: String, rmax: Int = 40): DataFrame = {
+    val occ = docs(s, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+    val rarity = occ.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .select(col("token"),
+        (lit(rmax) - (length(bin(col("df"))) - 1)).cast("long").as("rarity"))
+    occ.join(rarity, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rarity")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        (col("rarity_sum").cast("double") / col("n_tokens")).as("mean_rarity"))
+  }
+
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .withColumn("tk", TextHash.tokens(col("text")))

@@ -18,6 +18,25 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("tokenRarity: rarity = 40 - floor(log2 df), summed over occurrences") {
+    // "common" in all 4 docs (df=4 -> log2=2 -> rarity 38);
+    // "mid" in 2 (df=2 -> rarity 39); "rare" in 1 (df=1 -> rarity 40)
+    withDocsDir(Seq(
+      "common mid rare rare",
+      "common mid",
+      "common",
+      "common")) { dir =>
+      val out = TextAnalysis.tokenRarity(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("rarity_sum"),
+            r.getAs[Double]("mean_rarity")))).toMap
+      // doc 0: 38 + 39 + 40 + 40 = 157 over 4 occurrences
+      assert(out(0L) === ((4L, 157L, 157.0 / 4)))
+      assert(out(1L) === ((2L, 77L, 77.0 / 2)))
+      assert(out(2L) === ((1L, 38L, 38.0)))
+    }
+  }
+
   test("langId: marker-dominant docs classify; no markers gives 'und'; tie prefers en") {
     withDocsDir(Seq(
       "el gato de la casa es negro y bonito",
