@@ -1389,6 +1389,39 @@ object OracleSql {
        |  (obs = $trailMinutes AND n * $trailMinutes > trail_n * $factor) AS spike
        |FROM w""".stripMargin
 
+  /** Q49 — int8-quantized brute-force top-k (mirrors
+    * Similarity.quantizedTopK): symmetric per-vector quantization,
+    * integer dot-product ranking.
+    */
+  def q49QuantizedTopK(k: Int = 10, dim: Int = 64): String = {
+    val terms = (1 to dim).map(i => s"p.pq[$i] * q.qv[$i]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |m AS (
+       |  SELECT vec_id, de, list_max(list_transform(de, x -> abs(x))) AS ma
+       |  FROM e
+       |),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(de, x -> CAST(round(
+       |      CASE WHEN ma = 0 THEN 0.0 ELSE x * 127.0 / ma END) AS BIGINT)) AS qv
+       |  FROM m
+       |),
+       |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 3),
+       |d AS (
+       |  SELECT p.probe_id, q.vec_id, CAST($terms AS BIGINT) AS qdot
+       |  FROM p CROSS JOIN q WHERE q.vec_id <> p.probe_id
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY qdot DESC, vec_id) AS rnk
+       |  FROM d
+       |)
+       |SELECT probe_id, vec_id, qdot, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Q45 — semantic dedup (mirrors Similarity.semanticDedup): same
     * coarse-quantizer assignment CTEs as q16c, then within-cluster
     * pairs with cosine ≥ tau drop the larger vec_id.

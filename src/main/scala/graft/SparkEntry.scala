@@ -136,7 +136,8 @@ object SparkEntry {
     "q45_semantic_dedup" -> ((s, dir) => Similarity.semanticDedup(s, dir)),
     "q46_stratified_split" -> ((s, dir) => Pipeline.stratifiedSplit(s, dir)),
     "q47_rate_spikes" -> ((s, dir) => Relational.rateSpikes(s, dir)),
-    "q48_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir))
+    "q48_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir)),
+    "q49_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,6 +207,7 @@ object SparkEntry {
     "q45_semantic_dedup" -> OracleSql.q45SemanticDedup(),
     "q46_stratified_split" -> OracleSql.q46StratifiedSplit(),
     "q47_rate_spikes" -> OracleSql.q47RateSpikes(),
-    "q48_token_rarity" -> OracleSql.q48TokenRarity()
+    "q48_token_rarity" -> OracleSql.q48TokenRarity(),
+    "q49_quantized_topk" -> OracleSql.q49QuantizedTopK()
   )
 }

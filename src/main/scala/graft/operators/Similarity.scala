@@ -168,6 +168,48 @@ object Similarity {
       .select("probe_id", "vec_id", "sim", "rnk")
   }
 
+  /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /
+    * max|x|), the storage/bandwidth scale path for ANN (4× smaller
+    * than float32, integer SIMD dot products). Zero vectors quantize
+    * to zeros. round() is half-away-from-zero on both engines, and
+    * the (x·127)/max association order is pinned, so the quantized
+    * values are engine-exact.
+    */
+  def quantize(de: Column): Column = {
+    val ma = array_max(transform(de, x => abs(x)))
+    transform(de, x =>
+      when(ma === 0.0, lit(0.0))
+        .otherwise(round(x * lit(127.0) / ma)).cast("long"))
+  }
+
+  /** Q49 — quantized brute-force top-k: the q16 probe scan run
+    * entirely in int8-quantized space — scores are INTEGER dot
+    * products (≤ 64·127², exact), so ranking is engine-exact with no
+    * float tolerance anywhere. The quantization is a narrow projection
+    * (no shuffle); the scan shape and top-k window match q16. At real
+    * scale this is the first-stage filter whose survivors get exact
+    * float re-scoring (q16's arithmetic) — here the quantized ranking
+    * itself is the contract.
+    */
+  def quantizedTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        quantize(transform(col("embedding"), x => x.cast("double")))
+          .as("qv"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    probes.crossJoin(e)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdot",
+        dot(transform(col("pq"), _.cast("double")),
+          transform(col("qv"), _.cast("double"))).cast("long"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "vec_id", "qdot", "rnk")
+  }
+
   /** Centroid count that keeps expected cluster occupancy ≈
     * `targetCluster` for an n-vector corpus, floored at the 8-centroid
     * default. With c = n/targetCluster centroids the within-cluster

@@ -47,6 +47,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantize: symmetric int8 with half-away-from-zero rounding; zero vector to zeros") {
+    val vecs = Seq(
+      Array(1.0f, 0.5f, -0.25f, 0.0f) ++ Array.fill(60)(0.0f),
+      Array.fill(64)(0.0f))
+    withEmbDir(vecs) { dir =>
+      val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          Similarity.quantize(transform(col("embedding"),
+            x => x.cast("double"))).as("qv"))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getSeq[Long](1).take(4)).toMap
+      // ma=1: 127, round(63.5)=64 (half away from zero), round(-31.75)=-32
+      assert(qv(0L) === Seq(127L, 64L, -32L, 0L))
+      assert(qv(1L) === Seq(0L, 0L, 0L, 0L))
+    }
+  }
+
+  test("quantizedTopK: integer self-dot is the max score for a duplicate pair") {
+    val base = randVecs(8, seed = 31L)
+    val vecs = base.updated(5, base(0)) // vec 5 duplicates probe 0
+    withEmbDir(vecs) { dir =>
+      val out = Similarity.quantizedTopK(spark, dir, k = 3).collect()
+        .filter(_.getAs[Long]("probe_id") == 0L)
+        .sortBy(_.getAs[Int]("rnk"))
+      // the duplicate must rank first for probe 0, with qdot = |q|^2
+      assert(out.head.getAs[Long]("vec_id") === 5L)
+      val q = Similarity.quantize(transform(col("embedding"), x => x.cast("double")))
+      val selfDot = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 0L).select(q.as("qv"))
+        .head().getSeq[Long](0).map(x => x * x).sum
+      assert(out.head.getAs[Long]("qdot") === selfDot)
+    }
+  }
+
   test("centroidsForCorpus keeps cluster occupancy bounded") {
     assert(Similarity.centroidsForCorpus(500L) === 8)
     assert(Similarity.centroidsForCorpus(1L << 20, targetCluster = 1024L) === 1024)
