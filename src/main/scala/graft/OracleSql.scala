@@ -1176,6 +1176,25 @@ object OracleSql {
        |FROM occ o JOIN r USING (token)
        |GROUP BY o.doc_id""".stripMargin
 
+  /** Q50 — sliding-window event counts (mirrors
+    * StreamingOps.slidingCounts at 10-minute windows sliding by 5):
+    * each event expands to its two covering epoch-aligned windows.
+    */
+  def q50SlidingCounts(windowMin: Int = 10, slideMin: Int = 5): String = {
+    val slideUs = slideMin * 60000000L
+    val nCover = windowMin / slideMin
+    val ks = (0 until nCover).mkString("[", ", ", "]")
+    s"""WITH x AS (
+       |  SELECT event_type, epoch_us(ts) AS us FROM events
+       |),
+       |w AS (
+       |  SELECT event_type, (us // $slideUs - k) * $slideUs AS window_start_us
+       |  FROM x, unnest($ks) AS t(k)
+       |)
+       |SELECT event_type, window_start_us, count(*) AS n_events
+       |FROM w GROUP BY 1, 2""".stripMargin
+  }
+
   /** Q42 — FULL OUTER activity reconciliation. */
   def q42Reconcile: String =
     s"""SELECT coalesce(c.c_custkey, e.user_id) AS user_id,

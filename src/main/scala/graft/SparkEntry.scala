@@ -137,7 +137,9 @@ object SparkEntry {
     "q46_stratified_split" -> ((s, dir) => Pipeline.stratifiedSplit(s, dir)),
     "q47_rate_spikes" -> ((s, dir) => Relational.rateSpikes(s, dir)),
     "q48_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir)),
-    "q49_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir))
+    "q49_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
+    "q50_stream_sliding" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSlidingFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,6 +210,7 @@ object SparkEntry {
     "q46_stratified_split" -> OracleSql.q46StratifiedSplit(),
     "q47_rate_spikes" -> OracleSql.q47RateSpikes(),
     "q48_token_rarity" -> OracleSql.q48TokenRarity(),
-    "q49_quantized_topk" -> OracleSql.q49QuantizedTopK()
+    "q49_quantized_topk" -> OracleSql.q49QuantizedTopK(),
+    "q50_stream_sliding" -> OracleSql.q50SlidingCounts()
   )
 }

@@ -93,6 +93,57 @@ object StreamingOps {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Q50 (operator) — SLIDING-window event counts with a watermark:
+    * every event lands in windowMin/slideMin overlapping windows (2 at
+    * the 10/5 defaults). Identical semantics over a stream or a batch
+    * frame — the parity the fixture and oracle pin. Streaming state is
+    * watermark-bounded: a window's aggregate is dropped once the
+    * watermark passes its end, so state is O(types × windows-in-
+    * watermark-horizon) regardless of stream length.
+    */
+  def slidingCounts(ev: DataFrame, windowMin: Int = 10, slideMin: Int = 5,
+                    watermarkMin: Int = 30): DataFrame =
+    ev.withWatermark("tsm", s"$watermarkMin minutes")
+      .groupBy(col("event_type"),
+        window(col("tsm"), s"$windowMin minutes", s"$slideMin minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
+
+  /** q50 — [[slidingCounts]] driven over the sfDir events table via a
+    * 3-micro-batch MemoryStream in Update mode. The feed is
+    * time-ordered, so nothing is watermark-dropped and the final
+    * update per window equals the batch aggregate (counts grow
+    * monotonically across updates — max() selects the final one). The
+    * collect feeds the MemoryStream harness only.
+    */
+  def streamSlidingFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("event_type"), tsu.as("us"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val name = s"q50_stream_sliding_${System.nanoTime()}"
+    val in = stream.toDS().toDF("event_type", "us")
+      .withColumn("tsm", expr("timestamp_micros(us)"))
+    val q = slidingCounts(in)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+      .groupBy(col("event_type"), col("window_start_us"))
+      .agg(max(col("n_events")).as("n_events"))
+  }
+
   /** One enriched interior sample from the streaming envelope
     * pipeline.
     */

@@ -246,6 +246,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("slidingCounts: stream equals batch; every event covers two windows") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:30")
+    val evs = (0 until 120 by 2).map(m =>
+      (if (m % 6 == 0) "click" else "view", ts(m)))
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_type", "tsm")
+    val batch = StreamingOps.slidingCounts(proj(evs.toDF()))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // each event lands in exactly 2 of the 10/5-minute windows
+    assert(batch.toSeq.map(_._3).sum === evs.length * 2L)
+
+    val stream = MemoryStream[(String, Timestamp)]
+    val q = StreamingOps.slidingCounts(proj(stream.toDS().toDF()))
+      .writeStream.format("memory").queryName("q50_spec")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(evs.take(30)); q.processAllAvailable()
+      stream.addData(evs.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("q50_spec")
+      .groupBy($"event_type", $"window_start_us")
+      .agg(org.apache.spark.sql.functions.max($"n_events").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
   test("stream-stream interval join equals the batch join across micro-batches") {
     val t0 = Timestamp.valueOf("2024-01-01 12:00:00").getTime
     def ts(min: Int) = new Timestamp(t0 + min * 60000L)
