@@ -1156,6 +1156,36 @@ object OracleSql {
        |  CAST(sum(cnt) AS BIGINT) AS n_occurrences
        |FROM tc GROUP BY 1""".stripMargin
 
+  /** Q51 — BM25 scoring (mirrors TextAnalysis.bm25): log-free odds
+    * idf, per-term scores summed in fixed query-term order.
+    */
+  def q51Bm25(terms: Seq[String] = Seq("hash", "join", "scan"),
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter($tokensSql, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    val score = terms.map(t =>
+      s"(n_docs - df_$t + 0.5) / (df_$t + 0.5) * " +
+        s"((tf_$t * ${k1 + 1}) / (tf_$t + $k1 * (${1 - b} + $b * dl / avgdl)))")
+      .mkString(" + ")
+    s"""WITH wd AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM wd
+       |),
+       |st2 AS (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st)
+       |SELECT doc_id, dl, $score AS bm25
+       |FROM wd CROSS JOIN st2""".stripMargin
+  }
+
   /** Q48 — token-rarity document scoring (mirrors
     * TextAnalysis.tokenRarity): integer log2-bucketed document
     * frequencies, rarity summed over token occurrences.

@@ -139,7 +139,8 @@ object SparkEntry {
     "q48_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir)),
     "q49_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     "q50_stream_sliding" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSlidingFixture(s, dir))
+      graft.streaming.StreamingOps.streamSlidingFixture(s, dir)),
+    "q51_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,6 +212,7 @@ object SparkEntry {
     "q47_rate_spikes" -> OracleSql.q47RateSpikes(),
     "q48_token_rarity" -> OracleSql.q48TokenRarity(),
     "q49_quantized_topk" -> OracleSql.q49QuantizedTopK(),
-    "q50_stream_sliding" -> OracleSql.q50SlidingCounts()
+    "q50_stream_sliding" -> OracleSql.q50SlidingCounts(),
+    "q51_bm25" -> OracleSql.q51Bm25()
   )
 }

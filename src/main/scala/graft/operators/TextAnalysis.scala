@@ -134,6 +134,45 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("n_occurrences"))
 
+  /** Q51 — BM25 document scoring against a fixed query. The idf is the
+    * log-free odds form (N − df + 0.5)/(df + 0.5) — order-preserving
+    * in df with the classic formula, but pure rational arithmetic so
+    * both engines produce bit-identical doubles (ln() differs in last
+    * ulps across libm implementations). Per-term scores are summed in
+    * FIXED query-term order (explicit left-associated +), the one
+    * float-association hazard in the formula.
+    *
+    * Scale shape: per-document term frequencies come from a codegen'd
+    * array filter over the token array — NO explode and no shuffle for
+    * tf; the only aggregate is one global stats row (N, Σdl, df per
+    * term) that cross-joins back as a broadcast. Scoring is then a
+    * narrow projection over the corpus — the linear scan a 100 TB
+    * retrieval pass needs.
+    */
+  def bm25(s: SparkSession, dir: String,
+           terms: Seq[String] = Seq("hash", "join", "scan"),
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val wd = docs(s, dir)
+      .withColumn("tk", TextHash.tokens(col("text")))
+      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+        terms.map(t =>
+          size(filter(col("tk"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = wd.agg(aggs.head, aggs.tail: _*)
+    val scored = wd.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val termScore = terms.map { t =>
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      val w = (col(s"tf_$t") * lit(k1 + 1)) /
+        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      idf * w
+    }
+    scored.select(col("doc_id"), col("dl"),
+      termScore.reduceLeft(_ + _).as("bm25"))
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer

@@ -37,6 +37,25 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("bm25: matching docs outrank non-matching; rarer term contributes more; plan has no explode") {
+    withDocsDir(Seq(
+      "hash hash hash filler filler filler",  // tf(hash)=3
+      "hash filler filler filler filler filler", // tf(hash)=1
+      "scan filler filler filler filler filler", // rare term (df=1)
+      "filler filler filler filler filler filler")) { dir =>
+      val df = graft.operators.TextAnalysis.bm25(spark, dir)
+      val out = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+      assert(out(3L) === 0.0) // no query term
+      assert(out(0L) > out(1L)) // higher tf wins at equal dl
+      // "scan" (df=1) is rarer than "hash" (df=2): doc 2 outranks doc 1
+      assert(out(2L) > out(1L))
+      // scale shape: tf comes from array filters, not an exploded shuffle
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), s"bm25 must not explode tokens:\n$plan")
+    }
+  }
+
   test("langId: marker-dominant docs classify; no markers gives 'und'; tie prefers en") {
     withDocsDir(Seq(
       "el gato de la casa es negro y bonito",
