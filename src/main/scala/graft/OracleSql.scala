@@ -787,15 +787,22 @@ object OracleSql {
        |)""".stripMargin
   }
 
+  /** The Q18 quality-score expression over the `q` CTE of
+    * [[qualityCtes]] — shared by q18, q36 and q52 so the three stay
+    * arithmetically identical.
+    */
+  def qualityScoreSql: String =
+    """0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      |    + 0.3 * (1.0 - CAST(en_hits AS DOUBLE) / n_tokens)
+      |    + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0)""".stripMargin
+
   def q18Quality: String = {
     s"""WITH $qualityCtes
        |SELECT doc_id, n_tokens,
        |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
        |  CAST(en_hits AS DOUBLE) / n_tokens AS stopword_ratio,
        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-       |  0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-       |    + 0.3 * (1.0 - CAST(en_hits AS DOUBLE) / n_tokens)
-       |    + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM q""".stripMargin
   }
 
@@ -1263,9 +1270,7 @@ object OracleSql {
     s"""WITH $qualityCtes,
        |sc AS (
        |  SELECT doc_id,
-       |    0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-       |      + 0.3 * (1.0 - CAST(en_hits AS DOUBLE) / n_tokens)
-       |      + 0.3 * least((CAST(sum_len AS DOUBLE) / n_tokens) / 8.0, 1.0) AS quality_score,
+       |    $qualityScoreSql AS quality_score,
        |    CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} % $buckets AS DOUBLE)
        |      / ${buckets}.0 AS u
        |  FROM q
@@ -1273,6 +1278,54 @@ object OracleSql {
        |SELECT doc_id, quality_score, u, u < quality_score AS kept
        |FROM sc""".stripMargin
   }
+
+  /** Q52 — end-to-end curation manifest (mirrors Pipeline.curate):
+    * q15 keep ∩ q18 quality ≥ τ ∩ q35 clean, labeled with the q46
+    * split — all stated as one composed query.
+    */
+  def q52Curate(minQuality: Double = 0.55, benchMod: Long = 50L,
+                minShared: Long = 3L, trainPct: Int = 80,
+                valPct: Int = 10): String =
+    s"""WITH $qualityCtes,
+       |sc AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM q),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |$shingleCtes,
+       |bench AS (SELECT DISTINCT h FROM shq WHERE doc_id % $benchMod = 0),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_shared
+       |  FROM shq s JOIN bench b ON s.h = b.h
+       |  WHERE s.doc_id % $benchMod <> 0 GROUP BY s.doc_id
+       |),
+       |clean AS (
+       |  SELECT d2.doc_id FROM documents d2
+       |  LEFT JOIN hits hh ON d2.doc_id = hh.doc_id
+       |  WHERE d2.doc_id % $benchMod <> 0
+       |    AND coalesce(hh.n_shared, 0) < $minShared
+       |),
+       |sh2 AS (
+       |  SELECT doc_id, lang,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents
+       |),
+       |rr AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM sh2
+       |),
+       |spl AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN rnk * 100 <= n * $trainPct THEN 'train'
+       |         WHEN rnk * 100 <= n * ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM rr
+       |)
+       |SELECT k.doc_id, spl.lang, spl.split, sc.quality_score
+       |FROM keep k
+       |JOIN sc ON sc.doc_id = k.doc_id
+       |JOIN clean c ON c.doc_id = k.doc_id
+       |JOIN spl ON spl.doc_id = k.doc_id
+       |WHERE sc.quality_score >= $minQuality""".stripMargin
 
   /** Q37 — sequence packing (mirrors Pipeline.packSequences: exclusive
     * per-source token prefix sum in doc_id order, integer chunk ids).

@@ -140,7 +140,8 @@ object SparkEntry {
     "q49_quantized_topk" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     "q50_stream_sliding" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSlidingFixture(s, dir)),
-    "q51_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir))
+    "q51_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
+    "q52_curate" -> ((s, dir) => Pipeline.curate(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,6 +214,7 @@ object SparkEntry {
     "q48_token_rarity" -> OracleSql.q48TokenRarity(),
     "q49_quantized_topk" -> OracleSql.q49QuantizedTopK(),
     "q50_stream_sliding" -> OracleSql.q50SlidingCounts(),
-    "q51_bm25" -> OracleSql.q51Bm25()
+    "q51_bm25" -> OracleSql.q51Bm25(),
+    "q52_curate" -> OracleSql.q52Curate()
   )
 }

@@ -97,6 +97,35 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** Q52 — the end-to-end curation manifest: the composition a real
+    * training-data pipeline runs as one job. A document survives iff it
+    * is (1) the canonical copy under exact dedup (q15's keep-first
+    * rule), (2) above the q18 quality threshold, (3) not benchmark-
+    * contaminated (q35; the benchmark slice itself is excluded as eval
+    * data), and every survivor carries its q46 stratified split.
+    *
+    * Each input is an already-aggregated per-doc_id frame, so the
+    * composition is three doc_id-keyed equi-joins over progressively
+    * shrinking sets — Catalyst reuses one partitioning across them.
+    * Demonstrates that the engine's curation stages compose lazily
+    * into ONE plan (single action, no intermediate materialization),
+    * which is the operational contract at 100 TB.
+    */
+  def curate(s: SparkSession, dir: String,
+             minQuality: Double = 0.55): DataFrame = {
+    val keep = TextAnalysis.dedupExact(s, dir).select("doc_id")
+    val qual = TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .filter(col("quality_score") >= minQuality)
+    val clean = decontaminate(s, dir)
+      .filter(!col("contaminated")).select("doc_id")
+    val split = stratifiedSplit(s, dir)
+    keep.join(qual, "doc_id")
+      .join(clean, "doc_id")
+      .join(split, "doc_id")
+      .select(col("doc_id"), col("lang"), col("split"), col("quality_score"))
+  }
+
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Q28 — PII-style masking: count + redact email addresses and

@@ -104,6 +104,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("curate: drops dup copies, contaminated docs, and the benchmark slice; labels survivors") {
+    // ids 0..59: id 0 is the benchmark slice (id % 50 == 0 among these).
+    // id 11 duplicates id 10 (exact-dedup drop); id 12 copies the
+    // benchmark text (contaminated); everything else survives.
+    def uniq(i: Long) = s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    val texts = (0L until 60L).map {
+      case 11L => 11L -> uniq(10L)
+      case 12L => 12L -> uniq(0L)
+      case i => i -> uniq(i)
+    }
+    val docs = texts.map { case (i, t) => (i, t, "en", "web") }
+    withCorpusDir(docs) { dir =>
+      val out = Pipeline.curate(spark, dir, minQuality = 0.0).collect()
+      val ids = out.map(_.getAs[Long]("doc_id")).toSet
+      assert(!ids.contains(0L))  // benchmark slice excluded
+      assert(!ids.contains(50L)) // benchmark slice excluded
+      assert(ids.contains(10L) && !ids.contains(11L)) // keep-first dedup
+      assert(!ids.contains(12L)) // contaminated
+      assert(ids.size === 56)
+      // every survivor carries a split label
+      assert(out.forall(r =>
+        Set("train", "val", "test")(r.getAs[String]("split"))))
+    }
+  }
+
   // ---- piiMask ----
 
   test("piiMask: masks emails then digit runs, counts both") {
