@@ -1193,6 +1193,52 @@ object OracleSql {
        |FROM wd CROSS JOIN st2""".stripMargin
   }
 
+  /** Q53 — top-k bigram collocations per source (mirrors
+    * TextAnalysis.topBigrams).
+    */
+  def q53TopBigrams(k: Int = 5): String =
+    s"""WITH d AS (SELECT source, $tokensSql AS tk FROM documents),
+       |bg AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+       |  FROM d
+       |),
+       |c AS (SELECT source, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY n DESC, bigram) AS rnk
+       |  FROM c
+       |)
+       |SELECT source, bigram, n, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Q54 — int8 quantization fidelity (mirrors
+    * Similarity.quantFidelity): cosine between each float vector and
+    * its dequantized reconstruction.
+    */
+  def q54QuantFidelity(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |m AS (
+       |  SELECT vec_id, label, de,
+       |    list_max(list_transform(de, x -> abs(x))) AS ma
+       |  FROM e
+       |),
+       |dqt AS (
+       |  SELECT vec_id, label, de,
+       |    list_transform(
+       |      list_transform(de, x -> CAST(round(
+       |        CASE WHEN ma = 0 THEN 0.0 ELSE x * 127.0 / ma END) AS BIGINT)),
+       |      v -> v * ma / 127.0) AS dq
+       |  FROM m
+       |)
+       |SELECT vec_id, label, ${cosSql("de", "dq", dim)} AS qcos
+       |FROM dqt""".stripMargin
+
   /** Q48 — token-rarity document scoring (mirrors
     * TextAnalysis.tokenRarity): integer log2-bucketed document
     * frequencies, rarity summed over token occurrences.

@@ -141,7 +141,9 @@ object SparkEntry {
     "q50_stream_sliding" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSlidingFixture(s, dir)),
     "q51_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
-    "q52_curate" -> ((s, dir) => Pipeline.curate(s, dir))
+    "q52_curate" -> ((s, dir) => Pipeline.curate(s, dir)),
+    "q53_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
+    "q54_quant_fidelity" -> ((s, dir) => Similarity.quantFidelity(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,6 +217,8 @@ object SparkEntry {
     "q49_quantized_topk" -> OracleSql.q49QuantizedTopK(),
     "q50_stream_sliding" -> OracleSql.q50SlidingCounts(),
     "q51_bm25" -> OracleSql.q51Bm25(),
-    "q52_curate" -> OracleSql.q52Curate()
+    "q52_curate" -> OracleSql.q52Curate(),
+    "q53_top_bigrams" -> OracleSql.q53TopBigrams(),
+    "q54_quant_fidelity" -> OracleSql.q54QuantFidelity()
   )
 }

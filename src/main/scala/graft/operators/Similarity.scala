@@ -210,6 +210,26 @@ object Similarity {
       .select("probe_id", "vec_id", "qdot", "rnk")
   }
 
+  /** Q54 — quantization fidelity audit: each vector's cosine between
+    * its float embedding and its int8-dequantized reconstruction
+    * (dq_i = q_i·max|x|/127). The QA query that decides whether the
+    * q49 quantized scan is safe for a given corpus — vectors with low
+    * qcos need the float re-scoring stage. Narrow projection, no
+    * shuffle; the per-row fold order is pinned (DotProductExpr), so
+    * parity with the oracle is bitwise.
+    */
+  def quantFidelity(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+      .withColumn("ma", array_max(transform(col("de"), x => abs(x))))
+      .withColumn("dq",
+        transform(quantize(col("de")),
+          q => q.cast("double") * col("ma") / lit(127.0)))
+    e.select(col("vec_id"), col("label"),
+      cosine(col("de"), col("dq")).as("qcos"))
+  }
+
   /** Centroid count that keeps expected cluster occupancy ≈
     * `targetCluster` for an n-vector corpus, floored at the 8-centroid
     * default. With c = n/targetCluster centroids the within-cluster

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash
 
@@ -133,6 +134,28 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("n_occurrences"))
+
+  /** Q53 — top-k bigram collocations per source: the corpus-QA query
+    * behind boilerplate/template detection (a dominant bigram is a
+    * scrape artifact). Counts shuffle keyed by (source, bigram) with
+    * map-side partials; the top-k window runs over the aggregate
+    * (vocabulary-sized, not corpus-sized). When even the bigram
+    * vocabulary is too wide, the bounded-state path is the q40
+    * Misra-Gries UDAF — this exact variant is the oracle-checkable
+    * form.
+    */
+  def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val bg = docs(s, dir).select(col("source"),
+      explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
+        .as("bigram"))
+    val counts = bg.groupBy(col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("source", "bigram", "n", "rnk")
+  }
 
   /** Q51 — BM25 document scoring against a fixed query. The idf is the
     * log-free odds form (N − df + 0.5)/(df + 0.5) — order-preserving

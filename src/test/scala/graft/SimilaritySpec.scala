@@ -81,6 +81,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("quantFidelity: exactly-representable vectors reconstruct with qcos 1; noise stays near 1") {
+    // ±1/0 entries are exact under quantize+dequantize (q = ±127,
+    // dq = ±127·1/127 = ±1 exactly)
+    val exact = Array(1.0f, -1.0f, 1.0f, 0.0f) ++ Array.fill(60)(0.0f)
+    val vecs = Seq(exact) ++ randVecs(3, seed = 41L)
+    val dir = java.nio.file.Files.createTempDirectory("embq").toString
+    try {
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i.toInt % 2) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.quantFidelity(spark, dir).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("qcos")).toMap
+      assert(out(0L) === 1.0)
+      assert((1L to 3L).forall(i => out(i) > 0.99 && out(i) <= 1.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("centroidsForCorpus keeps cluster occupancy bounded") {
     assert(Similarity.centroidsForCorpus(500L) === 8)
     assert(Similarity.centroidsForCorpus(1L << 20, targetCluster = 1024L) === 1024)

@@ -37,6 +37,23 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("topBigrams: counts overlapping bigrams, ranks desc with bigram tie-break, short docs skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("bigrams").toString
+    try {
+      Seq("a b a b a", "a b c", "solo").zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "web", t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.topBigrams(spark, dir, k = 2)
+        .collect().map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n"),
+          r.getAs[Int]("rnk")))
+      // "a b": 3, "b a": 2; "b c": 1 excluded at k=2; doc "solo" has none
+      assert(out.toSeq === Seq(("a b", 3L, 1), ("b a", 2L, 2)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bm25: matching docs outrank non-matching; rarer term contributes more; plan has no explode") {
     withDocsDir(Seq(
       "hash hash hash filler filler filler",  // tf(hash)=3
