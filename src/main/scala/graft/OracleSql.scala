@@ -516,7 +516,7 @@ object OracleSql {
 
   /** cosine(a, b) with the same association order as Similarity.cosine. */
   def cosSql(a: String, b: String, dim: Int = 64): String =
-    s"${sumTerms(a, b, dim)} / (sqrt(${sumTerms(a, a, dim)}) * sqrt(${sumTerms(b, b, dim)}))"
+    s"${sumTerms(a, b, dim)} / sqrt(${sumTerms(a, a, dim)} * ${sumTerms(b, b, dim)})"
 
   def q16CosineTopK(dim: Int = 64, k: Int = 10): String = {
     def sumTerms(a: String, b: String): String =
@@ -1238,6 +1238,122 @@ object OracleSql {
        |)
        |SELECT vec_id, label, ${cosSql("de", "dq", dim)} AS qcos
        |FROM dqt""".stripMargin
+
+  /** Q55 — CDC latest-wins compaction (mirrors Relational.latestState):
+    * the oracle states the semantics as a window rank; the engine's
+    * struct-max aggregate must pick the identical winner.
+    */
+  def q55LatestState: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id, value,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+       |  FROM events
+       |)
+       |SELECT user_id, event_type, t_us AS last_us,
+       |  event_id AS last_event_id, value AS last_value
+       |FROM r WHERE rn = 1""".stripMargin
+
+  /** Bit-interleave of the low `bits` bits of two integer expressions
+    * (a → even positions, b → odd) — term-for-term the engine's
+    * Relational.zkey.
+    */
+  def zkeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** Q56 — z-order layout audit (mirrors Relational.zorderLayout). */
+  def q56Zorder(bits: Int = 16, bucketBits: Int = 6): String = {
+    val mask = (1L << bits) - 1
+    s"""WITH d AS (
+       |  SELECT user_id & $mask AS u,
+       |    (epoch_us(ts) // 60000000) & $mask AS m
+       |  FROM events
+       |),
+       |z AS (
+       |  SELECT u, m,
+       |    (${zkeySql("u", "m", bits)}) >> ${2 * bits - bucketBits} AS zbucket
+       |  FROM d
+       |)
+       |SELECT zbucket, count(*) AS n,
+       |  min(u) AS u_min, max(u) AS u_max,
+       |  min(m) AS m_min, max(m) AS m_max
+       |FROM z GROUP BY zbucket""".stripMargin
+  }
+
+  /** Q57 — bigram-LM fluency proxy (mirrors TextAnalysis.bigramLm):
+    * integer log2-bucketed conditional bigram probabilities; context
+    * counts roll up from the bigram aggregate. The c1 sum casts back
+    * to BIGINT before printf('%b') — DuckDB sums BIGINT into HUGEINT.
+    */
+  def q57BigramLm: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |occ AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+       |  FROM d
+       |),
+       |c2 AS (
+       |  SELECT bigram, split_part(bigram, ' ', 1) AS w1, count(*) AS c2
+       |  FROM occ GROUP BY 1, 2
+       |),
+       |c1 AS (
+       |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+       |),
+       |sc AS (
+       |  SELECT bigram,
+       |    CAST((len(printf('%b', c2.c2)) - 1)
+       |       - (len(printf('%b', c1.c1)) - 1) AS BIGINT) AS lp
+       |  FROM c2 JOIN c1 USING (w1)
+       |)
+       |SELECT o.doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(sc.lp) AS BIGINT) AS logp_sum,
+       |  CAST(sum(sc.lp) AS DOUBLE) / count(*) AS mean_logp
+       |FROM occ o JOIN sc USING (bigram)
+       |GROUP BY o.doc_id""".stripMargin
+
+  /** Q58 — stream-stream interval join (mirrors
+    * StreamingOps.streamIntervalFixture): clicks × same-user views in
+    * the trailing window, micros-exact bounds.
+    */
+  def q58StreamInterval(lookbackMin: Int = 30): String =
+    s"""SELECT l.event_id AS l_event, r.event_id AS r_event
+       |FROM events l JOIN events r
+       |  ON l.user_id = r.user_id
+       | AND l.event_type = 'click' AND r.event_type = 'view'
+       | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - ${lookbackMin * 60000000L}
+       |   AND epoch_us(l.ts)""".stripMargin
+
+  /** Q59 — ORC round-trip audit (mirrors
+    * GenericSources.orcRoundtripSummary): the oracle reads the
+    * ORIGINAL parquet bits — equality proves the ORC round trip
+    * lossless.
+    */
+  def q59OrcRoundtrip: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Q60 — salted skew join (mirrors Relational.saltedSegmentActivity):
+    * the oracle states the PLAIN join — the salt must be invisible in
+    * the result.
+    */
+  def q60SaltedSegments: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, count(*) AS n_ev,
+       |    sum(CAST(value AS DECIMAL(20,4))) AS sum_value
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT c.c_mktsegment AS c_mktsegment,
+       |  CAST(sum(pu.n_ev) AS BIGINT) AS n_events,
+       |  CAST(sum(pu.sum_value) AS DOUBLE) AS sum_value,
+       |  count(*) AS n_users
+       |FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+       |GROUP BY 1""".stripMargin
 
   /** Q48 — token-rarity document scoring (mirrors
     * TextAnalysis.tokenRarity): integer log2-bucketed document

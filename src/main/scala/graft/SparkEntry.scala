@@ -143,7 +143,15 @@ object SparkEntry {
     "q51_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     "q52_curate" -> ((s, dir) => Pipeline.curate(s, dir)),
     "q53_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(s, dir)),
-    "q54_quant_fidelity" -> ((s, dir) => Similarity.quantFidelity(s, dir))
+    "q54_quant_fidelity" -> ((s, dir) => Similarity.quantFidelity(s, dir)),
+    "q55_cdc_latest" -> Relational.latestState _,
+    "q56_zorder" -> ((s, dir) => Relational.zorderLayout(s, dir)),
+    "q57_bigram_lm" -> TextAnalysis.bigramLm _,
+    "q58_stream_interval" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIntervalFixture(s, dir)),
+    "q59_orc_roundtrip" -> graft.sources.GenericSources.orcRoundtripSummary _,
+    "q60_salted_segments" -> ((s, dir) =>
+      Relational.saltedSegmentActivity(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +227,12 @@ object SparkEntry {
     "q51_bm25" -> OracleSql.q51Bm25(),
     "q52_curate" -> OracleSql.q52Curate(),
     "q53_top_bigrams" -> OracleSql.q53TopBigrams(),
-    "q54_quant_fidelity" -> OracleSql.q54QuantFidelity()
+    "q54_quant_fidelity" -> OracleSql.q54QuantFidelity(),
+    "q55_cdc_latest" -> OracleSql.q55LatestState,
+    "q56_zorder" -> OracleSql.q56Zorder(),
+    "q57_bigram_lm" -> OracleSql.q57BigramLm,
+    "q58_stream_interval" -> OracleSql.q58StreamInterval(),
+    "q59_orc_roundtrip" -> OracleSql.q59OrcRoundtrip,
+    "q60_salted_segments" -> OracleSql.q60SaltedSegments
   )
 }

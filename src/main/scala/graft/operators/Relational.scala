@@ -279,6 +279,97 @@ object Relational {
           col("n") * trailMinutes > col("trail_n") * factor).as("spike"))
   }
 
+  /** Q55 — changelog compaction (CDC latest-wins): the current state
+    * table from an append-only event log — for every (user_id,
+    * event_type) key the most recent event wins, ties broken by
+    * event_id (unique, so the winner is total-ordered).
+    *
+    * Scale shape: `max` over a struct ordered (t_us, event_id, value)
+    * is a plain aggregate, so partial (map-side) combine reduces every
+    * input split to ≤|live keys| rows BEFORE the shuffle — compacting
+    * a 100 TB changelog moves only the surviving state, not the log.
+    * The window formulation (row_number over a desc sort) would
+    * shuffle and sort every row; the aggregate form is the compaction
+    * shape Delta/Hudi-style upsert maintenance runs. (value rides in
+    * the struct tail and never decides the order: event_id is unique.)
+    */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.select(col("user_id"), col("event_type"),
+        struct(tsMicros(ev).as("t_us"), col("event_id"), col("value")).as("st"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("st")).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.t_us").as("last_us"),
+        col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+  }
+
+  /** Z-order key: interleave the low `bits` bits of two dimension
+    * columns (dim-a gets the even bit positions, dim-b the odd).
+    * Pure shift/mask integer arithmetic — codegen'd, and replicated
+    * term-for-term by the oracle.
+    */
+  def zkey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Q56 — z-order layout audit: events keyed by the bit-interleave of
+    * (user_id, epoch-minute), bucketed by the key's high bits, with
+    * per-bucket min/max of BOTH dimensions.
+    *
+    * This is the layout pass behind multi-dimensional data skipping
+    * (Delta OPTIMIZE ZORDER): writing 100 TB range-partitioned by
+    * `zkey` gives every file a bounded min/max envelope on *both*
+    * user_id and time, so a scan filtered on either dimension prunes
+    * files — unlike a single-column sort, which bounds only its lead
+    * column. The audit output IS the skipping index: per z-bucket
+    * ranges a planner would prune against. One shuffle (the bucket
+    * aggregate); the key itself is a narrow projection.
+    */
+  def zorderLayout(s: SparkSession, dir: String, bits: Int = 16,
+                   bucketBits: Int = 6): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mask = (1L << bits) - 1
+    val base = ev.select(
+      col("user_id").bitwiseAND(lit(mask)).as("u"),
+      (tsMicros(ev) / lit(60000000L)).cast("long")
+        .bitwiseAND(lit(mask)).as("m"))
+    base.withColumn("zbucket",
+        shiftright(zkey(col("u"), col("m"), bits), 2 * bits - bucketBits))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("m")).as("m_min"), max(col("m")).as("m_max"))
+  }
+
+  /** Q60 — salted skew join surfaced on the oracle contract: per-user
+    * event activity joined to the customer dimension through
+    * [[SkewJoin.saltedEquiJoin]], rolled up to market segment. The
+    * salt spreads each hot user_id over `saltFactor` reducers and the
+    * result is row-identical to the plain equi-join (the oracle states
+    * the plain join), so the skew machinery itself is hash-checked —
+    * not just spec-pinned. Fact side pre-aggregates per user BEFORE
+    * the join, so the salted exchange moves one row per user, and the
+    * segment rollup is a tiny second shuffle.
+    */
+  def saltedSegmentActivity(s: SparkSession, dir: String,
+                            saltFactor: Int = 8): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(col("value").cast("decimal(20,4)")).as("sum_value"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewJoin.saltedEquiJoin(perUser, dim, "user_id", saltFactor)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n_ev")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("sum_value"),
+        count(lit(1)).as("n_users"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

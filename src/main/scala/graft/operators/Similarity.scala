@@ -30,7 +30,7 @@ object Similarity {
         org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** Q16 — top-k cosine neighbours of a fixed probe set (vec_id < 3),
     * excluding self; ties broken by vec_id for determinism.

@@ -157,6 +157,40 @@ object TextAnalysis {
       .select("source", "bigram", "n", "rnk")
   }
 
+  /** Q57 — bigram-LM fluency proxy: each document scored by the mean
+    * conditional log-probability of its bigrams under the corpus's own
+    * bigram model, with the log2 INTEGER-BUCKETED
+    * (`floor(log2 c(w1 w2)) − floor(log2 c(w1 ·))` per occurrence —
+    * `length(bin(c))−1`, no libm, engine-exact like q48). Low scores
+    * mark token salad / boilerplate the way a perplexity filter does,
+    * with the same shape KenLM-style quality gates use at corpus
+    * scale.
+    *
+    * Scale shape: two aggregates over the exploded bigram stream
+    * (bigram counts, then context counts rolled up FROM the bigram
+    * table — never a second corpus pass), one hash join back to
+    * occurrences keyed by bigram with map-side-combinable partials,
+    * one final per-doc aggregate. All shuffles are on aggregate
+    * tables, vocabulary-sized, not corpus-sized.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val occ = docs(s, dir).select(col("doc_id"),
+      explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
+        .as("bigram"))
+    def log2c(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    val c2 = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    // context counts roll up from the bigram aggregate: c(w1 ·) = Σ c2
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = c2.join(c1, "w1")
+      .select(col("bigram"), (log2c(col("c2")) - log2c(col("c1"))).as("lp"))
+    occ.join(scored, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("logp_sum"),
+        (col("logp_sum").cast("double") / col("n_bigrams")).as("mean_logp"))
+  }
+
   /** Q51 — BM25 document scoring against a fixed query. The idf is the
     * log-free odds form (N − df + 0.5)/(df + 0.5) — order-preserving
     * in df with the classic formula, but pure rational arithmetic so

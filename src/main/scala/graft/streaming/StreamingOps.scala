@@ -380,6 +380,63 @@ object StreamingOps {
         s"r.$tsCol BETWEEN l.$tsCol - INTERVAL $lookback AND l.$tsCol"))
   }
 
+  /** q58 — [[intervalJoin]] driven over the sfDir events table via two
+    * MemoryStreams (clicks joined to the same user's views within the
+    * trailing `lookbackMin` minutes), 3 synchronized micro-batches per
+    * side. The fixture's watermark spans the whole feed, so no pair is
+    * watermark-dropped and the append-mode result equals the batch
+    * interval join (the oracle); the PRODUCTION bound is the operator
+    * default (10 min), where state stays proportional to the lookback
+    * horizon — the bounded-state property ScaleTechniquesSpec pins.
+    * The collects feed the MemoryStream harness only.
+    */
+  def streamIntervalFixture(s: SparkSession, dir: String,
+                            lookbackMin: Int = 30): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    def feed(typ: String): Array[(Long, Long, Long)] =
+      ev.filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), tsu.as("us"))
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val (lData, rData) = (feed("click"), feed("view"))
+    val spanMin = {
+      val all = lData ++ rData
+      (all.map(_._3).max - all.map(_._3).min) / 60000000L + lookbackMin + 1
+    }
+    val lStream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val rStream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def side(st: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+             idName: String): DataFrame =
+      st.toDS().toDF(idName, "user_id", "us")
+        .select(col(idName), col("user_id"),
+          expr("timestamp_micros(us)").as("ts"))
+    val name = s"q58_stream_interval_${System.nanoTime()}"
+    val q = intervalJoin(
+        side(lStream, "l_event"), side(rStream, "r_event"),
+        lookback = s"$lookbackMin minutes", watermark = s"$spanMin minutes")
+      .select(col("l_event"), col("r_event"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def chunks(a: Array[(Long, Long, Long)]) =
+        a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+      val (lc, rc) = (chunks(lData), chunks(rData))
+      (0 until math.max(lc.length, rc.length)).foreach { i =>
+        if (i < lc.length) lStream.addData(lc(i))
+        if (i < rc.length) rStream.addData(rc(i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+  }
+
   /** KMV sketch state carried across micro-batches: the bounded
     * sorted-distinct hash buffer plus an update counter (to select the
     * final emission per group downstream).

@@ -72,4 +72,36 @@ class GenericSourcesSpec extends SparkSpec {
         s"partition predicate not pruned at the scan:\n$scan")
     }
   }
+
+  test("ORC roundtrip: summary over the ORC copy equals the parquet original") {
+    withTmp { dir =>
+      Seq((0L, "hello world", "en", "web", 11L),
+          (1L, "bonjour", "fr", "web", 7L),
+          (2L, "ciao", "it", "books", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = GenericSources.orcRoundtripSummary(spark, dir).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+            r.getAs[Long]("sum_text_len")))).toMap
+      assert(out(("web", "en")) === ((1L, 11L, 11L)))
+      assert(out(("web", "fr")) === ((1L, 7L, 7L)))
+      assert(out(("books", "it")) === ((1L, 4L, 4L)))
+    }
+  }
+
+  test("ORC scan pushes filters and prunes columns like parquet") {
+    withTmp { dir =>
+      val df = (0 until 100).map(i => (i.toLong, s"t$i", i % 7))
+        .toDF("id", "text", "grp")
+      GenericSources.writeOrc(df, s"$dir/orc")
+      val back = GenericSources.readOrc(spark, s"$dir/orc")
+        .filter($"grp" === 3).select("id")
+      val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"), scan)
+      // column pruning: the text payload must not be read
+      assert(!scan.replaceAll("(?s)Location.*", "").contains("text"),
+        s"ORC scan reads the unprojected text column:\n$scan")
+    }
+  }
 }

@@ -161,4 +161,93 @@ class RelationalFamilySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("latestState: latest event wins per (user, type); event_id breaks ts ties") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"),
+      (2L, t1, 1L, "click", 2.0, "{}"), // latest by ts
+      (3L, t1, 2L, "click", 3.0, "{}"),
+      (4L, t1, 2L, "click", 4.0, "{}"), // ts tie -> higher event_id wins
+      (5L, t0, 1L, "view", 5.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.latestState(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value"))))
+        .toMap
+      assert(out.size === 3)
+      assert(out((1L, "click")) === ((2L, 2.0)))
+      assert(out((2L, "click")) === ((4L, 4.0)))
+      assert(out((1L, "view")) === ((5L, 5.0)))
+    }
+  }
+
+  test("latestState plan: aggregate with map-side partials, not a window sort") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    withEventsDir(Seq((1L, t0, 1L, "click", 1.0, "{}"))) { dir =>
+      val plan = Relational.latestState(spark, dir)
+        .queryExecution.executedPlan.toString
+      // compaction must reduce BEFORE the shuffle: a partial_max below
+      // the Exchange (struct max buffers immutably, so Spark picks
+      // SortAggregate — the map-side combine is what matters), and no
+      // Window over the raw log
+      assert(!plan.contains("Window"), s"window formulation shuffles+sorts the whole log:\n$plan")
+      assert(plan.contains("partial_max"), s"expected map-side partial aggregate:\n$plan")
+    }
+  }
+
+  test("zkey interleaves bits: a on even positions, b on odd") {
+    val df = Seq((3L, 1L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("a", "b")
+    val out = df.select(Relational.zkey(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(out(0) === 7L)            // a=0b11 -> bits 0,2; b=0b1 -> bit 1
+    assert(out(1) === 0L)
+    assert(out(2) === 0x55555555L)   // all-even mask
+    assert(out(3) === 0xAAAAAAAAL)   // all-odd mask
+  }
+
+  test("zorderLayout: every z-bucket bounds BOTH dimensions' high bits") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // a grid spanning both dims so buckets see distinct corners
+    val rows = for (u <- 0 until 32; m <- 0 until 16) yield
+      ((u * 16 + m).toLong, new java.sql.Timestamp(t0 + m * 60000L * 1024),
+        u.toLong * 2048, "click", 1.0, "{}")
+    withEventsDir(rows) { dir =>
+      val out = Relational.zorderLayout(spark, dir).collect()
+      assert(out.map(_.getAs[Long]("n")).sum === rows.length)
+      // bucket = interleave of each dim's top 3 bits, so within a
+      // bucket each dim's value>>13 is constant — the bounded min/max
+      // envelope multi-dimensional data skipping prunes against
+      out.foreach { r =>
+        assert(r.getAs[Long]("u_min") >> 13 === r.getAs[Long]("u_max") >> 13)
+        assert(r.getAs[Long]("m_min") >> 13 === r.getAs[Long]("m_max") >> 13)
+      }
+    }
+  }
+
+  test("saltedSegmentActivity equals the plain join rollup") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("salted").toString
+    try {
+      // user 1 is the hot key
+      val ev = (1 to 50).map(i => (i.toLong, t0, 1L, "click", i.toDouble, "{}")) ++
+        Seq((51L, t0, 2L, "view", 5.0, "{}"), (52L, t0, 3L, "view", 7.0, "{}"))
+      ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Seq((1L, "n1", 1, 0.0, "BUILDING"), (2L, "n2", 1, 0.0, "AUTOMOBILE"),
+          (3L, "n3", 2, 0.0, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = Relational.saltedSegmentActivity(spark, dir).collect()
+        .map(r => r.getAs[String]("c_mktsegment") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+            r.getAs[Long]("n_users")))).toMap
+      assert(out("BUILDING") === ((51L, (1 to 50).map(_.toDouble).sum + 7.0, 2L)))
+      assert(out("AUTOMOBILE") === ((1L, 5.0, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

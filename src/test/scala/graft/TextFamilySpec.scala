@@ -170,4 +170,20 @@ class TextFamilySpec extends SparkSpec {
       assert(TextAnalysis.fingerprints(spark, dir).count() === 0L)
     }
   }
+
+  test("bigramLm: integer log2-bucketed conditional bigram scores") {
+    // corpus bigram counts: "a b"->3, "b a"->1, "b c"->1, "c d"->1
+    // context counts:       a->3, b->2, c->1
+    // lp: "a b" = fl2(3)-fl2(3) = 0; "b a" = 0-1 = -1; "b c" = -1; "c d" = 0
+    withDocsDir(Seq("a b a b", "a b c", "c d", "solo")) { dir =>
+      val out = TextAnalysis.bigramLm(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("logp_sum"),
+            r.getAs[Double]("mean_logp")))).toMap
+      assert(out(0L) === ((3L, -1L, -1.0 / 3)))  // "a b","b a","a b"
+      assert(out(1L) === ((2L, -1L, -0.5)))      // "a b","b c"
+      assert(out(2L) === ((1L, 0L, 0.0)))        // "c d"
+      assert(!out.contains(3L))                  // <2 tokens -> no bigrams
+    }
+  }
 }
