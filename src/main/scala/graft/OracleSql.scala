@@ -1338,6 +1338,160 @@ object OracleSql {
        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
        |FROM documents GROUP BY 1, 2""".stripMargin
 
+  /** Q61 — product-quantization ANN (mirrors Similarity.pqTopK):
+    * deterministic codebooks from the first `codebookK` vectors'
+    * subvectors, argmin-L2 encoding with (dist, codeword) ties, and
+    * asymmetric scoring against the flattened reconstruction — the
+    * 64-term pinned dot, never a float sum over per-subspace partials.
+    */
+  def q61PqTopK(nSub: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                k: Int = 5, dim: Int = 64): String = {
+    val distSql = s"${sumTerms("s.sv", "s.sv", subDim)} - 2 * " +
+      s"${sumTerms("s.sv", "c.cv", subDim)} + ${sumTerms("c.cv", "c.cv", subDim)}"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |sub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS sv
+       |  FROM e, range(0, $nSub) t(j)
+       |),
+       |cb AS (SELECT j, vec_id AS cw, sv AS cv FROM sub WHERE vec_id < $codebookK),
+       |d AS (
+       |  SELECT s.vec_id, s.j, c.cw, c.cv, $distSql AS dist
+       |  FROM sub s JOIN cb c ON s.j = c.j
+       |),
+       |code AS (
+       |  SELECT vec_id, j, cv,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rk
+       |  FROM d
+       |),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rvec
+       |  FROM code WHERE rk = 1 GROUP BY vec_id
+       |),
+       |p AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 3),
+       |sc AS (
+       |  SELECT p.probe_id, r.vec_id, ${sumTerms("pe", "rvec", dim)} AS score
+       |  FROM p CROSS JOIN recon r
+       |  WHERE r.vec_id <> p.probe_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, vec_id) AS rnk
+       |  FROM sc
+       |)
+       |SELECT probe_id, vec_id, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM rk WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Q62 — streaming exactly-once dedup (mirrors
+    * StreamingOps.streamDedupFixture): the oracle is the BATCH rollup
+    * over the canonical events — equality proves the replayed
+    * at-least-once feed deduplicated to exactly-once.
+    */
+  def q62StreamDedup: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1""".stripMargin
+
+  /** Q63 — forward fill (mirrors Relational.forwardFill): last
+    * purchase value carried forward per user over the (t_us, event_id)
+    * total order.
+    */
+  def q63ForwardFill: String =
+    s"""SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+       |    IGNORE NULLS) OVER (
+       |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS last_purchase_value
+       |FROM events""".stripMargin
+
+  private val eventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** Q64 — pivot (mirrors Relational.pivotCounts): conditional counts,
+    * one column per event type.
+    */
+  def q64Pivot: String = {
+    val cols = eventTypes.map(t =>
+      s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
+  /** Q64b — unpivot round trip (mirrors Relational.unpivotCounts): the
+    * melt of the pivot equals the plain long aggregate.
+    */
+  def q64bUnpivot: String =
+    s"""SELECT user_id, event_type, count(*) AS n
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Q65 — rank-family window functions (mirrors
+    * Relational.rankFunctions): tie-stable ranks over k, ntile over
+    * the (k, event_id) total order.
+    */
+  def q65RankFunctions: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events
+       |)
+       |SELECT event_id, event_type, k,
+       |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+       |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+       |  percent_rank() OVER wt AS prnk,
+       |  cume_dist() OVER wt AS cd,
+       |  CAST(ntile(4) OVER wtot AS BIGINT) AS tile
+       |FROM e
+       |WINDOW wt AS (PARTITION BY event_type ORDER BY k),
+       |  wtot AS (PARTITION BY event_type ORDER BY k, event_id)""".stripMargin
+
+  /** Q66 — SCD2 validity intervals (mirrors Relational.scd2Intervals). */
+  def q66Scd2: String =
+    s"""SELECT user_id, event_type, epoch_us(ts) AS valid_from,
+       |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+       |    ORDER BY epoch_us(ts), event_id) AS valid_to,
+       |  event_id, value
+       |FROM events""".stripMargin
+
+  /** Q67 — fixed-width value histogram (mirrors
+    * Relational.valueHistogram).
+    */
+  def q67Histogram(width: Double = 5.0): String =
+    s"""SELECT event_type, CAST(floor(value / $width) AS BIGINT) AS bucket,
+       |  count(*) AS n
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Q68 — exact-decimal moment statistics (mirrors
+    * Relational.momentStats): power sums as DECIMAL(18,4)-derived
+    * exact aggregates, one pinned double finishing expression.
+    */
+  def q68MomentStats: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS x,
+       |    CAST(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |      AS DECIMAL(18,4)) AS y
+       |  FROM events
+       |),
+       |a AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |    CAST(sum(y * y) AS DOUBLE) AS syy,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |  sx / n AS mean_value,
+       |  (sxx - sx * sx / n) / n AS var_value,
+       |  (n * sxy - sx * sy) /
+       |    nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0)
+       |    AS corr_vk
+       |FROM a""".stripMargin
+
   /** Q60 — salted skew join (mirrors Relational.saltedSegmentActivity):
     * the oracle states the PLAIN join — the salt must be invisible in
     * the result.

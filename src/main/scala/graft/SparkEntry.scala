@@ -151,7 +151,17 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamIntervalFixture(s, dir)),
     "q59_orc_roundtrip" -> graft.sources.GenericSources.orcRoundtripSummary _,
     "q60_salted_segments" -> ((s, dir) =>
-      Relational.saltedSegmentActivity(s, dir))
+      Relational.saltedSegmentActivity(s, dir)),
+    "q61_pq_topk" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    "q62_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamDedupFixture(s, dir)),
+    "q63_ffill" -> Relational.forwardFill _,
+    "q64_pivot" -> Relational.pivotCounts _,
+    "q64b_unpivot" -> Relational.unpivotCounts _,
+    "q65_rank_funcs" -> Relational.rankFunctions _,
+    "q66_scd2" -> Relational.scd2Intervals _,
+    "q67_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
+    "q68_moments" -> Relational.momentStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -233,6 +243,15 @@ object SparkEntry {
     "q57_bigram_lm" -> OracleSql.q57BigramLm,
     "q58_stream_interval" -> OracleSql.q58StreamInterval(),
     "q59_orc_roundtrip" -> OracleSql.q59OrcRoundtrip,
-    "q60_salted_segments" -> OracleSql.q60SaltedSegments
+    "q60_salted_segments" -> OracleSql.q60SaltedSegments,
+    "q61_pq_topk" -> OracleSql.q61PqTopK(),
+    "q62_stream_dedup" -> OracleSql.q62StreamDedup,
+    "q63_ffill" -> OracleSql.q63ForwardFill,
+    "q64_pivot" -> OracleSql.q64Pivot,
+    "q64b_unpivot" -> OracleSql.q64bUnpivot,
+    "q65_rank_funcs" -> OracleSql.q65RankFunctions,
+    "q66_scd2" -> OracleSql.q66Scd2,
+    "q67_histogram" -> OracleSql.q67Histogram(),
+    "q68_moments" -> OracleSql.q68MomentStats
   )
 }

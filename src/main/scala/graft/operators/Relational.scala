@@ -370,6 +370,153 @@ object Relational {
         count(lit(1)).as("n_users"))
   }
 
+  /** Q63 — forward fill (gap fill): every event enriched with its
+    * user's most recent 'purchase' value — `last(..., ignoreNulls)`
+    * over a running frame, the last-observation-carried-forward
+    * operator sensor/state enrichment pipelines run. Null until the
+    * user's first purchase (no fabricated defaults). Ordering is made
+    * total by (t_us, event_id) so the carried value is deterministic
+    * under timestamp ties.
+    *
+    * Scale shape: one shuffle on user_id, one ordered pass — the same
+    * cost as any per-key window; no join against a purchases extract
+    * (which would shuffle twice and still need the as-of logic).
+    */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(ev).as("t_us"), col("value"))
+      .withColumn("last_purchase_value",
+        last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "t_us", "last_purchase_value")
+  }
+
+  /** Q64 — pivot: per-user event counts spread across one column per
+    * event type. The value list is EXPLICIT — `pivot(col)` without it
+    * runs an extra distinct pass over the fact table to discover
+    * columns, a full second scan at 100 TB; with the list the plan is
+    * a single aggregate. Missing combinations coalesce to 0 (count
+    * semantics).
+    */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+  }
+
+  /** Q64b — unpivot (melt): the Q64 wide table back to long
+    * (user_id, event_type, n), dropping the fabricated zero cells so
+    * the round trip reproduces the plain long aggregate exactly. The
+    * unpivot is a Generate-style expansion — no shuffle beyond Q64's
+    * own aggregate.
+    */
+  def unpivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    pivotCounts(s, dir)
+      .unpivot(Array(col("user_id")),
+        types.map(tp => col(s"n_$tp").as(tp)).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+  }
+
+  /** Q65 — rank-family window functions over a tie-heavy key: rank,
+    * dense_rank, percent_rank and cume_dist over the integer JSON
+    * measure (ties get identical outputs, so the results are
+    * deterministic without a tiebreak), plus ntile(4) over the
+    * TOTAL order (k, event_id) — ntile assigns by row position, so it
+    * is only deterministic under a total order. percent_rank's
+    * (rank−1)/(n−1) and cume_dist's peers/n divide identical integers
+    * on both engines: bitwise-equal doubles.
+    */
+  def rankFunctions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val wTies = Window.partitionBy(col("event_type")).orderBy(col("k"))
+    val wTotal = Window.partitionBy(col("event_type"))
+      .orderBy(col("k"), col("event_id"))
+    ev.select(col("event_id"), col("event_type"), k.as("k"))
+      .withColumn("rnk", rank().over(wTies))
+      .withColumn("drnk", dense_rank().over(wTies))
+      .withColumn("prnk", percent_rank().over(wTies))
+      .withColumn("cd", cume_dist().over(wTies))
+      .withColumn("tile", ntile(4).over(wTotal))
+  }
+
+  /** Q66 — SCD2 history from the changelog: every (user, type) event
+    * becomes a validity interval [valid_from, valid_to) with its value
+    * in force; the current row stays open (valid_to null). `lead`
+    * over the same (t_us, event_id) total order as Q55/Q63 — one
+    * shuffle + one ordered pass, the standard dimension-history
+    * materialization that pairs with the Q55 compaction (Q55 = the
+    * latest snapshot, Q66 = the full history).
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(ev).as("t_us"), col("value"))
+      .withColumn("valid_to", lead(col("t_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("t_us").as("valid_from"), col("valid_to"),
+        col("event_id"), col("value"))
+  }
+
+  /** Q67 — fixed-width value histogram per event type (the profiling
+    * pass that sizes everything else): bucket = floor(value/width).
+    * Pure map-side-combinable aggregate — the full profile of a
+    * 100 TB column costs one scan and a bucket-count shuffle.
+    */
+  def valueHistogram(s: SparkSession, dir: String,
+                     width: Double = 5.0): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Q68 — distribution moments with order-independent exactness:
+    * mean, population variance, and Pearson corr(value, k) per event
+    * type. The float-native `var_pop`/`corr` aggregates accumulate
+    * doubles in combine order — nondeterministic under shuffle — so
+    * the moments are accumulated as DECIMAL power sums (Σx, Σy, Σx²,
+    * Σy², Σxy: exact, any combine order) and finished in one pinned
+    * double expression. Inputs quantize to DECIMAL(18,4) so products
+    * stay inside both engines' decimal width; this is also the
+    * scale-safe plan (map-side partials, one shuffle).
+    */
+  def momentStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val xs = ev.select(col("event_type"),
+      col("value").cast("decimal(18,4)").as("x"),
+      get_json_object(col("props"), "$.k").cast("long")
+        .cast("decimal(18,4)").as("y"))
+    val a = xs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    // corr is undefined when either variable is constant (n=1 or all
+    // ties): denominator 0 → null, not ANSI divide-by-zero.
+    val denom = sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+      sqrt(col("n") * col("syy") - col("sy") * col("sy"))
+    a.select(col("event_type"), col("n"),
+      (col("sx") / col("n")).as("mean_value"),
+      ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+        .as("var_value"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        when(denom =!= 0.0, denom)).as("corr_vk"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

@@ -230,6 +230,64 @@ object Similarity {
       cosine(col("de"), col("dq")).as("qcos"))
   }
 
+  /** Q61 — product-quantization ANN (PQ, Jégou et al., TPAMI 2011):
+    * each vector is split into `nSub` subvectors; every subvector is
+    * replaced by the id of its nearest codeword in that subspace's
+    * codebook (argmin squared L2, ties to the smaller codeword id);
+    * probes score candidates against the codeword RECONSTRUCTION
+    * (asymmetric distance). Codebooks use the same fixed deterministic
+    * quantizer trick as q16c (the subvectors of vec_id < `codebookK`),
+    * so both engines derive identical codebooks with no training step.
+    *
+    * The inner-product sum over subspaces is computed as ONE pinned
+    * 64-dim dot against the flattened reconstruction (subspace-order
+    * concat), not a float sum over per-subspace partials — aggregate
+    * float addition order is nondeterministic under partial combine,
+    * the concatenated fold is not.
+    *
+    * Scale shape: codebooks are tiny (nSub·codebookK subvectors) and
+    * broadcast; encoding is a per-row scan (explode → broadcast join →
+    * per-(vector,subspace) argmin with map-side partials); storage
+    * drops 64 floats → 8 nibble-ish codes, which is the point — the
+    * 100 TB corpus scans codes, reconstructing through a cached
+    * codebook, 32× less bandwidth than float re-scoring.
+    */
+  def pqTopK(s: SparkSession, dir: String, nSub: Int = 8, subDim: Int = 8,
+             codebookK: Int = 16, k: Int = 5): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val subs = e.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          j => slice(col("de"), j * subDim + 1, lit(subDim)))).as(Seq("j", "sv")))
+    val cb = subs.filter(col("vec_id") < codebookK)
+      .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv"))
+    // ||sv - cv||² expanded with pinned association:
+    // (sv·sv − 2·sv·cv) + cv·cv, each dot a left fold from 0.0
+    val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("cw"))
+    val codes = subs.join(broadcast(cb), "j")
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+    val recon = codes.groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("jc"))
+      .select(col("vec_id"),
+        flatten(transform(col("jc"), s => s("cv"))).as("rvec"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.crossJoin(recon)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score", dot(col("pe"), col("rvec")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "vec_id", "score", "rnk")
+  }
+
   /** Centroid count that keeps expected cluster occupancy ≈
     * `targetCluster` for an n-vector corpus, floored at the 8-centroid
     * default. With c = n/targetCluster centroids the within-cluster

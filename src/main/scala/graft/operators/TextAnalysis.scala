@@ -166,27 +166,31 @@ object TextAnalysis {
     * with the same shape KenLM-style quality gates use at corpus
     * scale.
     *
-    * Scale shape: two aggregates over the exploded bigram stream
-    * (bigram counts, then context counts rolled up FROM the bigram
-    * table — never a second corpus pass), one hash join back to
-    * occurrences keyed by bigram with map-side-combinable partials,
-    * one final per-doc aggregate. All shuffles are on aggregate
-    * tables, vocabulary-sized, not corpus-sized.
+    * Scale shape: the exploded bigram stream collapses ONCE to
+    * per-(doc, bigram) counts (map-side combinable — repeated bigrams
+    * never reach a shuffle twice); bigram totals, then context counts,
+    * roll up FROM that aggregate — never a second corpus pass. The
+    * score join keys the deduped doc-bigram table against the
+    * vocabulary-sized score table, and the per-doc rollup weights by
+    * the carried count. Every shuffle moves an aggregate, not the
+    * corpus.
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val occ = docs(s, dir).select(col("doc_id"),
-      explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
-        .as("bigram"))
+    val docBg = docs(s, dir).select(col("doc_id"),
+        explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
+          .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
     def log2c(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val c2 = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c2 = docBg.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     // context counts roll up from the bigram aggregate: c(w1 ·) = Σ c2
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val scored = c2.join(c1, "w1")
       .select(col("bigram"), (log2c(col("c2")) - log2c(col("c1"))).as("lp"))
-    occ.join(scored, "bigram")
+    docBg.join(scored, "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logp_sum"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("lp")).as("logp_sum"))
       .select(col("doc_id"), col("n_bigrams"), col("logp_sum"),
         (col("logp_sum").cast("double") / col("n_bigrams")).as("mean_logp"))
   }

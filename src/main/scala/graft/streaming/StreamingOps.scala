@@ -132,13 +132,15 @@ object StreamingOps {
     val name = s"q50_stream_sliding_${System.nanoTime()}"
     val in = stream.toDS().toDF("event_type", "us")
       .withColumn("tsm", expr("timestamp_micros(us)"))
-    val q = slidingCounts(in)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).start()
-    try {
-      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
+    withFewStatePartitions(s) {
+      val q = slidingCounts(in)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    }
     s.table(name)
       .groupBy(col("event_type"), col("window_start_us"))
       .agg(max(col("n_events")).as("n_events"))
@@ -356,6 +358,23 @@ object StreamingOps {
     * than the horizon are forgotten — the standard stream-dedup trade:
     * exact within the watermark, approximate beyond it).
     */
+  /** Runs `f` with `spark.sql.shuffle.partitions` temporarily lowered.
+    *
+    * Stateful streaming operators commit one state-store delta PER
+    * PARTITION PER MICRO-BATCH; the MemoryStream fixtures here push a
+    * few thousand rows through 3-6 micro-batches, so 32 state
+    * partitions is ~200 near-empty store commits of pure overhead
+    * (measured 25 s → ~5 s on the interval-join fixture at sf0.1). A
+    * production deployment sizes this by sustained throughput instead;
+    * the conf is restored afterwards either way.
+    */
+  private def withFewStatePartitions[T](s: SparkSession, n: Int = 4)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   def dedupStream(docs: DataFrame, idCol: String = "doc_id",
                   tsCol: String = "ts"): DataFrame =
     docs.withWatermark(tsCol, "1 hour")
@@ -418,23 +437,71 @@ object StreamingOps {
         .select(col(idName), col("user_id"),
           expr("timestamp_micros(us)").as("ts"))
     val name = s"q58_stream_interval_${System.nanoTime()}"
-    val q = intervalJoin(
-        side(lStream, "l_event"), side(rStream, "r_event"),
-        lookback = s"$lookbackMin minutes", watermark = s"$spanMin minutes")
-      .select(col("l_event"), col("r_event"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      def chunks(a: Array[(Long, Long, Long)]) =
-        a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
-      val (lc, rc) = (chunks(lData), chunks(rData))
-      (0 until math.max(lc.length, rc.length)).foreach { i =>
-        if (i < lc.length) lStream.addData(lc(i))
-        if (i < rc.length) rStream.addData(rc(i))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withFewStatePartitions(s) {
+      val q = intervalJoin(
+          side(lStream, "l_event"), side(rStream, "r_event"),
+          lookback = s"$lookbackMin minutes", watermark = s"$spanMin minutes")
+        .select(col("l_event"), col("r_event"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def chunks(a: Array[(Long, Long, Long)]) =
+          a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+        val (lc, rc) = (chunks(lData), chunks(rData))
+        (0 until math.max(lc.length, rc.length)).foreach { i =>
+          if (i < lc.length) lStream.addData(lc(i))
+          if (i < rc.length) rStream.addData(rc(i))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.table(name)
+  }
+
+  /** q62 — [[dedupStream]] surfaced on the oracle contract: the events
+    * feed REPLAYED (every micro-batch sent twice — the at-least-once
+    * delivery a real source exhibits on retry), deduplicated by
+    * watermark-keyed state, then rolled up per event_type AFTER the
+    * sink. Equality with the batch rollup over the canonical table
+    * proves exactly-once output from at-least-once input: a replayed
+    * duplicate is either still in state (matched, dropped) or older
+    * than the watermark (late, dropped) — both paths discard it, while
+    * first copies always arrive with the advancing front. The collect
+    * feeds the MemoryStream harness only.
+    */
+  def streamDedupFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("event_id"), col("event_type"),
+        tsu.as("us"), col("value"))
+      .as[(Long, String, Long, Double)].collect().sortBy(_._3)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Double)]
+    val in = stream.toDS().toDF("event_id", "event_type", "us", "value")
+      .select(col("event_id"), col("event_type"),
+        expr("timestamp_micros(us)").as("ts"), col("value"))
+    val name = s"q62_stream_dedup_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = dedupStream(in, idCol = "event_id", tsCol = "ts")
+        .select(col("event_type"), col("value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable() // first copy
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable() // replay
+        }
+      } finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
   }
 
   /** KMV sketch state carried across micro-batches: the bounded
@@ -496,13 +563,15 @@ object StreamingOps {
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
     val name = s"q33_stream_kmv_${System.nanoTime()}"
-    val q = streamKmv(stream.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).start()
-    try {
-      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
+    withFewStatePartitions(s) {
+      val q = streamKmv(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("version").desc)
     s.table(name)
@@ -525,13 +594,15 @@ object StreamingOps {
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignalRow]
     val name = s"q22_stream_smooth_${System.nanoTime()}"
-    val q = incrementalSmooth(stream.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
+    withFewStatePartitions(s) {
+      val q = incrementalSmooth(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    }
     s.table(name)
   }
 
@@ -547,13 +618,15 @@ object StreamingOps {
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SignalRow]
     val name = s"q25_stream_env_${System.nanoTime()}"
-    val q = incrementalEnvelopes(stream.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-      chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
-    } finally q.stop()
+    withFewStatePartitions(s) {
+      val q = incrementalEnvelopes(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
+        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+    }
     s.table(name)
   }
 }

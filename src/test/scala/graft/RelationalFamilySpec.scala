@@ -227,6 +227,128 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("forwardFill: purchase value carried forward, null before first purchase") {
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), 1L, "click", 1.0, "{}"),
+      (2L, t(1), 1L, "purchase", 5.0, "{}"),
+      (3L, t(2), 1L, "view", 9.0, "{}"),
+      (4L, t(1), 2L, "click", 2.0, "{}")) // other user: never purchases
+    withEventsDir(rows) { dir =>
+      val out = Relational.forwardFill(spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Double]("last_purchase_value"))).toMap
+      assert(out(1L) === None)        // before first purchase
+      assert(out(2L) === Some(5.0))   // the purchase itself
+      assert(out(3L) === Some(5.0))   // carried forward
+      assert(out(4L) === None)        // user 2 never purchased
+    }
+  }
+
+  test("pivot/unpivot round trip: wide columns coalesce to 0; melt equals the long aggregate") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0, "{}"),
+      (2L, t0, 1L, "click", 1.0, "{}"),
+      (3L, t0, 1L, "view", 1.0, "{}"),
+      (4L, t0, 2L, "error", 1.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val wide = Relational.pivotCounts(spark, dir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_click"), r.getAs[Long]("n_view"),
+            r.getAs[Long]("n_error")))).toMap
+      assert(wide(1L) === ((2L, 1L, 0L)))
+      assert(wide(2L) === ((0L, 0L, 1L)))
+      val long = Relational.unpivotCounts(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(long === Map((1L, "click") -> 2L, (1L, "view") -> 1L,
+        (2L, "error") -> 1L))
+    }
+  }
+
+  test("rankFunctions: ties share rank/percent_rank/cume_dist; ntile is total-order stable") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "click", 0.0, """{"k": 1}"""),
+      (2L, t0, 1L, "click", 0.0, """{"k": 1}"""),
+      (3L, t0, 1L, "click", 0.0, """{"k": 2}"""))
+    withEventsDir(rows) { dir =>
+      val out = Relational.rankFunctions(spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Int]("rnk"), r.getAs[Int]("drnk"),
+            r.getAs[Double]("prnk"), r.getAs[Double]("cd"),
+            r.getAs[Int]("tile")))).toMap
+      assert(out(1L) === ((1, 1, 0.0, 2.0 / 3, 1)))
+      assert(out(2L) === ((1, 1, 0.0, 2.0 / 3, 2)))
+      assert(out(3L) === ((3, 2, 1.0, 1.0, 3)))
+    }
+  }
+
+  test("scd2Intervals: contiguous [from,to) intervals; current row open; q55 snapshot = open rows") {
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, t(0), 1L, "click", 1.0, "{}"),
+      (2L, t(5), 1L, "click", 2.0, "{}"),
+      (3L, t(9), 1L, "click", 3.0, "{}"),
+      (4L, t(2), 2L, "view", 4.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val iv = Relational.scd2Intervals(spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[Long]("valid_from"), Option(r.getAs[java.lang.Long]("valid_to")))))
+        .toMap
+      assert(iv(1L)._2 === Some(iv(2L)._1)) // contiguous
+      assert(iv(2L)._2 === Some(iv(3L)._1))
+      assert(iv(3L)._2 === None)            // open current row
+      assert(iv(4L)._2 === None)
+      // the open rows ARE the q55 latest snapshot
+      val open = Relational.scd2Intervals(spark, dir)
+        .filter(col("valid_to").isNull)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id")).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("last_event_id")).toMap
+      val latest = Relational.latestState(spark, dir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("last_event_id")).toMap
+      assert(open === latest)
+    }
+  }
+
+  test("valueHistogram: floor-width buckets, negatives included") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq((1L, t0, 1L, "click", 0.0, "{}"),
+      (2L, t0, 1L, "click", 4.99, "{}"),
+      (3L, t0, 1L, "click", 5.0, "{}"),
+      (4L, t0, 1L, "click", -0.01, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.valueHistogram(spark, dir).collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+      assert(out === Map(0L -> 2L, 1L -> 1L, -1L -> 1L))
+    }
+  }
+
+  test("momentStats: hand-computed mean/variance/correlation from exact power sums") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // x = (1,2,3), y = (2,4,6): perfectly correlated
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0, """{"k": 2}"""),
+      (2L, t0, 1L, "click", 2.0, """{"k": 4}"""),
+      (3L, t0, 1L, "click", 3.0, """{"k": 6}"""),
+      (4L, t0, 1L, "view", 7.0, """{"k": 1}"""))
+    withEventsDir(rows) { dir =>
+      val out = Relational.momentStats(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("mean_value"),
+            r.getAs[Double]("var_value"), r.getAs[Double]("corr_vk")))).toMap
+      val (n, mean, varp, corr) = out("click")
+      assert(n === 3L && mean === 2.0)
+      assert(math.abs(varp - 2.0 / 3) < 1e-12)
+      assert(math.abs(corr - 1.0) < 1e-12)
+      assert(out("view")._2 === 7.0)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

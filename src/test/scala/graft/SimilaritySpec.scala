@@ -100,6 +100,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTopK: codebook members reconstruct exactly; scores are ADC dots") {
+    // 20 vectors; the first 16 are the codebooks, so any corpus vector
+    // that IS a codebook member encodes to itself per subspace (dist 0)
+    // and its reconstruction is exact — the PQ score of probe p against
+    // codebook-member v equals the TRUE dot(p, v).
+    val vecs = randVecs(20, seed = 13L)
+    withEmbDir(vecs) { dir =>
+      val out = Similarity.pqTopK(spark, dir, k = 19).collect()
+      // k rows per probe, never self
+      val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+      assert(byProbe.keySet === Set(0L, 1L, 2L))
+      byProbe.values.foreach { rows =>
+        assert(rows.length === 19)
+        assert(rows.forall(r => r.getAs[Long]("vec_id") != r.getAs[Long]("probe_id")))
+        assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to 19))
+      }
+      def trueDot(p: Int, v: Int): Double =
+        (0 until 64).foldLeft(0.0)((acc, i) =>
+          acc + vecs(p)(i).toDouble * vecs(v)(i).toDouble)
+      val scores = out.map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id")) -> r.getAs[Double]("score")).toMap
+      // codebook members (vec_id 1..15) score exactly their true dot
+      (1 to 15).filter(_ != 0).foreach { v =>
+        assert(scores((0L, v.toLong)) === trueDot(0, v),
+          s"PQ score for codebook member $v is not the exact dot")
+      }
+      // non-codebook vectors (16..19) are approximated, not exact
+      assert((16 to 19).exists(v =>
+        scores((0L, v.toLong)) !== trueDot(0, v)))
+    }
+  }
+
   test("centroidsForCorpus keeps cluster occupancy bounded") {
     assert(Similarity.centroidsForCorpus(500L) === 8)
     assert(Similarity.centroidsForCorpus(1L << 20, targetCluster = 1024L) === 1024)
