@@ -1887,4 +1887,93 @@ object OracleSql {
        |)
        |SELECT vec_id, label, dot / (sqrt(nv) * sqrt(nc)) AS sim_centroid
        |FROM j""".stripMargin
+
+  /** Q69 — peak concurrent sessions per day (mirrors
+    * Relational.peakConcurrency): lag/cumsum sessions with the Q24 gap
+    * rule, intervals exploded to day indexes and clipped, per-day
+    * sweep; active-at-t = cum + ends for closed intervals.
+    */
+  def q69PeakConcurrency(gapMinutes: Int = 30): String = {
+    val dayUs = 86400000000L
+    val gapUs = gapMinutes * 60000000L
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events
+       |),
+       |m AS (
+       |  SELECT user_id, t_us, event_id,
+       |    CASE WHEN t_us - lag(t_us) OVER (
+       |        PARTITION BY user_id ORDER BY t_us, event_id) < $gapUs
+       |      THEN 0 ELSE 1 END AS new_s
+       |  FROM ev
+       |),
+       |ms AS (
+       |  SELECT user_id, t_us,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m
+       |),
+       |sess AS (
+       |  SELECT user_id, sid, min(t_us) AS t0, max(t_us) AS t1
+       |  FROM ms GROUP BY 1, 2
+       |),
+       |clipped AS (
+       |  SELECT d.day,
+       |    greatest(t0, d.day * $dayUs) AS ts_s,
+       |    least(t1, (d.day + 1) * $dayUs - 1) AS ts_e
+       |  FROM sess, unnest(generate_series(t0 // $dayUs, t1 // $dayUs)) AS d(day)
+       |),
+       |deltas AS (
+       |  SELECT day, tt, sum(ds) AS starts, sum(de) AS ends FROM (
+       |    SELECT day, ts_s AS tt, 1 AS ds, 0 AS de FROM clipped
+       |    UNION ALL
+       |    SELECT day, ts_e AS tt, 0 AS ds, 1 AS de FROM clipped
+       |  ) GROUP BY 1, 2
+       |),
+       |sweep AS (
+       |  SELECT day, starts, ends,
+       |    sum(starts - ends) OVER (PARTITION BY day ORDER BY tt
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + ends
+       |      AS active
+       |  FROM deltas
+       |)
+       |SELECT day, CAST(sum(starts) AS BIGINT) AS n_sessions,
+       |  CAST(max(active) AS BIGINT) AS peak_concurrency
+       |FROM sweep GROUP BY 1""".stripMargin
+  }
+
+  /** Q70 — Levenshtein near-dup pairs (mirrors
+    * Dedup.editDistancePairs): same (lang, length-band) blocking,
+    * same prefix, unit-cost DP distance in both engines.
+    */
+  def q70EditDistance(maxDist: Int = 16, prefixLen: Int = 96,
+                      band: Int = 16): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars, substr(text, 1, $prefixLen) AS pfx,
+       |    n_chars // $band AS bkt
+       |  FROM documents
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS dist
+       |FROM d x JOIN d y
+       |  ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |  AND abs(x.n_chars - y.n_chars) <= $maxDist
+       |WHERE levenshtein(x.pfx, y.pfx) <= $maxDist""".stripMargin
+
+  /** Q71 — vocab + OOV rate (mirrors TextAnalysis.vocabOov): top-v
+    * tokens by (count desc, token), per-doc out-of-vocab fraction as
+    * an exact integer ratio.
+    */
+  def q71VocabOov(v: Int = 256): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents
+       |),
+       |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |vocab AS (SELECT token FROM tc ORDER BY cnt DESC, token LIMIT $v)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_rate
+       |FROM tok LEFT JOIN vocab v USING (token)
+       |GROUP BY doc_id""".stripMargin
 }

@@ -161,7 +161,12 @@ object SparkEntry {
     "q65_rank_funcs" -> Relational.rankFunctions _,
     "q66_scd2" -> Relational.scd2Intervals _,
     "q67_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
-    "q68_moments" -> Relational.momentStats _
+    "q68_moments" -> Relational.momentStats _,
+    "q69_concurrency" -> ((s, dir) => Relational.peakConcurrency(s, dir)),
+    "q70_edit_dist" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
+    "q71_vocab_oov" -> ((s, dir) => TextAnalysis.vocabOov(s, dir)),
+    "q72_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSessionFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +257,11 @@ object SparkEntry {
     "q65_rank_funcs" -> OracleSql.q65RankFunctions,
     "q66_scd2" -> OracleSql.q66Scd2,
     "q67_histogram" -> OracleSql.q67Histogram(),
-    "q68_moments" -> OracleSql.q68MomentStats
+    "q68_moments" -> OracleSql.q68MomentStats,
+    "q69_concurrency" -> OracleSql.q69PeakConcurrency(),
+    "q70_edit_dist" -> OracleSql.q70EditDistance(),
+    "q71_vocab_oov" -> OracleSql.q71VocabOov(),
+    // streaming sessions flush to exactly the batch q24 result
+    "q72_stream_sessions" -> OracleSql.q24Sessions()
   )
 }

@@ -203,6 +203,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Q70 — edit-distance (Levenshtein) near-dup pairs under blocking:
+    * candidates are pairs sharing (lang, 16-char length band) whose
+    * full lengths differ by ≤ `maxDist`; the distance itself runs on
+    * the first `prefixLen` chars (full-text DP is O(len²) per pair —
+    * the discriminating prefix decides dup/not for template
+    * near-dups). Blocking bounds the self-join to Σ|block|² over
+    * bounded lang × band blocks instead of n²; the 100 TB upgrade is
+    * PassJoin-style segment pigeonholing (any pair within edit
+    * distance k shares one of k+1 aligned substrings — same join
+    * shape, provably complete candidates), noted here because the
+    * length-band heuristic, unlike PassJoin, is a recall trade.
+    * Levenshtein is the standard unit-cost DP in both engines:
+    * integer-exact parity.
+    */
+  def editDistancePairs(s: SparkSession, dir: String, maxDist: Int = 16,
+                        prefixLen: Int = 96, band: Int = 16): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars"), substring(col("text"), 1, prefixLen).as("pfx"))
+      .withColumn("bkt", expr(s"n_chars div ${band}L"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.n_chars") - col("y.n_chars")) <= maxDist)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        // threshold variant: banded DP, O(maxDist·prefixLen) per pair
+        // instead of O(prefixLen²), returns -1 above the bound — the
+        // kept distances are identical to the full DP the oracle runs
+        levenshtein(col("x.pfx"), col("y.pfx"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Q38 — duplicate clusters: connected components over the MinHash
     * candidate pairs at `minJaccard`, so a dedup pass can keep ONE
     * representative per near-dup cluster instead of reasoning about

@@ -517,6 +517,57 @@ object Relational {
         when(denom =!= 0.0, denom)).as("corr_vk"))
   }
 
+  /** Q69 — peak concurrent sessions per day (interval sweep line).
+    * Sessions are the explicit lag/cumsum form of the Q24 gap rule
+    * (closed interval [first event, last event]); each session is
+    * exploded to the integer day indexes it spans and clipped, so the
+    * sweep-line window is PARTITIONED BY DAY — the textbook global
+    * sweep would serialize the whole 100 TB timeline through one
+    * ordered partition, while the clipped form scales with
+    * days × sessions/day. With closed intervals, active-at-instant-t
+    * = cum_prev + starts(t) = cum(t) + ends(t): all integer
+    * arithmetic, combine-order-free.
+    */
+  def peakConcurrency(s: SparkSession, dir: String,
+                      gapMinutes: Int = 30): DataFrame = {
+    val dayUs = 86400000000L
+    val gapUs = gapMinutes * 60000000L
+    val ev = t(s, dir, "events")
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val sess = ev
+      .select(col("user_id"), tsMicros(ev).as("t_us"), col("event_id"))
+      .withColumn("new_s",
+        when(col("t_us") - lag(col("t_us"), 1).over(wu) < gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid",
+        sum(col("new_s")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t_us")).as("t0"), max(col("t_us")).as("t1"))
+    val clipped = sess
+      .withColumn("day",
+        explode(sequence(expr(s"t0 div ${dayUs}L"), expr(s"t1 div ${dayUs}L"))))
+      .select(col("day"),
+        greatest(col("t0"), col("day") * dayUs).as("ts_s"),
+        least(col("t1"), (col("day") + 1) * dayUs - 1).as("ts_e"))
+    val deltas = clipped
+      .select(col("day"), col("ts_s").as("tt"),
+        lit(1L).as("ds"), lit(0L).as("de"))
+      .unionAll(clipped.select(col("day"), col("ts_e").as("tt"),
+        lit(0L).as("ds"), lit(1L).as("de")))
+      .groupBy(col("day"), col("tt"))
+      .agg(sum(col("ds")).as("starts"), sum(col("de")).as("ends"))
+    val wd = Window.partitionBy(col("day")).orderBy(col("tt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("active",
+        sum(col("starts") - col("ends")).over(wd) + col("ends"))
+      .groupBy(col("day"))
+      .agg(sum(col("starts")).as("n_sessions"),
+        max(col("active")).as("peak_concurrency"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

@@ -135,6 +135,32 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("n_occurrences"))
 
+  /** Q71 — vocabulary construction + per-document OOV rate: the
+    * tokenizer-prep pass of an LLM data pipeline. Vocab = the `v`
+    * most frequent corpus tokens (ties broken by token string so the
+    * cut is deterministic); each document then scores its
+    * out-of-vocabulary token fraction. The top-v runs over the
+    * token-COUNT aggregate (vocabulary-sized, one row per distinct
+    * token — not the corpus) as an orderBy+limit (takeOrdered, no
+    * global sort), and the membership join broadcasts the tiny vocab
+    * to the token stream — corpus tokens never reshuffle for the
+    * lookup. oov_rate divides two exact integers: bitwise-equal
+    * doubles across engines.
+    */
+  def vocabOov(s: SparkSession, dir: String, v: Int = 256): DataFrame = {
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(TextHash.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(v)
+      .select(col("token"), lit(1L).as("in_v"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Q53 — top-k bigram collocations per source: the corpus-QA query
     * behind boilerplate/template detection (a dominant bigram is a
     * scrape artifact). Counts shuffle keyed by (source, bigram) with

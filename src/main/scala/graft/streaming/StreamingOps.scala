@@ -504,6 +504,70 @@ object StreamingOps {
         sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
   }
 
+  /** Q72 (operator) — streaming sessionization: the same per-user
+    * `session_window` (inactivity gap) aggregate as batch Q24, run
+    * incrementally — Spark keeps per-user open-session state, merges
+    * candidate sessions as events arrive, and emits a session once the
+    * watermark passes its end (append mode = emit-once-final). State
+    * is O(open sessions inside the watermark horizon), evicted as the
+    * watermark advances — the bounded-state sessionization a 100 TB/day
+    * event stream needs. Output schema matches batch Q24 exactly.
+    */
+  def sessionAgg(ev: DataFrame, gapMinutes: Int = 30,
+                 watermarkMin: Int = 30): DataFrame =
+    ev.withWatermark("tsm", s"$watermarkMin minutes")
+      .groupBy(col("user_id"),
+        session_window(col("tsm"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** q72 — [[sessionAgg]] driven over the sfDir events table via a
+    * 3-micro-batch time-ordered MemoryStream, plus one SENTINEL event
+    * far past the feed (a negative user filtered from the result):
+    * append-mode session windows only emit once the watermark passes a
+    * session's end, so the sentinel advances the watermark beyond
+    * every real session — the flush a bounded fixture needs and a real
+    * stream gets from its advancing front. The append result then
+    * equals batch Q24 over the same table (same oracle SQL). The
+    * collect feeds the MemoryStream harness only.
+    */
+  def streamSessionFixture(s: SparkSession, dir: String,
+                           gapMinutes: Int = 30,
+                           watermarkMin: Int = 30): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("user_id"), tsu.as("us"), col("value"))
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    val sentinel = (-1L,
+      data.map(_._2).max + (gapMinutes + watermarkMin + 10) * 60000000L, 0.0)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Double)]
+    val in = stream.toDS().toDF("user_id", "us", "value")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("tsm"),
+        col("value"))
+    val name = s"q72_stream_sessions_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = sessionAgg(in, gapMinutes, watermarkMin)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+        stream.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(name).filter(col("user_id") >= 0)
+  }
+
   /** KMV sketch state carried across micro-batches: the bounded
     * sorted-distinct hash buffer plus an update counter (to select the
     * final emission per group downstream).

@@ -22,6 +22,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: blocked Levenshtein pairs, lang-disjoint") {
+    val base = "hello world this is a doc"       // 25 chars, band 1
+    val near = "hello world this is a dox"       // dist 1 from base
+    val far = "x" * 80                           // band 5: never a pair
+    val rows = Seq(
+      (0L, base, "en"), (1L, near, "en"),
+      (2L, near, "fr"),                          // lang blocks the pair
+      (3L, far, "en"))
+      .map { case (id, t, lg) => (id, t, lg, t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("editdist").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Dedup.editDistancePairs(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("dist")))
+      assert(out.toSeq === Seq((0L, 1L, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("polyHash matches the hand-computed fold for 'abc'") {
     val got = docsDf(Seq("x"))
       .select(TextHash.polyHash(lit("abc")).as("h")).head().getLong(0)

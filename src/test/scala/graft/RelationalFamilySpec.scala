@@ -349,6 +349,31 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("peakConcurrency: per-day sweep with midnight-spanning session") {
+    // day0: u1 session [0s,10s], u2 session [5s,5s] (peak 2 at t=5s),
+    // u4 session 23:59 -> day1 00:10 (spans midnight, clipped to both
+    // days); day2: u3 alone.
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:00:10"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:00:05"), 2L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 23:59:00"), 4L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-02 00:10:00"), 4L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-03 12:00:00"), 3L, "click", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.peakConcurrency(spark, dir).collect()
+        .map(r => r.getAs[Long]("day") ->
+          ((r.getAs[Long]("n_sessions"), r.getAs[Long]("peak_concurrency"))))
+        .toMap
+      val day0 = out.keys.min
+      assert(out(day0) === ((3L, 2L)))
+      assert(out(day0 + 1) === ((1L, 1L)))
+      assert(out(day0 + 2) === ((1L, 1L)))
+      assert(out.size === 3)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

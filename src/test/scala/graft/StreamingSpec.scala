@@ -154,6 +154,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(2) === 2L && rows(1).getLong(2) === 1L)
   }
 
+  test("streamSessionFixture equals batch sessionRollup (append-mode flush)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("streamsess").toString
+    try {
+      val ts = (s: String) => Timestamp.valueOf(s)
+      // u1: two sessions (65 min gap splits); u2: one session
+      Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+        (2L, ts("2024-01-01 00:10:00"), 1L, "click", 2.0, "{}"),
+        (3L, ts("2024-01-01 01:15:00"), 1L, "click", 4.0, "{}"),
+        (4L, ts("2024-01-01 00:05:00"), 2L, "view", 8.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = StreamingOps.streamSessionFixture(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val want = graft.operators.Relational.sessionRollup(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want && got.size === 3)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("watermark drops events later than the lateness horizon") {
     val stream = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.eventsHourly(

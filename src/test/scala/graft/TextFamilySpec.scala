@@ -18,6 +18,18 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("vocabOov: deterministic top-v cut, exact integer oov ratio") {
+    // counts: a=3, b=1, c=1; v=2 -> vocab {a, b} (tie b<c by token)
+    withDocsDir(Seq("a a b", "a c")) { dir =>
+      val out = TextAnalysis.vocabOov(spark, dir, v = 2).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+            r.getAs[Double]("oov_rate")))).toMap
+      assert(out(0L) === ((3L, 0L, 0.0)))
+      assert(out(1L) === ((2L, 1L, 0.5)))
+    }
+  }
+
   test("tokenRarity: rarity = 40 - floor(log2 df), summed over occurrences") {
     // "common" in all 4 docs (df=4 -> log2=2 -> rarity 38);
     // "mid" in 2 (df=2 -> rarity 39); "rare" in 1 (df=1 -> rarity 40)
