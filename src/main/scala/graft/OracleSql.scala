@@ -1976,4 +1976,63 @@ object OracleSql {
        |    / count(*) AS oov_rate
        |FROM tok LEFT JOIN vocab v USING (token)
        |GROUP BY doc_id""".stripMargin
+
+  /** Q73 — user growth (mirrors Relational.userGrowth): first-seen
+    * day per user, daily actives, integer running cumulative.
+    */
+  def q73UserGrowth: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |fd AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY 1),
+       |np AS (SELECT first_day AS day, count(*) AS n_new FROM fd GROUP BY 1),
+       |dau AS (SELECT day, count(*) AS n_active FROM active GROUP BY 1)
+       |SELECT dau.day, dau.n_active,
+       |  coalesce(np.n_new, 0) AS n_new,
+       |  dau.n_active - coalesce(np.n_new, 0) AS n_returning,
+       |  sum(coalesce(np.n_new, 0)) OVER (ORDER BY dau.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       |FROM dau LEFT JOIN np ON np.day = dau.day""".stripMargin
+
+  /** Q74 — conversion funnel (mirrors Relational.funnel): chained
+    * conditional min-time aggregates, strictly ordered stages.
+    */
+  def q74Funnel: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+       |),
+       |s1 AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN t_us END) AS t1
+       |  FROM e GROUP BY 1 HAVING t1 IS NOT NULL
+       |),
+       |s2 AS (
+       |  SELECT e.user_id, t1,
+       |    min(CASE WHEN event_type = 'click' AND t_us > t1
+       |      THEN t_us END) AS t2
+       |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2
+       |),
+       |s3 AS (
+       |  SELECT e.user_id, t1, t2,
+       |    min(CASE WHEN event_type = 'purchase' AND t_us > t2
+       |      THEN t_us END) AS t3
+       |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+       |)
+       |SELECT t1 // 86400000000 AS cohort_day,
+       |  count(*) AS n_signup, count(t2) AS n_click,
+       |  count(t3) AS n_purchase
+       |FROM s3 GROUP BY 1""".stripMargin
+
+  /** Q75 — retention cohorts (mirrors Relational.retentionCohorts). */
+  def q75Retention: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |fd AS (SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1)
+       |SELECT cohort_day, day - cohort_day AS day_offset,
+       |  count(*) AS n_active
+       |FROM active JOIN fd USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
 }

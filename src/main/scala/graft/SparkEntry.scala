@@ -166,7 +166,10 @@ object SparkEntry {
     "q70_edit_dist" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q71_vocab_oov" -> ((s, dir) => TextAnalysis.vocabOov(s, dir)),
     "q72_stream_sessions" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSessionFixture(s, dir))
+      graft.streaming.StreamingOps.streamSessionFixture(s, dir)),
+    "q73_user_growth" -> Relational.userGrowth _,
+    "q74_funnel" -> Relational.funnel _,
+    "q75_retention" -> Relational.retentionCohorts _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -262,6 +265,9 @@ object SparkEntry {
     "q70_edit_dist" -> OracleSql.q70EditDistance(),
     "q71_vocab_oov" -> OracleSql.q71VocabOov(),
     // streaming sessions flush to exactly the batch q24 result
-    "q72_stream_sessions" -> OracleSql.q24Sessions()
+    "q72_stream_sessions" -> OracleSql.q24Sessions(),
+    "q73_user_growth" -> OracleSql.q73UserGrowth,
+    "q74_funnel" -> OracleSql.q74Funnel,
+    "q75_retention" -> OracleSql.q75Retention
   )
 }

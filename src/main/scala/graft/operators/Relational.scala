@@ -568,6 +568,84 @@ object Relational {
         max(col("active")).as("peak_concurrency"))
   }
 
+  /** Q73 — user growth: per day, new users (first ever seen that
+    * day), returning users, and the cumulative user count. The naive
+    * count(DISTINCT) over an expanding day window rescans history per
+    * day (quadratic at 100 TB); this form computes each user's first
+    * day ONCE (one user-keyed aggregate), daily actives as a
+    * (day, user) distinct, and the cumulative count as an integer
+    * running sum over the day-level aggregate (tiny). All-integer:
+    * bitwise parity is free.
+    */
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val withDay = ev.select(col("user_id"),
+      (tsMicros(ev) / dayUs).cast("long").as("day"))
+    val active = withDay.distinct()
+    val firstDay = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    val newPerDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val dau = active.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+  }
+
+  /** Q74 — conversion funnel (signup → click → purchase, strictly
+    * ordered by time) per signup-day cohort. Step times resolve with
+    * one conditional aggregate per stage: t1 = first signup, t2 =
+    * first click AFTER t1, t3 = first purchase AFTER t2 — each stage
+    * needs the previous stage's time, so the plan is a chain of
+    * user-keyed aggregates over the (already user-partitioned) event
+    * set, not a per-user sort. Counts are integers per cohort day.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val e = ev.select(col("user_id"), col("event_type"),
+      tsMicros(ev).as("t_us"))
+    val s1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("t_us"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val s2 = e.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min(when(col("event_type") === "click" && col("t_us") > col("t1"),
+        col("t_us"))).as("t2"))
+    val s3 = e.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"), col("t1"), col("t2"))
+      .agg(min(when(col("event_type") === "purchase" &&
+        col("t_us") > col("t2"), col("t_us"))).as("t3"))
+    s3.groupBy((col("t1") / dayUs).cast("long").as("cohort_day"))
+      .agg(count(lit(1)).as("n_signup"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"))
+  }
+
+  /** Q75 — retention cohorts: users grouped by first-seen day, and
+    * for each (cohort, day-offset) the count of cohort users active
+    * that day. The join is first-day (user-keyed, computed once)
+    * against the (day, user) distinct actives — both sides already
+    * user-partitioned, so the cohort matrix costs one extra shuffle
+    * over the DISTINCT actives, not the raw events. Integer-exact.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val active = ev.select(col("user_id"),
+      (tsMicros(ev) / dayUs).cast("long").as("day")).distinct()
+    val firstDay = active.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

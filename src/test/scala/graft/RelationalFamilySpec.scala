@@ -374,6 +374,52 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("userGrowth + retentionCohorts: first-day attribution, integer running sum") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 2L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-02 12:00:00"), 3L, "click", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val g = Relational.userGrowth(spark, dir).collect()
+        .map(r => r.getAs[Long]("day") ->
+          ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+            r.getAs[Long]("n_returning"), r.getAs[Long]("cum_users")))).toMap
+      val d0 = g.keys.min
+      assert(g(d0) === ((2L, 2L, 0L, 2L)))
+      assert(g(d0 + 1) === ((2L, 1L, 1L, 3L)))
+      val rc = Relational.retentionCohorts(spark, dir).collect()
+        .map(r => (r.getAs[Long]("cohort_day") - d0,
+          r.getAs[Long]("day_offset"), r.getAs[Long]("n_active"))).toSet
+      assert(rc === Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L)))
+    }
+  }
+
+  test("funnel: strictly ordered stages, missing stage breaks the chain") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0, "{}"),
+      // u2: click BEFORE signup, purchase after — chain broken at click
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+      (6L, ts("2024-01-01 11:00:00"), 2L, "purchase", 0.0, "{}"),
+      // u3: signup only; u4: no signup at all
+      (7L, ts("2024-01-01 10:00:00"), 3L, "signup", 0.0, "{}"),
+      (8L, ts("2024-01-01 10:00:00"), 4L, "click", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.funnel(spark, dir).collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getAs[Long]("n_signup") === 3L)
+      assert(r.getAs[Long]("n_click") === 1L)
+      assert(r.getAs[Long]("n_purchase") === 1L)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
