@@ -2035,4 +2035,47 @@ object OracleSql {
        |  count(*) AS n_active
        |FROM active JOIN fd USING (user_id)
        |GROUP BY 1, 2""".stripMargin
+
+  /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
+    * √n quantized to DECIMAL(30,12) before the order-free sum.
+    */
+  def q76SourceMixture(epochDocs: Long = 10000L): String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(30,12)) AS w
+       |  FROM documents GROUP BY 1
+       |),
+       |t AS (SELECT sum(w) AS tw FROM c)
+       |SELECT source, n_docs,
+       |  CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+       |  CAST(round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * $epochDocs)
+       |    AS BIGINT) AS expected_docs
+       |FROM c, t""".stripMargin
+
+  /** Q77 — winsorized moments (mirrors Relational.winsorizedStats):
+    * quantile_cont clamp then exact DECIMAL power sums.
+    */
+  def q77Winsorized: String =
+    s"""WITH pct AS (
+       |  SELECT event_type,
+       |    quantile_cont(value, 0.01) AS p01,
+       |    quantile_cont(value, 0.99) AS p99
+       |  FROM events GROUP BY 1
+       |),
+       |cl AS (
+       |  SELECT e.event_type, p01, p99,
+       |    CAST(greatest(p01, least(p99, value)) AS DECIMAL(18,6)) AS xw
+       |  FROM events e JOIN pct USING (event_type)
+       |),
+       |a AS (
+       |  SELECT event_type, count(*) AS n, any_value(p01) AS p01,
+       |    any_value(p99) AS p99,
+       |    CAST(sum(xw) AS DOUBLE) AS sx,
+       |    CAST(sum(xw * xw) AS DOUBLE) AS sxx
+       |  FROM cl GROUP BY 1
+       |)
+       |SELECT event_type, n, p01, p99,
+       |  sx / n AS mean_w,
+       |  (sxx - sx * sx / n) / n AS var_w
+       |FROM a""".stripMargin
 }

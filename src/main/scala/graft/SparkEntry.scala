@@ -169,7 +169,9 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamSessionFixture(s, dir)),
     "q73_user_growth" -> Relational.userGrowth _,
     "q74_funnel" -> Relational.funnel _,
-    "q75_retention" -> Relational.retentionCohorts _
+    "q75_retention" -> Relational.retentionCohorts _,
+    "q76_mixture" -> ((s, dir) => TextAnalysis.sourceMixture(s, dir)),
+    "q77_winsorized" -> Relational.winsorizedStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,6 +270,8 @@ object SparkEntry {
     "q72_stream_sessions" -> OracleSql.q24Sessions(),
     "q73_user_growth" -> OracleSql.q73UserGrowth,
     "q74_funnel" -> OracleSql.q74Funnel,
-    "q75_retention" -> OracleSql.q75Retention
+    "q75_retention" -> OracleSql.q75Retention,
+    "q76_mixture" -> OracleSql.q76SourceMixture(),
+    "q77_winsorized" -> OracleSql.q77Winsorized
   )
 }

@@ -646,6 +646,34 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Q77 — winsorized moments per event type: values clamped to the
+    * exact [p01, p99] percentiles (Q32's interpolation contract)
+    * before the Q68 DECIMAL power-sum moments — the robust-stats pass
+    * where outliers saturate instead of dominating the variance. The
+    * percentile table is type-level (tiny) → broadcast back onto the
+    * fact scan; clamped values quantize to DECIMAL(18,6) so the sums
+    * stay exact and combine-order-free.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val pct = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.01)).as("p01"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+    val clamped = ev.join(broadcast(pct), Seq("event_type"))
+      .withColumn("xw",
+        greatest(col("p01"), least(col("p99"), col("value")))
+          .cast("decimal(18,6)"))
+    clamped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("p01")).as("p01"), first(col("p99")).as("p99"),
+        sum(col("xw")).cast("double").as("sx"),
+        sum(col("xw") * col("xw")).cast("double").as("sxx"))
+      .select(col("event_type"), col("n"), col("p01"), col("p99"),
+        (col("sx") / col("n")).as("mean_w"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("var_w"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

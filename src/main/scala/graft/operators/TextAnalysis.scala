@@ -161,6 +161,31 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Q76 — temperature-weighted source mixture: the data-mixing step
+    * of a pre-training pipeline. Per-source sampling share
+    * w_s = n_s^α / Σ n_t^α at α = 1/2 (upweights low-resource
+    * sources; α=1 is proportional, α=0 uniform). √n is a double, so
+    * the cross-source denominator is quantized to DECIMAL(30,12)
+    * BEFORE summing — decimal addition is exact in any combine order,
+    * where a raw double Σ would be shuffle-order-nondeterministic —
+    * and the shares derive from the same quantized values in both
+    * engines. The per-source aggregate is tiny → the total broadcasts
+    * back.
+    */
+  def sourceMixture(s: SparkSession, dir: String,
+                    epochDocs: Long = 10000L): DataFrame = {
+    val c = docs(s, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        sqrt(col("n_docs").cast("double")).cast("decimal(30,12)"))
+    val tot = c.agg(sum(col("w")).as("tw"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("share", col("w").cast("double") / col("tw").cast("double"))
+      .withColumn("expected_docs",
+        round(col("share") * epochDocs).cast("long"))
+      .select("source", "n_docs", "share", "expected_docs")
+  }
+
   /** Q53 — top-k bigram collocations per source: the corpus-QA query
     * behind boilerplate/template detection (a dominant bigram is a
     * scrape artifact). Counts shuffle keyed by (source, bigram) with

@@ -112,6 +112,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"))
   }
 
+  test("q70: blocked Levenshtein join is equi on (lang, band) — no cartesian") {
+    val p = plan("q70_edit_dist")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "blocking keys lost")
+  }
+
+  test("q71: vocab membership is a broadcast join; corpus tokens never reshuffle for it") {
+    val p = plan("q71_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"), "vocab broadcast lost")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-v should be takeOrdered over the count aggregate, not a global sort")
+  }
+
+  test("q69: sweep-line window is partitioned by day, not global") {
+    val p = plan("q69_concurrency")
+    assert("hashpartitioning\\(day#".r.findFirstIn(p).isDefined,
+      "per-day partitioned sweep lost — global sort would serialize at scale")
+  }
+
   test("column pruning reaches the documents scan: text is not read when unused") {
     // ReadSchema in the FileScan must exclude `text` for queries that
     // only use metadata columns — at 100 TB, `text` IS the table

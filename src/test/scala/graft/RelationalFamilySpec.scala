@@ -420,6 +420,24 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats: p01/p99 clamp then exact moments") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val vals = Seq(0.0, 10.0, 20.0, 30.0, 1000.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, t0, 1L, "click", v, "{}") }
+    withEventsDir(rows) { dir =>
+      val r = Relational.winsorizedStats(spark, dir).collect().head
+      // p01 = 0 + 0.04*10 = 0.4; p99 = 30 + 0.96*970 = 961.2
+      assert(math.abs(r.getAs[Double]("p01") - 0.4) < 1e-12)
+      assert(math.abs(r.getAs[Double]("p99") - 961.2) < 1e-12)
+      val clamped = vals.map(v => math.max(0.4, math.min(961.2, v)))
+      val mean = clamped.sum / clamped.length
+      val varW = clamped.map(x => x * x).sum / clamped.length - mean * mean
+      assert(math.abs(r.getAs[Double]("mean_w") - mean) < 1e-9)
+      assert(math.abs(r.getAs[Double]("var_w") - varW) < 1e-6)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

@@ -30,6 +30,26 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("sourceMixture: alpha=1/2 temperature shares from quantized sqrt") {
+    val dir = java.nio.file.Files.createTempDirectory("mixture").toString
+    try {
+      (Seq.fill(4)("A") ++ Seq("B")).zipWithIndex
+        .map { case (src, i) => (i.toLong, s"doc $i", src) }
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.sourceMixture(spark, dir)
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Double]("share"),
+            r.getAs[Long]("expected_docs")))).toMap
+      // w = (2, 1) -> shares (2/3, 1/3), epoch 10000
+      assert(out("A")._1 === 4L && out("B")._1 === 1L)
+      assert(math.abs(out("A")._2 - 2.0 / 3) < 1e-9)
+      assert(out("A")._3 === 6667L && out("B")._3 === 3333L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("tokenRarity: rarity = 40 - floor(log2 df), summed over occurrences") {
     // "common" in all 4 docs (df=4 -> log2=2 -> rarity 38);
     // "mid" in 2 (df=2 -> rarity 39); "rare" in 1 (df=1 -> rarity 40)
