@@ -2036,6 +2036,59 @@ object OracleSql {
        |FROM active JOIN fd USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
+    * states the declarative NOT-EXISTS dominance — implementation
+    * (two-level distributive prune) must not change the set.
+    */
+  def q78Skyline: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |    n_chars
+       |  FROM documents
+       |)
+       |SELECT b.doc_id, b.n_tokens, b.n_chars
+       |FROM base b
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM base o
+       |  WHERE o.n_tokens >= b.n_tokens AND o.n_chars <= b.n_chars
+       |    AND (o.n_tokens > b.n_tokens OR o.n_chars < b.n_chars)
+       |)""".stripMargin
+
+  /** Q79 — PageRank (mirrors Graph.pageRank): the same fixed power
+    * iterations unrolled as CTEs, contributions quantized to
+    * DECIMAL(28,14) before the exact sum, damping stated as
+    * 85/100 in DOUBLE so both engines evaluate the identical IEEE
+    * constant.
+    */
+  def q79PageRank(iters: Int = 3): String = {
+    val d = "CAST(85 AS DOUBLE) / 100"
+    val head =
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |),
+         |edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT node, deg, CAST(1 AS DOUBLE) / nn.n AS rank
+         |       FROM deg, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT e.dst, sum(CAST(r.rank / r.deg AS DECIMAL(28,14))) AS sc
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY 1
+         |),
+         |r$i AS (
+         |  SELECT d.node, d.deg,
+         |    (1 - $d) / nn.n
+         |      + $d * coalesce(CAST(c$i.sc AS DOUBLE), 0) AS rank
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = d.node
+         |)""".stripMargin
+    }.mkString
+    s"$head$steps\nSELECT node, rank FROM r$iters"
+  }
+
   /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
     * √n quantized to DECIMAL(30,12) before the order-free sum.
     */

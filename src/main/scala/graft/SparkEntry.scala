@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, BeatMetrics, Dedup, Envelopes,
+import graft.operators.{AsofJoin, BeatMetrics, Dedup, Envelopes, Graph,
   Multimodal, PeakDetect, Pipeline, Relational, Similarity, Smoothing,
   TextAnalysis}
 import graft.sources.SignalFixture
@@ -171,7 +171,9 @@ object SparkEntry {
     "q74_funnel" -> Relational.funnel _,
     "q75_retention" -> Relational.retentionCohorts _,
     "q76_mixture" -> ((s, dir) => TextAnalysis.sourceMixture(s, dir)),
-    "q77_winsorized" -> Relational.winsorizedStats _
+    "q77_winsorized" -> Relational.winsorizedStats _,
+    "q78_skyline" -> ((s, dir) => TextAnalysis.skyline(s, dir)),
+    "q79_pagerank" -> ((s, dir) => Graph.pageRank(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,6 +274,8 @@ object SparkEntry {
     "q74_funnel" -> OracleSql.q74Funnel,
     "q75_retention" -> OracleSql.q75Retention,
     "q76_mixture" -> OracleSql.q76SourceMixture(),
-    "q77_winsorized" -> OracleSql.q77Winsorized
+    "q77_winsorized" -> OracleSql.q77Winsorized,
+    "q78_skyline" -> OracleSql.q78Skyline,
+    "q79_pagerank" -> OracleSql.q79PageRank()
   )
 }

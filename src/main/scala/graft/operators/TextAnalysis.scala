@@ -186,6 +186,46 @@ object TextAnalysis {
       .select("source", "n_docs", "share", "expected_docs")
   }
 
+  /** Dominance prune for [[skyline]]: within each `part` group, drop
+    * rows dominated in (maximize n_tokens, minimize n_chars). A row is
+    * dominated by any row with strictly more tokens and ≤ chars
+    * (RANGE frame over the strictly-greater token range), or equal
+    * tokens and strictly fewer chars (tie group min).
+    */
+  private def skylinePrune(df: DataFrame, part: Seq[String]): DataFrame = {
+    val pcols = part.map(col)
+    val wGt = Window.partitionBy(pcols: _*).orderBy(col("n_tokens"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wTie = Window.partitionBy(pcols :+ col("n_tokens"): _*)
+    df.withColumn("m_gt", min(col("n_chars")).over(wGt))
+      .withColumn("m_tie", min(col("n_chars")).over(wTie))
+      .filter((col("m_gt").isNull || col("m_gt") > col("n_chars")) &&
+        col("m_tie") === col("n_chars"))
+      .drop("m_gt", "m_tie")
+  }
+
+  /** Q78 — 2-D skyline (pareto frontier): documents maximal in
+    * (n_tokens ↑, n_chars ↓) — the token-density frontier no other
+    * document beats on both axes. Skyline is DISTRIBUTIVE
+    * (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))), so the plan
+    * is two-level: a per-bucket local prune (parallel window over
+    * hash buckets) cuts the candidate set to the per-bucket
+    * frontiers, then the global prune runs over the tiny survivor
+    * set — the single global sort the textbook window version needs
+    * would serialize 100 TB through one partition. All-integer
+    * dominance: exact parity (the oracle states the declarative
+    * NOT-EXISTS dominance directly).
+    */
+  def skyline(s: SparkSession, dir: String, buckets: Int = 32): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"),
+      size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+      col("n_chars"))
+    val local = skylinePrune(
+      base.withColumn("bkt", pmod(col("doc_id"), lit(buckets.toLong))),
+      Seq("bkt")).drop("bkt")
+    skylinePrune(local, Seq.empty)
+  }
+
   /** Q53 — top-k bigram collocations per source: the corpus-QA query
     * behind boilerplate/template detection (a dominant bigram is a
     * scrape artifact). Counts shuffle keyed by (source, bigram) with

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: one hand-computed power iteration on a 4-node graph") {
+    val dir = java.nio.file.Files.createTempDirectory("graph").toString
+    try {
+      // c1 buys from s1,s2 (order 10); c2 buys from s1 (order 20)
+      Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("l_orderkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.pageRank(spark, dir, iters = 1).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+      // nodes: c1=2 c2=4 s1=3 s2=5; deg: c1=2 c2=1 s1=2 s2=1; N=4
+      // in(c1)=.125+.25  in(c2)=.125  in(s1)=.125+.25  in(s2)=.125
+      // r1 = 0.15/4 + 0.85*in
+      assert(out.size === 4)
+      assert(math.abs(out(2L) - 0.35625) < 1e-9)
+      assert(math.abs(out(4L) - 0.14375) < 1e-9)
+      assert(math.abs(out(3L) - 0.35625) < 1e-9)
+      assert(math.abs(out(5L) - 0.14375) < 1e-9)
+      assert(math.abs(out.values.sum - 1.0) < 1e-9, "rank mass conserved")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}

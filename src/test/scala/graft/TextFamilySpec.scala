@@ -30,6 +30,21 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("skyline: pareto frontier on (tokens up, chars down), ties kept") {
+    withDocsDir(Seq(
+      "a b c",      // 0: (3,5)  frontier
+      "a b c d",    // 1: (4,7)  frontier
+      "a b",        // 2: (2,3)  frontier
+      "x y",        // 3: (2,3)  same point -> kept
+      "a  b",       // 4: (2,4)  dominated by 2 (equal tokens, more chars)
+      "aa bb cc"    // 5: (3,8)  dominated by 0
+    )) { dir =>
+      val kept = graft.operators.TextAnalysis.skyline(spark, dir)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept === Set(0L, 1L, 2L, 3L))
+    }
+  }
+
   test("sourceMixture: alpha=1/2 temperature shares from quantized sqrt") {
     val dir = java.nio.file.Files.createTempDirectory("mixture").toString
     try {
