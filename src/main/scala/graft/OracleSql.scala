@@ -2089,6 +2089,68 @@ object OracleSql {
     s"$head$steps\nSELECT node, rank FROM r$iters"
   }
 
+  /** Q80 — activity streaks (mirrors Relational.activityStreaks):
+    * gaps-and-islands via day − row_number.
+    */
+  def q80Streaks: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+       |  FROM events
+       |),
+       |isl AS (
+       |  SELECT user_id,
+       |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+       |      AS island
+       |  FROM active
+       |),
+       |lens AS (
+       |  SELECT user_id, island, count(*) AS len
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       |  count(*) AS n_streaks, max(len) AS longest_streak
+       |FROM lens GROUP BY 1""".stripMargin
+
+  /** Q81 — median absolute deviation (mirrors Relational.madStats):
+    * two quantile_cont passes, identical |x − med| doubles.
+    */
+  def q81Mad: String =
+    s"""WITH med AS (
+       |  SELECT event_type, count(*) AS n,
+       |    quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT e.event_type, n, med,
+       |  quantile_cont(abs(e.value - med), 0.5) AS mad
+       |FROM events e JOIN med USING (event_type)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** Q82 — pairwise source vocabulary Jaccard (mirrors
+    * TextAnalysis.sourceJaccard).
+    */
+  def q82SourceJaccard: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, token FROM (
+       |    SELECT source, unnest($tokensSql) AS token FROM documents
+       |  )
+       |),
+       |sz AS (SELECT source, count(*) AS sz FROM st GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.sz AS sz_a, b.sz AS sz_b
+       |  FROM sz a JOIN sz b ON a.source < b.source
+       |),
+       |i AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+       |  FROM st x JOIN st y
+       |    ON x.token = y.token AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.src_a, p.src_b, coalesce(i.inter, 0) AS inter,
+       |  CAST(coalesce(i.inter, 0) AS DOUBLE) /
+       |    (sz_a + sz_b - coalesce(i.inter, 0)) AS jaccard
+       |FROM pairs p LEFT JOIN i USING (src_a, src_b)""".stripMargin
+
   /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
     * √n quantized to DECIMAL(30,12) before the order-free sum.
     */

@@ -173,7 +173,10 @@ object SparkEntry {
     "q76_mixture" -> ((s, dir) => TextAnalysis.sourceMixture(s, dir)),
     "q77_winsorized" -> Relational.winsorizedStats _,
     "q78_skyline" -> ((s, dir) => TextAnalysis.skyline(s, dir)),
-    "q79_pagerank" -> ((s, dir) => Graph.pageRank(s, dir))
+    "q79_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
+    "q80_streaks" -> Relational.activityStreaks _,
+    "q81_mad" -> Relational.madStats _,
+    "q82_source_jaccard" -> TextAnalysis.sourceJaccard _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,6 +279,9 @@ object SparkEntry {
     "q76_mixture" -> OracleSql.q76SourceMixture(),
     "q77_winsorized" -> OracleSql.q77Winsorized,
     "q78_skyline" -> OracleSql.q78Skyline,
-    "q79_pagerank" -> OracleSql.q79PageRank()
+    "q79_pagerank" -> OracleSql.q79PageRank(),
+    "q80_streaks" -> OracleSql.q80Streaks,
+    "q81_mad" -> OracleSql.q81Mad,
+    "q82_source_jaccard" -> OracleSql.q82SourceJaccard
   )
 }

@@ -674,6 +674,47 @@ object Relational {
           .as("var_w"))
   }
 
+  /** Q80 — longest consecutive-day activity streak per user (the
+    * gaps-and-islands pattern): over the distinct (user, day) set,
+    * island id = day − row_number (constant exactly across a run of
+    * consecutive days), then streak lengths are island sizes. One
+    * shuffle for the distinct; the window and both rollups stay
+    * user-partitioned. All-integer.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val active = ev.select(col("user_id"),
+      (tsMicros(ev) / dayUs).cast("long").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = active
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  /** Q81 — median absolute deviation per event type: the robust
+    * spread statistic (unlike variance, one outlier moves it not at
+    * all). med = exact interpolated median (Q32 contract); MAD =
+    * median of |value − med|, with the type-level median broadcast
+    * back between the two percentile passes. Identical double
+    * subtraction and interpolation on both engines.
+    */
+  def madStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), percentile(col("value"), lit(0.5)).as("med"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("med"),
+        abs(col("value") - col("med")).as("ad"))
+      .groupBy(col("event_type"), col("n"), col("med"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

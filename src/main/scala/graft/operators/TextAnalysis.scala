@@ -226,6 +226,35 @@ object TextAnalysis {
     skylinePrune(local, Seq.empty)
   }
 
+  /** Q82 — pairwise source vocabulary overlap: exact token-set
+    * Jaccard between every source pair — the corpus diagnostic for
+    * "are these two scrapes the same site". The (source, token)
+    * distinct is one shuffle over tokens; the pair intersection joins
+    * the DISTINCT vocabularies (vocabulary-sized inputs, not corpus),
+    * set sizes broadcast back, and a source pair with an empty
+    * intersection still appears via the size cross join. Integer
+    * ratio: exact parity.
+    */
+  def sourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val st = docs(s, dir).select(col("source"),
+      explode(TextHash.tokens(col("text"))).as("token")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = sizes.as("a").join(sizes.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+    val inter = st.as("x").join(st.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("src_a", "src_b", "inter", "jaccard")
+  }
+
   /** Q53 — top-k bigram collocations per source: the corpus-QA query
     * behind boilerplate/template detection (a dominant bigram is a
     * scrape artifact). Counts shuffle keyed by (source, bigram) with

@@ -438,6 +438,30 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("activityStreaks: islands split on gaps; madStats: robust spread") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1 active days {1,2,3, 6,7}; u2 active {10}
+    val dayRows = Seq(1, 2, 3, 6, 7).zipWithIndex.map { case (d, i) =>
+      ((i + 1).toLong, ts(f"2024-01-$d%02d 09:00:00"), 1L, "click", 0.0, "{}")
+    } :+ ((9L, ts("2024-01-10 09:00:00"), 2L, "view", 0.0, "{}"))
+    withEventsDir(dayRows) { dir =>
+      val st = Relational.activityStreaks(spark, dir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_active_days"), r.getAs[Long]("n_streaks"),
+            r.getAs[Long]("longest_streak")))).toMap
+      assert(st(1L) === ((5L, 2L, 3L)))
+      assert(st(2L) === ((1L, 1L, 1L)))
+    }
+    val madRows = (1 to 5).map(i =>
+      (i.toLong, ts("2024-01-01 00:00:00"), 1L, "click", i.toDouble, "{}"))
+    withEventsDir(madRows) { dir =>
+      val r = Relational.madStats(spark, dir).collect().head
+      assert(r.getAs[Long]("n") === 5L)
+      assert(r.getAs[Double]("med") === 3.0)
+      assert(r.getAs[Double]("mad") === 1.0)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

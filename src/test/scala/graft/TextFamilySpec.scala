@@ -45,6 +45,24 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("sourceJaccard: pairwise vocab overlap, zero-overlap pairs kept") {
+    val dir = java.nio.file.Files.createTempDirectory("srcjac").toString
+    try {
+      Seq((0L, "a b", "A"), (1L, "b c", "B"), (2L, "x", "C"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.sourceJaccard(spark, dir)
+        .collect().map(r => (r.getAs[String]("src_a"),
+          r.getAs[String]("src_b")) ->
+          ((r.getAs[Long]("inter"), r.getAs[Double]("jaccard")))).toMap
+      assert(out(("A", "B")) === ((1L, 1.0 / 3)))
+      assert(out(("A", "C")) === ((0L, 0.0)))
+      assert(out(("B", "C")) === ((0L, 0.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sourceMixture: alpha=1/2 temperature shares from quantized sqrt") {
     val dir = java.nio.file.Files.createTempDirectory("mixture").toString
     try {
