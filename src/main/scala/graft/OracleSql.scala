@@ -2151,6 +2151,20 @@ object OracleSql {
        |    (sz_a + sz_b - coalesce(i.inter, 0)) AS jaccard
        |FROM pairs p LEFT JOIN i USING (src_a, src_b)""".stripMargin
 
+  /** Q83 — complete-recall edit join: the oracle is the DECLARATIVE
+    * all-pairs form — the q-gram candidate generation must not change
+    * the result set.
+    */
+  def q83QgramJoin(k: Int = 4, prefixLen: Int = 64): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, substr(text, 1, $prefixLen) AS pfx
+       |  FROM documents
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS dist
+       |FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+       |WHERE levenshtein(x.pfx, y.pfx) <= $k""".stripMargin
+
   /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
     * √n quantized to DECIMAL(30,12) before the order-free sum.
     */

@@ -176,7 +176,8 @@ object SparkEntry {
     "q79_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
     "q80_streaks" -> Relational.activityStreaks _,
     "q81_mad" -> Relational.madStats _,
-    "q82_source_jaccard" -> TextAnalysis.sourceJaccard _
+    "q82_source_jaccard" -> TextAnalysis.sourceJaccard _,
+    "q83_qgram_join" -> ((s, dir) => Dedup.qgramEditJoin(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,6 +283,7 @@ object SparkEntry {
     "q79_pagerank" -> OracleSql.q79PageRank(),
     "q80_streaks" -> OracleSql.q80Streaks,
     "q81_mad" -> OracleSql.q81Mad,
-    "q82_source_jaccard" -> OracleSql.q82SourceJaccard
+    "q82_source_jaccard" -> OracleSql.q82SourceJaccard,
+    "q83_qgram_join" -> OracleSql.q83QgramJoin()
   )
 }

@@ -235,6 +235,53 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Q83 — COMPLETE-recall edit-distance self-join (the Ed-Join-style
+    * q-gram pigeonhole, unlike Q70's length-band heuristic): a pair
+    * of prefixes within edit distance k must share at least one
+    * positional q-gram when the shorter has ≥ q·(k+1) chars — each
+    * edit destroys at most q of its (plen−q+1) grams, so
+    * (plen − q + 1) − k·q ≥ 1 grams survive verbatim into the
+    * partner. Candidates are therefore an equi-join on (lang, gram);
+    * prefixes shorter than q·(k+1)+k form a tiny brute-force class
+    * (any partner of a sub-threshold string is itself sub-threshold,
+    * since distance ≤ k bounds the length gap by k). Exact Levenshtein
+    * (threshold DP) verifies candidates, so the result EQUALS the
+    * declarative all-pairs oracle — the same contract, candidates cut
+    * from n² to gram-collision pairs.
+    */
+  def qgramEditJoin(s: SparkSession, dir: String, k: Int = 4, q: Int = 8,
+                    prefixLen: Int = 64): DataFrame = {
+    val longMin = q * (k + 1)          // gram pigeonhole valid from here
+    val shortMax = longMin + k         // partners of short strings end here
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+      .withColumn("plen", length(col("pfx")))
+    val g = d.filter(col("plen") >= longMin)
+      .select(col("doc_id"), col("lang"), col("plen"),
+        explode(expr(
+          s"transform(sequence(1, length(pfx) - $q + 1), i -> substring(pfx, i, $q))"))
+          .as("gram"))
+    val gramCands = g.as("x").join(g.as("y"),
+        col("x.lang") === col("y.lang") && col("x.gram") === col("y.gram") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.plen") - col("y.plen")) <= k)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = d.filter(col("plen") < shortMax)
+    val shortCands = sh.as("x").join(sh.as("y"),
+        col("x.lang") === col("y.lang") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        abs(col("x.plen") - col("y.plen")) <= k)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cands = gramCands.unionAll(shortCands).distinct()
+    cands
+      .join(d.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
+  }
+
   /** Q38 — duplicate clusters: connected components over the MinHash
     * candidate pairs at `minJaccard`, so a dedup pass can keep ONE
     * representative per near-dup cluster instead of reasoning about

@@ -44,6 +44,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("qgramEditJoin: complete recall vs brute-force DP, incl. short class") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = dp(i); dp(i) = cur
+        }
+      }
+      dp(a.length)
+    }
+    val base = "abcdefgh" * 8                       // 64 chars
+    val d4 = base.updated(3, 'X').updated(19, 'X')  // 4 scattered edits
+      .updated(37, 'X').updated(55, 'X')
+    val d5 = base.updated(3, 'X').updated(19, 'X')  // 5 edits: excluded
+      .updated(37, 'X').updated(55, 'X').updated(60, 'X')
+    val texts = Seq(base, d4, d5, "ab", "abc", "zzzz")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("qgram").toString
+    try {
+      rows.toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.qgramEditJoin(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("dist"))).toSet
+      val want = (for {
+        i <- texts.indices; j <- texts.indices if i < j
+        d = lev(texts(i).take(64), texts(j).take(64)) if d <= 4
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      assert(got === want)
+      assert(want.contains((0L, 1L, 4L)), "distance-4 pair must exist")
+      assert(want.exists(p => p._1 == 3L && p._2 == 4L), "short-class pair")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("polyHash matches the hand-computed fold for 'abc'") {
     val got = docsDf(Seq("x"))
       .select(TextHash.polyHash(lit("abc")).as("h")).head().getLong(0)
