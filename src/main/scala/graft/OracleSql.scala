@@ -2165,6 +2165,70 @@ object OracleSql {
        |FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
        |WHERE levenshtein(x.pfx, y.pfx) <= $k""".stripMargin
 
+  /** Q84 — KMV set algebra (mirrors Relational.kmvSetOps): sketch
+    * union = k smallest of the merge, θ-rule intersection; exact
+    * counts from the full distinct sets.
+    */
+  def q84KmvSetOps(k: Int = 64, space: Long = 1000000007L): String =
+    s"""WITH th AS (
+       |  SELECT DISTINCT event_type,
+       |    ${polyHashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+       |    FROM th
+       |  ) WHERE r <= $k
+       |),
+       |ty AS (SELECT DISTINCT event_type FROM th),
+       |tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |       FROM ty a JOIN ty b ON a.event_type < b.event_type),
+       |mu AS (
+       |  SELECT ta, tb, h, count(*) AS nsrc FROM (
+       |    SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.event_type = tp.ta
+       |    UNION ALL
+       |    SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.event_type = tp.tb
+       |  ) GROUP BY 1, 2, 3
+       |),
+       |uw AS (
+       |  SELECT ta, tb, h, nsrc FROM (
+       |    SELECT ta, tb, h, nsrc,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS r
+       |    FROM mu
+       |  ) WHERE r <= $k
+       |),
+       |est AS (
+       |  SELECT ta, tb, count(*) AS nu, max(h) AS theta,
+       |    CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM uw GROUP BY 1, 2
+       |),
+       |est2 AS (
+       |  SELECT ta, tb, c, nu,
+       |    CASE WHEN nu < $k THEN CAST(nu AS DOUBLE)
+       |         ELSE CAST(${k - 1} AS DOUBLE) * $space / theta END
+       |      AS est_union
+       |  FROM est
+       |),
+       |me AS (
+       |  SELECT ta, tb, h, count(*) AS nsrc FROM (
+       |    SELECT tp.ta, tp.tb, th.h FROM tp JOIN th ON th.event_type = tp.ta
+       |    UNION ALL
+       |    SELECT tp.ta, tp.tb, th.h FROM tp JOIN th ON th.event_type = tp.tb
+       |  ) GROUP BY 1, 2, 3
+       |),
+       |ex AS (
+       |  SELECT ta, tb, count(*) AS exact_union,
+       |    CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_inter
+       |  FROM me GROUP BY 1, 2
+       |)
+       |SELECT e.ta, e.tb, e.c, e.est_union,
+       |  CAST(e.c AS DOUBLE) / e.nu * e.est_union AS est_inter,
+       |  x.exact_union, x.exact_inter
+       |FROM est2 e JOIN ex x USING (ta, tb)""".stripMargin
+
   /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
     * √n quantized to DECIMAL(30,12) before the order-free sum.
     */

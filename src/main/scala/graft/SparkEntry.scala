@@ -177,7 +177,8 @@ object SparkEntry {
     "q80_streaks" -> Relational.activityStreaks _,
     "q81_mad" -> Relational.madStats _,
     "q82_source_jaccard" -> TextAnalysis.sourceJaccard _,
-    "q83_qgram_join" -> ((s, dir) => Dedup.qgramEditJoin(s, dir))
+    "q83_qgram_join" -> ((s, dir) => Dedup.qgramEditJoin(s, dir)),
+    "q84_kmv_setops" -> ((s, dir) => Relational.kmvSetOps(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,6 +285,7 @@ object SparkEntry {
     "q80_streaks" -> OracleSql.q80Streaks,
     "q81_mad" -> OracleSql.q81Mad,
     "q82_source_jaccard" -> OracleSql.q82SourceJaccard,
-    "q83_qgram_join" -> OracleSql.q83QgramJoin()
+    "q83_qgram_join" -> OracleSql.q83QgramJoin(),
+    "q84_kmv_setops" -> OracleSql.q84KmvSetOps()
   )
 }

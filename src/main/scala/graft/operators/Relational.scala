@@ -715,6 +715,58 @@ object Relational {
       .agg(percentile(col("ad"), lit(0.5)).as("mad"))
   }
 
+  /** Q84 — KMV sketch set algebra: estimated |A ∪ B| and |A ∩ B| of
+    * the user sets of every event-type pair, from k-minimum-value
+    * sketches only (Beyer et al., SIGMOD 2007) — the sketch-level
+    * union (k smallest of the merged sketch) and the θ-rule
+    * intersection (survivors below θ present in BOTH sketches),
+    * alongside the exact counts for reference. At 100 TB the exact
+    * pairwise intersections rescan the fact table per pair, while the
+    * sketches are k longs per type: the set algebra runs entirely on
+    * aggregates. KMV determinism (k smallest distinct hashes are
+    * order-free) makes the estimates hash-exact across engines.
+    */
+  def kmvSetOps(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val space = graft.functions.TextHash.P
+    val ev = t(s, dir, "events")
+    val th = ev.select(col("event_type"),
+      graft.functions.TextHash.polyHash(col("user_id").cast("string"))
+        .as("h")).distinct()
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val sk = th.withColumn("r", row_number().over(wr))
+      .filter(col("r") <= k).select(col("event_type"), col("h"))
+    val tys = th.select(col("event_type")).distinct()
+    val tp = tys.select(col("event_type").as("ta"))
+      .crossJoin(tys.select(col("event_type").as("tb")))
+      .filter(col("ta") < col("tb"))
+    def merged(src: DataFrame): DataFrame =
+      tp.join(src.as("sa"), col("sa.event_type") === col("ta"))
+        .select(col("ta"), col("tb"), col("sa.h").as("h"))
+        .unionAll(tp.join(src.as("sb"), col("sb.event_type") === col("tb"))
+          .select(col("ta"), col("tb"), col("sb.h").as("h")))
+        .groupBy(col("ta"), col("tb"), col("h"))
+        .agg(count(lit(1)).as("nsrc"))
+    val wu = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val uw = merged(sk).withColumn("r", row_number().over(wu))
+      .filter(col("r") <= k)
+    val estAgg = uw.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("nu"), max(col("h")).as("theta"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("c"))
+      .withColumn("est_union",
+        when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * space / col("theta")))
+      // denominator nu (not k): saturated → nu = k, the classic c/k
+      // rule; unsaturated → the sketch IS the set and est_inter = c
+      .withColumn("est_inter",
+        col("c").cast("double") / col("nu") * col("est_union"))
+    val exact = merged(th).groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    estAgg.join(exact, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("c"), col("est_union"),
+        col("est_inter"), col("exact_union"), col("exact_inter"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

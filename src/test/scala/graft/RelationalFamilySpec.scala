@@ -462,6 +462,22 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("kmvSetOps: unsaturated sketches give exact union/intersection") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // click users 1-10; view users 5-15: union 15, inter 6
+    val rows = (1 to 10).map(u =>
+      (u.toLong, t0, u.toLong, "click", 0.0, "{}")) ++
+      (5 to 15).map(u => (100L + u, t0, u.toLong, "view", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val r = Relational.kmvSetOps(spark, dir).collect().head
+      assert(r.getAs[Long]("exact_union") === 15L)
+      assert(r.getAs[Long]("exact_inter") === 6L)
+      // below saturation the sketch is the full set: estimates exact
+      assert(r.getAs[Double]("est_union") === 15.0)
+      assert(r.getAs[Double]("est_inter") === 6.0)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
