@@ -2229,6 +2229,55 @@ object OracleSql {
        |  x.exact_union, x.exact_inter
        |FROM est2 e JOIN ex x USING (ta, tb)""".stripMargin
 
+  /** Q85 — debounce (mirrors Relational.debounce): one-lag gap rule. */
+  def q85Debounce(minGapUs: Long = 5000000L): String =
+    s"""SELECT event_id, user_id, event_type, t_us FROM (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events
+       |) WHERE prev IS NULL OR t_us - prev >= $minGapUs""".stripMargin
+
+  /** Q86 — chi-square cells (mirrors Relational.chiSquareCells). */
+  def q86ChiSquare: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, c_mktsegment, count(*) AS o
+       |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT event_type, c_mktsegment, o,
+       |    sum(o) OVER (PARTITION BY event_type) AS rt,
+       |    sum(o) OVER (PARTITION BY c_mktsegment) AS ct,
+       |    sum(o) OVER () AS n
+       |  FROM cells
+       |)
+       |SELECT event_type, c_mktsegment, o,
+       |  CAST(rt * ct AS DOUBLE) / n AS e,
+       |  (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+       |    * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+       |    / (CAST(rt * ct AS DOUBLE) / n) AS chi2_cell
+       |FROM tot""".stripMargin
+
+  /** Q87 — z-score normalization (mirrors Relational.zscore): exact
+    * decimal power sums, one pinned expression per row.
+    */
+  def q87Zscore: String =
+    s"""WITH a AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(value AS DECIMAL(18,4))
+       |      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+       |  FROM events GROUP BY 1
+       |),
+       |st AS (
+       |  SELECT event_type, sx / n AS mean_v,
+       |    sqrt((sxx - sx * sx / n) / n) AS std_v
+       |  FROM a
+       |)
+       |SELECT event_id, event_type, (value - mean_v) / std_v AS z
+       |FROM events e JOIN st USING (event_type)""".stripMargin
+
   /** Q76 — temperature mixture (mirrors TextAnalysis.sourceMixture):
     * √n quantized to DECIMAL(30,12) before the order-free sum.
     */

@@ -178,7 +178,10 @@ object SparkEntry {
     "q81_mad" -> Relational.madStats _,
     "q82_source_jaccard" -> TextAnalysis.sourceJaccard _,
     "q83_qgram_join" -> ((s, dir) => Dedup.qgramEditJoin(s, dir)),
-    "q84_kmv_setops" -> ((s, dir) => Relational.kmvSetOps(s, dir))
+    "q84_kmv_setops" -> ((s, dir) => Relational.kmvSetOps(s, dir)),
+    "q85_debounce" -> ((s, dir) => Relational.debounce(s, dir)),
+    "q86_chisq" -> Relational.chiSquareCells _,
+    "q87_zscore" -> Relational.zscore _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +289,9 @@ object SparkEntry {
     "q81_mad" -> OracleSql.q81Mad,
     "q82_source_jaccard" -> OracleSql.q82SourceJaccard,
     "q83_qgram_join" -> OracleSql.q83QgramJoin(),
-    "q84_kmv_setops" -> OracleSql.q84KmvSetOps()
+    "q84_kmv_setops" -> OracleSql.q84KmvSetOps(),
+    "q85_debounce" -> OracleSql.q85Debounce(),
+    "q86_chisq" -> OracleSql.q86ChiSquare,
+    "q87_zscore" -> OracleSql.q87Zscore
   )
 }

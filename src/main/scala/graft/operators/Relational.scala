@@ -767,6 +767,75 @@ object Relational {
         col("est_inter"), col("exact_union"), col("exact_inter"))
   }
 
+  /** Q85 — debounce: suppress rapid repeats — an event is kept only
+    * if ≥ `minGapUs` has passed since the PREVIOUS RAW event of the
+    * same (user, type) (the one-lag form; true survivor-relative
+    * debounce is inherently sequential — at scale this lag variant is
+    * the shuffle-friendly standard, and the survivor-relative form
+    * would be a flatMapGroups). One user-keyed shuffle, one ordered
+    * pass, all-integer comparisons.
+    */
+  def debounce(s: SparkSession, dir: String,
+               minGapUs: Long = 5000000L): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("event_type"),
+        tsMicros(ev).as("t_us"))
+      .withColumn("prev", lag(col("t_us"), 1).over(w))
+      .filter(col("prev").isNull || col("t_us") - col("prev") >= minGapUs)
+      .select("event_id", "user_id", "event_type", "t_us")
+  }
+
+  /** Q86 — chi-square contingency cells over event_type × customer
+    * market segment: observed vs expected (rowΣ·colΣ/n) and the
+    * per-cell χ² contribution. The cell table is the only fact-scale
+    * aggregate; totals are window sums OVER the tiny cell aggregate
+    * (integers, order-free), and each float output is one pinned
+    * expression per cell — there is deliberately no cross-cell float
+    * Σ (the full χ² statistic would be combine-order-dependent; the
+    * caller sums the cells in any fixed order it likes).
+    */
+  def chiSquareCells(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cells = ev.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("o"))
+    val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
+    val ct = sum(col("o")).over(Window.partitionBy(col("c_mktsegment")))
+    val n = sum(col("o")).over(Window.partitionBy())
+    val withE = cells.withColumn("e", (rt * ct).cast("double") / n)
+    withE.select(col("event_type"), col("c_mktsegment"), col("o"), col("e"),
+      ((col("o").cast("double") - col("e")) *
+        (col("o").cast("double") - col("e")) / col("e")).as("chi2_cell"))
+  }
+
+  /** Q87 — per-type z-score normalization: the feature-prep
+    * projection. mean/std derive from the Q68 exact DECIMAL power
+    * sums (combine-order-free), broadcast back onto the fact scan;
+    * z = (x − mean)/std is one pinned double expression per row, so
+    * the normalized column is bitwise-reproducible — which makes
+    * downstream sample selection by z-threshold deterministic too.
+    */
+  def zscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = ev
+      .select(col("event_type"), col("value").cast("decimal(18,4)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("mean_v"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("std_v"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        ((col("value") - col("mean_v")) / col("std_v")).as("z"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

@@ -478,6 +478,56 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("debounce drops raw-gap repeats; zscore matches hand stats") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val at = (sec: Int) => new java.sql.Timestamp(base + sec * 1000L)
+    val rows = Seq(
+      (1L, at(0), 1L, "click", 0.0, "{}"),
+      (2L, at(2), 1L, "click", 0.0, "{}"),   // 2s  < 5s -> dropped
+      (3L, at(7), 1L, "click", 0.0, "{}"),   // 5s gap from RAW #2 -> kept
+      (4L, at(8), 1L, "click", 0.0, "{}"),   // 1s -> dropped
+      (5L, at(20), 1L, "click", 0.0, "{}"))  // kept
+    withEventsDir(rows) { dir =>
+      val kept = Relational.debounce(spark, dir).collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      assert(kept === Set(1L, 3L, 5L))
+    }
+    val zrows = (1 to 5).map(i =>
+      (i.toLong, at(0), 1L, "click", i.toDouble, "{}"))
+    withEventsDir(zrows) { dir =>
+      val z = Relational.zscore(spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+      assert(math.abs(z(1L) + math.sqrt(2.0)) < 1e-12) // (1-3)/sqrt(2)
+      assert(math.abs(z(3L)) < 1e-12)
+    }
+  }
+
+  test("chiSquareCells: expected counts from row/col totals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("chisq").toString
+    try {
+      val ev = (1 to 30).map(i => (i.toLong, t0, 1L, "click", 0.0, "{}")) ++
+        (31 to 40).map(i => (i.toLong, t0, 2L, "click", 0.0, "{}")) ++
+        (41 to 50).map(i => (i.toLong, t0, 1L, "view", 0.0, "{}")) ++
+        (51 to 60).map(i => (i.toLong, t0, 2L, "view", 0.0, "{}"))
+      ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Seq((1L, "n1", 1, 0.0, "A"), (2L, "n2", 1, 0.0, "B"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val out = Relational.chiSquareCells(spark, dir).collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[String]("c_mktsegment")) ->
+          ((r.getAs[Long]("o"), r.getAs[Double]("e")))).toMap
+      // rt(click)=40 ct(A)=40 n=60 -> e = 26.666...
+      val (o, e) = out(("click", "A"))
+      assert(o === 30L && math.abs(e - 40.0 * 40 / 60) < 1e-12)
+      assert(out(("view", "B"))._1 === 10L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
