@@ -181,7 +181,9 @@ object SparkEntry {
     "q84_kmv_setops" -> ((s, dir) => Relational.kmvSetOps(s, dir)),
     "q85_debounce" -> ((s, dir) => Relational.debounce(s, dir)),
     "q86_chisq" -> Relational.chiSquareCells _,
-    "q87_zscore" -> Relational.zscore _
+    "q87_zscore" -> Relational.zscore _,
+    "q88_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamFunnelFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -292,6 +294,8 @@ object SparkEntry {
     "q84_kmv_setops" -> OracleSql.q84KmvSetOps(),
     "q85_debounce" -> OracleSql.q85Debounce(),
     "q86_chisq" -> OracleSql.q86ChiSquare,
-    "q87_zscore" -> OracleSql.q87Zscore
+    "q87_zscore" -> OracleSql.q87Zscore,
+    // the stream funnel state machine must equal batch q74 exactly
+    "q88_stream_funnel" -> OracleSql.q74Funnel
   )
 }

@@ -574,6 +574,88 @@ object StreamingOps {
     */
   case class KmvBuf(vals: Array[Long], version: Int)
 
+  /** Funnel progress per user: −1 = stage not reached. Stages only
+    * ever fill in (monotone), so the max-version emission is final.
+    */
+  case class FunnelState(t1: Long, t2: Long, t3: Long, version: Int)
+
+  /** Q88 (operator) — streaming conversion-funnel state machine: the
+    * batch Q74 chain (first signup → first click strictly after it →
+    * first purchase strictly after that) folded incrementally per
+    * user with `mapGroupsWithState`. State is 3 longs per user —
+    * bounded forever. Over a time-ordered feed the fold equals the
+    * batch chained-min aggregates: each slot takes the FIRST
+    * qualifying event, which in time order is the min; and the strict
+    * `>` comparisons make same-timestamp tie order irrelevant (an
+    * event at exactly the previous stage's time never qualifies in
+    * either engine). Events within a micro-batch are sorted by
+    * (t_us, event_id) before folding — per-user-per-batch volume, not
+    * corpus.
+    */
+  def streamFunnel(ds: Dataset[(Long, String, Long)]): Dataset[FunnelState2] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelState2](GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var st = if (state.exists) state.get else FunnelState(-1L, -1L, -1L, 0)
+          it.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, t) =>
+            if (typ == "signup" && st.t1 < 0L) st = st.copy(t1 = t)
+            else if (typ == "click" && st.t1 >= 0L && st.t2 < 0L && t > st.t1)
+              st = st.copy(t2 = t)
+            else if (typ == "purchase" && st.t2 >= 0L && st.t3 < 0L && t > st.t2)
+              st = st.copy(t3 = t)
+          }
+          st = st.copy(version = st.version + 1)
+          state.update(st)
+          FunnelState2(uid, st.t1, st.t2, st.t3, st.version)
+      }
+  }
+
+  /** [[streamFunnel]] emission row. */
+  case class FunnelState2(user_id: Long, t1: Long, t2: Long, t3: Long,
+                          version: Int)
+
+  /** q88 — [[streamFunnel]] over the sfDir events table (3 time-ordered
+    * micro-batches), final emission per user (max version), rolled up
+    * to the Q74 cohort shape AFTER the sink — equality on Q74's own
+    * oracle SQL proves the stream state machine computes the batch
+    * funnel. The collect feeds the MemoryStream harness only.
+    */
+  def streamFunnelFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dayUs = 86400000000L
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("user_id"), col("event_type"), tsu.as("us"))
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val name = s"q88_stream_funnel_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamFunnel(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .filter(col("t1") >= 0L)
+      .groupBy(expr(s"t1 div ${dayUs}L").as("cohort_day"))
+      .agg(count(lit(1)).as("n_signup"),
+        sum(when(col("t2") >= 0L, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("t3") >= 0L, 1L).otherwise(0L)).as("n_purchase"))
+  }
+
   /** Per-batch KMV emission for one group. */
   case class KmvUpdate(source: String, version: Int, n_kept: Int,
                        kth_min: Long, est_distinct: Double)

@@ -179,6 +179,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamFunnel state machine equals the batch funnel chain") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("streamfun").toString
+    try {
+      val ts = (s: String) => Timestamp.valueOf(s)
+      Seq(
+        // u1 full funnel; u2 click-before-signup breaks the chain;
+        // u3 signup only
+        (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+        (3L, ts("2024-01-02 12:00:00"), 1L, "purchase", 0.0, "{}"),
+        (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, "{}"),
+        (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+        (6L, ts("2024-01-01 11:00:00"), 2L, "purchase", 0.0, "{}"),
+        (7L, ts("2024-01-01 10:00:00"), 3L, "signup", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val got = rows(StreamingOps.streamFunnelFixture(spark, dir))
+      val want = rows(graft.operators.Relational.funnel(spark, dir))
+      assert(got === want && got.map(_._2).sum === 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("watermark drops events later than the lateness horizon") {
     val stream = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.eventsHourly(
