@@ -183,7 +183,9 @@ object SparkEntry {
     "q86_chisq" -> Relational.chiSquareCells _,
     "q87_zscore" -> Relational.zscore _,
     "q88_stream_funnel" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamFunnelFixture(s, dir))
+      graft.streaming.StreamingOps.streamFunnelFixture(s, dir)),
+    "q89_stream_moments" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamMomentsFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,6 +298,8 @@ object SparkEntry {
     "q86_chisq" -> OracleSql.q86ChiSquare,
     "q87_zscore" -> OracleSql.q87Zscore,
     // the stream funnel state machine must equal batch q74 exactly
-    "q88_stream_funnel" -> OracleSql.q74Funnel
+    "q88_stream_funnel" -> OracleSql.q74Funnel,
+    // exact-decimal stream state must equal batch q68 exactly
+    "q89_stream_moments" -> OracleSql.q68MomentStats
   )
 }

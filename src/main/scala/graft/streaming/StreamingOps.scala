@@ -656,6 +656,89 @@ object StreamingOps {
         sum(when(col("t3") >= 0L, 1L).otherwise(0L)).as("n_purchase"))
   }
 
+  /** Exact power-sum state for [[streamMoments]]: BigDecimal sums are
+    * exact at any arrival order, so the stream equals batch Q68.
+    */
+  case class MomState(n: Long, sx: BigDecimal, sy: BigDecimal,
+                      sxx: BigDecimal, syy: BigDecimal, sxy: BigDecimal,
+                      version: Int)
+
+  /** [[streamMoments]] emission: mirrors batch Q68's columns. */
+  case class MomOut(event_type: String, version: Int, n: Long,
+                    mean_value: Double, var_value: Double,
+                    corr_vk: Option[Double])
+
+  /** Q89 (operator) — streaming distribution statistics with EXACT
+    * state: per-key power sums (n, Σx, Σy, Σx², Σy², Σxy) accumulated
+    * as arbitrary-precision decimals in `mapGroupsWithState` — decimal
+    * addition is exact and commutative, so after any prefix of the
+    * stream the state equals the batch aggregate over that prefix
+    * bit-for-bit (a double-accumulating monitor drifts with arrival
+    * order). Inputs arrive already quantized to DECIMAL(18,4) (the
+    * upstream cast), exactly like batch Q68's; the finishing
+    * expressions are the same pinned double formulas, null corr on a
+    * zero denominator. State: 6 numbers per key, bounded forever.
+    */
+  def streamMoments(ds: Dataset[(String, BigDecimal, Option[BigDecimal])]): Dataset[MomOut] = {
+    import ds.sparkSession.implicits._
+    val z = BigDecimal(0)
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[MomState, MomOut](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state) =>
+          var st = if (state.exists) state.get
+            else MomState(0L, z, z, z, z, z, 0)
+          it.foreach { case (_, x, yo) =>
+            st = st.copy(n = st.n + 1, sx = st.sx + x, sxx = st.sxx + x * x)
+            yo.foreach { y =>
+              st = st.copy(sy = st.sy + y, syy = st.syy + y * y,
+                sxy = st.sxy + x * y)
+            }
+          }
+          st = st.copy(version = st.version + 1)
+          state.update(st)
+          val (n, sx, sy) = (st.n.toDouble, st.sx.toDouble, st.sy.toDouble)
+          val (sxx, syy, sxy) = (st.sxx.toDouble, st.syy.toDouble, st.sxy.toDouble)
+          val denom = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+          MomOut(typ, st.version, st.n,
+            sx / n, (sxx - sx * sx / n) / n,
+            if (denom == 0.0) None else Some((n * sxy - sx * sy) / denom))
+      }
+  }
+
+  /** q89 — [[streamMoments]] over the sfDir events table (3
+    * micro-batches), final emission per type — equality on batch
+    * Q68's own oracle SQL proves the exact-decimal stream state. The
+    * collect feeds the MemoryStream harness only.
+    */
+  def streamMomentsFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("x"),
+        get_json_object(col("props"), "$.k").cast("long")
+          .cast("decimal(18,4)").as("y"))
+      .as[(String, BigDecimal, Option[BigDecimal])].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, BigDecimal, Option[BigDecimal])]
+    val name = s"q89_stream_moments_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamMoments(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("version").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("event_type", "n", "mean_value", "var_value", "corr_vk")
+  }
+
   /** Per-batch KMV emission for one group. */
   case class KmvUpdate(source: String, version: Int, n_kept: Int,
                        kth_min: Long, est_distinct: Double)

@@ -207,6 +207,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamMoments exact-decimal state equals batch momentStats") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("streammom").toString
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      ((1 to 7).map(i => (i.toLong, t0, 1L, "click", i * 1.1,
+        s"""{"k": ${i * 3}}""")) :+
+        ((8L, t0, 1L, "view", 42.5, "{}")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_type", "n", "mean_value", "var_value", "corr_vk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), Option(r.get(4)))).toSet
+      val got = rows(StreamingOps.streamMomentsFixture(spark, dir))
+      val want = rows(graft.operators.Relational.momentStats(spark, dir))
+      assert(got === want)   // bitwise: exact decimal state = batch sums
+      assert(got.exists(r => r._1 == "view" && r._5.isEmpty),
+        "degenerate group must have null corr in the stream too")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("watermark drops events later than the lateness horizon") {
     val stream = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.eventsHourly(
