@@ -2036,6 +2036,28 @@ object OracleSql {
        |FROM active JOIN fd USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q90 — ANN recall@k (mirrors Similarity.annRecall): the two
+    * existing top-k pipelines as subqueries, semi-join intersection,
+    * zero-hit probes preserved.
+    */
+  def q90AnnRecall(k: Int = 5): String =
+    s"""WITH truth AS (
+       |  SELECT probe_id, vec_id FROM (${q16CosineTopK(k = k)}) t
+       |),
+       |approx AS (
+       |  SELECT probe_id, vec_id FROM (${q16cIvfTopK(k = k)}) a
+       |),
+       |hits AS (
+       |  SELECT t.probe_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx x
+       |    ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $k AS recall
+       |FROM (SELECT DISTINCT probe_id FROM truth) p
+       |LEFT JOIN hits h USING (probe_id)""".stripMargin
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

@@ -185,7 +185,8 @@ object SparkEntry {
     "q88_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamFunnelFixture(s, dir)),
     "q89_stream_moments" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamMomentsFixture(s, dir))
+      graft.streaming.StreamingOps.streamMomentsFixture(s, dir)),
+    "q90_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -300,6 +301,7 @@ object SparkEntry {
     // the stream funnel state machine must equal batch q74 exactly
     "q88_stream_funnel" -> OracleSql.q74Funnel,
     // exact-decimal stream state must equal batch q68 exactly
-    "q89_stream_moments" -> OracleSql.q68MomentStats
+    "q89_stream_moments" -> OracleSql.q68MomentStats,
+    "q90_ann_recall" -> OracleSql.q90AnnRecall()
   )
 }

@@ -134,6 +134,28 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("sim"))
   }
 
+  /** Q90 — ANN recall@k evaluation: the measurement pass every
+    * approximate index needs before it replaces the exact scan.
+    * Per probe, recall = |IVF top-k ∩ brute-force top-k| / k — a
+    * semi-join of two aggregate-sized result sets (both already
+    * per-probe top-k), with zero-hit probes preserved via the probe
+    * list; the integer ratio is engine-exact. At 100 TB the brute
+    * side runs once on a sampled probe set to certify the index,
+    * which is exactly this plan.
+    */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val truth = bruteForceTopK(s, dir, k)
+      .select(col("probe_id"), col("vec_id"))
+    val approx = ivfTopK(s, dir, k = k)
+      .select(col("probe_id"), col("vec_id"))
+    val hits = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    truth.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", col("n_hit").cast("double") / k)
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid
