@@ -2058,6 +2058,67 @@ object OracleSql {
        |FROM (SELECT DISTINCT probe_id FROM truth) p
        |LEFT JOIN hits h USING (probe_id)""".stripMargin
 
+  /** Q91 — explicit GROUPING SETS (mirrors
+    * Relational.groupingSetsCounts): gid reconstructed from
+    * GROUPING() bits, first-listed column = MSB.
+    */
+  def q91GroupingSets: String =
+    s"""SELECT event_type, day, count(*) AS n_events,
+       |  CAST(GROUPING(event_type) * 2 + GROUPING(day) AS BIGINT) AS gid
+       |FROM (
+       |  SELECT event_type,
+       |    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day
+       |  FROM events
+       |)
+       |GROUP BY GROUPING SETS ((event_type), (day), ())""".stripMargin
+
+  /** Q92 — as-of with tolerance (mirrors AsofJoin.prevClickWithin):
+    * the Q23 result with stale matches nulled.
+    */
+  def q92AsofTolerance(tolUs: Long = 600000000L): String =
+    s"""WITH b AS (
+       |  SELECT * FROM (${q23AsofPrevClick}) q
+       |)
+       |SELECT event_id, user_id, tsn,
+       |  CASE WHEN prev_click_tsn IS NOT NULL
+       |        AND tsn - prev_click_tsn <= $tolUs
+       |    THEN prev_click_value END AS prev_click_value,
+       |  CASE WHEN prev_click_tsn IS NOT NULL
+       |        AND tsn - prev_click_tsn <= $tolUs
+       |    THEN prev_click_tsn END AS prev_click_tsn
+       |FROM b""".stripMargin
+
+  /** Q93 — column stats (mirrors Relational.columnStats): one
+    * aggregate CTE, per-column rows stacked from it.
+    */
+  def q93ColumnStats: String = {
+    val cols = Seq("event_id" -> true, "t_us" -> true, "user_id" -> true,
+      "event_type" -> false, "value" -> true, "props" -> false)
+    val aggs = "count(*) AS n" +: cols.flatMap { case (c, num) =>
+      Seq(s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls",
+        s"count(DISTINCT $c) AS ${c}_ndv") ++
+        (if (num) Seq(s"CAST(min($c) AS DOUBLE) AS ${c}_min",
+          s"CAST(max($c) AS DOUBLE) AS ${c}_max")
+        else Seq.empty)
+    }
+    val stacks = cols.map { case (c, num) =>
+      val mn = if (num) s"${c}_min" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"${c}_max" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, n, ${c}_nulls AS n_null,
+         |  ${c}_ndv AS ndv, $mn AS min_d, $mx AS max_d FROM one""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type,
+       |    value, props
+       |  FROM events
+       |),
+       |one AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM base
+       |)
+       |${stacks.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

@@ -186,7 +186,10 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamFunnelFixture(s, dir)),
     "q89_stream_moments" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamMomentsFixture(s, dir)),
-    "q90_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir))
+    "q90_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "q91_grouping_sets" -> Relational.groupingSetsCounts _,
+    "q92_asof_tolerance" -> ((s, dir) => AsofJoin.prevClickWithin(s, dir)),
+    "q93_column_stats" -> Relational.columnStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -302,6 +305,9 @@ object SparkEntry {
     "q88_stream_funnel" -> OracleSql.q74Funnel,
     // exact-decimal stream state must equal batch q68 exactly
     "q89_stream_moments" -> OracleSql.q68MomentStats,
-    "q90_ann_recall" -> OracleSql.q90AnnRecall()
+    "q90_ann_recall" -> OracleSql.q90AnnRecall(),
+    "q91_grouping_sets" -> OracleSql.q91GroupingSets,
+    "q92_asof_tolerance" -> OracleSql.q92AsofTolerance(),
+    "q93_column_stats" -> OracleSql.q93ColumnStats
   )
 }

@@ -97,6 +97,23 @@ object AsofJoin {
       Seq("click_value", "click_tsn"), "prev_")
   }
 
+  /** Q92 — [[prevClick]] with a TOLERANCE bound (pandas
+    * merge_asof-style): matches staler than `tolUs` are nulled —
+    * the real-world as-of contract where a reference older than the
+    * staleness budget is worse than no reference. Same one-shuffle
+    * union+window plan; the bound is a post-projection, not a join
+    * condition, so the scale shape is unchanged.
+    */
+  def prevClickWithin(s: SparkSession, dir: String,
+                      tolUs: Long = 600000000L): DataFrame = {
+    val base = prevClick(s, dir)
+    val ok = col("prev_click_tsn").isNotNull &&
+      col("tsn") - col("prev_click_tsn") <= tolUs
+    base.select(col("event_id"), col("user_id"), col("tsn"),
+      when(ok, col("prev_click_value")).as("prev_click_value"),
+      when(ok, col("prev_click_tsn")).as("prev_click_tsn"))
+  }
+
   /** Q23b — the [[forward]] mirror: for every non-click event, the
     * same user's earliest click at or after it (time-to-next-
     * conversion shape). Checked against DuckDB's native `ASOF JOIN`

@@ -836,6 +836,58 @@ object Relational {
         ((col("value") - col("mean_v")) / col("std_v")).as("z"))
   }
 
+  /** Q91 — explicit GROUPING SETS ((type), (day), ()) through the SQL
+    * surface (`spark.sql` over a temp view): the asymmetric grouping
+    * shape ROLLUP/CUBE can't express (no (type, day) cell), one
+    * Expand + one shuffle. gid is the standard bit-vector
+    * (first-listed column = MSB), reconstructed on the oracle side
+    * from GROUPING() bits.
+    */
+  def groupingSetsCounts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day = date_format(
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        to_date(expr("timestamp_micros(ts div 1000)"))
+      else to_date(col("ts")),
+      "yyyy-MM-dd")
+    ev.select(col("event_type"), day.as("day"))
+      .createOrReplaceTempView("events_gs")
+    s.sql("""SELECT event_type, day, count(*) AS n_events,
+      CAST(grouping_id() AS BIGINT) AS gid
+      FROM events_gs GROUP BY GROUPING SETS ((event_type), (day), ())""")
+  }
+
+  /** Q93 — ANALYZE-style column statistics for the events table in
+    * ONE pass: per column, row count, null count, exact NDV, and
+    * numeric min/max — the stats collection that feeds size
+    * estimation and data skipping. All 6 columns' aggregates compute
+    * in a single cached scan (multiple count-distincts = one Expand,
+    * still one pass over the data); the per-column rows are stacked
+    * from the 1-row aggregate. At 100 TB exact NDV becomes the Q26
+    * KMV sketch — same plan shape, bounded state.
+    */
+  def columnStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), tsMicros(ev).as("t_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    val cols = Seq("event_id" -> true, "t_us" -> true, "user_id" -> true,
+      "event_type" -> false, "value" -> true, "props" -> false)
+    val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { case (c, num) =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv")) ++
+        (if (num) Seq(min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"))
+        else Seq.empty)
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*).cache()
+    cols.map { case (c, num) =>
+      one.select(lit(c).as("col_name"), col("n"),
+        col(s"${c}_nulls").as("n_null"), col(s"${c}_ndv").as("ndv"),
+        (if (num) col(s"${c}_min") else lit(null).cast("double")).as("min_d"),
+        (if (num) col(s"${c}_max") else lit(null).cast("double")).as("max_d"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

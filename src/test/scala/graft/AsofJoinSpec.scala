@@ -45,4 +45,24 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("k", "t", "extra", "asof_v"))
     assert(out.head().getAs[String]("extra") === "payload")
   }
+
+  test("prevClickWithin nulls matches staler than the tolerance") {
+    val dir = java.nio.file.Files.createTempDirectory("asoftol").toString
+    try {
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 5.0, "{}"),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),  // 5m: kept
+        (3L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0, "{}"))  // 30m: nulled
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = AsofJoin.prevClickWithin(spark, dir)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.get(r.fieldIndex("prev_click_value")))).toMap
+      assert(out(2L) === Some(5.0))
+      assert(out(3L) === None)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -528,6 +528,30 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("groupingSetsCounts gid bits; columnStats one-pass stats") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "view", 3.0, "{}"),
+      (3L, ts("2024-01-02 01:00:00"), 2L, "click", 3.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val gs = Relational.groupingSetsCounts(spark, dir).collect()
+      // sets: (type)x2 + (day)x2 + ()x1 = 5 rows; no (type,day) cells
+      assert(gs.length === 5)
+      assert(gs.count(_.getAs[Long]("gid") == 1L) === 2) // by type
+      assert(gs.count(_.getAs[Long]("gid") == 2L) === 2) // by day
+      val tot = gs.find(_.getAs[Long]("gid") == 3L).get
+      assert(tot.getAs[Long]("n_events") === 3L)
+      val cs = Relational.columnStats(spark, dir).collect()
+        .map(r => r.getAs[String]("col_name") -> r).toMap
+      val v = cs("value")
+      assert(v.getAs[Long]("n") === 3L && v.getAs[Long]("n_null") === 0L)
+      assert(v.getAs[Long]("ndv") === 2L)
+      assert(v.getAs[Double]("min_d") === 1.0 && v.getAs[Double]("max_d") === 3.0)
+      assert(cs("event_type").isNullAt(cs("event_type").fieldIndex("min_d")))
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
