@@ -2119,6 +2119,98 @@ object OracleSql {
        |${stacks.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Q94 — equi-depth histogram (mirrors
+    * Relational.equiDepthHistogram): ntile over the total order.
+    */
+  def q94EquiDepth(buckets: Int = 4): String =
+    s"""SELECT event_type, tile, count(*) AS n,
+       |  min(value) AS lo, max(value) AS hi
+       |FROM (
+       |  SELECT event_type, value,
+       |    CAST(ntile($buckets) OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS INTEGER) AS tile
+       |  FROM events
+       |)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q95 — per-dimension embedding stats (mirrors
+    * Similarity.dimStats): decimal-quantized per-dim power sums.
+    */
+  def q95DimStats(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT d AS dim, CAST(de[d] AS DECIMAL(12,9)) AS x
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(d)
+       |),
+       |a AS (
+       |  SELECT dim, count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx
+       |  FROM x GROUP BY 1
+       |)
+       |SELECT CAST(dim AS BIGINT) AS dim, n,
+       |  sx / n AS mean_v, (sxx - sx * sx / n) / n AS var_v
+       |FROM a""".stripMargin
+
+  /** Q96 — type co-occurrence within sessions (mirrors
+    * Relational.typeCooccurrence): Q69's session rule, distinct
+    * (user, sid, type), pair self-join.
+    */
+  def q96Cooccurrence(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60000000L
+    s"""WITH m AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |        < $gapUs THEN 0 ELSE 1 END AS new_s
+       |  FROM events
+       |),
+       |st AS (
+       |  SELECT DISTINCT user_id, event_type,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m
+       |)
+       |SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |  count(*) AS n_sessions
+       |FROM st x JOIN st y
+       |  ON x.user_id = y.user_id AND x.sid = y.sid
+       |  AND x.event_type < y.event_type
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Q97 — conversion latency percentiles (mirrors
+    * Relational.conversionLatency): the Q74 chain, quantile_cont over
+    * integer diffs.
+    */
+  def q97ConversionLatency: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+       |),
+       |s1 AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN t_us END) AS t1
+       |  FROM e GROUP BY 1 HAVING t1 IS NOT NULL
+       |),
+       |s2 AS (
+       |  SELECT e.user_id, t1,
+       |    min(CASE WHEN event_type = 'click' AND t_us > t1
+       |      THEN t_us END) AS t2
+       |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2
+       |),
+       |s3 AS (
+       |  SELECT e.user_id, t1, t2,
+       |    min(CASE WHEN event_type = 'purchase' AND t_us > t2
+       |      THEN t_us END) AS t3
+       |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+       |)
+       |SELECT count(*) AS n_converted,
+       |  quantile_cont(t3 - t1, 0.5) AS p50_us,
+       |  quantile_cont(t3 - t1, 0.9) AS p90_us
+       |FROM s3 WHERE t3 IS NOT NULL""".stripMargin
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

@@ -189,7 +189,11 @@ object SparkEntry {
     "q90_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q91_grouping_sets" -> Relational.groupingSetsCounts _,
     "q92_asof_tolerance" -> ((s, dir) => AsofJoin.prevClickWithin(s, dir)),
-    "q93_column_stats" -> Relational.columnStats _
+    "q93_column_stats" -> Relational.columnStats _,
+    "q94_equidepth" -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
+    "q95_dim_stats" -> Similarity.dimStats _,
+    "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
+    "q97_conversion_latency" -> Relational.conversionLatency _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -308,6 +312,10 @@ object SparkEntry {
     "q90_ann_recall" -> OracleSql.q90AnnRecall(),
     "q91_grouping_sets" -> OracleSql.q91GroupingSets,
     "q92_asof_tolerance" -> OracleSql.q92AsofTolerance(),
-    "q93_column_stats" -> OracleSql.q93ColumnStats
+    "q93_column_stats" -> OracleSql.q93ColumnStats,
+    "q94_equidepth" -> OracleSql.q94EquiDepth(),
+    "q95_dim_stats" -> OracleSql.q95DimStats(),
+    "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),
+    "q97_conversion_latency" -> OracleSql.q97ConversionLatency
   )
 }

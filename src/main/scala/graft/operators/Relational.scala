@@ -604,8 +604,10 @@ object Relational {
     * user-keyed aggregates over the (already user-partitioned) event
     * set, not a per-user sort. Counts are integers per cohort day.
     */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val dayUs = 86400000000L
+  /** The Q74/Q97 stage chain: per signed-up user, (t1, t2, t3) of the
+    * strictly-ordered signup → click → purchase progression.
+    */
+  private def funnelTimes(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val e = ev.select(col("user_id"), col("event_type"),
       tsMicros(ev).as("t_us"))
@@ -616,14 +618,85 @@ object Relational {
       .groupBy(col("user_id"), col("t1"))
       .agg(min(when(col("event_type") === "click" && col("t_us") > col("t1"),
         col("t_us"))).as("t2"))
-    val s3 = e.join(s2, Seq("user_id"))
+    e.join(s2, Seq("user_id"))
       .groupBy(col("user_id"), col("t1"), col("t2"))
       .agg(min(when(col("event_type") === "purchase" &&
         col("t_us") > col("t2"), col("t_us"))).as("t3"))
-    s3.groupBy((col("t1") / dayUs).cast("long").as("cohort_day"))
+  }
+
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    funnelTimes(s, dir)
+      .groupBy((col("t1") / dayUs).cast("long").as("cohort_day"))
       .agg(count(lit(1)).as("n_signup"),
         count(col("t2")).as("n_click"),
         count(col("t3")).as("n_purchase"))
+  }
+
+  /** Q97 — conversion-latency distribution: exact p50/p90 of
+    * signup→purchase time over fully-converted users (Q32's
+    * interpolation contract on exact integer micros). The funnel
+    * chain is the Q74 plan; the percentile runs over the
+    * converted-users aggregate, not the event log.
+    */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame =
+    funnelTimes(s, dir)
+      .filter(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("lat"))
+      .agg(count(lit(1)).as("n_converted"),
+        percentile(col("lat"), lit(0.5)).as("p50_us"),
+        percentile(col("lat"), lit(0.9)).as("p90_us"))
+
+  /** Q94 — equi-DEPTH histogram per event type (the optimizer-stats
+    * companion to Q67's equi-width): ntile(b) over the total order
+    * (value, event_id) — deterministic tiling requires the total
+    * order — with per-tile count and [lo, hi] value bounds. One
+    * shuffle + one ordered pass; at bounded type cardinality the
+    * per-type sort is the Q46 bucketed-rank pattern's job if a key
+    * ever gets hot.
+    */
+  def equiDepthHistogram(s: SparkSession, dir: String,
+                         buckets: Int = 4): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("tile", ntile(buckets).over(w))
+      .groupBy(col("event_type"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+  }
+
+  /** Q96 — event-type co-occurrence within sessions (market-basket
+    * shape): sessions via the Q69 lag/cumsum gap rule, DISTINCT
+    * (user, session, type), then a self-join on the session key over
+    * the distinct set — pair volume is Σ types-per-session², bounded
+    * by the type vocabulary, never the event log. Integer counts.
+    */
+  def typeCooccurrence(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val ev = t(s, dir, "events")
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val st = ev
+      .select(col("user_id"), col("event_type"), tsMicros(ev).as("t_us"),
+        col("event_id"))
+      .withColumn("new_s",
+        when(col("t_us") - lag(col("t_us"), 1).over(wu) < gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid",
+        sum(col("new_s")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("event_type"))
+      .distinct()
+    st.as("x").join(st.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.sid") === col("y.sid") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
   }
 
   /** Q75 — retention cohorts: users grouped by first-seen day, and

@@ -156,6 +156,30 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / k)
   }
 
+  /** Q95 — per-dimension embedding statistics (the whitening /
+    * normalization prep a vector corpus needs before indexing): mean
+    * and population variance of every coordinate across the corpus.
+    * One posexplode pass; per-dim sums quantized to DECIMAL(12,9)
+    * (float32 inputs are exact in double; 9 digits bound the
+    * quantization) so the Σ over the corpus is combine-order-free,
+    * finished in the pinned Q68 formulas. 64 output rows, 1-based
+    * dims to match list indexing in the oracle.
+    */
+  def dimStats(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double").cast("decimal(12,9)").as("x"))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("dim"), col("n"),
+        (col("sx") / col("n")).as("mean_v"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("var_v"))
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid

@@ -552,6 +552,41 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("equiDepth tiles, cooccurrence pairs, conversion latency") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 00:00:00")
+    withEventsDir((1 to 8).map(i =>
+      (i.toLong, t0, 1L, "click", i.toDouble, "{}"))) { dir =>
+      val ed = Relational.equiDepthHistogram(spark, dir).collect()
+        .map(r => r.getAs[Int]("tile") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("lo"),
+            r.getAs[Double]("hi")))).toMap
+      assert(ed(1) === ((2L, 1.0, 2.0)) && ed(4) === ((2L, 7.0, 8.0)))
+    }
+    withEventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 15:00:00"), 1L, "view", 0.0, "{}"),      // new session
+      (4L, ts("2024-01-01 15:10:00"), 1L, "purchase", 0.0, "{}"))) { dir =>
+      val co = Relational.typeCooccurrence(spark, dir).collect()
+        .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+          r.getAs[Long]("n_sessions"))).toSet
+      assert(co === Set(("click", "view", 1L), ("purchase", "view", 1L)))
+    }
+    withEventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 10:01:40"), 1L, "purchase", 0.0, "{}"),  // lat 100s
+      (4L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:01:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 10:03:20"), 2L, "purchase", 0.0, "{}"))) { dir => // 200s
+      val r = Relational.conversionLatency(spark, dir).collect().head
+      assert(r.getAs[Long]("n_converted") === 2L)
+      assert(r.getAs[Double]("p50_us") === 150e6)
+      assert(r.getAs[Double]("p90_us") === 190e6)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

@@ -211,4 +211,20 @@ class SimilaritySpec extends SparkSpec {
       perProbe.foreach(r => assert(r.getLong(1) === 5L))
     }
   }
+
+  test("dimStats: per-dimension mean/variance from quantized sums") {
+    val dir = java.nio.file.Files.createTempDirectory("dimstats").toString
+    try {
+      Seq((0L, Array(1.0f, 3.0f)), (1L, Array(3.0f, 5.0f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = graft.operators.Similarity.dimStats(spark, dir).collect()
+        .map(r => r.getAs[Long]("dim") ->
+          ((r.getAs[Double]("mean_v"), r.getAs[Double]("var_v")))).toMap
+      assert(out(1L) === ((2.0, 1.0)))
+      assert(out(2L) === ((4.0, 1.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
