@@ -2211,6 +2211,53 @@ object OracleSql {
        |  quantile_cont(t3 - t1, 0.9) AS p90_us
        |FROM s3 WHERE t3 IS NOT NULL""".stripMargin
 
+  /** Q98 — share-of-parent (mirrors Relational.shareOfParent):
+    * decimal-exact revenue, window region total over the aggregate.
+    */
+  def q98ShareOfParent: String =
+    s"""WITH rev AS (
+       |  SELECT r_name, n_name,
+       |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |      AS DECIMAL(20,4))) AS rev
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2
+       |)
+       |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(rev AS DOUBLE) /
+       |    CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+       |    AS share_of_region
+       |FROM rev""".stripMargin
+
+  /** Q99 — session paths (mirrors Relational.sessionPaths): ordered
+    * string_agg inside the Q69-rule session.
+    */
+  def q99SessionPaths(gapMinutes: Int = 30, k: Int = 10): String = {
+    val gapUs = gapMinutes * 60000000L
+    s"""WITH m AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |        < $gapUs THEN 0 ELSE 1 END AS new_s
+       |  FROM events
+       |),
+       |sess AS (
+       |  SELECT user_id, event_type, t_us, event_id,
+       |    sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM m
+       |),
+       |sp AS (
+       |  SELECT user_id, sid,
+       |    string_agg(event_type, '>' ORDER BY t_us, event_id) AS path
+       |  FROM sess GROUP BY 1, 2
+       |)
+       |SELECT path, count(*) AS n_sessions FROM sp GROUP BY 1
+       |ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+  }
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

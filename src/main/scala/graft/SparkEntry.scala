@@ -193,7 +193,9 @@ object SparkEntry {
     "q94_equidepth" -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
-    "q97_conversion_latency" -> Relational.conversionLatency _
+    "q97_conversion_latency" -> Relational.conversionLatency _,
+    "q98_share_of_parent" -> Relational.shareOfParent _,
+    "q99_session_paths" -> ((s, dir) => Relational.sessionPaths(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -316,6 +318,8 @@ object SparkEntry {
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),
-    "q97_conversion_latency" -> OracleSql.q97ConversionLatency
+    "q97_conversion_latency" -> OracleSql.q97ConversionLatency,
+    "q98_share_of_parent" -> OracleSql.q98ShareOfParent,
+    "q99_session_paths" -> OracleSql.q99SessionPaths()
   )
 }

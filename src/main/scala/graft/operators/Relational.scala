@@ -961,6 +961,71 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** Q98 — share-of-parent hierarchy rollup: per-nation revenue and
+    * its share of the region total — the BI "percent of parent"
+    * shape. Revenue sums are exact DECIMAL (region share = one pinned
+    * double division of two exact sums); the region total is a window
+    * sum OVER the nation-level aggregate (25 rows), so the hierarchy
+    * costs nothing beyond Q11's join plan: dimensions broadcast, one
+    * fact shuffle.
+    */
+  def shareOfParent(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rev = li
+      .join(broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(20,4)")).as("rev"))
+    val wr = Window.partitionBy(col("r_name"))
+    rev
+      .withColumn("region_rev", sum(col("rev")).over(wr))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("region_rev").cast("double"))
+          .as("share_of_region"))
+  }
+
+  /** Q99 — session path analysis: the top event-type sequences
+    * (click>view>purchase…) by session count. The path string builds
+    * from a SORTED struct array ((t_us, event_id) total order inside
+    * the session — `collect_list` alone has no order guarantee), so
+    * the aggregation is deterministic; paths then count-rollup
+    * (vocabulary-sized) and top-k by (count desc, path) via
+    * takeOrdered. Sessions are the Q69 gap rule.
+    */
+  def sessionPaths(s: SparkSession, dir: String, gapMinutes: Int = 30,
+                   k: Int = 10): DataFrame = {
+    val gapUs = gapMinutes * 60000000L
+    val ev = t(s, dir, "events")
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val sess = ev
+      .select(col("user_id"), col("event_type"), tsMicros(ev).as("t_us"),
+        col("event_id"))
+      .withColumn("new_s",
+        when(col("t_us") - lag(col("t_us"), 1).over(wu) < gapUs, 0L)
+          .otherwise(1L))
+      .withColumn("sid",
+        sum(col("new_s")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy(col("user_id"), col("sid"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(
+            struct(col("t_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

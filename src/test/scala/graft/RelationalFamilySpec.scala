@@ -587,6 +587,41 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("shareOfParent shares sum to 1; sessionPaths ordered strings") {
+    val dir = java.nio.file.Files.createTempDirectory("shareofp").toString
+    try {
+      Seq((1L, 1L, 1L, 1, 100.0, 0.0), (2L, 2L, 2L, 1, 300.0, 0.0))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_extendedprice", "l_discount")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      Seq((1L, "n1", 1L), (2L, "n2", 1L))
+        .toDF("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      Seq((1L, "r1")).toDF("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$dir/region.parquet")
+      val out = Relational.shareOfParent(spark, dir).collect()
+        .map(r => r.getAs[String]("n_name") ->
+          ((r.getAs[Double]("revenue"), r.getAs[Double]("share_of_region"))))
+        .toMap
+      assert(out("n1") === ((100.0, 0.25)) && out("n2") === ((300.0, 0.75)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    withEventsDir(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 15:00:00"), 1L, "view", 0.0, "{}"),
+      (4L, ts("2024-01-01 15:10:00"), 1L, "purchase", 0.0, "{}"))) { dir =>
+      val paths = Relational.sessionPaths(spark, dir).collect()
+        .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions"))
+        .toMap
+      assert(paths === Map("click>view" -> 1L, "view>purchase" -> 1L))
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
