@@ -2258,6 +2258,22 @@ object OracleSql {
        |ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
   }
 
+  /** Q100 — dataset card (mirrors TextAnalysis.datasetCard): Q18's
+    * quality CTEs, decimal-quantized mean.
+    */
+  def q100DatasetCard: String =
+    s"""WITH $qualityCtes,
+       |qs AS (SELECT doc_id, n_tokens, $qualityScoreSql AS quality FROM q),
+       |dd AS (SELECT doc_id, source, lang, text FROM documents)
+       |SELECT dd.source, count(*) AS n_docs,
+       |  CAST(count(*) - count(DISTINCT dd.text) AS BIGINT) AS n_dup_docs,
+       |  CAST(sum(qs.n_tokens) AS BIGINT) AS total_tokens,
+       |  count(DISTINCT dd.lang) AS n_langs,
+       |  CAST(sum(CAST(qs.quality AS DECIMAL(18,12))) AS DOUBLE)
+       |    / count(*) AS mean_quality
+       |FROM dd JOIN qs USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

@@ -195,7 +195,8 @@ object SparkEntry {
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
     "q98_share_of_parent" -> Relational.shareOfParent _,
-    "q99_session_paths" -> ((s, dir) => Relational.sessionPaths(s, dir))
+    "q99_session_paths" -> ((s, dir) => Relational.sessionPaths(s, dir)),
+    "q100_dataset_card" -> TextAnalysis.datasetCard _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +321,7 @@ object SparkEntry {
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),
     "q97_conversion_latency" -> OracleSql.q97ConversionLatency,
     "q98_share_of_parent" -> OracleSql.q98ShareOfParent,
-    "q99_session_paths" -> OracleSql.q99SessionPaths()
+    "q99_session_paths" -> OracleSql.q99SessionPaths(),
+    "q100_dataset_card" -> OracleSql.q100DatasetCard
   )
 }

@@ -408,6 +408,32 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** Q100 — dataset card: the per-source summary a corpus release
+    * ships with — doc count, exact-duplicate count (n −
+    * distinct texts; at 100 TB the distinct runs on xxhash64(text)
+    * per the Q15 hash-first plan), total tokens, language spread, and
+    * mean quality score. The mean is a float, so per-doc scores
+    * quantize to DECIMAL(18,12) before the Σ (combine-order-free) and
+    * finish in one pinned division. One scan through the Q18 metric
+    * pass + one source-keyed aggregate.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("lang"), col("text"))
+    val q = qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    d.join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("quality_score").cast("decimal(18,12)")).as("sq"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("total_tokens"), col("n_langs"),
+        (col("sq").cast("double") / col("n_docs")).as("mean_quality"))
+  }
+
   /** Q14b — TF-IDF top terms: per (doc, token) term frequency joined
     * to corpus document frequency; score = tf · (N / df) — the
     * log-free variant so both engines compute the identical double

@@ -45,6 +45,29 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("datasetCard: per-source docs, dup count, langs, exact mean quality") {
+    val dir = java.nio.file.Files.createTempDirectory("dscard").toString
+    try {
+      Seq(
+        (0L, "the cat sat", "en", "A"),
+        (1L, "the cat sat", "en", "A"),      // exact dup of 0
+        (2L, "le chat", "fr", "A"),
+        (3L, "other words here", "en", "B"))
+        .map { case (id, t, lg, src) => (id, t, lg, src, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.TextAnalysis.datasetCard(spark, dir)
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+            r.getAs[Long]("total_tokens"), r.getAs[Long]("n_langs"))))
+        .toMap
+      assert(out("A") === ((3L, 1L, 8L, 2L)))
+      assert(out("B") === ((1L, 0L, 3L, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("sourceJaccard: pairwise vocab overlap, zero-overlap pairs kept") {
     val dir = java.nio.file.Files.createTempDirectory("srcjac").toString
     try {
