@@ -1289,30 +1289,38 @@ object OracleSql {
     */
   def q57BigramLm: String =
     s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
-       |occ AS (
+       |occs AS (
        |  SELECT doc_id,
        |    unnest(list_transform(range(1, len(tk)),
        |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
        |  FROM d
        |),
+       |occ AS (
+       |  SELECT doc_id, ${polyHashSql("bigram")} AS bh,
+       |    ${polyHashSql("split_part(bigram, ' ', 1)")} AS wh
+       |  FROM occs
+       |),
+       |docbg AS (
+       |  SELECT doc_id, bh, wh, count(*) AS cnt FROM occ GROUP BY 1, 2, 3
+       |),
        |c2 AS (
-       |  SELECT bigram, split_part(bigram, ' ', 1) AS w1, count(*) AS c2
-       |  FROM occ GROUP BY 1, 2
+       |  SELECT bh, wh, CAST(sum(cnt) AS BIGINT) AS c2
+       |  FROM docbg GROUP BY 1, 2
        |),
        |c1 AS (
-       |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+       |  SELECT wh, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
        |),
        |sc AS (
-       |  SELECT bigram,
+       |  SELECT bh,
        |    CAST((len(printf('%b', c2.c2)) - 1)
        |       - (len(printf('%b', c1.c1)) - 1) AS BIGINT) AS lp
-       |  FROM c2 JOIN c1 USING (w1)
+       |  FROM c2 JOIN c1 USING (wh)
        |)
-       |SELECT o.doc_id, count(*) AS n_bigrams,
-       |  CAST(sum(sc.lp) AS BIGINT) AS logp_sum,
-       |  CAST(sum(sc.lp) AS DOUBLE) / count(*) AS mean_logp
-       |FROM occ o JOIN sc USING (bigram)
-       |GROUP BY o.doc_id""".stripMargin
+       |SELECT b.doc_id, CAST(sum(b.cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(b.cnt * sc.lp) AS BIGINT) AS logp_sum,
+       |  CAST(sum(b.cnt * sc.lp) AS DOUBLE) / sum(b.cnt) AS mean_logp
+       |FROM docbg b JOIN sc USING (bh)
+       |GROUP BY b.doc_id""".stripMargin
 
   /** Q58 — stream-stream interval join (mirrors
     * StreamingOps.streamIntervalFixture): clicks × same-user views in

@@ -296,18 +296,27 @@ object TextAnalysis {
     * corpus.
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val docBg = docs(s, dir).select(col("doc_id"),
+    // bigram identity (bh) and its left-context identity (wh) travel
+    // as polyHash longs from the explode on: the model aggregates and
+    // the score join shuffle 8-byte keys, never bigram strings (at
+    // corpus scale the string keys dominate shuffle volume). Hash
+    // collisions merge bigrams identically in both engines — the
+    // oracle applies the same fold — so parity is unaffected.
+    val occ = docs(s, dir).select(col("doc_id"),
         explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
           .as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        TextHash.polyHash(col("bigram")).as("bh"),
+        TextHash.polyHash(substring_index(col("bigram"), " ", 1)).as("wh"))
+    val docBg = occ.groupBy(col("doc_id"), col("bh"), col("wh"))
+      .agg(count(lit(1)).as("cnt"))
     def log2c(c: Column): Column = (length(bin(c)) - 1).cast("long")
-    val c2 = docBg.groupBy(col("bigram")).agg(sum(col("cnt")).as("c2"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c2 = docBg.groupBy(col("bh"), col("wh")).agg(sum(col("cnt")).as("c2"))
     // context counts roll up from the bigram aggregate: c(w1 ·) = Σ c2
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val scored = c2.join(c1, "w1")
-      .select(col("bigram"), (log2c(col("c2")) - log2c(col("c1"))).as("lp"))
-    docBg.join(scored, "bigram")
+    val c1 = c2.groupBy(col("wh")).agg(sum(col("c2")).as("c1"))
+    val scored = c2.join(c1, "wh")
+      .select(col("bh"), (log2c(col("c2")) - log2c(col("c1"))).as("lp"))
+    docBg.join(scored, "bh")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),
         sum(col("cnt") * col("lp")).as("logp_sum"))

@@ -131,6 +131,29 @@ class PlanQualitySpec extends SparkSpec {
       "per-day partitioned sweep lost — global sort would serialize at scale")
   }
 
+  test("q57: model shuffles carry polyHash longs, not bigram strings") {
+    val p = plan("q57_bigram_lm")
+    assert("hashpartitioning\\((bh|wh)#".r.findFirstIn(p).isDefined,
+      "hash-keyed model aggregates lost")
+    assert(!"hashpartitioning\\(bigram#".r.findFirstIn(p).isDefined,
+      "bigram strings entered an exchange")
+  }
+
+  test("q98: all dimensions broadcast into the share-of-parent rollup") {
+    val p = plan("q98_share_of_parent")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q93: per-column stat rows read the cached 1-row aggregate") {
+    val p = plan("q93_column_stats")
+    // the 6 stacked branches each scan the InMemoryRelation of the
+    // single cached aggregate — the parquet scan materializes once,
+    // at cache fill, not per branch
+    assert(p.contains("InMemoryTableScan"),
+      "stacked stat rows must come from the cached aggregate")
+  }
+
   test("column pruning reaches the documents scan: text is not read when unused") {
     // ReadSchema in the FileScan must exclude `text` for queries that
     // only use metadata columns — at 100 TB, `text` IS the table
