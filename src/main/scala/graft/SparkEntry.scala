@@ -196,7 +196,9 @@ object SparkEntry {
     "q97_conversion_latency" -> Relational.conversionLatency _,
     "q98_share_of_parent" -> Relational.shareOfParent _,
     "q99_session_paths" -> ((s, dir) => Relational.sessionPaths(s, dir)),
-    "q100_dataset_card" -> TextAnalysis.datasetCard _
+    "q100_dataset_card" -> TextAnalysis.datasetCard _,
+    "q101_stream_histogram" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamHistogramFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -322,6 +324,8 @@ object SparkEntry {
     "q97_conversion_latency" -> OracleSql.q97ConversionLatency,
     "q98_share_of_parent" -> OracleSql.q98ShareOfParent,
     "q99_session_paths" -> OracleSql.q99SessionPaths(),
-    "q100_dataset_card" -> OracleSql.q100DatasetCard
+    "q100_dataset_card" -> OracleSql.q100DatasetCard,
+    // monotone streaming histogram flushes to exactly the batch q67
+    "q101_stream_histogram" -> OracleSql.q67Histogram()
   )
 }

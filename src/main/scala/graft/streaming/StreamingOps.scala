@@ -656,6 +656,48 @@ object StreamingOps {
         sum(when(col("t3") >= 0L, 1L).otherwise(0L)).as("n_purchase"))
   }
 
+  /** Q101 (operator) — continuously-maintained value histogram: the
+    * Q67 fixed-width bucket counts as a streaming aggregate. Counts
+    * are monotone under append-only input, so the final Update-mode
+    * emission per (type, bucket) equals the batch histogram; state is
+    * one long per occupied bucket (bounded by the value range, not
+    * the stream), no watermark needed — the always-on column profile
+    * a 100 TB/day feed keeps warm.
+    */
+  def streamHistogram(ev: DataFrame, width: Double = 5.0): DataFrame =
+    ev.groupBy(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q101 — [[streamHistogram]] over the sfDir events table via a
+    * 3-micro-batch MemoryStream; monotone counts → max() selects the
+    * final update, which equals batch Q67 (same oracle SQL). The
+    * collect feeds the MemoryStream harness only.
+    */
+  def streamHistogramFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val name = s"q101_stream_hist_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamHistogram(stream.toDS().toDF("event_type", "value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(name)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("n")).as("n"))
+  }
+
   /** Exact power-sum state for [[streamMoments]]: BigDecimal sums are
     * exact at any arrival order, so the stream equals batch Q68.
     */

@@ -231,6 +231,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamHistogram final updates equal the batch histogram") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("streamhist").toString
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq((1L, t0, 1L, "click", 2.0, "{}"), (2L, t0, 1L, "click", 7.0, "{}"),
+        (3L, t0, 1L, "click", 7.5, "{}"), (4L, t0, 1L, "view", 12.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = rows(StreamingOps.streamHistogramFixture(spark, dir))
+      val want = rows(graft.operators.Relational.valueHistogram(spark, dir))
+      assert(got === want && got === Set(
+        ("click", 0L, 1L), ("click", 1L, 2L), ("view", 2L, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("watermark drops events later than the lateness horizon") {
     val stream = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.eventsHourly(
