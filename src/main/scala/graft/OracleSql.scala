@@ -2282,6 +2282,44 @@ object OracleSql {
        |FROM dd JOIN qs USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Q103 — week-over-week change (mirrors Relational.weekOverWeek). */
+  def q103WeekOverWeek: String =
+    s"""WITH wk AS (
+       |  SELECT date_trunc('week', o_orderdate) AS week,
+       |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT strftime(CAST(week AS DATE), '%Y-%m-%d') AS week,
+       |  CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS prev_revenue,
+       |  CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
+       |    / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS pct_change
+       |FROM wk""".stripMargin
+
+  /** Q104 — Pareto concentration (mirrors
+    * Relational.paretoConcentration): integer/decimal
+    * cross-multiplication threshold, no float in the window.
+    */
+  def q104Pareto: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, c_mktsegment,
+       |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS spend
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT c_mktsegment, spend,
+       |    sum(spend) OVER (PARTITION BY c_mktsegment) AS total,
+       |    sum(spend) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY spend DESC, o_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM spend
+       |)
+       |SELECT c_mktsegment, count(*) AS n_customers,
+       |  CAST(sum(CASE WHEN cum * 5 < total * 4 THEN 1 ELSE 0 END) + 1
+       |    AS BIGINT) AS n_top80
+       |FROM r GROUP BY 1""".stripMargin
+
   /** Q78 — 2-D skyline (mirrors TextAnalysis.skyline): the oracle
     * states the declarative NOT-EXISTS dominance — implementation
     * (two-level distributive prune) must not change the set.

@@ -198,7 +198,11 @@ object SparkEntry {
     "q99_session_paths" -> ((s, dir) => Relational.sessionPaths(s, dir)),
     "q100_dataset_card" -> TextAnalysis.datasetCard _,
     "q101_stream_histogram" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamHistogramFixture(s, dir))
+      graft.streaming.StreamingOps.streamHistogramFixture(s, dir)),
+    "q102_stream_latest" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamLatestFixture(s, dir)),
+    "q103_wow" -> Relational.weekOverWeek _,
+    "q104_pareto" -> Relational.paretoConcentration _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -326,6 +330,10 @@ object SparkEntry {
     "q99_session_paths" -> OracleSql.q99SessionPaths(),
     "q100_dataset_card" -> OracleSql.q100DatasetCard,
     // monotone streaming histogram flushes to exactly the batch q67
-    "q101_stream_histogram" -> OracleSql.q67Histogram()
+    "q101_stream_histogram" -> OracleSql.q67Histogram(),
+    // monotone struct-max stream state equals the batch q55 snapshot
+    "q102_stream_latest" -> OracleSql.q55LatestState,
+    "q103_wow" -> OracleSql.q103WeekOverWeek,
+    "q104_pareto" -> OracleSql.q104Pareto
   )
 }

@@ -1026,6 +1026,57 @@ object Relational {
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
+  /** Q103 — week-over-week change: weekly order revenue with the
+    * previous week's value and the relative change — the BI trend
+    * staple. Revenue is decimal-exact; the lag runs over the tiny
+    * week-level aggregate; pct_change is one pinned division, null
+    * for the first week (no ANSI divide-by-zero path since revenue
+    * > 0 per existing week).
+    */
+  def weekOverWeek(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wk = o.groupBy(date_trunc("week", col("o_orderdate")).as("week"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("rev"))
+    val w = Window.orderBy(col("week"))
+    wk.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("rev").cast("double").as("revenue"),
+        col("prev").cast("double").as("prev_revenue"),
+        ((col("rev") - col("prev")).cast("double") /
+          col("prev").cast("double")).as("pct_change"))
+  }
+
+  /** Q104 — revenue concentration (Pareto 80/20): per market segment,
+    * how many customers cover 80% of segment revenue. Customers rank
+    * by exact decimal spend (total order: spend desc, custkey); the
+    * cumulative share test is a pure integer/decimal
+    * cross-multiplication (5·cum ≥ 4·total ⇔ share ≥ 0.8 — no float
+    * division inside the window), and the count rolls up from the
+    * customer-level aggregate.
+    */
+  def paretoConcentration(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("spend"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    val wseg = Window.partitionBy(col("c_mktsegment"))
+    val wrank = wseg.orderBy(col("spend").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend
+      .withColumn("total", sum(col("spend")).over(wseg))
+      .withColumn("cum", sum(col("spend")).over(wrank))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("cum") * 5 < col("total") * 4, 1L).otherwise(0L))
+          .as("n_below80"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        // the 80% cover set = customers strictly below the threshold
+        // plus the one that crosses it
+        (col("n_below80") + 1).as("n_top80"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

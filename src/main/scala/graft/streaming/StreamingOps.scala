@@ -698,6 +698,62 @@ object StreamingOps {
       .agg(max(col("n")).as("n"))
   }
 
+  /** Q102 (operator) — streaming CDC latest-state: the Q55
+    * latest-wins compaction maintained continuously as an Update-mode
+    * `max(struct(t_us, event_id, value))` aggregate — the struct max
+    * is monotone under append, so the final update per (user, type)
+    * IS the batch snapshot; state is one struct per live key, the
+    * upsert-view maintenance a changelog consumer runs forever.
+    */
+  def streamLatest(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("t_us"), col("event_id"), col("value")))
+        .as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.t_us").as("last_us"), col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+
+  /** q102 — [[streamLatest]] over the sfDir events table via a
+    * 3-micro-batch MemoryStream; the struct-max is monotone, so the
+    * final update per key (selected by max last_us/last_event_id,
+    * i.e. the same struct order) equals batch Q55 — same oracle SQL.
+    * The collect feeds the MemoryStream harness only.
+    */
+  def streamLatestFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("user_id"), col("event_type"), tsu.as("us"),
+        col("event_id"), col("value"))
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._3)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Long, Double)]
+    val in = stream.toDS()
+      .toDF("user_id", "event_type", "t_us", "event_id", "value")
+    val name = s"q102_stream_latest_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamLatest(in)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
+          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("last_us").desc, col("last_event_id").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("user_id", "event_type", "last_us", "last_event_id",
+        "last_value")
+  }
+
   /** Exact power-sum state for [[streamMoments]]: BigDecimal sums are
     * exact at any arrival order, so the stream equals batch Q68.
     */

@@ -622,6 +622,35 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("weekOverWeek pct change; paretoConcentration 80% cover count") {
+    val dir = java.nio.file.Files.createTempDirectory("wowpar").toString
+    try {
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+      // two ISO weeks: rev 100 then 150
+      Seq((1L, 1L, "O", 100.0, ts("2024-01-01 00:00:00"), "p"),
+          (2L, 2L, "O", 150.0, ts("2024-01-08 00:00:00"), "p"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((1L, "n1", 1, 0.0, "A"), (2L, "n2", 1, 0.0, "A"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val wow = Relational.weekOverWeek(spark, dir).collect()
+        .map(r => r.getAs[String]("week") ->
+          Option(r.get(r.fieldIndex("pct_change")))).toMap
+      assert(wow("2024-01-01") === None)
+      assert(wow("2024-01-08") === Some(0.5))
+      // seg A spends: c2=150, c1=100; total 250; c2 cum 150:
+      // 150*5=750 < 4*250=1000 -> below80; n_top80 = 2
+      val par = Relational.paretoConcentration(spark, dir).collect().head
+      assert(par.getAs[String]("c_mktsegment") === "A")
+      assert(par.getAs[Long]("n_customers") === 2L)
+      assert(par.getAs[Long]("n_top80") === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString

@@ -251,6 +251,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamLatest struct-max state equals the batch q55 snapshot") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("streamlatest").toString
+    try {
+      val ts = (s: String) => Timestamp.valueOf(s)
+      Seq((1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0, "{}"),
+          (2L, ts("2024-01-01 11:00:00"), 1L, "click", 2.0, "{}"),
+          (3L, ts("2024-01-01 09:00:00"), 2L, "view", 9.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val got = rows(StreamingOps.streamLatestFixture(spark, dir))
+      val want = rows(graft.operators.Relational.latestState(spark, dir)
+        .select("user_id", "event_type", "last_us", "last_event_id",
+          "last_value"))
+      assert(got === want && got.size === 2)
+      assert(got.exists(r => r._1 == 1L && r._4 == 2L && r._5 == 2.0))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("watermark drops events later than the lateness horizon") {
     val stream = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.eventsHourly(
