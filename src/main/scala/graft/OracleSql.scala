@@ -2282,6 +2282,42 @@ object OracleSql {
        |FROM dd JOIN qs USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** Q105 — linear interpolation (mirrors
+    * Relational.linearInterpolate): same window neighbors, same
+    * pinned expression.
+    */
+  def q105Interpolate: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+       |    value
+       |  FROM events
+       |),
+       |n AS (
+       |  SELECT event_id, user_id, t_us,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+       |    last_value(CASE WHEN event_type = 'purchase' THEN t_us END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+       |    first_value(CASE WHEN event_type = 'purchase' THEN value END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+       |    first_value(CASE WHEN event_type = 'purchase' THEN t_us END
+       |      IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM b
+       |)
+       |SELECT event_id, user_id, t_us,
+       |  CASE WHEN pt = nt THEN pv
+       |       ELSE pv + (nv - pv) * CAST(t_us - pt AS DOUBLE)
+       |            / CAST(nt - pt AS DOUBLE) END AS v_interp
+       |FROM n""".stripMargin
+
   /** Q103 — week-over-week change (mirrors Relational.weekOverWeek). */
   def q103WeekOverWeek: String =
     s"""WITH wk AS (

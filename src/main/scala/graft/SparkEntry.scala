@@ -202,7 +202,8 @@ object SparkEntry {
     "q102_stream_latest" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamLatestFixture(s, dir)),
     "q103_wow" -> Relational.weekOverWeek _,
-    "q104_pareto" -> Relational.paretoConcentration _
+    "q104_pareto" -> Relational.paretoConcentration _,
+    "q105_interpolate" -> Relational.linearInterpolate _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,6 +335,7 @@ object SparkEntry {
     // monotone struct-max stream state equals the batch q55 snapshot
     "q102_stream_latest" -> OracleSql.q55LatestState,
     "q103_wow" -> OracleSql.q103WeekOverWeek,
-    "q104_pareto" -> OracleSql.q104Pareto
+    "q104_pareto" -> OracleSql.q104Pareto,
+    "q105_interpolate" -> OracleSql.q105Interpolate
   )
 }

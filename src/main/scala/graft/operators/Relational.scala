@@ -1077,6 +1077,40 @@ object Relational {
         (col("n_below80") + 1).as("n_top80"))
   }
 
+  /** Q105 — linear interpolation at event times between the
+    * surrounding purchase observations (the resampling companion to
+    * Q63's forward fill): v = prev + (next − prev)·(t − tp)/(tn − tp),
+    * null outside the observed range. Both neighbor fetches are
+    * last/first-over-window on the SAME (t_us, event_id)-ordered
+    * user partition — one shuffle, two ordered passes sharing the
+    * sort; the interpolation itself is one pinned double expression
+    * over integer micros.
+    */
+  def linearInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), col("user_id"),
+      col("event_type"), tsMicros(ev).as("t_us"), col("value"))
+    val obs = when(col("event_type") === "purchase", col("value"))
+    val obsT = when(col("event_type") === "purchase", col("t_us"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("pv", last(obs, ignoreNulls = true).over(wb))
+      .withColumn("pt", last(obsT, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(obs, ignoreNulls = true).over(wf))
+      .withColumn("nt", first(obsT, ignoreNulls = true).over(wf))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        when(col("pt") === col("nt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("t_us") - col("pt")).cast("double") /
+            (col("nt") - col("pt")).cast("double"))
+          .as("v_interp"))
+  }
+
   /** Q34b — full CUBE over (event_type, day): all four grouping sets
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.

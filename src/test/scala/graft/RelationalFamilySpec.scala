@@ -651,6 +651,25 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("linearInterpolate: midpoint value, exact at observations, null outside") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val at = (sec: Int) => new java.sql.Timestamp(base + sec * 1000L)
+    val rows = Seq(
+      (1L, at(0), 1L, "purchase", 10.0, "{}"),
+      (2L, at(25), 1L, "click", 0.0, "{}"),    // 1/4 of the way: 12.5
+      (3L, at(100), 1L, "purchase", 20.0, "{}"),
+      (4L, at(150), 1L, "click", 0.0, "{}"),   // after last obs: null
+      (5L, at(-50), 1L, "view", 0.0, "{}"))    // before first obs: null
+    withEventsDir(rows) { dir =>
+      val out = Relational.linearInterpolate(spark, dir).collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.get(r.fieldIndex("v_interp")))).toMap
+      assert(out(1L) === Some(10.0) && out(3L) === Some(20.0))
+      assert(out(2L) === Some(12.5))
+      assert(out(4L) === None && out(5L) === None)
+    }
+  }
+
   test("saltedSegmentActivity equals the plain join rollup") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val dir = java.nio.file.Files.createTempDirectory("salted").toString
