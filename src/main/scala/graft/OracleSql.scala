@@ -1706,6 +1706,15 @@ object OracleSql {
        |FROM reach GROUP BY node""".stripMargin
   }
 
+  /** Q106 — dedup decision table (mirrors Dedup.dedupDecisions):
+    * the Q38 clusters left-joined onto the corpus.
+    */
+  def q106DedupDecisions(minJaccard: Double = 0.5): String =
+    s"""WITH cl AS (SELECT * FROM (${q38DupClusters(minJaccard)}) c)
+       |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |  (d.doc_id = coalesce(cl.cluster_id, d.doc_id)) AS keep
+       |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin
+
   /** Q39 — shard-writer round-trip summary (mirrors
     * Pipeline.writeShards membership arithmetic directly — the Spark
     * side answers from the files it wrote).

@@ -203,7 +203,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamLatestFixture(s, dir)),
     "q103_wow" -> Relational.weekOverWeek _,
     "q104_pareto" -> Relational.paretoConcentration _,
-    "q105_interpolate" -> Relational.linearInterpolate _
+    "q105_interpolate" -> Relational.linearInterpolate _,
+    "q106_dedup_decisions" -> ((s, dir) => Dedup.dedupDecisions(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +337,7 @@ object SparkEntry {
     "q102_stream_latest" -> OracleSql.q55LatestState,
     "q103_wow" -> OracleSql.q103WeekOverWeek,
     "q104_pareto" -> OracleSql.q104Pareto,
-    "q105_interpolate" -> OracleSql.q105Interpolate
+    "q105_interpolate" -> OracleSql.q105Interpolate,
+    "q106_dedup_decisions" -> OracleSql.q106DedupDecisions()
   )
 }

@@ -235,6 +235,21 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Q106 — the dedup DECISION table: every document labeled with its
+    * near-dup cluster (itself when unclustered) and a keep/drop bit
+    * (keep = the cluster's min-id representative) — the actionable
+    * artifact a curation pipeline consumes, materialized from the Q38
+    * connected components by one left join against the corpus. At
+    * 100 TB the cluster table is duplicate-sized (≪ corpus), so the
+    * join broadcasts or at worst shuffles doc_id-keyed once.
+    */
+  def dedupDecisions(s: SparkSession, dir: String,
+                     minJaccard: Double = 0.5): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .join(dupClusters(s, dir, minJaccard), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+
   /** Q83 — COMPLETE-recall edit-distance self-join (the Ed-Join-style
     * q-gram pigeonhole, unlike Q70's length-band heuristic): a pair
     * of prefixes within edit distance k must share at least one

@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupDecisions: cluster reps kept, members dropped, singletons kept") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    withDocsDir(Seq(a, a, "totally different words with zero shingle overlap here")) { dir =>
+      val out = Dedup.dedupDecisions(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))).toMap
+      assert(out(0L) === ((0L, true)))
+      assert(out(1L) === ((0L, false)))
+      assert(out(2L) === ((2L, true)))
+    }
+  }
+
   test("qgramEditJoin: complete recall vs brute-force DP, incl. short class") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
