@@ -154,6 +154,13 @@ class PlanQualitySpec extends SparkSpec {
       "stacked stat rows must come from the cached aggregate")
   }
 
+  test("q83/q96: candidate joins stay equi-keyed — no cartesian anywhere") {
+    Seq("q83_qgram_join", "q96_cooccurrence").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian")
+    }
+  }
+
   test("column pruning reaches the documents scan: text is not read when unused") {
     // ReadSchema in the FileScan must exclude `text` for queries that
     // only use metadata columns — at 100 TB, `text` IS the table
