@@ -59,6 +59,18 @@ def main() -> int:
                 print(f"FAIL {name}: rows duck={len(duck)} spark={len(spark)}")
                 n_fail += 1
                 continue
+            # Driver's hash is type-sensitive: a DuckDB HUGEINT->float64
+            # column vs a Spark int64 column hash-diverges even when every
+            # value is equal (q13 r1, q37/q73 r2). Fail on dtype drift.
+            dt = [(c, str(duck[c].dtype), str(spark[c].dtype))
+                  for c in duck.columns
+                  if duck[c].dtype.kind != spark[c].dtype.kind
+                  and not (duck[c].dtype.kind in "iu"
+                           and spark[c].dtype.kind in "iu")]
+            if dt:
+                print(f"FAIL {name}: dtype mismatch (duck vs spark): {dt}")
+                n_fail += 1
+                continue
             neq = ~(duck.eq(spark) | (duck.isna() & spark.isna()))
             if neq.any().any():
                 bad = neq.any(axis=1)

@@ -519,8 +519,6 @@ object OracleSql {
     s"${sumTerms(a, b, dim)} / sqrt(${sumTerms(a, a, dim)} * ${sumTerms(b, b, dim)})"
 
   def q16CosineTopK(dim: Int = 64, k: Int = 10): String = {
-    def sumTerms(a: String, b: String): String =
-      "(0.0 + " + (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ") + ")"
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
        |  FROM embeddings
@@ -528,7 +526,7 @@ object OracleSql {
        |p AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 3),
        |sims AS (
        |  SELECT p.probe_id, e.vec_id,
-       |    ${sumTerms("pe", "de")} / (sqrt(${sumTerms("pe", "pe")}) * sqrt(${sumTerms("de", "de")})) AS sim
+       |    ${cosSql("pe", "de", dim)} AS sim
        |  FROM p, e WHERE e.vec_id <> p.probe_id
        |),
        |rnked AS (
@@ -1454,8 +1452,9 @@ object OracleSql {
        |  cume_dist() OVER wt AS cd,
        |  CAST(ntile(4) OVER wtot AS BIGINT) AS tile
        |FROM e
-       |WINDOW wt AS (PARTITION BY event_type ORDER BY k),
-       |  wtot AS (PARTITION BY event_type ORDER BY k, event_id)""".stripMargin
+       |WINDOW wt AS (PARTITION BY event_type ORDER BY k NULLS FIRST),
+       |  wtot AS (PARTITION BY event_type
+       |    ORDER BY k NULLS FIRST, event_id)""".stripMargin
 
   /** Q66 — SCD2 validity intervals (mirrors Relational.scd2Intervals). */
   def q66Scd2: String =
@@ -1663,8 +1662,9 @@ object OracleSql {
        |),
        |o AS (
        |  SELECT source, doc_id, n_tokens,
-       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_off
        |  FROM d
        |)
        |SELECT source, doc_id, n_tokens, start_off,
@@ -2008,8 +2008,9 @@ object OracleSql {
        |SELECT dau.day, dau.n_active,
        |  coalesce(np.n_new, 0) AS n_new,
        |  dau.n_active - coalesce(np.n_new, 0) AS n_returning,
-       |  sum(coalesce(np.n_new, 0)) OVER (ORDER BY dau.day
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+       |  CAST(sum(coalesce(np.n_new, 0)) OVER (ORDER BY dau.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_users
        |FROM dau LEFT JOIN np ON np.day = dau.day""".stripMargin
 
   /** Q74 — conversion funnel (mirrors Relational.funnel): chained

@@ -57,14 +57,28 @@ object GenericSources {
     */
   def orcRoundtripSummary(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
-    writeOrc(s.read.parquet(s"$dir/documents.parquet"), out)
-    readOrc(s, out)
+    val out = java.nio.file.Files.createTempDirectory("graft_orc")
+    writeOrc(s.read.parquet(s"$dir/documents.parquet"), out.toString)
+    val summary = readOrc(s, out.toString)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"),
         sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .localCheckpoint() // materialize before the fixture dir vanishes
+    deleteRecursively(out)
+    summary
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(root)) {
+      val stream = Files.walk(root)
+      try stream.sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
   }
 }
