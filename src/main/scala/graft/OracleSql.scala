@@ -2137,6 +2137,71 @@ object OracleSql {
        |${stacks.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** Q93b — KMV-NDV column stats (mirrors Relational.columnStatsKmv):
+    * the q26 sorted-distinct replay per stacked column, doubles
+    * quantized to DECIMAL(18,6) strings before hashing, exact
+    * n/null/min/max stacked from the single aggregate.
+    */
+  def q93bColumnStatsKmv(k: Int = 64, space: Long = 1000000007L): String = {
+    val cols = Seq("event_id" -> true, "t_us" -> true, "user_id" -> true,
+      "event_type" -> false, "value" -> true, "props" -> false)
+    val aggs = "count(*) AS n" +: cols.flatMap { case (c, num) =>
+      Seq(s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}_nulls") ++
+        (if (num) Seq(s"CAST(min($c) AS DOUBLE) AS ${c}_min",
+          s"CAST(max($c) AS DOUBLE) AS ${c}_max")
+        else Seq.empty)
+    }
+    val stacks = cols.map { case (c, num) =>
+      val mn = if (num) s"${c}_min" else "CAST(NULL AS DOUBLE)"
+      val mx = if (num) s"${c}_max" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, n, ${c}_nulls AS n_null,
+         |  $mn AS min_d, $mx AS max_d FROM one""".stripMargin
+    }
+    val svs = cols.map { case (c, _) =>
+      val render =
+        if (c == "value") s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
+        else if (c == "event_type" || c == "props") c
+        else s"CAST($c AS VARCHAR)"
+      s"SELECT '$c' AS col_name, $render AS sv FROM base"
+    }
+    s"""WITH base AS (
+       |  SELECT event_id, epoch_us(ts) AS t_us, user_id, event_type,
+       |    value, props
+       |  FROM events
+       |),
+       |one AS (
+       |  SELECT ${aggs.mkString(",\n    ")}
+       |  FROM base
+       |),
+       |sv AS (
+       |${svs.mkString("\nUNION ALL\n")}
+       |),
+       |th AS (
+       |  SELECT DISTINCT col_name, ${polyHashSql("sv")} AS h
+       |  FROM sv WHERE sv IS NOT NULL
+       |),
+       |rk AS (
+       |  SELECT col_name, h,
+       |    row_number() OVER (PARTITION BY col_name ORDER BY h) AS r
+       |  FROM th
+       |),
+       |est AS (
+       |  SELECT col_name, count(*) AS nd,
+       |    max(CASE WHEN r = $k THEN h END) AS kth
+       |  FROM rk WHERE r <= $k GROUP BY 1
+       |),
+       |ex AS (
+       |${stacks.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT ex.col_name, ex.n, ex.n_null,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * CAST($space AS DOUBLE)
+       |            / CAST(kth AS DOUBLE)
+       |  END AS est_ndv,
+       |  ex.min_d, ex.max_d
+       |FROM ex JOIN est USING (col_name)""".stripMargin
+  }
+
   /** Q94 — equi-depth histogram (mirrors
     * Relational.equiDepthHistogram): ntile over the total order.
     */

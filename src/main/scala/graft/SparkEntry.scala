@@ -190,6 +190,7 @@ object SparkEntry {
     "q91_grouping_sets" -> Relational.groupingSetsCounts _,
     "q92_asof_tolerance" -> ((s, dir) => AsofJoin.prevClickWithin(s, dir)),
     "q93_column_stats" -> Relational.columnStats _,
+    "q93b_column_stats_kmv" -> ((s, dir) => Relational.columnStatsKmv(s, dir)),
     "q94_equidepth" -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
@@ -324,6 +325,7 @@ object SparkEntry {
     "q91_grouping_sets" -> OracleSql.q91GroupingSets,
     "q92_asof_tolerance" -> OracleSql.q92AsofTolerance(),
     "q93_column_stats" -> OracleSql.q93ColumnStats,
+    "q93b_column_stats_kmv" -> OracleSql.q93bColumnStatsKmv(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),

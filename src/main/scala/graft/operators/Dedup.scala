@@ -250,22 +250,39 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
 
-  /** Q83 — COMPLETE-recall edit-distance self-join (the Ed-Join-style
-    * q-gram pigeonhole, unlike Q70's length-band heuristic): a pair
-    * of prefixes within edit distance k must share at least one
-    * positional q-gram when the shorter has ≥ q·(k+1) chars — each
-    * edit destroys at most q of its (plen−q+1) grams, so
-    * (plen − q + 1) − k·q ≥ 1 grams survive verbatim into the
-    * partner. Candidates are therefore an equi-join on (lang, gram);
-    * prefixes shorter than q·(k+1)+k form a tiny brute-force class
-    * (any partner of a sub-threshold string is itself sub-threshold,
-    * since distance ≤ k bounds the length gap by k). Exact Levenshtein
-    * (threshold DP) verifies candidates, so the result EQUALS the
-    * declarative all-pairs oracle — the same contract, candidates cut
-    * from n² to gram-collision pairs.
+  /** Q83 candidate generation — COMPLETE-recall Ed-Join-style q-gram
+    * pigeonhole WITH prefix filtering (Xiao/Wang/Lin, VLDB'08):
+    *
+    * Count bound: each edit destroys at most q of a prefix's
+    * (plen−q+1) positional grams, so a pair within edit distance k
+    * shares ≥ max(n_x, n_y) − k·q gram occurrences (an injective
+    * matching with position shift ≤ k).
+    *
+    * Prefix filter: order every gram occurrence by the GLOBAL key
+    * (gram document-frequency asc, gram, position) and keep only each
+    * string's first k·q + 1 occurrences — tie-INCLUSIVE on the
+    * boundary (gdf, gram) value, so "value ≤ boundary ⇒ kept" holds
+    * exactly. Completeness: take a matching M, |M| ≥ t =
+    * max(n_x,n_y) − k·q ≥ 1; let v_x ≤ v_y be the two boundary
+    * values. If some match has value ≤ v_x, both its endpoints are
+    * kept (tie-inclusion) and the pair survives the join; otherwise
+    * all matches use x-occurrences above x's boundary — at most
+    * n_x − (k·q+1) ≤ t − 1 of them — contradiction.
+    *
+    * This is the hot-gram fix the n-gram family got in round 2, but
+    * RECALL-PRESERVING: a boilerplate gram shared by d documents no
+    * longer yields d² candidate pairs, because frequent grams sort
+    * LAST in the global order and fall out of every prefix that has
+    * k·q+1 rarer grams. Candidate volume per gram is bounded by the
+    * count of documents whose rarest-gram prefix retains it.
+    *
+    * Strings with plen < q·(k+1)+k form a tiny brute-force class (a
+    * partner of a sub-threshold string is itself sub-threshold, since
+    * distance ≤ k bounds the length gap by k).
     */
-  def qgramEditJoin(s: SparkSession, dir: String, k: Int = 4, q: Int = 8,
-                    prefixLen: Int = 64): DataFrame = {
+  def qgramCandidates(s: SparkSession, dir: String, k: Int = 4, q: Int = 8,
+                      prefixLen: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val longMin = q * (k + 1)          // gram pigeonhole valid from here
     val shortMax = longMin + k         // partners of short strings end here
     val d = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -273,13 +290,30 @@ object Dedup {
       .withColumn("plen", length(col("pfx")))
     val g = d.filter(col("plen") >= longMin)
       .select(col("doc_id"), col("lang"), col("plen"),
-        explode(expr(
+        posexplode(expr(
           s"transform(sequence(1, length(pfx) - $q + 1), i -> substring(pfx, i, $q))"))
-          .as("gram"))
-    val gramCands = g.as("x").join(g.as("y"),
+          .as(Seq("pos", "gram")))
+    // global gram order: document-frequency ascending (rarest first).
+    // The df table is vocabulary-sized; the join back is gram-keyed.
+    val gdf = g.groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("gdf"), col("gram"), col("pos"))
+    val ranked = g.join(gdf, Seq("lang", "gram"))
+      .withColumn("rnk", row_number().over(byRarity))
+    val prefLen = k * q + 1
+    val boundary = ranked.filter(col("rnk") === prefLen)
+      .select(col("doc_id"), col("gdf").as("bdf"), col("gram").as("bgram"))
+    val kept = ranked.join(boundary, Seq("doc_id"), "left")
+      .filter(col("bdf").isNull || col("gdf") < col("bdf") ||
+        (col("gdf") === col("bdf") && col("gram") <= col("bgram")))
+      .select(col("doc_id"), col("lang"), col("plen"), col("pos"), col("gram"))
+      .cache() // both sides of the self-join below
+    val gramCands = kept.as("x").join(kept.as("y"),
         col("x.lang") === col("y.lang") && col("x.gram") === col("y.gram") &&
         col("x.doc_id") < col("y.doc_id") &&
-        abs(col("x.plen") - col("y.plen")) <= k)
+        abs(col("x.plen") - col("y.plen")) <= k &&
+        abs(col("x.pos") - col("y.pos")) <= k) // surviving grams shift ≤ k
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sh = d.filter(col("plen") < shortMax)
@@ -288,8 +322,21 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id") &&
         abs(col("x.plen") - col("y.plen")) <= k)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val cands = gramCands.unionAll(shortCands).distinct()
-    cands
+    gramCands.unionAll(shortCands).distinct()
+  }
+
+  /** Q83 — COMPLETE-recall edit-distance self-join: Ed-Join candidates
+    * (qgramCandidates — count bound + prefix filtering, completeness
+    * proven there) verified by exact threshold Levenshtein, so the
+    * result EQUALS the declarative all-pairs oracle — same contract,
+    * candidates cut from n² to prefix-gram collisions with hot grams
+    * excluded from every prefix.
+    */
+  def qgramEditJoin(s: SparkSession, dir: String, k: Int = 4, q: Int = 8,
+                    prefixLen: Int = 64): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, prefixLen).as("pfx"))
+    qgramCandidates(s, dir, k, q, prefixLen)
       .join(d.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -312,10 +359,10 @@ object Dedup {
     */
   def dupClusters(s: SparkSession, dir: String,
                   minJaccard: Double = 0.5): DataFrame =
-    connectedComponents(
+    connectedComponentsStar(
       minhashLsh(s, dir)
         .filter(col("est_jaccard") >= minJaccard)
-        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_a"), col("doc_b")))._1
 
   /** Min-label propagation over an undirected pair list
     * (`doc_a`, `doc_b`); returns (doc_id, cluster_id = component min).
@@ -382,5 +429,81 @@ object Dedup {
     nodes.unpersist()
     edges.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round contraction the min-label scaladoc promised for
+    * adversarially long dup chains. Returns (labels, rounds): labels =
+    * (doc_id, cluster_id = component min), identical to
+    * [[connectedComponents]] by construction, so swapping it under
+    * Q38/Q106 changes no result bytes.
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors (and
+    *    itself) to that minimum.
+    *
+    * Both are one hash-partitioned window + projection over the edge
+    * table — no joins at all inside a round (vs. one join per round
+    * for label propagation), and the alternation provably contracts
+    * any graph in O(log² n) rounds (O(log n) observed on paths; the
+    * spec pins ≤ log₂ n + 2 on a 10k-node path). Per-round lineage is
+    * truncated with localCheckpoint exactly like the label-prop loop.
+    * Fixpoint detection: the canonical edge set only ever moves down
+    * in (endpoint-sum) potential, so an unchanged exact DECIMAL
+    * checksum of the sorted pairs ⇔ no edge changed.
+    */
+  def connectedComponentsStar(pairs: DataFrame): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      val m = least(col("doc_a"),
+        min(col("doc_b")).over(Window.partitionBy(col("doc_a"))))
+      sym.withColumn("m", m)
+        .filter(col("doc_b") > col("doc_a")) // link larger neighbors → m
+        .select(col("doc_b").as("doc_a"), col("m").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+      or.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+        .select(explode(array(
+          struct(col("v").as("x"), col("m").as("y")),
+          struct(col("u").as("x"), col("m").as("y")))).as("p"))
+        .select(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .distinct()
+    }
+    def checksum(e: DataFrame): java.math.BigDecimal =
+      e.agg(sum(xxhash64(greatest(col("doc_a"), col("doc_b")),
+          least(col("doc_a"), col("doc_b"))).cast("decimal(38,0)")))
+        .head() match {
+          case r if r.isNullAt(0) => java.math.BigDecimal.ZERO
+          case r => r.getDecimal(0)
+        }
+    var cur = pairs.filter(col("doc_a") =!= col("doc_b"))
+      .distinct().localCheckpoint()
+    var prev = checksum(cur)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 60) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val sum = checksum(next)
+      converged = sum.compareTo(prev) == 0
+      prev = sum
+      cur = next
+      rounds += 1
+    }
+    // at fixpoint the edges are stars (node → component min)
+    val labels = cur
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("label"))
+      .union(cur.select(col("doc_b").as("doc_id"), col("doc_b").as("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("cluster_id"))
+    (labels, rounds)
   }
 }

@@ -961,6 +961,61 @@ object Relational {
     }.reduce(_ unionAll _)
   }
 
+  /** Q93b — column statistics with SKETCHED NDV: the 100 TB variant of
+    * [[columnStats]] its scaladoc promises. Exact `count(DISTINCT c)`
+    * per column shuffles every distinct value of every column through
+    * the exchange (and one Expand row per column per input row); here
+    * each column's NDV comes from the Q26 KMV sketch instead — the
+    * stacked (col_name, value-string) rows collapse to k=64 longs per
+    * column on the MAP side, so the exchange carries 6·k longs total
+    * regardless of input size. Doubles are quantized to DECIMAL(18,6)
+    * before rendering so the hashed string is engine-independent
+    * (shortest-roundtrip double formatting is not); sub-saturated
+    * sketches (event_type: 5 values) stay exact by the KMV contract.
+    * n/null/min/max remain exact single-pass aggregates — they are
+    * constant-state and free.
+    */
+  def columnStatsKmv(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    import graft.functions.{KmvSketch, TextHash}
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_id"), tsMicros(ev).as("t_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+      .cache() // feeds both the exact aggregate and the sketch pass
+    val cols = Seq("event_id" -> true, "t_us" -> true, "user_id" -> true,
+      "event_type" -> false, "value" -> true, "props" -> false)
+    def sv(c: String): Column =
+      if (c == "value") col(c).cast("decimal(18,6)").cast("string")
+      else col(c).cast("string")
+    val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { case (c, num) =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) ++
+        (if (num) Seq(min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"))
+        else Seq.empty)
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*).cache()
+    val exact = cols.map { case (c, num) =>
+      one.select(lit(c).as("col_name"), col("n"),
+        col(s"${c}_nulls").as("n_null"),
+        (if (num) col(s"${c}_min") else lit(null).cast("double")).as("min_d"),
+        (if (num) col(s"${c}_max") else lit(null).cast("double")).as("max_d"))
+    }.reduce(_ unionAll _)
+    val sketch = new KmvSketch(k, TextHash.P)
+    val est = base
+      .select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), sv(c).as("sv")) }: _*)).as("x"))
+      .filter(col("x.sv").isNotNull)
+      .select(col("x.col_name"), TextHash.polyHash(col("x.sv")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(sketch.toColumn)
+      .map { case (c, o) => (c, o.est_distinct) }
+      .toDF("col_name", "est_ndv")
+    exact.join(broadcast(est), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("n_null"), col("est_ndv"),
+        col("min_d"), col("max_d"))
+  }
+
   /** Q98 — share-of-parent hierarchy rollup: per-nation revenue and
     * its share of the region total — the BI "percent of parent"
     * shape. Revenue sums are exact DECIMAL (region share = one pinned

@@ -71,6 +71,40 @@ class CandidateBoundSpec extends SparkSpec {
     }
   }
 
+  test("qgram prefix filter: hot boilerplate gram cannot create quadratic candidates") {
+    // 80 docs sharing a 24-char boilerplate header (17 hot 8-grams,
+    // df=80 each) followed by unique tails. Without Ed-Join prefix
+    // filtering every hot gram contributes d²/2 ≈ 3160 pairs × 17
+    // grams; with it, hot grams sort LAST in the (df, gram) order and
+    // fall out of every 33-gram prefix, so candidate volume collapses
+    // to the genuinely-similar pairs.
+    val rng = new java.util.Random(83)
+    val header = "COMMON-BOILERPLATE-HDR__" // 24 chars
+    def tail() = Seq.fill(40)(('a' + rng.nextInt(26)).toChar).mkString
+    val uniques = Seq.fill(78)(header + tail())
+    val dupBase = header + tail()
+    val dup = dupBase.updated(30, 'X').updated(50, 'X') // 2 edits apart
+    val texts = uniques ++ Seq(dupBase, dup)
+    val dir = java.nio.file.Files.createTempDirectory("qgramhot").toString
+    try {
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val cands = Dedup.qgramCandidates(spark, dir).count()
+      val uncapped = 17L * texts.length * (texts.length - 1) / 2
+      assert(cands < texts.length,
+        s"prefix-filtered candidates must stay ~linear: got $cands " +
+          s"for ${texts.length} boilerplate docs (unfiltered ~$uncapped)")
+      // and the planted distance-2 pair still comes through end-to-end
+      val pairs = Dedup.qgramEditJoin(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pairs.contains((78L, 79L, 2L)),
+        s"planted dup pair must survive filtering: got ${pairs.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("12-plane multi-probe LSH: random-corpus candidate volume stays ~n²·13/2/4096") {
     val rng = new java.util.Random(13)
     val n = 500

@@ -219,6 +219,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar equals union-find on seeded random graphs") {
+    val rng = new java.util.Random(73114L)
+    for (trial <- 1 to 5) {
+      val n = 12 + rng.nextInt(15)
+      val edges = Seq.fill(6 + rng.nextInt(14)) {
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expected = touched.map(v =>
+        v -> touched.filter(u => find(u.toInt) == find(v.toInt)).min).toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial, edges=$edges")
+    }
+  }
+
+  test("connectedComponentsStar: adversarial long chain, O(log n) rounds") {
+    // a 10k-node path is the worst case for plain min-label
+    // propagation (diameter rounds); star contraction must finish in
+    // O(log n) — the scale argument for 100 TB dup chains.
+    val n = 10000
+    val pairs = (0L until (n - 1).toLong).map(i => (i + 1, i))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsStar(pairs)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === (0L until n.toLong).map(_ -> 0L).toMap)
+    // ≤ log2(n) contracting rounds; the final round is the fixpoint-
+    // verification pass (checksum unchanged), so the loop count is +1.
+    val bound = (math.log(n) / math.log(2)).ceil.toInt + 1 // 14 + verify
+    assert(rounds <= bound,
+      s"star contraction took $rounds rounds on a $n-path (bound $bound)")
+  }
+
   test("dupClusters: planted near-dup trio collapses to one cluster id") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     withDocsDir(Seq(a, a, a, "totally unrelated words here nothing shared at all ok")) { dir =>
