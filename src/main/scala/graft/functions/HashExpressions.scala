@@ -123,6 +123,7 @@ case class ShingleHashesExpr(child: Expression, base: Long, mod: Long)
 
 object ShingleHashesExpr {
   // java-regex \s membership, the same class Spark's split uses
+  def isWsChar(c: Char): Boolean = isWs(c)
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
@@ -146,6 +147,133 @@ object ShingleHashesExpr {
             java.lang.Math.floorMod(h1 * base + h2, mod) * base + acc, mod)
         }
         h1 = h2; h2 = acc
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** All n-word shingles of a document in one native pass — lowercase,
+  * split on \s+ runs, join each n consecutive tokens with single
+  * spaces: exactly `wordShingles(tokens(text), n)`'s contract, minus
+  * the per-shingle transform/element_at/concat_ws expression chain
+  * (one substring copy per shingle here; the HOF form re-walks the
+  * token array and allocates per element). q53's explode feeds from
+  * this.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShinglesExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+object WordShinglesExpr {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    // token boundaries as (start, end) offsets — no per-token strings
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && ShingleHashesExpr.isWsChar(str.charAt(i))) i += 1
+      if (i < len) {
+        starts += i
+        while (i < len && !ShingleHashesExpr.isWsChar(str.charAt(i))) i += 1
+        ends += i
+      }
+    }
+    val t = starts.length
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](t - n + 1)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    while (k <= t - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(str, starts(k + j), ends(k + j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-bigram hash pairs for the q57 bigram LM — element i is
+  * struct(bh = polyHash("w_i w_i+1"), wh = polyHash(w_i)) over the
+  * lowercased \s+ tokens, computed WITHOUT materializing any bigram
+  * string: each token's scan carries (hash, 31^len mod m), and the
+  * joined-bigram hash composes as
+  * ((h1*b + ' ') % m) * pow2 % m + h2 (mod m) — arithmetic identical
+  * to folding the concatenated "w1 w2" characters, so the oracle's
+  * string-fold replay is unchanged. Replaces explode(shingles) +
+  * substring_index + two PolyHashExprs per occurrence.
+  */
+case class BigramHashPairsExpr(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bh", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("wh", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_bigram_hash_pairs"
+
+  protected override def nullSafeEval(input: Any): Any =
+    BigramHashPairsExpr.compute(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BigramHashPairsExpr.compute($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramHashPairsExpr =
+    copy(child = newChild)
+}
+
+object BigramHashPairsExpr {
+  def compute(s: UTF8String, base: Long, mod: Long): ArrayData = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h1 = -1L // previous token's hash
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && ShingleHashesExpr.isWsChar(str.charAt(i))) i += 1
+      if (i < n) {
+        var acc = 0L
+        var pow = 1L
+        while (i < n && !ShingleHashesExpr.isWsChar(str.charAt(i))) {
+          val cp = str.codePointAt(i)
+          acc = java.lang.Math.floorMod(acc * base + cp, mod)
+          pow = java.lang.Math.floorMod(pow * base, mod)
+          i += Character.charCount(cp)
+        }
+        if (h1 >= 0) {
+          // fold of "w1 w2": prefix = (h1*b + ' ') % m, then shift by
+          // w2's length and add its fold — all mod-exact in Long
+          val pfx = java.lang.Math.floorMod(h1 * base + ' '.toLong, mod)
+          val bh = java.lang.Math.floorMod(pfx * pow + acc, mod)
+          out += org.apache.spark.sql.catalyst.InternalRow(bh, h1)
+        }
+        h1 = acc
       }
     }
     new GenericArrayData(out.toArray)

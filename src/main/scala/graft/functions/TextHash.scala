@@ -57,6 +57,24 @@ object TextHash {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
     ).otherwise(array().cast("array<string>"))
 
+  /** Native one-pass equivalent of `wordShingles(tokens(text), n)` —
+    * tokenizes and joins in a single scan (WordShinglesExpr), for the
+    * q53-style paths where the shingle STRINGS are the output.
+    */
+  def wordShinglesNative(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WordShinglesExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n))
+
+  /** Per-bigram (bh, wh) hash-pair structs in one native pass — the
+    * q57 hot path without bigram-string materialization; arithmetic
+    * identical to polyHash over the joined "w1 w2" string.
+    */
+  def bigramHashPairs(text: Column, base: Long = 31L, mod: Long = P): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      BigramHashPairsExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), base, mod))
+
   /** All 3-token shingle hashes of a text column in one native pass —
     * see ShingleHashesExpr for why the compositional
     * transform/element_at form is quadratic and this isn't.

@@ -266,8 +266,7 @@ object TextAnalysis {
     */
   def topBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val bg = docs(s, dir).select(col("source"),
-      explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
-        .as("bigram"))
+      explode(TextHash.wordShinglesNative(col("text"), 2)).as("bigram"))
     val counts = bg.groupBy(col("source"), col("bigram"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("source"))
@@ -303,11 +302,8 @@ object TextAnalysis {
     // collisions merge bigrams identically in both engines — the
     // oracle applies the same fold — so parity is unaffected.
     val occ = docs(s, dir).select(col("doc_id"),
-        explode(TextHash.wordShingles(TextHash.tokens(col("text")), 2))
-          .as("bigram"))
-      .select(col("doc_id"),
-        TextHash.polyHash(col("bigram")).as("bh"),
-        TextHash.polyHash(substring_index(col("bigram"), " ", 1)).as("wh"))
+        explode(TextHash.bigramHashPairs(col("text"))).as("x"))
+      .select(col("doc_id"), col("x.bh").as("bh"), col("x.wh").as("wh"))
     val docBg = occ.groupBy(col("doc_id"), col("bh"), col("wh"))
       .agg(count(lit(1)).as("cnt"))
     def log2c(c: Column): Column = (length(bin(c)) - 1).cast("long")

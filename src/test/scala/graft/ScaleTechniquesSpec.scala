@@ -37,6 +37,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(spread.map(_.getLong(1)).max < 1000L) // not all in one bucket
   }
 
+  test("salting bounds task-level skew: 50%-hot key cannot serialize one task") {
+    // adversarial fixture for the q60 shape: half the fact rows carry
+    // ONE key. Unsalted, the hash exchange puts them all in a single
+    // task (the stage runs at p100 = 50% of the table); salted, the
+    // hot key fans out over saltFactor sub-keys and every task stays
+    // within a small factor of the mean. Partition sizes are measured
+    // on the same hash exchange the join's shuffle would use.
+    val rng = new java.util.Random(60)
+    val n = 100000
+    val salt = 16
+    val fact = (0 until n).map { i =>
+      val k = if (i % 2 == 0) 7L else rng.nextInt(1000).toLong
+      (i.toLong, k, rng.nextDouble())
+    }.toDF("row_id", "key", "v")
+    def partSizes(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .collect().map(_.getLong(1))
+    val unsalted = partSizes(fact.repartition(32, col("key")))
+    val salted = partSizes(
+      fact.withColumn("_salt",
+          pmod(xxhash64(fact.columns.map(col): _*), lit(salt.toLong)))
+        .repartition(32, col("key"), col("_salt")))
+    val mean = n.toDouble / 32
+    assert(unsalted.max >= n / 2,
+      s"fixture must be adversarial: unsalted max ${unsalted.max}")
+    assert(salted.max <= 4 * mean,
+      s"salted p100 must stay near-balanced: max ${salted.max}, mean $mean")
+    assert(salted.max * 4 <= unsalted.max,
+      s"salting must cut the hottest task ≥4×: ${salted.max} vs ${unsalted.max}")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     val keys = Seq("spark.sql.adaptive.enabled",
       "spark.sql.adaptive.skewJoin.enabled",
