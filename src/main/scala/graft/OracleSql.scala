@@ -2202,6 +2202,83 @@ object OracleSql {
        |FROM ex JOIN est USING (col_name)""".stripMargin
   }
 
+  private def cmHashRowsSql(d: Int): String =
+    graft.operators.Sketches.cmHashRows(d)
+      .map { case (j, a, b) => s"($j, $a, $b)" }
+      .mkString("(VALUES ", ", ", ") AS hr(j, a, b)")
+
+  /** Q107 — Count-Min frequency estimation (mirrors
+    * Sketches.cmFrequency): exact user counts, d×w counter matrix
+    * from integer affine hashes, min-over-rows estimates for the
+    * top-k users. Every counter is an exact integer sum — parity is
+    * bitwise.
+    */
+  def q107CmSketch(d: Int = 4, w: Int = 256, topK: Int = 20): String =
+    s"""WITH exact AS (
+       |  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+       |),
+       |hr AS (SELECT * FROM ${cmHashRowsSql(d)}),
+       |counters AS (
+       |  SELECT j, ((a * user_id + b) % ${graft.functions.TextHash.P}) % $w AS bucket,
+       |    CAST(sum(exact_n) AS BIGINT) AS cnt
+       |  FROM exact CROSS JOIN hr GROUP BY 1, 2
+       |),
+       |probes AS (
+       |  SELECT user_id, exact_n FROM exact
+       |  ORDER BY exact_n DESC, user_id LIMIT $topK
+       |),
+       |lk AS (
+       |  SELECT user_id, exact_n, j,
+       |    ((a * user_id + b) % ${graft.functions.TextHash.P}) % $w AS bucket
+       |  FROM probes CROSS JOIN hr
+       |)
+       |SELECT lk.user_id, lk.exact_n,
+       |  min(c.cnt) AS est_n,
+       |  min(c.cnt) - lk.exact_n AS overcount
+       |FROM lk JOIN counters c ON c.j = lk.j AND c.bucket = lk.bucket
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q108 — Bloom semi-join pruning audit (mirrors
+    * Sketches.bloomPruneAudit): occupied-bit set from the selective
+    * key side, all-k-positions membership test on the fact side,
+    * survivor/true-match/false-positive counts. Integer-exact.
+    */
+  def q108BloomPrune(nation: String = "NATION_7", m: Int = 8192,
+                     k: Int = 3): String =
+    s"""WITH keys AS (
+       |  SELECT s_suppkey AS key
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = '$nation'
+       |),
+       |hr AS (SELECT * FROM ${cmHashRowsSql(k)}),
+       |bits AS (
+       |  SELECT DISTINCT ((a * key + b) % ${graft.functions.TextHash.P}) % $m AS bit
+       |  FROM keys CROSS JOIN hr
+       |),
+       |sk AS (SELECT DISTINCT l_suppkey FROM lineitem),
+       |skp AS (
+       |  SELECT l_suppkey,
+       |    ((a * l_suppkey + b) % ${graft.functions.TextHash.P}) % $m AS bit
+       |  FROM sk CROSS JOIN hr
+       |),
+       |passkeys AS (
+       |  SELECT l_suppkey
+       |  FROM skp JOIN bits USING (bit)
+       |  GROUP BY l_suppkey
+       |  HAVING count(*) = $k
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM lineitem) AS n_fact,
+       |  (SELECT count(*) FROM lineitem
+       |   WHERE l_suppkey IN (SELECT l_suppkey FROM passkeys))
+       |    AS n_bloom_pass,
+       |  (SELECT count(*) FROM lineitem
+       |   WHERE l_suppkey IN (SELECT key FROM keys)) AS n_true_match,
+       |  (SELECT count(*) FROM lineitem
+       |   WHERE l_suppkey IN (SELECT l_suppkey FROM passkeys)) -
+       |  (SELECT count(*) FROM lineitem
+       |   WHERE l_suppkey IN (SELECT key FROM keys)) AS n_false_pos""".stripMargin
+
   /** Q94 — equi-depth histogram (mirrors
     * Relational.equiDepthHistogram): ntile over the total order.
     */

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsofJoin, BeatMetrics, Dedup, Envelopes, Graph,
-  Multimodal, PeakDetect, Pipeline, Relational, Similarity, Smoothing,
-  TextAnalysis}
+  Multimodal, PeakDetect, Pipeline, Relational, Similarity, Sketches,
+  Smoothing, TextAnalysis}
 import graft.sources.SignalFixture
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -192,6 +192,8 @@ object SparkEntry {
     "q93_column_stats" -> Relational.columnStats _,
     "q93b_column_stats_kmv" -> ((s, dir) => Relational.columnStatsKmv(s, dir)),
     "q94_equidepth" -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
+    "q107_cmsketch" -> ((s, dir) => Sketches.cmFrequency(s, dir)),
+    "q108_bloom_prune" -> ((s, dir) => Sketches.bloomPruneAudit(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
@@ -326,6 +328,8 @@ object SparkEntry {
     "q92_asof_tolerance" -> OracleSql.q92AsofTolerance(),
     "q93_column_stats" -> OracleSql.q93ColumnStats,
     "q93b_column_stats_kmv" -> OracleSql.q93bColumnStatsKmv(),
+    "q107_cmsketch" -> OracleSql.q107CmSketch(),
+    "q108_bloom_prune" -> OracleSql.q108BloomPrune(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),
