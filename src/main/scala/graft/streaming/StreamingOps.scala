@@ -594,9 +594,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
-          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
-        }
+        feedBatches(stream, q, data)
         stream.addData(sentinel); q.processAllAvailable()
       } finally q.stop()
     }
@@ -675,9 +673,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
-          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
-        }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -723,9 +719,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
-          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
-        }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     s.table(name)
@@ -775,9 +769,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
-          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
-        }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -860,9 +852,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        data.grouped(math.max(1, data.length / 3 + 1)).foreach { ch =>
-          stream.addData(ch.toIndexedSeq); q.processAllAvailable()
-        }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -930,8 +920,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update()).start()
       try {
-        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     val w = org.apache.spark.sql.expressions.Window
@@ -961,8 +950,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     s.table(name)
@@ -985,8 +973,7 @@ object StreamingOps {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        val chunks = data.grouped(math.max(1, data.length / 3 + 1))
-        chunks.foreach { ch => stream.addData(ch.toIndexedSeq); q.processAllAvailable() }
+        feedBatches(stream, q, data)
       } finally q.stop()
     }
     s.table(name)

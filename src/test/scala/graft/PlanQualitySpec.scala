@@ -161,6 +161,35 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q93b: sketch runs as a partial typed aggregate; estimates broadcast back") {
+    val p = plan("q93b_column_stats_kmv")
+    // the KMV Aggregator must map-side combine (k longs per partition
+    // through the exchange), like q26
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed sketch aggregate missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "6-row estimate table must broadcast into the stat join")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q107: counter matrix broadcasts into the probe lookup — no wide join") {
+    val p = plan("q107_cmsketch")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q108: fact table never shuffles — bloom bits and pass-keys broadcast") {
+    val p = plan("q108_bloom_prune")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bloom prune must stay broadcast-only:\n$p")
+    // the lineitem scan reads only the 3 join/id columns
+    val scans = p.linesIterator.filter(_.contains("ReadSchema"))
+      .filter(_.contains("l_suppkey")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(!s.contains("l_extendedprice"),
+      s"lineitem scan must prune to the key columns: $s"))
+  }
+
   test("column pruning reaches the documents scan: text is not read when unused") {
     // ReadSchema in the FileScan must exclude `text` for queries that
     // only use metadata columns — at 100 TB, `text` IS the table
