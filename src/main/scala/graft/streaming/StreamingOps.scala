@@ -471,10 +471,18 @@ object StreamingOps {
       try {
         def chunks(a: Array[(Long, Long, Long)]) =
           a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+        // block-split each side's chunk (feedBatches shape): one
+        // addData = one scan partition, so the synchronized batches
+        // stay parallel on both inputs
+        def add(st: org.apache.spark.sql.execution.streaming.runtime
+                .MemoryStream[(Long, Long, Long)],
+                ch: Array[(Long, Long, Long)]): Unit =
+          ch.grouped(math.max(1, ch.length / 32 + 1))
+            .foreach(b => st.addData(b.toIndexedSeq))
         val (lc, rc) = (chunks(lData), chunks(rData))
         (0 until math.max(lc.length, rc.length)).foreach { i =>
-          if (i < lc.length) lStream.addData(lc(i))
-          if (i < rc.length) rStream.addData(rc(i))
+          if (i < lc.length) add(lStream, lc(i))
+          if (i < rc.length) add(rStream, rc(i))
           q.processAllAvailable()
         }
       } finally q.stop()

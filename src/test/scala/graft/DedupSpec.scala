@@ -258,6 +258,16 @@ class DedupSpec extends SparkSpec {
       s"star contraction took $rounds rounds on a $n-path (bound $bound)")
   }
 
+  test("connectedComponentsStar: empty edge set and self-loops degenerate cleanly") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsStar(empty)._1.collect().isEmpty)
+    // self-loops carry no connectivity and must not invent clusters
+    val selfs = Seq((5L, 5L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponentsStar(selfs)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("dupClusters: planted near-dup trio collapses to one cluster id") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     withDocsDir(Seq(a, a, a, "totally unrelated words here nothing shared at all ok")) { dir =>
