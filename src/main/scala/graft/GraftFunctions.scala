@@ -38,8 +38,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => args match {
-        case Seq(s) => ShingleHashesExpr(s, 31L, TextHash.P)
-        case _ => throw new IllegalArgumentException("graft_shingle_hashes(str)")
+        case Seq(s) => ShingleHashesExpr(s, 3, 31L, TextHash.P)
+        case Seq(s, n) => ShingleHashesExpr(s, longArg(n).toInt, 31L, TextHash.P)
+        case _ => throw new IllegalArgumentException("graft_shingle_hashes(str[, n])")
       }),
     (FunctionIdentifier("graft_gram_hashes"),
       new ExpressionInfo(classOf[GramHashesExpr].getName, "graft_gram_hashes"),

@@ -610,11 +610,11 @@ object OracleSql {
       s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * $base + x) % $mod)"
 
-  /** CTEs `toks(doc_id, tk)`, `th(doc_id, th)` and `shq(doc_id, h)` —
-    * distinct 3-word shingle hashes, mirroring Dedup.shingleHashes
-    * (per-token char hash, arithmetic shingle combine).
+  /** CTEs `toks(doc_id, tk)` and `thc(doc_id, th)` — per-token
+    * polynomial hashes, the shared front of every word-shingle/span
+    * oracle (mirrors ShingleHashesExpr's tokenize+hash pass).
     */
-  def shingleCtes: String =
+  def tokenHashCtes: String =
     s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
@@ -623,12 +623,24 @@ object OracleSql {
        |thc AS (
        |  SELECT doc_id, list_transform(tk, t -> ${polyHashSql("t")}) AS th
        |  FROM toks
-       |),
+       |)""".stripMargin
+
+  /** The left-assoc w-token window combine over `th[i..i+w-1]`,
+    * unrolled — identical arithmetic to ShingleHashesExpr's fold.
+    */
+  def spanFoldSql(w: Int, mod: Long = 1000000007L): String =
+    (1 until w).foldLeft("th[i]")((acc, j) => s"($acc * 31 + th[i+$j]) % $mod")
+
+  /** CTEs `toks(doc_id, tk)`, `th(doc_id, th)` and `shq(doc_id, h)` —
+    * distinct 3-word shingle hashes, mirroring Dedup.shingleHashes
+    * (per-token char hash, arithmetic shingle combine).
+    */
+  def shingleCtes: String =
+    s"""$tokenHashCtes,
        |shq AS (
        |  SELECT DISTINCT doc_id, unnest(
        |    CASE WHEN len(th) >= 3
-       |         THEN list_transform(range(1, len(th) - 1),
-       |                i -> ((th[i] * 31 + th[i+1]) % 1000000007 * 31 + th[i+2]) % 1000000007)
+       |         THEN list_transform(range(1, len(th) - 1), i -> ${spanFoldSql(3)})
        |         ELSE [] END) AS h
        |  FROM thc
        |)""".stripMargin
@@ -2278,6 +2290,37 @@ object OracleSql {
        |   WHERE l_suppkey IN (SELECT l_suppkey FROM passkeys)) -
        |  (SELECT count(*) FROM lineitem
        |   WHERE l_suppkey IN (SELECT key FROM keys)) AS n_false_pos""".stripMargin
+
+  /** Q109 — cross-document duplicated-span stats (mirrors
+    * Dedup.dupSpans): w-token window hashes via the shared token-hash
+    * CTEs + unrolled span fold; per-(doc, span) pre-aggregate, then
+    * distinct-doc counts, then per-doc totals. Counts are integer;
+    * dup_frac is int/int division — bitwise engine parity.
+    */
+  def q109DupSpans(w: Int = 8, minDocs: Int = 2): String =
+    s"""WITH $tokenHashCtes,
+       |spans AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(th) >= $w
+       |         THEN list_transform(range(1, len(th) - ${w - 2}), i -> ${spanFoldSql(w)})
+       |         ELSE [] END) AS sh
+       |  FROM thc
+       |),
+       |perdoc AS (SELECT doc_id, sh, count(*) AS c FROM spans GROUP BY 1, 2),
+       |byspan AS (SELECT sh, count(*) AS ndocs FROM perdoc GROUP BY 1),
+       |agg AS (
+       |  SELECT p.doc_id,
+       |    CAST(sum(p.c) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN b.ndocs >= $minDocs THEN p.c ELSE 0 END)
+       |      AS BIGINT) AS dup_spans
+       |  FROM perdoc p JOIN byspan b USING (sh) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  coalesce(a.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+       |  CAST(coalesce(a.dup_spans, 0) AS DOUBLE) /
+       |    CAST(nullif(coalesce(a.n_spans, 0), 0) AS DOUBLE) AS dup_frac
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
   /** Q94 — equi-depth histogram (mirrors
     * Relational.equiDepthHistogram): ntile over the total order.

@@ -194,6 +194,7 @@ object SparkEntry {
     "q94_equidepth" -> ((s, dir) => Relational.equiDepthHistogram(s, dir)),
     "q107_cmsketch" -> ((s, dir) => Sketches.cmFrequency(s, dir)),
     "q108_bloom_prune" -> ((s, dir) => Sketches.bloomPruneAudit(s, dir)),
+    "q109_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
@@ -330,6 +331,7 @@ object SparkEntry {
     "q93b_column_stats_kmv" -> OracleSql.q93bColumnStatsKmv(),
     "q107_cmsketch" -> OracleSql.q107CmSketch(),
     "q108_bloom_prune" -> OracleSql.q108BloomPrune(),
+    "q109_dup_spans" -> OracleSql.q109DupSpans(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),

@@ -93,29 +93,30 @@ object GramHashesExpr {
   }
 }
 
-/** All 3-token shingle hashes of a document in one native pass:
+/** All n-token shingle hashes of a document in one native pass:
   * lowercase, split on \s+ runs, per-token polynomial hash mod `mod`,
-  * then combine each consecutive triple as
-  * ((h1*b + h2) % mod * b + h3) % mod.
+  * then combine each run of n consecutive token hashes with the same
+  * left-assoc fold, e.g. n=3: ((h1*b + h2) % mod * b + h3) % mod.
   *
   * Exists because the compositional form —
   * `transform(seq, i -> f(element_at(th, i+j)...))` over a computed
   * array `th` — re-evaluates the whole token-hash subtree per tap in
   * interpreted HOF evaluation: O(tokens²) per document (profiled at
-  * 14s for 5k docs). One native pass is O(chars).
+  * 14s for 5k docs). One native pass is O(chars · n).
   */
-case class ShingleHashesExpr(child: Expression, base: Long, mod: Long)
+case class ShingleHashesExpr(child: Expression, n: Int, base: Long, mod: Long)
     extends UnaryExpression {
+  require(n >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
   protected override def nullSafeEval(input: Any): Any =
-    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], base, mod)
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], n, base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.ShingleHashesExpr.compute($c, ${base}L, ${mod}L)")
+      c => s"graft.functions.ShingleHashesExpr.compute($c, $n, ${base}L, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
@@ -127,26 +128,37 @@ object ShingleHashesExpr {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def compute(s: UTF8String, base: Long, mod: Long): ArrayData = {
+  def compute(s: UTF8String, n: Int, base: Long, mod: Long): ArrayData = {
     val str = s.toString.toLowerCase(java.util.Locale.ROOT)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var h1 = -1L; var h2 = -1L // ring of the previous two token hashes
+    // ring of the previous n-1 token hashes, oldest first
+    val ring = new Array[Long](math.max(n - 1, 1))
+    var filled = 0
     var i = 0
-    val n = str.length
-    while (i < n) {
-      while (i < n && isWs(str.charAt(i))) i += 1
-      if (i < n) {
+    val len = str.length
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
         var acc = 0L
-        while (i < n && !isWs(str.charAt(i))) {
+        while (i < len && !isWs(str.charAt(i))) {
           val cp = str.codePointAt(i)
           acc = java.lang.Math.floorMod(acc * base + cp, mod)
           i += Character.charCount(cp)
         }
-        if (h1 >= 0 && h2 >= 0) {
-          out += java.lang.Math.floorMod(
-            java.lang.Math.floorMod(h1 * base + h2, mod) * base + acc, mod)
-        }
-        h1 = h2; h2 = acc
+        if (n == 1) out += acc
+        else if (filled == n - 1) {
+          // left-assoc fold over the window — the same arithmetic as
+          // the oracle's unrolled ((th[i]*b + th[i+1]) % m ...) chain
+          var comb = ring(0)
+          var j = 1
+          while (j < n - 1) {
+            comb = java.lang.Math.floorMod(comb * base + ring(j), mod)
+            j += 1
+          }
+          out += java.lang.Math.floorMod(comb * base + acc, mod)
+          if (n > 2) System.arraycopy(ring, 1, ring, 0, n - 2)
+          ring(n - 2) = acc
+        } else { ring(filled) = acc; filled += 1 }
       }
     }
     new GenericArrayData(out.toArray)

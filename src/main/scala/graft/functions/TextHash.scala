@@ -79,10 +79,16 @@ object TextHash {
     * see ShingleHashesExpr for why the compositional
     * transform/element_at form is quadratic and this isn't.
     */
-  def shingleHashes(text: Column): Column =
+  def shingleHashes(text: Column): Column = spanHashes(text, 3)
+
+  /** All n-token span hashes of a text column (the generalized
+    * shingle pass): per-token polyHash, left-assoc window combine.
+    * n=8 is the q109 duplicated-span unit.
+    */
+  def spanHashes(text: Column, n: Int): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       ShingleHashesExpr(
-        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), 31L, P))
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), n, 31L, P))
 
   /** MinHash permutation parameters: (index 1..k, band, a, b) with
     * a, b < P derived from fixed multiplicative constants — literal in

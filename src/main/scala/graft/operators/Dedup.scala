@@ -506,4 +506,49 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("label")).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** Q109 — cross-document duplicated-SPAN detection: the
+    * substring-level dedup pass (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") approximated with
+    * fixed-length token windows. Every w-token window of every
+    * document is hashed (one native rolling pass, ShingleHashesExpr
+    * with n = w); a window is "duplicated" when the same hash occurs
+    * in at least `minDocs` distinct documents. Per document:
+    * total window count, duplicated-window count, and the duplicated
+    * fraction — the signal a curation pipeline uses to cut docs
+    * dominated by boilerplate shared across the corpus.
+    *
+    * Scale shape: the text never shuffles — the span pass is a narrow
+    * projection; the explode emits 8-byte longs. Two span-keyed
+    * aggregations (per-doc pre-aggregate, then distinct-doc counts —
+    * both map-side combinable, no countDistinct state), one long-keyed
+    * join, one doc_id aggregate. At 100 TB every exchange carries
+    * (long, long) pairs only; skew is bounded because a span hash hot
+    * in d docs contributes d rows (linear), never d² — this is a
+    * per-span COUNT, not a candidate self-join.
+    */
+  def dupSpans(s: SparkSession, dir: String, w: Int = 8,
+               minDocs: Int = 2): DataFrame = {
+    val d = docs(s, dir)
+    // one row per (doc, span-hash) with its occurrence count
+    val perDoc = d
+      .select(col("doc_id"), explode(TextHash.spanHashes(col("text"), w)).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+    // perDoc is distinct per (doc, sh), so count(*) == distinct docs
+    val bySpan = perDoc.groupBy(col("sh"))
+      .agg(count(lit(1)).as("ndocs"))
+    val agg = perDoc.join(bySpan, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("ndocs") >= minDocs, col("c")).otherwise(lit(0L)))
+          .as("dup_spans"))
+    d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        // int/int division of identical integers: bitwise engine parity
+        (coalesce(col("dup_spans"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_spans"), lit(0L)), lit(0L)).cast("double"))
+          .as("dup_frac"))
+  }
 }

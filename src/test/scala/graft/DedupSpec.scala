@@ -268,6 +268,46 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("dupSpans: planted cross-doc 8-token span is counted, unique/short docs are not") {
+    val shared = "one two three four five six seven eight" // exactly 8 tokens
+    val docA = s"$shared plus unique tail words for doc alpha"
+    val docB = s"prefix words here then $shared and more beyond"
+    val uniq = "entirely distinct vocabulary nothing shared across any doc of corpus"
+    val short = "too few tokens"                           // < 8 tokens: no spans
+    withDocsDir(Seq(docA, docB, uniq, short)) { dir =>
+      val out = Dedup.dupSpans(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_spans")))).toMap
+      // docA: 15 tokens -> 8 spans; only the window equal to `shared`
+      // (position 0) also appears in docB
+      assert(out(0L) === ((8L, 1L)))
+      assert(out(1L)._2 === 1L)
+      assert(out(2L)._2 === 0L)
+      assert(out(3L) === ((0L, 0L)))
+      val fracs = Dedup.dupSpans(spark, dir)
+        .filter(col("doc_id") === 3L).select("dup_frac").collect()
+      assert(fracs.head.isNullAt(0), "0-span doc must have NULL dup_frac")
+    }
+  }
+
+  test("spanHashes matches an independent token-fold for n=1,2,5") {
+    val text = "Alpha beta GAMMA  delta epsilon zeta"
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def tokHash(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) =>
+        java.lang.Math.floorMod(a * 31 + c, TextHash.P))
+    for (n <- Seq(1, 2, 5)) {
+      val expected = toks.sliding(n).filter(_.length == n)
+        .map(_.map(tokHash).reduceLeft((a, h) =>
+          java.lang.Math.floorMod(a * 31 + h, TextHash.P)))
+        .toSeq
+      val got = Seq(text).toDF("t")
+        .select(TextHash.spanHashes(col("t"), n).as("sh"))
+        .head().getSeq[Long](0)
+      assert(got === expected, s"n=$n")
+    }
+  }
+
   test("dupClusters: planted near-dup trio collapses to one cluster id") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     withDocsDir(Seq(a, a, a, "totally unrelated words here nothing shared at all ok")) { dir =>
