@@ -518,6 +518,14 @@ object OracleSql {
   def cosSql(a: String, b: String, dim: Int = 64): String =
     s"${sumTerms(a, b, dim)} / sqrt(${sumTerms(a, a, dim)} * ${sumTerms(b, b, dim)})"
 
+  /** Squared L2 distance with SqDistExpr's association order:
+    * ascending (a[i]-b[i])² terms summed left-assoc from 0.0.
+    */
+  def sqDistTerms(a: String, b: String, dim: Int = 64): String =
+    "(0.0 + " +
+      (1 to dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])")
+        .mkString(" + ") + ")"
+
   def q16CosineTopK(dim: Int = 64, k: Int = 10): String = {
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
@@ -2321,6 +2329,46 @@ object OracleSql {
        |  CAST(coalesce(a.dup_spans, 0) AS DOUBLE) /
        |    CAST(nullif(coalesce(a.n_spans, 0), 0) AS DOUBLE) AS dup_frac
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Q110 — k-means Lloyd iterations (mirrors Similarity.kmeans,
+    * k=8, iters=2 unrolled): deterministic vec_id < k init, squared-L2
+    * argmin assignment (ties to smaller cid), DECIMAL(28,14)-exact
+    * per-dimension centroid means, final assignment with distance.
+    */
+  def q110Kmeans(k: Int = 8, dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |c0 AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $k),
+       |d1 AS (
+       |  SELECT e.vec_id, e.de, c0.cid, ${sqDistTerms("de", "ce", dim)} AS d
+       |  FROM e CROSS JOIN c0
+       |),
+       |a1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |  FROM d1
+       |),
+       |m1 AS (SELECT vec_id, de, cid FROM a1 WHERE rk = 1),
+       |x1 AS (
+       |  SELECT cid, t.dim, CAST(de[t.dim] AS DECIMAL(28,14)) AS vd
+       |  FROM m1, unnest(range(1, ${dim + 1})) AS t(dim)
+       |),
+       |cc1 AS (
+       |  SELECT cid, dim, CAST(sum(vd) AS DOUBLE) / count(*) AS c
+       |  FROM x1 GROUP BY 1, 2
+       |),
+       |c1 AS (SELECT cid, list(c ORDER BY dim) AS ce FROM cc1 GROUP BY 1),
+       |d2 AS (
+       |  SELECT e.vec_id, c1.cid, ${sqDistTerms("de", "ce", dim)} AS d
+       |  FROM e CROSS JOIN c1
+       |),
+       |a2 AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |  FROM d2
+       |)
+       |SELECT vec_id, cid, d AS dist FROM a2 WHERE rk = 1""".stripMargin
 
   /** Q94 — equi-depth histogram (mirrors
     * Relational.equiDepthHistogram): ntile over the total order.

@@ -195,6 +195,7 @@ object SparkEntry {
     "q107_cmsketch" -> ((s, dir) => Sketches.cmFrequency(s, dir)),
     "q108_bloom_prune" -> ((s, dir) => Sketches.bloomPruneAudit(s, dir)),
     "q109_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
+    "q110_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
@@ -332,6 +333,7 @@ object SparkEntry {
     "q107_cmsketch" -> OracleSql.q107CmSketch(),
     "q108_bloom_prune" -> OracleSql.q108BloomPrune(),
     "q109_dup_spans" -> OracleSql.q109DupSpans(),
+    "q110_kmeans" -> OracleSql.q110Kmeans(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),

@@ -329,6 +329,40 @@ object DotProductExpr {
   }
 }
 
+/** Squared L2 distance of two array<double> columns, same pinned
+  * left-assoc fold from 0.0 as DotProductExpr but over
+  * (x-y)·(x-y) terms — the k-means assignment metric (q110).
+  */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SqDistExpr.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SqDistExpr.sqDist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistExpr {
+  def sqDist(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = xs(i) - ys(i); acc += d * d; i += 1 }
+    acc
+  }
+}
+
 /** Chunk-associative FIR dot product for the Savitzky-Golay path:
   * coefficient taps folded in chunks of `chunk` (each from 0.0,
   * left-assoc), chunk sums added left-assoc — bit-for-bit the

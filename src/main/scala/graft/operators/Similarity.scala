@@ -32,6 +32,13 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** Squared L2 distance, ascending-order pinned fold (SqDistExpr). */
+  def sqDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.SqDistExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
   /** Q16 — top-k cosine neighbours of a fixed probe set (vec_id < 3),
     * excluding self; ties broken by vec_id for determinism.
     */
@@ -384,6 +391,57 @@ object Similarity {
       .select(col("b.vec_id").as("dup_id")).distinct()
     lists.join(dups, lists("vec_id") === dups("dup_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_id").isNull.as("kept"))
+  }
+
+  /** Q110 — k-means (Lloyd) over the embedding corpus, `iters`
+    * unrolled iterations: deterministic init (vec_id < k, the fixed
+    * quantizer trick shared with q16c/q45), assignment by squared-L2
+    * argmin (ties to the smaller centroid id), centroid recompute as
+    * the elementwise mean. The clustering pass behind curation
+    * workflows (topic balance, semantic dedup shards, IVF training).
+    *
+    * Determinism is bitwise, not rounding-level: member values are
+    * quantized to DECIMAL(28,14) before the per-dimension sum, so the
+    * centroid mean is an exact decimal divided by an integer count —
+    * identical doubles in both engines — and every distance is a
+    * pinned ascending fold (SqDistExpr). This matters here more than
+    * in q30: a rounding-level wobble in a centroid can flip an argmin
+    * and change ASSIGNMENTS discretely, not just a float column.
+    *
+    * Scale shape per iteration: assignment is a broadcast nested loop
+    * over k centroids (no corpus shuffle); recompute is one
+    * (cid, dim)-keyed aggregate with map-side partials (k·dim output
+    * rows) reassembled into k arrays. The corpus is scanned twice per
+    * iteration and never joined against itself. At 100 TB: k·dim
+    * doubles broadcast per round — the same plan MLlib's k-means
+    * lowers to, expressed declaratively.
+    */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+             iters: Int = 2): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cent))
+        .withColumn("d", sqDist(col("de"), col("ce")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("de"), col("cid"), col("d"))
+    def recompute(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), posexplode(col("de")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("v").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("ce"))
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("de").as("ce"))
+    val cent = (1 until iters).foldLeft(init) { (c, _) => recompute(assign(c)) }
+    assign(cent).select(col("vec_id"), col("cid"), col("d").as("dist"))
   }
 
   /** Q30 — per-label centroids + each vector's cosine to its own

@@ -190,6 +190,23 @@ class PlanQualitySpec extends SparkSpec {
       s"lineitem scan must prune to the key columns: $s"))
   }
 
+  test("q109: span aggregations are partial+final on the hash; text never shuffles") {
+    val p = plan("q109_dup_spans")
+    // both span-keyed aggregates must have map-side partials
+    assert("partial_count".r.findAllIn(p).size >= 1, s"no map-side combine:\n$p")
+    assert(!"Exchange hashpartitioning\\(text#".r.findFirstIn(p).isDefined,
+      s"document text entered an exchange:\n$p")
+  }
+
+  test("q110: both Lloyd assignments broadcast the centroid side") {
+    val p = plan("q110_kmeans")
+    // init centroids + recomputed centroids: two broadcast nested loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 2,
+      s"centroid side must broadcast in each iteration:\n$p")
+    // the corpus is never sort-merge-joined against itself
+    assert(!p.contains("SortMergeJoin"), s"unexpected corpus shuffle join:\n$p")
+  }
+
   test("column pruning reaches the documents scan: text is not read when unused") {
     // ReadSchema in the FileScan must exclude `text` for queries that
     // only use metadata columns — at 100 TB, `text` IS the table

@@ -132,6 +132,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: two separated blobs are recovered exactly after one recompute") {
+    // blob A around +10 in dim 0, blob B around -10; init centroids are
+    // vec 0 (in A) and vec 1 (in B), so Lloyd must converge immediately
+    val rng = new java.util.Random(110)
+    def blob(center: Float, n: Int) = Seq.fill(n) {
+      val v = Array.fill(64)(rng.nextGaussian().toFloat * 0.1f)
+      v(0) += center; v
+    }
+    // interleave so init (vec_id < 2) picks one from each blob
+    val vecs = Seq(blob(10f, 1).head, blob(-10f, 1).head) ++
+      blob(10f, 9) ++ blob(-10f, 9)
+    withEmbDir(vecs) { dir =>
+      val out = Similarity.kmeans(spark, dir, k = 2, iters = 2).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+      assert(out.size === 20)
+      val aIds = Set(0L) ++ (2L until 11L)
+      val bIds = Set(1L) ++ (11L until 20L)
+      assert(aIds.forall(out(_) === 0L), s"blob A split: $out")
+      assert(bIds.forall(out(_) === 1L), s"blob B split: $out")
+    }
+  }
+
+  test("kmeans is deterministic across runs and assignment distances are finite") {
+    withEmbDir(randVecs(40)) { dir =>
+      def run() = Similarity.kmeans(spark, dir, k = 4, iters = 2).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+          r.getAs[Double]("dist"))).sortBy(_._1).toSeq
+      val a = run(); val b = run()
+      assert(a === b)
+      assert(a.forall { case (_, _, d) => !d.isNaN && d >= 0.0 })
+      assert(a.map(_._2).distinct.size > 1, "degenerate single cluster")
+    }
+  }
+
   test("centroidsForCorpus keeps cluster occupancy bounded") {
     assert(Similarity.centroidsForCorpus(500L) === 8)
     assert(Similarity.centroidsForCorpus(1L << 20, targetCluster = 1024L) === 1024)
