@@ -2370,6 +2370,40 @@ object OracleSql {
        |)
        |SELECT vec_id, cid, d AS dist FROM a2 WHERE rk = 1""".stripMargin
 
+  /** Q111 — quantile sketch audit (mirrors Sketches.sketchQuantiles):
+    * bottom-k hash sample replayed with a row_number window, exact
+    * interpolated quantiles on both the sample and the full group.
+    */
+  def q111SketchQuantiles(k: Int = 128): String =
+    s"""WITH h AS (
+       |  SELECT event_type, value,
+       |    ${polyHashSql("CAST(event_id AS VARCHAR)")} AS hh, event_id
+       |  FROM events
+       |),
+       |rk AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY hh, event_id) AS rn
+       |  FROM h
+       |),
+       |est AS (
+       |  SELECT event_type, count(*) AS sample_k,
+       |    quantile_cont(value, 0.5) AS est_p50,
+       |    quantile_cont(value, 0.9) AS est_p90,
+       |    quantile_cont(value, 0.99) AS est_p99
+       |  FROM rk WHERE rn <= $k GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |    quantile_cont(value, 0.5) AS exact_p50,
+       |    quantile_cont(value, 0.9) AS exact_p90,
+       |    quantile_cont(value, 0.99) AS exact_p99
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT event_type, n_rows, sample_k,
+       |  est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99
+       |FROM est JOIN ex USING (event_type)""".stripMargin
+
   /** Q94 — equi-depth histogram (mirrors
     * Relational.equiDepthHistogram): ntile over the total order.
     */

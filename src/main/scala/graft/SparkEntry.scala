@@ -196,6 +196,7 @@ object SparkEntry {
     "q108_bloom_prune" -> ((s, dir) => Sketches.bloomPruneAudit(s, dir)),
     "q109_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     "q110_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
+    "q111_sketch_quantiles" -> ((s, dir) => Sketches.sketchQuantiles(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
@@ -334,6 +335,7 @@ object SparkEntry {
     "q108_bloom_prune" -> OracleSql.q108BloomPrune(),
     "q109_dup_spans" -> OracleSql.q109DupSpans(),
     "q110_kmeans" -> OracleSql.q110Kmeans(),
+    "q111_sketch_quantiles" -> OracleSql.q111SketchQuantiles(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),

@@ -107,3 +107,49 @@ class HashReservoir(k: Int)
   def bufferEncoder: Encoder[Array[(Long, Long)]] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
 }
+
+/** Value-carrying variant of [[HashReservoir]]: keeps the `k`
+  * (hash, id, value) triples with the smallest (hash, id) — the
+  * deterministic uniform sample a quantile sketch reads its values
+  * from (q111). The id stays in the ordering key so hash collisions
+  * cannot drop rows (ids are unique; (hash, value) alone would
+  * `distinct` away a collision the oracle's row_number keeps).
+  * Same bounded-state partial-aggregate shape as HashReservoir.
+  */
+class HashValueReservoir(k: Int)
+    extends Aggregator[(String, Long, Long, Double), Array[(Long, Long, Double)], Seq[Double]]
+    with Serializable {
+  require(k > 0, s"reservoir needs k > 0, got $k")
+
+  private val ord =
+    Ordering.by[(Long, Long, Double), (Long, Long)](t => (t._1, t._2))
+
+  def zero: Array[(Long, Long, Double)] = Array.empty
+
+  def reduce(b: Array[(Long, Long, Double)],
+             in: (String, Long, Long, Double)): Array[(Long, Long, Double)] = {
+    val e = (in._2, in._3, in._4)
+    if (b.length < k) {
+      val out = b :+ e
+      scala.util.Sorting.stableSort(out, ord.lt _)
+      out
+    } else if (ord.lt(e, b(k - 1))) {
+      val out = b.clone()
+      out(k - 1) = e
+      scala.util.Sorting.stableSort(out, ord.lt _)
+      out
+    } else b
+  }
+
+  def merge(a: Array[(Long, Long, Double)],
+            b: Array[(Long, Long, Double)]): Array[(Long, Long, Double)] = {
+    val out = (a ++ b).distinct
+    scala.util.Sorting.stableSort(out, ord.lt _)
+    out.take(k)
+  }
+
+  def finish(b: Array[(Long, Long, Double)]): Seq[Double] = b.map(_._3).toSeq
+
+  def bufferEncoder: Encoder[Array[(Long, Long, Double)]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}

@@ -145,4 +145,47 @@ object Sketches {
       .select(col("n_fact"), col("n_bloom_pass"), col("n_true_match"),
         (col("n_bloom_pass") - col("n_true_match")).as("n_false_pos"))
   }
+
+  /** Q111 — quantile SKETCH per event type: approximate p50/p90/p99
+    * from a deterministic bottom-k hash sample (HashValueReservoir —
+    * the k rows with the smallest polyHash(event_id), a uniform
+    * reproducible sample), audited in-result against the exact
+    * percentiles. The bounded-state alternative to q32 at 100 TB:
+    * exact `percentile` buffers every group value through the
+    * exchange, the reservoir carries ≤ k (hash, id, value) triples
+    * per partition — a mergeable partial aggregate, same contract as
+    * the KMV/MG sketches. At real scale only the `est_*` side runs;
+    * the exact side here is the error audit (and the driver's
+    * determinism check: sample membership is a pure function of the
+    * data, so both engines interpolate identical order statistics).
+    */
+  def sketchQuantiles(s: SparkSession, dir: String, k: Int = 128): DataFrame = {
+    import s.implicits._
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val res = new graft.functions.HashValueReservoir(k)
+    val sample = ev
+      .select(col("event_type"),
+        graft.functions.TextHash.polyHash(col("event_id").cast("string")).as("h"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(res.toColumn.name("vals"))
+      .toDF("event_type", "vals")
+    val est = sample
+      .select(col("event_type"), explode(col("vals")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("sample_k"),
+        percentile(col("v"), lit(0.5)).as("est_p50"),
+        percentile(col("v"), lit(0.9)).as("est_p90"),
+        percentile(col("v"), lit(0.99)).as("est_p99"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"),
+        percentile(col("value"), lit(0.9)).as("exact_p90"),
+        percentile(col("value"), lit(0.99)).as("exact_p99"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_rows"), col("sample_k"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("exact_p50"), col("exact_p90"), col("exact_p99"))
+  }
 }

@@ -99,4 +99,44 @@ class MgSketchSpec extends SparkSpec {
     val b2 = p2.foldLeft(r.zero)((b, e) => r.reduce(b, e))
     assert(r.merge(b1, b2).toSeq === whole.toSeq)
   }
+
+  test("HashValueReservoir keeps values of the k smallest keys; hash ties survive via id") {
+    val r = new graft.functions.HashValueReservoir(3)
+    // two rows share hash 1 but have distinct ids — both must be kept
+    val items = Seq((1L, 10L, 0.5), (1L, 11L, 0.7), (9L, 12L, 9.9),
+      (4L, 13L, 0.1), (2L, 14L, 0.3))
+      .map { case (h, id, v) => ("g", h, id, v) }
+    val whole = items.foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    assert(r.finish(whole) === Seq(0.5, 0.7, 0.3))
+    // merge path keeps the same triples under any split
+    val (p1, p2) = items.splitAt(2)
+    val b1 = p1.foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    val b2 = p2.foldLeft(r.zero)((b, e) => r.reduce(b, e))
+    assert(r.finish(r.merge(b1, b2)) === r.finish(whole))
+  }
+
+  test("sketchQuantiles: sample_k caps at k and estimates bracket reality on uniform data") {
+    val dir = java.nio.file.Files.createTempDirectory("sq").toString
+    try {
+      val rng = new java.util.Random(111)
+      (0 until 5000).map { i =>
+        (i.toLong, new java.sql.Timestamp(i * 1000L), (i % 40).toLong,
+          s"t${i % 2}", rng.nextDouble() * 100, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.operators.Sketches.sketchQuantiles(spark, dir, k = 128)
+        .collect()
+      assert(out.length === 2)
+      out.foreach { row =>
+        assert(row.getAs[Long]("sample_k") === 128L)
+        assert(row.getAs[Long]("n_rows") === 2500L)
+        // a 128-sample p50 of U[0,100] lands well inside [35, 65]
+        val est = row.getAs[Double]("est_p50")
+        val exact = row.getAs[Double]("exact_p50")
+        assert(math.abs(est - exact) < 15.0, s"p50 est $est vs exact $exact")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
