@@ -197,6 +197,8 @@ object SparkEntry {
     "q109_dup_spans" -> ((s, dir) => Dedup.dupSpans(s, dir)),
     "q110_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
     "q111_sketch_quantiles" -> ((s, dir) => Sketches.sketchQuantiles(s, dir)),
+    "q112_stream_heavy" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamHeavyFixture(s, dir)),
     "q95_dim_stats" -> Similarity.dimStats _,
     "q96_cooccurrence" -> ((s, dir) => Relational.typeCooccurrence(s, dir)),
     "q97_conversion_latency" -> Relational.conversionLatency _,
@@ -336,6 +338,8 @@ object SparkEntry {
     "q109_dup_spans" -> OracleSql.q109DupSpans(),
     "q110_kmeans" -> OracleSql.q110Kmeans(),
     "q111_sketch_quantiles" -> OracleSql.q111SketchQuantiles(),
+    // q112 converges to the batch sketch — same oracle as q40
+    "q112_stream_heavy" -> OracleSql.q40HeavyHitters(),
     "q94_equidepth" -> OracleSql.q94EquiDepth(),
     "q95_dim_stats" -> OracleSql.q95DimStats(),
     "q96_cooccurrence" -> OracleSql.q96Cooccurrence(),

@@ -939,6 +939,73 @@ object StreamingOps {
       .select("source", "n_kept", "kth_min", "est_distinct")
   }
 
+  /** Per-key Misra-Gries stream state (counter map + batch version). */
+  case class MgStreamBuf(counts: Map[String, Long], version: Int)
+
+  /** Per-batch heavy-hitter emission for one group. */
+  case class MgUpdate(source: String, version: Int, token: String,
+                      cnt: Long, rnk: Long)
+
+  /** Q112 (operator) — continuous heavy-hitters per key: the
+    * [[graft.functions.MgSketch]] counter map folded across
+    * micro-batches with `flatMapGroupsWithState`, emitting the top-m
+    * after every batch. State is ≤ k counters per key — bounded
+    * forever, no watermark (the sketch never grows) — the streaming
+    * twin of the q40 batch UDAF, as q33 is for KMV. Below saturation
+    * (≤ k distinct tokens per key) no decrement ever fires, so the
+    * emission after the last batch equals the batch sketch exactly —
+    * the regime the shared q40 oracle replays; above saturation the
+    * Misra-Gries ε-guarantee survives any batching (MgSketchSpec).
+    */
+  def streamHeavyHitters(ds: Dataset[(String, String)], k: Int = 1 << 16,
+                         m: Int = 5): Dataset[MgUpdate] = {
+    import ds.sparkSession.implicits._
+    val mg = new graft.functions.MgSketch(k)
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[MgStreamBuf, MgUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (src, it, state) =>
+          val prev = state.getOption.getOrElse(MgStreamBuf(Map.empty, 0))
+          val buf = it.foldLeft(prev.counts)((b, r) => mg.reduce(b, r))
+          val ver = prev.version + 1
+          state.update(MgStreamBuf(buf, ver))
+          mg.finish(buf).take(m).zipWithIndex.iterator.map {
+            case ((tok, cnt), i) => MgUpdate(src, ver, tok, cnt, (i + 1).toLong)
+          }
+      }
+  }
+
+  /** q112 — [[streamHeavyHitters]] driven over the sfDir documents
+    * table via a 3-micro-batch MemoryStream; the final per-source
+    * emission equals the batch q40 sketch (same oracle SQL). The
+    * collect feeds the MemoryStream test harness only.
+    */
+  def streamHeavyFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("token"))
+      .as[(String, String)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val name = s"q112_stream_heavy_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamHeavyHitters(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        feedBatches(stream, q, data)
+      } finally q.stop()
+    }
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    s.table(name)
+      .withColumn("maxv", max(col("version")).over(bySource))
+      .filter(col("version") === col("maxv"))
+      .select("source", "token", "cnt", "rnk")
+  }
+
   /** q22 — drive the incremental smoother over the committed signal
     * fixture through a real MemoryStream (three micro-batches to
     * exercise state carry-over), collect from the memory sink, and

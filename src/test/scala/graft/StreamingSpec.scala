@@ -231,6 +231,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamHeavyHitters final emission equals batch heavyHitters across batch splits") {
+    val dir = java.nio.file.Files.createTempDirectory("streamhh").toString
+    try {
+      // token counts deliberately straddle the 3-batch split: "alpha"
+      // dominates everywhere, ties decided by token order
+      val texts = Seq.fill(9)("alpha beta alpha gamma alpha") ++
+        Seq("beta beta gamma delta epsilon zeta", "alpha beta")
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, if (i % 2 == 0) "s0" else "s1") }
+        .toDF("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("token"),
+          r.getAs[Long]("cnt"), r.getAs[Long]("rnk"))).toSet
+      val got = rows(StreamingOps.streamHeavyFixture(spark, dir))
+      val want = rows(graft.operators.Pipeline.heavyHitters(spark, dir))
+      assert(got === want)
+      assert(got.exists { case (_, tok, _, rnk) => tok == "alpha" && rnk == 1L })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("streamHistogram final updates equal the batch histogram") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("streamhist").toString
