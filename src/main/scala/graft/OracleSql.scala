@@ -2917,4 +2917,185 @@ object OracleSql {
        |  sx / n AS mean_w,
        |  (sxx - sx * sx / n) / n AS var_w
        |FROM a""".stripMargin
+
+  /** Q113 — per-part triangle counts (mirrors Graph.triangleCounts):
+    * the declarative a<b<c three-way join over the canonical
+    * co-purchase edge set enumerates each triangle exactly once —
+    * the closed form of the engine's degree-oriented wedge plan.
+    */
+  def q113Triangles(k: Int = 20): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |m AS (SELECT unnest([a, b, c]) AS node FROM tri),
+       |cn AS (SELECT node, count(*) AS n_tri FROM m GROUP BY 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY n_tri DESC, node) AS rnk
+       |  FROM cn
+       |)
+       |SELECT node, n_tri, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Q114 — per-group OLS (mirrors Relational.olsRegression): same
+    * DECIMAL(18,4)-quantized sufficient statistics, same pinned
+    * double finishing algebra, null on degenerate denominators.
+    */
+  def q114Ols: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CAST(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |      AS DECIMAL(18,4)) AS x,
+       |    CAST(value AS DECIMAL(18,4)) AS y
+       |  FROM events
+       |  WHERE TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |    IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |    CAST(sum(y * y) AS DOUBLE) AS syy,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM e GROUP BY 1
+       |)
+       |SELECT event_type, n,
+       |  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS slope,
+       |  (sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) * sx) / n
+       |    AS intercept,
+       |  (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+       |    nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0) AS r2
+       |FROM a""".stripMargin
+
+  /** Q115 — reciprocal-rank fusion (mirrors TextAnalysis.rrfFusion):
+    * both rankers restated from the q51 shared projection, ranks via
+    * row_number, RRF in the identical pinned double expression.
+    */
+  def q115Rrf(terms: Seq[String] = Seq("hash", "join", "scan"),
+              k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60,
+              topN: Int = 20): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter($tokensSql, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n    ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n    ")
+    val bm25 = terms.map(t =>
+      s"(n_docs - df_$t + 0.5) / (df_$t + 0.5) * " +
+        s"((tf_$t * ${k1 + 1}) / (tf_$t + $k1 * (${1 - b} + $b * dl / avgdl)))")
+      .mkString(" + ")
+    val tfidf = terms.map(t =>
+      s"(CAST(tf_$t AS DOUBLE) / dl) * (CAST(n_docs AS DOUBLE) / df_$t)")
+      .mkString(" + ")
+    s"""WITH wd AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM wd
+       |),
+       |st2 AS (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st),
+       |sc AS (
+       |  SELECT doc_id, $bm25 AS s_bm25, $tfidf AS s_tfidf
+       |  FROM wd CROSS JOIN st2
+       |),
+       |rk AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS BIGINT)
+       |      AS rank_bm25,
+       |    CAST(row_number() OVER (ORDER BY s_tfidf DESC, doc_id) AS BIGINT)
+       |      AS rank_tfidf
+       |  FROM sc
+       |),
+       |f AS (
+       |  SELECT doc_id, rank_bm25, rank_tfidf,
+       |    1.0 / ($rrfK + rank_bm25) + 1.0 / ($rrfK + rank_tfidf) AS rrf
+       |  FROM rk
+       |),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+       |    AS BIGINT) AS rnk
+       |  FROM f
+       |)
+       |SELECT doc_id, rank_bm25, rank_tfidf, rrf, rnk
+       |FROM r WHERE rnk <= $topN""".stripMargin
+  }
+
+  /** Q117 — robust MAD anomalies (mirrors Relational.madAnomalies):
+    * quantile_cont median + MAD, same modified-z cutoff, MAD=0 groups
+    * excluded by the null guard.
+    */
+  def q117MadAnomalies(cutoff: Double = 3.5): String =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1
+       |),
+       |ad AS (
+       |  SELECT e.event_id, e.event_type, e.value, med,
+       |    abs(e.value - med) AS ad
+       |  FROM events e JOIN med USING (event_type)
+       |),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+       |  FROM ad GROUP BY 1
+       |),
+       |z AS (
+       |  SELECT a.event_id, a.event_type, a.value, a.med, m.mad,
+       |    0.6745 * (a.value - a.med) / nullif(m.mad, 0) AS mz
+       |  FROM ad a JOIN mad m USING (event_type)
+       |)
+       |SELECT event_id, event_type, value, med, mad, mz
+       |FROM z WHERE abs(mz) > $cutoff""".stripMargin
+
+  /** Q120 — PMI collocations (mirrors TextAnalysis.pmiCollocations):
+    * identical pinned rational lift expression; bigrams via the
+    * q53-form adjacent-token join.
+    */
+  def q120Pmi(minCount: Int = 5, topN: Int = 50): String =
+    s"""WITH uni AS (
+       |  SELECT token, count(*) AS c1
+       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY 1
+       |),
+       |d AS (SELECT $tokensSql AS tk FROM documents),
+       |bgx AS (
+       |  SELECT unnest(list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+       |  FROM d
+       |),
+       |bg AS (
+       |  SELECT bigram, count(*) AS c_ab,
+       |    string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2
+       |  FROM bgx GROUP BY 1
+       |),
+       |n1 AS (SELECT CAST(sum(c1) AS BIGINT) AS n1 FROM uni),
+       |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bg),
+       |j AS (
+       |  SELECT bigram, c_ab, a.c1 AS ca, b.c1 AS cb,
+       |    CAST(c_ab AS DOUBLE) * n1.n1 * n1.n1 /
+       |      (CAST(nb.nb AS DOUBLE) * a.c1 * b.c1) AS lift
+       |  FROM bg
+       |  JOIN uni a ON a.token = bg.w1
+       |  JOIN uni b ON b.token = bg.w2
+       |  CROSS JOIN n1 CROSS JOIN nb
+       |  WHERE c_ab >= $minCount
+       |),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY lift DESC, bigram)
+       |    AS BIGINT) AS rnk
+       |  FROM j
+       |)
+       |SELECT bigram, c_ab, ca, cb, lift, rnk
+       |FROM r WHERE rnk <= $topN""".stripMargin
 }

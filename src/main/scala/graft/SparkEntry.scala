@@ -212,7 +212,12 @@ object SparkEntry {
     "q103_wow" -> Relational.weekOverWeek _,
     "q104_pareto" -> Relational.paretoConcentration _,
     "q105_interpolate" -> Relational.linearInterpolate _,
-    "q106_dedup_decisions" -> ((s, dir) => Dedup.dedupDecisions(s, dir))
+    "q106_dedup_decisions" -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
+    "q113_triangles" -> ((s, dir) => Graph.triangleCounts(s, dir)),
+    "q114_ols" -> Relational.olsRegression _,
+    "q115_rrf" -> ((s, dir) => TextAnalysis.rrfFusion(s, dir)),
+    "q117_mad_anomalies" -> ((s, dir) => Relational.madAnomalies(s, dir)),
+    "q120_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,6 +359,11 @@ object SparkEntry {
     "q103_wow" -> OracleSql.q103WeekOverWeek,
     "q104_pareto" -> OracleSql.q104Pareto,
     "q105_interpolate" -> OracleSql.q105Interpolate,
-    "q106_dedup_decisions" -> OracleSql.q106DedupDecisions()
+    "q106_dedup_decisions" -> OracleSql.q106DedupDecisions(),
+    "q113_triangles" -> OracleSql.q113Triangles(),
+    "q114_ols" -> OracleSql.q114Ols,
+    "q115_rrf" -> OracleSql.q115Rrf(),
+    "q117_mad_anomalies" -> OracleSql.q117MadAnomalies(),
+    "q120_pmi" -> OracleSql.q120Pmi()
   )
 }

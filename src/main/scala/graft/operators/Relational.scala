@@ -788,6 +788,77 @@ object Relational {
       .agg(percentile(col("ad"), lit(0.5)).as("mad"))
   }
 
+  /** Q114 — per-group ordinary least squares: slope / intercept / r²
+    * of `value` against the event's json `k` covariate, from closed-
+    * form sufficient statistics (the q68 decimal discipline: inputs
+    * quantized to DECIMAL(18,4), all five sums integer-exact and
+    * combine-order-free through the exchange, the regression algebra
+    * finished in pinned double expressions). This is the aggregate-
+    * only form of a fitted model: at 100 TB the whole fit is ONE
+    * map-side-combinable pass — no gradient iterations, no driver
+    * round-trips — and the same five sums serve slope, intercept, r²,
+    * and corr simultaneously. Degenerate groups (constant x or y)
+    * yield null coefficients via explicit zero-denominator guards,
+    * not NaN arithmetic.
+    */
+  def olsRegression(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val xs = ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long")
+          .cast("decimal(18,4)").as("x"),
+        col("value").cast("decimal(18,4)").as("y"))
+      .filter(col("x").isNotNull)
+    val a = xs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val cv = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = cv / when(dx =!= 0.0, dx)
+    a.select(col("event_type"), col("n"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      (cv * cv / when(dx * dy =!= 0.0, dx * dy)).as("r2"))
+  }
+
+  /** Q117 — robust anomaly detection: flag events whose modified
+    * z-score 0.6745·(v − median)/MAD exceeds 3.5 (the Iglewicz–Hoaglin
+    * rule) within their event type. Composes the q81 median/MAD
+    * aggregates — robust to the very outliers being hunted, unlike
+    * mean/stddev z-scores which an adversarial tail inflates.
+    *
+    * Scale shape: one percentile aggregate per group (group-count
+    * rows), broadcast back over the fact scan — the flagging pass is
+    * a narrow filtered projection, exactly the data-quality sweep
+    * shape a 100 TB ingest gate needs (the percentile itself swaps
+    * for the q111 bottom-k sketch when even per-group value buffers
+    * are too wide). MAD = 0 groups (over half the mass on one value)
+    * yield null scores and are excluded explicitly rather than
+    * dividing by zero.
+    */
+  def madAnomalies(s: SparkSession, dir: String,
+                   cutoff: Double = 3.5): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val st = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val ad = ev.join(broadcast(st), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("ad"))
+    val mad = ad.groupBy(col("event_type"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    ad.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        (lit(0.6745) * (col("value") - col("med")) /
+          when(col("mad") =!= 0.0, col("mad"))).as("mz"))
+      .filter(abs(col("mz")) > cutoff)
+  }
+
   /** Q84 — KMV sketch set algebra: estimated |A ∪ B| and |A ∩ B| of
     * the user sets of every event-type pair, from k-minimum-value
     * sketches only (Beyer et al., SIGMOD 2007) — the sketch-level

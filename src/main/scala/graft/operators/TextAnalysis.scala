@@ -359,6 +359,103 @@ object TextAnalysis {
       termScore.reduceLeft(_ + _).as("bm25"))
   }
 
+  /** Q115 — reciprocal-rank fusion of two lexical rankers over the
+    * same fixed query: the q51 BM25 scorer and a normalized-TF ×
+    * inverse-df scorer (Σ_t (tf_t/dl)·(N/df_t) — a deliberately
+    * different weighting family). Each ranker produces a full
+    * ordering; RRF(doc) = Σ_r 1/(60 + rank_r(doc)) (Cormack et al.,
+    * SIGIR 2009 — rank fusion without score calibration, the standard
+    * way hybrid retrieval merges lexical and dense lists).
+    *
+    * Scale shape: both scores come from ONE shared corpus projection
+    * (tf columns are codegen'd array filters — no explode) against one
+    * broadcast global-stats row, so scoring stays a linear scan. The
+    * two rank windows are single-partition over the corpus — correct
+    * at test scale and STATED cost: production fusion ranks only each
+    * retriever's top-k candidate list (k ~10³), where a global window
+    * is a broadcast-sized sort; the fused top-k here caps output the
+    * same way.
+    */
+  def rrfFusion(s: SparkSession, dir: String,
+                terms: Seq[String] = Seq("hash", "join", "scan"),
+                k1: Double = 1.2, b: Double = 0.75, rrfK: Int = 60,
+                topN: Int = 20): DataFrame = {
+    val wd = docs(s, dir)
+      .withColumn("tk", TextHash.tokens(col("text")))
+      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++
+        terms.map(t =>
+          size(filter(col("tk"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = wd.agg(aggs.head, aggs.tail: _*)
+    val scored = wd.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val bm25Score = terms.map { t =>
+      val idf = (col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      val w = (col(s"tf_$t") * lit(k1 + 1)) /
+        (col(s"tf_$t") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      idf * w
+    }.reduceLeft(_ + _)
+    val tfidfScore = terms.map { t =>
+      (col(s"tf_$t").cast("double") / col("dl")) *
+        (col("n_docs").cast("double") / col(s"df_$t"))
+    }.reduceLeft(_ + _)
+    val both = scored.select(col("doc_id"),
+      bm25Score.as("s_bm25"), tfidfScore.as("s_tfidf"))
+    val wa = Window.orderBy(col("s_bm25").desc, col("doc_id"))
+    val wb = Window.orderBy(col("s_tfidf").desc, col("doc_id"))
+    val ranked = both
+      .withColumn("rank_bm25", row_number().over(wa).cast("long"))
+      .withColumn("rank_tfidf", row_number().over(wb).cast("long"))
+      .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
+        (lit(1.0) / (lit(rrfK) + col("rank_bm25")) +
+          lit(1.0) / (lit(rrfK) + col("rank_tfidf"))).as("rrf"))
+    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+    ranked.withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
+  /** Q120 — PMI collocations: bigrams whose observed frequency beats
+    * the independence expectation of their unigrams. The statistic is
+    * the LIFT p(w1w2)/(p(w1)·p(w2)) — the exp of PMI, same ordering —
+    * kept in pure rational arithmetic (one pinned double expression;
+    * no ln(), whose last-ulp libm variation the repo's float
+    * discipline avoids). Min-count floor keeps rare-pair noise out,
+    * the standard collocation-extraction guard.
+    *
+    * Scale shape: both count tables collapse the corpus ONCE each
+    * (map-side combinable, keyed by token / bigram string); the join
+    * keys the bigram aggregate against the vocabulary-sized unigram
+    * table twice (broadcastable when the vocab is bounded — it is
+    * here); the scalar totals ride a broadcast cross join. The final
+    * top-k window runs over the min-count-filtered aggregate, never
+    * the corpus.
+    */
+  def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+                      topN: Int = 50): DataFrame = {
+    val d = docs(s, dir)
+    val uni = d.select(explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val bg = d.select(explode(TextHash.wordShinglesNative(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val n1 = uni.agg(sum(col("c1")).as("n1"))
+    val nb = bg.agg(sum(col("c_ab")).as("nb"))
+    val joined = bg
+      .join(broadcast(uni.select(col("token").as("w1"), col("c1").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("token").as("w2"), col("c1").as("cb"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(nb))
+      .filter(col("c_ab") >= minCount)
+      .select(col("bigram"), col("c_ab"), col("ca"), col("cb"),
+        (col("c_ab").cast("double") * col("n1") * col("n1") /
+          (col("nb").cast("double") * col("ca") * col("cb"))).as("lift"))
+    val w = Window.orderBy(col("lift").desc, col("bigram"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer
