@@ -2923,11 +2923,12 @@ object OracleSql {
     * co-purchase edge set enumerates each triangle exactly once —
     * the closed form of the engine's degree-oriented wedge plan.
     */
-  def q113Triangles(k: Int = 20): String =
+  def q113Triangles(k: Int = 20, minSupport: Int = 2): String =
     s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        |e AS (
-       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  SELECT x.p AS a, y.p AS b
        |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
        |),
        |tri AS (
        |  SELECT e1.a, e1.b, e2.b AS c
@@ -3030,6 +3031,49 @@ object OracleSql {
        |SELECT doc_id, rank_bm25, rank_tfidf, rrf, rnk
        |FROM r WHERE rnk <= $topN""".stripMargin
   }
+
+  /** Q116 — stream-static enrichment (mirrors
+    * StreamingOps.enrichStatic): the batch statement of the stream's
+    * Complete-mode final table — decimal-quantized sums make the
+    * running aggregate combine-order-free, so batch = stream.
+    */
+  def q116StreamEnrich: String =
+    s"""SELECT n.n_name AS n_name, count(*) AS n_events,
+       |  CAST(sum(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       |FROM events e
+       |JOIN customer c ON e.user_id = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1""".stripMargin
+
+  /** Q118 — Jaro-Winkler vocabulary linkage (mirrors
+    * Dedup.jwVocabLinkage): DuckDB's jaro_winkler_similarity is the
+    * independent implementation of the same published algorithm the
+    * native JaroWinklerExpr pins (integer transposition halving,
+    * 0.7 boost threshold, 4-char prefix cap).
+    */
+  def q118JwLinkage(minJw: Double = 0.5): String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT token
+       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |)
+       |SELECT a.token AS tok_a, b.token AS tok_b,
+       |  jaro_winkler_similarity(a.token, b.token) AS jw
+       |FROM v a JOIN v b
+       |  ON substr(a.token, 1, 1) = substr(b.token, 1, 1)
+       |  AND a.token < b.token
+       |WHERE jaro_winkler_similarity(a.token, b.token) >= $minJw""".stripMargin
+
+  /** Q119 — partitioned-sink round-trip (mirrors
+    * GenericSources.partitionedRoundtripSummary): the q59 rollup over
+    * the declaratively-filtered original table — equality proves the
+    * hive-partitioned write + pruned read lossless and complete.
+    */
+  def q119PartitionedRoundtrip(source: String = "src3"): String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+       |FROM documents WHERE source = '$source' GROUP BY 1, 2""".stripMargin
 
   /** Q117 — robust MAD anomalies (mirrors Relational.madAnomalies):
     * quantile_cont median + MAD, same modified-z cutoff, MAD=0 groups

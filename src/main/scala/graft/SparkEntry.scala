@@ -216,7 +216,12 @@ object SparkEntry {
     "q113_triangles" -> ((s, dir) => Graph.triangleCounts(s, dir)),
     "q114_ols" -> Relational.olsRegression _,
     "q115_rrf" -> ((s, dir) => TextAnalysis.rrfFusion(s, dir)),
+    "q116_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamEnrichFixture(s, dir)),
     "q117_mad_anomalies" -> ((s, dir) => Relational.madAnomalies(s, dir)),
+    "q118_jw_linkage" -> ((s, dir) => Dedup.jwVocabLinkage(s, dir)),
+    "q119_partitioned_roundtrip" -> ((s, dir) =>
+      graft.sources.GenericSources.partitionedRoundtripSummary(s, dir)),
     "q120_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir))
   )
 
@@ -363,7 +368,10 @@ object SparkEntry {
     "q113_triangles" -> OracleSql.q113Triangles(),
     "q114_ols" -> OracleSql.q114Ols,
     "q115_rrf" -> OracleSql.q115Rrf(),
+    "q116_stream_enrich" -> OracleSql.q116StreamEnrich,
     "q117_mad_anomalies" -> OracleSql.q117MadAnomalies(),
+    "q118_jw_linkage" -> OracleSql.q118JwLinkage(),
+    "q119_partitioned_roundtrip" -> OracleSql.q119PartitionedRoundtrip(),
     "q120_pmi" -> OracleSql.q120Pmi()
   )
 }

@@ -551,4 +551,38 @@ object Dedup {
           nullif(coalesce(col("n_spans"), lit(0L)), lit(0L)).cast("double"))
           .as("dup_frac"))
   }
+
+  /** Q118 — fuzzy record linkage over the corpus vocabulary with the
+    * native [[graft.functions.JaroWinklerExpr]] scorer: every distinct
+    * token pair sharing a first character and scoring ≥ `minJw` is a
+    * candidate merge (typo/variant detection — the vocabulary-
+    * normalization pass a training-data pipeline runs before token
+    * statistics).
+    *
+    * Scale shape: linkage runs on the DISTINCT vocabulary (one
+    * corpus collapse, map-side combinable), never on token
+    * occurrences; the self-join is BLOCKED on the first character —
+    * the classic Winkler blocking key, aligned with the measure
+    * itself (a first-character mismatch already forfeits the prefix
+    * bonus and most of the match mass). Candidate volume is
+    * Σ_blocks |block|²/2 over vocabulary-sized blocks, not corpus
+    * rows; an unbounded name universe refines the key (first char ×
+    * length bucket × soundex) with the same plan. Scoring is one
+    * codegen'd expression per candidate — no UDF deserialization on
+    * the hot path.
+    */
+  def jwVocabLinkage(s: SparkSession, dir: String,
+                     minJw: Double = 0.5): DataFrame = {
+    val vocab = docs(s, dir)
+      .select(explode(graft.functions.TextHash.tokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("blk", substring(col("token"), 1, 1))
+    val jw = graft.functions.JaroWinklerExpr.jaroWinkler(
+      col("tok_a"), col("tok_b"))
+    vocab.as("x").join(vocab.as("y"),
+        col("x.blk") === col("y.blk") && col("x.token") < col("y.token"))
+      .select(col("x.token").as("tok_a"), col("y.token").as("tok_b"))
+      .withColumn("jw", jw)
+      .filter(col("jw") >= minJw)
+  }
 }

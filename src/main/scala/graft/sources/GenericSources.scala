@@ -71,6 +71,42 @@ object GenericSources {
     summary
   }
 
+  /** Q119 — partitioned-sink + partition-pruning audit: the documents
+    * table written as a hive-layout parquet tree partitioned by
+    * `source` (the layout a 100 TB corpus actually lands in), read
+    * back with a partition-key filter, and summarized per lang. The
+    * filter prunes at the DIRECTORY level — the scan plans only the
+    * matching partition's files (`PartitionFilters` in the physical
+    * plan, pinned by PlanQualitySpec), so the read does work
+    * proportional to one partition, not the corpus: the difference
+    * between touching 1/N of 100 TB and all of it. The aggregate
+    * equals the same rollup over the original table filtered
+    * declaratively (the oracle side), proving the partitioned
+    * round-trip lossless AND the pruned read complete.
+    *
+    * The partition column comes back from the directory name, not the
+    * data files; `basePath`-free single-root read keeps the schema
+    * identical. Temp tree deleted after materialization (q59 shape).
+    */
+  def partitionedRoundtripSummary(s: SparkSession, dir: String,
+                                  source: String = "src3"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_part")
+    writeParquet(s.read.parquet(s"$dir/documents.parquet"), out.toString,
+      partitionBy = Seq("source"))
+    val summary = s.read.parquet(out.toString)
+      .filter(col("source") === source)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"))
+      .localCheckpoint() // materialize before the fixture dir vanishes
+    deleteRecursively(out)
+    summary
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator

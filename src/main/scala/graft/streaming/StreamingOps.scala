@@ -1031,6 +1031,55 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Q116 (operator) — stream-static enrichment: the event stream
+    * joined to a BATCH dimension (customer → nation) and rolled up
+    * per nation. Structured Streaming plans the static side as a
+    * broadcast into every micro-batch — the canonical "enrich the
+    * firehose against reference data" topology; the dimension is
+    * re-resolvable between batches (a slowly-changing dim just
+    * works), and NO stream state is keyed by it. The running
+    * aggregate keys on nation (bounded cardinality) in Complete
+    * mode: decimal-quantized value sums make the running total
+    * combine-order-free, so the final emission equals the batch
+    * join-aggregate exactly (the oracle side).
+    */
+  def enrichStatic(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(broadcast(dim), ev("user_id") === dim("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).as("sv"))
+
+  /** q116 — [[enrichStatic]] over the sfDir events table via a
+    * 3-micro-batch MemoryStream against the customer⋈nation static
+    * dim. Complete-mode final table = batch aggregate. The collect
+    * feeds the MemoryStream harness only.
+    */
+  def streamEnrichFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect()
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val name = s"q116_stream_enrich_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = enrichStatic(stream.toDS().toDF("user_id", "value"), dim)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        feedBatches(stream, q, data)
+      } finally q.stop()
+    }
+    s.table(name)
+      .select(col("n_name"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+  }
+
   /** q25 — the full streaming envelope pipeline over the fixture via
     * MemoryStream; the oracle checks the batch envelope CTEs on the
     * stream-computable interior [325, n-350].

@@ -28,4 +28,45 @@ class GraphSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("triangleCounts: support floor prunes one-off edges; oriented count is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    try {
+      // orders 1,2 each contain parts {1,2,3}: every pair has support 2
+      // -> triangle {1,2,3}. Order 3 adds {1,4}: support-1 edge, pruned.
+      // Order 4 repeats {2,3} (support 3 — still one edge).
+      val rows = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L),
+        (2L, 1L), (2L, 2L), (2L, 3L),
+        (3L, 1L), (3L, 4L),
+        (4L, 2L), (4L, 3L))
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.triangleCounts(spark, dir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("triangleCounts: two triangles sharing an edge double-count the shared nodes") {
+    val dir = java.nio.file.Files.createTempDirectory("tri2").toString
+    try {
+      // K4 minus edge {3,4}: triangles {1,2,3} and {1,2,4}; every edge
+      // duplicated across two orders to clear the support floor.
+      val baskets = Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 4L))
+      val rows = for {
+        (b, i) <- (baskets ++ baskets).zipWithIndex
+        p <- b
+      } yield ((i + 1).toLong, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.triangleCounts(spark, dir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+      assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -235,4 +235,43 @@ class PlanQualitySpec extends SparkSpec {
     li.foreach(s => assert(!s.contains("l_comment") && !s.contains("l_shipdate"),
       s"lineitem scan reads unused columns: $s"))
   }
+
+  test("q119: partition-key filter prunes at the directory level") {
+    // replicate the operator's read side on a small partitioned tree
+    // and pin that the source filter lands in PartitionFilters (file
+    // listing pruned), NOT as a post-scan data filter over all files
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_prunepin")
+    try {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(out.toString)
+      val p = spark.read.parquet(out.toString)
+        .filter(col("source") === "src3")
+        .groupBy(col("lang")).count()
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("PartitionFilters:") &&
+        p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("src3"),
+        s"source filter did not reach PartitionFilters:\n$p")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+    }
+  }
+
+  test("q113: support aggregate prunes before orientation; joins stay equi-keyed") {
+    val p = plan("q113_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins degraded to cartesian:\n$p")
+  }
+
+  test("q118: vocabulary linkage join is block-keyed, not cartesian") {
+    val p = SparkEntry.queries("q118_jw_linkage")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"jw linkage degraded to cartesian:\n$p")
+    assert(p.contains("graft_jaro_winkler"), "native JW expr not in plan")
+  }
 }

@@ -693,4 +693,45 @@ class RelationalFamilySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("olsRegression: exact fit recovers slope/intercept, r2=1; constant x -> nulls") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // click: y = 2k + 1 exactly (integers — decimal quantization exact)
+    val fit = (1 to 10).map(i =>
+      (i.toLong, t0, 1L, "click", 2.0 * i + 1, s"""{"k": $i}"""))
+    // view: constant x=5 — zero x-variance, slope/intercept/r2 null
+    val const = (11 to 13).map(i =>
+      (i.toLong, t0, 1L, "view", i.toDouble, """{"k": 5}"""))
+    // error: no k at all — filtered out entirely
+    val nok = Seq((14L, t0, 1L, "error", 1.0, "{}"))
+    withEventsDir(fit ++ const ++ nok) { dir =>
+      val rows = Relational.olsRegression(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") -> r).toMap
+      assert(!rows.contains("error"))
+      val c = rows("click")
+      assert(c.getAs[Long]("n") === 10L)
+      assert(math.abs(c.getAs[Double]("slope") - 2.0) < 1e-9)
+      assert(math.abs(c.getAs[Double]("intercept") - 1.0) < 1e-9)
+      assert(math.abs(c.getAs[Double]("r2") - 1.0) < 1e-12)
+      val v = rows("view")
+      assert(v.isNullAt(v.fieldIndex("slope")) && v.isNullAt(v.fieldIndex("r2")))
+    }
+  }
+
+  test("madAnomalies: flags only the planted outlier; MAD=0 group flags nothing") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // click: tight cluster around 10 plus one wild point
+    val base = (1 to 20).map(i =>
+      (i.toLong, t0, 1L, "click", 10.0 + (i % 5) * 0.1, "{}"))
+    val outlier = Seq((21L, t0, 1L, "click", 1000.0, "{}"))
+    // view: all-identical values -> MAD 0 -> null mz, excluded
+    val flat = (22 to 30).map(i => (i.toLong, t0, 1L, "view", 7.0, "{}"))
+    withEventsDir(base ++ outlier ++ flat) { dir =>
+      val out = Relational.madAnomalies(spark, dir).collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("event_id") === 21L)
+      assert(out.head.getAs[String]("event_type") === "click")
+      assert(math.abs(out.head.getAs[Double]("mz")) > 3.5)
+    }
+  }
 }

@@ -481,6 +481,27 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("q116 streamEnrichFixture equals the batch join-aggregate") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamingOps.streamEnrichFixture(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(spark.read.parquet(s"$dir/nation.parquet")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(20,4)")).cast("double").as("sum_value"))
+      .collect()
+      .map(r => r.getAs[String]("n_name") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    assert(got === want)
+  }
+
   test("streaming partitioned parquet sink: shard layout + checkpointed exactly-once") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val out = java.nio.file.Files.createTempDirectory("ssink").toString

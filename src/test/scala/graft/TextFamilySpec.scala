@@ -274,4 +274,42 @@ class TextFamilySpec extends SparkSpec {
       assert(!out.contains(3L))                  // <2 tokens -> no bigrams
     }
   }
+
+  test("pmiCollocations: bound pair lifts above independent pair") {
+    // "x y" always adjacent (5 times); "a b" co-occur but also apart.
+    val texts = Seq.fill(5)("x y a") ++ Seq.fill(5)("a b") ++ Seq.fill(5)("b a")
+    withDocsDir(texts) { dir =>
+      val out = TextAnalysis.pmiCollocations(spark, dir, minCount = 5, topN = 10)
+        .collect()
+        .map(r => r.getAs[String]("bigram") ->
+          ((r.getAs[Long]("c_ab"), r.getAs[Double]("lift")))).toMap
+      // totals: tokens n1 = 35 (x:5 y:5 a:15 b:10), bigrams nb = 20
+      // "x y": c_ab=5, lift = 5*35*35/(20*5*5) = 12.25
+      assert(out("x y")._1 === 5L)
+      assert(math.abs(out("x y")._2 - 12.25) < 1e-12)
+      // "a b": c_ab=5 (from "a b" docs), lift = 5*35*35/(20*15*10) ~ 2.042
+      assert(math.abs(out("a b")._2 - 6125.0 / 3000.0) < 1e-12)
+      assert(out("x y")._2 > out("a b")._2)
+    }
+  }
+
+  test("rrfFusion: doc ranked top by both rankers wins; ranks consistent") {
+    // doc 0 is dense in all three query terms; doc 1 has one term;
+    // doc 2 has none (still ranked, via tie order).
+    val texts = Seq(
+      "hash join scan hash join scan",
+      "hash filler filler filler filler filler",
+      "nothing relevant here at all")
+    withDocsDir(texts) { dir =>
+      val rows = TextAnalysis.rrfFusion(spark, dir, topN = 3).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("rank_bm25"), r.getAs[Long]("rank_tfidf"),
+            r.getAs[Double]("rrf"), r.getAs[Long]("rnk")))).toMap
+      val (ra0, rb0, rrf0, rnk0) = rows(0L)
+      assert(ra0 === 1L && rb0 === 1L && rnk0 === 1L)
+      assert(math.abs(rrf0 - 2.0 / 61.0) < 1e-15)
+      assert(rows(1L)._4 === 2L)
+      assert(rows(2L)._4 === 3L)
+    }
+  }
 }
