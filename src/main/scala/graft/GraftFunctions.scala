@@ -53,6 +53,20 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProductExpr(a, b)
         case _ => throw new IllegalArgumentException("graft_dot(a, b)")
+      }),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerExpr].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.JaroWinklerExpr(a, b)
+        case _ => throw new IllegalArgumentException("graft_jaro_winkler(a, b)")
+      }),
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShinglesExpr].getName,
+        "graft_word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, n) => graft.functions.WordShinglesExpr(s, longArg(n).toInt)
+        case _ => throw new IllegalArgumentException("graft_word_shingles(str, n)")
       })
   )
 

@@ -3101,6 +3101,52 @@ object OracleSql {
        |SELECT event_id, event_type, value, med, mad, mz
        |FROM z WHERE abs(mz) > $cutoff""".stripMargin
 
+  /** Q121 — shingle containment (mirrors Dedup.shingleContainment):
+    * the q15e CTE chain with `least()` in place of the union size.
+    */
+  def q121Containment(minContainment: Double = 0.8, maxDf: Long = 100L): String =
+    s"""WITH $shingleCtes,
+       |hot AS (SELECT h FROM shq GROUP BY h HAVING count(*) > $maxDf),
+       |shc AS (SELECT * FROM shq WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM shc x JOIN shc y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.doc_a, i.doc_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+       |  CAST(i.inter AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE)
+       |    AS containment
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(least(za.sz, zb.sz) AS DOUBLE)
+       |  >= ${dlit(minContainment)}""".stripMargin
+
+  /** Q122 — BPE merge candidates (mirrors
+    * TextAnalysis.bpePairCandidates): vocabulary-weighted adjacent
+    * character-pair counts; range(1, len) naturally skips 1-char
+    * tokens.
+    */
+  def q122BpePairs(topN: Int = 30): String =
+    s"""WITH tc AS (
+       |  SELECT token, count(*) AS n
+       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY 1
+       |),
+       |p AS (
+       |  SELECT n, unnest(list_transform(range(1, len(token)),
+       |    i -> substring(token, i, 2))) AS pair
+       |  FROM tc
+       |),
+       |pc AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM p GROUP BY 1),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY n_pair DESC, pair)
+       |    AS BIGINT) AS rnk
+       |  FROM pc
+       |)
+       |SELECT pair, n_pair, rnk FROM r WHERE rnk <= $topN""".stripMargin
+
   /** Q120 — PMI collocations (mirrors TextAnalysis.pmiCollocations):
     * identical pinned rational lift expression; bigrams via the
     * q53-form adjacent-token join.

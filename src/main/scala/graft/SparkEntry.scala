@@ -222,7 +222,9 @@ object SparkEntry {
     "q118_jw_linkage" -> ((s, dir) => Dedup.jwVocabLinkage(s, dir)),
     "q119_partitioned_roundtrip" -> ((s, dir) =>
       graft.sources.GenericSources.partitionedRoundtripSummary(s, dir)),
-    "q120_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir))
+    "q120_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
+    "q121_containment" -> ((s, dir) => Dedup.shingleContainment(s, dir)),
+    "q122_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCandidates(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,6 +374,8 @@ object SparkEntry {
     "q117_mad_anomalies" -> OracleSql.q117MadAnomalies(),
     "q118_jw_linkage" -> OracleSql.q118JwLinkage(),
     "q119_partitioned_roundtrip" -> OracleSql.q119PartitionedRoundtrip(),
-    "q120_pmi" -> OracleSql.q120Pmi()
+    "q120_pmi" -> OracleSql.q120Pmi(),
+    "q121_containment" -> OracleSql.q121Containment(),
+    "q122_bpe_pairs" -> OracleSql.q122BpePairs()
   )
 }

@@ -203,6 +203,42 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Q121 — shingle CONTAINMENT near-dups: pairs where the smaller
+    * document's shingle set is mostly inside the larger's —
+    * `|A∩B| / min(|A|,|B|)` ≥ threshold. Jaccard (q15e) misses
+    * subset duplication outright (a doc embedded in a 10× larger one
+    * has J ≤ 0.1 but containment 1.0); this is the Broder resemblance
+    * / containment split, and the signal that catches quote-inflation
+    * and wrapper-page duplication in a pretraining corpus.
+    *
+    * Scale shape is q15e's: shingle explode → hot-shingle df cap via
+    * broadcast anti-join (bounded candidate fanout, dropped shingles
+    * auditable), intersection counts from the shingle-keyed
+    * self-join, sizes joined back. One extra `least()` — no new
+    * shuffle.
+    */
+  def shingleContainment(s: SparkSession, dir: String,
+                         minContainment: Double = 0.8,
+                         maxDf: Long = 100L): DataFrame = {
+    val hot = droppedShingles(s, dir, maxDf).select("h")
+    val sh = shingleHashes(docs(s, dir))
+      .join(broadcast(hot), Seq("h"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("za.sz").as("sz_a"), col("zb.sz").as("sz_b"),
+        (col("inter").cast("double") /
+          least(col("za.sz"), col("zb.sz")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Q70 — edit-distance (Levenshtein) near-dup pairs under blocking:
     * candidates are pairs sharing (lang, 16-char length band) whose
     * full lengths differ by ≤ `maxDist`; the distance itself runs on

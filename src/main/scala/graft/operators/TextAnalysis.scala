@@ -456,6 +456,37 @@ object TextAnalysis {
       .filter(col("rnk") <= topN)
   }
 
+  /** Q122 — BPE merge candidates: the first iteration of byte-pair-
+    * encoding vocabulary learning — adjacent character-pair counts
+    * over the corpus, weighted by token frequency (Sennrich et al.,
+    * ACL 2016). The top pair is the first merge a BPE trainer would
+    * make; the full ranked table is the merge-priority queue's seed.
+    *
+    * Scale shape: the corpus collapses ONCE to (token, count) — the
+    * standard vocabulary aggregate, map-side combinable — and pair
+    * extraction + counting run over the VOCABULARY (bounded), not
+    * over corpus characters: at 100 TB the expensive pass is the one
+    * linear token count every text pipeline already runs, and each
+    * later BPE iteration reuses the same vocabulary table with
+    * symbols re-segmented — no further corpus scans.
+    */
+  def bpePairCandidates(s: SparkSession, dir: String,
+                        topN: Int = 30): DataFrame = {
+    val tc = docs(s, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // sequence(1, len-1) would run DESCENDING for 1-char tokens
+    // (Spark generates [1,0]) — filter them; they have no pairs.
+    val pairs = tc.filter(length(col("tok")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_pair"))
+    val w = Window.orderBy(col("n_pair").desc, col("pair"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer

@@ -22,6 +22,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingleContainment: embedded document scores 1.0 where jaccard misses it") {
+    // doc 1 is a strict prefix of doc 0 (10 vs 4 shingles): containment
+    // of the smaller is exact 1.0, jaccard only 4/10
+    val big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val part = "w1 w2 w3 w4 w5 w6"
+    withDocsDir(Seq(big, part, "zz yy xx ww vv")) { dir =>
+      val out = Dedup.shingleContainment(spark, dir).collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getAs[Long]("doc_a") === 0L && r.getAs[Long]("doc_b") === 1L)
+      assert(r.getAs[Long]("inter") === 4L)
+      assert(r.getAs[Long]("sz_a") === 10L && r.getAs[Long]("sz_b") === 4L)
+      assert(r.getAs[Double]("containment") === 1.0)
+      // and the jaccard operator at its default threshold does NOT pair them
+      val j = Dedup.ngramJaccard(spark, dir).collect()
+      assert(!j.exists(x => x.getAs[Long]("doc_a") === 0L &&
+        x.getAs[Long]("doc_b") === 1L))
+    }
+  }
+
   test("editDistancePairs: blocked Levenshtein pairs, lang-disjoint") {
     val base = "hello world this is a doc"       // 25 chars, band 1
     val near = "hello world this is a dox"       // dist 1 from base

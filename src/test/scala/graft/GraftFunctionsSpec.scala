@@ -21,6 +21,14 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(d === 11.0)
+
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").head().getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-15)
+
+    val ws = spark.sql("SELECT graft_word_shingles('a b c d', 2) AS w")
+      .head().getSeq[String](0)
+    assert(ws === Seq("a b", "b c", "c d"))
   }
 
   test("explicit base/mod arguments work; non-literal args are rejected") {

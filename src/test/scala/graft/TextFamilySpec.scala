@@ -293,6 +293,16 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("bpePairCandidates: frequency-weighted pair counts; 1-char tokens skipped") {
+    // tokens: aaab ×2 (pairs aa,aa,ab each), ab ×1, x ×1 (no pairs)
+    withDocsDir(Seq("aaab aaab", "ab x")) { dir =>
+      val out = TextAnalysis.bpePairCandidates(spark, dir).collect()
+        .map(r => r.getAs[String]("pair") ->
+          ((r.getAs[Long]("n_pair"), r.getAs[Long]("rnk")))).toMap
+      assert(out === Map("aa" -> ((4L, 1L)), "ab" -> ((3L, 2L))))
+    }
+  }
+
   test("rrfFusion: doc ranked top by both rankers wins; ranks consistent") {
     // doc 0 is dense in all three query terms; doc 1 has one term;
     // doc 2 has none (still ranked, via tie order).
