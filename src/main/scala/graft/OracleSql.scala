@@ -1352,6 +1352,19 @@ object OracleSql {
        | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - ${lookbackMin * 60000000L}
        |   AND epoch_us(l.ts)""".stripMargin
 
+  /** Q123 — stream-stream LEFT OUTER interval join (mirrors
+    * StreamingOps.streamIntervalOuterFixture): the batch statement of
+    * the watermark-flushed append output — every click, matched or
+    * null-extended.
+    */
+  def q123StreamIntervalOuter(lookbackMin: Int = 30): String =
+    s"""SELECT l.event_id AS l_event, r.event_id AS r_event
+       |FROM (SELECT * FROM events WHERE event_type = 'click') l
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+       |  ON l.user_id = r.user_id
+       | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - ${lookbackMin * 60000000L}
+       |   AND epoch_us(l.ts)""".stripMargin
+
   /** Q59 — ORC round-trip audit (mirrors
     * GenericSources.orcRoundtripSummary): the oracle reads the
     * ORIGINAL parquet bits — equality proves the ORC round trip

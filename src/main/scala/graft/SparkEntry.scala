@@ -224,7 +224,9 @@ object SparkEntry {
       graft.sources.GenericSources.partitionedRoundtripSummary(s, dir)),
     "q120_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
     "q121_containment" -> ((s, dir) => Dedup.shingleContainment(s, dir)),
-    "q122_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCandidates(s, dir))
+    "q122_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCandidates(s, dir)),
+    "q123_stream_outer" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,6 +378,7 @@ object SparkEntry {
     "q119_partitioned_roundtrip" -> OracleSql.q119PartitionedRoundtrip(),
     "q120_pmi" -> OracleSql.q120Pmi(),
     "q121_containment" -> OracleSql.q121Containment(),
-    "q122_bpe_pairs" -> OracleSql.q122BpePairs()
+    "q122_bpe_pairs" -> OracleSql.q122BpePairs(),
+    "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter()
   )
 }

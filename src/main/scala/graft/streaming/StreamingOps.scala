@@ -415,12 +415,14 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keyCol: String = "user_id", tsCol: String = "ts",
                    lookback: String = "10 minutes",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       expr(s"l.$keyCol = r.$keyCol AND " +
-        s"r.$tsCol BETWEEN l.$tsCol - INTERVAL $lookback AND l.$tsCol"))
+        s"r.$tsCol BETWEEN l.$tsCol - INTERVAL $lookback AND l.$tsCol"),
+      joinType)
   }
 
   /** q58 — [[intervalJoin]] driven over the sfDir events table via two
@@ -488,6 +490,89 @@ object StreamingOps {
       } finally q.stop()
     }
     s.table(name)
+  }
+
+  /** Q123 (operator/fixture) — stream-stream LEFT OUTER interval
+    * join: q58's click⋈view join, but clicks with NO view in the
+    * trailing window emit null-extended — the attribution-with-
+    * fallback topology (every click accounted for, matched or not).
+    *
+    * Outer emission is WATERMARK-DRIVEN: an unmatched left row can
+    * only be declared unmatched once the watermark proves no matching
+    * right row can still arrive, so unlike q58 this fixture must
+    * ADVANCE the watermark past the data rather than park it behind
+    * the whole feed. Both feeds are time-ordered (so nothing real is
+    * late-dropped — the watermark is the MIN across inputs and each
+    * side's next batch is its own later data), and two sentinel
+    * rounds on both sides push the watermark past every click's
+    * eligibility horizon, flushing the final outer rows (the second
+    * round forces the extra micro-batch state-eviction needs).
+    * Matching views are always in the click's PAST, so a click
+    * flushed unmatched can never have a late match: append-mode
+    * output = the batch LEFT JOIN oracle exactly.
+    *
+    * Scale shape: state is bounded by the lookback horizon per key on
+    * both sides (eviction at watermark − lookback); the sentinel trick
+    * is harness-only — production watermarks advance with the source.
+    * The collects feed the MemoryStream harness only.
+    */
+  def streamIntervalOuterFixture(s: SparkSession, dir: String,
+                                 lookbackMin: Int = 30,
+                                 wmMin: Int = 35): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    def feed(typ: String): Array[(Long, Long, Long)] =
+      ev.filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), tsu.as("us"))
+        .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val (lData, rData) = (feed("click"), feed("view"))
+    val maxUs = (lData ++ rData).map(_._3).max
+    def sentinel(round: Int): (Long, Long, Long) =
+      (-1L, -1L, maxUs + (wmMin + lookbackMin + 60 * round) * 60000000L)
+    val lStream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val rStream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    def side(st: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)],
+             idName: String): DataFrame =
+      st.toDS().toDF(idName, "user_id", "us")
+        .select(col(idName), col("user_id"),
+          expr("timestamp_micros(us)").as("ts"))
+    val name = s"q123_stream_outer_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = intervalJoin(
+          side(lStream, "l_event"), side(rStream, "r_event"),
+          lookback = s"$lookbackMin minutes", watermark = s"$wmMin minutes",
+          joinType = "left_outer")
+        .select(col("l_event"), col("r_event"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        def chunks(a: Array[(Long, Long, Long)]) =
+          a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+        def add(st: org.apache.spark.sql.execution.streaming.runtime
+                .MemoryStream[(Long, Long, Long)],
+                ch: Array[(Long, Long, Long)]): Unit =
+          ch.grouped(math.max(1, ch.length / 32 + 1))
+            .foreach(b => st.addData(b.toIndexedSeq))
+        val (lc, rc) = (chunks(lData), chunks(rData))
+        (0 until math.max(lc.length, rc.length)).foreach { i =>
+          if (i < lc.length) add(lStream, lc(i))
+          if (i < rc.length) add(rStream, rc(i))
+          q.processAllAvailable()
+        }
+        (1 to 2).foreach { round =>
+          lStream.addData(sentinel(round)); rStream.addData(sentinel(round))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(name).filter(col("l_event") >= 0L)
   }
 
   /** q62 — [[dedupStream]] surfaced on the oracle contract: the events

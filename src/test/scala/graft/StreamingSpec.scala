@@ -481,6 +481,30 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("q123 left-outer interval join: unmatched clicks flush null-extended") {
+    val dir = java.nio.file.Files.createTempDirectory("outerj").toString
+    try {
+      val t0 = 1700000000000000L // anchor micros
+      def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000L)
+      // user 1: view 20 min before click -> matched
+      // user 2: click with no view -> null-extended
+      // user 3: view 40 min before click -> OUTSIDE 30-min lookback -> null
+      Seq(
+        (10L, ts(100), 1L, "click"), (11L, ts(80), 1L, "view"),
+        (20L, ts(100), 2L, "click"),
+        (30L, ts(100), 3L, "click"), (31L, ts(60), 3L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.streaming.StreamingOps
+        .streamIntervalOuterFixture(spark, dir).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got === Set((10L, Some(11L)), (20L, None), (30L, None)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q116 streamEnrichFixture equals the batch join-aggregate") {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
     val dir = "/root/testdata/sf0.001"
