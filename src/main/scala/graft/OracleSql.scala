@@ -3160,6 +3160,39 @@ object OracleSql {
        |)
        |SELECT pair, n_pair, rnk FROM r WHERE rnk <= $topN""".stripMargin
 
+  /** Q124 — OHLC resampling (mirrors Relational.ohlcResample): the
+    * struct-min/max endpoints restated as rank-1 windows over the
+    * exact (t_us, event_id) order.
+    */
+  def q124Ohlc: String =
+    s"""WITH b AS (
+       |  SELECT event_type, event_id, value, epoch_us(ts) AS t_us,
+       |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+       |  FROM events
+       |),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, hour_us
+       |      ORDER BY t_us, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY event_type, hour_us
+       |      ORDER BY t_us DESC, event_id DESC) AS rd
+       |  FROM b
+       |),
+       |agg AS (
+       |  SELECT event_type, hour_us, count(*) AS n_events,
+       |    max(value) AS px_high, min(value) AS px_low,
+       |    CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT a.event_type, a.hour_us, a.n_events,
+       |  o.value AS px_open, a.px_high, a.px_low, c.value AS px_close,
+       |  a.sum_value
+       |FROM agg a
+       |JOIN (SELECT event_type, hour_us, value FROM r WHERE ra = 1) o
+       |  USING (event_type, hour_us)
+       |JOIN (SELECT event_type, hour_us, value FROM r WHERE rd = 1) c
+       |  USING (event_type, hour_us)""".stripMargin
+
   /** Q120 — PMI collocations (mirrors TextAnalysis.pmiCollocations):
     * identical pinned rational lift expression; bigrams via the
     * q53-form adjacent-token join.

@@ -226,7 +226,8 @@ object SparkEntry {
     "q121_containment" -> ((s, dir) => Dedup.shingleContainment(s, dir)),
     "q122_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCandidates(s, dir)),
     "q123_stream_outer" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir))
+      graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir)),
+    "q124_ohlc" -> Relational.ohlcResample _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -379,6 +380,7 @@ object SparkEntry {
     "q120_pmi" -> OracleSql.q120Pmi(),
     "q121_containment" -> OracleSql.q121Containment(),
     "q122_bpe_pairs" -> OracleSql.q122BpePairs(),
-    "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter()
+    "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter(),
+    "q124_ohlc" -> OracleSql.q124Ohlc
   )
 }

@@ -825,6 +825,35 @@ object Relational {
       (cv * cv / when(dx * dy =!= 0.0, dx * dy)).as("r2"))
   }
 
+  /** Q124 — OHLC time-bucket resampling: per (event_type, hour),
+    * the opening/closing values (argmin/argmax over the exact
+    * (t_us, event_id) total order — deterministic under ties), the
+    * high/low extremes, and the decimal-exact volume sum. The
+    * standard downsample-for-dashboards operator; also the shape any
+    * "first/last per bucket" compaction takes.
+    *
+    * Scale shape: ONE hash aggregate — open/close come from struct
+    * min/max (partial-combinable like any min/max, so the exchange
+    * carries one struct per (type, hour) per map task), never a sort
+    * or window over the raw events. The oracle states the same
+    * endpoints declaratively via rank-1 windows.
+    */
+  def ohlcResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val b = ev.select(col("event_type"), col("event_id"), col("value"),
+        tsMicros(ev).as("t_us"))
+      .withColumn("hour_us", expr("(t_us div 3600000000) * 3600000000"))
+    b.groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("t_us"), col("event_id"), col("value")))
+          .getField("value").as("px_open"),
+        max(col("value")).as("px_high"),
+        min(col("value")).as("px_low"),
+        max(struct(col("t_us"), col("event_id"), col("value")))
+          .getField("value").as("px_close"),
+        moneySum(col("value")).as("sum_value"))
+  }
+
   /** Q117 — robust anomaly detection: flag events whose modified
     * z-score 0.6745·(v − median)/MAD exceeds 3.5 (the Iglewicz–Hoaglin
     * rule) within their event type. Composes the q81 median/MAD

@@ -718,6 +718,33 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("ohlcResample: endpoint argmin/argmax deterministic under timestamp ties") {
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(h0.getTime + sec * 1000L)
+    // two events share the opening timestamp: event_id breaks the tie
+    val rows = Seq(
+      (2L, at(0), 1L, "click", 30.0, "{}"),
+      (1L, at(0), 1L, "click", 10.0, "{}"),   // open (same ts, lower id)
+      (3L, at(60), 1L, "click", 99.0, "{}"),  // high
+      (4L, at(120), 1L, "click", 5.0, "{}"),  // low + close
+      (5L, at(4000), 1L, "click", 42.0, "{}")) // next hour bucket
+    withEventsDir(rows) { dir =>
+      val out = Relational.ohlcResample(spark, dir).collect()
+        .map(r => r.getAs[Long]("hour_us") -> r).toMap
+      assert(out.size === 2)
+      val first = out.minBy(_._1)._2
+      assert(first.getAs[Long]("n_events") === 4L)
+      assert(first.getAs[Double]("px_open") === 10.0)
+      assert(first.getAs[Double]("px_high") === 99.0)
+      assert(first.getAs[Double]("px_low") === 5.0)
+      assert(first.getAs[Double]("px_close") === 5.0)
+      assert(first.getAs[Double]("sum_value") === 144.0)
+      val second = out.maxBy(_._1)._2
+      assert(second.getAs[Double]("px_open") === 42.0 &&
+        second.getAs[Double]("px_close") === 42.0)
+    }
+  }
+
   test("madAnomalies: flags only the planted outlier; MAD=0 group flags nothing") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     // click: tight cluster around 10 plus one wild point
