@@ -1834,6 +1834,49 @@ object OracleSql {
        |       ELSE 'test' END AS split
        |FROM r""".stripMargin
 
+  /** Q125 — leakage-safe fit/transform (mirrors Pipeline.fitTransform):
+    * q46's split CTEs, train-only decimal sufficient statistics, the
+    * identical pinned z expression.
+    */
+  def q125FitTransform(trainPct: Int = 80, valPct: Int = 10): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ${polyHashSql("CAST(doc_id AS VARCHAR)")} AS hh
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rnk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM h
+       |),
+       |splits AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN rnk * 100 <= n * $trainPct THEN 'train'
+       |         WHEN rnk * 100 <= n * ${trainPct + valPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM r
+       |),
+       |j AS (
+       |  SELECT s.doc_id, s.lang, s.split, d.n_chars
+       |  FROM splits s JOIN documents d USING (doc_id)
+       |),
+       |st AS (
+       |  SELECT lang, count(*) AS n_train,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(n_chars AS DECIMAL(20,4)) *
+       |      CAST(n_chars AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+       |  FROM j WHERE split = 'train' GROUP BY 1
+       |),
+       |f AS (
+       |  SELECT lang, sx / n_train AS mu,
+       |    sqrt((sxx - sx * sx / n_train) / n_train) AS sigma
+       |  FROM st
+       |)
+       |SELECT j.doc_id, j.lang, j.split, j.n_chars,
+       |  (j.n_chars - f.mu) / nullif(f.sigma, 0) AS z
+       |FROM j JOIN f USING (lang)""".stripMargin
+
   /** Q47 — event-rate spike detection (mirrors Relational.rateSpikes):
     * RANGE frame over the integer minute index, integer
     * cross-multiplied spike test.

@@ -227,7 +227,8 @@ object SparkEntry {
     "q122_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCandidates(s, dir)),
     "q123_stream_outer" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir)),
-    "q124_ohlc" -> Relational.ohlcResample _
+    "q124_ohlc" -> Relational.ohlcResample _,
+    "q125_fit_transform" -> ((s, dir) => Pipeline.fitTransform(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -381,6 +382,7 @@ object SparkEntry {
     "q121_containment" -> OracleSql.q121Containment(),
     "q122_bpe_pairs" -> OracleSql.q122BpePairs(),
     "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter(),
-    "q124_ohlc" -> OracleSql.q124Ohlc
+    "q124_ohlc" -> OracleSql.q124Ohlc,
+    "q125_fit_transform" -> OracleSql.q125FitTransform()
   )
 }

@@ -330,4 +330,38 @@ object Pipeline {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
+
+  /** Q125 — leakage-safe fit/transform: normalization parameters
+    * (per-lang mean/std of n_chars) are FIT on the q46 train split
+    * only, then APPLIED to every split — the invariant every feature
+    * pipeline must hold (statistics computed on val/test leak the
+    * evaluation into the features). Degenerate σ=0 cells yield null,
+    * not ÷0.
+    *
+    * Scale shape: the fit is one decimal-exact sufficient-statistics
+    * aggregate over the train slice (map-side combinable, group
+    * cardinality = langs); the transform is a broadcast join + narrow
+    * projection over the full corpus — the fit table is always tiny,
+    * so the 100 TB cost is exactly one linear scan. sqrt is IEEE
+    * correctly-rounded in both engines, so z-scores stay bit-stable.
+    */
+  def fitTransform(s: SparkSession, dir: String): DataFrame = {
+    val splits = stratifiedSplit(s, dir)
+    val j = splits.join(
+      docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val st = j.filter(col("split") === "train")
+      .select(col("lang"), col("n_chars").cast("decimal(20,4)").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("lang"), col("n_train"),
+        (col("sx") / col("n_train")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n_train")) /
+          col("n_train")).as("sigma"))
+    j.join(broadcast(st), "lang")
+      .select(col("doc_id"), col("lang"), col("split"), col("n_chars"),
+        ((col("n_chars") - col("mu")) /
+          when(col("sigma") =!= 0.0, col("sigma"))).as("z"))
+  }
 }

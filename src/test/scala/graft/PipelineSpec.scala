@@ -258,4 +258,32 @@ class PipelineSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("fitTransform: val/test values never enter the fit (leakage guard)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("fitxf").toString
+    try {
+      // pass 1: learn which doc_ids the (data-independent) split
+      // sends to train
+      val ids = (0L until 20L)
+      ids.map(i => (i, "t", "en", "s", 100L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val train = graft.operators.Pipeline.stratifiedSplit(spark, dir)
+        .filter(col("split") === "train")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(train.nonEmpty && train.size < 20)
+      // pass 2: all TRAIN docs share n_chars=100; val/test differ
+      // wildly. If the fit saw only train, sigma=0 -> every z null.
+      ids.map(i => (i, "t", "en", "s", if (train(i)) 100L else 999L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.operators.Pipeline.fitTransform(spark, dir).collect()
+      assert(out.length === 20)
+      assert(out.forall(r => r.isNullAt(r.fieldIndex("z"))),
+        "val/test values leaked into the normalization fit")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
