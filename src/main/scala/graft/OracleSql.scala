@@ -3001,6 +3001,45 @@ object OracleSql {
        |SELECT node, n_tri, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Q126 — label-propagation communities (mirrors
+    * Graph.lpCommunities): the synchronous mode-label iterations
+    * unrolled as CTEs, identical (count desc, label asc) tie rule.
+    */
+  def q126LpCommunities(iters: Int = 2, minSupport: Int = 2): String = {
+    val base =
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+         |),
+         |ed AS (SELECT a AS src, b AS dst FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |l0 AS (SELECT node, node AS label FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""v$i AS (
+         |  SELECT ed.src, l${i - 1}.label, count(*) AS c
+         |  FROM ed JOIN l${i - 1} ON ed.dst = l${i - 1}.node
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS (
+         |  SELECT src, label FROM (
+         |    SELECT src, label, row_number() OVER (PARTITION BY src
+         |      ORDER BY c DESC, label) AS rnk
+         |    FROM v$i
+         |  ) WHERE rnk = 1
+         |),
+         |l$i AS (
+         |  SELECT n.node, coalesce(b$i.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN b$i ON b$i.src = n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT node, label AS community FROM l$iters""".stripMargin
+  }
+
   /** Q114 — per-group OLS (mirrors Relational.olsRegression): same
     * DECIMAL(18,4)-quantized sufficient statistics, same pinned
     * double finishing algebra, null on degenerate denominators.

@@ -228,7 +228,8 @@ object SparkEntry {
     "q123_stream_outer" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir)),
     "q124_ohlc" -> Relational.ohlcResample _,
-    "q125_fit_transform" -> ((s, dir) => Pipeline.fitTransform(s, dir))
+    "q125_fit_transform" -> ((s, dir) => Pipeline.fitTransform(s, dir)),
+    "q126_lp_communities" -> ((s, dir) => Graph.lpCommunities(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -383,6 +384,7 @@ object SparkEntry {
     "q122_bpe_pairs" -> OracleSql.q122BpePairs(),
     "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter(),
     "q124_ohlc" -> OracleSql.q124Ohlc,
-    "q125_fit_transform" -> OracleSql.q125FitTransform()
+    "q125_fit_transform" -> OracleSql.q125FitTransform(),
+    "q126_lp_communities" -> OracleSql.q126LpCommunities()
   )
 }

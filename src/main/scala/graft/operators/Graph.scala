@@ -55,9 +55,6 @@ object Graph {
     */
   def triangleCounts(s: SparkSession, dir: String, k: Int = 20,
                      minSupport: Int = 2): DataFrame = {
-    val lp = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
     // undirected edge set, canonical a < b, with the standard
     // market-basket SUPPORT floor: a pair is an edge only if it
     // co-occurs in ≥ minSupport orders. One-off co-occurrences are
@@ -65,13 +62,7 @@ object Graph {
     // basket); on this data support ≥ 2 keeps 3.6k signal edges of
     // 1.2M raw pairs — the filter that makes triangle enumeration
     // scale-feasible AND statistically meaningful.
-    val e = lp.as("x").join(lp.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= minSupport)
-      .select(col("a"), col("b"))
-      .cache()
+    val e = copurchaseEdges(s, dir, minSupport).cache()
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -101,6 +92,63 @@ object Graph {
     perNode.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("node"), col("n_tri"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** The q113 co-purchase edge set (support-floored, canonical a<b)
+    * shared by the triangle and community queries.
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String,
+                              minSupport: Int): DataFrame = {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    lp.as("x").join(lp.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSupport)
+      .select(col("a"), col("b"))
+  }
+
+  /** Q126 — label-propagation communities (Raghavan et al., 2007) on
+    * the support-floored co-purchase graph, made DETERMINISTIC: fully
+    * synchronous updates, each node adopting its neighbors' MODE
+    * label with ties broken by smallest label — so the result is a
+    * pure function of the graph, replayable by the oracle's unrolled
+    * CTEs (the classic async-LP "label tennis" nondeterminism is
+    * exactly what the sync+tie-break variant removes).
+    *
+    * Scale shape: one edge-keyed shuffle per iteration (join labels
+    * onto edge endpoints, count votes per (node, label), argmax via a
+    * node-partitioned window over the VOTE aggregate — vote rows ≤
+    * edge rows, and the window partitions by node, never globally).
+    * Fixed `iters` = bounded cost, the q79 unrolled-iteration
+    * discipline; isolated nodes keep their own label via the left
+    * join coalesce.
+    */
+  def lpCommunities(s: SparkSession, dir: String, iters: Int = 2,
+                    minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val nodes = ed.select(col("src").as("node")).distinct()
+    var lab = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = ed
+        .join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("label"))
+      val best = votes.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("src").as("node"), col("label").as("new_label"))
+      lab = nodes.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("node")).as("label"))
+    }
+    lab.select(col("node"), col("label").as("community"))
   }
 
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,

@@ -50,6 +50,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lpCommunities: disjoint cliques converge to per-clique min labels") {
+    val dir = java.nio.file.Files.createTempDirectory("lp").toString
+    try {
+      // two triangles {1,2,3} and {4,5,6}, each basket duplicated to
+      // clear the support floor; no cross edges
+      val baskets = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))
+      val rows = for {
+        (b, i) <- (baskets ++ baskets).zipWithIndex
+        p <- b
+      } yield ((i + 1).toLong, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.lpCommunities(spark, dir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+      // sync LP with (count desc, label asc) ties: iter1 sends node 1
+      // to label 2 (tie of {2,3}), everyone else to the clique min;
+      // iter2 pulls node 1 back — all members land on the clique min
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        4L -> 4L, 5L -> 4L, 6L -> 4L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("triangleCounts: two triangles sharing an edge double-count the shared nodes") {
     val dir = java.nio.file.Files.createTempDirectory("tri2").toString
     try {
