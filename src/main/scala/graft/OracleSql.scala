@@ -2426,6 +2426,55 @@ object OracleSql {
        |)
        |SELECT vec_id, cid, d AS dist FROM a2 WHERE rk = 1""".stripMargin
 
+  /** Q127 — simplified silhouette (mirrors Similarity.silhouette):
+    * the q110 CTE chain extended to the top-2 centroid distances,
+    * identical pinned sqrt/ratio expressions.
+    */
+  def q127Silhouette(k: Int = 8, dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |c0 AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $k),
+       |d1 AS (
+       |  SELECT e.vec_id, e.de, c0.cid, ${sqDistTerms("de", "ce", dim)} AS d
+       |  FROM e CROSS JOIN c0
+       |),
+       |a1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |  FROM d1
+       |),
+       |m1 AS (SELECT vec_id, de, cid FROM a1 WHERE rk = 1),
+       |x1 AS (
+       |  SELECT cid, t.dim, CAST(de[t.dim] AS DECIMAL(28,14)) AS vd
+       |  FROM m1, unnest(range(1, ${dim + 1})) AS t(dim)
+       |),
+       |cc1 AS (
+       |  SELECT cid, dim, CAST(sum(vd) AS DOUBLE) / count(*) AS c
+       |  FROM x1 GROUP BY 1, 2
+       |),
+       |c1 AS (SELECT cid, list(c ORDER BY dim) AS ce FROM cc1 GROUP BY 1),
+       |d2 AS (
+       |  SELECT e.vec_id, c1.cid, ${sqDistTerms("de", "ce", dim)} AS d
+       |  FROM e CROSS JOIN c1
+       |),
+       |a2 AS (
+       |  SELECT vec_id, cid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+       |  FROM d2
+       |),
+       |t2 AS (
+       |  SELECT vec_id,
+       |    min(CASE WHEN rk = 1 THEN cid END) AS cid,
+       |    min(CASE WHEN rk = 1 THEN d END) AS da,
+       |    min(CASE WHEN rk = 2 THEN d END) AS db
+       |  FROM a2 WHERE rk <= 2 GROUP BY 1
+       |)
+       |SELECT vec_id, cid, sqrt(da) AS dist_own, sqrt(db) AS dist_next,
+       |  (sqrt(db) - sqrt(da)) /
+       |    nullif(greatest(sqrt(da), sqrt(db)), 0) AS sil
+       |FROM t2""".stripMargin
+
   /** Q111 — quantile sketch audit (mirrors Sketches.sketchQuantiles):
     * bottom-k hash sample replayed with a row_number window, exact
     * interpolated quantiles on both the sample and the full group.

@@ -229,7 +229,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamIntervalOuterFixture(s, dir)),
     "q124_ohlc" -> Relational.ohlcResample _,
     "q125_fit_transform" -> ((s, dir) => Pipeline.fitTransform(s, dir)),
-    "q126_lp_communities" -> ((s, dir) => Graph.lpCommunities(s, dir))
+    "q126_lp_communities" -> ((s, dir) => Graph.lpCommunities(s, dir)),
+    "q127_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -385,6 +386,7 @@ object SparkEntry {
     "q123_stream_outer" -> OracleSql.q123StreamIntervalOuter(),
     "q124_ohlc" -> OracleSql.q124Ohlc,
     "q125_fit_transform" -> OracleSql.q125FitTransform(),
-    "q126_lp_communities" -> OracleSql.q126LpCommunities()
+    "q126_lp_communities" -> OracleSql.q126LpCommunities(),
+    "q127_silhouette" -> OracleSql.q127Silhouette()
   )
 }

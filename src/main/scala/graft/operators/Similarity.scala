@@ -416,32 +416,79 @@ object Similarity {
     * doubles broadcast per round — the same plan MLlib's k-means
     * lowers to, expressed declaratively.
     */
-  def kmeans(s: SparkSession, dir: String, k: Int = 8,
-             iters: Int = 2): DataFrame = {
+  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("d", sqDist(col("de"), col("ce")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("de"), col("cid"), col("d"))
+  }
+
+  private def lloydRecompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("de")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(col("v").cast("decimal(28,14)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("ce"))
+
+  /** The q110 Lloyd iterations: (vectors-as-doubles, final centroids). */
+  private def lloydCentroids(s: SparkSession, dir: String, k: Int,
+                             iters: Int): (DataFrame, DataFrame) = {
     val e = embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d"), col("cid"))
-    def assign(cent: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cent))
-        .withColumn("d", sqDist(col("de"), col("ce")))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("de"), col("cid"), col("d"))
-    def recompute(assigned: DataFrame): DataFrame =
-      assigned
-        .select(col("cid"), posexplode(col("de")).as(Seq("dim", "v")))
-        .groupBy(col("cid"), col("dim"))
-        .agg((sum(col("v").cast("decimal(28,14)")).cast("double") /
-          count(lit(1))).as("c"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          x => x.getField("c")).as("ce"))
     val init = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("de").as("ce"))
-    val cent = (1 until iters).foldLeft(init) { (c, _) => recompute(assign(c)) }
-    assign(cent).select(col("vec_id"), col("cid"), col("d").as("dist"))
+    val cent = (1 until iters).foldLeft(init) { (c, _) =>
+      lloydRecompute(lloydAssign(e, c))
+    }
+    (e, cent)
+  }
+
+  def kmeans(s: SparkSession, dir: String, k: Int = 8,
+             iters: Int = 2): DataFrame = {
+    val (e, cent) = lloydCentroids(s, dir, k, iters)
+    lloydAssign(e, cent).select(col("vec_id"), col("cid"), col("d").as("dist"))
+  }
+
+  /** Q127 — per-vector cluster-quality audit: the simplified
+    * silhouette (b − a)/max(a, b) with a = euclidean distance to the
+    * OWN (nearest) centroid and b = distance to the second-nearest —
+    * the centroid-based silhouette variant that needs no pairwise
+    * point distances (the full silhouette's O(n²) is exactly what a
+    * 100 TB audit can't run). Low/negative scores mark boundary or
+    * misclustered vectors — the prune list for embedding-space
+    * curation after q110.
+    *
+    * Scale shape: the k×n distance table comes from the SAME
+    * broadcast-centroid cross join as q110's assignment (k rows
+    * broadcast, narrow per-vector math), and the top-2 selection is a
+    * vec_id-partitioned window — never global. sqrt is IEEE-exact;
+    * rank ties break on cid in both engines.
+    */
+  def silhouette(s: SparkSession, dir: String, k: Int = 8,
+                 iters: Int = 2): DataFrame = {
+    val (e, cent) = lloydCentroids(s, dir, k, iters)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    val top2 = e.crossJoin(broadcast(cent))
+      .withColumn("d", sqDist(col("de"), col("ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("rk") === 1, col("cid"))).as("cid"),
+        min(when(col("rk") === 1, col("d"))).as("d1"),
+        min(when(col("rk") === 2, col("d"))).as("d2"))
+    top2.select(col("vec_id"), col("cid"),
+      sqrt(col("d1")).as("dist_own"),
+      sqrt(col("d2")).as("dist_next"),
+      ((sqrt(col("d2")) - sqrt(col("d1"))) /
+        when(greatest(sqrt(col("d1")), sqrt(col("d2"))) =!= 0.0,
+          greatest(sqrt(col("d1")), sqrt(col("d2"))))).as("sil"))
   }
 
   /** Q30 — per-label centroids + each vector's cosine to its own

@@ -154,6 +154,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("silhouette: separated blobs score near 1; agrees with the kmeans assignment") {
+    val rng = new java.util.Random(127)
+    def blob(center: Float, n: Int) = Seq.fill(n) {
+      val v = Array.fill(64)(rng.nextGaussian().toFloat * 0.1f)
+      v(0) += center; v
+    }
+    val vecs = Seq(blob(10f, 1).head, blob(-10f, 1).head) ++
+      blob(10f, 9) ++ blob(-10f, 9)
+    withEmbDir(vecs) { dir =>
+      val km = Similarity.kmeans(spark, dir, k = 2, iters = 2).collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+      val sil = Similarity.silhouette(spark, dir, k = 2, iters = 2).collect()
+      assert(sil.length === 20)
+      sil.foreach { r =>
+        assert(r.getAs[Long]("cid") === km(r.getAs[Long]("vec_id")))
+        val s = r.getAs[Double]("sil")
+        assert(s > 0.9 && s <= 1.0, s"tight blob should score ~1, got $s")
+        assert(r.getAs[Double]("dist_own") <= r.getAs[Double]("dist_next"))
+      }
+    }
+  }
+
   test("kmeans is deterministic across runs and assignment distances are finite") {
     withEmbDir(randVecs(40)) { dir =>
       def run() = Similarity.kmeans(spark, dir, k = 4, iters = 2).collect()
