@@ -1108,6 +1108,36 @@ object OracleSql {
        |  END AS est_distinct
        |FROM agg""".stripMargin
 
+  /** Q128 — windowed streaming KMV (mirrors
+    * StreamingOps.streamWindowedKmv): the q26 sketch replay keyed by
+    * (event_type, hour bucket) — batching-free fold, so the stream's
+    * final emissions equal this batch statement.
+    */
+  def q128WindowedKmv(k: Int = 64, space: Long = 1000000007L): String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       |    ${polyHashSql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events
+       |),
+       |th AS (SELECT DISTINCT event_type, hour_us, h FROM e),
+       |rk AS (
+       |  SELECT event_type, hour_us, h,
+       |    row_number() OVER (PARTITION BY event_type, hour_us ORDER BY h) AS r
+       |  FROM th
+       |),
+       |agg AS (
+       |  SELECT event_type, hour_us, count(*) AS nd,
+       |    max(CASE WHEN r = $k THEN h END) AS kth
+       |  FROM rk WHERE r <= $k GROUP BY 1, 2
+       |)
+       |SELECT event_type, hour_us, CAST(nd AS INTEGER) AS n_kept,
+       |  coalesce(kth, -1) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE CAST(${k - 1} AS DOUBLE) * CAST($space AS DOUBLE) / CAST(kth AS DOUBLE)
+       |  END AS est_distinct
+       |FROM agg""".stripMargin
+
   /** Q27 — deterministic hash split roll-up (mirrors
     * Pipeline.hashSplit: bucket = polyHash(id-as-string) mod 100).
     */
@@ -3089,6 +3119,33 @@ object OracleSql {
        |SELECT node, label AS community FROM l$iters""".stripMargin
   }
 
+  /** Q130 — 2-hop neighborhood sizes (mirrors Graph.twoHopCounts):
+    * the q126 edge replay, wedge join, NOT EXISTS direct-neighbor
+    * exclusion.
+    */
+  def q130TwoHop(minSupport: Int = 2): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |two AS (
+       |  SELECT DISTINCT e1.src, e2.dst AS n2
+       |  FROM ed e1 JOIN ed e2 ON e1.dst = e2.src AND e2.dst <> e1.src
+       |),
+       |strict AS (
+       |  SELECT two.src, two.n2 FROM two
+       |  WHERE NOT EXISTS (SELECT 1 FROM ed
+       |    WHERE ed.src = two.src AND ed.dst = two.n2)
+       |),
+       |c AS (SELECT src, count(*) AS cnt FROM strict GROUP BY 1)
+       |SELECT n.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_two_hop
+       |FROM nodes n LEFT JOIN c ON c.src = n.node""".stripMargin
+
   /** Q114 — per-group OLS (mirrors Relational.olsRegression): same
     * DECIMAL(18,4)-quantized sufficient statistics, same pinned
     * double finishing algebra, null on degenerate denominators.
@@ -3365,4 +3422,45 @@ object OracleSql {
        |)
        |SELECT bigram, c_ab, ca, cb, lift, rnk
        |FROM r WHERE rnk <= $topN""".stripMargin
+
+  /** Q129 — first/last-touch attribution (mirrors
+    * Relational.touchAttribution): endpoints restated as rank-1
+    * windows over the same (t_us, event_id) total order the engine's
+    * struct min/max uses.
+    */
+  def q129Attribution: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+       |  FROM events
+       |),
+       |conv AS (
+       |  SELECT user_id, t_us AS cv_t, event_id AS cv_id FROM (
+       |    SELECT user_id, t_us, event_id,
+       |      row_number() OVER (PARTITION BY user_id
+       |        ORDER BY t_us, event_id) AS rn
+       |    FROM e WHERE event_type = 'purchase') WHERE rn = 1
+       |),
+       |tch AS (
+       |  SELECT e.user_id, e.event_type, e.t_us, e.event_id
+       |  FROM e JOIN conv ON conv.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (e.t_us < conv.cv_t
+       |         OR (e.t_us = conv.cv_t AND e.event_id < conv.cv_id))
+       |),
+       |r AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t_us, event_id) AS ra,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY t_us DESC, event_id DESC) AS rd
+       |  FROM tch
+       |),
+       |f AS (SELECT event_type AS channel, count(*) AS n_first
+       |      FROM r WHERE ra = 1 GROUP BY 1),
+       |l AS (SELECT event_type AS channel, count(*) AS n_last
+       |      FROM r WHERE rd = 1 GROUP BY 1)
+       |SELECT coalesce(f.channel, l.channel) AS channel,
+       |  CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first,
+       |  CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last
+       |FROM f FULL JOIN l ON f.channel = l.channel""".stripMargin
 }

@@ -230,7 +230,11 @@ object SparkEntry {
     "q124_ohlc" -> Relational.ohlcResample _,
     "q125_fit_transform" -> ((s, dir) => Pipeline.fitTransform(s, dir)),
     "q126_lp_communities" -> ((s, dir) => Graph.lpCommunities(s, dir)),
-    "q127_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir))
+    "q127_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
+    "q128_stream_wkmv" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamWindowedKmvFixture(s, dir)),
+    "q129_attribution" -> Relational.touchAttribution _,
+    "q130_two_hop" -> ((s, dir) => Graph.twoHopCounts(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -387,6 +391,9 @@ object SparkEntry {
     "q124_ohlc" -> OracleSql.q124Ohlc,
     "q125_fit_transform" -> OracleSql.q125FitTransform(),
     "q126_lp_communities" -> OracleSql.q126LpCommunities(),
-    "q127_silhouette" -> OracleSql.q127Silhouette()
+    "q127_silhouette" -> OracleSql.q127Silhouette(),
+    "q128_stream_wkmv" -> OracleSql.q128WindowedKmv(),
+    "q129_attribution" -> OracleSql.q129Attribution,
+    "q130_two_hop" -> OracleSql.q130TwoHop()
   )
 }

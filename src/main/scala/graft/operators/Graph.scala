@@ -151,6 +151,38 @@ object Graph {
     lab.select(col("node"), col("label").as("community"))
   }
 
+  /** Q130 — exact 2-hop neighborhood size per node on the
+    * support-floored co-purchase graph: |{w : dist(v, w) = 2}| —
+    * neighbors-of-neighbors minus self minus direct neighbors (the
+    * "friends of friends you don't know" reach metric, and the k=2
+    * slice of graph BFS expressed relationally).
+    *
+    * Scale shape: the wedge self-join enumerates Σ deg(mid)² pairs —
+    * the SAME cost envelope as Q113's triangle wedges, bounded by the
+    * support floor exactly as there; `distinct` collapses multiplicity
+    * before the anti-join, so the direct-neighbor exclusion runs on
+    * the 2-hop SET, not the wedge multiset. All joins are equi-keyed
+    * (node ids); no window, no global sort.
+    */
+  def twoHopCounts(s: SparkSession, dir: String,
+                   minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport)
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val two = ed.as("e1").join(ed.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e2.dst") =!= col("e1.src"))
+      .select(col("e1.src").as("src"), col("e2.dst").as("n2"))
+      .distinct()
+    val strict = two.join(ed.select(col("src"), col("dst").as("n2")),
+      Seq("src", "n2"), "left_anti")
+    val counts = strict.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("cnt"))
+    ed.select(col("src").as("node")).distinct()
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cnt"), lit(0L)).as("n_two_hop"))
+  }
+
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))

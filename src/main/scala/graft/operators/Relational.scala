@@ -1270,6 +1270,50 @@ object Relational {
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.
     */
+  /** Q129 — first/last-touch conversion attribution: each user's
+    * FIRST purchase is the conversion; every earlier non-purchase
+    * event is a touch; the first and last touch each credit their
+    * event type (the marketing-channel attribution shape). All
+    * endpoint picks run on the (t_us, event_id) total order, so
+    * equal-timestamp events cannot flip attribution between runs —
+    * the q124 OHLC tie discipline.
+    *
+    * Scale shape: conversion and touch endpoints are user-keyed
+    * struct-min/max hash aggregates (partial-combining, no per-user
+    * sort, no window over the event log); the channel roll-up runs
+    * over the per-USER aggregate (rows = converted users, not
+    * events). Users with no pre-conversion touch drop out, matching
+    * the oracle's inner touch join.
+    */
+  def touchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val e = ev.select(col("user_id"), col("event_type"),
+      tsMicros(ev).as("t_us"), col("event_id"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("t_us"), col("event_id"))).as("c"))
+      .select(col("user_id"), col("c.t_us").as("cv_t"),
+        col("c.event_id").as("cv_id"))
+    val endpoints = e.filter(col("event_type") =!= "purchase")
+      .join(conv, Seq("user_id"))
+      .filter(col("t_us") < col("cv_t") ||
+        (col("t_us") === col("cv_t") && col("event_id") < col("cv_id")))
+      // (t_us, event_id) is unique, so the trailing event_type tag
+      // rides along without ever deciding the struct comparison
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("t_us"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("t_us"), col("event_id"), col("event_type"))).as("l"))
+    val first = endpoints.groupBy(col("f.event_type").as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val last = endpoints.groupBy(col("l.event_type").as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    first.join(last, Seq("channel"), "full")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"))
+  }
+
   def eventsCube(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val day = date_format(

@@ -959,6 +959,79 @@ object StreamingOps {
   case class KmvUpdate(source: String, version: Int, n_kept: Int,
                        kth_min: Long, est_distinct: Double)
 
+  /** Per-batch windowed-KMV emission. */
+  case class KmvWinUpdate(event_type: String, hour_us: Long, version: Int,
+                          n_kept: Int, kth_min: Long, est_distinct: Double)
+
+  /** Q128 (operator) — continuous WINDOWED distinct-count: hourly
+    * unique users per event type as a KMV sketch keyed by
+    * (type, hour-bucket), folded across micro-batches with
+    * `mapGroupsWithState` — the streaming form of the "DAU per hour"
+    * board every event pipeline runs, with k longs of state per open
+    * window instead of the exact per-window user SET an exact
+    * count-distinct would buffer. State here is bounded by
+    * types × horizon-hours × k longs; production adds a processing-
+    * time timeout to retire windows the watermark has sealed (the
+    * sketch fold itself never grows past k — retirement is about key
+    * count, not per-key growth).
+    */
+  def streamWindowedKmv(ds: Dataset[(String, Long, Long)], k: Int = 64,
+                        space: Long = graft.functions.TextHash.P)
+      : Dataset[KmvWinUpdate] = {
+    import ds.sparkSession.implicits._
+    val sk = new graft.functions.KmvSketch(k, space)
+    ds.groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState[KmvBuf, KmvWinUpdate](GroupStateTimeout.NoTimeout()) {
+        case ((ty, hr), it, state) =>
+          val prev = if (state.exists) state.get else KmvBuf(Array.emptyLongArray, 0)
+          val buf = it.foldLeft(prev.vals)((b, r) => sk.reduce(b, ("", r._3)))
+          val ver = prev.version + 1
+          state.update(KmvBuf(buf, ver))
+          val o = sk.finish(buf)
+          KmvWinUpdate(ty, hr, ver, o.n_kept, o.kth_min, o.est_distinct)
+      }
+  }
+
+  /** q128 — [[streamWindowedKmv]] over the sfDir events table via a
+    * 3-micro-batch MemoryStream; the final emission per (type, hour)
+    * equals the batch sketch (order/batching-free KMV fold). The
+    * collect feeds the MemoryStream harness only.
+    */
+  def streamWindowedKmvFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    // distinct first: the KMV fold is idempotent over repeated hashes
+    val data = ev.select(col("event_type"), tsu.as("t_us"),
+        graft.functions.TextHash.polyHash(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        expr("(t_us div 3600000000) * 3600000000").as("hour_us"), col("h"))
+      .distinct()
+      .as[(String, Long, Long)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    val name = s"q128_stream_wkmv_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamWindowedKmv(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        feedBatches(stream, q, data)
+      } finally q.stop()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hour_us"))
+      .orderBy(col("version").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("event_type", "hour_us", "n_kept", "kth_min", "est_distinct")
+  }
+
   /** Q33 (operator) — continuous distinct-count sketch per key:
     * [[graft.functions.KmvSketch]] state folded across micro-batches
     * with `mapGroupsWithState`. State is k longs per key — bounded

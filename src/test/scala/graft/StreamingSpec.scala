@@ -324,6 +324,44 @@ class StreamingSpec extends SparkSpec {
     assert(hour0.head.getAs[Long]("n_events") === 1L) // late row NOT counted
   }
 
+  test("windowed KMV: final stream emission equals the batch sketch per (type, hour)") {
+    val sk = new graft.functions.KmvSketch(64, graft.functions.TextHash.P)
+    val rng = new java.util.Random(41)
+    // 3 types × 4 hour-buckets, with hash collisions repeated across
+    // batch boundaries so the fold's idempotence is actually exercised
+    val hour = 3600000000L
+    val rows = (0 until 900).map { i =>
+      val ty = s"t${i % 3}"
+      val hr = (i % 4) * hour
+      (ty, hr, math.abs(rng.nextLong() % 500L))
+    }
+    val batch = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val buf = rs.foldLeft(Array.emptyLongArray)((b, r) => sk.reduce(b, ("", r._3)))
+      val o = sk.finish(buf)
+      k -> ((o.n_kept, o.kth_min, o.est_distinct))
+    }
+
+    val stream = MemoryStream[(String, Long, Long)]
+    val q = StreamingOps.streamWindowedKmv(stream.toDS())
+      .writeStream.format("memory").queryName("wkmv_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(rows.take(300)); q.processAllAvailable()
+      stream.addData(rows.slice(300, 301)); q.processAllAvailable()
+      stream.addData(rows.drop(301)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wkmv_test").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_us"),
+        r.getAs[Int]("version"), r.getAs[Int]("n_kept"),
+        r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct")))
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, emits) =>
+        val last = emits.maxBy(_._3)
+        k -> ((last._4, last._5, last._6))
+      }
+    assert(got === batch)
+  }
+
   test("stateful smoother resumes from a checkpoint across query restarts") {
     // file source (replayable) — MemoryStream cannot recover from a
     // checkpoint by design
