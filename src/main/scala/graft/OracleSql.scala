@@ -3146,6 +3146,65 @@ object OracleSql {
        |SELECT n.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_two_hop
        |FROM nodes n LEFT JOIN c ON c.src = n.node""".stripMargin
 
+  /** Q131 — interval-union active time (mirrors
+    * Relational.activeTime): same gaps-and-islands windows over
+    * DISTINCT (user, t_us), exact integer micros.
+    */
+  def q131ActiveTime(holdMin: Int = 5): String = {
+    val hold = holdMin * 60000000L
+    s"""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) AS t_us FROM events),
+       |m AS (
+       |  SELECT user_id, t_us,
+       |    max(t_us + $hold) OVER (PARTITION BY user_id ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM e
+       |),
+       |i AS (
+       |  SELECT user_id, t_us,
+       |    CASE WHEN prev_end IS NULL OR t_us > prev_end
+       |         THEN 1 ELSE 0 END AS ni
+       |  FROM m
+       |),
+       |isl AS (
+       |  SELECT user_id, t_us,
+       |    sum(ni) OVER (PARTITION BY user_id ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM i
+       |),
+       |g AS (
+       |  SELECT user_id, island, min(t_us) AS start_us,
+       |    max(t_us) + $hold AS end_us
+       |  FROM isl GROUP BY 1, 2
+       |)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_periods,
+       |  CAST(sum(end_us - start_us) AS BIGINT) AS active_us
+       |FROM g GROUP BY 1""".stripMargin
+  }
+
+  /** Q132 — vocabulary coverage curve (mirrors
+    * TextAnalysis.vocabCoverage): rank/cumsum over the token-count
+    * aggregate on the (cnt desc, token) total order; coverage is an
+    * exact-integer division.
+    */
+  def q132VocabCoverage(topN: Int = 100): String =
+    s"""WITH tok AS (
+       |  SELECT unnest($tokensSql) AS token FROM documents
+       |),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+       |r AS (
+       |  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+       |      AS rank,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_cnt
+       |  FROM c
+       |)
+       |SELECT rank, token, cnt, cum_cnt,
+       |  CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+       |FROM r, tot WHERE rank <= $topN""".stripMargin
+
   /** Q114 — per-group OLS (mirrors Relational.olsRegression): same
     * DECIMAL(18,4)-quantized sufficient statistics, same pinned
     * double finishing algebra, null on degenerate denominators.

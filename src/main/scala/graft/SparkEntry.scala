@@ -234,7 +234,9 @@ object SparkEntry {
     "q128_stream_wkmv" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWindowedKmvFixture(s, dir)),
     "q129_attribution" -> Relational.touchAttribution _,
-    "q130_two_hop" -> ((s, dir) => Graph.twoHopCounts(s, dir))
+    "q130_two_hop" -> ((s, dir) => Graph.twoHopCounts(s, dir)),
+    "q131_active_time" -> ((s, dir) => Relational.activeTime(s, dir)),
+    "q132_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,6 +396,8 @@ object SparkEntry {
     "q127_silhouette" -> OracleSql.q127Silhouette(),
     "q128_stream_wkmv" -> OracleSql.q128WindowedKmv(),
     "q129_attribution" -> OracleSql.q129Attribution,
-    "q130_two_hop" -> OracleSql.q130TwoHop()
+    "q130_two_hop" -> OracleSql.q130TwoHop(),
+    "q131_active_time" -> OracleSql.q131ActiveTime(),
+    "q132_vocab_coverage" -> OracleSql.q132VocabCoverage()
   )
 }

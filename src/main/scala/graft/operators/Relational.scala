@@ -1270,6 +1270,40 @@ object Relational {
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.
     */
+  /** Q131 — interval-union active time per user: each event opens a
+    * fixed `holdMin`-minute activity interval [t, t+hold); overlapping
+    * or touching intervals merge via gaps-and-islands (an island
+    * starts when the event time strictly exceeds the running max end
+    * of everything before it), and per-user active time is the summed
+    * union length — the "time actually spent" metric naive
+    * max(t)-min(t) overstates and sum-of-holds double-counts.
+    *
+    * Scale shape: one user-partitioned ordered window over DISTINCT
+    * (user, t) — per-user cardinality is session-bounded, the q68
+    * peak-concurrency discipline (if one user ever got pathologically
+    * hot the q46 two-level bucket rank applies); everything else is
+    * exact integer micros through user-keyed hash aggregates.
+    */
+  def activeTime(s: SparkSession, dir: String, holdMin: Int = 5): DataFrame = {
+    val hold = holdMin * 60000000L
+    val ev = t(s, dir, "events")
+    val e = ev.select(col("user_id"), tsMicros(ev).as("t_us")).distinct()
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+    val prevEnd = max(col("t_us") + hold)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = e.withColumn("new_island",
+      when(prevEnd.isNull || col("t_us") > prevEnd, 1L).otherwise(0L))
+    val islands = marked.withColumn("island",
+      sum(col("new_island"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("user_id"), col("island"))
+      .agg(min(col("t_us")).as("start_us"),
+        (max(col("t_us")) + hold).as("end_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_periods"),
+        sum(col("end_us") - col("start_us")).as("active_us"))
+  }
+
   /** Q129 — first/last-touch conversion attribution: each user's
     * FIRST purchase is the conversion; every earlier non-purchase
     * event is a touch; the first and last touch each credit their

@@ -135,6 +135,37 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("n_occurrences"))
 
+  /** Q132 — vocabulary coverage curve: for the `topN` most frequent
+    * corpus tokens (ties broken by token string — the Q71 cut rule),
+    * the cumulative fraction of ALL token occurrences covered by a
+    * vocabulary of that size. This is the "how big must the tokenizer
+    * vocab be for 99% coverage" sizing curve.
+    *
+    * Scale shape: corpus collapses ONCE to the per-token count
+    * aggregate (map-side combinable); the rank/cumsum window runs
+    * over that vocabulary-sized table (the Q53 discipline, never the
+    * corpus), and the grand total rides along as a broadcast-scalar
+    * cross join. coverage divides two exact integers — bitwise-equal
+    * doubles across engines.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= topN)
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("cnt"), col("cum_cnt"),
+        (col("cum_cnt").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
   /** Q71 — vocabulary construction + per-document OOV rate: the
     * tokenizer-prep pass of an LLM data pipeline. Vocab = the `v`
     * most frequent corpus tokens (ties broken by token string so the

@@ -93,4 +93,41 @@ class GraphSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("twoHopCounts: path graph exact distance-2 sets; triangle is all-zero") {
+    val dir = java.nio.file.Files.createTempDirectory("twohop").toString
+    try {
+      // path 1-2-3-4-5, each edge cleared past the support floor by
+      // appearing in two orders
+      val baskets = Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L), Seq(4L, 5L))
+      val rows = for {
+        (b, i) <- (baskets ++ baskets).zipWithIndex
+        p <- b
+      } yield ((i + 1).toLong, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.twoHopCounts(spark, dir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_two_hop")).toMap
+      // dist-2 sets: 1->{3} 2->{4} 3->{1,5} 4->{2} 5->{3}
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("twoHopCounts: triangle has zero strict 2-hop reach (all candidates are neighbors)") {
+    val dir = java.nio.file.Files.createTempDirectory("twohop0").toString
+    try {
+      val rows = Seq(
+        (1L, 1L), (1L, 2L), (1L, 3L),
+        (2L, 1L), (2L, 2L), (2L, 3L))
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.twoHopCounts(spark, dir).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_two_hop")).toMap
+      assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -761,4 +761,35 @@ class RelationalFamilySpec extends SparkSpec {
       assert(math.abs(out.head.getAs[Double]("mz")) > 3.5)
     }
   }
+
+  test("touchAttribution: endpoints on the (t_us, event_id) total order; purchases never credit") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: view(1) -> click(2) -> purchase(3) -> click(4, after conv)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "purchase", 9.0, "{}"),
+      (4L, ts("2024-01-01 00:03:00"), 1L, "click", 0.0, "{}"),
+      // user 2: two touches at the SAME timestamp as the conversion
+      // instant minus tie on event_id: 5 counts (id < conv id), 7 does
+      // not (id > conv id); first touch = error(5) by event_id tie
+      (5L, ts("2024-02-01 00:00:00"), 2L, "error", 0.0, "{}"),
+      (6L, ts("2024-02-01 00:00:00"), 2L, "purchase", 1.0, "{}"),
+      (7L, ts("2024-02-01 00:00:00"), 2L, "view", 0.0, "{}"),
+      // user 3: purchase only - no touches, drops out
+      (8L, ts("2024-03-01 00:00:00"), 3L, "purchase", 1.0, "{}"),
+      // user 4: touches but never converts - drops out
+      (9L, ts("2024-03-02 00:00:00"), 4L, "view", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.touchAttribution(spark, dir).collect()
+        .map(r => r.getAs[String]("channel") ->
+          ((r.getAs[Long]("n_first"), r.getAs[Long]("n_last")))).toMap
+      // user 1: first=view, last=click (event 4 is post-conversion)
+      // user 2: only event 5 qualifies -> first=last=error
+      assert(out === Map(
+        "view" -> ((1L, 0L)),
+        "click" -> ((0L, 1L)),
+        "error" -> ((1L, 1L))))
+    }
+  }
 }
