@@ -1138,6 +1138,28 @@ object OracleSql {
        |  END AS est_distinct
        |FROM agg""".stripMargin
 
+  /** Q133 — windowed streaming heavy hitters (mirrors
+    * StreamingOps.streamWindowedHeavy): sub-saturation Misra-Gries is
+    * exact, so the final emissions equal the batch per-window top-m
+    * on the (cnt desc, user-string asc) order.
+    */
+  def q133WindowedHeavy(m: Int = 3): String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+       |    CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |),
+       |c AS (
+       |  SELECT event_type, hour_us, u, count(*) AS cnt
+       |  FROM e GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, hour_us, u AS "user",
+       |  CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(row_number() OVER (PARTITION BY event_type, hour_us
+       |    ORDER BY cnt DESC, u) AS BIGINT) AS rnk
+       |FROM c QUALIFY rnk <= $m""".stripMargin
+
   /** Q27 — deterministic hash split roll-up (mirrors
     * Pipeline.hashSplit: bucket = polyHash(id-as-string) mod 100).
     */
@@ -3480,6 +3502,40 @@ object OracleSql {
        |  FROM j
        |)
        |SELECT bigram, c_ab, ca, cb, lift, rnk
+       |FROM r WHERE rnk <= $topN""".stripMargin
+
+  /** Q134 — per-source vocabulary drift (mirrors
+    * TextAnalysis.sourceDrift): exact integer cross-products, one
+    * pinned double division, per-source rank window.
+    */
+  def q134SourceDrift(minCount: Int = 5, topN: Int = 10): String =
+    s"""WITH bs AS (
+       |  SELECT source, token, count(*) AS c_src
+       |  FROM (SELECT source, unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |al AS (SELECT token, CAST(sum(c_src) AS BIGINT) AS c_all
+       |       FROM bs GROUP BY 1),
+       |ts AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS tot_src
+       |       FROM bs GROUP BY 1),
+       |ta AS (SELECT CAST(sum(c_all) AS BIGINT) AS tot_all FROM al),
+       |j AS (
+       |  SELECT bs.source, bs.token, CAST(bs.c_src AS BIGINT) AS c_src,
+       |    al.c_all,
+       |    CAST(bs.c_src * ta.tot_all AS DOUBLE)
+       |      / CAST(al.c_all * ts.tot_src AS DOUBLE) AS lift
+       |  FROM bs
+       |  JOIN al ON al.token = bs.token
+       |  JOIN ts ON ts.source = bs.source
+       |  CROSS JOIN ta
+       |  WHERE bs.c_src >= $minCount
+       |),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY lift DESC, token) AS BIGINT) AS rnk
+       |  FROM j
+       |)
+       |SELECT source, token, c_src, c_all, lift, rnk
        |FROM r WHERE rnk <= $topN""".stripMargin
 
   /** Q129 — first/last-touch attribution (mirrors

@@ -236,7 +236,10 @@ object SparkEntry {
     "q129_attribution" -> Relational.touchAttribution _,
     "q130_two_hop" -> ((s, dir) => Graph.twoHopCounts(s, dir)),
     "q131_active_time" -> ((s, dir) => Relational.activeTime(s, dir)),
-    "q132_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir))
+    "q132_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "q133_stream_wheavy" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamWindowedHeavyFixture(s, dir)),
+    "q134_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +401,8 @@ object SparkEntry {
     "q129_attribution" -> OracleSql.q129Attribution,
     "q130_two_hop" -> OracleSql.q130TwoHop(),
     "q131_active_time" -> OracleSql.q131ActiveTime(),
-    "q132_vocab_coverage" -> OracleSql.q132VocabCoverage()
+    "q132_vocab_coverage" -> OracleSql.q132VocabCoverage(),
+    "q133_stream_wheavy" -> OracleSql.q133WindowedHeavy(),
+    "q134_source_drift" -> OracleSql.q134SourceDrift()
   )
 }

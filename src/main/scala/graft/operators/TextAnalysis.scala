@@ -447,6 +447,44 @@ object TextAnalysis {
       .filter(col("rnk") <= topN)
   }
 
+  /** Q134 — per-source vocabulary drift: tokens over-represented in
+    * one source relative to the whole corpus, ranked by the lift
+    * (c_src/tot_src)/(c_all/tot_all) — the corpus-diff report a
+    * mixture pipeline reads before re-weighting sources. Q120's
+    * rational-lift discipline: exact integer cross-products, ONE
+    * pinned double division, no ln().
+    *
+    * Scale shape: the corpus collapses ONCE to the (source, token)
+    * aggregate; the global token counts and per-source totals re-
+    * aggregate THAT table (vocabulary-sized input, never the corpus),
+    * the grand total rides a broadcast cross join, and the top-k
+    * window runs per source over the min-count-floored aggregate.
+    */
+  def sourceDrift(s: SparkSession, dir: String, minCount: Int = 5,
+                  topN: Int = 10): DataFrame = {
+    val bySrc = docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_src"))
+    val all = bySrc.groupBy(col("token")).agg(sum(col("c_src")).as("c_all"))
+    val totSrc = bySrc.groupBy(col("source"))
+      .agg(sum(col("c_src")).as("tot_src"))
+    val totAll = all.agg(sum(col("c_all")).as("tot_all"))
+    val lifted = bySrc
+      .filter(col("c_src") >= minCount)
+      .join(all, Seq("token"))
+      .join(totSrc, Seq("source"))
+      .crossJoin(broadcast(totAll))
+      .withColumn("lift",
+        (col("c_src") * col("tot_all")).cast("double") /
+          (col("c_all") * col("tot_src")).cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("token"))
+    lifted.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col("source"), col("token"), col("c_src"), col("c_all"),
+        col("lift"), col("rnk"))
+  }
+
   /** Q120 — PMI collocations: bigrams whose observed frequency beats
     * the independence expectation of their unigrams. The statistic is
     * the LIFT p(w1w2)/(p(w1)·p(w2)) — the exp of PMI, same ordering —

@@ -1032,6 +1032,77 @@ object StreamingOps {
       .select("event_type", "hour_us", "n_kept", "kth_min", "est_distinct")
   }
 
+  /** Per-batch windowed heavy-hitter emission. */
+  case class MgWinUpdate(event_type: String, hour_us: Long, version: Int,
+                         user: String, cnt: Long, rnk: Long)
+
+  /** Q133 (operator) — continuous WINDOWED heavy hitters: top users
+    * per (event type, hour bucket) as a Misra-Gries counter map keyed
+    * by the window, folded with `flatMapGroupsWithState` and emitting
+    * the top-m after every batch — the "who is hammering this hour"
+    * board. State is ≤ k counters per OPEN window (bounded forever,
+    * the q112 sketch discipline); q128's windowed-key shape supplies
+    * the per-hour slicing. Below saturation counts are exact and the
+    * final emission equals the batch per-window count/top-m — the
+    * regime the oracle replays.
+    */
+  def streamWindowedHeavy(ds: Dataset[(String, Long, String)],
+                          k: Int = 1 << 16, m: Int = 3): Dataset[MgWinUpdate] = {
+    import ds.sparkSession.implicits._
+    val mg = new graft.functions.MgSketch(k)
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[MgStreamBuf, MgWinUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((ty, hr), it, state) =>
+          val prev = state.getOption.getOrElse(MgStreamBuf(Map.empty, 0))
+          val buf = it.foldLeft(prev.counts)((b, r) => mg.reduce(b, ("", r._3)))
+          val ver = prev.version + 1
+          state.update(MgStreamBuf(buf, ver))
+          mg.finish(buf).take(m).zipWithIndex.iterator.map {
+            case ((u, cnt), i) =>
+              MgWinUpdate(ty, hr, ver, u, cnt, (i + 1).toLong)
+          }
+      }
+  }
+
+  /** q133 — [[streamWindowedHeavy]] over the sfDir events table via a
+    * 3-micro-batch MemoryStream; final emission per (type, hour)
+    * equals the batch top-m because sub-saturation Misra-Gries is
+    * exact under any batching. The collect feeds the MemoryStream
+    * harness only.
+    */
+  def streamWindowedHeavyFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("event_type"), tsu.as("t_us"),
+        col("user_id").cast("string").as("u"))
+      .select(col("event_type"),
+        expr("(t_us div 3600000000) * 3600000000").as("hour_us"), col("u"))
+      .as[(String, Long, String)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, String)]
+    val name = s"q133_stream_wheavy_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamWindowedHeavy(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        feedBatches(stream, q, data)
+      } finally q.stop()
+    }
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("hour_us"))
+    s.table(name)
+      .withColumn("maxv", max(col("version")).over(byWin))
+      .filter(col("version") === col("maxv"))
+      .select("event_type", "hour_us", "user", "cnt", "rnk")
+  }
+
   /** Q33 (operator) — continuous distinct-count sketch per key:
     * [[graft.functions.KmvSketch]] state folded across micro-batches
     * with `mapGroupsWithState`. State is k longs per key — bounded
