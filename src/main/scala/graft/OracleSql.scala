@@ -3504,6 +3504,68 @@ object OracleSql {
        |SELECT bigram, c_ab, ca, cb, lift, rnk
        |FROM r WHERE rnk <= $topN""".stripMargin
 
+  /** Q135 — data-quality constraint audit (mirrors
+    * Relational.constraintAudit): same named checks, exact int64
+    * counts.
+    */
+  def q135ConstraintAudit: String =
+    s"""WITH o_row AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN o_orderdate IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS v2
+       |  FROM orders
+       |),
+       |l_row AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+       |      OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0
+       |      OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+       |  FROM lineitem
+       |),
+       |o_uni AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(sum(c - 1) AS BIGINT) AS n_violations
+       |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+       |),
+       |l_uni AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(sum(c - 1) AS BIGINT) AS n_violations
+       |  FROM (SELECT count(*) AS c FROM lineitem
+       |        GROUP BY l_orderkey, l_linenumber)
+       |),
+       |o_fk AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       |    CAST((SELECT count(*) FROM orders o
+       |      WHERE NOT EXISTS (SELECT 1 FROM customer c
+       |        WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_violations
+       |),
+       |l_fk AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+       |    CAST((SELECT count(*) FROM lineitem l
+       |      WHERE NOT EXISTS (SELECT 1 FROM orders o
+       |        WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations
+       |),
+       |u AS (
+       |  SELECT 'orders.totalprice_positive' AS "constraint", n_rows,
+       |    v1 AS n_violations FROM o_row
+       |  UNION ALL SELECT 'orders.orderdate_not_null', n_rows, v2 FROM o_row
+       |  UNION ALL SELECT 'lineitem.quantity_1_50', n_rows, v1 FROM l_row
+       |  UNION ALL SELECT 'lineitem.discount_0_1', n_rows, v2 FROM l_row
+       |  UNION ALL SELECT 'orders.orderkey_unique', n_rows, n_violations
+       |    FROM o_uni
+       |  UNION ALL SELECT 'lineitem.order_line_unique', n_rows, n_violations
+       |    FROM l_uni
+       |  UNION ALL SELECT 'orders.custkey_fk', n_rows, n_violations FROM o_fk
+       |  UNION ALL SELECT 'lineitem.orderkey_fk', n_rows, n_violations
+       |    FROM l_fk
+       |)
+       |SELECT "constraint", n_rows, n_violations,
+       |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+       |FROM u""".stripMargin
+
   /** Q134 — per-source vocabulary drift (mirrors
     * TextAnalysis.sourceDrift): exact integer cross-products, one
     * pinned double division, per-source rank window.
@@ -3578,4 +3640,60 @@ object OracleSql {
        |  CAST(coalesce(f.n_first, 0) AS BIGINT) AS n_first,
        |  CAST(coalesce(l.n_last, 0) AS BIGINT) AS n_last
        |FROM f FULL JOIN l ON f.channel = l.channel""".stripMargin
+
+  /** Q136 — dominant supplier share (mirrors
+    * Relational.dominantSupplierShare): the same correlated scalar
+    * subqueries, decimal-exact sums and threshold, one double
+    * division.
+    */
+  def q136DominantSupplier: String =
+    """WITH ps AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |         sum(CAST(l_quantity AS DECIMAL(20,4))) AS qty_dec
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT partkey, suppkey,
+      |  CAST(qty_dec AS DOUBLE) AS qty,
+      |  CAST(qty_dec AS DOUBLE) /
+      |    CAST((SELECT sum(p2.qty_dec) FROM ps p2
+      |          WHERE p2.partkey = p1.partkey) AS DOUBLE) AS share
+      |FROM ps p1
+      |WHERE qty_dec * 20 > (SELECT sum(p2.qty_dec) FROM ps p2
+      |                      WHERE p2.partkey = p1.partkey) * 3
+      |""".stripMargin
+
+  /** Q137 — per-channel lag-k autocorrelation (mirrors
+    * Relational.signalAutocorr): same decimal sufficient statistics,
+    * same Pearson association order.
+    */
+  def q137SignalAutocorr: String =
+    s"""WITH $sigCtes,
+       |b AS (
+       |  SELECT channel, CAST(y AS DECIMAL(18,4)) AS x,
+       |    lead(CAST(y AS DECIMAL(18,4)), 1) OVER w AS l1,
+       |    lead(CAST(y AS DECIMAL(18,4)), 5) OVER w AS l5,
+       |    lead(CAST(y AS DECIMAL(18,4)), 10) OVER w AS l10
+       |  FROM sig
+       |  WINDOW w AS (PARTITION BY channel ORDER BY sample_idx)
+       |),
+       |p AS (
+       |  SELECT channel, 1 AS k, x, l1 AS z FROM b WHERE l1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT channel, 5, x, l5 FROM b WHERE l5 IS NOT NULL
+       |  UNION ALL
+       |  SELECT channel, 10, x, l10 FROM b WHERE l10 IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT channel, k, CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(x) AS DOUBLE) AS sx,
+       |    CAST(sum(z) AS DOUBLE) AS sz,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |    CAST(sum(z * z) AS DOUBLE) AS szz,
+       |    CAST(sum(x * z) AS DOUBLE) AS sxz
+       |  FROM p GROUP BY channel, k
+       |)
+       |SELECT channel, k, m,
+       |  (m * sxz - sx * sz) /
+       |    NULLIF(sqrt((m * sxx - sx * sx) * (m * szz - sz * sz)), 0)
+       |    AS r
+       |FROM a""".stripMargin
 }

@@ -239,7 +239,10 @@ object SparkEntry {
     "q132_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "q133_stream_wheavy" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWindowedHeavyFixture(s, dir)),
-    "q134_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(s, dir))
+    "q134_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(s, dir)),
+    "q135_constraint_audit" -> Relational.constraintAudit _,
+    "q136_dominant_supplier" -> Relational.dominantSupplierShare _,
+    "q137_signal_autocorr" -> ((s, _) => Relational.signalAutocorr(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,6 +406,9 @@ object SparkEntry {
     "q131_active_time" -> OracleSql.q131ActiveTime(),
     "q132_vocab_coverage" -> OracleSql.q132VocabCoverage(),
     "q133_stream_wheavy" -> OracleSql.q133WindowedHeavy(),
-    "q134_source_drift" -> OracleSql.q134SourceDrift()
+    "q134_source_drift" -> OracleSql.q134SourceDrift(),
+    "q135_constraint_audit" -> OracleSql.q135ConstraintAudit,
+    "q136_dominant_supplier" -> OracleSql.q136DominantSupplier,
+    "q137_signal_autocorr" -> OracleSql.q137SignalAutocorr
   )
 }

@@ -1270,6 +1270,70 @@ object Relational {
     * (type×day, type, day, total) in one shuffle. Same nanos→day
     * derivation as Q13.
     */
+  /** Q135 — declarative data-quality constraint audit (the
+    * Deequ-style pre-ingest gate): null / range / uniqueness /
+    * referential-integrity checks over orders and lineitem, one
+    * result row per named constraint with row and violation counts.
+    *
+    * Scale shape: every row-level check on a table shares ONE scan —
+    * a single conditional-sum aggregate fans out to per-constraint
+    * rows via `stack` over the 1-row aggregate, so adding checks
+    * never adds passes. Uniqueness re-aggregates the key-count
+    * aggregate (violations = Σ(c−1), exactly the duplicate surplus);
+    * FK checks are LEFT ANTI joins (broadcastable dimension) counted
+    * against the fact row count carried by a broadcast-scalar cross
+    * join. All counts are exact int64.
+    */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer")
+    def v(cond: Column): Column = sum(when(cond, 1L).otherwise(0L))
+
+    val oRow = o.agg(
+        count(lit(1)).as("n_rows"),
+        v(col("o_totalprice").isNull || col("o_totalprice") <= 0).as("v1"),
+        v(col("o_orderdate").isNull).as("v2"))
+      .selectExpr("n_rows",
+        "stack(2, 'orders.totalprice_positive', v1, " +
+          "'orders.orderdate_not_null', v2) AS (`constraint`, n_violations)")
+    val lRow = l.agg(
+        count(lit(1)).as("n_rows"),
+        v(col("l_quantity").isNull ||
+          col("l_quantity") < 1 || col("l_quantity") > 50).as("v1"),
+        v(col("l_discount").isNull ||
+          col("l_discount") < 0 || col("l_discount") > 1).as("v2"))
+      .selectExpr("n_rows",
+        "stack(2, 'lineitem.quantity_1_50', v1, " +
+          "'lineitem.discount_0_1', v2) AS (`constraint`, n_violations)")
+    val oUniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), sum(col("c") - 1).as("n_violations"))
+      .select(lit("orders.orderkey_unique").as("constraint"),
+        col("n_rows"), col("n_violations"))
+    val lUniq = l.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), sum(col("c") - 1).as("n_violations"))
+      .select(lit("lineitem.order_line_unique").as("constraint"),
+        col("n_rows"), col("n_violations"))
+    def fk(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+           name: String): DataFrame = {
+      val miss = fact.join(broadcast(dim.select(col(dimKey))),
+          fact(factKey) === col(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      fact.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(miss))
+        .select(lit(name).as("constraint"), col("n_rows"),
+          col("n_violations"))
+    }
+    val sel = Seq("constraint", "n_rows", "n_violations")
+    oRow.selectExpr(sel: _*)
+      .unionAll(lRow.selectExpr(sel: _*))
+      .unionAll(oUniq).unionAll(lUniq)
+      .unionAll(fk(o, "o_custkey", c, "c_custkey", "orders.custkey_fk"))
+      .unionAll(fk(l, "l_orderkey", o, "o_orderkey", "lineitem.orderkey_fk"))
+      .withColumn("pass", (col("n_violations") === 0).cast("long"))
+  }
+
   /** Q131 — interval-union active time per user: each event opens a
     * fixed `holdMin`-minute activity interval [t, t+hold); overlapping
     * or touching intervals merge via gaps-and-islands (an island
@@ -1346,6 +1410,82 @@ object Relational {
       .select(col("channel"),
         coalesce(col("n_first"), lit(0L)).as("n_first"),
         coalesce(col("n_last"), lit(0L)).as("n_last"))
+  }
+
+  /** Q136 — dominant supplier share, stated as a CORRELATED scalar
+    * subquery on the SQL surface: per (part, supplier) shipped
+    * quantity, keep pairs holding > 15% of the part's total, with the
+    * share. The point of this query is the optimizer path: Catalyst's
+    * `RewriteCorrelatedScalarSubquery` / `DecorrelateInnerQuery` must
+    * turn both correlated subqueries (one in SELECT, one in WHERE)
+    * into ONE de-correlated aggregate joined back on `partkey` — a
+    * per-row re-executed subquery would be O(n·parts) and
+    * `PlanQualitySpec` pins that no subquery survives in the physical
+    * plan.
+    *
+    * Float discipline: quantities accumulate as DECIMAL(20,4) (exact,
+    * order-free partial aggregation); the 0.15 threshold compares in
+    * exact decimal arithmetic; `share` is the single pinned double
+    * division at the end.
+    */
+  def dominantSupplierShare(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g_q136_lineitem")
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(20,4))) AS qty_dec
+        |  FROM g_q136_lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT partkey, suppkey,
+        |  CAST(qty_dec AS DOUBLE) AS qty,
+        |  CAST(qty_dec AS DOUBLE) /
+        |    CAST((SELECT sum(p2.qty_dec) FROM ps p2
+        |          WHERE p2.partkey = p1.partkey) AS DOUBLE) AS share
+        |FROM ps p1
+        |WHERE qty_dec * 20 > (SELECT sum(p2.qty_dec) FROM ps p2
+        |                      WHERE p2.partkey = p1.partkey) * 3
+        |""".stripMargin)
+  }
+
+  /** Q137 — per-channel lag-k autocorrelation (k = 1, 5, 10) of the
+    * signal trace: Pearson r between y_i and y_{i+k} over the
+    * overlapping window, the standard periodicity probe that
+    * complements the peak detector (a beat every ~600 samples shows
+    * up as structure across the lags).
+    *
+    * Scale shape: ONE window pass (partition = channel, the inherent
+    * time-series order — at 100 TB each channel sorts independently,
+    * parallel across the fleet of (experiment, channel) series)
+    * computes all three leads; `stack` fans the pair columns into
+    * (k, x, z) rows WITHOUT re-reading; one hash aggregate per
+    * (channel, k) carries six decimal-exact sufficient statistics
+    * (order-free partial aggregation, so the exchange carries 6
+    * numbers per group per map task). Final Pearson assembly is the
+    * only double arithmetic, association order pinned to the oracle.
+    */
+  def signalAutocorr(s: SparkSession): DataFrame = {
+    val sig = graft.sources.SignalFixture.signal(s)
+    val w = Window.partitionBy(col("channel")).orderBy(col("sample_idx"))
+    val yd = col("y").cast("decimal(18,4)")
+    val pairs = sig
+      .select(col("channel"), yd.as("x"),
+        lead(yd, 1).over(w).as("l1"),
+        lead(yd, 5).over(w).as("l5"),
+        lead(yd, 10).over(w).as("l10"))
+      .selectExpr("channel", "x",
+        "stack(3, 1, l1, 5, l5, 10, l10) AS (k, z)")
+      .filter(col("z").isNotNull)
+    val a = pairs.groupBy(col("channel"), col("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("z")).cast("double").as("sz"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("z") * col("z")).cast("double").as("szz"),
+        sum(col("x") * col("z")).cast("double").as("sxz"))
+    val num = col("m") * col("sxz") - col("sx") * col("sz")
+    val den = sqrt((col("m") * col("sxx") - col("sx") * col("sx")) *
+      (col("m") * col("szz") - col("sz") * col("sz")))
+    a.select(col("channel"), col("k"), col("m"),
+      (num / when(den =!= 0.0, den)).as("r"))
   }
 
   def eventsCube(s: SparkSession, dir: String): DataFrame = {

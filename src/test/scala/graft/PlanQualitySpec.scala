@@ -274,4 +274,24 @@ class PlanQualitySpec extends SparkSpec {
       s"jw linkage degraded to cartesian:\n$p")
     assert(p.contains("graft_jaro_winkler"), "native JW expr not in plan")
   }
+
+  test("q136: correlated scalar subqueries decorrelate to one joined aggregate") {
+    val p = plan("q136_dominant_supplier")
+    // RewriteCorrelatedScalarSubquery must have turned both correlated
+    // subqueries (SELECT + WHERE) into a de-correlated per-part
+    // aggregate joined back — a surviving per-row subquery would be
+    // O(n·parts) at scale
+    assert(!p.toLowerCase.contains("subquery"),
+      s"correlated subquery survived decorrelation:\n$p")
+    assert(p.contains("HashAggregate"), "per-part aggregate missing")
+  }
+
+  test("q137: one channel-keyed window pass; stack is a narrow Generate") {
+    val p = plan("q137_signal_autocorr")
+    // all three leads share ONE window sort over the channel exchange
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1,
+      s"lead columns must share one window pass:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected window + aggregate exchanges only:\n$p")
+  }
 }

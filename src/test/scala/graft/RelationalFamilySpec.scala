@@ -792,4 +792,47 @@ class RelationalFamilySpec extends SparkSpec {
         "error" -> ((1L, 1L))))
     }
   }
+
+  test("constraintAudit: counts every violation class on a dirty fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("audit").toString
+    try {
+      val d0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // orders: 1 null price, 1 non-positive price, 1 null date,
+      // orderkey 10 duplicated, custkey 99 orphaned.
+      Seq(
+        (10L, 1L, Some(5.0), Some(d0)),
+        (10L, 1L, Some(-1.0), Some(d0)),
+        (11L, 2L, None: Option[Double], Some(d0)),
+        (12L, 99L, Some(7.0), None: Option[java.sql.Timestamp]))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .write.parquet(s"$dir/orders.parquet")
+      // lineitem: qty 0 and 51 out of range, discount 1.5 out of range,
+      // (orderkey, linenumber) (10,1) duplicated, orderkey 77 orphaned.
+      Seq(
+        (10L, 1, 0.0, 0.1),
+        (10L, 1, 51.0, 0.2),
+        (11L, 1, 5.0, 1.5),
+        (77L, 1, 5.0, 0.0))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .write.parquet(s"$dir/lineitem.parquet")
+      Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+        .write.parquet(s"$dir/customer.parquet")
+
+      val out = Relational.constraintAudit(spark, dir).collect()
+        .map(r => r.getAs[String]("constraint") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+            r.getAs[Long]("pass")))).toMap
+      assert(out === Map(
+        "orders.totalprice_positive" -> ((4L, 2L, 0L)),
+        "orders.orderdate_not_null" -> ((4L, 1L, 0L)),
+        "lineitem.quantity_1_50" -> ((4L, 2L, 0L)),
+        "lineitem.discount_0_1" -> ((4L, 1L, 0L)),
+        "orders.orderkey_unique" -> ((4L, 1L, 0L)),
+        "lineitem.order_line_unique" -> ((4L, 1L, 0L)),
+        "orders.custkey_fk" -> ((4L, 1L, 0L)),
+        "lineitem.orderkey_fk" -> ((4L, 1L, 0L))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
