@@ -3696,4 +3696,63 @@ object OracleSql {
        |    NULLIF(sqrt((m * sxx - sx * sx) * (m * szz - sz * sz)), 0)
        |    AS r
        |FROM a""".stripMargin
+
+  /** Q138 — prefix-dimension recall audit (mirrors
+    * Similarity.prefixRecall): full-dim truth, one truncated-cosine
+    * top-k per prefix via the same cosSql fold over the first pd
+    * elements, left-join hit counts.
+    */
+  def q138PrefixRecall(dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10,
+                       dim: Int = 64): String = {
+    val blocks = dims.map { pd =>
+      s"""a$pd AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.probe_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.probe_id
+         |        ORDER BY ${cosSql("p.pe", "e.de", pd)} DESC, e.vec_id) AS rnk
+         |    FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id)
+         |  WHERE rnk <= $k),
+         |r$pd AS (
+         |  SELECT $pd AS prefix_dim, t.probe_id,
+         |    CAST(count(a.vec_id) AS BIGINT) AS n_hit
+         |  FROM truth t LEFT JOIN a$pd a
+         |    ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.probe_id)""".stripMargin
+    }.mkString(",\n")
+    val union = dims.map(pd => s"SELECT * FROM r$pd").mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |p AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 3),
+       |truth AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT p.probe_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${cosSql("p.pe", "e.de", dim)} DESC, e.vec_id) AS rnk
+       |    FROM p CROSS JOIN e WHERE e.vec_id <> p.probe_id)
+       |  WHERE rnk <= $k),
+       |$blocks
+       |SELECT prefix_dim, probe_id, n_hit,
+       |  CAST(n_hit AS DOUBLE) / $k AS recall
+       |FROM ($union)""".stripMargin
+  }
+
+  /** Q139 — multimodal checksum dedup (mirrors Multimodal.mediaDedup):
+    * DuckDB md5 over the same UTF-8 bytes, octet_length for the byte
+    * count, min-doc_id survivor.
+    */
+  def q139MediaDedup: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5(text) AS content_md5,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT content_md5, CAST(count(*) AS BIGINT) AS n_copies,
+      |    min(doc_id) AS survivor_id
+      |  FROM h GROUP BY content_md5)
+      |SELECT h.doc_id, h.content_md5, h.n_bytes, g.n_copies, g.survivor_id,
+      |  CAST(CASE WHEN h.doc_id = g.survivor_id THEN 1 ELSE 0 END AS BIGINT)
+      |    AS keep
+      |FROM h JOIN g USING (content_md5)""".stripMargin
 }

@@ -242,7 +242,9 @@ object SparkEntry {
     "q134_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(s, dir)),
     "q135_constraint_audit" -> Relational.constraintAudit _,
     "q136_dominant_supplier" -> Relational.dominantSupplierShare _,
-    "q137_signal_autocorr" -> ((s, _) => Relational.signalAutocorr(s))
+    "q137_signal_autocorr" -> ((s, _) => Relational.signalAutocorr(s)),
+    "q138_prefix_recall" -> ((s, dir) => Similarity.prefixRecall(s, dir)),
+    "q139_media_dedup" -> Multimodal.mediaDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,6 +411,8 @@ object SparkEntry {
     "q134_source_drift" -> OracleSql.q134SourceDrift(),
     "q135_constraint_audit" -> OracleSql.q135ConstraintAudit,
     "q136_dominant_supplier" -> OracleSql.q136DominantSupplier,
-    "q137_signal_autocorr" -> OracleSql.q137SignalAutocorr
+    "q137_signal_autocorr" -> OracleSql.q137SignalAutocorr,
+    "q138_prefix_recall" -> OracleSql.q138PrefixRecall(),
+    "q139_media_dedup" -> OracleSql.q139MediaDedup
   )
 }

@@ -132,4 +132,30 @@ object Multimodal {
       it.map { case (id, bytes) => (id, decodeStub(bytes)) }
     }.toDF("doc_id", "features")
   }
+
+  /** Q139 — exact multimodal dedup by content checksum: group the
+    * opaque media blobs by `md5(media)`, pick the min-doc_id survivor
+    * per content group, and emit the per-blob keep/drop decision table
+    * (the image/audio analog of Q15's text dedup — for media the
+    * cryptographic checksum IS the dedup contract, the standard
+    * CAS-style byte-identical image dedup).
+    *
+    * Scale shape: md5 is computed AT THE SCAN and only the 32-char
+    * digest (plus doc_id and the byte length) ever enters an
+    * exchange — media bytes never shuffle, the exact property that
+    * makes checksum dedup viable when blobs are megabytes. One
+    * digest-keyed aggregate, one digest-keyed join back.
+    */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val h = mediaTable(s, dir).select(col("doc_id"),
+      md5(col("media")).as("content_md5"),
+      length(col("media")).cast("long").as("n_bytes"))
+    val g = h.groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("survivor_id"))
+    h.join(g, Seq("content_md5"))
+      .select(col("doc_id"), col("content_md5"), col("n_bytes"),
+        col("n_copies"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).cast("long").as("keep"))
+  }
 }

@@ -163,6 +163,47 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / k)
   }
 
+  /** Q138 — Matryoshka-style prefix-dimension retrieval audit: recall
+    * of brute-force top-k when cosine runs on only the first
+    * `prefix_dim` coordinates (8/16/32) against the full-64-dim truth.
+    * This is the decision table for MRL-truncated embeddings — "how
+    * many dims can storage drop before recall pays" — the same
+    * contract as the Q90 IVF recall certificate, pointed at dimension
+    * truncation instead of the index.
+    *
+    * Scale shape: each audit is probe-set × corpus (probes tiny and
+    * broadcast, corpus scanned once per prefix); the truncated scans
+    * read `slice(embedding)` so only the prefix enters the dot
+    * product; recall joins are per-(probe, vec) semi-joins on the
+    * k·probes truth table (broadcastable at any corpus size).
+    */
+  def prefixRecall(s: SparkSession, dir: String,
+                   dims: Seq[Int] = Seq(8, 16, 32), k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(s, dir, k).select(col("probe_id"), col("vec_id"))
+    dims.map { pd =>
+      val e = embeddings(s, dir).select(col("vec_id"),
+        transform(slice(col("embedding"), 1, pd), x => x.cast("double"))
+          .as("de"))
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("de").as("pe"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val approx = probes.crossJoin(e)
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("sim", cosine(col("pe"), col("de")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("probe_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      truth.select(col("probe_id")).distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(lit(pd).as("prefix_dim"), col("probe_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Q95 — per-dimension embedding statistics (the whitening /
     * normalization prep a vector corpus needs before indexing): mean
     * and population variance of every coordinate across the corpus.

@@ -286,6 +286,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "per-part aggregate missing")
   }
 
+  test("q139: media bytes never enter an exchange — only the md5 digest shuffles") {
+    val p = plan("q139_media_dedup")
+    assert(p.contains("md5"), "digest projection missing")
+    assert(!"Exchange [^\\n]*media".r.findFirstIn(p).isDefined,
+      s"media binary column crossed an exchange:\n$p")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange

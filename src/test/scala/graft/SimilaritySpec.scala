@@ -283,4 +283,15 @@ class SimilaritySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("prefixRecall: the full-dimension prefix recovers truth exactly (recall 1)") {
+    val out = graft.operators.Similarity
+      .prefixRecall(spark, "/root/testdata/sf0.001", dims = Seq(64), k = 5)
+      .collect()
+    assert(out.length === 3) // one row per probe
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") === 5L)
+      assert(r.getAs[Double]("recall") === 1.0)
+    }
+  }
 }
