@@ -3755,4 +3755,68 @@ object OracleSql {
       |  CAST(CASE WHEN h.doc_id = g.survivor_id THEN 1 ELSE 0 END AS BIGINT)
       |    AS keep
       |FROM h JOIN g USING (content_md5)""".stripMargin
+
+  /** Q140 — explicit set operations (mirrors Relational.eventSetOps):
+    * INTERSECT / EXCEPT with their standard distinct semantics.
+    */
+  def q140EventSetOps: String =
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'both' AS tag, user_id FROM (SELECT * FROM c INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'click_only', user_id FROM (SELECT * FROM c EXCEPT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'purchase_only', user_id FROM (SELECT * FROM b EXCEPT SELECT * FROM c)
+      |""".stripMargin
+
+  /** Q141 — Markov transition matrix (mirrors
+    * Relational.eventTransitions): same total order, exact counts,
+    * one pinned division.
+    */
+  def q141EventTransitions: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id
+      |  FROM events
+      |),
+      |p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY t_us, event_id) AS to_type
+      |  FROM e
+      |),
+      |m AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+      |),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |      FROM m GROUP BY 1)
+      |SELECT m.from_type, m.to_type, m.n,
+      |  CAST(m.n AS DOUBLE) / t.n_from AS p
+      |FROM m JOIN t USING (from_type)""".stripMargin
+
+  /** Q142 — time-weighted average (mirrors Relational.twapByType):
+    * same decimal-exact weighted sums, one double division.
+    */
+  def q142Twap: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(value AS DECIMAL(18,4)) AS v, epoch_us(ts) AS t_us
+      |  FROM events
+      |),
+      |d AS (
+      |  SELECT event_type, v, t_us,
+      |    lead(t_us, 1) OVER (PARTITION BY event_type
+      |      ORDER BY t_us, event_id) AS next_us
+      |  FROM e
+      |),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_intervals,
+      |    CAST(sum(next_us - t_us) AS BIGINT) AS total_us,
+      |    sum(v * CAST(next_us - t_us AS DECIMAL(20,0))) AS vw
+      |  FROM d WHERE next_us IS NOT NULL GROUP BY 1
+      |)
+      |SELECT event_type, n_intervals, total_us,
+      |  CAST(vw AS DOUBLE) / CAST(total_us AS DOUBLE) AS twap
+      |FROM a""".stripMargin
 }

@@ -244,7 +244,10 @@ object SparkEntry {
     "q136_dominant_supplier" -> Relational.dominantSupplierShare _,
     "q137_signal_autocorr" -> ((s, _) => Relational.signalAutocorr(s)),
     "q138_prefix_recall" -> ((s, dir) => Similarity.prefixRecall(s, dir)),
-    "q139_media_dedup" -> Multimodal.mediaDedup _
+    "q139_media_dedup" -> Multimodal.mediaDedup _,
+    "q140_setops" -> Relational.eventSetOps _,
+    "q141_transitions" -> Relational.eventTransitions _,
+    "q142_twap" -> Relational.twapByType _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -413,6 +416,9 @@ object SparkEntry {
     "q136_dominant_supplier" -> OracleSql.q136DominantSupplier,
     "q137_signal_autocorr" -> OracleSql.q137SignalAutocorr,
     "q138_prefix_recall" -> OracleSql.q138PrefixRecall(),
-    "q139_media_dedup" -> OracleSql.q139MediaDedup
+    "q139_media_dedup" -> OracleSql.q139MediaDedup,
+    "q140_setops" -> OracleSql.q140EventSetOps,
+    "q141_transitions" -> OracleSql.q141EventTransitions,
+    "q142_twap" -> OracleSql.q142Twap
   )
 }

@@ -1488,6 +1488,87 @@ object Relational {
       (num / when(den =!= 0.0, den)).as("r"))
   }
 
+  /** Q140 — explicit set-operation surface: the user populations of
+    * 'click' vs 'purchase' compared with INTERSECT (both), EXCEPT
+    * (click-only), and EXCEPT the other way (purchase-only), tagged.
+    *
+    * The point is the optimizer mapping: Catalyst rewrites
+    * `intersect` to a left-SEMI join over distincts and `except` to
+    * a left-ANTI join — set semantics become partial-aggregable
+    * hash joins, never a sort or a cartesian. Each leg shuffles only
+    * distinct user_ids (map-side combined).
+    */
+  def eventSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def users(et: String): DataFrame =
+      ev.filter(col("event_type") === et).select(col("user_id"))
+    val clicks = users("click")
+    val buys = users("purchase")
+    clicks.intersect(buys).select(lit("both").as("tag"), col("user_id"))
+      .unionAll(clicks.except(buys)
+        .select(lit("click_only").as("tag"), col("user_id")))
+      .unionAll(buys.except(clicks)
+        .select(lit("purchase_only").as("tag"), col("user_id")))
+  }
+
+  /** Q141 — first-order Markov transition matrix over each user's
+    * event sequence: consecutive event-type pairs on the
+    * tie-deterministic (t_us, event_id) total order, with the
+    * transition probability n / Σn(from) as the single pinned double
+    * division (the Q120/Q134 rational discipline).
+    *
+    * Scale shape: one user-keyed window pass builds the lag pairs
+    * (per-user sequences sort independently — the inherent order);
+    * the transition aggregate is |types|² ≤ tiny, and the per-from
+    * totals re-aggregate THAT, never the events; the totals join
+    * back broadcast.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(ev).as("t_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val m = pairs.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    m.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from")).as("p"))
+  }
+
+  /** Q142 — time-weighted average value per event type (the TWAP
+    * shape): each observation holds until the next one of the same
+    * type (exact integer micros via lead on the (t_us, event_id)
+    * order, last observation dropped); twap = Σ value·dur / Σ dur
+    * with value quantized to DECIMAL(18,4) so the weighted sum is
+    * exact integer arithmetic — combine-order-free — and the final
+    * division is the single double step.
+    */
+  def twapByType(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t_us"), col("event_id"))
+    val d = ev
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"), tsMicros(ev).as("t_us"))
+      .withColumn("next_us", lead(col("t_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - col("t_us"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).as("total_us"),
+        sum(col("v") * col("dur_us").cast("decimal(20,0)")).as("vw"))
+      .select(col("event_type"), col("n_intervals"), col("total_us"),
+        (col("vw").cast("double") / col("total_us").cast("double"))
+          .as("twap"))
+  }
+
   def eventsCube(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val day = date_format(
