@@ -3819,4 +3819,80 @@ object OracleSql {
       |SELECT event_type, n_intervals, total_us,
       |  CAST(vw AS DOUBLE) / CAST(total_us AS DOUBLE) AS twap
       |FROM a""".stripMargin
+
+  /** Q143 — multi-source BFS hops (mirrors Graph.bfsHops): the fixed
+    * relaxation rounds unrolled as CTEs, identical min-merge each
+    * round, left join keeps unreached nodes as NULL.
+    */
+  def q143BfsHops(maxHops: Int = 4, seedMod: Int = 50,
+                  minSupport: Int = 2): String = {
+    val base =
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+         |),
+         |ed AS (SELECT a AS src, b AS dst FROM e
+         |       UNION ALL SELECT b, a FROM e),
+         |nodes AS (SELECT DISTINCT src AS node FROM ed),
+         |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops
+         |       FROM nodes WHERE node % $seedMod = 0)""".stripMargin
+    val steps = (1 to maxHops).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(hops) AS hops FROM (
+         |    SELECT node, hops FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT ed.dst AS node, d${i - 1}.hops + 1 AS hops
+         |    FROM ed JOIN d${i - 1} ON ed.src = d${i - 1}.node
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }
+    s"""$base,
+       |${steps.mkString(",\n")}
+       |SELECT n.node, d.hops
+       |FROM nodes n LEFT JOIN d$maxHops d ON d.node = n.node""".stripMargin
+  }
+
+  /** Q144 — per-source Gini token diversity (mirrors
+    * TextAnalysis.giniDiversity): exact integer count aggregation,
+    * one final double expression.
+    */
+  def q144GiniDiversity: String =
+    s"""WITH tc AS (
+       |  SELECT source, token, count(*) AS c
+       |  FROM (SELECT source, unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |a AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c * c) AS BIGINT) AS ssq
+       |  FROM tc GROUP BY 1
+       |)
+       |SELECT source, n_tokens, n_types,
+       |  CAST(1 AS DOUBLE) - CAST(ssq AS DOUBLE) /
+       |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS gini
+       |FROM a""".stripMargin
+
+  /** Q145 — deterministic priority sampling (mirrors
+    * Pipeline.prioritySample): identical hash-uniform, the same two
+    * pinned IEEE divisions, (priority DESC, doc_id) total order.
+    */
+  def q145PrioritySample(k: Int = 50): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(n_chars AS DOUBLE) /
+       |      (CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) /
+       |       CAST(1000000007 AS DOUBLE)) AS priority
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk
+       |  FROM p
+       |),
+       |t AS (SELECT priority AS tau FROM r WHERE rnk = ${k + 1})
+       |SELECT doc_id, source, n_chars, priority,
+       |  greatest(CAST(n_chars AS DOUBLE), tau) AS est_w
+       |FROM r CROSS JOIN t WHERE rnk <= $k""".stripMargin
 }

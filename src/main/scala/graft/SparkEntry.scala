@@ -247,7 +247,10 @@ object SparkEntry {
     "q139_media_dedup" -> Multimodal.mediaDedup _,
     "q140_setops" -> Relational.eventSetOps _,
     "q141_transitions" -> Relational.eventTransitions _,
-    "q142_twap" -> Relational.twapByType _
+    "q142_twap" -> Relational.twapByType _,
+    "q143_bfs_hops" -> ((s, dir) => Graph.bfsHops(s, dir)),
+    "q144_gini" -> TextAnalysis.giniDiversity _,
+    "q145_priority_sample" -> ((s, dir) => Pipeline.prioritySample(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -419,6 +422,9 @@ object SparkEntry {
     "q139_media_dedup" -> OracleSql.q139MediaDedup,
     "q140_setops" -> OracleSql.q140EventSetOps,
     "q141_transitions" -> OracleSql.q141EventTransitions,
-    "q142_twap" -> OracleSql.q142Twap
+    "q142_twap" -> OracleSql.q142Twap,
+    "q143_bfs_hops" -> OracleSql.q143BfsHops(),
+    "q144_gini" -> OracleSql.q144GiniDiversity,
+    "q145_priority_sample" -> OracleSql.q145PrioritySample()
   )
 }

@@ -183,6 +183,45 @@ object Graph {
       .select(col("node"), coalesce(col("cnt"), lit(0L)).as("n_two_hop"))
   }
 
+  /** Q143 — multi-source BFS hop distance on the support-floored
+    * co-purchase graph: every node's distance (≤ `maxHops`) to the
+    * nearest SEED part (deterministic seed rule: part id divisible by
+    * `seedMod`) — the "distance to curated catalog anchor" reach
+    * audit, and the general-k completion of Q130's fixed 2-hop slice.
+    *
+    * Scale shape: the textbook relational Bellman-Ford restricted to
+    * `maxHops` rounds — per round ONE edge-keyed shuffle (join the
+    * current distance table onto edge sources, min-aggregate on the
+    * destination) and a min-merge with the previous table; distance
+    * rows are (long, long) pairs, never adjacency lists, so a hub's
+    * neighborhood spreads across reducers instead of materializing at
+    * one. Rounds are FIXED (not run to fixpoint), so cost is bounded
+    * by construction and the oracle unrolls the identical rounds as
+    * CTEs; lineage is truncated per round (the Q38 localCheckpoint
+    * discipline). Unreached nodes report hops = NULL via the final
+    * left join — auditable, not silently dropped.
+    */
+  def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4,
+              seedMod: Int = 50, minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport)
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val nodes = ed.select(col("src").as("node")).distinct().cache()
+    var dist = nodes.filter(pmod(col("node"), lit(seedMod.toLong)) === 0L)
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = ed
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), col("hops"))
+  }
+
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))

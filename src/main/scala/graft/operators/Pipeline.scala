@@ -34,6 +34,47 @@ object Pipeline {
       .toDF("source", "n_kept", "kth_min", "est_distinct")
   }
 
+  /** Q145 — deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup,
+    * JACM'07) of documents weighted by length: priority = w / u with
+    * w = n_chars and u a deterministic uniform in (0,1] derived from
+    * the same polyHash stream as the Q27 split (u = (h+1)/P). The k
+    * highest-priority docs are the sample; each kept doc's
+    * Horvitz-Thompson weight estimate is max(w, τ) where τ is the
+    * (k+1)-th priority — subset sums of `est_w` are unbiased
+    * estimators of the corresponding n_chars totals, the property a
+    * weighted-downsampling pipeline needs for calibrated corpus
+    * mixing (vs Q36's heuristic quality downsampling and Q41's
+    * UNweighted reservoir).
+    *
+    * Float discipline: u and priority are each ONE IEEE division of
+    * integer-derived values (exactly-rounded, engine-identical), the
+    * comparison sort is on (priority DESC, doc_id) so even an exact
+    * priority tie is deterministic, and est_w = greatest(w, τ) adds
+    * no arithmetic.
+    *
+    * Scale shape: priorities are a narrow projection at the scan; the
+    * global top-(k+1) is TakeOrdered (per-partition partial top-k,
+    * then a k+1-row merge on the driver — never a full sort); τ and
+    * the window rank run on the k+1-row result, which is broadcast-
+    * sized by construction.
+    */
+  def prioritySample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val pri = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((TextHash.polyHash(col("doc_id").cast("string")) + lit(1L))
+          .cast("double") / lit(TextHash.P.toDouble)).as("u"))
+      .withColumn("priority", col("n_chars").cast("double") / col("u"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = top.withColumn("rnk", row_number().over(w))
+    val tau = ranked.filter(col("rnk") === k + 1)
+      .select(col("priority").as("tau"))
+    ranked.filter(col("rnk") <= k).crossJoin(tau)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("est_w"))
+  }
+
   /** Q27 — deterministic train/val/test split: bucket =
     * polyHash(doc_id as string) mod 100, thresholds 90/95. A pure
     * projection (no RNG, no shuffle before the roll-up aggregate), so

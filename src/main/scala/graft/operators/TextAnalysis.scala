@@ -30,6 +30,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Q144 — per-source token-diversity audit via GINI IMPURITY,
+    * 1 − Σᵢ pᵢ² over the source's unigram distribution — the
+    * repetitiveness/diversity monitor a corpus-mixing pipeline tracks
+    * per shard (low impurity = a few tokens dominate = boilerplate).
+    * Chosen over Shannon entropy deliberately: impurity is RATIONAL
+    * in the counts (Σcᵢ², N), so the whole statistic is exact integer
+    * aggregation with one final double expression — no per-row
+    * transcendental whose libm rounding could differ across engines
+    * (the repo's no-ln float discipline).
+    *
+    * Scale shape: one corpus collapse to (source, token) counts
+    * (map-side combinable), then a source-sized aggregate of c and c²
+    * — the exchange carries vocabulary rows, never token occurrences;
+    * Σc² stays in BIGINT (c ≤ corpus docs × doc length; the square
+    * sums are per-token, bounded by N² only in the degenerate
+    * one-token corpus — at real scale promote the sum to
+    * DECIMAL(38,0) with the same plan).
+    */
+  def giniDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tc = docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("ssq"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (lit(1.0) - col("ssq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")))
+          .as("gini"))
+  }
+
   /** Q15 — exact dedup: group identical texts, keep the minimum doc_id
     * as survivor.
     *
