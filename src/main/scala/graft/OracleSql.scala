@@ -3895,4 +3895,81 @@ object OracleSql {
        |SELECT doc_id, source, n_chars, priority,
        |  greatest(CAST(n_chars AS DOUBLE), tau) AS est_w
        |FROM r CROSS JOIN t WHERE rnk <= $k""".stripMargin
+
+  /** Q146 — phrase search (mirrors TextAnalysis.phraseSearch): the
+    * positional posting relation via list indexing, the same shifted
+    * equi-joins per successive term, 0-based positions.
+    */
+  def q146PhraseSearch(phrase: Seq[String] = Seq("hash", "value")): String = {
+    val joins = phrase.zipWithIndex.tail.map { case (w, i) =>
+      s"JOIN tp t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.tok = '$w'"
+    }.mkString("\n  ")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tp AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)
+       |),
+       |m AS (
+       |  SELECT t0.doc_id, t0.pos
+       |  FROM tp t0
+       |  $joins
+       |  WHERE t0.tok = '${phrase.head}'
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
+  /** Q147 — CUSUM change point (mirrors Relational.signalCusum):
+    * identical pinned decimal widths (24,4 sums; 6,0 counters) so the
+    * n·S_k − k·T products stay exact DECIMAL in DuckDB too, same
+    * (dev DESC, sample_idx) argmax order, one final double division.
+    */
+  def q147SignalCusum: String =
+    s"""WITH $sigCtes,
+       |c AS (
+       |  SELECT channel, sample_idx,
+       |    CAST(row_number() OVER w AS DECIMAL(6,0)) AS k,
+       |    CAST(sum(CAST(y AS DECIMAL(18,4))) OVER w AS DECIMAL(24,4)) AS sk,
+       |    CAST(sum(CAST(y AS DECIMAL(18,4))) OVER wa AS DECIMAL(24,4)) AS t,
+       |    CAST(count(*) OVER wa AS DECIMAL(6,0)) AS n
+       |  FROM sig
+       |  WINDOW w AS (PARTITION BY channel ORDER BY sample_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wa AS (PARTITION BY channel)
+       |),
+       |d AS (
+       |  SELECT channel, sample_idx, n, abs(n * sk - k * t) AS dev
+       |  FROM c
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY channel
+       |    ORDER BY dev DESC, sample_idx) AS rnk
+       |  FROM d
+       |)
+       |SELECT channel, CAST(n AS BIGINT) AS n, sample_idx AS cp_idx,
+       |  CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_dev
+       |FROM r WHERE rnk = 1""".stripMargin
+
+  /** Q148 — daily lag features (mirrors Relational.lagFeatures):
+    * exact BIGINT counts, the same 7-row trailing frame, one double
+    * division per row.
+    */
+  def q148LagFeatures: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day, n,
+       |  lag(n, 1) OVER w AS lag1,
+       |  lag(n, 7) OVER w AS lag7,
+       |  CAST(sum(n) OVER wf AS BIGINT) AS roll7_sum,
+       |  CAST(sum(n) OVER wf AS DOUBLE) / CAST(count(*) OVER wf AS DOUBLE)
+       |    AS roll7_mean
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+       |  wf AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 }

@@ -250,7 +250,10 @@ object SparkEntry {
     "q142_twap" -> Relational.twapByType _,
     "q143_bfs_hops" -> ((s, dir) => Graph.bfsHops(s, dir)),
     "q144_gini" -> TextAnalysis.giniDiversity _,
-    "q145_priority_sample" -> ((s, dir) => Pipeline.prioritySample(s, dir))
+    "q145_priority_sample" -> ((s, dir) => Pipeline.prioritySample(s, dir)),
+    "q146_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
+    "q147_cusum" -> ((s, _) => Relational.signalCusum(s)),
+    "q148_lag_features" -> Relational.lagFeatures _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -425,6 +428,9 @@ object SparkEntry {
     "q142_twap" -> OracleSql.q142Twap,
     "q143_bfs_hops" -> OracleSql.q143BfsHops(),
     "q144_gini" -> OracleSql.q144GiniDiversity,
-    "q145_priority_sample" -> OracleSql.q145PrioritySample()
+    "q145_priority_sample" -> OracleSql.q145PrioritySample(),
+    "q146_phrase_search" -> OracleSql.q146PhraseSearch(),
+    "q147_cusum" -> OracleSql.q147SignalCusum,
+    "q148_lag_features" -> OracleSql.q148LagFeatures
   )
 }

@@ -1488,6 +1488,76 @@ object Relational {
       (num / when(den =!= 0.0, den)).as("r"))
   }
 
+  /** Q147 — per-channel CUSUM change-point detection on the raw
+    * signal: the sample k maximizing |Σ_{i≤k} y_i − k·μ| (the
+    * classic cumulative-deviation statistic; its argmax locates the
+    * dominant mean shift). Everything up to the final report is EXACT:
+    * with S_k the decimal cumulative sum and T the channel total,
+    * n·S_k − k·T = n·(S_k − k·μ) is pure integer-scaled decimal
+    * arithmetic — no float μ ever enters, so the argmax (tie → lowest
+    * sample_idx) is bitwise deterministic; the reported deviation
+    * divides by n ONCE at the end (the repo's single-pinned-division
+    * discipline).
+    *
+    * Scale shape: one ordered window pass per channel for S_k (the
+    * inherent sequential scan, partitioned by channel so channels
+    * parallelize), the channel totals from the same partition window,
+    * and the argmax via a per-channel rank — no global sort, no
+    * self-join. Decimal widths are pinned (sums 24,4; counters 6,0)
+    * so products stay inside DECIMAL(38) in BOTH engines — DuckDB
+    * silently promotes overflowing decimal products to DOUBLE, which
+    * would break exactness, so the casts are part of the contract.
+    */
+  def signalCusum(s: SparkSession): DataFrame = {
+    val sig = graft.sources.SignalFixture.signal(s)
+    val w = Window.partitionBy(col("channel")).orderBy(col("sample_idx"))
+    val wAll = Window.partitionBy(col("channel"))
+    val cum = sig
+      .select(col("channel"), col("sample_idx"), col("y").cast("decimal(18,4)").as("v"))
+      .withColumn("k", row_number().over(w).cast("decimal(6,0)"))
+      .withColumn("sk", sum(col("v")).over(w).cast("decimal(24,4)"))
+      .withColumn("t", sum(col("v")).over(wAll).cast("decimal(24,4)"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("decimal(6,0)"))
+      .withColumn("dev", abs(col("n") * col("sk") - col("k") * col("t")))
+    val r = Window.partitionBy(col("channel"))
+      .orderBy(col("dev").desc, col("sample_idx"))
+    cum.withColumn("rnk", row_number().over(r)).filter(col("rnk") === 1)
+      .select(col("channel"), col("n").cast("long").as("n"),
+        col("sample_idx").as("cp_idx"),
+        (col("dev").cast("double") / col("n").cast("double")).as("cusum_dev"))
+  }
+
+  /** Q148 — per-type daily LAG-FEATURE table (the feature-engineering
+    * shape a forecasting/training pipeline emits): previous-day and
+    * previous-week counts plus a 7-row trailing sum and mean. Counts
+    * are exact BIGINTs; the rolling mean is the single double
+    * division per row.
+    *
+    * Scale shape: the raw events collapse ONCE to (type, day) counts
+    * (map-side combinable); every window then runs over the
+    * aggregate, partitioned by type — window input is days×types
+    * rows, never events, and a year of days per type sorts within
+    * one task trivially.
+    */
+  def lagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val day = date_format(
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        to_date(expr("timestamp_micros(ts div 1000)"))
+      else to_date(col("ts")),
+      "yyyy-MM-dd")
+    val daily = ev.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wf = w.rowsBetween(-6, 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+      lag(col("n"), 1).over(w).as("lag1"),
+      lag(col("n"), 7).over(w).as("lag7"),
+      sum(col("n")).over(wf).as("roll7_sum"),
+      (sum(col("n")).over(wf).cast("double") /
+        count(lit(1)).over(wf).cast("double")).as("roll7_mean"))
+  }
+
   /** Q140 — explicit set-operation surface: the user populations of
     * 'click' vs 'purchase' compared with INTERSECT (both), EXCEPT
     * (click-only), and EXCEPT the other way (purchase-only), tagged.

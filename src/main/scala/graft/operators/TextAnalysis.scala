@@ -30,6 +30,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
 
+  /** Q146 — positional inverted-index PHRASE SEARCH: documents
+    * containing the exact consecutive token sequence `phrase`, with
+    * the match count and first match position — the retrieval
+    * primitive TF-IDF/BM25 (q14b/q51) cannot express because bags of
+    * words lose adjacency.
+    *
+    * Scale shape: the (doc, pos, token) posting relation is never
+    * materialized corpus-wide — each phrase term's postings are
+    * FILTERED AT THE SCAN (predicate on the exploded token), so the
+    * join inputs are per-term posting lists, the classic inverted-
+    * index access path. Adjacency is an EQUI-join on
+    * (doc_id, pos − term_offset) — each successive term joins on the
+    * shifted position key, so an n-term phrase is n−1 hash joins over
+    * posting-list-sized inputs, no window, no array re-scan. At
+    * 100 TB the right optimization is pre-materializing the posting
+    * table bucketed by token — the same plan with the explode
+    * replaced by a bucketed scan.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("hash", "value")): DataFrame = {
+    val tp = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextHash.tokens(col("text"))).as(Seq("pos", "tok")))
+    val base = tp.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(base) {
+      case (acc, (w, i)) =>
+        acc.join(
+          tp.filter(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+  }
+
   /** Q144 — per-source token-diversity audit via GINI IMPURITY,
     * 1 − Σᵢ pᵢ² over the source's unigram distribution — the
     * repetitiveness/diversity monitor a corpus-mixing pipeline tracks
