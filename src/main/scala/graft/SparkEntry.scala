@@ -253,7 +253,8 @@ object SparkEntry {
     "q145_priority_sample" -> ((s, dir) => Pipeline.prioritySample(s, dir)),
     "q146_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "q147_cusum" -> ((s, _) => Relational.signalCusum(s)),
-    "q148_lag_features" -> Relational.lagFeatures _
+    "q148_lag_features" -> Relational.lagFeatures _,
+    "q149_stream_asof" -> graft.streaming.StreamingOps.streamAsofFixture _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,6 +432,7 @@ object SparkEntry {
     "q145_priority_sample" -> OracleSql.q145PrioritySample(),
     "q146_phrase_search" -> OracleSql.q146PhraseSearch(),
     "q147_cusum" -> OracleSql.q147SignalCusum,
-    "q148_lag_features" -> OracleSql.q148LagFeatures
+    "q148_lag_features" -> OracleSql.q148LagFeatures,
+    "q149_stream_asof" -> OracleSql.q23AsofPrevClick
   )
 }

@@ -1309,6 +1309,89 @@ object StreamingOps {
         col("sv").cast("double").as("sum_value"))
   }
 
+  /** [[streamAsof]] emission row (nullable match = no click yet). */
+  case class AsofOut(event_id: Long, user_id: Long, tsn: Long,
+                     prev_click_value: Option[Double],
+                     prev_click_tsn: Option[Long])
+
+  /** [[streamAsof]] per-user state: the latest click seen. */
+  case class ClickState(tsn: Long, value: Double)
+
+  /** Q149 (operator) — STREAMING backward as-of join, the primitive
+    * Structured Streaming lacks natively (stream-stream joins support
+    * interval bounds, but "latest right row at or before t" needs
+    * per-key ordered state): every non-click event is enriched with
+    * the same user's most recent click at or under its event time,
+    * exactly the batch Q23 contract.
+    *
+    * Fold: per user, events inside a micro-batch are sorted by
+    * (t, click-first, event_id) — click-first makes the equal-time
+    * click visible to its tie partner, i.e. the INCLUSIVE `>=` of
+    * the batch join — clicks update the 16-byte state, non-clicks
+    * emit with whatever state holds. Over a time-ordered feed the
+    * emission stream equals the batch as-of join row-for-row.
+    *
+    * Scale shape: state is ONE (tsn, value) pair per user — bounded
+    * forever without a watermark (vs the interval join's
+    * lookback-sized buffers); shuffle is the same user_id hash
+    * partitioning the batch union+window form uses. Production
+    * deployments add a state TTL for retired users; the contract on
+    * live keys is unchanged.
+    */
+  def streamAsof(ds: Dataset[(Long, Long, String, Double, Long)]): Dataset[AsofOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState[ClickState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+          it.toSeq.sortBy(r => (r._5, r._3 != "click", r._1)).foreach {
+            case (eid, _, typ, v, t) =>
+              if (typ == "click") last = Some(ClickState(t, v))
+              else out += AsofOut(eid, uid, t,
+                last.map(_.value), last.map(_.tsn))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** q149 — [[streamAsof]] over the sfDir events table via a
+    * 3-micro-batch time-ordered MemoryStream (the feed sorts by
+    * (t, click-first, event_id) so a chunk boundary can never place a
+    * click after its equal-time partner). Append emissions = the
+    * batch Q23 as-of oracle. The collect feeds the MemoryStream
+    * harness only.
+    */
+  def streamAsofFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), tsu.as("us"))
+      .as[(Long, Long, String, Double, Long)].collect()
+      .sortBy(r => (r._5, r._3 != "click", r._1))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, Double, Long)]
+    val name = s"q149_stream_asof_${System.nanoTime()}"
+    withFewStatePartitions(s) {
+      val q = streamAsof(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feedBatches(stream, q, data)
+      } finally q.stop()
+    }
+    s.table(name)
+  }
+
   /** q25 — the full streaming envelope pipeline over the fixture via
     * MemoryStream; the oracle checks the batch envelope CTEs on the
     * stream-computable interior [325, n-350].

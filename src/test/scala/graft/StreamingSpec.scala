@@ -564,6 +564,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q149 streamAsof equals the batch backward as-of join row-for-row") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("prev_click_value")),
+        Option(r.getAs[java.lang.Long]("prev_click_tsn")))
+    val got = graft.streaming.StreamingOps.streamAsofFixture(spark, dir)
+      .select(col("event_id"), col("prev_click_value"), col("prev_click_tsn"))
+      .collect().map(key).toSet
+    val want = graft.operators.AsofJoin.prevClick(spark, dir)
+      .select(col("event_id"), col("prev_click_value"), col("prev_click_tsn"))
+      .collect().map(key).toSet
+    assert(got === want)
+  }
+
   test("streaming partitioned parquet sink: shard layout + checkpointed exactly-once") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val out = java.nio.file.Files.createTempDirectory("ssink").toString
