@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Graft's Catalyst extension point, registered with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (Verify/Bench
+  * builders) or `.withExtensions(new GraftExtensions)`.
+  *
+  * Currently injects one optimizer rule, [[EditDistancePrefilter]] —
+  * the repo's SparkSessionExtensions surface for whole-plan rewrites
+  * that per-expression helpers (graft/functions) can't express.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => EditDistancePrefilter)
+}
+
+/** Strengthens `levenshtein(a, b) <= k` filters with the free lower
+  * bound `abs(length(a) - length(b)) <= k`: a length difference of d
+  * forces at least d insertions/deletions, so the cheap O(1) length
+  * predicate rejects rows (and, after further pushdown, whole
+  * min/max-pruned parquet row groups) before the O(k·n)
+  * edit-distance DP runs — the Ed-Join/PassJoin length filter, applied
+  * automatically by the optimizer instead of hand-written into every
+  * query (the engine's q70/q83 write it manually; under this rule any
+  * user query gets it for free).
+  *
+  * Soundness notes (the subtle cases are WHY this is a Rule and not a
+  * rewrite users are told to apply):
+  *  - the THRESHOLD form `levenshtein(a, b, t)` returns −1 when the
+  *    distance exceeds t, and −1 ≤ k holds vacuously — so `lev ≤ k`
+  *    alone does NOT imply distance ≤ k there. The bound is added
+  *    only when the conjunction also proves the result non-negative
+  *    (a `lev >= 0`-shaped conjunct), or the expression is the
+  *    un-thresholded form whose result is always the true distance.
+  *  - nulls: when a or b is null both the original predicate and the
+  *    added bound evaluate null — row sets are identical.
+  *  - idempotence: the bound is added once (a semantically equal
+  *    conjunct suppresses re-addition), so repeated optimizer passes
+  *    are stable.
+  */
+object EditDistancePrefilter extends Rule[LogicalPlan] {
+
+  /** Strip casts: comparisons often wrap the call (e.g. a `long`
+    * column alias over the int-typed expression).
+    */
+  @annotation.tailrec
+  private def unwrap(e: Expression): Expression = e match {
+    case c: Cast => unwrap(c.child)
+    case other => other
+  }
+
+  private def intValue(l: Literal): Option[Long] = l.dataType match {
+    case IntegerType => Some(l.value.asInstanceOf[Int].toLong)
+    case LongType => Some(l.value.asInstanceOf[Long])
+    case _ => None
+  }
+
+  /** `lev <= k` conjunct in either orientation → (lev, k). */
+  private def upperBound(e: Expression): Option[(Levenshtein, Long)] = e match {
+    case LessThanOrEqual(l, lit: Literal) =>
+      unwrap(l) match {
+        case lev: Levenshtein => intValue(lit).map(lev -> _)
+        case _ => None
+      }
+    case GreaterThanOrEqual(lit: Literal, l) =>
+      unwrap(l) match {
+        case lev: Levenshtein => intValue(lit).map(lev -> _)
+        case _ => None
+      }
+    case LessThan(l, lit: Literal) =>
+      unwrap(l) match {
+        case lev: Levenshtein => intValue(lit).map(v => lev -> (v - 1L))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** A conjunct proving the (possibly thresholded) result is a real
+    * distance: `lev >= 0` / `0 <= lev` / `lev > -1`.
+    */
+  private def provesNonNegative(e: Expression, lev: Levenshtein): Boolean = {
+    def isZeroOrNeg(l: Literal, strictNeg: Boolean): Boolean =
+      intValue(l).exists(v => if (strictNeg) v < 0 else v <= 0)
+    e match {
+      case GreaterThanOrEqual(l, lit: Literal) =>
+        unwrap(l).semanticEquals(lev) && isZeroOrNeg(lit, strictNeg = false)
+      case LessThanOrEqual(lit: Literal, l) =>
+        unwrap(l).semanticEquals(lev) && isZeroOrNeg(lit, strictNeg = false)
+      case GreaterThan(l, lit: Literal) =>
+        unwrap(l).semanticEquals(lev) && isZeroOrNeg(lit, strictNeg = true)
+      case _ => false
+    }
+  }
+
+  private def lengthBound(lev: Levenshtein, k: Long): Expression =
+    LessThanOrEqual(
+      Cast(Abs(Subtract(Length(lev.left), Length(lev.right))), LongType),
+      Literal(k, LongType))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = conjuncts.flatMap(upperBound).filter { case (lev, k) =>
+        k >= 0 &&
+          (lev.threshold.isEmpty ||
+            conjuncts.exists(provesNonNegative(_, lev)))
+      }
+      val fresh = bounds.map { case (lev, k) => lengthBound(lev, k) }
+        .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+      if (fresh.isEmpty) f
+      else Filter((conjuncts ++ fresh).reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(cond: Expression): Seq[Expression] =
+    cond match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+}
