@@ -3972,4 +3972,115 @@ object OracleSql {
        |WINDOW w AS (PARTITION BY event_type ORDER BY day),
        |  wf AS (PARTITION BY event_type ORDER BY day
        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Q150 — multiset set operations (mirrors
+    * Relational.eventSetOpsAll): INTERSECT ALL / EXCEPT ALL with
+    * occurrence counting.
+    */
+  def q150EventSetOpsAll: String =
+    """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+      |u AS (
+      |  SELECT 'both_all' AS tag, user_id
+      |  FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'click_surplus', user_id
+      |  FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM b)
+      |  UNION ALL
+      |  SELECT 'purchase_surplus', user_id
+      |  FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM c)
+      |)
+      |SELECT tag, user_id, CAST(count(*) AS BIGINT) AS n
+      |FROM u GROUP BY 1, 2""".stripMargin
+
+  /** Q151 — per-stratum priority sampling (mirrors
+    * Pipeline.stratifiedPrioritySample): identical hash-uniform and
+    * division order, per-source (priority DESC, doc_id) rank, τ from
+    * the k+1 rank row, strata with ≤ k docs keep est_w = w.
+    */
+  def q151StratifiedPriority(k: Int = 10): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(n_chars AS DOUBLE) /
+       |      (CAST(${polyHashSql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) /
+       |       CAST(1000000007 AS DOUBLE)) AS priority
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY priority DESC, doc_id) AS rnk
+       |  FROM p
+       |),
+       |t AS (SELECT source, priority AS tau FROM r WHERE rnk = ${k + 1})
+       |SELECT r.doc_id, r.source, r.n_chars, r.priority,
+       |  CASE WHEN t.tau IS NULL THEN CAST(r.n_chars AS DOUBLE)
+       |       ELSE greatest(CAST(r.n_chars AS DOUBLE), t.tau) END AS est_w
+       |FROM r LEFT JOIN t ON t.source = r.source
+       |WHERE r.rnk <= $k""".stripMargin
+
+  /** Q152 — funnel stage-latency percentiles (mirrors
+    * Relational.stageLatency): the Q74 chained-min CTEs, stage gaps
+    * unpivoted, quantile_cont = Spark percentile interpolation.
+    */
+  def q152StageLatency: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+       |),
+       |s1 AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup' THEN t_us END) AS t1
+       |  FROM e GROUP BY 1 HAVING t1 IS NOT NULL
+       |),
+       |s2 AS (
+       |  SELECT e.user_id, t1,
+       |    min(CASE WHEN event_type = 'click' AND t_us > t1
+       |      THEN t_us END) AS t2
+       |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2
+       |),
+       |s3 AS (
+       |  SELECT e.user_id, t1, t2,
+       |    min(CASE WHEN event_type = 'purchase' AND t_us > t2
+       |      THEN t_us END) AS t3
+       |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3
+       |),
+       |lats AS (
+       |  SELECT 'signup_to_click' AS stage, t2 - t1 AS lat FROM s3
+       |  UNION ALL
+       |  SELECT 'click_to_purchase', t3 - t2 FROM s3
+       |)
+       |SELECT stage, CAST(count(*) AS BIGINT) AS n,
+       |  quantile_cont(lat, 0.5) AS p50_us,
+       |  quantile_cont(lat, 0.9) AS p90_us
+       |FROM lats WHERE lat IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Q153 — session-depth distribution (mirrors
+    * Relational.sessionDepth): the Q24 gaps-and-islands sessions,
+    * collapsed to a depth histogram with one share division.
+    */
+  def q153SessionDepth(gapMinutes: Int = 30): String = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    s"""WITH e2 AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+       |),
+       |m AS (
+       |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                   OR tus - lag(tus) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+       |),
+       |sess AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+       |                           ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m
+       |),
+       |d AS (
+       |  SELECT user_id, sid, count(*) AS depth FROM sess GROUP BY 1, 2
+       |),
+       |h AS (
+       |  SELECT depth, CAST(count(*) AS BIGINT) AS n_sessions FROM d GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total FROM h)
+       |SELECT depth, n_sessions,
+       |  CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM h CROSS JOIN tot""".stripMargin
+  }
 }

@@ -254,7 +254,11 @@ object SparkEntry {
     "q146_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "q147_cusum" -> ((s, _) => Relational.signalCusum(s)),
     "q148_lag_features" -> Relational.lagFeatures _,
-    "q149_stream_asof" -> graft.streaming.StreamingOps.streamAsofFixture _
+    "q149_stream_asof" -> graft.streaming.StreamingOps.streamAsofFixture _,
+    "q150_setops_all" -> Relational.eventSetOpsAll _,
+    "q151_stratified_priority" -> ((s, dir) => Pipeline.stratifiedPrioritySample(s, dir)),
+    "q152_stage_latency" -> Relational.stageLatency _,
+    "q153_session_depth" -> ((s, dir) => Relational.sessionDepth(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -433,6 +437,10 @@ object SparkEntry {
     "q146_phrase_search" -> OracleSql.q146PhraseSearch(),
     "q147_cusum" -> OracleSql.q147SignalCusum,
     "q148_lag_features" -> OracleSql.q148LagFeatures,
-    "q149_stream_asof" -> OracleSql.q23AsofPrevClick
+    "q149_stream_asof" -> OracleSql.q23AsofPrevClick,
+    "q150_setops_all" -> OracleSql.q150EventSetOpsAll,
+    "q151_stratified_priority" -> OracleSql.q151StratifiedPriority(),
+    "q152_stage_latency" -> OracleSql.q152StageLatency,
+    "q153_session_depth" -> OracleSql.q153SessionDepth()
   )
 }

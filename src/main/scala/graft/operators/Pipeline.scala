@@ -75,6 +75,40 @@ object Pipeline {
         greatest(col("n_chars").cast("double"), col("tau")).as("est_w"))
   }
 
+  /** Q151 — PER-STRATUM priority sampling: Q145's estimator run
+    * independently inside every `source` stratum (k docs and a
+    * per-stratum threshold τ each) — the proportional-by-design
+    * corpus-mixing sampler: subset sums of est_w within a stratum
+    * estimate that stratum's n_chars total, so downstream mixing
+    * weights stay calibrated per source.
+    *
+    * Scale shape: one window rank per stratum over the priority
+    * projection (bounded per-source volume; a hot stratum upgrades to
+    * the Q46 two-level bucketed rank with the same semantics), the
+    * k+1-rank τ row joins back on the stratum key. Strata with ≤ k
+    * docs keep everything with est_w = w exactly (their HT inclusion
+    * probability is 1 — the estimator stays unbiased).
+    */
+  def stratifiedPrioritySample(s: SparkSession, dir: String,
+                               k: Int = 10): DataFrame = {
+    val pri = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((TextHash.polyHash(col("doc_id").cast("string")) + lit(1L))
+          .cast("double") / lit(TextHash.P.toDouble)).as("u"))
+      .withColumn("priority", col("n_chars").cast("double") / col("u"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    val ranked = pri.withColumn("rnk", row_number().over(w))
+    val tau = ranked.filter(col("rnk") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"),
+        when(col("tau").isNull, col("n_chars").cast("double"))
+          .otherwise(greatest(col("n_chars").cast("double"), col("tau")))
+          .as("est_w"))
+  }
+
   /** Q27 — deterministic train/val/test split: bucket =
     * polyHash(doc_id as string) mod 100, thresholds 90/95. A pure
     * projection (no RNG, no shuffle before the roll-up aggregate), so

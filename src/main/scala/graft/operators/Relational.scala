@@ -1488,6 +1488,69 @@ object Relational {
       (num / when(den =!= 0.0, den)).as("r"))
   }
 
+  /** Q150 — MULTISET set operations (the ALL variants Q140's distinct
+    * forms deliberately exclude): INTERSECT ALL keeps min(m_a, m_b)
+    * copies of each user_id, EXCEPT ALL keeps m_a − m_b — occurrence
+    * accounting, not membership. Catalyst plans both sides through
+    * partial-aggregable counts (a row_number tag under the hood), so
+    * the multiset semantics still cost one shuffle per leg, no sort.
+    */
+  def eventSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def users(et: String): DataFrame =
+      ev.filter(col("event_type") === et).select(col("user_id"))
+    val clicks = users("click")
+    val buys = users("purchase")
+    clicks.intersectAll(buys)
+      .select(lit("both_all").as("tag"), col("user_id"))
+      .unionAll(clicks.exceptAll(buys)
+        .select(lit("click_surplus").as("tag"), col("user_id")))
+      .unionAll(buys.exceptAll(clicks)
+        .select(lit("purchase_surplus").as("tag"), col("user_id")))
+      .groupBy(col("tag"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Q152 — funnel STAGE-latency percentiles: exact p50/p90 of
+    * signup→click and click→purchase gaps (integer micros) over users
+    * that reached each stage — Q97 gives the end-to-end latency; this
+    * is the per-stage breakdown an activation-funnel owner actually
+    * tunes against. Chain times come from the Q74 chained-min
+    * aggregates; the percentile (Q32's interpolation contract) runs
+    * over the per-user aggregate, never the event log.
+    */
+  def stageLatency(s: SparkSession, dir: String): DataFrame = {
+    val ft = funnelTimes(s, dir)
+    ft.select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .selectExpr("stack(2, 'signup_to_click', t2 - t1, " +
+        "'click_to_purchase', t3 - t2) AS (stage, lat)")
+      .filter(col("lat").isNotNull)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("lat"), lit(0.5)).as("p50_us"),
+        percentile(col("lat"), lit(0.9)).as("p90_us"))
+  }
+
+  /** Q153 — session-DEPTH distribution (with the depth-1 bucket as
+    * the classic bounce rate): events per session from the Q24
+    * gaps-and-islands rollup, collapsed to (depth, n_sessions,
+    * share). The share divides by the total once per depth row —
+    * counts stay exact BIGINT; the depth histogram is bounded by the
+    * longest session, so the final aggregate is tiny and the
+    * broadcast of the 1-row total is free.
+    */
+  def sessionDepth(s: SparkSession, dir: String,
+                   gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionRollup(s, dir, gapMinutes)
+    val dist = sess.groupBy(col("n_events").as("depth"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val total = dist.agg(sum(col("n_sessions")).as("total"))
+    dist.crossJoin(broadcast(total))
+      .select(col("depth"), col("n_sessions"),
+        (col("n_sessions").cast("double") / col("total").cast("double"))
+          .as("share"))
+  }
+
   /** Q147 — per-channel CUSUM change-point detection on the raw
     * signal: the sample k maximizing |Σ_{i≤k} y_i − k·μ| (the
     * classic cumulative-deviation statistic; its argmax locates the
