@@ -2,18 +2,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed end-to-end at
-  * local[32], one JSON line on stdout (BENCH_r{N} contract).
+  * local[32]; one JSON line PER QUERY as it completes, then the ONE
+  * summary JSON line the driver contract requires.
   *
   * Results are materialized through the `noop` DataSource V2 sink —
   * a plain `.count()` would let Catalyst prune the projections and
   * window expressions under test (a count over q1 collapses to a
   * parquet row-count scan), so noop-write is the honest measure of
   * operator throughput.
+  *
+  * Two harness-integrity lessons from round 3 are baked in:
+  *  - stream results as they finish (one small JSON line each), so a
+  *    truncated stdout tail still carries per-query signal instead of
+  *    zeroing the whole round;
+  *  - run the suite in CHUNKS of fresh SparkSessions. One 170-query
+  *    session accumulates JVM state (codegen cache, state-store dirs,
+  *    GC pressure) that inflated late-alphabet queries up to 10x vs
+  *    their isolated times; stopping the context between chunks
+  *    releases it. Each fresh session re-runs the warmup so chunk
+  *    boundaries don't bill one-time init to a real query.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  private val ChunkSize = 40
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -23,29 +35,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up the session (codegen, parquet readers, noop sink) so the
-    // first measured query doesn't absorb one-time init cost
+    // warm up (codegen, parquet readers, noop sink) so the first
+    // measured query doesn't absorb one-time init cost
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    spark
+  }
+
+  private def r3(v: Double): String = f"$v%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = all.grouped(ChunkSize).flatMap { chunk =>
+      val spark = newSession(cpus)
+      val rs = chunk.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // session hygiene: a query's caches (spine, signatures) exist
+        // to dedupe work WITHIN one query; left persisted they pile up
+        // across the session and late queries pay for them
+        spark.catalog.clearCache()
+        println(s"""{"metric":"query","name":"$name","value":${r3(dt)},"unit":"sec"}""")
+        System.out.flush()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // session hygiene: a query's caches (spine, signatures) exist to
-      // dedupe work WITHIN one query; left persisted they accumulate
-      // across the 33-query session and the memory pressure inflates
-      // late queries, so the bench would measure the harness, not the
-      // operator. Drop them after the clock stops.
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      spark.stop()
+      System.gc()
+      rs
+    }.toSeq
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

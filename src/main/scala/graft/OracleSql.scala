@@ -659,20 +659,27 @@ object OracleSql {
     */
   def minhashCtes: String = {
     val params = graft.functions.TextHash.minhashParams()
-      .map { case (i, band, a, b) => s"($i, $band, ${a}::BIGINT, ${b}::BIGINT)" }
-      .mkString(", ")
     val p = graft.functions.TextHash.P
-    s"""params(hi, band, ha, hb) AS (VALUES $params),
-       |sig AS (
-       |  SELECT s.doc_id, p2.hi, p2.band, min((p2.ha * s.h + p2.hb) % $p) AS mh
-       |  FROM shq s CROSS JOIN params p2
-       |  GROUP BY 1, 2, 3
+    // Columnar signature: 16 min() aggregates in ONE pass over shq —
+    // mirrors Dedup.scala's single-aggregate signature and avoids the
+    // 16x CROSS JOIN row blow-up that OOM'd DuckDB in round 3.
+    val mins = params
+      .map { case (i, _, a, b) => s"min(($a * h + $b) % $p) AS mh$i" }
+      .mkString(",\n       |    ")
+    val bandSelects = params.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (band, rows) =>
+        val fold = rows.map(_._1).sorted
+          .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + mh$i) % $p")
+        s"SELECT doc_id, $band AS band, $fold AS bh FROM sig"
+      }
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shq GROUP BY doc_id
        |),
        |bands AS (
-       |  SELECT doc_id, band,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY hi)),
-       |                (a, x) -> (a * 31 + x) % $p) AS bh
-       |  FROM sig GROUP BY doc_id, band
+       |  $bandSelects
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -681,21 +688,36 @@ object OracleSql {
        |)""".stripMargin
   }
 
+  /** Sum of the 16 per-hash agreement indicators between sig rows
+    * aliased `sa` and `sb` — the columnar MinHash match count.
+    */
+  private def minhashMatchSql: String =
+    graft.functions.TextHash.minhashParams()
+      .map { case (i, _, _, _) => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)" }
+      .mkString(" + ")
+
   def q15cMinhash: String =
     s"""WITH $shingleCtes,
        |$minhashCtes
        |SELECT c.doc_a, c.doc_b,
-       |  CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+       |  CAST($minhashMatchSql AS DOUBLE) / 16.0 AS est_jaccard
        |FROM cand c
        |JOIN sig sa ON sa.doc_id = c.doc_a
-       |JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
-       |GROUP BY c.doc_a, c.doc_b""".stripMargin
+       |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin
 
   /** Q15d — 64-bit SimHash (two 32-bit halves, base-31 and base-37
     * token hashes), 4×16-bit pigeonhole bands, Hamming filter —
     * mirrors Dedup.simhashSignatures/simhashPairs exactly.
     */
-  def q15dSimhash(maxHamming: Int = 3): String =
+  def q15dSimhash(maxHamming: Int = 3): String = {
+    // Columnar bit sums: 2x32 aggregates in ONE GROUP BY doc_id pass,
+    // replacing the 32x generate_series row blow-up that OOM'd DuckDB
+    // in round 3 (mirrors Dedup.simhashSignatures' single aggregate).
+    def bitsOf(col: String): String =
+      (0 to 31)
+        .map(j => s"(CASE WHEN sum(cnt * (2 * (($col >> $j) & 1) - 1)) > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n       |    + ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
@@ -707,18 +729,11 @@ object OracleSql {
        |    (${polyHashSql("tok", 37L, 4294967296L)} * 999983 + 67891) % 4294967296 AS hb
        |  FROM toks GROUP BY doc_id, tok
        |),
-       |bits AS (
-       |  SELECT doc_id, j,
-       |    sum(cnt * (2 * ((ha >> j) & 1) - 1)) AS bsa,
-       |    sum(cnt * (2 * ((hb >> j) & 1) - 1)) AS bsb
-       |  FROM tc, generate_series(0, 31) AS g(j)
-       |  GROUP BY doc_id, j
-       |),
        |sig AS (
        |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN bsa > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_lo,
-       |    CAST(sum(CASE WHEN bsb > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim_hi
-       |  FROM bits GROUP BY doc_id
+       |    ${bitsOf("ha")} AS sim_lo,
+       |    ${bitsOf("hb")} AS sim_hi
+       |  FROM tc GROUP BY doc_id
        |),
        |blocks AS (
        |  SELECT doc_id, sim_lo, sim_hi, b,
@@ -735,6 +750,7 @@ object OracleSql {
        |SELECT doc_a, doc_b,
        |  bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS hamming
        |FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= $maxHamming""".stripMargin
+  }
 
   /** Q15e — exact 3-gram Jaccard over shingle-join candidates, with
     * the same document-frequency cap as Dedup.ngramJaccard (shingles
@@ -1771,10 +1787,8 @@ object OracleSql {
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c
        |  JOIN sig sa ON sa.doc_id = c.doc_a
-       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.hi = sa.hi
-       |  GROUP BY c.doc_a, c.doc_b
-       |  HAVING CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0
-       |         >= ${dlit(minJaccard)}
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |  WHERE CAST($minhashMatchSql AS DOUBLE) / 16.0 >= ${dlit(minJaccard)}
        |),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2102,6 +2116,23 @@ object OracleSql {
        |FROM d x JOIN d y
        |  ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
        |  AND abs(x.n_chars - y.n_chars) <= $maxDist
+       |WHERE levenshtein(x.pfx, y.pfx) <= $maxDist""".stripMargin
+
+  /** Q154 — mirrors Dedup.editDistancePairsAuto: Q70 without the
+    * (band-implied, redundant) manual length prefilter — the Spark
+    * side gets it injected by the EditDistancePrefilter rule.
+    */
+  def q154EditDistanceRule(maxDist: Int = 16, prefixLen: Int = 96,
+                           band: Int = 16): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, substr(text, 1, $prefixLen) AS pfx,
+       |    n_chars // $band AS bkt
+       |  FROM documents
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(levenshtein(x.pfx, y.pfx) AS BIGINT) AS dist
+       |FROM d x JOIN d y
+       |  ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
        |WHERE levenshtein(x.pfx, y.pfx) <= $maxDist""".stripMargin
 
   /** Q71 — vocab + OOV rate (mirrors TextAnalysis.vocabOov): top-v
@@ -2753,18 +2784,20 @@ object OracleSql {
        |FROM n""".stripMargin
 
   /** Q103 — week-over-week change (mirrors Relational.weekOverWeek). */
+  /** Mirrors Relational.weekOverWeek's calendar-join semantics:
+    * prev = the week exactly 7 days earlier (NULL on gap weeks).
+    */
   def q103WeekOverWeek: String =
     s"""WITH wk AS (
        |  SELECT date_trunc('week', o_orderdate) AS week,
        |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
        |  FROM orders GROUP BY 1
        |)
-       |SELECT strftime(CAST(week AS DATE), '%Y-%m-%d') AS week,
-       |  CAST(rev AS DOUBLE) AS revenue,
-       |  CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS prev_revenue,
-       |  CAST(rev - lag(rev) OVER (ORDER BY week) AS DOUBLE)
-       |    / CAST(lag(rev) OVER (ORDER BY week) AS DOUBLE) AS pct_change
-       |FROM wk""".stripMargin
+       |SELECT strftime(CAST(a.week AS DATE), '%Y-%m-%d') AS week,
+       |  CAST(a.rev AS DOUBLE) AS revenue,
+       |  CAST(b.rev AS DOUBLE) AS prev_revenue,
+       |  CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE) AS pct_change
+       |FROM wk a LEFT JOIN wk b ON b.week = a.week - INTERVAL 7 DAY""".stripMargin
 
   /** Q104 — Pareto concentration (mirrors
     * Relational.paretoConcentration): integer/decimal

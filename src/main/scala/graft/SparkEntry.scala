@@ -258,7 +258,8 @@ object SparkEntry {
     "q150_setops_all" -> Relational.eventSetOpsAll _,
     "q151_stratified_priority" -> ((s, dir) => Pipeline.stratifiedPrioritySample(s, dir)),
     "q152_stage_latency" -> Relational.stageLatency _,
-    "q153_session_depth" -> ((s, dir) => Relational.sessionDepth(s, dir))
+    "q153_session_depth" -> ((s, dir) => Relational.sessionDepth(s, dir)),
+    "q154_edit_dist_rule" -> ((s, dir) => Dedup.editDistancePairsAuto(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +442,7 @@ object SparkEntry {
     "q150_setops_all" -> OracleSql.q150EventSetOpsAll,
     "q151_stratified_priority" -> OracleSql.q151StratifiedPriority(),
     "q152_stage_latency" -> OracleSql.q152StageLatency,
-    "q153_session_depth" -> OracleSql.q153SessionDepth()
+    "q153_session_depth" -> OracleSql.q153SessionDepth(),
+    "q154_edit_dist_rule" -> OracleSql.q154EditDistanceRule()
   )
 }

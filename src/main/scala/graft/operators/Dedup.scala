@@ -271,6 +271,35 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
+  /** Q154 — Q70 written the way a USER would write it: same (lang,
+    * length-band) blocking, but NO hand-written length prefilter —
+    * the session's [[graft.plans.EditDistancePrefilter]] optimizer
+    * rule injects the Ed-Join bound `abs(length(x.pfx) −
+    * length(y.pfx)) ≤ k` in front of the DP automatically (prepended,
+    * so conjunct short-circuit rejects before the O(k·n) DP runs).
+    * Registering it as a query makes the extension path part of the
+    * correctness gate: the row is hash-green ONLY under a session
+    * with the extensions installed doing the sound rewrite (including
+    * the −1 threshold case, which the `dist >= 0` conjunct proves
+    * non-negative). Results are identical to Q70: same blocks, and
+    * Q70's manual `|Δn_chars| ≤ 16` is implied by band equality.
+    * ExtensionsSpec pins the injected bound in THIS query's optimized
+    * plan.
+    */
+  def editDistancePairsAuto(s: SparkSession, dir: String, maxDist: Int = 16,
+                            prefixLen: Int = 96, band: Int = 16): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
+      expr(s"n_chars div ${band}L").as("bkt"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bkt") === col("y.bkt") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.pfx"), col("y.pfx"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Q106 — the dedup DECISION table: every document labeled with its
     * near-dup cluster (itself when unclustered) and a keep/drop bit
     * (keep = the cluster's min-id representative) — the actionable

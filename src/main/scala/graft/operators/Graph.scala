@@ -88,10 +88,11 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    val w = Window.orderBy(col("n_tri").desc, col("node"))
-    perNode.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("node"), col("n_tri"), col("rnk").cast("long").as("rnk"))
+    // top-k via TakeOrderedAndProject (per-partition heap, k-row
+    // merge) — never a global sort of the per-node count table
+    GlobalRank.topKRanked(perNode, k, "rnk",
+        col("n_tri").desc, col("node"))
+      .select(col("node"), col("n_tri"), col("rnk"))
   }
 
   /** The q113 co-purchase edge set (support-floored, canonical a<b)

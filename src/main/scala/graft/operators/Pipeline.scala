@@ -232,9 +232,12 @@ object Pipeline {
     val g = docs(s, dir)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    val w = Window.partitionBy()
-    g.withColumn("total_docs", sum(col("n_docs")).over(w))
-      .withColumn("n_groups", count(lit(1)).over(w))
+    // grand totals ride a broadcast scalar cross join — a
+    // partitionBy()-less window here would serialize the group table
+    // through one partition for two numbers
+    val tot = g.agg(sum(col("n_docs")).as("total_docs"),
+      count(lit(1)).as("n_groups"))
+    g.crossJoin(broadcast(tot))
       .select(col("source"), col("lang"), col("n_docs"), col("sum_chars"),
         (col("n_docs").cast("double") / col("total_docs").cast("double"))
           .as("share"),

@@ -573,9 +573,11 @@ object Relational {
     * count(DISTINCT) over an expanding day window rescans history per
     * day (quadratic at 100 TB); this form computes each user's first
     * day ONCE (one user-keyed aggregate), daily actives as a
-    * (day, user) distinct, and the cumulative count as an integer
-    * running sum over the day-level aggregate (tiny). All-integer:
-    * bitwise parity is free.
+    * (day, user) distinct, and the cumulative count as the two-level
+    * distributed running sum (GlobalRank.globalCumSum — range-
+    * partitioned local cumsums + broadcast partition offsets, never a
+    * single-partition window) over the day-level aggregate.
+    * All-integer: bitwise parity is free.
     */
   def userGrowth(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
@@ -587,14 +589,14 @@ object Relational {
       .agg(min(col("day")).as("first_day"))
     val newPerDay = firstDay.groupBy(col("first_day").as("day"))
       .agg(count(lit(1)).as("n_new"))
-    val dau = active.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
-    val w = Window.orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dau.join(newPerDay, Seq("day"), "left")
+    val joined = dau(active).join(newPerDay, Seq("day"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("n_returning", col("n_active") - col("n_new"))
-      .withColumn("cum_users", sum(col("n_new")).over(w))
+    GlobalRank.globalCumSum(joined, col("n_new"), "cum_users", col("day"))
   }
+
+  private def dau(active: DataFrame): DataFrame =
+    active.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
 
   /** Q74 — conversion funnel (signup → click → purchase, strictly
     * ordered by time) per signup-day cohort. Step times resolve with
@@ -963,7 +965,8 @@ object Relational {
   /** Q86 — chi-square contingency cells over event_type × customer
     * market segment: observed vs expected (rowΣ·colΣ/n) and the
     * per-cell χ² contribution. The cell table is the only fact-scale
-    * aggregate; totals are window sums OVER the tiny cell aggregate
+    * aggregate; marginals are PARTITIONED window sums over the tiny
+    * cell aggregate, the grand total a broadcast scalar cross join
     * (integers, order-free), and each float output is one pinned
     * expression per cell — there is deliberately no cross-cell float
     * Σ (the full χ² statistic would be combine-order-dependent; the
@@ -978,8 +981,11 @@ object Relational {
       .agg(count(lit(1)).as("o"))
     val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
     val ct = sum(col("o")).over(Window.partitionBy(col("c_mktsegment")))
-    val n = sum(col("o")).over(Window.partitionBy())
-    val withE = cells.withColumn("e", (rt * ct).cast("double") / n)
+    // the grand total is a broadcast scalar, not a partitionBy()-less
+    // window (which would single-partition the cell table)
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val withE = cells.crossJoin(broadcast(tot))
+      .withColumn("e", (rt * ct).cast("double") / col("n")).drop("n")
     withE.select(col("event_type"), col("c_mktsegment"), col("o"), col("e"),
       ((col("o").cast("double") - col("e")) *
         (col("o").cast("double") - col("e")) / col("e")).as("chi2_cell"))
@@ -1182,18 +1188,23 @@ object Relational {
   }
 
   /** Q103 — week-over-week change: weekly order revenue with the
-    * previous week's value and the relative change — the BI trend
-    * staple. Revenue is decimal-exact; the lag runs over the tiny
-    * week-level aggregate; pct_change is one pinned division, null
-    * for the first week (no ANSI divide-by-zero path since revenue
-    * > 0 per existing week).
+    * previous CALENDAR week's value and the relative change — the BI
+    * trend staple. "Previous" is week − 7 days by a self-join on the
+    * week key, not a `lag` window: an un-partitioned lag serializes
+    * the whole series through one task at scale, while the calendar
+    * join is an ordinary shuffle (and is the more honest WoW
+    * semantics — a gap week yields NULL change, not a comparison
+    * against whatever week happened to come before it). Revenue is
+    * decimal-exact; pct_change is one pinned division, null when the
+    * prior calendar week has no orders.
     */
   def weekOverWeek(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
     val wk = o.groupBy(date_trunc("week", col("o_orderdate")).as("week"))
       .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("rev"))
-    val w = Window.orderBy(col("week"))
-    wk.withColumn("prev", lag(col("rev"), 1).over(w))
+    val prev = wk.select((col("week") + expr("INTERVAL 7 DAYS")).as("week"),
+      col("rev").as("prev"))
+    wk.join(prev, Seq("week"), "left")
       .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
         col("rev").cast("double").as("revenue"),
         col("prev").cast("double").as("prev_revenue"),

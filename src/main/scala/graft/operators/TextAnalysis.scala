@@ -212,10 +212,14 @@ object TextAnalysis {
     * vocab be for 99% coverage" sizing curve.
     *
     * Scale shape: corpus collapses ONCE to the per-token count
-    * aggregate (map-side combinable); the rank/cumsum window runs
-    * over that vocabulary-sized table (the Q53 discipline, never the
-    * corpus), and the grand total rides along as a broadcast-scalar
-    * cross join. coverage divides two exact integers — bitwise-equal
+    * aggregate (map-side combinable); the top-N cut is a
+    * TakeOrderedAndProject (GlobalRank.topKRanked — per-partition
+    * heap, k-row merge, NO global sort), the rank/cumsum window runs
+    * over the ≤ topN-row bounded result, and the grand total rides
+    * along as a broadcast-scalar cross join. The cumulative sum over
+    * rows 1..rank only ever involves rows that survive the cut, so
+    * limiting first is rank-for-rank identical to the old global
+    * window. coverage divides two exact integers — bitwise-equal
     * doubles across engines.
     */
   def vocabCoverage(s: SparkSession, dir: String, topN: Int = 100): DataFrame = {
@@ -223,14 +227,13 @@ object TextAnalysis {
       .select(explode(TextHash.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    counts
-      .withColumn("rank", row_number().over(w))
+    val ord = Seq(col("cnt").desc, col("token"))
+    GlobalRank.topKRanked(counts, topN, "rank", ord: _*)
       .withColumn("cum_cnt", sum(col("cnt"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rank") <= topN)
+        .over(Window.orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(total))
-      .select(col("rank").cast("long").as("rank"), col("token"),
+      .select(col("rank"), col("token"),
         col("cnt"), col("cum_cnt"),
         (col("cum_cnt").cast("double") / col("total").cast("double"))
           .as("coverage"))
@@ -471,11 +474,13 @@ object TextAnalysis {
     * Scale shape: both scores come from ONE shared corpus projection
     * (tf columns are codegen'd array filters — no explode) against one
     * broadcast global-stats row, so scoring stays a linear scan. The
-    * two rank windows are single-partition over the corpus — correct
-    * at test scale and STATED cost: production fusion ranks only each
-    * retriever's top-k candidate list (k ~10³), where a global window
-    * is a broadcast-sized sort; the fused top-k here caps output the
-    * same way.
+    * output columns are EXACT GLOBAL ranks, so a top-k shortcut can't
+    * express them — instead each ranking is the two-level
+    * GlobalRank.globalRank: range-partition on the score key, local
+    * row_number per partition, broadcast per-partition count offsets.
+    * No partition ever sorts more than its range slice, at any corpus
+    * size. The final fused top-N IS a cut, so it takes the
+    * TakeOrderedAndProject path (topKRanked).
     */
   def rrfFusion(s: SparkSession, dir: String,
                 terms: Seq[String] = Seq("hash", "join", "scan"),
@@ -504,17 +509,15 @@ object TextAnalysis {
     }.reduceLeft(_ + _)
     val both = scored.select(col("doc_id"),
       bm25Score.as("s_bm25"), tfidfScore.as("s_tfidf"))
-    val wa = Window.orderBy(col("s_bm25").desc, col("doc_id"))
-    val wb = Window.orderBy(col("s_tfidf").desc, col("doc_id"))
-    val ranked = both
-      .withColumn("rank_bm25", row_number().over(wa).cast("long"))
-      .withColumn("rank_tfidf", row_number().over(wb).cast("long"))
+    val ranked = GlobalRank.globalRank(
+        GlobalRank.globalRank(both, "rank_bm25",
+          col("s_bm25").desc, col("doc_id")),
+        "rank_tfidf", col("s_tfidf").desc, col("doc_id"))
       .select(col("doc_id"), col("rank_bm25"), col("rank_tfidf"),
         (lit(1.0) / (lit(rrfK) + col("rank_bm25")) +
           lit(1.0) / (lit(rrfK) + col("rank_tfidf"))).as("rrf"))
-    val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
-    ranked.withColumn("rnk", row_number().over(wf).cast("long"))
-      .filter(col("rnk") <= topN)
+    GlobalRank.topKRanked(ranked, topN, "rnk",
+      col("rrf").desc, col("doc_id"))
   }
 
   /** Q134 — per-source vocabulary drift: tokens over-represented in
@@ -568,7 +571,8 @@ object TextAnalysis {
     * keys the bigram aggregate against the vocabulary-sized unigram
     * table twice (broadcastable when the vocab is bounded — it is
     * here); the scalar totals ride a broadcast cross join. The final
-    * top-k window runs over the min-count-filtered aggregate, never
+    * top-k cut is a TakeOrderedAndProject over the min-count-filtered
+    * aggregate (GlobalRank.topKRanked) — never a global sort, never
     * the corpus.
     */
   def pmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
@@ -590,9 +594,8 @@ object TextAnalysis {
       .select(col("bigram"), col("c_ab"), col("ca"), col("cb"),
         (col("c_ab").cast("double") * col("n1") * col("n1") /
           (col("nb").cast("double") * col("ca") * col("cb"))).as("lift"))
-    val w = Window.orderBy(col("lift").desc, col("bigram"))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topN)
+    GlobalRank.topKRanked(joined, topN, "rnk",
+      col("lift").desc, col("bigram"))
   }
 
   /** Q122 — BPE merge candidates: the first iteration of byte-pair-
@@ -607,7 +610,9 @@ object TextAnalysis {
     * over corpus characters: at 100 TB the expensive pass is the one
     * linear token count every text pipeline already runs, and each
     * later BPE iteration reuses the same vocabulary table with
-    * symbols re-segmented — no further corpus scans.
+    * symbols re-segmented — no further corpus scans. The top-N cut is
+    * a TakeOrderedAndProject (GlobalRank.topKRanked), never a global
+    * sort of the pair table.
     */
   def bpePairCandidates(s: SparkSession, dir: String,
                         topN: Int = 30): DataFrame = {
@@ -621,9 +626,8 @@ object TextAnalysis {
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("n")).as("n_pair"))
-    val w = Window.orderBy(col("n_pair").desc, col("pair"))
-    pairs.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= topN)
+    GlobalRank.topKRanked(pairs, topN, "rnk",
+      col("n_pair").desc, col("pair"))
   }
 
   /** Q48 — token-rarity document scoring, the integer-exact form of a

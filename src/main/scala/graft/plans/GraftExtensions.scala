@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -102,18 +102,43 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
       Cast(Abs(Subtract(Length(lev.left), Length(lev.right))), LongType),
       Literal(k, LongType))
 
+  /** The fresh implied bounds for a conjunctive condition (empty when
+    * nothing qualifies or every bound is already present).
+    */
+  private def freshBounds(cond: Expression): Seq[Expression] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    val bounds = conjuncts.flatMap(upperBound).filter { case (lev, k) =>
+      k >= 0 &&
+        (lev.threshold.isEmpty ||
+          conjuncts.exists(provesNonNegative(_, lev)))
+    }
+    bounds.map { case (lev, k) => lengthBound(lev, k) }
+      .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+  }
+
+  /** PREPEND the O(1) bounds: And short-circuits left-to-right in
+    * both interpreted and codegen'd evaluation, so the length check
+    * rejects a row before the O(k·n) DP ever runs (And is commutative
+    * in three-valued logic — row sets are unchanged).
+    */
+  private def prepend(fresh: Seq[Expression], cond: Expression): Expression =
+    (fresh :+ cond).reduce(And)
+
+  /** Matches both homes a levenshtein predicate can land in after
+    * PushDownPredicates: a Filter node, or a Join CONDITION (the rule
+    * shares the optimizer's fixpoint batch, so a predicate pushed
+    * into a join on one pass is strengthened on the next). Adding an
+    * IMPLIED conjunct to a join condition is sound for every join
+    * type: where the condition was true the bound is true too, and
+    * false/null both already mean non-match.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val bounds = conjuncts.flatMap(upperBound).filter { case (lev, k) =>
-        k >= 0 &&
-          (lev.threshold.isEmpty ||
-            conjuncts.exists(provesNonNegative(_, lev)))
-      }
-      val fresh = bounds.map { case (lev, k) => lengthBound(lev, k) }
-        .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
-      if (fresh.isEmpty) f
-      else Filter((conjuncts ++ fresh).reduce(And), child)
+      val fresh = freshBounds(cond)
+      if (fresh.isEmpty) f else Filter(prepend(fresh, cond), child)
+    case j @ Join(_, _, _, Some(cond), _) =>
+      val fresh = freshBounds(cond)
+      if (fresh.isEmpty) j else j.copy(condition = Some(prepend(fresh, cond)))
   }
 
   private def splitConjunctivePredicates(cond: Expression): Seq[Expression] =

@@ -150,7 +150,7 @@ object StreamingOps {
         expr("ts div 1000")
       else unix_micros(col("ts"))
     val data = ev.select(col("event_type"), tsu.as("us"))
-      .orderBy(col("us")).as[(String, Long)].collect() // distributed sort
+      .orderBy(col("us")).as[(String, Long)].collect() // fixture feed only
     val sentinel = ("__sentinel__",
       data.map(_._2).max + (watermarkMin + 20) * 60000000L)
     val stream =

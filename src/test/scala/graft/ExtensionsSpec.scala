@@ -96,4 +96,22 @@ class ExtensionsSpec extends SparkSpec {
       .toSet
     assert(rows === want)
   }
+
+  test("q154: the injected length bound is load-bearing in the registered query's plan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q154_edit_dist_rule")(spark, dir)
+    // the optimized plan must contain the rule-injected Ed-Join length
+    // bound — q154 writes NO manual length filter, so its presence
+    // proves the extension rewired the registered query end-to-end
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert("abs\\(+length\\(pfx".r.findFirstIn(opt).isDefined ||
+      ("(?s)abs\\(.?\\(?length\\(pfx.*?- length\\(pfx".r.findFirstIn(opt).isDefined),
+      s"injected length bound missing from optimized plan:\n$opt")
+    // and the results equal the hand-prefiltered q70
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.operators.Dedup.editDistancePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "q154 must return exactly q70's pairs")
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalRank
+
+/** Property tests for the two-level global rank/cumsum helpers: on
+  * seeded random data (duplicates, skew, nulls-free keys) the
+  * distributed results must equal the single-partition window truth,
+  * for any partition count the range partitioner picks.
+  */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDf(seed: Long, n: Int): DataFrame = {
+    val rng = new java.util.Random(seed)
+    // duplicate-heavy scores force the tie-break column to matter;
+    // id is unique so the full ordering key is total
+    (0 until n).map(i => (i.toLong, rng.nextInt(40).toDouble,
+      rng.nextInt(1000).toLong)).toDF("id", "score", "v")
+  }
+
+  test("globalRank equals single-partition row_number (desc score, id tiebreak)") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val df = randomDf(seed, 500)
+      val got = GlobalRank.globalRank(df, "rnk",
+          col("score").desc, col("id"))
+        .select(col("id"), col("rnk"))
+      val want = df.withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("id")))
+            .cast("long"))
+        .select(col("id"), col("rnk"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"seed $seed: two-level rank diverged from window truth")
+    }
+  }
+
+  test("globalRank assigns a contiguous 1..n permutation") {
+    val df = randomDf(99L, 333)
+    val ranks = GlobalRank.globalRank(df, "rnk", col("score"), col("id"))
+      .select("rnk").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 333L))
+  }
+
+  test("globalCumSum equals single-partition running sum") {
+    for (seed <- Seq(3L, 11L)) {
+      val df = randomDf(seed, 400)
+      val got = GlobalRank.globalCumSum(df, col("v"), "cum", col("id"))
+        .select(col("id"), col("cum"))
+      val want = df.withColumn("cum",
+          sum(col("v")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("id"), col("cum"))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"seed $seed: two-level cumsum diverged from window truth")
+    }
+  }
+
+  test("topKRanked returns exactly the global top-k, ranked 1..k") {
+    val df = randomDf(5L, 250)
+    val got = GlobalRank.topKRanked(df, 17, "rnk",
+      col("score").desc, col("id")).select(col("id"), col("rnk"))
+    val want = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .cast("long"))
+      .filter(col("rnk") <= 17).select(col("id"), col("rnk"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("globalRank plans no partitionBy-less window and a broadcast offset join") {
+    val p = GlobalRank.globalRank(randomDf(1L, 100), "rnk", col("score"))
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"offset table must broadcast:\n$p")
+  }
+}

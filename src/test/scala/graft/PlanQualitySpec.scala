@@ -301,4 +301,60 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"expected window + aggregate exchanges only:\n$p")
   }
+
+  // ---- class-wide pin: no unbounded global rank windows ----------------
+
+  /** Queries whose partitionBy-less WindowExec runs over an input that
+    * is bounded by CONSTRUCTION (a small fixed-cardinality aggregate)
+    * rather than by a limit the plan walker can see. Every entry needs
+    * a justification; additions are a design review, not a formality.
+    */
+  private val boundedByConstruction: Map[String, String] = Map(
+    "q78_skyline" -> ("the global prune's input is the union of the " +
+      "per-bucket skyline frontiers — each bucket contributes at most " +
+      "one point per distinct n_tokens value (strictly decreasing " +
+      "n_chars along a frontier), so the survivor set is bounded by " +
+      "buckets x |n_tokens domain|, a value-domain bound independent " +
+      "of corpus row count (skyline distributivity, see " +
+      "TextAnalysis.skyline)"))
+
+  test("no registered query ranks through a partitionBy-less window over an unbounded input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec,
+      GlobalLimitExec, LocalLimitExec, CollectLimitExec, LocalTableScanExec}
+
+    // tree walk that descends into AQE wrappers (LeafExecNode) and
+    // InMemoryRelation cache plans
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(im.relation.cachedPlan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(flatten)
+    }
+    def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec |
+           _: LocalTableScanExec => true
+      case _ => false
+    }
+
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.contains("_stream"))     // memory-sink scans, no windows
+      .filterNot(q => boundedByConstruction.contains(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        flatten(plan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: ${w.simpleStringWithNodeId()}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unbounded global windows (single-partition sorts at scale):\n" +
+        offenders.mkString("\n"))
+  }
 }
