@@ -50,7 +50,7 @@ object StreamingOps {
   private def feedBatches[A](
       stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      data: Array[A], nBatches: Int = 3, blocks: Int = 32): Unit =
+      data: Array[A], nBatches: Int = 2, blocks: Int = 32): Unit =
     data.grouped(math.max(1, data.length / nBatches + 1)).foreach { ch =>
       ch.grouped(math.max(1, ch.length / blocks + 1))
         .foreach(b => stream.addData(b.toIndexedSeq))
@@ -129,7 +129,7 @@ object StreamingOps {
         unix_micros(col("w.start")).as("window_start_us"), col("n_events"))
 
   /** q50 — [[slidingCounts]] driven over the sfDir events table via a
-    * 3-micro-batch MemoryStream in APPEND mode with a sentinel flush
+    * multi-micro-batch MemoryStream in APPEND mode with a sentinel flush
     * (the q72 pattern): each window is emitted exactly ONCE, when the
     * watermark passes its end, so the sink receives result-sized
     * output instead of one update row per touched window per batch
@@ -392,7 +392,7 @@ object StreamingOps {
     * production deployment sizes this by sustained throughput instead;
     * the conf is restored afterwards either way.
     */
-  private def withFewStatePartitions[T](s: SparkSession, n: Int = 4)(f: => T): T = {
+  private def withFewStatePartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -472,7 +472,7 @@ object StreamingOps {
         .outputMode(OutputMode.Append()).start()
       try {
         def chunks(a: Array[(Long, Long, Long)]) =
-          a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+          a.grouped(math.max(1, a.length / 2 + 1)).toIndexedSeq
         // block-split each side's chunk (feedBatches shape): one
         // addData = one scan partition, so the synchronized batches
         // stay parallel on both inputs
@@ -554,7 +554,7 @@ object StreamingOps {
         .outputMode(OutputMode.Append()).start()
       try {
         def chunks(a: Array[(Long, Long, Long)]) =
-          a.grouped(math.max(1, a.length / 3 + 1)).toIndexedSeq
+          a.grouped(math.max(1, a.length / 2 + 1)).toIndexedSeq
         def add(st: org.apache.spark.sql.execution.streaming.runtime
                 .MemoryStream[(Long, Long, Long)],
                 ch: Array[(Long, Long, Long)]): Unit =
@@ -653,7 +653,7 @@ object StreamingOps {
         col("n_events"), col("sum_value"))
 
   /** q72 — [[sessionAgg]] driven over the sfDir events table via a
-    * 3-micro-batch time-ordered MemoryStream, plus one SENTINEL event
+    * multi-micro-batch time-ordered MemoryStream, plus one SENTINEL event
     * far past the feed (a negative user filtered from the result):
     * append-mode session windows only emit once the watermark passes a
     * session's end, so the sentinel advances the watermark beyond
@@ -794,7 +794,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
 
   /** q101 — [[streamHistogram]] over the sfDir events table via a
-    * 3-micro-batch MemoryStream; monotone counts → max() selects the
+    * multi-micro-batch MemoryStream; monotone counts → max() selects the
     * final update, which equals batch Q67 (same oracle SQL). The
     * collect feeds the MemoryStream harness only.
     */
@@ -836,7 +836,7 @@ object StreamingOps {
         col("m.value").as("last_value"))
 
   /** q102 — [[streamLatest]] over the sfDir events table via a
-    * 3-micro-batch MemoryStream; the struct-max is monotone, so the
+    * multi-micro-batch MemoryStream; the struct-max is monotone, so the
     * final update per key (selected by max last_us/last_event_id,
     * i.e. the same struct order) equals batch Q55 — same oracle SQL.
     * The collect feeds the MemoryStream harness only.
@@ -993,7 +993,7 @@ object StreamingOps {
   }
 
   /** q128 — [[streamWindowedKmv]] over the sfDir events table via a
-    * 3-micro-batch MemoryStream; the final emission per (type, hour)
+    * multi-micro-batch MemoryStream; the final emission per (type, hour)
     * equals the batch sketch (order/batching-free KMV fold). The
     * collect feeds the MemoryStream harness only.
     */
@@ -1066,7 +1066,7 @@ object StreamingOps {
   }
 
   /** q133 — [[streamWindowedHeavy]] over the sfDir events table via a
-    * 3-micro-batch MemoryStream; final emission per (type, hour)
+    * multi-micro-batch MemoryStream; final emission per (type, hour)
     * equals the batch top-m because sub-saturation Misra-Gries is
     * exact under any batching. The collect feeds the MemoryStream
     * harness only.
@@ -1130,7 +1130,7 @@ object StreamingOps {
   }
 
   /** q33 — [[streamKmv]] driven over the sfDir documents table via a
-    * 3-micro-batch MemoryStream; the final per-source emission equals
+    * multi-micro-batch MemoryStream; the final per-source emission equals
     * the batch q26 sketch (same oracle SQL) because the KMV fold is
     * order- and batching-independent. The collect feeds the
     * MemoryStream test harness only — the production operator above is
@@ -1205,7 +1205,7 @@ object StreamingOps {
   }
 
   /** q112 — [[streamHeavyHitters]] driven over the sfDir documents
-    * table via a 3-micro-batch MemoryStream; the final per-source
+    * table via a multi-micro-batch MemoryStream; the final per-source
     * emission equals the batch q40 sketch (same oracle SQL). The
     * collect feeds the MemoryStream test harness only.
     */
@@ -1236,7 +1236,7 @@ object StreamingOps {
   }
 
   /** q22 — drive the incremental smoother over the committed signal
-    * fixture through a real MemoryStream (three micro-batches to
+    * fixture through a real MemoryStream (multiple micro-batches to
     * exercise state carry-over), collect from the memory sink, and
     * return the result. Matches the batch smooth on interior samples,
     * which the DuckDB oracle checks.
@@ -1279,7 +1279,7 @@ object StreamingOps {
         sum(col("value").cast("decimal(20,4)")).as("sv"))
 
   /** q116 — [[enrichStatic]] over the sfDir events table via a
-    * 3-micro-batch MemoryStream against the customer⋈nation static
+    * multi-micro-batch MemoryStream against the customer⋈nation static
     * dim. Complete-mode final table = batch aggregate. The collect
     * feeds the MemoryStream harness only.
     */
@@ -1358,7 +1358,7 @@ object StreamingOps {
   }
 
   /** q149 — [[streamAsof]] over the sfDir events table via a
-    * 3-micro-batch time-ordered MemoryStream (the feed sorts by
+    * multi-micro-batch time-ordered MemoryStream (the feed sorts by
     * (t, click-first, event_id) so a chunk boundary can never place a
     * click after its equal-time partner). Append emissions = the
     * batch Q23 as-of oracle. The collect feeds the MemoryStream
