@@ -2118,6 +2118,70 @@ object OracleSql {
        |  AND abs(x.n_chars - y.n_chars) <= $maxDist
        |WHERE levenshtein(x.pfx, y.pfx) <= $maxDist""".stripMargin
 
+  /** Q155 — mirrors Relational.eventPivot: the per-day event-type
+    * matrix; PIVOT stated as conditional counts (the same program
+    * Catalyst compiles the pivot to).
+    */
+  def q155EventPivot: String = {
+    val cols = graft.operators.Relational.EventTypes
+      .map(tp => s"CAST(count(*) FILTER (WHERE event_type = '$tp') " +
+        s"AS BIGINT) AS $tp")
+      .mkString(",\n       |  ")
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events
+       |)
+       |SELECT day,
+       |  $cols
+       |FROM e GROUP BY day""".stripMargin
+  }
+
+  /** Q156 — mirrors Relational.lineitemUnpivot: the melt stated as a
+    * UNION ALL rotation (same rows the Expand produces).
+    */
+  def q156LineitemUnpivot: String =
+    s"""WITH m AS (
+       |  SELECT l_orderkey,
+       |    CAST(l_quantity AS DECIMAL(20,4)) AS quantity,
+       |    CAST(l_extendedprice AS DECIMAL(20,4)) AS extendedprice,
+       |    CAST(l_extendedprice AS DECIMAL(20,4))
+       |      * CAST(l_discount AS DECIMAL(20,4)) AS discount_amount
+       |  FROM lineitem
+       |),
+       |u AS (
+       |  SELECT 'quantity' AS metric, CAST(quantity AS DECIMAL(38,8)) AS v FROM m
+       |  UNION ALL
+       |  SELECT 'extendedprice', CAST(extendedprice AS DECIMAL(38,8)) FROM m
+       |  UNION ALL
+       |  SELECT 'discount_amount', CAST(discount_amount AS DECIMAL(38,8)) FROM m
+       |)
+       |SELECT metric, count(*) AS n,
+       |  CAST(sum(v) AS DOUBLE) AS sum_v,
+       |  CAST(max(v) AS DOUBLE) AS max_v
+       |FROM u GROUP BY metric""".stripMargin
+
+  /** Q157 — mirrors Relational.spendQuartiles: per-segment ntile(4)
+    * spend quartiles on the (spend desc, custkey) total order.
+    */
+  def q157SpendQuartiles: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(20,4))) AS spend
+       |  FROM orders GROUP BY 1
+       |),
+       |j AS (
+       |  SELECT s.o_custkey, c.c_mktsegment, s.spend
+       |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+       |),
+       |q AS (
+       |  SELECT c_mktsegment,
+       |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+       |      ORDER BY spend DESC, o_custkey) AS BIGINT) AS quartile,
+       |    spend
+       |  FROM j
+       |)
+       |SELECT c_mktsegment, quartile, count(*) AS n_customers,
+       |  CAST(sum(spend) AS DOUBLE) AS segment_spend
+       |FROM q GROUP BY 1, 2""".stripMargin
+
   /** Q154 — mirrors Dedup.editDistancePairsAuto: Q70 without the
     * (band-implied, redundant) manual length prefilter — the Spark
     * side gets it injected by the EditDistancePrefilter rule.

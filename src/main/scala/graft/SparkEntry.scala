@@ -259,7 +259,10 @@ object SparkEntry {
     "q151_stratified_priority" -> ((s, dir) => Pipeline.stratifiedPrioritySample(s, dir)),
     "q152_stage_latency" -> Relational.stageLatency _,
     "q153_session_depth" -> ((s, dir) => Relational.sessionDepth(s, dir)),
-    "q154_edit_dist_rule" -> ((s, dir) => Dedup.editDistancePairsAuto(s, dir))
+    "q154_edit_dist_rule" -> ((s, dir) => Dedup.editDistancePairsAuto(s, dir)),
+    "q155_event_pivot" -> Relational.eventPivot _,
+    "q156_unpivot_metrics" -> Relational.lineitemUnpivot _,
+    "q157_spend_quartiles" -> Relational.spendQuartiles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +446,9 @@ object SparkEntry {
     "q151_stratified_priority" -> OracleSql.q151StratifiedPriority(),
     "q152_stage_latency" -> OracleSql.q152StageLatency,
     "q153_session_depth" -> OracleSql.q153SessionDepth(),
-    "q154_edit_dist_rule" -> OracleSql.q154EditDistanceRule()
+    "q154_edit_dist_rule" -> OracleSql.q154EditDistanceRule(),
+    "q155_event_pivot" -> OracleSql.q155EventPivot,
+    "q156_unpivot_metrics" -> OracleSql.q156LineitemUnpivot,
+    "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles
   )
 }

@@ -582,8 +582,8 @@ object Relational {
   def userGrowth(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val ev = t(s, dir, "events")
-    val withDay = ev.select(col("user_id"),
-      (tsMicros(ev) / dayUs).cast("long").as("day"))
+    val withDay = ev.select(col("user_id"), tsMicros(ev).as("us"))
+      .select(col("user_id"), expr(s"us div $dayUs").as("day"))
     val active = withDay.distinct()
     val firstDay = active.groupBy(col("user_id"))
       .agg(min(col("day")).as("first_day"))
@@ -629,7 +629,7 @@ object Relational {
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     funnelTimes(s, dir)
-      .groupBy((col("t1") / dayUs).cast("long").as("cohort_day"))
+      .groupBy(expr(s"t1 div $dayUs").as("cohort_day"))
       .agg(count(lit(1)).as("n_signup"),
         count(col("t2")).as("n_click"),
         count(col("t3")).as("n_purchase"))
@@ -711,8 +711,8 @@ object Relational {
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val ev = t(s, dir, "events")
-    val active = ev.select(col("user_id"),
-      (tsMicros(ev) / dayUs).cast("long").as("day")).distinct()
+    val active = ev.select(col("user_id"), tsMicros(ev).as("us"))
+      .select(col("user_id"), expr(s"us div $dayUs").as("day")).distinct()
     val firstDay = active.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
     active.join(firstDay, Seq("user_id"))
@@ -759,8 +759,8 @@ object Relational {
   def activityStreaks(s: SparkSession, dir: String): DataFrame = {
     val dayUs = 86400000000L
     val ev = t(s, dir, "events")
-    val active = ev.select(col("user_id"),
-      (tsMicros(ev) / dayUs).cast("long").as("day")).distinct()
+    val active = ev.select(col("user_id"), tsMicros(ev).as("us"))
+      .select(col("user_id"), expr(s"us div $dayUs").as("day")).distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val islands = active
       .withColumn("island", col("day") - row_number().over(w))
@@ -1726,5 +1726,87 @@ object Relational {
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("sum_value"),
         grouping_id().as("gid"))
+  }
+
+  /** The closed event-type vocabulary the PIVOT projects to columns.
+    * Pivoting REQUIRES a declared (or pre-collected) value list; a
+    * fixed list keeps the plan one-pass — Spark's values-discovering
+    * overload first runs a distinct scan.
+    */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Q155 — PIVOT: the per-day event matrix (one row per day, one
+    * column per event type) — the wide activity table BI layers and
+    * feature stores expect. Uses the relational pivot surface
+    * (`RelationalGroupedDataset.pivot`), which Catalyst compiles to
+    * ONE aggregate pass with a conditional-count per pivot column —
+    * same shuffle as the plain groupBy (day-keyed, map-side
+    * partials); absent (day, type) cells coalesce to 0. At 100 TB
+    * nothing changes: the pivot width is the type vocabulary
+    * (bounded), the row count is days.
+    */
+  def eventPivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev
+      .select(tsMicros(ev).as("us"), col("event_type"))
+      // integer `div`, not `/` — Column./ promotes to double, and a
+      // float day boundary is exactly the kind of last-ulp hazard the
+      // repo's float discipline bans
+      .select(expr("us div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    p.select(col("day") +:
+      EventTypes.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+  }
+
+  /** Q156 — UNPIVOT (melt): lineitem's three money measures rotated
+    * to (metric, value) rows, then aggregated per metric — the
+    * long-form rotation feeding generic per-metric quality checks
+    * (one code path over any measure column). Uses the Dataset
+    * `unpivot` surface, which plans as a single Expand (each input
+    * row fans to 3 narrow rows in the SAME task — no shuffle, no
+    * join); the only exchange is the 3-group aggregate. Sums are
+    * exact decimal, one final double cast each.
+    */
+  def lineitemUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("decimal(20,4)").as("quantity"),
+        col("l_extendedprice").cast("decimal(20,4)").as("extendedprice"),
+        (col("l_extendedprice").cast("decimal(20,4)") *
+          col("l_discount").cast("decimal(20,4)")).as("discount_amount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount_amount")),
+        "metric", "v")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("sum_v"),
+        max(col("v")).cast("double").as("max_v"))
+
+  /** Q157 — NTILE quartiles: customers bucketed into spend quartiles
+    * WITHIN their market segment (ntile(4) over the per-segment spend
+    * order), rolled up to per-(segment, quartile) totals — the
+    * standard RFM-style banding. The window is PARTITIONED by segment
+    * (parallel, never global); its input is the customer-level spend
+    * aggregate, not orders. ntile's uneven-split rule (first
+    * n mod 4 buckets get the extra row) matches DuckDB's, and the
+    * (spend desc, custkey) order is total, so bucket edges are
+    * deterministic; sums stay decimal until the final double cast.
+    */
+  def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("spend"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("segment_spend"))
   }
 }

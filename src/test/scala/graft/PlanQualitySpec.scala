@@ -302,6 +302,35 @@ class PlanQualitySpec extends SparkSpec {
       s"expected window + aggregate exchanges only:\n$p")
   }
 
+  test("q155: declared pivot values avoid the distinct discovery scan; both phases map-side combine") {
+    val p = plan("q155_event_pivot")
+    // Spark's pivot plans two aggregate phases: (day, type) counts,
+    // then pivotfirst by day — exchange 1 carries one row per
+    // (day, type) after partials, exchange 2 one row per day. Both
+    // are bounded aggregates; what the pin forbids is a JOIN or a
+    // second events scan (the values-discovering pivot overload).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2)
+    assert("partial_".r.findAllIn(p).size >= 2,
+      s"both pivot phases must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"pivot must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"declared value list must avoid the distinct discovery scan:\n$p")
+  }
+
+  test("q156: unpivot is a narrow Expand — rows fan out in-task, only the 3-group aggregate shuffles") {
+    val p = plan("q156_unpivot_metrics")
+    assert(p.contains("Expand"), s"unpivot must plan as Expand:\n$p")
+    assert(!p.contains("Join"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"only the metric aggregate may shuffle:\n$p")
+  }
+
+  test("q157: ntile window is partitioned by segment, never global") {
+    val p = plan("q157_spend_quartiles")
+    assert("hashpartitioning\\(c_mktsegment".r.findFirstIn(p).isDefined,
+      s"quartile window must partition by segment:\n$p")
+  }
+
   // ---- class-wide pin: no unbounded global rank windows ----------------
 
   /** Queries whose partitionBy-less WindowExec runs over an input that
