@@ -2118,6 +2118,40 @@ object OracleSql {
        |  AND abs(x.n_chars - y.n_chars) <= $maxDist
        |WHERE levenshtein(x.pfx, y.pfx) <= $maxDist""".stripMargin
 
+  /** Q158 — mirrors Pipeline.dsirWeights: 2-token span hashes folded
+    * into the fixed bucket space, integer-log2 target/corpus weight
+    * per bucket, per-doc occurrence-weighted sum.
+    */
+  def q158DsirWeights(targetSource: String = "src0",
+                      buckets: Int = 8192): String =
+    s"""WITH $tokenHashCtes,
+       |sp AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(th) >= 2
+       |         THEN list_transform(range(1, len(th)), i -> ${spanFoldSql(2)})
+       |         ELSE [] END) AS h
+       |  FROM thc
+       |),
+       |occ AS (
+       |  SELECT s2.doc_id, d.source, s2.h % $buckets AS f
+       |  FROM sp s2 JOIN documents d ON d.doc_id = s2.doc_id
+       |),
+       |ca AS (SELECT f, count(*) AS c_all FROM occ GROUP BY 1),
+       |ct AS (
+       |  SELECT f, count(*) AS c_tgt FROM occ
+       |  WHERE source = '$targetSource' GROUP BY 1
+       |),
+       |wt AS (
+       |  SELECT ca.f,
+       |    CAST(coalesce(len(printf('%b', ct.c_tgt)), 0)
+       |      - len(printf('%b', ca.c_all)) AS BIGINT) AS w
+       |  FROM ca LEFT JOIN ct USING (f)
+       |)
+       |SELECT o.doc_id, count(*) AS n_feats,
+       |  CAST(sum(w.w) AS BIGINT) AS dsir_score
+       |FROM occ o JOIN wt w USING (f)
+       |GROUP BY o.doc_id""".stripMargin
+
   /** Q155 — mirrors Relational.eventPivot: the per-day event-type
     * matrix; PIVOT stated as conditional counts (the same program
     * Catalyst compiles the pivot to).

@@ -262,7 +262,8 @@ object SparkEntry {
     "q154_edit_dist_rule" -> ((s, dir) => Dedup.editDistancePairsAuto(s, dir)),
     "q155_event_pivot" -> Relational.eventPivot _,
     "q156_unpivot_metrics" -> Relational.lineitemUnpivot _,
-    "q157_spend_quartiles" -> Relational.spendQuartiles _
+    "q157_spend_quartiles" -> Relational.spendQuartiles _,
+    "q158_dsir_weights" -> ((s, dir) => Pipeline.dsirWeights(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,6 +450,7 @@ object SparkEntry {
     "q154_edit_dist_rule" -> OracleSql.q154EditDistanceRule(),
     "q155_event_pivot" -> OracleSql.q155EventPivot,
     "q156_unpivot_metrics" -> OracleSql.q156LineitemUnpivot,
-    "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles
+    "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles,
+    "q158_dsir_weights" -> OracleSql.q158DsirWeights()
   )
 }

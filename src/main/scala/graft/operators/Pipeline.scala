@@ -34,6 +34,52 @@ object Pipeline {
       .toDF("source", "n_kept", "kth_min", "est_distinct")
   }
 
+  /** Q158 — DSIR-style importance weights for data selection (Xie et
+    * al., NeurIPS 2023: select pretraining data whose hashed n-gram
+    * feature distribution matches a target domain). Features are
+    * 2-token span hashes folded into a FIXED bucket space (the paper's
+    * hashed feature trick — `buckets` stays ~10⁴ no matter the corpus,
+    * which is what makes the weight table broadcastable at 100 TB);
+    * the target distribution comes from the `targetSource` slice, the
+    * reference distribution from the whole corpus. A document's score
+    * is Σ over its feature OCCURRENCES of
+    * `bucket2p(c_target(f)) − bucket2p(c_corpus(f))` where
+    * `bucket2p(c) = ⌊log2 c⌋ + 1 = length(bin(c))` and absent target
+    * features contribute 0 — the repo's integer-log2 discipline
+    * standing in for the paper's log-likelihood ratio (same ordering
+    * family, no ln(), bitwise-exact oracle parity). High scores ≈
+    * "looks like the target domain"; downstream selection takes the
+    * top slice per the Q36/Q145 sampling machinery.
+    *
+    * Scale shape: feature extraction is the native one-pass span-hash
+    * expression (no shuffle); both count tables aggregate into the
+    * BOUNDED bucket space (map-side combined, ≤ `buckets` rows out);
+    * the weight table is a broadcast join; the only corpus-keyed
+    * shuffle is the final per-doc sum. The corpus is scanned twice
+    * (count pass, score pass) — the standard two-pass trade at scale,
+    * where caching the exploded features would cost more than the
+    * rescan.
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+                  targetSource: String = "src0",
+                  buckets: Int = 8192): DataFrame = {
+    val occ = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextHash.spanHashes(col("text"), 2)).as("h"))
+      .select(col("doc_id"), col("source"),
+        (col("h") % buckets.toLong).as("f"))
+    val cAll = occ.groupBy(col("f")).agg(count(lit(1)).as("c_all"))
+    val cTgt = occ.filter(col("source") === targetSource)
+      .groupBy(col("f")).agg(count(lit(1)).as("c_tgt"))
+    val wt = cAll.join(cTgt, Seq("f"), "left")
+      .select(col("f"),
+        (coalesce(length(bin(col("c_tgt"))), lit(0)).cast("long") -
+          length(bin(col("c_all"))).cast("long")).as("w"))
+    occ.join(broadcast(wt), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("dsir_score"))
+  }
+
   /** Q145 — deterministic PRIORITY SAMPLING (Duffield–Lund–Thorup,
     * JACM'07) of documents weighted by length: priority = w / u with
     * w = n_chars and u a deterministic uniform in (0,1] derived from

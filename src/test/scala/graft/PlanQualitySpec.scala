@@ -325,6 +325,16 @@ class PlanQualitySpec extends SparkSpec {
       s"only the metric aggregate may shuffle:\n$p")
   }
 
+  test("q158: DSIR weight table broadcasts; only the per-doc sum shuffles on doc_id") {
+    val p = plan("q158_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded-bucket weight table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q158 may sort-merge:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size === 1,
+      s"exactly one doc-keyed exchange (the final sum):\n$p")
+  }
+
   test("q157: ntile window is partitioned by segment, never global") {
     val p = plan("q157_spend_quartiles")
     assert("hashpartitioning\\(c_mktsegment".r.findFirstIn(p).isDefined,
