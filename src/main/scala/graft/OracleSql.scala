@@ -3985,6 +3985,30 @@ object OracleSql {
        |FROM nodes n LEFT JOIN d$maxHops d ON d.node = n.node""".stripMargin
   }
 
+  /** Q159 — mirrors Graph.recursiveReach: the same WITH RECURSIVE
+    * min-hop program over the inline co-purchase edge CTEs.
+    */
+  def q159RecursiveReach(maxHops: Int = 3, seedMod: Int = 50,
+                         minSupport: Int = 2): String =
+    s"""WITH RECURSIVE
+       |lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |reach AS (
+       |  SELECT DISTINCT src AS node, 0 AS hop FROM ed WHERE src % $seedMod = 0
+       |  UNION ALL
+       |  SELECT ed.dst, r.hop + 1
+       |  FROM reach r JOIN ed ON ed.src = r.node
+       |  WHERE r.hop < $maxHops
+       |)
+       |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+       |FROM reach GROUP BY node""".stripMargin
+
   /** Q144 — per-source Gini token diversity (mirrors
     * TextAnalysis.giniDiversity): exact integer count aggregation,
     * one final double expression.

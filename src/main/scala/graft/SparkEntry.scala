@@ -263,7 +263,8 @@ object SparkEntry {
     "q155_event_pivot" -> Relational.eventPivot _,
     "q156_unpivot_metrics" -> Relational.lineitemUnpivot _,
     "q157_spend_quartiles" -> Relational.spendQuartiles _,
-    "q158_dsir_weights" -> ((s, dir) => Pipeline.dsirWeights(s, dir))
+    "q158_dsir_weights" -> ((s, dir) => Pipeline.dsirWeights(s, dir)),
+    "q159_recursive_reach" -> ((s, dir) => Graph.recursiveReach(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -451,6 +452,7 @@ object SparkEntry {
     "q155_event_pivot" -> OracleSql.q155EventPivot,
     "q156_unpivot_metrics" -> OracleSql.q156LineitemUnpivot,
     "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles,
-    "q158_dsir_weights" -> OracleSql.q158DsirWeights()
+    "q158_dsir_weights" -> OracleSql.q158DsirWeights(),
+    "q159_recursive_reach" -> OracleSql.q159RecursiveReach()
   )
 }

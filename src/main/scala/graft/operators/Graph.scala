@@ -223,6 +223,42 @@ object Graph {
       .select(col("node"), col("hops"))
   }
 
+  /** Q159 — seed reachability via a RECURSIVE CTE on the SQL surface
+    * (`WITH RECURSIVE`, new in Spark 4.x — Catalyst's UnionLoop
+    * operator): min-hop distance from the seed parts over the
+    * support-floored co-purchase graph, depth-bounded by the hop
+    * guard in the recursive arm. Same answer as Q143's hand-unrolled
+    * Bellman-Ford restricted to reached nodes — this query pins the
+    * ENGINE's recursion operator instead of the manual loop, the way
+    * a SQL user would write it.
+    *
+    * Scale shape: each recursion step is one equi-join of the
+    * frontier against the edge table (hash-keyed shuffle, exactly the
+    * Q143 step); the hop guard bounds depth, and the support floor
+    * bounds the edge set. UNION ALL recursion enumerates WALKS, so
+    * the min-hop aggregate collapses them at the end — for deep
+    * recursions the Q143 per-round min-aggregate form is the scale
+    * path; at the 3-hop default the walk count stays edge-bounded.
+    */
+  def recursiveReach(s: SparkSession, dir: String, maxHops: Int = 3,
+                     seedMod: Int = 50, minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport)
+    e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .createOrReplaceTempView("graft_q159_edges")
+    s.sql(
+      s"""WITH RECURSIVE reach(node, hop) AS (
+         |  SELECT DISTINCT src AS node, 0 AS hop
+         |  FROM graft_q159_edges WHERE src % $seedMod = 0
+         |  UNION ALL
+         |  SELECT e.dst, r.hop + 1
+         |  FROM reach r JOIN graft_q159_edges e ON e.src = r.node
+         |  WHERE r.hop < $maxHops
+         |)
+         |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+         |FROM reach GROUP BY node""".stripMargin)
+  }
+
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
