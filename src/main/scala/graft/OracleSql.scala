@@ -2152,6 +2152,18 @@ object OracleSql {
        |FROM occ o JOIN wt w USING (f)
        |GROUP BY o.doc_id""".stripMargin
 
+  /** Q160 — mirrors Relational.lateralTopSpenders: the identical
+    * LATERAL SQL (DuckDB evaluates it directly).
+    */
+  def q160LateralTopSpenders(k: Int = 2): String =
+    s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+       |FROM nation n,
+       |LATERAL (
+       |  SELECT c_custkey, c_acctbal FROM customer c
+       |  WHERE c.c_nationkey = n.n_nationkey
+       |  ORDER BY c_acctbal DESC, c_custkey LIMIT $k
+       |) t""".stripMargin
+
   /** Q155 — mirrors Relational.eventPivot: the per-day event-type
     * matrix; PIVOT stated as conditional counts (the same program
     * Catalyst compiles the pivot to).

@@ -264,7 +264,8 @@ object SparkEntry {
     "q156_unpivot_metrics" -> Relational.lineitemUnpivot _,
     "q157_spend_quartiles" -> Relational.spendQuartiles _,
     "q158_dsir_weights" -> ((s, dir) => Pipeline.dsirWeights(s, dir)),
-    "q159_recursive_reach" -> ((s, dir) => Graph.recursiveReach(s, dir))
+    "q159_recursive_reach" -> ((s, dir) => Graph.recursiveReach(s, dir)),
+    "q160_lateral_topn" -> ((s, dir) => Relational.lateralTopSpenders(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -453,6 +454,7 @@ object SparkEntry {
     "q156_unpivot_metrics" -> OracleSql.q156LineitemUnpivot,
     "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles,
     "q158_dsir_weights" -> OracleSql.q158DsirWeights(),
-    "q159_recursive_reach" -> OracleSql.q159RecursiveReach()
+    "q159_recursive_reach" -> OracleSql.q159RecursiveReach(),
+    "q160_lateral_topn" -> OracleSql.q160LateralTopSpenders()
   )
 }

@@ -1728,6 +1728,29 @@ object Relational {
         grouping_id().as("gid"))
   }
 
+  /** Q160 — correlated LATERAL derived table on the SQL surface: the
+    * top-k customers by account balance FOR EACH nation, written the
+    * way a SQL user writes per-group top-k (`, LATERAL (... ORDER BY
+    * ... LIMIT k)`). Catalyst DECORRELATES it — the optimized plan is
+    * a WindowGroupLimit (per-partition rank pushdown, no per-nation
+    * re-execution) feeding one broadcast join with nation, which is
+    * exactly the hand-written two-level top-k plan; the query pins
+    * that rewrite end-to-end (plan pin in PlanQualitySpec). Ties
+    * break on (acctbal desc, custkey): total order, deterministic.
+    */
+  def lateralTopSpenders(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_q160_nation")
+    t(s, dir, "customer").createOrReplaceTempView("graft_q160_customer")
+    s.sql(
+      s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+         |FROM graft_q160_nation n,
+         |LATERAL (
+         |  SELECT c_custkey, c_acctbal FROM graft_q160_customer c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT $k
+         |) t""".stripMargin)
+  }
+
   /** The closed event-type vocabulary the PIVOT projects to columns.
     * Pivoting REQUIRES a declared (or pre-collected) value list; a
     * fixed list keeps the plan one-pass — Spark's values-discovering

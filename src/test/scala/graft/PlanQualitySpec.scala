@@ -335,6 +335,15 @@ class PlanQualitySpec extends SparkSpec {
       s"exactly one doc-keyed exchange (the final sum):\n$p")
   }
 
+  test("q160: correlated LATERAL limit decorrelates to WindowGroupLimit + broadcast join") {
+    val p = plan("q160_lateral_topn")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-nation LIMIT must push down as a group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not plan as a per-row re-execution or cartesian:\n$p")
+  }
+
   test("q157: ntile window is partitioned by segment, never global") {
     val p = plan("q157_spend_quartiles")
     assert("hashpartitioning\\(c_mktsegment".r.findFirstIn(p).isDefined,
