@@ -694,14 +694,19 @@ object TextAnalysis {
     * pass + one source-keyed aggregate.
     */
   def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    // hash-first distinct: the multi-distinct aggregate Expands its
+    // input 3x, so what crosses the exchange must be the 8-byte
+    // xxhash64, never the text (the Q15 discipline; collision odds at
+    // 64 bits are birthday-negligible and the oracle's exact-text
+    // distinct agrees at any test SF)
     val d = docs(s, dir).select(col("doc_id"), col("source"),
-      col("lang"), col("text"))
+      col("lang"), xxhash64(col("text")).as("th"))
     val q = qualityScore(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     d.join(q, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+        (count(lit(1)) - countDistinct(col("th"))).as("n_dup_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"),
         sum(col("quality_score").cast("decimal(18,12)")).as("sq"))
