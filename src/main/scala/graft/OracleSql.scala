@@ -2737,6 +2737,34 @@ object OracleSql {
        |  sx / n AS mean_v, (sxx - sx * sx / n) / n AS var_v
        |FROM a""".stripMargin
 
+  /** Q162 — embedding covariance upper triangle (mirrors
+    * Similarity.embedCovariance): decimal-quantized coordinates,
+    * exact decimal power sums, one pinned double finish.
+    */
+  def q162EmbedCovariance(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT i, j,
+       |    CAST(de[i] AS DECIMAL(12,9)) AS xi,
+       |    CAST(de[j] AS DECIMAL(12,9)) AS xj
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(i),
+       |       unnest(range(1, ${dim + 1})) AS u(j)
+       |  WHERE j >= i
+       |),
+       |a AS (
+       |  SELECT i, j, count(*) AS n,
+       |    CAST(sum(xi * xj) AS DOUBLE) AS sxy,
+       |    CAST(sum(xi) AS DOUBLE) AS sx,
+       |    CAST(sum(xj) AS DOUBLE) AS sy
+       |  FROM x GROUP BY 1, 2
+       |)
+       |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j,
+       |  n, (sxy - sx * sy / n) / n AS cov
+       |FROM a""".stripMargin
+
   /** Q96 — type co-occurrence within sessions (mirrors
     * Relational.typeCooccurrence): Q69's session rule, distinct
     * (user, sid, type), pair self-join.

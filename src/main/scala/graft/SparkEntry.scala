@@ -265,7 +265,9 @@ object SparkEntry {
     "q157_spend_quartiles" -> Relational.spendQuartiles _,
     "q158_dsir_weights" -> ((s, dir) => Pipeline.dsirWeights(s, dir)),
     "q159_recursive_reach" -> ((s, dir) => Graph.recursiveReach(s, dir)),
-    "q160_lateral_topn" -> ((s, dir) => Relational.lateralTopSpenders(s, dir))
+    "q160_lateral_topn" -> ((s, dir) => Relational.lateralTopSpenders(s, dir)),
+    "q161_asof_native" -> AsofJoin.prevClickNative _,
+    "q162_embed_cov" -> ((s, dir) => Similarity.embedCovariance(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -455,6 +457,8 @@ object SparkEntry {
     "q157_spend_quartiles" -> OracleSql.q157SpendQuartiles,
     "q158_dsir_weights" -> OracleSql.q158DsirWeights(),
     "q159_recursive_reach" -> OracleSql.q159RecursiveReach(),
-    "q160_lateral_topn" -> OracleSql.q160LateralTopSpenders()
+    "q160_lateral_topn" -> OracleSql.q160LateralTopSpenders(),
+    "q161_asof_native" -> OracleSql.q23AsofPrevClick,
+    "q162_embed_cov" -> OracleSql.q162EmbedCovariance()
   )
 }

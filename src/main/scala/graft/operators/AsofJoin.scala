@@ -114,6 +114,31 @@ object AsofJoin {
       when(ok, col("prev_click_tsn")).as("prev_click_tsn"))
   }
 
+  /** Q161 — [[prevClick]] through the NATIVE as-of operator
+    * (`graft.plans.AsofJoinNode` → `AsofJoinExec`, planned by the
+    * session's injected `AsofJoinStrategy`): identical output contract
+    * to Q23 (same DuckDB ASOF JOIN oracle), different physical plan —
+    * a co-partitioned merge instead of union+window. AsofExecSpec pins
+    * both the semantics (vs [[backward]]) and the plan (the exec node
+    * is present; two clustered exchanges feed it).
+    */
+  def prevClickNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsn =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else expr("unix_micros(ts)")
+    val base = ev.select(col("event_id"), col("user_id"), tsn.as("tsn"),
+      col("event_type"), col("value"))
+    val l = base.filter(col("event_type") =!= "click")
+      .select("event_id", "user_id", "tsn")
+    val r = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsn").as("click_tsn"),
+        col("value").as("click_value"))
+    graft.plans.AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "prev_")
+  }
+
   /** Q23b — the [[forward]] mirror: for every non-click event, the
     * same user's earliest click at or after it (time-to-next-
     * conversion shape). Checked against DuckDB's native `ASOF JOIN`

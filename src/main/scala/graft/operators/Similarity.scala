@@ -228,6 +228,47 @@ object Similarity {
           .as("var_v"))
   }
 
+  /** Q162 — embedding covariance matrix (upper triangle): the
+    * cross-dimension second-moment statistics PCA/whitening needs
+    * (q95 gives the diagonal; this adds the 2016 off-diagonal cells).
+    *
+    * Scale shape: the 64·65/2 = 2080 (i,j,xi·xj) terms per vector are
+    * generated PIPELINE-LOCALLY (posexplode + a slice-posexplode for
+    * j ≥ i — no self-join, no per-doc shuffle key), and hash
+    * aggregation's map-side partial combine collapses every partition
+    * to ≤ 2080 groups before the exchange: bytes shuffled are
+    * O(partitions · dim²), independent of corpus size. At 100 TB the
+    * plan is one scan + one fixed-width exchange.
+    *
+    * Float discipline (the q95/q114 pattern): coordinates quantized to
+    * DECIMAL(12,9) (exact for float32 in this range), products carry
+    * scale 18, sums are exact decimals in any combine order, and the
+    * covariance is finished in one pinned double expression — bitwise
+    * equal to the DuckDB oracle's identical arithmetic.
+    */
+  def embedCovariance(s: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val q = embeddings(s, dir)
+      .select(transform(col("embedding"),
+        x => x.cast("double").cast("decimal(12,9)")).as("q"))
+    val pairs = q
+      .select(col("q"), posexplode(col("q")).as(Seq("i0", "xi")))
+      // j runs i..dim-1: slice is 1-based, keeps only the upper triangle
+      .select(col("i0"), col("xi"),
+        posexplode(slice(col("q"), col("i0") + 1, lit(dim) - col("i0")))
+          .as(Seq("dj", "xj")))
+      .select((col("i0") + 1).cast("long").as("dim_i"),
+        (col("i0") + 1 + col("dj")).cast("long").as("dim_j"),
+        col("xi"), col("xj"))
+    pairs.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi") * col("xj")).cast("double").as("sxy"),
+        sum(col("xi")).cast("double").as("sx"),
+        sum(col("xj")).cast("double").as("sy"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+          .as("cov"))
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid

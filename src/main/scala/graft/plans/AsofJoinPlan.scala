@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Native as-of join: a whole-operator Catalyst extension — custom
+  * `LogicalPlan` node, `SparkStrategy`, and `SparkPlan` — registered
+  * through `GraftExtensions.injectPlannerStrategy` (SURVEY §2.6;
+  * preference level (c) of the charter's custom-operator ladder).
+  *
+  * The union+window form in `operators/AsofJoin.scala` expresses
+  * backward/forward as-of declaratively; this node instead gives the
+  * optimizer a first-class operator with the textbook merge plan:
+  *
+  *  - `requiredChildDistribution` = ClusteredDistribution(keys) on
+  *    BOTH children — EnsureRequirements co-partitions the two inputs
+  *    exactly as it would a sort-merge join (and AQE may satisfy it
+  *    from an existing exchange);
+  *  - `requiredChildOrdering` = (keys…, time) ascending on both — the
+  *    sorts are per-partition, never global;
+  *  - execution is a single forward pass: `zipPartitions` over the
+  *    co-partitioned inputs with a monotone right-side cursor. Each
+  *    right row is examined once per partition, state is ONE buffered
+  *    candidate row — O(|L|+|R|) time, O(1) memory beyond the sort,
+  *    versus the union+window form's |L|+|R|-row window frames.
+  *
+  * At 100 TB both plans shuffle the same bytes; the exec node wins on
+  * the merge (no window-function state machine, no union schema
+  * widening with null payload columns) and composes with downstream
+  * operators that want the (keys)-clustered, (keys, time)-sorted
+  * output it declares via `outputPartitioning`/`outputOrdering`.
+  *
+  * Matching semantics (pinned by AsofExecSpec against the
+  * union+window oracle and DuckDB's native ASOF JOIN):
+  * backward inclusive — each left row gets the payload of the LAST
+  * right row with equal keys and `rightTime <= leftTime`, nulls when
+  * none. Key equality is null-safe (the hash partitioner co-locates
+  * null keys, and the merge's natural ordering treats them as equal —
+  * same contract as `GROUP BY`); null times sort first, so a
+  * null-time right row is "before everything" for its key.
+  */
+object AsofJoinPlan {
+
+  /** Backward inclusive as-of join through the native operator.
+    * Same contract as `AsofJoin.backward`: payload columns of the
+    * latest right row with `right(rightTime) <= left(leftTime)` per
+    * `keys`, attached as `prefix<name>` (null when none precedes).
+    * Requires the session to carry `GraftExtensions` (the strategy is
+    * injected, not global).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val lp = ColumnBridge.analyzed(
+      left.select(left.columns.map(left.col).toIndexedSeq: _*))
+    // fresh exprIds on the right so self-joins (both sides scanning the
+    // same source) never carry conflicting references into the node
+    val rp0 = ColumnBridge.analyzed(right)
+    val rp = Project(
+      rp0.output.map(a => Alias(a, a.name)(exprId = NamedExpression.newExprId)),
+      rp0)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of column '$name' not in ${p.output.map(_.name)}"))
+    val pay = payload.map(attr(rp, _))
+    val matchOut = pay.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+    val node = AsofJoinNode(lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTime), attr(rp, rightTime), pay, matchOut)
+    ColumnBridge.ofRows(left.sparkSession, node)
+  }
+}
+
+/** Logical as-of join. Fully resolved at construction (attributes are
+  * taken from the analyzed children); `matchOutput` carries the
+  * operator's fresh output attributes in the node so exprIds stay
+  * stable across optimizer copies.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftTime: Attribute, rightTime: Attribute,
+    payload: Seq[Attribute], matchOutput: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ matchOutput
+  // matchOutput is born here, not read from the children — without
+  // this, CheckAnalysis counts it as missing input
+  override def producedAttributes: AttributeSet = AttributeSet(matchOutput)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] to [[AsofJoinExec]]; injected via
+  * `GraftExtensions` so only opted-in sessions see it.
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt, pay, mo) =>
+      AsofJoinExec(lk, rk, lt, rt, pay, mo, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: co-partitioned, per-partition-sorted
+  * merge with a monotone right cursor (see [[AsofJoinPlan]] scaladoc
+  * for the scale argument).
+  */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    payload: Seq[Expression], matchOutput: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ matchOutput
+
+  override def producedAttributes: AttributeSet = AttributeSet(matchOutput)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // left rows pass through in order — downstream operators may reuse
+  // both the clustering and the (keys, time) sort
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val payB = payload
+    val out = output
+    val nPay = matchOutput.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeB), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTimeB), rOut)
+      val payProj = UnsafeProjection.create(payB, rOut)
+      val outProj = UnsafeProjection.create(out, out)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullMatch = new GenericInternalRow(nPay)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // the one right row read but not yet consumed (projection
+        // buffers are reused, so the stored copies are owned)
+        private var pendKey: UnsafeRow = _
+        private var pendTime: UnsafeRow = _
+        private var pendPay: UnsafeRow = _
+        private var havePend = false
+        private var started = false
+        // latest consumed right row: the as-of candidate for its key
+        private var lastKey: UnsafeRow = _
+        private var lastPay: UnsafeRow = _
+
+        private def readRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            pendKey = rKeyProj(r).copy()
+            pendTime = rTimeProj(r).copy()
+            pendPay = payProj(r).copy()
+            havePend = true
+          } else havePend = false
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lTime = lTimeProj(l)
+          if (!started) { readRight(); started = true }
+          var advancing = true
+          while (havePend && advancing) {
+            val c = keyOrd.compare(pendKey, lKey)
+            if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lTime) <= 0)) {
+              lastKey = pendKey
+              lastPay = pendPay
+              readRight()
+            } else advancing = false
+          }
+          val m: InternalRow =
+            if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastPay
+            else nullMatch
+          outProj(joined(l, m))
+        }
+      }
+    }
+  }
+}

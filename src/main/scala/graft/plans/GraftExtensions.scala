@@ -10,13 +10,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `spark.sql.extensions=graft.plans.GraftExtensions` (Verify/Bench
   * builders) or `.withExtensions(new GraftExtensions)`.
   *
-  * Currently injects one optimizer rule, [[EditDistancePrefilter]] —
-  * the repo's SparkSessionExtensions surface for whole-plan rewrites
-  * that per-expression helpers (graft/functions) can't express.
+  * Injects the [[EditDistancePrefilter]] optimizer rule (whole-plan
+  * rewrites per-expression helpers can't express) and the
+  * [[AsofJoinStrategy]] planner strategy for the native as-of join
+  * operator ([[AsofJoinNode]] → [[AsofJoinExec]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EditDistancePrefilter)
+    e.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 /** Strengthens `levenshtein(a, b) <= k` filters with the free lower

@@ -15,6 +15,25 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame over a hand-constructed logical plan
+    * (`Dataset.ofRows` is `private[sql]`, hence here) — the entry
+    * point for graft's custom operators (e.g. the native as-of join
+    * node in `graft.plans`).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (stable attribute
+    * references for hand-built operator nodes).
+    */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
   /** Register a function builder on a live session's registry
     * (`sessionState` is `private[sql]`, hence here).
     */
