@@ -1279,6 +1279,60 @@ object OracleSql {
        |FROM wd CROSS JOIN st2""".stripMargin
   }
 
+  /** Q164 — multi-query BM25 top-k retrieval (mirrors
+    * TextAnalysis.bm25Retrieval): posting-list join against the query
+    * VALUES table, q51's exact score formula per term, DECIMAL(28,14)
+    * quantized contributions so the per-(query, doc) Σ is
+    * combine-order-free in both engines.
+    */
+  def q164Bm25Retrieval(queries: Seq[(Int, Seq[String])] = Seq(
+                          1 -> Seq("hash", "join"),
+                          2 -> Seq("scan", "filter"),
+                          3 -> Seq("sort", "merge"),
+                          4 -> Seq("data", "stream"),
+                          5 -> Seq("index", "state")),
+                        k1: Double = 1.2, b: Double = 0.75,
+                        k: Int = 5): String = {
+    val vals = queries
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $vals) AS t(qid, term)),
+       |tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |post AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY 1, 2
+       |),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |st AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |    (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM dl) AS sum_dl
+       |),
+       |st2 AS (SELECT n_docs, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st),
+       |contrib AS (
+       |  SELECT qt.qid, p.doc_id,
+       |    CAST((n_docs - df + 0.5) / (df + 0.5) *
+       |      ((tf * ${k1 + 1}) / (tf + $k1 * (${1 - b} + $b * dl.dl / avgdl)))
+       |      AS DECIMAL(28,14)) AS c
+       |  FROM post p
+       |  JOIN qt ON p.term = qt.term
+       |  JOIN df ON df.term = p.term
+       |  JOIN dl ON dl.doc_id = p.doc_id
+       |  CROSS JOIN st2
+       |),
+       |sc AS (
+       |  SELECT qid, doc_id, CAST(sum(c) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT qid, doc_id, score,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM sc
+       |)
+       |SELECT qid, doc_id, score, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Q53 — top-k bigram collocations per source (mirrors
     * TextAnalysis.topBigrams).
     */
@@ -4048,6 +4102,37 @@ object OracleSql {
        |)
        |SELECT node, CAST(min(hop) AS BIGINT) AS hop
        |FROM reach GROUP BY node""".stripMargin
+
+  /** Q163 — k-core peeling (mirrors Graph.kCore): the same fixed
+    * number of unrolled peel rounds over the inline co-purchase edge
+    * CTEs; round i keeps edges whose BOTH endpoints had degree ≥ k in
+    * round i−1's edge set.
+    */
+  def q163KCore(k: Int = 3, rounds: Int = 8, minSupport: Int = 2): String = {
+    val base =
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS (
+         |  SELECT x.p AS a, y.p AS b
+         |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+         |),
+         |ed0 AS (SELECT a AS src, b AS dst FROM e
+         |        UNION ALL SELECT b, a FROM e)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS (
+         |  SELECT src FROM ed${i - 1} GROUP BY src HAVING count(*) >= $k
+         |),
+         |ed$i AS (
+         |  SELECT e.src, e.dst FROM ed${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src
+         |)""".stripMargin
+    }
+    s"""$base,
+       |${steps.mkString(",\n")}
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM ed$rounds GROUP BY 1""".stripMargin
+  }
 
   /** Q144 — per-source Gini token diversity (mirrors
     * TextAnalysis.giniDiversity): exact integer count aggregation,

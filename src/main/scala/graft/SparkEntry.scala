@@ -267,7 +267,8 @@ object SparkEntry {
     "q159_recursive_reach" -> ((s, dir) => Graph.recursiveReach(s, dir)),
     "q160_lateral_topn" -> ((s, dir) => Relational.lateralTopSpenders(s, dir)),
     "q161_asof_native" -> AsofJoin.prevClickNative _,
-    "q162_embed_cov" -> ((s, dir) => Similarity.embedCovariance(s, dir))
+    "q162_embed_cov" -> ((s, dir) => Similarity.embedCovariance(s, dir)),
+    "q163_kcore" -> ((s, dir) => Graph.kCore(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -459,6 +460,7 @@ object SparkEntry {
     "q159_recursive_reach" -> OracleSql.q159RecursiveReach(),
     "q160_lateral_topn" -> OracleSql.q160LateralTopSpenders(),
     "q161_asof_native" -> OracleSql.q23AsofPrevClick,
-    "q162_embed_cov" -> OracleSql.q162EmbedCovariance()
+    "q162_embed_cov" -> OracleSql.q162EmbedCovariance(),
+    "q163_kcore" -> OracleSql.q163KCore()
   )
 }

@@ -259,6 +259,45 @@ object Graph {
          |FROM reach GROUP BY node""".stripMargin)
   }
 
+  /** Q163 — k-core peeling on the support-floored co-purchase graph:
+    * `rounds` synchronous rounds of "drop every node with degree < k,
+    * drop edges touching dropped nodes", then the surviving nodes
+    * with their in-core degrees. The k-core is the classic dense-
+    * substructure primitive (community seeds, spam-cluster cores);
+    * the FIXED-round contract (rather than loop-to-fixpoint) is what
+    * makes a declarative cross-engine oracle possible — the DuckDB
+    * side unrolls the same `rounds` CTE steps, exactly the q143
+    * bounded-Bellman-Ford discipline. Peeling is monotone (the edge
+    * set only shrinks), so if the graph converges in fewer rounds the
+    * remaining rounds are no-ops and the fixed-round answer IS the
+    * k-core.
+    *
+    * Scale shape per round: one count aggregate + two semi-joins, all
+    * equi-keyed on node id — no broadcast of anything
+    * corpus-proportional, no driver data path. `localCheckpoint`
+    * truncates the per-round lineage growth (the q143/q79 iterative
+    * pattern). Rounds are O(log n) in practice for peeling to
+    * stabilize; 8 covers the sf testdata to fixpoint.
+    */
+  def kCore(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 8,
+            minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport)
+    var ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("n"))
+      ed = ed
+        .join(keep.withColumnRenamed("n", "src"), Seq("src"), "leftsemi")
+        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "leftsemi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    ed.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
                damping: Double = 0.85): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))

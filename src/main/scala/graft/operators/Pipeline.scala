@@ -104,6 +104,56 @@ object Pipeline {
     * the window rank run on the k+1-row result, which is broadcast-
     * sized by construction.
     */
+  /** Q165 — token-budget water-filling: allocate a corpus-wide token
+    * budget (2/5 of total tokens here) across sources, capping each
+    * source at its own supply and redistributing the excess to the
+    * still-uncapped sources — the allocator behind "train on T tokens
+    * with per-source ceilings" data-mixing plans. Three unrolled
+    * redistribution rounds (the q143/q163 fixed-round contract: caps
+    * are monotone, so once no new source caps, later rounds are
+    * no-ops; 3 rounds cover the fixture's cap chain to fixpoint).
+    *
+    * Scale shape: the per-source token table is a GROUPED AGGREGATE
+    * (source is a low-cardinality dimension), so every round's budget
+    * recomputation is a one-row broadcast crossJoin — never a window
+    * over ungrouped data, never a driver collect. All shares stay in
+    * double with pinned operation order; cap sums stay BIGINT-exact.
+    */
+  def budgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val a = docs(s, dir)
+      .select(col("source"),
+        size(TextHash.tokens(col("text"))).cast("long").as("ntk"))
+      .groupBy(col("source")).agg(sum(col("ntk")).as("n_tokens"))
+    val t0 = a.agg(sum(col("n_tokens")).as("total"),
+        count(lit(1)).as("n1"))
+      .withColumn("budget", col("total").cast("double") * lit(2) / lit(5))
+      .withColumn("share1", col("budget") / col("n1"))
+    val b1 = a.crossJoin(broadcast(t0))
+      .withColumn("c1", col("n_tokens") <= col("share1"))
+    val g2 = b1.agg(
+      sum(when(col("c1"), col("n_tokens")).otherwise(0L)).as("cap1"),
+      sum(col("c1").cast("long")).as("ncap1"))
+    val b2 = b1.crossJoin(broadcast(g2))
+      .withColumn("share2",
+        (col("budget") - col("cap1")) / nullif(col("n1") - col("ncap1"), lit(0L)))
+      .withColumn("c2",
+        !col("c1") && coalesce(col("n_tokens") <= col("share2"), lit(false)))
+    val g3 = b2.agg(
+      sum(when(col("c1") || col("c2"), col("n_tokens")).otherwise(0L)).as("cap2"),
+      sum((col("c1") || col("c2")).cast("long")).as("ncap2"))
+    b2.crossJoin(broadcast(g3))
+      .withColumn("share3",
+        (col("budget") - col("cap2")) / nullif(col("n1") - col("ncap2"), lit(0L)))
+      .withColumn("c3",
+        !col("c1") && !col("c2") &&
+          coalesce(col("n_tokens") <= col("share3"), lit(false)))
+      .select(col("source"), col("n_tokens"),
+        (col("c1") || col("c2") || col("c3")).as("capped"),
+        when(col("c1") || col("c2") || col("c3"),
+          col("n_tokens").cast("double"))
+          .otherwise(col("share3")).as("alloc"))
+  }
+
   def prioritySample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val pri = docs(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),

@@ -463,6 +463,67 @@ object TextAnalysis {
       termScore.reduceLeft(_ + _).as("bm25"))
   }
 
+  /** Q164 — multi-query BM25 retrieval through an INVERTED-INDEX join
+    * (the retrieval-eval harness shape: a query set, top-k per
+    * query). Where q51 scores the whole corpus for one fixed term
+    * list via per-term columns, this is the plan a search engine
+    * runs: posting lists (doc, term, tf) joined against a broadcast
+    * query-term table, so each query only ever touches documents
+    * containing at least one of its terms — the scan-side semi-join
+    * is the point at 100 TB (candidate sets, not the corpus, flow
+    * into scoring).
+    *
+    * Scale shape: postings and dl are doc-keyed aggregates off one
+    * tokenize pass; df is a term-keyed aggregate whose query-relevant
+    * slice is broadcast; global stats are one broadcast row. The
+    * per-(query, doc) score sum crosses terms, so each term's
+    * contribution is quantized to DECIMAL(28,14) (the q79 PageRank
+    * discipline) making the Σ combine-order-free; ranks tie-break on
+    * doc_id. Top-k per query is a window partitioned BY QUERY —
+    * parallelism is bounded by query-set size here; a bounded-heap
+    * per-group aggregate (the MgSketch shape) is the path when few
+    * queries meet planet-scale candidate sets.
+    */
+  def bm25Retrieval(s: SparkSession, dir: String,
+                    queries: Seq[(Int, Seq[String])] = Seq(
+                      1 -> Seq("hash", "join"),
+                      2 -> Seq("scan", "filter"),
+                      3 -> Seq("sort", "merge"),
+                      4 -> Seq("data", "stream"),
+                      5 -> Seq("index", "state")),
+                    k1: Double = 1.2, b: Double = 0.75,
+                    k: Int = 5): DataFrame = {
+    import s.implicits._
+    val qt = queries
+      .flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+      .toDF("qid", "term")
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("term"))
+    val post = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val sumDl = dl.agg(sum(col("dl")).as("sum_dl"))
+    val stats = nDocs.crossJoin(sumDl)
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val w = (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val contrib = post
+      .join(broadcast(qt), "term")
+      .join(broadcast(dft.join(qt.select("term").distinct(), "term")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", (idf * w).cast("decimal(28,14)"))
+    val scores = contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("score"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Q115 — reciprocal-rank fusion of two lexical rankers over the
     * same fixed query: the q51 BM25 scorer and a normalized-TF ×
     * inverse-df scorer (Σ_t (tf_t/dl)·(N/df_t) — a deliberately
