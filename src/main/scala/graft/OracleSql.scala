@@ -4109,20 +4109,24 @@ object OracleSql {
     * round i−1's edge set.
     */
   def q163KCore(k: Int = 3, rounds: Int = 8, minSupport: Int = 2): String = {
+    // Every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
+    // plain CTEs, so the ed0..edN chain (each round referencing the
+    // previous 3x) would otherwise multiply the base lineitem scan by
+    // ~3^rounds and exhaust file handles.
     val base =
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         |e AS (
+      s"""WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (
          |  SELECT x.p AS a, y.p AS b
          |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
          |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
          |),
-         |ed0 AS (SELECT a AS src, b AS dst FROM e
+         |ed0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
          |        UNION ALL SELECT b, a FROM e)""".stripMargin
     val steps = (1 to rounds).map { i =>
-      s"""k$i AS (
+      s"""k$i AS MATERIALIZED (
          |  SELECT src FROM ed${i - 1} GROUP BY src HAVING count(*) >= $k
          |),
-         |ed$i AS (
+         |ed$i AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM ed${i - 1} e
          |  JOIN k$i a ON e.src = a.src
          |  JOIN k$i b ON e.dst = b.src
