@@ -1333,6 +1333,64 @@ object OracleSql {
        |SELECT qid, doc_id, score, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Q165 — token-budget water-filling (mirrors
+    * Pipeline.budgetWaterfill): per-source token supply, budget =
+    * 2/5 of the total, three unrolled redistribution rounds with the
+    * same double arithmetic order (budget and every share are single
+    * IEEE divisions of exactly-representable operands; cap sums stay
+    * BIGINT until the division).
+    */
+  def q165Waterfill: String =
+    s"""WITH a AS (
+       |  SELECT source, CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |),
+       |t0 AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS n1
+       |  FROM a
+       |),
+       |t1 AS (SELECT total, n1, CAST(total AS DOUBLE) * 2 / 5 AS budget FROM t0),
+       |t2 AS (SELECT total, n1, budget, budget / n1 AS share1 FROM t1),
+       |b1 AS (
+       |  SELECT a.source, a.n_tokens, t2.n1, t2.budget,
+       |    a.n_tokens <= t2.share1 AS c1
+       |  FROM a CROSS JOIN t2
+       |),
+       |g2 AS (
+       |  SELECT CAST(sum(CASE WHEN c1 THEN n_tokens ELSE 0 END) AS BIGINT) AS cap1,
+       |    CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS ncap1
+       |  FROM b1
+       |),
+       |b2 AS (
+       |  SELECT b1.*,
+       |    (budget - cap1) / nullif(n1 - ncap1, 0) AS share2
+       |  FROM b1 CROSS JOIN g2
+       |),
+       |b2c AS (
+       |  SELECT *, (NOT c1) AND coalesce(n_tokens <= share2, false) AS c2
+       |  FROM b2
+       |),
+       |g3 AS (
+       |  SELECT CAST(sum(CASE WHEN c1 OR c2 THEN n_tokens ELSE 0 END) AS BIGINT) AS cap2,
+       |    CAST(sum(CASE WHEN c1 OR c2 THEN 1 ELSE 0 END) AS BIGINT) AS ncap2
+       |  FROM b2c
+       |),
+       |b3 AS (
+       |  SELECT b2c.*,
+       |    (budget - cap2) / nullif(n1 - ncap2, 0) AS share3
+       |  FROM b2c CROSS JOIN g3
+       |),
+       |b3c AS (
+       |  SELECT *, (NOT c1) AND (NOT c2)
+       |    AND coalesce(n_tokens <= share3, false) AS c3
+       |  FROM b3
+       |)
+       |SELECT source, n_tokens, (c1 OR c2 OR c3) AS capped,
+       |  CASE WHEN c1 OR c2 OR c3 THEN CAST(n_tokens AS DOUBLE)
+       |       ELSE share3 END AS alloc
+       |FROM b3c""".stripMargin
+
   /** Q53 — top-k bigram collocations per source (mirrors
     * TextAnalysis.topBigrams).
     */

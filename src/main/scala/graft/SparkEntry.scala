@@ -268,7 +268,9 @@ object SparkEntry {
     "q160_lateral_topn" -> ((s, dir) => Relational.lateralTopSpenders(s, dir)),
     "q161_asof_native" -> AsofJoin.prevClickNative _,
     "q162_embed_cov" -> ((s, dir) => Similarity.embedCovariance(s, dir)),
-    "q163_kcore" -> ((s, dir) => Graph.kCore(s, dir))
+    "q163_kcore" -> ((s, dir) => Graph.kCore(s, dir)),
+    "q164_bm25_topk" -> ((s, dir) => TextAnalysis.bm25Retrieval(s, dir)),
+    "q165_waterfill" -> ((s, dir) => Pipeline.budgetWaterfill(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,6 +463,8 @@ object SparkEntry {
     "q160_lateral_topn" -> OracleSql.q160LateralTopSpenders(),
     "q161_asof_native" -> OracleSql.q23AsofPrevClick,
     "q162_embed_cov" -> OracleSql.q162EmbedCovariance(),
-    "q163_kcore" -> OracleSql.q163KCore()
+    "q163_kcore" -> OracleSql.q163KCore(),
+    "q164_bm25_topk" -> OracleSql.q164Bm25Retrieval(),
+    "q165_waterfill" -> OracleSql.q165Waterfill
   )
 }

@@ -104,6 +104,23 @@ object Pipeline {
     * the window rank run on the k+1-row result, which is broadcast-
     * sized by construction.
     */
+  def prioritySample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val pri = docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((TextHash.polyHash(col("doc_id").cast("string")) + lit(1L))
+          .cast("double") / lit(TextHash.P.toDouble)).as("u"))
+      .withColumn("priority", col("n_chars").cast("double") / col("u"))
+    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+    val w = Window.orderBy(col("priority").desc, col("doc_id"))
+    val ranked = top.withColumn("rnk", row_number().over(w))
+    val tau = ranked.filter(col("rnk") === k + 1)
+      .select(col("priority").as("tau"))
+    ranked.filter(col("rnk") <= k).crossJoin(tau)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("est_w"))
+  }
+
   /** Q165 — token-budget water-filling: allocate a corpus-wide token
     * budget (2/5 of total tokens here) across sources, capping each
     * source at its own supply and redistributing the excess to the
@@ -152,23 +169,6 @@ object Pipeline {
         when(col("c1") || col("c2") || col("c3"),
           col("n_tokens").cast("double"))
           .otherwise(col("share3")).as("alloc"))
-  }
-
-  def prioritySample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val pri = docs(s, dir)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        ((TextHash.polyHash(col("doc_id").cast("string")) + lit(1L))
-          .cast("double") / lit(TextHash.P.toDouble)).as("u"))
-      .withColumn("priority", col("n_chars").cast("double") / col("u"))
-    val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
-    val w = Window.orderBy(col("priority").desc, col("doc_id"))
-    val ranked = top.withColumn("rnk", row_number().over(w))
-    val tau = ranked.filter(col("rnk") === k + 1)
-      .select(col("priority").as("tau"))
-    ranked.filter(col("rnk") <= k).crossJoin(tau)
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        col("priority"),
-        greatest(col("n_chars").cast("double"), col("tau")).as("est_w"))
   }
 
   /** Q151 — PER-STRATUM priority sampling: Q145's estimator run
