@@ -965,8 +965,9 @@ object OracleSql {
        |  SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events
        |),
        |l AS (SELECT event_id, user_id, tsn FROM ev WHERE event_type <> 'click'),
-       |r AS (SELECT user_id, tsn AS click_tsn, value AS click_value
-       |      FROM ev WHERE event_type = 'click')
+       |r AS (SELECT user_id, tsn AS click_tsn,
+       |        arg_max(value, event_id) AS click_value
+       |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
        |SELECT l.event_id, l.user_id, l.tsn,
        |  r.click_value AS prev_click_value, r.click_tsn AS prev_click_tsn
        |FROM l ASOF LEFT JOIN r
@@ -978,8 +979,9 @@ object OracleSql {
        |  SELECT event_id, user_id, epoch_us(ts) AS tsn, event_type, value FROM events
        |),
        |l AS (SELECT event_id, user_id, tsn FROM ev WHERE event_type <> 'click'),
-       |r AS (SELECT user_id, tsn AS click_tsn, value AS click_value
-       |      FROM ev WHERE event_type = 'click')
+       |r AS (SELECT user_id, tsn AS click_tsn,
+       |        arg_max(value, event_id) AS click_value
+       |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
        |SELECT l.event_id, l.user_id, l.tsn,
        |  r.click_value AS next_click_value, r.click_tsn AS next_click_tsn
        |FROM l ASOF LEFT JOIN r

@@ -74,13 +74,23 @@ object AsofJoin {
         payload.map(p => col(s"_match.$p").as(s"$prefix$p")): _*)
   }
 
-  /** Q23 — for every non-click event, the value and time of the same
-    * user's latest click at or before it. Times are exact integer
-    * microseconds: parquet TIMESTAMP(NANOS) arrives as LongType nanos
-    * under nanosAsLong and DuckDB's parquet reader truncates nanos to
-    * micros, so `ts div 1000` == DuckDB `epoch_us(ts)`.
+  /** The shared Q23-family inputs: left = non-click events, right =
+    * clicks PRE-AGGREGATED to one row per (user_id, tsn) with a
+    * latest-wins arg-max on event_id. The dedup makes the as-of
+    * tie-break deterministic BY CONSTRUCTION — no engine (ours,
+    * DuckDB's native ASOF, the streaming fold) has a documented
+    * tie rule among equal-time right rows, so the contract removes
+    * the ties instead (oracle mirrors with `arg_max(value,
+    * event_id)`; the q149 streaming fold's click-ordering already
+    * implements exactly this rule). Scale: the aggregate partial-
+    * combines map-side, so duplicate clicks never cross the exchange.
+    *
+    * Times are exact integer microseconds: the driver's parquet `ts`
+    * arrives either as LongType nanos (under nanosAsLong) or as a
+    * micros timestamp — both paths integer-exact, == DuckDB
+    * `epoch_us(ts)`.
     */
-  def prevClick(s: SparkSession, dir: String): DataFrame = {
+  private def clickSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = s.read.parquet(s"$dir/events.parquet")
     val tsn =
       if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -91,8 +101,17 @@ object AsofJoin {
     val l = base.filter(col("event_type") =!= "click")
       .select("event_id", "user_id", "tsn")
     val r = base.filter(col("event_type") === "click")
-      .select(col("user_id"), col("tsn").as("click_tsn"),
-        col("value").as("click_value"))
+      .groupBy(col("user_id"), col("tsn").as("click_tsn"))
+      .agg(max(struct(col("event_id"), col("value"))).getField("value")
+        .as("click_value"))
+    (l, r)
+  }
+
+  /** Q23 — for every non-click event, the value and time of the same
+    * user's latest click at or before it (union+window form).
+    */
+  def prevClick(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = clickSides(s, dir)
     backward(l, r, Seq("user_id"), "tsn", "click_tsn",
       Seq("click_value", "click_tsn"), "prev_")
   }
@@ -100,12 +119,26 @@ object AsofJoin {
   /** Q92 — [[prevClick]] with a TOLERANCE bound (pandas
     * merge_asof-style): matches staler than `tolUs` are nulled —
     * the real-world as-of contract where a reference older than the
-    * staleness budget is worse than no reference. Same one-shuffle
-    * union+window plan; the bound is a post-projection, not a join
-    * condition, so the scale shape is unchanged.
+    * staleness budget is worse than no reference. Runs through the
+    * NATIVE exec node's tolerance path (only the nearest candidate
+    * is ever in scope, so the bound is a per-row check inside the
+    * merge — same shuffle, no extra pass). The union+window
+    * post-projection form ([[prevClickWithinWindowed]]) is the spec
+    * oracle (AsofExecSpec).
     */
   def prevClickWithin(s: SparkSession, dir: String,
                       tolUs: Long = 600000000L): DataFrame = {
+    val (l, r) = clickSides(s, dir)
+    graft.plans.AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "prev_", Some(tolUs))
+  }
+
+  /** The union+window form of [[prevClickWithin]] — kept as the
+    * independent oracle AsofExecSpec checks the native tolerance
+    * path against.
+    */
+  def prevClickWithinWindowed(s: SparkSession, dir: String,
+                              tolUs: Long = 600000000L): DataFrame = {
     val base = prevClick(s, dir)
     val ok = col("prev_click_tsn").isNotNull &&
       col("tsn") - col("prev_click_tsn") <= tolUs
@@ -123,40 +156,28 @@ object AsofJoin {
     * is present; two clustered exchanges feed it).
     */
   def prevClickNative(s: SparkSession, dir: String): DataFrame = {
-    val ev = s.read.parquet(s"$dir/events.parquet")
-    val tsn =
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else expr("unix_micros(ts)")
-    val base = ev.select(col("event_id"), col("user_id"), tsn.as("tsn"),
-      col("event_type"), col("value"))
-    val l = base.filter(col("event_type") =!= "click")
-      .select("event_id", "user_id", "tsn")
-    val r = base.filter(col("event_type") === "click")
-      .select(col("user_id"), col("tsn").as("click_tsn"),
-        col("value").as("click_value"))
+    val (l, r) = clickSides(s, dir)
     graft.plans.AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn",
       "click_tsn", Seq("click_value", "click_tsn"), "prev_")
   }
 
-  /** Q23b — the [[forward]] mirror: for every non-click event, the
-    * same user's earliest click at or after it (time-to-next-
-    * conversion shape). Checked against DuckDB's native `ASOF JOIN`
-    * with the `<=` inequality.
+  /** Q23b — the forward mirror: for every non-click event, the same
+    * user's earliest click at or after it (time-to-next-conversion
+    * shape), through the NATIVE exec node's forward cursor. Checked
+    * against DuckDB's native `ASOF JOIN` with the `<=` inequality;
+    * the union+window [[forward]] form is the spec oracle.
     */
   def nextClick(s: SparkSession, dir: String): DataFrame = {
-    val ev = s.read.parquet(s"$dir/events.parquet")
-    val tsn =
-      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        expr("ts div 1000")
-      else expr("unix_micros(ts)")
-    val base = ev.select(col("event_id"), col("user_id"), tsn.as("tsn"),
-      col("event_type"), col("value"))
-    val l = base.filter(col("event_type") =!= "click")
-      .select("event_id", "user_id", "tsn")
-    val r = base.filter(col("event_type") === "click")
-      .select(col("user_id"), col("tsn").as("click_tsn"),
-        col("value").as("click_value"))
+    val (l, r) = clickSides(s, dir)
+    graft.plans.AsofJoinPlan.forward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "next_")
+  }
+
+  /** The union+window form of [[nextClick]] — the independent oracle
+    * AsofExecSpec checks the native forward path against.
+    */
+  def nextClickWindowed(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = clickSides(s, dir)
     forward(l, r, Seq("user_id"), "tsn", "click_tsn",
       Seq("click_value", "click_tsn"), "next_")
   }

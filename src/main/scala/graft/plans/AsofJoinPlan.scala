@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Pro
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.LongType
 
 /** Native as-of join: a whole-operator Catalyst extension — custom
   * `LogicalPlan` node, `SparkStrategy`, and `SparkPlan` — registered
@@ -38,25 +39,64 @@ import org.apache.spark.sql.graftshim.ColumnBridge
   *
   * Matching semantics (pinned by AsofExecSpec against the
   * union+window oracle and DuckDB's native ASOF JOIN):
-  * backward inclusive — each left row gets the payload of the LAST
-  * right row with equal keys and `rightTime <= leftTime`, nulls when
-  * none. Key equality is null-safe (the hash partitioner co-locates
-  * null keys, and the merge's natural ordering treats them as equal —
-  * same contract as `GROUP BY`); null times sort first, so a
-  * null-time right row is "before everything" for its key.
+  *
+  *  - BACKWARD inclusive — each left row gets the payload of the LAST
+  *    right row with equal keys and `rightTime <= leftTime`, nulls
+  *    when none.
+  *  - FORWARD inclusive — the FIRST right row with equal keys and
+  *    `rightTime >= leftTime` (the time-to-next-event mirror; the
+  *    cursor stops at the first candidate instead of consuming to the
+  *    last, still one monotone pass).
+  *  - TOLERANCE (pandas merge_asof staleness bound) — with
+  *    `toleranceUs = Some(d)`, a candidate further than `d` time
+  *    units from the left row is nulled. Only the NEAREST candidate
+  *    is ever considered (anything older/further is further out of
+  *    tolerance by monotonicity), so the merge is unchanged — the
+  *    bound is a per-row check, not a scan. Requires a LongType time
+  *    column (exact integer micros in every registered query).
+  *
+  * Key equality is null-safe (the hash partitioner co-locates null
+  * keys, and the merge's natural ordering treats them as equal — same
+  * contract as `GROUP BY`); null times sort first, so a null-time
+  * right row is "before everything" for its key (and never satisfies
+  * a tolerance bound). Tie-break among right rows with equal
+  * (keys, time) is the caller's contract: the registered queries
+  * pre-aggregate the right side to one row per (keys, time)
+  * (latest-wins arg-max), so no tie can reach the operator.
   */
 object AsofJoinPlan {
 
   /** Backward inclusive as-of join through the native operator.
     * Same contract as `AsofJoin.backward`: payload columns of the
     * latest right row with `right(rightTime) <= left(leftTime)` per
-    * `keys`, attached as `prefix<name>` (null when none precedes).
+    * `keys`, attached as `prefix<name>` (null when none precedes, or
+    * when the match is staler than `toleranceUs`).
     * Requires the session to carry `GraftExtensions` (the strategy is
     * injected, not global).
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               payload: Seq[String], prefix: String = "asof_"): DataFrame = {
+               payload: Seq[String], prefix: String = "asof_",
+               toleranceUs: Option[Long] = None): DataFrame =
+    build(left, right, keys, leftTime, rightTime, payload, prefix,
+      forwardDir = false, toleranceUs)
+
+  /** Forward inclusive as-of join through the native operator: the
+    * EARLIEST right row with `right(rightTime) >= left(leftTime)` per
+    * `keys` (null when none follows, or when the match is further
+    * ahead than `toleranceUs`).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String,
+              payload: Seq[String], prefix: String = "asof_",
+              toleranceUs: Option[Long] = None): DataFrame =
+    build(left, right, keys, leftTime, rightTime, payload, prefix,
+      forwardDir = true, toleranceUs)
+
+  private def build(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    payload: Seq[String], prefix: String,
+                    forwardDir: Boolean, toleranceUs: Option[Long]): DataFrame = {
     val lp = ColumnBridge.analyzed(
       left.select(left.columns.map(left.col).toIndexedSeq: _*))
     // fresh exprIds on the right so self-joins (both sides scanning the
@@ -69,12 +109,18 @@ object AsofJoinPlan {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"as-of column '$name' not in ${p.output.map(_.name)}"))
+    val lt = attr(lp, leftTime)
+    val rt = attr(rp, rightTime)
+    toleranceUs.foreach { _ =>
+      require(lt.dataType == LongType && rt.dataType == LongType,
+        s"as-of tolerance needs LongType times, got ${lt.dataType}/${rt.dataType}")
+    }
     val pay = payload.map(attr(rp, _))
     val matchOut = pay.map(a =>
       AttributeReference(prefix + a.name, a.dataType, nullable = true)())
     val node = AsofJoinNode(lp, rp,
       keys.map(attr(lp, _)), keys.map(attr(rp, _)),
-      attr(lp, leftTime), attr(rp, rightTime), pay, matchOut)
+      lt, rt, pay, matchOut, forwardDir, toleranceUs)
     ColumnBridge.ofRows(left.sparkSession, node)
   }
 }
@@ -88,7 +134,8 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    payload: Seq[Attribute], matchOutput: Seq[Attribute])
+    payload: Seq[Attribute], matchOutput: Seq[Attribute],
+    forward: Boolean = false, toleranceUs: Option[Long] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ matchOutput
   // matchOutput is born here, not read from the children — without
@@ -104,20 +151,22 @@ case class AsofJoinNode(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, pay, mo) =>
-      AsofJoinExec(lk, rk, lt, rt, pay, mo, planLater(l), planLater(r)) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, pay, mo, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, pay, mo, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical backward as-of join: co-partitioned, per-partition-sorted
-  * merge with a monotone right cursor (see [[AsofJoinPlan]] scaladoc
-  * for the scale argument).
+/** Physical as-of join: co-partitioned, per-partition-sorted merge
+  * with a monotone right cursor (see [[AsofJoinPlan]] scaladoc for
+  * directions, tolerance, and the scale argument).
   */
 case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     payload: Seq[Expression], matchOutput: Seq[Attribute],
+    forward: Boolean, toleranceUs: Option[Long],
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
@@ -153,6 +202,8 @@ case class AsofJoinExec(
     val payB = payload
     val out = output
     val nPay = matchOutput.length
+    val fwd = forward
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
@@ -165,6 +216,13 @@ case class AsofJoinExec(
       val nullMatch = new GenericInternalRow(nPay)
       val joined = new JoinedRow
 
+      // |candTime - lTime| <= tol, null times never in tolerance
+      def tolOk(candTime: UnsafeRow, lTime: UnsafeRow): Boolean =
+        tol.forall { d =>
+          !candTime.isNullAt(0) && !lTime.isNullAt(0) &&
+            math.abs(lTime.getLong(0) - candTime.getLong(0)) <= d
+        }
+
       new Iterator[InternalRow] {
         // the one right row read but not yet consumed (projection
         // buffers are reused, so the stored copies are owned)
@@ -173,8 +231,10 @@ case class AsofJoinExec(
         private var pendPay: UnsafeRow = _
         private var havePend = false
         private var started = false
-        // latest consumed right row: the as-of candidate for its key
+        // backward only — latest consumed right row: the as-of
+        // candidate for its key
         private var lastKey: UnsafeRow = _
+        private var lastTime: UnsafeRow = _
         private var lastPay: UnsafeRow = _
 
         private def readRight(): Unit =
@@ -194,17 +254,38 @@ case class AsofJoinExec(
           val lTime = lTimeProj(l)
           if (!started) { readRight(); started = true }
           var advancing = true
-          while (havePend && advancing) {
-            val c = keyOrd.compare(pendKey, lKey)
-            if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lTime) <= 0)) {
-              lastKey = pendKey
-              lastPay = pendPay
-              readRight()
-            } else advancing = false
+          if (fwd) {
+            // consume right rows strictly before (lKey, lTime); the
+            // pending row is then the first at-or-after candidate
+            while (havePend && advancing) {
+              val c = keyOrd.compare(pendKey, lKey)
+              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lTime) < 0))
+                readRight()
+              else advancing = false
+            }
+          } else {
+            // consume right rows at-or-before (lKey, lTime); the last
+            // consumed with this key is the candidate
+            while (havePend && advancing) {
+              val c = keyOrd.compare(pendKey, lKey)
+              if (c < 0 || (c == 0 && timeOrd.compare(pendTime, lTime) <= 0)) {
+                lastKey = pendKey
+                lastTime = pendTime
+                lastPay = pendPay
+                readRight()
+              } else advancing = false
+            }
           }
           val m: InternalRow =
-            if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0) lastPay
-            else nullMatch
+            if (fwd) {
+              if (havePend && keyOrd.compare(pendKey, lKey) == 0 &&
+                tolOk(pendTime, lTime)) pendPay
+              else nullMatch
+            } else {
+              if (lastKey != null && keyOrd.compare(lastKey, lKey) == 0 &&
+                tolOk(lastTime, lTime)) lastPay
+              else nullMatch
+            }
           outProj(joined(l, m))
         }
       }

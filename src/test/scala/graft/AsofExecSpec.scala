@@ -23,8 +23,14 @@ class AsofExecSpec extends SparkSpec {
 
   import spark.implicits._
 
-  // deterministic dense fixture: 40 users × interleaved clicks/views,
-  // duplicate timestamps on both sides to pin tie behavior
+  // Deterministic dense fixture: 40 users × interleaved clicks/views
+  // with heavy CROSS-side tie density (left tsn == right tsn pins the
+  // inclusive <=/>= boundary). The right side is deduped to one row
+  // per (user_id, click_tsn) — same contract as the registered
+  // queries' arg-max pre-aggregation — because NO form (native exec,
+  // union+window, DuckDB ASOF) specifies a tie-break among equal-
+  // (key, time) right rows, and asserting exact equality on an
+  // unspecified order is a flake (round-4 advice).
   private lazy val fixture: (DataFrame, DataFrame) = {
     val rng = new scala.util.Random(7)
     val rows = (1 to 1200).map { i =>
@@ -40,7 +46,9 @@ class AsofExecSpec extends SparkSpec {
     val l = ev.filter($"event_type" === "view")
       .select("event_id", "user_id", "tsn")
     val r = ev.filter($"event_type" === "click")
-      .select($"user_id", $"tsn".as("click_tsn"), $"value".as("click_value"))
+      .groupBy($"user_id", $"tsn".as("click_tsn"))
+      .agg(max(struct($"event_id", $"value")).getField("value")
+        .as("click_value"))
     (l, r)
   }
 
@@ -88,6 +96,52 @@ class AsofExecSpec extends SparkSpec {
       "click_tsn", Seq("click_value", "click_tsn"), "prev_")
     assert(df.count() === l.count())
     assert(df.filter($"prev_click_tsn".isNotNull).count() === 0)
+  }
+
+  test("native forward cursor matches union+window forward as-of exactly") {
+    val (l, r) = fixture
+    val viaWindow = AsofJoin.forward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "next_")
+    val viaExec = AsofJoinPlan.forward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "next_")
+    assert(viaExec.columns.toSeq === viaWindow.columns.toSeq)
+    assert(canon(viaExec) === canon(viaWindow))
+    val matched = viaExec.filter($"next_click_tsn".isNotNull).count()
+    assert(matched > 0 && matched < viaExec.count())
+    // inclusive >=: at least one exact-tie match must land
+    assert(viaExec.filter($"next_click_tsn" === $"tsn").count() > 0)
+  }
+
+  test("native tolerance nulls exactly the matches staler than the bound") {
+    val (l, r) = fixture
+    val tol = 20L
+    val viaExec = AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "prev_", Some(tol))
+    val base = AsofJoin.backward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "prev_")
+    val ok = $"prev_click_tsn".isNotNull && $"tsn" - $"prev_click_tsn" <= tol
+    val oracle = base.select($"event_id", $"user_id", $"tsn",
+      when(ok, $"prev_click_value").as("prev_click_value"),
+      when(ok, $"prev_click_tsn").as("prev_click_tsn"))
+    assert(canon(viaExec) === canon(oracle))
+    // the bound must be live: strictly fewer matches than unbounded
+    val bounded = viaExec.filter($"prev_click_tsn".isNotNull).count()
+    val unbounded = base.filter($"prev_click_tsn".isNotNull).count()
+    assert(bounded > 0 && bounded < unbounded)
+  }
+
+  test("forward tolerance bounds the look-ahead") {
+    val (l, r) = fixture
+    val tol = 15L
+    val viaExec = AsofJoinPlan.forward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "next_", Some(tol))
+    val base = AsofJoin.forward(l, r, Seq("user_id"), "tsn",
+      "click_tsn", Seq("click_value", "click_tsn"), "next_")
+    val ok = $"next_click_tsn".isNotNull && $"next_click_tsn" - $"tsn" <= tol
+    val oracle = base.select($"event_id", $"user_id", $"tsn",
+      when(ok, $"next_click_value").as("next_click_value"),
+      when(ok, $"next_click_tsn").as("next_click_tsn"))
+    assert(canon(viaExec) === canon(oracle))
   }
 
   test("multi-key as-of agrees with union+window form") {
