@@ -51,6 +51,15 @@ object GlobalRank {
     * keys ⇒ rank is independent of where range bounds fall; the
     * sampled bounds only affect balance, not output). Partition ids
     * ascend with key order, including for descending sort columns.
+    *
+    * DUPLICATE ordering keys: each distinct key value still gets
+    * exactly its oracle rank block (contiguous, correct bounds —
+    * GlobalRankSpec pins this under heavy ties), but WHICH duplicate
+    * gets which rank within the run is positionally arbitrary.
+    * Callers that hash-compare row-level output must make the
+    * ordering total (append a unique column, as every registered
+    * query does); callers consuming rank blocks/quantiles need
+    * nothing.
     * Level 2: local row_number per partition, then offset = total
     * rows in earlier partitions, computed with a triangular join on
     * the one-row-per-partition count table (broadcast-sized; avoids

@@ -279,6 +279,21 @@ object Graph {
     * pattern). Rounds are O(log n) in practice for peeling to
     * stabilize; 8 covers the sf testdata to fixpoint.
     */
+  /** One k-core peel round: drop every directed edge whose src OR dst
+    * had degree < k in the incoming edge set. A degree count
+    * aggregate (partial map-side combine) + two LEFT-SEMI equi-joins
+    * against the surviving-node set — never a cartesian, never a
+    * driver-side structure; the plan shape is pinned by
+    * PlanQualitySpec. Exposed for the spec; [[kCore]] loops it.
+    */
+  private[graft] def peelRound(ed: DataFrame, k: Int): DataFrame = {
+    val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("src").as("n"))
+    ed.join(keep.withColumnRenamed("n", "src"), Seq("src"), "leftsemi")
+      .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "leftsemi")
+      .select(col("src"), col("dst"))
+  }
+
   def kCore(s: SparkSession, dir: String, k: Int = 3, rounds: Int = 8,
             minSupport: Int = 2): DataFrame = {
     val e = copurchaseEdges(s, dir, minSupport)
@@ -286,13 +301,9 @@ object Graph {
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("n"))
-      ed = ed
-        .join(keep.withColumnRenamed("n", "src"), Seq("src"), "leftsemi")
-        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "leftsemi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
+      // localCheckpoint per round: without it the unrolled-loop lineage
+      // re-executes every prior round per action (the q38 lesson)
+      ed = peelRound(ed, k).localCheckpoint()
     }
     ed.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
       .select(col("src").as("node"), col("deg"))

@@ -43,6 +43,42 @@ class GlobalRankSpec extends SparkSpec {
     assert(ranks.toSeq === (1L to 333L))
   }
 
+  test("globalRank under DUPLICATE ordering keys: exact rank blocks per key value") {
+    // The ordering-key-uniqueness contract in the scaladoc is about
+    // WITHIN-run determinism only. This pins what holds regardless:
+    // with heavy duplicates (and no tiebreak column), every distinct
+    // key value still receives exactly the same contiguous rank block
+    // as the single-partition oracle — range partitioning cannot leak
+    // a rank across a duplicate run, wherever the bounds fall.
+    for (seed <- Seq(3L, 11L, 77L)) {
+      val rng = new java.util.Random(seed)
+      val n = 400 + rng.nextInt(200)
+      // ~8 distinct values over hundreds of rows: maximal tie stress
+      val df = (0 until n).map(i => (i.toLong, rng.nextInt(8).toDouble))
+        .toDF("id", "score")
+      val got = GlobalRank.globalRank(df, "rnk", col("score"))
+      // permutation 1..n
+      val ranks = got.select("rnk").as[Long].collect().sorted
+      assert(ranks.toSeq === (1L to n.toLong), s"seed $seed: not a permutation")
+      // per key value: the SET of ranks equals the oracle's block
+      val gotBlocks = got.groupBy("score")
+        .agg(min("rnk").as("lo"), max("rnk").as("hi"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getDouble(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val oracle = df.withColumn("rnk",
+          row_number().over(Window.orderBy(col("score"))).cast("long"))
+        .groupBy("score")
+        .agg(min("rnk").as("lo"), max("rnk").as("hi"), count(lit(1)).as("c"))
+        .collect().map(r => (r.getDouble(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(gotBlocks === oracle, s"seed $seed: rank blocks diverged")
+      // contiguity inside each block: hi - lo + 1 == count
+      gotBlocks.foreach { case (k, (lo, hi, c)) =>
+        assert(hi - lo + 1 === c, s"seed $seed: block for $k not contiguous")
+      }
+    }
+  }
+
   test("globalCumSum equals single-partition running sum") {
     for (seed <- Seq(3L, 11L)) {
       val df = randomDf(seed, 400)

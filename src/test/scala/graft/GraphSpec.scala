@@ -94,6 +94,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("peelRound fixpoint = classic k-core: 4-clique survives, pendant chain peels") {
+    // Undirected graph: 4-clique {1,2,3,4} + chain 4-5-6 + pendant 7 on 5.
+    // 3-core = exactly the clique (every clique node keeps degree 3);
+    // the chain peels over TWO rounds (6 and 7 go first, then 5) — so
+    // the test also proves iteration is load-bearing, not one pass.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (5L, 7L))
+    var ed = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val after1 = Graph.peelRound(ed, 3)
+    // after one round node 5 still present (degree was 3: 4,6,7)
+    assert(after1.select("src").distinct().collect().map(_.getLong(0)).toSet
+      .contains(5L))
+    for (_ <- 1 to 3) ed = Graph.peelRound(ed, 3).localCheckpoint()
+    val core = ed.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L, 4L))
+    // every surviving node has in-core degree exactly 3 (clique)
+    val degs = ed.groupBy("src").count().collect().map(_.getLong(1)).toSet
+    assert(degs === Set(3L))
+  }
+
   test("twoHopCounts: path graph exact distance-2 sets; triangle is all-zero") {
     val dir = java.nio.file.Files.createTempDirectory("twohop").toString
     try {

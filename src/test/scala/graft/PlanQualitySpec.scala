@@ -350,6 +350,25 @@ class PlanQualitySpec extends SparkSpec {
       s"quartile window must partition by segment:\n$p")
   }
 
+  test("q163: the k-core peel round is a count aggregate + two equi-keyed left-semi joins") {
+    // the registered query localCheckpoints each round (lineage
+    // truncation), so the executed plan of q163 itself shows only the
+    // final aggregate; the per-round shape is pinned on the round
+    // function the loop calls
+    val ed = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("l_orderkey as src", "l_partkey as dst")
+    val p = graft.operators.Graph.peelRound(ed, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"peel round degraded to cartesian:\n$p")
+    assert("LeftSemi".r.findAllIn(p).size === 2,
+      s"expected exactly two left-semi joins:\n$p")
+    // degree count partial-combines map-side before its exchange
+    assert(p.contains("partial_count"),
+      s"degree aggregate lost its partial phase:\n$p")
+  }
+
   // ---- class-wide pin: no unbounded global rank windows ----------------
 
   /** Queries whose partitionBy-less WindowExec runs over an input that
