@@ -50,12 +50,23 @@ object StreamingOps {
   private def feedBatches[A](
       stream: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      data: Array[A], nBatches: Int = 2, blocks: Int = 32): Unit =
-    data.grouped(math.max(1, data.length / nBatches + 1)).foreach { ch =>
+      data: Array[A], nBatches: Int = 2, blocks: Int = 32,
+      tail: Seq[A] = Nil): Unit = {
+    // `tail` (sentinel rows) rides WITH the final data batch instead of
+    // costing its own trigger cycle: each processAllAvailable runs a
+    // data trigger PLUS a watermark-flush trigger (~0.3 s of fixed
+    // overhead each, measured via lastProgress.durationMs), so folding
+    // the sentinel in cuts a full cycle. The watermark still advances
+    // after the batch containing the sentinel; the flush trigger then
+    // emits every closed window — same rows as a separate cycle.
+    val chunks = data.grouped(math.max(1, data.length / nBatches + 1)).toVector
+    chunks.zipWithIndex.foreach { case (ch, i) =>
       ch.grouped(math.max(1, ch.length / blocks + 1))
         .foreach(b => stream.addData(b.toIndexedSeq))
+      if (i == chunks.length - 1 && tail.nonEmpty) stream.addData(tail)
       q.processAllAvailable()
     }
+  }
 
   private def step(window: Int)(
       key: (String, Int), rows: Iterator[SignalRow],
@@ -162,10 +173,8 @@ object StreamingOps {
       val q = slidingCounts(in, watermarkMin = watermarkMin)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        feedBatches(stream, q, data)
-        stream.addData(sentinel); q.processAllAvailable()
-      } finally q.stop()
+      try feedBatches(stream, q, data, tail = Seq(sentinel))
+      finally q.stop()
     }
     s.table(name).filter(col("event_type") =!= "__sentinel__")
   }
@@ -444,10 +453,13 @@ object StreamingOps {
       if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("ts div 1000")
       else unix_micros(col("ts"))
+    // ONE scan+collect for both sides (split driver-side) — the second
+    // full parquet decode was pure fixture overhead
+    val both = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), tsu.as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
     def feed(typ: String): Array[(Long, Long, Long)] =
-      ev.filter(col("event_type") === typ)
-        .select(col("event_id"), col("user_id"), tsu.as("us"))
-        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      both.filter(_._4 == typ).map(r => (r._1, r._2, r._3))
     val (lData, rData) = (feed("click"), feed("view"))
     val spanMin = {
       val all = lData ++ rData
@@ -526,10 +538,12 @@ object StreamingOps {
       if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         expr("ts div 1000")
       else unix_micros(col("ts"))
+    // ONE scan+collect for both sides (split driver-side), as in q58
+    val both = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), tsu.as("us"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
     def feed(typ: String): Array[(Long, Long, Long)] =
-      ev.filter(col("event_type") === typ)
-        .select(col("event_id"), col("user_id"), tsu.as("us"))
-        .as[(Long, Long, Long)].collect().sortBy(_._3)
+      both.filter(_._4 == typ).map(r => (r._1, r._2, r._3))
     val (lData, rData) = (feed("click"), feed("view"))
     val maxUs = (lData ++ rData).map(_._3).max
     def sentinel(round: Int): (Long, Long, Long) =
@@ -611,11 +625,11 @@ object StreamingOps {
       try {
         // each chunk arrives twice — first copy, then a replay one
         // micro-batch LATER (rides with the next chunk's first copy,
-        // so cross-batch dedup is still exercised in 4 batches, not
+        // so cross-batch dedup is still exercised in 3 batches, not
         // 6: per-batch fixed cost is the fixture's floor). Replayed
         // rows are either state-deduped or watermark-dropped — both
         // paths keep them out of the output, exactly as before.
-        val chunks = data.grouped(math.max(1, data.length / 3 + 1)).toSeq
+        val chunks = data.grouped(math.max(1, data.length / 2 + 1)).toSeq
         def add(ch: Seq[(Long, String, Long, Double)]): Unit =
           ch.grouped(math.max(1, ch.length / 16 + 1))
             .foreach(b => stream.addData(b.toIndexedSeq))
@@ -686,10 +700,8 @@ object StreamingOps {
       val q = sessionAgg(in, gapMinutes, watermarkMin)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
-      try {
-        feedBatches(stream, q, data)
-        stream.addData(sentinel); q.processAllAvailable()
-      } finally q.stop()
+      try feedBatches(stream, q, data, tail = Seq(sentinel))
+      finally q.stop()
     }
     s.table(name).filter(col("user_id") >= 0)
   }

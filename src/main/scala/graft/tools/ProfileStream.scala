@@ -71,6 +71,9 @@ object ProfileStream {
             .foreach(b => stream.addData(b.toIndexedSeq))
         }
         t(s"process batch$i")(q.processAllAvailable())
+        Option(q.lastProgress).foreach { p =>
+          println(s"[prof]   durationMs batch$i: ${p.durationMs}")
+        }
       }
       t("stop")(q.stop())
       spark.conf.set("spark.sql.shuffle.partitions", prev)
