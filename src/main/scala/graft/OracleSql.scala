@@ -1393,6 +1393,73 @@ object OracleSql {
        |       ELSE share3 END AS alloc
        |FROM b3c""".stripMargin
 
+  /** Q166 — top-k customers per segment (mirrors
+    * Relational.topCustomersAgg): the bounded-heap UDAF's result is
+    * the (c_acctbal DESC, c_custkey) rank prefix, exactly a
+    * row_number window here.
+    */
+  def q166TopCustomers(k: Int = 3): String =
+    s"""WITH r AS (
+       |  SELECT c_mktsegment, CAST(c_custkey AS BIGINT) AS c_custkey,
+       |    CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+       |  FROM customer
+       |)
+       |SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** Q167 — canonical doc per near-dup cluster (mirrors
+    * Dedup.canonicalDocs): Q38's recursive-CTE clusters joined to the
+    * Q18 quality expression, best = (quality DESC, doc_id ASC) row 1.
+    */
+  def q167CanonicalDocs(minJaccard: Double = 0.5): String =
+    s"""WITH cl AS (SELECT * FROM (${q38DupClusters(minJaccard)}) x),
+       |qs AS (SELECT doc_id, quality_score
+       |       FROM (${q18Quality}) y),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality_score
+       |      FROM cl JOIN qs USING (doc_id)),
+       |rk AS (
+       |  SELECT cluster_id, doc_id, quality_score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id) AS rn
+       |  FROM j
+       |),
+       |ag AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM j GROUP BY 1)
+       |SELECT ag.cluster_id, ag.n_docs,
+       |  CAST(rk.doc_id AS BIGINT) AS canon_doc_id,
+       |  rk.quality_score AS canon_quality
+       |FROM ag JOIN rk ON rk.cluster_id = ag.cluster_id AND rk.rn = 1""".stripMargin
+
+  /** Q168 — Cohen's kappa per source between the Q18 threshold
+    * classifier and the Q18b Gopher keep flag (mirrors
+    * TextAnalysis.raterAgreement): exact BIGINT cell counts, one
+    * final integer-over-integer division.
+    */
+  def q168RaterAgreement(thr: Double = 0.5): String =
+    s"""WITH q1 AS (SELECT doc_id, (quality_score >= ${dlit(thr)}) AS r1
+       |            FROM (${q18Quality}) x),
+       |q2 AS (SELECT doc_id, keep AS r2 FROM (${q18bGopher()}) y),
+       |cells AS (
+       |  SELECT d.source,
+       |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM documents d
+       |  JOIN q1 ON q1.doc_id = d.doc_id
+       |  JOIN q2 ON q2.doc_id = d.doc_id
+       |  GROUP BY 1
+       |)
+       |SELECT source, a + b + c + d AS n_docs, a + d AS n_agree,
+       |  a + b AS r1_keep, a + c AS r2_keep,
+       |  CAST((a + b + c + d) * (a + d)
+       |      - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+       |    / CAST(nullif((a + b + c + d) * (a + b + c + d)
+       |      - ((a + b) * (a + c) + (c + d) * (b + d)), 0) AS DOUBLE) AS kappa
+       |FROM cells""".stripMargin
+
   /** Q53 — top-k bigram collocations per source (mirrors
     * TextAnalysis.topBigrams).
     */

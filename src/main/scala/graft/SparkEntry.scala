@@ -270,7 +270,10 @@ object SparkEntry {
     "q162_embed_cov" -> ((s, dir) => Similarity.embedCovariance(s, dir)),
     "q163_kcore" -> ((s, dir) => Graph.kCore(s, dir)),
     "q164_bm25_topk" -> ((s, dir) => TextAnalysis.bm25Retrieval(s, dir)),
-    "q165_waterfill" -> ((s, dir) => Pipeline.budgetWaterfill(s, dir))
+    "q165_waterfill" -> ((s, dir) => Pipeline.budgetWaterfill(s, dir)),
+    "q166_topk_agg" -> ((s, dir) => Relational.topCustomersAgg(s, dir)),
+    "q167_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(s, dir)),
+    "q168_rater_kappa" -> ((s, dir) => TextAnalysis.raterAgreement(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,6 +468,9 @@ object SparkEntry {
     "q162_embed_cov" -> OracleSql.q162EmbedCovariance(),
     "q163_kcore" -> OracleSql.q163KCore(),
     "q164_bm25_topk" -> OracleSql.q164Bm25Retrieval(),
-    "q165_waterfill" -> OracleSql.q165Waterfill
+    "q165_waterfill" -> OracleSql.q165Waterfill,
+    "q166_topk_agg" -> OracleSql.q166TopCustomers(),
+    "q167_canonical_docs" -> OracleSql.q167CanonicalDocs(),
+    "q168_rater_kappa" -> OracleSql.q168RaterAgreement()
   )
 }

@@ -636,6 +636,34 @@ object Dedup {
     * codegen'd expression per candidate — no UDF deserialization on
     * the hot path.
     */
+  /** Q167 — canonical-document selection per near-dup cluster: where
+    * Q106 keeps the arbitrary min-id copy, a curation pipeline keeps
+    * the BEST copy — per Q38 cluster, the member with the highest Q18
+    * quality score (ties → smallest doc_id; both orders total, so the
+    * choice is deterministic and engine-identical: the score floats
+    * are already proven bit-equal by q18's hash-green row).
+    *
+    * Scale shape: cluster assignments join the per-doc quality
+    * projection doc_id-keyed, then ONE cluster-keyed struct-max
+    * aggregate — partial combine reduces each map split to one
+    * candidate per cluster before the exchange (the q55 latest-wins
+    * shape with quality as the ordering dimension).
+    */
+  def canonicalDocs(s: SparkSession, dir: String,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val cl = dupClusters(s, dir, minJaccard)
+    val qs = graft.operators.TextAnalysis.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    cl.join(qs, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality_score"),
+          (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("best.nid")).as("canon_doc_id"),
+        col("best.quality_score").as("canon_quality"))
+  }
+
   def jwVocabLinkage(s: SparkSession, dir: String,
                      minJw: Double = 0.5): DataFrame = {
     val vocab = docs(s, dir)

@@ -1818,6 +1818,34 @@ object Relational {
     * (spend desc, custkey) order is total, so bucket edges are
     * deterministic; sums stay decimal until the final double cast.
     */
+  /** Q166 — top-k customers per market segment through the
+    * bounded-heap UDAF ([[graft.functions.TopKByValue]]) instead of a
+    * rank window: each map task ships at most k (balance, custkey)
+    * pairs per segment into the exchange and merges k-vs-k. The
+    * row_number form sorts every segment's FULL extent per task —
+    * fine at sf0.1, a multi-GB hot-group sort at 100 TB; the
+    * aggregate form is O(k) state forever (the q41 reservoir
+    * discipline applied to a value ranking). (c_acctbal DESC,
+    * c_custkey ASC) is total — custkey is unique — so the heap result
+    * equals the window oracle exactly.
+    */
+  def topCustomersAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKByValue(k)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal").cast("double"),
+        col("c_custkey").cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn)
+      .flatMap { case (seg, top) =>
+        top.zipWithIndex.map { case ((bal, ck), i) =>
+          (seg, ck, bal, (i + 1).toLong)
+        }
+      }
+      .toDF("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+  }
+
   def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))

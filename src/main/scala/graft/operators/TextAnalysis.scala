@@ -934,4 +934,46 @@ object TextAnalysis {
       .select(col("doc_id"), min(col("gh")).over(win).as("fp"))
       .distinct()
   }
+
+  /** Q168 — inter-rater agreement (Cohen's kappa) per source between
+    * two document-quality classifiers: the Q18 score thresholded at
+    * `thr` and the Q18b Gopher keep flag. Kappa corrects raw
+    * agreement for chance — the standard audit when two labeling
+    * passes (heuristic vs model, two annotator pools) gate the same
+    * corpus: high raw agreement with kappa ≈ 0 means the cheap filter
+    * adds nothing beyond base rates.
+    *
+    * Float discipline: the 2x2 cell counts a/b/c/d are exact BIGINTs,
+    * and kappa = (n·(a+d) − Σ marginal products) / (n² − Σ marginal
+    * products) is ONE IEEE division of two exactly-computed integers
+    * — no po/pe float intermediates to drift. Division-by-zero
+    * (degenerate marginals) yields null via nullif, both engines.
+    *
+    * Scale shape: both classifier passes are per-doc projections off
+    * the documents scan, joined doc_id-keyed; the kappa arithmetic
+    * runs on a per-source 4-counter aggregate — partial map-side
+    * combine, 4 longs per source through the exchange.
+    */
+  def raterAgreement(s: SparkSession, dir: String,
+                     thr: Double = 0.5): DataFrame = {
+    val q = qualityScore(s, dir)
+      .select(col("doc_id"), (col("quality_score") >= thr).as("r1"))
+    val g = gopherRules(s, dir).select(col("doc_id"), col("keep").as("r2"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val cells = src.join(q, Seq("doc_id")).join(g, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum((col("r1") && col("r2")).cast("long")).as("a"),
+        sum((col("r1") && !col("r2")).cast("long")).as("b"),
+        sum((!col("r1") && col("r2")).cast("long")).as("c"),
+        sum((!col("r1") && !col("r2")).cast("long")).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val chance = (col("a") + col("b")) * (col("a") + col("c")) +
+      (col("c") + col("d")) * (col("b") + col("d"))
+    cells.select(col("source"), n.as("n_docs"),
+      (col("a") + col("d")).as("n_agree"),
+      (col("a") + col("b")).as("r1_keep"),
+      (col("a") + col("c")).as("r2_keep"),
+      ((n * (col("a") + col("d")) - chance).cast("double") /
+        nullif((n * n - chance), lit(0L)).cast("double")).as("kappa"))
+  }
 }
