@@ -1460,6 +1460,27 @@ object OracleSql {
        |      - ((a + b) * (a + c) + (c + d) * (b + d)), 0) AS DOUBLE) AS kappa
        |FROM cells""".stripMargin
 
+  /** Q169 — recency-decayed per-user value (mirrors
+    * Relational.recencyValue): 2^(−integer) weights are exact
+    * doubles, products quantize to DECIMAL(28,14) before the Σ.
+    */
+  def q169RecencyValue: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, value FROM events
+       |),
+       |mx AS (SELECT max(tus) AS max_tus FROM e),
+       |w AS (
+       |  SELECT user_id, tus,
+       |    CAST(value * power(2.0,
+       |      -CAST((max_tus - tus) // 86400000000 AS DOUBLE))
+       |      AS DECIMAL(28,14)) AS c
+       |  FROM e CROSS JOIN mx
+       |)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(c) AS DOUBLE) AS decayed_value,
+       |  max(tus) AS last_tus
+       |FROM w GROUP BY 1""".stripMargin
+
   /** Q53 — top-k bigram collocations per source (mirrors
     * TextAnalysis.topBigrams).
     */

@@ -273,7 +273,8 @@ object SparkEntry {
     "q165_waterfill" -> ((s, dir) => Pipeline.budgetWaterfill(s, dir)),
     "q166_topk_agg" -> ((s, dir) => Relational.topCustomersAgg(s, dir)),
     "q167_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(s, dir)),
-    "q168_rater_kappa" -> ((s, dir) => TextAnalysis.raterAgreement(s, dir))
+    "q168_rater_kappa" -> ((s, dir) => TextAnalysis.raterAgreement(s, dir)),
+    "q169_recency_value" -> Relational.recencyValue _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -471,6 +472,7 @@ object SparkEntry {
     "q165_waterfill" -> OracleSql.q165Waterfill,
     "q166_topk_agg" -> OracleSql.q166TopCustomers(),
     "q167_canonical_docs" -> OracleSql.q167CanonicalDocs(),
-    "q168_rater_kappa" -> OracleSql.q168RaterAgreement()
+    "q168_rater_kappa" -> OracleSql.q168RaterAgreement(),
+    "q169_recency_value" -> OracleSql.q169RecencyValue
   )
 }

@@ -1846,6 +1846,38 @@ object Relational {
       .toDF("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
   }
 
+  /** Q169 — recency-decayed per-user value: Σ value · 2^(−age_days),
+    * the exponential recency weighting every feature store applies to
+    * behavioral aggregates (half-life = 1 day here). Age anchors to
+    * the corpus max timestamp (one broadcast row).
+    *
+    * Float discipline: 2^(−n) is EXACT in binary floating point for
+    * any integer n (so `pow(2, -age)` is bit-identical across
+    * engines), value·weight is ONE correctly-rounded multiply, and
+    * the per-user Σ quantizes each product to DECIMAL(28,14) first
+    * (the q79/q164 discipline) so partial aggregation can combine in
+    * any order. Weights below the quantum round to zero identically
+    * in both engines.
+    *
+    * Scale shape: narrow projection at the scan, one broadcast
+    * scalar, one user-keyed partial+final aggregate — the whole query
+    * is a single shuffle of pre-combined per-user rows.
+    */
+  def recencyValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("user_id"), tsMicros(ev).as("tus"), col("value"))
+    val mx = base.agg(max(col("tus")).as("max_tus"))
+    base.crossJoin(broadcast(mx))
+      .withColumn("age_d", expr("(max_tus - tus) div 86400000000"))
+      .withColumn("c",
+        (col("value") * pow(lit(2.0), -col("age_d").cast("double")))
+          .cast("decimal(28,14)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("c")).cast("double").as("decayed_value"),
+        max(col("tus")).as("last_tus"))
+  }
+
   def spendQuartiles(s: SparkSession, dir: String): DataFrame = {
     val spend = t(s, dir, "orders")
       .groupBy(col("o_custkey"))

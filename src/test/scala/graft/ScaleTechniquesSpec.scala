@@ -127,4 +127,34 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
     }
   }
+
+  test("dynamic partition pruning: selective dim filter reaches the partitioned fact scan") {
+    // The 100 TB shape: a date/source-partitioned fact table joined to
+    // a filtered dimension must scan ONLY the partitions the dim rows
+    // select — decided at RUNTIME from the dim side (static pruning
+    // can't see through the join). Spark inserts a DPP subquery filter
+    // on the partition column; without it, a 1000-partition fact scans
+    // 1000 directories for a 2-partition query.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      (0 until 20000).map(i => (i.toLong, s"src${i % 10}", i % 97))
+        .toDF("id", "source", "v")
+        .write.partitionBy("source").mode("overwrite").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      val dim = (0 until 10).map(i => (s"src$i", i % 5)).toDF("source", "grp")
+      // broadcast keeps the dim side reusable as the DPP filter input
+      val joined = fact.join(broadcast(dim.filter($"grp" === 1)), "source")
+        .groupBy("source").count()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"no DPP filter on the partitioned scan:\n$p")
+      // 2 of 10 sources survive grp=1
+      assert(joined.collect().map(_.getString(0)).toSet
+        === Set("src1", "src6"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
