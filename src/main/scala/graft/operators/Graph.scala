@@ -234,24 +234,34 @@ object Graph {
     *
     * Scale shape: each recursion step is one equi-join of the
     * frontier against the edge table (hash-keyed shuffle, exactly the
-    * Q143 step); the hop guard bounds depth, and the support floor
-    * bounds the edge set. UNION ALL recursion enumerates WALKS, so
-    * the min-hop aggregate collapses them at the end — for deep
-    * recursions the Q143 per-round min-aggregate form is the scale
-    * path; at the 3-hop default the walk count stays edge-bounded.
+    * Q143 step) followed by a DISTINCT on (node, hop) — WITHOUT the
+    * dedup, UNION ALL recursion enumerates every WALK of length ≤
+    * maxHops and the working set grows ~degree^hops (combinatorial at
+    * 100× edge density; the round-5 form cost 12 s on a 3.6k-edge
+    * graph for this reason). With it, each level's frontier is
+    * bounded by |V| and min-hop semantics are unchanged (a node's
+    * first (node, hop) row survives; later duplicates of the same
+    * pair collapse; the final min() still picks the smallest hop).
     */
   def recursiveReach(s: SparkSession, dir: String, maxHops: Int = 3,
                      seedMod: Int = 50, minSupport: Int = 2): DataFrame = {
     val e = copurchaseEdges(s, dir, minSupport)
+    // materialize the edge set ONCE before the loop: a temp view holds
+    // only the logical plan, so without this every recursion step
+    // re-runs the whole co-purchase derivation (two lineitem scans +
+    // self-join + support aggregate) — maxHops+1 redundant passes over
+    // the fact table. localCheckpoint pins the (support-floored, small)
+    // edge list as in-memory blocks that each step scans directly.
     e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
       .createOrReplaceTempView("graft_q159_edges")
     s.sql(
       s"""WITH RECURSIVE reach(node, hop) AS (
          |  SELECT DISTINCT src AS node, 0 AS hop
          |  FROM graft_q159_edges WHERE src % $seedMod = 0
          |  UNION ALL
-         |  SELECT e.dst, r.hop + 1
+         |  SELECT DISTINCT e.dst, r.hop + 1
          |  FROM reach r JOIN graft_q159_edges e ON e.src = r.node
          |  WHERE r.hop < $maxHops
          |)

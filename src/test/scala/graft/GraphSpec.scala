@@ -135,6 +135,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("recursiveReach: min-hop distances on a path graph; agrees with bfsHops") {
+    val dir = java.nio.file.Files.createTempDirectory("reach").toString
+    try {
+      // path 0-1-2-3-4 (each basket doubled past the support floor);
+      // seed = node 0 (the only part with id % 50 == 0), maxHops = 3
+      // → hops {0:0, 1:1, 2:2, 3:3}; node 4 is unreached at depth 3.
+      val baskets = Seq(Seq(0L, 1L), Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L))
+      val rows = for {
+        (b, i) <- (baskets ++ baskets).zipWithIndex
+        p <- b
+      } yield ((i + 1).toLong, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val reach = Graph.recursiveReach(spark, dir, maxHops = 3).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hop")).toMap
+      assert(reach === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+      // the recursive CTE and the hand-unrolled Bellman-Ford (q143) are
+      // the same operator at the same depth — their reached sets and
+      // min-hop distances must agree exactly
+      val bfs = Graph.bfsHops(spark, dir, maxHops = 3).collect()
+        .filter(!_.isNullAt(1))
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("hops")).toMap
+      assert(reach === bfs)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("twoHopCounts: triangle has zero strict 2-hop reach (all candidates are neighbors)") {
     val dir = java.nio.file.Files.createTempDirectory("twohop0").toString
     try {

@@ -369,6 +369,23 @@ class PlanQualitySpec extends SparkSpec {
       s"degree aggregate lost its partial phase:\n$p")
   }
 
+  test("q159: recursive arm deduplicates the frontier and scans materialized edges") {
+    val o = SparkEntry.queries("q159_recursive_reach")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(o.contains("UnionLoopRef"), s"recursion operator missing:\n$o")
+    // the loop body's DISTINCT survives as a grouping aggregate on
+    // (dst, hop+1) — without it the working set enumerates WALKS and
+    // grows ~degree^hops (the round-5 12 s regression)
+    assert("Aggregate \\[dst#\\d+L, \\(hop \\+ 1\\)#\\d+\\]".r.findFirstIn(o).isDefined,
+      s"frontier dedup lost from the recursive arm:\n$o")
+    // edges are localCheckpoint-materialized BEFORE the loop: no
+    // parquet relation may appear anywhere in the plan — otherwise
+    // each recursion step re-derives the co-purchase edges from the
+    // fact table (maxHops+1 redundant scans+joins)
+    assert(!o.contains("parquet"),
+      s"loop body re-derives edges from parquet instead of the checkpoint:\n$o")
+  }
+
   // ---- class-wide pin: no unbounded global rank windows ----------------
 
   /** Queries whose partitionBy-less WindowExec runs over an input that

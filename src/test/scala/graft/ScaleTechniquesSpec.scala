@@ -136,13 +136,19 @@ class ScaleTechniquesSpec extends SparkSpec {
     // on the partition column; without it, a 1000-partition fact scans
     // 1000 directories for a 2-partition query.
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
-    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       (0 until 20000).map(i => (i.toLong, s"src${i % 10}", i % 97))
         .toDF("id", "source", "v")
-        .write.partitionBy("source").mode("overwrite").parquet(dir)
-      val fact = spark.read.parquet(dir)
-      val dim = (0 until 10).map(i => (s"src$i", i % 5)).toDF("source", "grp")
+        .write.partitionBy("source").mode("overwrite").parquet(s"$dir/fact")
+      // The dim MUST come from a file scan: a local Seq collapses to a
+      // LocalTableScan under ConvertToLocalRelation (filter folded in),
+      // leaving no selective Filter node for PartitionPruning to turn
+      // into a DPP subquery — exactly the false-red this test shipped
+      // with in round 5.
+      (0 until 10).map(i => (s"src$i", i % 5)).toDF("source", "grp")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
       // broadcast keeps the dim side reusable as the DPP filter input
       val joined = fact.join(broadcast(dim.filter($"grp" === 1)), "source")
         .groupBy("source").count()
@@ -153,7 +159,6 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(joined.collect().map(_.getString(0)).toSet
         === Set("src1", "src6"))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
