@@ -32,6 +32,9 @@ object TimeQuery {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
+        // match Bench's hygiene: unload streaming state-store residue
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] $name: ${ts.map(t => f"$t%.2f").mkString(" ")} s")
