@@ -35,26 +35,63 @@ class TopKByValue(k: Int)
 
   def zero: Array[(Double, Long)] = Array.empty
 
+  // Both buffer arrays are ALWAYS sorted best-first: zero is trivially
+  // sorted, reduce inserts at the binary-search position, and merge
+  // interleaves two sorted runs. That invariant is what makes reduce
+  // O(log k + k) per accepted row (the round-5 form re-sorted the
+  // whole buffer on every accept — O(k log k)/row, visible once k
+  // grows past toy sizes) and merge a linear two-pointer pass.
+
+  /** Sorted insert of `e` into sorted `b`, keeping the best `keep`. */
+  private def insertSorted(b: Array[(Double, Long)], e: (Double, Long),
+                           keep: Int): Array[(Double, Long)] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ord.lt(e, b(mid))) hi = mid else lo = mid + 1
+    }
+    val n = math.min(b.length + 1, keep)
+    val out = new Array[(Double, Long)](n)
+    System.arraycopy(b, 0, out, 0, math.min(lo, n))
+    if (lo < n) {
+      out(lo) = e
+      System.arraycopy(b, lo, out, lo + 1, n - lo - 1)
+    }
+    out
+  }
+
   def reduce(b: Array[(Double, Long)],
              in: (String, Double, Long)): Array[(Double, Long)] = {
     val e = (in._2, in._3)
-    if (b.length < k) {
-      val out = b :+ e
-      scala.util.Sorting.stableSort(out, ord.lt _)
-      out
-    } else if (ord.lt(e, b(k - 1))) {
-      val out = b.clone()
-      out(k - 1) = e
-      scala.util.Sorting.stableSort(out, ord.lt _)
-      out
-    } else b
+    if (b.length < k) insertSorted(b, e, k)
+    else if (ord.lt(e, b(k - 1))) insertSorted(b, e, k)
+    else b
   }
 
   def merge(a: Array[(Double, Long)],
             b: Array[(Double, Long)]): Array[(Double, Long)] = {
-    val out = (a ++ b).distinct
-    scala.util.Sorting.stableSort(out, ord.lt _)
-    out.take(k)
+    // two-pointer merge of two sorted runs. No de-duplication: the
+    // documented contract is that `id` is unique within the group, so
+    // a (value, id) pair can appear in at most one input partition —
+    // the round-5 `.distinct` here was dead code under the contract
+    // and would have silently HIDDEN a contract violation (fewer rows
+    // than the row_number oracle) instead of letting it surface as a
+    // visible mismatch.
+    val n = math.min(a.length + b.length, k)
+    val out = new Array[(Double, Long)](n)
+    var i = 0
+    var j = 0
+    var o = 0
+    while (o < n) {
+      if (j >= b.length || (i < a.length && !ord.lt(b(j), a(i)))) {
+        out(o) = a(i); i += 1
+      } else {
+        out(o) = b(j); j += 1
+      }
+      o += 1
+    }
+    out
   }
 
   def finish(b: Array[(Double, Long)]): Seq[(Double, Long)] = b.toSeq

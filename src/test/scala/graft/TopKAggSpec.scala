@@ -45,6 +45,40 @@ class TopKAggSpec extends SparkSpec {
     assert(agg.finish(b) === Seq((9.0, 11L), (2.0, 10L)))
   }
 
+  test("large k (k=64): stream + arbitrary merges equal sort-and-take") {
+    // the binary-insert/two-pointer-merge rewrite only shows at k
+    // beyond toy sizes: pin exactness and the state bound where the
+    // old per-insert full sort would have dominated
+    val k = 64
+    val big = new TopKByValue(k)
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 5000).map(i =>
+      ("g", rng.nextInt(300).toDouble, i.toLong))
+    val want = rows.map(r => (r._2, r._3)).sortBy(t => (-t._1, t._2)).take(k)
+    val straight = rows.foldLeft(big.zero)(big.reduce)
+    assert(straight.length === k)
+    assert(big.finish(straight) === want)
+    for (splitSeed <- Seq(11, 23)) {
+      val r2 = new scala.util.Random(splitSeed)
+      val parts = rows.groupBy(_ => r2.nextInt(13)).values.toSeq
+      val bufs = parts.map(p => p.foldLeft(big.zero)(big.reduce))
+      val merged = r2.shuffle(bufs).reduce(big.merge)
+      assert(big.finish(merged) === want, s"split $splitSeed")
+      assert(merged.length <= k)
+    }
+  }
+
+  test("merge keeps legitimately equal values under distinct ids (no silent dedup)") {
+    // ids are unique but VALUES collide: a (9.0, 1) in one partition
+    // and (9.0, 2) in another must both survive a k=3 merge — the
+    // round-5 `.distinct` would have been a no-op here, but this pins
+    // that equal-value pairs are never conflated
+    val a = Seq(("g", 9.0, 1L), ("g", 1.0, 5L)).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(("g", 9.0, 2L), ("g", 9.0, 3L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b))
+      === Seq((9.0, 1L), (9.0, 2L), (9.0, 3L)))
+  }
+
   test("q166 plan: partial+final object aggregate, no rank window, no full sort") {
     val df = graft.operators.Relational
       .topCustomersAgg(spark, "/root/testdata/sf0.001")
