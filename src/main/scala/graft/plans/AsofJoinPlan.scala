@@ -57,9 +57,15 @@ import org.apache.spark.sql.types.LongType
   *
   * Key equality is null-safe (the hash partitioner co-locates null
   * keys, and the merge's natural ordering treats them as equal — same
-  * contract as `GROUP BY`); null times sort first, so a null-time
-  * right row is "before everything" for its key (and never satisfies
-  * a tolerance bound). Tie-break among right rows with equal
+  * contract as `GROUP BY`); null times sort first, so in BACKWARD
+  * mode a null-time right row is "before everything" for its key (a
+  * null-time LEFT row can therefore only match a null-time right
+  * row), while in FORWARD mode a null time on either side never
+  * matches — "first right row at-or-after NULL" would otherwise
+  * resolve to the key's earliest row, inverting the semantics
+  * (DuckDB ASOF's `>=` on NULL matches nothing). Null times never
+  * satisfy a tolerance bound in either mode. Tie-break among right
+  * rows with equal
   * (keys, time) is the caller's contract: the registered queries
   * pre-aggregate the right side to one row per (keys, time)
   * (latest-wins arg-max), so no tie can reach the operator.
@@ -278,7 +284,13 @@ case class AsofJoinExec(
           }
           val m: InternalRow =
             if (fwd) {
-              if (havePend && keyOrd.compare(pendKey, lKey) == 0 &&
+              // null-time guard: a null left time sorts FIRST, so the
+              // cursor consumes nothing and the pending row would be
+              // the key's EARLIEST right row — matching it would
+              // invert "first right row at-or-after". DuckDB ASOF's
+              // `right >= NULL` matches nothing; mirror that.
+              if (havePend && !lTime.isNullAt(0) && !pendTime.isNullAt(0) &&
+                keyOrd.compare(pendKey, lKey) == 0 &&
                 tolOk(pendTime, lTime)) pendPay
               else nullMatch
             } else {

@@ -112,6 +112,32 @@ class AsofExecSpec extends SparkSpec {
     assert(viaExec.filter($"next_click_tsn" === $"tsn").count() > 0)
   }
 
+  test("null times: forward never matches them; backward treats a null right as before everything") {
+    // left: one real-time row and one null-time row per user
+    val l = Seq((1L, "u1", Some(5L)), (2L, "u1", None))
+      .toDF("event_id", "user_id", "tsn")
+    // right: a null-time row, an early row, and a late row
+    val r = Seq(("u1", Some(1L), 1.0), ("u1", Some(10L), 10.0),
+        ("u1", None, 99.0))
+      .toDF("user_id", "click_tsn", "click_value")
+    val fwd = AsofJoinPlan.forward(l, r, Seq("user_id"), "tsn",
+        "click_tsn", Seq("click_value"), "next_")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    // t=5 → first at-or-after is t=10; null left time → NO match (a
+    // null sorts first, so without the guard it would grab the key's
+    // EARLIEST row — DuckDB ASOF `>= NULL` matches nothing)
+    assert(fwd === Map(1L -> Some(10.0), 2L -> None))
+    val bwd = AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn",
+        "click_tsn", Seq("click_value"), "prev_")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+    // t=5 → last at-or-before is t=1; null left time → only the
+    // null-time right row is "at-or-before" it (nulls sort first —
+    // the documented natural-ordering contract)
+    assert(bwd === Map(1L -> Some(1.0), 2L -> Some(99.0)))
+  }
+
   test("native tolerance nulls exactly the matches staler than the bound") {
     val (l, r) = fixture
     val tol = 20L
