@@ -1481,6 +1481,25 @@ object OracleSql {
        |  max(tus) AS last_tus
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Q170 — dynamic-partition-pruned rollup (mirrors
+    * GenericSources.dppRollup): the per-(source, lang) rollup of the
+    * documents whose source's minimum doc_id is even (splits the
+    * sources 10/10 at every SF) — the dim-side predicate the Spark
+    * plan can only apply to the partitioned fact scan via the runtime
+    * DPP subquery. Declarative equality over the ORIGINAL table
+    * proves the pruned read complete.
+    */
+  def q170DppRollup: String =
+    s"""WITH dim AS (
+       |  SELECT source, min(doc_id) AS m FROM documents GROUP BY 1
+       |)
+       |SELECT f.source, f.lang, count(*) AS n_docs,
+       |  CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+       |  min(f.doc_id) AS min_doc, max(f.doc_id) AS max_doc
+       |FROM documents f JOIN dim d ON f.source = d.source
+       |WHERE d.m % 2 = 0
+       |GROUP BY 1, 2""".stripMargin
+
   /** Q53 — top-k bigram collocations per source (mirrors
     * TextAnalysis.topBigrams).
     */

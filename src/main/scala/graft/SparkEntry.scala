@@ -274,7 +274,9 @@ object SparkEntry {
     "q166_topk_agg" -> ((s, dir) => Relational.topCustomersAgg(s, dir)),
     "q167_canonical_docs" -> ((s, dir) => Dedup.canonicalDocs(s, dir)),
     "q168_rater_kappa" -> ((s, dir) => TextAnalysis.raterAgreement(s, dir)),
-    "q169_recency_value" -> Relational.recencyValue _
+    "q169_recency_value" -> Relational.recencyValue _,
+    "q170_dpp_rollup" -> ((s, dir) =>
+      graft.sources.GenericSources.dppRollup(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -473,6 +475,7 @@ object SparkEntry {
     "q166_topk_agg" -> OracleSql.q166TopCustomers(),
     "q167_canonical_docs" -> OracleSql.q167CanonicalDocs(),
     "q168_rater_kappa" -> OracleSql.q168RaterAgreement(),
-    "q169_recency_value" -> OracleSql.q169RecencyValue
+    "q169_recency_value" -> OracleSql.q169RecencyValue,
+    "q170_dpp_rollup" -> OracleSql.q170DppRollup
   )
 }

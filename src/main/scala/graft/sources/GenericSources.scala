@@ -107,6 +107,61 @@ object GenericSources {
     summary
   }
 
+  /** The join+rollup half of [[dppRollup]], parameterized on the two
+    * written dirs so PlanQualitySpec can pin the EXACT plan the
+    * registered query executes (the registered form checkpoints and
+    * deletes its temp tree, which erases the plan).
+    *
+    * The dim filter (`min_doc % 2 = 0` — doc-count parity is
+    * degenerate on the uniform test corpus, min-doc parity splits the
+    * sources 10/10 at every SF) is on an attribute that only
+    * exists in the dim FILE — it cannot be rewritten statically onto
+    * the fact's partition column, so pruning the fact scan requires
+    * the runtime mechanism: Catalyst's PartitionPruning inserts a
+    * `dynamicpruning` subquery that evaluates the broadcast dim side
+    * first and feeds the surviving `source` values to the fact scan's
+    * partition filter. At 100 TB this is the difference between
+    * listing/reading the ~half of the partition directories the dim
+    * selects and scanning all of them to throw half away at the join.
+    */
+  private[graft] def dppRollupFrom(s: SparkSession, factDir: String,
+                                   dimDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("min_doc") % 2 === 0)
+    // broadcast keeps the dim reusable as the DPP filter input
+    fact.join(broadcast(dim.select(col("source"))), Seq("source"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Q170 — dynamic-partition-pruning audit: the documents table
+    * written as a source-partitioned parquet tree (the q119 layout)
+    * plus a per-source profile table (doc counts), then joined —
+    * fact ⋈ dim filtered on a dim-only attribute — and rolled up per
+    * (source, lang). Static pruning cannot fire (the predicate is on
+    * the dim's `n_docs`, unknowable from the fact side), so the scan
+    * is pruned at RUNTIME via the DPP subquery; equality with the
+    * declarative oracle over the original table proves the pruned
+    * read complete. See [[dppRollupFrom]] for the mechanism.
+    */
+  def dppRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_dppq")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    writeParquet(docs, s"$out/fact", partitionBy = Seq("source"))
+    writeParquet(
+      docs.groupBy(col("source")).agg(min(col("doc_id")).as("min_doc")),
+      s"$out/dim")
+    val summary = dppRollupFrom(s, s"$out/fact", s"$out/dim")
+      .localCheckpoint() // materialize before the fixture dir vanishes
+    deleteRecursively(out)
+    summary
+  }
+
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator

@@ -369,6 +369,32 @@ class PlanQualitySpec extends SparkSpec {
       s"degree aggregate lost its partial phase:\n$p")
   }
 
+  test("q170: dynamicpruning subquery reaches the partitioned fact scan") {
+    // pin the exact join+rollup plan the registered query executes
+    // (dppRollupFrom), against the same written layout — the
+    // registered form checkpoints and deletes its temp tree, which
+    // erases the plan from the returned DataFrame
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-dpp-q170").toString
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.write.partitionBy("source").mode("overwrite").parquet(s"$out/fact")
+      docs.groupBy(col("source")).agg(min(col("doc_id")).as("min_doc"))
+        .write.mode("overwrite").parquet(s"$out/dim")
+      val df = graft.sources.GenericSources
+        .dppRollupFrom(spark, s"$out/fact", s"$out/dim")
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"no DPP filter on the partitioned fact scan:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"dim side must broadcast (it is also the DPP filter input):\n$p")
+      // and the result is non-degenerate on the test data
+      assert(df.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q159: recursive arm deduplicates the frontier and scans materialized edges") {
     val o = SparkEntry.queries("q159_recursive_reach")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
