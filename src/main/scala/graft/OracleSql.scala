@@ -1481,6 +1481,29 @@ object OracleSql {
        |  max(tus) AS last_tus
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Q171 — rolling-median despeckle (mirrors Smoothing.rollingMedian):
+    * sorted ±half frame per channel, midpoint by index, even (edge)
+    * frames averaged with the IDENTICAL `(a + b) / 2.0` expression —
+    * no quantile-interpolation formula divergence.
+    */
+  def q171RollingMedian(half: Int = 2): String =
+    s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, y FROM read_parquet('$signalGlob')),
+       |fr AS (
+       |  SELECT experiment_id, channel, sample_idx,
+       |    list(y) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY sample_idx
+       |      ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) AS l
+       |  FROM sig
+       |),
+       |srt AS (
+       |  SELECT experiment_id, channel, sample_idx, list_sort(l) AS ls, len(l) AS n
+       |  FROM fr
+       |)
+       |SELECT experiment_id, channel, sample_idx,
+       |  CASE WHEN n % 2 = 1 THEN ls[(n + 1) // 2]
+       |       ELSE (ls[n // 2] + ls[n // 2 + 1]) / 2.0 END AS y_med
+       |FROM srt""".stripMargin
+
   /** Q170 — dynamic-partition-pruned rollup (mirrors
     * GenericSources.dppRollup): the per-(source, lang) rollup of the
     * documents whose source's minimum doc_id is even (splits the
@@ -1650,6 +1673,19 @@ object OracleSql {
     s"""SELECT l.event_id AS l_event, r.event_id AS r_event
        |FROM (SELECT * FROM events WHERE event_type = 'click') l
        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+       |  ON l.user_id = r.user_id
+       | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - ${lookbackMin * 60000000L}
+       |   AND epoch_us(l.ts)""".stripMargin
+
+  /** Q172 — stream-stream FULL OUTER interval join (mirrors
+    * StreamingOps.streamIntervalFullOuterFixture): the batch statement
+    * of the watermark-flushed append output — every click matched or
+    * null-extended AND every view that converted nothing.
+    */
+  def q172StreamIntervalFullOuter(lookbackMin: Int = 30): String =
+    s"""SELECT l.event_id AS l_event, r.event_id AS r_event
+       |FROM (SELECT * FROM events WHERE event_type = 'click') l
+       |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') r
        |  ON l.user_id = r.user_id
        | AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - ${lookbackMin * 60000000L}
        |   AND epoch_us(l.ts)""".stripMargin

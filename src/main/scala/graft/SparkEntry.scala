@@ -276,7 +276,10 @@ object SparkEntry {
     "q168_rater_kappa" -> ((s, dir) => TextAnalysis.raterAgreement(s, dir)),
     "q169_recency_value" -> Relational.recencyValue _,
     "q170_dpp_rollup" -> ((s, dir) =>
-      graft.sources.GenericSources.dppRollup(s, dir))
+      graft.sources.GenericSources.dppRollup(s, dir)),
+    "q171_rolling_median" -> ((s, _) => Smoothing.rollingMedian(sig(s))),
+    "q172_stream_fullouter" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -476,6 +479,8 @@ object SparkEntry {
     "q167_canonical_docs" -> OracleSql.q167CanonicalDocs(),
     "q168_rater_kappa" -> OracleSql.q168RaterAgreement(),
     "q169_recency_value" -> OracleSql.q169RecencyValue,
-    "q170_dpp_rollup" -> OracleSql.q170DppRollup
+    "q170_dpp_rollup" -> OracleSql.q170DppRollup,
+    "q171_rolling_median" -> OracleSql.q171RollingMedian(),
+    "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter()
   )
 }

@@ -105,4 +105,43 @@ object Smoothing {
         when(size(col("_taps")) === window, sgDot(col("_taps"), c)))
       .drop("_taps", "_pos", "_n")
   }
+
+  /** Q171 — rolling-median despeckle: per channel, the median of `y`
+    * over the `±half` sample frame (shrinking at the channel edges —
+    * the first sample's frame is `[0, half]`, the standard
+    * streaming-safe edge rule). The ORDER-STATISTIC counterpart of the
+    * SG smoother: a linear FIR spreads an impulse spike across the
+    * whole window, the median REMOVES it while leaving monotone ramps
+    * bit-identical — which is why despeckle-then-smooth is the classic
+    * front of a peak-detection chain on raw sensor feeds.
+    *
+    * Exactness: the sorted-frame midpoint is picked by index; an
+    * even frame (edge-only here) averages the two middles as ONE
+    * `(a + b) / 2.0` — the oracle computes the identical expression
+    * on DuckDB's `list_sort`, so no quantile-interpolation formula
+    * divergence can enter.
+    *
+    * Scale shape: one channel-keyed exchange (shared with every other
+    * per-channel window in the chain), a BOUNDED ±half frame per row
+    * (O(w) state — never a per-channel sort of the full extent beyond
+    * the one the window ordering already requires), and a narrow
+    * projection out. At 100 TB the frame state is 5 doubles per row in
+    * flight — the despeckle is shuffle-free when the data is already
+    * channel-partitioned.
+    */
+  def rollingMedian(sig: DataFrame, half: Int = 2): DataFrame = {
+    val wfr = Window.partitionBy(keys: _*)
+      .orderBy(col("sample_idx")).rowsBetween(-half, half)
+    sig
+      .withColumn("_ls", sort_array(collect_list(col("y")).over(wfr)))
+      .withColumn("_fn", size(col("_ls")))
+      .withColumn("y_med",
+        when(col("_fn") % 2 === 1,
+          element_at(col("_ls"), ((col("_fn") + 1) / 2).cast("int")))
+        .otherwise(
+          (element_at(col("_ls"), (col("_fn") / 2).cast("int")) +
+            element_at(col("_ls"), (col("_fn") / 2).cast("int") + 1)) / 2.0))
+      .select(col("experiment_id"), col("channel"), col("sample_idx"),
+        col("y_med"))
+  }
 }

@@ -532,7 +532,41 @@ object StreamingOps {
     */
   def streamIntervalOuterFixture(s: SparkSession, dir: String,
                                  lookbackMin: Int = 30,
-                                 wmMin: Int = 35): DataFrame = {
+                                 wmMin: Int = 35): DataFrame =
+    streamIntervalJoinCore(s, dir, lookbackMin, wmMin, "left_outer")
+      .filter(col("l_event") >= 0L)
+
+  /** Q172 (operator/fixture) — stream-stream FULL OUTER interval
+    * join: q123's click⋈view topology with BOTH sides null-extended —
+    * every click accounted for (matched or not) AND every view that
+    * converted nothing surfaced. Completes the streaming join-mode
+    * matrix (inner q58, left-outer q123, full-outer here).
+    *
+    * A right (view) row's eligibility horizon is `r.ts + lookback`
+    * (a FUTURE click up to that far ahead can still match it), so
+    * unmatched-view emission is watermark-driven exactly like q123's
+    * unmatched clicks — the same single sentinel pair riding the
+    * final data batch pushes the watermark past both sides' horizons
+    * and the flush trigger emits all remaining null-extended rows on
+    * both sides. Sentinel hygiene: sentinel rows carry id −1 on BOTH
+    * feeds with equal timestamps, so they match EACH OTHER (never a
+    * real row — user −1 does not occur) and are dropped by the id
+    * filter along with any unmatched sentinel.
+    *
+    * Scale shape: identical to q123 — state bounded by the lookback
+    * horizon per key on both sides.
+    */
+  def streamIntervalFullOuterFixture(s: SparkSession, dir: String,
+                                     lookbackMin: Int = 30,
+                                     wmMin: Int = 35): DataFrame =
+    streamIntervalJoinCore(s, dir, lookbackMin, wmMin, "full_outer")
+      .filter((col("l_event").isNull || col("l_event") >= 0L) &&
+        (col("r_event").isNull || col("r_event") >= 0L))
+
+  private def streamIntervalJoinCore(s: SparkSession, dir: String,
+                                     lookbackMin: Int,
+                                     wmMin: Int,
+                                     joinType: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = s.read.parquet(s"$dir/events.parquet")
@@ -559,12 +593,12 @@ object StreamingOps {
       st.toDS().toDF(idName, "user_id", "us")
         .select(col(idName), col("user_id"),
           expr("timestamp_micros(us)").as("ts"))
-    val name = s"q123_stream_outer_${System.nanoTime()}"
+    val name = s"stream_ij_${joinType}_${System.nanoTime()}"
     withFewStatePartitions(s) {
       val q = intervalJoin(
           side(lStream, "l_event"), side(rStream, "r_event"),
           lookback = s"$lookbackMin minutes", watermark = s"$wmMin minutes",
-          joinType = "left_outer")
+          joinType = joinType)
         .select(col("l_event"), col("r_event"))
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
@@ -593,7 +627,8 @@ object StreamingOps {
         }
       } finally q.stop()
     }
-    s.table(name).filter(col("l_event") >= 0L)
+    // sentinel filtering is the caller's, per join mode
+    s.table(name)
   }
 
   /** q62 — [[dedupStream]] surfaced on the oracle contract: the events

@@ -65,4 +65,34 @@ class SmoothingSpec extends SparkSpec {
       assert(x.getDouble(1) === y.getDouble(1))
     }
   }
+
+  test("rollingMedian: impulse removed, ramp preserved, edge frames shrink") {
+    // ramp 0..9 with an impulse spike at idx 5 (value 100): a ±2
+    // median drops the spike entirely; monotone neighborhoods pass
+    // through unchanged. Edge frames: idx 0 sees [0,1,2] (odd, median
+    // 1.0), idx 1 sees [0,1,2,3] (EVEN — midpoint average (1+2)/2).
+    val ys = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 100.0, 6.0, 7.0, 8.0, 9.0)
+    val out = Smoothing.rollingMedian(frame(ys)).orderBy("sample_idx")
+      .collect().map(_.getAs[Double]("y_med"))
+    // reference model: sorted slice, midpoint by index, even frames
+    // average the two middles — the operator's documented contract
+    val expect = ys.indices.map { i =>
+      val fr = ys.slice(math.max(0, i - 2), math.min(ys.length, i + 3)).sorted
+      val n = fr.length
+      if (n % 2 == 1) fr(n / 2) else (fr(n / 2 - 1) + fr(n / 2)) / 2.0
+    }
+    assert(out.toSeq === expect)
+    // hand-derived pins: odd edge frame [0,1,2] -> 1; even edge frame
+    // [0,1,2,3] -> 1.5; the spike's own frame [3,4,100,6,7] -> 6
+    // (impulse REMOVED — a linear FIR would smear it)
+    assert(expect.head === 1.0 && expect(1) === 1.5 && expect(5) === 6.0)
+    // channels stay independent: two channels, medians computed per channel
+    val two = frame(ys, ch = 0).unionAll(frame(ys.map(_ + 50.0), ch = 1))
+    val byCh = Smoothing.rollingMedian(two).collect()
+      .groupBy(_.getAs[Int]("channel"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("sample_idx"))
+        .map(_.getAs[Double]("y_med")).toSeq).toMap
+    assert(byCh(0) === expect)
+    assert(byCh(1) === expect.map(_ + 50.0))
+  }
 }

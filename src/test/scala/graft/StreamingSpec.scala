@@ -543,6 +543,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q172 full-outer interval join: both sides flush null-extended") {
+    val dir = java.nio.file.Files.createTempDirectory("fullouterj").toString
+    try {
+      val t0 = 1700000000000000L // anchor micros
+      def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000L)
+      // user 1: view 20 min before click -> matched pair
+      // user 2: click with no view -> left null-extended
+      // user 3: view 40 min before click -> OUTSIDE 30-min lookback ->
+      //         BOTH null-extended (click unmatched AND view unmatched)
+      // user 4: view with no click at all -> right null-extended
+      Seq(
+        (10L, ts(100), 1L, "click"), (11L, ts(80), 1L, "view"),
+        (20L, ts(100), 2L, "click"),
+        (30L, ts(100), 3L, "click"), (31L, ts(60), 3L, "view"),
+        (41L, ts(90), 4L, "view"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.streaming.StreamingOps
+        .streamIntervalFullOuterFixture(spark, dir).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got === Set(
+        (Some(10L), Some(11L)), (Some(20L), None), (Some(30L), None),
+        (None, Some(31L)), (None, Some(41L))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q116 streamEnrichFixture equals the batch join-aggregate") {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
     val dir = "/root/testdata/sf0.001"
