@@ -394,14 +394,17 @@ object StreamingOps {
   /** Runs `f` with `spark.sql.shuffle.partitions` temporarily lowered.
     *
     * Stateful streaming operators commit one state-store delta PER
-    * PARTITION PER MICRO-BATCH; the MemoryStream fixtures here push a
-    * few thousand rows through 3-6 micro-batches, so 32 state
+    * PARTITION PER MICRO-BATCH (stream-stream joins commit FOUR
+    * stores per side per partition); the MemoryStream fixtures here
+    * push a few thousand rows through 2-4 micro-batches, so 32 state
     * partitions is ~200 near-empty store commits of pure overhead
-    * (measured 25 s → ~5 s on the interval-join fixture at sf0.1). A
-    * production deployment sizes this by sustained throughput instead;
-    * the conf is restored afterwards either way.
+    * (measured 25 s → ~5 s on the interval-join fixture at sf0.1
+    * going 32 → 8, and 4.2 → 3.0 s steady going 8 → 4 with no
+    * fixture regressing). A production deployment sizes this by
+    * sustained throughput instead; the conf is restored afterwards
+    * either way.
     */
-  private def withFewStatePartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
+  private def withFewStatePartitions[T](s: SparkSession, n: Int = 4)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
