@@ -1481,6 +1481,47 @@ object OracleSql {
        |  max(tus) AS last_tus
        |FROM w GROUP BY 1""".stripMargin
 
+  /** Q173 — Poisson-bootstrap CI (mirrors Relational.bootstrapCi):
+    * identical hash→weight integer thresholds, exact-decimal replicate
+    * sums, index-picked order statistics of the sorted replicate
+    * means.
+    */
+  def q173BootstrapCi(reps: Int = 40): String = {
+    val P = graft.functions.TextHash.P
+    val ts = graft.operators.Relational.poissonThresholds
+    val wCase = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${ts.length} END")
+    val hSql = polyHashSql(
+      "(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+    s"""WITH reps AS (
+       |  SELECT event_type, value, event_id, b
+       |  FROM events, unnest(generate_series(-1, ${reps - 1})) AS t(b)
+       |),
+       |h0 AS (SELECT *, $hSql AS u FROM reps),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS h FROM h2),
+       |wt AS (
+       |  SELECT event_type, value, b,
+       |    CASE WHEN b = -1 THEN 1 ELSE $wCase END AS w
+       |  FROM hs
+       |),
+       |mb AS (
+       |  SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(CAST(value AS DECIMAL(20,6)) * w) AS DOUBLE)
+       |      / nullif(sum(w), 0) AS mb
+       |  FROM wt GROUP BY 1, 2
+       |),
+       |ci AS (
+       |  SELECT event_type, list_sort(list(mb)) AS ms
+       |  FROM mb WHERE b <> -1 GROUP BY 1
+       |)
+       |SELECT b.event_type, b.sw AS n, b.mb AS mean_value,
+       |  ci.ms[2] AS ci_lo, ci.ms[${reps - 1}] AS ci_hi
+       |FROM (SELECT * FROM mb WHERE b = -1) b JOIN ci USING (event_type)""".stripMargin
+  }
+
   /** Q171 — rolling-median despeckle (mirrors Smoothing.rollingMedian):
     * sorted ±half frame per channel, midpoint by index, even (edge)
     * frames averaged with the IDENTICAL `(a + b) / 2.0` expression —

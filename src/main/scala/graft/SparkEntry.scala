@@ -279,7 +279,8 @@ object SparkEntry {
       graft.sources.GenericSources.dppRollup(s, dir)),
     "q171_rolling_median" -> ((s, _) => Smoothing.rollingMedian(sig(s))),
     "q172_stream_fullouter" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir))
+      graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir)),
+    "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -481,6 +482,7 @@ object SparkEntry {
     "q169_recency_value" -> OracleSql.q169RecencyValue,
     "q170_dpp_rollup" -> OracleSql.q170DppRollup,
     "q171_rolling_median" -> OracleSql.q171RollingMedian(),
-    "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter()
+    "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter(),
+    "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi()
   )
 }

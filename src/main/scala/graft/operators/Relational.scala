@@ -1846,6 +1846,102 @@ object Relational {
       .toDF("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
   }
 
+  /** Poisson(1) inverse-CDF thresholds (CDF at k = 0..5) scaled to the
+    * polyHash modulus: a hash value u ∈ [0, P) maps to bootstrap
+    * weight k = #{thresholds ≤ u} — pure INTEGER comparisons, so both
+    * engines derive the identical weight from the identical hash (the
+    * double CDF constants enter only at threshold-construction time,
+    * in one place, here). Shared with the Q173 oracle generator.
+    */
+  private[graft] val poissonThresholds: Seq[Long] = Seq(
+    0.36787944117144233, // e^-1
+    0.7357588823428847,  // + e^-1
+    0.9196986029286058,  // + e^-1/2
+    0.9810118431238462,  // + e^-1/6
+    0.9963401531726563,  // + e^-1/24
+    0.9994058151824183   // + e^-1/120
+  ).map(p => math.floor(p * graft.functions.TextHash.P).toLong)
+
+  /** Quadratic scramble mod P: polyHash is a FINGERPRINT, not a
+    * uniform hash — on short digit strings ("4711:7") it is affine in
+    * the last characters (consecutive replicate ids land 1 apart), so
+    * thresholding it directly gives perfectly CORRELATED weights
+    * across replicates. Two squaring rounds mod the prime break the
+    * lattice (quadratic maps avalanche); every product stays under
+    * (P−1)² < 2^63, so Spark Long and DuckDB BIGINT compute the
+    * identical value with no overflow semantics in play.
+    */
+  private[graft] def scrambleMod(u: Column): Column = {
+    val p = lit(graft.functions.TextHash.P)
+    val v1 = (u * u + lit(12345L)) % p
+    val v2 = (v1 * lit(31L) + u) % p
+    (v2 * v2 + lit(6789L)) % p
+  }
+
+  /** The q173 weight function: scrambled hash of "(id):(replicate)"
+    * thresholded to a Poisson(1) draw. Shared with the spec. */
+  private[graft] def bootstrapWeight(idStr: Column, b: Column): Column = {
+    val u = scrambleMod(graft.functions.TextHash.polyHash(
+      concat(idStr, lit(":"), b.cast("string"))))
+    poissonThresholds.zipWithIndex.reverse
+      .foldLeft(lit(poissonThresholds.length.toLong): Column) {
+        case (acc, (thr, k)) => when(u < lit(thr), k.toLong).otherwise(acc)
+      }
+  }
+
+  /** Q173 — deterministic Poisson-bootstrap confidence interval for
+    * the per-type mean event value: every row gets a pseudo-Poisson(1)
+    * resampling weight per replicate from a hash of (event_id,
+    * replicate) — the standard Poisson approximation to multinomial
+    * bootstrap resampling, and the ONLY bootstrap that runs as a
+    * single distributed pass (true resampling draws n rows with
+    * replacement, which requires global coordination; Poisson weights
+    * are row-local, the classic trick for bootstrapping at scale).
+    * The CI is the (2nd, B−1th) order statistics of the B replicate
+    * means ≈ a 95% interval at B = 40.
+    *
+    * Determinism: the weight is derived from polyHash by integer
+    * threshold comparisons ([[poissonThresholds]]), replicate means
+    * are exact-decimal sums divided as the final operation, and the
+    * order statistics are index picks from the sorted replicate-mean
+    * array — every step bit-equal across engines. A zero-weight
+    * replicate (probability e^{-n} per type — never at n ≥ 50 rows)
+    * would yield a null mean via the nullif guard in both engines.
+    *
+    * Scale shape: the corpus is scanned ONCE — the unweighted base
+    * mean rides the fan-out as replicate −1 with weight 1. The
+    * replicate fan-out is a narrow in-task Generate (×(B+1) rows, no
+    * shuffle); the only exchange carries the (type, replicate)
+    * partial aggregates — (B+1)·|types| rows — and the
+    * order-statistic pass sorts B-element arrays per type.
+    */
+  def bootstrapCi(s: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+    val ev = t(s, dir, "events")
+    val pw = bootstrapWeight(col("event_id").cast("string"), col("b"))
+    // replicate -1 is the UNWEIGHTED base pass (w = 1): the corpus is
+    // scanned once, and the base mean/count ride the same (type, b)
+    // aggregate as the B bootstrap replicates
+    val repMeans = ev
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("b", explode(sequence(lit(-1), lit(reps - 1))))
+      .withColumn("w", when(col("b") === -1L, lit(1L)).otherwise(pw))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        (sum(col("value").cast("decimal(20,6)") * col("w")).cast("double") /
+          nullif(sum(col("w")), lit(0L))).as("mb"))
+    val base = repMeans.filter(col("b") === -1L)
+      .select(col("event_type"), col("sw").as("n"), col("mb").as("mean_value"))
+    val ci = repMeans.filter(col("b") =!= -1L)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(col("mb"))).as("ms"))
+      .select(col("event_type"),
+        element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), reps - 1).as("ci_hi"))
+    base.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean_value"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   /** Q169 — recency-decayed per-user value: Σ value · 2^(−age_days),
     * the exponential recency weighting every feature store applies to
     * behavioral aggregates (half-life = 1 day here). Age anchors to

@@ -835,4 +835,44 @@ class RelationalFamilySpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("bootstrapCi: deterministic, weights are mean-1-ish, CI brackets the sample mean") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.operators.Relational.bootstrapCi(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_value"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi")))).toMap
+    val a = run()
+    // bit-identical across invocations — the weights are hash-derived,
+    // not RNG-derived
+    assert(a === run())
+    assert(a.nonEmpty)
+    a.foreach { case (typ, (n, mean, lo, hi)) =>
+      assert(n > 0, typ)
+      assert(lo <= hi, s"$typ: lo $lo > hi $hi")
+      // the bootstrap distribution re-centers on the sample mean; at
+      // n >= 50 the 2nd/39th order statistics bracket it
+      assert(lo <= mean && mean <= hi, s"$typ: $mean outside [$lo, $hi]")
+      // and the interval is non-degenerate: resampling variance exists
+      assert(hi > lo, typ)
+    }
+    // Poisson(1) weight sanity on the raw mechanism: over all rows and
+    // replicates the mean weight is ~1 (thresholds correctly scaled),
+    // and the weight VARIES across replicates of the same row (the
+    // scramble actually decorrelates — raw polyHash on short strings
+    // is affine in the replicate id and fails this)
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id")).limit(500)
+      .withColumn("b", explode(sequence(lit(0), lit(9))))
+      .withColumn("w", graft.operators.Relational
+        .bootstrapWeight(col("event_id").cast("string"), col("b")))
+    val mw = ev.select(avg(col("w"))).head().getDouble(0)
+    assert(mw > 0.85 && mw < 1.15, s"mean Poisson weight $mw far from 1")
+    val perRow = ev.groupBy("event_id")
+      .agg(countDistinct(col("w")).as("nw"))
+    val varied = perRow.filter(col("nw") >= 2).count().toDouble /
+      perRow.count()
+    assert(varied > 0.9, s"only ${varied * 100}%% of rows vary across replicates")
+  }
 }
