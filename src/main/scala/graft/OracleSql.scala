@@ -1522,6 +1522,43 @@ object OracleSql {
        |FROM (SELECT * FROM mb WHERE b = -1) b JOIN ci USING (event_type)""".stripMargin
   }
 
+  /** Q174 — A/B Welch t-test (mirrors Relational.abWelch): identical
+    * scrambled-hash user assignment, exact decimal power sums, and
+    * textually-mirrored double association in the closed-form finish.
+    */
+  def q174AbWelch: String = {
+    val P = graft.functions.TextHash.P
+    val hSql = polyHashSql("('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH h0 AS (SELECT event_type, value, $hSql AS u FROM events),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS h FROM h2),
+       |byv AS (
+       |  SELECT event_type, h % 2 AS variant,
+       |    CAST(count(value) AS BIGINT) AS n,
+       |    sum(CAST(value AS DECIMAL(12,6))) AS sx,
+       |    sum(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS sxx
+       |  FROM hs GROUP BY 1, 2
+       |),
+       |ab AS (
+       |  SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       |    CAST(a.sx AS DOUBLE) / a.n AS mean_a,
+       |    CAST(b.sx AS DOUBLE) / b.n AS mean_b,
+       |    (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) / a.n)
+       |      / nullif(a.n - 1, 0) AS var_a,
+       |    (CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.n)
+       |      / nullif(b.n - 1, 0) AS var_b
+       |  FROM (SELECT * FROM byv WHERE variant = 0) a
+       |  JOIN (SELECT * FROM byv WHERE variant = 1) b USING (event_type)
+       |),
+       |fin AS (SELECT *, var_a / n_a + var_b / n_b AS se2 FROM ab)
+       |SELECT event_type, n_a, n_b, mean_a, mean_b,
+       |  (mean_a - mean_b) / sqrt(se2) AS t_stat,
+       |  (se2 * se2) / ((var_a / n_a) * (var_a / n_a) / nullif(n_a - 1, 0)
+       |    + (var_b / n_b) * (var_b / n_b) / nullif(n_b - 1, 0)) AS dof
+       |FROM fin""".stripMargin
+  }
+
   /** Q171 — rolling-median despeckle (mirrors Smoothing.rollingMedian):
     * sorted ±half frame per channel, midpoint by index, even (edge)
     * frames averaged with the IDENTICAL `(a + b) / 2.0` expression —

@@ -280,7 +280,8 @@ object SparkEntry {
     "q171_rolling_median" -> ((s, _) => Smoothing.rollingMedian(sig(s))),
     "q172_stream_fullouter" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir)),
-    "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir))
+    "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
+    "q174_ab_welch" -> Relational.abWelch _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -483,6 +484,7 @@ object SparkEntry {
     "q170_dpp_rollup" -> OracleSql.q170DppRollup,
     "q171_rolling_median" -> OracleSql.q171RollingMedian(),
     "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter(),
-    "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi()
+    "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi(),
+    "q174_ab_welch" -> OracleSql.q174AbWelch
   )
 }

@@ -1915,20 +1915,32 @@ object Relational {
     * partial aggregates — (B+1)·|types| rows — and the
     * order-statistic pass sorts B-element arrays per type.
     */
-  def bootstrapCi(s: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+  /** The single-pass (type, replicate) aggregate behind [[bootstrapCi]]
+    * — exposed uncheckpointed so PlanQualitySpec can pin its shape
+    * (one corpus relation, narrow Generate fan-out). */
+  private[graft] def bootstrapRepMeans(s: SparkSession, dir: String,
+                                       reps: Int): DataFrame = {
     val ev = t(s, dir, "events")
     val pw = bootstrapWeight(col("event_id").cast("string"), col("b"))
     // replicate -1 is the UNWEIGHTED base pass (w = 1): the corpus is
     // scanned once, and the base mean/count ride the same (type, b)
     // aggregate as the B bootstrap replicates
-    val repMeans = ev
-      .select(col("event_type"), col("value"), col("event_id"))
+    ev.select(col("event_type"), col("value"), col("event_id"))
       .withColumn("b", explode(sequence(lit(-1), lit(reps - 1))))
       .withColumn("w", when(col("b") === -1L, lit(1L)).otherwise(pw))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("sw"),
         (sum(col("value").cast("decimal(20,6)") * col("w")).cast("double") /
           nullif(sum(col("w")), lit(0L))).as("mb"))
+  }
+
+  def bootstrapCi(s: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+    // materialize the (B+1)·|types| aggregate BEFORE the base/CI
+    // branches consume it: without this Catalyst inlines the whole
+    // fan-out subtree into BOTH join branches — two corpus scans and
+    // two evaluations of the weight CASE (the plan pin caught exactly
+    // that). The checkpoint is ~200 rows.
+    val repMeans = bootstrapRepMeans(s, dir, reps).localCheckpoint()
     val base = repMeans.filter(col("b") === -1L)
       .select(col("event_type"), col("sw").as("n"), col("mb").as("mean_value"))
     val ci = repMeans.filter(col("b") =!= -1L)
@@ -1940,6 +1952,69 @@ object Relational {
     base.join(ci, Seq("event_type"))
       .select(col("event_type"), col("n"), col("mean_value"),
         col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Q174 — Welch's t-test between deterministically hash-assigned
+    * A/B variants, per event type: variant = scrambled hash of the
+    * USER id mod 2 (unit of randomization is the user — all of a
+    * user's events share a variant, the standard interference-safe
+    * assignment), then the unequal-variance t statistic and
+    * Welch–Satterthwaite degrees of freedom between the two arms'
+    * value distributions. Because assignment is independent of
+    * everything, this is an A/A test by construction — the pipeline
+    * validation every experimentation system runs to certify its
+    * assignment and its statistics before real treatments ship.
+    *
+    * Exactness: per-(type, variant) n/Σx/Σx² are EXACT decimal power
+    * sums (the q68/q114 discipline); every double enters only in the
+    * closed-form finish, with the association order mirrored
+    * textually in the oracle (sqrt is correctly rounded IEEE — the
+    * one libm-adjacent call that IS bit-portable). Degenerate arms
+    * (n ≤ 1) yield null variance via the nullif guard in both
+    * engines.
+    *
+    * Scale shape: one corpus scan into a partial+final hash aggregate
+    * of 2·|types| rows, localCheckpoint-materialized (the q173
+    * lesson: branching a lazy aggregate into a self-join inlines the
+    * scan into both branches), then a tiny variant-0 ⋈ variant-1
+    * join and a narrow projection of the test statistics.
+    */
+  def abWelch(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val h = scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("ab:"), col("user_id").cast("string"))))
+    val vdec = col("value").cast("decimal(12,6)")
+    val byVar = ev
+      .withColumn("variant", (h % 2).cast("int"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(col("value")).as("n"),
+        sum(vdec).as("sx"),
+        sum(vdec * vdec).as("sxx"))
+      .localCheckpoint()
+    def arm(v: Int, sfx: String): DataFrame =
+      byVar.filter(col("variant") === v).select(col("event_type"),
+        col("n").as(s"n_$sfx"), col("sx").as(s"sx_$sfx"),
+        col("sxx").as(s"sxx_$sfx"))
+    def meanOf(sfx: String): Column =
+      col(s"sx_$sfx").cast("double") / col(s"n_$sfx")
+    def varOf(sfx: String): Column =
+      (col(s"sxx_$sfx").cast("double") -
+        col(s"sx_$sfx").cast("double") * col(s"sx_$sfx").cast("double") /
+          col(s"n_$sfx")) /
+        nullif(col(s"n_$sfx") - 1L, lit(0L))
+    val joined = arm(0, "a").join(arm(1, "b"), Seq("event_type"))
+      .withColumn("mean_a", meanOf("a")).withColumn("mean_b", meanOf("b"))
+      .withColumn("var_a", varOf("a")).withColumn("var_b", varOf("b"))
+      .withColumn("se2",
+        col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+    joined.select(col("event_type"), col("n_a"), col("n_b"),
+      col("mean_a"), col("mean_b"),
+      ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t_stat"),
+      ((col("se2") * col("se2")) /
+        ((col("var_a") / col("n_a")) * (col("var_a") / col("n_a")) /
+          nullif(col("n_a") - 1L, lit(0L)) +
+         (col("var_b") / col("n_b")) * (col("var_b") / col("n_b")) /
+          nullif(col("n_b") - 1L, lit(0L)))).as("dof"))
   }
 
   /** Q169 — recency-decayed per-user value: Σ value · 2^(−age_days),

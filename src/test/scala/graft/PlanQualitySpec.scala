@@ -395,6 +395,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q171: one channel-keyed window pass with a bounded frame") {
+    val p = plan("q171_rolling_median")
+    // exactly one Window node, partitioned (the class-wide sweep pins
+    // non-emptiness of partitionBy; this pins the count)
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1,
+      s"expected exactly one window pass:\n$p")
+    // the frame is ROWS BETWEEN -2 AND 2 — bounded, never unbounded
+    assert(!p.toLowerCase.contains("unboundedpreceding"),
+      s"rolling frame degraded to unbounded:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q173: one corpus scan; replicate fan-out is a narrow Generate") {
+    // the fan-out aggregate: ONE events relation, explode fan-out
+    val agg = graft.operators.Relational
+      .bootstrapRepMeans(spark, sfDir, 40)
+      .queryExecution.optimizedPlan.toString()
+    assert("Relation \\[".r.findAllIn(agg).size === 1,
+      s"fan-out pass must scan the corpus exactly once:\n$agg")
+    assert(agg.contains("Generate explode"),
+      s"fan-out lost its Generate:\n$agg")
+    // the registered query materializes that aggregate BEFORE the
+    // base/CI branches: the final plan must carry NO parquet relation
+    // at all (both branches read the ~200-row checkpoint) — without
+    // the checkpoint Catalyst inlines the subtree into both join
+    // branches and scans the corpus twice
+    val p = SparkEntry.queries("q173_bootstrap_ci")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    assert(!p.contains("parquet"),
+      s"a branch re-scans the corpus instead of the checkpoint:\n$p")
+  }
+
   test("q159: recursive arm deduplicates the frontier and scans materialized edges") {
     val o = SparkEntry.queries("q159_recursive_reach")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()

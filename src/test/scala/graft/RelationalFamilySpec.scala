@@ -875,4 +875,27 @@ class RelationalFamilySpec extends SparkSpec {
       perRow.count()
     assert(varied > 0.9, s"only ${varied * 100}%% of rows vary across replicates")
   }
+
+  test("abWelch: A/A by construction — balanced arms, finite sane statistics, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.operators.Relational.abWelch(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("t_stat"), r.getAs[Double]("dof")))).toMap
+    val a = run()
+    assert(a === run()) // hash assignment, not RNG
+    assert(a.nonEmpty)
+    a.foreach { case (typ, (na, nb, t, dof)) =>
+      // hash balance: neither arm may collapse (binomial far tail)
+      assert(na > 0 && nb > 0, typ)
+      val frac = na.toDouble / (na + nb)
+      assert(frac > 0.3 && frac < 0.7, s"$typ: arm imbalance $frac")
+      // A/A: same distribution in both arms — |t| in a sane range
+      // (|t| > 6 would be a broken assignment or broken statistic)
+      assert(!t.isNaN && math.abs(t) < 6.0, s"$typ: t=$t")
+      // Welch dof lies in [min(n)-1, n_a+n_b-2]
+      assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2,
+        s"$typ: dof $dof outside bounds")
+    }
+  }
 }
