@@ -1492,13 +1492,12 @@ object OracleSql {
     val wCase = ts.zipWithIndex
       .map { case (t, k) => s"WHEN h < $t THEN $k" }
       .mkString("CASE ", " ", s" ELSE ${ts.length} END")
-    val hSql = polyHashSql(
-      "(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR))")
+    val u0Sql = polyHashSql("CAST(event_id AS VARCHAR)")
     s"""WITH reps AS (
-       |  SELECT event_type, value, event_id, b
+       |  SELECT event_type, value, $u0Sql AS u0, b
        |  FROM events, unnest(generate_series(-1, ${reps - 1})) AS t(b)
        |),
-       |h0 AS (SELECT *, $hSql AS u FROM reps),
+       |h0 AS (SELECT *, (u0 * 31 + (b + 2)) % $P AS u FROM reps),
        |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
        |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
        |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS h FROM h2),

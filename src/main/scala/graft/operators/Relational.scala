@@ -1878,21 +1878,34 @@ object Relational {
     (v2 * v2 + lit(6789L)) % p
   }
 
-  /** The q173 weight function: scrambled hash of "(id):(replicate)"
-    * thresholded to a Poisson(1) draw. Shared with the spec. */
-  private[graft] def bootstrapWeight(idStr: Column, b: Column): Column = {
-    val u = scrambleMod(graft.functions.TextHash.polyHash(
-      concat(idStr, lit(":"), b.cast("string"))))
+  /** The q173 weight function: the row's base hash `u0` mixed with the
+    * replicate id arithmetically, scrambled, thresholded to a
+    * Poisson(1) draw. Taking `u0` (NOT the raw string) keeps the
+    * expensive per-character polyHash OUT of the replicate fan-out —
+    * hash once per row, then integer ops per (row, replicate). The
+    * caller should materialize the scrambled hash into a real column
+    * before thresholding when the fan-out is large (see
+    * [[bootstrapRepMeans]]): the when-chain textually duplicates its
+    * probe into every branch, which round 6 measured as a 31 s query
+    * when the duplicated probe was the string hash itself.
+    */
+  private[graft] def bootstrapWeight(u0: Column, b: Column): Column =
+    weightFromHash(scrambleMod(
+      (u0 * lit(31L) + (b.cast("long") + lit(2L))) %
+        lit(graft.functions.TextHash.P)))
+
+  /** Poisson(1) threshold chain over an (ideally column-backed)
+    * scrambled hash. */
+  private[graft] def weightFromHash(h: Column): Column =
     poissonThresholds.zipWithIndex.reverse
       .foldLeft(lit(poissonThresholds.length.toLong): Column) {
-        case (acc, (thr, k)) => when(u < lit(thr), k.toLong).otherwise(acc)
+        case (acc, (thr, k)) => when(h < lit(thr), k.toLong).otherwise(acc)
       }
-  }
 
   /** Q173 — deterministic Poisson-bootstrap confidence interval for
     * the per-type mean event value: every row gets a pseudo-Poisson(1)
-    * resampling weight per replicate from a hash of (event_id,
-    * replicate) — the standard Poisson approximation to multinomial
+    * resampling weight per replicate from its id hash mixed with the
+    * replicate id — the standard Poisson approximation to multinomial
     * bootstrap resampling, and the ONLY bootstrap that runs as a
     * single distributed pass (true resampling draws n rows with
     * replacement, which requires global coordination; Poisson weights
@@ -1921,13 +1934,24 @@ object Relational {
   private[graft] def bootstrapRepMeans(s: SparkSession, dir: String,
                                        reps: Int): DataFrame = {
     val ev = t(s, dir, "events")
-    val pw = bootstrapWeight(col("event_id").cast("string"), col("b"))
     // replicate -1 is the UNWEIGHTED base pass (w = 1): the corpus is
     // scanned once, and the base mean/count ride the same (type, b)
-    // aggregate as the B bootstrap replicates
+    // aggregate as the B bootstrap replicates. Staging discipline:
+    // the per-character polyHash lands in `_u0` BELOW the explode
+    // (once per row, Generate carries the value), and the scrambled
+    // hash lands in `_h` as a real column so the threshold when-chain
+    // duplicates only a column reference — inlined, the chain
+    // re-evaluated the string hash ~30x per fan-out row (31 s at
+    // sf0.1; 2 s staged).
     ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("_u0", graft.functions.TextHash.polyHash(
+        col("event_id").cast("string")))
       .withColumn("b", explode(sequence(lit(-1), lit(reps - 1))))
-      .withColumn("w", when(col("b") === -1L, lit(1L)).otherwise(pw))
+      .withColumn("_h", scrambleMod(
+        (col("_u0") * lit(31L) + (col("b").cast("long") + lit(2L))) %
+          lit(graft.functions.TextHash.P)))
+      .withColumn("w",
+        when(col("b") === -1L, lit(1L)).otherwise(weightFromHash(col("_h"))))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("sw"),
         (sum(col("value").cast("decimal(20,6)") * col("w")).cast("double") /
@@ -1935,6 +1959,8 @@ object Relational {
   }
 
   def bootstrapCi(s: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+    require(reps >= 4,
+      s"bootstrap order statistics (2nd, B-1th) need B >= 4, got $reps")
     // materialize the (B+1)·|types| aggregate BEFORE the base/CI
     // branches consume it: without this Catalyst inlines the whole
     // fan-out subtree into BOTH join branches — two corpus scans and

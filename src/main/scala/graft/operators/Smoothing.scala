@@ -130,6 +130,7 @@ object Smoothing {
     * channel-partitioned.
     */
   def rollingMedian(sig: DataFrame, half: Int = 2): DataFrame = {
+    require(half >= 1, s"rolling median needs a frame (half >= 1), got $half")
     val wfr = Window.partitionBy(keys: _*)
       .orderBy(col("sample_idx")).rowsBetween(-half, half)
     sig

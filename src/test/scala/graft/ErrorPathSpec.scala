@@ -38,4 +38,18 @@ class ErrorPathSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("parameter contracts fail loudly, not with corrupt output") {
+    import spark.implicits._
+    val sig = Seq(("e", 0, 0L, 0.0, 1.0))
+      .toDF("experiment_id", "channel", "sample_idx", "t", "y")
+    intercept[IllegalArgumentException] {
+      graft.operators.Smoothing.rollingMedian(sig, half = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Relational.bootstrapCi(spark,
+        "/root/testdata/sf0.001", reps = 3)
+    }
+    intercept[IllegalArgumentException] { new graft.functions.TopKByValue(0) }
+  }
 }

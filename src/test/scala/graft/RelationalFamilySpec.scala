@@ -864,9 +864,11 @@ class RelationalFamilySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id")).limit(500)
+      .withColumn("_u0", graft.functions.TextHash.polyHash(
+        col("event_id").cast("string")))
       .withColumn("b", explode(sequence(lit(0), lit(9))))
       .withColumn("w", graft.operators.Relational
-        .bootstrapWeight(col("event_id").cast("string"), col("b")))
+        .bootstrapWeight(col("_u0"), col("b")))
     val mw = ev.select(avg(col("w"))).head().getDouble(0)
     assert(mw > 0.85 && mw < 1.15, s"mean Poisson weight $mw far from 1")
     val perRow = ev.groupBy("event_id")
