@@ -1521,6 +1521,30 @@ object OracleSql {
        |FROM (SELECT * FROM mb WHERE b = -1) b JOIN ci USING (event_type)""".stripMargin
   }
 
+  /** Q175 — overlapping chunking (mirrors TextAnalysis.chunkDocs):
+    * same tokenization, same stride fan-out, same polyHash of the
+    * space-rejoined token slice.
+    */
+  def q175ChunkDocs(chunkSize: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, len(tk) AS n, start
+       |  FROM t, unnest(generate_series(0, len(tk) - 1, $stride)) AS g(start)
+       |  WHERE len(tk) > 0
+       |),
+       |s AS (
+       |  SELECT doc_id, start // $stride AS chunk_idx, start AS start_tok,
+       |    least($chunkSize, n - start) AS sz, tk
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(sz AS BIGINT) AS n_tokens,
+       |  ${polyHashSql("array_to_string(tk[start_tok + 1 : start_tok + sz], ' ')")} AS fp,
+       |  tk[start_tok + 1] AS first_tok,
+       |  tk[start_tok + sz] AS last_tok
+       |FROM s""".stripMargin
+
   /** Q174 — A/B Welch t-test (mirrors Relational.abWelch): identical
     * scrambled-hash user assignment, exact decimal power sums, and
     * textually-mirrored double association in the closed-form finish.

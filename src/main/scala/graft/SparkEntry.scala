@@ -281,7 +281,8 @@ object SparkEntry {
     "q172_stream_fullouter" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir)),
     "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
-    "q174_ab_welch" -> Relational.abWelch _
+    "q174_ab_welch" -> Relational.abWelch _,
+    "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -485,6 +486,7 @@ object SparkEntry {
     "q171_rolling_median" -> OracleSql.q171RollingMedian(),
     "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter(),
     "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi(),
-    "q174_ab_welch" -> OracleSql.q174AbWelch
+    "q174_ab_welch" -> OracleSql.q174AbWelch,
+    "q175_chunking" -> OracleSql.q175ChunkDocs()
   )
 }

@@ -359,6 +359,43 @@ object TextAnalysis {
       .select("src_a", "src_b", "inter", "jaccard")
   }
 
+  /** Q175 — overlapping document chunking: each document split into
+    * `chunkSize`-token windows every `stride` tokens (trailing
+    * partial chunks kept) — the RAG/embedding-ingest preprocessing
+    * fan-out. Each chunk row carries its index, token offset, length,
+    * a polyHash fingerprint of the space-rejoined token slice (stable
+    * chunk identity without shipping chunk text), and its boundary
+    * tokens.
+    *
+    * Scale shape: a pure NARROW transform — tokenize, explode the
+    * start offsets (in-task Generate), slice, hash; ZERO exchanges in
+    * the whole plan (pinned by PlanQualitySpec). At 100 TB this is
+    * the ideal shape: chunking parallelizes per input split with no
+    * coordination, and downstream (embedding, dedup) consumes the
+    * fingerprint instead of re-hashing text.
+    */
+  def chunkDocs(s: SparkSession, dir: String, chunkSize: Int = 64,
+                stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got stride=$stride size=$chunkSize")
+    docs(s, dir)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0L)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n") - 1L, lit(stride.toLong))))
+      .withColumn("sz", least(lit(chunkSize.toLong), col("n") - col("start")))
+      .select(col("doc_id"),
+        expr(s"start div $stride").as("chunk_idx"),
+        col("start").as("start_tok"),
+        col("sz").as("n_tokens"),
+        TextHash.polyHash(array_join(
+          slice(col("tk"), (col("start") + 1L).cast("int"),
+            col("sz").cast("int")), " ")).as("fp"),
+        element_at(col("tk"), (col("start") + 1L).cast("int")).as("first_tok"),
+        element_at(col("tk"), (col("start") + col("sz")).cast("int")).as("last_tok"))
+  }
+
   /** Q53 — top-k bigram collocations per source: the corpus-QA query
     * behind boilerplate/template detection (a dominant bigram is a
     * scrape artifact). Counts shuffle keyed by (source, bigram) with

@@ -322,4 +322,35 @@ class TextFamilySpec extends SparkSpec {
       assert(rows(2L)._4 === 3L)
     }
   }
+
+  test("chunkDocs: stride windows with trailing partials; zero-shuffle plan") {
+    // doc 0: tokens t0..t9 (n=10), size=4 stride=3 -> starts 0,3,6,9
+    // with lengths 4,4,4,1 (trailing partial kept, windows overlap by
+    // one token); doc 1: 2 tokens -> one partial chunk
+    withDocsDir(Seq((0 until 10).map(i => s"t$i").mkString(" "), "a b")) { dir =>
+      val out = TextAnalysis.chunkDocs(spark, dir, chunkSize = 4, stride = 3)
+      val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("n_tokens"), r.getAs[String]("first_tok"),
+        r.getAs[String]("last_tok"))).sortBy(x => (x._1, x._2)).toSeq
+      assert(rows === Seq(
+        (0L, 0L, 0L, 4L, "t0", "t3"),
+        (0L, 1L, 3L, 4L, "t3", "t6"),
+        (0L, 2L, 6L, 4L, "t6", "t9"),
+        (0L, 3L, 9L, 1L, "t9", "t9"),
+        (1L, 0L, 0L, 2L, "a", "b")))
+      // identical chunk content -> identical fingerprint, regardless
+      // of source document (the dedup-join contract)
+      val fps = TextAnalysis.chunkDocs(spark, dir, 4, 3)
+        .filter($"n_tokens" === 1 && $"first_tok" === "t9")
+        .select("fp").collect().map(_.getLong(0))
+      assert(fps.length === 1)
+      // chunking is a pure narrow transform: no exchange anywhere
+      val p = out.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+      intercept[IllegalArgumentException] {
+        TextAnalysis.chunkDocs(spark, dir, chunkSize = 4, stride = 5)
+      }
+    }
+  }
 }
