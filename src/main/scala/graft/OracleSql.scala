@@ -944,6 +944,40 @@ object OracleSql {
        |  unnest(range(0, CASE WHEN len(text) = 0 THEN 0
        |                       ELSE (len(text) - 1) // $stride + 1 END)) AS g(f)""".stripMargin
 
+  /** Q176 — shot segmentation (mirrors Multimodal.sceneCuts): the
+    * q21b frame derivation, lag delta, running cut-count shot ids,
+    * exact integer rollups.
+    */
+  def q176SceneCuts(threshold: Int = 48,
+                    stride: Int = graft.operators.Multimodal.frameStride): String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, f AS frame_idx,
+       |    ascii(substring(text, 1 + CAST(f AS INTEGER) * $stride, 1)) AS byte_val
+       |  FROM documents,
+       |    unnest(range(0, CASE WHEN len(text) = 0 THEN 0
+       |                         ELSE (len(text) - 1) // $stride + 1 END)) AS g(f)
+       |),
+       |lg AS (
+       |  SELECT doc_id, frame_idx, byte_val,
+       |    lag(byte_val) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM fr
+       |),
+       |ct AS (
+       |  SELECT *, CASE WHEN prev IS NOT NULL
+       |      AND abs(byte_val - prev) >= $threshold THEN 1 ELSE 0 END AS cut
+       |  FROM lg
+       |),
+       |sh AS (
+       |  SELECT *, sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+       |  FROM ct
+       |)
+       |SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+       |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+       |  CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(byte_val) AS BIGINT) AS sum_sig
+       |FROM sh GROUP BY 1, 2""".stripMargin
+
   /** Q22 — streaming interior smooth: the incremental smoother emits
     * exactly the batch SG values on interior samples (the pad region
     * is never emitted — StreamingOps contract).

@@ -282,7 +282,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamIntervalFullOuterFixture(s, dir)),
     "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
     "q174_ab_welch" -> Relational.abWelch _,
-    "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir))
+    "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
+    "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -487,6 +488,7 @@ object SparkEntry {
     "q172_stream_fullouter" -> OracleSql.q172StreamIntervalFullOuter(),
     "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi(),
     "q174_ab_welch" -> OracleSql.q174AbWelch,
-    "q175_chunking" -> OracleSql.q175ChunkDocs()
+    "q175_chunking" -> OracleSql.q175ChunkDocs(),
+    "q176_scene_cuts" -> OracleSql.q176SceneCuts()
   )
 }

@@ -158,4 +158,37 @@ object Multimodal {
         col("n_copies"), col("survivor_id"),
         (col("doc_id") === col("survivor_id")).cast("long").as("keep"))
   }
+
+  /** Q176 — shot segmentation over the sampled frame stream: a CUT
+    * wherever consecutive frame signatures jump by ≥ `threshold`, a
+    * SHOT = the maximal run between cuts (running cut-count as shot
+    * id — the gaps-and-islands discipline), rolled up to one row per
+    * (blob, shot) with its frame span and exact signature sum. This
+    * is the video shot-boundary detector every frame-level training
+    * pipeline runs before per-shot sampling/captioning; the byte_val
+    * stands in for a real frame embedding distance exactly as q21b's
+    * frames stand in for decoded frames (no codecs in the container —
+    * the WINDOWED detection plumbing is what is real and tested).
+    *
+    * Scale shape: one blob-keyed window pass (lag + running sum share
+    * the exchange and sort; frames per blob are bounded by blob size
+    * / stride) feeding a (blob, shot)-keyed partial+final aggregate.
+    * Signature deltas and sums are exact integers.
+    */
+  def sceneCuts(s: SparkSession, dir: String, threshold: Int = 48): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameSamples(s, dir)
+      .withColumn("prev", lag(col("byte_val"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("byte_val") - col("prev")) >= threshold, 1L).otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("byte_val").cast("long")).as("sum_sig"))
+  }
 }

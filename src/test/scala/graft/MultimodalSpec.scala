@@ -80,4 +80,31 @@ class MultimodalSpec extends SparkSpec {
       assert(out(0).getSeq[Float](1).length === 4)
     }
   }
+
+  test("sceneCuts: cuts at signature jumps, shots are maximal runs, exact rollups") {
+    // frame bytes come from positions 0, 32, 64, 96: craft a 97-char
+    // text with 'a'(97), 'a'(97), ' '(32), 'z'(122) there ->
+    // deltas 0, -65, +90 vs threshold 48 -> cuts before frames 2 and
+    // 3 -> shots [0,1], [2], [3]
+    val t = new StringBuilder("b" * 97)
+    t.setCharAt(0, 'a'); t.setCharAt(32, 'a')
+    t.setCharAt(64, ' '); t.setCharAt(96, 'z')
+    withDocsDir(Seq(t.toString)) { dir =>
+      val rows = Multimodal.sceneCuts(spark, dir).collect()
+        .map(r => r.getAs[Long]("shot_id") ->
+          ((r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"),
+            r.getAs[Long]("n_frames"), r.getAs[Long]("sum_sig")))).toMap
+      assert(rows === Map(
+        0L -> ((0L, 1L, 2L, 194L)),  // 97 + 97
+        1L -> ((2L, 2L, 1L, 32L)),   // the space frame
+        2L -> ((3L, 3L, 1L, 122L)))) // 'z'
+      // a single-frame blob is one shot with no cuts
+      withDocsDir(Seq("x")) { d2 =>
+        val one = Multimodal.sceneCuts(spark, d2).collect()
+        assert(one.length === 1)
+        assert(one.head.getAs[Long]("n_frames") === 1L)
+        assert(one.head.getAs[Long]("sum_sig") === 'x'.toLong)
+      }
+    }
+  }
 }
