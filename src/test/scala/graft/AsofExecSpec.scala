@@ -112,6 +112,44 @@ class AsofExecSpec extends SparkSpec {
     assert(viaExec.filter($"next_click_tsn" === $"tsn").count() > 0)
   }
 
+  test("property: native exec equals an independent brute-force model (both directions, with/without tolerance)") {
+    // the other equivalence tests compare against the union+window
+    // twin; this one checks a THIRD, structurally unrelated model —
+    // per left row, scan all right rows and pick the
+    // nearest-at-or-before/after — so a shared misconception between
+    // the two production forms cannot hide
+    for (seed <- Seq(3, 41)) {
+      val rng = new scala.util.Random(seed)
+      val lRows = (1 to 300).map(i =>
+        (i.toLong, s"k${rng.nextInt(12)}", rng.nextInt(100).toLong))
+      val rRows = (1 to 200).map { i =>
+        (s"k${rng.nextInt(12)}", rng.nextInt(100).toLong)
+      }.distinct.map { case (k, t) => (k, t, rng.nextDouble()) }
+      val l = lRows.toDF("event_id", "user_id", "tsn")
+      val r = rRows.toDF("user_id", "click_tsn", "click_value")
+      for (fwd <- Seq(false, true); tol <- Seq(None, Some(7L))) {
+        val got = (if (fwd)
+            AsofJoinPlan.forward(l, r, Seq("user_id"), "tsn", "click_tsn",
+              Seq("click_value"), "m_", toleranceUs = tol)
+          else
+            AsofJoinPlan.backward(l, r, Seq("user_id"), "tsn", "click_tsn",
+              Seq("click_value"), "m_", toleranceUs = tol))
+          .collect().map(x => x.getLong(0) ->
+            (if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toMap
+        val want = lRows.map { case (id, k, t) =>
+          val cand = rRows.filter(_._1 == k)
+            .filter(c => if (fwd) c._2 >= t else c._2 <= t)
+          val best =
+            if (cand.isEmpty) None
+            else Some(if (fwd) cand.minBy(_._2) else cand.maxBy(_._2))
+          id -> best.filter(c => tol.forall(d => math.abs(c._2 - t) <= d))
+            .map(_._3)
+        }.toMap
+        assert(got === want, s"seed=$seed fwd=$fwd tol=$tol")
+      }
+    }
+  }
+
   test("null times: forward never matches them; backward treats a null right as before everything") {
     // left: one real-time row and one null-time row per user
     val l = Seq((1L, "u1", Some(5L)), (2L, "u1", None))
