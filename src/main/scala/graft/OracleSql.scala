@@ -978,6 +978,54 @@ object OracleSql {
        |  CAST(sum(byte_val) AS BIGINT) AS sum_sig
        |FROM sh GROUP BY 1, 2""".stripMargin
 
+  /** Q177 — perceptual dHash signatures + banded-LSH neighborhood
+    * stats (mirrors Multimodal.phashBands): nearest-neighbor resize
+    * to 65 samples, bit i = sample(i+1) > sample(i) packed as two
+    * 32-bit halves, 4×16-bit bands, neighbor counts and min Hamming.
+    */
+  def q177PhashBands(): String =
+    s"""WITH rs AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |    ascii(substring(text, 1 + CAST(i * len(text) // 65 AS INTEGER), 1)) AS bv
+       |  FROM documents, unnest(range(0, 65)) AS g(i)
+       |  WHERE len(text) > 0
+       |),
+       |bits AS (
+       |  SELECT a.doc_id, a.i AS bit,
+       |    CASE WHEN b.bv > a.bv THEN 1 ELSE 0 END AS von
+       |  FROM rs a JOIN rs b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  WHERE a.i < 64
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN bit < 32
+       |      THEN von * (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS ph_lo,
+       |    CAST(sum(CASE WHEN bit >= 32
+       |      THEN von * (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS ph_hi
+       |  FROM bits GROUP BY doc_id
+       |),
+       |blocks AS (
+       |  SELECT doc_id, ph_lo, ph_hi, b,
+       |    CASE b WHEN 0 THEN ph_lo & 65535 WHEN 1 THEN (ph_lo >> 16) & 65535
+       |           WHEN 2 THEN ph_hi & 65535 ELSE (ph_hi >> 16) & 65535 END AS bk
+       |  FROM sig, generate_series(0, 3) AS g(b)
+       |),
+       |nbr AS (
+       |  SELECT doc_id, count(*) AS n_band_neighbors,
+       |    CAST(min(hamming) AS BIGINT) AS min_hamming
+       |  FROM (
+       |    SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS nbr_id,
+       |      bit_count(xor(x.ph_lo, y.ph_lo)) + bit_count(xor(x.ph_hi, y.ph_hi)) AS hamming
+       |    FROM blocks x JOIN blocks y
+       |      ON x.b = y.b AND x.bk = y.bk AND x.doc_id <> y.doc_id
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, s.ph_lo, s.ph_hi,
+       |  coalesce(n.n_band_neighbors, 0) AS n_band_neighbors, n.min_hamming
+       |FROM documents d
+       |LEFT JOIN sig s USING (doc_id)
+       |LEFT JOIN nbr n ON d.doc_id = n.doc_id""".stripMargin
+
   /** Q22 — streaming interior smooth: the incremental smoother emits
     * exactly the batch SG values on interior samples (the pad region
     * is never emitted — StreamingOps contract).

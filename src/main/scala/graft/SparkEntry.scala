@@ -283,7 +283,8 @@ object SparkEntry {
     "q173_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
     "q174_ab_welch" -> Relational.abWelch _,
     "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
-    "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir))
+    "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
+    "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -489,6 +490,7 @@ object SparkEntry {
     "q173_bootstrap_ci" -> OracleSql.q173BootstrapCi(),
     "q174_ab_welch" -> OracleSql.q174AbWelch,
     "q175_chunking" -> OracleSql.q175ChunkDocs(),
-    "q176_scene_cuts" -> OracleSql.q176SceneCuts()
+    "q176_scene_cuts" -> OracleSql.q176SceneCuts(),
+    "q177_phash_bands" -> OracleSql.q177PhashBands()
   )
 }

@@ -159,6 +159,74 @@ object Multimodal {
         (col("doc_id") === col("survivor_id")).cast("long").as("keep"))
   }
 
+  /** Q177 — perceptual near-dup hashing (dHash) over the media
+    * column: each blob is nearest-neighbor-resized to `phashWidth`+1
+    * samples (the q21c resize plumbing at width 65), and bit i of the
+    * 64-bit signature is set iff sample i+1 > sample i — the
+    * difference-hash every image-dedup pipeline computes on the 9×8
+    * grayscale thumbnail (here the 1-D byte analog; a real deployment
+    * swaps the byte sampler for the decoded-pixel grid and keeps the
+    * identical packing/banding). The signature is carried as two
+    * BIGINT-safe 32-bit halves like q15d's SimHash.
+    *
+    * Where q139 is the EXACT media dedup (cryptographic checksum),
+    * this is the NEAR dedup: re-encoded/resized copies keep a close
+    * dHash but change every byte of the file. The output is one row
+    * per blob with its signature plus its banded-LSH neighborhood
+    * stats — how many other blobs share a 16-bit band (the candidate
+    * set a pair-join would verify; pigeonhole-exact for Hamming ≤ 3)
+    * and the minimum Hamming distance among those candidates.
+    *
+    * Scale shape: signatures are one mapPartitions pass (media bytes
+    * never shuffle — only (id, 2×long) rows enter the exchange); the
+    * band self-join is the q15d blocked join (~n²/2^16 per band
+    * expected candidates, never all-pairs); stats re-aggregate
+    * doc-keyed. Empty blobs carry null signatures and skip banding.
+    */
+  def phashBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 65
+    val sig = blobs(s, dir).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        if (bytes.isEmpty) (id, None: Option[Long], None: Option[Long])
+        else {
+          val out = new Array[Int](w)
+          var i = 0
+          while (i < w) {
+            out(i) = bytes((i.toLong * bytes.length / w).toInt) & 0xff
+            i += 1
+          }
+          var lo = 0L; var hi = 0L
+          i = 0
+          while (i < 32) { if (out(i + 1) > out(i)) lo |= (1L << i); i += 1 }
+          while (i < 64) { if (out(i + 1) > out(i)) hi |= (1L << (i - 32)); i += 1 }
+          (id, Some(lo), Some(hi))
+        }
+      }
+    }.toDF("doc_id", "ph_lo", "ph_hi").cache()
+    val blocks = sig.filter(col("ph_lo").isNotNull)
+      .select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+        posexplode(array(
+          col("ph_lo").bitwiseAND(lit(65535L)),
+          shiftright(col("ph_lo"), 16),
+          col("ph_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("ph_hi"), 16))).as(Seq("b", "bk")))
+    val nbr = blocks.as("x").join(blocks.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("nbr_id"),
+        (bit_count(col("x.ph_lo").bitwiseXOR(col("y.ph_lo"))) +
+          bit_count(col("x.ph_hi").bitwiseXOR(col("y.ph_hi")))).as("hamming"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_band_neighbors"),
+        min(col("hamming")).as("min_hamming"))
+    sig.join(nbr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ph_lo"), col("ph_hi"),
+        coalesce(col("n_band_neighbors"), lit(0L)).as("n_band_neighbors"),
+        col("min_hamming").cast("long").as("min_hamming"))
+  }
+
   /** Q176 — shot segmentation over the sampled frame stream: a CUT
     * wherever consecutive frame signatures jump by ≥ `threshold`, a
     * SHOT = the maximal run between cuts (running cut-count as shot

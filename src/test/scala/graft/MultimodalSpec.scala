@@ -81,6 +81,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashBands: identical blobs hash equal, near-dups land in a shared band, " +
+    "unrelated blobs stay apart") {
+    // Blob A and its "re-encoding" B differ in ONE sampled position —
+    // dHash flips at most 2 bits -> at least 3 of 4 bands still match.
+    // Blob C is a byte-reversed A (different structure everywhere).
+    val a = (0 until 130).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val b = { val sb = new StringBuilder(a); sb.setCharAt(4, 'z'); sb.toString }
+    val c = a.reverse
+    withDocsDir(Seq(a, a, b, c, "")) { dir =>
+      val rows = Multimodal.phashBands(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // exact copy: identical signature, hamming 0 to its twin
+      assert(rows(0L).getAs[Long]("ph_lo") === rows(1L).getAs[Long]("ph_lo"))
+      assert(rows(0L).getAs[Long]("ph_hi") === rows(1L).getAs[Long]("ph_hi"))
+      assert(rows(0L).getAs[Long]("min_hamming") === 0L)
+      // near-dup: banding surfaces it as a candidate with small hamming
+      assert(rows(2L).getAs[Long]("n_band_neighbors") >= 2L)
+      assert(rows(2L).getAs[Long]("min_hamming") <= 3L)
+      // empty blob: null signature, no banding
+      assert(rows(4L).isNullAt(rows(4L).fieldIndex("ph_lo")))
+      assert(rows(4L).getAs[Long]("n_band_neighbors") === 0L)
+    }
+  }
+
   test("sceneCuts: cuts at signature jumps, shots are maximal runs, exact rollups") {
     // frame bytes come from positions 0, 32, 64, 96: craft a 97-char
     // text with 'a'(97), 'a'(97), ' '(32), 'z'(122) there ->
