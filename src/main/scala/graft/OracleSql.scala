@@ -3205,6 +3205,60 @@ object OracleSql {
        |  n, (sxy - sx * sy / n) / n AS cov
        |FROM a""".stripMargin
 
+  /** Q178 — power-iteration dominant eigenvector (mirrors
+    * Similarity.powerIteration): the q162 covariance CTE mirrored to
+    * the full matrix, then `iters` unrolled matvec rounds — each
+    * contribution quantized to DECIMAL(28,14), exact decimal sums,
+    * max-|component| double normalization. AS MATERIALIZED pins each
+    * round (the q163 lesson: DuckDB CTE inlining re-expands unrolled
+    * rounds combinatorially).
+    */
+  def q178PowerIteration(dim: Int = 64, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT cf.i AS d,
+         |    CAST(sum(CAST(cf.cov * v${k - 1}.v AS DECIMAL(28,14))) AS DOUBLE) AS vr
+         |  FROM cf JOIN v${k - 1} ON cf.j = v${k - 1}.d GROUP BY 1
+         |),
+         |m$k AS MATERIALIZED (SELECT max(abs(vr)) AS m FROM r$k),
+         |v$k AS MATERIALIZED (SELECT d, vr / m AS v FROM r$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT i, j,
+       |    CAST(de[i] AS DECIMAL(12,9)) AS xi,
+       |    CAST(de[j] AS DECIMAL(12,9)) AS xj
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(i),
+       |       unnest(range(1, ${dim + 1})) AS u(j)
+       |  WHERE j >= i
+       |),
+       |a AS (
+       |  SELECT i, j, count(*) AS n,
+       |    CAST(sum(xi * xj) AS DOUBLE) AS sxy,
+       |    CAST(sum(xi) AS DOUBLE) AS sx,
+       |    CAST(sum(xj) AS DOUBLE) AS sy
+       |  FROM x GROUP BY 1, 2
+       |),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, (sxy - sx * sy / n) / n AS cov FROM a
+       |),
+       |cf AS MATERIALIZED (
+       |  SELECT i, j, cov FROM cov
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cov WHERE i < j
+       |),
+       |v0 AS (
+       |  SELECT CAST(i AS BIGINT) AS d, CAST(1.0 AS DOUBLE) AS v
+       |  FROM unnest(range(1, ${dim + 1})) AS t(i)
+       |),
+       |$rounds
+       |SELECT CAST(d AS BIGINT) AS dim_i, v, m AS lambda_est
+       |FROM v$iters, m$iters""".stripMargin
+  }
+
   /** Q96 — type co-occurrence within sessions (mirrors
     * Relational.typeCooccurrence): Q69's session rule, distinct
     * (user, sid, type), pair self-join.

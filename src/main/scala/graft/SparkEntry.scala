@@ -284,7 +284,8 @@ object SparkEntry {
     "q174_ab_welch" -> Relational.abWelch _,
     "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
     "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
-    "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir))
+    "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir)),
+    "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -491,6 +492,7 @@ object SparkEntry {
     "q174_ab_welch" -> OracleSql.q174AbWelch,
     "q175_chunking" -> OracleSql.q175ChunkDocs(),
     "q176_scene_cuts" -> OracleSql.q176SceneCuts(),
-    "q177_phash_bands" -> OracleSql.q177PhashBands()
+    "q177_phash_bands" -> OracleSql.q177PhashBands(),
+    "q178_power_iter" -> OracleSql.q178PowerIteration()
   )
 }

@@ -269,6 +269,57 @@ object Similarity {
           .as("cov"))
   }
 
+  /** Q178 — dominant eigenvector of the embedding covariance by POWER
+    * ITERATION (the PCA-lite/whitening prep step: the top principal
+    * direction of the corpus, plus its eigenvalue estimate — what an
+    * embedding-quality audit checks for collapsed/anisotropic spaces,
+    * cf. Mu & Viswanath 2018's common-direction removal). Three fixed
+    * matvec rounds from the all-ones start vector, each normalized by
+    * its max |component| (division-free-sqrt normalization keeps every
+    * scalar op an IEEE double primitive); the last round's norm IS the
+    * dominant-eigenvalue estimate (v was scaled to max 1, so
+    * max|C·v| → λ₁ as v converges).
+    *
+    * Scale shape: the single corpus-sized cost is the q162 covariance
+    * pass (fixed dim²-width exchange, corpus-size-independent state);
+    * the iteration itself runs on the 64×64 aggregate with the
+    * 64-row vector BROADCAST into each matvec — no corpus rescan, no
+    * O(n) shuffle per round (the q79 unrolled-iteration discipline on
+    * a dim²-row, not |V|-row, working set).
+    *
+    * Float discipline (q79's): each contribution C[i,j]·v[j] is one
+    * double multiply quantized to DECIMAL(28,14); the per-row sum is
+    * exact decimal in any combine order; normalization is one IEEE
+    * double divide by the 64-row max — bitwise equal to the oracle's
+    * identical unrolled CTEs.
+    */
+  def powerIteration(s: SparkSession, dir: String, dim: Int = 64,
+                     iters: Int = 3): DataFrame = {
+    val cov = embedCovariance(s, dir, dim)
+    val full = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
+      .unionAll(cov.filter(col("dim_i") < col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
+      .cache()
+    var v = s.range(1, dim + 1).select(col("id").as("d"), lit(1.0).as("v"))
+    var norm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val raw = full.join(broadcast(v), col("j") === col("d"))
+        .select(col("i"),
+          (col("cov") * col("v")).cast("decimal(28,14)").as("c"))
+        .groupBy(col("i")).agg(sum(col("c")).cast("double").as("vr"))
+      norm = raw.agg(max(abs(col("vr"))).as("m"))
+      // 64-row round result; localCheckpoint truncates the lineage so
+      // the plan stays O(1) per round instead of doubling (norm + v
+      // both re-reference raw — 2^iters plan nodes without it)
+      v = raw.crossJoin(broadcast(norm))
+        .select(col("i").as("d"), (col("vr") / col("m")).as("v"))
+        .localCheckpoint()
+    }
+    v.crossJoin(broadcast(norm))
+      .select(col("d").cast("long").as("dim_i"), col("v"),
+        col("m").as("lambda_est"))
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid

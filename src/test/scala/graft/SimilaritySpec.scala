@@ -47,6 +47,58 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("powerIteration: recovers a planted dominant direction; lambda estimates its variance") {
+    // Dim 2 carries variance ~100 (values ±10), every other dim noise
+    // ~1e-4: the top eigenvector must concentrate on dim 2 and the
+    // eigenvalue estimate must approach the planted variance.
+    val rng = new java.util.Random(3L)
+    val vecs = Seq.fill(40)(Array.tabulate(64)(d =>
+      if (d == 1) (if (rng.nextBoolean()) 10f else -10f)
+      else rng.nextGaussian().toFloat * 0.01f))
+    withEmbDir(vecs) { dir =>
+      val out = Similarity.powerIteration(spark, dir).collect()
+        .map(r => r.getAs[Long]("dim_i") ->
+          ((r.getAs[Double]("v"), r.getAs[Double]("lambda_est")))).toMap
+      assert(out.size === 64)
+      // normalized to max |component| = 1, achieved by the planted dim
+      assert(math.abs(out(2L)._1) === 1.0)
+      assert(out.filter(_._1 != 2L).values.forall(v => math.abs(v._1) < 0.01))
+      val lambda = out(2L)._2
+      // planted E[x²]−E[x]² is ~100 (±10 with a fair coin)
+      assert(lambda > 90 && lambda < 110, s"lambda_est=$lambda")
+    }
+  }
+
+  test("powerIteration: output satisfies the eigen equation C·v ≈ λ·v") {
+    // A strong NON-axis-aligned common direction (big spectral gap →
+    // 12 rounds converge far past the residual tolerance), plus noise
+    // so the eigenvector isn't trivially sparse.
+    val rng = new java.util.Random(5L)
+    val u = Array.tabulate(64)(d => math.sin(d + 1.0).toFloat)
+    val vecs = Seq.fill(30)({
+      val s = if (rng.nextBoolean()) 10f else -10f
+      Array.tabulate(64)(d => u(d) * s + rng.nextGaussian().toFloat * 0.01f)
+    })
+    withEmbDir(vecs) { dir =>
+      val v = Similarity.powerIteration(spark, dir, iters = 12).collect()
+        .map(r => (r.getAs[Long]("dim_i"), r.getAs[Double]("v"),
+          r.getAs[Double]("lambda_est")))
+      val lambda = v.head._3
+      val vec = v.sortBy(_._1).map(_._2)
+      val cov = Similarity.embedCovariance(spark, dir).collect()
+        .map(r => (r.getAs[Long]("dim_i").toInt, r.getAs[Long]("dim_j").toInt,
+          r.getAs[Double]("cov")))
+      val cv = Array.fill(64)(0.0)
+      cov.foreach { case (i, j, c) =>
+        cv(i - 1) += c * vec(j - 1)
+        if (i != j) cv(j - 1) += c * vec(i - 1)
+      }
+      // after 12 rounds the residual ‖Cv − λv‖∞ / λ is tiny
+      val resid = cv.zip(vec).map { case (a, b) => math.abs(a - lambda * b) }.max
+      assert(resid / lambda < 1e-6, s"residual $resid vs lambda $lambda")
+    }
+  }
+
   test("quantize: symmetric int8 with half-away-from-zero rounding; zero vector to zeros") {
     val vecs = Seq(
       Array(1.0f, 0.5f, -0.25f, 0.0f) ++ Array.fill(60)(0.0f),
