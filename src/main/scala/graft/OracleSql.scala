@@ -3833,6 +3833,41 @@ object OracleSql {
        |SELECT n.node, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_two_hop
        |FROM nodes n LEFT JOIN c ON c.src = n.node""".stripMargin
 
+  /** Q179 — link prediction by Resource-Allocation index (mirrors
+    * Graph.linkPrediction): wedge self-join over the co-purchase
+    * graph, hub-capped mids, DECIMAL(28,14)-quantized 1/deg
+    * contributions, existing-edge exclusion, minCommon floor.
+    */
+  def q179LinkPrediction(minSupport: Int = 2, maxDeg: Long = 100L,
+                         minCommon: Long = 2L): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |mid AS (
+       |  SELECT src AS z, count(*) AS deg FROM ed GROUP BY 1
+       |  HAVING count(*) <= $maxDeg
+       |),
+       |w AS (
+       |  SELECT e1.src AS a, e2.dst AS b, m.deg
+       |  FROM ed e1
+       |  JOIN ed e2 ON e1.dst = e2.src AND e1.src < e2.dst
+       |  JOIN mid m ON e1.dst = m.z
+       |),
+       |sc AS (
+       |  SELECT a, b, count(*) AS n_common,
+       |    CAST(sum(CAST(CAST(1.0 AS DOUBLE) / deg AS DECIMAL(28,14)))
+       |      AS DOUBLE) AS ra_score
+       |  FROM w GROUP BY 1, 2
+       |)
+       |SELECT a, b, n_common, ra_score FROM sc
+       |WHERE n_common >= $minCommon
+       |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b)""".stripMargin
+
   /** Q131 — interval-union active time (mirrors
     * Relational.activeTime): same gaps-and-islands windows over
     * DISTINCT (user, t_us), exact integer micros.

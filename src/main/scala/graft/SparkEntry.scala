@@ -285,7 +285,8 @@ object SparkEntry {
     "q175_chunking" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
     "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
     "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir)),
-    "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir))
+    "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir)),
+    "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -493,6 +494,7 @@ object SparkEntry {
     "q175_chunking" -> OracleSql.q175ChunkDocs(),
     "q176_scene_cuts" -> OracleSql.q176SceneCuts(),
     "q177_phash_bands" -> OracleSql.q177PhashBands(),
-    "q178_power_iter" -> OracleSql.q178PowerIteration()
+    "q178_power_iter" -> OracleSql.q178PowerIteration(),
+    "q179_link_pred" -> OracleSql.q179LinkPrediction()
   )
 }

@@ -184,6 +184,56 @@ object Graph {
       .select(col("node"), coalesce(col("cnt"), lit(0L)).as("n_two_hop"))
   }
 
+  /** Q179 — link prediction on the support-floored co-purchase graph:
+    * for every NON-adjacent pair with ≥ `minCommon` common neighbors,
+    * the common-neighbor count and the Resource-Allocation index
+    * Σ_z 1/deg(z) (Zhou, Lü & Zhang 2009 — the rational-arithmetic
+    * member of the common-neighbor family, so scores are
+    * engine-exact without float logs). The candidate-edge scoring
+    * pass a recommender/graph-ML pipeline runs to propose new edges.
+    *
+    * Scale shape: wedge enumeration is the q113/q130 self-join with
+    * its Σ deg(z)² cost envelope, HUB-CAPPED — wedges route only
+    * through mids with deg ≤ `maxDeg` (the standard LP practice; a
+    * 10⁶-degree hub would otherwise contribute 10¹² wedges and
+    * carries ~zero RA signal anyway: 1/deg → 0). The cap is
+    * auditable, not silent: `cappedHubs` exposes the excluded mids.
+    * Contributions quantize to DECIMAL(28,14) before the exchange
+    * (q79 discipline); the existing-edge exclusion is an anti-join
+    * on the canonical pair; all joins equi-keyed, no windows.
+    */
+  def linkPrediction(s: SparkSession, dir: String, minSupport: Int = 2,
+                     maxDeg: Long = 100L, minCommon: Long = 2L): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      .cache()
+    val mid = ed.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    val wedges = ed.as("e1").join(ed.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("b"),
+        col("e1.dst").as("z"))
+      .join(mid, "z")
+    wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum((lit(1.0) / col("deg")).cast("decimal(28,14)"))
+          .cast("double").as("ra_score"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .filter(col("n_common") >= minCommon)
+  }
+
+  /** The q179 hub audit: mids excluded from wedge routing by the
+    * degree cap (what the cap drops — no silent truncation).
+    */
+  def cappedHubs(s: SparkSession, dir: String, minSupport: Int = 2,
+                 maxDeg: Long = 100L): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport)
+    e.select(col("a").as("src")).unionAll(e.select(col("b").as("src")))
+      .groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > maxDeg)
+  }
+
   /** Q143 — multi-source BFS hop distance on the support-floored
     * co-purchase graph: every node's distance (≤ `maxHops`) to the
     * nearest SEED part (deterministic seed rule: part id divisible by

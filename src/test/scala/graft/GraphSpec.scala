@@ -29,6 +29,37 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("linkPrediction: RA scores on a 4-cycle; hub cap empties and is audited") {
+    val dir = java.nio.file.Files.createTempDirectory("lp").toString
+    try {
+      // 4-cycle 1-2-3-4-1 (each edge co-occurs in 2 orders). The two
+      // diagonals (1,3) and (2,4) each have 2 common neighbors of
+      // degree 2 -> RA = 1/2 + 1/2 = 1.0.
+      val rows = for {
+        (o0, pair) <- Seq((10L, (1L, 2L)), (20L, (2L, 3L)),
+          (30L, (3L, 4L)), (40L, (1L, 4L)))
+        rep <- 0 to 1
+        p <- Seq(pair._1, pair._2)
+      } yield (o0 + rep, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.linkPrediction(spark, dir).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+          ((r.getAs[Long]("n_common"), r.getAs[Double]("ra_score")))).toMap
+      assert(out === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+      // adjacent pairs are excluded even though they share no wedge rule
+      assert(!out.contains((1L, 2L)))
+      // hub cap: maxDeg=1 excludes every mid -> no predictions, and the
+      // audit surfaces exactly the four capped nodes
+      assert(Graph.linkPrediction(spark, dir, maxDeg = 1L).count() === 0L)
+      val hubs = Graph.cappedHubs(spark, dir, maxDeg = 1L).collect()
+        .map(r => r.getAs[Long]("z") -> r.getAs[Long]("deg")).toMap
+      assert(hubs === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("triangleCounts: support floor prunes one-off edges; oriented count is exact") {
     val dir = java.nio.file.Files.createTempDirectory("tri").toString
     try {
