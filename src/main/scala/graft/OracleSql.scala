@@ -2487,6 +2487,45 @@ object OracleSql {
        |SELECT vec_id, label, dot / (sqrt(nv) * sqrt(nc)) AS sim_centroid
        |FROM j""".stripMargin
 
+  /** Q180 — cross-label margin audit (mirrors
+    * Similarity.labelMargins): per-(vec, label) cosine quantized to
+    * DECIMAL(18,12) before the other-label argmax, margin of
+    * quantized doubles, suspect flag.
+    */
+  def q180LabelMargins(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT vec_id, label, d AS dim, de[d] AS v
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(d)
+       |),
+       |c AS (SELECT label AS clabel, dim, avg(v) AS c FROM x GROUP BY 1, 2),
+       |j AS (
+       |  SELECT x.vec_id, x.label, c.clabel,
+       |    CAST(sum(x.v * c.c) / (sqrt(sum(x.v * x.v)) * sqrt(sum(c.c * c.c)))
+       |      AS DECIMAL(18,12)) AS simq
+       |  FROM x JOIN c ON c.dim = x.dim
+       |  GROUP BY 1, 2, 3
+       |),
+       |oth AS (
+       |  SELECT vec_id, clabel AS best_other_label,
+       |    CAST(simq AS DOUBLE) AS best_other_sim
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY simq DESC, clabel) AS rk
+       |    FROM j WHERE clabel <> label
+       |  ) WHERE rk = 1
+       |)
+       |SELECT o.vec_id, o.label, CAST(o.simq AS DOUBLE) AS own_sim,
+       |  t.best_other_label, t.best_other_sim,
+       |  CAST(o.simq AS DOUBLE) - t.best_other_sim AS margin,
+       |  CAST(CASE WHEN CAST(o.simq AS DOUBLE) - t.best_other_sim < 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS suspect
+       |FROM j o JOIN oth t ON o.vec_id = t.vec_id
+       |WHERE o.clabel = o.label""".stripMargin
+
   /** Q69 — peak concurrent sessions per day (mirrors
     * Relational.peakConcurrency): lag/cumsum sessions with the Q24 gap
     * rule, intervals exploded to day indexes and clipped, per-day

@@ -286,7 +286,8 @@ object SparkEntry {
     "q176_scene_cuts" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
     "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir)),
     "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir)),
-    "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir))
+    "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir)),
+    "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,6 +496,7 @@ object SparkEntry {
     "q176_scene_cuts" -> OracleSql.q176SceneCuts(),
     "q177_phash_bands" -> OracleSql.q177PhashBands(),
     "q178_power_iter" -> OracleSql.q178PowerIteration(),
-    "q179_link_pred" -> OracleSql.q179LinkPrediction()
+    "q179_link_pred" -> OracleSql.q179LinkPrediction(),
+    "q180_label_margin" -> OracleSql.q180LabelMargins()
   )
 }

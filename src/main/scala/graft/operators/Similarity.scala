@@ -639,6 +639,59 @@ object Similarity {
     * driver canonicalizes floats to 6 decimals), not bitwise — the sums
     * span ≤64 unit-magnitude terms, error ~1e-15.
     */
+  /** Q180 — cross-label margin audit (the confident-learning-style
+    * mislabel detector, cf. Northcutt et al. 2021): each vector's
+    * cosine to EVERY label centroid, its own-label similarity vs the
+    * best OTHER label, and the margin between them — margin < 0 means
+    * the vector sits closer to another label's centroid than its own
+    * (the prune/relabel candidate list label-quality audits act on).
+    * Q30 reports only the own-label similarity; the margin needs the
+    * full vector×label similarity table.
+    *
+    * Scale shape: centroids are a (label, dim) aggregate (labels×dim
+    * rows) BROADCAST into a dim-keyed join — the corpus expands by
+    * |labels|, never by corpus size, and the wide exchange stays
+    * vec_id-keyed. The argmax over other labels is a vec_id-
+    * partitioned window on the |labels|-row per-vector table.
+    *
+    * Float discipline: per-(vec, label) sims are quantized to
+    * DECIMAL(18,12) BEFORE the argmax ordering — the ~1e-15
+    * association-order noise in the double folds (q30's documented
+    * rounding-level parity) cannot flip the chosen label or leak into
+    * the emitted doubles, so the row is engine-exact even though the
+    * underlying sums are not bitwise.
+    */
+  def labelMargins(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("vf").cast("double").as("v"))
+    val cent = e.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(avg(col("v")).as("c"))
+    val sims = e.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sum(col("v") * col("v")).as("nv"),
+        sum(col("c") * col("c")).as("nc"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))))
+          .cast("decimal(18,12)").as("simq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("simq").desc, col("clabel"))
+    val other = sims.filter(col("clabel") =!= col("label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("clabel").as("best_other_label"),
+        col("simq").cast("double").as("best_other_sim"))
+    sims.filter(col("clabel") === col("label"))
+      .select(col("vec_id"), col("label"),
+        col("simq").cast("double").as("own_sim"))
+      .join(other, "vec_id")
+      .withColumn("margin", col("own_sim") - col("best_other_sim"))
+      .withColumn("suspect", (col("margin") < 0.0).cast("long"))
+  }
+
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     val e = embeddings(s, dir)
       .select(col("vec_id"), col("label"),

@@ -152,6 +152,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelMargins: a planted mislabel gets margin < 0 and suspect = 1") {
+    // Two tight clusters along axes 0 and 1. Vectors 0..3 point along
+    // axis 0 (label 0), 4..7 along axis 1 (label 1) — except vector 7
+    // ALSO points along axis 0 but carries label 1 (the mislabel).
+    val rng = new java.util.Random(9L)
+    def along(axis: Int) = Array.tabulate(64)(d =>
+      (if (d == axis) 5f else 0f) + rng.nextGaussian().toFloat * 0.01f)
+    val rows = (0 until 7).map(i => (i.toLong, along(if (i < 4) 0 else 1),
+      if (i < 4) 0 else 1)) :+ ((7L, along(0), 1))
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    try {
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.labelMargins(spark, dir).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Double]("margin"), r.getAs[Long]("suspect"),
+            r.getAs[Int]("best_other_label")))).toMap
+      assert(out.size === 8)
+      // clean vectors: strongly positive margin, not suspect
+      (0L to 6L).foreach { i =>
+        assert(out(i)._1 > 0.5, s"vec $i margin ${out(i)._1}")
+        assert(out(i)._2 === 0L)
+      }
+      // the mislabeled vector is closer to label 0's centroid
+      assert(out(7L)._1 < 0 && out(7L)._2 === 1L && out(7L)._3 === 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pqTopK: codebook members reconstruct exactly; scores are ADC dots") {
     // 20 vectors; the first 16 are the codebooks, so any corpus vector
     // that IS a codebook member encodes to itself per subspace (dist 0)
