@@ -1669,6 +1669,25 @@ object OracleSql {
     * frames averaged with the IDENTICAL `(a + b) / 2.0` expression —
     * no quantile-interpolation formula divergence.
     */
+  /** Q181 — half-life EWMA (mirrors Smoothing.ewma): exact 2^-i
+    * weights, adjust-style available-mass renormalization, both folds
+    * left-associated identically to the Spark reduce.
+    */
+  def q181Ewma(lags: Int = 32): String = {
+    def tap(i: Int): String = if (i == 0) "y" else s"lag(y, $i) OVER w_e"
+    val num = (0 until lags)
+      .map(i => s"coalesce((${tap(i)}) * ${dlit(math.pow(0.5, i))}, 0.0)")
+      .mkString(" + ")
+    val den = (0 until lags)
+      .map(i => s"(CASE WHEN (${tap(i)}) IS NOT NULL THEN ${dlit(math.pow(0.5, i))} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, y FROM read_parquet('$signalGlob'))
+       |SELECT experiment_id, channel, sample_idx,
+       |  ($num) / ($den) AS ewma
+       |FROM sig
+       |WINDOW w_e AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)""".stripMargin
+  }
+
   def q171RollingMedian(half: Int = 2): String =
     s"""WITH sig AS (SELECT experiment_id, channel, sample_idx, y FROM read_parquet('$signalGlob')),
        |fr AS (

@@ -287,7 +287,8 @@ object SparkEntry {
     "q177_phash_bands" -> ((s, dir) => Multimodal.phashBands(s, dir)),
     "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir)),
     "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir)),
-    "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir))
+    "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir)),
+    "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,6 +498,7 @@ object SparkEntry {
     "q177_phash_bands" -> OracleSql.q177PhashBands(),
     "q178_power_iter" -> OracleSql.q178PowerIteration(),
     "q179_link_pred" -> OracleSql.q179LinkPrediction(),
-    "q180_label_margin" -> OracleSql.q180LabelMargins()
+    "q180_label_margin" -> OracleSql.q180LabelMargins(),
+    "q181_ewma" -> OracleSql.q181Ewma()
   )
 }

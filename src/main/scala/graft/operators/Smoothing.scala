@@ -129,6 +129,35 @@ object Smoothing {
     * flight — the despeckle is shuffle-free when the data is already
     * channel-partitioned.
     */
+  /** Q181 — half-life EWMA: exponentially-weighted moving average with
+    * decay λ = 1/2, truncated at `lags` taps and renormalized by the
+    * AVAILABLE weight mass (pandas `ewm(adjust=True)` semantics, so the
+    * series head is an exact partial-window average, not a biased
+    * ramp-in). The truncation error is 2^-lags ≤ 2.4e-10 of the weight
+    * mass — below double visibility for this signal's dynamic range.
+    *
+    * Engine-exact by construction: every weight 2^-i and every product
+    * y·2^-i is EXACT in binary floating point (power-of-two scaling
+    * changes only the exponent), so the only rounding is in the two
+    * additive folds — both generated left-associated and mirrored
+    * textually by the oracle. One bounded window pass (all `lags` lag
+    * frames share the partition/sort); shuffle-free when the data is
+    * already channel-partitioned.
+    */
+  def ewma(sig: DataFrame, lags: Int = 32): DataFrame = {
+    require(lags >= 1 && lags <= 63, s"lags must be in [1,63], got $lags")
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val taps = (0 until lags).map { i =>
+      val y = if (i == 0) col("y") else lag(col("y"), i).over(w)
+      val p = lit(math.pow(0.5, i))
+      (coalesce(y * p, lit(0.0)), when(y.isNotNull, p).otherwise(lit(0.0)))
+    }
+    val num = taps.map(_._1).reduce(_ + _)
+    val den = taps.map(_._2).reduce(_ + _)
+    sig.select(col("experiment_id"), col("channel"), col("sample_idx"),
+      (num / den).as("ewma"))
+  }
+
   def rollingMedian(sig: DataFrame, half: Int = 2): DataFrame = {
     require(half >= 1, s"rolling median needs a frame (half >= 1), got $half")
     val wfr = Window.partitionBy(keys: _*)

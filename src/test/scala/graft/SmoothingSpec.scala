@@ -66,6 +66,28 @@ class SmoothingSpec extends SparkSpec {
     }
   }
 
+  test("ewma: hand-computed adjusted head, constant fixpoint, channel independence") {
+    // y = 1, 2, 4 with lambda = 1/2 (adjust=True renormalization):
+    //   t0: 1
+    //   t1: (2 + 0.5·1) / 1.5        = 5/3
+    //   t2: (4 + 0.5·2 + 0.25·1) / 1.75 = 3
+    val out = Smoothing.ewma(frame(Seq(1.0, 2.0, 4.0))).orderBy("sample_idx")
+      .collect().map(_.getAs[Double]("ewma"))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(out(2) - 3.0) < 1e-12)
+    // a constant series is a fixpoint at every position, incl. the head
+    val const = Smoothing.ewma(frame(Seq.fill(50)(2.25))).collect()
+    assert(const.forall(r => r.getAs[Double]("ewma") === 2.25))
+    // other channels do not leak into the lag frames
+    val two = frame(Seq(1.0, 2.0, 4.0)).unionAll(frame(Seq(100.0, 100.0, 100.0), ch = 1))
+    val byCh = Smoothing.ewma(two).collect()
+      .groupBy(_.getAs[Int]("channel"))
+    assert(byCh(1).forall(r => r.getAs[Double]("ewma") === 100.0))
+    assert(math.abs(byCh(0).sortBy(_.getAs[Long]("sample_idx"))
+      .last.getAs[Double]("ewma") - 3.0) < 1e-12)
+  }
+
   test("rollingMedian: impulse removed, ramp preserved, edge frames shrink") {
     // ramp 0..9 with an impulse spike at idx 5 (value 100): a ±2
     // median drops the spike entirely; monotone neighborhoods pass
