@@ -705,6 +705,61 @@ object OracleSql {
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin
 
+  /** Q182 — LSH banding tuning curve (mirrors Dedup.lshTuning): one
+    * columnar signature CTE, four banding configs each with its own
+    * band/candidate/summary CTEs, one audit row per config.
+    */
+  def q182LshTuning(tau: Double = 0.5): String = {
+    val params = graft.functions.TextHash.minhashParams()
+    val p = graft.functions.TextHash.P
+    val mins = params
+      .map { case (i, _, a, b) => s"min(($a * h + $b) % $p) AS mh$i" }
+      .mkString(",\n       |    ")
+    val minMatch = math.ceil(tau * 16).toInt
+    val configs = Seq(2, 4, 8, 16)
+    val cfgCtes = configs.map { r =>
+      val nb = 16 / r
+      val bandSelects = (0 until nb).map { j =>
+        val fold = ((j * r + 1) to ((j + 1) * r))
+          .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + mh$i) % $p")
+        s"SELECT doc_id, $j AS band, $fold AS bh FROM sig"
+      }.mkString("\n       |  UNION ALL\n       |  ")
+      s"""b$r AS (
+         |  $bandSelects
+         |),
+         |c$r AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM b$r x JOIN b$r y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |),
+         |s$r AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |    CAST(coalesce(sum(CASE WHEN $minhashMatchSql >= $minMatch
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_confirmed
+         |  FROM c$r
+         |  JOIN sig sa ON sa.doc_id = c$r.doc_a
+         |  JOIN sig sb ON sb.doc_id = c$r.doc_b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = configs.map { r =>
+      val nb = 16 / r
+      s"""SELECT CAST($nb AS BIGINT) AS n_bands,
+         |  CAST($r AS BIGINT) AS rows_per_band, n_candidates, n_confirmed,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |    ELSE CAST(n_confirmed AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |  END AS band_precision
+         |FROM s$r""".stripMargin
+    }.mkString("\n       |UNION ALL\n")
+    s"""WITH $shingleCtes,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shq GROUP BY doc_id
+       |),
+       |$cfgCtes
+       |$rows""".stripMargin
+  }
+
   /** Q15d — 64-bit SimHash (two 32-bit halves, base-31 and base-37
     * token hashes), 4×16-bit pigeonhole bands, Hamming filter —
     * mirrors Dedup.simhashSignatures/simhashPairs exactly.

@@ -288,7 +288,8 @@ object SparkEntry {
     "q178_power_iter" -> ((s, dir) => Similarity.powerIteration(s, dir)),
     "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir)),
     "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir)),
-    "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s)))
+    "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s))),
+    "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,6 +500,7 @@ object SparkEntry {
     "q178_power_iter" -> OracleSql.q178PowerIteration(),
     "q179_link_pred" -> OracleSql.q179LinkPrediction(),
     "q180_label_margin" -> OracleSql.q180LabelMargins(),
-    "q181_ewma" -> OracleSql.q181Ewma()
+    "q181_ewma" -> OracleSql.q181Ewma(),
+    "q182_lsh_tuning" -> OracleSql.q182LshTuning()
   )
 }

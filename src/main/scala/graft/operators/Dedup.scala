@@ -91,6 +91,58 @@ object Dedup {
         (matches.cast("double") / lit(16.0)).as("est_jaccard"))
   }
 
+  /** Q182 — LSH banding TUNING CURVE over the 16-slot MinHash
+    * signature: for each (bands × rows) split of the signature —
+    * 8×2, 4×4, 2×8, 1×16 — the candidate-pair count, the count
+    * confirmed at est-Jaccard ≥ `tau`, and the precision. This is the
+    * parameter-selection audit every LSH deployment runs before
+    * committing a banding (the S-curve trade: more bands → recall,
+    * longer bands → precision); here it is measured on the corpus
+    * itself rather than read off the 1−(1−J^r)^b formula.
+    *
+    * Scale shape: ONE signature aggregate (q15c's columnar pass,
+    * cached) feeds all four configs; each config is the q15c
+    * band-keyed self-join — never all-pairs — and collapses to a
+    * single audit row before the union. Candidate volume shrinks
+    * geometrically with r, so the sweep's cost is dominated by the
+    * shortest band tried (r=2, collision p ≈ J²); at 100 TB the
+    * audit runs on a corpus sample with the same plan. Integer
+    * counts; precision is one int-ratio double; an empty candidate
+    * set yields NULL precision, not 0/0.
+    */
+  def lshTuning(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(s, docs(s, dir)).cache()
+    val minMatch = math.ceil(tau * 16).toInt
+    val matches = (1 to 16)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    Seq(2, 4, 8, 16).map { r =>
+      val nb = 16 / r
+      val stackArgs = (0 until nb).map { j =>
+        struct(lit(j).as("band"), bandKey((j * r + 1) to ((j + 1) * r)).as("bh"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(stackArgs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(when(matches >= minMatch, 1L).otherwise(0L).as("conf"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("conf")), lit(0L)).as("n_confirmed"))
+        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_confirmed"),
+          when(col("n_candidates") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_confirmed").cast("double") /
+              col("n_candidates").cast("double")).as("band_precision"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** 64-bit SimHash per document: token-count-weighted bit votes over
     * TWO independent 32-bit polynomial token hashes (base 31 and 37).
     * The signature is carried as two 32-bit halves (`sim_lo`/`sim_hi`)

@@ -22,6 +22,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshTuning: identical docs survive every banding; candidates shrink with band length") {
+    // Two identical docs (J = 1: collide in every band of every
+    // config, always confirmed), one unrelated doc.
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    withDocsDir(Seq(a, a, "zz yy xx ww vv uu tt ss rr qq pp oo")) { dir =>
+      val out = Dedup.lshTuning(spark, dir).collect()
+        .map(r => r.getAs[Long]("rows_per_band") ->
+          ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_confirmed")))).toMap
+      assert(out.keySet === Set(2L, 4L, 8L, 16L))
+      // the exact-dup pair is a confirmed candidate at every length
+      assert(out.values.forall { case (cand, conf) => cand >= 1 && conf >= 1 })
+      // longer bands can only lose candidates (banding is coarser)
+      val cands = Seq(2L, 4L, 8L, 16L).map(out(_)._1)
+      assert(cands === cands.sorted.reverse, s"not monotone: $cands")
+    }
+  }
+
   test("shingleContainment: embedded document scores 1.0 where jaccard misses it") {
     // doc 1 is a strict prefix of doc 0 (10 vs 4 shingles): containment
     // of the smaller is exact 1.0, jaccard only 4/10
