@@ -4955,4 +4955,42 @@ object OracleSql {
        |  CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE) AS share
        |FROM h CROSS JOIN tot""".stripMargin
   }
+
+  /** Q183 — HITS hubs/authorities (mirrors Graph.hits): same DECIMAL
+    * mass sums, same one-double-division sum-normalization per
+    * half-step, unrolled for `iters` = 2.
+    */
+  def q183Hits(): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |a0 AS (SELECT DISTINCT p, CAST(1 AS DECIMAL(28,14)) AS a FROM e),
+       |h1r AS (SELECT c, sum(a) AS hr FROM e JOIN a0 USING (p) GROUP BY c),
+       |h1 AS (
+       |  SELECT c, CAST(CAST(hr AS DOUBLE) /
+       |    CAST((SELECT sum(hr) FROM h1r) AS DOUBLE) AS DECIMAL(28,14)) AS h
+       |  FROM h1r
+       |),
+       |a1r AS (SELECT p, sum(h) AS ar FROM e JOIN h1 USING (c) GROUP BY p),
+       |a1 AS (
+       |  SELECT p, CAST(CAST(ar AS DOUBLE) /
+       |    CAST((SELECT sum(ar) FROM a1r) AS DOUBLE) AS DECIMAL(28,14)) AS a
+       |  FROM a1r
+       |),
+       |h2r AS (SELECT c, sum(a) AS hr FROM e JOIN a1 USING (p) GROUP BY c),
+       |h2 AS (
+       |  SELECT c, CAST(CAST(hr AS DOUBLE) /
+       |    CAST((SELECT sum(hr) FROM h2r) AS DOUBLE) AS DECIMAL(28,14)) AS h
+       |  FROM h2r
+       |),
+       |a2r AS (SELECT p, sum(h) AS ar FROM e JOIN h2 USING (c) GROUP BY p),
+       |a2 AS (
+       |  SELECT p, CAST(CAST(ar AS DOUBLE) /
+       |    CAST((SELECT sum(ar) FROM a2r) AS DOUBLE) AS DECIMAL(28,14)) AS a
+       |  FROM a2r
+       |)
+       |SELECT 'hub' AS kind, c AS id, CAST(h AS DOUBLE) AS score FROM h2
+       |UNION ALL
+       |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 }

@@ -289,7 +289,8 @@ object SparkEntry {
     "q179_link_pred" -> ((s, dir) => Graph.linkPrediction(s, dir)),
     "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir)),
     "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s))),
-    "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir))
+    "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir)),
+    "q183_hits" -> ((s, dir) => Graph.hits(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,6 +502,7 @@ object SparkEntry {
     "q179_link_pred" -> OracleSql.q179LinkPrediction(),
     "q180_label_margin" -> OracleSql.q180LabelMargins(),
     "q181_ewma" -> OracleSql.q181Ewma(),
-    "q182_lsh_tuning" -> OracleSql.q182LshTuning()
+    "q182_lsh_tuning" -> OracleSql.q182LshTuning(),
+    "q183_hits" -> OracleSql.q183Hits()
   )
 }

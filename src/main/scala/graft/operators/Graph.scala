@@ -396,4 +396,54 @@ object Graph {
     }
     rank.select(col("node"), col("rank"))
   }
+
+  /** Q183 — HITS hubs & authorities on the customer→part purchase
+    * bipartite graph (Kleinberg's mutual-reinforcement iteration:
+    * hub(c) = Σ auth(p) over c's purchased parts, auth(p) = Σ hub(c)
+    * over p's buyers, sum-normalized each half-step). Customers that
+    * buy many high-authority parts become strong hubs; parts bought
+    * by strong hubs become authorities — the classic "curator
+    * account / canonical item" signal, here the bipartite analogue of
+    * Q79's PageRank.
+    *
+    * Float discipline (the Q79 recipe): raw hub/auth masses are
+    * DECIMAL sums (exact in any combine order); each normalization is
+    * ONE double division per row against a one-row broadcast total,
+    * immediately re-quantized to DECIMAL(28,14), so every iteration's
+    * state is bitwise-identical across engines and shuffle orders.
+    *
+    * Scale shape: per half-step ONE edge-keyed shuffle (join the
+    * score table on one endpoint, aggregate on the other) — scores
+    * are (key, decimal) pairs, never adjacency lists, so hub rows
+    * spread across reducers; the normalizing total is a one-row
+    * aggregate broadcast back (the Q165 scalar discipline). Edges are
+    * cached across the fixed `iters` rounds; the oracle unrolls the
+    * identical CTE chain.
+    */
+  def hits(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    val e = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().cache()
+    var auth = e.select(col("p")).distinct()
+      .withColumn("a", lit(1).cast("decimal(28,14)"))
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hraw = e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
+        .select(col("c"),
+          (col("hr").cast("double") / col("sh").cast("double"))
+            .cast("decimal(28,14)").as("h"))
+      val araw = e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
+        .select(col("p"),
+          (col("ar").cast("double") / col("sa").cast("double"))
+            .cast("decimal(28,14)").as("a"))
+    }
+    hub.select(lit("hub").as("kind"), col("c").as("id"),
+        col("h").cast("double").as("score"))
+      .unionAll(auth.select(lit("auth").as("kind"), col("p").as("id"),
+        col("a").cast("double").as("score")))
+  }
 }

@@ -209,4 +209,32 @@ class GraphSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("hits: two hand-computed iterations on a 2x3 bipartite graph") {
+    val dir = java.nio.file.Files.createTempDirectory("hits").toString
+    try {
+      // c1 buys p1,p2,p3 (order 10); c2 buys p1 (order 20).
+      // it1: hub = (3,1)/4 = (.75,.25); auth = (1,.75,.75)/2.5 = (.4,.3,.3)
+      // it2: hub = (1,.4)/1.4 = (5/7,2/7); auth = (1,5/7,5/7)/(17/7)
+      //    = (7/17, 5/17, 5/17)
+      Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.hits(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(out.size === 5)
+      assert(math.abs(out(("hub", 1L)) - 5.0 / 7) < 1e-9)
+      assert(math.abs(out(("hub", 2L)) - 2.0 / 7) < 1e-9)
+      assert(math.abs(out(("auth", 1L)) - 7.0 / 17) < 1e-9)
+      assert(math.abs(out(("auth", 2L)) - 5.0 / 17) < 1e-9)
+      assert(math.abs(out(("auth", 3L)) - 5.0 / 17) < 1e-9)
+      // each half-step is sum-normalized: both masses total 1
+      assert(math.abs(out.collect { case (("hub", _), v) => v }.sum - 1) < 1e-9)
+      assert(math.abs(out.collect { case (("auth", _), v) => v }.sum - 1) < 1e-9)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
