@@ -4993,4 +4993,51 @@ object OracleSql {
        |SELECT 'hub' AS kind, c AS id, CAST(h AS DOUBLE) AS score FROM h2
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
+
+  /** Q184 — Mann-Whitney U per event type between the q174 arms
+    * (mirrors Relational.mannWhitney): same scramble-hash assignment,
+    * integer midrank arithmetic via doubled rank sums, identical
+    * pinned-double finish. The per-type prefix count is a plain
+    * partitioned window here — semantically equal to the engine's
+    * two-level range-partitioned prefix sum.
+    */
+  def q184MannWhitney: String = {
+    val P = graft.functions.TextHash.P
+    val hSql = polyHashSql("('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH h0 AS (SELECT event_type, value, $hSql AS u FROM events),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS h FROM h2),
+       |hist AS (
+       |  SELECT event_type, value,
+       |    CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN h % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM hs GROUP BY 1, 2
+       |),
+       |cm AS (
+       |  SELECT *, ca + cb AS cnt,
+       |    sum(ca + cb) OVER (PARTITION BY event_type ORDER BY value
+       |      ROWS UNBOUNDED PRECEDING) - (ca + cb) AS less
+       |  FROM hist
+       |),
+       |st AS (
+       |  SELECT event_type,
+       |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+       |    CAST(sum(ca * (2 * less + cnt + 1)) AS BIGINT) AS r2a,
+       |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+       |  FROM cm GROUP BY 1
+       |),
+       |fin AS (
+       |  SELECT *,
+       |    (CAST(r2a AS DOUBLE) - CAST(n_a AS DOUBLE) * (n_a + 1)) / 2.0 AS u_a,
+       |    CAST(n_a AS DOUBLE) * n_b / 12.0 *
+       |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+       |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+       |      AS sig2
+       |  FROM st
+       |)
+       |SELECT event_type, n_a, n_b, u_a,
+       |  (u_a - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(nullif(sig2, 0.0)) AS z
+       |FROM fin""".stripMargin
+  }
 }

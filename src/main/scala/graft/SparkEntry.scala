@@ -290,7 +290,8 @@ object SparkEntry {
     "q180_label_margin" -> ((s, dir) => Similarity.labelMargins(s, dir)),
     "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s))),
     "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir)),
-    "q183_hits" -> ((s, dir) => Graph.hits(s, dir))
+    "q183_hits" -> ((s, dir) => Graph.hits(s, dir)),
+    "q184_mann_whitney" -> Relational.mannWhitney _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +504,7 @@ object SparkEntry {
     "q180_label_margin" -> OracleSql.q180LabelMargins(),
     "q181_ewma" -> OracleSql.q181Ewma(),
     "q182_lsh_tuning" -> OracleSql.q182LshTuning(),
-    "q183_hits" -> OracleSql.q183Hits()
+    "q183_hits" -> OracleSql.q183Hits(),
+    "q184_mann_whitney" -> OracleSql.q184MannWhitney
   )
 }

@@ -2089,4 +2089,61 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast("double").as("segment_spend"))
   }
+
+  /** Q184 — Mann-Whitney U (Wilcoxon rank-sum) between the Q174 A/B
+    * arms, per event type: the NONPARAMETRIC companion to Q174's
+    * Welch t — the test an experimentation system reaches for when
+    * value distributions are skewed (revenue-like) and means mislead.
+    * Same deterministic user-hash arm assignment, so this too is an
+    * A/A certification by construction. Midranks handle ties; the
+    * normal approximation uses the standard tie-corrected variance.
+    *
+    * Exactness: everything until the closed-form finish is INTEGER —
+    * per-(type, value) arm counts, prefix counts, the doubled rank
+    * sum R2 = Σ ca·(2·less + cnt + 1) (doubling keeps .5 midranks in
+    * longs), tie mass Σ(cnt³ − cnt). The finish is a pinned double
+    * expression mirrored textually in the oracle.
+    *
+    * Scale shape: the corpus collapses to a distinct-(type, value)
+    * histogram in one partial+final hash aggregate; prefix counts
+    * come from [[GlobalRank.globalCumSum]] on (type, value) —
+    * range-partitioned two-level prefix sum, NO single-partition
+    * window, with per-type starts removed via a broadcast triangular
+    * join on the tiny per-type totals table; then one final
+    * per-type aggregate. Nothing sorts in one task at any corpus
+    * size.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val h = scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("ab:"), col("user_id").cast("string"))))
+    val hist = t(s, dir, "events")
+      .withColumn("variant", (h % 2).cast("int"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val cum = GlobalRank.globalCumSum(hist, col("cnt"), "cum",
+      col("event_type"), col("value"))
+    val typeTot = hist.groupBy(col("event_type")).agg(sum(col("cnt")).as("tc"))
+    val offs = typeTot.as("a")
+      .join(typeTot.as("b"), col("b.event_type") < col("a.event_type"), "left")
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("toff"))
+    val stats = cum.join(broadcast(offs), "event_type")
+      .withColumn("less", col("cum") - col("cnt") - col("toff"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("less") + col("cnt") + lit(1L)))
+          .as("r2a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    val uA = (col("r2a").cast("double") -
+      col("n_a").cast("double") * (col("n_a") + lit(1L))) / lit(2.0)
+    val sig2 = col("n_a").cast("double") * col("n_b") / lit(12.0) *
+      ((nn + lit(1.0)) - col("ties").cast("double") / (nn * (nn - lit(1.0))))
+    stats.select(col("event_type"), col("n_a"), col("n_b"),
+      uA.as("u_a"),
+      ((uA - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
+        sqrt(nullif(sig2, lit(0.0)))).as("z"))
+  }
 }

@@ -900,4 +900,38 @@ class RelationalFamilySpec extends SparkSpec {
         s"$typ: dof $dof outside bounds")
     }
   }
+
+  test("mannWhitney: matches a brute-force midrank computation per type") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.mannWhitney(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("u_a"), r.getAs[Double]("z")))).toMap
+    // independent reference: same arm assignment, driver-side midranks
+    val h = Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("ab:"), col("user_id").cast("string"))))
+    val rows = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value"), (h % 2).cast("int").as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    rows.groupBy(_._1).foreach { case (typ, rs) =>
+      val sorted = rs.map(x => (x._2, x._3)).sortBy(_._1)
+      val midrank = sorted.zipWithIndex.groupBy(_._1._1).map {
+        case (v, blk) => v -> (blk.map(_._2 + 1).sum.toDouble / blk.size)
+      }
+      val na = rs.count(_._3 == 0).toDouble
+      val nb = rs.count(_._3 == 1).toDouble
+      val ra = rs.filter(_._3 == 0).map(x => midrank(x._2)).sum
+      val u = ra - na * (na + 1) / 2
+      val n = na + nb
+      val t = sorted.groupBy(_._1).values
+        .map(b => math.pow(b.size, 3) - b.size).sum
+      val sig2 = na * nb / 12 * ((n + 1) - t / (n * (n - 1)))
+      val z = (u - na * nb / 2) / math.sqrt(sig2)
+      val (ona, onb, ou, oz) = out(typ)
+      assert(ona === na.toLong && onb === nb.toLong, typ)
+      assert(math.abs(ou - u) < 1e-9, s"$typ: u $ou vs $u")
+      assert(math.abs(oz - z) < 1e-9, s"$typ: z $oz vs $z")
+    }
+  }
 }
