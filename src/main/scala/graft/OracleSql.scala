@@ -4994,6 +4994,34 @@ object OracleSql {
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 
+  /** Q185 — Benford first-digit audit (mirrors
+    * Relational.benfordAudit): digit from the exact-cents decimal
+    * string, IDENTICAL Scala-computed Benford double literals, same
+    * pinned χ² expression.
+    */
+  def q185Benford(): String = {
+    val cases = (1 to 9).map(d =>
+      s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders
+       |),
+       |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+       |e AS (
+       |  SELECT digit, n, total,
+       |    CASE digit $cases END AS expected_p
+       |  FROM g CROSS JOIN tot
+       |)
+       |SELECT digit, n,
+       |  CAST(n AS DOUBLE) / total AS observed_p, expected_p,
+       |  (CAST(n AS DOUBLE) - total * expected_p) *
+       |    (CAST(n AS DOUBLE) - total * expected_p) /
+       |    (total * expected_p) AS chi2
+       |FROM e""".stripMargin
+  }
+
   /** Q184 — Mann-Whitney U per event type between the q174 arms
     * (mirrors Relational.mannWhitney): same scramble-hash assignment,
     * integer midrank arithmetic via doubled rank sums, identical

@@ -291,7 +291,8 @@ object SparkEntry {
     "q181_ewma" -> ((s, _) => Smoothing.ewma(sig(s))),
     "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir)),
     "q183_hits" -> ((s, dir) => Graph.hits(s, dir)),
-    "q184_mann_whitney" -> Relational.mannWhitney _
+    "q184_mann_whitney" -> Relational.mannWhitney _,
+    "q185_benford" -> Relational.benfordAudit _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -505,6 +506,7 @@ object SparkEntry {
     "q181_ewma" -> OracleSql.q181Ewma(),
     "q182_lsh_tuning" -> OracleSql.q182LshTuning(),
     "q183_hits" -> OracleSql.q183Hits(),
-    "q184_mann_whitney" -> OracleSql.q184MannWhitney
+    "q184_mann_whitney" -> OracleSql.q184MannWhitney,
+    "q185_benford" -> OracleSql.q185Benford()
   )
 }

@@ -2090,6 +2090,46 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q185 — Benford first-digit audit over order totals: the
+    * forensic-accounting screen for fabricated/synthetic numeric
+    * columns (a data-quality gate on ingested corpora — fabricated
+    * money-like fields rarely follow Benford). Observed first-digit
+    * counts vs the Benford expectation log10(1+1/d), with per-digit
+    * χ² contributions.
+    *
+    * Exactness: the first digit comes from the DECIMAL STRING of the
+    * exact integer cents (round(x·100) — no log10/pow on the value
+    * path, so no boundary-ulp digit flips between engines); Benford
+    * constants are Scala-computed double literals embedded TEXTUALLY
+    * in both plans (`Double.toString` round-trips); observed shares
+    * and χ² are pinned single-expression doubles against a one-row
+    * broadcast total.
+    *
+    * Scale shape: one scan → 9-row partial+final hash aggregate; the
+    * total is a broadcast scalar (Q165 discipline). Nothing else
+    * moves.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val digits = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val byDigit = t(s, dir, "orders")
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = digits.tail.foldLeft(
+      when(col("digit") === 1, lit(digits.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    byDigit
+      .crossJoin(broadcast(byDigit.agg(sum(col("n")).as("total"))))
+      .withColumn("expected_p", expected)
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total")).as("observed_p"),
+        col("expected_p"),
+        ((col("n").cast("double") - col("total") * col("expected_p")) *
+          (col("n").cast("double") - col("total") * col("expected_p")) /
+          (col("total") * col("expected_p"))).as("chi2"))
+  }
+
   /** Q184 — Mann-Whitney U (Wilcoxon rank-sum) between the Q174 A/B
     * arms, per event type: the NONPARAMETRIC companion to Q174's
     * Welch t — the test an experimentation system reaches for when

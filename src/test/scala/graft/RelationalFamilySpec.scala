@@ -901,6 +901,31 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("benfordAudit: digits from exact cents; shares and chi2 hand-checked") {
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // cents: 100, 2345, 299, 91100 -> digits 1, 2, 2, 9
+      Seq(1.00, 23.45, 2.99, 911.00).zipWithIndex
+        .map { case (p, i) => (i.toLong, 1L, "O", p, ts, "x") }
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = Relational.benfordAudit(spark, dir).collect()
+        .map(r => r.getAs[Int]("digit") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("observed_p"),
+            r.getAs[Double]("expected_p"), r.getAs[Double]("chi2")))).toMap
+      assert(out.keySet === Set(1, 2, 9))
+      assert(out(1)._1 === 1L && out(2)._1 === 2L && out(9)._1 === 1L)
+      assert(out(2)._2 === 0.5)
+      assert(math.abs(out(1)._3 - math.log10(2.0)) < 1e-15)
+      val e9 = 4 * math.log10(10.0 / 9)
+      assert(math.abs(out(9)._4 - (1 - e9) * (1 - e9) / e9) < 1e-12)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("mannWhitney: matches a brute-force midrank computation per type") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.mannWhitney(spark, dir).collect()
