@@ -4994,6 +4994,32 @@ object OracleSql {
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 
+  /** Q186 — voice-activity segmentation (mirrors
+    * Multimodal.speechSegments): same 16-char frames, lowercase-vowel
+    * voiced counts, threshold, and gaps-and-islands merge.
+    */
+  def q186SpeechSegments(minVoiced: Int = 5, frameLen: Int = 16): String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, f AS frame_idx,
+       |    CAST(len(regexp_replace(
+       |      substring(text, 1 + CAST(f AS INTEGER) * $frameLen, $frameLen),
+       |      '[^aeiou]', '', 'g')) AS BIGINT) AS voiced
+       |  FROM documents,
+       |    unnest(range(0, CASE WHEN len(text) = 0 THEN 0
+       |                        ELSE (len(text) - 1) // $frameLen + 1 END)) AS g(f)
+       |),
+       |act AS (SELECT * FROM fr WHERE voiced >= $minVoiced),
+       |isl AS (
+       |  SELECT *, frame_idx - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY frame_idx) AS seg_id
+       |  FROM act
+       |)
+       |SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+       |  min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+       |  CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(voiced) AS BIGINT) AS sum_voiced
+       |FROM isl GROUP BY 1, 2""".stripMargin
+
   /** Q185 — Benford first-digit audit (mirrors
     * Relational.benfordAudit): digit from the exact-cents decimal
     * string, IDENTICAL Scala-computed Benford double literals, same

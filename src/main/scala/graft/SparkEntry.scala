@@ -292,7 +292,8 @@ object SparkEntry {
     "q182_lsh_tuning" -> ((s, dir) => Dedup.lshTuning(s, dir)),
     "q183_hits" -> ((s, dir) => Graph.hits(s, dir)),
     "q184_mann_whitney" -> Relational.mannWhitney _,
-    "q185_benford" -> Relational.benfordAudit _
+    "q185_benford" -> Relational.benfordAudit _,
+    "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,6 +508,7 @@ object SparkEntry {
     "q182_lsh_tuning" -> OracleSql.q182LshTuning(),
     "q183_hits" -> OracleSql.q183Hits(),
     "q184_mann_whitney" -> OracleSql.q184MannWhitney,
-    "q185_benford" -> OracleSql.q185Benford()
+    "q185_benford" -> OracleSql.q185Benford(),
+    "q186_speech_segments" -> OracleSql.q186SpeechSegments()
   )
 }

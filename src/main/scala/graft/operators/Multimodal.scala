@@ -243,6 +243,55 @@ object Multimodal {
     * / stride) feeding a (blob, shot)-keyed partial+final aggregate.
     * Signature deltas and sums are exact integers.
     */
+  /** Q186 — voice-activity segmentation over the media byte stream
+    * (the audio counterpart of Q176's video shot detection): 16-byte
+    * PCM-like frames scored in the partition iterator, a frame is
+    * ACTIVE when its per-frame score clears `minVoiced`, and maximal
+    * runs of consecutive active frames become speech segments — the
+    * trim-silence / split-on-pause pass every audio training pipeline
+    * runs before transcription. The per-frame score here counts
+    * "voiced" bytes (vowels — the same deterministic decode stand-in
+    * as Q21's frames; a real deployment swaps in RMS energy over PCM
+    * samples and keeps the identical frame/threshold/merge plumbing,
+    * which is what is tested).
+    *
+    * Scale shape: frame scoring is a NARROW per-partition pass (blobs
+    * never shuffle; only (doc_id, frame_idx, score) rows leave the
+    * scan); segmentation is one blob-keyed window (row_number over
+    * active frames; island key = frame_idx − rn, the gaps-and-islands
+    * discipline with frames-per-blob bounded by blob size / 16)
+    * feeding a (blob, segment)-keyed partial+final aggregate. All
+    * integer arithmetic.
+    */
+  def speechSegments(s: SparkSession, dir: String,
+                     minVoiced: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frameLen = 16
+    val voiced = "aeiou".getBytes.toSet
+    val frames = blobs(s, dir).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until (if (bytes.isEmpty) 0 else (bytes.length - 1) / frameLen + 1))
+          .iterator.map { f =>
+            var v = 0
+            var i = f * frameLen
+            val end = math.min(i + frameLen, bytes.length)
+            while (i < end) { if (voiced.contains(bytes(i))) v += 1; i += 1 }
+            (id, f.toLong, v.toLong)
+          }
+      }
+    }.toDF("doc_id", "frame_idx", "voiced")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.filter(col("voiced") >= minVoiced)
+      .withColumn("seg_id",
+        (col("frame_idx") - row_number().over(w)).cast("long"))
+      .groupBy(col("doc_id"), col("seg_id"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("voiced")).as("sum_voiced"))
+  }
+
   def sceneCuts(s: SparkSession, dir: String, threshold: Int = 48): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))

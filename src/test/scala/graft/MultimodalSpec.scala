@@ -131,4 +131,21 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("speechSegments: active runs merge, silence splits, partial tail frame counts") {
+    // frames (16 chars): v=16 | v=0 | v=5 | v=5 (5-char tail)
+    // active (>=5): 0, 2, 3 -> segments [0,0] and [2,3]
+    val text = "aeiouaeiouaeioua" + "bcdfgbcdfgbcdfgb" +
+      "aaaaabbbbbbbbbbb" + "eeeee"
+    withDocsDir(Seq(text)) { dir =>
+      val segs = Multimodal.speechSegments(spark, dir).collect()
+        .map(r => (r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"),
+          r.getAs[Long]("n_frames"), r.getAs[Long]("sum_voiced"))).toSet
+      assert(segs === Set((0L, 0L, 1L, 16L), (2L, 3L, 2L, 10L)))
+      // an all-silence blob yields no segments at all
+      withDocsDir(Seq("bcdf " * 10)) { d2 =>
+        assert(Multimodal.speechSegments(spark, d2).count() === 0L)
+      }
+    }
+  }
 }
