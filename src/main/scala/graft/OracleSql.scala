@@ -4994,6 +4994,34 @@ object OracleSql {
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 
+  /** Q187 — sequential transition mining (mirrors
+    * Relational.transitionMining): same (epoch_us, event_id) total
+    * order, lead pairing, and per-source conditional share.
+    */
+  def q187Transitions(): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+       |),
+       |p AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS next_type
+       |  FROM e
+       |),
+       |c AS (
+       |  SELECT event_type AS from_type, next_type,
+       |    CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |ft AS (
+       |  SELECT from_type, CAST(sum(n_occurrences) AS BIGINT) AS from_total
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT from_type, next_type, n_occurrences, n_users,
+       |  CAST(n_occurrences AS DOUBLE) / from_total AS p_next
+       |FROM c JOIN ft USING (from_type)""".stripMargin
+
   /** Q186 — voice-activity segmentation (mirrors
     * Multimodal.speechSegments): same 16-char frames, lowercase-vowel
     * voiced counts, threshold, and gaps-and-islands merge.

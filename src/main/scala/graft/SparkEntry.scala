@@ -293,7 +293,8 @@ object SparkEntry {
     "q183_hits" -> ((s, dir) => Graph.hits(s, dir)),
     "q184_mann_whitney" -> Relational.mannWhitney _,
     "q185_benford" -> Relational.benfordAudit _,
-    "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir))
+    "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir)),
+    "q187_transitions" -> Relational.transitionMining _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,6 +510,7 @@ object SparkEntry {
     "q183_hits" -> OracleSql.q183Hits(),
     "q184_mann_whitney" -> OracleSql.q184MannWhitney,
     "q185_benford" -> OracleSql.q185Benford(),
-    "q186_speech_segments" -> OracleSql.q186SpeechSegments()
+    "q186_speech_segments" -> OracleSql.q186SpeechSegments(),
+    "q187_transitions" -> OracleSql.q187Transitions()
   )
 }

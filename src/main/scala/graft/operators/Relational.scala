@@ -2090,6 +2090,39 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q187 — sequential transition mining: consecutive event-type
+    * bigrams per user on the (time, event_id) total order — the
+    * first-order Markov transition table behind session modeling and
+    * next-action prediction, with per-transition user support (how
+    * many distinct users exhibit it, the sequence-mining support
+    * notion that one hyperactive user can't inflate) and the
+    * conditional next-step probability per source type.
+    *
+    * Scale shape: ONE user-keyed window pass (lead over the total
+    * order — the q99 session-path discipline) collapsing into a
+    * |types|²-bounded aggregate; conditional shares come from a
+    * broadcast join against the |types|-row per-source totals, and
+    * the probability is a single pinned double division.
+    */
+  def transitionMining(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = ev.select(col("user_id"), col("event_id"),
+        tsMicros(ev).as("tus"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+    val fromTot = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_occurrences")).as("from_total"))
+    counts.join(broadcast(fromTot), "event_type")
+      .select(col("event_type").as("from_type"), col("next_type"),
+        col("n_occurrences"), col("n_users"),
+        (col("n_occurrences").cast("double") / col("from_total")).as("p_next"))
+  }
+
   /** Q185 — Benford first-digit audit over order totals: the
     * forensic-accounting screen for fabricated/synthetic numeric
     * columns (a data-quality gate on ingested corpora — fabricated

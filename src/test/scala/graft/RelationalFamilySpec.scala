@@ -901,6 +901,25 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("transitionMining: bigram counts, user support, conditional shares") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: click,view,click,purchase; u2: click,view
+    val rows = Seq(
+      (1L, ts(1), 1L, "click", 0.0, "{}"), (2L, ts(2), 1L, "view", 0.0, "{}"),
+      (3L, ts(3), 1L, "click", 0.0, "{}"), (4L, ts(4), 1L, "purchase", 0.0, "{}"),
+      (5L, ts(1), 2L, "click", 0.0, "{}"), (6L, ts(2), 2L, "view", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.transitionMining(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_users"),
+            r.getAs[Double]("p_next")))).toMap
+      assert(out === Map(
+        ("click", "view") -> ((2L, 2L, 2.0 / 3)),
+        ("click", "purchase") -> ((1L, 1L, 1.0 / 3)),
+        ("view", "click") -> ((1L, 1L, 1.0))))
+    }
+  }
+
   test("benfordAudit: digits from exact cents; shares and chi2 hand-checked") {
     val dir = java.nio.file.Files.createTempDirectory("benford").toString
     try {
