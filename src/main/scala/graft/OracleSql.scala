@@ -4994,6 +4994,30 @@ object OracleSql {
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 
+  /** Q188 — per-source Gini length concentration (mirrors
+    * Relational.giniConcentration): same tie-deterministic ascending
+    * ranks (plain partitioned window here — semantically equal to the
+    * engine's two-level range-partitioned rank), same single closing
+    * division.
+    */
+  def q188Gini(): String =
+    s"""WITH r AS (
+       |  SELECT source, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars, doc_id) AS i
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(i * n_chars) AS BIGINT) AS s1
+       |  FROM r GROUP BY 1
+       |)
+       |SELECT source, n_docs, total_chars,
+       |  CAST(2 * s1 - (n_docs + 1) * total_chars AS DOUBLE) /
+       |    CAST(n_docs * total_chars AS DOUBLE) AS gini
+       |FROM g""".stripMargin
+
   /** Q187 — sequential transition mining (mirrors
     * Relational.transitionMining): same (epoch_us, event_id) total
     * order, lead pairing, and per-source conditional share.

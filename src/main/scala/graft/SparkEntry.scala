@@ -294,7 +294,8 @@ object SparkEntry {
     "q184_mann_whitney" -> Relational.mannWhitney _,
     "q185_benford" -> Relational.benfordAudit _,
     "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir)),
-    "q187_transitions" -> Relational.transitionMining _
+    "q187_transitions" -> Relational.transitionMining _,
+    "q188_gini" -> Relational.giniConcentration _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -511,6 +512,7 @@ object SparkEntry {
     "q184_mann_whitney" -> OracleSql.q184MannWhitney,
     "q185_benford" -> OracleSql.q185Benford(),
     "q186_speech_segments" -> OracleSql.q186SpeechSegments(),
-    "q187_transitions" -> OracleSql.q187Transitions()
+    "q187_transitions" -> OracleSql.q187Transitions(),
+    "q188_gini" -> OracleSql.q188Gini()
   )
 }

@@ -2090,6 +2090,48 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q188 — per-source Gini concentration of document lengths: how
+    * unevenly a source's token mass is spread across its documents
+    * (G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending lengths) —
+    * the skew audit run before per-source sampling budgets: a source
+    * whose mass sits in a few giant documents needs chunking/caps,
+    * one with G≈0 can be sampled uniformly.
+    *
+    * Exactness: ranks, rank-weighted sums, and totals are ALL exact
+    * longs (ties ordered by doc_id — Σi over a tie block is
+    * order-invariant, so G is tie-deterministic); the single closing
+    * division is the only double.
+    *
+    * Scale shape: within-source ascending ranks come from ONE
+    * range-partitioned two-level [[GlobalRank.globalRank]] on
+    * (source, n_chars, doc_id) — never a single-partition sort, and
+    * no per-source window that would serialize a giant source — with
+    * per-source starts removed by a broadcast triangular join on the
+    * |sources|-row count table (the q184 discipline); then one
+    * per-source aggregate.
+    */
+  def giniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      col("source"), col("n_chars"))
+    val ranked = GlobalRank.globalRank(docs, "grank",
+      col("source"), col("n_chars"), col("doc_id"))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("sc"))
+    val offs = srcTot.as("a")
+      .join(srcTot.as("b"), col("b.source") < col("a.source"), "left")
+      .groupBy(col("a.source").as("source"))
+      .agg(coalesce(sum(col("b.sc")), lit(0L)).as("soff"))
+    ranked.join(broadcast(offs), "source")
+      .withColumn("i", col("grank") - col("soff"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("i") * col("n_chars")).as("s1"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        ((lit(2L) * col("s1") - (col("n_docs") + lit(1L)) * col("total_chars"))
+          .cast("double") /
+          (col("n_docs") * col("total_chars")).cast("double")).as("gini"))
+  }
+
   /** Q187 — sequential transition mining: consecutive event-type
     * bigrams per user on the (time, event_id) total order — the
     * first-order Markov transition table behind session modeling and

@@ -920,6 +920,29 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("giniConcentration: equal lengths 0, hand-checked skew, two-point max") {
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    try {
+      val rows = Seq(
+        (1L, "a", "A", 1L), (2L, "a", "A", 1L),
+        (3L, "a", "A", 1L), (4L, "a", "A", 1L),
+        (5L, "a", "B", 1L), (6L, "a", "B", 3L),
+        (7L, "a", "C", 0L), (8L, "a", "C", 10L))
+        .map { case (id, t, src, n) => (id, t, "en", src, n) }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = Relational.giniConcentration(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+            r.getAs[Double]("gini")))).toMap
+      assert(out("A") === ((4L, 4L, 0.0)))
+      assert(out("B") === ((2L, 4L, 0.25)))
+      assert(out("C") === ((2L, 10L, 0.5)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("benfordAudit: digits from exact cents; shares and chi2 hand-checked") {
     val dir = java.nio.file.Files.createTempDirectory("benford").toString
     try {
