@@ -4994,6 +4994,45 @@ object OracleSql {
        |UNION ALL
        |SELECT 'auth' AS kind, p AS id, CAST(a AS DOUBLE) AS score FROM a2""".stripMargin
 
+  /** Q189 — temporal distribution drift (mirrors
+    * Relational.driftAudit): same integer-div time midpoint, same
+    * pinned bin expression, same share divisions.
+    */
+  def q189Drift(bins: Int = 10): String =
+    s"""WITH e AS (
+       |  SELECT event_type, value, epoch_us(ts) AS tus FROM events
+       |),
+       |mid AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM e),
+       |rng AS (
+       |  SELECT event_type, min(value) AS vmin, max(value) AS vmax
+       |  FROM e GROUP BY 1
+       |),
+       |b AS (
+       |  SELECT e.event_type,
+       |    CASE WHEN vmax = vmin THEN 0
+       |         ELSE CAST(least(floor((value - vmin) / (vmax - vmin) * $bins),
+       |                        ${bins - 1}) AS BIGINT) END AS bin,
+       |    CASE WHEN tus <= mid THEN 1 ELSE 2 END AS h
+       |  FROM e CROSS JOIN mid JOIN rng USING (event_type)
+       |),
+       |c AS (
+       |  SELECT event_type, bin,
+       |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       |    CAST(sum(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+       |  FROM b GROUP BY 1, 2
+       |),
+       |t AS (
+       |  SELECT event_type, CAST(sum(n_first) AS BIGINT) AS t1,
+       |    CAST(sum(n_second) AS BIGINT) AS t2
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT event_type, bin, n_first, n_second,
+       |  CAST(n_first AS DOUBLE) / t1 AS p_first,
+       |  CAST(n_second AS DOUBLE) / t2 AS p_second,
+       |  abs(CAST(n_first AS DOUBLE) / t1 -
+       |      CAST(n_second AS DOUBLE) / t2) AS abs_diff
+       |FROM c JOIN t USING (event_type)""".stripMargin
+
   /** Q188 — per-source Gini length concentration (mirrors
     * Relational.giniConcentration): same tie-deterministic ascending
     * ranks (plain partitioned window here — semantically equal to the

@@ -295,7 +295,8 @@ object SparkEntry {
     "q185_benford" -> Relational.benfordAudit _,
     "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir)),
     "q187_transitions" -> Relational.transitionMining _,
-    "q188_gini" -> Relational.giniConcentration _
+    "q188_gini" -> Relational.giniConcentration _,
+    "q189_drift" -> ((s, dir) => Relational.driftAudit(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -513,6 +514,7 @@ object SparkEntry {
     "q185_benford" -> OracleSql.q185Benford(),
     "q186_speech_segments" -> OracleSql.q186SpeechSegments(),
     "q187_transitions" -> OracleSql.q187Transitions(),
-    "q188_gini" -> OracleSql.q188Gini()
+    "q188_gini" -> OracleSql.q188Gini(),
+    "q189_drift" -> OracleSql.q189Drift()
   )
 }

@@ -2090,6 +2090,54 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q189 — temporal distribution-drift audit: per event type, the
+    * value distribution of the corpus's FIRST time half vs its SECOND
+    * half over a shared 10-bin equi-width grid — per-bin shares and
+    * |Δshare| (the L1/PSI-style drift readout every training-data
+    * refresh gates on: a type whose bins shift between halves needs
+    * re-weighting or investigation before the next snapshot ships).
+    *
+    * Exactness: the time midpoint is an integer micros div; bin edges
+    * come from per-type min/max broadcast rows, and the bin index is
+    * ONE pinned double expression (floor((v−min)/(max−min)·10),
+    * clamped) mirrored textually — identical IEEE doubles both
+    * engines, so bin assignment cannot flip at edges. Counts are
+    * longs; shares and |Δ| are single-division doubles.
+    *
+    * Scale shape: two tiny broadcast scalars (global time midpoint;
+    * |types|-row min/max table), then ONE scan → (type, bin ≤ 10)
+    * partial+final aggregate → share join against the |types|-row
+    * totals. Nothing wide ever shuffles.
+    */
+  def driftAudit(s: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("event_type"), col("value"),
+      tsMicros(ev).as("tus"))
+    val mid = base.agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val rng = base.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = base.crossJoin(broadcast(mid))
+      .join(broadcast(rng), "event_type")
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L)).otherwise(
+          least(floor((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")) * lit(bins)), lit(bins - 1L))
+            .cast("long")))
+      .withColumn("h", when(col("tus") <= col("mid"), 1).otherwise(2))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("h") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("h") === 2, 1L).otherwise(0L)).as("n_second"))
+    val tot = counts.groupBy(col("event_type"))
+      .agg(sum(col("n_first")).as("t1"), sum(col("n_second")).as("t2"))
+    counts.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("bin"), col("n_first"), col("n_second"),
+        (col("n_first").cast("double") / col("t1")).as("p_first"),
+        (col("n_second").cast("double") / col("t2")).as("p_second"),
+        abs(col("n_first").cast("double") / col("t1") -
+          col("n_second").cast("double") / col("t2")).as("abs_diff"))
+  }
+
   /** Q188 — per-source Gini concentration of document lengths: how
     * unevenly a source's token mass is spread across its documents
     * (G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending lengths) —

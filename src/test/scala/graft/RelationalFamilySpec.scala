@@ -920,6 +920,27 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("driftAudit: halves split at the integer midpoint, bins clamp, shares add up") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(0), 1L, "click", 0.0, "{}"), (2L, ts(0), 1L, "click", 10.0, "{}"),
+      (3L, ts(10), 1L, "click", 0.0, "{}"), (4L, ts(10), 1L, "click", 5.0, "{}"),
+      (5L, ts(10), 1L, "click", 10.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.driftAudit(spark, dir).collect()
+        .map(r => r.getAs[Long]("bin") ->
+          ((r.getAs[Long]("n_first"), r.getAs[Long]("n_second"),
+            r.getAs[Double]("abs_diff")))).toMap
+      // mid = 00:05 -> first half rows at 00:00; v=10 clamps to bin 9
+      assert(out.keySet === Set(0L, 5L, 9L))
+      assert(out(0L)._1 === 1L && out(0L)._2 === 1L)
+      assert(out(5L)._1 === 0L && out(5L)._2 === 1L)
+      assert(math.abs(out(0L)._3 - (0.5 - 1.0 / 3)) < 1e-12)
+      assert(math.abs(out(5L)._3 - 1.0 / 3) < 1e-12)
+      assert(math.abs(out(9L)._3 - (0.5 - 1.0 / 3)) < 1e-12)
+    }
+  }
+
   test("giniConcentration: equal lengths 0, hand-checked skew, two-point max") {
     val dir = java.nio.file.Files.createTempDirectory("gini").toString
     try {
