@@ -856,6 +856,38 @@ object OracleSql {
        |FROM h""".stripMargin
   }
 
+  /** Q190 — language-ID confusion matrix (mirrors
+    * TextAnalysis.langConfusion): the Q17 prediction chain grouped
+    * against the declared lang label.
+    */
+  def q190LangConfusion(): String = {
+    val m = graft.operators.TextAnalysis.langMarkers.toMap
+    s"""WITH t AS (SELECT lang, $tokensSql AS tk FROM documents),
+       |h AS (
+       |  SELECT lang,
+       |    ${hitsSql(m("en"))} AS en_hits, ${hitsSql(m("es"))} AS es_hits,
+       |    ${hitsSql(m("de"))} AS de_hits, ${hitsSql(m("fr"))} AS fr_hits
+       |  FROM t
+       |),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'und'
+       |         WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |         WHEN de_hits >= fr_hits THEN 'de'
+       |         ELSE 'fr' END AS pred_lang
+       |  FROM h
+       |),
+       |c AS (
+       |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM p GROUP BY 1, 2
+       |),
+       |lt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lt FROM c GROUP BY 1)
+       |SELECT lang, pred_lang, n_docs,
+       |  CAST(n_docs AS DOUBLE) / lt AS share_of_lang
+       |FROM c JOIN lt USING (lang)""".stripMargin
+  }
+
   /** Q18 — quality scoring (mirrors TextAnalysis.qualityScore). */
   /** Shared CTE chain `d → q` computing the Q18 quality features —
     * used by Q18 and Q36.

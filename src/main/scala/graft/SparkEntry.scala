@@ -296,7 +296,8 @@ object SparkEntry {
     "q186_speech_segments" -> ((s, dir) => Multimodal.speechSegments(s, dir)),
     "q187_transitions" -> Relational.transitionMining _,
     "q188_gini" -> Relational.giniConcentration _,
-    "q189_drift" -> ((s, dir) => Relational.driftAudit(s, dir))
+    "q189_drift" -> ((s, dir) => Relational.driftAudit(s, dir)),
+    "q190_lang_confusion" -> TextAnalysis.langConfusion _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -515,6 +516,7 @@ object SparkEntry {
     "q186_speech_segments" -> OracleSql.q186SpeechSegments(),
     "q187_transitions" -> OracleSql.q187Transitions(),
     "q188_gini" -> OracleSql.q188Gini(),
-    "q189_drift" -> OracleSql.q189Drift()
+    "q189_drift" -> OracleSql.q189Drift(),
+    "q190_lang_confusion" -> OracleSql.q190LangConfusion()
   )
 }

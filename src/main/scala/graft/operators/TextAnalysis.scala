@@ -183,6 +183,37 @@ object TextAnalysis {
       en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"))
   }
 
+  /** Q190 — language-ID confusion matrix: the Q17 detector's
+    * predictions cross-tabulated against the corpus's DECLARED lang
+    * labels, with per-declared-language recall shares — the
+    * classifier-vs-metadata disagreement audit run before trusting
+    * either side for language filtering (systematic off-diagonal
+    * cells mean mislabeled sources or a detector gap, e.g. zh has no
+    * marker list here and must land in 'und'/latin cells).
+    *
+    * Scale shape: the prediction is the same narrow codegen'd
+    * projection as Q17 computed ALONGSIDE the label (no join back),
+    * collapsing into a |langs|²-bounded aggregate; shares come from a
+    * broadcast per-label totals join and one pinned division.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    val hits = langMarkers.map { case (l, ws) => l -> markerHits(toks, ws) }
+    val Seq(en, es, de, fr) = hits.map(_._2)
+    val preds = docs(s, dir).select(col("lang"),
+      when(en + es + de + fr === 0, "und")
+        .when(en >= es && en >= de && en >= fr, "en")
+        .when(es >= de && es >= fr, "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("pred_lang"))
+    val cells = preds.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("lt"))
+    cells.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("lt")).as("share_of_lang"))
+  }
+
   /** Q18 — quality scoring: token/length/stopword/punctuation ratios
     * and a bounded composite score. All ratios are single divisions of
     * exact integers, so both engines produce identical doubles.

@@ -353,4 +353,22 @@ class TextFamilySpec extends SparkSpec {
       }
     }
   }
+
+  test("langConfusion: diagonal, und fallback, and off-diagonal cells with shares") {
+    val dir = java.nio.file.Files.createTempDirectory("langconf").toString
+    try {
+      Seq((1L, "the cat", "en"), (2L, "xyz qqq", "en"), (3L, "la la el", "zh"))
+        .map { case (id, t, l) => (id, t, l, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextAnalysis.langConfusion(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Double]("share_of_lang")))).toMap
+      assert(out === Map(
+        ("en", "en") -> ((1L, 0.5)), ("en", "und") -> ((1L, 0.5)),
+        ("zh", "es") -> ((1L, 1.0)))) // 'la la el': es hits 3 beat fr hits 2
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
