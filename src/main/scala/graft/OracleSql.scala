@@ -856,6 +856,29 @@ object OracleSql {
        |FROM h""".stripMargin
   }
 
+  /** Q191 — deterministic epoch shuffle (mirrors
+    * Pipeline.epochShuffle): same polyHash+scramble keys, positions
+    * as a per-epoch window rank (equal to the engine's two-level
+    * distributed rank).
+    */
+  def q191EpochShuffle(epochs: Int = 2): String = {
+    val P = graft.functions.TextHash.P
+    val hSql = polyHashSql(
+      "('ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(e AS INTEGER) AS epoch
+       |  FROM documents, unnest(range(0, $epochs)) AS g(e)
+       |),
+       |h0 AS (SELECT *, $hSql AS u FROM f),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS k FROM h2)
+       |SELECT epoch, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM hs""".stripMargin
+  }
+
   /** Q190 — language-ID confusion matrix (mirrors
     * TextAnalysis.langConfusion): the Q17 prediction chain grouped
     * against the declared lang label.

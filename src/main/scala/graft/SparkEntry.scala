@@ -297,7 +297,8 @@ object SparkEntry {
     "q187_transitions" -> Relational.transitionMining _,
     "q188_gini" -> Relational.giniConcentration _,
     "q189_drift" -> ((s, dir) => Relational.driftAudit(s, dir)),
-    "q190_lang_confusion" -> TextAnalysis.langConfusion _
+    "q190_lang_confusion" -> TextAnalysis.langConfusion _,
+    "q191_epoch_shuffle" -> ((s, dir) => Pipeline.epochShuffle(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -517,6 +518,7 @@ object SparkEntry {
     "q187_transitions" -> OracleSql.q187Transitions(),
     "q188_gini" -> OracleSql.q188Gini(),
     "q189_drift" -> OracleSql.q189Drift(),
-    "q190_lang_confusion" -> OracleSql.q190LangConfusion()
+    "q190_lang_confusion" -> OracleSql.q190LangConfusion(),
+    "q191_epoch_shuffle" -> OracleSql.q191EpochShuffle()
   )
 }

@@ -538,4 +538,36 @@ object Pipeline {
         ((col("n_chars") - col("mu")) /
           when(col("sigma") =!= 0.0, col("sigma"))).as("z"))
   }
+
+  /** Q191 — deterministic epoch shuffle: the data-loader's per-epoch
+    * corpus permutation as a DISTRIBUTED operator — each (epoch, doc)
+    * gets a scrambled hash key, and the epoch-local position is an
+    * exact global rank over that key. Reshuffling between epochs
+    * without materializing new copies (positions are derived, the
+    * corpus is read once), reproducible across runs and engines —
+    * the property a resumable training job needs to skip to
+    * mid-epoch sample N.
+    *
+    * Scale shape: the epoch fan-out is a narrow explode (×|epochs|);
+    * positions come from ONE range-partitioned two-level
+    * [[graft.operators.GlobalRank.globalRank]] on (epoch, key,
+    * doc_id) — never a single-partition sort — with per-epoch starts
+    * removed by the exact epoch·N offset (N is a one-row broadcast).
+    * Hash keys are the shared polyHash+scramble integer chain (exact
+    * in both engines).
+    */
+  def epochShuffle(s: SparkSession, dir: String, epochs: Int = 2): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val fan = d.select(col("doc_id"),
+        explode(array((0 until epochs).map(e => lit(e)): _*)).as("epoch"))
+      .withColumn("k", Relational.scrambleMod(TextHash.polyHash(
+        concat(lit("ep:"), col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")))))
+    GlobalRank.globalRank(fan, "grank",
+        col("epoch"), col("k"), col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("epoch"), col("doc_id"),
+        (col("grank") - col("epoch").cast("long") * col("n")).as("pos"))
+  }
 }

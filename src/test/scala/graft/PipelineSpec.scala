@@ -286,4 +286,23 @@ class PipelineSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("epochShuffle: each epoch is a permutation, epochs differ, runs agree") {
+    val rows = (1L to 40L).map(i => (i, s"doc $i", "en", "src"))
+    withCorpusDir(rows) { dir =>
+      def run() = graft.operators.Pipeline.epochShuffle(spark, dir).collect()
+        .map(r => (r.getAs[Int]("epoch"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("pos")))
+      val out = run()
+      val byEpoch = out.groupBy(_._1)
+      assert(byEpoch.keySet === Set(0, 1))
+      byEpoch.values.foreach { es =>
+        assert(es.map(_._3).sorted.toSeq === (1L to 40L)) // a permutation
+      }
+      val order = (e: Int) => byEpoch(e).sortBy(_._3).map(_._2).toSeq
+      assert(order(0) !== order(1), "epochs must reshuffle")
+      assert(order(0) !== (1L to 40L), "epoch 0 must not be identity order")
+      assert(run().toSet === out.toSet) // hash-derived, not RNG
+    }
+  }
 }
