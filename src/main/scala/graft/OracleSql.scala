@@ -856,6 +856,75 @@ object OracleSql {
        |FROM h""".stripMargin
   }
 
+  /** Q194 — join-key skew advisor (mirrors Relational.skewAdvisor):
+    * same per-key profile and exact ceil-div salt rule.
+    */
+  def q194SkewAdvisor(saltCap: Long = 32L): String = {
+    def prof(c: String): String =
+      s"""SELECT '$c' AS key_col, n_keys, total_rows, max_rows,
+         |  CAST(max_rows AS DOUBLE) * n_keys / total_rows AS skew_ratio,
+         |  CAST(max_rows AS DOUBLE) / total_rows AS max_share,
+         |  least((max_rows * n_keys + total_rows - 1) // total_rows,
+         |        $saltCap) AS suggested_salt
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(n) AS BIGINT) AS total_rows,
+         |    CAST(max(n) AS BIGINT) AS max_rows
+         |  FROM (SELECT $c, count(*) AS n FROM lineitem GROUP BY 1)
+         |)""".stripMargin
+    s"${prof("l_partkey")}\nUNION ALL\n${prof("l_suppkey")}"
+  }
+
+  /** Q193 — nucleus top-p source selection (mirrors
+    * Pipeline.nucleusSelect): same total order, integer keep rule on
+    * exact running sums.
+    */
+  def q193Nucleus(pPct: Int = 50): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+       |  FROM documents
+       |),
+       |t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
+       |      FROM d GROUP BY 1),
+       |c AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(sum(n_chars) OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+       |  FROM d
+       |)
+       |SELECT source, doc_id, n_chars, cum_chars,
+       |  (cum_chars - n_chars) * 100 < $pPct * tot AS keep
+       |FROM c JOIN t USING (source)""".stripMargin
+
+  /** Q192 — deterministic negative sampling (mirrors
+    * Pipeline.negativeSample): same hash chain, position space, and
+    * self-collision remap.
+    */
+  def q192NegativeSample(k: Int = 4): String = {
+    val P = graft.functions.TextHash.P
+    val hSql = polyHashSql(
+      "('neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")
+    s"""WITH r AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS pos
+       |  FROM documents
+       |),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+       |f AS (
+       |  SELECT doc_id, pos AS apos, CAST(j AS INTEGER) AS j, n
+       |  FROM r CROSS JOIN n, unnest(range(0, $k)) AS g(j)
+       |),
+       |h0 AS (SELECT *, $hSql AS u FROM f),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, ((v2 * v2 + 6789) % $P) % n + 1 AS p FROM h2),
+       |pp AS (
+       |  SELECT *, CASE WHEN p = apos THEN p % n + 1 ELSE p END AS p2 FROM hs
+       |)
+       |SELECT pp.doc_id, pp.j, r.doc_id AS neg_doc_id
+       |FROM pp JOIN r ON pp.p2 = r.pos""".stripMargin
+  }
+
   /** Q191 — deterministic epoch shuffle (mirrors
     * Pipeline.epochShuffle): same polyHash+scramble keys, positions
     * as a per-epoch window rank (equal to the engine's two-level

@@ -539,6 +539,78 @@ object Pipeline {
           when(col("sigma") =!= 0.0, col("sigma"))).as("z"))
   }
 
+  /** Q193 — nucleus (top-p) source selection: per source, keep the
+    * highest-value documents until `pPct`% of the source's character
+    * mass is covered — the "smallest prefix covering p of the mass"
+    * rule (nucleus sampling applied to corpus curation: cap each
+    * source by VALUE share, not row count, so a source's long tail of
+    * low-value bulk is what gets cut). Emits the full decision table
+    * (every doc with its within-source running mass and keep flag),
+    * not just survivors — auditable cuts.
+    *
+    * Exactness: the keep rule is pure integer arithmetic —
+    * (cum_before)·100 < pPct·total — on exact long running sums;
+    * ordering is total via (n_chars desc, doc_id). Every source keeps
+    * at least its top document by construction.
+    *
+    * Scale shape: running mass from ONE two-level range-partitioned
+    * [[GlobalRank.globalCumSum]] on (source, n_chars desc, doc_id) —
+    * no per-source single-task sort — with per-source starts and
+    * totals from a broadcast triangular join on the |sources|-row
+    * totals table (the q184/q188 discipline).
+    */
+  def nucleusSelect(s: SparkSession, dir: String, pPct: Int = 50): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars").cast("long").as("n_chars"))
+    val cum = GlobalRank.globalCumSum(d, col("n_chars"), "gcum",
+      col("source"), col("n_chars").desc, col("doc_id"))
+    val srcTot = d.groupBy(col("source")).agg(sum(col("n_chars")).as("tot"))
+    val offs = srcTot.as("a")
+      .join(srcTot.as("b"), col("b.source") < col("a.source"), "left")
+      .groupBy(col("a.source").as("source"), col("a.tot").as("tot"))
+      .agg(coalesce(sum(col("b.tot")), lit(0L)).as("soff"))
+    cum.join(broadcast(offs), "source")
+      .withColumn("cum_chars", col("gcum") - col("soff"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("cum_chars"),
+        ((col("cum_chars") - col("n_chars")) * lit(100L) <
+          lit(pPct.toLong) * col("tot")).as("keep"))
+  }
+
+  /** Q192 — deterministic negative sampling: k pseudo-random
+    * NEGATIVE partners per anchor document (the contrastive-training
+    * and hard-negative-mining primitive) drawn by scrambled hash over
+    * the corpus position space — reproducible across runs/engines, so
+    * a training job can regenerate any batch's negatives from (doc,
+    * j) alone. Anchor self-collisions are remapped deterministically
+    * to the next position (never silently dropped, so every anchor
+    * gets exactly k negatives).
+    *
+    * Scale shape: a position index (doc_id → dense 1..N rank) built
+    * once by the two-level [[GlobalRank.globalRank]]; the ×k fan-out
+    * is a narrow explode; resolving sampled positions to documents is
+    * an equi-join on the position key (corpus-sized table, plain
+    * hash-partitioned join — uniformly distributed keys by
+    * construction, no skew). N is a one-row broadcast.
+    */
+  def negativeSample(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val ranks = GlobalRank.globalRank(
+      docs(s, dir).select(col("doc_id")), "pos", col("doc_id")).cache()
+    val n = ranks.agg(count(lit(1)).as("n"))
+    val fan = ranks.select(col("doc_id"), col("pos").as("apos"),
+        explode(array((0 until k).map(j => lit(j)): _*)).as("j"))
+      .crossJoin(broadcast(n))
+      .withColumn("p",
+        Relational.scrambleMod(TextHash.polyHash(
+          concat(lit("neg:"), col("doc_id").cast("string"), lit(":"),
+            col("j").cast("string")))) % col("n") + 1L)
+      .withColumn("p2",
+        when(col("p") === col("apos"), col("p") % col("n") + 1L)
+          .otherwise(col("p")))
+    fan.join(ranks.select(col("pos"), col("doc_id").as("neg_doc_id")),
+        col("p2") === col("pos"))
+      .select(col("doc_id"), col("j"), col("neg_doc_id"))
+  }
+
   /** Q191 — deterministic epoch shuffle: the data-loader's per-epoch
     * corpus permutation as a DISTRIBUTED operator — each (epoch, doc)
     * gets a scrambled hash key, and the epoch-local position is an

@@ -2090,6 +2090,43 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q194 — join-key skew advisor: per candidate join key of the
+    * fact table, the key-cardinality profile that decides the join
+    * strategy BEFORE the job runs — rows per key (max / mean), the
+    * max key's share, and a suggested salt factor = ⌈max/mean⌉
+    * (capped) — exactly the diagnostic that feeds
+    * [[SkewJoin.saltedEquiJoin]] and AQE skew thresholds. Run per
+    * ingest, it catches the one viral key that would stall a
+    * 1000-executor join at 100 TB.
+    *
+    * Exactness: per-key counts, maxima, and the ceil-div salt are
+    * exact longs (⌈a/b⌉ = (a+b−1) div b); mean and share are single
+    * pinned divisions.
+    *
+    * Scale shape: per key column, ONE partial+final count aggregate
+    * (the shuffle carries one row per distinct key) collapsing into a
+    * one-row profile; the column fan-out is a 2-element union of
+    * narrow projections.
+    */
+  def skewAdvisor(s: SparkSession, dir: String,
+                  saltCap: Long = 32L): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def profile(c: String): DataFrame =
+      li.select(col(c).as("k")).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total_rows"),
+          max(col("n")).as("max_rows"))
+        .select(lit(c).as("key_col"), col("n_keys"), col("total_rows"),
+          col("max_rows"),
+          (col("max_rows").cast("double") * col("n_keys") / col("total_rows"))
+            .as("skew_ratio"),
+          (col("max_rows").cast("double") / col("total_rows"))
+            .as("max_share"),
+          least(expr("(max_rows * n_keys + total_rows - 1) div total_rows"),
+            lit(saltCap)).as("suggested_salt"))
+    profile("l_partkey").unionAll(profile("l_suppkey"))
+  }
+
   /** Q189 — temporal distribution-drift audit: per event type, the
     * value distribution of the corpus's FIRST time half vs its SECOND
     * half over a shared 10-bin equi-width grid — per-bin shares and

@@ -287,6 +287,43 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nucleusSelect: smallest top prefix covering p of the mass, per source") {
+    // src A lengths: 60, 30, 10 (total 100, p=50): keep 60 only
+    //   (cum_before: 0 < 50 -> keep; 60 >= 50 -> drop; 90 -> drop)
+    // src B lengths: 10, 10 (total 20): keep first 10 only
+    val rows = Seq(
+      (1L, "x" * 60, "en", "A"), (2L, "x" * 30, "en", "A"),
+      (3L, "x" * 10, "en", "A"), (4L, "x" * 10, "en", "B"),
+      (5L, "x" * 10, "en", "B"))
+    withCorpusDir(rows) { dir =>
+      val out = graft.operators.Pipeline.nucleusSelect(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("cum_chars"), r.getAs[Boolean]("keep")))).toMap
+      assert(out === Map(
+        1L -> ((60L, true)), 2L -> ((90L, false)), 3L -> ((100L, false)),
+        4L -> ((10L, true)), 5L -> ((20L, false))))
+    }
+  }
+
+  test("negativeSample: exactly k negatives per anchor, never self, deterministic") {
+    val rows = (1L to 20L).map(i => (i, s"doc $i", "en", "src"))
+    withCorpusDir(rows) { dir =>
+      def run() = graft.operators.Pipeline.negativeSample(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("j"),
+          r.getAs[Long]("neg_doc_id")))
+      val out = run()
+      assert(out.length === 20 * 4)
+      out.groupBy(_._1).foreach { case (a, ns) =>
+        assert(ns.map(_._2).sorted.toSeq === Seq(0, 1, 2, 3), s"anchor $a")
+        assert(ns.forall(_._3 != a), s"anchor $a drew itself")
+        assert(ns.forall(x => x._3 >= 1L && x._3 <= 20L))
+      }
+      // negatives spread over the corpus, not stuck on one position
+      assert(out.map(_._3).distinct.length > 5)
+      assert(run().toSet === out.toSet)
+    }
+  }
+
   test("epochShuffle: each epoch is a permutation, epochs differ, runs agree") {
     val rows = (1L to 40L).map(i => (i, s"doc $i", "en", "src"))
     withCorpusDir(rows) { dir =>

@@ -941,6 +941,24 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("skewAdvisor: hand-checked key profile and ceil-div salt suggestion") {
+    val dir = java.nio.file.Files.createTempDirectory("skewadv").toString
+    try {
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (3L, 6L))
+        .toDF("l_partkey", "l_suppkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Relational.skewAdvisor(spark, dir).collect()
+        .map(r => r.getAs[String]("key_col") ->
+          ((r.getAs[Long]("n_keys"), r.getAs[Long]("max_rows"),
+            r.getAs[Double]("skew_ratio"), r.getAs[Long]("suggested_salt"))))
+        .toMap
+      assert(out("l_partkey") === ((3L, 4L, 2.0, 2L)))
+      assert(out("l_suppkey") === ((6L, 1L, 1.0, 1L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("giniConcentration: equal lengths 0, hand-checked skew, two-point max") {
     val dir = java.nio.file.Files.createTempDirectory("gini").toString
     try {
