@@ -3442,6 +3442,34 @@ object OracleSql {
        |  n, (sxy - sx * sy / n) / n AS cov
        |FROM a""".stripMargin
 
+  /** Q196 — embedding anisotropy audit (mirrors
+    * Similarity.anisotropy): same decimal quantization, per-dim exact
+    * sums, quantized squared dim-sums, pinned double finish.
+    */
+  def q196Anisotropy(dim: Int = 64): String =
+    s"""WITH q AS (
+       |  SELECT d, CAST(CAST(embedding[CAST(d AS INTEGER)] AS DOUBLE)
+       |    AS DECIMAL(12,9)) AS x
+       |  FROM embeddings, unnest(range(1, ${dim + 1})) AS t(d)
+       |),
+       |pd AS (
+       |  SELECT d, sum(x) AS sd, sum(x * x) AS ssd FROM q GROUP BY 1
+       |),
+       |a AS (
+       |  SELECT sum(CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+       |    AS DECIMAL(28,14))) AS s2, sum(ssd) AS ss
+       |  FROM pd
+       |),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT n AS n_vectors,
+       |  CAST(ss AS DOUBLE) / n AS mean_self_dot,
+       |  (CAST(s2 AS DOUBLE) - CAST(ss AS DOUBLE)) /
+       |    (CAST(n AS DOUBLE) * (n - 1)) AS mean_pairwise_dot,
+       |  ((CAST(s2 AS DOUBLE) - CAST(ss AS DOUBLE)) /
+       |    (CAST(n AS DOUBLE) * (n - 1))) /
+       |    (CAST(ss AS DOUBLE) / n) AS anisotropy
+       |FROM a CROSS JOIN n""".stripMargin
+
   /** Q178 — power-iteration dominant eigenvector (mirrors
     * Similarity.powerIteration): the q162 covariance CTE mirrored to
     * the full matrix, then `iters` unrolled matvec rounds — each
@@ -5208,6 +5236,29 @@ object OracleSql {
        |SELECT from_type, next_type, n_occurrences, n_users,
        |  CAST(n_occurrences AS DOUBLE) / from_total AS p_next
        |FROM c JOIN ft USING (from_type)""".stripMargin
+
+  /** Q195 — loudness normalization stats (mirrors
+    * Multimodal.loudnessStats): same centered samples, exact integer
+    * power/peak accumulation, same pinned sqrt/divide finish.
+    */
+  def q195Loudness(targetRms: Double = 20.0): String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    ascii(substring(text, CAST(i AS INTEGER) + 1, 1)) - 96 AS v
+       |  FROM documents, unnest(range(0, len(text))) AS g(i)
+       |  WHERE len(text) > 0
+       |),
+       |a AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+       |    CAST(sum(v * v) AS BIGINT) AS ss,
+       |    CAST(max(abs(v)) AS BIGINT) AS peak
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, n_samples, peak,
+       |  sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms,
+       |  $targetRms / sqrt(CAST(ss AS DOUBLE) / n_samples) AS gain,
+       |  CAST(peak AS DOUBLE) / sqrt(CAST(ss AS DOUBLE) / n_samples) AS crest
+       |FROM a""".stripMargin
 
   /** Q186 — voice-activity segmentation (mirrors
     * Multimodal.speechSegments): same 16-char frames, lowercase-vowel

@@ -430,12 +430,18 @@ object Graph {
       .withColumn("a", lit(1).cast("decimal(28,14)"))
     var hub: DataFrame = null
     for (_ <- 1 to iters) {
-      val hraw = e.join(auth, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      // materialize each mass table BEFORE branching it into its own
+      // normalizing total — the q173 lesson: a lazy aggregate consumed
+      // twice (scalar + main branch) inlines the whole upstream chain
+      // into both, doubling work per half-step (2^(2·iters) blowup)
+      val hraw = e.join(auth, "p").groupBy(col("c"))
+        .agg(sum(col("a")).as("hr")).localCheckpoint()
       hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
         .select(col("c"),
           (col("hr").cast("double") / col("sh").cast("double"))
             .cast("decimal(28,14)").as("h"))
-      val araw = e.join(hub, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val araw = e.join(hub, "c").groupBy(col("p"))
+        .agg(sum(col("h")).as("ar")).localCheckpoint()
       auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
         .select(col("p"),
           (col("ar").cast("double") / col("sa").cast("double"))

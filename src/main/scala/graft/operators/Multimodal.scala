@@ -243,6 +243,51 @@ object Multimodal {
     * / stride) feeding a (blob, shot)-keyed partial+final aggregate.
     * Signature deltas and sums are exact integers.
     */
+  /** Q195 — loudness normalization stats per audio-like blob: RMS
+    * level, peak amplitude, crest factor, and the gain a normalizer
+    * would apply to hit a target RMS — the per-clip pre-processing
+    * table an audio ingest computes before resampling/augmentation.
+    * Samples are bytes centered at 96 (the deterministic PCM stand-in
+    * consistent with the Q186 framing; a real deployment decodes PCM
+    * and keeps the identical per-partition reduction).
+    *
+    * Exactness: sum of squares and peak are exact longs accumulated
+    * in the partition iterator; RMS/gain/crest are pinned
+    * sqrt-and-divide doubles (sqrt is correctly-rounded IEEE).
+    *
+    * Scale shape: a NARROW one-pass per-partition reduction — one
+    * output row per blob, media bytes never leave the scan.
+    */
+  def loudnessStats(s: SparkSession, dir: String,
+                    targetRms: Double = 20.0): DataFrame = {
+    import s.implicits._
+    val center = 96
+    blobs(s, dir).mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          var ss = 0L; var peak = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val v = ((bytes(i) & 0xff) - center).toLong
+            ss += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          Iterator.single((id, bytes.length.toLong, ss, peak))
+        }
+      }
+    }.toDF("doc_id", "n_samples", "sum_sq", "peak")
+      .select(col("doc_id"), col("n_samples"), col("peak"),
+        sqrt(col("sum_sq").cast("double") / col("n_samples")).as("rms"),
+        (lit(targetRms) /
+          sqrt(col("sum_sq").cast("double") / col("n_samples"))).as("gain"),
+        (col("peak").cast("double") /
+          sqrt(col("sum_sq").cast("double") / col("n_samples")))
+          .as("crest"))
+  }
+
   /** Q186 — voice-activity segmentation over the media byte stream
     * (the audio counterpart of Q176's video shot detection): 16-byte
     * PCM-like frames scored in the partition iterator, a frame is

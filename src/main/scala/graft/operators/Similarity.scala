@@ -295,11 +295,13 @@ object Similarity {
     */
   def powerIteration(s: SparkSession, dir: String, dim: Int = 64,
                      iters: Int = 3): DataFrame = {
-    val cov = embedCovariance(s, dir, dim)
+    // materialize the covariance ONCE before mirroring it: the union
+    // references cov twice, and without this the corpus-sized
+    // covariance pass runs once per branch (2× the dominant cost)
+    val cov = embedCovariance(s, dir, dim).localCheckpoint()
     val full = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
       .unionAll(cov.filter(col("dim_i") < col("dim_j"))
         .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
-      .cache()
     var v = s.range(1, dim + 1).select(col("id").as("d"), lit(1.0).as("v"))
     var norm: DataFrame = null
     for (_ <- 1 to iters) {
@@ -708,5 +710,43 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))))
           .as("sim_centroid"))
+  }
+
+  /** Q196 — embedding anisotropy audit: the mean pairwise dot product
+    * across ALL n² vector pairs WITHOUT any pairwise join, from the
+    * algebraic identity Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖² — the
+    * collapsed-space screen (Ethayarajh 2019: high mean pairwise
+    * similarity = a dominant common direction; healthy spaces sit
+    * near 0) complementing Q178's dominant-direction extraction.
+    * Output: mean self dot, mean pairwise dot, and their ratio.
+    *
+    * Exactness: the q162 discipline — coordinates quantized to
+    * DECIMAL(12,9) (exact for float32 here), per-dim sums and power
+    * sums exact decimals in any combine order; each squared dim-sum
+    * is ONE double multiply re-quantized to DECIMAL(28,14) before the
+    * exact 64-term sum; the finish is pinned double divisions.
+    *
+    * Scale shape: one posexplode scan into a dim-keyed (64-row)
+    * partial+final aggregate, then a 64→1 reduction and a one-row
+    * broadcast count — O(n·dim) work, O(dim) exchange, never O(n²):
+    * the identity does what a pairwise join cannot at 100 TB.
+    */
+  def anisotropy(s: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(s, dir)
+      .select(posexplode(transform(col("embedding"),
+        x => x.cast("double").cast("decimal(12,9)"))).as(Seq("d", "x")))
+    val perDim = q.groupBy(col("d"))
+      .agg(sum(col("x")).as("sd"), sum(col("x") * col("x")).as("ssd"))
+    val agg = perDim.agg(
+      sum((col("sd").cast("double") * col("sd").cast("double"))
+        .cast("decimal(28,14)")).as("s2"),
+      sum(col("ssd")).as("ss"))
+    val n = embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val pair = (col("s2").cast("double") - col("ss").cast("double")) /
+      (col("n").cast("double") * (col("n") - lit(1L)))
+    agg.crossJoin(broadcast(n)).select(col("n").as("n_vectors"),
+      (col("ss").cast("double") / col("n")).as("mean_self_dot"),
+      pair.as("mean_pairwise_dot"),
+      (pair / (col("ss").cast("double") / col("n"))).as("anisotropy"))
   }
 }

@@ -132,6 +132,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("loudnessStats: exact power sums, peak, and gain on a crafted blob") {
+    // "`ab" -> centered samples 0, 1, 2: ss=5, peak=2, rms=sqrt(5/3)
+    withDocsDir(Seq("`ab", "")) { dir =>
+      val rows = Multimodal.loudnessStats(spark, dir).collect()
+      assert(rows.length === 1) // empty blob emits nothing
+      val r = rows.head
+      assert(r.getAs[Long]("n_samples") === 3L)
+      assert(r.getAs[Long]("peak") === 2L)
+      val rms = math.sqrt(5.0 / 3)
+      assert(math.abs(r.getAs[Double]("rms") - rms) < 1e-12)
+      assert(math.abs(r.getAs[Double]("gain") - 20.0 / rms) < 1e-12)
+      assert(math.abs(r.getAs[Double]("crest") - 2.0 / rms) < 1e-12)
+    }
+  }
+
   test("speechSegments: active runs merge, silence splits, partial tail frame counts") {
     // frames (16 chars): v=16 | v=0 | v=5 | v=5 (5-char tail)
     // active (>=5): 0, 2, 3 -> segments [0,0] and [2,3]

@@ -376,4 +376,28 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("recall") === 1.0)
     }
   }
+
+  test("anisotropy: matches the brute-force pairwise mean; join-free identity") {
+    val vecs = randVecs(12, dim = 8)
+    withEmbDir(vecs) { dir =>
+      val r = Similarity.anisotropy(spark, dir).collect().head
+      val q = vecs.map(_.map(x => BigDecimal(x.toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val n = q.length
+      val self = q.map(v => dot(v, v)).sum / n
+      val pair = (for { i <- q.indices; j <- q.indices if i != j }
+        yield dot(q(i), q(j))).sum / (n.toDouble * (n - 1))
+      assert(r.getAs[Long]("n_vectors") === n.toLong)
+      assert(math.abs(r.getAs[Double]("mean_self_dot") - self) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_pairwise_dot") - pair) < 1e-9)
+      assert(math.abs(r.getAs[Double]("anisotropy") - pair / self) < 1e-9)
+      // a collapsed space (all-identical vectors) has ratio exactly 1
+      withEmbDir(Seq.fill(5)(Array.fill(8)(0.5f))) { d2 =>
+        val c = Similarity.anisotropy(spark, d2).collect().head
+        assert(math.abs(c.getAs[Double]("anisotropy") - 1.0) < 1e-12)
+      }
+    }
+  }
 }
