@@ -5209,6 +5209,34 @@ object OracleSql {
        |    CAST(n_docs * total_chars AS DOUBLE) AS gini
        |FROM g""".stripMargin
 
+  /** Q197 — streaming transformWithState user profile (mirrors
+    * StreamingOps.userProfileFixture's final emission): batch
+    * per-user profile with the same decimal total and deterministic
+    * top-type argmax.
+    */
+  def q197StreamTws(): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,4)) AS v
+       |  FROM events
+       |),
+       |agg AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(v) AS DOUBLE) AS total_value
+       |  FROM e GROUP BY 1
+       |),
+       |tc AS (
+       |  SELECT user_id, event_type, count(*) AS c FROM e GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT user_id, event_type AS top_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY c DESC, event_type) AS rk
+       |  FROM tc
+       |)
+       |SELECT user_id, n_events, total_value, top_type
+       |FROM agg JOIN (SELECT user_id, top_type FROM top WHERE rk = 1)
+       |  USING (user_id)""".stripMargin
+
   /** Q187 — sequential transition mining (mirrors
     * Relational.transitionMining): same (epoch_us, event_id) total
     * order, lead pairing, and per-source conditional share.

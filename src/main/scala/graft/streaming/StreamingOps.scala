@@ -1474,4 +1474,108 @@ object StreamingOps {
     }
     s.table(name)
   }
+
+  /** [[userProfileStream]] emission (one per updated key per batch). */
+  case class TwsOut(user_id: Long, version: Int, n_events: Long,
+                    total_value: Double, top_type: String)
+
+  /** [[UserProfileProcessor]] running aggregate: exact decimal total. */
+  case class TwsAgg(version: Int, n: Long, total: BigDecimal)
+
+  /** Q197 (processor) — per-user profile on the Spark 4
+    * `transformWithState` API (the successor of mapGroupsWithState:
+    * NAMED, independently-typed state variables behind a
+    * StatefulProcessorHandle, RocksDB-backed): a ValueState carries
+    * the exact-decimal running (n, Σvalue) and a MapState carries
+    * per-event-type counts — the favorite-category profile every
+    * personalization pipeline keeps per user. Emits the updated
+    * profile with a deterministic (count desc, type asc) argmax.
+    *
+    * At scale: state is one small struct + |types| map entries per
+    * user, keyed by the shuffle key; the MapState updates touch only
+    * the types seen in the batch (point writes, not a full-map
+    * rewrite — the reason transformWithState exists).
+    */
+  class UserProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, BigDecimal), TwsOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[TwsAgg] = _
+    @transient private var typeCounts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState("agg", E.product[TwsAgg], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState("type_counts", E.STRING,
+        E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, BigDecimal)],
+        tv: TimerValues): Iterator[TwsOut] = {
+      var st = if (agg.exists()) agg.get() else TwsAgg(0, 0L, BigDecimal(0))
+      rows.foreach { case (_, typ, v) =>
+        st = st.copy(n = st.n + 1, total = st.total + v)
+        val c = if (typeCounts.containsKey(typ)) typeCounts.getValue(typ) else 0L
+        typeCounts.updateValue(typ, c + 1L)
+      }
+      st = st.copy(version = st.version + 1)
+      agg.update(st)
+      val top = typeCounts.iterator()
+        .min(Ordering.by[(String, Long), (Long, String)] {
+          case (t, c) => (-c, t)
+        })._1
+      Iterator.single(TwsOut(key, st.version, st.n, st.total.toDouble, top))
+    }
+  }
+
+  /** Q197 (operator) — [[UserProfileProcessor]] wired through
+    * `transformWithState` in Update mode, no time semantics.
+    */
+  def userProfileStream(ds: Dataset[(Long, String, BigDecimal)]): Dataset[TwsOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** q197 — [[userProfileStream]] over the sfDir events table, 3
+    * micro-batches on the RocksDB state store (transformWithState
+    * requires it; the conf is scoped and restored), final emission
+    * per user against the batch profile oracle.
+    */
+  def userProfileFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val data = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,4)"))
+      .as[(Long, String, BigDecimal)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, BigDecimal)]
+    val name = s"q197_stream_tws_${System.nanoTime()}"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withFewStatePartitions(s) {
+        val q = userProfileStream(stream.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Update()).start()
+        try {
+          feedBatches(stream, q, data, nBatches = 3)
+        } finally q.stop()
+      }
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version").desc)
+    s.table(name)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("user_id", "n_events", "total_value", "top_type")
+  }
 }

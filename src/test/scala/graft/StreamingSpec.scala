@@ -655,4 +655,37 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     }
   }
+
+  test("transformWithState profile: versions advance, decimal totals exact, argmax tie-breaks") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[(Long, String, BigDecimal)]
+    val q = StreamingOps.userProfileStream(stream.toDS())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((1L, "click", BigDecimal("1.5")),
+        (1L, "view", BigDecimal("2.25")), (2L, "view", BigDecimal("1.0")))
+      q.processAllAvailable()
+      stream.addData((1L, "view", BigDecimal("0.25")),
+        (2L, "click", BigDecimal("3.0")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val rows = spark.table("tws_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value"),
+          r.getAs[String]("top_type")))).toMap
+    assert(rows((1L, 1)) === ((2L, 3.75, "click"))) // tie 1-1 -> asc name
+    assert(rows((1L, 2)) === ((3L, 4.0, "view")))   // view pulls ahead
+    assert(rows((2L, 1)) === ((1L, 1.0, "view")))
+    assert(rows((2L, 2)) === ((2L, 4.0, "click"))) // tie again -> asc
+  }
 }
