@@ -5209,6 +5209,29 @@ object OracleSql {
        |    CAST(n_docs * total_chars AS DOUBLE) AS gini
        |FROM g""".stripMargin
 
+  /** Q198 — chained streaming windowed aggregation (mirrors
+    * StreamingOps.chainedWindowsFixture): batch 10-min buckets
+    * rolled into epoch-aligned hours.
+    */
+  def q198ChainedWindows(): String =
+    s"""WITH b AS (
+       |  SELECT event_type, epoch_us(ts) // 600000000 AS b10,
+       |    CAST(count(*) AS BIGINT) AS n10
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, (b10 // 6) * 3600000000 AS hour_start_us,
+       |  CAST(sum(n10) AS BIGINT) AS n_hour,
+       |  CAST(max(n10) AS BIGINT) AS max_10min,
+       |  CAST(count(*) AS BIGINT) AS n_buckets
+       |FROM b GROUP BY 1, 2""".stripMargin
+
+  /** Q199 — watermark-scoped streaming dedup (mirrors
+    * StreamingOps.dedupWithinWatermarkFixture): each event exactly
+    * once.
+    */
+  def q199DedupWithinWatermark(): String =
+    "SELECT event_id, event_type FROM events"
+
   /** Q197 — streaming transformWithState user profile (mirrors
     * StreamingOps.userProfileFixture's final emission): batch
     * per-user profile with the same decimal total and deterministic

@@ -305,7 +305,11 @@ object SparkEntry {
     "q195_loudness" -> ((s, dir) => Multimodal.loudnessStats(s, dir)),
     "q196_anisotropy" -> Similarity.anisotropy _,
     "q197_stream_tws" -> ((s, dir) =>
-      graft.streaming.StreamingOps.userProfileFixture(s, dir))
+      graft.streaming.StreamingOps.userProfileFixture(s, dir)),
+    "q198_stream_chained" -> ((s, dir) =>
+      graft.streaming.StreamingOps.chainedWindowsFixture(s, dir)),
+    "q199_stream_dedup_wm" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupWithinWatermarkFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -532,6 +536,8 @@ object SparkEntry {
     "q194_skew_advisor" -> OracleSql.q194SkewAdvisor(),
     "q195_loudness" -> OracleSql.q195Loudness(),
     "q196_anisotropy" -> OracleSql.q196Anisotropy(),
-    "q197_stream_tws" -> OracleSql.q197StreamTws()
+    "q197_stream_tws" -> OracleSql.q197StreamTws(),
+    "q198_stream_chained" -> OracleSql.q198ChainedWindows(),
+    "q199_stream_dedup_wm" -> OracleSql.q199DedupWithinWatermark()
   )
 }

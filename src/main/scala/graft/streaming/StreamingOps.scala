@@ -1475,6 +1475,104 @@ object StreamingOps {
     s.table(name)
   }
 
+  /** Q198 (operator) — CHAINED stateful streaming aggregations: 10-min
+    * tumbling per-type counts re-aggregated into hourly rollups
+    * (sum / max / bucket count) in ONE streaming query — the
+    * multi-stateful-operator pipeline (Spark 3.4+ window-over-window)
+    * that previously required two jobs with an intermediate sink.
+    * Append mode end-to-end: each hourly row emits exactly once when
+    * the watermark passes its end.
+    *
+    * At scale: state is one row per open (type, 10-min) bucket plus
+    * one per open (type, hour) rollup — both bounded by the watermark
+    * horizon, never by stream length.
+    */
+  def chainedWindows(ev: DataFrame, watermarkMin: Int = 30): DataFrame =
+    ev.withWatermark("tsm", s"$watermarkMin minutes")
+      .groupBy(col("event_type"), window(col("tsm"), "10 minutes").as("w10"))
+      .agg(count(lit(1)).as("n10"))
+      .groupBy(col("event_type"), window(col("w10"), "60 minutes").as("w60"))
+      .agg(sum(col("n10")).as("n_hour"), max(col("n10")).as("max_10min"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("event_type"),
+        unix_micros(col("w60.start")).as("hour_start_us"),
+        col("n_hour"), col("max_10min"), col("n_buckets"))
+
+  /** q198 — [[chainedWindows]] over the sfDir events table (the q50
+    * sentinel-flush harness; time-ordered feed ⇒ nothing
+    * watermark-dropped and the appended rows equal the batch rollup).
+    */
+  def chainedWindowsFixture(s: SparkSession, dir: String,
+                            watermarkMin: Int = 30): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("event_type"), tsu.as("us"))
+      .orderBy(col("us")).as[(String, Long)].collect() // fixture feed only
+    val sentinel = ("__sentinel__",
+      data.map(_._2).max + (watermarkMin + 80) * 60000000L)
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val name = s"q198_chained_${System.nanoTime()}"
+    val in = stream.toDS().toDF("event_type", "us")
+      .withColumn("tsm", expr("timestamp_micros(us)"))
+    withFewStatePartitions(s) {
+      val q = chainedWindows(in, watermarkMin = watermarkMin)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try feedBatches(stream, q, data, tail = Seq(sentinel))
+      finally q.stop()
+    }
+    s.table(name).filter(col("event_type") =!= "__sentinel__")
+  }
+
+  /** Q199 (operator) — watermark-scoped streaming deduplication:
+    * `dropDuplicatesWithinWatermark` keeps ONE row per id while
+    * holding state only for the watermark horizon (plain
+    * dropDuplicates holds every id forever — unbounded state;
+    * the WithinWatermark form is the production-safe dedup for
+    * at-least-once upstreams whose duplicates arrive close together).
+    */
+  def dedupWithinWatermark(ev: DataFrame,
+                           watermarkMin: Int = 30): DataFrame =
+    ev.withWatermark("tsm", s"$watermarkMin minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** q199 — [[dedupWithinWatermark]] fed the sfDir events TWICE
+    * (duplicate arrivals split across micro-batches, all within the
+    * watermark) — the appended output equals the table exactly once.
+    */
+  def dedupWithinWatermarkFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsu =
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val data = ev.select(col("event_id"), col("event_type"), tsu.as("us"))
+      .orderBy(col("us")).as[(Long, String, Long)].collect()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val name = s"q199_dedup_wm_${System.nanoTime()}"
+    val in = stream.toDS().toDF("event_id", "event_type", "us")
+      .withColumn("tsm", expr("timestamp_micros(us)"))
+    withFewStatePartitions(s) {
+      val q = dedupWithinWatermark(in)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      // the whole feed twice: every row's duplicate arrives within the
+      // watermark (the feed spans < the 30-min horizon per batch pair)
+      try feedBatches(stream, q, data ++ data, nBatches = 4)
+      finally q.stop()
+    }
+    s.table(name).select(col("event_id"), col("event_type"))
+  }
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

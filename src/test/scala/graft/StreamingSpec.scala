@@ -656,6 +656,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chainedWindows: 10-min buckets roll into hours across micro-batches") {
+    val H = 3600000000L; val M10 = 600000000L
+    // type A: 3 events in hour-0 buckets 0,0,1; 1 event in hour 1
+    val feed = Seq(("A", 0L), ("A", 1L * M10 - 1), ("A", 1L * M10),
+      ("A", 6L * M10 + 5), ("B", 0L))
+    val sentinel = ("__sentinel__", 20L * H)
+    val stream = MemoryStream[(String, Long)]
+    val in = stream.toDS().toDF("event_type", "us")
+      .withColumn("tsm", org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+    val q = StreamingOps.chainedWindows(in)
+      .writeStream.format("memory").queryName("chw_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(feed.take(3)); q.processAllAvailable()
+      stream.addData(feed.drop(3) :+ sentinel); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("chw_test")
+      .filter($"event_type" =!= "__sentinel__").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("hour_start_us")) ->
+        ((r.getAs[Long]("n_hour"), r.getAs[Long]("max_10min"),
+          r.getAs[Long]("n_buckets")))).toMap
+    assert(got === Map(
+      ("A", 0L) -> ((3L, 2L, 2L)),   // buckets: n10=2 (b0), n10=1 (b1)
+      ("A", H) -> ((1L, 1L, 1L)),
+      ("B", 0L) -> ((1L, 1L, 1L))))
+  }
+
+  test("dedupWithinWatermark: in-horizon duplicates dropped, new ids pass") {
+    val stream = MemoryStream[(Long, String, Long)]
+    val in = stream.toDS().toDF("event_id", "event_type", "us")
+      .withColumn("tsm", org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+    val q = StreamingOps.dedupWithinWatermark(in)
+      .writeStream.format("memory").queryName("ddwm_test")
+      .outputMode(OutputMode.Append()).start()
+    val m = 60000000L
+    try {
+      stream.addData((1L, "click", 0L), (2L, "view", m)); q.processAllAvailable()
+      // id 1 again 2 min later (inside the 30-min horizon) + a new id
+      stream.addData((1L, "click", 2 * m), (3L, "purchase", 3 * m))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddwm_test").collect()
+      .map(r => r.getAs[Long]("event_id")).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("transformWithState profile: versions advance, decimal totals exact, argmax tie-breaks") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
