@@ -1556,10 +1556,19 @@ object OracleSql {
                           5 -> Seq("index", "state")),
                         k1: Double = 1.2, b: Double = 0.75,
                         k: Int = 5): String = {
+    s"""WITH ${bm25Ctes(queries, k1, b)}
+       |SELECT qid, doc_id, score, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** Shared q164/q200 BM25 CTE chain ending at ranked scores `r`
+    * (also defines `qt` and `tok` for downstream eval CTEs).
+    */
+  private def bm25Ctes(queries: Seq[(Int, Seq[String])],
+                       k1: Double, b: Double): String = {
     val vals = queries
       .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
       .mkString(", ")
-    s"""WITH qt AS (SELECT * FROM (VALUES $vals) AS t(qid, term)),
+    s"""qt AS (SELECT * FROM (VALUES $vals) AS t(qid, term)),
        |tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
        |post AS (
        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -1592,9 +1601,52 @@ object OracleSql {
        |    CAST(row_number() OVER (
        |      PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
        |  FROM sc
-       |)
-       |SELECT qid, doc_id, score, rnk FROM r WHERE rnk <= $k""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Q200 — retrieval-quality eval (mirrors
+    * TextAnalysis.retrievalEval): the q164 ranking judged against
+    * all-terms-present relevance labels; rational metrics only.
+    */
+  def q200RetrievalEval(queries: Seq[(Int, Seq[String])] = Seq(
+                          1 -> Seq("hash", "join"),
+                          2 -> Seq("scan", "filter"),
+                          3 -> Seq("sort", "merge"),
+                          4 -> Seq("data", "stream"),
+                          5 -> Seq("index", "state")),
+                        k1: Double = 1.2, b: Double = 0.75,
+                        k: Int = 5): String =
+    s"""WITH ${bm25Ctes(queries, k1, b)},
+       |topk AS (SELECT * FROM r WHERE rnk <= $k),
+       |toku AS (SELECT DISTINCT doc_id, term FROM tok),
+       |qtc AS (SELECT qid, count(*) AS ntq FROM qt GROUP BY 1),
+       |rel AS (
+       |  SELECT qt.qid, t.doc_id
+       |  FROM toku t JOIN qt ON t.term = qt.term
+       |  JOIN qtc ON qtc.qid = qt.qid
+       |  GROUP BY 1, 2, qtc.ntq
+       |  HAVING count(DISTINCT t.term) = qtc.ntq
+       |),
+       |rt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant
+       |       FROM rel GROUP BY 1),
+       |h AS (
+       |  SELECT topk.qid, CAST(count(*) AS BIGINT) AS n_hits,
+       |    min(rnk) AS first_rnk
+       |  FROM topk JOIN rel ON topk.qid = rel.qid
+       |    AND topk.doc_id = rel.doc_id
+       |  GROUP BY 1
+       |),
+       |qs AS (SELECT DISTINCT qid FROM qt)
+       |SELECT qs.qid,
+       |  coalesce(rt.n_relevant, 0) AS n_relevant,
+       |  coalesce(h.n_hits, 0) AS n_hits_at_k,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k AS precision_at_k,
+       |  CASE WHEN coalesce(rt.n_relevant, 0) = 0 THEN NULL
+       |       ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / rt.n_relevant
+       |  END AS recall_at_k,
+       |  coalesce(1.0 / h.first_rnk, 0.0) AS mrr
+       |FROM qs LEFT JOIN rt ON rt.qid = qs.qid
+       |LEFT JOIN h ON h.qid = qs.qid""".stripMargin
 
   /** Q165 — token-budget water-filling (mirrors
     * Pipeline.budgetWaterfill): per-source token supply, budget =

@@ -592,6 +592,63 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
   }
 
+  /** Q200 — retrieval-quality evaluation of the Q164 BM25 ranker:
+    * per query, precision@k, recall@k, and MRR against a
+    * deterministic relevance standard (a document is relevant iff it
+    * contains ALL the query's terms — boolean-AND retrieval as the
+    * label) — the eval harness every retrieval stack runs per index
+    * build. Metrics are deliberately RATIONAL (hit counts, single
+    * divisions, 1/first-rank) — no log-discounted DCG whose libm
+    * calls could diverge across engines.
+    *
+    * Scale shape: relevance labels come from the same posting-list ⋈
+    * broadcast-query-terms semi-join shape as the ranker itself
+    * (candidates, not the corpus, flow into labeling); the per-query
+    * rollups are |queries|-bounded aggregates; zero-relevant and
+    * zero-hit queries survive via left joins from the query list
+    * (NULL recall, 0 MRR — audited, not dropped).
+    */
+  def retrievalEval(s: SparkSession, dir: String,
+                    queries: Seq[(Int, Seq[String])] = Seq(
+                      1 -> Seq("hash", "join"),
+                      2 -> Seq("scan", "filter"),
+                      3 -> Seq("sort", "merge"),
+                      4 -> Seq("data", "stream"),
+                      5 -> Seq("index", "state")),
+                    k: Int = 5): DataFrame = {
+    import s.implicits._
+    val topk = bm25Retrieval(s, dir, queries, k = k)
+    val qt = queries
+      .flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+      .toDF("qid", "term")
+    val qtc = qt.groupBy(col("qid")).agg(count(lit(1)).as("ntq"))
+    val toku = docs(s, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("term"))
+      .distinct()
+    val rel = toku.join(broadcast(qt), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .join(broadcast(qtc), "qid")
+      .filter(col("nt") === col("ntq"))
+      .select(col("qid"), col("doc_id"))
+    val rt = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_relevant"))
+    val h = topk.join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rnk")).as("first_rnk"))
+    qt.select(col("qid")).distinct()
+      .join(rt, Seq("qid"), "left").join(h, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits_at_k"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k))
+          .as("precision_at_k"),
+        when(coalesce(col("n_relevant"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_relevant")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("first_rnk"), lit(0.0)).as("mrr"))
+  }
+
   /** Q115 — reciprocal-rank fusion of two lexical rankers over the
     * same fixed query: the q51 BM25 scorer and a normalized-TF ×
     * inverse-df scorer (Σ_t (tf_t/dl)·(N/df_t) — a deliberately

@@ -354,6 +354,22 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("retrievalEval: all-terms relevance, zero-relevant query audited not dropped") {
+    withDocsDir(Seq("cat dog", "cat", "dog cat extra", "bird")) { dir =>
+      val out = TextAnalysis.retrievalEval(spark, dir,
+        queries = Seq(1 -> Seq("cat", "dog"), 2 -> Seq("unicorn", "dragon")),
+        k = 2).collect()
+        .map(r => r.getAs[Long]("qid") ->
+          ((r.getAs[Long]("n_relevant"), r.getAs[Long]("n_hits_at_k"),
+            r.getAs[Double]("precision_at_k"),
+            Option(r.get(r.fieldIndex("recall_at_k"))),
+            r.getAs[Double]("mrr")))).toMap
+      // docs 0 and 2 contain both terms; both fill the top-2
+      assert(out(1L) === ((2L, 2L, 1.0, Some(1.0), 1.0)))
+      assert(out(2L) === ((0L, 0L, 0.0, None, 0.0)))
+    }
+  }
+
   test("langConfusion: diagonal, und fallback, and off-diagonal cells with shares") {
     val dir = java.nio.file.Files.createTempDirectory("langconf").toString
     try {
