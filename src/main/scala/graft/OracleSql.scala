@@ -856,6 +856,81 @@ object OracleSql {
        |FROM h""".stripMargin
   }
 
+  /** Q203 — Hoeffding early-stopping audit (mirrors
+    * Relational.hoeffdingAudit): identical hash chain, shared ln(2/δ)
+    * literal, same pinned mean/radius expressions.
+    */
+  def q203Hoeffding(delta: Double = 0.05): String = {
+    val P = graft.functions.TextHash.P
+    val L = math.log(2.0 / delta)
+    val hSql = polyHashSql("('ab:' || CAST(user_id AS VARCHAR))")
+    s"""WITH h0 AS (SELECT event_type, value, $hSql AS u FROM events),
+       |h1 AS (SELECT *, (u * u + 12345) % $P AS v1 FROM h0),
+       |h2 AS (SELECT *, (v1 * 31 + u) % $P AS v2 FROM h1),
+       |hs AS (SELECT *, (v2 * v2 + 6789) % $P AS h FROM h2),
+       |byv AS (
+       |  SELECT event_type, h % 2 AS variant,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(value AS DECIMAL(18,4))) AS sx,
+       |    min(CAST(value AS DECIMAL(18,4))) AS mn,
+       |    max(CAST(value AS DECIMAL(18,4))) AS mx
+       |  FROM hs GROUP BY 1, 2
+       |)
+       |SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       |  CAST(a.sx AS DOUBLE) / a.n AS mean_a,
+       |  CAST(b.sx AS DOUBLE) / b.n AS mean_b,
+       |  CAST(a.mx - a.mn AS DOUBLE) * sqrt($L / (2.0 * a.n)) AS eps_a,
+       |  CAST(b.mx - b.mn AS DOUBLE) * sqrt($L / (2.0 * b.n)) AS eps_b,
+       |  abs(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n) >
+       |    CAST(a.mx - a.mn AS DOUBLE) * sqrt($L / (2.0 * a.n)) +
+       |    CAST(b.mx - b.mn AS DOUBLE) * sqrt($L / (2.0 * b.n)) AS separated
+       |FROM (SELECT * FROM byv WHERE variant = 0) a
+       |JOIN (SELECT * FROM byv WHERE variant = 1) b USING (event_type)""".stripMargin
+  }
+
+  /** Q202 — purge audit (mirrors Relational.purgeAudit): same
+    * scramble chain on 'del:'-prefixed ids, same decimal value mass.
+    */
+  def q202PurgeAudit(modN: Int = 20): String = {
+    val P = graft.functions.TextHash.P
+    def aud(table: String, id: String, vExpr: String, dec: String): String = {
+      val hSql = polyHashSql(s"('del:' || CAST($id AS VARCHAR))")
+      s"""SELECT '$table' AS table_name,
+         |  CAST(sum(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+         |  CAST(sum(CASE WHEN purge THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+         |  CAST(coalesce(sum(CASE WHEN purge THEN v END),
+         |    CAST(0 AS $dec)) AS DOUBLE) AS purged_value
+         |FROM (
+         |  SELECT ((((((u * u + 12345) % $P) * 31 + u) % $P)
+         |    * ((((u * u + 12345) % $P) * 31 + u) % $P) + 6789) % $P)
+         |    % $modN = 0 AS purge, CAST($vExpr AS $dec) AS v
+         |  FROM (SELECT $hSql AS u, $vExpr FROM $table)
+         |)""".stripMargin
+    }
+    aud("events", "user_id", "value", "DECIMAL(18,4)") + "\nUNION ALL\n" +
+      aud("orders", "o_custkey", "o_totalprice", "DECIMAL(20,4)")
+  }
+
+  /** Q201 — LTV cohort matrix (mirrors Relational.ltvCohorts): same
+    * integer month index and decimal revenue.
+    */
+  def q201LtvCohorts(): String =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+       |    CAST(o_totalprice AS DECIMAL(20,4)) AS rev
+       |  FROM orders
+       |),
+       |f AS (SELECT o_custkey, min(ym) AS c_ym FROM o GROUP BY 1)
+       |SELECT printf('%04d-%02d', (c_ym - 1) // 12, (c_ym - 1) % 12 + 1)
+       |    AS cohort_month,
+       |  CAST(ym - c_ym AS BIGINT) AS age_months,
+       |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(rev) AS DOUBLE) AS revenue
+       |FROM o JOIN f USING (o_custkey)
+       |GROUP BY c_ym, 2""".stripMargin
+
   /** Q194 — join-key skew advisor (mirrors Relational.skewAdvisor):
     * same per-key profile and exact ceil-div salt rule.
     */

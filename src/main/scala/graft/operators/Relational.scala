@@ -2090,6 +2090,121 @@ object Relational {
         sum(col("spend")).cast("double").as("segment_spend"))
   }
 
+  /** Q203 — Hoeffding early-stopping audit on the Q174 A/B arms: per
+    * event type, each arm's mean with its distribution-free Hoeffding
+    * radius ε = R·√(ln(2/δ)/2n) (R = the arm's observed value range),
+    * and the `separated` verdict |μ_a − μ_b| > ε_a + ε_b — the
+    * anytime stopping rule racing/successive-halving systems use to
+    * retire arms without parametric assumptions. A/A by construction
+    * here, so `separated` should never fire (spec-pinned).
+    *
+    * Exactness: ln(2/δ) is ONE Scala-computed literal embedded
+    * textually in both engines (no runtime libm divergence); n, Σx,
+    * min, max are exact; means and radii are pinned
+    * double expressions.
+    *
+    * Scale shape: one scan → 2·|types| aggregate rows →
+    * |types|-row self-join; nothing else moves.
+    */
+  def hoeffdingAudit(s: SparkSession, dir: String,
+                     delta: Double = 0.05): DataFrame = {
+    val lTerm = math.log(2.0 / delta)
+    val h = scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("ab:"), col("user_id").cast("string"))))
+    val byVar = t(s, dir, "events")
+      .withColumn("variant", (h % 2).cast("int"))
+      .select(col("event_type"), col("variant"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .localCheckpoint()
+    def arm(v: Int, sfx: String): DataFrame =
+      byVar.filter(col("variant") === v).select(col("event_type"),
+        col("n").as(s"n_$sfx"), col("sx").as(s"sx_$sfx"),
+        col("mn").as(s"mn_$sfx"), col("mx").as(s"mx_$sfx"))
+    def meanOf(sfx: String): Column =
+      col(s"sx_$sfx").cast("double") / col(s"n_$sfx")
+    def epsOf(sfx: String): Column =
+      (col(s"mx_$sfx") - col(s"mn_$sfx")).cast("double") *
+        sqrt(lit(lTerm) / (lit(2.0) * col(s"n_$sfx")))
+    arm(0, "a").join(arm(1, "b"), Seq("event_type"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        meanOf("a").as("mean_a"), meanOf("b").as("mean_b"),
+        epsOf("a").as("eps_a"), epsOf("b").as("eps_b"),
+        (abs(meanOf("a") - meanOf("b")) > epsOf("a") + epsOf("b"))
+          .as("separated"))
+  }
+
+  /** Q202 — deletion-request purge audit (the right-to-be-forgotten
+    * pass): a deterministic deletion list (scrambled id hash ≡ 0
+    * mod `modN` — standing in for the uploaded request file) swept
+    * across BOTH id spaces — event users and order customers — with
+    * per-table purge/retain row counts and the value mass leaving
+    * each table. Every privacy pipeline ships this audit with the
+    * actual delete job; rows are counted, never silently dropped.
+    *
+    * Scale shape: the deletion predicate is a scan-local hash (no
+    * join against a request table needed for the audit; a real list
+    * would broadcast or bloom), so each table audit is one partial+
+    * final aggregate over its scan. Decimal-exact value sums, one
+    * closing double cast; 2-row output via narrow union.
+    */
+  def purgeAudit(s: SparkSession, dir: String, modN: Int = 20): DataFrame = {
+    def del(idCol: Column): Column =
+      scrambleMod(graft.functions.TextHash.polyHash(
+        concat(lit("del:"), idCol.cast("string")))) % modN === 0L
+    val ev = t(s, dir, "events")
+      .select(del(col("user_id")).as("purge"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .agg(sum(when(col("purge"), 1L).otherwise(0L)).as("n_purged"),
+        sum(when(!col("purge"), 1L).otherwise(0L)).as("n_retained"),
+        coalesce(sum(when(col("purge"), col("v"))), lit(0).cast("decimal(18,4)"))
+          .cast("double").as("purged_value"))
+      .select(lit("events").as("table_name"), col("n_purged"),
+        col("n_retained"), col("purged_value"))
+    val ord = t(s, dir, "orders")
+      .select(del(col("o_custkey")).as("purge"),
+        col("o_totalprice").cast("decimal(20,4)").as("v"))
+      .agg(sum(when(col("purge"), 1L).otherwise(0L)).as("n_purged"),
+        sum(when(!col("purge"), 1L).otherwise(0L)).as("n_retained"),
+        coalesce(sum(when(col("purge"), col("v"))), lit(0).cast("decimal(20,4)"))
+          .cast("double").as("purged_value"))
+      .select(lit("orders").as("table_name"), col("n_purged"),
+        col("n_retained"), col("purged_value"))
+    ev.unionAll(ord)
+  }
+
+  /** Q201 — LTV cohort matrix: customers grouped by FIRST-ORDER month
+    * (the acquisition cohort), revenue tracked by months-since-first
+    * (cohort age) — the (cohort × age) lifetime-value triangle every
+    * growth team reads. Month arithmetic is pure integers
+    * (ym = year·12 + month), so cohorts and ages are exact; revenue
+    * sums are decimal-exact with one closing double cast.
+    *
+    * Scale shape: one per-customer min aggregate (partial combine),
+    * one customer-keyed equi-join back onto orders, and a
+    * (cohorts × ages)-bounded final aggregate — the matrix size is
+    * calendar-bounded, independent of order count.
+    */
+  def ltvCohorts(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+      col("o_totalprice").cast("decimal(20,4)").as("rev"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("c_ym"))
+    o.join(first, "o_custkey")
+      .groupBy(col("c_ym"),
+        (col("ym") - col("c_ym")).cast("long").as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .select(
+        format_string("%04d-%02d", expr("(c_ym - 1) div 12"),
+          expr("(c_ym - 1) % 12 + 1")).as("cohort_month"),
+        col("age_months"), col("n_customers"), col("n_orders"),
+        col("revenue"))
+  }
+
   /** Q194 — join-key skew advisor: per candidate join key of the
     * fact table, the key-cardinality profile that decides the join
     * strategy BEFORE the job runs — rows per key (max / mean), the

@@ -941,6 +941,55 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("ltvCohorts: hand-checked cohort x age triangle") {
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    try {
+      val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+      Seq((1L, 1L, "O", 100.0, ts("2024-01-05"), "p"),
+          (2L, 1L, "O", 50.0, ts("2024-03-20"), "p"),
+          (3L, 2L, "O", 10.0, ts("2024-01-30"), "p"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = Relational.ltvCohorts(spark, dir).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("age_months")) ->
+          ((r.getAs[Long]("n_customers"), r.getAs[Long]("n_orders"),
+            r.getAs[Double]("revenue")))).toMap
+      assert(out === Map(
+        ("2024-01", 0L) -> ((2L, 2L, 110.0)),
+        ("2024-01", 2L) -> ((1L, 1L, 50.0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("purgeAudit: counts partition each table; mass matches a re-derived flag") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.purgeAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_purged"), r.getAs[Long]("n_retained"),
+          r.getAs[Double]("purged_value")))).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val flag = Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("del:"), col("user_id").cast("string")))) % 20 === 0L
+    val expPurged = ev.filter(flag).count()
+    assert(out("events")._1 === expPurged)
+    assert(out("events")._1 + out("events")._2 === ev.count())
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    assert(out("orders")._1 + out("orders")._2 === o.count())
+    assert(out("events")._3 >= 0.0 && out("orders")._3 >= 0.0)
+  }
+
+  test("hoeffdingAudit: A/A never separates; radii positive; means inside range") {
+    val rows = Relational.hoeffdingAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("separated"),
+        s"A/A arms separated for ${r.getString(0)}")
+      assert(r.getAs[Double]("eps_a") > 0 && r.getAs[Double]("eps_b") > 0)
+    }
+  }
+
   test("skewAdvisor: hand-checked key profile and ceil-div salt suggestion") {
     val dir = java.nio.file.Files.createTempDirectory("skewadv").toString
     try {
