@@ -705,6 +705,80 @@ object OracleSql {
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin
 
+  /** Q204 — incremental near-dup ingest (mirrors
+    * Dedup.incrementalDedup): same signature CTEs, same scramble
+    * membership, asymmetric incoming⋈existing band join, integer
+    * agreement floor, (n_match desc, ex_id) best-match order.
+    */
+  def q204IncrementalDedup(modN: Int = 5, tau: Double = 0.5): String = {
+    val params = graft.functions.TextHash.minhashParams()
+    val p = graft.functions.TextHash.P
+    val mins = params
+      .map { case (i, _, a, b) => s"min(($a * h + $b) % $p) AS mh$i" }
+      .mkString(",\n       |    ")
+    val bandSelects = (src: String) => params.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (band, rows) =>
+        val fold = rows.map(_._1).sorted
+          .foldLeft("CAST(0 AS BIGINT)")((acc, i) => s"(($acc) * 31 + mh$i) % $p")
+        s"SELECT doc_id, $band AS band, $fold AS bh FROM $src"
+      }
+      .mkString("\n       |  UNION ALL\n       |  ")
+    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
+    val minMatch = math.ceil(tau * 16).toInt
+    s"""WITH $shingleCtes,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shq GROUP BY doc_id
+       |),
+       |u0 AS (SELECT doc_id, $hSql AS u FROM documents),
+       |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
+       |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
+       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |       FROM u2),
+       |sf AS (SELECT sig.*, incoming FROM sig JOIN fl USING (doc_id)),
+       |si AS (SELECT * FROM sf WHERE incoming),
+       |se AS (SELECT * FROM sf WHERE NOT incoming),
+       |bi AS (
+       |  ${bandSelects("si")}
+       |),
+       |be AS (
+       |  ${bandSelects("se")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS inc_id, y.doc_id AS ex_id
+       |  FROM bi x JOIN be y ON x.band = y.band AND x.bh = y.bh
+       |),
+       |sc AS (
+       |  SELECT inc_id, ex_id, $minhashMatchSql AS n_match
+       |  FROM cand
+       |  JOIN sf sa ON sa.doc_id = inc_id
+       |  JOIN sf sb ON sb.doc_id = ex_id
+       |),
+       |ag AS (
+       |  SELECT inc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+       |    CAST(sum(CASE WHEN n_match >= $minMatch THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_confirmed
+       |  FROM sc GROUP BY 1
+       |),
+       |bs AS (
+       |  SELECT inc_id, ex_id AS best_match,
+       |    CAST(n_match AS DOUBLE) / 16.0 AS best_jaccard,
+       |    row_number() OVER (PARTITION BY inc_id
+       |      ORDER BY n_match DESC, ex_id) AS rk
+       |  FROM sc
+       |)
+       |SELECT f.doc_id,
+       |  coalesce(ag.n_candidates, 0) AS n_candidates,
+       |  coalesce(ag.n_confirmed, 0) AS n_confirmed,
+       |  bs.best_match, bs.best_jaccard,
+       |  CASE WHEN coalesce(ag.n_confirmed, 0) > 0 THEN 'drop'
+       |       ELSE 'ingest' END AS decision
+       |FROM (SELECT doc_id FROM si) f
+       |LEFT JOIN ag ON ag.inc_id = f.doc_id
+       |LEFT JOIN (SELECT * FROM bs WHERE rk = 1) bs ON bs.inc_id = f.doc_id""".stripMargin
+  }
+
   /** Q182 — LSH banding tuning curve (mirrors Dedup.lshTuning): one
     * columnar signature CTE, four banding configs each with its own
     * band/candidate/summary CTEs, one audit row per config.

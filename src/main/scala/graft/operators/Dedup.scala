@@ -110,6 +110,66 @@ object Dedup {
     * counts; precision is one int-ratio double; an empty candidate
     * set yields NULL precision, not 0/0.
     */
+  /** Q204 — INCREMENTAL near-dup ingest: a 20% "incoming shard"
+    * (deterministic hash membership — today's crawl) probed against
+    * the 80% "existing corpus" through the Q15c LSH bands, with a
+    * per-incoming-doc ingest/drop decision. The asymmetric join is
+    * the point: candidates are incoming-band ⋈ existing-band ONLY —
+    * no incoming×incoming, no existing×existing — so a daily ingest
+    * pays O(|new| + collisions), never a corpus-wide self-join, and
+    * the historical band index is reusable as-is at 100 TB.
+    *
+    * Confirmation is an INTEGER signature-agreement floor
+    * (≥ ⌈τ·16⌉ of 16 slots); the best match per incoming doc is a
+    * struct-max with (jaccard desc, id asc) tie order. Docs with no
+    * candidates survive via left join — decision 'ingest', audited.
+    */
+  def incrementalDedup(s: SparkSession, dir: String, modN: Int = 5,
+                       tau: Double = 0.5): DataFrame = {
+    val params = TextHash.minhashParams()
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val sig = minhashSignatures(s, docs(s, dir))
+      .withColumn("incoming", isInc).cache()
+    val byBand = params.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (band, ps) => band -> ps.map(_._1) }
+    val stackArgs = byBand
+      .map { case (band, his) => struct(lit(band).as("band"),
+        bandKey(his).as("bh")) }
+    def bands(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(array(stackArgs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands(sig.filter(col("incoming"))).as("x")
+      .join(bands(sig.filter(!col("incoming"))).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
+      .distinct()
+    val matches = params
+      .map { case (i, _, _, _) =>
+        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
+      .reduce(_ + _)
+    val minMatch = math.ceil(tau * 16).toInt
+    val scored = cand
+      .join(sig.as("sa"), col("inc_id") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("ex_id") === col("sb.doc_id"))
+      .select(col("inc_id"), col("ex_id"), matches.as("n_match"))
+    val agg = scored.groupBy(col("inc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("n_match") >= minMatch, 1L).otherwise(0L))
+          .as("n_confirmed"),
+        max(struct(col("n_match"), (-col("ex_id")).as("negid"),
+          col("ex_id"))).as("best"))
+    sig.filter(col("incoming")).select(col("doc_id").as("inc_id"))
+      .join(agg, Seq("inc_id"), "left")
+      .select(col("inc_id").as("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        col("best.ex_id").as("best_match"),
+        (col("best.n_match").cast("double") / lit(16.0)).as("best_jaccard"),
+        when(coalesce(col("n_confirmed"), lit(0L)) > 0L, "drop")
+          .otherwise("ingest").as("decision"))
+  }
+
   def lshTuning(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(s, docs(s, dir)).cache()
     val minMatch = math.ceil(tau * 16).toInt

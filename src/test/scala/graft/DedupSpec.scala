@@ -353,4 +353,39 @@ class DedupSpec extends SparkSpec {
       assert(out === Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
     }
   }
+
+  test("incrementalDedup: incoming copy of existing drops; unique incoming ingests; " +
+    "incoming-incoming pairs never counted") {
+    import org.apache.spark.sql.functions._
+    // discover the deterministic membership for ids 0..29
+    val flags = spark.range(0, 30).select(col("id"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash.polyHash(
+          concat(lit("inc:"), col("id").cast("string")))) % 5 === 0L).as("inc"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val incIds = (0L until 30L).filter(flags(_))
+    val exIds = (0L until 30L).filterNot(flags(_))
+    assert(incIds.size >= 2 && exIds.size >= 2)
+    val (dupInc, uniqInc) = (incIds.head, incIds(1))
+    val dupEx = exIds.head
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val texts = (0L until 30L).map { id =>
+      if (id == dupInc || id == dupEx) shared
+      else if (incIds.drop(2).contains(id) && flags(id))
+        shared // extra incoming copies: must match EXISTING only
+      else (1 to 12).map(j => s"w${id}x$j").mkString(" ")
+    }
+    withDocsDir(texts) { dir =>
+      val out = graft.operators.Dedup.incrementalDedup(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_confirmed"),
+            Option(r.get(r.fieldIndex("best_match"))),
+            r.getAs[String]("decision")))).toMap
+      assert(out.keySet === incIds.toSet) // one row per incoming doc
+      val (_, nConf, best, dec) = out(dupInc)
+      assert(dec === "drop" && nConf >= 1L)
+      // best match is the EXISTING copy, never a fellow incoming copy
+      assert(best === Some(dupEx))
+      assert(out(uniqInc) === ((0L, 0L, None, "ingest")))
+    }
+  }
 }
