@@ -5538,6 +5538,37 @@ object OracleSql {
        |  CAST(sum(voiced) AS BIGINT) AS sum_voiced
        |FROM isl GROUP BY 1, 2""".stripMargin
 
+  /** Q205 — text-source round-trip (mirrors
+    * GenericSources.textRoundtripSummary): the same rollup over the
+    * original table — equality proves the line framing lossless.
+    */
+  def q205TextRoundtrip(): String =
+    s"""SELECT CAST(len(text) % 7 AS BIGINT) AS len_mod7,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(text)) AS BIGINT) AS sum_len,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM documents GROUP BY 1""".stripMargin
+
+  /** Q206 — binaryFile-source ingest (mirrors
+    * GenericSources.binaryFilesSummary): byte lengths and ascii
+    * checksums over the original table.
+    */
+  def q206BinaryFiles(): String =
+    s"""WITH c AS (
+       |  SELECT doc_id, len(text) AS length,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))), (a, x) -> a + x) AS checksum
+       |  FROM documents
+       |)
+       |SELECT CAST(length % 5 AS BIGINT) AS len_mod5,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(length) AS BIGINT) AS sum_bytes,
+       |  CAST(sum(checksum) AS BIGINT) AS sum_checksum,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM c GROUP BY 1""".stripMargin
+
   /** Q185 — Benford first-digit audit (mirrors
     * Relational.benfordAudit): digit from the exact-cents decimal
     * string, IDENTICAL Scala-computed Benford double literals, same

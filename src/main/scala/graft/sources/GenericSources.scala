@@ -71,6 +71,95 @@ object GenericSources {
     summary
   }
 
+  /** Q205 — line-oriented `text` source round-trip: the documents
+    * table serialized as TAB-framed lines (`id\ttext` — the corpus
+    * interchange format of most raw text dumps; testdata text is
+    * newline/tab-free, asserted at write), written through the text
+    * sink, re-ingested with `spark.read.text` + one codegen'd
+    * substring split, and rolled up per length bucket. The rollup
+    * equals the same aggregate over the original parquet (oracle
+    * side), proving the line framing lossless — the ingest check a
+    * raw-dump migration runs before trusting a .txt corpus drop.
+    *
+    * Scale shape: text read/write is splittable and narrow; the
+    * parse is two string expressions in the scan projection; one
+    * bounded aggregate.
+    */
+  def textRoundtripSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_text")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val framed = docs.select(
+      concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+    assert(docs.filter(col("text").contains("\n") ||
+      col("text").contains("\t")).isEmpty,
+      "text contains frame characters; escape before line framing")
+    framed.write.mode("overwrite").text(out.toString)
+    val parsed = s.read.text(out.toString)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+    val summary = parsed
+      .groupBy((length(col("text")) % 7L).as("len_mod7"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_len"),
+        sum(col("doc_id")).as("sum_ids"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .localCheckpoint() // materialize before the fixture dir vanishes
+    deleteRecursively(out)
+    summary
+  }
+
+  /** Q206 — `binaryFile` source ingest: media blobs landed as ONE
+    * FILE PER BLOB (how image/audio corpora actually arrive on
+    * object storage), read back through Spark's binaryFile source
+    * (path, length, content), keyed by the filename stem, and
+    * audited per length bucket with exact byte checksums. Checksums
+    * equal the in-table byte sums (oracle side), proving the
+    * file-per-blob ingest path byte-lossless end-to-end.
+    *
+    * Scale shape: binaryFile scans are file-parallel; the checksum
+    * is computed in the scan projection (aggregate over the byte
+    * array — codegen, no UDF); blobs never shuffle (the Q139
+    * discipline) — only (id, length, checksum) rows reach the
+    * aggregate. Fixture writes one file per doc via a single
+    * foreachPartition pass.
+    */
+  def binaryFilesSummary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_bin")
+    val outStr = out.toString
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outStr, s"${r.getLong(0)}.bin"),
+              r.getAs[Array[Byte]]("media"))
+          }
+      }
+    val summary = s.read.format("binaryFile").load(outStr)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length"),
+        // ASCII fixture bytes: decode + per-char ascii sum stays in
+        // codegen'd builtins (a real binary corpus would md5 at the
+        // scan, the q139 discipline)
+        aggregate(transform(split(col("content").cast("string"), ""),
+            c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("checksum"))
+      .groupBy((col("length") % 5L).as("len_mod5"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("sum_bytes"),
+        sum(col("checksum")).as("sum_checksum"),
+        sum(col("doc_id")).as("sum_ids"))
+      .localCheckpoint()
+    deleteRecursively(out)
+    summary
+  }
+
   /** Q119 — partitioned-sink + partition-pruning audit: the documents
     * table written as a hive-layout parquet tree partitioned by
     * `source` (the layout a 100 TB corpus actually lands in), read

@@ -104,4 +104,35 @@ class GenericSourcesSpec extends SparkSpec {
         s"ORC scan reads the unprojected text column:\n$scan")
     }
   }
+
+  test("text-source roundtrip: tab framing survives; summary matches hand rollup") {
+    withTmp { dir =>
+      Seq((3L, "abc def", "en", "web", 7L), (10L, "xyzzy", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = GenericSources.textRoundtripSummary(spark, dir).collect()
+        .map(r => r.getAs[Long]("len_mod7") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_len"),
+            r.getAs[Long]("sum_ids"), r.getAs[Long]("min_id"),
+            r.getAs[Long]("max_id")))).toMap
+      // "abc def" len 7 -> mod 0; "xyzzy" len 5 -> mod 5
+      assert(out === Map(0L -> ((1L, 7L, 3L, 3L, 3L)),
+        5L -> ((1L, 5L, 10L, 10L, 10L))))
+    }
+  }
+
+  test("binaryFile ingest: one file per blob, exact byte checksums") {
+    withTmp { dir =>
+      Seq((1L, "ab", "en", "web", 2L), (2L, "c", "en", "web", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = GenericSources.binaryFilesSummary(spark, dir).collect()
+        .map(r => r.getAs[Long]("len_mod5") ->
+          ((r.getAs[Long]("n_files"), r.getAs[Long]("sum_bytes"),
+            r.getAs[Long]("sum_checksum"), r.getAs[Long]("sum_ids")))).toMap
+      // "ab" -> 97+98=195 (len 2); "c" -> 99 (len 1)
+      assert(out === Map(2L -> ((1L, 2L, 195L, 1L)),
+        1L -> ((1L, 1L, 99L, 2L))))
+    }
+  }
 }
