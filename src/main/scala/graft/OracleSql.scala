@@ -5643,4 +5643,98 @@ object OracleSql {
        |  (u_a - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(nullif(sig2, 0.0)) AS z
        |FROM fin""".stripMargin
   }
+
+  /** Q207 — SCD Type-2 build (mirrors Relational.scd2Dimension):
+    * same change flag, running version, run collapse, lookahead.
+    */
+  def q207Scd2(): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+       |),
+       |f AS (
+       |  SELECT user_id, tus, event_id, event_type,
+       |    CASE WHEN lag(event_type) OVER w IS NULL
+       |              OR lag(event_type) OVER w <> event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |),
+       |v AS (
+       |  SELECT user_id, tus, event_type,
+       |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+       |  FROM f
+       |),
+       |runs AS (
+       |  SELECT user_id, version, min(event_type) AS event_type,
+       |    min(tus) AS valid_from_us, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM v GROUP BY 1, 2
+       |)
+       |SELECT user_id, version, event_type, valid_from_us,
+       |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+       |  (lead(valid_from_us) OVER w2 IS NULL) AS is_current
+       |FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin
+
+  /** Q209 — exact two-sample KS (mirrors Relational.ksTest): integer
+    * ECDF cross-products, lexicographic (dnum, −v) argmax, one final
+    * double division.
+    */
+  def q209KsTest(): String =
+    s"""WITH g AS (
+       |  SELECT o_totalprice AS v,
+       |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+       |                  THEN 0 ELSE 1 END) AS BIGINT) AS cb
+       |  FROM orders GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT v,
+       |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+       |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+       |  FROM g WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+       |  FROM g
+       |)
+       |SELECT n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS d_num,
+       |  v AS at_value,
+       |  CAST(abs(cum_a * n_b - cum_b * n_a) AS DOUBLE)
+       |    / CAST(n_a * n_b AS DOUBLE) AS d
+       |FROM c CROSS JOIN tot
+       |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
+
+  /** Q210 — forecast-skill audit (mirrors Relational.forecastSkill):
+    * zero-filled calendar, lag-1 vs lag-7 integer MAE sums, one
+    * double ratio per type.
+    */
+  def q210ForecastSkill(season: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |),
+       |cal AS (
+       |  SELECT event_type, CAST(g.d AS DATE) AS day
+       |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+       |        FROM daily GROUP BY 1) s,
+       |    unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+       |      CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
+       |),
+       |filled AS (
+       |  SELECT c.event_type, c.day, coalesce(d.cnt, 0) AS cnt
+       |  FROM cal c LEFT JOIN daily d
+       |    ON d.event_type = c.event_type AND d.day = c.day
+       |),
+       |lagged AS (
+       |  SELECT event_type, cnt,
+       |    lag(cnt, 1) OVER w AS l1, lag(cnt, $season) OVER w AS ls
+       |  FROM filled WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_eval,
+       |  CAST(sum(abs(cnt - l1)) AS BIGINT) AS naive_err,
+       |  CAST(sum(abs(cnt - ls)) AS BIGINT) AS seasonal_err,
+       |  CAST(sum(abs(cnt - ls)) AS DOUBLE)
+       |    / CAST(nullif(sum(abs(cnt - l1)), 0) AS DOUBLE) AS mase
+       |FROM lagged WHERE ls IS NOT NULL GROUP BY 1""".stripMargin
 }

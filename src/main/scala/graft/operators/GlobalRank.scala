@@ -87,21 +87,43 @@ object GlobalRank {
     * plus the broadcast total of all earlier partitions.
     */
   def globalCumSum(df: DataFrame, value: Column, outCol: String,
-                   order: Column*): DataFrame = {
+                   order: Column*): DataFrame =
+    globalCumSums(df, Seq(value -> outCol), order: _*)
+
+  /** [[globalCumSum]] for SEVERAL values in ONE pass: every running
+    * sum shares the single range shuffle, the single per-partition
+    * window sort, and the single broadcast offset table (an n-column
+    * cumulative would otherwise pay the range-exchange n times —
+    * exactly the shape a two-sample ECDF comparison needs).
+    */
+  def globalCumSums(df: DataFrame, values: Seq[(Column, String)],
+                    order: Column*): DataFrame = {
     val parted = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value)
-    val local = parted.withColumn("__lcum",
-      sum(col("__v")).over(Window.partitionBy(col("__pid"))
-        .orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val cnts = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__psum"))
+    val vcols = values.zipWithIndex.map { case ((v, _), i) => (s"__v$i", v) }
+    val staged = vcols.foldLeft(parted) { case (d, (n, v)) => d.withColumn(n, v) }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = vcols.foldLeft(staged) { case (d, (n, _)) =>
+      d.withColumn(s"__lcum_$n", sum(col(n)).over(w))
+    }
+    val cnts = local.groupBy(col("__pid"))
+      .agg(vcols.head match { case (n, _) => sum(col(n)).as(s"__psum_$n") },
+        vcols.tail.map { case (n, _) => sum(col(n)).as(s"__psum_$n") }: _*)
     val offs = cnts.as("a")
       .join(cnts.as("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__psum")), lit(0L)).as("__off"))
-    local.join(broadcast(offs), "__pid")
-      .withColumn(outCol, col("__lcum") + col("__off"))
-      .drop("__pid", "__v", "__lcum", "__off")
+      .agg(vcols.head match { case (n, _) =>
+          coalesce(sum(col(s"b.__psum_$n")), lit(0L)).as(s"__off_$n") },
+        vcols.tail.map { case (n, _) =>
+          coalesce(sum(col(s"b.__psum_$n")), lit(0L)).as(s"__off_$n") }: _*)
+    val joined = local.join(broadcast(offs), "__pid")
+    val named = values.zip(vcols).foldLeft(joined) {
+      case (d, ((_, out), (n, _))) =>
+        d.withColumn(out, col(s"__lcum_$n") + col(s"__off_$n"))
+    }
+    val scratch = Seq("__pid") ++
+      vcols.flatMap { case (n, _) => Seq(n, s"__lcum_$n", s"__off_$n") }
+    named.drop(scratch: _*)
   }
 }

@@ -2461,4 +2461,130 @@ object Relational {
       ((uA - col("n_a").cast("double") * col("n_b") / lit(2.0)) /
         sqrt(nullif(sig2, lit(0.0)))).as("z"))
   }
+
+  /** Q207 — SCD Type-2 COMPACTION: collapse each user's event stream
+    * into validity intervals of the tracked attribute (`event_type`),
+    * merging consecutive no-op repeats into one run (gaps-and-islands
+    * with a change-flag running sum). Complements Q66's per-event
+    * history ([[scd2Intervals]]): Q66 keeps every changelog row as an
+    * interval; this is the change-detection load that stores only
+    * actual transitions, with per-run version numbers and row counts —
+    * what a real dimension load writes when the upstream re-sends
+    * unchanged state.
+    *
+    * Scale: every window partitions by `user_id` — per-user history
+    * fits one task at any corpus size (a user's event count doesn't
+    * grow with the fleet), and the run-collapse aggregate combines
+    * partially map-side. No global sort, no self-join: one shuffle on
+    * user_id serves the change flag, the version counter, AND the
+    * valid_to lookahead (same partitioning reused across stages).
+    */
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val e = ev.select(col("user_id"), col("event_id"),
+      tsMicros(ev).as("tus"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val prev = lag(col("event_type"), 1).over(w)
+    val flagged = e
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("tus")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Q209 — exact two-sample Kolmogorov-Smirnov D between the order
+    * totals of high-priority ('1-URGENT'/'2-HIGH') and other orders.
+    *
+    * D = max_v |F_a(v) − F_b(v)| is computed EXACTLY as integers:
+    * per-value counts, one two-level prefix sum ([[GlobalRank
+    * .globalCumSums]] — both cumulatives share one range shuffle),
+    * then max |ca·n_b − cb·n_a| with the single double division at
+    * the very end. The max carries its arg (smallest value attaining
+    * it) via a lexicographic struct-max, so the answer is
+    * deterministic under ties.
+    *
+    * Scale: the per-value histogram is a partial-combining hash
+    * aggregate; the cumulative never sorts in one partition; the
+    * final max is a one-row global aggregate. Integer products stay
+    * exact while n_a·n_b < 2^63 (~3·10^9 rows per side) — past that,
+    * pre-aggregate into value buckets or sample; noted here rather
+    * than silently widening, since DECIMAL(38) products would change
+    * the oracle's type surface.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val grouped = o.select(col("o_totalprice").as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_a"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val cum = GlobalRank.globalCumSums(grouped,
+      Seq(col("ca") -> "cum_a", col("cb") -> "cum_b"), col("v"))
+    val tot = grouped.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val best = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        struct(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+            .as("dnum"),
+          (-col("v")).as("negv")).as("cand"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("cand")).as("best"))
+    best.select(col("n_a"), col("n_b"),
+      col("best.dnum").as("d_num"),
+      (-col("best.negv")).as("at_value"),
+      (col("best.dnum").cast("double") /
+        (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
+  /** Q210 — forecast-skill audit: does weekly seasonality beat
+    * yesterday's value for per-type daily event volume? Per
+    * event_type: MAE of the seasonal-naive forecast (count 7 days
+    * back) vs the lag-1 naive, over a zero-filled full calendar
+    * (missing days ARE observations of 0 — skipping them would shift
+    * every lag across the gap). The ratio < 1 ⇔ the series rewards a
+    * seasonal model — the go/no-go gate before fitting anything.
+    *
+    * Scale: daily counts are a partial-combining aggregate; the
+    * calendar explode is bounded by the date span (not the row
+    * count); lags partition by event_type over day-grain rows — the
+    * windowed input is O(types × days), tiny at any fleet size. All
+    * error sums are exact integers; one double division per type.
+    */
+  def forecastSkill(s: SparkSession, dir: String, season: Int = 7): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev.select(col("event_type"),
+        to_date(timestamp_micros(tsMicros(ev))).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val filled = cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = filled
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("ls", lag(col("cnt"), season).over(w))
+      .filter(col("ls").isNotNull)
+    lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_eval"),
+        sum(abs(col("cnt") - col("l1"))).as("naive_err"),
+        sum(abs(col("cnt") - col("ls"))).as("seasonal_err"))
+      .select(col("event_type"), col("n_days_eval"),
+        col("naive_err"), col("seasonal_err"),
+        (col("seasonal_err").cast("double") /
+          nullif(col("naive_err"), lit(0L)).cast("double")).as("mase"))
+  }
 }

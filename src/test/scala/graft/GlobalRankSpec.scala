@@ -93,6 +93,21 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("globalCumSums: two columns in one pass equal two window truths") {
+    val df = randomDf(7L, 400).withColumn("v2", col("v") * 3L + 1L)
+    val got = GlobalRank.globalCumSums(df,
+        Seq(col("v") -> "cum_v", col("v2") -> "cum_v2"), col("id"))
+      .select(col("id"), col("cum_v"), col("cum_v2"))
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("cum_v", sum(col("v")).over(w))
+      .withColumn("cum_v2", sum(col("v2")).over(w))
+      .select(col("id"), col("cum_v"), col("cum_v2"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "multi-value two-level cumsum diverged from window truth")
+  }
+
   test("topKRanked returns exactly the global top-k, ranked 1..k") {
     val df = randomDf(5L, 250)
     val got = GlobalRank.topKRanked(df, 17, "rnk",

@@ -1089,4 +1089,73 @@ class RelationalFamilySpec extends SparkSpec {
       assert(math.abs(oz - z) < 1e-9, s"$typ: z $oz vs $z")
     }
   }
+
+  test("scd2Dimension: runs collapse, versions ascend, intervals chain") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val us = (m: Int) => m * 60L * 1000000L +
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    // user 1: A A B A  -> 3 runs; user 2: C -> 1 current run
+    val rows = Seq(
+      (1L, ts(0), 1L, "A", 0.0, "{}"), (2L, ts(1), 1L, "A", 0.0, "{}"),
+      (3L, ts(2), 1L, "B", 0.0, "{}"), (4L, ts(3), 1L, "A", 0.0, "{}"),
+      (5L, ts(0), 2L, "C", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.scd2Dimension(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+            r.getLong(5), r.getBoolean(6)))).toMap
+      assert(out === Map(
+        (1L, 1L) -> (("A", us(0), Some(us(2)), 2L, false)),
+        (1L, 2L) -> (("B", us(2), Some(us(3)), 1L, false)),
+        (1L, 3L) -> (("A", us(3), None, 1L, true)),
+        (2L, 1L) -> (("C", us(0), None, 1L, true))))
+    }
+  }
+
+  test("ksTest: hand-checked D on a 2x3 split; argmax tie takes smallest value") {
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    try {
+      val d = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // A = {10, 30}; B = {10, 20, 40}
+      Seq((1L, 1L, "O", 10.0, d, "1-URGENT"), (2L, 1L, "O", 30.0, d, "2-HIGH"),
+          (3L, 2L, "O", 10.0, d, "5-LOW"), (4L, 2L, "O", 20.0, d, "5-LOW"),
+          (5L, 2L, "O", 40.0, d, "5-LOW"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val r = Relational.ksTest(spark, dir).collect()
+      assert(r.length === 1)
+      val row = r.head
+      // ECDFs: v=10: |1*3-1*2|=1; v=20: |3-4|=1; v=30: |6-4|=2; v=40: 0
+      assert(row.getAs[Long]("n_a") === 2L)
+      assert(row.getAs[Long]("n_b") === 3L)
+      assert(row.getAs[Long]("d_num") === 2L)
+      assert(row.getAs[Double]("at_value") === 30.0)
+      assert(math.abs(row.getAs[Double]("d") - 2.0 / 6.0) < 1e-15)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("forecastSkill: zero-filled gap days enter both MAEs; ratio is exact") {
+    val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 05:00:00")
+    // type X daily counts over 9 days: 3,0,1,1,1,1,1,3,1 — day 2 has no
+    // events, so the calendar fill must supply its 0 (it feeds idx 8's
+    // seasonal lag)
+    val cnts = Seq(3, 0, 1, 1, 1, 1, 1, 3, 1)
+    val rows = cnts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(j => ((i * 10 + j).toLong, day(i), 1L, "X", 0.0, "{}"))
+    }
+    withEventsDir(rows) { dir =>
+      val r = Relational.forecastSkill(spark, dir).collect()
+      assert(r.length === 1)
+      val row = r.head
+      // eval days: idx 7,8. naive: |3-1|+|1-3| = 4
+      // seasonal: |3-3|+|1-0| = 1  -> mase 0.25
+      assert(row.getAs[Long]("n_days_eval") === 2L)
+      assert(row.getAs[Long]("naive_err") === 4L)
+      assert(row.getAs[Long]("seasonal_err") === 1L)
+      assert(row.getAs[Double]("mase") === 0.25)
+    }
+  }
 }
