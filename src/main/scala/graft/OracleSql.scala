@@ -705,6 +705,105 @@ object OracleSql {
        |JOIN sig sa ON sa.doc_id = c.doc_a
        |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin
 
+  /** Q208 — sorted-neighborhood blocking (mirrors
+    * Dedup.sortedNeighborhood): same normalized prefix key, same
+    * (bkey, doc_id) total order, rank-window pairing, MinHash
+    * agreement scoring. The bands/cand CTEs from minhashCtes are
+    * present but unreferenced (DuckDB only evaluates referenced CTEs).
+    */
+  def q208SortedNeighborhood(w: Int = 4, prefixLen: Int = 12): String =
+    s"""WITH $shingleCtes,
+       |$minhashCtes,
+       |keyed AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |      1, $prefixLen) AS bkey
+       |  FROM documents
+       |),
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bkey, doc_id) AS rnk
+       |  FROM keyed
+       |),
+       |sn AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+       |  FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + $w
+       |)
+       |SELECT c.doc_a, c.doc_b, c.rank_gap,
+       |  CAST($minhashMatchSql AS BIGINT) AS n_match,
+       |  CAST($minhashMatchSql AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM sn c
+       |JOIN sig sa ON sa.doc_id = c.doc_a
+       |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin
+
+  /** Q214 — blocking-recall audit (mirrors Dedup.blockingRecall):
+    * Q15e df-capped Jaccard truth, Q15c band candidates, Q208
+    * sorted-neighborhood candidates, canonicalized pair membership.
+    */
+  def q214BlockingRecall(minJaccard: Double = 0.5, maxDf: Long = 100L,
+                         w: Int = 4, prefixLen: Int = 12): String =
+    s"""WITH $shingleCtes,
+       |$minhashCtes,
+       |hot AS (SELECT h FROM shq GROUP BY h HAVING count(*) > $maxDf),
+       |shc AS (SELECT * FROM shq WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM shc x JOIN shc y ON x.h = y.h AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE)
+       |    / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= ${dlit(minJaccard)}
+       |),
+       |keyed AS (
+       |  SELECT doc_id,
+       |    substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+       |      1, $prefixLen) AS bkey
+       |  FROM documents
+       |),
+       |rk AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY bkey, doc_id) AS rnk
+       |  FROM keyed
+       |),
+       |snq AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + $w
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = b.doc_id
+       |),
+       |tn AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |lcn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       |lhn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |    WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |),
+       |scn AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM snq),
+       |shn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hits FROM truth t
+       |  WHERE EXISTS (SELECT 1 FROM snq c
+       |    WHERE c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+       |)
+       |SELECT 'lsh_bands' AS scheme, tn.n_truth, lcn.n_candidates,
+       |  lhn.n_hits,
+       |  CAST(lhn.n_hits AS DOUBLE)
+       |    / CAST(nullif(tn.n_truth, 0) AS DOUBLE) AS recall
+       |FROM tn, lcn, lhn
+       |UNION ALL
+       |SELECT 'sorted_neighborhood' AS scheme, tn.n_truth,
+       |  scn.n_candidates, shn.n_hits,
+       |  CAST(shn.n_hits AS DOUBLE)
+       |    / CAST(nullif(tn.n_truth, 0) AS DOUBLE) AS recall
+       |FROM tn, scn, shn""".stripMargin
+
   /** Q204 — incremental near-dup ingest (mirrors
     * Dedup.incrementalDedup): same signature CTEs, same scramble
     * membership, asymmetric incoming⋈existing band join, integer
@@ -1921,6 +2020,70 @@ object OracleSql {
        |    / CAST(nullif((a + b + c + d) * (a + b + c + d)
        |      - ((a + b) * (a + c) + (c + d) * (b + d)), 0) AS DOUBLE) AS kappa
        |FROM cells""".stripMargin
+
+  /** Q211 — calibration bins (mirrors TextAnalysis.calibrationBins):
+    * same decile binning, DECIMAL(28,14)-quantized score sums, one
+    * terminal division per double column.
+    */
+  def q211CalibrationBins(nBins: Int = 10): String =
+    s"""WITH q1 AS (SELECT doc_id, quality_score FROM (${q18Quality}) x),
+       |q2 AS (SELECT doc_id, keep FROM (${q18bGopher()}) y),
+       |j AS (
+       |  SELECT quality_score, keep,
+       |    least(CAST(floor(quality_score * $nBins) AS BIGINT),
+       |      ${nBins - 1}) AS bin
+       |  FROM q1 JOIN q2 ON q1.doc_id = q2.doc_id
+       |),
+       |b AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    sum(CAST(quality_score AS DECIMAL(28,14))) AS ssum
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT bin, n_docs, n_keep,
+       |  CAST(ssum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_score,
+       |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+       |  CAST(ssum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    - CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gap
+       |FROM b""".stripMargin
+
+  /** Q212 — Fleiss' κ, three binary raters (mirrors
+    * TextAnalysis.fleissKappa): same integer vote counts and the
+    * single-division closed form.
+    */
+  def q212FleissKappa(thr: Double = 0.5, minTokens: Int = 25): String =
+    s"""WITH q1 AS (SELECT doc_id, (quality_score >= ${dlit(thr)}) AS r1,
+       |            (n_tokens >= $minTokens) AS r3 FROM (${q18Quality}) x),
+       |q2 AS (SELECT doc_id, keep AS r2 FROM (${q18bGopher()}) y),
+       |xs AS (
+       |  SELECT d.source,
+       |    CAST(CASE WHEN r1 THEN 1 ELSE 0 END
+       |      + CASE WHEN r2 THEN 1 ELSE 0 END
+       |      + CASE WHEN r3 THEN 1 ELSE 0 END AS BIGINT) AS x
+       |  FROM documents d
+       |  JOIN q1 ON q1.doc_id = d.doc_id
+       |  JOIN q2 ON q2.doc_id = d.doc_id
+       |),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(x) AS BIGINT) AS c_keep,
+       |    CAST(sum(x * x + (3 - x) * (3 - x)) AS BIGINT) AS s2
+       |  FROM xs GROUP BY 1
+       |)
+       |SELECT source, n_docs, c_keep,
+       |  CAST(s2 - 3 * n_docs AS DOUBLE)
+       |    / CAST(6 * n_docs AS DOUBLE) AS p_bar,
+       |  CAST(c_keep * c_keep
+       |      + (3 * n_docs - c_keep) * (3 * n_docs - c_keep) AS DOUBLE)
+       |    / CAST(9 * n_docs * n_docs AS DOUBLE) AS p_e,
+       |  CAST(3 * n_docs * (s2 - 3 * n_docs)
+       |      - 2 * (c_keep * c_keep
+       |        + (3 * n_docs - c_keep) * (3 * n_docs - c_keep)) AS DOUBLE)
+       |    / CAST(nullif(2 * (9 * n_docs * n_docs
+       |      - (c_keep * c_keep
+       |        + (3 * n_docs - c_keep) * (3 * n_docs - c_keep))), 0)
+       |      AS DOUBLE) AS kappa
+       |FROM per""".stripMargin
 
   /** Q169 — recency-decayed per-user value (mirrors
     * Relational.recencyValue): 2^(−integer) weights are exact
@@ -3723,6 +3886,78 @@ object OracleSql {
        |$rounds
        |SELECT CAST(d AS BIGINT) AS dim_i, v, m AS lambda_est
        |FROM v$iters, m$iters""".stripMargin
+  }
+
+  /** Q213 — deflated top-2 power iteration (mirrors
+    * Similarity.pcaTop2): the q178 covariance + unrolled rounds,
+    * then the Hotelling rank-1 update and a second round set with
+    * identical arithmetic.
+    */
+  def q213Pca2(dim: Int = 64, iters: Int = 3): String = {
+    def rounds(pfx: String, mat: String) = (1 to iters).map { k =>
+      s"""${pfx}r$k AS MATERIALIZED (
+         |  SELECT m.i AS d,
+         |    CAST(sum(CAST(m.cov * ${pfx}v${k - 1}.v AS DECIMAL(28,14))) AS DOUBLE) AS vr
+         |  FROM $mat m JOIN ${pfx}v${k - 1} ON m.j = ${pfx}v${k - 1}.d GROUP BY 1
+         |),
+         |${pfx}m$k AS MATERIALIZED (SELECT max(abs(vr)) AS m FROM ${pfx}r$k),
+         |${pfx}v$k AS MATERIALIZED (
+         |  SELECT d, vr / m AS v FROM ${pfx}r$k, ${pfx}m$k)""".stripMargin
+    }.mkString(",\n")
+    def ones(name: String) =
+      s"""$name AS (
+         |  SELECT CAST(i AS BIGINT) AS d, CAST(1.0 AS DOUBLE) AS v
+         |  FROM unnest(range(1, ${dim + 1})) AS t(i)
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |x AS (
+       |  SELECT i, j,
+       |    CAST(de[i] AS DECIMAL(12,9)) AS xi,
+       |    CAST(de[j] AS DECIMAL(12,9)) AS xj
+       |  FROM e, unnest(range(1, ${dim + 1})) AS t(i),
+       |       unnest(range(1, ${dim + 1})) AS u(j)
+       |  WHERE j >= i
+       |),
+       |a AS (
+       |  SELECT i, j, count(*) AS n,
+       |    CAST(sum(xi * xj) AS DOUBLE) AS sxy,
+       |    CAST(sum(xi) AS DOUBLE) AS sx,
+       |    CAST(sum(xj) AS DOUBLE) AS sy
+       |  FROM x GROUP BY 1, 2
+       |),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, (sxy - sx * sy / n) / n AS cov FROM a
+       |),
+       |cf AS MATERIALIZED (
+       |  SELECT i, j, cov FROM cov
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cov WHERE i < j
+       |),
+       |${ones("av0")},
+       |${rounds("a", "cf")},
+       |vv AS (
+       |  SELECT CAST(sum(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE) AS vv
+       |  FROM av$iters
+       |),
+       |cf2 AS MATERIALIZED (
+       |  SELECT f.i, f.j,
+       |    f.cov - am$iters.m * vi.v * vj.v / vv.vv AS cov
+       |  FROM cf f
+       |  JOIN av$iters vi ON vi.d = f.i
+       |  JOIN av$iters vj ON vj.d = f.j, am$iters, vv
+       |),
+       |${ones("bv0")},
+       |${rounds("b", "cf2")}
+       |SELECT CAST(1 AS BIGINT) AS component, CAST(d AS BIGINT) AS dim_i,
+       |  v, m AS lambda_est
+       |FROM av$iters, am$iters
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS component, CAST(d AS BIGINT) AS dim_i,
+       |  v, m AS lambda_est
+       |FROM bv$iters, bm$iters""".stripMargin
   }
 
   /** Q96 — type co-occurrence within sessions (mirrors

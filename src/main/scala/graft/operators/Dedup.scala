@@ -203,6 +203,92 @@ object Dedup {
     }.reduce(_.unionAll(_))
   }
 
+  /** Q208 — sorted-neighborhood blocking, the third classic
+    * candidate-generation discipline next to LSH banding (Q15c) and
+    * q-gram prefix filtering (Q83): sort the corpus once on a cheap
+    * normalized blocking key (first `prefixLen` alphanumeric chars),
+    * then pair every document with its `w` successors in that order,
+    * and score each candidate with the MinHash signature agreement.
+    * Catches near-dups whose edits fall OUTSIDE the key prefix —
+    * complementary recall to shingle-based blocking.
+    *
+    * Scale: the global order comes from [[GlobalRank.globalRank]]
+    * (range partition + broadcast offsets — no single-partition
+    * sort); the windowed self-pairing is a rank-block equi-join
+    * (each probe replicated to its own block and the next, exactly
+    * like the Q44 interval binning) — candidate volume is n·w by
+    * construction, never quadratic; signatures join back on doc_id.
+    */
+  def sortedNeighborhood(s: SparkSession, dir: String, w: Int = 4,
+                         prefixLen: Int = 12): DataFrame = {
+    val d = docs(s, dir)
+    val keyed = d.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""),
+        1, prefixLen).as("bkey"))
+    val ranked = GlobalRank.globalRank(keyed, "rnk", col("bkey"), col("doc_id"))
+      .select(col("doc_id"), col("rnk"))
+    val blocks = ranked.withColumn("blk", expr(s"(rnk - 1) div $w"))
+    val probes = ranked.withColumn("blk",
+      explode(array(expr(s"(rnk - 1) div $w"), expr(s"(rnk - 1) div $w + 1"))))
+    val cand = probes.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("b.rnk") > col("a.rnk") && col("b.rnk") <= col("a.rnk") + w)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.rnk") - col("a.rnk")).as("rank_gap"))
+    val sig = minhashSignatures(s, d)
+    val matches = (1 to 16)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column)
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("rank_gap"),
+        matches.cast("long").as("n_match"),
+        (matches.cast("double") / lit(16.0)).as("est_jaccard"))
+  }
+
+  /** Q214 — blocking-recall audit: how much of the EXACT near-dup
+    * truth (Q15e df-capped shingle Jaccard ≥ 0.5) does each
+    * candidate-generation scheme recover? Schemes audited: the Q15c
+    * LSH band join and the Q208 sorted-neighborhood window. The
+    * output is the recall/candidate-volume trade table a pipeline
+    * owner reads before picking a blocking discipline — the
+    * measured counterpart to Q182's analytic tuning curve.
+    *
+    * Pair orientation: truth pairs are (min,max)-canonical; scheme
+    * pairs are canonicalized with least/greatest before the
+    * left-semi hit count (sorted-neighborhood orders by rank, which
+    * need not follow doc_id order across prefix keys).
+    *
+    * Scale: each scheme keeps its own linear-in-corpus shape; the
+    * audit adds only aggregate counts and a left-semi join on the
+    * (already bounded) truth set. The exact-truth pass itself is the
+    * priciest input — at real scale you'd audit on a sampled stratum,
+    * same plan.
+    */
+  def blockingRecall(s: SparkSession, dir: String, w: Int = 4,
+                     prefixLen: Int = 12): DataFrame = {
+    val truth = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    def audit(scheme: String, candRaw: DataFrame): DataFrame = {
+      val cand = candRaw.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b")).cache()
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val nH = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(nC).crossJoin(nH)
+        .select(lit(scheme).as("scheme"), col("n_truth"),
+          col("n_candidates"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            nullif(col("n_truth"), lit(0L)).cast("double")).as("recall"))
+    }
+    audit("lsh_bands", minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+      .unionAll(audit("sorted_neighborhood",
+        sortedNeighborhood(s, dir, w, prefixLen)
+          .select(col("doc_a"), col("doc_b"))))
+  }
+
   /** 64-bit SimHash per document: token-count-weighted bit votes over
     * TWO independent 32-bit polynomial token hashes (base 31 and 37).
     * The signature is carried as two 32-bit halves (`sim_lo`/`sim_hi`)

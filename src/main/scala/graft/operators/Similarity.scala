@@ -322,6 +322,64 @@ object Similarity {
         col("m").as("lambda_est"))
   }
 
+  /** Q213 — top-2 principal components by DEFLATED power iteration:
+    * the Q178 dominant-eigenvector machinery, then Hotelling
+    * deflation (A' = A − λ₁·v₁v₁ᵀ/(v₁ᵀv₁) — exact for symmetric A
+    * with the max-normalized v₁ rescaled through its self-dot) and a
+    * second 3-round iteration on the deflated matrix. Two components
+    * are what an anisotropy/whitening audit actually consumes (the
+    * Mu & Viswanath common-direction removal uses the top few, not
+    * one), and the deflation step is the generic "next eigenpair"
+    * path — component k costs one more 64×64 rank-1 update plus the
+    * same fixed-size iteration.
+    *
+    * Scale: the corpus is touched exactly once (the covariance
+    * pass); everything after runs on dim²-row working sets with
+    * 64-row broadcast vectors — deflation included (two broadcast
+    * joins + one-row λ/vᵀv cross joins). Float discipline unchanged
+    * from Q178: decimal-quantized matvec contributions, pinned
+    * double finishes, bitwise-mirrored by the oracle's unrolled CTEs.
+    */
+  def pcaTop2(s: SparkSession, dir: String, dim: Int = 64,
+              iters: Int = 3): DataFrame = {
+    val cov = embedCovariance(s, dir, dim).localCheckpoint()
+    val full = cov.select(col("dim_i").as("i"), col("dim_j").as("j"), col("cov"))
+      .unionAll(cov.filter(col("dim_i") < col("dim_j"))
+        .select(col("dim_j").as("i"), col("dim_i").as("j"), col("cov")))
+      .localCheckpoint()
+    def iterate(mat: DataFrame): (DataFrame, DataFrame) = {
+      var v = s.range(1, dim + 1).select(col("id").as("d"), lit(1.0).as("v"))
+      var norm: DataFrame = null
+      for (_ <- 1 to iters) {
+        val raw = mat.join(broadcast(v), col("j") === col("d"))
+          .select(col("i"),
+            (col("cov") * col("v")).cast("decimal(28,14)").as("c"))
+          .groupBy(col("i")).agg(sum(col("c")).cast("double").as("vr"))
+        norm = raw.agg(max(abs(col("vr"))).as("m"))
+        v = raw.crossJoin(broadcast(norm))
+          .select(col("i").as("d"), (col("vr") / col("m")).as("v"))
+          .localCheckpoint()
+      }
+      (v, norm)
+    }
+    val (v1, n1) = iterate(full)
+    val vv = v1.agg(
+      sum((col("v") * col("v")).cast("decimal(28,14)")).cast("double").as("vv"))
+    val deflated = full
+      .join(broadcast(v1.select(col("d").as("i"), col("v").as("vi"))), "i")
+      .join(broadcast(v1.select(col("d").as("j"), col("v").as("vj"))), "j")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(vv))
+      .select(col("i"), col("j"),
+        (col("cov") - col("m") * col("vi") * col("vj") / col("vv")).as("cov"))
+      .localCheckpoint()
+    val (v2, n2) = iterate(deflated)
+    def shaped(v: DataFrame, n: DataFrame, comp: Long) =
+      v.crossJoin(broadcast(n)).select(lit(comp).as("component"),
+        col("d").cast("long").as("dim_i"), col("v"),
+        col("m").as("lambda_est"))
+    shaped(v1, n1, 1L).unionAll(shaped(v2, n2, 2L))
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid

@@ -1101,4 +1101,78 @@ object TextAnalysis {
       ((n * (col("a") + col("d")) - chance).cast("double") /
         nullif((n * n - chance), lit(0L)).cast("double")).as("kappa"))
   }
+
+  /** Q211 — calibration (reliability) bins for the quality score
+    * against the Gopher keep decision: bucket docs by score decile,
+    * compare the bin's mean score to its empirical keep rate. The
+    * gap column is the per-bin reliability residual an eval pipeline
+    * plots before trusting a scorer as a sampling weight.
+    *
+    * Exactness: scores quantize to DECIMAL(28,14) before summing
+    * (order-independent, bitwise-reproducible across engines — the
+    * Q169 discipline); counts are integers; each output double is one
+    * terminal division. Scale: one equi-join on doc_id and one
+    * 10-group partial-combining aggregate — nothing global.
+    */
+  def calibrationBins(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val q = qualityScore(s, dir).select(col("doc_id"), col("quality_score"))
+    val g = gopherRules(s, dir).select(col("doc_id"), col("keep"))
+    val binned = q.join(g, Seq("doc_id"))
+      .select(col("quality_score"), col("keep"),
+        least(floor(col("quality_score") * nBins), lit(nBins - 1L)).as("bin"))
+    val meanScore = col("ssum").cast("double") / col("n_docs").cast("double")
+    val keepRate = col("n_keep").cast("double") / col("n_docs").cast("double")
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"),
+        sum(col("quality_score").cast("decimal(28,14)")).as("ssum"))
+      .select(col("bin"), col("n_docs"), col("n_keep"),
+        meanScore.as("mean_score"), keepRate.as("keep_rate"),
+        (meanScore - keepRate).as("gap"))
+  }
+
+  /** Q212 — Fleiss' κ for THREE binary raters (quality ≥ thr, Gopher
+    * keep, token count ≥ minTokens) per source: the multi-rater
+    * generalization of Q168's pairwise Cohen κ. With r=3 and two
+    * categories the whole statistic reduces to exact integers — per
+    * doc x = #keep votes, S = Σ(x² + (3−x)²), c_keep = Σx — and
+    *   κ = [3N(S−3N) − 2(c_k²+c_d²)] / (2·[9N² − (c_k²+c_d²)]),
+    * evaluated with ONE double division (nullif-guarded for the
+    * degenerate unanimous-single-category case). Integer products
+    * stay exact while N < ~10⁹ docs per source; shard larger sources
+    * before trusting the BIGINT path.
+    *
+    * Scale: two doc_id equi-joins and one per-source partial
+    * aggregate; the raters reuse the Q18/Q18b projections unchanged.
+    */
+  def fleissKappa(s: SparkSession, dir: String, thr: Double = 0.5,
+                  minTokens: Int = 25): DataFrame = {
+    val q = qualityScore(s, dir).select(col("doc_id"),
+      (col("quality_score") >= thr).as("r1"),
+      (col("n_tokens") >= minTokens).as("r3"))
+    val g = gopherRules(s, dir).select(col("doc_id"), col("keep").as("r2"))
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val votes = src.join(q, Seq("doc_id")).join(g, Seq("doc_id"))
+      .select(col("source"),
+        (col("r1").cast("long") + col("r2").cast("long") +
+          col("r3").cast("long")).as("x"))
+    val per = votes.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("c_keep"),
+        sum(col("x") * col("x") +
+          (lit(3L) - col("x")) * (lit(3L) - col("x"))).as("s2"))
+    val n = col("n_docs")
+    val ck = col("c_keep")
+    val cd = lit(3L) * n - ck
+    val pairSq = ck * ck + cd * cd
+    per.select(col("source"), n, ck,
+      ((col("s2") - lit(3L) * n).cast("double") /
+        (lit(6L) * n).cast("double")).as("p_bar"),
+      (pairSq.cast("double") /
+        (lit(9L) * n * n).cast("double")).as("p_e"),
+      ((lit(3L) * n * (col("s2") - lit(3L) * n) - lit(2L) * pairSq)
+          .cast("double") /
+        nullif(lit(2L) * (lit(9L) * n * n - pairSq), lit(0L))
+          .cast("double")).as("kappa"))
+  }
 }

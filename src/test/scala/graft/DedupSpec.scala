@@ -388,4 +388,60 @@ class DedupSpec extends SparkSpec {
       assert(out(uniqInc) === ((0L, 0L, None, "ingest")))
     }
   }
+
+  test("sortedNeighborhood: exactly the w-successor pairs in prefix order; dup pair scores 16/16") {
+    // Prefix-sorted order is deterministic: texts chosen so the
+    // normalized 12-char keys sort as aaa < aab < mmm(=mmm2) < zzz.
+    // The two mmm docs are identical -> full signature agreement.
+    val mmm = "mmm common body " + (1 to 25).map(i => s"w$i").mkString(" ")
+    val texts = Seq(
+      "aaa alpha " + (1 to 20).map(i => s"a$i").mkString(" "), // doc 0
+      "aab beta " + (1 to 20).map(i => s"b$i").mkString(" "),  // doc 1
+      mmm,                                                      // doc 2
+      mmm,                                                      // doc 3
+      "zzz omega " + (1 to 20).map(i => s"z$i").mkString(" ")) // doc 4
+    withDocsDir(texts) { dir =>
+      val out = Dedup.sortedNeighborhood(spark, dir, w = 2).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("rank_gap"), r.getAs[Long]("n_match")))).toMap
+      // rank order: 0,1,2,3,4 (doc_id breaks the mmm tie); w=2 pairs:
+      val expected = Set((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L),
+        (2L, 3L), (2L, 4L), (3L, 4L))
+      assert(out.keySet === expected,
+        s"candidate set wrong: ${out.keySet.toSeq.sorted}")
+      assert(out((2L, 3L))._1 === 1L)
+      assert(out((2L, 3L))._2 === 16L, "identical docs must agree on all 16 slots")
+      // disjoint-vocabulary neighbors agree on (almost) nothing
+      assert(out((3L, 4L))._2 <= 2L)
+    }
+  }
+
+  test("blockingRecall: LSH catches the cross-prefix near-dup the sorted window misses") {
+    // Truth pairs: (0,1) identical 'aaa'-prefixed docs, and (0,2)/(1,2)
+    // where doc 2 shares the body but starts with 'zzz' — its sort rank
+    // lands w+ positions away behind the fillers, so the w=2 window
+    // cannot pair it with docs 0/1, while LSH bands (prefix-blind)
+    // still collide on the shared shingles.
+    val body = (1 to 24).map(i => s"common$i").mkString(" ")
+    val texts = Seq(
+      s"aaa $body", s"aaa $body", s"zzz $body",
+      "bbb " + (1 to 12).map(i => s"b$i").mkString(" "),
+      "ccc " + (1 to 12).map(i => s"c$i").mkString(" "),
+      "ddd " + (1 to 12).map(i => s"d$i").mkString(" "),
+      "eee " + (1 to 12).map(i => s"e$i").mkString(" "))
+    withDocsDir(texts) { dir =>
+      val truth = Dedup.ngramJaccard(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(truth === Set((0L, 1L), (0L, 2L), (1L, 2L)),
+        s"fixture truth set unexpected: $truth")
+      val out = Dedup.blockingRecall(spark, dir, w = 2).collect()
+        .map(r => r.getAs[String]("scheme") ->
+          ((r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+            r.getAs[Double]("recall")))).toMap
+      assert(out.keySet === Set("lsh_bands", "sorted_neighborhood"))
+      assert(out("lsh_bands") === ((3L, 3L, 1.0)))
+      // only the adjacent identical pair survives the rank window
+      assert(out("sorted_neighborhood") === ((3L, 1L, 1.0 / 3.0)))
+    }
+  }
 }

@@ -99,6 +99,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pcaTop2: recovers two planted orthogonal directions with their variances") {
+    // Walsh-pattern signs (periods 2 and 4) over n=40: sample means 0,
+    // cross-covariance EXACTLY 0, variances exactly 100 (dim 2) and
+    // 25 (dim 5); everything else identically zero. All inputs and
+    // intermediates are exact in binary floating point, so the first
+    // eigen estimate is bitwise 100.0.
+    val vecs = (0 until 40).map { k =>
+      val s1 = if (k % 2 == 0) 1f else -1f
+      val s2 = if (k % 4 < 2) 1f else -1f
+      Array.tabulate(64)(d =>
+        if (d == 1) 10f * s1 else if (d == 4) 5f * s2 else 0f)
+    }
+    withEmbDir(vecs) { dir =>
+      val out = Similarity.pcaTop2(spark, dir).collect()
+        .map(r => (r.getAs[Long]("component"), r.getAs[Long]("dim_i")) ->
+          ((r.getAs[Double]("v"), r.getAs[Double]("lambda_est")))).toMap
+      assert(out.size === 128)
+      val (v1at2, lambda1) = out((1L, 2L))
+      assert(math.abs(v1at2) === 1.0)
+      assert(lambda1 === 100.0, s"lambda1=$lambda1")
+      // the only other energy in component 1 is the decaying dim-5
+      // leakage (0.25 -> 0.0625 -> 0.015625 over the 3 rounds)
+      assert(math.abs(out((1L, 5L))._1) < 0.02)
+      assert((1L to 64L).filter(d => d != 2L && d != 5L)
+        .forall(d => out((1L, d))._1 === 0.0))
+      val (v2at5, lambda2) = out((2L, 5L))
+      assert(math.abs(v2at5) === 1.0)
+      assert(lambda2 > 20.0 && lambda2 < 30.0, s"lambda2=$lambda2")
+      // deflation removed the dominant direction
+      assert(math.abs(out((2L, 2L))._1) < 0.2,
+        s"component 2 still carries dim 2: ${out((2L, 2L))._1}")
+    }
+  }
+
   test("quantize: symmetric int8 with half-away-from-zero rounding; zero vector to zeros") {
     val vecs = Seq(
       Array(1.0f, 0.5f, -0.25f, 0.0f) ++ Array.fill(60)(0.0f),

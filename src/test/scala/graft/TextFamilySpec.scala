@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.col
 
 class TextFamilySpec extends SparkSpec {
   import spark.implicits._
@@ -385,6 +386,64 @@ class TextFamilySpec extends SparkSpec {
         ("zh", "es") -> ((1L, 1.0)))) // 'la la el': es hits 3 beat fr hits 2
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("calibrationBins: bins partition the corpus; every column recomputes from the raw join") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.calibrationBins(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_keep"),
+          r.getAs[Double]("mean_score"), r.getAs[Double]("keep_rate"),
+          r.getAs[Double]("gap")))).toMap
+    val q = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val g = TextAnalysis.gopherRules(spark, dir).select(col("doc_id"), col("keep"))
+    val raw = q.join(g, Seq("doc_id")).collect()
+      .map(r => (r.getAs[Double]("quality_score"), r.getAs[Boolean]("keep")))
+    assert(out.values.map(_._1).sum === raw.length.toLong)
+    raw.groupBy { case (s, _) => math.min(math.floor(s * 10).toLong, 9L) }
+      .foreach { case (bin, grp) =>
+        val (n, k, ms, kr, gap) = out(bin)
+        assert(n === grp.length.toLong)
+        assert(k === grp.count(_._2).toLong)
+        assert(math.abs(ms - grp.map(_._1).sum / grp.length) < 1e-9)
+        assert(kr === grp.count(_._2).toDouble / grp.length)
+        assert(math.abs(gap - (ms - kr)) < 1e-15)
+      }
+  }
+
+  test("fleissKappa: closed form matches the textbook per-item P_i mean, brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.fleissKappa(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("c_keep"),
+          r.getAs[Double]("p_bar"), r.getAs[Double]("p_e"),
+          Option(r.get(r.fieldIndex("kappa"))).map(_.asInstanceOf[Double])))).toMap
+    val q = TextAnalysis.qualityScore(spark, dir).select(col("doc_id"),
+      (col("quality_score") >= 0.5).as("r1"), (col("n_tokens") >= 25).as("r3"))
+    val g = TextAnalysis.gopherRules(spark, dir)
+      .select(col("doc_id"), col("keep").as("r2"))
+    val src = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val votes = src.join(q, Seq("doc_id")).join(g, Seq("doc_id")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (Seq("r1", "r2", "r3").count(c => r.getAs[Boolean](c)).toLong))
+    votes.groupBy(_._1).foreach { case (source, grp) =>
+      val xs = grp.map(_._2)
+      val n = xs.length.toDouble
+      val pBar = xs.map(x => (x * x + (3 - x) * (3 - x) - 3).toDouble / 6.0).sum / n
+      val pk = xs.sum.toDouble / (3.0 * n)
+      val pE = pk * pk + (1.0 - pk) * (1.0 - pk)
+      val (on, ock, opb, ope, ok) = out(source)
+      assert(on === xs.length.toLong && ock === xs.sum)
+      assert(math.abs(opb - pBar) < 1e-12, s"$source p_bar")
+      assert(math.abs(ope - pE) < 1e-12, s"$source p_e")
+      if (pE == 1.0) // unanimous single category: κ undefined -> null
+        assert(ok.isEmpty, s"$source kappa should be null")
+      else
+        assert(math.abs(ok.get - (pBar - pE) / (1.0 - pE)) < 1e-12,
+          s"$source kappa")
     }
   }
 }
