@@ -5939,6 +5939,63 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q215 — discrete churn hazard (mirrors Relational.churnHazard):
+    * same gap rule, day offsets, triangular at-risk/cumulative sums,
+    * decimal-quantized hazard accumulation.
+    */
+  def q215ChurnHazard(gapHours: Int = 48): String = {
+    val gapUs = gapHours * 3600L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+       |),
+       |g AS (
+       |  SELECT user_id,
+       |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+       |      - tus AS gap,
+       |    tus, min(tus) OVER (PARTITION BY user_id) AS t0
+       |  FROM e
+       |),
+       |lives AS (
+       |  SELECT
+       |    coalesce(
+       |      min(CASE WHEN gap > CAST($gapUs AS BIGINT)
+       |               THEN (tus - t0) // CAST(86400000000 AS BIGINT) END),
+       |      max((tus - t0) // CAST(86400000000 AS BIGINT))) AS lifetime_days,
+       |    (min(CASE WHEN gap > CAST($gapUs AS BIGINT)
+       |         THEN (tus - t0) // CAST(86400000000 AS BIGINT) END) IS NULL)
+       |      AS censored
+       |  FROM g GROUP BY user_id
+       |),
+       |per AS (
+       |  SELECT lifetime_days,
+       |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_churned,
+       |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_censored
+       |  FROM lives GROUP BY 1
+       |),
+       |risk AS (
+       |  SELECT a.lifetime_days,
+       |    CAST(sum(b.n_churned + b.n_censored) AS BIGINT) AS n_at_risk
+       |  FROM per a JOIN per b ON b.lifetime_days >= a.lifetime_days
+       |  GROUP BY 1
+       |),
+       |haz AS (
+       |  SELECT p.lifetime_days, p.n_churned, p.n_censored, r.n_at_risk,
+       |    CAST(p.n_churned AS DOUBLE) / CAST(r.n_at_risk AS DOUBLE) AS hazard
+       |  FROM per p JOIN risk r USING (lifetime_days)
+       |),
+       |cum AS (
+       |  SELECT a.lifetime_days,
+       |    CAST(sum(CAST(b.hazard AS DECIMAL(28,14))) AS DOUBLE) AS cum_hazard
+       |  FROM haz a JOIN haz b ON b.lifetime_days <= a.lifetime_days
+       |  GROUP BY 1
+       |)
+       |SELECT h.lifetime_days, h.n_at_risk, h.n_churned, h.n_censored,
+       |  h.hazard, c.cum_hazard
+       |FROM haz h JOIN cum c USING (lifetime_days)""".stripMargin
+  }
+
   /** Q210 — forecast-skill audit (mirrors Relational.forecastSkill):
     * zero-filled calendar, lag-1 vs lag-7 integer MAE sums, one
     * double ratio per type.

@@ -2545,6 +2545,59 @@ object Relational {
         (col("n_a") * col("n_b")).cast("double")).as("d"))
   }
 
+  /** Q215 — discrete-time churn hazard (Nelson–Aalen): treat a user's
+    * FIRST inter-event gap > `gapHours` as the churn event, at the
+    * day offset (from the user's first event) of the last event
+    * before the gap; users with no such gap are right-CENSORED at
+    * their last observed day. Per lifetime-day: the at-risk count
+    * (everyone whose observed lifetime ≥ t), churned/censored exits,
+    * the discrete hazard d_t/n_t, and the cumulative hazard
+    * Σ_{t'≤t} d/n — the survival-analysis readout (retention teams
+    * read S(t) ≈ exp(−H(t))) that, unlike a Kaplan–Meier product,
+    * needs NO cross-engine product aggregate: each hazard term
+    * quantizes to DECIMAL(28,14), so the cumulative sum is exact and
+    * order-independent.
+    *
+    * Scale: per-user windows (bounded history per task), one
+    * partial-combining lifetime aggregate, then triangular joins on
+    * the LIFETIME-DAY table — bounded by the observation span in
+    * days, never by users — for both the at-risk suffix sum and the
+    * cumulative hazard. No global sort, no partitionless window.
+    */
+  def churnHazard(s: SparkSession, dir: String, gapHours: Int = 48): DataFrame = {
+    val gapUs = gapHours * 3600L * 1000000L
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val g = ev.select(col("user_id"), col("event_id"), tsMicros(ev).as("tus"))
+      .withColumn("gap", lead(col("tus"), 1).over(wu) - col("tus"))
+      .withColumn("t0", min(col("tus")).over(Window.partitionBy(col("user_id"))))
+    val lives = g.groupBy(col("user_id"))
+      .agg(min(when(col("gap") > gapUs,
+          expr(s"(tus - t0) div $dayUs"))).as("churn_day"),
+        max(expr(s"(tus - t0) div $dayUs")).as("last_day"))
+      .select(coalesce(col("churn_day"), col("last_day")).as("lifetime_days"),
+        col("churn_day").isNull.as("censored"))
+    val per = lives.groupBy(col("lifetime_days"))
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val risk = per.as("a").join(per.as("b"),
+        col("b.lifetime_days") >= col("a.lifetime_days"))
+      .groupBy(col("a.lifetime_days").as("lifetime_days"))
+      .agg(sum(col("b.n_churned") + col("b.n_censored")).as("n_at_risk"))
+    val haz = per.join(risk, Seq("lifetime_days"))
+      .withColumn("hazard",
+        col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+    val cum = haz.as("a").join(haz.as("b"),
+        col("b.lifetime_days") <= col("a.lifetime_days"))
+      .groupBy(col("a.lifetime_days").as("lifetime_days"))
+      .agg(sum(col("b.hazard").cast("decimal(28,14)")).cast("double")
+        .as("cum_hazard"))
+    haz.join(cum, Seq("lifetime_days"))
+      .select(col("lifetime_days"), col("n_at_risk"), col("n_churned"),
+        col("n_censored"), col("hazard"), col("cum_hazard"))
+  }
+
   /** Q210 — forecast-skill audit: does weekly seasonality beat
     * yesterday's value for per-type daily event volume? Per
     * event_type: MAE of the seasonal-naive forecast (count 7 days

@@ -1137,6 +1137,34 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("churnHazard: gap rule, censoring, at-risk suffix and decimal cumulative") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      // user 1: churns after hour-1 event (71h gap) -> lifetime day 0
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0, "{}"),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "a", 0.0, "{}"),
+      (3L, ts("2024-01-04 00:00:00"), 1L, "a", 0.0, "{}"),
+      // user 2: steady 24h cadence -> censored at last day 2
+      (4L, ts("2024-01-01 00:00:00"), 2L, "a", 0.0, "{}"),
+      (5L, ts("2024-01-02 00:00:00"), 2L, "a", 0.0, "{}"),
+      (6L, ts("2024-01-03 00:00:00"), 2L, "a", 0.0, "{}"),
+      // user 3: 49h gap from its first event -> churn at day 0
+      (7L, ts("2024-01-01 00:00:00"), 3L, "a", 0.0, "{}"),
+      (8L, ts("2024-01-03 01:00:00"), 3L, "a", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.churnHazard(spark, dir).collect()
+        .map(r => r.getAs[Long]("lifetime_days") ->
+          ((r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churned"),
+            r.getAs[Long]("n_censored"), r.getAs[Double]("hazard"),
+            r.getAs[Double]("cum_hazard")))).toMap
+      assert(out.keySet === Set(0L, 2L))
+      val q23 = new java.math.BigDecimal(2.0 / 3.0)
+        .setScale(14, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(out(0L) === ((3L, 2L, 0L, 2.0 / 3.0, q23)))
+      assert(out(2L) === ((1L, 0L, 1L, 0.0, q23)))
+    }
+  }
+
   test("forecastSkill: zero-filled gap days enter both MAEs; ratio is exact") {
     val day = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 05:00:00")
     // type X daily counts over 9 days: 3,0,1,1,1,1,1,3,1 — day 2 has no
