@@ -5939,6 +5939,67 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q216 — day-of-week seasonality strength (mirrors
+    * Relational.seasonalityStrength): same calendar fill, isodow ==
+    * weekday+1, decimal-quantized within-group terms, rank-1 peak.
+    */
+  def q216SeasonalityStrength(): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |),
+       |cal AS (
+       |  SELECT event_type, CAST(g.d AS DATE) AS day
+       |  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+       |        FROM daily GROUP BY 1) s,
+       |    unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+       |      CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d)
+       |),
+       |filled AS (
+       |  SELECT c.event_type, CAST(isodow(c.day) AS BIGINT) AS dow,
+       |    coalesce(d.cnt, 0) AS cnt
+       |  FROM cal c LEFT JOIN daily d
+       |    ON d.event_type = c.event_type AND d.day = c.day
+       |),
+       |perdow AS (
+       |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nj,
+       |    CAST(sum(cnt) AS BIGINT) AS sj,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS qj
+       |  FROM filled GROUP BY 1, 2
+       |),
+       |peak AS (
+       |  SELECT event_type, dow AS peak_dow, m AS peak_mean FROM (
+       |    SELECT event_type, dow,
+       |      CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE) AS m,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE) DESC,
+       |          dow ASC) AS rn
+       |    FROM perdow) t WHERE rn = 1
+       |),
+       |per AS (
+       |  SELECT event_type, CAST(sum(nj) AS BIGINT) AS n_days,
+       |    CAST(sum(sj) AS BIGINT) AS s, CAST(sum(qj) AS BIGINT) AS q,
+       |    CAST(sum(CAST(CAST(qj AS DOUBLE)
+       |      - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)
+       |      AS DECIMAL(28,10))) AS DOUBLE) AS ss_within
+       |  FROM perdow GROUP BY 1
+       |)
+       |SELECT p.event_type, p.n_days,
+       |  CAST(p.q AS DOUBLE)
+       |    - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+       |      / CAST(p.n_days AS DOUBLE) AS ss_total,
+       |  p.ss_within,
+       |  (CAST(p.q AS DOUBLE)
+       |     - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+       |       / CAST(p.n_days AS DOUBLE)
+       |   - p.ss_within)
+       |  / nullif(CAST(p.q AS DOUBLE)
+       |     - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE)
+       |       / CAST(p.n_days AS DOUBLE), 0.0) AS eta2,
+       |  k.peak_dow, k.peak_mean
+       |FROM per p JOIN peak k USING (event_type)""".stripMargin
+
   /** Q215 — discrete churn hazard (mirrors Relational.churnHazard):
     * same gap rule, day offsets, triangular at-risk/cumulative sums,
     * decimal-quantized hazard accumulation.

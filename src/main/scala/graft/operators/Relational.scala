@@ -2598,6 +2598,56 @@ object Relational {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Q216 — day-of-week seasonality STRENGTH (η², the one-way ANOVA
+    * R²): how much of the daily-count variance does the weekday
+    * explain, per event type? Complements Q210's forecast gate with
+    * the effect-size number (Q210 says "does lag-7 beat lag-1", this
+    * says "how much of the signal IS weekly"). Peak weekday rides
+    * along via a deterministic struct-argmax on the per-dow mean.
+    *
+    * Exactness: all sums (counts, squares) are integers; each
+    * per-dow within-group term quantizes to DECIMAL(28,10) before
+    * the ≤7-term sum (order-independent), and η² is one final pinned
+    * double expression. Scale: everything after the Q210 calendar
+    * fill is a two-level aggregate over O(types × 7) rows.
+    */
+  def seasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev.select(col("event_type"),
+        to_date(timestamp_micros(tsMicros(ev))).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val filled = cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        (weekday(col("day")) + 1).cast("long").as("dow"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val perDow = filled.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nj"), sum(col("cnt")).as("sj"),
+        sum(col("cnt") * col("cnt")).as("qj"))
+    val sswj = (col("qj").cast("double") -
+      col("sj").cast("double") * col("sj").cast("double") /
+        col("nj").cast("double")).cast("decimal(28,10)")
+    val per = perDow.groupBy(col("event_type"))
+      .agg(sum(col("nj")).as("n_days"), sum(col("sj")).as("s"),
+        sum(col("qj")).as("q"),
+        sum(sswj).cast("double").as("ss_within"),
+        max(struct((col("sj").cast("double") / col("nj").cast("double"))
+          .as("m"), (-col("dow")).as("nd"))).as("peak"))
+    val sst = col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double") /
+        col("n_days").cast("double")
+    per.select(col("event_type"), col("n_days"),
+      sst.as("ss_total"), col("ss_within"),
+      ((sst - col("ss_within")) / nullif(sst, lit(0.0))).as("eta2"),
+      (-col("peak.nd")).as("peak_dow"),
+      col("peak.m").as("peak_mean"))
+  }
+
   /** Q210 — forecast-skill audit: does weekly seasonality beat
     * yesterday's value for per-type daily event volume? Per
     * event_type: MAE of the seasonal-naive forecast (count 7 days

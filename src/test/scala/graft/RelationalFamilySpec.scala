@@ -1137,6 +1137,38 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("seasonalityStrength: pure weekly pattern gives eta2=1; constant series gives null") {
+    // 2024-01-01 is a Monday. X over 14 days: 3 events on Mondays, 1
+    // otherwise -> within-dow variance exactly 0 -> eta2 = 1. Y over 7
+    // days: 2 events daily -> total variance 0 -> eta2 null, peak tie
+    // broken to dow 1.
+    val day = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 0$h:00:00")
+    var id = 0L
+    def mk(d: Int, n: Int, typ: String) = (0 until n).map { h =>
+      id += 1; (id, day(d, h), 1L, typ, 0.0, "{}")
+    }
+    val rows = (0 until 14).flatMap(d =>
+      mk(d, if (d % 7 == 0) 3 else 1, "X")) ++
+      (0 until 7).flatMap(d => mk(d, 2, "Y"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.seasonalityStrength(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_days"), r.getAs[Double]("ss_total"),
+            r.getAs[Double]("ss_within"),
+            Option(r.get(r.fieldIndex("eta2"))).map(_.asInstanceOf[Double]),
+            r.getAs[Long]("peak_dow"), r.getAs[Double]("peak_mean")))).toMap
+      val (xn, xt, xw, xe, xp, xm) = out("X")
+      assert(xn === 14L && xw === 0.0 && xe === Some(1.0))
+      // SST = q - s^2/D = (2*9 + 12*1) - 18^2/14
+      assert(math.abs(xt - (30.0 - 18.0 * 18.0 / 14.0)) < 1e-12)
+      assert(xp === 1L && xm === 3.0)
+      val (yn, yt, yw, ye, yp, ym) = out("Y")
+      assert(yn === 7L && yt === 0.0 && yw === 0.0 && ye === None)
+      assert(yp === 1L && ym === 2.0)
+    }
+  }
+
   test("churnHazard: gap rule, censoring, at-risk suffix and decimal cumulative") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val rows = Seq(
