@@ -4468,6 +4468,56 @@ object OracleSql {
        |SELECT node, n_tri, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Q217 — degree assortativity (mirrors Graph.assortativity): the
+    * q113 edge set, symmetric incidence power sums, pinned Pearson
+    * finish.
+    */
+  def q217Assortativity(minSupport: Int = 2): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+       |  GROUP BY 1
+       |),
+       |o AS (
+       |  SELECT a AS u, b AS v FROM e
+       |  UNION ALL
+       |  SELECT b AS u, a AS v FROM e
+       |),
+       |j AS (
+       |  SELECT du.deg AS du, dv.deg AS dv
+       |  FROM o JOIN deg du ON du.node = o.u JOIN deg dv ON dv.node = o.v
+       |),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m2,
+       |    CAST(sum(du * dv) AS BIGINT) AS sxy,
+       |    CAST(sum(du) AS BIGINT) AS sx,
+       |    CAST(sum(du * du) AS BIGINT) AS sxx
+       |  FROM j
+       |),
+       |n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(max(deg) AS BIGINT) AS max_degree,
+       |    CAST(sum(deg) AS BIGINT) AS sum_deg
+       |  FROM deg
+       |)
+       |SELECT n_nodes, m2 // 2 AS n_edges,
+       |  CAST(sum_deg AS DOUBLE) / CAST(n_nodes AS DOUBLE) AS mean_degree,
+       |  max_degree,
+       |  (CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |     - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+       |       * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)))
+       |  / nullif(CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |     - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+       |       * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)), 0.0)
+       |    AS assortativity
+       |FROM s, n""".stripMargin
+
   /** Q126 — label-propagation communities (mirrors
     * Graph.lpCommunities): the synchronous mode-label iterations
     * unrolled as CTEs, identical (count desc, label asc) tie rule.

@@ -98,6 +98,49 @@ object Graph {
   /** The q113 co-purchase edge set (support-floored, canonical a<b)
     * shared by the triangle and community queries.
     */
+  /** Q217 — degree assortativity of the co-purchase graph (Newman's
+    * r): the Pearson correlation of endpoint degrees over ordered
+    * edge incidences — do hub products bundle with other hubs
+    * (r > 0) or with the long tail (r < 0)? The one-number topology
+    * summary that predicts how the graph responds to hub removal and
+    * whether degree-based sampling is biased; a star is exactly −1.
+    *
+    * Exactness/scale: both edge orientations are materialized (the
+    * symmetric marginals make Σx = Σy, Σx² = Σy², so ONE set of
+    * integer power sums suffices), degrees join back on the edge
+    * list, and everything reduces in one partial-combining global
+    * aggregate; r is finished in a single pinned double expression.
+    * The only corpus-sized costs are the Q113 edge derivation and a
+    * degree join.
+    */
+  def assortativity(s: SparkSession, dir: String,
+                    minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ordered = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val joined = ordered
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val sums = joined.agg(count(lit(1)).as("m2"),
+      sum(col("du") * col("dv")).as("sxy"),
+      sum(col("du")).as("sx"),
+      sum(col("du") * col("du")).as("sxx"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"), sum(col("deg")).as("sum_deg"))
+    val mx = col("sx").cast("double") / col("m2").cast("double")
+    sums.crossJoin(nodes).select(col("n_nodes"),
+      expr("m2 div 2").as("n_edges"),
+      (col("sum_deg").cast("double") / col("n_nodes").cast("double"))
+        .as("mean_degree"),
+      col("max_degree"),
+      ((col("sxy").cast("double") / col("m2").cast("double") - mx * mx) /
+        nullif(col("sxx").cast("double") / col("m2").cast("double") -
+          mx * mx, lit(0.0))).as("assortativity"))
+  }
+
   private def copurchaseEdges(s: SparkSession, dir: String,
                               minSupport: Int): DataFrame = {
     val lp = t(s, dir, "lineitem")

@@ -237,4 +237,29 @@ class GraphSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("assortativity: a star graph scores exactly -1") {
+    val dir = java.nio.file.Files.createTempDirectory("assort").toString
+    try {
+      // hub part 100 co-purchased with leaves 101/102/103, each pair
+      // in 2 orders (clears the support floor); no leaf-leaf orders
+      val rows = for {
+        (leaf, o0) <- Seq((101L, 10L), (102L, 20L), (103L, 30L))
+        o <- Seq(o0, o0 + 1)
+        p <- Seq(100L, leaf)
+      } yield (o, p)
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = Graph.assortativity(spark, dir).collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Long]("n_nodes") === 4L)
+      assert(row.getAs[Long]("n_edges") === 3L)
+      assert(row.getAs[Double]("mean_degree") === 1.5)
+      assert(row.getAs[Long]("max_degree") === 3L)
+      assert(row.getAs[Double]("assortativity") === -1.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
