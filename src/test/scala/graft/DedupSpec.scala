@@ -416,6 +416,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhood pair-count property: exactly sum(min(w, n - rank)) candidates with signatures") {
+    // 6 docs, all long enough to carry shingle signatures: pair count
+    // must be exactly Σ_r min(w, n − r) regardless of key content.
+    val texts = (0 until 6).map(i =>
+      s"t$i " + (1 to 15).map(j => s"w$i$j").mkString(" "))
+    withDocsDir(texts) { dir =>
+      for (w <- Seq(1, 2, 4)) {
+        val n = texts.length
+        val expected = (1 to n).map(r => math.min(w, n - r)).sum
+        val got = Dedup.sortedNeighborhood(spark, dir, w = w).count()
+        assert(got === expected.toLong, s"w=$w")
+      }
+    }
+  }
+
   test("blockingRecall: LSH catches the cross-prefix near-dup the sorted window misses") {
     // Truth pairs: (0,1) identical 'aaa'-prefixed docs, and (0,2)/(1,2)
     // where doc 2 shares the body but starts with 'zzz' — its sort rank

@@ -1137,6 +1137,48 @@ class RelationalFamilySpec extends SparkSpec {
     }
   }
 
+  test("scd2Dimension properties on real data: versions contiguous, runs partition each user's events") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.scd2Dimension(spark, dir).collect()
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val perUser = out.groupBy(_.getLong(0))
+    perUser.foreach { case (u, rows) =>
+      val vs = rows.map(_.getLong(1)).sorted
+      assert(vs === (1L to vs.length).toArray.toSeq, s"user $u versions $vs")
+      // intervals chain: each valid_to equals the next run's valid_from
+      val byV = rows.sortBy(_.getLong(1))
+      byV.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getAs[Long]("valid_to_us") ===
+          pair(1).getAs[Long]("valid_from_us"))
+      }
+      assert(byV.last.isNullAt(byV.last.fieldIndex("valid_to_us")))
+      assert(byV.last.getAs[Boolean]("is_current"))
+    }
+    // run event counts partition the log exactly
+    assert(out.map(_.getAs[Long]("n_events")).sum === ev.count())
+  }
+
+  test("ksTest matches a brute-force ECDF scan on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_totalprice"), col("o_orderpriority")).collect()
+      .map(r => (r.getDouble(0),
+        Set("1-URGENT", "2-HIGH").contains(r.getString(1))))
+    val a = o.filter(_._2).map(_._1).sorted
+    val b = o.filterNot(_._2).map(_._1).sorted
+    val dNum = o.map(_._1).distinct.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }.max
+    val row = Relational.ksTest(spark, dir).collect().head
+    assert(row.getAs[Long]("n_a") === a.length.toLong)
+    assert(row.getAs[Long]("n_b") === b.length.toLong)
+    assert(row.getAs[Long]("d_num") === dNum)
+    assert(row.getAs[Double]("d") ===
+      dNum.toDouble / (a.length.toLong * b.length).toDouble)
+  }
+
   test("seasonalityStrength: pure weekly pattern gives eta2=1; constant series gives null") {
     // 2024-01-01 is a Monday. X over 14 days: 3 events on Mondays, 1
     // otherwise -> within-dow variance exactly 0 -> eta2 = 1. Y over 7
