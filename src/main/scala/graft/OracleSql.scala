@@ -5989,6 +5989,95 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q218 — order-statistic median CI (mirrors Relational.medianCi):
+    * same rank bounds, pinned floor/ceil/sqrt arithmetic,
+    * conditional-max pivot of the three order statistics.
+    */
+  def q218MedianCi(z: Double = 1.96): String =
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value, event_id) AS rnk
+       |  FROM events
+       |),
+       |ks AS (
+       |  SELECT event_type, CAST(max(rnk) AS BIGINT) AS n,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(floor((CAST(max(rnk) AS DOUBLE)
+       |        - ${dlit(z)} * sqrt(CAST(max(rnk) AS DOUBLE))) / 2.0)
+       |        AS BIGINT) + 1) AS k_lo,
+       |    (CAST(max(rnk) AS BIGINT) + 1) // 2 AS k_med,
+       |    least(CAST(max(rnk) AS BIGINT),
+       |      CAST(ceil((CAST(max(rnk) AS DOUBLE)
+       |        + ${dlit(z)} * sqrt(CAST(max(rnk) AS DOUBLE))) / 2.0)
+       |        AS BIGINT)) AS k_hi
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT r.event_type, k.n,
+       |  max(CASE WHEN r.rnk = k.k_med THEN r.value END) AS median,
+       |  max(CASE WHEN r.rnk = k.k_lo THEN r.value END) AS ci_lo,
+       |  max(CASE WHEN r.rnk = k.k_hi THEN r.value END) AS ci_hi
+       |FROM ranked r JOIN ks k USING (event_type)
+       |WHERE r.rnk = k.k_lo OR r.rnk = k.k_med OR r.rnk = k.k_hi
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Q219 — RFM segmentation (mirrors Relational.rfmSegments): same
+    * best-first total orders and the deterministic rank-quartile
+    * formula (explicitly NOT SQL ntile).
+    */
+  def q219RfmSegments(): String =
+    s"""WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+       |cust AS (
+       |  SELECT o_custkey AS custkey,
+       |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+       |      CAST((SELECT dmax FROM mx) AS DATE)) AS BIGINT) AS recency_days,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS mon
+       |  FROM orders GROUP BY 1
+       |),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cust),
+       |rk AS (
+       |  SELECT custkey, recency_days, frequency, mon,
+       |    row_number() OVER (ORDER BY recency_days ASC, custkey ASC) AS rr,
+       |    row_number() OVER (ORDER BY frequency DESC, custkey ASC) AS rf,
+       |    row_number() OVER (ORDER BY mon DESC, custkey ASC) AS rm
+       |  FROM cust
+       |)
+       |SELECT custkey, recency_days, frequency,
+       |  CAST(mon AS DOUBLE) AS monetary,
+       |  5 - ((rr - 1) * 4 // n_cust + 1) AS r_score,
+       |  5 - ((rf - 1) * 4 // n_cust + 1) AS f_score,
+       |  5 - ((rm - 1) * 4 // n_cust + 1) AS m_score,
+       |  (5 - ((rr - 1) * 4 // n_cust + 1)) * 100
+       |    + (5 - ((rf - 1) * 4 // n_cust + 1)) * 10
+       |    + (5 - ((rm - 1) * 4 // n_cust + 1)) AS segment
+       |FROM rk, n""".stripMargin
+
+  /** Q220 — gap burstiness (mirrors Relational.burstiness): same
+    * second-quantized gaps, power-sum sigma, pinned ratio.
+    */
+  def q220Burstiness(): String = {
+    val mu = "CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)"
+    val sigma = s"sqrt(greatest(CAST(sgg AS DOUBLE) / CAST(n_gaps AS DOUBLE) - ($mu) * ($mu), 0.0))"
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+       |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+       |  FROM events
+       |),
+       |a AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       |    CAST(sum(gap) AS BIGINT) AS sg,
+       |    CAST(sum(gap * gap) AS BIGINT) AS sgg
+       |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+       |)
+       |SELECT event_type, n_gaps,
+       |  $mu AS mean_gap_s,
+       |  $sigma AS std_gap_s,
+       |  ($sigma - $mu) / nullif($sigma + $mu, 0.0) AS burstiness
+       |FROM a""".stripMargin
+  }
+
   /** Q216 — day-of-week seasonality strength (mirrors
     * Relational.seasonalityStrength): same calendar fill, isodow ==
     * weekday+1, decimal-quantized within-group terms, rank-1 peak.

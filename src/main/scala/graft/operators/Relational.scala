@@ -2598,6 +2598,123 @@ object Relational {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Q218 — distribution-free median confidence interval per event
+    * type: the order-statistic CI (normal approximation to the
+    * binomial rank bounds — k_lo = ⌊(n − z√n)/2⌋+1, k_hi =
+    * ⌈(n + z√n)/2⌉, lower median at (n+1) div 2), read directly off
+    * exact order statistics. No distributional assumption on values,
+    * no bootstrap replicates — the robust companion to Q173.
+    *
+    * Exactness: ranks come from a per-type (value, event_id) total
+    * order; √/⌊⌋/⌈⌉ are IEEE-exact primitives pinned identically in
+    * the oracle; the three order statistics are exact row values.
+    * Scale: one per-type partitioned rank window, a broadcast
+    * |types|-row bound table, and one conditional-max aggregate.
+    */
+  def medianCi(s: SparkSession, dir: String, z: Double = 1.96): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val nd = col("n").cast("double")
+    val ks = ranked.groupBy(col("event_type")).agg(max(col("rnk")).as("n"))
+      .select(col("event_type"), col("n"),
+        greatest(lit(1L),
+          floor((nd - lit(z) * sqrt(nd)) / lit(2.0)) + lit(1L)).as("k_lo"),
+        expr("(n + 1) div 2").as("k_med"),
+        least(col("n"), ceil((nd + lit(z) * sqrt(nd)) / lit(2.0))).as("k_hi"))
+    ranked.join(broadcast(ks), Seq("event_type"))
+      .filter(col("rnk") === col("k_lo") || col("rnk") === col("k_med") ||
+        col("rnk") === col("k_hi"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rnk") === col("k_med"), col("value"))).as("median"),
+        max(when(col("rnk") === col("k_lo"), col("value"))).as("ci_lo"),
+        max(when(col("rnk") === col("k_hi"), col("value"))).as("ci_hi"))
+  }
+
+  /** Q219 — RFM customer segmentation: recency (days since last
+    * order), frequency (order count), monetary (exact decimal spend),
+    * each scored 1–4 by GLOBAL rank quartile with best = 4. The
+    * quartile is the deterministic rank formula
+    * `5 − ((rank−1)·4 div n + 1)` over a best-first (metric, custkey)
+    * total order — equal-width RANK quartiles, documented as such
+    * (NOT SQL ntile's remainder-to-early-buckets split), so both
+    * engines compute it from row_number with integer arithmetic.
+    *
+    * Scale: per-customer aggregate, then three [[GlobalRank
+    * .globalRank]] passes (range partition + broadcast offsets — no
+    * single-partition sort) on the customer-count table.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mx = o.agg(max(col("o_orderdate")).as("dmax"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(20,4)")).as("mon"))
+      .crossJoin(broadcast(mx))
+      .select(col("o_custkey").as("custkey"),
+        datediff(col("dmax"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("mon"))
+      // referenced by three rank passes plus the count — one scan
+      .localCheckpoint()
+    val total = cust.agg(count(lit(1)).as("n_cust"))
+    def score(df: DataFrame, rankCol: String, outCol: String,
+              order: Column*): DataFrame =
+      GlobalRank.globalRank(df, rankCol, order: _*)
+        .crossJoin(broadcast(total))
+        .withColumn(outCol,
+          lit(5L) - (expr(s"($rankCol - 1) * 4 div n_cust") + lit(1L)))
+        .drop(rankCol, "n_cust")
+    val scored = Seq(
+      (Seq(col("recency_days").asc, col("custkey").asc), "r_score"),
+      (Seq(col("frequency").desc, col("custkey").asc), "f_score"),
+      (Seq(col("mon").desc, col("custkey").asc), "m_score"))
+      .foldLeft(cust) { case (df, (ord, out)) =>
+        score(df, s"__rk_$out", out, ord: _*)
+      }
+    scored.select(col("custkey"), col("recency_days"), col("frequency"),
+      col("mon").cast("double").as("monetary"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+        .as("segment"))
+  }
+
+  /** Q220 — Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event
+    * gaps per event type: −1 ⇔ metronome, 0 ⇔ Poisson, →1 ⇔ heavy
+    * bursts. The one-number answer to "can I provision this stream
+    * for its mean rate?" — computed from exact integer power sums of
+    * SECOND-quantized gaps (µs² sums would overflow BIGINT on
+    * month-long gaps; seconds keep every square exact at any scale).
+    *
+    * Scale: one per-type lag window, one partial-combining aggregate;
+    * σ is the population form from power sums, clamped at 0 before
+    * the IEEE sqrt, with a nullif-guarded final ratio.
+    */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val gaps = ev.select(col("event_type"), tsMicros(ev).as("tus"),
+        col("event_id"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .withColumn("gap", expr("gap_us div 1000000"))
+      .filter(col("gap").isNotNull)
+    val agg = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+    val mu = col("sg").cast("double") / col("n_gaps").cast("double")
+    val sigma = sqrt(greatest(
+      col("sgg").cast("double") / col("n_gaps").cast("double") - mu * mu,
+      lit(0.0)))
+    agg.select(col("event_type"), col("n_gaps"),
+      mu.as("mean_gap_s"), sigma.as("std_gap_s"),
+      ((sigma - mu) / nullif(sigma + mu, lit(0.0))).as("burstiness"))
+  }
+
   /** Q216 — day-of-week seasonality STRENGTH (η², the one-way ANOVA
     * R²): how much of the daily-count variance does the weekday
     * explain, per event type? Complements Q210's forecast gate with

@@ -1179,6 +1179,85 @@ class RelationalFamilySpec extends SparkSpec {
       dNum.toDouble / (a.length.toLong * b.length).toDouble)
   }
 
+  test("medianCi equals brute-force order statistics on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.medianCi(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("median"),
+          r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi")))).toMap
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (typ, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length
+      val kLo = math.max(1L,
+        math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong + 1)
+      val kMed = (n + 1) / 2
+      val kHi = math.min(n.toLong,
+        math.ceil((n + 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val (on, om, olo, ohi) = out(typ)
+      assert(on === n.toLong)
+      assert(om === sorted(kMed.toInt - 1), s"$typ median")
+      assert(olo === sorted(kLo.toInt - 1), s"$typ ci_lo")
+      assert(ohi === sorted(kHi.toInt - 1), s"$typ ci_hi")
+      assert(olo <= om && om <= ohi)
+    }
+  }
+
+  test("rfmSegments: aligned best-first ranks give consistent 1-4 scores on 8 customers") {
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    try {
+      val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+      // customer k: k orders, all on day k, 100 each -> frequency k,
+      // monetary 100k, recency 8-k: rank 9-k in every dimension
+      var oid = 0L
+      val rows = (1 to 8).flatMap { k =>
+        (1 to k).map { _ =>
+          oid += 1; (oid, k.toLong, "O", 100.0, ts(k), "p")
+        }
+      }
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = Relational.rfmSegments(spark, dir).collect()
+        .map(r => r.getAs[Long]("custkey") ->
+          ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+            r.getAs[Double]("monetary"), r.getAs[Long]("r_score"),
+            r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+            r.getAs[Long]("segment")))).toMap
+      val expScore = Map(8 -> 4L, 7 -> 4L, 6 -> 3L, 5 -> 3L,
+        4 -> 2L, 3 -> 2L, 2 -> 1L, 1 -> 1L)
+      (1 to 8).foreach { k =>
+        val (rd, f, m, r, fq, mq, seg) = out(k.toLong)
+        assert(rd === (8 - k).toLong && f === k.toLong && m === 100.0 * k)
+        val e = expScore(k)
+        assert(r === e && fq === e && mq === e, s"cust $k scores $r $fq $mq")
+        assert(seg === e * 111L)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("burstiness: metronome gaps score exactly -1; balanced two-gap mix scores 0") {
+    val ts = (sec: Int) => new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val rows = Seq(
+      (1L, ts(0), 1L, "P", 0.0, "{}"), (2L, ts(10), 1L, "P", 0.0, "{}"),
+      (3L, ts(20), 1L, "P", 0.0, "{}"), (4L, ts(30), 1L, "P", 0.0, "{}"),
+      (5L, ts(0), 1L, "Q", 0.0, "{}"), (6L, ts(2), 1L, "Q", 0.0, "{}"),
+      (7L, ts(2), 1L, "Q", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.burstiness(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_gaps"), r.getAs[Double]("mean_gap_s"),
+            r.getAs[Double]("std_gap_s"), r.getAs[Double]("burstiness")))).toMap
+      assert(out("P") === ((3L, 10.0, 0.0, -1.0)))
+      // Q gaps {2, 0}: mu = 1, sigma = 1 -> B = 0
+      assert(out("Q") === ((2L, 1.0, 1.0, 0.0)))
+    }
+  }
+
   test("seasonalityStrength: pure weekly pattern gives eta2=1; constant series gives null") {
     // 2024-01-01 is a Monday. X over 14 days: 3 events on Mondays, 1
     // otherwise -> within-dow variance exactly 0 -> eta2 = 1. Y over 7
