@@ -2021,6 +2021,31 @@ object OracleSql {
        |      - ((a + b) * (a + c) + (c + d) * (b + d)), 0) AS DOUBLE) AS kappa
        |FROM cells""".stripMargin
 
+  /** Q221 — Simpson diversity (mirrors TextAnalysis.simpsonDiversity):
+    * identical integer collision/square sums, terminal divisions.
+    */
+  def q221SimpsonDiversity(): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($tokensSql) AS token FROM documents
+       |),
+       |c AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2
+       |),
+       |a AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll,
+       |    CAST(sum(c * c) AS BIGINT) AS sq
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT source, n_tokens, n_distinct,
+       |  1.0 - CAST(coll AS DOUBLE)
+       |    / CAST(nullif(n_tokens * (n_tokens - 1), 0) AS DOUBLE) AS simpson,
+       |  CAST(n_tokens * n_tokens AS DOUBLE) / CAST(sq AS DOUBLE)
+       |    AS inv_simpson
+       |FROM a""".stripMargin
+
   /** Q211 — calibration bins (mirrors TextAnalysis.calibrationBins):
     * same decile binning, DECIMAL(28,14)-quantized score sums, one
     * terminal division per double column.

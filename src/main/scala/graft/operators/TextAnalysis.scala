@@ -1102,6 +1102,39 @@ object TextAnalysis {
         nullif((n * n - chance), lit(0L)).cast("double")).as("kappa"))
   }
 
+  /** Q221 — Simpson lexical diversity per source: the probability two
+    * token occurrences drawn WITHOUT replacement are different types
+    * (1 − Σc(c−1)/(N(N−1))), plus the inverse-Simpson effective
+    * vocabulary N²/Σc² — the "how repetitive is this source really"
+    * number that token counts and vocab size both miss (a source can
+    * have a huge vocab yet spend 90% of its mass on 10 types). The
+    * diversity pair a mixture-weighting pass (Q29/Q158) consults
+    * before trusting per-source token budgets.
+    *
+    * Exactness: both statistics are ratios of exact integer sums with
+    * ONE terminal double division each. Scale: corpus collapses once
+    * to (source, token) counts (map-side combinable), then a
+    * per-source aggregate; nothing global, nothing floating until the
+    * final row.
+    */
+  def simpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val agg = counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * (col("c") - lit(1L))).as("coll"),
+        sum(col("c") * col("c")).as("sq"))
+    agg.select(col("source"), col("n_tokens"), col("n_distinct"),
+      (lit(1.0) - col("coll").cast("double") /
+        nullif(col("n_tokens") * (col("n_tokens") - lit(1L)), lit(0L))
+          .cast("double")).as("simpson"),
+      ((col("n_tokens") * col("n_tokens")).cast("double") /
+        col("sq").cast("double")).as("inv_simpson"))
+  }
+
   /** Q211 — calibration (reliability) bins for the quality score
     * against the Gopher keep decision: bucket docs by score decile,
     * compare the bin's mean score to its empirical keep rate. The

@@ -389,6 +389,24 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("simpsonDiversity: all-distinct source scores 1, single-type source scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("simpson").toString
+    try {
+      Seq((1L, "a b c d", "u"), (2L, "x x x x", "r"))
+        .map { case (id, t, src) => (id, t, src, t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextAnalysis.simpsonDiversity(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+            r.getAs[Double]("simpson"), r.getAs[Double]("inv_simpson")))).toMap
+      assert(out("u") === ((4L, 4L, 1.0, 4.0)))
+      assert(out("r") === ((4L, 1L, 0.0, 1.0)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("calibrationBins: bins partition the corpus; every column recomputes from the raw join") {
     val dir = "/root/testdata/sf0.001"
     val out = TextAnalysis.calibrationBins(spark, dir).collect()
