@@ -6014,6 +6014,49 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q222 — CDC snapshot diff (mirrors Relational.snapshotDiff):
+    * rank-1 latest rows at mid and end, same class partition.
+    */
+  def q222SnapshotDiff(): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id, value
+       |  FROM events
+       |),
+       |mid AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM e),
+       |b AS (
+       |  SELECT user_id, event_type, event_id, value FROM (
+       |    SELECT user_id, event_type, event_id, value,
+       |      row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY tus DESC, event_id DESC) AS rn
+       |    FROM e) t WHERE rn = 1
+       |),
+       |a AS (
+       |  SELECT user_id, event_type, event_id, value FROM (
+       |    SELECT user_id, event_type, event_id, value,
+       |      row_number() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY tus DESC, event_id DESC) AS rn
+       |    FROM e, mid WHERE tus <= mid) t WHERE rn = 1
+       |),
+       |j AS (
+       |  SELECT b.event_type, b.event_id AS bid, b.value AS bv,
+       |    a.event_id AS aid, a.value AS av
+       |  FROM b LEFT JOIN a
+       |    ON a.user_id = b.user_id AND a.event_type = b.event_type
+       |)
+       |SELECT event_type,
+       |  CAST(count(*) AS BIGINT) AS n_keys_final,
+       |  CAST(sum(CASE WHEN aid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keys_mid,
+       |  CAST(sum(CASE WHEN aid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_added,
+       |  CAST(sum(CASE WHEN aid IS NOT NULL AND aid <> bid AND av <> bv
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN aid IS NOT NULL AND aid <> bid AND av = bv
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten,
+       |  CAST(sum(CASE WHEN aid = bid THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_untouched
+       |FROM j GROUP BY 1""".stripMargin
+
   /** Q218 — order-statistic median CI (mirrors Relational.medianCi):
     * same rank bounds, pinned floor/ceil/sqrt arithmetic,
     * conditional-max pivot of the three order statistics.

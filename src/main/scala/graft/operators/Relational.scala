@@ -2598,6 +2598,50 @@ object Relational {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Q222 — CDC snapshot diff: the Q55 latest-state compaction taken
+    * at TWO logical times — the integer midpoint of the observed time
+    * range (Q189's split rule) and stream end — diffed per event
+    * type: keys added after the midpoint, keys whose latest value
+    * changed, keys untouched. The reconciliation readout a
+    * warehouse's incremental-load monitor publishes ("how much state
+    * churned since the last snapshot"); append-only input ⇒ no
+    * removed class.
+    *
+    * Single-pass shape: BOTH snapshots come from one scan and ONE
+    * (user, type)-keyed aggregate — the mid snapshot is the same
+    * struct-max with a `when(tus ≤ mid)` guard riding the same
+    * shuffle — then a per-type count aggregate. Exact integers
+    * throughout; the midpoint is integer-exact.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select(col("user_id"), col("event_type"),
+      tsMicros(ev).as("tus"), col("event_id"), col("value"))
+    val mid = base.agg(min(col("tus")).as("mn"), max(col("tus")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid"))
+    val st = base.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(struct(col("tus"), col("event_id"), col("value"))).as("b"),
+        max(when(col("tus") <= col("mid"),
+          struct(col("tus"), col("event_id"), col("value")))).as("a"))
+    st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys_final"),
+        sum(when(col("a").isNotNull, 1L).otherwise(0L)).as("n_keys_mid"),
+        sum(when(col("a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("a").isNotNull &&
+          col("a.event_id") =!= col("b.event_id") &&
+          col("a.value") =!= col("b.value"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("a").isNotNull &&
+          col("a.event_id") =!= col("b.event_id") &&
+          col("a.value") === col("b.value"), 1L).otherwise(0L))
+          .as("n_rewritten"),
+        sum(when(col("a").isNotNull &&
+          col("a.event_id") === col("b.event_id"), 1L).otherwise(0L))
+          .as("n_untouched"))
+  }
+
   /** Q218 — distribution-free median confidence interval per event
     * type: the order-statistic CI (normal approximation to the
     * binomial rank bounds — k_lo = ⌊(n − z√n)/2⌋+1, k_hi =

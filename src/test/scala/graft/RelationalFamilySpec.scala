@@ -1179,6 +1179,26 @@ class RelationalFamilySpec extends SparkSpec {
       dNum.toDouble / (a.length.toLong * b.length).toDouble)
   }
 
+  test("snapshotDiff: added/changed/rewritten/untouched classes partition the key space") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(10), 1L, "a", 2.0, "{}"), // changed
+      (3L, ts(0), 2L, "a", 5.0, "{}"), (4L, ts(10), 2L, "a", 5.0, "{}"), // rewritten
+      (5L, ts(0), 3L, "a", 7.0, "{}"),                                   // untouched
+      (6L, ts(10), 4L, "a", 9.0, "{}"))                                  // added
+    withEventsDir(rows) { dir =>
+      val r = Relational.snapshotDiff(spark, dir).collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[Long]("n_keys_final") === 4L)
+      assert(row.getAs[Long]("n_keys_mid") === 3L)
+      assert(row.getAs[Long]("n_added") === 1L)
+      assert(row.getAs[Long]("n_changed") === 1L)
+      assert(row.getAs[Long]("n_rewritten") === 1L)
+      assert(row.getAs[Long]("n_untouched") === 1L)
+    }
+  }
+
   test("medianCi equals brute-force order statistics on real data") {
     val dir = "/root/testdata/sf0.001"
     val out = Relational.medianCi(spark, dir).collect()
