@@ -499,4 +499,28 @@ class PlanQualitySpec extends SparkSpec {
       s"unbounded global windows (single-partition sorts at scale):\n" +
         offenders.mkString("\n"))
   }
+
+  test("q219: every RFM rank pass is range-partitioned with broadcast offsets") {
+    val p = SparkEntry.queries("q219_rfm")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"rank passes must range-partition, never globally sort:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"rank offsets and the customer count must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffled join belongs in the scoring chain:\n$p")
+  }
+
+  test("q222: both snapshots ride ONE keyed shuffle; no shuffled join") {
+    val q = SparkEntry.queries("q222_snapshot_diff")(spark, sfDir)
+      .queryExecution
+    val p = q.executedPlan.toString()
+    // the (user,type) aggregate and the per-type rollup: exactly two
+    // hash exchanges — a second keyed shuffle would mean the mid
+    // snapshot stopped riding the same aggregate
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"snapshot diff must not join snapshots:\n$p")
+  }
 }
