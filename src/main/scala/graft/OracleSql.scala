@@ -4582,6 +4582,45 @@ object OracleSql {
        |SELECT node, label AS community FROM l$iters""".stripMargin
   }
 
+  /** Q223 — LP-partition modularity (mirrors Graph.modularity): the
+    * q126 label chain, then exact integer intra/degree/m sums and the
+    * pinned Newman contribution per community.
+    */
+  def q223Modularity(iters: Int = 2, minSupport: Int = 2): String =
+    s"""WITH comm AS (${q126LpCommunities(iters, minSupport)}),
+       |lp2 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e2 AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp2 x JOIN lp2 y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e2),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2) t
+       |  GROUP BY 1
+       |),
+       |degc AS (
+       |  SELECT c.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS deg_c
+       |  FROM deg d JOIN comm c ON c.node = d.node GROUP BY 1
+       |),
+       |intra AS (
+       |  SELECT ca.community, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM e2
+       |  JOIN comm ca ON ca.node = e2.a
+       |  JOIN comm cb ON cb.node = e2.b
+       |  WHERE ca.community = cb.community
+       |  GROUP BY 1
+       |)
+       |SELECT d.community, d.n_nodes,
+       |  coalesce(i.intra_edges, 0) AS intra_edges, d.deg_c,
+       |  CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+       |    - (CAST(d.deg_c AS DOUBLE) / CAST(2 * m AS DOUBLE))
+       |      * (CAST(d.deg_c AS DOUBLE) / CAST(2 * m AS DOUBLE))
+       |    AS modularity
+       |FROM degc d LEFT JOIN intra i USING (community), tot""".stripMargin
+
   /** Q130 — 2-hop neighborhood sizes (mirrors Graph.twoHopCounts):
     * the q126 edge replay, wedge join, NOT EXISTS direct-neighbor
     * exclusion.

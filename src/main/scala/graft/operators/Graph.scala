@@ -171,8 +171,14 @@ object Graph {
     * join coalesce.
     */
   def lpCommunities(s: SparkSession, dir: String, iters: Int = 2,
-                    minSupport: Int = 2): DataFrame = {
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+                    minSupport: Int = 2): DataFrame =
+    lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters)
+
+  /** The synchronous LP loop over a canonical (a < b) edge set —
+    * shared by Q126 and Q223 (which reuses the caller's cached edges
+    * instead of re-deriving the co-purchase graph).
+    */
+  private def lpFrom(e: DataFrame, iters: Int): DataFrame = {
     val ed = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .cache()
@@ -193,6 +199,53 @@ object Graph {
           coalesce(col("new_label"), col("node")).as("label"))
     }
     lab.select(col("node"), col("label").as("community"))
+  }
+
+  /** Q223 — modularity of the Q126 label-propagation partition:
+    * per community c, the Newman contribution
+    * Q_c = e_c/m − (deg_c/2m)² (intra-edge share minus the expected
+    * share under the degree-preserving null model). The partition-
+    * quality number that turns "LP produced labels" into "LP produced
+    * STRUCTURE" — communities with Q_c ≤ 0 are no better than random
+    * wiring and a curation pipeline should not act on them.
+    *
+    * Exactness: e_c, deg_c, m are exact integers off the same cached
+    * edge set the LP loop used (one derivation, shared); each Q_c is
+    * one pinned double expression. Scale: two label joins on the edge
+    * list, one degree aggregate, community-keyed combines — nothing
+    * beyond the Q126 cost envelope.
+    */
+  def modularity(s: SparkSession, dir: String, iters: Int = 2,
+                 minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport).cache()
+    // localCheckpoint: the label table feeds BOTH the degree and the
+    // intra-edge branch of one action — a cache would materialize on
+    // first touch but still carry the full 2-iteration LP lineage
+    // into every re-optimization; the checkpoint truncates it to the
+    // ~|V|-row result once
+    val comm = lpFrom(e, iters).localCheckpoint()
+    val total = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degC = deg.join(comm, Seq("node"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_c"))
+    val intra = e
+      .join(comm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+      .join(comm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val share = col("deg_c").cast("double") /
+      (lit(2L) * col("m")).cast("double")
+    degC.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_c"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") /
+          col("m").cast("double") - share * share).as("modularity"))
   }
 
   /** Q130 — exact 2-hop neighborhood size per node on the

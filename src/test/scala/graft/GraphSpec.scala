@@ -238,6 +238,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularity: two disjoint triangles score 0.25 each (total 0.5)") {
+    val dir = java.nio.file.Files.createTempDirectory("modul").toString
+    try {
+      // each triangle edge appears in exactly 2 two-part orders
+      val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      var o = 0L
+      val rows = pairs.flatMap { case (a, b) =>
+        (1 to 2).flatMap { _ => o += 1; Seq((o, a), (o, b)) }
+      }
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Graph.modularity(spark, dir).collect()
+        .map(r => r.getAs[Long]("community") ->
+          ((r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+            r.getAs[Long]("deg_c"), r.getAs[Double]("modularity")))).toMap
+      // LP converges each triangle to its min node id
+      assert(out.keySet === Set(1L, 4L))
+      assert(out(1L) === ((3L, 3L, 6L, 0.25)))
+      assert(out(4L) === ((3L, 3L, 6L, 0.25)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("assortativity: a star graph scores exactly -1") {
     val dir = java.nio.file.Files.createTempDirectory("assort").toString
     try {
