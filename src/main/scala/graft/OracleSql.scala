@@ -2021,6 +2021,41 @@ object OracleSql {
        |      - ((a + b) * (a + c) + (c + d) * (b + d)), 0) AS DOUBLE) AS kappa
        |FROM cells""".stripMargin
 
+  /** Q224 — weighted source Jaccard (mirrors
+    * TextAnalysis.weightedSourceJaccard): same multiset minima and
+    * the T_a + T_b − Σmin union identity.
+    */
+  def q224WeightedSourceJaccard(): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest($tokensSql) AS token FROM documents
+       |),
+       |c AS (
+       |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2
+       |),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.tot AS tot_a, b.tot AS tot_b
+       |  FROM tot a JOIN tot b ON a.source < b.source
+       |),
+       |inter AS (
+       |  SELECT x.source AS src_a, y.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS shared_tokens,
+       |    CAST(sum(least(x.c, y.c)) AS BIGINT) AS inter_w
+       |  FROM c x JOIN c y ON x.token = y.token AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.src_a, p.src_b,
+       |  coalesce(i.shared_tokens, 0) AS shared_tokens,
+       |  coalesce(i.inter_w, 0) AS inter_weight,
+       |  p.tot_a + p.tot_b - coalesce(i.inter_w, 0) AS union_weight,
+       |  CAST(coalesce(i.inter_w, 0) AS DOUBLE)
+       |    / CAST(p.tot_a + p.tot_b - coalesce(i.inter_w, 0) AS DOUBLE)
+       |    AS weighted_jaccard
+       |FROM pairs p LEFT JOIN inter i
+       |  ON i.src_a = p.src_a AND i.src_b = p.src_b""".stripMargin
+
   /** Q221 — Simpson diversity (mirrors TextAnalysis.simpsonDiversity):
     * identical integer collision/square sums, terminal divisions.
     */

@@ -1102,6 +1102,46 @@ object TextAnalysis {
         nullif((n * n - chance), lit(0L)).cast("double")).as("kappa"))
   }
 
+  /** Q224 — WEIGHTED (multiset) Jaccard between source pairs:
+    * Σ min(c_a, c_b) / Σ max(c_a, c_b) over token FREQUENCIES, where
+    * Q82's set Jaccard sees only vocabularies. A boilerplate-heavy
+    * mirror site shares mass, not just types — the multiset form is
+    * what catches it (and the one SimHash's weighted bit votes
+    * approximate). Identity used: Σ max = T_a + T_b − Σ min, so the
+    * pair join only aggregates minima; totals ride the tiny
+    * per-source table.
+    *
+    * Exactness: all counts integer, one terminal division. Scale:
+    * corpus collapses once to (source, token) counts; the pair join
+    * is token-keyed with source-bounded fanout — never corpus-sized.
+    */
+  def weightedSourceJaccard(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .cache()
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val pairs = totals.as("a").join(totals.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.tot").as("tot_a"), col("b.tot").as("tot_b"))
+    val inter = counts.as("x").join(counts.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_tokens"),
+        sum(least(col("x.c"), col("y.c"))).as("inter_w"))
+    val iw = coalesce(col("inter_w"), lit(0L))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared_tokens"), lit(0L)).as("shared_tokens"),
+        iw.as("inter_weight"),
+        (col("tot_a") + col("tot_b") - iw).as("union_weight"),
+        (iw.cast("double") /
+          (col("tot_a") + col("tot_b") - iw).cast("double"))
+          .as("weighted_jaccard"))
+  }
+
   /** Q221 — Simpson lexical diversity per source: the probability two
     * token occurrences drawn WITHOUT replacement are different types
     * (1 − Σc(c−1)/(N(N−1))), plus the inverse-Simpson effective

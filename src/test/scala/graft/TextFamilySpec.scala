@@ -389,6 +389,27 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("weightedSourceJaccard: multiset minima over shared tokens; union via the totals identity") {
+    val dir = java.nio.file.Files.createTempDirectory("wjac").toString
+    try {
+      Seq((1L, "a a b", "u"), (2L, "a b b c", "r"))
+        .map { case (id, t, src) => (id, t, src, t.length.toLong) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = TextAnalysis.weightedSourceJaccard(spark, dir).collect()
+      assert(r.length === 1)
+      val row = r.head
+      assert(row.getAs[String]("src_a") === "r" && row.getAs[String]("src_b") === "u")
+      // r: a1 b2 c1 (T=4); u: a2 b1 (T=3); min a1+b1=2; union 5
+      assert(row.getAs[Long]("shared_tokens") === 2L)
+      assert(row.getAs[Long]("inter_weight") === 2L)
+      assert(row.getAs[Long]("union_weight") === 5L)
+      assert(row.getAs[Double]("weighted_jaccard") === 0.4)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("simpsonDiversity: all-distinct source scores 1, single-type source scores 0") {
     val dir = java.nio.file.Files.createTempDirectory("simpson").toString
     try {
