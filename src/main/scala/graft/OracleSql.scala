@@ -6088,6 +6088,65 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q225 — absorbing-chain conversion probability (mirrors
+    * Relational.absorptionProb): unrolled recurrence over the q187
+    * transition matrix, full-domain coalesce at every round.
+    */
+  def q225AbsorptionProb(target: String = "purchase", steps: Int = 4): String = {
+    val rounds = (2 to steps).map { k =>
+      s"""c$k AS (
+         |  SELECT pp.from_type,
+         |    CAST(sum(CAST(pp.p * a${k - 1}.a AS DECIMAL(28,14))) AS DOUBLE)
+         |      AS cont
+         |  FROM p pp JOIN a${k - 1} ON a${k - 1}.stype = pp.next_type
+         |  WHERE pp.next_type <> '$target' GROUP BY 1
+         |),
+         |a$k AS (
+         |  SELECT d.from_type AS stype,
+         |    coalesce(b.base, 0.0) + coalesce(c$k.cont, 0.0) AS a
+         |  FROM dom d LEFT JOIN b ON b.from_type = d.from_type
+         |  LEFT JOIN c$k ON c$k.from_type = d.from_type
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to steps).map(k => s"a$k.a AS p_step$k")
+      .mkString(",\n       |  ")
+    val joins = (1 to steps).map(k => s"JOIN a$k ON a$k.stype = d.from_type")
+      .mkString("\n       |")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+       |),
+       |pr AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY tus, event_id) AS next_type
+       |  FROM e
+       |),
+       |pairs AS (
+       |  SELECT from_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |tot AS (
+       |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM pairs GROUP BY 1
+       |),
+       |p AS MATERIALIZED (
+       |  SELECT pairs.from_type, next_type,
+       |    CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |  FROM pairs JOIN tot ON tot.from_type = pairs.from_type
+       |),
+       |dom AS (SELECT DISTINCT from_type FROM p),
+       |b AS (SELECT from_type, p AS base FROM p WHERE next_type = '$target'),
+       |a1 AS (
+       |  SELECT d.from_type AS stype,
+       |    coalesce(b.base, 0.0) + coalesce(CAST(NULL AS DOUBLE), 0.0) AS a
+       |  FROM dom d LEFT JOIN b ON b.from_type = d.from_type
+       |),
+       |$rounds
+       |SELECT d.from_type AS start_type,
+       |  $sel
+       |FROM dom d
+       |$joins""".stripMargin
+  }
+
   /** Q222 — CDC snapshot diff (mirrors Relational.snapshotDiff):
     * rank-1 latest rows at mid and end, same class partition.
     */

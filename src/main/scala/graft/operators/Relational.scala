@@ -2598,6 +2598,72 @@ object Relational {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Q225 — absorbing-chain conversion probability: from the Q187
+    * first-order transition matrix, the probability of reaching the
+    * `target` event type within 1..`steps` steps from each starting
+    * type — a_k(s) = p(s,target) + Σ_{t≠target} p(s,t)·a_{k−1}(t),
+    * the truncated absorbing-Markov readout ("how close is each
+    * behavior to a purchase") that funnel counts (Q74) can't express
+    * because paths may wander before converting.
+    *
+    * Scale/exactness: the transition matrix is |types|² ≤ tiny, so
+    * every recurrence round is a broadcast-sized join; the one
+    * corpus-sized cost is the per-user lead() pass. p values are the
+    * same n/total doubles both engines compute; each p·a product
+    * quantizes to DECIMAL(28,14) before its ≤|types|-term sum, and
+    * every a_k is built over the FULL from-type domain with
+    * coalesce(0) so the recurrence never drops zero terms.
+    */
+  def absorptionProb(s: SparkSession, dir: String,
+                     target: String = "purchase", steps: Int = 4): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = ev.select(col("user_id"), col("event_type"),
+        tsMicros(ev).as("tus"), col("event_id"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wu))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    val p = pairs.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("next_type"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+      .localCheckpoint()
+    val dom = p.select(col("from_type")).distinct()
+    val base = p.filter(col("next_type") === target)
+      .select(col("from_type"), col("p").as("base"))
+    def full(cont: Option[DataFrame]): DataFrame = {
+      val withBase = dom.join(broadcast(base), Seq("from_type"), "left")
+      val joined = cont match {
+        case Some(c) => withBase.join(broadcast(c), Seq("from_type"), "left")
+        case None => withBase.withColumn("cont", lit(null).cast("double"))
+      }
+      joined.select(col("from_type").as("stype"),
+        (coalesce(col("base"), lit(0.0)) +
+          coalesce(col("cont"), lit(0.0))).as("a"))
+        .localCheckpoint()
+    }
+    var a = full(None)
+    val byStep = scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]((1, a))
+    for (k <- 2 to steps) {
+      val cont = p.filter(col("next_type") =!= target)
+        .join(broadcast(a.withColumnRenamed("stype", "next_type")),
+          Seq("next_type"))
+        .select(col("from_type"),
+          (col("p") * col("a")).cast("decimal(28,14)").as("c"))
+        .groupBy(col("from_type"))
+        .agg(sum(col("c")).cast("double").as("cont"))
+      a = full(Some(cont))
+      byStep += ((k, a))
+    }
+    byStep.foldLeft(dom.select(col("from_type").as("start_type"))) {
+      case (acc, (k, ak)) =>
+        acc.join(broadcast(ak.select(col("stype").as("start_type"),
+          col("a").as(s"p_step$k"))), Seq("start_type"))
+    }
+  }
+
   /** Q222 — CDC snapshot diff: the Q55 latest-state compaction taken
     * at TWO logical times — the integer midpoint of the observed time
     * range (Q189's split rule) and stream end — diffed per event

@@ -1179,6 +1179,37 @@ class RelationalFamilySpec extends SparkSpec {
       dNum.toDouble / (a.length.toLong * b.length).toDouble)
   }
 
+  test("absorptionProb: hand-unrolled 3-state chain with quantized products") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // one user's walk A,B,P,B,A,B,P: p(A,B)=1, p(B,P)=2/3, p(B,A)=1/3, p(P,B)=1
+    val seqTypes = Seq("A", "B", "purchase", "B", "A", "B", "purchase")
+    val rows = seqTypes.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, ts(i), 1L, t, 0.0, "{}")
+    }
+    def q14(x: Double) = new java.math.BigDecimal(x)
+      .setScale(14, java.math.RoundingMode.HALF_UP).doubleValue()
+    withEventsDir(rows) { dir =>
+      val out = Relational.absorptionProb(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Double]("p_step1"), r.getAs[Double]("p_step2"),
+            r.getAs[Double]("p_step3"), r.getAs[Double]("p_step4")))).toMap
+      val pBP = 2.0 / 3.0
+      val a1 = Map("A" -> 0.0, "B" -> pBP, "purchase" -> 0.0)
+      def step(prev: Map[String, Double]) = Map(
+        "A" -> (0.0 + q14(1.0 * prev("B"))),
+        "B" -> (pBP + q14((1.0 / 3.0) * prev("A"))),
+        "purchase" -> (0.0 + q14(1.0 * prev("B"))))
+      val (a2, a3, a4) = (step(a1), step(step(a1)), step(step(step(a1))))
+      Seq("A", "B", "purchase").foreach { t =>
+        assert(out(t) === ((a1(t), a2(t), a3(t), a4(t))), s"type $t")
+      }
+      // sanity: probabilities ascend with the horizon
+      out.values.foreach { case (p1, p2, p3, p4) =>
+        assert(p1 <= p2 + 1e-15 && p2 <= p3 + 1e-15 && p3 <= p4 + 1e-15)
+      }
+    }
+  }
+
   test("snapshotDiff: added/changed/rewritten/untouched classes partition the key space") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val rows = Seq(
