@@ -4528,6 +4528,39 @@ object OracleSql {
        |SELECT node, n_tri, CAST(rnk AS BIGINT) AS rnk
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Q226 — global transitivity (mirrors Graph.transitivity): the
+    * q113 edge set, declarative a<b<c triangle count, wedge
+    * denominator off the degree table.
+    */
+  def q226Transitivity(minSupport: Int = 2): String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (
+       |  SELECT x.p AS a, y.p AS b
+       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport
+       |),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t
+       |  GROUP BY 1
+       |),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+       |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |  FROM deg
+       |)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CAST(3 * n_triangles AS DOUBLE)
+       |    / CAST(nullif(n_wedges, 0) AS DOUBLE) AS transitivity
+       |FROM s, tri""".stripMargin
+
   /** Q217 — degree assortativity (mirrors Graph.assortativity): the
     * q113 edge set, symmetric incidence power sums, pinned Pearson
     * finish.

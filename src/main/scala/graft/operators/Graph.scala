@@ -98,6 +98,51 @@ object Graph {
   /** The q113 co-purchase edge set (support-floored, canonical a<b)
     * shared by the triangle and community queries.
     */
+  /** Q226 — global transitivity (clustering coefficient) of the
+    * co-purchase graph: 3·|triangles| / |wedges|, the probability
+    * that an open two-path closes. With Q217's assortativity and
+    * Q223's modularity this completes the one-number topology panel
+    * (clustering ⟂ degree mixing ⟂ community strength).
+    *
+    * Scale: triangles reuse Q113's degree-ordered orientation (wedge
+    * volume Σ outdeg², hub-safe); the wedge DENOMINATOR needs no
+    * enumeration at all — Σ deg(deg−1)/2 off the degree table. One
+    * global aggregate each; exact integers, one pinned division.
+    */
+  def transitivity(s: SparkSession, dir: String,
+                   minSupport: Int = 2): DataFrame = {
+    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .cache()
+    val ok = e
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"),
+        (col("da") * lit(1L << 31) + col("a")).as("ka"),
+        (col("db") * lit(1L << 31) + col("b")).as("kb"))
+    val eo = ok.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+        greatest(col("ka"), col("kb")).as("kdst"))
+      .cache()
+    val wedgesOriented = eo.as("x").join(eo.as("y"),
+        col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+      .select(col("x.dst").as("v"), col("y.dst").as("w"))
+    val tri = wedgesOriented.join(eo,
+        wedgesOriented("v") === eo("src") && wedgesOriented("w") === eo("dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val sums = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+    sums.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        ((lit(3L) * col("n_triangles")).cast("double") /
+          nullif(col("n_wedges"), lit(0L)).cast("double")).as("transitivity"))
+  }
+
   /** Q217 — degree assortativity of the co-purchase graph (Newman's
     * r): the Pearson correlation of endpoint degrees over ordered
     * edge incidences — do hub products bundle with other hubs

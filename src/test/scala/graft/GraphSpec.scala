@@ -262,6 +262,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("transitivity: K4 plus a 2-edge path scores 12/13") {
+    val dir = java.nio.file.Files.createTempDirectory("transit").toString
+    try {
+      // K4 on {1..4}: 4 triangles, 12 wedges; path 10-11-12: 1 wedge
+      val k4 = for {
+        a <- 1L to 4L; b <- (a + 1) to 4L
+      } yield (a, b)
+      val pairs = k4 ++ Seq((10L, 11L), (11L, 12L))
+      var o = 0L
+      val rows = pairs.flatMap { case (a, b) =>
+        (1 to 2).flatMap { _ => o += 1; Seq((o, a), (o, b)) }
+      }
+      rows.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = Graph.transitivity(spark, dir).collect().head
+      assert(r.getAs[Long]("n_nodes") === 7L)
+      assert(r.getAs[Long]("n_edges") === 8L)
+      assert(r.getAs[Long]("n_wedges") === 13L)
+      assert(r.getAs[Long]("n_triangles") === 4L)
+      assert(r.getAs[Double]("transitivity") === 12.0 / 13.0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("assortativity: a star graph scores exactly -1") {
     val dir = java.nio.file.Files.createTempDirectory("assort").toString
     try {
