@@ -6121,6 +6121,51 @@ object OracleSql {
        |FROM c CROSS JOIN tot
        |ORDER BY abs(cum_a * n_b - cum_b * n_a) DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Q227 — freshness SLO panel (mirrors Relational.freshnessSlo):
+    * same gap quantization, order-statistic p95, pinned rate.
+    */
+  def q227FreshnessSlo(): String =
+    s"""WITH g AS (
+       |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+       |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+       |      ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap
+       |  FROM events
+       |),
+       |per AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |    min(tus) AS t_min, max(tus) AS t_max,
+       |    CAST(max(gap) AS BIGINT) AS max_gap_s,
+       |    CAST(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_gaps
+       |  FROM g GROUP BY 1
+       |),
+       |gm AS (SELECT max(t_max) AS g_max FROM per),
+       |rk AS (
+       |  SELECT event_type, gap,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rnk
+       |  FROM g WHERE gap IS NOT NULL
+       |),
+       |k95 AS (
+       |  SELECT event_type,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(ceil(0.95 * CAST(n_gaps AS DOUBLE)) AS BIGINT)) AS k
+       |  FROM per
+       |),
+       |p95 AS (
+       |  SELECT rk.event_type, CAST(rk.gap AS BIGINT) AS p95_gap_s
+       |  FROM rk JOIN k95 ON k95.event_type = rk.event_type
+       |  WHERE rk.rnk = k95.k
+       |)
+       |SELECT per.event_type, per.n_events,
+       |  g_max - t_max AS staleness_us,
+       |  t_max - t_min AS span_us,
+       |  max_gap_s, p95.p95_gap_s,
+       |  CAST(n_events AS DOUBLE)
+       |    / (CAST(nullif(t_max - t_min, 0) AS DOUBLE) / 3600000000.0)
+       |    AS rate_per_hour
+       |FROM per CROSS JOIN gm
+       |LEFT JOIN p95 ON p95.event_type = per.event_type""".stripMargin
+
   /** Q225 — absorbing-chain conversion probability (mirrors
     * Relational.absorptionProb): unrolled recurrence over the q187
     * transition matrix, full-domain coalesce at every round.

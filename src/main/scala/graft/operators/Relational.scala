@@ -2598,6 +2598,54 @@ object Relational {
         col("n_censored"), col("hazard"), col("cum_hazard"))
   }
 
+  /** Q227 — stream-freshness SLO panel per event type: staleness
+    * (lag of the type's newest event behind the globally newest),
+    * observed span, worst and p95 inter-event gap, and the mean
+    * arrival rate — the observability row a pipeline on-call reads
+    * before trusting any downstream aggregate of that type.
+    *
+    * Exactness: all times are integer µs; gaps quantize to seconds
+    * (the Q220 overflow discipline); the p95 gap is an exact order
+    * statistic (value-deterministic under ties because the rank sort
+    * IS the value sort); the rate is one pinned double expression.
+    * Scale: one per-type lag window, per-type aggregates, a one-row
+    * global-max broadcast, and a bounds-row broadcast for the rank
+    * select — nothing global.
+    */
+  def freshnessSlo(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val gaps = ev.select(col("event_type"), tsMicros(ev).as("tus"),
+        col("event_id"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .withColumn("gap", expr("gap_us div 1000000"))
+    val per = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("t_min"), max(col("tus")).as("t_max"),
+        max(col("gap")).as("max_gap_s"),
+        sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"))
+    val gmax = per.agg(max(col("t_max")).as("g_max"))
+    val wg = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+    val ranked = gaps.filter(col("gap").isNotNull)
+      .withColumn("rnk", row_number().over(wg).cast("long"))
+    val k95 = per.select(col("event_type"),
+      greatest(lit(1L),
+        ceil(lit(0.95) * col("n_gaps").cast("double"))).as("k"))
+    val p95 = ranked.join(broadcast(k95), Seq("event_type"))
+      .filter(col("rnk") === col("k"))
+      .select(col("event_type"), col("gap").as("p95_gap_s"))
+    per.crossJoin(broadcast(gmax))
+      .join(broadcast(p95), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        (col("g_max") - col("t_max")).as("staleness_us"),
+        (col("t_max") - col("t_min")).as("span_us"),
+        col("max_gap_s"), col("p95_gap_s"),
+        (col("n_events").cast("double") /
+          (nullif(col("t_max") - col("t_min"), lit(0L)).cast("double") /
+            lit(3600000000.0))).as("rate_per_hour"))
+  }
+
   /** Q225 — absorbing-chain conversion probability: from the Q187
     * first-order transition matrix, the probability of reaching the
     * `target` event type within 1..`steps` steps from each starting

@@ -1179,6 +1179,29 @@ class RelationalFamilySpec extends SparkSpec {
       dNum.toDouble / (a.length.toLong * b.length).toDouble)
   }
 
+  test("freshnessSlo: staleness vs global max, exact p95 gap, singleton-type nulls") {
+    val ts = (sec: Int) => new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val rows = Seq(
+      (1L, ts(0), 1L, "X", 0.0, "{}"), (2L, ts(10), 1L, "X", 0.0, "{}"),
+      (3L, ts(20), 1L, "X", 0.0, "{}"), (4L, ts(100), 1L, "X", 0.0, "{}"),
+      (5L, ts(200), 1L, "Y", 0.0, "{}"))
+    withEventsDir(rows) { dir =>
+      val out = Relational.freshnessSlo(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("staleness_us"),
+            r.getAs[Long]("span_us"),
+            Option(r.get(r.fieldIndex("max_gap_s"))).map(_.asInstanceOf[Long]),
+            Option(r.get(r.fieldIndex("p95_gap_s"))).map(_.asInstanceOf[Long]),
+            Option(r.get(r.fieldIndex("rate_per_hour")))
+              .map(_.asInstanceOf[Double])))).toMap
+      // X: gaps {10,10,80}s, k95 = ceil(.95*3) = 3 -> p95 = 80
+      assert(out("X") === ((4L, 100000000L, 100000000L, Some(80L), Some(80L),
+        Some(4.0 / (100000000.0 / 3600000000.0)))))
+      // Y: one event — no gaps, zero span, rate null
+      assert(out("Y") === ((1L, 0L, 0L, None, None, None)))
+    }
+  }
+
   test("absorptionProb: hand-unrolled 3-state chain with quantized products") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // one user's walk A,B,P,B,A,B,P: p(A,B)=1, p(B,P)=2/3, p(B,A)=1/3, p(P,B)=1
