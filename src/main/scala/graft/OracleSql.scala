@@ -608,6 +608,60 @@ object OracleSql {
        |)
        |SELECT probe_id, vec_id, sim, rnk FROM rk WHERE rnk <= $k""".stripMargin
 
+  /** Q228 — 1-NN label coherence over the q16c lists (mirrors
+    * Similarity.knnLabelEval): same assignment, rank-1 neighbor with
+    * (sim desc, id) order, isolated vectors kept in the denominator
+    * accounting.
+    */
+  def q228KnnLabelEval(nCentroids: Int = 8, dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $nCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, e.label, e.de, c.cid,
+       |    ${cosSql("e.de", "c.ce", dim)} AS csim
+       |  FROM e CROSS JOIN cent c
+       |),
+       |asg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS crk
+       |  FROM sims
+       |),
+       |lists AS MATERIALIZED (
+       |  SELECT vec_id, label, de, cid AS list_id FROM asg WHERE crk = 1
+       |),
+       |cs AS (
+       |  SELECT x.vec_id, x.label, y.label AS nlabel,
+       |    ${cosSql("x.de", "y.de", dim)} AS sim, y.vec_id AS nid
+       |  FROM lists x JOIN lists y
+       |    ON y.list_id = x.list_id AND y.vec_id <> x.vec_id
+       |),
+       |nn AS (
+       |  SELECT vec_id, label, nlabel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nid) AS rnk
+       |    FROM cs) t WHERE rnk = 1
+       |),
+       |agg AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_matched
+       |  FROM nn GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS n_total
+       |  FROM lists GROUP BY 1
+       |)
+       |SELECT t.label, coalesce(a.n_vecs, 0) AS n_vecs,
+       |  t.n_total - coalesce(a.n_vecs, 0) AS n_isolated,
+       |  coalesce(a.n_matched, 0) AS n_matched,
+       |  CAST(coalesce(a.n_matched, 0) AS DOUBLE)
+       |    / CAST(nullif(coalesce(a.n_vecs, 0), 0) AS DOUBLE) AS nn_accuracy
+       |FROM tot t LEFT JOIN agg a ON a.label = t.label""".stripMargin
+
   // ---- LLM-pipeline dedup family (operators/Dedup.scala) ----
 
   /** Polynomial fold over character codes, identical to

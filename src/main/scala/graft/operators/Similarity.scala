@@ -380,6 +380,59 @@ object Similarity {
     shaped(v1, n1, 1L).unionAll(shaped(v2, n2, 2L))
   }
 
+  /** Q228 — 1-NN label-coherence eval over the Q16c inverted lists:
+    * for every vector, its nearest same-list neighbor's label, rolled
+    * up per label as nearest-neighbor accuracy — the embedding-space
+    * label-consistency audit (the cheap LOO-kNN proxy) that tells a
+    * curation pipeline whether labels and geometry agree BEFORE
+    * training on either. Vectors alone in their list are reported as
+    * isolated, never silently dropped from the denominator.
+    *
+    * Scale: candidate volume is Σ|list|² — bounded by the coarse
+    * quantizer exactly as Q16c's search path (grow `nCentroids` with
+    * the corpus as `semanticDedup.centroidsForCorpus` does); the NN
+    * selection is a lexicographic struct-max (map-side combining),
+    * not a window sort. Cosines are the codegen'd DotProductExpr.
+    */
+  def knnLabelEval(s: SparkSession, dir: String,
+                   nCentroids: Int = 8): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val cent = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("de").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val lists = e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("de"), col("ce")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("de"), col("cid").as("list_id"))
+      .cache()
+    val nn = lists.as("x").join(lists.as("y"),
+        col("x.list_id") === col("y.list_id") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
+        struct(cosine(col("x.de"), col("y.de")).as("sim"),
+          (-col("y.vec_id")).as("nid"),
+          col("y.label").as("nlabel")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cand")).as("nn"))
+    val agg = nn.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nn.nlabel") === col("label"), 1L).otherwise(0L))
+          .as("n_matched"))
+    val tot = lists.groupBy(col("label")).agg(count(lit(1)).as("n_total"))
+    tot.join(agg, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        (col("n_total") - coalesce(col("n_vecs"), lit(0L))).as("n_isolated"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_vecs"), lit(0L)), lit(0L)).cast("double"))
+          .as("nn_accuracy"))
+  }
+
   /** Q16c — IVF-style ANN: vectors are partitioned by nearest centroid
     * (fixed coarse quantizer: the vec_id < nCentroids vectors), probes
     * search only their nProbe nearest inverted lists. The centroid

@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelEval: in-list neighbors match labels; singleton list reports isolated") {
+    val dir = java.nio.file.Files.createTempDirectory("knn").toString
+    try {
+      def axis(d: Int, s: Float = 1f) =
+        Array.tabulate(64)(i => if (i == d) s else 0f)
+      def mix(d1: Int, a: Float, d2: Int, b: Float) =
+        Array.tabulate(64)(i => if (i == d1) a else if (i == d2) b else 0f)
+      // centroids: vec0 = e1 (label 1), vec1 = e2 (label 2); all other
+      // vectors sit near e1 -> list B holds only its centroid
+      val rows = Seq(
+        (0L, axis(0), 1), (1L, axis(1), 2),
+        (2L, mix(0, 1f, 2, 0.01f), 1), (3L, mix(0, 1f, 2, 0.011f), 1),
+        (4L, mix(0, 0.9f, 3, 0.4f), 9))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.knnLabelEval(spark, dir, nCentroids = 2).collect()
+        .map(r => r.getAs[Int]("label") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_isolated"),
+            r.getAs[Long]("n_matched"),
+            Option(r.get(r.fieldIndex("nn_accuracy")))
+              .map(_.asInstanceOf[Double])))).toMap
+      assert(out(1) === ((3L, 0L, 3L, Some(1.0))))
+      assert(out(2) === ((0L, 1L, 0L, None)))
+      assert(out(9) === ((1L, 0L, 0L, Some(0.0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("pcaTop2: recovers two planted orthogonal directions with their variances") {
     // Walsh-pattern signs (periods 2 and 4) over n=40: sample means 0,
     // cross-covariance EXACTLY 0, variances exactly 100 (dim 2) and
