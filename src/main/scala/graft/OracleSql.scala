@@ -308,6 +308,50 @@ object OracleSql {
     s"""WITH RECURSIVE ${detectCtes(cfg)}
        |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
 
+  /** Q229 — HRV panel (mirrors BeatMetrics.hrv): integer RR/diff
+    * power sums off the detected train, pinned sqrt/divide finishes.
+    */
+  def q229Hrv(cfg: graft.PeakConfig = graft.PeakConfig(),
+              thrSamples: Long = 5L): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val mean = "CAST(s1 AS DOUBLE) / CAST(nullif(n_rr, 0) AS DOUBLE)"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |r1 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |r2 AS (
+       |  SELECT *, d - lag(d) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS sd
+       |  FROM r1
+       |),
+       |a AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_beats,
+       |    CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rr,
+       |    CAST(sum(d) AS BIGINT) AS s1,
+       |    CAST(sum(d * d) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sd,
+       |    CAST(sum(sd * sd) AS BIGINT) AS ss2,
+       |    CAST(sum(CASE WHEN abs(sd) > $thrSamples THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_nn50
+       |  FROM r2 GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_beats, n_rr,
+       |  ($mean) / $rate AS mean_rr_s,
+       |  CASE WHEN n_rr > 0 THEN
+       |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n_rr AS DOUBLE)
+       |      - ($mean) * ($mean), 0.0)) / $rate END AS sdnn_s,
+       |  sqrt(CAST(ss2 AS DOUBLE) / CAST(nullif(n_sd, 0) AS DOUBLE))
+       |    / $rate AS rmssd_s,
+       |  CAST(n_nn50 AS DOUBLE) / CAST(nullif(n_sd, 0) AS DOUBLE) AS pnn50
+       |FROM a""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

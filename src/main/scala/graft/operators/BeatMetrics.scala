@@ -172,4 +172,51 @@ object BeatMetrics {
         col("avg_time_to_relaxation").as("avg_ttr") :+
         col("avg_duration") :+ col("avg_force"): _*)
   }
+
+  /** Q229 — beat-to-beat variability (the HRV panel) per channel off
+    * the detected peak train: mean RR interval, SDNN (population SD
+    * of RR), RMSSD (RMS of successive RR differences), and pNN50
+    * (fraction of successive differences beyond 50 ms — 5 samples at
+    * the reference's 100 Hz). The rhythm-variability readout a
+    * cardiac-tissue screen reports NEXT to the per-beat force/timing
+    * averages (O10): two preparations with identical mean force can
+    * differ entirely in beat stability.
+    *
+    * Exactness/scale: RR intervals and their successive differences
+    * are integer sample counts from per-channel lag windows; every
+    * aggregate is an integer power sum (map-side combining); each
+    * output is one pinned double expression (IEEE sqrt, a single
+    * division by the literal sample rate). Nulls where a channel has
+    * too few beats for the statistic, never a fabricated zero.
+    */
+  def hrv(peaks: DataFrame, sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(col("experiment_id"), col("channel"))
+      .orderBy(col("peak_idx"))
+    val rr = peaks.select(col("experiment_id"), col("channel"), col("peak_idx"))
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .withColumn("sd", col("d") - lag(col("d"), 1).over(w))
+    val agg = rr.groupBy(col("experiment_id"), col("channel"))
+      .agg(count(lit(1)).as("n_beats"),
+        sum(when(col("d").isNotNull, 1L).otherwise(0L)).as("n_rr"),
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s2"),
+        sum(when(col("sd").isNotNull, 1L).otherwise(0L)).as("n_sd"),
+        sum(col("sd") * col("sd")).as("ss2"),
+        sum(when(abs(col("sd")) > 5L, 1L).otherwise(0L)).as("n_nn50"))
+    val rate = lit(sampleRateHz)
+    val meanD = col("s1").cast("double") /
+      nullif(col("n_rr"), lit(0L)).cast("double")
+    agg.select(col("experiment_id"), col("channel"), col("n_beats"),
+      col("n_rr"),
+      (meanD / rate).as("mean_rr_s"),
+      // explicit n_rr guard: Spark's greatest() skips nulls, so the
+      // empty-channel null would silently become 0.0 without it
+      (when(col("n_rr") > 0L,
+        sqrt(greatest(col("s2").cast("double") /
+            col("n_rr").cast("double") - meanD * meanD,
+          lit(0.0))) / rate)).as("sdnn_s"),
+      (sqrt(col("ss2").cast("double") /
+        nullif(col("n_sd"), lit(0L)).cast("double")) / rate).as("rmssd_s"),
+      (col("n_nn50").cast("double") /
+        nullif(col("n_sd"), lit(0L)).cast("double")).as("pnn50"))
+  }
 }

@@ -133,4 +133,29 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s(1).getAs[Long]("n_peaks") === 0)
     assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
   }
+
+  test("hrv: hand-computed SDNN/RMSSD/pNN50 from a 4-beat train; 1-beat channel all null") {
+    import spark.implicits._
+    val peaks = Seq(
+      ("e", 0, 0L), ("e", 0, 100L), ("e", 0, 210L), ("e", 0, 300L),
+      ("e", 1, 50L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.hrv(peaks).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n_beats"), r.getAs[Long]("n_rr"),
+          Option(r.get(r.fieldIndex("mean_rr_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("sdnn_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("rmssd_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("pnn50"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    // RR = {100, 110, 90}; diffs = {10, -20}
+    val (nb, nrr, mean, sdnn, rmssd, pnn) = out(0)
+    assert(nb === 4L && nrr === 3L)
+    assert(mean === Some(300.0 / 3.0 / 100.0))
+    assert(sdnn === Some(
+      math.sqrt(30200.0 / 3.0 - (300.0 / 3.0) * (300.0 / 3.0)) / 100.0))
+    assert(rmssd === Some(math.sqrt(500.0 / 2.0) / 100.0))
+    assert(pnn === Some(1.0))
+    assert(out(1) === ((1L, 0L, None, None, None, None)))
+  }
 }
