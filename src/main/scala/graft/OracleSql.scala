@@ -308,6 +308,71 @@ object OracleSql {
     s"""WITH RECURSIVE ${detectCtes(cfg)}
        |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
 
+  /** Q230 — stim-to-beat coupling latency (mirrors
+    * BeatMetrics.stimLatency): q10's rescaled stim maxima, the
+    * detected train, tagged forward-window next-beat lookup.
+    */
+  def q230StimLatency(cfg: graft.PeakConfig = graft.PeakConfig(),
+                      horizon: Long = 600L): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |stm AS (SELECT experiment_id, channel, sample_idx, y
+       |        FROM read_parquet('$stimGlob')),
+       |smax AS (SELECT experiment_id, channel, max(y) AS sx
+       |         FROM sig GROUP BY 1, 2),
+       |tmax AS (SELECT experiment_id, channel, max(y) AS tx
+       |         FROM stm GROUP BY 1, 2),
+       |scaled AS (
+       |  SELECT st.experiment_id, st.channel, st.sample_idx,
+       |    st.y * (sm.sx / tm.tx) AS y_scaled
+       |  FROM stm st
+       |  JOIN smax sm USING (experiment_id, channel)
+       |  JOIN tmax tm USING (experiment_id, channel)
+       |),
+       |mxs AS (
+       |  SELECT *, lag(y_scaled, 1) OVER ws AS pv,
+       |    lead(y_scaled, 1) OVER ws AS nv
+       |  FROM scaled
+       |  WINDOW ws AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |),
+       |spk AS (
+       |  SELECT experiment_id, channel, sample_idx FROM mxs
+       |  WHERE y_scaled > pv AND y_scaled > nv
+       |),
+       |u AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind FROM spk
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind
+       |  FROM detected
+       |),
+       |nx AS (
+       |  SELECT *, min(CASE WHEN kind = 1 THEN idx END) OVER (
+       |    PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_beat
+       |  FROM u
+       |),
+       |lat AS (
+       |  SELECT experiment_id, channel, next_beat - idx AS lat
+       |  FROM nx WHERE kind = 0
+       |),
+       |a AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_stims,
+       |    CAST(sum(CASE WHEN lat <= $horizon THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_captured,
+       |    CAST(sum(CASE WHEN lat <= $horizon THEN lat END) AS BIGINT)
+       |      AS lat_sum,
+       |    min(CASE WHEN lat <= $horizon THEN lat END) AS min_latency,
+       |    max(CASE WHEN lat <= $horizon THEN lat END) AS max_latency
+       |  FROM lat GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_stims, n_captured,
+       |  CAST(lat_sum AS DOUBLE) / CAST(nullif(n_captured, 0) AS DOUBLE)
+       |    AS mean_latency,
+       |  min_latency, max_latency,
+       |  CAST(n_captured AS DOUBLE) / CAST(n_stims AS DOUBLE)
+       |    AS capture_ratio
+       |FROM a""".stripMargin
+
   /** Q229 — HRV panel (mirrors BeatMetrics.hrv): integer RR/diff
     * power sums off the detected train, pinned sqrt/divide finishes.
     */

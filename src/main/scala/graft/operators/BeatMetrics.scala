@@ -173,6 +173,53 @@ object BeatMetrics {
         col("avg_duration") :+ col("avg_force"): _*)
   }
 
+  /** Q230 — excitation–contraction coupling latency: for every O8
+    * stimulus peak, the distance (in samples) to the next detected
+    * beat peak on the same channel, summarized per channel with a
+    * capture ratio (stims answered within `horizon` samples). The
+    * paced-preparation readout pairing O8 with O7: a healthy capture
+    * ratio near 1 with a tight latency band is what "the tissue
+    * follows pacing" means, and neither operator shows it alone.
+    *
+    * Shape: the next-beat lookup is the Q23-style union + tagged
+    * forward window (min of beat indices over the following frame,
+    * same-index beats included via the (idx, kind) order) — one
+    * channel-partitioned sort, no range join, no explosion. Stats
+    * are integer sums with pinned terminal divisions; channels whose
+    * stims are never answered keep null latencies.
+    */
+  def stimLatency(stimPeaks: DataFrame, beatPeaks: DataFrame,
+                  horizon: Long = 600L): DataFrame = {
+    val st = stimPeaks.select(col("experiment_id"), col("channel"),
+      col("sample_idx").as("idx"), lit(0).as("kind"))
+    val bt = beatPeaks.select(col("experiment_id"), col("channel"),
+      col("peak_idx").as("idx"), lit(1).as("kind"))
+    val w = Window.partitionBy(col("experiment_id"), col("channel"))
+      .orderBy(col("idx"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val lat = st.unionAll(bt)
+      .withColumn("next_beat",
+        min(when(col("kind") === 1, col("idx"))).over(w))
+      .filter(col("kind") === 0)
+      .select(col("experiment_id"), col("channel"),
+        (col("next_beat") - col("idx")).as("lat"))
+    val captured = when(col("lat") <= horizon, col("lat"))
+    lat.groupBy(col("experiment_id"), col("channel"))
+      .agg(count(lit(1)).as("n_stims"),
+        sum(when(captured.isNotNull, 1L).otherwise(0L)).as("n_captured"),
+        sum(captured).as("lat_sum"),
+        min(captured).as("min_latency"),
+        max(captured).as("max_latency"))
+      .select(col("experiment_id"), col("channel"), col("n_stims"),
+        col("n_captured"),
+        (col("lat_sum").cast("double") /
+          nullif(col("n_captured"), lit(0L)).cast("double"))
+          .as("mean_latency"),
+        col("min_latency"), col("max_latency"),
+        (col("n_captured").cast("double") / col("n_stims").cast("double"))
+          .as("capture_ratio"))
+  }
+
   /** Q229 — beat-to-beat variability (the HRV panel) per channel off
     * the detected peak train: mean RR interval, SDNN (population SD
     * of RR), RMSSD (RMS of successive RR differences), and pNN50

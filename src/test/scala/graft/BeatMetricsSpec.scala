@@ -134,6 +134,26 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
   }
 
+  test("stimLatency: forward capture with horizon; same-index beat counts at latency 0") {
+    import spark.implicits._
+    val stims = Seq(("e", 0, 10L), ("e", 0, 100L), ("e", 0, 500L),
+        ("e", 1, 10L))
+      .toDF("experiment_id", "channel", "sample_idx")
+    val beats = Seq(("e", 0, 40L), ("e", 0, 130L), ("e", 1, 10L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.stimLatency(stims, beats).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n_stims"), r.getAs[Long]("n_captured"),
+          Option(r.get(r.fieldIndex("mean_latency"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("min_latency"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("max_latency"))).map(_.asInstanceOf[Long]),
+          r.getAs[Double]("capture_ratio")))).toMap
+    // ch0: 10->40 (30), 100->130 (30), 500->none (uncaptured)
+    assert(out(0) === ((3L, 2L, Some(30.0), Some(30L), Some(30L), 2.0 / 3.0)))
+    // ch1: beat at the stim's own index -> latency 0
+    assert(out(1) === ((1L, 1L, Some(0.0), Some(0L), Some(0L), 1.0)))
+  }
+
   test("hrv: hand-computed SDNN/RMSSD/pNN50 from a 4-beat train; 1-beat channel all null") {
     import spark.implicits._
     val peaks = Seq(
