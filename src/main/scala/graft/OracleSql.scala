@@ -308,6 +308,43 @@ object OracleSql {
     s"""WITH RECURSIVE ${detectCtes(cfg)}
        |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
 
+  /** Q231 — mechanical restitution (mirrors BeatMetrics.restitution):
+    * decimal-quantized RR/force moments off the metric CTEs, pinned
+    * correlation and slope with identical guards.
+    */
+  def q231Restitution(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val n = "CAST(n_pairs AS DOUBLE)"
+    val mx = s"CAST(sx AS DOUBLE) / $n"
+    val my = s"CAST(sy AS DOUBLE) / $n"
+    val cov = s"CAST(sxy AS DOUBLE) / $n - ($mx) * ($my)"
+    val vx = s"CAST(sxx AS DOUBLE) / $n - ($mx) * ($mx)"
+    val vy = s"CAST(syy AS DOUBLE) / $n - ($my) * ($my)"
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |rr AS (
+       |  SELECT experiment_id, channel, force,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS x
+       |  FROM m
+       |),
+       |f AS (SELECT * FROM rr WHERE x IS NOT NULL AND force IS NOT NULL),
+       |a AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    sum(CAST(force AS DECIMAL(20,6))) AS sy,
+       |    sum(CAST(force * force AS DECIMAL(28,10))) AS syy,
+       |    sum(CAST(CAST(x AS DOUBLE) * force AS DECIMAL(28,10))) AS sxy
+       |  FROM f GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_pairs,
+       |  ($cov) / nullif(sqrt(greatest(($vx) * ($vy), 0.0)), 0.0)
+       |    AS rr_force_corr,
+       |  (($cov) / nullif($vx, 0.0)) * $rate AS restitution_slope_per_s
+       |FROM a""".stripMargin
+  }
+
   /** Q230 — stim-to-beat coupling latency (mirrors
     * BeatMetrics.stimLatency): q10's rescaled stim maxima, the
     * detected train, tagged forward-window next-beat lookup.

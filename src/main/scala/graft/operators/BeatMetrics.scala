@@ -173,6 +173,50 @@ object BeatMetrics {
         col("avg_duration") :+ col("avg_force"): _*)
   }
 
+  /** Q231 — mechanical restitution: per channel, the Pearson
+    * correlation between each beat's PRECEDING RR interval and its
+    * force, plus the regression slope in force-units per second —
+    * the classic restitution readout (longer diastolic filling ⇒
+    * stronger beat) that links O9's per-beat forces to the Q229
+    * rhythm view. A flat or inverted slope on a paced preparation is
+    * a finding, not noise.
+    *
+    * Exactness: RR is integer samples; force moments quantize to
+    * DECIMAL (sums exact in any combine order — the Q169/Q114
+    * discipline: y to (20,6), y² and x·y products to (28,10) after
+    * one pinned double multiply); correlation and slope finish in
+    * pinned double expressions with identical guards in the oracle.
+    * Scale: one channel-partitioned lag window and one
+    * partial-combining aggregate.
+    */
+  def restitution(metricsDf: DataFrame,
+                  sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(col("experiment_id"), col("channel"))
+      .orderBy(col("peak_idx"))
+    val rr = metricsDf.select(col("experiment_id"), col("channel"),
+        col("peak_idx"), col("force"))
+      .withColumn("x", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("x").isNotNull && col("force").isNotNull)
+    val agg = rr.groupBy(col("experiment_id"), col("channel"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("force").cast("decimal(20,6)")).as("sy"),
+        sum((col("force") * col("force")).cast("decimal(28,10)")).as("syy"),
+        sum((col("x").cast("double") * col("force")).cast("decimal(28,10)"))
+          .as("sxy"))
+    val n = col("n_pairs").cast("double")
+    val mx = col("sx").cast("double") / n
+    val my = col("sy").cast("double") / n
+    val cov = col("sxy").cast("double") / n - mx * my
+    val vx = col("sxx").cast("double") / n - mx * mx
+    val vy = col("syy").cast("double") / n - my * my
+    agg.select(col("experiment_id"), col("channel"), col("n_pairs"),
+      (cov / nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0)))
+        .as("rr_force_corr"),
+      ((cov / nullif(vx, lit(0.0))) * lit(sampleRateHz))
+        .as("restitution_slope_per_s"))
+  }
+
   /** Q230 — excitation–contraction coupling latency: for every O8
     * stimulus peak, the distance (in samples) to the next detected
     * beat peak on the same channel, summarized per channel with a

@@ -134,6 +134,28 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
   }
 
+  test("restitution: hand-computed RR-force correlation and slope; single-beat channel drops") {
+    import spark.implicits._
+    val m = Seq(
+      ("e", 0, 0L, 1.0), ("e", 0, 100L, 2.0),
+      ("e", 0, 150L, 1.5), ("e", 0, 250L, 2.5),
+      ("e", 1, 40L, 9.0))
+      .toDF("experiment_id", "channel", "peak_idx", "force")
+    val out = BeatMetrics.restitution(m).collect()
+    assert(out.length === 1 && out.head.getAs[Int]("channel") === 0)
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    // pairs (x, force): (100,2.0) (50,1.5) (100,2.5) — all moments exact
+    val n = 3.0
+    val mx = 250.0 / n; val my = 6.0 / n
+    val cov = 525.0 / n - mx * my
+    val vx = 22500.0 / n - mx * mx
+    val vy = 12.5 / n - my * my
+    assert(r.getAs[Double]("rr_force_corr") ===
+      cov / math.sqrt(math.max(vx * vy, 0.0)))
+    assert(r.getAs[Double]("restitution_slope_per_s") === (cov / vx) * 100.0)
+  }
+
   test("stimLatency: forward capture with horizon; same-index beat counts at latency 0") {
     import spark.implicits._
     val stims = Seq(("e", 0, 10L), ("e", 0, 100L), ("e", 0, 500L),
