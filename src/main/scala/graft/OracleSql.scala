@@ -308,6 +308,42 @@ object OracleSql {
     s"""WITH RECURSIVE ${detectCtes(cfg)}
        |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
 
+  /** Q232 — force alternans (mirrors BeatMetrics.alternans): parity
+    * phases off the beat order, exact decimal phase sums, pinned
+    * guarded finishes.
+    */
+  def q232Alternans(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val meanE = "CAST(se AS DOUBLE) / CAST(nullif(n_even, 0) AS DOUBLE)"
+    val meanO =
+      "CAST(so AS DOUBLE) / CAST(nullif(n_beats - n_even, 0) AS DOUBLE)"
+    val meanAll = "CAST(coalesce(se, CAST(0 AS DECIMAL(20,6))) " +
+      "+ coalesce(so, CAST(0 AS DECIMAL(20,6))) AS DOUBLE) " +
+      "/ CAST(n_beats AS DOUBLE)"
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |ph AS (
+       |  SELECT experiment_id, channel, force,
+       |    CAST(row_number() OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS BIGINT) % 2 AS phase
+       |  FROM m WHERE force IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_beats,
+       |    CAST(sum(CASE WHEN phase = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_even,
+       |    sum(CASE WHEN phase = 0
+       |        THEN CAST(force AS DECIMAL(20,6)) END) AS se,
+       |    sum(CASE WHEN phase = 1
+       |        THEN CAST(force AS DECIMAL(20,6)) END) AS so
+       |  FROM ph GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_beats,
+       |  $meanE AS mean_even, $meanO AS mean_odd,
+       |  abs(($meanE) - ($meanO)) AS alt_magnitude,
+       |  abs(($meanE) - ($meanO)) / nullif($meanAll, 0.0) AS alt_relative
+       |FROM a""".stripMargin
+  }
+
   /** Q231 — mechanical restitution (mirrors BeatMetrics.restitution):
     * decimal-quantized RR/force moments off the metric CTEs, pinned
     * correlation and slope with identical guards.

@@ -173,6 +173,48 @@ object BeatMetrics {
         col("avg_duration") :+ col("avg_force"): _*)
   }
 
+  /** Q232 — force-alternans screen: per channel, the even/odd split
+    * of beat forces in beat order — sustained ABAB alternation (the
+    * mechanical analog of T-wave alternans, a proarrhythmia marker)
+    * shows as a persistent gap between the two phase means that
+    * per-beat averages (O10) wash out entirely. Reported as the
+    * absolute phase-mean gap and its size relative to the overall
+    * mean force.
+    *
+    * Exactness: phase assignment is a per-channel row_number parity;
+    * forces sum as DECIMAL(20,6) (exact, any combine order); each
+    * output is a pinned double with nullif guards (single-phase
+    * channels yield nulls). Scale: one channel-partitioned rank
+    * window and one partial-combining aggregate.
+    */
+  def alternans(metricsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("experiment_id"), col("channel"))
+      .orderBy(col("peak_idx"))
+    val phased = metricsDf
+      .select(col("experiment_id"), col("channel"), col("peak_idx"),
+        col("force"))
+      .filter(col("force").isNotNull)
+      .withColumn("phase", pmod(row_number().over(w).cast("long"), lit(2L)))
+    val agg = phased.groupBy(col("experiment_id"), col("channel"))
+      .agg(count(lit(1)).as("n_beats"),
+        sum(when(col("phase") === 0L, 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("phase") === 0L, col("force").cast("decimal(20,6)")))
+          .as("se"),
+        sum(when(col("phase") === 1L, col("force").cast("decimal(20,6)")))
+          .as("so"))
+    val nOdd = col("n_beats") - col("n_even")
+    val meanE = col("se").cast("double") /
+      nullif(col("n_even"), lit(0L)).cast("double")
+    val meanO = col("so").cast("double") / nullif(nOdd, lit(0L)).cast("double")
+    val zero = lit(0).cast("decimal(20,6)")
+    val meanAll = (coalesce(col("se"), zero) + coalesce(col("so"), zero))
+      .cast("double") / col("n_beats").cast("double")
+    agg.select(col("experiment_id"), col("channel"), col("n_beats"),
+      meanE.as("mean_even"), meanO.as("mean_odd"),
+      abs(meanE - meanO).as("alt_magnitude"),
+      (abs(meanE - meanO) / nullif(meanAll, lit(0.0))).as("alt_relative"))
+  }
+
   /** Q231 — mechanical restitution: per channel, the Pearson
     * correlation between each beat's PRECEDING RR interval and its
     * force, plus the regression slope in force-units per second —

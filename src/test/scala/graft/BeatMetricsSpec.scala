@@ -134,6 +134,29 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
   }
 
+  test("alternans: planted ABAB split is the phase-mean gap; single beat yields nulls") {
+    import spark.implicits._
+    // ch0 forces in beat order: 2,1,2,1 -> odd-phase beats (1st,3rd)
+    // mean 2, even-phase (2nd,4th) mean 1
+    val m = Seq(
+      ("e", 0, 10L, 2.0), ("e", 0, 20L, 1.0),
+      ("e", 0, 30L, 2.0), ("e", 0, 40L, 1.0),
+      ("e", 1, 10L, 5.0))
+      .toDF("experiment_id", "channel", "peak_idx", "force")
+    val out = BeatMetrics.alternans(m).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n_beats"),
+          Option(r.get(r.fieldIndex("mean_even"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("mean_odd"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("alt_magnitude"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("alt_relative"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(0) === ((4L, Some(1.0), Some(2.0), Some(1.0),
+      Some(1.0 / 1.5))))
+    // single beat: phase 1 only -> even mean null, everything downstream null
+    assert(out(1) === ((1L, None, Some(5.0), None, None)))
+  }
+
   test("restitution: hand-computed RR-force correlation and slope; single-beat channel drops") {
     import spark.implicits._
     val m = Seq(
