@@ -308,6 +308,38 @@ object OracleSql {
     s"""WITH RECURSIVE ${detectCtes(cfg)}
        |SELECT experiment_id, channel, peak_idx, t, peak_value FROM detected""".stripMargin
 
+  /** Q233 — baseline-drift audit (mirrors BeatMetrics.baselineDrift):
+    * the q114 OLS arithmetic over the enriched baseline envelope.
+    */
+  def q233BaselineDrift(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val perMin = dlit(cfg.sampleRateHz * 60.0)
+    s"""WITH ${enrichedCtes()},
+       |xs AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sample_idx AS DECIMAL(18,4)) AS x,
+       |    CAST(baseline AS DECIMAL(18,4)) AS y
+       |  FROM enriched WHERE baseline IS NOT NULL
+       |),
+       |a AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+       |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+       |    CAST(sum(y * y) AS DOUBLE) AS syy,
+       |    CAST(sum(x * y) AS DOUBLE) AS sxy
+       |  FROM xs GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n,
+       |  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)
+       |    AS slope_per_sample,
+       |  ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * $perMin
+       |    AS drift_per_minute,
+       |  (sy - ((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)) * sx)
+       |    / n AS intercept,
+       |  (n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |    / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0) AS r2
+       |FROM a""".stripMargin
+  }
+
   /** Q232 — force alternans (mirrors BeatMetrics.alternans): parity
     * phases off the beat order, exact decimal phase sums, pinned
     * guarded finishes.

@@ -173,6 +173,43 @@ object BeatMetrics {
         col("avg_duration") :+ col("avg_force"): _*)
   }
 
+  /** Q233 — baseline-drift (rundown) audit: per channel, the OLS
+    * line of the O4 baseline envelope against sample index — slope,
+    * per-minute drift, intercept, r². A preparation "running down"
+    * shows as a steady negative baseline trend that per-beat metrics
+    * never surface; a strong |r²| says the drift is systematic, not
+    * noise. The QA gate before comparing forces across the recording.
+    *
+    * Exactness: the Q114 OLS discipline verbatim — x and y quantize
+    * to DECIMAL(18,4) (products stay inside decimal precision), all
+    * five moments are exact decimal sums cast to double once, and
+    * slope/intercept/r² are pinned guarded expressions. Scale: one
+    * channel-keyed aggregate over the already-computed envelope.
+    */
+  def baselineDrift(enriched: DataFrame,
+                    sampleRateHz: Double = 100.0): DataFrame = {
+    val xs = enriched.select(col("experiment_id"), col("channel"),
+        col("sample_idx").cast("decimal(18,4)").as("x"),
+        col("baseline").cast("decimal(18,4)").as("y"))
+      .filter(col("y").isNotNull)
+    val a = xs.groupBy(col("experiment_id"), col("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val cv = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = cv / when(dx =!= 0.0, dx)
+    a.select(col("experiment_id"), col("channel"), col("n"),
+      slope.as("slope_per_sample"),
+      (slope * lit(sampleRateHz * 60.0)).as("drift_per_minute"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      (cv * cv / when(dx * dy =!= 0.0, dx * dy)).as("r2"))
+  }
+
   /** Q232 — force-alternans screen: per channel, the even/odd split
     * of beat forces in beat order — sustained ABAB alternation (the
     * mechanical analog of T-wave alternans, a proarrhythmia marker)

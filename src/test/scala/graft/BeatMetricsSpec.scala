@@ -134,6 +134,23 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s(1).isNullAt(s(1).fieldIndex("avg_force")))
   }
 
+  test("baselineDrift: exact line recovers slope/intercept with r2=1; flat channel r2 null") {
+    import spark.implicits._
+    val rows = (0 to 3).map(x => ("e", 0, x.toLong, Some(10.0 + 0.5 * x))) ++
+      Seq(("e", 0, 4L, Option.empty[Double])) ++ // edge null must be filtered
+      (0 to 3).map(x => ("e", 1, x.toLong, Some(7.0)))
+    val enr = rows.toDF("experiment_id", "channel", "sample_idx", "baseline")
+    val out = BeatMetrics.baselineDrift(enr).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("slope_per_sample"),
+          r.getAs[Double]("drift_per_minute"), r.getAs[Double]("intercept"),
+          Option(r.get(r.fieldIndex("r2"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(0) === ((4L, 0.5, 3000.0, 10.0, Some(1.0))))
+    val (n1, s1, d1, i1, r21) = out(1)
+    assert(n1 === 4L && s1 === 0.0 && d1 === 0.0 && i1 === 7.0 && r21.isEmpty)
+  }
+
   test("alternans: planted ABAB split is the phase-mean gap; single beat yields nulls") {
     import spark.implicits._
     // ch0 forces in beat order: 2,1,2,1 -> odd-phase beats (1st,3rd)
