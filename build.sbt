@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as bare JSON. With
+// fork:=true sbt's logger decorates the forked JVM's stdout as
+// "[info] {...}" (and stderr as "[error] ..."), which is not valid
+// JSON — three rounds of `parsed: null`. StdoutOutput pipes the
+// forked process's streams straight through, un-prefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // No trailing "[success] Total time" banner: the bench driver parses
 // the LAST stdout line as the summary JSON, and the banner shadowed it.
 ThisBuild / showSuccess := false

@@ -522,6 +522,167 @@ object OracleSql {
        |FROM a""".stripMargin
   }
 
+  /** Q234 — Poincaré SD1/SD2 (mirrors BeatMetrics.poincare): the
+    * Q229 integer power sums plus the ΔRR first moment, finished via
+    * SD1² = var(ΔRR)/2 and SD2² = 2·var(RR) − SD1² with the same
+    * guard/association order as the Spark expressions.
+    */
+  def q234Poincare(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val m = "CAST(s1 AS DOUBLE) / CAST(n_rr AS DOUBLE)"
+    val msd = "CAST(sds1 AS DOUBLE) / CAST(n_sd AS DOUBLE)"
+    val vd =
+      s"greatest(CAST(s2 AS DOUBLE) / CAST(n_rr AS DOUBLE) - ($m) * ($m), 0.0)"
+    val vsd =
+      s"greatest(CAST(ss2 AS DOUBLE) / CAST(n_sd AS DOUBLE) - ($msd) * ($msd), 0.0)"
+    val sd1 = s"CASE WHEN n_sd > 0 THEN sqrt(($vsd) / 2.0) / $rate END"
+    val sd2 = s"CASE WHEN n_sd > 0 THEN " +
+      s"sqrt(greatest(2.0 * ($vd) - ($vsd) / 2.0, 0.0)) / $rate END"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |r1 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |r2 AS (
+       |  SELECT *, d - lag(d) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS sd
+       |  FROM r1
+       |),
+       |a AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rr,
+       |    CAST(sum(d) AS BIGINT) AS s1,
+       |    CAST(sum(d * d) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN sd IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_sd,
+       |    CAST(sum(sd) AS BIGINT) AS sds1,
+       |    CAST(sum(sd * sd) AS BIGINT) AS ss2
+       |  FROM r2 GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_rr, n_sd,
+       |  $sd1 AS sd1_s,
+       |  $sd2 AS sd2_s,
+       |  ($sd1) / nullif($sd2, 0.0) AS sd_ratio,
+       |  pi() * ($sd1) * ($sd2) AS ellipse_area_s2
+       |FROM a""".stripMargin
+  }
+
+  /** Q235 — per-beat dF/dt extrema (mirrors BeatMetrics.dfdt): the
+    * Q230 tagged-union window assignment over per-sample smooth
+    * differences; max/min are combine-order-free, one rate multiply.
+    */
+  def q235Dfdt(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |dyt AS (
+       |  SELECT experiment_id, channel, sample_idx,
+       |    v - lag(v, 1) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY sample_idx) AS dy
+       |  FROM smooth
+       |),
+       |u AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind, dy
+       |  FROM dyt
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind,
+       |    CAST(NULL AS DOUBLE) AS dy
+       |  FROM detected
+       |),
+       |nx AS (
+       |  SELECT *,
+       |    min(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+       |    max(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+       |  FROM u
+       |),
+       |ups AS (
+       |  SELECT experiment_id, channel, nb AS peak_idx,
+       |    CAST(count(*) AS BIGINT) AS n_up, max(dy) AS up_dy
+       |  FROM nx WHERE kind = 0 AND dy IS NOT NULL AND nb IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |downs AS (
+       |  SELECT experiment_id, channel, pb AS peak_idx,
+       |    CAST(count(*) AS BIGINT) AS n_down, min(dy) AS dn_dy
+       |  FROM nx WHERE kind = 0 AND dy IS NOT NULL AND pb IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT d.experiment_id, d.channel, d.peak_idx,
+       |  u2.n_up, u2.up_dy * $rate AS dfdt_max,
+       |  w2.n_down, w2.dn_dy * $rate AS dfdt_min
+       |FROM detected d
+       |LEFT JOIN ups u2 ON u2.experiment_id = d.experiment_id
+       |  AND u2.channel = d.channel AND u2.peak_idx = d.peak_idx
+       |LEFT JOIN downs w2 ON w2.experiment_id = d.experiment_id
+       |  AND w2.channel = d.channel AND w2.peak_idx = d.peak_idx""".stripMargin
+  }
+
+  /** Q236 — beat-template correlation (mirrors
+    * BeatMetrics.beatTemplateCorr): fixed-lag windows off the beat
+    * table, complete-window gate, decimal-exact template and moments,
+    * one pinned Pearson finish.
+    */
+  def q236BeatTemplate(cfg: graft.PeakConfig = graft.PeakConfig(),
+                       before: Int = 20, after: Int = 40): String = {
+    val winLen = before + after + 1
+    val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE)"
+    val vx = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val vm = "CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) " +
+      "- CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |btoff AS (
+       |  SELECT d.experiment_id, d.channel, d.peak_idx, g.gs AS off,
+       |    d.peak_idx + g.gs AS sample_idx
+       |  FROM detected d, generate_series(-$before, $after) AS g(gs)
+       |),
+       |btwin AS (
+       |  SELECT o.experiment_id, o.channel, o.peak_idx, o.off, s.v
+       |  FROM btoff o JOIN smooth s ON s.experiment_id = o.experiment_id
+       |    AND s.channel = o.channel AND s.sample_idx = o.sample_idx
+       |),
+       |btcmp AS (
+       |  SELECT experiment_id, channel, peak_idx FROM btwin
+       |  GROUP BY 1, 2, 3 HAVING count(*) = $winLen
+       |),
+       |btwc AS (
+       |  SELECT w.* FROM btwin w JOIN btcmp c ON c.experiment_id = w.experiment_id
+       |    AND c.channel = w.channel AND c.peak_idx = w.peak_idx
+       |),
+       |bttm AS (
+       |  SELECT experiment_id, channel, off,
+       |    CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS m
+       |  FROM btwc GROUP BY 1, 2, 3
+       |),
+       |btpr AS (
+       |  SELECT w.experiment_id, w.channel, w.peak_idx, w.v, t.m
+       |  FROM btwc w JOIN bttm t ON t.experiment_id = w.experiment_id
+       |    AND t.channel = w.channel AND t.off = w.off
+       |),
+       |bta AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(v AS DECIMAL(28,14))) AS sx,
+       |    sum(CAST(v * v AS DECIMAL(28,10))) AS sxx,
+       |    sum(CAST(m AS DECIMAL(28,14))) AS sm,
+       |    sum(CAST(m * m AS DECIMAL(28,10))) AS smm,
+       |    sum(CAST(v * m AS DECIMAL(28,10))) AS sxy
+       |  FROM btpr GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, channel, peak_idx, n,
+       |  ($cov) / nullif(sqrt(greatest(($vx) * ($vm), 0.0)), 0.0)
+       |    AS template_corr
+       |FROM bta""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -359,6 +359,168 @@ object BeatMetrics {
     * division by the literal sample rate). Nulls where a channel has
     * too few beats for the statistic, never a fabricated zero.
     */
+  /** Q234 — Poincaré plot geometry per channel: SD1 (short-term
+    * variability, the spread perpendicular to the RRₙ₊₁ = RRₙ
+    * identity line) and SD2 (long-term, the spread along it), via the
+    * exact algebraic identities SD1² = var(ΔRR)/2 and
+    * SD2² = 2·var(RR) − SD1² — no plot, no rotation matrix, just the
+    * second moments Q229 already defines. Adds the SD1/SD2 ratio
+    * (sympathovagal-balance analog) and the fitted ellipse area
+    * π·SD1·SD2. Complements Q229: RMSSD is the RMS of ΔRR about ZERO
+    * while SD1 is the SD of ΔRR about its own mean, so a channel with
+    * a steady RR trend (rundown) separates the two.
+    *
+    * Exactness/scale: identical shape to Q229 — integer power sums
+    * (map-side combining) off per-channel lag windows, then one
+    * pinned double expression per statistic (IEEE sqrt, division by
+    * the literal rate, π as the shared IEEE literal). Explicit
+    * n_sd > 0 guards rather than greatest-over-null: Spark's
+    * greatest() SKIPS nulls while DuckDB's propagates differently, so
+    * a channel with < 3 beats yields nulls, never a fabricated 0.
+    */
+  def poincare(peaks: DataFrame, sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(col("experiment_id"), col("channel"))
+      .orderBy(col("peak_idx"))
+    val rr = peaks.select(col("experiment_id"), col("channel"), col("peak_idx"))
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .withColumn("sd", col("d") - lag(col("d"), 1).over(w))
+    val agg = rr.groupBy(col("experiment_id"), col("channel"))
+      .agg(sum(when(col("d").isNotNull, 1L).otherwise(0L)).as("n_rr"),
+        sum(col("d")).as("s1"), sum(col("d") * col("d")).as("s2"),
+        sum(when(col("sd").isNotNull, 1L).otherwise(0L)).as("n_sd"),
+        sum(col("sd")).as("sds1"), sum(col("sd") * col("sd")).as("ss2"))
+    val rate = lit(sampleRateHz)
+    val m = col("s1").cast("double") / col("n_rr").cast("double")
+    val msd = col("sds1").cast("double") / col("n_sd").cast("double")
+    val vd = greatest(col("s2").cast("double") / col("n_rr").cast("double")
+      - m * m, lit(0.0))
+    val vsd = greatest(col("ss2").cast("double") / col("n_sd").cast("double")
+      - msd * msd, lit(0.0))
+    val sd1 = when(col("n_sd") > 0L, sqrt(vsd / lit(2.0)) / rate)
+    val sd2 = when(col("n_sd") > 0L,
+      sqrt(greatest(lit(2.0) * vd - vsd / lit(2.0), lit(0.0))) / rate)
+    agg.select(col("experiment_id"), col("channel"), col("n_rr"), col("n_sd"),
+      sd1.as("sd1_s"), sd2.as("sd2_s"),
+      (sd1 / nullif(sd2, lit(0.0))).as("sd_ratio"),
+      (lit(math.Pi) * sd1 * sd2).as("ellipse_area_s2"))
+  }
+
+  /** Q235 — per-beat contraction/relaxation velocity (dF/dt panel):
+    * for every detected beat, the maximum per-sample rise of y_smooth
+    * over the beat's UPSTROKE window (the samples since the previous
+    * peak, inclusive of the peak itself) and the steepest fall over
+    * its DECAY window (the samples strictly after the peak, up to the
+    * next one) — dF/dt_max and dF/dt_min in units/second, the
+    * standard contractility/lusitropy readouts that O9's
+    * time-to-peak/relaxation intervals summarize only as durations.
+    *
+    * Window assignment is the Q230 tagged-union trick, not a range
+    * join: samples (kind 0, carrying dy) and beats (kind 1) interleave
+    * in one per-channel (idx, kind) ordered pass; a running min over
+    * [current, ∞) yields each sample's next-beat-at-or-after (its
+    * upstroke owner — the sample AT a peak sorts before the beat row,
+    * so dy into the peak counts as upstroke) and a running max over
+    * (−∞, previous row] its strictly-previous beat (decay owner — the
+    * same tie order keeps dy into a peak OUT of that peak's decay).
+    * The first beat's upstroke extends to the channel start and the
+    * last beat's decay to the channel end, mirroring how the
+    * reference's walks exhaust at the edges.
+    *
+    * Exactness/scale: dy is a per-row double difference (no
+    * summation anywhere); max/min are combine-order-free; the only
+    * arithmetic finish is one multiply by the literal rate. Shape:
+    * one per-channel lag window, one tagged-union window pass, two
+    * map-side-combined groupBys joined back to the (small) beat
+    * table. Beats whose window holds no defined dy (a peak at sample
+    * 0) keep nulls via the left joins.
+    */
+  def dfdt(enriched: DataFrame, peaks: DataFrame,
+           cfg: PeakConfig = PeakConfig()): DataFrame = {
+    val wo = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val dy = enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*)
+      .withColumn("dy", col("y_smooth") - lag(col("y_smooth"), 1).over(wo))
+    val u = dy.select(keys :+ col("sample_idx").as("idx") :+
+        lit(0).as("kind") :+ col("dy"): _*)
+      .unionAll(peaks.select(keys :+ col("peak_idx").as("idx") :+
+        lit(1).as("kind") :+ lit(null).cast("double").as("dy"): _*))
+    val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
+    val tagged = u
+      .withColumn("nb", min(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("pb", max(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+    val samples = tagged.filter(col("kind") === 0 && col("dy").isNotNull)
+    val ups = samples.filter(col("nb").isNotNull)
+      .groupBy(keys :+ col("nb").as("peak_idx"): _*)
+      .agg(count(lit(1)).as("n_up"), max(col("dy")).as("up_dy"))
+    val downs = samples.filter(col("pb").isNotNull)
+      .groupBy(keys :+ col("pb").as("peak_idx"): _*)
+      .agg(count(lit(1)).as("n_down"), min(col("dy")).as("dn_dy"))
+    val rate = lit(cfg.sampleRateHz)
+    peaks.select(keys :+ col("peak_idx"): _*)
+      .join(ups, keyCols :+ "peak_idx", "left")
+      .join(downs, keyCols :+ "peak_idx", "left")
+      .select(keys :+ col("peak_idx") :+ col("n_up") :+
+        (col("up_dy") * rate).as("dfdt_max") :+ col("n_down") :+
+        (col("dn_dy") * rate).as("dfdt_min"): _*)
+  }
+
+  /** Q236 — per-beat template correlation: every beat's fixed-lag
+    * morphology window (y_smooth at offsets −`before`..+`after`
+    * around the peak) is Pearson-correlated against its CHANNEL's
+    * mean template over the same offsets — the ectopy/artifact screen
+    * that catches a beat whose FORCE and TIMING are normal but whose
+    * SHAPE is not (the one per-beat axis O9's scalar metrics cannot
+    * see). Only complete windows participate (edge beats whose window
+    * runs off the recording are excluded from both the template and
+    * the scoring, keeping the two aligned).
+    *
+    * Exactness: the template mean is an exact DECIMAL sum over an
+    * exact count; every per-beat moment (Σx, Σx², Σm, Σm², Σxm) is a
+    * DECIMAL-quantized sum (combine-order-free), and r finishes in
+    * one pinned double expression with a nullif-guarded denominator —
+    * bitwise-mirrored by the oracle. Scale: offsets explode the BEAT
+    * table (×window-length), never the spine; the spine join is
+    * equi-keyed on (channel, sample_idx); the template is
+    * channels×window rows — broadcast to the scoring join; all sums
+    * partial-aggregate map-side.
+    */
+  def beatTemplateCorr(enriched: DataFrame, peaks: DataFrame,
+                       before: Int = 20, after: Int = 40): DataFrame = {
+    val winLen = before + after + 1
+    val offs = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("off", explode(sequence(lit(-before.toLong), lit(after.toLong))))
+      .withColumn("sample_idx", col("peak_idx") + col("off"))
+    val win = offs.join(
+      enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*),
+      keyCols :+ "sample_idx")
+    val complete = win.groupBy(keys :+ col("peak_idx"): _*)
+      .agg(count(lit(1)).as("_wn")).filter(col("_wn") === winLen)
+      .select(keys :+ col("peak_idx"): _*)
+    val winc = win.join(complete, keyCols :+ "peak_idx").cache()
+    val tmpl = winc.groupBy(keys :+ col("off"): _*)
+      .agg((sum(col("y_smooth").cast("decimal(28,14)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+    val pairs = winc.join(broadcast(tmpl), keyCols :+ "off")
+    val a = pairs.groupBy(keys :+ col("peak_idx"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("y_smooth").cast("decimal(28,14)")).as("sx"),
+        sum((col("y_smooth") * col("y_smooth")).cast("decimal(28,10)")).as("sxx"),
+        sum(col("m").cast("decimal(28,14)")).as("sm"),
+        sum((col("m") * col("m")).cast("decimal(28,10)")).as("smm"),
+        sum((col("y_smooth") * col("m")).cast("decimal(28,10)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sm").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vm = nD * col("smm").cast("double") -
+      col("sm").cast("double") * col("sm").cast("double")
+    a.select(keys :+ col("peak_idx") :+ col("n") :+
+      (cov / nullif(sqrt(greatest(vx * vm, lit(0.0))), lit(0.0)))
+        .as("template_corr"): _*)
+  }
+
   def hrv(peaks: DataFrame, sampleRateHz: Double = 100.0): DataFrame = {
     val w = Window.partitionBy(col("experiment_id"), col("channel"))
       .orderBy(col("peak_idx"))

@@ -12,6 +12,30 @@ object Graph {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Degree-ordered orientation of an undirected edge set: every edge
+    * points from the endpoint with the smaller (degree, id) key, so
+    * wedges form only at LOW-order endpoints (Σ outdeg² volume,
+    * outdeg ≤ O(√|E|)). The orientation key is a STRUCT compared
+    * field-wise — a struct(deg, id) is a strict total order for any
+    * long degree and any long id, where the earlier packed-long form
+    * (deg·2³¹ + id) silently broke ordering once ids reached 2³¹ or
+    * degrees 2³². Emits (src, dst, kdst) with kdst the struct key of
+    * the HIGH endpoint, used both to order wedge legs (kdst < kdst)
+    * and to keep the closing (v, w) equi-join one-directional.
+    */
+  private def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ok = e
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"),
+        struct(col("da").as("d"), col("a").as("n")).as("ka"),
+        struct(col("db").as("d"), col("b").as("n")).as("kb"))
+    ok.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+  }
+
   /** Q79 — PageRank over the customer↔supplier purchase graph
     * (bipartite, made undirected so every node has out-degree ≥ 1 and
     * no rank mass dangles). Fixed `iters` power iterations of
@@ -66,18 +90,7 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orientation key: (deg, id) packed into one long (ids < 2^31)
-    val ok = e
-      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-      .select(col("a"), col("b"),
-        (col("da") * lit(1L << 31) + col("a")).as("ka"),
-        (col("db") * lit(1L << 31) + col("b")).as("kb"))
-    val eo = ok.select(
-        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
-        greatest(col("ka"), col("kb")).as("kdst"))
-      .cache()
+    val eo = orientByDegree(e, deg).cache()
     val wedges = eo.as("x").join(eo.as("y"),
         col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
       .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
@@ -116,17 +129,7 @@ object Graph {
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .cache()
-    val ok = e
-      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
-      .select(col("a"), col("b"),
-        (col("da") * lit(1L << 31) + col("a")).as("ka"),
-        (col("db") * lit(1L << 31) + col("b")).as("kb"))
-    val eo = ok.select(
-        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
-        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
-        greatest(col("ka"), col("kb")).as("kdst"))
-      .cache()
+    val eo = orientByDegree(e, deg).cache()
     val wedgesOriented = eo.as("x").join(eo.as("y"),
         col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
       .select(col("x.dst").as("v"), col("y.dst").as("w"))

@@ -2766,6 +2766,12 @@ object Relational {
     * Exactness: ranks come from a per-type (value, event_id) total
     * order; √/⌊⌋/⌈⌉ are IEEE-exact primitives pinned identically in
     * the oracle; the three order statistics are exact row values.
+    * Contract: `events.value` is NOT NULL (fixture-guaranteed; a
+    * measurement row without a value is dropped upstream). Order
+    * statistics over nulls are meaningless, and the engines disagree
+    * on default null placement (Spark sorts NULLS FIRST ascending,
+    * DuckDB NULLS LAST) — the non-null contract is what keeps the
+    * rank windows bitwise-aligned, not a shared null convention.
     * Scale: one per-type partitioned rank window, a broadcast
     * |types|-row bound table, and one conditional-max aggregate.
     */

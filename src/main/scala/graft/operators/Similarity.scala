@@ -333,6 +333,17 @@ object Similarity {
     * path — component k costs one more 64×64 rank-1 update plus the
     * same fixed-size iteration.
     *
+    * PSD ASSUMPTION: the λ estimate is `max(abs(matvec))` with the
+    * SIGN taken from the max-normalized iterate, which is only
+    * sign-correct when the dominant remaining eigenvalue is
+    * non-negative. That holds here by construction — the input is a
+    * covariance matrix (PSD), and Hotelling deflation of a PSD
+    * matrix stays PSD — but this helper is NOT a generic
+    * next-eigenpair routine: on an indefinite matrix a dominant
+    * negative eigenvalue would flip the iterate each round and the
+    * unsigned λ would converge to the wrong spectrum point. Reuse
+    * only on PSD inputs.
+    *
     * Scale: the corpus is touched exactly once (the covariance
     * pass); everything after runs on dim²-row working sets with
     * 64-row broadcast vectors — deflation included (two broadcast

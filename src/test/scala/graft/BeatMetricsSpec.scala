@@ -240,4 +240,75 @@ class BeatMetricsSpec extends SparkSpec {
     assert(pnn === Some(1.0))
     assert(out(1) === ((1L, 0L, None, None, None, None)))
   }
+
+  test("poincare: hand-computed SD1/SD2 identities from the 4-beat train; <3 beats all null") {
+    val peaks = Seq(
+      ("e", 0, 0L), ("e", 0, 100L), ("e", 0, 210L), ("e", 0, 300L),
+      ("e", 1, 50L), ("e", 1, 150L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.poincare(peaks).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n_rr"), r.getAs[Long]("n_sd"),
+          Option(r.get(r.fieldIndex("sd1_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("sd2_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("ellipse_area_s2")))
+            .map(_.asInstanceOf[Double]))))
+      .toMap
+    // RR = {100, 110, 90}: var = 30200/3 - 100²; ΔRR = {10, -20}:
+    // mean -5, var = 500/2 - 25 = 225. SD1² = 225/2; SD2² = 2var-SD1².
+    val varD = 30200.0 / 3.0 - 100.0 * 100.0
+    val sd1 = math.sqrt(225.0 / 2.0) / 100.0
+    val sd2 = math.sqrt(2.0 * varD - 225.0 / 2.0) / 100.0
+    val (nrr, nsd, s1, s2, area) = out(0)
+    assert(nrr === 3L && nsd === 2L)
+    assert(s1 === Some(sd1) && s2 === Some(sd2))
+    assert(area === Some(math.Pi * sd1 * sd2))
+    // 2-beat channel: one RR, zero ΔRR -> every statistic null
+    assert(out(1) === ((1L, 0L, None, None, None)))
+  }
+
+  test("dfdt: window ownership — dy into a peak is upstroke, strictly-after is decay; peak at 0 has no upstroke") {
+    val sig = Seq(
+      ("e", 0, 0L, 0.0), ("e", 0, 1L, 1.0), ("e", 0, 2L, 3.0),
+      ("e", 0, 3L, 2.0), ("e", 0, 4L, 0.0), ("e", 0, 5L, 5.0),
+      ("e", 0, 6L, 1.0),
+      ("e", 1, 0L, 5.0), ("e", 1, 1L, 1.0))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val peaks = Seq(("e", 0, 2L), ("e", 0, 5L), ("e", 1, 0L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.dfdt(sig, peaks).collect()
+      .map(r => (r.getAs[Int]("channel"), r.getAs[Long]("peak_idx")) ->
+        ((Option(r.get(r.fieldIndex("n_up"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("dfdt_max"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("n_down"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("dfdt_min"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    // dy = {-, 1, 2, -1, -2, 5, -4}. Beat 2: upstroke {1,2} max 2,
+    // decay {-1,-2,5} (samples 3..5 — dy INTO beat 5 belongs to beat
+    // 5's upstroke but sample 5 still sits in beat 2's strict-after
+    // span) min -2. Beat 5: upstroke {-1,-2,5} max 5, decay {-4}.
+    assert(out((0, 2L)) === ((Some(2L), Some(200.0), Some(3L), Some(-200.0))))
+    assert(out((0, 5L)) === ((Some(3L), Some(500.0), Some(1L), Some(-400.0))))
+    // peak at sample 0: no dy at or before it -> upstroke nulls survive
+    // the left join; decay sees dy(1) = -4
+    assert(out((1, 0L)) === ((None, None, Some(1L), Some(-400.0))))
+  }
+
+  test("beatTemplateCorr: identical beats correlate 1.0 with the template; edge window excluded") {
+    val y = Seq(9.0, 1.0, 5.0, 1.0, 0.0, 1.0, 5.0, 1.0, 0.0, 0.0)
+    val sig = y.zipWithIndex.map { case (v, i) => ("e", 0, i.toLong, v) }
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val peaks = Seq(("e", 0, 0L), ("e", 0, 2L), ("e", 0, 6L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics
+      .beatTemplateCorr(sig, peaks, before = 1, after = 1).collect()
+      .map(r => r.getAs[Long]("peak_idx") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("template_corr")))).toMap
+    // the beat at 0 has no sample at offset -1: dropped from template
+    // AND scoring, so the two complete [1,5,1] windows define the
+    // template and each correlates exactly 1
+    assert(out.keySet === Set(2L, 6L))
+    assert(out(2L) === ((3L, 1.0)))
+    assert(out(6L) === ((3L, 1.0)))
+  }
 }

@@ -339,6 +339,47 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.centroidsForCorpus(1L << 30, targetCluster = 1024L) === (1 << 20))
   }
 
+  test("q228 at scale: knnLabelEval with a centroidsForCorpus-sized quantizer keeps Σ|list|² linear") {
+    // The registered q228 pins nCentroids=8 for oracle determinism;
+    // this is the corpus-sized overload path the scaladoc prescribes:
+    // c = n/targetCluster centroids keep expected occupancy at
+    // targetCluster, so the candidate volume Σ|list|² stays ~n·target
+    // instead of n²/c. Exercised, not just documented.
+    val n = 96
+    val target = 8L
+    val c = Similarity.centroidsForCorpus(n.toLong, targetCluster = target)
+    assert(c === n / target)
+    val vecs = randVecs(n, seed = 41L)
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    try {
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i % 3) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val out = Similarity.knnLabelEval(spark, dir, nCentroids = c).collect()
+      assert(out.map(r => r.getAs[Long]("n_vecs") +
+        r.getAs[Long]("n_isolated")).sum === n.toLong)
+      out.foreach { r =>
+        val acc = r.getAs[Double]("nn_accuracy")
+        assert(acc.isNaN || (acc >= 0.0 && acc <= 1.0))
+      }
+      // occupancy through the SAME quantizer rule (nearest of the
+      // vec_id < c seed centroids, cosine, tie by cid) that
+      // knnLabelEval's list assignment uses; tau=2 disables dedup so
+      // every vector reports its cluster
+      val occ = Similarity.semanticDedup(spark, dir, nCentroids = c, tau = 2.0)
+        .groupBy("cluster").count().collect().map(_.getAs[Long]("count"))
+      assert(occ.sum === n.toLong)
+      val maxOcc = occ.max
+      val sumSq = occ.map(o => o * o).sum
+      assert(maxOcc <= 4L * target,
+        s"quantizer occupancy degenerate: max list $maxOcc vs target $target")
+      assert(sumSq <= n.toLong * 4L * target,
+        s"candidate volume superlinear: sum-of-squares $sumSq for n=$n")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("lshBucket: identical vectors share a bucket; negation flips every bit") {
     val planes = Similarity.hyperplanes()
     val v = randVecs(1).head.map(_.toDouble)
