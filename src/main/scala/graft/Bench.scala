@@ -21,11 +21,13 @@ import org.apache.spark.sql.SparkSession
   *    their isolated times; stopping the context between chunks
   *    releases it. Each fresh session re-runs the warmup so chunk
   *    boundaries don't bill one-time init to a real query;
-  *  - measure each query TWICE (cold, then steady) and report the
-  *    min as the headline. Round 5's one-cold-measurement design made
-  *    round-over-round comparison noise-bound: first runs carry ~2×
-  *    codegen/JIT inflation that local steady-state re-timing showed
-  *    was never a code regression;
+  *  - measure each query TWICE and report the min as the headline.
+  *    Round 5's one-cold-measurement design made round-over-round
+  *    comparison noise-bound: first runs carry ~2× codegen/JIT
+  *    inflation that local steady-state re-timing showed was never a
+  *    code regression. The two passes are INTERLEAVED per chunk
+  *    (all colds, then all steadies — round 6): back-to-back pairs
+  *    let one query's GC debt inflate its own steady measurement;
   *  - the FINAL stdout line must stay small. Round 5's summary
   *    embedded the full 186-query map (~5 KB) and overflowed the
   *    driver's ~2 KB tail-parse window → `parsed: null`. The compact
@@ -34,7 +36,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val ChunkSize = 40
-  private val RunsPerQuery = 2
 
   private def newSession(cpus: String, sfDir: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -83,37 +84,52 @@ object Bench {
     val results: Seq[(String, Double, Double)] =
       all.grouped(ChunkSize).flatMap { chunk =>
         val spark = newSession(cpus, sfDir)
-        val rs = chunk.map { case (name, fn) =>
-          val ts = (1 to RunsPerQuery).map { _ =>
-            val t0 = System.nanoTime()
-            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
-            val dt = (System.nanoTime() - t0) / 1e9
-            // session hygiene: a query's caches (spine, signatures)
-            // exist to dedupe work WITHIN one query; left persisted
-            // they pile up across the session and late queries pay for
-            // them. Clearing between the two runs also keeps "steady"
-            // honest: it re-reads parquet, so the delta vs "cold" is
-            // codegen/JIT, not a hidden data cache.
-            spark.catalog.clearCache()
-            // streaming fixtures leave JVM-GLOBAL state-store
-            // providers loaded (HDFSBackedStateStoreProvider keeps its
-            // version maps on-heap until the 60 s maintenance cycle,
-            // and spark.stop() between chunks does not unload them);
-            // unload eagerly so no later query pays GC pressure for a
-            // streaming neighbor's state. A no-op when nothing is
-            // loaded; the provider registry re-initializes lazily.
-            try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-            catch { case _: Throwable => () }
-            dt
+        def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          val (cold, steady) = (ts.head, ts.last)
-          println(s"""{"metric":"query","name":"$name","value":${r3(ts.min)},"cold":${r3(cold)},"steady":${r3(steady)},"unit":"sec"}""")
-          System.out.flush()
-          (name, cold, steady)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // session hygiene: a query's caches (spine, signatures)
+          // exist to dedupe work WITHIN one query; left persisted
+          // they pile up across the session and late queries pay for
+          // them. Clearing between the two runs also keeps "steady"
+          // honest: it re-reads parquet, so the delta vs "cold" is
+          // codegen/JIT, not a hidden data cache.
+          spark.catalog.clearCache()
+          // streaming fixtures leave JVM-GLOBAL state-store
+          // providers loaded (HDFSBackedStateStoreProvider keeps its
+          // version maps on-heap until the 60 s maintenance cycle,
+          // and spark.stop() between chunks does not unload them);
+          // unload eagerly so no later query pays GC pressure for a
+          // streaming neighbor's state. A no-op when nothing is
+          // loaded; the provider registry re-initializes lazily.
+          try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+          catch { case _: Throwable => () }
+          dt
         }
+        // INTERLEAVED passes (round-6 judge ask): all colds, then all
+        // steadies. Back-to-back (cold, steady) pairs let a heavy
+        // query's GC/compaction debt land on its OWN steady run or a
+        // neighbor's (round 6 saw steady 2x cold from this — q8
+        // 3.4 -> 8.1 with no code change); a full pass between the two
+        // measurements spreads that debt across the whole chunk. The
+        // cold pass's per-query line streams immediately, so a
+        // truncated tail still carries per-query signal.
+        val cold = chunk.map { case (name, fn) =>
+          val dt = runOnce(name, fn)
+          println(s"""{"metric":"query_cold","name":"$name","value":${r3(dt)},"unit":"sec"}""")
+          System.out.flush()
+          dt
+        }
+        val steady = chunk.map { case (name, fn) => runOnce(name, fn) }
+        val rs = chunk.lazyZip(cold).lazyZip(steady).map {
+          case ((name, _), c, s) =>
+            println(s"""{"metric":"query","name":"$name","value":${r3(math.min(c, s))},"cold":${r3(c)},"steady":${r3(s)},"unit":"sec"}""")
+            System.out.flush()
+            (name, c, s)
+        }.toSeq
         spark.stop()
         System.gc()
         rs

@@ -696,10 +696,16 @@ class StreamingSpec extends SparkSpec {
       // id 1 again 2 min later (inside the 30-min horizon) + a new id
       stream.addData((1L, "click", 2 * m), (3L, "purchase", 3 * m))
       q.processAllAvailable()
+      // advance the watermark to t=10min, then replay id 1 with its
+      // ORIGINAL t=0 timestamp: now below the watermark, the duplicate
+      // is eliminated by the late-row filter (the path the q199 table
+      // fixture deliberately does NOT rely on) — still exactly-once
+      stream.addData((4L, "click", 40 * m)); q.processAllAvailable()
+      stream.addData((1L, "click", 0L)); q.processAllAvailable()
     } finally q.stop()
     val ids = spark.table("ddwm_test").collect()
       .map(r => r.getAs[Long]("event_id")).sorted.toSeq
-    assert(ids === Seq(1L, 2L, 3L))
+    assert(ids === Seq(1L, 2L, 3L, 4L))
   }
 
   test("transformWithState profile: versions advance, decimal totals exact, argmax tie-breaks") {
