@@ -479,11 +479,16 @@ object BeatMetrics {
     * exact count; every per-beat moment (Σx, Σx², Σm, Σm², Σxm) is a
     * DECIMAL-quantized sum (combine-order-free), and r finishes in
     * one pinned double expression with a nullif-guarded denominator —
-    * bitwise-mirrored by the oracle. Scale: offsets explode the BEAT
-    * table (×window-length), never the spine; the spine join is
-    * equi-keyed on (channel, sample_idx); the template is
-    * channels×window rows — broadcast to the scoring join; all sums
-    * partial-aggregate map-side.
+    * bitwise-mirrored by the oracle (whose GROUP-BY-and-join template
+    * formulation computes the identical exact-decimal values). Scale:
+    * offsets explode the BEAT table (×window-length), never the
+    * spine; the spine join is the ONLY join — equi-keyed on
+    * (channel, sample_idx). The complete-window gate and the template
+    * are both WINDOW aggregates, not join-backs: the template is NOT
+    * broadcast-joined because channels×window grows with the corpus
+    * (an unbounded forced broadcast is exactly the 100 TB hazard);
+    * each window partition is bounded — beats-per-channel rows for a
+    * (channel, offset) template cell, window-length rows for a beat.
     */
   def beatTemplateCorr(enriched: DataFrame, peaks: DataFrame,
                        before: Int = 20, after: Int = 40): DataFrame = {
@@ -494,14 +499,13 @@ object BeatMetrics {
     val win = offs.join(
       enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*),
       keyCols :+ "sample_idx")
-    val complete = win.groupBy(keys :+ col("peak_idx"): _*)
-      .agg(count(lit(1)).as("_wn")).filter(col("_wn") === winLen)
-      .select(keys :+ col("peak_idx"): _*)
-    val winc = win.join(complete, keyCols :+ "peak_idx").cache()
-    val tmpl = winc.groupBy(keys :+ col("off"): _*)
-      .agg((sum(col("y_smooth").cast("decimal(28,14)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
-    val pairs = winc.join(broadcast(tmpl), keyCols :+ "off")
+    val wb = Window.partitionBy(keys :+ col("peak_idx"): _*)
+    val winc = win.withColumn("_wn", count(lit(1)).over(wb))
+      .filter(col("_wn") === winLen)
+    val wt = Window.partitionBy(keys :+ col("off"): _*)
+    val pairs = winc.withColumn("m",
+      sum(col("y_smooth").cast("decimal(28,14)")).over(wt).cast("double") /
+        count(lit(1)).over(wt).cast("double"))
     val a = pairs.groupBy(keys :+ col("peak_idx"): _*)
       .agg(count(lit(1)).as("n"),
         sum(col("y_smooth").cast("decimal(28,14)")).as("sx"),

@@ -293,6 +293,26 @@ class PlanQualitySpec extends SparkSpec {
       s"media binary column crossed an exchange:\n$p")
   }
 
+  test("q235/q236: no cartesians; q236 joins only at the spine — template and gate are windows") {
+    val p5 = plan("q235_dfdt")
+    assert(!p5.contains("CartesianProduct"), s"q235 cartesian:\n$p5")
+    val p6 = plan("q236_beat_template")
+    assert(!p6.contains("CartesianProduct"), s"q236 cartesian:\n$p6")
+    // the complete-window gate and the channels×61 template are WINDOW
+    // aggregates over (…, peak_idx) and (…, off) — a broadcast-joined
+    // template would be an unbounded forced broadcast at corpus scale
+    // (the joins visible in the plan all belong to the enriched spine)
+    assert("windowspecdefinition\\(experiment_id#\\d+, channel#\\d+, off#".r
+      .findFirstIn(p6).isDefined, s"template must be a window:\n$p6")
+    assert("windowspecdefinition\\(experiment_id#\\d+, channel#\\d+, peak_idx#".r
+      .findFirstIn(p6).isDefined, s"gate must be a window:\n$p6")
+    assert(!p6.contains("BroadcastNestedLoopJoin"), s"q236 BNLJ:\n$p6")
+    // the offset fan-out rides the (small) beat table (the other
+    // Generate nodes belong to the spine's pad construction)
+    assert("Generate explode".r.findAllIn(p6).nonEmpty,
+      s"offset explode missing:\n$p6")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
