@@ -683,6 +683,63 @@ object OracleSql {
        |FROM bta""".stripMargin
   }
 
+  /** Q237 — RT50/RT90 (mirrors BeatMetrics.relaxationTimes): the Q235
+    * tagged-union decay-span assignment over the enriched spine, the
+    * first below-threshold sample per (beat, threshold) via
+    * min/min_by, one pinned interpolation finish.
+    */
+  def q237Relaxation(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    def th(f: String) = s"(baseline_value + $f * force)"
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |rsp AS (
+       |  SELECT experiment_id, channel, sample_idx, y_smooth,
+       |    lag(y_smooth, 1) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY sample_idx) AS y_prev
+       |  FROM enriched
+       |),
+       |ru AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind,
+       |    y_smooth, y_prev
+       |  FROM rsp
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind,
+       |    CAST(NULL AS DOUBLE) AS y_smooth, CAST(NULL AS DOUBLE) AS y_prev
+       |  FROM m
+       |),
+       |rtg AS (
+       |  SELECT *, max(CASE WHEN kind = 1 THEN idx END) OVER (
+       |    PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+       |  FROM ru
+       |),
+       |rj AS (
+       |  SELECT t.experiment_id, t.channel, t.idx, t.y_smooth, t.y_prev,
+       |    mm.peak_idx, mm.baseline_value, mm.force
+       |  FROM rtg t JOIN m mm ON mm.experiment_id = t.experiment_id
+       |    AND mm.channel = t.channel AND mm.peak_idx = t.pb
+       |  WHERE t.kind = 0 AND mm.force > 0.0
+       |),
+       |ra AS (
+       |  SELECT experiment_id, channel, peak_idx, baseline_value, force,
+       |    min(idx) FILTER (WHERE y_smooth <= ${th("0.5")}) AS i50,
+       |    min_by(y_prev, idx) FILTER (WHERE y_smooth <= ${th("0.5")}) AS p50,
+       |    min_by(y_smooth, idx) FILTER (WHERE y_smooth <= ${th("0.5")}) AS v50,
+       |    min(idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS i90,
+       |    min_by(y_prev, idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS p90,
+       |    min_by(y_smooth, idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS v90
+       |  FROM rj GROUP BY 1, 2, 3, 4, 5
+       |)
+       |SELECT experiment_id, channel, peak_idx,
+       |  CASE WHEN i50 IS NOT NULL THEN
+       |    (CAST(i50 - 1 - peak_idx AS DOUBLE)
+       |      + (p50 - ${th("0.5")}) / (p50 - v50)) / $rate END AS rt50_s,
+       |  CASE WHEN i90 IS NOT NULL THEN
+       |    (CAST(i90 - 1 - peak_idx AS DOUBLE)
+       |      + (p90 - ${th("0.1")}) / (p90 - v90)) / $rate END AS rt90_s
+       |FROM ra""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -465,6 +465,67 @@ object BeatMetrics {
         (col("dn_dy") * rate).as("dfdt_min"): _*)
   }
 
+  /** Q237 — fractional relaxation times RT50/RT90 per beat: the time
+    * from the peak to the first crossing of 50% and 90% force decay
+    * (y_smooth falling to baseline + 0.5·force and baseline +
+    * 0.1·force), linearly interpolated between the bracketing samples
+    * exactly as O7 interpolates width edges. O9's time-to-relaxation
+    * measures to the DIASTOLIC crossing — a config-dependent line;
+    * RT50/RT90 are the beat's OWN normalized decay landmarks, the
+    * standard lusitropy pair that stays comparable across channels
+    * with different envelopes. A beat that never decays to the
+    * threshold before the next beat reports null, never a clamp.
+    *
+    * Mechanics: each spine sample joins its strictly-previous beat
+    * (the Q235 tagged-union window — dy ownership rules identical),
+    * then per (beat, threshold) the FIRST below-threshold sample is a
+    * combine-order-free min-struct; the bracketing y values ride the
+    * struct, so interpolation is one pinned double expression. The
+    * sample-to-beat join is equi-keyed on (channel, peak_idx) — NOT a
+    * forced broadcast (the beat table grows with the corpus); Spark
+    * picks the strategy. Per-row comparisons only — no float
+    * summation anywhere.
+    */
+  def relaxationTimes(enriched: DataFrame, metricsDf: DataFrame,
+                      cfg: PeakConfig = PeakConfig()): DataFrame = {
+    val wo = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val beats = metricsDf.select(keys :+ col("peak_idx") :+
+      col("baseline_value") :+ col("force"): _*)
+    val spine = enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*)
+      .withColumn("y_prev", lag(col("y_smooth"), 1).over(wo))
+    val u = spine.select(keys :+ col("sample_idx").as("idx") :+
+        lit(0).as("kind") :+ col("y_smooth") :+ col("y_prev"): _*)
+      .unionAll(beats.select(keys :+ col("peak_idx").as("idx") :+
+        lit(1).as("kind") :+ lit(null).cast("double").as("y_smooth") :+
+        lit(null).cast("double").as("y_prev"): _*))
+    val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
+    val tagged = u.withColumn("pb",
+      max(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+    val samples = tagged.filter(col("kind") === 0 && col("pb").isNotNull)
+      .select(keys :+ col("pb").as("peak_idx") :+ col("idx") :+
+        col("y_smooth") :+ col("y_prev"): _*)
+    val j = samples.join(beats, keyCols :+ "peak_idx")
+      .filter(col("force") > 0.0)
+    def th(frac: Double): Column =
+      col("baseline_value") + lit(frac) * col("force")
+    def firstBelow(frac: Double): Column =
+      min(when(col("y_smooth") <= th(frac),
+        struct(col("idx"), col("y_prev"), col("y_smooth"))))
+    val a = j.groupBy(keys :+ col("peak_idx") :+ col("baseline_value") :+
+        col("force"): _*)
+      .agg(firstBelow(0.5).as("c50"), firstBelow(0.1).as("c90"))
+    val rate = lit(cfg.sampleRateHz)
+    def rt(c: Column, frac: Double): Column =
+      when(c.isNotNull,
+        ((c.getField("idx") - 1 - col("peak_idx")).cast("double") +
+          (c.getField("y_prev") - th(frac)) /
+            (c.getField("y_prev") - c.getField("y_smooth"))) / rate)
+    a.select(keys :+ col("peak_idx") :+
+      rt(col("c50"), 0.5).as("rt50_s") :+
+      rt(col("c90"), 0.1).as("rt90_s"): _*)
+  }
+
   /** Q236 — per-beat template correlation: every beat's fixed-lag
     * morphology window (y_smooth at offsets −`before`..+`after`
     * around the peak) is Pearson-correlated against its CHANNEL's

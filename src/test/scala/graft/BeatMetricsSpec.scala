@@ -294,6 +294,32 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out((1, 0L)) === ((None, None, Some(1L), Some(-400.0))))
   }
 
+  test("relaxationTimes: interpolated RT50/RT90, no-crossing nulls, non-positive force dropped") {
+    val y0 = Seq(0.0, 10.0, 6.0, 4.0, 1.0, 0.5, 0.0) // decays through both
+    val y1 = Seq(0.0, 10.0, 6.0, 6.0, 6.0)           // plateaus above th50
+    val sig = (y0.zipWithIndex.map { case (v, i) => ("e", 0, i.toLong, v) } ++
+      y1.zipWithIndex.map { case (v, i) => ("e", 1, i.toLong, v) } ++
+      Seq(("e", 2, 0L, 1.0), ("e", 2, 1L, 0.5)))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val beats = Seq(("e", 0, 1L, 0.0, 10.0), ("e", 1, 1L, 0.0, 10.0),
+      ("e", 2, 0L, 2.0, -1.0))
+      .toDF("experiment_id", "channel", "peak_idx", "baseline_value", "force")
+    val out = BeatMetrics.relaxationTimes(sig, beats).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((Option(r.get(r.fieldIndex("rt50_s"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("rt90_s"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    // th50 = 5: first below at idx 3 (y 4, prev 6) ->
+    //   ((3-1-1) + (6-5)/(6-4)) / 100 = 1.5/100
+    // th90 = 1: first below at idx 4 (y 1, prev 4) ->
+    //   ((4-1-1) + (4-1)/(4-1)) / 100 = 3/100
+    assert(out(0) === ((Some(0.015), Some(0.03))))
+    // plateau never reaches either threshold: both null, row kept
+    assert(out(1) === ((None, None)))
+    // force <= 0: the beat is dropped entirely, not nulled
+    assert(!out.contains(2))
+  }
+
   test("beatTemplateCorr: identical beats correlate 1.0 with the template; edge window excluded") {
     val y = Seq(9.0, 1.0, 5.0, 1.0, 0.0, 1.0, 5.0, 1.0, 0.0, 0.0)
     val sig = y.zipWithIndex.map { case (v, i) => ("e", 0, i.toLong, v) }
