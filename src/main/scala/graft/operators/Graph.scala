@@ -227,9 +227,13 @@ object Graph {
     * instead of re-deriving the co-purchase graph).
     */
   private def lpFrom(e: DataFrame, iters: Int): DataFrame = {
+    // cached pre-partitioned on dst (the q79 trick): every round's
+    // vote join keys the |E|-sized side on dst, so the cached scan
+    // satisfies the join distribution and the per-round edge exchange
+    // disappears; the label side reshuffles per round but is |V|-sized
     val ed = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .repartition(col("dst")).cache()
     val nodes = ed.select(col("src").as("node")).distinct()
     var lab = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -521,8 +525,14 @@ object Graph {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // cache PRE-PARTITIONED on src: every iteration's contrib join
+    // keys edges on src, so hash-partitioning once at cache time makes
+    // the cached scan satisfy the join's distribution — zero edge-side
+    // exchanges across all iterations (one shuffle paid once instead
+    // of per-iteration; the same trick a Pregel runtime applies by
+    // keeping the adjacency co-partitioned with the vertex state)
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-      .cache()
+      .repartition(col("src")).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).cache()
     val n = deg.count()
@@ -556,21 +566,34 @@ object Graph {
     * immediately re-quantized to DECIMAL(28,14), so every iteration's
     * state is bitwise-identical across engines and shuffle orders.
     *
-    * Scale shape: per half-step ONE edge-keyed shuffle (join the
-    * score table on one endpoint, aggregate on the other) — scores
-    * are (key, decimal) pairs, never adjacency lists, so hub rows
-    * spread across reducers; the normalizing total is a one-row
-    * aggregate broadcast back (the Q165 scalar discipline). Edges are
-    * cached across the fixed `iters` rounds; the oracle unrolls the
-    * identical CTE chain.
+    * Scale shape (round 7): the adjacency is cached TWICE, hash-
+    * partitioned on c and on p — the Pregel storage-for-shuffle trade
+    * — and the per-half-step plan has two regimes, selected by
+    * `broadcastScores`:
+    *  - true (default; |V| executor-fits): the score table — (key,
+    *    decimal) pairs, VERTEX-dimension cardinality, not corpus
+    *    cardinality — broadcasts into the edge join, and the copy
+    *    partitioned on the step's AGGREGATE key makes the groupBy
+    *    exchange-free: ZERO edge-wide shuffles per half-step.
+    *  - false (|V| outgrows a broadcast): the copy partitioned on
+    *    the step's JOIN key sort-merge-joins the score table (itself
+    *    groupBy-partitioned on that key — no exchange either side);
+    *    the aggregate pays the one edge-keyed shuffle per half-step.
+    * Both regimes produce bitwise-identical scores (spec-pinned);
+    * the normalizing total is a one-row aggregate broadcast back
+    * (the Q165 scalar discipline). The oracle unrolls the identical
+    * CTE chain.
     */
-  def hits(s: SparkSession, dir: String, iters: Int = 2): DataFrame = {
-    val e = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+  def hits(s: SparkSession, dir: String, iters: Int = 2,
+           broadcastScores: Boolean = true): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct().cache()
-    var auth = e.select(col("p")).distinct()
+      .distinct()
+    val eByC = base.repartition(col("c")).cache()
+    val eByP = eByC.repartition(col("p")).cache()
+    var auth = eByP.select(col("p")).distinct()
       .withColumn("a", lit(1).cast("decimal(28,14)"))
     var hub: DataFrame = null
     for (_ <- 1 to iters) {
@@ -578,13 +601,15 @@ object Graph {
       // normalizing total — the q173 lesson: a lazy aggregate consumed
       // twice (scalar + main branch) inlines the whole upstream chain
       // into both, doubling work per half-step (2^(2·iters) blowup)
-      val hraw = e.join(auth, "p").groupBy(col("c"))
+      val hraw = (if (broadcastScores) eByC.join(broadcast(auth), "p")
+        else eByP.join(auth, "p")).groupBy(col("c"))
         .agg(sum(col("a")).as("hr")).localCheckpoint()
       hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
         .select(col("c"),
           (col("hr").cast("double") / col("sh").cast("double"))
             .cast("decimal(28,14)").as("h"))
-      val araw = e.join(hub, "c").groupBy(col("p"))
+      val araw = (if (broadcastScores) eByP.join(broadcast(hub), "c")
+        else eByC.join(hub, "c")).groupBy(col("p"))
         .agg(sum(col("h")).as("ar")).localCheckpoint()
       auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
         .select(col("p"),

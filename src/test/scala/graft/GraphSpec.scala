@@ -233,6 +233,12 @@ class GraphSpec extends SparkSpec {
       // each half-step is sum-normalized: both masses total 1
       assert(math.abs(out.collect { case (("hub", _), v) => v }.sum - 1) < 1e-9)
       assert(math.abs(out.collect { case (("auth", _), v) => v }.sum - 1) < 1e-9)
+      // the two scale regimes (broadcast scores vs co-partitioned SMJ)
+      // are plan shapes only — scores must agree BITWISE (the decimal
+      // quantization makes every intermediate combine-order-free)
+      val smj = Graph.hits(spark, dir, broadcastScores = false).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(smj === out)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
