@@ -403,9 +403,11 @@ object Graph {
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4,
               seedMod: Int = 50, minSupport: Int = 2): DataFrame = {
     val e = copurchaseEdges(s, dir, minSupport)
+    // src-partitioned cache (the q79 trick): each relaxation round
+    // joins the |E|-sized side on src, exchange-free from the cache
     val ed = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
+      .repartition(col("src")).cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var dist = nodes.filter(pmod(col("node"), lit(seedMod.toLong)) === 0L)
       .withColumn("hops", lit(0L)).localCheckpoint()
