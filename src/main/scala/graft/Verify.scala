@@ -21,17 +21,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // same session hygiene as Bench: per-query caches are intra-query
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,9 +33,35 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json FIRST (round-7 lesson): it depends only on
+    // SparkEntry.oracleSql, and writing it after all query dumps meant
+    // any driver-side timeout/OOM mid-loop left nothing to parse and
+    // zeroed the whole round's correctness artifact to {}. Written up
+    // front, a truncated run still yields a partial — never empty —
+    // compare set from whatever dumps completed.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val total = todo.size
+    var i = 0
+    todo.foreach { case (name, fn) =>
+      i += 1
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // row count from the written footer metadata, not a recompute
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[verify] $i%3d/$total $name ok ($n rows, $dt%.1fs)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $i/$total $name failed: ${e.getMessage}")
+      }
+      // same session hygiene as Bench: per-query caches are intra-query
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
