@@ -12,6 +12,39 @@ object Graph {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** On-disk size of a parquet table in bytes, from filesystem
+    * metadata only (no Spark job, no scan) — the signal the iterative
+    * graph operators use to pick their scale regime, the same way
+    * broadcast-join planning keys off byte sizes rather than row
+    * counts. Returns 0 (→ small-scale regime) when the path is
+    * missing, so fixture-backed specs that write only the tables they
+    * need keep working.
+    */
+  private def tableBytes(s: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    catch { case _: Throwable => 0L }
+  }
+
+  /** Regime thresholds (bytes, conservative — parquet table size is
+    * an overestimate of the derived score/edge working set):
+    *  - BroadcastScoreBytes: while the vertex-dimension tables sum
+    *    under this, a per-iteration score broadcast fits comfortably
+    *    in executor memory and buys exchange-free iterations
+    *    (PageRank ranks, HITS hub/auth). Past it, the co-partitioned
+    *    sort-merge regime takes over — never an unbounded broadcast.
+    *  - PrePartitionEdgeBytes: below this, the one-time
+    *    repartition+cache of an iterative loop's edge list costs more
+    *    (exchange + storage memory under bench pressure) than the 2–4
+    *    per-round exchanges it saves — round-7 full-bench measured the
+    *    trade NEGATIVE at sf0.1 (q143 3.1→4.7 s, q223 4.7→5.9 s).
+    *    Past it, the saving is per-iteration × |E| and co-partitioning
+    *    is the 100 TB plan (Pregel's adjacency-with-state layout).
+    */
+  private val BroadcastScoreBytes = 256L << 20
+  private val PrePartitionEdgeBytes = 1L << 30
+
   /** Degree-ordered orientation of an undirected edge set: every edge
     * points from the endpoint with the smaller (degree, id) key, so
     * wedges form only at LOW-order endpoints (Σ outdeg² volume,
@@ -49,11 +82,14 @@ object Graph {
     * iterations with the same arithmetic, so ranks are bitwise-stable
     * across engines and runs.
     *
-    * Scale shape: one edge-keyed shuffle per iteration (join rank on
-    * src, aggregate on dst) — the canonical Pregel-on-relational
-    * plan; edges cached across iterations; N and the teleport term
-    * are scalars. node = 2·custkey / 2·suppkey+1 keeps the two key
-    * spaces disjoint.
+    * Scale shape (round 8): dual-regime like Q183 — while the vertex
+    * dimension is small the rank table broadcasts and the dst-
+    * partitioned edge cache makes every iteration exchange-free;
+    * past the byte gate the src-partitioned cache sort-merges the
+    * node-partitioned rank table and pays one edge-keyed shuffle per
+    * iteration (the canonical Pregel-on-relational plan). N and the
+    * teleport term are scalars. node = 2·custkey / 2·suppkey+1 keeps
+    * the two key spaces disjoint.
     */
   /** Q113 — per-part triangle counts on the co-purchase graph: parts
     * are adjacent when they appear in the same order; a triangle is
@@ -220,20 +256,27 @@ object Graph {
     */
   def lpCommunities(s: SparkSession, dir: String, iters: Int = 2,
                     minSupport: Int = 2): DataFrame =
-    lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters)
+    lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters,
+      tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
 
   /** The synchronous LP loop over a canonical (a < b) edge set —
     * shared by Q126 and Q223 (which reuses the caller's cached edges
     * instead of re-deriving the co-purchase graph).
     */
-  private def lpFrom(e: DataFrame, iters: Int): DataFrame = {
-    // cached pre-partitioned on dst (the q79 trick): every round's
-    // vote join keys the |E|-sized side on dst, so the cached scan
-    // satisfies the join distribution and the per-round edge exchange
-    // disappears; the label side reshuffles per round but is |V|-sized
-    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+  private def lpFrom(e: DataFrame, iters: Int,
+                     prePartition: Boolean): DataFrame = {
+    // above the byte gate, cached pre-partitioned on dst (the q79
+    // trick): every round's vote join keys the |E|-sized side on dst,
+    // so the cached scan satisfies the join distribution and the
+    // per-round edge exchange disappears; the label side reshuffles
+    // per round but is |V|-sized. Below the gate the plain cache wins
+    // (round-7 full-bench measured the repartition+storage cost
+    // exceeding the 2-round saving at sf0.1) — see
+    // PrePartitionEdgeBytes.
+    val edRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("dst")).cache()
+    val ed = (if (prePartition) edRaw.repartition(col("dst")) else edRaw)
+      .cache()
     val nodes = ed.select(col("src").as("node")).distinct()
     var lab = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -275,7 +318,9 @@ object Graph {
     // first touch but still carry the full 2-iteration LP lineage
     // into every re-optimization; the checkpoint truncates it to the
     // ~|V|-row result once
-    val comm = lpFrom(e, iters).localCheckpoint()
+    val comm = lpFrom(e, iters,
+      tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+      .localCheckpoint()
     val total = e.agg(count(lit(1)).as("m"))
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
@@ -403,11 +448,15 @@ object Graph {
   def bfsHops(s: SparkSession, dir: String, maxHops: Int = 4,
               seedMod: Int = 50, minSupport: Int = 2): DataFrame = {
     val e = copurchaseEdges(s, dir, minSupport)
-    // src-partitioned cache (the q79 trick): each relaxation round
-    // joins the |E|-sized side on src, exchange-free from the cache
-    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+    // above the byte gate, src-partitioned cache (the q79 trick):
+    // each relaxation round joins the |E|-sized side on src,
+    // exchange-free from the cache; below it the plain cache wins
+    // (see PrePartitionEdgeBytes — round-7 bench measured the trade
+    // negative at fixture scale)
+    val edRaw = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).cache()
+    val ed = (if (tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+      edRaw.repartition(col("src")) else edRaw).cache()
     val nodes = ed.select(col("src").as("node")).distinct().cache()
     var dist = nodes.filter(pmod(col("node"), lit(seedMod.toLong)) === 0L)
       .withColumn("hops", lit(0L)).localCheckpoint()
@@ -520,27 +569,46 @@ object Graph {
   }
 
   def pageRank(s: SparkSession, dir: String, iters: Int = 3,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               broadcastRanks: Option[Boolean] = None): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    // cache PRE-PARTITIONED on src: every iteration's contrib join
-    // keys edges on src, so hash-partitioning once at cache time makes
-    // the cached scan satisfy the join's distribution — zero edge-side
-    // exchanges across all iterations (one shuffle paid once instead
-    // of per-iteration; the same trick a Pregel runtime applies by
-    // keeping the adjacency co-partitioned with the vertex state)
+    // Two regimes, auto-selected from the vertex-dimension byte size
+    // (the q183 dual-regime pattern, ported round 8 after q79's 2×
+    // between-run spread):
+    //  - broadcast (|V| tables small): the rank table — vertex-
+    //    dimension, never corpus-dimension — broadcasts into the
+    //    contrib join, and the edge cache partitioned on the
+    //    AGGREGATE key (dst) makes the groupBy exchange-free: ZERO
+    //    edge-wide shuffles per iteration;
+    //  - SMJ (|V| outgrows a safe broadcast): edges cached on the
+    //    JOIN key (src) sort-merge the node-partitioned rank table
+    //    exchange-free; the aggregate pays the one edge-keyed
+    //    shuffle per iteration.
+    // Both are the Pregel co-partitioned-adjacency trade (one shuffle
+    // paid at cache time instead of per-iteration) and produce
+    // bitwise-identical ranks: contributions are DECIMAL-summed
+    // (combine-order-free) and the finish is one pinned double
+    // expression, so the join strategy cannot alter a single bit
+    // (spec-pinned in GraphSpec).
+    val bc = broadcastRanks.getOrElse(
+      tableBytes(s, dir, "customer") + tableBytes(s, dir, "supplier")
+        <= BroadcastScoreBytes)
     val edges = cs.unionAll(cs.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).cache()
+      .repartition(col(if (bc) "dst" else "src")).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")).cache()
     val n = deg.count()
     var rank = deg.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(rank, col("src") === col("node"))
+      val joined =
+        if (bc) edges.join(broadcast(rank), col("src") === col("node"))
+        else edges.join(rank, col("src") === col("node"))
+      val contrib = joined
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(28,14)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
@@ -570,14 +638,15 @@ object Graph {
     *
     * Scale shape (round 7): the adjacency is cached TWICE, hash-
     * partitioned on c and on p — the Pregel storage-for-shuffle trade
-    * — and the per-half-step plan has two regimes, selected by
-    * `broadcastScores`:
-    *  - true (default; |V| executor-fits): the score table — (key,
+    * — and the per-half-step plan has two regimes, auto-selected
+    * from the vertex-dimension byte size (round 8; `broadcastScores =
+    * Some(...)` overrides for the equality spec):
+    *  - broadcast (|V| executor-fits): the score table — (key,
     *    decimal) pairs, VERTEX-dimension cardinality, not corpus
     *    cardinality — broadcasts into the edge join, and the copy
     *    partitioned on the step's AGGREGATE key makes the groupBy
     *    exchange-free: ZERO edge-wide shuffles per half-step.
-    *  - false (|V| outgrows a broadcast): the copy partitioned on
+    *  - SMJ (|V| outgrows a broadcast): the copy partitioned on
     *    the step's JOIN key sort-merge-joins the score table (itself
     *    groupBy-partitioned on that key — no exchange either side);
     *    the aggregate pays the one edge-keyed shuffle per half-step.
@@ -587,12 +656,24 @@ object Graph {
     * CTE chain.
     */
   def hits(s: SparkSession, dir: String, iters: Int = 2,
-           broadcastScores: Boolean = true): DataFrame = {
+           broadcastScores: Option[Boolean] = None): DataFrame = {
     val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
+    // Auto regime (round 8, ADVICE fix): the old default hard-coded
+    // the broadcast regime, which at charter scale is an unbounded
+    // forced broadcast of vertex-dimension score tables. The regime is
+    // now picked from the vertex-dimension byte size (customer + part
+    // parquet footprints — a conservative OVERestimate of the (key,
+    // decimal) score tables), so the safe SMJ regime engages
+    // automatically once |V| outgrows an executor-comfortable
+    // broadcast; `Some(true/false)` remains the explicit override for
+    // the bitwise-equality spec.
+    val bcast = broadcastScores.getOrElse(
+      tableBytes(s, dir, "customer") + tableBytes(s, dir, "part")
+        <= BroadcastScoreBytes)
     val eByC = base.repartition(col("c")).cache()
     val eByP = eByC.repartition(col("p")).cache()
     var auth = eByP.select(col("p")).distinct()
@@ -603,14 +684,14 @@ object Graph {
       // normalizing total — the q173 lesson: a lazy aggregate consumed
       // twice (scalar + main branch) inlines the whole upstream chain
       // into both, doubling work per half-step (2^(2·iters) blowup)
-      val hraw = (if (broadcastScores) eByC.join(broadcast(auth), "p")
+      val hraw = (if (bcast) eByC.join(broadcast(auth), "p")
         else eByP.join(auth, "p")).groupBy(col("c"))
         .agg(sum(col("a")).as("hr")).localCheckpoint()
       hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
         .select(col("c"),
           (col("hr").cast("double") / col("sh").cast("double"))
             .cast("decimal(28,14)").as("h"))
-      val araw = (if (broadcastScores) eByP.join(broadcast(hub), "c")
+      val araw = (if (bcast) eByP.join(broadcast(hub), "c")
         else eByC.join(hub, "c")).groupBy(col("p"))
         .agg(sum(col("h")).as("ar")).localCheckpoint()
       auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))

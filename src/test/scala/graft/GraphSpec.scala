@@ -24,6 +24,17 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(out(3L) - 0.35625) < 1e-9)
       assert(math.abs(out(5L) - 0.14375) < 1e-9)
       assert(math.abs(out.values.sum - 1.0) < 1e-9, "rank mass conserved")
+      // the two scale regimes (broadcast ranks vs co-partitioned SMJ)
+      // are plan shapes only — ranks must agree BITWISE (decimal-
+      // quantized contributions + pinned double finish), the q183
+      // discipline ported to q79 in round 8
+      val b = Graph.pageRank(spark, dir, iters = 1,
+        broadcastRanks = Some(true)).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+      val m = Graph.pageRank(spark, dir, iters = 1,
+        broadcastRanks = Some(false)).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+      assert(b === m)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -236,7 +247,7 @@ class GraphSpec extends SparkSpec {
       // the two scale regimes (broadcast scores vs co-partitioned SMJ)
       // are plan shapes only — scores must agree BITWISE (the decimal
       // quantization makes every intermediate combine-order-free)
-      val smj = Graph.hits(spark, dir, broadcastScores = false).collect()
+      val smj = Graph.hits(spark, dir, broadcastScores = Some(false)).collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(smj === out)
     } finally {
