@@ -740,6 +740,97 @@ object OracleSql {
        |FROM ra""".stripMargin
   }
 
+  /** Q238 — LF/HF band power (mirrors BeatMetrics.bandPower): DFT
+    * projections of the demeaned beat-indexed RR series at its
+    * in-band Fourier bins, each projection term and per-bin power
+    * decimal-quantized, pinned double finishes. Only cos/sin differ
+    * cross-engine (≤1 ulp, below the compare tolerance); every other
+    * expression is IEEE-identical off integer sums.
+    */
+  def q238BandPower(cfg: graft.PeakConfig = graft.PeakConfig(),
+                    lfLo: Double = 0.04, lfHi: Double = 0.15,
+                    hfHi: Double = 0.4): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val xv = s"((CAST(r.d AS DOUBLE) - CAST(b.s1 AS DOUBLE) " +
+      s"/ CAST(b.n AS DOUBLE)) / $rate)"
+    val theta = "(2.0 * pi() * CAST(b.j AS DOUBLE) " +
+      "* CAST(r.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |bp0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |bpr AS (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) - 1 AS k
+       |  FROM bp0 WHERE d IS NOT NULL
+       |),
+       |bpch AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1
+       |  FROM bpr GROUP BY 1, 2
+       |),
+       |bpbin AS (
+       |  -- unnest(range(...)) instead of generate_series: DuckDB's
+       |  -- table function can't take lateral column bounds
+       |  SELECT experiment_id, channel, n, s1,
+       |    unnest(range(1, n // 2 + 1)) AS j
+       |  FROM bpch WHERE n >= 2
+       |),
+       |bpb AS (
+       |  SELECT * FROM (
+       |    SELECT experiment_id, channel, n, s1, j,
+       |      CAST(j AS DOUBLE) * $rate / CAST(s1 AS DOUBLE) AS f
+       |    FROM bpbin
+       |  ) WHERE f >= ${dlit(lfLo)} AND f < ${dlit(hfHi)}
+       |),
+       |bpt AS (
+       |  SELECT r.experiment_id, r.channel, b.j,
+       |    CASE WHEN b.f < ${dlit(lfHi)} THEN 'lf' ELSE 'hf' END AS band,
+       |    b.n,
+       |    CAST($xv * cos($theta) AS DECIMAL(28,14)) AS ac,
+       |    CAST($xv * sin($theta) AS DECIMAL(28,14)) AS bs
+       |  FROM bpr r JOIN bpb b ON b.experiment_id = r.experiment_id
+       |    AND b.channel = r.channel
+       |),
+       |bpp AS (
+       |  SELECT experiment_id, channel, j, band, n,
+       |    sum(ac) AS a, sum(bs) AS b
+       |  FROM bpt GROUP BY 1, 2, 3, 4, 5
+       |),
+       |bpn AS (
+       |  SELECT experiment_id, channel, band,
+       |    CAST(2.0 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |      AS DECIMAL(28,14)) AS p
+       |  FROM bpp
+       |),
+       |bpa AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(CASE WHEN band = 'lf' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_lf_bins,
+       |    CAST(sum(CASE WHEN band = 'hf' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hf_bins,
+       |    sum(CASE WHEN band = 'lf' THEN p END) AS lfp,
+       |    sum(CASE WHEN band = 'hf' THEN p END) AS hfp
+       |  FROM bpn GROUP BY 1, 2
+       |)
+       |SELECT c.experiment_id, c.channel, c.n AS n_rr,
+       |  CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE) / $rate AS mean_rr_s,
+       |  coalesce(a.n_lf_bins, CAST(0 AS BIGINT)) AS n_lf_bins,
+       |  coalesce(a.n_hf_bins, CAST(0 AS BIGINT)) AS n_hf_bins,
+       |  CAST(a.lfp AS DOUBLE) AS lf_power_s2,
+       |  CAST(a.hfp AS DOUBLE) AS hf_power_s2,
+       |  CAST(a.lfp AS DOUBLE) / nullif(CAST(a.hfp AS DOUBLE), 0.0)
+       |    AS lf_hf_ratio
+       |FROM bpch c LEFT JOIN bpa a ON a.experiment_id = c.experiment_id
+       |  AND a.channel = c.channel""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -616,4 +616,98 @@ object BeatMetrics {
       (col("n_nn50").cast("double") /
         nullif(col("n_sd"), lit(0L)).cast("double")).as("pnn50"))
   }
+
+  /** Q238 — frequency-domain HRV: LF/HF band power of the per-channel
+    * RR series. Complements Q229 (time-domain) and Q234 (geometry)
+    * with the spectral sympathovagal panel: power in the
+    * low-frequency (0.04–0.15 Hz) and high-frequency (0.15–0.4 Hz)
+    * bands of the demeaned RR-interval sequence, plus their ratio.
+    *
+    * The spectrum is evaluated DIRECTLY as DFT projections — for a
+    * Fourier bin j of an n-point series, X_j = Σₖ xₖ·cos(ωⱼk) −
+    * i·Σₖ xₖ·sin(ωⱼk) with ωⱼ = 2πj/n — rather than via the Goertzel
+    * recurrence: the recurrence is inherently sequential per bin
+    * while the projection is a plain aggregate, parallel over both
+    * samples and bins (same answer, associativity restored). The RR
+    * series is beat-indexed (k = interval number), the standard
+    * evenly-resampled simplification, with the physical frequency of
+    * bin j being f_j = j·rate/s1 Hz (s1 = Σ RR samples = the train's
+    * total duration); bins are kept where 0.04 ≤ f_j < 0.4 and split
+    * at 0.15. Band power = Σ_{j∈band} 2·(A_j² + B_j²)/n² (variance
+    * units, s²), so LF+HF+(excluded bins) ≤ var(RR) by Parseval.
+    *
+    * Exactness: xₖ = (dₖ − s1/n)/rate and ωⱼk are pinned per-row
+    * IEEE expressions off INTEGER window/group sums (combine-order-
+    * free); each cos/sin projection term and each per-bin normalized
+    * power is quantized to DECIMAL(28,14) before its sum, so no
+    * float summation depends on shuffle order; band membership
+    * compares IEEE-exact ratios of integers (cross-engine identical —
+    * only cos/sin differ by ≤1 ulp, orders below the compare
+    * tolerance). Channels with < 2 RR intervals or no in-band bins
+    * keep their row with null powers — auditable, never a fabricated
+    * zero.
+    *
+    * Scale shape: per-channel O(n·m) term explosion (n = RR count,
+    * m = in-band bins ≤ n/2) where n is bounded by RECORDING LENGTH,
+    * not corpus size — the corpus grows in channels, which partition
+    * cleanly. Every join is equi-keyed on (experiment, channel);
+    * nothing corpus-proportional is broadcast; both groupBys combine
+    * map-side.
+    */
+  def bandPower(peaks: DataFrame, sampleRateHz: Double = 100.0,
+                lfLo: Double = 0.04, lfHi: Double = 0.15,
+                hfHi: Double = 0.4): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr0 = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val rr = rr0.withColumn("k", row_number().over(w) - lit(1))
+    val ch = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"))
+    val rate = lit(sampleRateHz)
+    val fj = col("j").cast("double") * rate / col("s1").cast("double")
+    val bins = ch.filter(col("n") >= 2L)
+      .select(keys :+ col("n") :+ col("s1") :+
+        explode(sequence(lit(1L),
+          floor(col("n") / lit(2L)).cast("long"))).as("j"): _*)
+      .withColumn("f", fj)
+      .filter(col("f") >= lit(lfLo) && col("f") < lit(hfHi))
+      .withColumn("band", when(col("f") < lit(lfHi), lit("lf"))
+        .otherwise(lit("hf")))
+    val joined = rr.join(
+      bins.select(keys :+ col("j") :+ col("band") :+
+        col("n") :+ col("s1"): _*), keyCols)
+    val xv = (col("d").cast("double") -
+      col("s1").cast("double") / col("n").cast("double")) / rate
+    val theta = lit(2.0 * math.Pi) * col("j").cast("double") *
+      col("k").cast("double") / col("n").cast("double")
+    val perBin = joined
+      .groupBy(keys :+ col("j") :+ col("band") :+ col("n"): _*)
+      .agg(sum((xv * cos(theta)).cast("decimal(28,14)")).as("a"),
+        sum((xv * sin(theta)).cast("decimal(28,14)")).as("b"))
+    val pnorm = (lit(2.0) *
+      (col("a").cast("double") * col("a").cast("double") +
+        col("b").cast("double") * col("b").cast("double")) /
+      (col("n").cast("double") * col("n").cast("double")))
+      .cast("decimal(28,14)")
+    val bandAgg = perBin.select(keys :+ col("band") :+ pnorm.as("p"): _*)
+      .groupBy(keys: _*)
+      .agg(sum(when(col("band") === "lf", lit(1L)).otherwise(lit(0L)))
+        .as("n_lf_bins"),
+        sum(when(col("band") === "hf", lit(1L)).otherwise(lit(0L)))
+          .as("n_hf_bins"),
+        sum(when(col("band") === "lf", col("p"))).as("lfp"),
+        sum(when(col("band") === "hf", col("p"))).as("hfp"))
+    ch.join(bandAgg, keyCols, "left")
+      .select(keys :+ col("n").as("n_rr") :+
+        (col("s1").cast("double") / col("n").cast("double") / rate)
+          .as("mean_rr_s") :+
+        coalesce(col("n_lf_bins"), lit(0L)).as("n_lf_bins") :+
+        coalesce(col("n_hf_bins"), lit(0L)).as("n_hf_bins") :+
+        col("lfp").cast("double").as("lf_power_s2") :+
+        col("hfp").cast("double").as("hf_power_s2") :+
+        (col("lfp").cast("double") /
+          nullif(col("hfp").cast("double"), lit(0.0)))
+          .as("lf_hf_ratio"): _*)
+  }
 }

@@ -337,4 +337,45 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1.0)))
     assert(out(6L) === ((3L, 1.0)))
   }
+
+  test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
+    import spark.implicits._
+    // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
+    // bin 1 is LF, bins 2-3 HF, bin 4 (0.4 Hz) excluded at the open
+    // upper edge. ch 1: a single interval -> no bins, null powers.
+    val ds = Seq(100L, 90L, 110L, 100L, 95L, 105L, 100L, 85L, 115L, 100L)
+    val idxs = ds.scanLeft(0L)(_ + _)
+    val peaks = (idxs.map(("e", 0, _)) ++ Seq(("e", 1, 0L), ("e", 1, 80L)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.bandPower(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    // independent serial replication (plain doubles, no quantization)
+    def power(j: Int): Double = {
+      val n = ds.size
+      val mean = ds.sum.toDouble / n
+      val xs = ds.map(d => (d - mean) / 100.0)
+      val a = xs.zipWithIndex.map { case (x, k) =>
+        x * math.cos(2.0 * math.Pi * j * k / n) }.sum
+      val b = xs.zipWithIndex.map { case (x, k) =>
+        x * math.sin(2.0 * math.Pi * j * k / n) }.sum
+      2.0 * (a * a + b * b) / (n.toDouble * n)
+    }
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_rr") === 10L)
+    assert(r0.getAs[Double]("mean_rr_s") === 1.0)
+    assert(r0.getAs[Long]("n_lf_bins") === 1L)
+    assert(r0.getAs[Long]("n_hf_bins") === 2L)
+    assert(math.abs(r0.getAs[Double]("lf_power_s2") - power(1)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("hf_power_s2") -
+      (power(2) + power(3))) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("lf_hf_ratio") -
+      power(1) / (power(2) + power(3))) < 1e-9)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_rr") === 1L)
+    assert(r1.getAs[Long]("n_lf_bins") === 0L &&
+      r1.getAs[Long]("n_hf_bins") === 0L)
+    assert(r1.isNullAt(r1.fieldIndex("lf_power_s2")) &&
+      r1.isNullAt(r1.fieldIndex("hf_power_s2")) &&
+      r1.isNullAt(r1.fieldIndex("lf_hf_ratio")))
+  }
 }
