@@ -831,6 +831,57 @@ object OracleSql {
        |  AND a.channel = c.channel""".stripMargin
   }
 
+  /** Q239 — force–time integral (mirrors
+    * BeatMetrics.forceTimeIntegral): nearest-peak span assignment via
+    * the Q235 tagged-union windows (equidistant → earlier beat),
+    * per-sample rectification against the baseline envelope with an
+    * explicit null guard, decimal-exact Riemann sum, one pinned
+    * double division by the rate.
+    */
+  def q239Fti(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |fu AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind,
+       |    y_smooth, baseline
+       |  FROM enriched
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind,
+       |    CAST(NULL AS DOUBLE) AS y_smooth, CAST(NULL AS DOUBLE) AS baseline
+       |  FROM detected
+       |),
+       |ftg AS (
+       |  SELECT *,
+       |    min(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+       |    max(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+       |  FROM fu
+       |),
+       |fo AS (
+       |  SELECT experiment_id, channel,
+       |    CASE WHEN pb IS NULL THEN nb WHEN nb IS NULL THEN pb
+       |      WHEN idx - pb <= nb - idx THEN pb ELSE nb END AS owner,
+       |    CASE WHEN y_smooth IS NOT NULL AND baseline IS NOT NULL THEN
+       |      CAST(greatest(y_smooth - baseline, 0.0) AS DECIMAL(28,14))
+       |    END AS c
+       |  FROM ftg WHERE kind = 0
+       |),
+       |fa AS (
+       |  SELECT experiment_id, channel, owner AS peak_idx,
+       |    CAST(count(*) AS BIGINT) AS n_span, sum(c) AS sc
+       |  FROM fo WHERE owner IS NOT NULL AND c IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT d.experiment_id, d.channel, d.peak_idx,
+       |  coalesce(a.n_span, CAST(0 AS BIGINT)) AS n_span,
+       |  CAST(a.sc AS DOUBLE) / $rate AS fti
+       |FROM detected d LEFT JOIN fa a ON a.experiment_id = d.experiment_id
+       |  AND a.channel = d.channel AND a.peak_idx = d.peak_idx""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -654,6 +654,70 @@ object BeatMetrics {
     * nothing corpus-proportional is broadcast; both groupBys combine
     * map-side.
     */
+  /** Q239 — per-beat force–time integral (FTI): the area under the
+    * smoothed force above the per-sample BASELINE envelope across the
+    * beat's span, in force·seconds — the standard contractile-effort
+    * readout (peak force says how hard, FTI says how hard for how
+    * long; two beats with equal force and different durations
+    * separate here).
+    *
+    * Span assignment: every spine sample belongs to its NEAREST
+    * detected peak (tagged-union windows, the Q235 trick — next beat
+    * at-or-after vs strictly-previous beat; equidistant samples go to
+    * the EARLIER beat, a pinned tie rule). Rectification uses the
+    * per-sample floor envelope (the engine's own baseline
+    * definition), so below-baseline samples contribute exactly 0 and
+    * the sum is a left Riemann sum with Δt = 1/rate. Samples whose
+    * y_smooth or baseline is null (envelope edge poisoning) are
+    * excluded from both the sum and n_span — a beat whose whole span
+    * is poisoned keeps its row with null FTI, never a fabricated 0.
+    *
+    * Exactness/scale: each rectified sample is quantized to
+    * DECIMAL(28,14) before the per-beat sum (combine-order-free);
+    * the finish is one double division by the literal rate. One
+    * per-channel tagged-union window pass + one map-side-combined
+    * groupBy + one equi-keyed left join back to the beat table —
+    * nothing broadcast, nothing corpus-proportional on the driver.
+    */
+  def forceTimeIntegral(enriched: DataFrame, peaks: DataFrame,
+                        cfg: PeakConfig = PeakConfig()): DataFrame = {
+    val sm = enriched.select(keys :+ col("sample_idx") :+
+      col("y_smooth") :+ col("baseline"): _*)
+    val u = sm.select(keys :+ col("sample_idx").as("idx") :+
+        lit(0).as("kind") :+ col("y_smooth") :+ col("baseline"): _*)
+      .unionAll(peaks.select(keys :+ col("peak_idx").as("idx") :+
+        lit(1).as("kind") :+ lit(null).cast("double").as("y_smooth") :+
+        lit(null).cast("double").as("baseline"): _*))
+    val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
+    val tagged = u
+      .withColumn("nb", min(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("pb", max(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+    val assigned = when(col("pb").isNull, col("nb"))
+      .when(col("nb").isNull, col("pb"))
+      .otherwise(when(col("idx") - col("pb") <= col("nb") - col("idx"),
+        col("pb")).otherwise(col("nb")))
+    // explicit null guard: Spark's greatest() SKIPS nulls, so a
+    // poisoned sample would silently rectify to 0.0 instead of being
+    // excluded — the guard pins null-in → null-out in both engines
+    val contrib = when(
+      col("y_smooth").isNotNull && col("baseline").isNotNull,
+      greatest(col("y_smooth") - col("baseline"), lit(0.0)))
+    val spans = tagged.filter(col("kind") === 0)
+      .withColumn("owner", assigned)
+      .withColumn("c", contrib.cast("decimal(28,14)"))
+      .filter(col("owner").isNotNull && col("c").isNotNull)
+      .groupBy(keys :+ col("owner").as("peak_idx"): _*)
+      .agg(count(lit(1)).as("n_span"), sum(col("c")).as("sc"))
+    val rate = lit(cfg.sampleRateHz)
+    peaks.select(keys :+ col("peak_idx"): _*)
+      .join(spans, keyCols :+ "peak_idx", "left")
+      .select(keys :+ col("peak_idx") :+
+        coalesce(col("n_span"), lit(0L)).as("n_span") :+
+        (col("sc").cast("double") / rate).as("fti"): _*)
+  }
+
   def bandPower(peaks: DataFrame, sampleRateHz: Double = 100.0,
                 lfLo: Double = 0.04, lfHi: Double = 0.15,
                 hfHi: Double = 0.4): DataFrame = {

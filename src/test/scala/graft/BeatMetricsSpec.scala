@@ -338,6 +338,33 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out(6L) === ((3L, 1.0)))
   }
 
+  test("forceTimeIntegral: nearest-peak ownership with earlier-beat ties; poisoned samples excluded") {
+    import spark.implicits._
+    // ch 0: peaks at 3 and 9; baseline 5. Sample 0 poisoned (null y).
+    // idx6 is equidistant (3 from each peak) -> earlier beat 3.
+    val ys = Seq(None, Some(4.0), Some(8.0), Some(15.0), Some(8.0),
+      Some(4.0), Some(6.0), Some(9.0), Some(12.0), Some(20.0), Some(10.0))
+    val e = (ys.zipWithIndex.map { case (y, i) =>
+      ("e", 0, i.toLong, y, Option(5.0)) } ++
+      Seq(("e", 1, 0L, None: Option[Double], Option(5.0)),
+        ("e", 1, 1L, None: Option[Double], Option(5.0))))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth", "baseline")
+    val peaks = Seq(("e", 0, 3L), ("e", 0, 9L), ("e", 1, 0L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.forceTimeIntegral(e, peaks).collect()
+      .map(r => (r.getAs[Int]("channel"), r.getAs[Long]("peak_idx")) ->
+        ((r.getAs[Long]("n_span"),
+          Option(r.get(r.fieldIndex("fti"))).map(_.asInstanceOf[Double]))))
+      .toMap
+    // beat 3 owns idx 0..6 (idx0 excluded as null): rectified
+    // contributions 0+3+10+3+0+1 = 17 over 6 samples
+    assert(out((0, 3L)) === ((6L, Some(0.17))))
+    // beat 9 owns idx 7..10: 4+7+15+5 = 31 over 4 samples
+    assert(out((0, 9L)) === ((4L, Some(0.31))))
+    // fully-poisoned channel: row kept, 0 samples, null FTI
+    assert(out((1, 0L)) === ((0L, None)))
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
