@@ -574,10 +574,14 @@ object OracleSql {
     * Q230 tagged-union window assignment over per-sample smooth
     * differences; max/min are combine-order-free, one rate multiply.
     */
-  def q235Dfdt(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+  /** Q235's tagged-union dF/dt CTE chain, ending in
+    * `dfsel(experiment_id, channel, peak_idx, n_up, dfdt_max,
+    * n_down, dfdt_min)`. Shared by Q235 and Q240; requires `smooth`
+    * and `detected` upstream.
+    */
+  private def dfdtCtes(cfg: graft.PeakConfig): String = {
     val rate = dlit(cfg.sampleRateHz)
-    s"""WITH RECURSIVE ${detectCtes(cfg)},
-       |dyt AS (
+    s"""dyt AS (
        |  SELECT experiment_id, channel, sample_idx,
        |    v - lag(v, 1) OVER (PARTITION BY experiment_id, channel
        |      ORDER BY sample_idx) AS dy
@@ -612,24 +616,37 @@ object OracleSql {
        |    CAST(count(*) AS BIGINT) AS n_down, min(dy) AS dn_dy
        |  FROM nx WHERE kind = 0 AND dy IS NOT NULL AND pb IS NOT NULL
        |  GROUP BY 1, 2, 3
-       |)
-       |SELECT d.experiment_id, d.channel, d.peak_idx,
-       |  u2.n_up, u2.up_dy * $rate AS dfdt_max,
-       |  w2.n_down, w2.dn_dy * $rate AS dfdt_min
-       |FROM detected d
-       |LEFT JOIN ups u2 ON u2.experiment_id = d.experiment_id
-       |  AND u2.channel = d.channel AND u2.peak_idx = d.peak_idx
-       |LEFT JOIN downs w2 ON w2.experiment_id = d.experiment_id
-       |  AND w2.channel = d.channel AND w2.peak_idx = d.peak_idx""".stripMargin
+       |),
+       |dfsel AS (
+       |  SELECT d.experiment_id, d.channel, d.peak_idx,
+       |    u2.n_up, u2.up_dy * $rate AS dfdt_max,
+       |    w2.n_down, w2.dn_dy * $rate AS dfdt_min
+       |  FROM detected d
+       |  LEFT JOIN ups u2 ON u2.experiment_id = d.experiment_id
+       |    AND u2.channel = d.channel AND u2.peak_idx = d.peak_idx
+       |  LEFT JOIN downs w2 ON w2.experiment_id = d.experiment_id
+       |    AND w2.channel = d.channel AND w2.peak_idx = d.peak_idx
+       |)""".stripMargin
   }
+
+  def q235Dfdt(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |${dfdtCtes(cfg)}
+       |SELECT experiment_id, channel, peak_idx, n_up, dfdt_max,
+       |  n_down, dfdt_min
+       |FROM dfsel""".stripMargin
 
   /** Q236 — beat-template correlation (mirrors
     * BeatMetrics.beatTemplateCorr): fixed-lag windows off the beat
     * table, complete-window gate, decimal-exact template and moments,
     * one pinned Pearson finish.
     */
-  def q236BeatTemplate(cfg: graft.PeakConfig = graft.PeakConfig(),
-                       before: Int = 20, after: Int = 40): String = {
+  /** Q236's fixed-lag morphology CTE chain, ending in
+    * `btcorr(experiment_id, channel, peak_idx, n, template_corr)`.
+    * Shared by Q236 and Q240; requires `smooth` and `detected`
+    * upstream.
+    */
+  private def btCtes(before: Int = 20, after: Int = 40): String = {
     val winLen = before + after + 1
     val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE)"
@@ -637,8 +654,7 @@ object OracleSql {
       "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
     val vm = "CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) " +
       "- CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)"
-    s"""WITH RECURSIVE ${detectCtes(cfg)},
-       |btoff AS (
+    s"""btoff AS (
        |  SELECT d.experiment_id, d.channel, d.peak_idx, g.gs AS off,
        |    d.peak_idx + g.gs AS sample_idx
        |  FROM detected d, generate_series(-$before, $after) AS g(gs)
@@ -676,23 +692,36 @@ object OracleSql {
        |    sum(CAST(m * m AS DECIMAL(28,10))) AS smm,
        |    sum(CAST(v * m AS DECIMAL(28,10))) AS sxy
        |  FROM btpr GROUP BY 1, 2, 3
-       |)
-       |SELECT experiment_id, channel, peak_idx, n,
-       |  ($cov) / nullif(sqrt(greatest(($vx) * ($vm), 0.0)), 0.0)
-       |    AS template_corr
-       |FROM bta""".stripMargin
+       |),
+       |btcorr AS (
+       |  SELECT experiment_id, channel, peak_idx, n,
+       |    ($cov) / nullif(sqrt(greatest(($vx) * ($vm), 0.0)), 0.0)
+       |      AS template_corr
+       |  FROM bta
+       |)""".stripMargin
   }
+
+  def q236BeatTemplate(cfg: graft.PeakConfig = graft.PeakConfig(),
+                       before: Int = 20, after: Int = 40): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |${btCtes(before, after)}
+       |SELECT experiment_id, channel, peak_idx, n, template_corr
+       |FROM btcorr""".stripMargin
 
   /** Q237 — RT50/RT90 (mirrors BeatMetrics.relaxationTimes): the Q235
     * tagged-union decay-span assignment over the enriched spine, the
     * first below-threshold sample per (beat, threshold) via
     * min/min_by, one pinned interpolation finish.
     */
-  def q237Relaxation(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+  /** Q237's decay-crossing CTE chain, ending in
+    * `rtsel(experiment_id, channel, peak_idx, rt50_s, rt90_s)` —
+    * only beats with force > 0 appear. Shared by Q237 and Q240;
+    * requires `enriched` and `m` (metricCtes) upstream.
+    */
+  private def relaxCtes(cfg: graft.PeakConfig): String = {
     val rate = dlit(cfg.sampleRateHz)
     def th(f: String) = s"(baseline_value + $f * force)"
-    s"""WITH RECURSIVE ${metricCtes(cfg)},
-       |rsp AS (
+    s"""rsp AS (
        |  SELECT experiment_id, channel, sample_idx, y_smooth,
        |    lag(y_smooth, 1) OVER (PARTITION BY experiment_id, channel
        |      ORDER BY sample_idx) AS y_prev
@@ -729,16 +758,24 @@ object OracleSql {
        |    min_by(y_prev, idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS p90,
        |    min_by(y_smooth, idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS v90
        |  FROM rj GROUP BY 1, 2, 3, 4, 5
-       |)
-       |SELECT experiment_id, channel, peak_idx,
-       |  CASE WHEN i50 IS NOT NULL THEN
-       |    (CAST(i50 - 1 - peak_idx AS DOUBLE)
-       |      + (p50 - ${th("0.5")}) / (p50 - v50)) / $rate END AS rt50_s,
-       |  CASE WHEN i90 IS NOT NULL THEN
-       |    (CAST(i90 - 1 - peak_idx AS DOUBLE)
-       |      + (p90 - ${th("0.1")}) / (p90 - v90)) / $rate END AS rt90_s
-       |FROM ra""".stripMargin
+       |),
+       |rtsel AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    CASE WHEN i50 IS NOT NULL THEN
+       |      (CAST(i50 - 1 - peak_idx AS DOUBLE)
+       |        + (p50 - ${th("0.5")}) / (p50 - v50)) / $rate END AS rt50_s,
+       |    CASE WHEN i90 IS NOT NULL THEN
+       |      (CAST(i90 - 1 - peak_idx AS DOUBLE)
+       |        + (p90 - ${th("0.1")}) / (p90 - v90)) / $rate END AS rt90_s
+       |  FROM ra
+       |)""".stripMargin
   }
+
+  def q237Relaxation(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |${relaxCtes(cfg)}
+       |SELECT experiment_id, channel, peak_idx, rt50_s, rt90_s
+       |FROM rtsel""".stripMargin
 
   /** Q238 — LF/HF band power (mirrors BeatMetrics.bandPower): DFT
     * projections of the demeaned beat-indexed RR series at its
@@ -880,6 +917,72 @@ object OracleSql {
        |  CAST(a.sc AS DOUBLE) / $rate AS fti
        |FROM detected d LEFT JOIN fa a ON a.experiment_id = d.experiment_id
        |  AND a.channel = d.channel AND a.peak_idx = d.peak_idx""".stripMargin
+  }
+
+  /** Q240 — composite per-beat anomaly table (mirrors
+    * BeatMetrics.beatAnomaly): the Q235/Q236/Q237 CTE chains
+    * composed over the shared metric spine, channel z-scores off
+    * decimal-exact window moments, one pinned boolean verdict.
+    */
+  def q240BeatAnomaly(cfg: graft.PeakConfig = graft.PeakConfig(),
+                      zThresh: Double = 3.0,
+                      corrMin: Double = 0.95): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val zt = dlit(zThresh)
+    val cm = dlit(corrMin)
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |${dfdtCtes(cfg)},
+       |${btCtes()},
+       |${relaxCtes(cfg)},
+       |ab AS (
+       |  SELECT experiment_id, channel, peak_idx, force,
+       |    CAST(peak_idx - lag(peak_idx) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |      AS DOUBLE) / $rate AS rr_s
+       |  FROM m
+       |),
+       |ast AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN force IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER wc AS BIGINT) AS nf,
+       |    sum(CAST(force AS DECIMAL(28,14))) OVER wc AS sf,
+       |    sum(CAST(force * force AS DECIMAL(28,10))) OVER wc AS sff,
+       |    CAST(sum(CASE WHEN rr_s IS NOT NULL THEN 1 ELSE 0 END)
+       |      OVER wc AS BIGINT) AS nr,
+       |    sum(CAST(rr_s AS DECIMAL(28,14))) OVER wc AS sr,
+       |    sum(CAST(rr_s * rr_s AS DECIMAL(28,10))) OVER wc AS srr
+       |  FROM ab
+       |  WINDOW wc AS (PARTITION BY experiment_id, channel)
+       |),
+       |az AS (
+       |  SELECT experiment_id, channel, peak_idx, rr_s, force,
+       |    CASE WHEN nf > 1 THEN
+       |      (force - CAST(sf AS DOUBLE) / CAST(nf AS DOUBLE))
+       |        / nullif(sqrt(greatest(CAST(nf AS DOUBLE) * CAST(sff AS DOUBLE)
+       |            - CAST(sf AS DOUBLE) * CAST(sf AS DOUBLE), 0.0))
+       |          / CAST(nf AS DOUBLE), 0.0)
+       |    END AS z_force,
+       |    CASE WHEN nr > 1 THEN
+       |      (rr_s - CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE))
+       |        / nullif(sqrt(greatest(CAST(nr AS DOUBLE) * CAST(srr AS DOUBLE)
+       |            - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE), 0.0))
+       |          / CAST(nr AS DOUBLE), 0.0)
+       |    END AS z_rr
+       |  FROM ast
+       |)
+       |SELECT z.experiment_id, z.channel, z.peak_idx, z.rr_s, z.force,
+       |  df.dfdt_max, df.dfdt_min, c.template_corr, r.rt50_s, r.rt90_s,
+       |  z.z_force, z.z_rr,
+       |  (coalesce(abs(z.z_force) > $zt, false)
+       |    OR coalesce(abs(z.z_rr) > $zt, false)
+       |    OR coalesce(c.template_corr < $cm, false)) AS is_anomaly
+       |FROM az z
+       |LEFT JOIN dfsel df ON df.experiment_id = z.experiment_id
+       |  AND df.channel = z.channel AND df.peak_idx = z.peak_idx
+       |LEFT JOIN btcorr c ON c.experiment_id = z.experiment_id
+       |  AND c.channel = z.channel AND c.peak_idx = z.peak_idx
+       |LEFT JOIN rtsel r ON r.experiment_id = z.experiment_id
+       |  AND r.channel = z.channel AND r.peak_idx = z.peak_idx""".stripMargin
   }
 
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,

@@ -718,6 +718,81 @@ object BeatMetrics {
         (col("sc").cast("double") / rate).as("fti"): _*)
   }
 
+  /** Q240 — composite per-beat anomaly table: ONE auditable decision
+    * row per beat joining the engine's per-beat readouts — force and
+    * RR (O9/Q229), dF/dt max/min (Q235), template correlation
+    * (Q236), RT50/RT90 (Q237) — plus channel-relative z-scores for
+    * force and RR and a pinned boolean verdict
+    * (|z| > `zThresh` or template_corr < `corrMin`). This is the O11
+    * detection-plot marker set AS DATA: the row a curator audits
+    * instead of a figure.
+    *
+    * Exactness: z-scores finish from decimal-exact channel window
+    * moments in the n·Σx² − (Σx)² form (one pinned double
+    * expression, explicit n > 1 and zero-variance guards → null,
+    * never a fabricated 0); every component rides its own already-
+    * pinned arithmetic. Missing components stay null (an edge beat
+    * has no template window; a non-positive-force beat has no RTs)
+    * and null comparisons resolve false in the verdict via explicit
+    * coalesce — a beat is flagged only on evidence.
+    *
+    * Scale shape: every join is a LEFT equi-join on (experiment,
+    * channel, peak_idx) — beat-dimension tables, co-keyed, never
+    * broadcast (the beat table grows with the corpus); channel
+    * stats are window aggregates over the channel partition, not a
+    * join-back. Cost = the components' own passes + three co-keyed
+    * joins.
+    */
+  def beatAnomaly(enriched: DataFrame, peaks: DataFrame,
+                  metricsDf: DataFrame, cfg: PeakConfig = PeakConfig(),
+                  zThresh: Double = 3.0,
+                  corrMin: Double = 0.95): DataFrame = {
+    val rate = lit(cfg.sampleRateHz)
+    val wo = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val wc = Window.partitionBy(keys: _*)
+    val base = metricsDf.select(keys :+ col("peak_idx") :+ col("force"): _*)
+      .withColumn("rr_s",
+        (col("peak_idx") - lag(col("peak_idx"), 1).over(wo))
+          .cast("double") / rate)
+    val st = base
+      .withColumn("nf",
+        sum(when(col("force").isNotNull, 1L).otherwise(0L)).over(wc))
+      .withColumn("sf", sum(col("force").cast("decimal(28,14)")).over(wc))
+      .withColumn("sff",
+        sum((col("force") * col("force")).cast("decimal(28,10)")).over(wc))
+      .withColumn("nr",
+        sum(when(col("rr_s").isNotNull, 1L).otherwise(0L)).over(wc))
+      .withColumn("sr", sum(col("rr_s").cast("decimal(28,14)")).over(wc))
+      .withColumn("srr",
+        sum((col("rr_s") * col("rr_s")).cast("decimal(28,10)")).over(wc))
+    def z(v: Column, n: Column, s: Column, ss: Column): Column = {
+      val nD = n.cast("double")
+      val sd = sqrt(greatest(nD * ss.cast("double") -
+        s.cast("double") * s.cast("double"), lit(0.0))) / nD
+      when(n > 1L, (v - s.cast("double") / nD) / nullif(sd, lit(0.0)))
+    }
+    val az = st.select(keys :+ col("peak_idx") :+ col("rr_s") :+
+      col("force") :+
+      z(col("force"), col("nf"), col("sf"), col("sff")).as("z_force") :+
+      z(col("rr_s"), col("nr"), col("sr"), col("srr")).as("z_rr"): _*)
+    val d = dfdt(enriched, peaks, cfg)
+      .select(keys :+ col("peak_idx") :+ col("dfdt_max") :+
+        col("dfdt_min"): _*)
+    val tc = beatTemplateCorr(enriched, peaks)
+      .select(keys :+ col("peak_idx") :+ col("template_corr"): _*)
+    val rt = relaxationTimes(enriched, metricsDf, cfg)
+    az.join(d, keyCols :+ "peak_idx", "left")
+      .join(tc, keyCols :+ "peak_idx", "left")
+      .join(rt, keyCols :+ "peak_idx", "left")
+      .select(keys :+ col("peak_idx") :+ col("rr_s") :+ col("force") :+
+        col("dfdt_max") :+ col("dfdt_min") :+ col("template_corr") :+
+        col("rt50_s") :+ col("rt90_s") :+ col("z_force") :+ col("z_rr") :+
+        (coalesce(abs(col("z_force")) > lit(zThresh), lit(false)) ||
+          coalesce(abs(col("z_rr")) > lit(zThresh), lit(false)) ||
+          coalesce(col("template_corr") < lit(corrMin), lit(false)))
+          .as("is_anomaly"): _*)
+  }
+
   def bandPower(peaks: DataFrame, sampleRateHz: Double = 100.0,
                 lfLo: Double = 0.04, lfHi: Double = 0.15,
                 hfHi: Double = 0.4): DataFrame = {

@@ -365,6 +365,42 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out((1, 0L)) === ((0L, None)))
   }
 
+  test("beatAnomaly: channel z-scores off exact moments, null components never flag, outlier force flags") {
+    import spark.implicits._
+    // 30-sample channel, flat 5.0 with triangular bumps at 5/15/25
+    // (8,15,8). Template windows (-20..+40) never complete -> corr
+    // null; RR is constant -> z_rr null (zero variance).
+    val bump = Map(4L -> 8.0, 5L -> 15.0, 6L -> 8.0, 14L -> 8.0,
+      15L -> 15.0, 16L -> 8.0, 24L -> 8.0, 25L -> 15.0, 26L -> 8.0)
+    val e = (0L until 30L).map { i =>
+      ("e", 0, i, Option(bump.getOrElse(i, 5.0)), Option(5.0))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_smooth", "baseline")
+    val peaks = Seq(("e", 0, 5L), ("e", 0, 15L), ("e", 0, 25L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    // fabricated metrics: forces 10,10,16 -> mean 12, sd = sqrt(72)/3
+    val m = Seq(("e", 0, 5L, 10.0, 5.0), ("e", 0, 15L, 10.0, 5.0),
+      ("e", 0, 25L, 16.0, 5.0))
+      .toDF("experiment_id", "channel", "peak_idx", "force",
+        "baseline_value")
+    val out = BeatMetrics.beatAnomaly(e, peaks, m, zThresh = 1.0)
+      .collect().map(r => r.getAs[Long]("peak_idx") -> r).toMap
+    val sd = math.sqrt(72.0) / 3.0
+    assert(math.abs(out(5L).getAs[Double]("z_force") - (-2.0 / sd)) < 1e-12)
+    assert(math.abs(out(25L).getAs[Double]("z_force") - 4.0 / sd) < 1e-12)
+    // constant RR -> zero variance -> null z, not a fabricated 0
+    assert(out(15L).isNullAt(out(15L).fieldIndex("z_rr")))
+    assert(out(5L).isNullAt(out(5L).fieldIndex("template_corr")))
+    // steepest rise into each peak: dy=7 at the peak sample -> 700/s
+    assert(out(15L).getAs[Double]("dfdt_max") === 700.0)
+    // verdict: only the force outlier trips at zThresh=1 (|z|=1.414);
+    // the null template/rr components never contribute
+    assert(out(25L).getAs[Boolean]("is_anomaly") === true)
+    assert(out(5L).getAs[Boolean]("is_anomaly") === false)
+    assert(out(15L).getAs[Boolean]("is_anomaly") === false)
+    // positive-force beats carry their RT components
+    assert(!out(15L).isNullAt(out(15L).fieldIndex("rt50_s")))
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
