@@ -313,6 +313,28 @@ class PlanQualitySpec extends SparkSpec {
       s"offset explode missing:\n$p6")
   }
 
+  test("q238-q240: no cartesians/BNLJ; q240 channel moments are windows, not join-backs") {
+    val p8 = plan("q238_band_power")
+    assert(!p8.contains("CartesianProduct") &&
+      !p8.contains("BroadcastNestedLoopJoin"), s"q238 unbounded join:\n$p8")
+    // the Fourier-bin fan-out is a narrow Generate off the per-channel
+    // aggregate (channel-dim), never a fan-out of the corpus
+    assert("Generate explode".r.findAllIn(p8).nonEmpty,
+      s"bin explode missing:\n$p8")
+    val p9 = plan("q239_fti")
+    assert(!p9.contains("CartesianProduct") &&
+      !p9.contains("BroadcastNestedLoopJoin"), s"q239 unbounded join:\n$p9")
+    val p0 = plan("q240_beat_anomaly")
+    assert(!p0.contains("CartesianProduct"), s"q240 cartesian:\n$p0")
+    assert(!p0.contains("BroadcastNestedLoopJoin"), s"q240 BNLJ:\n$p0")
+    // the z-score moments ride an UNORDERED channel-partition window
+    // (frame only, no sort key) — a groupBy-and-join-back would put a
+    // beat-dimension join on the hot path for channel-dim stats
+    assert(("windowspecdefinition\\(experiment_id#\\d+, channel#\\d+, " +
+      "specifiedwindowframe").r.findFirstIn(p0).isDefined,
+      s"channel moments must be an unordered window:\n$p0")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
