@@ -417,10 +417,13 @@ object OracleSql {
     * BeatMetrics.stimLatency): q10's rescaled stim maxima, the
     * detected train, tagged forward-window next-beat lookup.
     */
-  def q230StimLatency(cfg: graft.PeakConfig = graft.PeakConfig(),
-                      horizon: Long = 600L): String =
-    s"""WITH RECURSIVE ${detectCtes(cfg)},
-       |stm AS (SELECT experiment_id, channel, sample_idx, y
+  /** Q230's rescaled-stim peak CTE chain, ending in
+    * `spk(experiment_id, channel, sample_idx)` — q10's O2 rescale +
+    * O8 bare local maxima. Shared by Q230 and Q243; requires `sig`
+    * upstream.
+    */
+  private def stimPeakCtes: String =
+    s"""stm AS (SELECT experiment_id, channel, sample_idx, y
        |        FROM read_parquet('$stimGlob')),
        |smax AS (SELECT experiment_id, channel, max(y) AS sx
        |         FROM sig GROUP BY 1, 2),
@@ -442,7 +445,12 @@ object OracleSql {
        |spk AS (
        |  SELECT experiment_id, channel, sample_idx FROM mxs
        |  WHERE y_scaled > pv AND y_scaled > nv
-       |),
+       |)""".stripMargin
+
+  def q230StimLatency(cfg: graft.PeakConfig = graft.PeakConfig(),
+                      horizon: Long = 600L): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |$stimPeakCtes,
        |u AS (
        |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind FROM spk
        |  UNION ALL
@@ -983,6 +991,132 @@ object OracleSql {
        |  AND c.channel = z.channel AND c.peak_idx = z.peak_idx
        |LEFT JOIN rtsel r ON r.experiment_id = z.experiment_id
        |  AND r.channel = z.channel AND r.peak_idx = z.peak_idx""".stripMargin
+  }
+
+  /** Q241 — smoothing SNR audit (mirrors Smoothing.smoothingSnr):
+    * decimal moment sums of the smoothed trace and the residual,
+    * n·Σx² − (Σx)² variances, pinned 10·log10 finish with explicit
+    * n>1 / positive-variance guards.
+    */
+  def q241SmoothSnr(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val vS = "(CAST(n AS DOUBLE) * CAST(sss AS DOUBLE) " +
+      "- CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    val vR = "(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) " +
+      "- CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) " +
+      "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    s"""WITH RECURSIVE $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |sj AS (
+       |  SELECT s.experiment_id, s.channel, s.v, g.y - s.v AS r
+       |  FROM smooth s JOIN sig g ON g.experiment_id = s.experiment_id
+       |    AND g.channel = s.channel AND g.sample_idx = s.sample_idx
+       |  WHERE g.y IS NOT NULL AND s.v IS NOT NULL
+       |),
+       |sa AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(v AS DECIMAL(28,14))) AS ss,
+       |    sum(CAST(v * v AS DECIMAL(28,10))) AS sss,
+       |    sum(CAST(r AS DECIMAL(28,14))) AS sr,
+       |    sum(CAST(r * r AS DECIMAL(28,10))) AS srr
+       |  FROM sj GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n AS n_samples,
+       |  CASE WHEN n > 1 THEN $vS END AS signal_var,
+       |  CASE WHEN n > 1 THEN $vR END AS noise_var,
+       |  CASE WHEN n > 1 AND ($vR) > 0.0 AND ($vS) > 0.0
+       |    THEN 10.0 * log10(($vS) / ($vR)) END AS snr_db
+       |FROM sa""".stripMargin
+  }
+
+  /** Q242 — cross-channel synchrony (mirrors
+    * BeatMetrics.channelSynchrony): smooth-trace self-join per
+    * experiment/sample, decimal moment sums, Q236 pinned Pearson
+    * finish.
+    */
+  def q242Synchrony(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val vx = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val vy = "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    s"""WITH RECURSIVE $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |yp AS (
+       |  SELECT experiment_id, channel, sample_idx, v
+       |  FROM smooth WHERE v IS NOT NULL
+       |),
+       |pj AS (
+       |  SELECT a.experiment_id, a.channel AS ch_a, b.channel AS ch_b,
+       |    a.v AS xa, b.v AS xb
+       |  FROM yp a JOIN yp b ON b.experiment_id = a.experiment_id
+       |    AND b.sample_idx = a.sample_idx AND a.channel < b.channel
+       |),
+       |pa AS (
+       |  SELECT experiment_id, ch_a, ch_b, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(xa AS DECIMAL(28,14))) AS sx,
+       |    sum(CAST(xa * xa AS DECIMAL(28,10))) AS sxx,
+       |    sum(CAST(xb AS DECIMAL(28,14))) AS sy,
+       |    sum(CAST(xb * xb AS DECIMAL(28,10))) AS syy,
+       |    sum(CAST(xa * xb AS DECIMAL(28,10))) AS sxy
+       |  FROM pj GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, ch_a, ch_b, n,
+       |  ($cov) / nullif(sqrt(greatest(($vx) * ($vy), 0.0)), 0.0)
+       |    AS sync_corr
+       |FROM pa""".stripMargin
+  }
+
+  /** Q243 — stimulus entrainment (mirrors BeatMetrics.entrainment):
+    * the Q230 stim-peak chain + the detected train in one
+    * tagged-union pass (stim kind 0 sorts before a coincident beat →
+    * at-or-before bracket, phase 0), decimal-quantized cos/sin sums,
+    * pinned R/atan2/Rayleigh finishes.
+    */
+  def q243Entrainment(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val vs = "sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) " +
+      "+ CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n_beats AS DOUBLE)"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |$stimPeakCtes,
+       |eu AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx, 0 AS kind FROM spk
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind
+       |  FROM detected
+       |),
+       |etg AS (
+       |  SELECT *,
+       |    max(CASE WHEN kind = 0 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+       |    min(CASE WHEN kind = 0 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ns
+       |  FROM eu
+       |),
+       |eph AS (
+       |  SELECT experiment_id, channel,
+       |    2.0 * pi() * CAST(idx - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)
+       |      AS phi
+       |  FROM etg WHERE kind = 1 AND ps IS NOT NULL AND ns IS NOT NULL
+       |    AND ns > ps
+       |),
+       |ea AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n_beats,
+       |    sum(CAST(cos(phi) AS DECIMAL(28,14))) AS c,
+       |    sum(CAST(sin(phi) AS DECIMAL(28,14))) AS s
+       |  FROM eph GROUP BY 1, 2
+       |),
+       |ev AS (
+       |  SELECT experiment_id, channel, n_beats, $vs AS vs,
+       |    atan2(CAST(s AS DOUBLE), CAST(c AS DOUBLE)) AS mean_phase_rad
+       |  FROM ea
+       |)
+       |SELECT experiment_id, channel, n_beats, vs AS vector_strength,
+       |  mean_phase_rad,
+       |  CAST(n_beats AS DOUBLE) * vs * vs AS rayleigh_z
+       |FROM ev""".stripMargin
   }
 
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,

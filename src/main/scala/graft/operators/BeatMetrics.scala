@@ -718,6 +718,104 @@ object BeatMetrics {
         (col("sc").cast("double") / rate).as("fti"): _*)
   }
 
+  /** Q242 — cross-channel synchrony: Pearson correlation of the
+    * smoothed traces for every channel pair within an experiment —
+    * the mechanical-coupling audit (a myocardial prep's channels
+    * should beat together; a decorrelated channel is a loose
+    * electrode or an independent focus, and a curation pipeline
+    * should segment it out BEFORE pooling per-experiment statistics).
+    *
+    * Exactness: the five moment sums are DECIMAL-quantized
+    * (combine-order-free); r finishes in the Q236 pinned
+    * n·Σxy − Σx·Σy form with a nullif-guarded denominator. Scale:
+    * the pair fan-out is a SELF-JOIN equi-keyed on (experiment,
+    * sample_idx) — co-partitioned, never broadcast; row volume is
+    * samples × (channels−1) where channels-per-experiment is
+    * HARDWARE-bounded (the reference rig has 9), so the blowup is a
+    * constant factor, not corpus-quadratic; the corpus grows in
+    * experiments, which partition cleanly.
+    */
+  def channelSynchrony(enriched: DataFrame): DataFrame = {
+    val sp = enriched
+      .select(col("experiment_id"), col("channel"), col("sample_idx"),
+        col("y_smooth"))
+      .filter(col("y_smooth").isNotNull)
+    val a = sp.select(col("experiment_id"), col("channel").as("ch_a"),
+      col("sample_idx"), col("y_smooth").as("xa"))
+    val b = sp.select(col("experiment_id"), col("channel").as("ch_b"),
+      col("sample_idx"), col("y_smooth").as("xb"))
+    val agg = a.join(b, Seq("experiment_id", "sample_idx"))
+      .filter(col("ch_a") < col("ch_b"))
+      .groupBy(col("experiment_id"), col("ch_a"), col("ch_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa").cast("decimal(28,14)")).as("sx"),
+        sum((col("xa") * col("xa")).cast("decimal(28,10)")).as("sxx"),
+        sum(col("xb").cast("decimal(28,14)")).as("sy"),
+        sum((col("xb") * col("xb")).cast("decimal(28,10)")).as("syy"),
+        sum((col("xa") * col("xb")).cast("decimal(28,10)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg.select(col("experiment_id"), col("ch_a"), col("ch_b"), col("n"),
+      (cov / nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0)))
+        .as("sync_corr"))
+  }
+
+  /** Q243 — stimulus entrainment (vector strength): each beat's
+    * PHASE within its bracketing stimulus interval,
+    * φ = 2π·(beat − prev_stim)/(next_stim − prev_stim), summarized
+    * per channel as the resultant length R = |Σe^{iφ}|/n (1 = perfect
+    * phase-locking, 0 = uniform), the circular mean phase, and the
+    * Rayleigh statistic z = n·R² — the standard electrophysiology
+    * entrainment panel. Q230 measures the LATENCY of capture;
+    * vector strength measures its CONSISTENCY, and catches a channel
+    * that responds with jittering phase even when every stim
+    * eventually captures.
+    *
+    * Mechanics: stims (kind 0) and beats (kind 1) interleave in one
+    * per-channel tagged-union (idx, kind) pass — a stim AT a beat's
+    * index sorts first, so it brackets as the at-or-before edge
+    * (phase 0, pinned); beats outside any complete stim interval are
+    * excluded. cos φ/sin φ terms are DECIMAL-quantized before the
+    * per-channel sums (combine-order-free, the Q238 discipline);
+    * R/atan2/z finish in pinned double expressions. One window pass,
+    * one map-side-combined groupBy — no joins at all.
+    */
+  def entrainment(stimPeaks: DataFrame, beatPeaks: DataFrame): DataFrame = {
+    val u = stimPeaks.select(keys :+ col("sample_idx").as("idx") :+
+        lit(0).as("kind"): _*)
+      .unionAll(beatPeaks.select(keys :+ col("peak_idx").as("idx") :+
+        lit(1).as("kind"): _*))
+    val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
+    val tagged = u
+      .withColumn("ps", max(when(col("kind") === 0, col("idx")))
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ns", min(when(col("kind") === 0, col("idx")))
+        .over(wu.rowsBetween(1, Window.unboundedFollowing)))
+    val phi = lit(2.0 * math.Pi) *
+      (col("idx") - col("ps")).cast("double") /
+      (col("ns") - col("ps")).cast("double")
+    val agg = tagged
+      .filter(col("kind") === 1 && col("ps").isNotNull &&
+        col("ns").isNotNull && col("ns") > col("ps"))
+      .select(keys :+ phi.as("phi"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_beats"),
+        sum(cos(col("phi")).cast("decimal(28,14)")).as("c"),
+        sum(sin(col("phi")).cast("decimal(28,14)")).as("s"))
+    val nD = col("n_beats").cast("double")
+    val vs = sqrt(col("c").cast("double") * col("c").cast("double") +
+      col("s").cast("double") * col("s").cast("double")) / nD
+    agg.select(keys :+ col("n_beats") :+ vs.as("vector_strength") :+
+      atan2(col("s").cast("double"), col("c").cast("double"))
+        .as("mean_phase_rad") :+
+      (nD * vs * vs).as("rayleigh_z"): _*)
+  }
+
   /** Q240 — composite per-beat anomaly table: ONE auditable decision
     * row per beat joining the engine's per-beat readouts — force and
     * RR (O9/Q229), dF/dt max/min (Q235), template correlation

@@ -174,4 +174,44 @@ object Smoothing {
       .select(col("experiment_id"), col("channel"), col("sample_idx"),
         col("y_med"))
   }
+
+  /** Q241 — per-channel smoothing SNR audit: variance of the smoothed
+    * signal vs variance of the residual y − y_smooth, in dB — the QA
+    * gate that answers "did the SG filter actually denoise this
+    * channel, or is it eating signal?". A channel whose residual
+    * variance rivals its smoothed variance (low snr_db) either has
+    * broadband noise the 51/7 filter can't reach or a filter
+    * mis-tuned for its waveform — flag it BEFORE trusting any
+    * downstream per-beat metric.
+    *
+    * Exactness: moments are DECIMAL-quantized sums (combine-order-
+    * free); both variances finish in the n·Σx² − (Σx)² form as one
+    * pinned double expression each; log10 is the only transcendental
+    * (≤1 ulp cross-engine, far below tolerance). Explicit n > 1 and
+    * positive-variance guards → null, never ±Inf or a fabricated 0.
+    * Scale: one filtered pass, one map-side-combined groupBy per
+    * channel — the cheapest possible audit shape.
+    */
+  def smoothingSnr(withSmoothDf: DataFrame): DataFrame = {
+    val ok = col("y").isNotNull && col("y_smooth").isNotNull
+    val r = col("y") - col("y_smooth")
+    val a = withSmoothDf.filter(ok).groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("y_smooth").cast("decimal(28,14)")).as("ss"),
+        sum((col("y_smooth") * col("y_smooth")).cast("decimal(28,10)"))
+          .as("sss"),
+        sum(r.cast("decimal(28,14)")).as("sr"),
+        sum((r * r).cast("decimal(28,10)")).as("srr"))
+    val nD = col("n").cast("double")
+    def variance(s: Column, ssq: Column): Column =
+      (nD * ssq.cast("double") - s.cast("double") * s.cast("double")) /
+        (nD * nD)
+    val vS = variance(col("ss"), col("sss"))
+    val vR = variance(col("sr"), col("srr"))
+    a.select(keys :+ col("n").as("n_samples") :+
+      when(col("n") > 1L, vS).as("signal_var") :+
+      when(col("n") > 1L, vR).as("noise_var") :+
+      when(col("n") > 1L && vR > lit(0.0) && vS > lit(0.0),
+        lit(10.0) * log10(vS / vR)).as("snr_db"): _*)
+  }
 }

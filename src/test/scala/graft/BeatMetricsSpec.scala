@@ -401,6 +401,47 @@ class BeatMetricsSpec extends SparkSpec {
     assert(!out(15L).isNullAt(out(15L).fieldIndex("rt50_s")))
   }
 
+  test("channelSynchrony: perfectly correlated and anti-correlated pairs; null samples dropped") {
+    import spark.implicits._
+    // ch0 = [1,2,3], ch1 = 2*ch0 (corr 1), ch2 = reversed (corr -1);
+    // a null sample in ch0 only thins the pairs it touches
+    val e = Seq(
+      ("e", 0, 0L, Option(1.0)), ("e", 0, 1L, Option(2.0)),
+      ("e", 0, 2L, Option(3.0)), ("e", 0, 3L, None: Option[Double]),
+      ("e", 1, 0L, Option(2.0)), ("e", 1, 1L, Option(4.0)),
+      ("e", 1, 2L, Option(6.0)), ("e", 1, 3L, Option(1.0)),
+      ("e", 2, 0L, Option(3.0)), ("e", 2, 1L, Option(2.0)),
+      ("e", 2, 2L, Option(1.0)), ("e", 2, 3L, Option(9.0)))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val out = BeatMetrics.channelSynchrony(e).collect()
+      .map(r => (r.getAs[Int]("ch_a"), r.getAs[Int]("ch_b")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sync_corr")))).toMap
+    assert(out.keySet === Set((0, 1), (0, 2), (1, 2)))
+    assert(out((0, 1))._1 === 3L)
+    assert(math.abs(out((0, 1))._2 - 1.0) < 1e-12)
+    assert(math.abs(out((0, 2))._2 - (-1.0)) < 1e-12)
+    // ch1-ch2 includes sample 3: corr of [2,4,6,1] vs [3,2,1,9]
+    assert(out((1, 2))._1 === 4L)
+    assert(out((1, 2))._2 < 0.0)
+  }
+
+  test("entrainment: hand-computed vector strength with coincident-stim phase 0 and edge exclusion") {
+    import spark.implicits._
+    // stims at 0,100,200; beats at 50,150 (phase pi), 100 (phase 0,
+    // coincident with a stim), 250 (after the last stim -> excluded)
+    val stims = Seq(("e", 0, 0L), ("e", 0, 100L), ("e", 0, 200L))
+      .toDF("experiment_id", "channel", "sample_idx")
+    val beats = Seq(("e", 0, 50L), ("e", 0, 100L), ("e", 0, 150L),
+      ("e", 0, 250L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.entrainment(stims, beats).collect()(0)
+    assert(r.getAs[Long]("n_beats") === 3L)
+    // C = cos(pi)+cos(0)+cos(pi) = -1, S = 0 (quantized): R = 1/3
+    assert(math.abs(r.getAs[Double]("vector_strength") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_phase_rad") - math.Pi) < 1e-12)
+    assert(math.abs(r.getAs[Double]("rayleigh_z") - 1.0 / 3) < 1e-12)
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:

@@ -117,4 +117,29 @@ class SmoothingSpec extends SparkSpec {
     assert(byCh(0) === expect)
     assert(byCh(1) === expect.map(_ + 50.0))
   }
+
+  test("smoothingSnr: hand-computed variances, equal-power channel is 0 dB, degenerate variances null") {
+    import spark.implicits._
+    // ch0: y=[0,2,4,null] vs smooth [1,2,3,7]: residual [-1,0,1];
+    // varS = 2/3, varR = 2/3 -> snr 0 dB (null sample dropped).
+    // ch1: constant residual -> noise_var 0 -> snr null.
+    val df = Seq(
+      ("e", 0, 0L, Option(0.0), Option(1.0)),
+      ("e", 0, 1L, Option(2.0), Option(2.0)),
+      ("e", 0, 2L, Option(4.0), Option(3.0)),
+      ("e", 0, 3L, None: Option[Double], Option(7.0)),
+      ("e", 1, 0L, Option(2.0), Option(1.0)),
+      ("e", 1, 1L, Option(4.0), Option(3.0)))
+      .toDF("experiment_id", "channel", "sample_idx", "y", "y_smooth")
+    val out = Smoothing.smoothingSnr(df).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_samples") === 3L)
+    assert(math.abs(r0.getAs[Double]("signal_var") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("noise_var") - 2.0 / 3) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("snr_db")) < 1e-12)
+    val r1 = out(1)
+    assert(math.abs(r1.getAs[Double]("noise_var")) < 1e-12)
+    assert(r1.isNullAt(r1.fieldIndex("snr_db")))
+  }
 }
