@@ -1119,6 +1119,101 @@ object OracleSql {
        |FROM ev""".stripMargin
   }
 
+  /** Q244 — time-resolved LF/HF (mirrors
+    * BeatMetrics.windowedBandPower): the Q238 DFT-projection panel
+    * per (channel, tumbling window), intervals assigned to the window
+    * of their later beat; identical decimal/finish arithmetic with
+    * the window in every group key.
+    */
+  def q244WindowedBandPower(cfg: graft.PeakConfig = graft.PeakConfig(),
+                            windowSamples: Long = 800L,
+                            lfLo: Double = 0.04, lfHi: Double = 0.15,
+                            hfHi: Double = 0.4): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val ws = dlit(windowSamples.toDouble)
+    val xv = s"((CAST(r.d AS DOUBLE) - CAST(b.s1 AS DOUBLE) " +
+      s"/ CAST(b.n AS DOUBLE)) / $rate)"
+    val theta = "(2.0 * pi() * CAST(b.j AS DOUBLE) " +
+      "* CAST(r.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |wb0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |wbr AS (
+       |  SELECT experiment_id, channel, win, d,
+       |    row_number() OVER (PARTITION BY experiment_id, channel, win
+       |      ORDER BY ord) - 1 AS k
+       |  FROM (
+       |    SELECT experiment_id, channel, peak_idx AS ord, d,
+       |      CAST(floor(CAST(peak_idx AS DOUBLE) / $ws) AS BIGINT) AS win
+       |    FROM wb0 WHERE d IS NOT NULL
+       |  )
+       |),
+       |wbch AS (
+       |  SELECT experiment_id, channel, win, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1
+       |  FROM wbr GROUP BY 1, 2, 3
+       |),
+       |wbbin AS (
+       |  SELECT experiment_id, channel, win, n, s1,
+       |    unnest(range(1, n // 2 + 1)) AS j
+       |  FROM wbch WHERE n >= 2
+       |),
+       |wbb AS (
+       |  SELECT * FROM (
+       |    SELECT experiment_id, channel, win, n, s1, j,
+       |      CAST(j AS DOUBLE) * $rate / CAST(s1 AS DOUBLE) AS f
+       |    FROM wbbin
+       |  ) WHERE f >= ${dlit(lfLo)} AND f < ${dlit(hfHi)}
+       |),
+       |wbt AS (
+       |  SELECT r.experiment_id, r.channel, r.win, b.j,
+       |    CASE WHEN b.f < ${dlit(lfHi)} THEN 'lf' ELSE 'hf' END AS band,
+       |    b.n,
+       |    CAST($xv * cos($theta) AS DECIMAL(28,14)) AS ac,
+       |    CAST($xv * sin($theta) AS DECIMAL(28,14)) AS bs
+       |  FROM wbr r JOIN wbb b ON b.experiment_id = r.experiment_id
+       |    AND b.channel = r.channel AND b.win = r.win
+       |),
+       |wbp AS (
+       |  SELECT experiment_id, channel, win, j, band, n,
+       |    sum(ac) AS a, sum(bs) AS b
+       |  FROM wbt GROUP BY 1, 2, 3, 4, 5, 6
+       |),
+       |wbn AS (
+       |  SELECT experiment_id, channel, win, band,
+       |    CAST(2.0 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |      AS DECIMAL(28,14)) AS p
+       |  FROM wbp
+       |),
+       |wba AS (
+       |  SELECT experiment_id, channel, win,
+       |    CAST(sum(CASE WHEN band = 'lf' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_lf_bins,
+       |    CAST(sum(CASE WHEN band = 'hf' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hf_bins,
+       |    sum(CASE WHEN band = 'lf' THEN p END) AS lfp,
+       |    sum(CASE WHEN band = 'hf' THEN p END) AS hfp
+       |  FROM wbn GROUP BY 1, 2, 3
+       |)
+       |SELECT c.experiment_id, c.channel, c.win, c.n AS n_rr,
+       |  CAST(c.s1 AS DOUBLE) / CAST(c.n AS DOUBLE) / $rate AS mean_rr_s,
+       |  coalesce(a.n_lf_bins, CAST(0 AS BIGINT)) AS n_lf_bins,
+       |  coalesce(a.n_hf_bins, CAST(0 AS BIGINT)) AS n_hf_bins,
+       |  CAST(a.lfp AS DOUBLE) AS lf_power_s2,
+       |  CAST(a.hfp AS DOUBLE) AS hf_power_s2,
+       |  CAST(a.lfp AS DOUBLE) / nullif(CAST(a.hfp AS DOUBLE), 0.0)
+       |    AS lf_hf_ratio,
+       |  CAST(c.win AS DOUBLE) * $ws / $rate AS win_start_s
+       |FROM wbch c LEFT JOIN wba a ON a.experiment_id = c.experiment_id
+       |  AND a.channel = c.channel AND a.win = c.win""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -891,20 +891,25 @@ object BeatMetrics {
           .as("is_anomaly"): _*)
   }
 
-  def bandPower(peaks: DataFrame, sampleRateHz: Double = 100.0,
-                lfLo: Double = 0.04, lfHi: Double = 0.15,
-                hfHi: Double = 0.4): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
-    val rr0 = peaks.select(keys :+ col("peak_idx"): _*)
-      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
-      .filter(col("d").isNotNull)
-    val rr = rr0.withColumn("k", row_number().over(w) - lit(1))
-    val ch = rr.groupBy(keys: _*)
+  /** Shared DFT band-power core over an RR-interval table: `rrRows`
+    * carries the grouping columns `g`, an ordering column `ord`
+    * (the interval's later peak index) and the interval `d`; each
+    * group is an independent demeaned beat-indexed series projected
+    * onto its in-band Fourier bins. [[bandPower]] groups per channel;
+    * [[windowedBandPower]] per (channel, tumbling window).
+    */
+  private def bandPowerCore(rrRows: DataFrame, g: Seq[String],
+                            sampleRateHz: Double, lfLo: Double,
+                            lfHi: Double, hfHi: Double): DataFrame = {
+    val gk = g.map(col)
+    val w = Window.partitionBy(gk: _*).orderBy(col("ord"))
+    val rr = rrRows.withColumn("k", row_number().over(w) - lit(1))
+    val ch = rr.groupBy(gk: _*)
       .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"))
     val rate = lit(sampleRateHz)
     val fj = col("j").cast("double") * rate / col("s1").cast("double")
     val bins = ch.filter(col("n") >= 2L)
-      .select(keys :+ col("n") :+ col("s1") :+
+      .select(gk :+ col("n") :+ col("s1") :+
         explode(sequence(lit(1L),
           floor(col("n") / lit(2L)).cast("long"))).as("j"): _*)
       .withColumn("f", fj)
@@ -912,14 +917,14 @@ object BeatMetrics {
       .withColumn("band", when(col("f") < lit(lfHi), lit("lf"))
         .otherwise(lit("hf")))
     val joined = rr.join(
-      bins.select(keys :+ col("j") :+ col("band") :+
-        col("n") :+ col("s1"): _*), keyCols)
+      bins.select(gk :+ col("j") :+ col("band") :+
+        col("n") :+ col("s1"): _*), g)
     val xv = (col("d").cast("double") -
       col("s1").cast("double") / col("n").cast("double")) / rate
     val theta = lit(2.0 * math.Pi) * col("j").cast("double") *
       col("k").cast("double") / col("n").cast("double")
     val perBin = joined
-      .groupBy(keys :+ col("j") :+ col("band") :+ col("n"): _*)
+      .groupBy(gk :+ col("j") :+ col("band") :+ col("n"): _*)
       .agg(sum((xv * cos(theta)).cast("decimal(28,14)")).as("a"),
         sum((xv * sin(theta)).cast("decimal(28,14)")).as("b"))
     val pnorm = (lit(2.0) *
@@ -927,16 +932,16 @@ object BeatMetrics {
         col("b").cast("double") * col("b").cast("double")) /
       (col("n").cast("double") * col("n").cast("double")))
       .cast("decimal(28,14)")
-    val bandAgg = perBin.select(keys :+ col("band") :+ pnorm.as("p"): _*)
-      .groupBy(keys: _*)
+    val bandAgg = perBin.select(gk :+ col("band") :+ pnorm.as("p"): _*)
+      .groupBy(gk: _*)
       .agg(sum(when(col("band") === "lf", lit(1L)).otherwise(lit(0L)))
         .as("n_lf_bins"),
         sum(when(col("band") === "hf", lit(1L)).otherwise(lit(0L)))
           .as("n_hf_bins"),
         sum(when(col("band") === "lf", col("p"))).as("lfp"),
         sum(when(col("band") === "hf", col("p"))).as("hfp"))
-    ch.join(bandAgg, keyCols, "left")
-      .select(keys :+ col("n").as("n_rr") :+
+    ch.join(bandAgg, g, "left")
+      .select(gk :+ col("n").as("n_rr") :+
         (col("s1").cast("double") / col("n").cast("double") / rate)
           .as("mean_rr_s") :+
         coalesce(col("n_lf_bins"), lit(0L)).as("n_lf_bins") :+
@@ -946,5 +951,49 @@ object BeatMetrics {
         (col("lfp").cast("double") /
           nullif(col("hfp").cast("double"), lit(0.0)))
           .as("lf_hf_ratio"): _*)
+  }
+
+  /** RR intervals from the detected train: one row per interval with
+    * the later peak's index as `ord`.
+    */
+  private def rrIntervals(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .select(keys :+ col("peak_idx").as("ord") :+ col("d"): _*)
+  }
+
+  def bandPower(peaks: DataFrame, sampleRateHz: Double = 100.0,
+                lfLo: Double = 0.04, lfHi: Double = 0.15,
+                hfHi: Double = 0.4): DataFrame =
+    bandPowerCore(rrIntervals(peaks), keyCols, sampleRateHz,
+      lfLo, lfHi, hfHi)
+
+  /** Q244 — time-resolved LF/HF: the Q238 spectral panel per TUMBLING
+    * window of `windowSamples` samples (intervals assigned to the
+    * window of their LATER beat), the spectral counterpart of Q233's
+    * rundown audit — a channel whose LF/HF ratio drifts across
+    * windows is autonomically unstable even when the whole-recording
+    * panel looks normal. Each window is its own demeaned series with
+    * its own Fourier grid (window length sets the resolution — with
+    * ~40 beats per fixture window the grid reaches down to
+    * ~0.025 Hz). Same exactness story as Q238: integer/decimal sums,
+    * IEEE-exact bin membership, cos/sin the only cross-engine
+    * divergence (≤1 ulp). Scale: the group key gains a window
+    * dimension — MORE parallelism, same per-group bound.
+    */
+  def windowedBandPower(peaks: DataFrame, windowSamples: Long = 800L,
+                        sampleRateHz: Double = 100.0,
+                        lfLo: Double = 0.04, lfHi: Double = 0.15,
+                        hfHi: Double = 0.4): DataFrame = {
+    val rr = rrIntervals(peaks)
+      .withColumn("win",
+        floor(col("ord").cast("double") / lit(windowSamples.toDouble))
+          .cast("long"))
+    bandPowerCore(rr, keyCols :+ "win", sampleRateHz, lfLo, lfHi, hfHi)
+      .withColumn("win_start_s",
+        col("win").cast("double") * lit(windowSamples.toDouble) /
+          lit(sampleRateHz))
   }
 }

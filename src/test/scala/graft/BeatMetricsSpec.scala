@@ -442,6 +442,52 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rayleigh_z") - 1.0 / 3) < 1e-12)
   }
 
+  test("windowedBandPower: each tumbling window is its own series; matches the serial oracle per window") {
+    import spark.implicits._
+    // windowSamples=500: intervals assigned by their LATER beat —
+    // win 0 gets ords 100..495 (d = 100,90,110,100,95), win 1 gets
+    // ords 600..900 (d = 105,100,85,115; the 600-ord interval crosses
+    // the boundary and belongs to win 1 by the later-beat rule), and
+    // the ord-1000 interval lands alone in win 2 (too short for any
+    // bin -> null powers).
+    val idxs = Seq(0L, 100L, 190L, 300L, 400L, 495L, 600L, 700L, 785L,
+      900L, 1000L)
+    val peaks = idxs.map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.windowedBandPower(peaks, windowSamples = 500L)
+      .collect().map(r => r.getAs[Long]("win") -> r).toMap
+    def power(ds: Seq[Long], j: Int): Double = {
+      val n = ds.size
+      val mean = ds.sum.toDouble / n
+      val xs = ds.map(d => (d - mean) / 100.0)
+      val a = xs.zipWithIndex.map { case (x, k) =>
+        x * math.cos(2.0 * math.Pi * j * k / n) }.sum
+      val b = xs.zipWithIndex.map { case (x, k) =>
+        x * math.sin(2.0 * math.Pi * j * k / n) }.sum
+      2.0 * (a * a + b * b) / (n.toDouble * n)
+    }
+    val w0 = Seq(100L, 90L, 110L, 100L, 95L)
+    val w1 = Seq(105L, 100L, 85L, 115L)
+    // win 0: s1=495 -> f1=0.202 (HF), f2=0.404 excluded
+    val r0 = out(0L)
+    assert(r0.getAs[Long]("n_rr") === 5L)
+    assert(r0.getAs[Long]("n_hf_bins") === 1L &&
+      r0.getAs[Long]("n_lf_bins") === 0L)
+    assert(math.abs(r0.getAs[Double]("hf_power_s2") - power(w0, 1)) < 1e-9)
+    assert(r0.getAs[Double]("win_start_s") === 0.0)
+    // win 1: s1=405 -> f1=0.247 (HF), f2=0.494 excluded
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_rr") === 4L)
+    assert(r1.getAs[Long]("n_hf_bins") === 1L)
+    assert(math.abs(r1.getAs[Double]("hf_power_s2") - power(w1, 1)) < 1e-9)
+    assert(r1.getAs[Double]("win_start_s") === 5.0)
+    // win 2: a single interval -> no bins, null powers, row kept
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_rr") === 1L)
+    assert(r2.isNullAt(r2.fieldIndex("hf_power_s2")))
+    assert(r2.getAs[Double]("win_start_s") === 10.0)
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
