@@ -1214,6 +1214,69 @@ object OracleSql {
        |  AND a.channel = c.channel AND a.win = c.win""".stripMargin
   }
 
+  /** Q245 — force–velocity loop area (mirrors
+    * BeatMetrics.forceVelocityLoop): per-sample F and ΔF·rate,
+    * nearest-peak ownership (the Q239 tagged-union rule),
+    * owner-partitioned shoelace lags, decimal term sums, one halving
+    * finish.
+    */
+  def q245FvLoop(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |gv0 AS (
+       |  SELECT experiment_id, channel, sample_idx AS idx,
+       |    CASE WHEN y_smooth IS NOT NULL AND baseline IS NOT NULL
+       |      THEN y_smooth - baseline END AS fv
+       |  FROM enriched
+       |),
+       |gv1 AS (
+       |  SELECT *, (fv - lag(fv, 1) OVER (PARTITION BY experiment_id, channel
+       |    ORDER BY idx)) * $rate AS vv
+       |  FROM gv0
+       |),
+       |gu AS (
+       |  SELECT experiment_id, channel, idx, 0 AS kind, fv, vv FROM gv1
+       |  UNION ALL
+       |  SELECT experiment_id, channel, peak_idx AS idx, 1 AS kind,
+       |    CAST(NULL AS DOUBLE) AS fv, CAST(NULL AS DOUBLE) AS vv
+       |  FROM detected
+       |),
+       |gt AS (
+       |  SELECT *,
+       |    min(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+       |    max(CASE WHEN kind = 1 THEN idx END) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY idx, kind
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+       |  FROM gu
+       |),
+       |go AS (
+       |  SELECT experiment_id, channel, idx, fv, vv,
+       |    CASE WHEN pb IS NULL THEN nb WHEN nb IS NULL THEN pb
+       |      WHEN idx - pb <= nb - idx THEN pb ELSE nb END AS owner
+       |  FROM gt WHERE kind = 0
+       |),
+       |gp AS (
+       |  SELECT experiment_id, channel, owner,
+       |    CAST(lag(fv, 1) OVER wo * vv - fv * lag(vv, 1) OVER wo
+       |      AS DECIMAL(28,10)) AS term
+       |  FROM go WHERE owner IS NOT NULL
+       |  WINDOW wo AS (PARTITION BY experiment_id, channel, owner
+       |                ORDER BY idx)
+       |),
+       |ga AS (
+       |  SELECT experiment_id, channel, owner AS peak_idx,
+       |    CAST(count(*) AS BIGINT) AS n_pairs, sum(term) AS st
+       |  FROM gp WHERE term IS NOT NULL GROUP BY 1, 2, 3
+       |)
+       |SELECT d.experiment_id, d.channel, d.peak_idx,
+       |  coalesce(a.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+       |  CAST(a.st AS DOUBLE) / 2.0 AS loop_area
+       |FROM detected d LEFT JOIN ga a ON a.experiment_id = d.experiment_id
+       |  AND a.channel = d.channel AND a.peak_idx = d.peak_idx""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -679,33 +679,48 @@ object BeatMetrics {
     * groupBy + one equi-keyed left join back to the beat table —
     * nothing broadcast, nothing corpus-proportional on the driver.
     */
-  def forceTimeIntegral(enriched: DataFrame, peaks: DataFrame,
-                        cfg: PeakConfig = PeakConfig()): DataFrame = {
-    val sm = enriched.select(keys :+ col("sample_idx") :+
-      col("y_smooth") :+ col("baseline"): _*)
-    val u = sm.select(keys :+ col("sample_idx").as("idx") :+
-        lit(0).as("kind") :+ col("y_smooth") :+ col("baseline"): _*)
+  /** Tags every row of `samples` (keys + `idx` + payload columns)
+    * with its NEAREST detected peak as `owner` via one tagged-union
+    * window pass: next beat at-or-after vs strictly-previous beat,
+    * equidistant rows to the EARLIER beat (pinned tie rule — and a
+    * row AT a peak's index is owned by that peak, since the beat row
+    * sorts after it and distance 0 beats any previous peak). Shared
+    * by Q239 and Q245.
+    */
+  private def nearestPeakOwner(samples: DataFrame,
+                               peaks: DataFrame): DataFrame = {
+    val payload = samples.schema.fields
+      .filterNot(f => (keyCols :+ "idx").contains(f.name)).toSeq
+    val u = samples.select(keys :+ col("idx") :+ lit(0).as("kind") :++
+        payload.map(f => col(f.name)): _*)
       .unionAll(peaks.select(keys :+ col("peak_idx").as("idx") :+
-        lit(1).as("kind") :+ lit(null).cast("double").as("y_smooth") :+
-        lit(null).cast("double").as("baseline"): _*))
+        lit(1).as("kind") :++
+        payload.map(f => lit(null).cast(f.dataType).as(f.name)): _*))
     val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
-    val tagged = u
-      .withColumn("nb", min(when(col("kind") === 1, col("idx")))
-        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("pb", max(when(col("kind") === 1, col("idx")))
-        .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
     val assigned = when(col("pb").isNull, col("nb"))
       .when(col("nb").isNull, col("pb"))
       .otherwise(when(col("idx") - col("pb") <= col("nb") - col("idx"),
         col("pb")).otherwise(col("nb")))
+    u.withColumn("nb", min(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("pb", max(when(col("kind") === 1, col("idx")))
+        .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("kind") === 0)
+      .withColumn("owner", assigned)
+      .drop("kind", "nb", "pb")
+  }
+
+  def forceTimeIntegral(enriched: DataFrame, peaks: DataFrame,
+                        cfg: PeakConfig = PeakConfig()): DataFrame = {
+    val sm = enriched.select(keys :+ col("sample_idx").as("idx") :+
+      col("y_smooth") :+ col("baseline"): _*)
     // explicit null guard: Spark's greatest() SKIPS nulls, so a
     // poisoned sample would silently rectify to 0.0 instead of being
     // excluded — the guard pins null-in → null-out in both engines
     val contrib = when(
       col("y_smooth").isNotNull && col("baseline").isNotNull,
       greatest(col("y_smooth") - col("baseline"), lit(0.0)))
-    val spans = tagged.filter(col("kind") === 0)
-      .withColumn("owner", assigned)
+    val spans = nearestPeakOwner(sm, peaks)
       .withColumn("c", contrib.cast("decimal(28,14)"))
       .filter(col("owner").isNotNull && col("c").isNotNull)
       .groupBy(keys :+ col("owner").as("peak_idx"): _*)
@@ -716,6 +731,60 @@ object BeatMetrics {
       .select(keys :+ col("peak_idx") :+
         coalesce(col("n_span"), lit(0L)).as("n_span") :+
         (col("sc").cast("double") / rate).as("fti"): _*)
+  }
+
+  /** Q245 — per-beat force–velocity loop area: the signed shoelace
+    * area of each beat's trajectory in (F, dF/dt) phase space, F =
+    * y_smooth − baseline — the relational form of the
+    * pressure-volume-loop analysis (loop area ~ cycle work; a beat
+    * whose F–V loop collapses is mechanically inefficient even at
+    * normal peak force, and the SIGN pins the traversal direction).
+    * Complements Q239: FTI integrates force over TIME, the loop
+    * integrates velocity over FORCE.
+    *
+    * Mechanics: per-sample F and v = ΔF·rate off one channel window;
+    * samples owned by their nearest peak ([[nearestPeakOwner]], the
+    * Q239 span rule); consecutive-sample shoelace terms
+    * F_{i−1}·v_i − F_i·v_{i−1} via lags WITHIN the owner partition
+    * (a pair crossing an owner boundary contributes to neither
+    * beat — pinned), each term DECIMAL-quantized before the per-beat
+    * sum; the finish is one halving. Null F (envelope poisoning)
+    * nulls the adjacent terms rather than zeroing them. Beats with
+    * no valid pair keep their row with null area.
+    *
+    * Scale: one channel window pass + the shared owner pass + one
+    * owner-partitioned lag window + a map-side-combined groupBy —
+    * all keyed on (channel[, owner]), nothing broadcast.
+    */
+  def forceVelocityLoop(enriched: DataFrame, peaks: DataFrame,
+                        cfg: PeakConfig = PeakConfig()): DataFrame = {
+    val wo = Window.partitionBy(keys: _*).orderBy(col("idx"))
+    val rate = lit(cfg.sampleRateHz)
+    val fExpr = when(col("y_smooth").isNotNull && col("baseline").isNotNull,
+      col("y_smooth") - col("baseline"))
+    val sp = enriched
+      .select(keys :+ col("sample_idx").as("idx") :+
+        col("y_smooth") :+ col("baseline"): _*)
+      .withColumn("fv", fExpr)
+      .withColumn("vv", (col("fv") - lag(col("fv"), 1).over(wo)) * rate)
+      .select(keys :+ col("idx") :+ col("fv") :+ col("vv"): _*)
+    val wop = Window.partitionBy(keys :+ col("owner"): _*)
+      .orderBy(col("idx"))
+    val paired = nearestPeakOwner(sp, peaks)
+      .filter(col("owner").isNotNull)
+      .withColumn("fp", lag(col("fv"), 1).over(wop))
+      .withColumn("vp", lag(col("vv"), 1).over(wop))
+      .withColumn("term",
+        (col("fp") * col("vv") - col("fv") * col("vp"))
+          .cast("decimal(28,10)"))
+      .filter(col("term").isNotNull)
+    val agg = paired.groupBy(keys :+ col("owner").as("peak_idx"): _*)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("term")).as("st"))
+    peaks.select(keys :+ col("peak_idx"): _*)
+      .join(agg, keyCols :+ "peak_idx", "left")
+      .select(keys :+ col("peak_idx") :+
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs") :+
+        (col("st").cast("double") / lit(2.0)).as("loop_area"): _*)
   }
 
   /** Q242 — cross-channel synchrony: Pearson correlation of the

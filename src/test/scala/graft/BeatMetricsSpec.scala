@@ -488,6 +488,30 @@ class BeatMetricsSpec extends SparkSpec {
     assert(r2.getAs[Double]("win_start_s") === 10.0)
   }
 
+  test("forceVelocityLoop: hand-computed shoelace terms; null F voids adjacent pairs") {
+    import spark.implicits._
+    // ch0: baseline 0, y = [0,1,2,1,0], peak at 2. F = y;
+    // v = [null,100,100,-100,-100]. Terms (F_{i-1}v_i - F_i v_{i-1}):
+    // i=2: 1*100-2*100 = -100; i=3: 2*(-100)-1*100 = -300;
+    // i=4: 1*(-100)-0*(-100) = -100. Sum -500 -> area -250, 3 pairs.
+    // ch1: a null sample voids every pair -> null area, row kept.
+    val e = (Seq(0.0, 1.0, 2.0, 1.0, 0.0).zipWithIndex.map { case (y, i) =>
+      ("e", 0, i.toLong, Option(y), Option(0.0)) } ++
+      Seq(("e", 1, 0L, Option(5.0), Option(0.0)),
+        ("e", 1, 1L, None: Option[Double], Option(0.0)),
+        ("e", 1, 2L, Option(5.0), Option(0.0))))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth", "baseline")
+    val peaks = Seq(("e", 0, 2L), ("e", 1, 0L))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.forceVelocityLoop(e, peaks).collect()
+      .map(r => r.getAs[Int]("channel") ->
+        ((r.getAs[Long]("n_pairs"),
+          Option(r.get(r.fieldIndex("loop_area")))
+            .map(_.asInstanceOf[Double])))).toMap
+    assert(out(0) === ((3L, Some(-250.0))))
+    assert(out(1) === ((0L, None)))
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
