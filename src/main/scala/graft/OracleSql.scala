@@ -1277,6 +1277,66 @@ object OracleSql {
        |  AND a.channel = d.channel AND a.peak_idx = d.peak_idx""".stripMargin
   }
 
+  /** Q246 — RR sample entropy (mirrors BeatMetrics.sampleEntropy):
+    * integer Chebyshev template matching against r = 0.2·SD from
+    * integer power sums, Richman-Moorman same-population A/B counts,
+    * one pinned −ln finish.
+    */
+  def q246SampleEntropy(cfg: graft.PeakConfig = graft.PeakConfig(),
+                        rFrac: Double = 0.2): String = {
+    val rThr = s"${dlit(rFrac)} * (sqrt(greatest(CAST(n AS DOUBLE) " +
+      "* CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), " +
+      "0.0)) / CAST(n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |se0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |ser AS (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER w - 1 AS k,
+       |    lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2
+       |  FROM se0 WHERE d IS NOT NULL
+       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |sest AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS s2
+       |  FROM ser GROUP BY 1, 2
+       |),
+       |serr AS (SELECT *, $rThr AS r_thresh FROM sest),
+       |sep AS (
+       |  SELECT a.experiment_id, a.channel, t.r_thresh,
+       |    (a.d1 IS NOT NULL AND b.d1 IS NOT NULL
+       |      AND a.d2 IS NOT NULL AND b.d2 IS NOT NULL
+       |      AND CAST(greatest(abs(a.d - b.d), abs(a.d1 - b.d1)) AS DOUBLE)
+       |        <= t.r_thresh) AS bm,
+       |    CAST(abs(a.d2 - b.d2) AS DOUBLE) <= t.r_thresh AS m3
+       |  FROM ser a JOIN ser b ON b.experiment_id = a.experiment_id
+       |    AND b.channel = a.channel AND a.k < b.k
+       |  JOIN serr t ON t.experiment_id = a.experiment_id
+       |    AND t.channel = a.channel
+       |),
+       |sec AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(CASE WHEN bm THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+       |    CAST(sum(CASE WHEN bm AND m3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a_count
+       |  FROM sep GROUP BY 1, 2
+       |)
+       |SELECT t.experiment_id, t.channel, t.n AS n_rr, t.r_thresh,
+       |  coalesce(c.b_count, CAST(0 AS BIGINT)) AS b_count,
+       |  coalesce(c.a_count, CAST(0 AS BIGINT)) AS a_count,
+       |  CASE WHEN coalesce(c.a_count, CAST(0 AS BIGINT)) > 0
+       |    AND coalesce(c.b_count, CAST(0 AS BIGINT)) > 0 THEN
+       |    -ln(CAST(c.a_count AS DOUBLE) / CAST(c.b_count AS DOUBLE))
+       |  END AS sampen
+       |FROM serr t LEFT JOIN sec c ON c.experiment_id = t.experiment_id
+       |  AND c.channel = t.channel""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -960,6 +960,76 @@ object BeatMetrics {
           .as("is_anomaly"): _*)
   }
 
+  /** Q246 — sample entropy of the RR series (Richman & Moorman's
+    * SampEn, m = 2, r = `rFrac`·SD): −ln(A/B) where B counts
+    * template pairs whose length-2 RR vectors stay within r under
+    * the Chebyshev distance and A the same at length 3 — the
+    * standard nonlinear HRV irregularity index (low SampEn =
+    * metronomic or periodic rhythm, high = disorder), orthogonal to
+    * the moment panels (Q229/Q234/Q238): a perfectly periodic
+    * bigeminy has large SDNN but near-zero SampEn.
+    *
+    * Exactness: RR values and their pairwise differences are
+    * INTEGERS (sample counts), so every template comparison is an
+    * exact integer-vs-double compare against r = rFrac·SD computed
+    * from integer power sums in one pinned expression — identical in
+    * both engines; match counts are integers; ln is the only
+    * transcendental (≤1 ulp). A or B of 0, or under-length series,
+    * report null, never ±Inf.
+    *
+    * Scale shape: the template match is a per-channel SELF-JOIN of
+    * the RR table (equi-keyed on channel, k < j filter) — O(n²) in
+    * BEATS-PER-RECORDING, which is bounded by recording length, not
+    * corpus size (the Q242 argument); the corpus grows in channels,
+    * which partition cleanly. No broadcast, map-side-combined counts.
+    */
+  def sampleEntropy(peaks: DataFrame, rFrac: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("k", row_number().over(w) - lit(1))
+      .withColumn("d1", lead(col("d"), 1).over(w))
+      .withColumn("d2", lead(col("d"), 2).over(w))
+    val st = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+    val nD = col("n").cast("double")
+    val rThr = (lit(rFrac) *
+      (sqrt(greatest(nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"),
+        lit(0.0))) / nD)).as("r_thresh")
+    val a = rr.select(keys :+ col("k").as("ka") :+ col("d").as("da") :+
+      col("d1").as("da1") :+ col("d2").as("da2"): _*)
+    val b = rr.select(keys :+ col("k").as("kb") :+ col("d").as("db") :+
+      col("d1").as("db1") :+ col("d2").as("db2"): _*)
+    val pairs = a.join(b, keyCols).filter(col("ka") < col("kb"))
+      .join(st.select(keys :+ rThr: _*), keyCols)
+    // Richman-Moorman index discipline: BOTH counts range over the
+    // same N-m template starts, i.e. only length-2 templates that
+    // HAVE a length-3 extension enter B — otherwise A/B compares
+    // mismatched populations and SampEn biases low on short series
+    val chev2 = greatest(abs(col("da") - col("db")),
+      abs(col("da1") - col("db1"))).cast("double")
+    val extendable = col("da1").isNotNull && col("db1").isNotNull &&
+      col("da2").isNotNull && col("db2").isNotNull
+    val bMatch = extendable && chev2 <= col("r_thresh")
+    val aMatch = bMatch &&
+      abs(col("da2") - col("db2")).cast("double") <= col("r_thresh")
+    val cnt = pairs.groupBy(keys: _*)
+      .agg(sum(when(bMatch, 1L).otherwise(0L)).as("b_count"),
+        sum(when(aMatch, 1L).otherwise(0L)).as("a_count"))
+    st.select(keys :+ col("n").as("n_rr") :+ rThr: _*)
+      .join(cnt, keyCols, "left")
+      .select(keys :+ col("n_rr") :+ col("r_thresh") :+
+        coalesce(col("b_count"), lit(0L)).as("b_count") :+
+        coalesce(col("a_count"), lit(0L)).as("a_count") :+
+        when(coalesce(col("a_count"), lit(0L)) > 0L &&
+          coalesce(col("b_count"), lit(0L)) > 0L,
+          -log(col("a_count").cast("double") /
+            col("b_count").cast("double"))).as("sampen"): _*)
+  }
+
   /** Shared DFT band-power core over an RR-interval table: `rrRows`
     * carries the grouping columns `g`, an ordering column `ord`
     * (the interval's later peak index) and the interval `d`; each

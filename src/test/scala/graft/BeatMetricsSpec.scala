@@ -512,6 +512,32 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out(1) === ((0L, None)))
   }
 
+  test("sampleEntropy: hand-computed A/B template counts; constant series scores 0") {
+    import spark.implicits._
+    // ch0: constant RR -> sd 0, r 0, every extendable pair matches at
+    // both lengths -> A=B=3, sampen = -ln(1) = 0.
+    // ch1: d = [100,200,100,200,100,105]: extendable templates
+    // k0..k3; 2-comp matches (0,2) and (1,3); only (0,2) extends
+    // within r -> B=2, A=1, sampen = ln 2.
+    val ch0 = Seq(0L, 100L, 200L, 300L, 400L, 500L).map(("e", 0, _))
+    val ch1 = Seq(0L, 100L, 300L, 400L, 600L, 700L, 805L).map(("e", 1, _))
+    val peaks = (ch0 ++ ch1)
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.sampleEntropy(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_rr") === 5L)
+    assert(r0.getAs[Double]("r_thresh") === 0.0)
+    assert(r0.getAs[Long]("b_count") === 3L &&
+      r0.getAs[Long]("a_count") === 3L)
+    assert(r0.getAs[Double]("sampen") === 0.0)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_rr") === 6L)
+    assert(r1.getAs[Long]("b_count") === 2L &&
+      r1.getAs[Long]("a_count") === 1L)
+    assert(math.abs(r1.getAs[Double]("sampen") - math.log(2.0)) < 1e-12)
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
