@@ -335,6 +335,20 @@ class PlanQualitySpec extends SparkSpec {
       s"channel moments must be an unordered window:\n$p0")
   }
 
+  test("q241-q246: no cartesians/BNLJ; the pair fan-outs stay equi-keyed") {
+    // q242's channel-pair and q246's template-match self-joins must
+    // remain equi-joins on their channel keys (the corpus grows in
+    // channels/experiments — an unkeyed pair join would be
+    // corpus-quadratic); the signal-family additions must never plan
+    // a cartesian or an unbounded broadcast nested loop
+    for (q <- Seq("q241_smooth_snr", "q242_synchrony", "q243_entrainment",
+      "q245_fv_loop", "q246_sampen")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
