@@ -1337,6 +1337,96 @@ object OracleSql {
        |  AND c.channel = t.channel""".stripMargin
   }
 
+  /** Q247 — multiscale entropy (mirrors BeatMetrics.multiscaleEntropy):
+    * coarse-grained means Σd/τ at scales 1..max (ragged tails
+    * dropped), template matching against the ORIGINAL series' pinned
+    * r, Richman-Moorman counts per (channel, scale), −ln finish.
+    */
+  def q247MultiscaleEntropy(cfg: graft.PeakConfig = graft.PeakConfig(),
+                            maxScale: Int = 3,
+                            rFrac: Double = 0.2): String = {
+    val rThr = s"${dlit(rFrac)} * (sqrt(greatest(CAST(n AS DOUBLE) " +
+      "* CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), " +
+      "0.0)) / CAST(n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |me0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |mer AS (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) - 1 AS k
+       |  FROM me0 WHERE d IS NOT NULL
+       |),
+       |mest AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS s2
+       |  FROM mer GROUP BY 1, 2
+       |),
+       |merr AS (SELECT *, $rThr AS r_thresh FROM mest),
+       |mec AS (
+       |  SELECT experiment_id, channel, scale,
+       |    CAST(floor(CAST(k AS DOUBLE) / CAST(scale AS DOUBLE)) AS BIGINT)
+       |      AS g,
+       |    d
+       |  FROM (SELECT *, unnest(range(1, $maxScale + 1)) AS scale FROM mer)
+       |),
+       |meg AS (
+       |  SELECT experiment_id, channel, scale, g,
+       |    CAST(sum(d) AS BIGINT) AS su, CAST(count(*) AS BIGINT) AS c
+       |  FROM mec GROUP BY 1, 2, 3, 4
+       |),
+       |meu AS (
+       |  SELECT experiment_id, channel, scale, g,
+       |    CAST(su AS DOUBLE) / CAST(scale AS DOUBLE) AS u
+       |  FROM meg WHERE c = scale
+       |),
+       |mes AS (
+       |  SELECT *, lead(u, 1) OVER wm AS u1, lead(u, 2) OVER wm AS u2
+       |  FROM meu
+       |  WINDOW wm AS (PARTITION BY experiment_id, channel, scale ORDER BY g)
+       |),
+       |mep AS (
+       |  SELECT a.experiment_id, a.channel, a.scale,
+       |    (a.u1 IS NOT NULL AND b.u1 IS NOT NULL
+       |      AND a.u2 IS NOT NULL AND b.u2 IS NOT NULL
+       |      AND greatest(abs(a.u - b.u), abs(a.u1 - b.u1)) <= t.r_thresh)
+       |      AS bm,
+       |    abs(a.u2 - b.u2) <= t.r_thresh AS m3
+       |  FROM mes a JOIN mes b ON b.experiment_id = a.experiment_id
+       |    AND b.channel = a.channel AND b.scale = a.scale AND a.g < b.g
+       |  JOIN merr t ON t.experiment_id = a.experiment_id
+       |    AND t.channel = a.channel
+       |),
+       |men AS (
+       |  SELECT experiment_id, channel, scale,
+       |    CAST(count(*) AS BIGINT) AS n_points
+       |  FROM meu GROUP BY 1, 2, 3
+       |),
+       |meo AS (
+       |  SELECT experiment_id, channel, scale,
+       |    CAST(sum(CASE WHEN bm THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+       |    CAST(sum(CASE WHEN bm AND m3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a_count
+       |  FROM mep GROUP BY 1, 2, 3
+       |)
+       |SELECT p.experiment_id, p.channel, p.scale, p.n_points, t.r_thresh,
+       |  coalesce(o.b_count, CAST(0 AS BIGINT)) AS b_count,
+       |  coalesce(o.a_count, CAST(0 AS BIGINT)) AS a_count,
+       |  CASE WHEN coalesce(o.a_count, CAST(0 AS BIGINT)) > 0
+       |    AND coalesce(o.b_count, CAST(0 AS BIGINT)) > 0 THEN
+       |    -ln(CAST(o.a_count AS DOUBLE) / CAST(o.b_count AS DOUBLE))
+       |  END AS sampen
+       |FROM men p
+       |JOIN merr t ON t.experiment_id = p.experiment_id
+       |  AND t.channel = p.channel
+       |LEFT JOIN meo o ON o.experiment_id = p.experiment_id
+       |  AND o.channel = p.channel AND o.scale = p.scale""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -1030,6 +1030,86 @@ object BeatMetrics {
             col("b_count").cast("double"))).as("sampen"): _*)
   }
 
+  /** Q247 — multiscale entropy (Costa et al.): Q246's SampEn over
+    * non-overlapping coarse-grained means of the RR series at scales
+    * 1..`maxScale`, with r FIXED from the original series' SD (the
+    * standard MSE convention, so scales are comparable). The
+    * complexity PROFILE separates noise from structure: white noise
+    * loses entropy as the scale grows, genuinely complex dynamics
+    * hold it — a single-scale SampEn cannot tell them apart. Scale 1
+    * reproduces Q246 exactly (internal consistency, spec-pinned).
+    *
+    * Exactness: coarse values are Σd/τ — one double division of an
+    * integer sum, identical cross-engine — and every template
+    * comparison compares those identical doubles against the pinned
+    * r; ragged tail groups (count < τ) are DROPPED (standard
+    * coarse-graining, pinned); −ln only at the finish. Scale shape:
+    * the scale fan-out is a narrow explode (×maxScale); the match
+    * pass is the Q246 self-join with `scale` joined into the key —
+    * still O(n²) in beats-per-recording, more parallel by the scale
+    * dimension.
+    */
+  def multiscaleEntropy(peaks: DataFrame, maxScale: Int = 3,
+                        rFrac: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("k", row_number().over(w) - lit(1))
+    val st = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+    val nD = col("n").cast("double")
+    val rThr = (lit(rFrac) *
+      (sqrt(greatest(nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"),
+        lit(0.0))) / nD)).as("r_thresh")
+    val coarse = rr
+      .withColumn("scale",
+        explode(sequence(lit(1), lit(maxScale))))
+      .withColumn("g",
+        floor(col("k").cast("double") / col("scale").cast("double"))
+          .cast("long"))
+      .groupBy(keys :+ col("scale") :+ col("g"): _*)
+      .agg(sum(col("d")).as("su"), count(lit(1)).as("c"))
+      .filter(col("c") === col("scale").cast("long"))
+      .withColumn("u",
+        col("su").cast("double") / col("scale").cast("double"))
+    val ws = Window.partitionBy(keys :+ col("scale"): _*).orderBy(col("g"))
+    val ser = coarse
+      .withColumn("u1", lead(col("u"), 1).over(ws))
+      .withColumn("u2", lead(col("u"), 2).over(ws))
+      .select(keys :+ col("scale") :+ col("g") :+ col("u") :+
+        col("u1") :+ col("u2"): _*)
+    val a = ser.select(keys :+ col("scale") :+ col("g").as("ga") :+
+      col("u").as("ua") :+ col("u1").as("ua1") :+ col("u2").as("ua2"): _*)
+    val b = ser.select(keys :+ col("scale") :+ col("g").as("gb") :+
+      col("u").as("ub") :+ col("u1").as("ub1") :+ col("u2").as("ub2"): _*)
+    val pairs = a.join(b, keyCols :+ "scale").filter(col("ga") < col("gb"))
+      .join(st.select(keys :+ rThr: _*), keyCols)
+    val extendable = col("ua1").isNotNull && col("ub1").isNotNull &&
+      col("ua2").isNotNull && col("ub2").isNotNull
+    val chev2 = greatest(abs(col("ua") - col("ub")),
+      abs(col("ua1") - col("ub1")))
+    val bMatch = extendable && chev2 <= col("r_thresh")
+    val aMatch = bMatch &&
+      abs(col("ua2") - col("ub2")) <= col("r_thresh")
+    val cnt = pairs.groupBy(keys :+ col("scale"): _*)
+      .agg(sum(when(bMatch, 1L).otherwise(0L)).as("b_count"),
+        sum(when(aMatch, 1L).otherwise(0L)).as("a_count"))
+    val npts = coarse.groupBy(keys :+ col("scale"): _*)
+      .agg(count(lit(1)).as("n_points"))
+    npts.join(st.select(keys :+ rThr: _*), keyCols)
+      .join(cnt, keyCols :+ "scale", "left")
+      .select(keys :+ col("scale") :+ col("n_points") :+ col("r_thresh") :+
+        coalesce(col("b_count"), lit(0L)).as("b_count") :+
+        coalesce(col("a_count"), lit(0L)).as("a_count") :+
+        when(coalesce(col("a_count"), lit(0L)) > 0L &&
+          coalesce(col("b_count"), lit(0L)) > 0L,
+          -log(col("a_count").cast("double") /
+            col("b_count").cast("double"))).as("sampen"): _*)
+  }
+
   /** Shared DFT band-power core over an RR-interval table: `rrRows`
     * carries the grouping columns `g`, an ordering column `ord`
     * (the interval's later peak index) and the interval `d`; each

@@ -538,6 +538,41 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("sampen") - math.log(2.0)) < 1e-12)
   }
 
+  test("multiscaleEntropy: scale 1 reproduces sampleEntropy; coarse scales hand-computed") {
+    import spark.implicits._
+    // 12 alternating intervals [100,200]x6: original sd=50 -> r=10.
+    // scale 1: parity-matching templates -> B=A=20 -> sampen 0.
+    // scale 2: six coarse points all 150 -> B=A=6 -> sampen 0.
+    // scale 3: four points alternating 400/3, 500/3 (diff 33.3 > r)
+    //   -> B=0 -> null.
+    val ds = Seq.fill(6)(Seq(100L, 200L)).flatten
+    val idxs = ds.scanLeft(0L)(_ + _)
+    val peaks = idxs.map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.multiscaleEntropy(peaks).collect()
+      .map(r => r.getAs[Int]("scale") -> r).toMap
+    assert(out.keySet === Set(1, 2, 3))
+    val s1 = out(1)
+    assert(s1.getAs[Long]("n_points") === 12L)
+    assert(s1.getAs[Double]("r_thresh") === 10.0)
+    assert(s1.getAs[Long]("b_count") === 20L &&
+      s1.getAs[Long]("a_count") === 20L)
+    assert(s1.getAs[Double]("sampen") === 0.0)
+    // internal consistency: scale 1 == q246 on the same train
+    val se = BeatMetrics.sampleEntropy(peaks).collect()(0)
+    assert(se.getAs[Long]("b_count") === 20L &&
+      se.getAs[Long]("a_count") === 20L)
+    val s2 = out(2)
+    assert(s2.getAs[Long]("n_points") === 6L)
+    assert(s2.getAs[Long]("b_count") === 6L &&
+      s2.getAs[Long]("a_count") === 6L)
+    assert(s2.getAs[Double]("sampen") === 0.0)
+    val s3 = out(3)
+    assert(s3.getAs[Long]("n_points") === 4L)
+    assert(s3.getAs[Long]("b_count") === 0L)
+    assert(s3.isNullAt(s3.fieldIndex("sampen")))
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
