@@ -1427,6 +1427,43 @@ object OracleSql {
        |  AND o.channel = p.channel AND o.scale = p.scale""".stripMargin
   }
 
+  /** Q248 — HRV triangular index (mirrors
+    * BeatMetrics.triangularIndex): 1/128 s histogram bins off
+    * integer products, struct-max modal bin with smallest-index tie
+    * rule, one pinned division.
+    */
+  def q248Hti(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |ht0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |hth AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(floor(CAST(d * 128 AS DOUBLE) / $rate) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM ht0 WHERE d IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |hta AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(c) AS BIGINT) AS n_rr,
+       |    CAST(count(*) AS BIGINT) AS n_bins,
+       |    -- field-wise struct max mirrors the Spark struct-max on
+       |    -- (count, -bin): modal count first, smallest bin on ties —
+       |    -- NEVER a packed-integer key (the q113 orientation lesson)
+       |    max({'c': c, 'nb': -bin}) AS best
+       |  FROM hth GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_rr, n_bins,
+       |  -best.nb AS modal_bin, best.c AS modal_count,
+       |  CAST(n_rr AS DOUBLE) / CAST(best.c AS DOUBLE) AS hti
+       |FROM hta""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -1110,6 +1110,44 @@ object BeatMetrics {
             col("b_count").cast("double"))).as("sampen"): _*)
   }
 
+  /** Q248 — HRV triangular index (HTI): total RR count divided by
+    * the height of the RR histogram's modal bin at the standard
+    * 1/128 s binning — the GEOMETRIC HRV metric (a tall narrow
+    * histogram = low variability, a flat wide one = high), famously
+    * robust to outlier beats that inflate SDNN, and the last member
+    * of the engine's HRV quartet: time (Q229), frequency (Q238),
+    * nonlinear (Q246/Q247), geometry (this).
+    *
+    * Exactness: the bin index floor(d·128/rate) is one double
+    * floor of an integer product — cross-engine identical; counts
+    * are integers; HTI is one pinned division. Ties on the modal
+    * bin resolve by max count alone (the value, not the bin, enters
+    * HTI); the reported modal bin takes the SMALLEST index among
+    * ties (struct-max on (count, −bin), pinned). Scale: two
+    * map-side-combined groupBys per channel, nothing else.
+    */
+  def triangularIndex(peaks: DataFrame,
+                      sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val bin = floor((col("d") * lit(128L)).cast("double") /
+      lit(sampleRateHz)).cast("long")
+    val hist = rr.withColumn("bin", bin)
+      .groupBy(keys :+ col("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+    val agg = hist.groupBy(keys: _*)
+      .agg(sum(col("c")).as("n_rr"),
+        count(lit(1)).as("n_bins"),
+        max(struct(col("c"), (-col("bin")).as("nb"))).as("best"))
+    agg.select(keys :+ col("n_rr") :+ col("n_bins") :+
+      (-col("best.nb")).as("modal_bin") :+
+      col("best.c").as("modal_count") :+
+      (col("n_rr").cast("double") / col("best.c").cast("double"))
+        .as("hti"): _*)
+  }
+
   /** Shared DFT band-power core over an RR-interval table: `rrRows`
     * carries the grouping columns `g`, an ordering column `ord`
     * (the interval's later peak index) and the interval `d`; each

@@ -573,6 +573,24 @@ class BeatMetricsSpec extends SparkSpec {
     assert(s3.isNullAt(s3.fieldIndex("sampen")))
   }
 
+  test("triangularIndex: hand-computed histogram, smallest modal bin on ties") {
+    import spark.implicits._
+    // d = [100,100,102,200,200,300]: bins floor(d*1.28) =
+    // [128,128,130,256,256,384] -> counts {128:2, 130:1, 256:2,
+    // 384:1}. Modal count 2 ties between bins 128 and 256 -> the
+    // SMALLEST bin (128) is reported; HTI = 6/2 = 3.
+    val ds = Seq(100L, 100L, 102L, 200L, 200L, 300L)
+    val idxs = ds.scanLeft(0L)(_ + _)
+    val peaks = idxs.map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.triangularIndex(peaks).collect()(0)
+    assert(r.getAs[Long]("n_rr") === 6L)
+    assert(r.getAs[Long]("n_bins") === 4L)
+    assert(r.getAs[Long]("modal_bin") === 128L)
+    assert(r.getAs[Long]("modal_count") === 2L)
+    assert(r.getAs[Double]("hti") === 3.0)
+  }
+
   test("bandPower: DFT band sums match an independent serial oracle; 1-interval channel keeps nulls") {
     import spark.implicits._
     // ch 0: 10 intervals summing to 1000 samples -> f_j = 0.1*j Hz:
