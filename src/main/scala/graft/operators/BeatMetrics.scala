@@ -633,8 +633,10 @@ object BeatMetrics {
     * evenly-resampled simplification, with the physical frequency of
     * bin j being f_j = j·rate/s1 Hz (s1 = Σ RR samples = the train's
     * total duration); bins are kept where 0.04 ≤ f_j < 0.4 and split
-    * at 0.15. Band power = Σ_{j∈band} 2·(A_j² + B_j²)/n² (variance
-    * units, s²), so LF+HF+(excluded bins) ≤ var(RR) by Parseval.
+    * at 0.15. Band power = Σ_{j∈band} cⱼ·(A_j² + B_j²)/n² (variance
+    * units, s²) with the one-sided factor cⱼ = 2 for interior bins
+    * and 1 for the self-conjugate Nyquist bin j = n/2 (even n), so
+    * LF+HF+(excluded bins) ≤ var(RR) by Parseval holds exactly.
     *
     * Exactness: xₖ = (dₖ − s1/n)/rate and ωⱼk are pinned per-row
     * IEEE expressions off INTEGER window/group sums (combine-order-
@@ -1184,7 +1186,14 @@ object BeatMetrics {
       .groupBy(gk :+ col("j") :+ col("band") :+ col("n"): _*)
       .agg(sum((xv * cos(theta)).cast("decimal(28,14)")).as("a"),
         sum((xv * sin(theta)).cast("decimal(28,14)")).as("b"))
-    val pnorm = (lit(2.0) *
+    // One-sided factor: 2 for interior bins, 1 for the self-conjugate
+    // Nyquist bin j = n/2 when n is even — doubling it would overstate
+    // the band power and break the LF+HF ≤ var(RR) Parseval bound
+    // whenever the Nyquist frequency falls in-band (mean RR > 1.25 s at
+    // 100 Hz). Integer-exact test: 2j == n.
+    val oneSided = when(col("j") * lit(2L) === col("n"), lit(1.0))
+      .otherwise(lit(2.0))
+    val pnorm = (oneSided *
       (col("a").cast("double") * col("a").cast("double") +
         col("b").cast("double") * col("b").cast("double")) /
       (col("n").cast("double") * col("n").cast("double")))
@@ -1252,5 +1261,210 @@ object BeatMetrics {
       .withColumn("win_start_s",
         col("win").cast("double") * lit(windowSamples.toDouble) /
           lit(sampleRateHz))
+  }
+
+  /** Q249 — detrended fluctuation analysis of the smoothed
+    * contraction trace (scaling-exponent audit; on an RR series the
+    * same estimator is the HRV α1). Per channel: mean-center the
+    * series, integrate to the profile, split into non-overlapping
+    * boxes of each scale s, least-squares-detrend each complete box,
+    * and report F(s) = RMS residual; α = the log–log OLS slope of
+    * F(s) over the scales — α ≈ 0.5 for white noise, ≈ 1 for 1/f,
+    * ≈ 1.5 for Brownian drift. The fixture's beat trains (4 RR
+    * intervals) are too short for the classic beat-domain α1, so the
+    * engine applies the estimator to the recording itself; the
+    * operator takes any (keys, ord, value) series.
+    *
+    * Exactness (the q114/q233 decimal-moment discipline end to end):
+    * the profile is kept in its n-scaled integer-friendly form
+    * Pᵢ = n·Σ_{k≤i} vq − i·Σvq off DECIMAL(28,14)-quantized values —
+    * both window sums are decimal-exact, Pᵢ is one pinned double
+    * expression, and the n² factor it carries cancels in the log–log
+    * slope (and is divided back out of the reported fluctuation).
+    * Box x-moments are closed-form integers (Σx = s(s+1)/2,
+    * Σx² = s(s+1)(2s+1)/6); y-moments are per-row products quantized
+    * to DECIMAL(38,·) before their sums, so no float summation
+    * depends on shuffle order; each box RSS, F(s), and the final
+    * slope are pinned double finishes (ln/sqrt differ ≤1 ulp
+    * cross-engine, orders below the compare tolerance).
+    *
+    * Scale shape: one ordered window pass per channel (recording-
+    * length bounded, the q246 discipline), then a ×|scales| fan-out
+    * into (channel, scale, box) groupBys — map-side combinable,
+    * box rows ≪ sample rows — and a |channels|-sized slope
+    * aggregate. No joins beyond the per-channel stat broadcast, no
+    * driver-side loops; 1000 channels of 100 TB recordings keep one
+    * exchange per aggregate level.
+    */
+  def dfa(smooth: DataFrame, scales: Seq[Int] = Seq(16, 64, 256),
+          valueCol: String = "y_smooth"): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 3),
+      "DFA needs scales >= 3 (a line through 2 points has no residual)")
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val base = smooth
+      .select(keys :+ col("sample_idx") :+
+        col(valueCol).cast("decimal(28,14)").as("vq"): _*)
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cs", sum(col("vq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("vq")).as("s1"))
+    // n-scaled profile: P_i = n·cs_i − i·s1 (pinned double off exact
+    // decimals; the n factor is slope-invariant)
+    val p = (col("n").cast("double") * col("cs").cast("double") -
+      col("i").cast("double") * col("s1").cast("double"))
+    val prof = base.join(st, keyCols)
+      .select(keys :+ col("i") :+ col("n") :+ p.as("p"): _*)
+    val boxed = prof
+      .withColumn("s", explode(array(scales.map(v => lit(v.toLong)): _*)))
+      .filter(col("s") <= col("n")) // at least one complete box
+      .withColumn("b", floor((col("i") - 1).cast("double") /
+        col("s").cast("double")).cast("long"))
+      .filter(col("b") < floor(col("n").cast("double") /
+        col("s").cast("double")).cast("long")) // complete boxes only
+      .withColumn("x", ((col("i") - 1) % col("s") + 1).cast("double"))
+    val box = boxed.groupBy(keys :+ col("s") :+ col("b"): _*)
+      .agg(sum(col("p").cast("decimal(38,8)")).as("sy"),
+        sum((col("p") * col("p")).cast("decimal(38,6)")).as("syy"),
+        sum((col("x") * col("p")).cast("decimal(38,8)")).as("sxy"))
+    // closed-form integer x-moments of 1..s
+    val sx = (col("s") * (col("s") + 1) / 2).cast("long")
+    val sxx = (col("s") * (col("s") + 1) * (col("s") * 2 + 1) / 6).cast("long")
+    val dD = (col("s") * sxx - sx * sx).cast("double")
+    val aN = (col("s").cast("double") * col("sxy").cast("double") -
+      sx.cast("double") * col("sy").cast("double"))
+    val vN = (col("s").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double"))
+    val rss = greatest((vN - aN * aN / dD) / col("s").cast("double"),
+      lit(0.0))
+    val perScale = box
+      .select(keys :+ col("s") :+ rss.cast("decimal(38,10)").as("rssq"): _*)
+      .groupBy(keys :+ col("s"): _*)
+      .agg(count(lit(1)).as("n_boxes"), sum(col("rssq")).as("srss"))
+      .join(st.select(keys :+ col("n"): _*), keyCols)
+      .withColumn("f2", col("srss").cast("double") /
+        (col("n_boxes") * col("s")).cast("double"))
+      .withColumn("fluct",
+        sqrt(col("f2")) / col("n").cast("double")) // unscale the n factor
+    val lg = perScale.filter(col("f2") > 0.0)
+      .withColumn("ls", log(col("s").cast("double")))
+      .withColumn("lf", lit(0.5) * log(col("f2")))
+    val sl = lg.groupBy(keys: _*)
+      .agg(count(lit(1)).as("k"),
+        sum(col("ls").cast("decimal(38,14)")).as("sls"),
+        sum(col("lf").cast("decimal(38,14)")).as("slf"),
+        sum((col("ls") * col("ls")).cast("decimal(38,14)")).as("slsls"),
+        sum((col("ls") * col("lf")).cast("decimal(38,14)")).as("slslf"))
+    val alpha = when(col("k") > 1L,
+      (col("k").cast("double") * col("slslf").cast("double") -
+        col("sls").cast("double") * col("slf").cast("double")) /
+        (col("k").cast("double") * col("slsls").cast("double") -
+          col("sls").cast("double") * col("sls").cast("double")))
+    perScale
+      .join(sl.select(keys :+ col("k") :+ col("sls") :+ col("slf") :+
+        col("slsls") :+ col("slslf"): _*), keyCols, "left")
+      .select(keys :+ col("s").as("scale") :+ col("n_boxes") :+
+        col("fluct") :+ alpha.as("alpha"): _*)
+  }
+
+  /** Q250 — magnitude-squared coherence between the contraction
+    * trace and the stimulus at the pacing frequency (the
+    * frequency-domain counterpart of Q243's phase entrainment): the
+    * recording is cut into segments one pacing period long (the
+    * period = the channel's MODAL stim inter-spike interval, an
+    * integer read off the data, ties to the smallest), each segment
+    * of both series is demeaned and projected onto its fundamental
+    * bin j=1 (exactly the pacing frequency), and the Welch-style
+    * estimate Ĉ = |Σ_seg S_xy|² / (Σ S_xx · Σ S_yy) averages the
+    * cross- and auto-spectra across segments — 1 means the beat
+    * response tracks the stimulus in amplitude and phase, → 0 means
+    * pacing and response are spectrally unrelated (a single
+    * un-averaged segment is identically 1, which is why the segment
+    * cut is the estimator, not an optimization).
+    *
+    * Exactness: the modal interval is an integer mode (count desc,
+    * smallest-interval ties — struct-max, pinned); segment means come
+    * from DECIMAL(28,14) window sums with one pinned division; each
+    * projection term and each per-segment spectral product is
+    * quantized to DECIMAL before its sum (combine-order-free); the
+    * final ratio and atan2 phase are pinned double finishes (cos/sin
+    * ≤1 ulp cross-engine, below the compare tolerance — the q238
+    * precedent).
+    *
+    * Scale shape: one equi-join of the two sample streams on
+    * (channel, sample_idx) — co-partitioned, media never involved —
+    * then (channel, segment) groupBys that are map-side combinable
+    * and a |channels|-sized finish. The modal-interval table is
+    * |channels|-sized and broadcast. No driver loops, no windows
+    * wider than one segment.
+    */
+  def stimCoherence(smooth: DataFrame, stimScaled: DataFrame,
+                    stimPks: DataFrame,
+                    sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    // Pacing markers = the PROMINENT stim maxima (≥ half the channel's
+    // scaled-stim max): bare rule-1 find_peaks(stim) — the reference
+    // semantic Q230/Q243 keep — also fires on every noise-floor wiggle,
+    // whose alternating 2-sample intervals would otherwise be the mode
+    // and turn "pacing frequency" into the noise rate. Half-max is the
+    // standard spike/noise separator and is exact here (the spike:noise
+    // ratio is ~60:1; any threshold in that gap picks the same set).
+    val gated = stimPks
+      .withColumn("mx", max(col("y_scaled")).over(Window.partitionBy(keys: _*)))
+      .filter(col("y_scaled") >= lit(0.5) * col("mx"))
+    val iv = gated.select(keys :+ col("sample_idx"): _*)
+      .withColumn("d", col("sample_idx") - lag(col("sample_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val modal = iv.groupBy(keys :+ col("d"): _*)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(keys: _*)
+      .agg(max(struct(col("c"), (-col("d")).as("nd"))).as("best"))
+      .select(keys :+ (-col("best.nd")).as("seg_len"): _*)
+      .filter(col("seg_len") >= 2L)
+    val joined = smooth
+      .select(keys :+ col("sample_idx") :+ col("y_smooth").as("v"): _*)
+      .join(stimScaled.select(keys :+ col("sample_idx") :+
+        col("y_scaled").as("u"): _*), keyCols :+ "sample_idx")
+      .join(broadcast(modal), keyCols)
+    val nTab = joined.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val segd = joined.join(broadcast(nTab), keyCols)
+      .withColumn("seg", floor(col("sample_idx").cast("double") /
+        col("seg_len").cast("double")).cast("long"))
+      .filter(col("seg") < floor(col("n").cast("double") /
+        col("seg_len").cast("double")).cast("long")) // complete segments
+      .withColumn("k", (col("sample_idx") % col("seg_len")).cast("double"))
+    val wseg = Window.partitionBy(keys :+ col("seg"): _*)
+    val withM = segd
+      .withColumn("sv", sum(col("v").cast("decimal(28,14)")).over(wseg))
+      .withColumn("su", sum(col("u").cast("decimal(28,14)")).over(wseg))
+    val lD = col("seg_len").cast("double")
+    val vd = col("v") - col("sv").cast("double") / lD
+    val ud = col("u") - col("su").cast("double") / lD
+    val theta = lit(2.0 * math.Pi) * col("k") / lD
+    val proj = withM.groupBy(keys :+ col("seg_len") :+ col("seg"): _*)
+      .agg(sum((vd * cos(theta)).cast("decimal(28,14)")).as("ax"),
+        sum((vd * sin(theta)).cast("decimal(28,14)")).as("bx"),
+        sum((ud * cos(theta)).cast("decimal(28,14)")).as("ay"),
+        sum((ud * sin(theta)).cast("decimal(28,14)")).as("by"))
+    val (axd, bxd) = (col("ax").cast("double"), col("bx").cast("double"))
+    val (ayd, byd) = (col("ay").cast("double"), col("by").cast("double"))
+    val cross = proj.select(keys :+ col("seg_len") :+
+      (axd * ayd + bxd * byd).cast("decimal(28,10)").as("rxy") :+
+      (bxd * ayd - axd * byd).cast("decimal(28,10)").as("ixy") :+
+      (axd * axd + bxd * bxd).cast("decimal(28,10)").as("pxx") :+
+      (ayd * ayd + byd * byd).cast("decimal(28,10)").as("pyy"): _*)
+    val fin = cross.groupBy(keys :+ col("seg_len"): _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("rxy")).as("r"), sum(col("ixy")).as("im"),
+        sum(col("pxx")).as("px"), sum(col("pyy")).as("py"))
+    val (rD, iD) = (col("r").cast("double"), col("im").cast("double"))
+    val (pxD, pyD) = (col("px").cast("double"), col("py").cast("double"))
+    fin.select(keys :+ col("seg_len") :+ col("n_segments") :+
+      (lit(sampleRateHz) / col("seg_len").cast("double"))
+        .as("pacing_freq_hz") :+
+      when(pxD > 0.0 && pyD > 0.0,
+        (rD * rD + iD * iD) / (pxD * pyD)).as("coherence") :+
+      when(pxD > 0.0 && pyD > 0.0, atan2(iD, rD))
+        .as("cross_phase_rad"): _*)
   }
 }

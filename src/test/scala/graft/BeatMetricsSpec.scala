@@ -631,4 +631,116 @@ class BeatMetricsSpec extends SparkSpec {
       r1.isNullAt(r1.fieldIndex("hf_power_s2")) &&
       r1.isNullAt(r1.fieldIndex("lf_hf_ratio")))
   }
+
+  test("bandPower: in-band Nyquist bin gets one-sided factor 1, Parseval bound holds") {
+    import spark.implicits._
+    // 4 intervals of ~150 samples -> s1 = 600, f_j = j/6 Hz:
+    // j=1 -> 0.1667 (HF), j=2 = n/2 (Nyquist) -> 0.3333 (HF, in-band).
+    // With factor 2 on the Nyquist bin the round-8 ADVICE showed
+    // HF > var(RR); factor 1 restores the Parseval inequality.
+    val ds = Seq(140L, 160L, 150L, 150L)
+    val idxs = ds.scanLeft(0L)(_ + _)
+    val peaks = idxs.map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.bandPower(peaks).collect()(0)
+    def power(j: Int): Double = {
+      val n = ds.size
+      val mean = ds.sum.toDouble / n
+      val xs = ds.map(d => (d - mean) / 100.0)
+      val a = xs.zipWithIndex.map { case (x, k) =>
+        x * math.cos(2.0 * math.Pi * j * k / n) }.sum
+      val b = xs.zipWithIndex.map { case (x, k) =>
+        x * math.sin(2.0 * math.Pi * j * k / n) }.sum
+      val c = if (2 * j == n) 1.0 else 2.0
+      c * (a * a + b * b) / (n.toDouble * n)
+    }
+    assert(r.getAs[Long]("n_lf_bins") === 0L)
+    assert(r.getAs[Long]("n_hf_bins") === 2L)
+    val hf = r.getAs[Double]("hf_power_s2")
+    assert(math.abs(hf - (power(1) + power(2))) < 1e-9)
+    // Parseval: total in-band power cannot exceed var(RR) in s²
+    val mean = ds.sum.toDouble / ds.size
+    val varRr = ds.map(d => math.pow((d - mean) / 100.0, 2)).sum / ds.size
+    assert(hf <= varRr + 1e-12)
+  }
+
+  test("dfa: matches an independent serial replication; constant series has zero fluctuation and null alpha") {
+    import spark.implicits._
+    // seeded rough series with a trend: DFA must detrend each box
+    val rng = new scala.util.Random(7)
+    val n = 64
+    val vs = (0 until n).map(i => 10.0 + 0.5 * i + 3.0 * rng.nextGaussian())
+    val rows = vs.zipWithIndex.map { case (v, i) => ("e", 0, i.toLong, v) } ++
+      (0 until 16).map(i => ("e", 1, i.toLong, 42.0)) // constant channel
+    val df = rows.toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val scales = Seq(4, 8)
+    val out = BeatMetrics.dfa(df, scales).collect()
+      .map(r => (r.getAs[Int]("channel"), r.getAs[Long]("scale")) -> r).toMap
+    // independent serial replication (plain doubles, true profile)
+    val mean = vs.sum / n
+    val prof = vs.map(_ - mean).scanLeft(0.0)(_ + _).tail
+    def fs(s: Int): Double = {
+      val boxes = prof.grouped(s).filter(_.size == s).toSeq
+      val rss = boxes.map { ys =>
+        val xs = (1 to s).map(_.toDouble)
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxx = xs.map(x => x * x).sum
+        val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val b = (s * sxy - sx * sy) / (s * sxx - sx * sx)
+        val a = (sy - b * sx) / s
+        xs.zip(ys).map { case (x, y) => math.pow(y - (a + b * x), 2) }.sum
+      }
+      math.sqrt(rss.sum / (rss.size * s))
+    }
+    for (s <- scales) {
+      val r = out((0, s.toLong))
+      assert(r.getAs[Long]("n_boxes") === (n / s).toLong)
+      assert(math.abs(r.getAs[Double]("fluct") - fs(s)) < 1e-6 * fs(s),
+        s"scale $s: ${r.getAs[Double]("fluct")} vs ${fs(s)}")
+    }
+    val alphaExp = (math.log(fs(8)) - math.log(fs(4))) /
+      (math.log(8.0) - math.log(4.0))
+    assert(math.abs(out((0, 4L)).getAs[Double]("alpha") - alphaExp) < 1e-6)
+    assert(out((0, 4L)).getAs[Double]("alpha") ===
+      out((0, 8L)).getAs[Double]("alpha")) // per-channel constant
+    // constant channel: exact zero residuals, alpha undefined (ln 0)
+    val c4 = out((1, 4L))
+    assert(c4.getAs[Double]("fluct") === 0.0)
+    assert(c4.isNullAt(c4.fieldIndex("alpha")))
+  }
+
+  test("stimCoherence: periodic lock-in scores 1, per-segment phase flips cancel to 0; noise spikes gated out") {
+    import spark.implicits._
+    val L = 8
+    val nSeg = 4
+    val n = L * nSeg
+    // ch 0: cosine locked to the spike train -> coherence 1
+    // ch 1: cosine sign-flipped per segment -> cross terms cancel -> 0
+    val sm = (0 until n).flatMap { i =>
+      val base = math.cos(2.0 * math.Pi * (i % L) / L)
+      val flip = if ((i / L) % 2 == 0) 1.0 else -1.0
+      Seq(("e", 0, i.toLong, base), ("e", 1, i.toLong, base * flip))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val stim = (0 until n).flatMap { i =>
+      val u = if (i % L == 0) 5.0 else 0.0
+      Seq(("e", 0, i.toLong, u), ("e", 1, i.toLong, u))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_scaled")
+    // spike markers every L, plus sub-threshold noise maxima 1 apart
+    // on ch 0 that the half-max gate must ignore (else modal d = 1)
+    val pks = (0 until nSeg).flatMap { b =>
+      Seq(("e", 0, (b * L).toLong, 5.0), ("e", 1, (b * L).toLong, 5.0)) ++
+        Seq(("e", 0, (b * L + 2).toLong, 0.01),
+          ("e", 0, (b * L + 3).toLong, 0.01),
+          ("e", 0, (b * L + 4).toLong, 0.01))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_scaled")
+    val out = BeatMetrics.stimCoherence(sm, stim, pks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    for (ch <- Seq(0, 1)) {
+      assert(out(ch).getAs[Long]("seg_len") === L.toLong)
+      assert(out(ch).getAs[Long]("n_segments") === nSeg.toLong)
+      assert(out(ch).getAs[Double]("pacing_freq_hz") === 100.0 / L)
+    }
+    assert(math.abs(out(0).getAs[Double]("coherence") - 1.0) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("coherence")) < 1e-9)
+  }
 }

@@ -274,7 +274,19 @@ class GraphSpec extends SparkSpec {
       assert(out.keySet === Set(1L, 4L))
       assert(out(1L) === ((3L, 3L, 6L, 0.25)))
       assert(out(4L) === ((3L, 3L, 6L, 0.25)))
+      // round-9 memo pin: Q223 off Q126's memoized labels is
+      // identical to a fresh-fixpoint run. First call above populated
+      // the memo; compare a memo-hit (after an explicit q126 run,
+      // the bench ordering) and a cold memo-miss against it.
+      Graph.clearLpMemo()
+      Graph.lpCommunities(spark, dir).collect() // q126 first, as in Bench
+      val hit = Graph.modularity(spark, dir).collect()
+        .map(r => r.getAs[Long]("community") ->
+          ((r.getAs[Long]("n_nodes"), r.getAs[Long]("intra_edges"),
+            r.getAs[Long]("deg_c"), r.getAs[Double]("modularity")))).toMap
+      assert(hit === out)
     } finally {
+      Graph.clearLpMemo()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }

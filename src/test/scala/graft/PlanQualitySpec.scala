@@ -349,6 +349,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q249-q250: no cartesians/BNLJ; DFA scale fan-out is a narrow Generate; coherence joins stay equi-keyed") {
+    val p9 = plan("q249_dfa")
+    assert(!p9.contains("CartesianProduct"), s"q249 cartesian:\n$p9")
+    assert(!p9.contains("BroadcastNestedLoopJoin"), s"q249 BNLJ:\n$p9")
+    // the ×|scales| fan-out is an explode of a literal array per
+    // profile row, never a join against a scale table
+    assert("Generate explode".r.findAllIn(p9).nonEmpty,
+      s"scale explode missing:\n$p9")
+    val p0 = plan("q250_coherence")
+    assert(!p0.contains("CartesianProduct"), s"q250 cartesian:\n$p0")
+    assert(!p0.contains("BroadcastNestedLoopJoin"), s"q250 BNLJ:\n$p0")
+    // the two sample streams meet in ONE equi-join keyed on
+    // (channel, sample_idx); the modal-interval and count tables are
+    // channel-dimension broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p0).nonEmpty,
+      s"modal/count tables must broadcast:\n$p0")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
