@@ -407,7 +407,12 @@ object StreamingOps {
   private def withFewStatePartitions[T](s: SparkSession, n: Int = 4)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // env override is a dev-only A/B knob for the fixture floor
+    // (SURVEY §6.1); results are partition-count-invariant, only the
+    // per-partition state-store commit overhead moves
+    val eff = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     try f finally s.conf.set(key, prev)
   }
 
