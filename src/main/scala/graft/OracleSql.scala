@@ -1692,6 +1692,150 @@ object OracleSql {
        |FROM cfin""".stripMargin
   }
 
+  /** Q251 — heart-rate fragmentation (mirrors
+    * BeatMetrics.fragmentation): integer sign runs over the RR
+    * difference series, PIP/IALS/PSS as pinned divisions of integer
+    * counts.
+    */
+  def q251Fragmentation(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |fr0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_fr0 AS d
+       |  FROM detected
+       |  WINDOW w_fr0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |fr1 AS (
+       |  SELECT experiment_id, channel, peak_idx, d,
+       |    d - lag(d) OVER w_fr0 AS delta
+       |  FROM fr0 WHERE d IS NOT NULL
+       |  WINDOW w_fr1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |fr2 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1 ELSE 0 END AS s
+       |  FROM fr1 WHERE delta IS NOT NULL
+       |),
+       |fr3 AS (
+       |  SELECT *,
+       |    CASE WHEN lag(s) OVER w_fr3 IS NULL THEN 1
+       |         WHEN s != lag(s) OVER w_fr3 THEN 1 ELSE 0 END AS chg
+       |  FROM fr2
+       |  WINDOW w_fr3 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |fr4 AS (
+       |  SELECT *, sum(chg) OVER (
+       |    PARTITION BY experiment_id, channel ORDER BY peak_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM fr3
+       |),
+       |frr AS (
+       |  SELECT experiment_id, channel, run, CAST(count(*) AS BIGINT) AS len
+       |  FROM fr4 GROUP BY 1, 2, 3
+       |),
+       |fra AS (
+       |  SELECT experiment_id, channel, CAST(sum(len) AS BIGINT) AS m,
+       |    CAST(count(*) AS BIGINT) AS n_runs,
+       |    CAST(sum(CASE WHEN len < 3 THEN len ELSE 0 END) AS BIGINT)
+       |      AS short_deltas
+       |  FROM frr GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, m AS n_deltas, n_runs,
+       |  CAST(n_runs - 1 AS DOUBLE) / CAST(m AS DOUBLE) AS pip,
+       |  CAST(n_runs AS DOUBLE) / CAST(m AS DOUBLE) AS ials,
+       |  CAST(short_deltas AS DOUBLE) / CAST(m AS DOUBLE) AS pss
+       |FROM fra""".stripMargin
+
+  /** Q252 — lagged cross-channel correlation (mirrors
+    * BeatMetrics.laggedXcorr): literal lag grid, shifted equi-join,
+    * decimal Pearson moments, struct-argmax on (r, −lag).
+    */
+  def q252LaggedXcorr(cfg: graft.PeakConfig = graft.PeakConfig(),
+                      lags: Seq[Int] = Seq(-40, -30, -20, -10, 0,
+                        10, 20, 30, 40)): String = {
+    val lagRows = lags.map(l => s"(CAST($l AS BIGINT))").mkString(", ")
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |xl(l) AS (VALUES $lagRows),
+       |xj AS (
+       |  SELECT a.experiment_id, a.channel AS ca, b.channel AS cb, bl.l,
+       |    a.v AS va, b.v AS vb
+       |  FROM smooth a
+       |  JOIN xl bl ON true
+       |  JOIN smooth b ON b.experiment_id = a.experiment_id
+       |    AND b.sample_idx - bl.l = a.sample_idx
+       |  WHERE a.channel < b.channel
+       |),
+       |xm AS (
+       |  SELECT experiment_id, ca, cb, l, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(va AS DECIMAL(28,14))) AS sx,
+       |    sum(CAST(vb AS DECIMAL(28,14))) AS sy,
+       |    sum(CAST(va * va AS DECIMAL(38,8))) AS sxx,
+       |    sum(CAST(vb * vb AS DECIMAL(38,8))) AS syy,
+       |    sum(CAST(va * vb AS DECIMAL(38,8))) AS sxy
+       |  FROM xj GROUP BY 1, 2, 3, 4
+       |),
+       |xr AS (
+       |  SELECT experiment_id, ca, cb, l,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / nullif(sqrt(greatest(
+       |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)), 0.0)
+       |      AS r
+       |  FROM xm WHERE n > 1
+       |)
+       |SELECT experiment_id, ca, cb, CAST(count(*) AS BIGINT) AS n_lags,
+       |  -(max({'r': r, 'nl': -l})).nl AS best_lag,
+       |  (max({'r': r, 'nl': -l})).r AS best_r,
+       |  max(CASE WHEN l = 0 THEN r END) AS r_zero_lag
+       |FROM xr WHERE r IS NOT NULL GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Q253 — beat-morphology variability band (mirrors
+    * BeatMetrics.morphologyBand): Q236's fixed-lag complete windows,
+    * per-offset decimal mean and n·Σx²−(Σx)² SD with pinned
+    * finishes.
+    */
+  def q253MorphologyBand(cfg: graft.PeakConfig = graft.PeakConfig(),
+                         before: Int = 20, after: Int = 40): String = {
+    val winLen = before + after + 1
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |mb0 AS (
+       |  SELECT d.experiment_id, d.channel, d.peak_idx, g.gs AS off,
+       |    d.peak_idx + g.gs AS sample_idx
+       |  FROM detected d, generate_series(-$before, $after) AS g(gs)
+       |),
+       |mb1 AS (
+       |  SELECT o.experiment_id, o.channel, o.peak_idx, o.off, s.v
+       |  FROM mb0 o JOIN smooth s ON s.experiment_id = o.experiment_id
+       |    AND s.channel = o.channel AND s.sample_idx = o.sample_idx
+       |),
+       |mb2 AS (
+       |  SELECT experiment_id, channel, peak_idx FROM mb1
+       |  GROUP BY 1, 2, 3 HAVING count(*) = $winLen
+       |),
+       |mb3 AS (
+       |  SELECT w.* FROM mb1 w JOIN mb2 c ON c.experiment_id = w.experiment_id
+       |    AND c.channel = w.channel AND c.peak_idx = w.peak_idx
+       |),
+       |mba AS (
+       |  SELECT experiment_id, channel, off,
+       |    CAST(count(*) AS BIGINT) AS n_beats,
+       |    sum(CAST(v AS DECIMAL(28,14))) AS sx,
+       |    sum(CAST(v * v AS DECIMAL(28,10))) AS sxx
+       |  FROM mb3 GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, channel, off, n_beats,
+       |  CAST(sx AS DOUBLE) / CAST(n_beats AS DOUBLE) AS template_v,
+       |  sqrt(greatest(CAST(n_beats AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+       |    / CAST(n_beats AS DOUBLE) AS sd_v
+       |FROM mba""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -1467,4 +1467,161 @@ object BeatMetrics {
       when(pxD > 0.0 && pyD > 0.0, atan2(iD, rD))
         .as("cross_phase_rad"): _*)
   }
+
+  /** Q251 — heart-rate fragmentation (Costa/Davis/Goldberger-style
+    * indices over the RR difference series): how often the rhythm
+    * FLIPS between accelerating and decelerating — elevated
+    * fragmentation is a marker of degraded sinoatrial control that
+    * SDNN/RMSSD miss because it lives in sign structure, not
+    * magnitude. Per channel, over the deltas Δₖ = dₖ₊₁ − dₖ with
+    * sign sₖ ∈ {−1, 0, +1} and maximal equal-sign runs:
+    * PIP = (n_runs − 1)/m (fraction of consecutive-delta sign
+    * changes), IALS = n_runs/m (inverse mean run length),
+    * PSS = (deltas in runs shorter than 3)/m. Zero deltas form
+    * their own runs (documented variant; the alternation-segment
+    * index PAS is deliberately not carried — beat-scale alternation
+    * is Q232's domain). Channels with fewer than 3 peaks have no
+    * delta pair and emit no row (the Q231 convention).
+    *
+    * Exactness: every count is an integer off integer signs; the
+    * three indices are single pinned divisions. Scale: two ordered
+    * window passes and two map-side-combinable aggregates per
+    * channel; run ids are per-channel prefix sums of change flags
+    * (recording-length bounded, the q246 discipline).
+    */
+  def fragmentation(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val sgn = rr
+      .withColumn("delta", col("d") - lag(col("d"), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("s", when(col("delta") > 0L, lit(1))
+        .when(col("delta") < 0L, lit(-1)).otherwise(lit(0)))
+      .withColumn("chg", when(lag(col("s"), 1).over(w).isNull, lit(1L))
+        .when(col("s") =!= lag(col("s"), 1).over(w), lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("run", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = sgn.groupBy(keys :+ col("run"): _*)
+      .agg(count(lit(1)).as("len"))
+    val agg = runs.groupBy(keys: _*)
+      .agg(sum(col("len")).as("m"), count(lit(1)).as("n_runs"),
+        sum(when(col("len") < 3L, col("len")).otherwise(lit(0L)))
+          .as("short_deltas"))
+    val mD = col("m").cast("double")
+    agg.select(keys :+ col("m").as("n_deltas") :+ col("n_runs") :+
+      ((col("n_runs") - 1L).cast("double") / mD).as("pip") :+
+      (col("n_runs").cast("double") / mD).as("ials") :+
+      (col("short_deltas").cast("double") / mD).as("pss"): _*)
+  }
+
+  /** Q252 — lagged cross-channel correlation: for every ordered
+    * channel pair (a < b) within an experiment and every lag ℓ in a
+    * fixed grid, the Pearson correlation of (v_a(t), v_b(t + ℓ))
+    * over the overlapping samples, reporting the best-aligned lag
+    * (argmax r, ties to the smallest lag) alongside the zero-lag
+    * reference — Q242's synchrony matrix generalized to conduction
+    * DELAY estimation (which channel leads, and by how much).
+    *
+    * Exactness: the shifted join key t = sample_idx − ℓ is integer;
+    * Pearson moments are per-row products quantized to DECIMAL
+    * before their sums (combine-order-free), the finish is one
+    * pinned expression, and the argmax is a struct-max on
+    * (r, −ℓ) — zero-variance lags (null r) are dropped before the
+    * argmax, so a tie is broken by the smallest lag among defined
+    * correlations.
+    *
+    * Scale shape: one explode of a literal lag grid on the right
+    * stream, one equi-join on (experiment, t) — co-partitioned,
+    * never a cross join — and (pair, lag)-keyed map-side-combinable
+    * aggregates. Work is bounded by channels² × |lags| × recording
+    * length per experiment; channels-per-experiment is a fixture
+    * constant (9 in the reference contract), so the pair fan-out
+    * never follows corpus growth.
+    */
+  def laggedXcorr(smooth: DataFrame,
+                  lags: Seq[Int] = Seq(-40, -30, -20, -10, 0,
+                    10, 20, 30, 40)): DataFrame = {
+    val base = smooth.select(col("experiment_id"), col("channel"),
+      col("sample_idx"), col("y_smooth"))
+    val a = base.select(col("experiment_id"), col("channel").as("ca"),
+      col("sample_idx").as("t"), col("y_smooth").as("va"))
+    val b = base
+      .withColumn("l", explode(array(lags.map(v => lit(v.toLong)): _*)))
+      .select(col("experiment_id"), col("channel").as("cb"),
+        (col("sample_idx") - col("l")).as("t"), col("l"),
+        col("y_smooth").as("vb"))
+    val pairs = a.join(b, Seq("experiment_id", "t"))
+      .filter(col("ca") < col("cb"))
+    val mo = pairs.groupBy(col("experiment_id"), col("ca"), col("cb"),
+        col("l"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("va").cast("decimal(28,14)")).as("sx"),
+        sum(col("vb").cast("decimal(28,14)")).as("sy"),
+        sum((col("va") * col("va")).cast("decimal(38,8)")).as("sxx"),
+        sum((col("vb") * col("vb")).cast("decimal(38,8)")).as("syy"),
+        sum((col("va") * col("vb")).cast("decimal(38,8)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val perLag = mo.filter(col("n") > 1L)
+      .withColumn("r", cov /
+        nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0)))
+    perLag.filter(col("r").isNotNull)
+      .groupBy(col("experiment_id"), col("ca"), col("cb"))
+      .agg(count(lit(1)).as("n_lags"),
+        max(struct(col("r"), (-col("l")).as("nl"))).as("best"),
+        max(when(col("l") === 0L, col("r"))).as("r_zero_lag"))
+      .select(col("experiment_id"), col("ca"), col("cb"),
+        col("n_lags"), (-col("best.nl")).as("best_lag"),
+        col("best.r").as("best_r"), col("r_zero_lag"))
+  }
+
+  /** Q253 — beat-morphology variability band: the per-offset
+    * standard deviation around Q236's ensemble template (mean beat
+    * shape ± SD over the same fixed-lag complete windows) — the
+    * "tube" that turns one template number into WHERE in the beat
+    * cycle the variability lives (upstroke jitter vs relaxation
+    * drift), and the per-offset complement of Q236's per-beat
+    * correlation.
+    *
+    * Exactness: mean and SD per offset come from DECIMAL-quantized
+    * sums in the n·Σx² − (Σx)² form with pinned double finishes
+    * (one division, one guarded sqrt) — identical discipline to the
+    * Q236 template moments. Scale: the offset fan-out rides the
+    * beat table (≪ samples), values join back equi-keyed on
+    * (channel, sample_idx), the complete-window gate is a window
+    * count — one exchange per aggregate, media never involved.
+    */
+  def morphologyBand(enriched: DataFrame, peaks: DataFrame,
+                     before: Int = 20, after: Int = 40): DataFrame = {
+    val winLen = before + after + 1
+    val offs = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("off",
+        explode(sequence(lit(-before.toLong), lit(after.toLong))))
+      .withColumn("sample_idx", col("peak_idx") + col("off"))
+    val win = offs.join(
+      enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*),
+      keyCols :+ "sample_idx")
+    val wb = Window.partitionBy(keys :+ col("peak_idx"): _*)
+    val winc = win.withColumn("_wn", count(lit(1)).over(wb))
+      .filter(col("_wn") === winLen)
+    val agg = winc.groupBy(keys :+ col("off"): _*)
+      .agg(count(lit(1)).as("n_beats"),
+        sum(col("y_smooth").cast("decimal(28,14)")).as("sx"),
+        sum((col("y_smooth") * col("y_smooth")).cast("decimal(28,10)"))
+          .as("sxx"))
+    val nD = col("n_beats").cast("double")
+    agg.select(keys :+ col("off") :+ col("n_beats") :+
+      (col("sx").cast("double") / nD).as("template_v") :+
+      (sqrt(greatest(nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"),
+        lit(0.0))) / nD).as("sd_v"): _*)
+  }
 }

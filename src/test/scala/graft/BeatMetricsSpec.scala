@@ -743,4 +743,69 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("coherence") - 1.0) < 1e-9)
     assert(math.abs(out(1).getAs[Double]("coherence")) < 1e-9)
   }
+
+  test("fragmentation: hand-computed sign runs; channels without a delta pair emit no row") {
+    import spark.implicits._
+    // d = [100,110,120,130,125,120,115,115] -> deltas
+    // [10,10,10,-5,-5,-5,0], signs [1,1,1,-1,-1,-1,0], runs of
+    // lengths 3,3,1 -> m=7, n_runs=3, PIP=2/7, IALS=3/7, PSS=1/7
+    val ds = Seq(100L, 110L, 120L, 130L, 125L, 120L, 115L, 115L)
+    val idxs = ds.scanLeft(0L)(_ + _)
+    val peaks = (idxs.map(("e", 0, _)) ++ Seq(("e", 1, 0L), ("e", 1, 90L)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.fragmentation(peaks).collect()
+    assert(out.length === 1) // ch 1 has one RR interval, no delta
+    val r = out(0)
+    assert(r.getAs[Int]("channel") === 0)
+    assert(r.getAs[Long]("n_deltas") === 7L)
+    assert(r.getAs[Long]("n_runs") === 3L)
+    assert(r.getAs[Double]("pip") === 2.0 / 7.0)
+    assert(r.getAs[Double]("ials") === 3.0 / 7.0)
+    assert(r.getAs[Double]("pss") === 1.0 / 7.0)
+  }
+
+  test("laggedXcorr: recovers a known 20-sample delay; zero-variance channels drop out") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val n = 200
+    val f = Iterator.iterate(0.0)(_ + rng.nextGaussian()).take(n + 60).toSeq
+    // ch 1 is ch 0 delayed by 20 samples: v1(t) = f(t - 20 + 30)
+    val rows = (0 until n).flatMap { t =>
+      Seq(("e", 0, t.toLong, f(t + 30)), ("e", 1, t.toLong, f(t + 10)),
+        ("e", 2, t.toLong, 5.0)) // constant -> r undefined at every lag
+    }.toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val out = BeatMetrics.laggedXcorr(rows).collect()
+      .map(r => (r.getAs[Int]("ca"), r.getAs[Int]("cb")) -> r).toMap
+    // pairs with the constant channel have no defined correlation
+    assert(out.keySet === Set((0, 1)))
+    val r01 = out((0, 1))
+    // v1(t + l) = f(t + l + 10) matches v0(t) = f(t + 30) at l = 20
+    assert(r01.getAs[Long]("best_lag") === 20L)
+    assert(math.abs(r01.getAs[Double]("best_r") - 1.0) < 1e-9)
+    assert(r01.getAs[Double]("r_zero_lag") < r01.getAs[Double]("best_r"))
+  }
+
+  test("morphologyBand: per-offset mean/SD match a serial replication; incomplete windows excluded") {
+    import spark.implicits._
+    // 3 beats at 100/200/300 over a 0..340 ramp-with-bumps series,
+    // plus a beat at 10 whose window falls off the left edge
+    val vs = (0 to 340).map(i => (i % 37).toDouble + 0.01 * i)
+    val sigDf = vs.zipWithIndex.map { case (v, i) => ("e", 0, i.toLong, v) }
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val peaks = Seq(10L, 100L, 200L, 300L).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.morphologyBand(sigDf, peaks, before = 20, after = 40)
+      .collect().map(r => r.getAs[Long]("off") -> r).toMap
+    assert(out.size === 61)
+    val centers = Seq(100, 200, 300) // beat 10 is incomplete (10-20 < 0)
+    for (off <- Seq(-20L, 0L, 40L)) {
+      val xs = centers.map(c => vs((c + off).toInt))
+      val m = xs.sum / 3.0
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / 3.0)
+      val r = out(off)
+      assert(r.getAs[Long]("n_beats") === 3L)
+      assert(math.abs(r.getAs[Double]("template_v") - m) < 1e-9)
+      assert(math.abs(r.getAs[Double]("sd_v") - sd) < 1e-9)
+    }
+  }
 }

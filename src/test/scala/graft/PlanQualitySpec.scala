@@ -367,6 +367,24 @@ class PlanQualitySpec extends SparkSpec {
       s"modal/count tables must broadcast:\n$p0")
   }
 
+  test("q251-q253: no cartesians/BNLJ; xcorr lag fan-out is a narrow Generate feeding an equi-join") {
+    for (q <- Seq("q251_fragmentation", "q253_morphology_band")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+    val p2 = plan("q252_lagged_xcorr")
+    assert(!p2.contains("CartesianProduct"), s"q252 cartesian:\n$p2")
+    assert(!p2.contains("BroadcastNestedLoopJoin"), s"q252 BNLJ:\n$p2")
+    // the lag grid explodes per sample row and the two streams meet in
+    // an equi-join on (experiment, shifted t) — never an unkeyed
+    // channels x channels x lags product
+    assert("Generate explode".r.findAllIn(p2).nonEmpty,
+      s"lag explode missing:\n$p2")
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(p2).isDefined, s"xcorr must equi-join:\n$p2")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
