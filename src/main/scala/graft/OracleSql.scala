@@ -1836,6 +1836,169 @@ object OracleSql {
        |FROM mba""".stripMargin
   }
 
+  /** Q254 — approximate entropy (mirrors
+    * BeatMetrics.approximateEntropy): self-match-inclusive template
+    * counts, per-template ln quantized before the mean, pinned
+    * Φ²−Φ³ finish.
+    */
+  def q254Apen(cfg: graft.PeakConfig = graft.PeakConfig(),
+               rFrac: Double = 0.2): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |ae0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_ae0 AS d
+       |  FROM detected
+       |  WINDOW w_ae0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |ae1 AS MATERIALIZED (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER w_ae1 - 1 AS k,
+       |    lead(d, 1) OVER w_ae1 AS d1,
+       |    lead(d, 2) OVER w_ae1 AS d2
+       |  FROM ae0 WHERE d IS NOT NULL
+       |  WINDOW w_ae1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |aest AS MATERIALIZED (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS s2
+       |  FROM ae1 GROUP BY 1, 2
+       |),
+       |aethr AS MATERIALIZED (
+       |  SELECT experiment_id, channel, n,
+       |    ${dlit(rFrac)} * (sqrt(greatest(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0))
+       |      / CAST(n AS DOUBLE)) AS r_thresh
+       |  FROM aest
+       |),
+       |aec AS (
+       |  SELECT a.experiment_id, a.channel, a.k AS ka, t.n, t.r_thresh,
+       |    CAST(sum(CASE WHEN a.d1 IS NOT NULL AND b.d1 IS NOT NULL
+       |      AND CAST(greatest(abs(a.d - b.d), abs(a.d1 - b.d1)) AS DOUBLE)
+       |        <= t.r_thresh THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(sum(CASE WHEN a.d1 IS NOT NULL AND b.d1 IS NOT NULL
+       |      AND a.d2 IS NOT NULL AND b.d2 IS NOT NULL
+       |      AND CAST(greatest(abs(a.d - b.d), abs(a.d1 - b.d1),
+       |        abs(a.d2 - b.d2)) AS DOUBLE) <= t.r_thresh
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c3
+       |  FROM ae1 a
+       |  JOIN ae1 b ON b.experiment_id = a.experiment_id
+       |    AND b.channel = a.channel
+       |  JOIN aethr t ON t.experiment_id = a.experiment_id
+       |    AND t.channel = a.channel
+       |  GROUP BY 1, 2, 3, 4, 5
+       |),
+       |aephi AS (
+       |  SELECT experiment_id, channel, n, r_thresh,
+       |    sum(CASE WHEN c2 > 0 THEN CAST(ln(CAST(c2 AS DOUBLE)
+       |      / CAST(n - 1 AS DOUBLE)) AS DECIMAL(38,14)) END) AS l2,
+       |    sum(CASE WHEN c3 > 0 THEN CAST(ln(CAST(c3 AS DOUBLE)
+       |      / CAST(n - 2 AS DOUBLE)) AS DECIMAL(38,14)) END) AS l3
+       |  FROM aec GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT experiment_id, channel, n AS n_rr, r_thresh,
+       |  CASE WHEN n >= 2 THEN CAST(l2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS phi2,
+       |  CASE WHEN n >= 3 THEN CAST(l3 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS phi3,
+       |  (CASE WHEN n >= 2 THEN CAST(l2 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END)
+       |    - (CASE WHEN n >= 3 THEN CAST(l3 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END)
+       |    AS apen
+       |FROM aephi""".stripMargin
+
+  /** Q255 — residual signal-quality index (mirrors
+    * BeatMetrics.residualSqi): decimal power sums to order 4,
+    * central-moment and skew/kurtosis pinned finishes.
+    */
+  def q255ResidualSqi(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |sq0 AS (
+       |  SELECT s.experiment_id, s.channel, g.y - s.v AS r
+       |  FROM smooth s JOIN sig g ON g.experiment_id = s.experiment_id
+       |    AND g.channel = s.channel AND g.sample_idx = s.sample_idx
+       |  WHERE g.y IS NOT NULL AND s.v IS NOT NULL
+       |),
+       |sqa AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(r AS DECIMAL(28,14))) AS s1,
+       |    sum(CAST(r * r AS DECIMAL(38,10))) AS s2,
+       |    sum(CAST(r * r * r AS DECIMAL(38,8))) AS s3,
+       |    sum(CAST(r * r * r * r AS DECIMAL(38,6))) AS s4
+       |  FROM sq0 GROUP BY 1, 2
+       |),
+       |sqm AS (
+       |  SELECT *,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2
+       |  FROM sqa
+       |),
+       |sqf AS (
+       |  SELECT *,
+       |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - 3.0 * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      + 2.0 * mu * mu * mu AS m3,
+       |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - 4.0 * mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      + 6.0 * mu * mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      - 3.0 * mu * mu * mu * mu AS m4
+       |  FROM sqm
+       |)
+       |SELECT experiment_id, channel, n, mu AS resid_mean,
+       |  sqrt(greatest(m2, 0.0)) AS resid_sd,
+       |  CASE WHEN n > 2 AND m2 > 0.0 THEN
+       |    m3 / sqrt(greatest(m2 * m2 * m2, 0.0)) END AS skewness,
+       |  CASE WHEN n > 3 AND m2 > 0.0 THEN
+       |    m4 / (m2 * m2) - 3.0 END AS excess_kurtosis
+       |FROM sqf""".stripMargin
+
+  /** Q256 — beat-force autocorrelation (mirrors
+    * BeatMetrics.forceAutocorr): shared lead window, literal lag
+    * fan-out, decimal Pearson moments, pinned finish.
+    */
+  def q256ForceAutocorr(cfg: graft.PeakConfig = graft.PeakConfig(),
+                        maxLag: Int = 3): String = {
+    val lagRows = (1 to maxLag).map(l => s"(CAST($l AS BIGINT))").mkString(", ")
+    val fbCase = (maxLag to 1 by -1)
+      .map(l => s"WHEN fl.l = $l THEN f.f$l").mkString(" ")
+    val leadCols = (1 to maxLag)
+      .map(l => s"lead(force, $l) OVER w_fa AS f$l").mkString(",\n       |    ")
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |fa0 AS (
+       |  SELECT experiment_id, channel, peak_idx, force,
+       |    $leadCols
+       |  FROM m
+       |  WINDOW w_fa AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |fal(l) AS (VALUES $lagRows),
+       |fa1 AS (
+       |  SELECT f.experiment_id, f.channel, fl.l, f.force,
+       |    CASE $fbCase END AS fb
+       |  FROM fa0 f, fal fl
+       |),
+       |fam AS (
+       |  SELECT experiment_id, channel, l,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    sum(CAST(force AS DECIMAL(28,14))) AS sx,
+       |    sum(CAST(fb AS DECIMAL(28,14))) AS sy,
+       |    sum(CAST(force * force AS DECIMAL(38,8))) AS sxx,
+       |    sum(CAST(fb * fb AS DECIMAL(38,8))) AS syy,
+       |    sum(CAST(force * fb AS DECIMAL(38,8))) AS sxy
+       |  FROM fa1 WHERE force IS NOT NULL AND fb IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, channel, l AS lag, n_pairs,
+       |  CASE WHEN n_pairs > 1 THEN
+       |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / nullif(sqrt(greatest(
+       |        (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)), 0.0)
+       |  END AS acf
+       |FROM fam""".stripMargin
+  }
+
   /** Per-beat metric CTEs ending in `m(experiment_id, channel,
     * peak_idx, t, peak_value, baseline_value, force, time_to_peak,
     * time_to_relaxation, duration)`. Mirrors BeatMetrics.metrics:

@@ -1624,4 +1624,166 @@ object BeatMetrics {
         col("sx").cast("double") * col("sx").cast("double"),
         lit(0.0))) / nD).as("sd_v"): _*)
   }
+
+  /** Q254 — approximate entropy (Pincus ApEn, m=2, r=0.2·SD) of the
+    * RR series: Φᵐ = mean over templates of ln(Cᵢᵐ/(N−m+1)) with
+    * SELF-MATCHES INCLUDED (every Cᵢ ≥ 1, so no log-of-zero),
+    * ApEn = Φ² − Φ³ — the biased-but-always-defined predecessor of
+    * Q246's SampEn, kept alongside it because the two disagree
+    * exactly where the bias matters (short trains), which is itself
+    * a data-quality signal. Same Chebyshev tolerance and population-
+    * SD threshold as Q246.
+    *
+    * Exactness: match counts are integers off integer-interval
+    * comparisons against one pinned r; each per-template
+    * ln(count/(N−m+1)) is one pinned double quantized to DECIMAL
+    * before the template mean (combine-order-free); Φ and the final
+    * difference are pinned finishes. Scale: the per-channel
+    * template self-join is equi-keyed on the channel and bounded by
+    * recording length squared (the q246 discipline), never by
+    * corpus size.
+    */
+  def approximateEntropy(peaks: DataFrame, rFrac: Double = 0.2): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("k", row_number().over(w) - lit(1))
+      .withColumn("d1", lead(col("d"), 1).over(w))
+      .withColumn("d2", lead(col("d"), 2).over(w))
+    val st = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+    val nD = col("n").cast("double")
+    val rThr = (lit(rFrac) *
+      (sqrt(greatest(nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"),
+        lit(0.0))) / nD)).as("r_thresh")
+    val a = rr.select(keys :+ col("k").as("ka") :+ col("d").as("da") :+
+      col("d1").as("da1") :+ col("d2").as("da2"): _*)
+    val b = rr.select(keys :+ col("k").as("kb") :+ col("d").as("db") :+
+      col("d1").as("db1") :+ col("d2").as("db2"): _*)
+    // full ordered pairs INCLUDING i = j (the ApEn self-match)
+    val pairs = a.join(b, keyCols)
+      .join(st.select(keys :+ rThr :+ col("n"): _*), keyCols)
+    val m2Tpl = col("da1").isNotNull && col("db1").isNotNull
+    val chev2 = greatest(abs(col("da") - col("db")),
+      abs(col("da1") - col("db1"))).cast("double")
+    val m3Tpl = m2Tpl && col("da2").isNotNull && col("db2").isNotNull
+    val chev3 = greatest(abs(col("da") - col("db")),
+      abs(col("da1") - col("db1")),
+      abs(col("da2") - col("db2"))).cast("double")
+    val cnt = pairs.groupBy(keys :+ col("ka") :+ col("n") :+
+        col("r_thresh"): _*)
+      .agg(sum(when(m2Tpl && chev2 <= col("r_thresh"), 1L)
+        .otherwise(0L)).as("c2"),
+        sum(when(m3Tpl && chev3 <= col("r_thresh"), 1L)
+          .otherwise(0L)).as("c3"))
+    val t2 = (col("n") - 1L).cast("double") // N - m + 1 for m = 2
+    val t3 = (col("n") - 2L).cast("double")
+    val phi = cnt.groupBy(keys :+ col("n") :+ col("r_thresh"): _*)
+      .agg(sum(when(col("c2") > 0L,
+        log(col("c2").cast("double") / t2).cast("decimal(38,14)")))
+        .as("l2"),
+        sum(when(col("c3") > 0L,
+          log(col("c3").cast("double") / t3).cast("decimal(38,14)")))
+          .as("l3"))
+    val phi2 = when(col("n") >= 2L,
+      col("l2").cast("double") / (col("n") - 1L).cast("double"))
+    val phi3 = when(col("n") >= 3L,
+      col("l3").cast("double") / (col("n") - 2L).cast("double"))
+    phi.select(keys :+ col("n").as("n_rr") :+ col("r_thresh") :+
+      phi2.as("phi2") :+ phi3.as("phi3") :+
+      (phi2 - phi3).as("apen"): _*)
+  }
+
+  /** Q255 — residual signal-quality index: mean, SD, skewness, and
+    * excess kurtosis of the smoothing residual (raw − smoothed) per
+    * channel. A clean recording leaves near-Gaussian residuals
+    * (skew ≈ 0, excess kurtosis ≈ 0); spikes/dropouts fatten the
+    * tails LONG before they corrupt the beat metrics — this is the
+    * per-channel gate a 100 TB ingest runs BEFORE paying the
+    * detection pipeline.
+    *
+    * Exactness: raw power sums Σr..Σr⁴ are per-row pinned products
+    * quantized to DECIMAL before their sums; the central-moment
+    * formulas (m₂..m₄ via μ) and the skew/kurtosis finishes are
+    * single pinned double expressions — the q114 discipline
+    * extended to order 4. Scale: one map-side-combinable aggregate
+    * per channel; nothing else.
+    */
+  def residualSqi(smoothed: DataFrame): DataFrame = {
+    val r = col("y") - col("y_smooth")
+    val base = smoothed
+      .filter(col("y").isNotNull && col("y_smooth").isNotNull)
+      .select(keys :+ r.as("r"): _*)
+    val agg = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast("decimal(28,14)")).as("s1"),
+        sum((col("r") * col("r")).cast("decimal(38,10)")).as("s2"),
+        sum((col("r") * col("r") * col("r")).cast("decimal(38,8)"))
+          .as("s3"),
+        sum((col("r") * col("r") * col("r") * col("r"))
+          .cast("decimal(38,6)")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * (col("s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mu * (col("s3").cast("double") / nD) +
+      lit(6.0) * mu * mu * (col("s2").cast("double") / nD) -
+      lit(3.0) * mu * mu * mu * mu
+    agg.select(keys :+ col("n") :+ mu.as("resid_mean") :+
+      sqrt(greatest(m2, lit(0.0))).as("resid_sd") :+
+      when(col("n") > 2L && m2 > 0.0,
+        m3 / sqrt(greatest(m2 * m2 * m2, lit(0.0)))).as("skewness") :+
+      when(col("n") > 3L && m2 > 0.0,
+        m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"): _*)
+  }
+
+  /** Q256 — beat-force autocorrelation at lags 1..k: Pearson r of
+    * (forceᵢ, forceᵢ₊ℓ) over the pairwise-complete beat pairs — the
+    * beat-grain complement of Q137's sample-grain autocorrelation
+    * and the memory-structure metric behind Q232's lag-1 alternans
+    * (ACF(1) ≈ −1 IS alternans; slow decay is fatigue drift).
+    *
+    * Exactness: pair moments are per-row products quantized to
+    * DECIMAL before their sums; each lag's Pearson is one pinned
+    * finish over pair-specific means. Scale: one ordered window
+    * pass per channel (lead columns share the sort), ×k literal lag
+    * fan-out, map-side-combinable (channel, lag) aggregates.
+    */
+  def forceAutocorr(metricsDf: DataFrame, maxLag: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val leads = (1 to maxLag).foldLeft(
+      metricsDf.select(keys :+ col("peak_idx") :+ col("force"): _*)) {
+      case (df, l) => df.withColumn(s"f$l", lead(col("force"), l).over(w))
+    }
+    val lagged = leads.withColumn("l",
+      explode(array((1 to maxLag).map(v => lit(v.toLong)): _*)))
+    val fb = (1 to maxLag).foldLeft(lit(null).cast("double")) {
+      case (acc, l) => when(col("l") === l.toLong, col(s"f$l")).otherwise(acc)
+    }
+    val pairs = lagged.withColumn("fb", fb)
+      .filter(col("force").isNotNull && col("fb").isNotNull)
+    val mo = pairs.groupBy(keys :+ col("l"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("force").cast("decimal(28,14)")).as("sx"),
+        sum(col("fb").cast("decimal(28,14)")).as("sy"),
+        sum((col("force") * col("force")).cast("decimal(38,8)")).as("sxx"),
+        sum((col("fb") * col("fb")).cast("decimal(38,8)")).as("syy"),
+        sum((col("force") * col("fb")).cast("decimal(38,8)")).as("sxy"))
+    val nD = col("n_pairs").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    mo.select(keys :+ col("l").as("lag") :+ col("n_pairs") :+
+      when(col("n_pairs") > 1L, cov /
+        nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0))).as("acf"): _*)
+  }
 }

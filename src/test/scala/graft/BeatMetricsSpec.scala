@@ -808,4 +808,80 @@ class BeatMetricsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("sd_v") - sd) < 1e-9)
     }
   }
+
+  test("approximateEntropy: matches a serial replication with self-matches; constant train gives apen 0") {
+    import spark.implicits._
+    def serial(ds: Seq[Long], rFrac: Double = 0.2): (Double, Double) = {
+      val n = ds.size
+      val mean = ds.sum.toDouble / n
+      val r = rFrac * math.sqrt(ds.map(d => (d - mean) * (d - mean)).sum / n)
+      def phi(m: Int): Double = {
+        val tpl = (0 to n - m).map(i => ds.slice(i, i + m))
+        val logs = tpl.map { x =>
+          val c = tpl.count(y =>
+            x.zip(y).map { case (a, b) => math.abs(a - b).toDouble }.max <= r)
+          math.log(c.toDouble / tpl.size)
+        }
+        logs.sum / tpl.size
+      }
+      (phi(2), phi(3))
+    }
+    val ds0 = Seq(100L, 200L, 100L, 200L, 100L)
+    val ds1 = Seq(100L, 100L, 100L, 100L)
+    val peaks = (ds0.scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      ds1.scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.approximateEntropy(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val (p2, p3) = serial(ds0)
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_rr") === 5L)
+    assert(math.abs(r0.getAs[Double]("phi2") - p2) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("phi3") - p3) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("apen") - (p2 - p3)) < 1e-9)
+    // constant train: r = 0, every template self-identical -> phi = 0
+    val r1 = out(1)
+    assert(r1.getAs[Double]("phi2") === 0.0 &&
+      r1.getAs[Double]("phi3") === 0.0 &&
+      r1.getAs[Double]("apen") === 0.0)
+  }
+
+  test("residualSqi: symmetric residuals pin skew 0 and hand-computed kurtosis") {
+    import spark.implicits._
+    // residuals [3,-3,1,-1,2,-2]: mean 0, m2 = 28/6, m3 = 0,
+    // m4 = 196/6 -> skew 0, excess kurtosis 1176/784 - 3 = -1.5
+    val es = Seq(3.0, -3.0, 1.0, -1.0, 2.0, -2.0)
+    val rows = es.zipWithIndex.map { case (e, i) =>
+      ("e", 0, i.toLong, 100.0 + e, 100.0) }
+    val df = rows.toDF("experiment_id", "channel", "sample_idx",
+      "y", "y_smooth")
+    val r = BeatMetrics.residualSqi(df).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Double]("resid_mean") === 0.0)
+    assert(math.abs(r.getAs[Double]("resid_sd") -
+      math.sqrt(28.0 / 6.0)) < 1e-12)
+    assert(r.getAs[Double]("skewness") === 0.0)
+    assert(math.abs(r.getAs[Double]("excess_kurtosis") - (-1.5)) < 1e-12)
+  }
+
+  test("forceAutocorr: perfect alternation scores -1/+1/-1; null forces drop pairwise") {
+    import spark.implicits._
+    val f0 = Seq[java.lang.Double](1.0, 2.0, 1.0, 2.0, 1.0, 2.0)
+    val f1 = Seq[java.lang.Double](1.0, 2.0, null, 2.0, 1.0)
+    val rows =
+      f0.zipWithIndex.map { case (f, i) => ("e", 0, i * 100L, f) } ++
+        f1.zipWithIndex.map { case (f, i) => ("e", 1, i * 100L, f) }
+    val df = rows.toDF("experiment_id", "channel", "peak_idx", "force")
+    val out = BeatMetrics.forceAutocorr(df).collect()
+      .map(r => (r.getAs[Int]("channel"), r.getAs[Long]("lag")) -> r).toMap
+    assert(out((0, 1L)).getAs[Long]("n_pairs") === 5L)
+    assert(math.abs(out((0, 1L)).getAs[Double]("acf") - (-1.0)) < 1e-12)
+    assert(out((0, 2L)).getAs[Long]("n_pairs") === 4L)
+    assert(math.abs(out((0, 2L)).getAs[Double]("acf") - 1.0) < 1e-12)
+    assert(out((0, 3L)).getAs[Long]("n_pairs") === 3L)
+    assert(math.abs(out((0, 3L)).getAs[Double]("acf") - (-1.0)) < 1e-12)
+    // ch 1 lag 1: only (1,2) and (2,1) are pairwise complete -> r = -1
+    assert(out((1, 1L)).getAs[Long]("n_pairs") === 2L)
+    assert(math.abs(out((1, 1L)).getAs[Double]("acf") - (-1.0)) < 1e-12)
+  }
 }

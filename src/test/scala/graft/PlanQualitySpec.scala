@@ -385,6 +385,14 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(p2).isDefined, s"xcorr must equi-join:\n$p2")
   }
 
+  test("q254-q256: no cartesians/BNLJ; ApEn self-join stays channel-keyed") {
+    for (q <- Seq("q254_apen", "q255_residual_sqi", "q256_force_acf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
