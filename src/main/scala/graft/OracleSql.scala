@@ -1581,10 +1581,15 @@ object OracleSql {
     * terms, Welch-averaged cross/auto spectra, pinned ratio and
     * atan2 finishes.
     */
-  def q250Coherence(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
-    val rate = dlit(cfg.sampleRateHz)
+  /** Shared Q250/Q258 CTE chain: gated stim spikes -> modal pacing
+    * interval -> complete tumbling segments -> per-segment demeaned
+    * fundamental-bin projections, ending in `cproj(experiment_id,
+    * channel, seg_len, seg, ax, bx, ay, by)`. Mirrors
+    * BeatMetrics.pacingProjections.
+    */
+  def pacingProjCtes(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
     val twoPi = dlit(2.0 * math.Pi)
-    s"""WITH $sigCtes,
+    s"""$sigCtes,
        |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
        |$stimPeakCtes,
        |cgate AS (
@@ -1658,7 +1663,12 @@ object OracleSql {
        |      * sin($twoPi * k / CAST(seg_len AS DOUBLE))
        |      AS DECIMAL(28,14))) AS by
        |  FROM cm2 GROUP BY 1, 2, 3, 4
-       |),
+       |)""".stripMargin
+  }
+
+  def q250Coherence(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH ${pacingProjCtes(cfg)},
        |ccr AS (
        |  SELECT experiment_id, channel, seg_len,
        |    CAST(CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE)
@@ -1690,6 +1700,100 @@ object OracleSql {
        |  CASE WHEN CAST(px AS DOUBLE) > 0.0 AND CAST(py AS DOUBLE) > 0.0 THEN
        |    atan2(CAST(im AS DOUBLE), CAST(r AS DOUBLE)) END AS cross_phase_rad
        |FROM cfin""".stripMargin
+  }
+
+  /** Q257 — turning-point randomness test (mirrors
+    * BeatMetrics.turningPoints): integer strict-extremum count vs
+    * the Kendall i.i.d. expectation, pinned z finish.
+    */
+  def q257TurningPoints(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |tp0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_tp0 AS d
+       |  FROM detected
+       |  WINDOW w_tp0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |tp1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    lag(d, 1) OVER w_tp1 AS pv, lead(d, 1) OVER w_tp1 AS nv
+       |  FROM tp0 WHERE d IS NOT NULL
+       |  WINDOW w_tp1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |tpa AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+       |      AND ((d > pv AND d > nv) OR (d < pv AND d < nv))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+       |  FROM tp1 GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n AS n_rr, t AS n_turning,
+       |  2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0 AS expected_tp,
+       |  CASE WHEN (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0.0 THEN
+       |    (CAST(t AS DOUBLE) - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+       |    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) END AS z
+       |FROM tpa WHERE n >= 3""".stripMargin
+
+  /** Q258 — pacing transfer gain + phase-locking value (mirrors
+    * BeatMetrics.pacingTransfer): Q250's projection chain, energy-
+    * ratio gain, amplitude-normalized unit-vector mean.
+    */
+  def q258PacingTransfer(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH ${pacingProjCtes(cfg)},
+       |ptseg AS (
+       |  SELECT experiment_id, channel, seg_len,
+       |    CAST(CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |      + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS px,
+       |    CAST(CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |      + CAST(by AS DOUBLE) * CAST(by AS DOUBLE)
+       |      AS DECIMAL(28,10)) AS py,
+       |    CASE WHEN sqrt((CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |        + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE))
+       |      * (CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |        + CAST(by AS DOUBLE) * CAST(by AS DOUBLE))) > 0.0 THEN
+       |      CAST((CAST(ax AS DOUBLE) * CAST(ay AS DOUBLE)
+       |        + CAST(bx AS DOUBLE) * CAST(by AS DOUBLE))
+       |      / sqrt((CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |          + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE))
+       |        * (CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |          + CAST(by AS DOUBLE) * CAST(by AS DOUBLE)))
+       |      AS DECIMAL(28,14)) END AS cu,
+       |    CASE WHEN sqrt((CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |        + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE))
+       |      * (CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |        + CAST(by AS DOUBLE) * CAST(by AS DOUBLE))) > 0.0 THEN
+       |      CAST((CAST(bx AS DOUBLE) * CAST(ay AS DOUBLE)
+       |        - CAST(ax AS DOUBLE) * CAST(by AS DOUBLE))
+       |      / sqrt((CAST(ax AS DOUBLE) * CAST(ax AS DOUBLE)
+       |          + CAST(bx AS DOUBLE) * CAST(bx AS DOUBLE))
+       |        * (CAST(ay AS DOUBLE) * CAST(ay AS DOUBLE)
+       |          + CAST(by AS DOUBLE) * CAST(by AS DOUBLE)))
+       |      AS DECIMAL(28,14)) END AS su
+       |  FROM cproj
+       |),
+       |ptfin AS (
+       |  SELECT experiment_id, channel, seg_len,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(sum(CASE WHEN cu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_locked,
+       |    sum(px) AS spx, sum(py) AS spy, sum(cu) AS sc, sum(su) AS ss
+       |  FROM ptseg GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, channel, seg_len, n_segments, n_locked,
+       |  $rate / CAST(seg_len AS DOUBLE) AS pacing_freq_hz,
+       |  CASE WHEN CAST(spy AS DOUBLE) > 0.0 THEN
+       |    sqrt(CAST(spx AS DOUBLE) / CAST(spy AS DOUBLE)) END
+       |    AS transfer_gain,
+       |  CASE WHEN n_locked > 0 THEN
+       |    sqrt(CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+       |      + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))
+       |    / CAST(n_locked AS DOUBLE) END AS plv,
+       |  CASE WHEN n_locked > 0 THEN
+       |    atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE)) END
+       |    AS mean_phase_rad
+       |FROM ptfin""".stripMargin
   }
 
   /** Q251 — heart-rate fragmentation (mirrors

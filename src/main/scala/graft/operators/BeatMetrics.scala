@@ -1398,9 +1398,16 @@ object BeatMetrics {
     * |channels|-sized and broadcast. No driver loops, no windows
     * wider than one segment.
     */
-  def stimCoherence(smooth: DataFrame, stimScaled: DataFrame,
-                    stimPks: DataFrame,
-                    sampleRateHz: Double = 100.0): DataFrame = {
+  /** Shared front of Q250/Q258: modal pacing interval → complete
+    * tumbling segments → per-segment demeaned fundamental-bin
+    * projections (ax,bx = signal, ay,by = stim), one row per
+    * (channel, segment). See [[stimCoherence]] for the gating and
+    * exactness notes; extracted verbatim in round 9 so the
+    * transfer-gain/PLV finish (Q258) reuses the identical
+    * projections instead of restating them.
+    */
+  private def pacingProjections(smooth: DataFrame, stimScaled: DataFrame,
+                                stimPks: DataFrame): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
     // Pacing markers = the PROMINENT stim maxima (≥ half the channel's
     // scaled-stim max): bare rule-1 find_peaks(stim) — the reference
@@ -1441,11 +1448,17 @@ object BeatMetrics {
     val vd = col("v") - col("sv").cast("double") / lD
     val ud = col("u") - col("su").cast("double") / lD
     val theta = lit(2.0 * math.Pi) * col("k") / lD
-    val proj = withM.groupBy(keys :+ col("seg_len") :+ col("seg"): _*)
+    withM.groupBy(keys :+ col("seg_len") :+ col("seg"): _*)
       .agg(sum((vd * cos(theta)).cast("decimal(28,14)")).as("ax"),
         sum((vd * sin(theta)).cast("decimal(28,14)")).as("bx"),
         sum((ud * cos(theta)).cast("decimal(28,14)")).as("ay"),
         sum((ud * sin(theta)).cast("decimal(28,14)")).as("by"))
+  }
+
+  def stimCoherence(smooth: DataFrame, stimScaled: DataFrame,
+                    stimPks: DataFrame,
+                    sampleRateHz: Double = 100.0): DataFrame = {
+    val proj = pacingProjections(smooth, stimScaled, stimPks)
     val (axd, bxd) = (col("ax").cast("double"), col("bx").cast("double"))
     val (ayd, byd) = (col("ay").cast("double"), col("by").cast("double"))
     val cross = proj.select(keys :+ col("seg_len") :+
@@ -1785,5 +1798,96 @@ object BeatMetrics {
     mo.select(keys :+ col("l").as("lag") :+ col("n_pairs") :+
       when(col("n_pairs") > 1L, cov /
         nullif(sqrt(greatest(vx * vy, lit(0.0))), lit(0.0))).as("acf"): _*)
+  }
+
+  /** Q257 — turning-point randomness test of the RR series: T =
+    * #{interior intervals that are strict local extrema of the RR
+    * sequence}, compared against the exact i.i.d. expectation
+    * E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 (Kendall) as a
+    * z-score — the nonparametric "is this rhythm structured or
+    * shuffled?" gate; |z| ≫ 0 on a paced or alternans train, ≈ 0 on
+    * white jitter. Ties (equal neighbors) are NOT turning points
+    * (strict inequalities, documented).
+    *
+    * Exactness: T is an integer off integer comparisons; E, Var,
+    * and z are single pinned double expressions of n. Scale: one
+    * ordered window pass and one map-side-combinable aggregate per
+    * channel.
+    */
+  def turningPoints(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val tagged = rr
+      .withColumn("pv", lag(col("d"), 1).over(w))
+      .withColumn("nv", lead(col("d"), 1).over(w))
+      .withColumn("tp", when(col("pv").isNotNull && col("nv").isNotNull &&
+        ((col("d") > col("pv") && col("d") > col("nv")) ||
+          (col("d") < col("pv") && col("d") < col("nv"))), 1L)
+        .otherwise(0L))
+    val agg = tagged.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("t"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * nD - lit(29.0)) / lit(90.0)
+    agg.filter(col("n") >= 3L)
+      .select(keys :+ col("n").as("n_rr") :+ col("t").as("n_turning") :+
+        e.as("expected_tp") :+
+        when(v > 0.0, (col("t").cast("double") - e) / sqrt(v))
+          .as("z"): _*)
+  }
+
+  /** Q258 — pacing transfer gain and phase-locking value: off the
+    * same per-segment fundamental-bin projections as Q250, the
+    * energy-ratio gain √(Σ|X_signal|²/Σ|X_stim|²) (how much
+    * response amplitude one unit of stimulus buys at the pacing
+    * frequency) and the amplitude-NORMALIZED phase consistency
+    * PLV = |mean over segments of e^{iΔφ}| with mean phase — the
+    * complement of Q250's coherence, which weights segments by
+    * power: high coherence + low PLV means a few loud segments
+    * dominate; high PLV + low gain means locked but weak response.
+    *
+    * Exactness: per-segment spectral products and unit-vector
+    * components are pinned doubles quantized to DECIMAL before the
+    * channel sums; gain/PLV/phase are pinned finishes; segments
+    * with zero amplitude in either series drop from the PLV mean
+    * (guarded, documented). Scale: identical shape to Q250 — the
+    * projections are the only sample-scale pass.
+    */
+  def pacingTransfer(smooth: DataFrame, stimScaled: DataFrame,
+                     stimPks: DataFrame,
+                     sampleRateHz: Double = 100.0): DataFrame = {
+    val proj = pacingProjections(smooth, stimScaled, stimPks)
+    val (axd, bxd) = (col("ax").cast("double"), col("bx").cast("double"))
+    val (ayd, byd) = (col("ay").cast("double"), col("by").cast("double"))
+    val pxx = axd * axd + bxd * bxd
+    val pyy = ayd * ayd + byd * byd
+    val hx = sqrt(pxx * pyy)
+    val cosd = (axd * ayd + bxd * byd) / hx
+    val sind = (bxd * ayd - axd * byd) / hx
+    val seg = proj.select(keys :+ col("seg_len") :+
+      pxx.cast("decimal(28,10)").as("px") :+
+      pyy.cast("decimal(28,10)").as("py") :+
+      when(hx > 0.0, cosd.cast("decimal(28,14)")).as("cu") :+
+      when(hx > 0.0, sind.cast("decimal(28,14)")).as("su"): _*)
+    val fin = seg.groupBy(keys :+ col("seg_len"): _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("cu").isNotNull, 1L).otherwise(0L)).as("n_locked"),
+        sum(col("px")).as("spx"), sum(col("py")).as("spy"),
+        sum(col("cu")).as("sc"), sum(col("su")).as("ss"))
+    val (scD, ssD) = (col("sc").cast("double"), col("ss").cast("double"))
+    val nL = col("n_locked").cast("double")
+    fin.select(keys :+ col("seg_len") :+ col("n_segments") :+
+      col("n_locked") :+
+      (lit(sampleRateHz) / col("seg_len").cast("double"))
+        .as("pacing_freq_hz") :+
+      when(col("spy").cast("double") > 0.0,
+        sqrt(col("spx").cast("double") / col("spy").cast("double")))
+        .as("transfer_gain") :+
+      when(col("n_locked") > 0L,
+        sqrt(scD * scD + ssD * ssD) / nL).as("plv") :+
+      when(col("n_locked") > 0L, atan2(ssD, scD))
+        .as("mean_phase_rad"): _*)
   }
 }

@@ -884,4 +884,61 @@ class BeatMetricsSpec extends SparkSpec {
     assert(out((1, 1L)).getAs[Long]("n_pairs") === 2L)
     assert(math.abs(out((1, 1L)).getAs[Double]("acf") - (-1.0)) < 1e-12)
   }
+
+  test("turningPoints: strict extrema counted, ties excluded, Kendall z pinned") {
+    import spark.implicits._
+    // ch 0: d = [100,110,105,115,110] -> interior 110,105,115 are all
+    // strict extrema -> T = 3, n = 5, E = 2, Var = 51/90
+    // ch 1: d = [100,110,110,105] -> the tie kills both interior
+    // candidates -> T = 0
+    val d0 = Seq(100L, 110L, 105L, 115L, 110L)
+    val d1 = Seq(100L, 110L, 110L, 105L)
+    val peaks = (d0.scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      d1.scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.turningPoints(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_rr") === 5L)
+    assert(r0.getAs[Long]("n_turning") === 3L)
+    assert(r0.getAs[Double]("expected_tp") === 2.0)
+    assert(math.abs(r0.getAs[Double]("z") -
+      1.0 / math.sqrt(51.0 / 90.0)) < 1e-12)
+    assert(out(1).getAs[Long]("n_turning") === 0L)
+  }
+
+  test("pacingTransfer: impulse-train stim vs unit cosine pins gain 0.8; phase flips zero the PLV") {
+    import spark.implicits._
+    // same fixture family as the stimCoherence spec: L=8, 4 segments;
+    // per segment the demeaned cosine projects to (ax,bx) = (4,0) and
+    // the demeaned 5.0-impulse train to (ay,by) = (5,0), so
+    // gain = sqrt(sum(16)/sum(25)) = 0.8 for both channels; ch 0 is
+    // phase-locked (plv 1, phase 0), ch 1 sign-flips per segment so
+    // the unit vectors cancel (plv 0)
+    val L = 8
+    val nSeg = 4
+    val n = L * nSeg
+    val sm = (0 until n).flatMap { i =>
+      val base = math.cos(2.0 * math.Pi * (i % L) / L)
+      val flip = if ((i / L) % 2 == 0) 1.0 else -1.0
+      Seq(("e", 0, i.toLong, base), ("e", 1, i.toLong, base * flip))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val stim = (0 until n).flatMap { i =>
+      val u = if (i % L == 0) 5.0 else 0.0
+      Seq(("e", 0, i.toLong, u), ("e", 1, i.toLong, u))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_scaled")
+    val pks = (0 until nSeg).flatMap { b =>
+      Seq(("e", 0, (b * L).toLong, 5.0), ("e", 1, (b * L).toLong, 5.0))
+    }.toDF("experiment_id", "channel", "sample_idx", "y_scaled")
+    val out = BeatMetrics.pacingTransfer(sm, stim, pks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    for (ch <- Seq(0, 1)) {
+      assert(out(ch).getAs[Long]("n_segments") === nSeg.toLong)
+      assert(out(ch).getAs[Long]("n_locked") === nSeg.toLong)
+      assert(math.abs(out(ch).getAs[Double]("transfer_gain") - 0.8) < 1e-9)
+    }
+    assert(math.abs(out(0).getAs[Double]("plv") - 1.0) < 1e-9)
+    assert(math.abs(out(0).getAs[Double]("mean_phase_rad")) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("plv")) < 1e-9)
+  }
 }

@@ -385,8 +385,9 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(p2).isDefined, s"xcorr must equi-join:\n$p2")
   }
 
-  test("q254-q256: no cartesians/BNLJ; ApEn self-join stays channel-keyed") {
-    for (q <- Seq("q254_apen", "q255_residual_sqi", "q256_force_acf")) {
+  test("q254-q258: no cartesians/BNLJ; ApEn self-join stays channel-keyed") {
+    for (q <- Seq("q254_apen", "q255_residual_sqi", "q256_force_acf",
+      "q257_turning_points", "q258_pacing_transfer")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
