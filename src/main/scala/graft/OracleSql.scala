@@ -8357,4 +8357,344 @@ object OracleSql {
        |  CAST(sum(abs(cnt - ls)) AS DOUBLE)
        |    / CAST(nullif(sum(abs(cnt - l1)), 0) AS DOUBLE) AS mase
        |FROM lagged WHERE ls IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** Q259 — Hjorth activity/mobility/complexity (mirrors
+    * BeatMetrics.hjorth): decimal power sums of the smoothed trace
+    * and its first/second differences, pinned variance finishes.
+    */
+  def q259Hjorth(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |hj0 AS (
+       |  SELECT experiment_id, channel, sample_idx, v
+       |  FROM smooth WHERE v IS NOT NULL
+       |),
+       |hj1 AS (
+       |  SELECT experiment_id, channel, v,
+       |    lag(v, 1) OVER w_hj AS l1, lag(v, 2) OVER w_hj AS l2
+       |  FROM hj0
+       |  WINDOW w_hj AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |),
+       |hja AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n0,
+       |    sum(CAST(v AS DECIMAL(28,14))) AS s1_0,
+       |    sum(CAST(v * v AS DECIMAL(38,10))) AS s2_0,
+       |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    sum(CASE WHEN l1 IS NOT NULL
+       |      THEN CAST(v - l1 AS DECIMAL(28,14)) END) AS s1_1,
+       |    sum(CASE WHEN l1 IS NOT NULL
+       |      THEN CAST((v - l1) * (v - l1) AS DECIMAL(38,10)) END) AS s2_1,
+       |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    sum(CASE WHEN l2 IS NOT NULL
+       |      THEN CAST(v - 2.0 * l1 + l2 AS DECIMAL(28,14)) END) AS s1_2,
+       |    sum(CASE WHEN l2 IS NOT NULL
+       |      THEN CAST((v - 2.0 * l1 + l2) * (v - 2.0 * l1 + l2)
+       |        AS DECIMAL(38,10)) END) AS s2_2
+       |  FROM hj1 GROUP BY 1, 2
+       |),
+       |hjv AS (
+       |  SELECT *,
+       |    (CAST(n0 AS DOUBLE) * CAST(s2_0 AS DOUBLE)
+       |      - CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE))
+       |      / (CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS v0,
+       |    (CAST(n1 AS DOUBLE) * CAST(s2_1 AS DOUBLE)
+       |      - CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE))
+       |      / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS v1,
+       |    (CAST(n2 AS DOUBLE) * CAST(s2_2 AS DOUBLE)
+       |      - CAST(s1_2 AS DOUBLE) * CAST(s1_2 AS DOUBLE))
+       |      / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS v2
+       |  FROM hja
+       |),
+       |hjm AS (
+       |  SELECT *,
+       |    CASE WHEN n1 > 0 AND v0 > 0.0
+       |      THEN sqrt(greatest(v1 / v0, 0.0)) END AS mob
+       |  FROM hjv
+       |)
+       |SELECT experiment_id, channel, n0 AS n_samples, v0 AS activity,
+       |  mob AS mobility,
+       |  CASE WHEN n2 > 0 AND v1 > 0.0 AND mob > 0.0
+       |    THEN sqrt(greatest(v2 / v1, 0.0)) / mob END AS complexity
+       |FROM hjm WHERE n0 > 0""".stripMargin
+
+  /** Q260 — Mann–Kendall trend test on beat force (mirrors
+    * BeatMetrics.mannKendall): integer S over ordered pairs,
+    * tie-corrected variance, continuity-corrected z, tau.
+    */
+  def q260MannKendall(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${metricCtes(cfg)},
+       |mk0 AS MATERIALIZED (
+       |  SELECT experiment_id, channel, peak_idx, force
+       |  FROM m WHERE force IS NOT NULL
+       |),
+       |mks AS (
+       |  SELECT a.experiment_id, a.channel,
+       |    CAST(sum(CASE WHEN b.force > a.force THEN 1
+       |      WHEN b.force < a.force THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM mk0 a JOIN mk0 b
+       |    ON b.experiment_id = a.experiment_id AND b.channel = a.channel
+       |    AND a.peak_idx < b.peak_idx
+       |  GROUP BY 1, 2
+       |),
+       |mkt AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       |  FROM (
+       |    SELECT experiment_id, channel, force,
+       |      CAST(count(*) AS BIGINT) AS t
+       |    FROM mk0 GROUP BY 1, 2, 3
+       |  ) GROUP BY 1, 2
+       |),
+       |mkn AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n
+       |  FROM mk0 GROUP BY 1, 2
+       |),
+       |mkj AS (
+       |  SELECT n.experiment_id, n.channel, n.n, s.s, t.tie_term,
+       |    (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+       |      * (2.0 * CAST(n.n AS DOUBLE) + 5.0)
+       |      - CAST(t.tie_term AS DOUBLE)) / 18.0 AS var_s
+       |  FROM mkn n
+       |  JOIN mks s ON s.experiment_id = n.experiment_id
+       |    AND s.channel = n.channel
+       |  JOIN mkt t ON t.experiment_id = n.experiment_id
+       |    AND t.channel = n.channel
+       |  WHERE n.n >= 3
+       |)
+       |SELECT experiment_id, channel, n AS n_beats, s, var_s,
+       |  CASE WHEN var_s > 0.0 THEN
+       |    CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+       |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+       |      ELSE 0.0 END
+       |  END AS z,
+       |  CAST(s AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0) AS tau
+       |FROM mkj""".stripMargin
+
+  /** Q261 — Shannon entropy of the binned RR histogram (mirrors
+    * BeatMetrics.rrEntropy): integer bins, p·ln p terms quantized
+    * to decimal before the over-bins sum, pinned finishes.
+    */
+  def q261RrEntropy(cfg: graft.PeakConfig = graft.PeakConfig(),
+                    binWidth: Int = 8): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |re0 AS (
+       |  SELECT experiment_id, channel,
+       |    peak_idx - lag(peak_idx) OVER w_re AS d
+       |  FROM detected
+       |  WINDOW w_re AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |reb AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(floor(d / $binWidth.0) AS BIGINT) AS bin
+       |  FROM re0 WHERE d IS NOT NULL
+       |),
+       |rec AS (
+       |  SELECT experiment_id, channel, bin, CAST(count(*) AS BIGINT) AS c
+       |  FROM reb GROUP BY 1, 2, 3
+       |),
+       |ren AS (
+       |  SELECT *, sum(c) OVER (PARTITION BY experiment_id, channel) AS n
+       |  FROM rec
+       |),
+       |rea AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(max(n) AS BIGINT) AS n_rr,
+       |    CAST(count(*) AS BIGINT) AS n_bins,
+       |    sum(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS st
+       |  FROM ren GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_rr, n_bins,
+       |  -CAST(st AS DOUBLE) AS entropy_nats,
+       |  CASE WHEN n_bins > 1
+       |    THEN -CAST(st AS DOUBLE) / ln(CAST(n_bins AS DOUBLE))
+       |  END AS entropy_norm
+       |FROM rea""".stripMargin
+
+  /** Q262 — Porta symbolic dynamics (mirrors
+    * BeatMetrics.symbolicDynamics): fully-integer 6-level
+    * quantization, 3-symbol word classes, pinned percentages.
+    */
+  def q262SymbolicDynamics(
+      cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |sy0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_sy AS d
+       |  FROM detected
+       |  WINDOW w_sy AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |sy1 AS (SELECT * FROM sy0 WHERE d IS NOT NULL),
+       |sys AS (
+       |  SELECT experiment_id, channel, min(d) AS mn, max(d) AS mx
+       |  FROM sy1 GROUP BY 1, 2
+       |),
+       |syl AS (
+       |  SELECT r.experiment_id, r.channel, r.peak_idx,
+       |    CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+       |      ELSE (r.d - s.mn) * 6 // (s.mx - s.mn + 1) END AS lv
+       |  FROM sy1 r JOIN sys s
+       |    ON s.experiment_id = r.experiment_id AND s.channel = r.channel
+       |),
+       |syw AS (
+       |  SELECT experiment_id, channel, lv,
+       |    lead(lv, 1) OVER w_syw AS lv1, lead(lv, 2) OVER w_syw AS lv2
+       |  FROM syl
+       |  WINDOW w_syw AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |syc AS (
+       |  SELECT experiment_id, channel,
+       |    CASE WHEN lv1 = lv AND lv2 = lv1 THEN '0V'
+       |      WHEN lv1 <> lv AND lv2 <> lv1 THEN
+       |        CASE WHEN (lv1 > lv AND lv2 > lv1) OR (lv1 < lv AND lv2 < lv1)
+       |          THEN '2LV' ELSE '2UV' END
+       |      ELSE '1V' END AS cls
+       |  FROM syw WHERE lv1 IS NOT NULL AND lv2 IS NOT NULL
+       |),
+       |sya AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(CASE WHEN cls = '0V' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c0v,
+       |    CAST(sum(CASE WHEN cls = '1V' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c1v,
+       |    CAST(sum(CASE WHEN cls = '2LV' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c2lv,
+       |    CAST(sum(CASE WHEN cls = '2UV' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c2uv
+       |  FROM syc GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_words,
+       |  CAST(c0v AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0 AS pct_0v,
+       |  CAST(c1v AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0 AS pct_1v,
+       |  CAST(c2lv AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0 AS pct_2lv,
+       |  CAST(c2uv AS DOUBLE) / CAST(n_words AS DOUBLE) * 100.0 AS pct_2uv
+       |FROM sya""".stripMargin
+
+  /** Q263 — PRSA deceleration/acceleration capacity (mirrors
+    * BeatMetrics.prsa): integer-exact anchor sums over complete
+    * (−2..+1) neighborhoods, pinned divisions.
+    */
+  def q263Prsa(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |pr0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_pr AS d
+       |  FROM detected
+       |  WINDOW w_pr AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |pr1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    lag(d, 1) OVER w_pr1 AS dm1, lag(d, 2) OVER w_pr1 AS dm2,
+       |    lead(d, 1) OVER w_pr1 AS dp1
+       |  FROM pr0 WHERE d IS NOT NULL
+       |  WINDOW w_pr1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |pr2 AS (
+       |  SELECT * FROM pr1
+       |  WHERE dm1 IS NOT NULL AND dm2 IS NOT NULL AND dp1 IS NOT NULL
+       |),
+       |pra AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(CASE WHEN d > dm1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dec,
+       |    CAST(sum(CASE WHEN d > dm1 THEN d + dp1 - dm1 - dm2 ELSE 0 END)
+       |      AS BIGINT) AS s_dec,
+       |    CAST(sum(CASE WHEN d < dm1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_acc,
+       |    CAST(sum(CASE WHEN d < dm1 THEN d + dp1 - dm1 - dm2 ELSE 0 END)
+       |      AS BIGINT) AS s_acc
+       |  FROM pr2 GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_dec,
+       |  CASE WHEN n_dec > 0 THEN
+       |    CAST(s_dec AS DOUBLE) / (4.0 * CAST(n_dec AS DOUBLE)) END AS dc,
+       |  n_acc,
+       |  CASE WHEN n_acc > 0 THEN
+       |    CAST(s_acc AS DOUBLE) / (4.0 * CAST(n_acc AS DOUBLE)) END AS ac
+       |FROM pra WHERE n_dec > 0 OR n_acc > 0""".stripMargin
+
+  /** Q264 — Higuchi fractal dimension (mirrors
+    * BeatMetrics.higuchiFd): phase-grouped decimal curve lengths at
+    * k ∈ {1,2,4,8}, quantized log-log points, pinned OLS slope.
+    */
+  def q264HiguchiFd(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |hf0 AS (
+       |  SELECT experiment_id, channel, sample_idx, v
+       |  FROM smooth WHERE v IS NOT NULL
+       |),
+       |hf1 AS (
+       |  SELECT experiment_id, channel, v,
+       |    CAST(row_number() OVER w_hf AS BIGINT) - 1 AS p,
+       |    CAST(count(*) OVER (PARTITION BY experiment_id, channel)
+       |      AS BIGINT) AS nn,
+       |    lag(v, 1) OVER w_hf AS lk1, lag(v, 2) OVER w_hf AS lk2,
+       |    lag(v, 4) OVER w_hf AS lk4, lag(v, 8) OVER w_hf AS lk8
+       |  FROM hf0
+       |  WINDOW w_hf AS (PARTITION BY experiment_id, channel ORDER BY sample_idx)
+       |),
+       |hfk(k) AS (VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)),
+       |  (CAST(4 AS BIGINT)), (CAST(8 AS BIGINT))),
+       |hf2 AS (
+       |  SELECT h.experiment_id, h.channel, h.p, h.nn, fk.k,
+       |    CASE WHEN fk.k = 1 THEN h.lk1 WHEN fk.k = 2 THEN h.lk2
+       |      WHEN fk.k = 4 THEN h.lk4 ELSE h.lk8 END AS vprev,
+       |    h.v
+       |  FROM hf1 h, hfk fk
+       |),
+       |hf3 AS (
+       |  SELECT experiment_id, channel, k, p % k AS m, nn,
+       |    CAST(abs(v - vprev) AS DECIMAL(38,10)) AS ad
+       |  FROM hf2 WHERE vprev IS NOT NULL
+       |),
+       |hfp AS (
+       |  SELECT experiment_id, channel, k, m,
+       |    CAST(count(*) AS BIGINT) AS n_d, sum(ad) AS sad,
+       |    CAST(max(nn) AS BIGINT) AS nn
+       |  FROM hf3 GROUP BY 1, 2, 3, 4
+       |),
+       |hfl AS (
+       |  SELECT experiment_id, channel, k,
+       |    CAST(CAST(sad AS DOUBLE) * CAST(nn - 1 AS DOUBLE)
+       |      / (CAST(n_d AS DOUBLE) * CAST(k AS DOUBLE)
+       |        * CAST(k AS DOUBLE)) AS DECIMAL(28,10)) AS lm
+       |  FROM hfp
+       |),
+       |hfq AS (
+       |  SELECT experiment_id, channel, k,
+       |    CAST(count(*) AS BIGINT) AS n_phase, sum(lm) AS slm
+       |  FROM hfl GROUP BY 1, 2, 3
+       |),
+       |hfu AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(ln(CAST(k AS DOUBLE)) AS DECIMAL(28,14)) AS u,
+       |    CAST(ln(CAST(slm AS DOUBLE) / CAST(n_phase AS DOUBLE))
+       |      AS DECIMAL(28,14)) AS vv
+       |  FROM hfq
+       |  WHERE CAST(slm AS DOUBLE) / CAST(n_phase AS DOUBLE) > 0.0
+       |),
+       |hfo AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS np,
+       |    sum(u) AS su, sum(vv) AS sv,
+       |    sum(CAST(CAST(u AS DOUBLE) * CAST(vv AS DOUBLE)
+       |      AS DECIMAL(38,10))) AS suv,
+       |    sum(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+       |      AS DECIMAL(38,10))) AS suu
+       |  FROM hfu GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, np AS n_scales,
+       |  CASE WHEN CAST(np AS DOUBLE) * CAST(suu AS DOUBLE)
+       |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) <> 0.0 THEN
+       |    -(CAST(np AS DOUBLE) * CAST(suv AS DOUBLE)
+       |      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE))
+       |    / (CAST(np AS DOUBLE) * CAST(suu AS DOUBLE)
+       |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+       |  END AS fd
+       |FROM hfo WHERE np >= 2""".stripMargin
 }

@@ -1890,4 +1890,310 @@ object BeatMetrics {
       when(col("n_locked") > 0L, atan2(ssD, scD))
         .as("mean_phase_rad"): _*)
   }
+
+  /** Q259 — Hjorth parameters of the smoothed trace per channel:
+    * activity = var(y), mobility = √(var(Δy)/var(y)), complexity =
+    * √(var(Δ²y)/var(Δy)) / mobility — the three-number time-domain
+    * "spectral shape" summary (variance, dominant-frequency proxy,
+    * bandwidth proxy) a 100 TB pipeline can afford on EVERY
+    * recording, where a full DFT (q238) is reserved for flagged
+    * ones. Second difference via the closed form Δ²yᵢ =
+    * yᵢ − 2yᵢ₋₁ + yᵢ₋₂ so one ordered window pass (lags 1 and 2)
+    * feeds all three series.
+    *
+    * Exactness: population variances from decimal power sums
+    * (n·Σx² − (Σx)² pinned finishes, the q255 discipline); the
+    * difference series are pinned-double arithmetic off bitwise-
+    * identical y_smooth in both engines. Scale: one window pass,
+    * one map-side-combinable aggregate per channel.
+    */
+  def hjorth(smoothed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val base = smoothed.filter(col("y_smooth").isNotNull)
+      .select(keys :+ col("sample_idx") :+ col("y_smooth").as("v"): _*)
+      .withColumn("l1", lag(col("v"), 1).over(w))
+      .withColumn("l2", lag(col("v"), 2).over(w))
+    val d1 = col("v") - col("l1")
+    val d2 = col("v") - lit(2.0) * col("l1") + col("l2")
+    val agg = base.groupBy(keys: _*).agg(
+      count(lit(1)).as("n0"),
+      sum(col("v").cast("decimal(28,14)")).as("s1_0"),
+      sum((col("v") * col("v")).cast("decimal(38,10)")).as("s2_0"),
+      sum(when(col("l1").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("l1").isNotNull, d1.cast("decimal(28,14)"))).as("s1_1"),
+      sum(when(col("l1").isNotNull, (d1 * d1).cast("decimal(38,10)")))
+        .as("s2_1"),
+      sum(when(col("l2").isNotNull, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("l2").isNotNull, d2.cast("decimal(28,14)"))).as("s1_2"),
+      sum(when(col("l2").isNotNull, (d2 * d2).cast("decimal(38,10)")))
+        .as("s2_2"))
+    def popVar(n: Column, s1: Column, s2: Column): Column = {
+      val nD = n.cast("double")
+      (nD * s2.cast("double") - s1.cast("double") * s1.cast("double")) /
+        (nD * nD)
+    }
+    val v0 = popVar(col("n0"), col("s1_0"), col("s2_0"))
+    val v1 = popVar(col("n1"), col("s1_1"), col("s2_1"))
+    val v2 = popVar(col("n2"), col("s1_2"), col("s2_2"))
+    val mob = when(col("n1") > 0L && v0 > 0.0, sqrt(greatest(v1 / v0,
+      lit(0.0))))
+    agg.filter(col("n0") > 0L)
+      .select(keys :+ col("n0").as("n_samples") :+ v0.as("activity") :+
+        mob.as("mobility") :+
+        when(col("n2") > 0L && v1 > 0.0 && mob > 0.0,
+          sqrt(greatest(v2 / v1, lit(0.0))) / mob).as("complexity"): _*)
+  }
+
+  /** Q260 — Mann–Kendall monotone-trend test on the beat-force
+    * series: S = Σ_{i<j} sign(fⱼ − fᵢ), tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18, and the
+    * continuity-corrected z — the NONPARAMETRIC complement of the
+    * baseline-rundown OLS drift audit (q151 family): OLS asks "what
+    * slope", Mann–Kendall asks "is the decline monotone at all"
+    * without assuming linearity or Gaussian noise. Kendall's tau =
+    * S / (n(n−1)/2) reported alongside.
+    *
+    * Exactness: S and the tie term are integers off sign
+    * comparisons of bitwise-identical pinned-double forces; Var and
+    * z are single pinned finishes. Scale: the per-channel pair
+    * self-join is equi-keyed on channel and bounded by BEATS PER
+    * RECORDING squared (the q246/q254 discipline), never corpus
+    * size; the tie table is a per-channel grouped aggregate.
+    */
+  def mannKendall(metricsDf: DataFrame): DataFrame = {
+    val f = metricsDf.filter(col("force").isNotNull)
+      .select(keys :+ col("peak_idx") :+ col("force"): _*)
+    val a = f.select(keys :+ col("peak_idx").as("ka") :+
+      col("force").as("fa"): _*)
+    val b = f.select(keys :+ col("peak_idx").as("kb") :+
+      col("force").as("fb"): _*)
+    val s = a.join(b, keyCols).filter(col("ka") < col("kb"))
+      .groupBy(keys: _*)
+      .agg(sum(when(col("fb") > col("fa"), 1L)
+        .when(col("fb") < col("fa"), -1L).otherwise(0L)).as("s"))
+    val ties = f.groupBy(keys :+ col("force"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tie_term"))
+    val n = f.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_term").cast("double")) / lit(18.0)
+    val sD = col("s").cast("double")
+    n.join(s, keyCols).join(ties, keyCols)
+      .filter(col("n") >= 3L)
+      .select(keys :+ col("n").as("n_beats") :+ col("s") :+
+        varS.as("var_s") :+
+        when(varS > 0.0,
+          when(col("s") > 0L, (sD - 1.0) / sqrt(varS))
+            .when(col("s") < 0L, (sD + 1.0) / sqrt(varS))
+            .otherwise(lit(0.0))).as("z") :+
+        (sD / (nD * (nD - 1.0) / 2.0)).as("tau"): _*)
+  }
+
+  /** Q261 — Shannon entropy of the binned RR histogram: H =
+    * −Σ_b p_b ln p_b over bins of width `binWidth` samples (8 =
+    * 80 ms at 100 Hz, the q248 triangular-index binning), plus the
+    * occupancy-normalized H/ln(#bins) — the distributional
+    * complement of SDNN (same histogram, but sensitive to
+    * multimodality: a bimodal alternans histogram and a uniform
+    * jitter histogram with equal SDNN separate here).
+    *
+    * Exactness: bin ids and counts are integers (binWidth is a
+    * power of two, so the float division is exact); each p·ln p
+    * term is quantized to DECIMAL before the over-bins sum (the
+    * q254 ln discipline); H and the normalization are pinned
+    * finishes. Scale: two map-side-combinable aggregates
+    * (channel,bin) → (channel); the histogram is bounded by the
+    * RR range, not the corpus.
+    */
+  def rrEntropy(peaks: DataFrame, binWidth: Int = 8): DataFrame = {
+    require((binWidth & (binWidth - 1)) == 0, "binWidth must be 2^k")
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val binned = rr.withColumn("bin",
+      floor(col("d") / lit(binWidth.toDouble)).cast("long"))
+    val counts = binned.groupBy(keys :+ col("bin"): _*)
+      .agg(count(lit(1)).as("c"))
+    val withN = counts.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(keys: _*)))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val agg = withN
+      .withColumn("term", (p * log(p)).cast("decimal(28,14)"))
+      .groupBy(keys: _*)
+      .agg(max(col("n")).as("n_rr"), count(lit(1)).as("n_bins"),
+        sum(col("term")).as("st"))
+    val h = -col("st").cast("double")
+    agg.select(keys :+ col("n_rr") :+ col("n_bins") :+
+      h.as("entropy_nats") :+
+      when(col("n_bins") > 1L,
+        h / log(col("n_bins").cast("double"))).as("entropy_norm"): _*)
+  }
+
+  /** Q262 — Porta symbolic dynamics of the RR series: quantize RR
+    * into 6 equal-width levels over the channel's [min,max], slide
+    * a 3-symbol word, and report the share of 0V (no variation),
+    * 1V (one change), 2LV (two like changes), 2UV (two unlike
+    * changes) words — the coarse-grained determinism screen that
+    * separates sympathetic (0V-heavy) from vagal (2V-heavy) rhythm
+    * signatures, and a paced train (0V ≈ 100%) from jitter.
+    *
+    * Exactness: the level is FULLY INTEGER — s = ((d−min)·6) div
+    * (max−min+1) ∈ [0,5] exactly (documented variant: half-open
+    * integer bins; max==min ⇒ all level 0) — so words, change
+    * counts, and class tallies are integer in both engines;
+    * percentages are pinned divisions. Scale: one channel-stat
+    * broadcast (min/max), one ordered window pass, one aggregate.
+    */
+  def symbolicDynamics(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val st = rr.groupBy(keys: _*)
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val lvl = rr.join(broadcast(st), keyCols)
+      .withColumn("s", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr("((d - mn) * 6) div (mx - mn + 1)")))
+      .withColumn("s1", lead(col("s"), 1).over(w))
+      .withColumn("s2", lead(col("s"), 2).over(w))
+      .filter(col("s1").isNotNull && col("s2").isNotNull)
+    val c1 = col("s1") =!= col("s")
+    val c2 = col("s2") =!= col("s1")
+    val cls = lvl.withColumn("cls",
+      when(!c1 && !c2, lit("0V"))
+        .when(c1 && c2,
+          when((col("s1") > col("s") && col("s2") > col("s1")) ||
+            (col("s1") < col("s") && col("s2") < col("s1")), lit("2LV"))
+            .otherwise(lit("2UV")))
+        .otherwise(lit("1V")))
+    val agg = cls.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("cls") === "0V", 1L).otherwise(0L)).as("c0v"),
+        sum(when(col("cls") === "1V", 1L).otherwise(0L)).as("c1v"),
+        sum(when(col("cls") === "2LV", 1L).otherwise(0L)).as("c2lv"),
+        sum(when(col("cls") === "2UV", 1L).otherwise(0L)).as("c2uv"))
+    val nD = col("n_words").cast("double")
+    agg.select(keys :+ col("n_words") :+
+      (col("c0v").cast("double") / nD * 100.0).as("pct_0v") :+
+      (col("c1v").cast("double") / nD * 100.0).as("pct_1v") :+
+      (col("c2lv").cast("double") / nD * 100.0).as("pct_2lv") :+
+      (col("c2uv").cast("double") / nD * 100.0).as("pct_2uv"): _*)
+  }
+
+  /** Q263 — phase-rectified signal averaging (Bauer): deceleration
+    * capacity DC = [x̄(0) + x̄(1) − x̄(−1) − x̄(−2)]/4 averaged over
+    * anchors where RRᵢ > RRᵢ₋₁, and the mirrored acceleration
+    * capacity over RRᵢ < RRᵢ₋₁ anchors — the phase-coherent
+    * average that survives noise an ordinary ensemble average
+    * drowns in; anchors need a complete (−2..+1) neighborhood
+    * (documented edge rule).
+    *
+    * Exactness: RR offsets are integers, so the anchor sums are
+    * INTEGER-EXACT; DC/AC are single pinned divisions. Scale: one
+    * ordered window pass (lags 1–2, lead 1 share the sort), one
+    * map-side-combinable aggregate per channel with both anchor
+    * classes as conditional sums.
+    */
+  def prsa(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val nb = rr
+      .withColumn("dm1", lag(col("d"), 1).over(w))
+      .withColumn("dm2", lag(col("d"), 2).over(w))
+      .withColumn("dp1", lead(col("d"), 1).over(w))
+      .filter(col("dm1").isNotNull && col("dm2").isNotNull &&
+        col("dp1").isNotNull)
+    val quad = col("d") + col("dp1") - col("dm1") - col("dm2")
+    val dec = col("d") > col("dm1")
+    val acc = col("d") < col("dm1")
+    val agg = nb.groupBy(keys: _*).agg(
+      sum(when(dec, 1L).otherwise(0L)).as("n_dec"),
+      sum(when(dec, quad).otherwise(0L)).as("s_dec"),
+      sum(when(acc, 1L).otherwise(0L)).as("n_acc"),
+      sum(when(acc, quad).otherwise(0L)).as("s_acc"))
+    agg.filter(col("n_dec") > 0L || col("n_acc") > 0L)
+      .select(keys :+ col("n_dec") :+
+        when(col("n_dec") > 0L, col("s_dec").cast("double") /
+          (lit(4.0) * col("n_dec").cast("double"))).as("dc") :+
+        col("n_acc") :+
+        when(col("n_acc") > 0L, col("s_acc").cast("double") /
+          (lit(4.0) * col("n_acc").cast("double"))).as("ac"): _*)
+  }
+
+  /** Q264 — Higuchi fractal dimension of the smoothed trace: for
+    * each delay k ∈ {1,2,4,8} and phase m ∈ [0,k), the normalized
+    * curve length L_m(k) = (Σᵢ|y(m+ik) − y(m+(i−1)k)|) · (N−1) /
+    * (n_d·k²) with n_d the realized diff count (documented
+    * normalization variant), L(k) = mean over phases, and FD =
+    * −slope of the ln L(k) vs ln k OLS — the roughness exponent
+    * that complements q249's DFA (DFA measures correlation decay
+    * of the integrated series; Higuchi measures the raw curve's
+    * space-filling). FD → 1 for a smooth paced train, → 2 for
+    * noise.
+    *
+    * Exactness: positions/phases are integers off a dense
+    * row_number; |diff|s are pinned doubles quantized to DECIMAL
+    * before the (channel,k,m) sums; L_m and each OLS term are
+    * quantized before their (≤k-term, 4-point) sums; slope is one
+    * pinned finish. Scale: one ordered window pass per channel
+    * (the four lag columns share the sort), a 4-way literal stack
+    * (no join), then map-side-combinable aggregates — the OLS is
+    * over 4 rows per channel.
+    */
+  def higuchiFd(smoothed: DataFrame,
+                ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val base = smoothed.filter(col("y_smooth").isNotNull)
+      .select(keys :+ col("sample_idx") :+ col("y_smooth").as("v"): _*)
+      .withColumn("p", row_number().over(w).cast("long") - 1L)
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val lagged = ks.foldLeft(base) { (df, k) =>
+      df.withColumn(s"lk$k", lag(col("v"), k).over(w))
+    }
+    val stackExpr = "stack(" + ks.size + ", " +
+      ks.map(k => s"CAST($k AS BIGINT), lk$k").mkString(", ") +
+      ") AS (k, vprev)"
+    val diffs = lagged.select(keys :+ col("p") :+ col("nn") :+ col("v") :+
+      expr(stackExpr): _*)
+      .filter(col("vprev").isNotNull)
+      .withColumn("m", pmod(col("p"), col("k")))
+      .withColumn("ad", abs(col("v") - col("vprev"))
+        .cast("decimal(38,10)"))
+    val perPhase = diffs.groupBy(keys :+ col("k") :+ col("m"): _*)
+      .agg(count(lit(1)).as("n_d"), sum(col("ad")).as("sad"),
+        max(col("nn")).as("nn"))
+    val lm = (col("sad").cast("double") *
+      (col("nn") - 1L).cast("double") /
+      (col("n_d").cast("double") * col("k").cast("double") *
+        col("k").cast("double"))).cast("decimal(28,10)")
+    val perK = perPhase.select(keys :+ col("k") :+ lm.as("lm"): _*)
+      .groupBy(keys :+ col("k"): _*)
+      .agg(count(lit(1)).as("n_phase"), sum(col("lm")).as("slm"))
+    val lk = col("slm").cast("double") / col("n_phase").cast("double")
+    val pts = perK.filter(lk > 0.0)
+      .select(keys :+ log(col("k").cast("double"))
+        .cast("decimal(28,14)").as("u") :+
+        log(lk).cast("decimal(28,14)").as("v"): _*)
+    val (uD, vD) = (col("u").cast("double"), col("v").cast("double"))
+    val ols = pts.groupBy(keys: _*)
+      .agg(count(lit(1)).as("np"), sum(col("u")).as("su"),
+        sum(col("v")).as("sv"),
+        sum((uD * vD).cast("decimal(38,10)")).as("suv"),
+        sum((uD * uD).cast("decimal(38,10)")).as("suu"))
+    val npD = col("np").cast("double")
+    val den = npD * col("suu").cast("double") -
+      col("su").cast("double") * col("su").cast("double")
+    ols.filter(col("np") >= 2L)
+      .select(keys :+ col("np").as("n_scales") :+
+        when(den =!= 0.0,
+          -(npD * col("suv").cast("double") -
+            col("su").cast("double") * col("sv").cast("double")) / den)
+          .as("fd"): _*)
+  }
 }

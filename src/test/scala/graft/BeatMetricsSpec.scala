@@ -941,4 +941,125 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(out(0).getAs[Double]("mean_phase_rad")) < 1e-9)
     assert(math.abs(out(1).getAs[Double]("plv")) < 1e-9)
   }
+
+  test("hjorth: alternating trace pins all three parameters; flat trace nulls mobility") {
+    import spark.implicits._
+    // ch 0: y = 0,1,0,1,0,1 -> var(y) = 1/4; d1 = ±1 (n=5,
+    // mean 1/5, var 1 - 1/25 = 24/25); d2 = ∓2,±2 (n=4, var 4)
+    // ch 1: constant -> activity 0, mobility/complexity null
+    val rows = (0 until 6).map(i => ("e", 0, i.toLong, (i % 2).toDouble)) ++
+      (0 until 6).map(i => ("e", 1, i.toLong, 7.0))
+    val sm = rows.toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val out = BeatMetrics.hjorth(sm).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_samples") === 6L)
+    assert(math.abs(r0.getAs[Double]("activity") - 0.25) < 1e-12)
+    val mob = math.sqrt((24.0 / 25.0) / 0.25)
+    assert(math.abs(r0.getAs[Double]("mobility") - mob) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("complexity") -
+      math.sqrt(4.0 / (24.0 / 25.0)) / mob) < 1e-12)
+    val r1 = out(1)
+    assert(math.abs(r1.getAs[Double]("activity")) < 1e-12)
+    assert(r1.isNullAt(r1.fieldIndex("mobility")))
+    assert(r1.isNullAt(r1.fieldIndex("complexity")))
+  }
+
+  test("mannKendall: monotone run pins S/z/tau; all-ties zero the variance") {
+    import spark.implicits._
+    // ch 0: forces 1,2,3,4 -> S = 6, no ties, Var = 4*3*13/18,
+    // z = 5/sqrt(Var), tau = 1
+    // ch 1: 1,1,2 -> S = 2, tie group t=2 -> Var = (66-18)/18 = 8/3
+    // ch 2: 5,5,5 -> S = 0, Var = 0 -> z null, tau 0
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (f, i) => ("e", 0, i.toLong, f) } ++
+      Seq(1.0, 1.0, 2.0).zipWithIndex
+        .map { case (f, i) => ("e", 1, i.toLong, f) } ++
+      Seq(5.0, 5.0, 5.0).zipWithIndex
+        .map { case (f, i) => ("e", 2, i.toLong, f) }
+    val m = rows.toDF("experiment_id", "channel", "peak_idx", "force")
+    val out = BeatMetrics.mannKendall(m).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("s") === 6L)
+    val var0 = 4.0 * 3.0 * 13.0 / 18.0
+    assert(math.abs(r0.getAs[Double]("var_s") - var0) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("z") - 5.0 / math.sqrt(var0)) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("tau") - 1.0) < 1e-12)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("s") === 2L)
+    assert(math.abs(r1.getAs[Double]("var_s") - 8.0 / 3.0) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("z") -
+      1.0 / math.sqrt(8.0 / 3.0)) < 1e-12)
+    val r2 = out(2)
+    assert(r2.getAs[Long]("s") === 0L)
+    assert(math.abs(r2.getAs[Double]("var_s")) < 1e-12)
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+    assert(math.abs(r2.getAs[Double]("tau")) < 1e-12)
+  }
+
+  test("rrEntropy: binned histogram pins H = (3/2)ln2 and its ln3 normalization") {
+    import spark.implicits._
+    // RR = 8,9,16,24 -> bins 1,1,2,3 -> p = 1/2,1/4,1/4
+    // H = -(0.5 ln 0.5 + 2*0.25 ln 0.25) = 1.5 ln 2
+    val peaks = Seq(8L, 9L, 16L, 24L).scanLeft(0L)(_ + _)
+      .map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.rrEntropy(peaks).collect()(0)
+    assert(r.getAs[Long]("n_rr") === 4L)
+    assert(r.getAs[Long]("n_bins") === 3L)
+    val h = 1.5 * math.log(2.0)
+    assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-9)
+    assert(math.abs(r.getAs[Double]("entropy_norm") -
+      h / math.log(3.0)) < 1e-9)
+  }
+
+  test("symbolicDynamics: integer 6-level words classify 0V/1V/2LV/2UV") {
+    import spark.implicits._
+    // ch 0: d = 10,10,10,16,10,16 -> mn 10, mx 16, width 7 ->
+    // levels 0,0,0,5,0,5 -> words (0,0,0)=0V, (0,0,5)=1V,
+    // (0,5,0)=2UV, (5,0,5)=2UV
+    // ch 1: d = 10,12,14 -> levels 0,2,4 -> one word, both rises = 2LV
+    val peaks = (Seq(10L, 10L, 10L, 16L, 10L, 16L).scanLeft(0L)(_ + _)
+      .map(("e", 0, _)) ++
+      Seq(10L, 12L, 14L).scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.symbolicDynamics(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_words") === 4L)
+    assert(math.abs(r0.getAs[Double]("pct_0v") - 25.0) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("pct_1v") - 25.0) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("pct_2lv")) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("pct_2uv") - 50.0) < 1e-12)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_words") === 1L)
+    assert(math.abs(r1.getAs[Double]("pct_2lv") - 100.0) < 1e-12)
+  }
+
+  test("prsa: complete-neighborhood anchors pin DC and AC at 2.5") {
+    import spark.implicits._
+    // d = 100,110,105,115,110,120; complete interior i=2..4:
+    // i=2 acc (105<110) quad 10; i=3 dec (115>105) quad 10;
+    // i=4 acc (110<115) quad 10 -> DC = 10/4, AC = 20/8
+    val peaks = Seq(100L, 110L, 105L, 115L, 110L, 120L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.prsa(peaks).collect()(0)
+    assert(r.getAs[Long]("n_dec") === 1L)
+    assert(math.abs(r.getAs[Double]("dc") - 2.5) < 1e-12)
+    assert(r.getAs[Long]("n_acc") === 2L)
+    assert(math.abs(r.getAs[Double]("ac") - 2.5) < 1e-12)
+  }
+
+  test("higuchiFd: a linear ramp has fractal dimension exactly 1") {
+    import spark.implicits._
+    // y = p on 0..16: every k-diff is k, so L(k) = 16/k for all
+    // phases and the ln L vs ln k slope is exactly -1 -> FD = 1
+    val sm = (0 until 17).map(i => ("e", 0, i.toLong, i.toDouble))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val r = BeatMetrics.higuchiFd(sm).collect()(0)
+    assert(r.getAs[Long]("n_scales") === 4L)
+    assert(math.abs(r.getAs[Double]("fd") - 1.0) < 1e-9)
+  }
 }

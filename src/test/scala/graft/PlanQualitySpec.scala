@@ -394,6 +394,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q259-q264: no cartesians/BNLJ; Mann-Kendall pairs stay channel-keyed") {
+    for (q <- Seq("q259_hjorth", "q260_mann_kendall", "q261_rr_entropy",
+      "q262_symbolic", "q263_prsa", "q264_higuchi")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+    // hjorth is a single-aggregate shape off the smoothing spine:
+    // one ordered window pass feeding conditional sums, never a join
+    // (prsa/entropy/symbolic inherit the detect spine's internal
+    // joins, so only the smoothing-spine query gets this pin)
+    val pHj = plan("q259_hjorth")
+    assert(!"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(pHj).isDefined, s"q259 must be join-free:\n$pHj")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
