@@ -8697,4 +8697,331 @@ object OracleSql {
        |      - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
        |  END AS fd
        |FROM hfo WHERE np >= 2""".stripMargin
+
+  /** Q265 — recurrence quantification analysis (mirrors
+    * BeatMetrics.rqa): m=2 embedding, integer Chebyshev distance
+    * against the pinned Q246 radius, diagonal-line segmentation via
+    * gaps-and-islands, integer line stats, pinned rate finishes.
+    */
+  def q265Rqa(cfg: graft.PeakConfig = graft.PeakConfig(),
+              rFrac: Double = 0.2, lMin: Int = 2): String = {
+    val rThr = s"${dlit(rFrac)} * (sqrt(greatest(CAST(n AS DOUBLE) " +
+      "* CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), " +
+      "0.0)) / CAST(n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |rq0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |rqr AS MATERIALIZED (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER w - 1 AS k,
+       |    lead(d, 1) OVER w AS d1
+       |  FROM rq0 WHERE d IS NOT NULL
+       |  WINDOW w AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |rqst AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1, CAST(sum(d * d) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_vec
+       |  FROM rqr GROUP BY 1, 2
+       |),
+       |rqt AS (SELECT *, $rThr AS r_thresh FROM rqst),
+       |rqp AS (
+       |  SELECT a.experiment_id, a.channel, a.k AS ka,
+       |    b.k - a.k AS diag
+       |  FROM rqr a JOIN rqr b ON b.experiment_id = a.experiment_id
+       |    AND b.channel = a.channel AND a.k < b.k
+       |  JOIN rqt t ON t.experiment_id = a.experiment_id
+       |    AND t.channel = a.channel
+       |  WHERE a.d1 IS NOT NULL AND b.d1 IS NOT NULL
+       |    AND CAST(greatest(abs(a.d - b.d), abs(a.d1 - b.d1)) AS DOUBLE)
+       |      <= t.r_thresh
+       |),
+       |rql AS (
+       |  SELECT experiment_id, channel, diag,
+       |    ka - row_number() OVER (PARTITION BY experiment_id, channel, diag
+       |      ORDER BY ka) AS run
+       |  FROM rqp
+       |),
+       |rqg AS (
+       |  SELECT experiment_id, channel, diag, run,
+       |    CAST(count(*) AS BIGINT) AS len
+       |  FROM rql GROUP BY 1, 2, 3, 4
+       |),
+       |rqs AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(len) AS BIGINT) AS rp,
+       |    CAST(sum(CASE WHEN len >= $lMin THEN len ELSE 0 END) AS BIGINT)
+       |      AS det_points,
+       |    CAST(sum(CASE WHEN len >= $lMin THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_lines,
+       |    CAST(max(len) AS BIGINT) AS ml
+       |  FROM rqg GROUP BY 1, 2
+       |)
+       |SELECT t.experiment_id, t.channel, t.n_vec, t.r_thresh,
+       |  coalesce(s.rp, CAST(0 AS BIGINT)) AS rec_pairs,
+       |  CASE WHEN t.n_vec >= 2 THEN
+       |    2.0 * CAST(coalesce(s.rp, CAST(0 AS BIGINT)) AS DOUBLE)
+       |    / (CAST(t.n_vec AS DOUBLE) * (CAST(t.n_vec AS DOUBLE) - 1.0))
+       |  END AS rec_rate,
+       |  CASE WHEN coalesce(s.rp, CAST(0 AS BIGINT)) > 0 THEN
+       |    CAST(s.det_points AS DOUBLE) / CAST(s.rp AS DOUBLE)
+       |  END AS determinism,
+       |  CASE WHEN coalesce(s.n_lines, CAST(0 AS BIGINT)) > 0 THEN
+       |    CAST(s.det_points AS DOUBLE) / CAST(s.n_lines AS DOUBLE)
+       |  END AS mean_line,
+       |  coalesce(s.ml, CAST(0 AS BIGINT)) AS max_line
+       |FROM rqt t LEFT JOIN rqs s ON s.experiment_id = t.experiment_id
+       |  AND s.channel = t.channel""".stripMargin
+  }
+
+  /** Q266 — spectral edge / median frequency (mirrors
+    * BeatMetrics.spectralEdge): Q238's decimal DFT projections over
+    * ALL one-sided bins, DECIMAL cumulative window sum, crossing
+    * reads as pinned products of the decimal total.
+    */
+  def q266SpectralEdge(cfg: graft.PeakConfig = graft.PeakConfig(),
+                       edgeFrac: Double = 0.95): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val xv = s"((CAST(r.d AS DOUBLE) - CAST(b.s1 AS DOUBLE) " +
+      s"/ CAST(b.n AS DOUBLE)) / $rate)"
+    val theta = "(2.0 * pi() * CAST(b.j AS DOUBLE) " +
+      "* CAST(r.k AS DOUBLE) / CAST(b.n AS DOUBLE))"
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |sf0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |sfr AS (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) - 1 AS k
+       |  FROM sf0 WHERE d IS NOT NULL
+       |),
+       |sfch AS (
+       |  SELECT experiment_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS s1
+       |  FROM sfr GROUP BY 1, 2
+       |),
+       |sfb AS (
+       |  SELECT experiment_id, channel, n, s1,
+       |    unnest(range(1, n // 2 + 1)) AS j
+       |  FROM sfch WHERE n >= 2
+       |),
+       |sft AS (
+       |  SELECT r.experiment_id, r.channel, b.j, b.n, b.s1,
+       |    CAST($xv * cos($theta) AS DECIMAL(28,14)) AS ac,
+       |    CAST($xv * sin($theta) AS DECIMAL(28,14)) AS bs
+       |  FROM sfr r JOIN sfb b ON b.experiment_id = r.experiment_id
+       |    AND b.channel = r.channel
+       |),
+       |sfp AS (
+       |  SELECT experiment_id, channel, j, n, s1,
+       |    sum(ac) AS a, sum(bs) AS b
+       |  FROM sft GROUP BY 1, 2, 3, 4, 5
+       |),
+       |sfn AS (
+       |  SELECT experiment_id, channel, j, n, s1,
+       |    CAST((CASE WHEN j * 2 = n THEN 1.0 ELSE 2.0 END)
+       |      * (CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+       |        + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |      AS DECIMAL(28,14)) AS p
+       |  FROM sfp
+       |),
+       |sfc AS (
+       |  SELECT experiment_id, channel, j, n, s1, p,
+       |    sum(p) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY j) AS cum,
+       |    sum(p) OVER (PARTITION BY experiment_id, channel) AS tot
+       |  FROM sfn
+       |)
+       |SELECT experiment_id, channel,
+       |  CAST(max(n) AS BIGINT) AS n_rr,
+       |  CAST(max(tot) AS DOUBLE) AS total_power_s2,
+       |  min(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(tot AS DOUBLE)
+       |    THEN CAST(j AS DOUBLE) * $rate / CAST(s1 AS DOUBLE) END)
+       |    AS median_freq_hz,
+       |  min(CASE WHEN CAST(cum AS DOUBLE)
+       |      >= ${dlit(edgeFrac)} * CAST(tot AS DOUBLE)
+       |    THEN CAST(j AS DOUBLE) * $rate / CAST(s1 AS DOUBLE) END)
+       |    AS sef_hz
+       |FROM sfc GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Q267 — TINN (mirrors BeatMetrics.tinn): integer power-of-two
+    * bins, struct-max modal bin, dense-bin candidate grid, squared
+    * residuals decimal-quantized before the per-candidate sum,
+    * exact-decimal argmin with integer tie-breaks.
+    */
+  def q267Tinn(cfg: graft.PeakConfig = graft.PeakConfig(),
+               binWidth: Int = 8): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |tn0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS d
+       |  FROM detected
+       |),
+       |tnh AS MATERIALIZED (
+       |  SELECT experiment_id, channel,
+       |    CAST(floor(d / $binWidth.0) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tn0 WHERE d IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |),
+       |tns AS MATERIALIZED (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(c) AS BIGINT) AS n_rr,
+       |    CAST(min(b) AS BIGINT) AS minb, CAST(max(b) AS BIGINT) AS maxb,
+       |    max({'c': c, 'nb': -b}) AS best
+       |  FROM tnh GROUP BY 1, 2
+       |),
+       |tnd0 AS (
+       |  SELECT experiment_id, channel,
+       |    unnest(range(minb, maxb + 1)) AS b
+       |  FROM tns
+       |),
+       |tnd AS (
+       |  SELECT g.experiment_id, g.channel, g.b,
+       |    coalesce(h.c, CAST(0 AS BIGINT)) AS cb
+       |  FROM tnd0 g
+       |  LEFT JOIN tnh h ON h.experiment_id = g.experiment_id
+       |    AND h.channel = g.channel AND h.b = g.b
+       |),
+       |tnm AS (
+       |  SELECT experiment_id, channel, -best.nb AS peakb,
+       |    best.c AS peakc, minb, maxb
+       |  FROM tns
+       |),
+       |tnc AS (
+       |  SELECT experiment_id, channel, peakb, peakc, maxb,
+       |    unnest(range(minb - 1, peakb)) AS m
+       |  FROM tnm
+       |),
+       |tnc2 AS (
+       |  SELECT experiment_id, channel, peakb, peakc, m,
+       |    unnest(range(peakb + 1, maxb + 2)) AS nn
+       |  FROM tnc
+       |),
+       |tne AS (
+       |  SELECT c.experiment_id, c.channel, c.m, c.nn,
+       |    CAST((CAST(d.cb AS DOUBLE) -
+       |      CASE WHEN d.b > c.m AND d.b <= c.peakb THEN
+       |        CAST(c.peakc AS DOUBLE) * CAST(d.b - c.m AS DOUBLE)
+       |          / CAST(c.peakb - c.m AS DOUBLE)
+       |      WHEN d.b > c.peakb AND d.b < c.nn THEN
+       |        CAST(c.peakc AS DOUBLE) * CAST(c.nn - d.b AS DOUBLE)
+       |          / CAST(c.nn - c.peakb AS DOUBLE)
+       |      ELSE 0.0 END) *
+       |      (CAST(d.cb AS DOUBLE) -
+       |      CASE WHEN d.b > c.m AND d.b <= c.peakb THEN
+       |        CAST(c.peakc AS DOUBLE) * CAST(d.b - c.m AS DOUBLE)
+       |          / CAST(c.peakb - c.m AS DOUBLE)
+       |      WHEN d.b > c.peakb AND d.b < c.nn THEN
+       |        CAST(c.peakc AS DOUBLE) * CAST(c.nn - d.b AS DOUBLE)
+       |          / CAST(c.nn - c.peakb AS DOUBLE)
+       |      ELSE 0.0 END) AS DECIMAL(38,10)) AS e2
+       |  FROM tnc2 c JOIN tnd d ON d.experiment_id = c.experiment_id
+       |    AND d.channel = c.channel
+       |),
+       |tnsse AS (
+       |  SELECT experiment_id, channel, m, nn, sum(e2) AS sse
+       |  FROM tne GROUP BY 1, 2, 3, 4
+       |),
+       |tnbest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY experiment_id, channel
+       |    ORDER BY sse, nn - m, m) AS rn
+       |  FROM tnsse
+       |)
+       |SELECT s.experiment_id, s.channel, s.n_rr,
+       |  m.peakb AS modal_bin, m.peakc AS modal_count,
+       |  b.m AS m_bin, b.nn AS n_bin, CAST(b.sse AS DOUBLE) AS sse,
+       |  CAST(b.nn - b.m AS DOUBLE) * $binWidth.0 / $rate AS tinn_s
+       |FROM tns s
+       |JOIN tnm m ON m.experiment_id = s.experiment_id
+       |  AND m.channel = s.channel
+       |JOIN tnbest b ON b.experiment_id = s.experiment_id
+       |  AND b.channel = s.channel AND b.rn = 1""".stripMargin
+  }
+
+  /** Q268 — RR return-map mutual information (mirrors
+    * BeatMetrics.rrMutualInfo): Q262's integer 6-level quantizer,
+    * integer joint/marginal counts via window sums, p·ln terms
+    * decimal-quantized before the per-channel sums, pinned
+    * uncertainty-coefficient finish.
+    */
+  def q268RrMutualInfo(
+      cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |mi0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_mi AS d
+       |  FROM detected
+       |  WINDOW w_mi AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |mi1 AS (SELECT * FROM mi0 WHERE d IS NOT NULL),
+       |mis AS (
+       |  SELECT experiment_id, channel, min(d) AS mn, max(d) AS mx
+       |  FROM mi1 GROUP BY 1, 2
+       |),
+       |mil AS (
+       |  SELECT r.experiment_id, r.channel, r.peak_idx,
+       |    CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+       |      ELSE (r.d - s.mn) * 6 // (s.mx - s.mn + 1) END AS lv
+       |  FROM mi1 r JOIN mis s
+       |    ON s.experiment_id = r.experiment_id AND s.channel = r.channel
+       |),
+       |mip AS (
+       |  SELECT experiment_id, channel, lv AS s,
+       |    lead(lv, 1) OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY peak_idx) AS s1
+       |  FROM mil
+       |),
+       |mij AS (
+       |  SELECT experiment_id, channel, s, s1,
+       |    CAST(count(*) AS BIGINT) AS nxy
+       |  FROM mip WHERE s1 IS NOT NULL GROUP BY 1, 2, 3, 4
+       |),
+       |mim AS (
+       |  SELECT *,
+       |    sum(nxy) OVER (PARTITION BY experiment_id, channel) AS ntot,
+       |    sum(nxy) OVER (PARTITION BY experiment_id, channel, s) AS nx,
+       |    sum(nxy) OVER (PARTITION BY experiment_id, channel, s1) AS ny
+       |  FROM mij
+       |),
+       |mia AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(max(ntot) AS BIGINT) AS n_pairs,
+       |    CAST(count(*) AS BIGINT) AS n_cells,
+       |    sum(CAST((CAST(nxy AS DOUBLE) / CAST(ntot AS DOUBLE))
+       |      * ln(CAST(ntot AS DOUBLE) * CAST(nxy AS DOUBLE)
+       |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+       |      AS DECIMAL(28,14))) AS smi
+       |  FROM mim GROUP BY 1, 2
+       |),
+       |mih AS (
+       |  SELECT experiment_id, channel,
+       |    sum(CAST((CAST(nx AS DOUBLE) / CAST(ntot AS DOUBLE))
+       |      * ln(CAST(nx AS DOUBLE) / CAST(ntot AS DOUBLE))
+       |      AS DECIMAL(28,14))) AS shx
+       |  FROM (
+       |    SELECT DISTINCT experiment_id, channel, s, nx, ntot FROM mim
+       |  ) GROUP BY 1, 2
+       |)
+       |SELECT a.experiment_id, a.channel, a.n_pairs, a.n_cells,
+       |  CAST(a.smi AS DOUBLE) AS mi_nats,
+       |  -CAST(h.shx AS DOUBLE) AS hx_nats,
+       |  CASE WHEN CAST(h.shx AS DOUBLE) < 0.0 THEN
+       |    CAST(a.smi AS DOUBLE) / -CAST(h.shx AS DOUBLE)
+       |  END AS mi_norm
+       |FROM mia a JOIN mih h ON h.experiment_id = a.experiment_id
+       |  AND h.channel = a.channel""".stripMargin
 }

@@ -2196,4 +2196,279 @@ object BeatMetrics {
             col("su").cast("double") * col("sv").cast("double")) / den)
           .as("fd"): _*)
   }
+
+  /** Q265 — recurrence quantification analysis of the RR return
+    * map: embed the RR series in m=2 delay space, mark pairs within
+    * Chebyshev radius r = 0.2·SD(RR) (the Q246 threshold) as
+    * recurrent, and quantify their GEOMETRY: recurrence rate
+    * (upper-triangle matrix density), determinism (share of
+    * recurrent points on diagonal lines ≥ `lMin` — deterministic
+    * dynamics revisit whole trajectory segments, noise revisits
+    * isolated points), mean and max diagonal line length. SampEn
+    * (Q246) counts matches; RQA reads their structure — a paced
+    * train and white jitter can match-count alike yet sit at
+    * opposite DET extremes.
+    *
+    * Exactness: RR offsets are integers so the Chebyshev distance
+    * is INTEGER, compared once against the pinned double r (the
+    * Q246 discipline); diagonals, run ids, line lengths, and every
+    * count stay integer; rates are pinned divisions. Scale: the
+    * pair fan-out is channel-equi-keyed and bounded by
+    * beats-per-recording² (the Q246 bound, never corpus size); line
+    * segmentation is one (channel, diagonal)-partitioned window
+    * pass over recurrent pairs only — the sparse matrix, not the
+    * full one.
+    */
+  def rqa(peaks: DataFrame, rFrac: Double = 0.2,
+          lMin: Int = 2): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("k", row_number().over(w) - lit(1))
+      .withColumn("d1", lead(col("d"), 1).over(w))
+    val st = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(when(col("d1").isNotNull, 1L).otherwise(0L)).as("n_vec"))
+    val nD = col("n").cast("double")
+    val rThr = (lit(rFrac) *
+      (sqrt(greatest(nD * col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double"),
+        lit(0.0))) / nD)).as("r_thresh")
+    val emb = rr.filter(col("d1").isNotNull)
+    val a = emb.select(keys :+ col("k").as("ka") :+ col("d").as("da") :+
+      col("d1").as("da1"): _*)
+    val b = emb.select(keys :+ col("k").as("kb") :+ col("d").as("db") :+
+      col("d1").as("db1"): _*)
+    val rec = a.join(b, keyCols).filter(col("ka") < col("kb"))
+      .join(st.select(keys :+ rThr: _*), keyCols)
+      .filter(greatest(abs(col("da") - col("db")),
+        abs(col("da1") - col("db1"))).cast("double") <= col("r_thresh"))
+      .select(keys :+ col("ka") :+ (col("kb") - col("ka")).as("diag"): _*)
+    val wd = Window.partitionBy(keys :+ col("diag"): _*).orderBy(col("ka"))
+    val lines = rec
+      .withColumn("run", col("ka") - row_number().over(wd))
+      .groupBy(keys :+ col("diag") :+ col("run"): _*)
+      .agg(count(lit(1)).as("len"))
+    val lstats = lines.groupBy(keys: _*)
+      .agg(sum(col("len")).as("rp"),
+        sum(when(col("len") >= lit(lMin.toLong), col("len"))
+          .otherwise(lit(0L))).as("det_points"),
+        sum(when(col("len") >= lit(lMin.toLong), 1L).otherwise(0L))
+          .as("n_lines"),
+        max(col("len")).as("ml"))
+    val nv = col("n_vec").cast("double")
+    st.select(keys :+ col("n_vec") :+ rThr: _*)
+      .join(lstats, keyCols, "left")
+      .select(keys :+ col("n_vec") :+ col("r_thresh") :+
+        coalesce(col("rp"), lit(0L)).as("rec_pairs") :+
+        when(col("n_vec") >= 2L,
+          lit(2.0) * coalesce(col("rp"), lit(0L)).cast("double") /
+            (nv * (nv - lit(1.0)))).as("rec_rate") :+
+        when(coalesce(col("rp"), lit(0L)) > 0L,
+          col("det_points").cast("double") / col("rp").cast("double"))
+          .as("determinism") :+
+        when(coalesce(col("n_lines"), lit(0L)) > 0L,
+          col("det_points").cast("double") / col("n_lines").cast("double"))
+          .as("mean_line") :+
+        coalesce(col("ml"), lit(0L)).as("max_line"): _*)
+  }
+
+  /** Q266 — spectral edge and median frequency of the RR
+    * periodogram: the cumulative one-sided spectrum of the demeaned
+    * beat-indexed RR series read at its 50% (median frequency) and
+    * `edgeFrac` (spectral edge) crossings — the two-number "where
+    * does the variance live" summary that tracks a spectral shift
+    * without committing to Q238's fixed LF/HF boundaries, and the
+    * cheap screen that decides which recordings earn the banded
+    * analysis at 100 TB.
+    *
+    * Exactness: per-bin projections and powers are decimal-quantized
+    * with the Q238 Nyquist factor; the cumulative sum is a DECIMAL
+    * window sum (exact under DuckDB's segment-tree order); the
+    * crossing thresholds are single pinned products of the decimal
+    * total. Scale: the Q238 bin fan-out — parallel over samples and
+    * bins, one aggregate, then one ordered window per channel over
+    * ≤ n/2 bin rows.
+    */
+  def spectralEdge(peaks: DataFrame, sampleRateHz: Double = 100.0,
+                   edgeFrac: Double = 0.95): DataFrame = {
+    val rr0 = rrIntervals(peaks)
+    val w = Window.partitionBy(keys: _*).orderBy(col("ord"))
+    val rr = rr0.withColumn("k", row_number().over(w) - lit(1))
+    val ch = rr.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"))
+    val rate = lit(sampleRateHz)
+    val bins = ch.filter(col("n") >= 2L)
+      .select(keys :+ col("n") :+ col("s1") :+
+        explode(sequence(lit(1L),
+          floor(col("n") / lit(2L)).cast("long"))).as("j"): _*)
+    val joined = rr.join(
+      bins.select(keys :+ col("j") :+ col("n") :+ col("s1"): _*), keyCols)
+    val xv = (col("d").cast("double") -
+      col("s1").cast("double") / col("n").cast("double")) / rate
+    val theta = lit(2.0 * math.Pi) * col("j").cast("double") *
+      col("k").cast("double") / col("n").cast("double")
+    val perBin = joined
+      .groupBy(keys :+ col("j") :+ col("n") :+ col("s1"): _*)
+      .agg(sum((xv * cos(theta)).cast("decimal(28,14)")).as("a"),
+        sum((xv * sin(theta)).cast("decimal(28,14)")).as("b"))
+    val oneSided = when(col("j") * lit(2L) === col("n"), lit(1.0))
+      .otherwise(lit(2.0))
+    val pnorm = (oneSided *
+      (col("a").cast("double") * col("a").cast("double") +
+        col("b").cast("double") * col("b").cast("double")) /
+      (col("n").cast("double") * col("n").cast("double")))
+      .cast("decimal(28,14)")
+    val wj = Window.partitionBy(keys: _*).orderBy(col("j"))
+    val wAll = Window.partitionBy(keys: _*)
+    val withCum = perBin
+      .select(keys :+ col("j") :+ col("n") :+ col("s1") :+
+        pnorm.as("p"): _*)
+      .withColumn("cum", sum(col("p")).over(wj))
+      .withColumn("tot", sum(col("p")).over(wAll))
+    val f = col("j").cast("double") * rate / col("s1").cast("double")
+    val cumD = col("cum").cast("double")
+    val totD = col("tot").cast("double")
+    withCum.groupBy(keys: _*)
+      .agg(max(col("n")).as("n_rr"),
+        max(col("tot")).cast("double").as("total_power_s2"),
+        min(when(cumD >= lit(0.5) * totD, f)).as("median_freq_hz"),
+        min(when(cumD >= lit(edgeFrac) * totD, f)).as("sef_hz"))
+  }
+
+  /** Q267 — TINN (triangular interpolation of the NN histogram):
+    * the base width of the least-squares best triangle fitted to
+    * the binned RR histogram (Q261's power-of-two bins), the
+    * geometric HRV measure that ignores outlier beats a raw
+    * min–max range would swallow; reported with the modal bin and
+    * the winning (m, n) feet. Complements Q248's HTI (height ratio)
+    * with the WIDTH of the same histogram.
+    *
+    * Exactness: bins and counts are integer (power-of-two float
+    * division is exact); each squared residual against the rational
+    * triangle height is decimal-quantized before the per-candidate
+    * sum, so the argmin scans EXACT decimal SSEs with an integer
+    * tie-break (narrowest base, then smallest m — pinned). Scale:
+    * the candidate grid is bounded by the HISTOGRAM width (≤ a few
+    * hundred physiological bins — a constant, never corpus size),
+    * so the per-channel fan-out is O(bins²) tiny rows against an
+    * O(bins) dense histogram; everything is channel-equi-keyed.
+    */
+  def tinn(peaks: DataFrame, binWidth: Int = 8,
+           sampleRateHz: Double = 100.0): DataFrame = {
+    require((binWidth & (binWidth - 1)) == 0, "binWidth must be 2^k")
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val hist = rr.withColumn("b",
+      floor(col("d") / lit(binWidth.toDouble)).cast("long"))
+      .groupBy(keys :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val chst = hist.groupBy(keys: _*)
+      .agg(sum(col("c")).as("n_rr"), min(col("b")).as("minb"),
+        max(col("b")).as("maxb"),
+        max(struct(col("c"), (-col("b")).as("nb"))).as("best"))
+      .select(keys :+ col("n_rr") :+ col("minb") :+ col("maxb") :+
+        (-col("best.nb")).as("peakb") :+ col("best.c").as("peakc"): _*)
+    val dense = chst
+      .select(keys :+ explode(sequence(col("minb"), col("maxb"))).as("b"): _*)
+      .join(hist, keyCols :+ "b", "left")
+      .select(keys :+ col("b") :+ coalesce(col("c"), lit(0L)).as("cb"): _*)
+    val cand = chst
+      .select(keys :+ col("peakb") :+ col("peakc") :+
+        explode(sequence(col("minb") - lit(1L), col("peakb") - lit(1L)))
+          .as("m"): _*)
+      .select(keys :+ col("peakb") :+ col("peakc") :+ col("m") :+
+        explode(sequence(col("peakb") + lit(1L), col("maxb") + lit(1L)))
+          .as("nn"): _*)
+    val dD = col("peakc").cast("double")
+    val tri = when(col("b") > col("m") && col("b") <= col("peakb"),
+        dD * (col("b") - col("m")).cast("double") /
+          (col("peakb") - col("m")).cast("double"))
+      .when(col("b") > col("peakb") && col("b") < col("nn"),
+        dD * (col("nn") - col("b")).cast("double") /
+          (col("nn") - col("peakb")).cast("double"))
+      .otherwise(lit(0.0))
+    val err = col("cb").cast("double") - tri
+    val sse = cand.join(dense, keyCols)
+      .select(keys :+ col("m") :+ col("nn") :+
+        (err * err).cast("decimal(38,10)").as("e2"): _*)
+      .groupBy(keys :+ col("m") :+ col("nn"): _*)
+      .agg(sum(col("e2")).as("sse"))
+    val wr = Window.partitionBy(keys: _*)
+      .orderBy(col("sse").asc, (col("nn") - col("m")).asc, col("m").asc)
+    val bestFit = sse.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+    chst.join(bestFit, keyCols)
+      .select(keys :+ col("n_rr") :+ col("peakb").as("modal_bin") :+
+        col("peakc").as("modal_count") :+ col("m").as("m_bin") :+
+        col("nn").as("n_bin") :+ col("sse").cast("double").as("sse") :+
+        ((col("nn") - col("m")).cast("double") * lit(binWidth.toDouble) /
+          lit(sampleRateHz)).as("tinn_s"): _*)
+  }
+
+  /** Q268 — mutual information of the RR return map: quantize RR
+    * to Q262's fully-integer 6 levels, histogram consecutive pairs
+    * (RRᵢ, RRᵢ₊₁), and report I(X;Y) in nats plus the marginal
+    * entropy and the uncertainty coefficient I/H(X) — the
+    * model-free dependence measure that catches the nonlinear
+    * beat-to-beat coupling a linear autocorrelation (Q256) scores
+    * as zero. A paced train concentrates mass on the diagonal cell
+    * (high I/H); shuffled jitter factorizes (I ≈ 0).
+    *
+    * Exactness: levels, joint and marginal counts are INTEGER (the
+    * Q262 quantizer); each p·ln term is decimal-quantized before
+    * its ≤ 36-cell sum (the Q261 discipline); ln of integer ratios
+    * agrees cross-engine at the compare precision. Scale: one
+    * channel-stat broadcast, one ordered window pass, then window
+    * sums over the TINY joint table (≤ 36 cells per channel).
+    */
+  def rrMutualInfo(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val st = rr.groupBy(keys: _*)
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+    val lvl = rr.join(broadcast(st), keyCols)
+      .withColumn("s", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr("((d - mn) * 6) div (mx - mn + 1)")))
+      .withColumn("s1", lead(col("s"), 1).over(w))
+      .filter(col("s1").isNotNull)
+    val joint = lvl.groupBy(keys :+ col("s") :+ col("s1"): _*)
+      .agg(count(lit(1)).as("nxy"))
+    val wAll = Window.partitionBy(keys: _*)
+    val wx = Window.partitionBy(keys :+ col("s"): _*)
+    val wy = Window.partitionBy(keys :+ col("s1"): _*)
+    val withM = joint
+      .withColumn("ntot", sum(col("nxy")).over(wAll))
+      .withColumn("nx", sum(col("nxy")).over(wx))
+      .withColumn("ny", sum(col("nxy")).over(wy))
+    val nD = col("ntot").cast("double")
+    val term = ((col("nxy").cast("double") / nD) *
+      log(nD * col("nxy").cast("double") /
+        (col("nx").cast("double") * col("ny").cast("double"))))
+      .cast("decimal(28,14)")
+    val agg = withM.withColumn("t", term)
+      .groupBy(keys: _*)
+      .agg(max(col("ntot")).as("n_pairs"), count(lit(1)).as("n_cells"),
+        sum(col("t")).as("smi"))
+    val px = col("nx").cast("double") / col("ntot").cast("double")
+    val hx = withM
+      .select(keys :+ col("s") :+ col("nx") :+ col("ntot"): _*)
+      .distinct()
+      .withColumn("t", (px * log(px)).cast("decimal(28,14)"))
+      .groupBy(keys: _*)
+      .agg(sum(col("t")).as("shx"))
+    agg.join(hx, keyCols)
+      .select(keys :+ col("n_pairs") :+ col("n_cells") :+
+        col("smi").cast("double").as("mi_nats") :+
+        (-col("shx").cast("double")).as("hx_nats") :+
+        when(col("shx").cast("double") < 0.0,
+          col("smi").cast("double") / -col("shx").cast("double"))
+          .as("mi_norm"): _*)
+  }
 }

@@ -1062,4 +1062,95 @@ class BeatMetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_scales") === 4L)
     assert(math.abs(r.getAs[Double]("fd") - 1.0) < 1e-9)
   }
+
+  test("rqa: isolated recurrences score DET 0; a period-2 train lines up DET 0.75") {
+    import spark.implicits._
+    // ch 0: d = 100,100,100,200,100,100 -> SD = sqrt(50000/36),
+    // r ~ 7.45; vectors k0,k1,k4 equal -> pairs (0,1),(0,4),(1,4)
+    // on diagonals 1,4,3 -> three length-1 lines -> DET 0
+    // ch 1: d = 100,200,100,200,100,200 -> r = 10; equal-vector
+    // pairs (0,2),(1,3),(2,4) share diagonal 2 (ka 0,1,2 = ONE
+    // 3-line) plus (0,4) on diagonal 4 -> DET 3/4, mean/max line 3
+    val peaks = (Seq(100L, 100L, 100L, 200L, 100L, 100L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      Seq(100L, 200L, 100L, 200L, 100L, 200L)
+        .scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.rqa(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_vec") === 5L)
+    assert(r0.getAs[Long]("rec_pairs") === 3L)
+    assert(math.abs(r0.getAs[Double]("rec_rate") - 0.3) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("determinism")) < 1e-12)
+    assert(r0.isNullAt(r0.fieldIndex("mean_line")))
+    assert(r0.getAs[Long]("max_line") === 1L)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("rec_pairs") === 4L)
+    assert(math.abs(r1.getAs[Double]("rec_rate") - 0.4) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("determinism") - 0.75) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("mean_line") - 3.0) < 1e-12)
+    assert(r1.getAs[Long]("max_line") === 3L)
+  }
+
+  test("spectralEdge: a pure Nyquist alternation puts both crossings on the last bin") {
+    import spark.implicits._
+    // d = 10,12 alternating x8 -> all variance at j = n/2 = 4 (the
+    // Nyquist bin, one-sided factor 1); bins 1..3 are exact zeros
+    // after decimal quantization -> median and 95% edge both read
+    // f(4) = 4*100/88; total = (8*0.01)^2/64 = 1e-4
+    val peaks = Seq(10L, 12L, 10L, 12L, 10L, 12L, 10L, 12L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.spectralEdge(peaks).collect()(0)
+    assert(r.getAs[Long]("n_rr") === 8L)
+    assert(math.abs(r.getAs[Double]("total_power_s2") - 1e-4) < 1e-9)
+    val f4 = 4.0 * 100.0 / 88.0
+    assert(math.abs(r.getAs[Double]("median_freq_hz") - f4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sef_hz") - f4) < 1e-12)
+  }
+
+  test("tinn: the wider triangle absorbing the shoulder bin wins with SSE 0") {
+    import spark.implicits._
+    // bins: 1 x4, 2 x2 -> peak bin 1 (height 4); candidates
+    // m=0, nn in {2,3}: nn=2 leaves the shoulder (err 2^2=4),
+    // nn=3 puts T(2)=2 exactly on it (SSE 0) -> TINN = 3*8/100
+    val peaks = (Seq.fill(4)(8L) ++ Seq(16L, 16L))
+      .scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val r = BeatMetrics.tinn(peaks).collect()(0)
+    assert(r.getAs[Long]("n_rr") === 6L)
+    assert(r.getAs[Long]("modal_bin") === 1L)
+    assert(r.getAs[Long]("modal_count") === 4L)
+    assert(r.getAs[Long]("m_bin") === 0L)
+    assert(r.getAs[Long]("n_bin") === 3L)
+    assert(math.abs(r.getAs[Double]("sse")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("tinn_s") - 0.24) < 1e-12)
+  }
+
+  test("rrMutualInfo: perfect alternation pins MI = H = ln 2; constant train zeros both") {
+    import spark.implicits._
+    // ch 0: d = 10,16,10,16,10 -> levels 0,5,0,5,0 -> 4 pairs in 2
+    // cells (0,5)x2 and (5,0)x2 -> MI = ln 2 = H(X) -> norm 1
+    // ch 1: constant d -> one cell -> MI 0, H 0, norm null
+    val peaks = (Seq(10L, 16L, 10L, 16L, 10L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      Seq(10L, 10L, 10L).scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.rrMutualInfo(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_pairs") === 4L)
+    assert(r0.getAs[Long]("n_cells") === 2L)
+    val ln2 = math.log(2.0)
+    assert(math.abs(r0.getAs[Double]("mi_nats") - ln2) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("hx_nats") - ln2) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("mi_norm") - 1.0) < 1e-9)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_pairs") === 2L)
+    assert(r1.getAs[Long]("n_cells") === 1L)
+    assert(math.abs(r1.getAs[Double]("mi_nats")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("hx_nats")) < 1e-12)
+    assert(r1.isNullAt(r1.fieldIndex("mi_norm")))
+  }
 }

@@ -410,6 +410,14 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(pHj).isDefined, s"q259 must be join-free:\n$pHj")
   }
 
+  test("q265-q268: no cartesians/BNLJ; RQA and TINN fan-outs stay equi-keyed") {
+    for (q <- Seq("q265_rqa", "q266_sef", "q267_tinn", "q268_rr_mi")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
