@@ -47,6 +47,11 @@ def main() -> int:
     for name in sorted(sqls):
         if not os.path.isdir(f"{outdir}/{name}"):
             continue  # dev runs may dump only a query subset
+        if os.path.exists(f"{outdir}/{name}/_ERROR"):
+            msg = open(f"{outdir}/{name}/_ERROR").read().strip()
+            print(f"ERR  {name}: Spark-side failure: {msg[:200]}")
+            n_fail += 1
+            continue
         try:
             duck = canon(con.execute(sqls[name]).df())
             spark = canon(pd.read_parquet(f"{outdir}/{name}"))

@@ -1811,7 +1811,7 @@ object OracleSql {
        |),
        |fr1 AS (
        |  SELECT experiment_id, channel, peak_idx, d,
-       |    d - lag(d) OVER w_fr0 AS delta
+       |    d - lag(d) OVER w_fr1 AS delta
        |  FROM fr0 WHERE d IS NOT NULL
        |  WINDOW w_fr1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
        |),
@@ -9024,4 +9024,182 @@ object OracleSql {
        |  END AS mi_norm
        |FROM mia a JOIN mih h ON h.experiment_id = a.experiment_id
        |  AND h.channel = a.channel""".stripMargin
+
+  /** Q269 — RR stationarity split (mirrors
+    * BeatMetrics.rrStationaritySplit): first/second-half RR arms as
+    * exact BIGINT (n, Σd, Σd²) triples, Welch t + Welch–Satterthwaite
+    * dof in the same pinned double association, nullif guards on every
+    * zero denominator.
+    */
+  def q269RrStationarity(cfg: graft.PeakConfig = graft.PeakConfig()): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    def varOf(s: String) =
+      s"""(CAST(sxx_$s AS DOUBLE) - CAST(sx_$s AS DOUBLE)
+         |      * CAST(sx_$s AS DOUBLE) / CAST(n_$s AS DOUBLE))
+         |    / CAST(nullif(n_$s - 1, 0) AS DOUBLE)""".stripMargin
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |sp0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_sp0 AS d
+       |  FROM detected
+       |  WINDOW w_sp0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |sp1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER w_sp1 AS i,
+       |    count(*) OVER (PARTITION BY experiment_id, channel) AS n
+       |  FROM sp0 WHERE d IS NOT NULL
+       |  WINDOW w_sp1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |spa AS (
+       |  SELECT experiment_id, channel,
+       |    CASE WHEN i * 2 <= n THEN 0 ELSE 1 END AS h,
+       |    CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(d) AS BIGINT) AS sx,
+       |    CAST(sum(d * d) AS BIGINT) AS sxx
+       |  FROM sp1 GROUP BY 1, 2, 3
+       |),
+       |spj AS (
+       |  SELECT a.experiment_id, a.channel,
+       |    a.cn AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+       |    b.cn AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+       |  FROM spa a JOIN spa b ON a.experiment_id = b.experiment_id
+       |    AND a.channel = b.channel AND a.h = 0 AND b.h = 1
+       |),
+       |spm AS (
+       |  SELECT *,
+       |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+       |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+       |    ${varOf("a")} AS var_a,
+       |    ${varOf("b")} AS var_b
+       |  FROM spj
+       |),
+       |sps AS (
+       |  SELECT *,
+       |    var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) AS se2
+       |  FROM spm
+       |)
+       |SELECT experiment_id, channel,
+       |  n_a + n_b AS n_rr, n_a, n_b,
+       |  mean_a / $rate AS mean_a_s,
+       |  mean_b / $rate AS mean_b_s,
+       |  (mean_a - mean_b) / nullif(sqrt(se2), 0.0) AS t_stat,
+       |  (se2 * se2) / nullif(
+       |    (var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE))
+       |      / CAST(nullif(n_a - 1, 0) AS DOUBLE)
+       |    + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE))
+       |      / CAST(nullif(n_b - 1, 0) AS DOUBLE), 0.0) AS dof
+       |FROM sps""".stripMargin
+  }
+
+  /** Q270 — beat morphology classes (mirrors
+    * BeatMetrics.beatMorphClasses): complete Q236 windows, per-channel
+    * 2-means with first-two-beats init, one recompute + final
+    * assignment, exact-decimal distances with a cid tie-break,
+    * (count desc, cid) relabel, decimal centroid-gap finish.
+    */
+  def q270BeatMorphClasses(cfg: graft.PeakConfig = graft.PeakConfig(),
+                           before: Int = 20, after: Int = 40): String = {
+    val winLen = before + after + 1
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |bm_off AS (
+       |  SELECT d.experiment_id, d.channel, d.peak_idx, g.gs AS off,
+       |    d.peak_idx + g.gs AS sample_idx
+       |  FROM detected d, generate_series(-$before, $after) AS g(gs)
+       |),
+       |bm_win0 AS MATERIALIZED (
+       |  SELECT o.experiment_id, o.channel, o.peak_idx, o.off, s.v
+       |  FROM bm_off o JOIN smooth s ON s.experiment_id = o.experiment_id
+       |    AND s.channel = o.channel AND s.sample_idx = o.sample_idx
+       |),
+       |bm_cmp AS (
+       |  SELECT experiment_id, channel, peak_idx FROM bm_win0
+       |  GROUP BY 1, 2, 3 HAVING count(*) = $winLen
+       |),
+       |bm_win AS MATERIALIZED (
+       |  SELECT w.* FROM bm_win0 w JOIN bm_cmp c
+       |    ON c.experiment_id = w.experiment_id
+       |    AND c.channel = w.channel AND c.peak_idx = w.peak_idx
+       |),
+       |bm_init AS (
+       |  SELECT * FROM (
+       |    SELECT experiment_id, channel, peak_idx,
+       |      row_number() OVER (PARTITION BY experiment_id, channel
+       |        ORDER BY peak_idx) - 1 AS cid
+       |    FROM bm_cmp)
+       |  WHERE cid <= 1
+       |),
+       |bm_c0 AS (
+       |  SELECT w.experiment_id, w.channel, i.cid, w.off, w.v AS ce
+       |  FROM bm_win w JOIN bm_init i ON i.experiment_id = w.experiment_id
+       |    AND i.channel = w.channel AND i.peak_idx = w.peak_idx
+       |),
+       |bm_d1 AS (
+       |  SELECT w.experiment_id, w.channel, w.peak_idx, c.cid,
+       |    sum(CAST((w.v - c.ce) * (w.v - c.ce) AS DECIMAL(28,10))) AS d
+       |  FROM bm_win w JOIN bm_c0 c ON c.experiment_id = w.experiment_id
+       |    AND c.channel = w.channel AND c.off = w.off
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |bm_m1 AS (
+       |  SELECT experiment_id, channel, peak_idx, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY experiment_id, channel, peak_idx
+       |      ORDER BY d, cid) AS rk
+       |    FROM bm_d1)
+       |  WHERE rk = 1
+       |),
+       |bm_c1 AS MATERIALIZED (
+       |  SELECT w.experiment_id, w.channel, m.cid, w.off,
+       |    CAST(sum(CAST(w.v AS DECIMAL(28,14))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS ce
+       |  FROM bm_win w JOIN bm_m1 m ON m.experiment_id = w.experiment_id
+       |    AND m.channel = w.channel AND m.peak_idx = w.peak_idx
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |bm_d2 AS (
+       |  SELECT w.experiment_id, w.channel, w.peak_idx, c.cid,
+       |    sum(CAST((w.v - c.ce) * (w.v - c.ce) AS DECIMAL(28,10))) AS d
+       |  FROM bm_win w JOIN bm_c1 c ON c.experiment_id = w.experiment_id
+       |    AND c.channel = w.channel AND c.off = w.off
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |bm_m2 AS (
+       |  SELECT experiment_id, channel, peak_idx, cid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY experiment_id, channel, peak_idx
+       |      ORDER BY d, cid) AS rk
+       |    FROM bm_d2)
+       |  WHERE rk = 1
+       |),
+       |bm_sz AS (
+       |  SELECT experiment_id, channel, cid, CAST(count(*) AS BIGINT) AS cn
+       |  FROM bm_m2 GROUP BY 1, 2, 3
+       |),
+       |bm_split AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(sum(cn) AS BIGINT) AS n_beats,
+       |    max(CASE WHEN rk = 1 THEN cn END) AS n_major,
+       |    coalesce(max(CASE WHEN rk = 2 THEN cn END), CAST(0 AS BIGINT))
+       |      AS n_minor
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY experiment_id, channel
+       |      ORDER BY cn DESC, cid) AS rk
+       |    FROM bm_sz)
+       |  GROUP BY 1, 2
+       |),
+       |bm_gap AS (
+       |  SELECT a.experiment_id, a.channel,
+       |    sum(CAST((a.ce - b.ce) * (a.ce - b.ce) AS DECIMAL(28,10))) AS g2
+       |  FROM bm_c1 a JOIN bm_c1 b ON a.experiment_id = b.experiment_id
+       |    AND a.channel = b.channel AND a.off = b.off
+       |    AND a.cid = 0 AND b.cid = 1
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.experiment_id, s.channel, s.n_beats, s.n_major, s.n_minor,
+       |  CAST(s.n_minor AS DOUBLE) / CAST(s.n_beats AS DOUBLE) AS minor_share,
+       |  coalesce(sqrt(CAST(g.g2 AS DOUBLE)), 0.0) AS centroid_sep
+       |FROM bm_split s LEFT JOIN bm_gap g ON g.experiment_id = s.experiment_id
+       |  AND g.channel = s.channel""".stripMargin
+  }
 }

@@ -12,12 +12,16 @@ object Verify {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
-      .map { f =>
-        val r = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+    // List through the Hadoop FileSystem API, not java.io.File: the
+    // out dir may be on any supported filesystem (HDFS/S3/local), and
+    // File.listFiles() would silently report 0 rows for non-local URIs
+    // (round-9 ADVICE). A missing dir is a loud error, not a 0.
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(s.getPath, conf))
         try r.getRecordCount finally r.close()
       }.sum
   }
@@ -69,6 +73,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val total = todo.size
     var i = 0
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     todo.foreach { case (name, fn) =>
       i += 1
       val t0 = System.nanoTime()
@@ -82,11 +87,36 @@ object Verify {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[verify] $i%3d/$total $name ok ($n rows, $dt%.1fs)")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $i/$total $name failed: ${e.getMessage}")
+        // Failure-VISIBLE (round-9 lesson: a throwing query left no dump
+        // dir, so the driver compare silently omitted it — q267 vanished
+        // from CORRECTNESS_r09 instead of landing as `err`). Leave a
+        // marker the driver can surface: scrub any partial write, then
+        // write `<name>/_ERROR` with the message, and record it in the
+        // aggregate failures.json written at the end of the run.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures += name -> msg
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+          f.delete(): Unit
+        }
+        val dumpDir = new java.io.File(s"$outDir/$name")
+        if (dumpDir.exists()) rmrf(dumpDir)
+        dumpDir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
+        System.err.println(s"[verify] $i/$total $name failed: $msg")
       }
       // same session hygiene as Bench: per-query caches are intra-query
       spark.catalog.clearCache()
     }
+    // Aggregate failure manifest — written even when empty so the driver
+    // (and a dev run) can distinguish "all dumped" from "loop truncated".
+    Files.writeString(Paths.get(s"$outDir/failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -551,8 +551,15 @@ object BeatMetrics {
     * each window partition is bounded — beats-per-channel rows for a
     * (channel, offset) template cell, window-length rows for a beat.
     */
-  def beatTemplateCorr(enriched: DataFrame, peaks: DataFrame,
-                       before: Int = 20, after: Int = 40): DataFrame = {
+  /** Complete fixed-lag beat windows — the shared morphology substrate
+    * of Q236 (template correlation) and Q270 (class split): one row per
+    * (beat, offset) carrying y_smooth, with edge beats whose window
+    * runs off the recording excluded via a beat-partitioned count
+    * (never a join-back). Offsets explode the BEAT table, not the
+    * spine; the spine join is equi-keyed on (channel, sample_idx).
+    */
+  private def beatWindows(enriched: DataFrame, peaks: DataFrame,
+                          before: Int, after: Int): DataFrame = {
     val winLen = before + after + 1
     val offs = peaks.select(keys :+ col("peak_idx"): _*)
       .withColumn("off", explode(sequence(lit(-before.toLong), lit(after.toLong))))
@@ -561,8 +568,13 @@ object BeatMetrics {
       enriched.select(keys :+ col("sample_idx") :+ col("y_smooth"): _*),
       keyCols :+ "sample_idx")
     val wb = Window.partitionBy(keys :+ col("peak_idx"): _*)
-    val winc = win.withColumn("_wn", count(lit(1)).over(wb))
+    win.withColumn("_wn", count(lit(1)).over(wb))
       .filter(col("_wn") === winLen)
+  }
+
+  def beatTemplateCorr(enriched: DataFrame, peaks: DataFrame,
+                       before: Int = 20, after: Int = 40): DataFrame = {
+    val winc = beatWindows(enriched, peaks, before, after)
     val wt = Window.partitionBy(keys :+ col("off"): _*)
     val pairs = winc.withColumn("m",
       sum(col("y_smooth").cast("decimal(28,14)")).over(wt).cast("double") /
@@ -2378,7 +2390,7 @@ object BeatMetrics {
       .join(hist, keyCols :+ "b", "left")
       .select(keys :+ col("b") :+ coalesce(col("c"), lit(0L)).as("cb"): _*)
     val cand = chst
-      .select(keys :+ col("peakb") :+ col("peakc") :+
+      .select(keys :+ col("peakb") :+ col("peakc") :+ col("maxb") :+
         explode(sequence(col("minb") - lit(1L), col("peakb") - lit(1L)))
           .as("m"): _*)
       .select(keys :+ col("peakb") :+ col("peakc") :+ col("m") :+
@@ -2470,5 +2482,162 @@ object BeatMetrics {
         when(col("shx").cast("double") < 0.0,
           col("smi").cast("double") / -col("shx").cast("double"))
           .as("mi_norm"): _*)
+  }
+
+  /** Q269 — RR tachogram stationarity split: Welch's unequal-variance
+    * t between the FIRST- and SECOND-half RR means of each channel —
+    * the direct test of the stationarity assumption every summary HRV
+    * statistic (Q229's SDNN, Q261's entropy) silently makes, which
+    * Q233 (baseline drift) and Q260 (Mann–Kendall on force) imply but
+    * never test on the BEAT TRAIN itself. A drifting pacing rate shows
+    * up as |t| ≫ 0 long before the drift is visible in any pooled
+    * moment. Split point: RR index i ≤ ⌊n/2⌋ (the odd middle interval
+    * goes to the second half — pinned).
+    *
+    * Exactness: RR intervals are INTEGERS, so each half's (n, Σd, Σd²)
+    * is an exact BIGINT triple — no float enters until the single
+    * pinned double finish (mean/variance/t/Welch–Satterthwaite dof,
+    * association mirrored token-for-token by the oracle; q174's
+    * discipline). Zero pooled variance or a half with n < 2 yields
+    * null via nullif guards, never an Inf/NaN divergence between
+    * engines. Scale: one ordered window pass over the beat table and
+    * one channel-keyed aggregate — beats-per-channel bounded, no
+    * joins, no data-sized shuffle.
+    */
+  def rrStationaritySplit(peaks: DataFrame,
+                          sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("i", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val arms = rr
+      .withColumn("h", when(col("i") * 2 <= col("n"), 0).otherwise(1))
+      .groupBy(keys :+ col("h"): _*)
+      .agg(count(lit(1)).as("cn"), sum(col("d")).as("sx"),
+        sum(col("d") * col("d")).as("sxx"))
+    val a = arms.filter(col("h") === 0).select(keys :+
+      col("cn").as("n_a") :+ col("sx").as("sx_a") :+ col("sxx").as("sxx_a"): _*)
+    val b = arms.filter(col("h") === 1).select(keys :+
+      col("cn").as("n_b") :+ col("sx").as("sx_b") :+ col("sxx").as("sxx_b"): _*)
+    def meanOf(sfx: String): Column =
+      col(s"sx_$sfx").cast("double") / col(s"n_$sfx").cast("double")
+    def varOf(sfx: String): Column =
+      (col(s"sxx_$sfx").cast("double") -
+        col(s"sx_$sfx").cast("double") * col(s"sx_$sfx").cast("double") /
+          col(s"n_$sfx").cast("double")) /
+        nullif(col(s"n_$sfx") - 1L, lit(0L)).cast("double")
+    val j = a.join(b, keyCols)
+      .withColumn("mean_a", meanOf("a")).withColumn("mean_b", meanOf("b"))
+      .withColumn("var_a", varOf("a")).withColumn("var_b", varOf("b"))
+      .withColumn("se2",
+        col("var_a") / col("n_a").cast("double") +
+          col("var_b") / col("n_b").cast("double"))
+    val rate = lit(sampleRateHz)
+    j.select(keys :+ (col("n_a") + col("n_b")).as("n_rr") :+
+      col("n_a") :+ col("n_b") :+
+      (col("mean_a") / rate).as("mean_a_s") :+
+      (col("mean_b") / rate).as("mean_b_s") :+
+      ((col("mean_a") - col("mean_b")) /
+        nullif(sqrt(col("se2")), lit(0.0))).as("t_stat") :+
+      ((col("se2") * col("se2")) /
+        nullif(
+          (col("var_a") / col("n_a").cast("double")) *
+            (col("var_a") / col("n_a").cast("double")) /
+            nullif(col("n_a") - 1L, lit(0L)).cast("double") +
+          (col("var_b") / col("n_b").cast("double")) *
+            (col("var_b") / col("n_b").cast("double")) /
+            nullif(col("n_b") - 1L, lit(0L)).cast("double"),
+          lit(0.0))).as("dof"): _*)
+  }
+
+  /** Q270 — beat-cluster morphology classes: per-channel 2-means over
+    * the Q236 fixed-lag beat windows (Lloyd, 2 synchronous iterations,
+    * init = the channel's first two complete beats in peak order) —
+    * the ectopic-vs-normal split every beat pipeline runs, collapsed
+    * to the per-channel audit row a curation pass acts on: majority /
+    * minority class sizes, the minority share, and the L2 separation
+    * of the two final centroids (≈ 0 separation ⇒ the channel has ONE
+    * morphology and the "classes" are noise; large separation + a
+    * small minority ⇒ real ectopy). Q236 scores each beat against ONE
+    * template; this is the complementary unsupervised axis — two
+    * templates and the membership split between them.
+    *
+    * Exactness: assignment distances are Σ of per-sample squared
+    * residuals each quantized to DECIMAL(28,10) BEFORE the sum
+    * (combine-order-free), compared as exact decimals with a cid
+    * tie-break — the argmin can never flip on association order.
+    * Centroid means are exact-decimal sums over exact counts with one
+    * double rounding, mirrored token-for-token by the oracle; the
+    * majority/minority relabel orders by (count desc, cid asc) —
+    * integer, engine-exact. Scale: the k=2 centroid table is
+    * channels×2×window rows, joined CHANNEL-equi-keyed (never
+    * broadcast — channels grow with the corpus, Q236's rule); every
+    * window partition is beat- or channel-bounded; the corpus-sized
+    * exchange is keyed by (channel, off) / (channel, beat) throughout.
+    * Fixed iters ⇒ bounded cost (the q79/q110 unrolled discipline).
+    */
+  def beatMorphClasses(enriched: DataFrame, peaks: DataFrame,
+                       before: Int = 20, after: Int = 40,
+                       iters: Int = 2): DataFrame = {
+    val winc = beatWindows(enriched, peaks, before, after)
+      .select(keys :+ col("peak_idx") :+ col("off") :+ col("y_smooth"): _*)
+      .localCheckpoint()
+    // init: the channel's first two complete beats, cid ∈ {0, 1}
+    val wch = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val firstTwo = winc.select(keys :+ col("peak_idx"): _*).distinct()
+      .withColumn("rk", row_number().over(wch))
+      .filter(col("rk") <= 2)
+      .select(keys :+ col("peak_idx") :+ (col("rk") - 1).as("cid"): _*)
+    val c0 = winc.join(firstTwo, keyCols :+ "peak_idx")
+      .select(keys :+ col("cid") :+ col("off") :+
+        col("y_smooth").as("ce"): _*)
+    // one Lloyd step: channel-keyed assignment on exact-decimal
+    // distances, then per-(channel, cid, off) decimal-mean centroids
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = (col("y_smooth") - col("ce")) * (col("y_smooth") - col("ce"))
+      val wAssign = Window.partitionBy(keys :+ col("peak_idx"): _*)
+        .orderBy(col("d"), col("cid"))
+      winc.join(cent, keyCols :+ "off")
+        .groupBy(keys :+ col("peak_idx") :+ col("cid"): _*)
+        .agg(sum(d2.cast("decimal(28,10)")).as("d"))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(keys :+ col("peak_idx") :+ col("cid"): _*)
+    }
+    def recompute(assigned: DataFrame): DataFrame =
+      winc.join(assigned, keyCols :+ "peak_idx")
+        .groupBy(keys :+ col("cid") :+ col("off"): _*)
+        .agg((sum(col("y_smooth").cast("decimal(28,14)")).cast("double") /
+          count(lit(1)).cast("double")).as("ce"))
+    val cent = (1 until iters).foldLeft(c0)((c, _) => recompute(assign(c)))
+    val sizes = assign(cent)
+      .groupBy(keys :+ col("cid"): _*)
+      .agg(count(lit(1)).as("cn"))
+    val wSize = Window.partitionBy(keys: _*)
+      .orderBy(col("cn").desc, col("cid"))
+    val split = sizes.withColumn("rk", row_number().over(wSize))
+      .groupBy(keys: _*)
+      .agg(sum(col("cn")).as("n_beats"),
+        max(when(col("rk") === 1, col("cn"))).as("n_major"),
+        coalesce(max(when(col("rk") === 2, col("cn"))), lit(0L))
+          .as("n_minor"))
+    // centroid separation: pair the two final centroids per (off),
+    // decimal-quantized squared gap, one sqrt finish
+    val gap = cent.filter(col("cid") === 0)
+      .select(keys :+ col("off") :+ col("ce").as("ce0"): _*)
+      .join(cent.filter(col("cid") === 1)
+        .select(keys :+ col("off") :+ col("ce").as("ce1"): _*),
+        keyCols :+ "off")
+      .groupBy(keys: _*)
+      .agg(sum(((col("ce0") - col("ce1")) * (col("ce0") - col("ce1")))
+        .cast("decimal(28,10)")).as("g2"))
+    split.join(gap, keyCols, "left")
+      .select(keys :+ col("n_beats") :+ col("n_major") :+ col("n_minor") :+
+        (col("n_minor").cast("double") / col("n_beats").cast("double"))
+          .as("minor_share") :+
+        coalesce(sqrt(col("g2").cast("double")), lit(0.0))
+          .as("centroid_sep"): _*)
   }
 }

@@ -279,18 +279,43 @@ object Graph {
     * table a recompute would build.
     */
   private val lpMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int, Long), DataFrame]()
+
+  /** Fingerprint of the lineitem parquet under `dir` from filesystem
+    * METADATA only (file names, lengths, mtimes — no scan): part of the
+    * memo key, so rewriting the data in-place within one session misses
+    * the memo instead of silently serving labels computed from the old
+    * files (round-9 ADVICE). Any metadata failure hashes the error
+    * class — distinct from every healthy fingerprint, so a flaky
+    * filesystem degrades to recompute, never to a stale hit.
+    */
+  private def dataFingerprint(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode.toLong)
+        .sorted.foldLeft(17L)((a, h) => a * 31 + h)
+    } catch { case e: Throwable => e.getClass.getName.hashCode.toLong }
+  }
 
   /** Test hook: drop memoized LP labels (e.g. to exercise both the
     * miss and hit paths in one suite). */
   private[graft] def clearLpMemo(): Unit = lpMemo.clear()
 
   private def lpLabels(s: SparkSession, dir: String, iters: Int,
-                       minSupport: Int): DataFrame =
-    lpMemo.computeIfAbsent((s, dir, iters, minSupport), _ =>
-      lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters,
-        tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
-        .localCheckpoint())
+                       minSupport: Int): DataFrame = {
+    // Bound the memo (checkpointed blocks are never GC'd while mapped):
+    // a long-lived session sweeping many dirs keeps at most 8 label
+    // tables; past that the whole map is dropped — the next call
+    // recomputes, which is always correct (round-9 ADVICE).
+    if (lpMemo.size > 8) lpMemo.clear()
+    lpMemo.computeIfAbsent(
+      (s, dir, iters, minSupport, dataFingerprint(s, dir)), _ =>
+        lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters,
+          tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+          .localCheckpoint())
+  }
 
   /** The synchronous LP loop over a canonical (a < b) edge set —
     * shared by Q126 and Q223 (which reuses the caller's cached edges

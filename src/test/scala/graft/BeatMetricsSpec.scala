@@ -1153,4 +1153,76 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("hx_nats")) < 1e-12)
     assert(r1.isNullAt(r1.fieldIndex("mi_norm")))
   }
+
+  test("rrStationaritySplit: Welch t on a shifted train; zero variance and n=1 arms null out") {
+    import spark.implicits._
+    // ch 0: d = 10,12 | 20,26 -> means 11/23, vars 2/18, se2 = 10,
+    //   t = -12/sqrt(10), dof = 100/82
+    // ch 1: d = 10,10,10 | 20,20,20 -> both vars 0 -> se2 0 -> t/dof null
+    // ch 2: d = 10 | 10,20 (odd n: floor(3/2)=1 in the first arm)
+    //   -> n_a = 1 -> var_a null -> t/dof null; means still reported
+    val peaks = (Seq(10L, 12L, 20L, 26L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      Seq(10L, 10L, 10L, 20L, 20L, 20L)
+        .scanLeft(0L)(_ + _).map(("e", 1, _)) ++
+      Seq(10L, 10L, 20L).scanLeft(0L)(_ + _).map(("e", 2, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.rrStationaritySplit(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_rr") === 4L)
+    assert(r0.getAs[Long]("n_a") === 2L && r0.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r0.getAs[Double]("mean_a_s") - 0.11) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("mean_b_s") - 0.23) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("t_stat") - (-12.0 / math.sqrt(10.0))) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("dof") - 100.0 / 82.0) < 1e-12)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_a") === 3L && r1.getAs[Long]("n_b") === 3L)
+    assert(math.abs(r1.getAs[Double]("mean_a_s") - 0.1) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("mean_b_s") - 0.2) < 1e-12)
+    assert(r1.isNullAt(r1.fieldIndex("t_stat")))
+    assert(r1.isNullAt(r1.fieldIndex("dof")))
+    val r2 = out(2)
+    assert(r2.getAs[Long]("n_a") === 1L && r2.getAs[Long]("n_b") === 2L)
+    assert(math.abs(r2.getAs[Double]("mean_a_s") - 0.1) < 1e-12)
+    assert(math.abs(r2.getAs[Double]("mean_b_s") - 0.15) < 1e-12)
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")))
+    assert(r2.isNullAt(r2.fieldIndex("dof")))
+  }
+
+  test("beatMorphClasses: 2-means splits tall/short beats; a one-morph channel degenerates cleanly") {
+    import spark.implicits._
+    // ch 0: beat apexes 10,4,9,5,10 at idx 10..50 step 10, window
+    //   [-1..1] = [0, apex, 0]; init = beats 1/2 (apex 10 vs 4).
+    //   iter-1 assignment {10,9,10}->cid0, {4,5}->cid1; recompute
+    //   c0 apex = 29/3, c1 apex = 4.5; iter-2 assignment unchanged
+    //   -> major 3, minor 2, share 0.4, sep = 29/3 - 4.5.
+    //   An extra beat at idx 0 has an incomplete window -> excluded.
+    // ch 1: three identical beats -> init centroids equal, ties all
+    //   to cid 0, cluster 1 empties -> minor 0, sep 0.
+    val apex = Map(10L -> 10.0, 20L -> 4.0, 30L -> 9.0, 40L -> 5.0,
+      50L -> 10.0)
+    val e = ((0L until 60L).map(i =>
+      ("e", 0, i, apex.getOrElse(i, 0.0))) ++
+      (0L until 40L).map(i =>
+        ("e", 1, i, if (i % 10 == 5 && i > 0) 7.0 else 0.0)))
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val peaks = ((Seq(0L) ++ apex.keys.toSeq.sorted).map(("e", 0, _)) ++
+      Seq(5L, 15L, 25L).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.beatMorphClasses(e, peaks, before = 1, after = 1)
+      .collect().map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_beats") === 5L)
+    assert(r0.getAs[Long]("n_major") === 3L)
+    assert(r0.getAs[Long]("n_minor") === 2L)
+    assert(math.abs(r0.getAs[Double]("minor_share") - 0.4) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("centroid_sep") - (29.0 / 3 - 4.5)) < 1e-9)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_beats") === 3L)
+    assert(r1.getAs[Long]("n_major") === 3L)
+    assert(r1.getAs[Long]("n_minor") === 0L)
+    assert(math.abs(r1.getAs[Double]("minor_share")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("centroid_sep")) < 1e-12)
+  }
 }

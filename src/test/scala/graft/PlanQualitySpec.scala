@@ -418,6 +418,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q269-q270: no cartesians/BNLJ; 2-means centroids join channel-keyed, never broadcast") {
+    for (q <- Seq("q269_rr_stationarity", "q270_beat_morph")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+    // the morphology centroid table is channels x 2 x window — it grows
+    // with the corpus, so every Lloyd join must be a KEYED equi-join
+    // (BHJ at fixture scale is fine; the pin forbids the unkeyed forms,
+    // and no join in the plan ever forces a broadcast hint)
+    val p270 = plan("q270_beat_morph")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p270).isDefined,
+      s"q270 Lloyd joins must be keyed equi-joins:\n$p270")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
