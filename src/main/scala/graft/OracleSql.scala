@@ -1481,8 +1481,13 @@ object OracleSql {
     * closed-form integer x-moments per box, decimal-quantized
     * y-moment sums, pinned RSS/F(s)/log-log-slope finishes.
     */
-  def q249Dfa(cfg: graft.PeakConfig = graft.PeakConfig(),
-              scales: Seq[Int] = Seq(16, 64, 256)): String = {
+  /** The DFA CTE chain shared by Q249 (trace domain) and Q273 (RR
+    * tachogram): expects an upstream CTE `dsrc(experiment_id,
+    * channel, sample_idx, v)` and emits everything from the
+    * quantized profile through the final per-scale + α SELECT.
+    * Mirrors BeatMetrics.dfa token-for-token.
+    */
+  private def dfaChainSql(scales: Seq[Int]): String = {
     // closed-form box x-moments, identical to the Spark column math
     val scaleRows = scales.map { s =>
       val sx = s.toLong * (s + 1) / 2
@@ -1490,14 +1495,12 @@ object OracleSql {
       val dd = s * sxx - sx * sx
       s"(CAST($s AS BIGINT), CAST($sx AS BIGINT), CAST($dd AS BIGINT))"
     }.mkString(", ")
-    s"""WITH $sigCtes,
-       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
-       |db AS MATERIALIZED (
+    s"""db AS MATERIALIZED (
        |  SELECT experiment_id, channel,
        |    CAST(v AS DECIMAL(28,14)) AS vq,
        |    CAST(row_number() OVER wo AS BIGINT) AS i,
        |    sum(CAST(v AS DECIMAL(28,14))) OVER wc AS cs
-       |  FROM smooth
+       |  FROM dsrc
        |  WINDOW wo AS (PARTITION BY experiment_id, channel ORDER BY sample_idx),
        |         wc AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1573,6 +1576,13 @@ object OracleSql {
        |      - CAST(l.sls AS DOUBLE) * CAST(l.sls AS DOUBLE)) END AS alpha
        |FROM dpf f LEFT JOIN dsl l USING (experiment_id, channel)""".stripMargin
   }
+
+  def q249Dfa(cfg: graft.PeakConfig = graft.PeakConfig(),
+              scales: Seq[Int] = Seq(16, 64, 256)): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |dsrc AS (SELECT experiment_id, channel, sample_idx, v FROM smooth),
+       |${dfaChainSql(scales)}""".stripMargin
 
   /** Q250 — stim–signal magnitude-squared coherence at the pacing
     * frequency (mirrors BeatMetrics.stimCoherence): modal stim
@@ -9202,4 +9212,92 @@ object OracleSql {
        |FROM bm_split s LEFT JOIN bm_gap g ON g.experiment_id = s.experiment_id
        |  AND g.channel = s.channel""".stripMargin
   }
+
+  /** Q271 — Poincaré asymmetry (mirrors
+    * BeatMetrics.poincareAsymmetry): consecutive RR pairs via
+    * lag+lead, integer above/below counts and |Δ| sums, pinned
+    * percentage finishes with nullif guards.
+    */
+  def q271PoincareAsymmetry(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |pa0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_pa0 AS d
+       |  FROM detected
+       |  WINDOW w_pa0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |pa1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    lead(d) OVER w_pa1 AS d1
+       |  FROM pa0 WHERE d IS NOT NULL
+       |  WINDOW w_pa1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |paa AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN d1 > d THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |    CAST(sum(CASE WHEN d1 < d THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |    CAST(sum(CASE WHEN d1 > d THEN abs(d1 - d) ELSE 0 END) AS BIGINT)
+       |      AS s_above,
+       |    CAST(sum(abs(d1 - d)) AS BIGINT) AS s_all
+       |  FROM pa1 WHERE d1 IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_pairs, n_above, n_below,
+       |  n_pairs - n_above - n_below AS n_on,
+       |  100.0 * CAST(n_below AS DOUBLE)
+       |    / CAST(nullif(n_above + n_below, 0) AS DOUBLE) AS porta_pct,
+       |  100.0 * CAST(s_above AS DOUBLE)
+       |    / CAST(nullif(s_all, 0) AS DOUBLE) AS guzik_pct
+       |FROM paa""".stripMargin
+
+  /** Q272 — Katz fractal dimension (mirrors BeatMetrics.katzFd):
+    * unit-step curve length with decimal-quantized sqrt terms,
+    * max distance from the first point, pinned ln finish.
+    */
+  def q272KatzFd(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH $sigCtes,
+       |${smoothCtes(cfg.smoothWindow, cfg.smoothPolyorder)},
+       |kz0 AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(row_number() OVER wo AS BIGINT) - 1 AS i,
+       |    v,
+       |    first_value(v) OVER wc AS v0,
+       |    lag(v) OVER wo AS vp
+       |  FROM smooth
+       |  WINDOW wo AS (PARTITION BY experiment_id, channel ORDER BY sample_idx),
+       |         wc AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |kza AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    sum(CASE WHEN vp IS NOT NULL THEN
+       |      CAST(sqrt(1.0 + (v - vp) * (v - vp)) AS DECIMAL(38,10)) END)
+       |      AS lsum,
+       |    max(sqrt(CAST(i AS DOUBLE) * CAST(i AS DOUBLE)
+       |      + (v - v0) * (v - v0))) AS dmax
+       |  FROM kz0 GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n,
+       |  CAST(lsum AS DOUBLE) AS l_sum,
+       |  dmax AS d_max,
+       |  ln(CAST(n - 1 AS DOUBLE)) / nullif(
+       |    ln(CAST(n - 1 AS DOUBLE)) + ln(dmax / CAST(lsum AS DOUBLE)), 0.0)
+       |    AS katz_fd
+       |FROM kza WHERE n > 1""".stripMargin
+
+  /** Q273 — RR-tachogram DFA (mirrors BeatMetrics.rrDfa): the Q249
+    * chain re-sourced on the beat train at the short-term scales.
+    */
+  def q273RrDfa(cfg: graft.PeakConfig = graft.PeakConfig(),
+                scales: Seq[Int] = Seq(4, 6, 8)): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |rr0 AS (
+       |  SELECT experiment_id, channel, peak_idx AS sample_idx,
+       |    CAST(peak_idx - lag(peak_idx) OVER w_rr0 AS DOUBLE) AS v
+       |  FROM detected
+       |  WINDOW w_rr0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |dsrc AS (SELECT * FROM rr0 WHERE v IS NOT NULL),
+       |${dfaChainSql(scales)}""".stripMargin
 }

@@ -2640,4 +2640,112 @@ object BeatMetrics {
         coalesce(sqrt(col("g2").cast("double")), lit(0.0))
           .as("centroid_sep"): _*)
   }
+
+  /** Q271 — Poincaré-plot asymmetry (Porta / Guzik indices): of the
+    * (RRᵢ, RRᵢ₊₁) return-map points off the identity line, Porta's
+    * index is the percentage BELOW it (accelerations) and Guzik's
+    * the percentage of total distance-to-identity contributed by
+    * points ABOVE it (decelerations) — the time-irreversibility
+    * screen Q234's SD1/SD2 ellipse is blind to (the ellipse moments
+    * are symmetric under i ↔ i+1 reversal; a relaxing preparation
+    * decelerates in few large steps and accelerates in many small
+    * ones, pushing PI below and GI above 50%). Point-to-identity
+    * distance is |RRᵢ₊₁ − RRᵢ|/√2; the √2 cancels in GI's ratio, so
+    * both indices are ratios of INTEGER sums — engine-exact up to
+    * one pinned division each. A channel with no off-identity points
+    * yields null (nullif), never 0/0. Scale: one ordered window pass
+    * and one channel aggregate — no joins, no data-sized shuffle.
+    */
+  def poincareAsymmetry(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val pairs = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("d1", lead(col("d"), 1).over(w))
+      .filter(col("d1").isNotNull)
+    val up = col("d1") > col("d")
+    val dn = col("d1") < col("d")
+    val ad = abs(col("d1") - col("d"))
+    val agg = pairs.groupBy(keys: _*).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(up, 1L).otherwise(0L)).as("n_above"),
+      sum(when(dn, 1L).otherwise(0L)).as("n_below"),
+      sum(when(up, ad).otherwise(0L)).as("s_above"),
+      sum(ad).as("s_all"))
+    agg.select(keys :+ col("n_pairs") :+ col("n_above") :+ col("n_below") :+
+      (col("n_pairs") - col("n_above") - col("n_below")).as("n_on") :+
+      (lit(100.0) * col("n_below").cast("double") /
+        nullif(col("n_above") + col("n_below"), lit(0L)).cast("double"))
+        .as("porta_pct") :+
+      (lit(100.0) * col("s_above").cast("double") /
+        nullif(col("s_all"), lit(0L)).cast("double")).as("guzik_pct"): _*)
+  }
+
+  /** Q272 — Katz fractal dimension of the smoothed trace:
+    * FD = ln(m) / (ln(m) + ln(d/L)) with m the step count, L the
+    * total curve length Σ√(1 + Δy²) over unit sample steps (the
+    * documented x = sample-index convention), and d the maximum
+    * euclidean distance from the FIRST point — the waveform-
+    * complexity index that, unlike Q264's Higuchi slope, needs no
+    * multi-scale fan-out or log–log regression: one pass, one
+    * number, the cheap triage before Higuchi's 4-scale estimate.
+    *
+    * Exactness: each step length and each distance-from-origin is
+    * ONE pinned sqrt of exact integer/double terms; step lengths are
+    * quantized to DECIMAL(38,10) before the channel sum
+    * (combine-order-free), d is a max (order-free by definition),
+    * and the FD finish is pinned ln arithmetic with a nullif guard
+    * where d = L (degenerate 2-point series) would zero the
+    * denominator. Scale: one ordered window pass per channel plus
+    * one map-side-combinable aggregate — recording-length bounded,
+    * no joins.
+    */
+  def katzFd(smoothed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("sample_idx"))
+    val base = smoothed.filter(col("y_smooth").isNotNull)
+      .select(keys :+ col("sample_idx") :+ col("y_smooth").as("v"): _*)
+      .withColumn("i", row_number().over(w).cast("long") - 1L)
+      .withColumn("v0", first(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("vp", lag(col("v"), 1).over(w))
+    val step = sqrt(lit(1.0) + (col("v") - col("vp")) * (col("v") - col("vp")))
+    val dist = sqrt(col("i").cast("double") * col("i").cast("double") +
+      (col("v") - col("v0")) * (col("v") - col("v0")))
+    val agg = base.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("vp").isNotNull, step.cast("decimal(38,10)")))
+        .as("lsum"),
+      max(dist).as("dmax"))
+    val m = (col("n") - 1L).cast("double")
+    val lD = col("lsum").cast("double")
+    agg.filter(col("n") > 1L)
+      .select(keys :+ col("n") :+ lD.as("l_sum") :+
+        col("dmax").as("d_max") :+
+        (log(m) / nullif(log(m) + log(col("dmax") / lD), lit(0.0)))
+          .as("katz_fd"): _*)
+  }
+
+  /** Q273 — detrended fluctuation analysis of the RR TACHOGRAM (the
+    * canonical HRV α1): Q249's estimator applied to the beat train
+    * itself at the short-term scales 4/6/8 — the scaling exponent of
+    * beat-to-beat correlations (α1 ≈ 0.5 white jitter, ≈ 1 for 1/f
+    * pacing dynamics, ≈ 1.5 for drifting rate), which Q249's
+    * trace-domain α cannot see (the 100 Hz waveform's roughness is
+    * smoothing-dominated; the tachogram's is physiology). Reuses
+    * [[dfa]] verbatim — same exact-decimal profile, closed-form box
+    * x-moments, pinned slope — on the RR series keyed by peak
+    * position; per-scale fluctuation rows plus the shared α, exactly
+    * Q249's output contract. Scale: the series is beats-per-channel
+    * bounded (the Q246 discipline); everything downstream inherits
+    * Q249's shape.
+    */
+  def rrDfa(peaks: DataFrame, scales: Seq[Int] = Seq(4, 6, 8)): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .select(keys :+ col("peak_idx").as("sample_idx") :+
+        col("d").cast("double").as("y_smooth"): _*)
+    dfa(rr, scales)
+  }
 }

@@ -1225,4 +1225,91 @@ class BeatMetricsSpec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("minor_share")) < 1e-12)
     assert(math.abs(r1.getAs[Double]("centroid_sep")) < 1e-12)
   }
+
+  test("poincareAsymmetry: balanced alternation scores 50/50; pure deceleration 0/100; constant nulls") {
+    import spark.implicits._
+    // ch 0: d = 10,12,10,14,10,10 -> pairs +2,-2,+4,-4,0:
+    //   above 2, below 2, on 1 -> PI = 50, GI = (2+4)/(2+2+4+4) = 50
+    // ch 1: d = 10,12,16 -> both pairs above -> PI 0, GI 100
+    // ch 2: constant d -> all on-identity -> PI/GI null
+    val peaks = (Seq(10L, 12L, 10L, 14L, 10L, 10L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      Seq(10L, 12L, 16L).scanLeft(0L)(_ + _).map(("e", 1, _)) ++
+      Seq(10L, 10L, 10L).scanLeft(0L)(_ + _).map(("e", 2, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.poincareAsymmetry(peaks).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_pairs") === 5L)
+    assert(r0.getAs[Long]("n_above") === 2L)
+    assert(r0.getAs[Long]("n_below") === 2L)
+    assert(r0.getAs[Long]("n_on") === 1L)
+    assert(math.abs(r0.getAs[Double]("porta_pct") - 50.0) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("guzik_pct") - 50.0) < 1e-12)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n_pairs") === 2L)
+    assert(math.abs(r1.getAs[Double]("porta_pct")) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("guzik_pct") - 100.0) < 1e-12)
+    val r2 = out(2)
+    assert(r2.getAs[Long]("n_on") === 2L)
+    assert(r2.isNullAt(r2.fieldIndex("porta_pct")))
+    assert(r2.isNullAt(r2.fieldIndex("guzik_pct")))
+  }
+
+  test("katzFd: a sawtooth pins L = 3*sqrt(2), d = sqrt(10); a 2-step line degenerates to null") {
+    import spark.implicits._
+    // ch 0: y = 0,1,0,1 -> L = 3*sqrt2, d = max(sqrt2, 2, sqrt10)
+    //   = sqrt10, m = 3 -> FD = ln3/(ln3 + ln(sqrt10/(3*sqrt2)))
+    // ch 1: FLAT y = 0,0 -> step/L/d are EXACTLY 1 (integer-exact
+    //   through the decimal quantization), so ln(m) = ln(d/L) = 0
+    //   -> denominator exactly 0 -> null in both engines. (A sloped
+    //   2-point series does NOT null: its quantized L differs from d
+    //   in the last decimal place, so FD = 0/-eps = -0.0.)
+    val sm = (Seq(0.0, 1.0, 0.0, 1.0).zipWithIndex.map { case (v, i) =>
+      ("e", 0, i.toLong, v) } ++
+      Seq(0.0, 0.0).zipWithIndex.map { case (v, i) =>
+        ("e", 1, i.toLong, v) })
+      .toDF("experiment_id", "channel", "sample_idx", "y_smooth")
+    val out = BeatMetrics.katzFd(sm).collect()
+      .map(r => r.getAs[Int]("channel") -> r).toMap
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n") === 4L)
+    assert(math.abs(r0.getAs[Double]("l_sum") - 3.0 * math.sqrt(2.0)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("d_max") - math.sqrt(10.0)) < 1e-12)
+    val fd = math.log(3.0) /
+      (math.log(3.0) + math.log(math.sqrt(10.0) / (3.0 * math.sqrt(2.0))))
+    assert(math.abs(r0.getAs[Double]("katz_fd") - fd) < 1e-9)
+    val r1 = out(1)
+    assert(r1.getAs[Long]("n") === 2L)
+    assert(r1.isNullAt(r1.fieldIndex("katz_fd")))
+  }
+
+  test("rrDfa: a linear RR ramp detrends to zero fluctuation at every scale (no slope rows)") {
+    import spark.implicits._
+    // d = 10,11,..,21 (12 RRs): the profile of a linear series is
+    // quadratic, but within each detrended box the RESIDUAL of the
+    // integrated mean-centered ramp is tiny yet nonzero; instead pin
+    // the structural contract on a CONSTANT train: profile is exactly
+    // linear in i -> every box RSS is 0 -> f2 = 0 rows are filtered
+    // from the slope and alpha is null (k = 0 scale points survive)
+    val peaks = Seq.fill(12)(10L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.rrDfa(peaks, scales = Seq(4, 6)).collect()
+    assert(out.length === 2) // one row per scale with complete boxes
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("fluct")) < 1e-9)
+      assert(r.isNullAt(r.fieldIndex("alpha")))
+    }
+    // and a jittered train yields a finite alpha over the two scales
+    val jit = Seq(10L, 14L, 9L, 15L, 11L, 13L, 8L, 16L, 10L, 14L, 9L, 15L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val o2 = BeatMetrics.rrDfa(jit, scales = Seq(4, 6)).collect()
+    assert(o2.length === 2)
+    o2.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("alpha")))
+      assert(r.getAs[Double]("fluct") > 0.0)
+    }
+  }
 }

@@ -434,6 +434,19 @@ class PlanQualitySpec extends SparkSpec {
       s"q270 Lloyd joins must be keyed equi-joins:\n$p270")
   }
 
+  test("q271-q273: no cartesians/BNLJ; asymmetry and Katz are join-free window passes") {
+    for (q <- Seq("q271_poincare_asym", "q272_katz_fd", "q273_rr_dfa")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+    // Katz runs off the smoothing spine with no detect machinery:
+    // one ordered window pass + one aggregate, never a join
+    val pKz = plan("q272_katz_fd")
+    assert(!"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findFirstIn(pKz).isDefined, s"q272 must be join-free:\n$pKz")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
