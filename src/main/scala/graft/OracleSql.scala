@@ -9300,4 +9300,152 @@ object OracleSql {
        |),
        |dsrc AS (SELECT * FROM rr0 WHERE v IS NOT NULL),
        |${dfaChainSql(scales)}""".stripMargin
+
+  /** Q274 — heart-rate turbulence (mirrors
+    * BeatMetrics.heartRateTurbulence): integer 0.8/1.2 anchor gates,
+    * complete (−2..+16) neighborhood, greatest over the 11 integer
+    * slope numerators, decimal-quantized per-anchor TO/TS means.
+    */
+  def q274Hrt(cfg: graft.PeakConfig = graft.PeakConfig(),
+              postBeats: Int = 8): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    val leads = (1 to postBeats).map(k => s"lead(d, $k) OVER w_ht1 AS dp$k")
+      .mkString(",\n       |    ")
+    val notNull = (Seq("dm2", "dm1") ++ (1 to postBeats).map(k => s"dp$k"))
+      .map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val slopeNums = (2 to (postBeats - 4)).map(s =>
+      s"dp${s + 4} * 2 + dp${s + 3} - dp${s + 1} - dp$s * 2")
+      .mkString(",\n       |      ")
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |ht0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_ht0 AS d
+       |  FROM detected
+       |  WINDOW w_ht0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |ht1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    lag(d, 2) OVER w_ht1 AS dm2,
+       |    lag(d, 1) OVER w_ht1 AS dm1,
+       |    $leads
+       |  FROM ht0 WHERE d IS NOT NULL
+       |  WINDOW w_ht1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |ht2 AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(100.0 * (CAST(dp2 + dp3 AS DOUBLE)
+       |        - CAST(dm2 + dm1 AS DOUBLE))
+       |      / CAST(dm2 + dm1 AS DOUBLE) AS DECIMAL(28,14)) AS toq,
+       |    CAST(CAST(greatest(
+       |      $slopeNums) AS DOUBLE) / 10.0 / $rate AS DECIMAL(28,14)) AS tsq
+       |  FROM ht1
+       |  WHERE $notNull
+       |    AND d * 5 < dm1 * 4 AND dp1 * 5 > d * 6
+       |)
+       |SELECT experiment_id, channel,
+       |  CAST(count(*) AS BIGINT) AS n_anchors,
+       |  CAST(sum(toq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS to_pct,
+       |  CAST(sum(tsq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS ts_s_per_beat
+       |FROM ht2 GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Q275 — cross-channel RR correlation (mirrors
+    * BeatMetrics.rrCrossCorrelation): beat-index-aligned pair join,
+    * exact integer Pearson moments, pinned r finish.
+    */
+  def q275RrCrossCorr(cfg: graft.PeakConfig = graft.PeakConfig()): String =
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |xr0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_xr0 AS d
+       |  FROM detected
+       |  WINDOW w_xr0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |xr1 AS MATERIALIZED (
+       |  SELECT experiment_id, channel, d,
+       |    row_number() OVER w_xr1 AS i
+       |  FROM xr0 WHERE d IS NOT NULL
+       |  WINDOW w_xr1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |xra AS (
+       |  SELECT a.experiment_id, a.channel AS cha, b.channel AS chb,
+       |    CAST(count(*) AS BIGINT) AS n_common,
+       |    CAST(sum(a.d) AS BIGINT) AS sa, CAST(sum(b.d) AS BIGINT) AS sb,
+       |    CAST(sum(a.d * a.d) AS BIGINT) AS saa,
+       |    CAST(sum(b.d * b.d) AS BIGINT) AS sbb,
+       |    CAST(sum(a.d * b.d) AS BIGINT) AS sab
+       |  FROM xr1 a JOIN xr1 b ON a.experiment_id = b.experiment_id
+       |    AND a.i = b.i AND a.channel < b.channel
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT experiment_id, cha, chb, n_common,
+       |  (CAST(n_common AS DOUBLE) * CAST(sab AS DOUBLE)
+       |    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       |  / nullif(sqrt(greatest(
+       |      (CAST(n_common AS DOUBLE) * CAST(saa AS DOUBLE)
+       |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+       |      * (CAST(n_common AS DOUBLE) * CAST(sbb AS DOUBLE)
+       |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 0.0)), 0.0)
+       |    AS rr_corr
+       |FROM xra""".stripMargin
+
+  /** Q276 — segmental HRV (mirrors BeatMetrics.segmentalHrv):
+    * complete integer-division segments, exact per-segment integer
+    * moments, decimal-quantized segment means/SDs, pinned
+    * SDANN/SDNNI finishes.
+    */
+  def q276SegmentalHrv(cfg: graft.PeakConfig = graft.PeakConfig(),
+                       segLen: Int = 8): String = {
+    val rate = dlit(cfg.sampleRateHz)
+    s"""WITH RECURSIVE ${detectCtes(cfg)},
+       |sg0 AS (
+       |  SELECT experiment_id, channel, peak_idx,
+       |    peak_idx - lag(peak_idx) OVER w_sg0 AS d
+       |  FROM detected
+       |  WINDOW w_sg0 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |sg1 AS (
+       |  SELECT experiment_id, channel, d,
+       |    CAST(floor(CAST(row_number() OVER w_sg1 - 1 AS DOUBLE)
+       |      / ${dlit(segLen.toDouble)}) AS BIGINT) AS g
+       |  FROM sg0 WHERE d IS NOT NULL
+       |  WINDOW w_sg1 AS (PARTITION BY experiment_id, channel ORDER BY peak_idx)
+       |),
+       |sga AS (
+       |  SELECT experiment_id, channel, g,
+       |    CAST(count(*) AS BIGINT) AS sn,
+       |    CAST(sum(d) AS BIGINT) AS s1,
+       |    CAST(sum(d * d) AS BIGINT) AS s2
+       |  FROM sg1 GROUP BY 1, 2, 3
+       |  HAVING count(*) = $segLen
+       |),
+       |sgb AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(CAST(s1 AS DOUBLE) / CAST(sn AS DOUBLE)
+       |      AS DECIMAL(28,14)) AS mq,
+       |    CAST((CAST(s1 AS DOUBLE) / CAST(sn AS DOUBLE))
+       |        * (CAST(s1 AS DOUBLE) / CAST(sn AS DOUBLE))
+       |      AS DECIMAL(28,10)) AS mmq,
+       |    CAST(sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(sn AS DOUBLE)
+       |        - (CAST(s1 AS DOUBLE) / CAST(sn AS DOUBLE))
+       |          * (CAST(s1 AS DOUBLE) / CAST(sn AS DOUBLE)), 0.0))
+       |      AS DECIMAL(28,14)) AS sdq
+       |  FROM sga
+       |),
+       |sgc AS (
+       |  SELECT experiment_id, channel,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    sum(mq) AS sm, sum(mmq) AS smm, sum(sdq) AS ssd
+       |  FROM sgb GROUP BY 1, 2
+       |)
+       |SELECT experiment_id, channel, n_segments,
+       |  CASE WHEN n_segments > 1 THEN
+       |    sqrt(greatest(CAST(smm AS DOUBLE) / CAST(n_segments AS DOUBLE)
+       |      - (CAST(sm AS DOUBLE) / CAST(n_segments AS DOUBLE))
+       |        * (CAST(sm AS DOUBLE) / CAST(n_segments AS DOUBLE)), 0.0))
+       |    / $rate END AS sdann_s,
+       |  CAST(ssd AS DOUBLE) / CAST(n_segments AS DOUBLE) / $rate AS sdnni_s
+       |FROM sgc""".stripMargin
+  }
 }

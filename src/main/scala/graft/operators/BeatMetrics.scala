@@ -2748,4 +2748,168 @@ object BeatMetrics {
         col("d").cast("double").as("y_smooth"): _*)
     dfa(rr, scales)
   }
+
+  /** Q274 — heart-rate turbulence (Schmidt): after each premature
+    * beat (the anchor RRᵢ with 5·RRᵢ < 4·RRᵢ₋₁ and a compensatory
+    * pause 5·RRᵢ₊₁ > 6·RRᵢ — the classic 0.8/1.2 gates as EXACT
+    * integer comparisons), turbulence onset
+    * TO = 100·[(RR₊₂+RR₊₃) − (RR₋₂+RR₋₁)]/(RR₋₂+RR₋₁) (early
+    * post-pause acceleration, normally < 0) and turbulence slope
+    * TS = max OLS slope over the 5-beat windows in the `postBeats`
+    * post-pause RRs (the baroreflex recovery rate, normally > 2.5
+    * ms/beat in humans) — the autonomic-integrity probe that needs
+    * exactly the ectopy q270 classifies. Anchors require the full
+    * (−2 .. +postBeats) neighborhood (documented edge rule,
+    * mirrored); the classic Schmidt window is 15 post RRs, but the
+    * engine defaults to the SHORT-RECORDING variant postBeats = 8
+    * (3 slope windows) — a 16-beat tail would out-span these
+    * preparations' trains and gate every anchor out (the parameter
+    * restores the classic form on long recordings).
+    *
+    * Exactness: both gates and every 5-point slope NUMERATOR
+    * (Σ(x−2)·y = 2y₄+y₃−y₁−2y₀ over x = 0..4) are INTEGER; TS's max
+    * scans integer numerators (greatest over null-free columns)
+    * and divides by 10 once; TO is one pinned ratio; the per-channel
+    * means quantize each anchor's TO/TS to DECIMAL before the sum
+    * (combine-order-free). Scale: all neighbors come off ONE
+    * ordered window sort per channel (the q264 shared-sort
+    * discipline), then one channel aggregate — no joins, no
+    * data-sized shuffle, beats-per-channel bounded.
+    */
+  def heartRateTurbulence(peaks: DataFrame,
+                          postBeats: Int = 8,
+                          sampleRateHz: Double = 100.0): DataFrame = {
+    // >= 7 ⇒ at least two slope windows (Spark's greatest needs 2 args)
+    require(postBeats >= 7, "TS needs two 5-beat windows past dp2")
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr0 = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val rr = (Seq(-2, -1) ++ (1 to postBeats)).foldLeft(rr0) { (df, k) =>
+      df.withColumn(s"d$k",
+        (if (k < 0) lag(col("d"), -k) else lead(col("d"), k)).over(w))
+    }
+    def dk(k: Int): Column = col(s"d$k")
+    val neighborhood = (Seq(-2, -1) ++ (1 to postBeats))
+      .map(k => dk(k).isNotNull).reduce(_ && _)
+    val anchor = (col("d") * 5 < dk(-1) * 4) && (dk(1) * 5 > col("d") * 6)
+    // 5-point OLS slope numerators over post-pause starts 2..postBeats-4
+    val slopeNums = (2 to (postBeats - 4)).map(s =>
+      dk(s + 4) * 2 + dk(s + 3) - dk(s + 1) - dk(s) * 2)
+    val tsNum = greatest(slopeNums: _*)
+    val pre = (dk(-2) + dk(-1)).cast("double")
+    val to = lit(100.0) * ((dk(2) + dk(3)).cast("double") - pre) / pre
+    val anchors = rr.filter(neighborhood && anchor)
+      .select(keys :+ to.cast("decimal(28,14)").as("toq") :+
+        (tsNum.cast("double") / lit(10.0) / lit(sampleRateHz))
+          .cast("decimal(28,14)").as("tsq"): _*)
+    anchors.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_anchors"),
+        (sum(col("toq")).cast("double") / count(lit(1)).cast("double"))
+          .as("to_pct"),
+        (sum(col("tsq")).cast("double") / count(lit(1)).cast("double"))
+          .as("ts_s_per_beat"))
+  }
+
+  /** Q275 — cross-channel RR correlation matrix: for each ordered
+    * channel pair (a < b) of an experiment, the Pearson correlation
+    * of the two RR series ALIGNED BY BEAT INDEX — the tachogram-level
+    * synchrony audit complementing q242 (sample-level trace
+    * synchrony) and q252 (lagged trace xcorr): co-paced channels
+    * vary their beat timing together even when their waveforms
+    * differ, so high RR-correlation with low trace-synchrony flags
+    * shared pacing with independent mechanics. Unequal train lengths
+    * contribute only their common prefix (inner join on beat index —
+    * the documented alignment rule).
+    *
+    * Exactness: RR values are integers, so all five Pearson moments
+    * (n, Σa, Σb, Σa², Σb², Σab) are exact integer sums; r is one
+    * pinned double finish with a nullif-guarded denominator (a
+    * constant train nulls out, never NaN). Scale: the pair fan-out is
+    * an equi-join on (experiment, beat index) — channels per
+    * experiment is a hardware constant (≤ 9), so rows grow as
+    * beats × channels², never corpus²; one aggregate per pair.
+    */
+  def rrCrossCorrelation(peaks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("i", row_number().over(w))
+    val a = rr.select(col("experiment_id"), col("channel").as("cha"),
+      col("i"), col("d").as("da"))
+    val b = rr.select(col("experiment_id"), col("channel").as("chb"),
+      col("i"), col("d").as("db"))
+    val pairs = a.join(b, Seq("experiment_id", "i"))
+      .filter(col("cha") < col("chb"))
+    val agg = pairs.groupBy(col("experiment_id"), col("cha"), col("chb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+        sum(col("da") * col("da")).as("saa"),
+        sum(col("db") * col("db")).as("sbb"),
+        sum(col("da") * col("db")).as("sab"))
+    val nD = col("n_common").cast("double")
+    val cov = nD * col("sab").cast("double") -
+      col("sa").cast("double") * col("sb").cast("double")
+    val va = nD * col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double")
+    val vb = nD * col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double")
+    agg.select(col("experiment_id"), col("cha"), col("chb"),
+      col("n_common"),
+      (cov / nullif(sqrt(greatest(va * vb, lit(0.0))), lit(0.0))).as("rr_corr"))
+  }
+
+  /** Q276 — segmental HRV (the SDANN/SDNNI pair, beat-count
+    * segments): split each channel's RR train into consecutive
+    * complete `segLen`-beat segments; SDANN = the SD of the segment
+    * MEANS (slow, between-segment variability — rate drift), SDNNI =
+    * the mean of the segment SDs (fast, within-segment variability —
+    * beat-to-beat jitter). The two-number decomposition that tells
+    * drift from jitter when q229's pooled SDNN conflates them
+    * (q269's Welch split tests the former; this QUANTIFIES both).
+    * Incomplete tail segments are dropped (documented rule).
+    *
+    * Exactness: segment ids are integer divisions of a dense
+    * row_number; per-segment (n, Σd, Σd²) are exact integer sums;
+    * each segment mean/SD is a pinned double quantized to DECIMAL
+    * before the channel-level sums (combine-order-free), and the
+    * channel finishes are pinned population-variance forms with
+    * nullif guards (< 2 segments ⇒ SDANN null). Scale: one window
+    * pass + two nested aggregates, both map-side combinable —
+    * beats-per-channel bounded, no joins.
+    */
+  def segmentalHrv(peaks: DataFrame, segLen: Int = 8,
+                   sampleRateHz: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(col("peak_idx"))
+    val rr = peaks.select(keys :+ col("peak_idx"): _*)
+      .withColumn("d", col("peak_idx") - lag(col("peak_idx"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("g", floor((row_number().over(w) - 1).cast("double") /
+        lit(segLen.toDouble)).cast("long"))
+    val seg = rr.groupBy(keys :+ col("g"): _*)
+      .agg(count(lit(1)).as("sn"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+      .filter(col("sn") === segLen)
+    val snD = col("sn").cast("double")
+    val segMean = col("s1").cast("double") / snD
+    val segSd = sqrt(greatest(
+      col("s2").cast("double") / snD - segMean * segMean, lit(0.0)))
+    val perSeg = seg.select(keys :+
+      segMean.cast("decimal(28,14)").as("mq") :+
+      (segMean * segMean).cast("decimal(28,10)").as("mmq") :+
+      segSd.cast("decimal(28,14)").as("sdq"): _*)
+    val agg = perSeg.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("mq")).as("sm"), sum(col("mmq")).as("smm"),
+        sum(col("sdq")).as("ssd"))
+    val kD = col("n_segments").cast("double")
+    val rate = lit(sampleRateHz)
+    agg.select(keys :+ col("n_segments") :+
+      when(col("n_segments") > 1L,
+        sqrt(greatest(col("smm").cast("double") / kD -
+          (col("sm").cast("double") / kD) * (col("sm").cast("double") / kD),
+          lit(0.0))) / rate).as("sdann_s") :+
+      (col("ssd").cast("double") / kD / rate).as("sdnni_s"): _*)
+  }
 }

@@ -1312,4 +1312,64 @@ class BeatMetricsSpec extends SparkSpec {
       assert(r.getAs[Double]("fluct") > 0.0)
     }
   }
+
+  test("heartRateTurbulence: one gated anchor, ramp recovery pins TS = 0.01 s/beat") {
+    import spark.implicits._
+    // ch 0: d = 30,30,20,30,24,25,...,38 (19 RRs). Anchor at RR#3:
+    //   5*20 < 4*30 (premature) and 5*30 > 6*20 (pause); full
+    //   (-2..+16) neighborhood. TO = 100*((24+25)-60)/60 = -55/3;
+    //   every post-pause 5-window has slope exactly 1 -> numerator 10
+    //   -> TS = 10/10/100 = 0.01. No other RR passes the gates.
+    // ch 1: constant train -> no anchors -> no row
+    val d0 = Seq(30L, 30L, 20L, 30L) ++ (24L to 38L)
+    val peaks = (d0.scanLeft(0L)(_ + _).map(("e", 0, _)) ++
+      Seq.fill(19)(30L).scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.heartRateTurbulence(peaks).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Int]("channel") === 0)
+    assert(r.getAs[Long]("n_anchors") === 1L)
+    assert(math.abs(r.getAs[Double]("to_pct") - (-55.0 / 3.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ts_s_per_beat") - 0.01) < 1e-12)
+  }
+
+  test("rrCrossCorrelation: identical trains pin r = 1, mirrored r = -1, constant nulls") {
+    import spark.implicits._
+    // ch0 = ch1 = 10,20,10,20; ch2 = 20,10,20,10; ch3 constant
+    def tr(c: Int, d: Seq[Long]) =
+      d.scanLeft(0L)(_ + _).map(("e", c, _))
+    val peaks = (tr(0, Seq(10L, 20L, 10L, 20L)) ++
+      tr(1, Seq(10L, 20L, 10L, 20L)) ++
+      tr(2, Seq(20L, 10L, 20L, 10L)) ++
+      tr(3, Seq(10L, 10L, 10L, 10L)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.rrCrossCorrelation(peaks).collect()
+      .map(r => (r.getAs[Int]("cha"), r.getAs[Int]("chb")) -> r).toMap
+    assert(out.size === 6)
+    assert(out.values.forall(_.getAs[Long]("n_common") === 4L))
+    assert(math.abs(out((0, 1)).getAs[Double]("rr_corr") - 1.0) < 1e-12)
+    assert(math.abs(out((0, 2)).getAs[Double]("rr_corr") + 1.0) < 1e-12)
+    assert(math.abs(out((1, 2)).getAs[Double]("rr_corr") + 1.0) < 1e-12)
+    for (p <- Seq((0, 3), (1, 3), (2, 3)))
+      assert(out(p).isNullAt(out(p).fieldIndex("rr_corr")), s"$p")
+  }
+
+  test("segmentalHrv: drift lands in SDANN, jitter in SDNNI, tails drop") {
+    import spark.implicits._
+    // segLen 4: d = 10x4 | 18,22,18,22 | 30,30(dropped tail)
+    //   segment means 10/20 -> SDANN = 5/100; segment SDs 0/2
+    //   -> SDNNI = 1/100. A 3-RR channel has no complete segment.
+    val peaks = ((Seq(10L, 10L, 10L, 10L, 18L, 22L, 18L, 22L, 30L, 30L)
+      .scanLeft(0L)(_ + _).map(("e", 0, _))) ++
+      Seq(10L, 10L, 10L).scanLeft(0L)(_ + _).map(("e", 1, _)))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val out = BeatMetrics.segmentalHrv(peaks, segLen = 4).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Int]("channel") === 0)
+    assert(r.getAs[Long]("n_segments") === 2L)
+    assert(math.abs(r.getAs[Double]("sdann_s") - 0.05) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sdnni_s") - 0.01) < 1e-12)
+  }
 }

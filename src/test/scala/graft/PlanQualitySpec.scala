@@ -447,6 +447,22 @@ class PlanQualitySpec extends SparkSpec {
       .findFirstIn(pKz).isDefined, s"q272 must be join-free:\n$pKz")
   }
 
+  test("q274-q276: no cartesians/BNLJ; the RR pair matrix is a keyed equi-join") {
+    for (q <- Seq("q274_hrt", "q275_rr_xcorr", "q276_segmental_hrv")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$p")
+    }
+    // the channel-pair fan-out must ride the (experiment, beat-index)
+    // equi-join, never an unkeyed channels x channels product
+    val p275 = plan("q275_rr_xcorr")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(p275).isDefined,
+      s"q275 must pair via a keyed equi-join:\n$p275")
+    // (q274/q276 inherit the detect spine's internal joins — the
+    // §2.9 rule that only smoothing-spine queries get join-free pins)
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange
