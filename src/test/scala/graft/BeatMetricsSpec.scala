@@ -1355,6 +1355,28 @@ class BeatMetricsSpec extends SparkSpec {
       assert(out(p).isNullAt(out(p).fieldIndex("rr_corr")), s"$p")
   }
 
+  test("poincareAsymmetry: time reversal swaps above/below and complements both indices") {
+    import spark.implicits._
+    // the defining property of a time-irreversibility index: reversing
+    // the RR sequence turns every (d_i, d_i+1) pair into its mirror,
+    // so n_above <-> n_below, PI -> 100 - PI, GI -> 100 - GI (the
+    // on-identity count is preserved). Seeded pseudo-random train.
+    val rng = new scala.util.Random(42)
+    val ds = Seq.fill(40)(10L + rng.nextInt(20))
+    def df(d: Seq[Long]) = d.scanLeft(0L)(_ + _).map(("e", 0, _))
+      .toDF("experiment_id", "channel", "peak_idx")
+    val f = BeatMetrics.poincareAsymmetry(df(ds)).collect()(0)
+    val r = BeatMetrics.poincareAsymmetry(df(ds.reverse)).collect()(0)
+    assert(f.getAs[Long]("n_pairs") === r.getAs[Long]("n_pairs"))
+    assert(f.getAs[Long]("n_above") === r.getAs[Long]("n_below"))
+    assert(f.getAs[Long]("n_below") === r.getAs[Long]("n_above"))
+    assert(f.getAs[Long]("n_on") === r.getAs[Long]("n_on"))
+    assert(math.abs(f.getAs[Double]("porta_pct") +
+      r.getAs[Double]("porta_pct") - 100.0) < 1e-9)
+    assert(math.abs(f.getAs[Double]("guzik_pct") +
+      r.getAs[Double]("guzik_pct") - 100.0) < 1e-9)
+  }
+
   test("segmentalHrv: drift lands in SDANN, jitter in SDNNI, tails drop") {
     import spark.implicits._
     // segLen 4: d = 10x4 | 18,22,18,22 | 30,30(dropped tail)
