@@ -9263,7 +9263,7 @@ object OracleSql {
        |    v,
        |    first_value(v) OVER wc AS v0,
        |    lag(v) OVER wo AS vp
-       |  FROM smooth
+       |  FROM smooth WHERE v IS NOT NULL
        |  WINDOW wo AS (PARTITION BY experiment_id, channel ORDER BY sample_idx),
        |         wc AS (PARTITION BY experiment_id, channel ORDER BY sample_idx
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -9303,11 +9303,17 @@ object OracleSql {
 
   /** Q274 — heart-rate turbulence (mirrors
     * BeatMetrics.heartRateTurbulence): integer 0.8/1.2 anchor gates,
-    * complete (−2..+16) neighborhood, greatest over the 11 integer
-    * slope numerators, decimal-quantized per-anchor TO/TS means.
+    * complete (−2..+postBeats) neighborhood, greatest over the
+    * `postBeats − 5` integer 5-point slope numerators (3 at the
+    * short-recording default postBeats = 8), decimal-quantized
+    * per-anchor TO/TS means.
     */
   def q274Hrt(cfg: graft.PeakConfig = graft.PeakConfig(),
               postBeats: Int = 8): String = {
+    // same hard gate as the Spark side: below 7 there is no complete
+    // 5-beat slope window past dp2 and the generated SQL would
+    // silently diverge from BeatMetrics' require failure
+    require(postBeats >= 7, "TS needs two 5-beat windows past dp2")
     val rate = dlit(cfg.sampleRateHz)
     val leads = (1 to postBeats).map(k => s"lead(d, $k) OVER w_ht1 AS dp$k")
       .mkString(",\n       |    ")

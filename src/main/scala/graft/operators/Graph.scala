@@ -279,7 +279,25 @@ object Graph {
     * table a recompute would build.
     */
   private val lpMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int, Long), DataFrame]()
+    // access-ordered so the eldest entry IS the least-recently-used
+    // one; all access goes through lpMemo.synchronized (LinkedHashMap
+    // is not thread-safe, and eviction must pair atomically with the
+    // explicit block release below)
+    new java.util.LinkedHashMap[(SparkSession, String, Int, Int, Long), DataFrame](16, 0.75f, true)
+
+  /** Release the block-manager residue behind a memoized label table:
+    * a localCheckpoint'd Dataset is a LogicalRDD over a persisted RDD,
+    * and dropping the DataFrame reference alone leaves the checkpoint
+    * blocks to eventual GC + ContextCleaner (round-10 ADVICE). Best
+    * effort: a release failure degrades to the old GC path, never to
+    * an error on the query path.
+    */
+  private def releaseLabels(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Fingerprint of the lineitem parquet under `dir` from filesystem
     * METADATA only (file names, lengths, mtimes — no scan): part of the
@@ -300,26 +318,49 @@ object Graph {
   }
 
   /** Test hook: drop memoized LP labels (e.g. to exercise both the
-    * miss and hit paths in one suite). */
-  private[graft] def clearLpMemo(): Unit = lpMemo.clear()
+    * miss and hit paths in one suite), releasing their checkpoint
+    * blocks on the way out. */
+  private[graft] def clearLpMemo(): Unit = lpMemo.synchronized {
+    lpMemo.values().forEach(releaseLabels(_))
+    lpMemo.clear()
+  }
 
   private def lpLabels(s: SparkSession, dir: String, iters: Int,
-                       minSupport: Int): DataFrame = {
-    // Bound the memo (checkpointed blocks are never GC'd while mapped):
-    // a long-lived session sweeping many dirs keeps at most 8 label
-    // tables; past that the whole map is dropped — the next call
-    // recomputes, which is always correct (round-9 ADVICE).
-    if (lpMemo.size > 8) lpMemo.clear()
-    lpMemo.computeIfAbsent(
-      (s, dir, iters, minSupport, dataFingerprint(s, dir)), _ =>
-        lpFrom(copurchaseEdges(s, dir, minSupport).cache(), iters,
-          tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
-          .localCheckpoint())
+                       minSupport: Int): DataFrame = lpMemo.synchronized {
+    val key = (s, dir, iters, minSupport, dataFingerprint(s, dir))
+    val hit = lpMemo.get(key)
+    if (hit != null) hit
+    else {
+      // Bound the memo (checkpointed blocks are never GC'd while
+      // mapped): LRU-evict ONE entry and unpersist its checkpoint
+      // blocks explicitly. Round-9's wholesale clear() dropped
+      // references without releasing storage AND evicted hot entries
+      // alongside cold ones (round-10 ADVICE) — with the access-
+      // ordered map the eldest entry is exactly the LRU victim, and
+      // a recompute after eviction is always correct.
+      if (lpMemo.size >= 8) {
+        val it = lpMemo.entrySet().iterator()
+        releaseLabels(it.next().getValue)
+        it.remove()
+      }
+      val edges = copurchaseEdges(s, dir, minSupport).cache()
+      val v = lpFrom(edges, iters,
+        tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+      // lpFrom checkpointed its result, so the co-purchase derivation
+      // cache has served its only consumer — release it now instead
+      // of leaving it to session-level clearCache() hygiene
+      edges.unpersist(blocking = false)
+      lpMemo.put(key, v)
+      v
+    }
   }
 
   /** The synchronous LP loop over a canonical (a < b) edge set —
     * shared by Q126 and Q223 (which reuses the caller's cached edges
-    * instead of re-deriving the co-purchase graph).
+    * instead of re-deriving the co-purchase graph). Returns an EAGER
+    * localCheckpoint'd label table with its internal edge cache
+    * already released; the caller owns the checkpoint blocks (see
+    * releaseLabels).
     */
   private def lpFrom(e: DataFrame, iters: Int,
                      prePartition: Boolean): DataFrame = {
@@ -351,7 +392,13 @@ object Graph {
         .select(col("node"),
           coalesce(col("new_label"), col("node")).as("label"))
     }
-    lab.select(col("node"), col("label").as("community"))
+    // checkpoint HERE (not at the memo call site) so the loop's cached
+    // edge fan-out can be released as soon as the labels materialize —
+    // after lineage truncation the ed cache has no remaining reader
+    val out = lab.select(col("node"), col("label").as("community"))
+      .localCheckpoint()
+    ed.unpersist(blocking = false)
+    out
   }
 
   /** Q223 — modularity of the Q126 label-propagation partition:

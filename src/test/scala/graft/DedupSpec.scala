@@ -459,4 +459,25 @@ class DedupSpec extends SparkSpec {
       assert(out("sorted_neighborhood") === ((3L, 1L, 1.0 / 3.0)))
     }
   }
+
+  test("blockingRecall: releases its truth/candidate caches (no session residue)") {
+    val texts = Seq(
+      "aaa " + (1 to 24).map(i => s"x$i").mkString(" "),
+      "aaa " + (1 to 24).map(i => s"x$i").mkString(" "),
+      "bbb " + (1 to 12).map(i => s"y$i").mkString(" "))
+    withDocsDir(texts) { dir =>
+      // baseline = whatever earlier suite tests legitimately pinned
+      // (e.g. localCheckpoints); the assertion is that q214 adds NO
+      // new persistent RDDs of its own
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      // the audit is eager: by the time the call returns, all three
+      // count() actions ran and both caches must already be released
+      // (round-10 verdict: a library caller composing q214 into a
+      // longer session leaked two cached tables per call)
+      Dedup.blockingRecall(spark, dir, w = 2).collect()
+      val leaked = spark.sparkContext.getPersistentRDDs -- before
+      assert(leaked.isEmpty,
+        s"q214 left cached tables behind: ${leaked.values.map(_.name)}")
+    }
+  }
 }
