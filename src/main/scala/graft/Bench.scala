@@ -38,6 +38,30 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val ChunkSize = 40
 
+  /** Per-query measurement: wall seconds, task CPU seconds (the
+    * host-noise-immune round-over-round metric — executor task CPU
+    * summed via TaskCpuMeter), and process CPU seconds (diagnostic:
+    * proc − cpu ≈ GC + JIT + driver-side planning).
+    */
+  private[graft] case class M(wall: Double, cpu: Double, proc: Double)
+
+  /** JVM process CPU time in ns (−1 when the platform bean is
+    * unavailable). Two straight rounds of bench adjudication found
+    * +11–26% WALL inflation across untouched code that was pure host
+    * drift (round-10 verdict, next-round #1) — a noisy neighbor
+    * steals wall-clock (our threads wait runnable) but not on-CPU ns.
+    * The deliberate background-load A/B (SURVEY §6.0) showed the
+    * process delta still swings ±30–50% with self-contention and
+    * GC/JIT-thread effects, so the headline CPU metric is the
+    * narrower task CPU (TaskCpuMeter); the process delta is kept as
+    * a per-query diagnostic.
+    */
+  private[graft] def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   private def newSession(cpus: String, sfDir: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,17 +105,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
-    // (name, cold, steady); min(cold, steady) is the headline number
-    val results: Seq[(String, Double, Double)] =
+    // (name, cold M, steady M); min(cold, steady) wall is the
+    // headline; min task-cpu is the host-noise-immune
+    // round-over-round metric
+    val results: Seq[(String, M, M)] =
       all.grouped(ChunkSize).flatMap { chunk =>
         val spark = newSession(cpus, sfDir)
-        def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+        val meter = org.apache.spark.graftshim.TaskCpuMeter.attach(
+          spark.sparkContext)
+        def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): M = {
+          val p0 = processCpuNs()
+          val k0 = meter.snapshotNs()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - t0) / 1e9
+          val k1 = meter.snapshotNs()
+          val p1 = processCpuNs()
+          val cpu = (k1 - k0) / 1e9
+          val proc = if (p0 < 0 || p1 < 0) -1.0 else (p1 - p0) / 1e9
           // session hygiene: a query's caches (spine, signatures)
           // exist to dedupe work WITHIN one query; left persisted
           // they pile up across the session and late queries pay for
@@ -108,7 +142,7 @@ object Bench {
           // loaded; the provider registry re-initializes lazily.
           try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
           catch { case _: Throwable => () }
-          dt
+          M(dt, cpu, proc)
         }
         // INTERLEAVED passes (round-6 judge ask): all colds, then all
         // steadies. Back-to-back (cold, steady) pairs let a heavy
@@ -119,15 +153,15 @@ object Bench {
         // cold pass's per-query line streams immediately, so a
         // truncated tail still carries per-query signal.
         val cold = chunk.map { case (name, fn) =>
-          val dt = runOnce(name, fn)
-          println(s"""{"metric":"query_cold","name":"$name","value":${r3(dt)},"unit":"sec"}""")
+          val m = runOnce(name, fn)
+          println(s"""{"metric":"query_cold","name":"$name","value":${r3(m.wall)},"cpu":${r3(m.cpu)},"unit":"sec"}""")
           System.out.flush()
-          dt
+          m
         }
         val steady = chunk.map { case (name, fn) => runOnce(name, fn) }
         val rs = chunk.lazyZip(cold).lazyZip(steady).map {
           case ((name, _), c, s) =>
-            println(s"""{"metric":"query","name":"$name","value":${r3(math.min(c, s))},"cold":${r3(c)},"steady":${r3(s)},"unit":"sec"}""")
+            println(s"""{"metric":"query","name":"$name","value":${r3(math.min(c.wall, s.wall))},"cold":${r3(c.wall)},"steady":${r3(s.wall)},"cpu":${r3(math.min(c.cpu, s.cpu))},"unit":"sec"}""")
             System.out.flush()
             (name, c, s)
         }.toSeq
@@ -135,13 +169,20 @@ object Bench {
         System.gc()
         rs
       }.toSeq
-    val totalMin = results.map { case (_, c, s) => math.min(c, s) }.sum
-    val totalCold = results.map(_._2).sum
+    val totalMin = results.map { case (_, c, s) => math.min(c.wall, s.wall) }.sum
+    val totalCold = results.map(_._2.wall).sum
+    // min-of-two CPU per query, like the wall headline: a cold pass's
+    // extra interpreted-first-run CPU and a neighbor's residual debt
+    // each land in at most one of the two interleaved passes
+    val totalCpu = results.map { case (_, c, s) => math.min(c.cpu, s.cpu) }.sum
     val qs = results.map { case (k, c, s) =>
-      "\"" + k + "\":{\"cold\":" + r3(c) + ",\"steady\":" + r3(s) + "}"
+      "\"" + k + "\":{\"cold\":" + r3(c.wall) + ",\"steady\":" + r3(s.wall) +
+        ",\"cpu\":" + r3(math.min(c.cpu, s.cpu)) +
+        ",\"cpu_cold\":" + r3(c.cpu) + ",\"cpu_steady\":" + r3(s.cpu) +
+        ",\"proc_cold\":" + r3(c.proc) + ",\"proc_steady\":" + r3(s.proc) + "}"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"total_cold":${r3(totalCold)},"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"total_cold":${r3(totalCold)},"total_cpu":${r3(totalCpu)},"sf":"$sfDir","queries":$qs}"""
     // Artifact split (round-7 judge ask #3): the driver's per-round
     // run must NOT clobber BENCH_LOCAL.json — that file is the
     // builder's committed interleaved-methodology history and losing
@@ -158,7 +199,7 @@ object Bench {
     // suppresses sbt's [success] banner that used to follow it) and
     // must fit the driver's ~2 KB tail window — totals only, never
     // the per-query map
-    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"total_cold":${r3(totalCold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","n_queries":${results.size},"total_cold":${r3(totalCold)},"total_cpu":${r3(totalCpu)},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

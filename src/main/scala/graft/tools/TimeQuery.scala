@@ -26,18 +26,24 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    val meter = org.apache.spark.graftshim.TaskCpuMeter.attach(
+      spark.sparkContext)
     for (name <- names) {
       val fn = graft.SparkEntry.queries(name)
+      // wall/cpu pairs per iteration — cpu is executor task CPU (the
+      // host-noise-immune number; see Bench/TaskCpuMeter scaladoc)
       val ts = (1 to n).map { _ =>
+        val k0 = meter.snapshotNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
         // match Bench's hygiene: unload streaming state-store residue
         try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, (meter.snapshotNs() - k0) / 1e9)
       }
-      println(f"[time] $name: ${ts.map(t => f"$t%.2f").mkString(" ")} s")
+      println(f"[time] $name: ${ts.map { case (t, c) => f"$t%.2f/$c%.2fcpu" }.mkString(" ")} s")
     }
     spark.stop()
   }
