@@ -6871,6 +6871,79 @@ object OracleSql {
        |)
        |SELECT pair, n_pair, rnk FROM r WHERE rnk <= $topN""".stripMargin
 
+  /** Q277 — full BPE trainer (mirrors TextAnalysis.bpeTrain): k
+    * unrolled merge rounds, each a materialized CTE chain of
+    * (adjacent-pair count → LIMIT-1 argmax with the count/left/right
+    * tie-break → run-parity greedy re-segmentation). Same discipline
+    * as the q110/q143 unrolled loops; every round CTE is MATERIALIZED
+    * because each is referenced 2–3 times by its round and once by the
+    * next ([[duckdb-oracle-materialized-ctes]] — DuckDB re-inlines
+    * plain CTEs per reference).
+    */
+  def q277BpeTrain(merges: Int = 8): String = {
+    def leadCtes(prev: String): String =
+      s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
+    val rounds = (1 to merges).map { r =>
+      val prev = if (r == 1) "seg0" else s"seg${r - 1}"
+      val pb =
+        s"""p$r AS MATERIALIZED (
+           |  SELECT sym AS ls, nxt AS rs, CAST(sum(n) AS BIGINT) AS cnt
+           |  FROM (${leadCtes(prev)})
+           |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+           |),
+           |b$r AS MATERIALIZED (
+           |  SELECT ls, rs, cnt FROM p$r ORDER BY cnt DESC, ls, rs LIMIT 1
+           |)""".stripMargin
+      // the final round only needs its argmax — no further
+      // re-segmentation to feed
+      if (r == merges) pb
+      else
+        pb + s""",
+           |sl$r AS MATERIALIZED (
+           |  SELECT w, i FROM (
+           |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rin
+           |    FROM (
+           |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+           |      FROM (
+           |        SELECT c.w, c.i
+           |        FROM (${leadCtes(prev)}) c, b$r
+           |        WHERE c.sym = b$r.ls AND c.nxt = b$r.rs
+           |      )
+           |    )
+           |  ) WHERE rin % 2 = 1
+           |),
+           |seg$r AS MATERIALIZED (
+           |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
+           |  FROM (
+           |    SELECT s.w, s.n, s.i AS oi,
+           |      CASE WHEN h.w IS NOT NULL THEN b.ls || b.rs ELSE s.sym END AS sym
+           |    FROM $prev s
+           |    CROSS JOIN b$r b
+           |    LEFT JOIN sl$r h ON s.w = h.w AND s.i = h.i
+           |    LEFT JOIN sl$r pv ON s.w = pv.w AND s.i = pv.i + 1
+           |    WHERE pv.w IS NULL
+           |  )
+           |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map(r =>
+      s"SELECT $r AS merge_round, ls AS left_sym, rs AS right_sym, " +
+        s"ls || rs AS merged, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT token AS w, count(*) AS n
+       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |  GROUP BY 1
+       |),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, n, t.i,
+       |    CASE WHEN t.i <= len(w) THEN substring(w, CAST(t.i AS INT), 1)
+       |         ELSE '</w>' END AS sym
+       |  FROM vocab, unnest(range(1, len(w) + 2)) AS t(i)
+       |),
+       |$rounds
+       |$union""".stripMargin
+  }
+
   /** Q124 — OHLC resampling (mirrors Relational.ohlcResample): the
     * struct-min/max endpoints restated as rank-1 windows over the
     * exact (t_us, event_id) order.

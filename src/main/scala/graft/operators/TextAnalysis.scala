@@ -816,6 +816,104 @@ object TextAnalysis {
       col("n_pair").desc, col("pair"))
   }
 
+  /** Release a localCheckpoint'd round table's storage (same shim-free
+    * technique as Graph.releaseLabels): best effort — a failure
+    * degrades to the ContextCleaner path, never to a query error.
+    */
+  private def releaseRound(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
+  /** Q277 — the FULL BPE trainer (Sennrich et al., ACL 2016 §3.2):
+    * `merges` rounds of (pair-count aggregate → argmax merge →
+    * greedy re-segmentation), where Q122 computed merge-iteration 1
+    * only. Output is the learned merge table — one row per round with
+    * the merged pair, the new token, and its weighted pair count —
+    * the artifact a tokenizer-prep pipeline ships to the tokenizer.
+    *
+    * Algorithm fidelity: words start as characters plus a terminal
+    * '</w>' marker; pair counts are word-frequency-weighted over ALL
+    * adjacent positions (overlaps count, as in get_stats); the merge
+    * step is greedy LEFT-TO-RIGHT NON-OVERLAPPING, realized
+    * relationally by the run-parity rule — candidate positions of the
+    * winning pair can only abut in same-symbol runs (sym=A=B), and
+    * greedy scanning keeps exactly the odd-ordinal candidates within
+    * each consecutive run (for A≠B abutting candidates are impossible:
+    * two overlapping (A,B) matches would force A=B). Tie-breaks pin
+    * determinism: max count, then lexicographically smallest (left,
+    * right) — both engines compare binary UTF-8.
+    *
+    * Scale shape: the CORPUS is scanned exactly once (the vocabulary
+    * aggregate every text pipeline already runs); all `merges` rounds
+    * operate on the vocabulary-sized (word, pos, symbol) table —
+    * window passes and (word, pos) equi-joins, each round
+    * localCheckpoint'd to keep plans shallow and the previous round's
+    * blocks explicitly released. The per-round argmax is ONE scalar
+    * row fetched to the driver (TakeOrderedAndProject over the pair
+    * aggregate — the inherent per-merge synchronization point of BPE
+    * training; the driver never receives corpus or vocabulary data).
+    */
+  def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("i"))
+    var seg = vocab
+      .select(col("w"), col("n"),
+        posexplode(concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit("</w>")))).as(Seq("i", "sym")))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val best = seg
+        .withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bl, br) = (best(0).getString(0), best(0).getString(1))
+        out += ((r, bl, br, bl + br, best(0).getLong(2)))
+        val c1 = seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+        // run-parity greedy selection over the winning pair's positions
+        val sel = c1
+          .filter(col("sym") === lit(bl) && col("nxt") === lit(br))
+          .select(col("w"), col("i"))
+          .withColumn("grp", col("i") - row_number().over(wOrd))
+          .withColumn("rin", row_number().over(
+            Window.partitionBy(col("w"), col("grp")).orderBy(col("i"))))
+          .filter(col("rin") % 2 === 1)
+          .select(col("w"), col("i"))
+        val newSeg = c1
+          .join(sel.withColumn("sel_here", lit(true)), Seq("w", "i"), "left")
+          .join(sel.select(col("w"), (col("i") + 1).as("i"),
+            lit(true).as("sel_prev")), Seq("w", "i"), "left")
+          .filter(col("sel_prev").isNull)
+          .select(col("w"), col("n"), col("i"),
+            when(col("sel_here"), lit(bl + br)).otherwise(col("sym")).as("sym"))
+          // re-index so positions stay consecutive for the next round's
+          // adjacency windows and +1-shift join
+          .withColumn("i", row_number().over(wOrd))
+        val prev = seg
+        seg = newSeg.localCheckpoint()
+        releaseRound(prev)
+        r += 1
+      }
+    }
+    releaseRound(seg)
+    out.toSeq.toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer

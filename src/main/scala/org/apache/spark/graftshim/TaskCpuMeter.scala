@@ -43,4 +43,13 @@ object TaskCpuMeter {
     sc.addSparkListener(m)
     m
   }
+
+  /** Drain the shared listener bus without attaching anything —
+    * lets tests observe QueryExecutionListener callbacks
+    * deterministically (the execution-listener bus rides the same
+    * async LiveListenerBus).
+    */
+  def drain(sc: SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty()
+    catch { case _: Throwable => () }
 }

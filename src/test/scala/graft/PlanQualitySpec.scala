@@ -463,6 +463,38 @@ class PlanQualitySpec extends SparkSpec {
     // §2.9 rule that only smoothing-spine queries get join-free pins)
   }
 
+  test("q277: corpus scanned once; all merge rounds run on the vocab table") {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val df = SparkEntry.queries("q277_bpe_train")(spark, sfDir)
+      // the execution-listener bus is async — drain before counting
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      // at 100 TB the only corpus pass a BPE trainer may take is the
+      // vocabulary aggregate (checkpointed as round-0 segmentation);
+      // every merge round must read the vocab-sized checkpoint, never
+      // re-scan documents
+      val scans = seen.asScala.count(_.contains("documents.parquet"))
+      assert(scans === 1,
+        s"documents must be scanned exactly once during training, got $scans")
+      // the returned merge table is driver-assembled scalar argmax
+      // rows: a bounded local relation, no residual distributed work
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LocalTableScan") && !p.contains("Exchange"),
+        s"q277 result must be a bounded local table:\n$p")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange

@@ -485,4 +485,68 @@ class TextFamilySpec extends SparkSpec {
           s"$source kappa")
     }
   }
+
+  test("bpeTrain: hand-traced merges on the classic Sennrich vocabulary") {
+    // low x5, lower x2, newest x6, widest x3 (with terminal </w>):
+    //  round 1 pair counts include (e,s)=9, (s,t)=9, (t,</w>)=9,
+    //  (w,e)=8, (l,o)=7, (o,w)=7 — max 9, tie-break picks (e,s);
+    //  round 2: (es,t)=9 beats (t,</w>)=9 on left_sym 'es' < 't';
+    //  round 3: (est,</w>)=9 alone at 9;
+    //  round 4: (l,o)=7 vs (o,w)=7 — tie-break picks (l,o).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    withDocsDir(Seq(text)) { dir =>
+      val got = graft.operators.TextAnalysis.bpeTrain(spark, dir, merges = 4)
+        .collect()
+        .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+          r.getAs[Long]("pair_count"))).toSeq
+      assert(got === Seq(
+        (1, "e", "s", "es", 9L),
+        (2, "es", "t", "est", 9L),
+        (3, "est", "</w>", "est</w>", 9L),
+        (4, "l", "o", "lo", 7L)))
+    }
+  }
+
+  test("bpeTrain: run-parity greedy non-overlap on a same-symbol run") {
+    // 'aaaa' -> [a,a,a,a,</w>]: round 1 counts (a,a)=3 overlapping,
+    // but the merge keeps candidates 1 and 3 only (greedy
+    // left-to-right) -> [aa,aa,</w>]. Round 2 ties (aa,aa)=1 with
+    // (aa,</w>)=1 and '</w>' < 'aa' binary -> (aa,</w>) merges first.
+    withDocsDir(Seq("aaaa")) { dir =>
+      val got = graft.operators.TextAnalysis.bpeTrain(spark, dir, merges = 3)
+        .collect()
+        .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+      assert(got === Seq(
+        (1, "a", "a", 3L),
+        (2, "aa", "</w>", 1L),
+        (3, "aa", "aa</w>", 1L)))
+    }
+  }
+
+  test("bpeTrain: exhausts gracefully when the vocabulary runs out of pairs") {
+    // single 1-char word: vocab {a:3}, seg [a,</w>]; round 1 merges
+    // (a,</w>) with count 3, leaving the one-symbol word [a</w>] —
+    // round 2 finds no adjacent pairs, so asking for 8 merges must
+    // return exactly the 1 achievable row instead of failing
+    withDocsDir(Seq("a a a")) { dir =>
+      val got = graft.operators.TextAnalysis.bpeTrain(spark, dir, merges = 8)
+        .collect()
+        .map(r => (r.getAs[Int]("merge_round"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+      assert(got === Seq((1, "a", "</w>", 3L)))
+    }
+  }
+
+  test("bpeTrain: leaves no persistent-RDD residue (round checkpoints released)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    withDocsDir(Seq("low lower low")) { dir =>
+      graft.operators.TextAnalysis.bpeTrain(spark, dir, merges = 2).collect()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs -- before
+    assert(leaked.isEmpty,
+      s"bpeTrain leaked checkpoints: ${leaked.values.map(_.name)}")
+  }
 }
