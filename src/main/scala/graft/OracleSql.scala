@@ -5539,6 +5539,65 @@ object OracleSql {
        |    CAST(nullif(coalesce(a.n_spans, 0), 0) AS DOUBLE) AS dup_frac
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Q278 — duplicated-span removal (mirrors Dedup.spanScrub): span
+    * hashes WITH positions via the shared token-hash CTEs + unrolled
+    * span fold; one h-window ranks occurrences (first by (doc_id,
+    * pos) survives); dense-position coverage via a w-row trailing
+    * max; cleaned text rebuilt with ordered string_agg (NULL-skipped
+    * covered tokens), single-space joined — byte-identical to the
+    * Spark concat_ws over the kept-token filter.
+    */
+  def q278SpanScrub(w: Int = 8): String =
+    s"""WITH $tokenHashCtes,
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos, ${spanFoldSql(w)} AS h
+       |  FROM thc, unnest(range(1, len(th) - ${w - 2})) AS t(i)
+       |),
+       |rkd AS (
+       |  SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |  FROM sp
+       |),
+       |rm AS MATERIALIZED (
+       |  SELECT doc_id, pos FROM rkd WHERE occ >= 2 AND rk > 1
+       |),
+       |tokpos AS (
+       |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+       |    tk[CAST(t.i AS INT)] AS tok
+       |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+       |),
+       |cov AS (
+       |  SELECT doc_id, pos, tok,
+       |    max(rmflag) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS covered
+       |  FROM (
+       |    SELECT tp.doc_id, tp.pos, tp.tok,
+       |      CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END AS rmflag
+       |    FROM tokpos tp
+       |    LEFT JOIN rm r ON r.doc_id = tp.doc_id AND r.pos = tp.pos
+       |  )
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(covered) AS BIGINT) AS n_removed_tokens,
+       |    coalesce(string_agg(CASE WHEN covered = 0 THEN tok END,
+       |      ' ' ORDER BY pos), '') AS cleaned_text
+       |  FROM cov GROUP BY 1
+       |),
+       |rmc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+       |  FROM rm GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       |  coalesce(r.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       |  coalesce(a.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens,
+       |  coalesce(a.cleaned_text, '') AS cleaned_text
+       |FROM documents d
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |LEFT JOIN rmc r ON d.doc_id = r.doc_id""".stripMargin
+
   /** Q110 — k-means Lloyd iterations (mirrors Similarity.kmeans,
     * k=8, iters=2 unrolled): deterministic vec_id < k init, squared-L2
     * argmin assignment (ties to smaller cid), DECIMAL(28,14)-exact

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextHash
 
@@ -832,6 +833,63 @@ object Dedup {
         (coalesce(col("dup_spans"), lit(0L)).cast("double") /
           nullif(coalesce(col("n_spans"), lit(0L)), lit(0L)).cast("double"))
           .as("dup_frac"))
+  }
+
+  /** Q278 — duplicated-span REMOVAL: where Q109 only flags documents
+    * by duplicated-window fraction, this emits the CLEANED corpus —
+    * per document, the text with every non-canonical occurrence of a
+    * duplicated w-token span cut out (Lee et al. 2022 §4's actual
+    * output), plus removed-token accounting. A span hash with ≥ 2
+    * occurrences anywhere (cross- OR within-document — boilerplate
+    * repeats inside one doc are cut too, unlike Q109's distinct-doc
+    * gate) keeps only its global first occurrence, canonical by
+    * (doc_id, pos); every other occurrence marks tokens
+    * [pos, pos+w−1] for removal, and a token survives iff no removal
+    * interval covers it (overlapping intervals union naturally).
+    * Cleaned text is the kept tokens of the Q14 lowercase-whitespace
+    * tokenization rejoined with single spaces — the tokenized-corpus
+    * form, documented as such (original whitespace/case is not
+    * reconstructed).
+    *
+    * Scale shape: the span pass is the Q109 narrow projection (text
+    * never shuffles for it — the explode emits 8-byte hashes); one
+    * h-keyed window pass ranks occurrences (count + row_number share
+    * one shuffle; a span hot in d places contributes d rows, linear,
+    * never d²); removal positions collapse to ONE small sorted array
+    * per document, and the scrub itself is a per-row higher-order
+    * filter after a doc_id-keyed join — the only exchange the text
+    * column can ever enter (broadcast at small removal volumes,
+    * plan-pinned at fixture scale), so text moves at most once. The
+    * per-token removal probe is O(|removals in doc|), bounded by the
+    * doc's own span count.
+    */
+  def spanScrub(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val d = docs(s, dir)
+    val spans = d
+      .select(col("doc_id"),
+        posexplode(TextHash.spanHashes(col("text"), w)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val wH = Window.partitionBy(col("h"))
+    val removed = spans
+      .withColumn("occ", count(lit(1)).over(wH))
+      .withColumn("rk",
+        row_number().over(wH.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("occ") >= 2 && col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    val rms = removed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rms"))
+    d.join(rms, Seq("doc_id"), "left")
+      .withColumn("tk", TextHash.tokens(col("text")))
+      .withColumn("rma", coalesce(col("rms"), array().cast("array<long>")))
+      .withColumn("kept", filter(col("tk"), (_, i) =>
+        !exists(col("rma"), r =>
+          r.between(i + 1 - (w - 1), i + 1))))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("rma")).cast("long").as("n_dup_spans"),
+        (size(col("tk")) - size(col("kept"))).cast("long")
+          .as("n_removed_tokens"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
   }
 
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the

@@ -34,6 +34,16 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Formatted explain of a DataFrame's final (AQE-resolved) plan —
+    * the form whose per-node `Input [..]` lists let tests pin which
+    * columns ride each exchange (the simple toString shows only
+    * partitioning keys).
+    */
+  def explainFormatted(df: org.apache.spark.sql.DataFrame): String =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Register a function builder on a live session's registry
     * (`sessionState` is `private[sql]`, hence here).
     */

@@ -480,4 +480,75 @@ class DedupSpec extends SparkSpec {
         s"q214 left cached tables behind: ${leaked.values.map(_.name)}")
     }
   }
+
+  private def scrubRows(dir: String) =
+    Dedup.spanScrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("n_removed_tokens"),
+          r.getAs[String]("cleaned_text")))).toMap
+
+  test("spanScrub: cross-doc duplicated span cut from the later doc only") {
+    // the 8-gram 'a b c d e f g h' occurs at doc0 pos1 and doc1 pos3;
+    // first occurrence (0,1) is canonical, so doc1 loses tokens 3..10
+    withDocsDir(Seq(
+      "a b c d e f g h x1 x2",
+      "p q a b c d e f g h")) { dir =>
+      val out = scrubRows(dir)
+      assert(out(0L) === ((10L, 0L, 0L, "a b c d e f g h x1 x2")))
+      assert(out(1L) === ((10L, 1L, 8L, "p q")))
+    }
+  }
+
+  test("spanScrub: within-doc repeat is cut (unlike q109's distinct-doc gate)") {
+    // 16 tokens, period 8: span(pos 9) duplicates span(pos 1); the
+    // seven boundary-crossing spans (pos 2..8) are all unique
+    val doc = ((1 to 8) ++ (1 to 8)).map(i => s"t$i").mkString(" ")
+    withDocsDir(Seq(doc)) { dir =>
+      val out = scrubRows(dir)
+      assert(out(0L) === ((16L, 1L, 8L,
+        (1 to 8).map(i => s"t$i").mkString(" "))))
+    }
+  }
+
+  test("spanScrub: overlapping removal intervals union; 3x repeat keeps one copy") {
+    // 24 tokens, period 8: every span at pos p duplicates pos p+8, so
+    // first occurrences are pos 1..8 and removals pos 9..17 cover
+    // tokens 9..24 as one union — exactly one copy survives
+    val doc = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
+    withDocsDir(Seq(doc)) { dir =>
+      val out = scrubRows(dir)
+      assert(out(0L) === ((24L, 9L, 16L,
+        (1 to 8).map(i => s"s$i").mkString(" "))))
+    }
+  }
+
+  test("spanScrub: short docs (< w tokens) pass through untouched") {
+    withDocsDir(Seq("one two three", "one two three")) { dir =>
+      val out = scrubRows(dir)
+      assert(out(0L) === ((3L, 0L, 0L, "one two three")))
+      assert(out(1L) === ((3L, 0L, 0L, "one two three")))
+    }
+  }
+
+  test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
+    import spark.implicits._
+    val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
+    withDocsDir(Seq(
+      "a b c d e f g h x1 x2",
+      "p q a b c d e f g h",
+      doc24)) { dir =>
+      val cleaned = Dedup.spanScrub(spark, dir)
+        .select(col("doc_id"), col("cleaned_text").as("text"),
+          length(col("cleaned_text")).cast("long").as("n_chars"))
+      val dir2 = java.nio.file.Files.createTempDirectory("scrub-rt").toString
+      try {
+        cleaned.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+        val second = scrubRows(dir2)
+        assert(second.values.forall(_._3 === 0L),
+          s"re-scrubbing the cleaned corpus must remove nothing: $second")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir2))
+    }
+  }
 }
