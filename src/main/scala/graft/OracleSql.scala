@@ -6940,6 +6940,45 @@ object OracleSql {
     * plain CTEs per reference).
     */
   def q277BpeTrain(merges: Int = 8): String = {
+    val union = (1 to merges).map(r =>
+      s"SELECT $r AS merge_round, ls AS left_sym, rs AS right_sym, " +
+        s"ls || rs AS merged, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeChainSql(merges, withFinalSeg = false)}
+       |$union""".stripMargin
+  }
+
+  /** Q279 — BPE encoder (mirrors TextAnalysis.bpeEncode): the Q277
+    * chain carried through the final re-segmentation, collapsed to
+    * per-word subword counts and joined back to corpus occurrences
+    * for per-document fertility.
+    */
+  def q279BpeEncode(merges: Int = 8): String =
+    s"""WITH ${bpeChainSql(merges, withFinalSeg = true)},
+       |ws AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM seg$merges GROUP BY 1
+       |),
+       |occ AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents),
+       |ag AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |  FROM occ JOIN ws USING (w) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords,
+       |  CAST(coalesce(a.n_subwords, 0) AS DOUBLE) /
+       |    CAST(nullif(coalesce(a.n_words, 0), 0) AS DOUBLE) AS fertility
+       |FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** The shared Q277/Q279 unrolled-round CTE chain: vocab → seg0 →
+    * (pair count, argmax, run-parity selection, re-segmentation) × k.
+    * `withFinalSeg` controls whether round k's re-segmentation is
+    * emitted (the trainer only needs its argmax; the encoder reads
+    * seg{k}).
+    */
+  private def bpeChainSql(merges: Int, withFinalSeg: Boolean): String = {
     def leadCtes(prev: String): String =
       s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
     val rounds = (1 to merges).map { r =>
@@ -6953,9 +6992,7 @@ object OracleSql {
            |b$r AS MATERIALIZED (
            |  SELECT ls, rs, cnt FROM p$r ORDER BY cnt DESC, ls, rs LIMIT 1
            |)""".stripMargin
-      // the final round only needs its argmax — no further
-      // re-segmentation to feed
-      if (r == merges) pb
+      if (r == merges && !withFinalSeg) pb
       else
         pb + s""",
            |sl$r AS MATERIALIZED (
@@ -6984,11 +7021,7 @@ object OracleSql {
            |  )
            |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges).map(r =>
-      s"SELECT $r AS merge_round, ls AS left_sym, rs AS right_sym, " +
-        s"ls || rs AS merged, cnt AS pair_count FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH vocab AS MATERIALIZED (
+    s"""vocab AS MATERIALIZED (
        |  SELECT token AS w, count(*) AS n
        |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
        |  GROUP BY 1
@@ -6999,8 +7032,7 @@ object OracleSql {
        |         ELSE '</w>' END AS sym
        |  FROM vocab, unnest(range(1, len(w) + 2)) AS t(i)
        |),
-       |$rounds
-       |$union""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Q124 — OHLC resampling (mirrors Relational.ohlcResample): the

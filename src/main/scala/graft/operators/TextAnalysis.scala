@@ -858,6 +858,18 @@ object TextAnalysis {
     */
   def bpeTrain(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     import s.implicits._
+    val (seg, out) = trainSeg(s, dir, merges)
+    releaseRound(seg)
+    out.toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** The shared training loop behind Q277/Q279: runs `merges` rounds
+    * and returns BOTH the final localCheckpoint'd segmentation (the
+    * caller owns its blocks — see releaseRound) and the learned merge
+    * rows (round, left, right, merged, count).
+    */
+  private def trainSeg(s: SparkSession, dir: String, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
     val vocab = docs(s, dir)
       .select(explode(TextHash.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -910,8 +922,43 @@ object TextAnalysis {
         r += 1
       }
     }
-    releaseRound(seg)
-    out.toSeq.toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
+    (seg, out.toSeq)
+  }
+
+  /** Q279 — BPE ENCODER: apply the Q277-learned merge table and
+    * measure per-document tokenizer fertility (subwords per word) —
+    * the number a tokenizer-prep pipeline actually gates on (a
+    * fertility spike on a language/domain slice means the learned
+    * vocabulary serves it badly). Words segment into their post-merge
+    * symbol counts, including a standalone '</w>' when unmerged
+    * (Sennrich's convention; merged markers count inside their
+    * subword).
+    *
+    * Scale shape: training is the Q277 one-corpus-pass loop; ENCODING
+    * adds one more corpus pass (the token explode) joined against the
+    * VOCABULARY-sized segmentation counts — never a per-document
+    * re-segmentation. The final segmentation checkpoint rides the
+    * returned plan (one vocab-sized table, reclaimed by the
+    * ContextCleaner when the plan is dropped); intermediate round
+    * checkpoints are released progressively inside trainSeg.
+    */
+  def bpeEncode(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
+    val (seg, _) = trainSeg(s, dir, merges)
+    val wordSub = seg.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    val occ = docs(s, dir)
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("w"))
+    val agg = occ.join(wordSub, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+    docs(s, dir).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        // int/int of identical integers: bitwise engine parity;
+        // null for wordless documents
+        (coalesce(col("n_subwords"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_words"), lit(0L)), lit(0L)).cast("double"))
+          .as("fertility"))
   }
 
   /** Q48 — token-rarity document scoring, the integer-exact form of a

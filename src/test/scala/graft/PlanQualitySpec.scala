@@ -516,6 +516,36 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("q279: one training corpus pass; encoding joins the vocab-sized segmentation") {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val df = SparkEntry.queries("q279_bpe_encode")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      // training reads documents once (the vocab aggregate); the
+      // SECOND corpus pass is the lazy encode join in the returned
+      // plan — never a per-round re-scan
+      val trainScans = seen.asScala.count(_.contains("documents.parquet"))
+      assert(trainScans === 1,
+        s"training must scan documents exactly once, got $trainScans")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("documents.parquet"),
+        "the encode pass reads the corpus lazily in the returned plan")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"q279 unkeyed join:\n$p")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange

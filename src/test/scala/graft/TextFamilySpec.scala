@@ -540,6 +540,38 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("bpeEncode: hand-computed fertility on the Sennrich vocabulary") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    withDocsDir(Seq(text)) { dir =>
+      // merges=3 learns es, est, est</w>:
+      //  low -> [l,o,w,</w>]=4, lower -> 6, newest -> [n,e,w,est</w>]=4,
+      //  widest -> 4; subwords = 5*4 + 2*6 + 6*4 + 3*4 = 68 over 16 words
+      val m3 = graft.operators.TextAnalysis.bpeEncode(spark, dir, merges = 3)
+        .collect().head
+      assert(m3.getAs[Long]("n_words") === 16L)
+      assert(m3.getAs[Long]("n_subwords") === 68L)
+      assert(m3.getAs[Double]("fertility") === 68.0 / 16.0)
+      // merges=4 adds (l,o): low -> 3, lower -> 5 => 61 subwords
+      val m4 = graft.operators.TextAnalysis.bpeEncode(spark, dir, merges = 4)
+        .collect().head
+      assert(m4.getAs[Long]("n_subwords") === 61L)
+    }
+  }
+
+  test("bpeEncode: at most the final segmentation checkpoint survives a call") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    withDocsDir(Seq("low lower low")) { dir =>
+      graft.operators.TextAnalysis.bpeEncode(spark, dir, merges = 2).collect()
+      val leaked = spark.sparkContext.getPersistentRDDs -- before
+      // the returned plan legitimately rides ONE vocab-sized
+      // segmentation checkpoint (documented); every intermediate
+      // round checkpoint must have been released progressively
+      assert(leaked.size <= 1,
+        s"bpeEncode leaked round checkpoints: ${leaked.values.map(_.name)}")
+    }
+  }
+
   test("bpeTrain: leaves no persistent-RDD residue (round checkpoints released)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     withDocsDir(Seq("low lower low")) { dir =>
