@@ -497,6 +497,7 @@ class PlanQualitySpec extends SparkSpec {
                              exception: Exception): Unit = ()
     }
     spark.listenerManager.register(ql)
+    graft.operators.TextAnalysis.clearBpeMemo() // count a COLD training
     try {
       val df = SparkEntry.queries("q277_bpe_train")(spark, sfDir)
       // the execution-listener bus is async — drain before counting
@@ -529,6 +530,7 @@ class PlanQualitySpec extends SparkSpec {
                              exception: Exception): Unit = ()
     }
     spark.listenerManager.register(ql)
+    graft.operators.TextAnalysis.clearBpeMemo() // count a COLD training
     try {
       val df = SparkEntry.queries("q279_bpe_encode")(spark, sfDir)
       org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)

@@ -559,26 +559,49 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
-  test("bpeEncode: at most the final segmentation checkpoint survives a call") {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    withDocsDir(Seq("low lower low")) { dir =>
-      graft.operators.TextAnalysis.bpeEncode(spark, dir, merges = 2).collect()
-      val leaked = spark.sparkContext.getPersistentRDDs -- before
-      // the returned plan legitimately rides ONE vocab-sized
-      // segmentation checkpoint (documented); every intermediate
-      // round checkpoint must have been released progressively
-      assert(leaked.size <= 1,
-        s"bpeEncode leaked round checkpoints: ${leaked.values.map(_.name)}")
-    }
-  }
-
-  test("bpeTrain: leaves no persistent-RDD residue (round checkpoints released)") {
+  test("bpe memo: train and encode share one training; clearBpeMemo releases it") {
+    graft.operators.TextAnalysis.clearBpeMemo()
     val before = spark.sparkContext.getPersistentRDDs.keySet
     withDocsDir(Seq("low lower low")) { dir =>
       graft.operators.TextAnalysis.bpeTrain(spark, dir, merges = 2).collect()
+      graft.operators.TextAnalysis.bpeEncode(spark, dir, merges = 2).collect()
+      // the memoized final segmentation is the ONLY checkpoint that
+      // may survive: every intermediate round checkpoint is released
+      // progressively inside trainSeg, and the second call memo-hits
+      // instead of training again
+      val leaked = spark.sparkContext.getPersistentRDDs -- before
+      assert(leaked.size <= 1,
+        s"expected only the memoized segmentation: ${leaked.values.map(_.name)}")
     }
-    val leaked = spark.sparkContext.getPersistentRDDs -- before
-    assert(leaked.isEmpty,
-      s"bpeTrain leaked checkpoints: ${leaked.values.map(_.name)}")
+    graft.operators.TextAnalysis.clearBpeMemo()
+    val after = spark.sparkContext.getPersistentRDDs -- before
+    assert(after.isEmpty,
+      s"clearBpeMemo must release every block: ${after.values.map(_.name)}")
+  }
+
+  test("bpe memo: an in-place corpus rewrite misses the memo (no stale merges)") {
+    graft.operators.TextAnalysis.clearBpeMemo()
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpememo").toString
+    def write(texts: Seq[String]): Unit = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      write(Seq("ab ab ab"))
+      val first = graft.operators.TextAnalysis
+        .bpeTrain(spark, dir, merges = 1).collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      assert(first.head === (("a", "b")))
+      write(Seq("cd cd cd"))
+      val second = graft.operators.TextAnalysis
+        .bpeTrain(spark, dir, merges = 1).collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      assert(second.head === (("c", "d")),
+        "rewriting the corpus in place must retrain, not serve stale merges")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.operators.TextAnalysis.clearBpeMemo()
+    }
   }
 }
