@@ -5598,6 +5598,48 @@ object OracleSql {
        |LEFT JOIN agg a ON d.doc_id = a.doc_id
        |LEFT JOIN rmc r ON d.doc_id = r.doc_id""".stripMargin
 
+  /** Q280 — greedy k-center coreset (mirrors Similarity.coreset):
+    * min-vec_id seed, then k−1 unrolled farthest-point rounds — each
+    * a cross join against the (≤ k-row) selected set, a per-vector
+    * min of the pinned-order sqDist folds, and a LIMIT-1 argmax with
+    * the dmin DESC / vec_id tie-break, already-selected ids excluded.
+    */
+  def q280Coreset(k: Int = 8, dim: Int = 64): String = {
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS MATERIALIZED (
+         |  SELECT e.vec_id, min(${sqDistTerms("de", "se", dim)}) AS dmin
+         |  FROM e CROSS JOIN sel${r - 1} GROUP BY 1
+         |),
+         |p$r AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM (
+         |    SELECT vec_id, dmin,
+         |      row_number() OVER (ORDER BY dmin DESC, vec_id) AS rk
+         |    FROM m$r WHERE vec_id NOT IN (SELECT sid FROM sel${r - 1})
+         |  ) WHERE rk = 1
+         |),
+         |sel$r AS MATERIALIZED (
+         |  SELECT sid, se FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT p.vec_id, e.de FROM p$r p JOIN e ON e.vec_id = p.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to k).map(r =>
+      s"SELECT $r AS sel_round, vec_id, dmin FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id AS sid, de AS se FROM e
+       |  WHERE vec_id = (SELECT min(vec_id) FROM e)
+       |),
+       |$rounds
+       |SELECT 1 AS sel_round, sid AS vec_id, CAST(NULL AS DOUBLE) AS dmin
+       |FROM sel1
+       |UNION ALL $union""".stripMargin
+  }
+
   /** Q110 — k-means Lloyd iterations (mirrors Similarity.kmeans,
     * k=8, iters=2 unrolled): deterministic vec_id < k init, squared-L2
     * argmin assignment (ties to smaller cid), DECIMAL(28,14)-exact

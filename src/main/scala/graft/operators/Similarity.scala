@@ -713,6 +713,61 @@ object Similarity {
     lloydAssign(e, cent).select(col("vec_id"), col("cid"), col("d").as("dist"))
   }
 
+  /** Q280 — greedy k-center CORESET selection (Gonzalez 1985): pick k
+    * maximally-spread representatives — seed with the minimum vec_id,
+    * then k−1 rounds of "farthest point first": each round selects the
+    * vector maximizing its min squared-L2 distance to the already-
+    * selected set (ties → smaller vec_id). The diverse-subset
+    * selection pass an embedding-space curation pipeline runs to pick
+    * exemplars / dedup prototypes / eval probes with 2-approximation
+    * coverage guarantees — where Q110's k-means summarizes MASS,
+    * k-center covers EXTENT (outlier-inclusive by design).
+    *
+    * Exactness: per-pair distance is the pinned-order SqDistExpr fold
+    * (the Q110/Q127-proven arithmetic); the per-vector min over
+    * selected points and the global argmax are order-free; argmax
+    * ties break on vec_id, and already-selected ids are excluded
+    * explicitly so an all-duplicates corpus still yields k DISTINCT
+    * ids (dmin 0) instead of re-picking the seed.
+    *
+    * Scale shape: round r is ONE corpus pass — a broadcast of the
+    * r−1 selected vectors (k·dim doubles, never corpus-sized), a
+    * narrow distance projection, a map-side-combinable min/argmax —
+    * and one scalar row to the driver (the inherent sync point of the
+    * greedy algorithm, exactly the Q277 argmax discipline). k passes
+    * total; at extreme scale the same plan runs on a sampled or
+    * IVF-bucketed stratum.
+    */
+  def coreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+    var selected = List((seed.getLong(0), seed.getSeq[Double](1)))
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1, seed.getLong(0), Option.empty[Double]))
+    for (r <- 2 to k) {
+      val selDf = selected.toDF("sid", "se")
+      // the argmax shuffles (vec_id, dmin) ONLY — map-side combine
+      // collapses the r-way fan-out before the exchange, and the
+      // 64-double vector is fetched afterwards by a pushed-filter
+      // point lookup instead of riding a 30x-wider shuffle
+      val pick = e.crossJoin(broadcast(selDf))
+        .withColumn("d", sqDist(col("de"), col("se")))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d")).as("dmin"))
+        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .orderBy(col("dmin").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      val vec = e.filter(col("vec_id") === pick.getLong(0))
+        .collect()(0).getSeq[Double](1)
+      out += ((r, pick.getLong(0), Some(pick.getDouble(1))))
+      selected = selected :+ ((pick.getLong(0), vec))
+    }
+    out.toSeq.toDF("sel_round", "vec_id", "dmin")
+  }
+
   /** Q127 — per-vector cluster-quality audit: the simplified
     * silhouette (b − a)/max(a, b) with a = euclidean distance to the
     * OWN (nearest) centroid and b = distance to the second-nearest —

@@ -484,6 +484,41 @@ class PlanQualitySpec extends SparkSpec {
       assert(!s.contains("text#"), s"text must not shuffle in q278:\n$s"))
   }
 
+  test("q280: one pass per selection round; selected side broadcasts; local result") {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val k = 8
+      val df = SparkEntry.queries("q280_coreset")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      // seed scan + per round (argmax pass + pushed-filter vector
+      // fetch): 2k−1 embeddings scans, never a corpus-sized join side
+      val scans = seen.asScala.count(_.contains("embeddings.parquet"))
+      assert(scans === 2 * k - 1,
+        s"expected ${2 * k - 1} embeddings scans, got $scans")
+      // the selected set rides a broadcast cross (k·dim doubles —
+      // the q110 centroid discipline); a CartesianProduct would mean
+      // the corpus-sized side got cross-partitioned instead
+      assert(seen.asScala.exists(_.contains("BroadcastNestedLoopJoin")),
+        "selected set must broadcast")
+      assert(!seen.asScala.exists(_.contains("CartesianProduct")),
+        "no shuffled cartesian in the distance pass")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LocalTableScan") && !p.contains("Exchange"),
+        s"q280 result must be a bounded local table:\n$p")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q277: corpus scanned once; all merge rounds run on the vocab table") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()

@@ -504,4 +504,45 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  private def coresetRows(dir: String, k: Int) =
+    Similarity.coreset(spark, dir, k).collect()
+      .map(r => (r.getAs[Int]("sel_round"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[java.lang.Double]("dmin")).map(_.toDouble))).toSeq
+
+  test("coreset: hand-traced farthest-point rounds on planted 2-D points") {
+    // points (padded to dim 4 with zeros): v0=(0,0) seed,
+    // v1=(10,0), v2=(0,10), v3=(1,1).
+    // round 2: dmin to v0 -> v1=100, v2=100, v3=2; tie at 100 -> v1.
+    // round 3: v2 = min(100, 200) = 100; v3 = min(2, 82) = 2 -> v2.
+    // round 4: v3 = min(2, 82, 82) = 2.
+    def p(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    withEmbDir(Seq(p(0, 0), p(10, 0), p(0, 10), p(1, 1))) { dir =>
+      assert(coresetRows(dir, k = 4) === Seq(
+        (1, 0L, None),
+        (2, 1L, Some(100.0)),
+        (3, 2L, Some(100.0)),
+        (4, 3L, Some(2.0))))
+    }
+  }
+
+  test("coreset: an all-duplicates corpus still yields k distinct ids") {
+    // every dmin after the seed is 0; the explicit already-selected
+    // exclusion must walk the id order instead of re-picking the seed
+    withEmbDir(Seq.fill(5)(Array.fill(4)(0.5f))) { dir =>
+      val got = coresetRows(dir, k = 3)
+      assert(got === Seq((1, 0L, None), (2, 1L, Some(0.0)), (3, 2L, Some(0.0))))
+    }
+  }
+
+  test("coreset: outliers are covered before dense-cluster interiors") {
+    // a tight cluster at the origin plus one far outlier: k-center
+    // must take the outlier in round 2 (k-means would average it away)
+    val cluster = (1 to 6).map(i => Array(i * 0.01f, 0f, 0f, 0f))
+    val outlier = Array(100f, 0f, 0f, 0f)
+    withEmbDir(cluster :+ outlier) { dir =>
+      val got = coresetRows(dir, k = 2)
+      assert(got.map(_._2) === Seq(0L, 6L))
+    }
+  }
 }
