@@ -5605,6 +5605,42 @@ object OracleSql {
     * the dmin DESC / vec_id tie-break, already-selected ids excluded.
     */
   def q280Coreset(k: Int = 8, dim: Int = 64): String = {
+    val union = (2 to k).map(r =>
+      s"SELECT $r AS sel_round, vec_id, dmin FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${coresetChainSql(k, dim)}
+       |SELECT 1 AS sel_round, sid AS vec_id, CAST(NULL AS DOUBLE) AS dmin
+       |FROM sel1
+       |UNION ALL $union""".stripMargin
+  }
+
+  /** Q281 — coreset assignment audit (mirrors
+    * Similarity.coresetAssign): the Q280 chain's final center set
+    * broadcast into an argmin window, center-keyed coverage rollup
+    * with decimal-quantized mean summands.
+    */
+  def q281CoresetAssign(k: Int = 8, dim: Int = 64): String =
+    s"""WITH ${coresetChainSql(k, dim)},
+       |a AS (
+       |  SELECT e.vec_id, s.sid, ${sqDistTerms("de", "se", dim)} AS d
+       |  FROM e CROSS JOIN sel$k s
+       |),
+       |r AS (
+       |  SELECT vec_id, sid, d,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) AS rk
+       |  FROM a
+       |)
+       |SELECT sid AS center_id, CAST(count(*) AS BIGINT) AS n_assigned,
+       |  max(d) AS radius_sq,
+       |  CAST(sum(CAST(d AS DECIMAL(38,10))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mean_sq
+       |FROM r WHERE rk = 1 GROUP BY 1""".stripMargin
+
+  /** The shared Q280/Q281 farthest-point CTE chain: e → sel1 (seed) →
+    * (min-distance pass m_r, argmax pick p_r, accumulated set sel_r)
+    * for r = 2..k.
+    */
+  private def coresetChainSql(k: Int, dim: Int): String = {
     val rounds = (2 to k).map { r =>
       s"""m$r AS MATERIALIZED (
          |  SELECT e.vec_id, min(${sqDistTerms("de", "se", dim)}) AS dmin
@@ -5623,10 +5659,7 @@ object OracleSql {
          |  SELECT p.vec_id, e.de FROM p$r p JOIN e ON e.vec_id = p.vec_id
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (2 to k).map(r =>
-      s"SELECT $r AS sel_round, vec_id, dmin FROM p$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
        |  FROM embeddings
        |),
@@ -5634,10 +5667,7 @@ object OracleSql {
        |  SELECT vec_id AS sid, de AS se FROM e
        |  WHERE vec_id = (SELECT min(vec_id) FROM e)
        |),
-       |$rounds
-       |SELECT 1 AS sel_round, sid AS vec_id, CAST(NULL AS DOUBLE) AS dmin
-       |FROM sel1
-       |UNION ALL $union""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Q110 — k-means Lloyd iterations (mirrors Similarity.kmeans,

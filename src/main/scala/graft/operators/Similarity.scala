@@ -740,6 +740,17 @@ object Similarity {
     */
   def coreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
+    selectCenters(s, dir, k)._2
+      .toDF("sel_round", "vec_id", "dmin")
+  }
+
+  /** The shared Q280/Q281 greedy selection loop: returns the selected
+    * (vec_id, vector) centers in pick order plus the per-round
+    * (round, vec_id, dmin) audit rows.
+    */
+  private def selectCenters(s: SparkSession, dir: String, k: Int)
+      : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) = {
+    import s.implicits._
     val e = embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
@@ -765,7 +776,45 @@ object Similarity {
       out += ((r, pick.getLong(0), Some(pick.getDouble(1))))
       selected = selected :+ ((pick.getLong(0), vec))
     }
-    out.toSeq.toDF("sel_round", "vec_id", "dmin")
+    (selected, out.toSeq)
+  }
+
+  /** Q281 — coreset ASSIGNMENT audit: every vector assigned to its
+    * nearest Q280 center (ties → smaller center id), rolled up to
+    * per-center coverage rows — member count, squared radius (the
+    * k-center objective: Gonzalez guarantees ≤ 2× optimal), and the
+    * decimal-quantized mean squared distance. The companion Q127 is
+    * to Q110: selection says WHICH exemplars, assignment says how
+    * well they COVER — a center with a huge radius or a 1-member
+    * count is the signal to raise k or prune outliers before using
+    * the coreset downstream.
+    *
+    * Scale shape: selection is Q280's loop; assignment is ONE more
+    * corpus pass — the k-row center table broadcast into a narrow
+    * distance projection, a vec_id window for the argmin, then a
+    * center-keyed aggregate (map-side combinable). Mean uses
+    * DECIMAL(38,10)-quantized summands so the shuffle-order-dependent
+    * float sum stays engine-exact; max/count are order-free.
+    */
+  def coresetAssign(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import s.implicits._
+    val centers = selectCenters(s, dir, k)._1.toDF("sid", "se")
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("sid"))
+    e.crossJoin(broadcast(centers))
+      .withColumn("d", sqDist(col("de"), col("se")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("d")).as("radius_sq"),
+        sum(col("d").cast("decimal(38,10)")).as("dsum"))
+      .select(col("sid").as("center_id"), col("n_assigned"),
+        col("radius_sq"),
+        (col("dsum").cast("double") /
+          col("n_assigned").cast("double")).as("mean_sq"))
   }
 
   /** Q127 — per-vector cluster-quality audit: the simplified

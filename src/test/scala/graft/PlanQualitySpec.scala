@@ -519,6 +519,21 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("q281: assignment is one broadcast pass; no shuffled cartesian") {
+    val p = plan("q281_coreset_assign")
+    // the k-row center table must broadcast into the distance pass
+    // (the q110 centroid discipline); a CartesianProduct would mean
+    // the corpus-sized side got cross-partitioned
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centers must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q281 cartesian:\n$p")
+    // argmin window (vec_id) + coverage rollup (sid): exactly two
+    // keyed exchanges — a third would mean the rollup stopped riding
+    // the argmin's partitioning pipeline
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <=2 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("q277: corpus scanned once; all merge rounds run on the vocab table") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()

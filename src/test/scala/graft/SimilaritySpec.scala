@@ -535,6 +535,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coresetAssign: hand-computed coverage on the planted 2-D points") {
+    // k=3 selects centers 0,1,2 (see the coreset trace); assignment:
+    // v3=(1,1) has d=2 to c0 vs 82 to c1/c2 -> joins c0.
+    // c0: n=2, radius=2, mean=(0+2)/2; c1/c2: singletons at 0.
+    def p(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    withEmbDir(Seq(p(0, 0), p(10, 0), p(0, 10), p(1, 1))) { dir =>
+      val got = Similarity.coresetAssign(spark, dir, k = 3).collect()
+        .map(r => r.getAs[Long]("center_id") ->
+          ((r.getAs[Long]("n_assigned"), r.getAs[Double]("radius_sq"),
+            r.getAs[Double]("mean_sq")))).toMap
+      assert(got === Map(
+        0L -> ((2L, 2.0, 1.0)),
+        1L -> ((1L, 0.0, 0.0)),
+        2L -> ((1L, 0.0, 0.0))))
+    }
+  }
+
   test("coreset: outliers are covered before dense-cluster interiors") {
     // a tight cluster at the origin plus one far outlier: k-center
     // must take the outlier in round 2 (k-means would average it away)
