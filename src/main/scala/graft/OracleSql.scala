@@ -5562,10 +5562,65 @@ object OracleSql {
        |rm AS MATERIALIZED (
        |  SELECT doc_id, pos FROM rkd WHERE occ >= 2 AND rk > 1
        |),
-       |tokpos AS (
+       |${scrubTailSql("toks", w)}""".stripMargin
+
+  /** Q282 — incremental span scrub (mirrors Dedup.spanScrubIngest):
+    * the q204 'inc:' scramble membership splits the corpus; the
+    * existing shard collapses to a DISTINCT span-hash index; incoming
+    * occurrences are removed on an index hit or by the q278
+    * first-occurrence window over the index-missing remainder; the
+    * shared scrub tail rebuilds incoming text only.
+    */
+  def q282SpanScrubIngest(w: Int = 8, modN: Int = 5): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH $tokenHashCtes,
+       |u0 AS (SELECT doc_id, $hSql AS u FROM documents),
+       |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
+       |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
+       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |       FROM u2),
+       |itoks AS (
+       |  SELECT t.doc_id, t.tk FROM toks t JOIN fl USING (doc_id)
+       |  WHERE incoming
+       |),
+       |sp AS MATERIALIZED (
+       |  SELECT z.doc_id, CAST(t.i AS BIGINT) AS pos, ${spanFoldSql(w)} AS h,
+       |    z.incoming
+       |  FROM (SELECT thc.doc_id, th, incoming
+       |        FROM thc JOIN fl USING (doc_id)) z,
+       |    unnest(range(1, len(th) - ${w - 2})) AS t(i)
+       |),
+       |idx AS MATERIALIZED (SELECT DISTINCT h FROM sp WHERE NOT incoming),
+       |isp AS MATERIALIZED (
+       |  SELECT doc_id, pos, h FROM sp WHERE incoming
+       |),
+       |rin AS (SELECT i.doc_id, i.pos FROM isp i JOIN idx USING (h)),
+       |rdup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      count(*) OVER (PARTITION BY h) AS occ,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |    FROM isp WHERE h NOT IN (SELECT h FROM idx)
+       |  ) WHERE occ >= 2 AND rk > 1
+       |),
+       |rm AS MATERIALIZED (
+       |  SELECT * FROM rin UNION ALL SELECT * FROM rdup
+       |),
+       |${scrubTailSql("itoks", w)}""".stripMargin
+  }
+
+  /** The shared q278/q282 scrub finish: positioned tokens from
+    * `tokSrc(doc_id, tk)`, dense-position trailing-max coverage over
+    * the `rm(doc_id, pos)` removal set, per-doc accounting and the
+    * ordered NULL-skipping string_agg rebuild. The final doc list
+    * comes from `tokSrc` so the variant controls which docs appear.
+    */
+  private def scrubTailSql(tokSrc: String, w: Int): String =
+    s"""tokpos AS (
        |  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
        |    tk[CAST(t.i AS INT)] AS tok
-       |  FROM toks, unnest(range(1, len(tk) + 1)) AS t(i)
+       |  FROM $tokSrc, unnest(range(1, len(tk) + 1)) AS t(i)
        |),
        |cov AS (
        |  SELECT doc_id, pos, tok,
@@ -5594,7 +5649,7 @@ object OracleSql {
        |  coalesce(r.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
        |  coalesce(a.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens,
        |  coalesce(a.cleaned_text, '') AS cleaned_text
-       |FROM documents d
+       |FROM (SELECT doc_id FROM $tokSrc) d
        |LEFT JOIN agg a ON d.doc_id = a.doc_id
        |LEFT JOIN rmc r ON d.doc_id = r.doc_id""".stripMargin
 

@@ -865,10 +865,7 @@ object Dedup {
     */
   def spanScrub(s: SparkSession, dir: String, w: Int = 8): DataFrame = {
     val d = docs(s, dir)
-    val spans = d
-      .select(col("doc_id"),
-        posexplode(TextHash.spanHashes(col("text"), w)).as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val spans = spanOccurrences(d, w)
     val wH = Window.partitionBy(col("h"))
     val removed = spans
       .withColumn("occ", count(lit(1)).over(wH))
@@ -876,6 +873,22 @@ object Dedup {
         row_number().over(wH.orderBy(col("doc_id"), col("pos"))))
       .filter(col("occ") >= 2 && col("rk") > 1)
       .select(col("doc_id"), col("pos"))
+    scrubTail(d, removed, w)
+  }
+
+  /** (doc_id, 1-based pos, span hash) rows for every w-token window —
+    * the narrow projection both scrub variants start from. */
+  private def spanOccurrences(d: DataFrame, w: Int): DataFrame =
+    d.select(col("doc_id"),
+        posexplode(TextHash.spanHashes(col("text"), w)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+
+  /** The shared scrub finish: collapse removal positions to one small
+    * sorted array per doc, then rebuild kept-token text with the
+    * indexed higher-order filter (see spanScrub's scaladoc for the
+    * text-moves-at-most-once shape).
+    */
+  private def scrubTail(d: DataFrame, removed: DataFrame, w: Int): DataFrame = {
     val rms = removed.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rms"))
     d.join(rms, Seq("doc_id"), "left")
@@ -890,6 +903,48 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long")
           .as("n_removed_tokens"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
+  /** Q282 — INCREMENTAL span scrub: the daily-ingest form of Q278,
+    * structured like Q204's incremental near-dup ingest. A 20%
+    * "incoming shard" (the same deterministic 'inc:' hash membership
+    * as Q204 — today's crawl) is scrubbed against the 80% "existing
+    * corpus": an incoming span occurrence is cut when its hash exists
+    * in the EXISTING span index (the corpus owns every such span — no
+    * first-occurrence contest), or when it repeats an earlier
+    * incoming occurrence under Q278's (doc_id, pos)-first rule.
+    * Output: the Q278 row shape restricted to incoming documents.
+    *
+    * The asymmetry is the point (same argument as Q204): existing
+    * text is never re-tokenized for reassembly and never enters the
+    * occurrence-ranking window — the index side collapses to DISTINCT
+    * hashes (8-byte longs, precomputable and reusable as-is), so a
+    * daily ingest pays O(|new| + probe collisions), never a
+    * corpus-wide rescrub. At 100 TB the distinct-hash index is the
+    * artifact a pipeline persists between runs; deriving it here from
+    * the existing shard stands in for that read.
+    */
+  def spanScrubIngest(s: SparkSession, dir: String, w: Int = 8,
+                      modN: Int = 5): DataFrame = {
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val d = docs(s, dir).withColumn("incoming", isInc)
+    val existingIndex = spanOccurrences(d.filter(!col("incoming")), w)
+      .select(col("h")).distinct()
+    val incSpans = spanOccurrences(d.filter(col("incoming")), w)
+    val wH = Window.partitionBy(col("h"))
+    // corpus-owned spans: every incoming occurrence is cut
+    val inIndex = incSpans.join(existingIndex, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // fresh spans: Q278's within-batch first-occurrence-wins
+    val dupWithin = incSpans.join(existingIndex, Seq("h"), "left_anti")
+      .withColumn("occ", count(lit(1)).over(wH))
+      .withColumn("rk",
+        row_number().over(wH.orderBy(col("doc_id"), col("pos"))))
+      .filter(col("occ") >= 2 && col("rk") > 1)
+      .select(col("doc_id"), col("pos"))
+    scrubTail(d.filter(col("incoming")).drop("incoming"),
+      inIndex.unionAll(dupWithin), w)
   }
 
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the

@@ -531,6 +531,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanScrubIngest: index wins regardless of id order; within-batch rule holds") {
+    import org.apache.spark.sql.functions._
+    // recover the q204 'inc:' shard membership for ids 0..29, then
+    // plant spans across the boundary instead of hand-tracing hashes
+    val member = spark.range(30).select(col("id"),
+      (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+        .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+        % 5 === 0L).as("inc")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val incIds = member.filter(_._2).keys.toSeq.sorted
+    val incId = incIds.head
+    val incId2 = incIds(1)
+    // an EXISTING doc with id LARGER than incId: under q278's
+    // first-occurrence rule the incoming copy would be canonical and
+    // kept — the ingest variant must cut it anyway (the corpus owns
+    // every indexed span)
+    val exId = member.filter(kv => !kv._2 && kv._1 > incId).keys.min
+    val shared = (1 to 8).map(i => s"sh$i").mkString(" ")
+    val texts = (0L until 30L).map { id =>
+      if (id == incId) s"pp qq $shared"
+      else if (id == incId2) ((1 to 8) ++ (1 to 8)).map(i => s"w$i").mkString(" ")
+      else if (id == exId) s"$shared tail1 tail2"
+      else s"f${id}a f${id}b f${id}c" // < w tokens: no spans
+    }
+    withDocsDir(texts) { dir =>
+      val out = Dedup.spanScrubIngest(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed_tokens"),
+            r.getAs[String]("cleaned_text")))).toMap
+      // only incoming docs appear
+      assert(out.keySet === member.filter(_._2).keys.toSet)
+      // cross-shard: cut from the incoming doc despite incId < exId
+      assert(out(incId) === ((1L, 8L, "pp qq")))
+      // within-batch repeat: q278's first-occurrence rule
+      assert(out(incId2) === ((1L, 8L, (1 to 8).map(i => s"w$i").mkString(" "))))
+      // untouched incoming docs pass through
+      incIds.drop(2).foreach(id =>
+        assert(out(id) === ((0L, 0L, s"f${id}a f${id}b f${id}c"))))
+    }
+  }
+
   test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
     import spark.implicits._
     val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")

@@ -463,25 +463,29 @@ class PlanQualitySpec extends SparkSpec {
     // §2.9 rule that only smoothing-spine queries get join-free pins)
   }
 
-  test("q278: no cartesians; text never enters a shuffle exchange") {
-    val df = SparkEntry.queries("q278_span_scrub")(spark, sfDir)
-    // materialize so AQE finalizes and the formatted explain carries
-    // the real exchanges with their Input column lists
-    df.write.format("noop").mode("overwrite").save()
-    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
-    assert(!fmt.contains("CartesianProduct"), s"q278 cartesian:\n$fmt")
-    assert(!fmt.contains("BroadcastNestedLoopJoin"), s"q278 BNLJ:\n$fmt")
-    // the span/removal machinery moves 8-byte hashes and positions
-    // only; the text column may ride at most the final doc_id join —
-    // and at fixture scale the (small) removal side must broadcast,
-    // keeping text out of every shuffle's OUTPUT (not just its keys).
-    // At 100 TB the same plan degrades to text shuffling exactly once.
-    val paragraphs = fmt.split("\n\n").toSeq
-    val shuffles = paragraphs.filter(_.linesIterator.toSeq.headOption
-      .exists(_.matches("""\(\d+\) Exchange.*""")))
-    assert(shuffles.nonEmpty, s"expected the h-window and rms shuffles:\n$fmt")
-    shuffles.foreach(s =>
-      assert(!s.contains("text#"), s"text must not shuffle in q278:\n$s"))
+  test("q278/q282: no cartesians; text never enters a shuffle exchange") {
+    for (q <- Seq("q278_span_scrub", "q282_span_scrub_ingest")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      // materialize so AQE finalizes and the formatted explain carries
+      // the real exchanges with their Input column lists
+      df.write.format("noop").mode("overwrite").save()
+      val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+      assert(!fmt.contains("CartesianProduct"), s"$q cartesian:\n$fmt")
+      assert(!fmt.contains("BroadcastNestedLoopJoin"), s"$q BNLJ:\n$fmt")
+      // the span/removal machinery moves 8-byte hashes and positions
+      // only; the text column may ride at most the final doc_id join —
+      // and at fixture scale the (small) removal side must broadcast,
+      // keeping text out of every shuffle's OUTPUT (not just its keys).
+      // At 100 TB the same plan degrades to text shuffling exactly
+      // once (q282's existing shard: never — it collapses to the
+      // distinct-hash index before any exchange).
+      val paragraphs = fmt.split("\n\n").toSeq
+      val shuffles = paragraphs.filter(_.linesIterator.toSeq.headOption
+        .exists(_.matches("""\(\d+\) Exchange.*""")))
+      assert(shuffles.nonEmpty, s"expected the h-keyed and rms shuffles:\n$fmt")
+      shuffles.foreach(s =>
+        assert(!s.contains("text#"), s"text must not shuffle in $q:\n$s"))
+    }
   }
 
   test("q280: one pass per selection round; selected side broadcasts; local result") {
