@@ -5714,7 +5714,7 @@ object OracleSql {
          |  SELECT p.vec_id, e.de FROM p$r p JOIN e ON e.vec_id = p.vec_id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
        |  FROM embeddings
        |),
@@ -7138,10 +7138,16 @@ object OracleSql {
            |seg$r AS MATERIALIZED (
            |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
            |  FROM (
+           |    -- the merged symbol comes from a SCALAR subquery, not a
+           |    -- cross join: when b$r is empty (pair-exhausted corpus)
+           |    -- sl$r is empty too, every row keeps s.sym, and the
+           |    -- segmentation carries forward unchanged — matching the
+           |    -- Spark trainer, which stops and keeps the last
+           |    -- non-empty segmentation (a cross join would wipe it)
            |    SELECT s.w, s.n, s.i AS oi,
-           |      CASE WHEN h.w IS NOT NULL THEN b.ls || b.rs ELSE s.sym END AS sym
+           |      CASE WHEN h.w IS NOT NULL
+           |           THEN (SELECT ls || rs FROM b$r) ELSE s.sym END AS sym
            |    FROM $prev s
-           |    CROSS JOIN b$r b
            |    LEFT JOIN sl$r h ON s.w = h.w AND s.i = h.i
            |    LEFT JOIN sl$r pv ON s.w = pv.w AND s.i = pv.i + 1
            |    WHERE pv.w IS NULL

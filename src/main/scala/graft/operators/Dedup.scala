@@ -278,9 +278,11 @@ object Dedup {
     // (ngramJaccard's truth spine, minhashLsh's signature table) carry
     // their own intra-query caches, which the audit materializes here
     // rather than in the caller's consumption — everything new in the
-    // persistence map at the end is this call's residue and gets
-    // released before returning (the audit runs sequentially, so the
-    // delta can't catch a concurrent query's caches)
+    // persistence map at the end is released before returning. The
+    // map is CONTEXT-global, so a concurrent query's plain cache can
+    // land in the delta — unpersisting one is safe (it recomputes);
+    // localCheckpoints are excluded below because truncated lineage
+    // CANNOT recompute and this call never creates any of its own.
     val persistedBefore = s.sparkContext.getPersistentRDDs.keySet
     val truth = ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")).cache()
     val nTruth = truth.count()
@@ -300,7 +302,8 @@ object Dedup {
           .select(col("doc_a"), col("doc_b"))))
     truth.unpersist(blocking = false)
     (s.sparkContext.getPersistentRDDs -- persistedBefore)
-      .values.foreach(_.unpersist(blocking = false))
+      .values.filterNot(_.isCheckpointed)
+      .foreach(_.unpersist(blocking = false))
     import s.implicits._
     rows.toDF("scheme", "n_candidates", "n_hits")
       .select(col("scheme"), lit(nTruth).as("n_truth"),

@@ -337,7 +337,12 @@ object Graph {
       // references without releasing storage AND evicted hot entries
       // alongside cold ones (round-10 ADVICE) — with the access-
       // ordered map the eldest entry is exactly the LRU victim, and
-      // a recompute after eviction is always correct.
+      // the next REQUEST for an evicted key recomputes correctly.
+      // Ownership contract: the memo owns the checkpoint blocks; a
+      // label table is consumed within the query that requested it.
+      // A caller holding the DataFrame unexecuted across 8+ other
+      // keyed calls would find its lineage-truncated blocks released
+      // — such a caller must checkpoint its own copy.
       if (lpMemo.size >= 8) {
         val it = lpMemo.entrySet().iterator()
         releaseLabels(it.next().getValue)

@@ -871,7 +871,11 @@ object TextAnalysis {
     * release on eviction; the metadata-only fingerprint makes an
     * in-place corpus rewrite miss the memo instead of serving stale
     * blocks; training is deterministic, so a hit is bitwise the table
-    * a recompute would build.
+    * a recompute would build. Ownership contract (as lpMemo): the
+    * memo owns the segmentation's checkpoint blocks — plans built on
+    * a training are consumed within the requesting query; a caller
+    * holding one unexecuted across 4+ other keyed trainings must
+    * checkpoint its own copy.
     */
   private val bpeMemo = new java.util.LinkedHashMap[
     (SparkSession, String, Int, Long),

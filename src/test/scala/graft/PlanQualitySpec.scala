@@ -501,6 +501,7 @@ class PlanQualitySpec extends SparkSpec {
                              exception: Exception): Unit = ()
     }
     spark.listenerManager.register(ql)
+    graft.operators.Similarity.clearCoresetMemo() // count a COLD selection
     try {
       val k = 8
       val df = SparkEntry.queries("q280_coreset")(spark, sfDir)

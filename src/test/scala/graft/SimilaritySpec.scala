@@ -552,6 +552,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coreset: a corpus smaller than k stops early with n rows") {
+    def p(x: Float) = Array(x, 0f, 0f, 0f)
+    withEmbDir(Seq(p(0), p(5))) { dir =>
+      val got = coresetRows(dir, k = 8)
+      assert(got === Seq((1, 0L, None), (2, 1L, Some(25.0))))
+    }
+  }
+
   test("coreset: outliers are covered before dense-cluster interiors") {
     // a tight cluster at the origin plus one far outlier: k-center
     // must take the outlier in round 2 (k-means would average it away)
