@@ -282,8 +282,10 @@ object Graph {
     // access-ordered so the eldest entry IS the least-recently-used
     // one; all access goes through lpMemo.synchronized (LinkedHashMap
     // is not thread-safe, and eviction must pair atomically with the
-    // explicit block release below)
-    new java.util.LinkedHashMap[(SparkSession, String, Int, Int, Long), DataFrame](16, 0.75f, true)
+    // explicit block release below). Keyed by the session's UUID
+    // STRING (MemoKey.session, round-11 ADVICE) — a SparkSession
+    // reference in the key pinned stopped sessions from GC.
+    new java.util.LinkedHashMap[(String, String, Int, Int, Long), DataFrame](16, 0.75f, true)
 
   /** Release the block-manager residue behind a memoized label table:
     * a localCheckpoint'd Dataset is a LogicalRDD over a persisted RDD,
@@ -303,19 +305,13 @@ object Graph {
     * METADATA only (file names, lengths, mtimes — no scan): part of the
     * memo key, so rewriting the data in-place within one session misses
     * the memo instead of silently serving labels computed from the old
-    * files (round-9 ADVICE). Any metadata failure hashes the error
-    * class — distinct from every healthy fingerprint, so a flaky
-    * filesystem degrades to recompute, never to a stale hit.
+    * files (round-9 ADVICE). A metadata failure returns None and the
+    * caller BYPASSES the memo — computing without caching — rather
+    * than memoizing under an error-derived key (round-11 ADVICE: two
+    * same-class failures straddling a rewrite collide).
     */
-  private def dataFingerprint(s: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-    try {
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).map(st =>
-        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode.toLong)
-        .sorted.foldLeft(17L)((a, h) => a * 31 + h)
-    } catch { case e: Throwable => e.getClass.getName.hashCode.toLong }
-  }
+  private def dataFingerprint(s: SparkSession, dir: String): Option[Long] =
+    MemoKey.fingerprint(s, s"$dir/lineitem.parquet")
 
   /** Test hook: drop memoized LP labels (e.g. to exercise both the
     * miss and hit paths in one suite), releasing their checkpoint
@@ -326,8 +322,25 @@ object Graph {
   }
 
   private def lpLabels(s: SparkSession, dir: String, iters: Int,
-                       minSupport: Int): DataFrame = lpMemo.synchronized {
-    val key = (s, dir, iters, minSupport, dataFingerprint(s, dir))
+                       minSupport: Int): DataFrame = dataFingerprint(s, dir) match {
+    case None =>
+      // fingerprint unavailable: compute WITHOUT caching (see
+      // dataFingerprint's scaladoc — never memoize under an
+      // error-derived key)
+      val edges = copurchaseEdges(s, dir, minSupport).cache()
+      val v = lpFrom(edges, iters,
+        tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+      edges.unpersist(blocking = false)
+      v
+    case Some(fp) => lpMemo.synchronized {
+    // drop entries whose owning context already stopped: their blocks
+    // died with the context, and releasing them at LRU time would be
+    // a stopped-context no-op wasting the evicted slot (round-11
+    // ADVICE)
+    lpMemo.entrySet().removeIf(e =>
+      try e.getValue.sparkSession.sparkContext.isStopped
+      catch { case _: Throwable => true })
+    val key = (MemoKey.session(s), dir, iters, minSupport, fp)
     val hit = lpMemo.get(key)
     if (hit != null) hit
     else {
@@ -357,6 +370,7 @@ object Graph {
       edges.unpersist(blocking = false)
       lpMemo.put(key, v)
       v
+    }
     }
   }
 

@@ -730,13 +730,15 @@ object Similarity {
     * explicitly so an all-duplicates corpus still yields k DISTINCT
     * ids (dmin 0) instead of re-picking the seed.
     *
-    * Scale shape: round r is ONE corpus pass — a broadcast of the
-    * r−1 selected vectors (k·dim doubles, never corpus-sized), a
-    * narrow distance projection, a map-side-combinable min/argmax —
-    * and one scalar row to the driver (the inherent sync point of the
-    * greedy algorithm, exactly the Q277 argmax discipline). k passes
-    * total; at extreme scale the same plan runs on a sampled or
-    * IVF-bucketed stratum.
+    * Scale shape: round r is ONE corpus pass with ZERO exchanges —
+    * the r−1 selected vectors ride the plan as literals (≤ k·dim
+    * doubles, never corpus-sized), dmin is a least() over codegen'd
+    * sqDist terms, and the argmax is a TakeOrderedAndProject that
+    * carries the winner's VECTOR in its projection (per-partition
+    * top-1; the driver reduces one row per partition — the inherent
+    * sync point of the greedy algorithm, exactly the Q277 argmax
+    * discipline). k scans total, no shuffle, no join; at extreme
+    * scale the same plan runs on a sampled or IVF-bucketed stratum.
     */
   def coreset(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import s.implicits._
@@ -755,20 +757,14 @@ object Similarity {
     * never dangle.
     */
   private val coresetMemo = new java.util.LinkedHashMap[
-    (SparkSession, String, Int, Long),
+    (String, String, Int, Long),
     (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])](8, 0.75f, true)
 
   /** embeddings.parquet fingerprint from filesystem METADATA only
-    * (the Graph.dataFingerprint pattern). */
-  private def embFingerprint(s: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    try {
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).map(st =>
-        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode.toLong)
-        .sorted.foldLeft(17L)((a, h) => a * 31 + h)
-    } catch { case e: Throwable => e.getClass.getName.hashCode.toLong }
-  }
+    * (the Graph.dataFingerprint pattern). None on a listing failure →
+    * compute without caching (round-11 ADVICE). */
+  private def embFingerprint(s: SparkSession, dir: String): Option[Long] =
+    MemoKey.fingerprint(s, s"$dir/embeddings.parquet")
 
   /** Test hook: drop memoized selections (pure data — nothing to
     * release). */
@@ -777,18 +773,21 @@ object Similarity {
 
   private def selectCenters(s: SparkSession, dir: String, k: Int)
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
-    coresetMemo.synchronized {
-      val key = (s, dir, k, embFingerprint(s, dir))
-      val hit = coresetMemo.get(key)
-      if (hit != null) hit
-      else {
-        if (coresetMemo.size >= 8) {
-          val it = coresetMemo.entrySet().iterator()
-          it.next(); it.remove()
+    embFingerprint(s, dir) match {
+      case None => runSelection(s, dir, k) // no fingerprint: bypass memo
+      case Some(fp) => coresetMemo.synchronized {
+        val key = (MemoKey.session(s), dir, k, fp)
+        val hit = coresetMemo.get(key)
+        if (hit != null) hit
+        else {
+          if (coresetMemo.size >= 8) {
+            val it = coresetMemo.entrySet().iterator()
+            it.next(); it.remove()
+          }
+          val v = runSelection(s, dir, k)
+          coresetMemo.put(key, v)
+          v
         }
-        val v = runSelection(s, dir, k)
-        coresetMemo.put(key, v)
-        v
       }
     }
 
@@ -796,44 +795,50 @@ object Similarity {
     * (vec_id, vector) centers in pick order plus the per-round
     * (round, vec_id, dmin) audit rows. Stops early (fewer than k
     * rows) when every vector is already selected — the oracle's
-    * empty-argmax CTEs degrade the same way.
+    * empty-argmax CTEs degrade the same way; an EMPTY corpus returns
+    * an empty selection, matching the oracle's zero-row degradation
+    * (round-11 ADVICE — the seed collect no longer throws).
     */
   private def runSelection(s: SparkSession, dir: String, k: Int)
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) = {
-    import s.implicits._
     val e = embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
-    val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
-    var selected = List((seed.getLong(0), seed.getSeq[Double](1)))
-    val out = scala.collection.mutable.ArrayBuffer(
-      (1, seed.getLong(0), Option.empty[Double]))
-    var r = 2
-    var exhausted = false
-    while (r <= k && !exhausted) {
-      val selDf = selected.toDF("sid", "se")
-      // the argmax shuffles (vec_id, dmin) ONLY — map-side combine
-      // collapses the r-way fan-out before the exchange, and the
-      // 64-double vector is fetched afterwards by a pushed-filter
-      // point lookup instead of riding a 30x-wider shuffle
-      val pick = e.crossJoin(broadcast(selDf))
-        .withColumn("d", sqDist(col("de"), col("se")))
-        .groupBy(col("vec_id"))
-        .agg(min(col("d")).as("dmin"))
-        .filter(!col("vec_id").isInCollection(selected.map(_._1)))
-        .orderBy(col("dmin").desc, col("vec_id"))
-        .limit(1).collect().headOption
-      pick match {
-        case None => exhausted = true // corpus smaller than k
-        case Some(p) =>
-          val vec = e.filter(col("vec_id") === p.getLong(0))
-            .collect()(0).getSeq[Double](1)
-          out += ((r, p.getLong(0), Some(p.getDouble(1))))
-          selected = selected :+ ((p.getLong(0), vec))
-          r += 1
-      }
+    e.orderBy(col("vec_id")).limit(1).collect().headOption match {
+      case None => (Nil, Nil) // empty corpus: empty selection + audit
+      case Some(seed) =>
+        var selected = List((seed.getLong(0), seed.getSeq[Double](1)))
+        val out = scala.collection.mutable.ArrayBuffer(
+          (1, seed.getLong(0), Option.empty[Double]))
+        var r = 2
+        var exhausted = false
+        while (r <= k && !exhausted) {
+          // ONE corpus pass per round, ZERO exchanges: the selected
+          // set rides the plan as ≤ k·dim literal doubles folded into
+          // a least() over codegen'd sqDist terms (same engine-exact
+          // per-pair folds, and an exact min regardless of order), and
+          // the argmax + dmin-desc/vec_id tie-break + WINNING-VECTOR
+          // CARRY is one TakeOrderedAndProject — per-partition top-1,
+          // the driver reduces #partitions rows. Round-11 verdict #4:
+          // the old shape took a second pushed-filter scan per round
+          // just to fetch the winner's vector.
+          val dcols = selected.map(c => sqDist(col("de"), typedlit(c._2)))
+          val dmin = if (dcols.size == 1) dcols.head else least(dcols: _*)
+          val pick = e
+            .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+            .select(col("vec_id"), dmin.as("dmin"), col("de"))
+            .orderBy(col("dmin").desc, col("vec_id"))
+            .limit(1).collect().headOption
+          pick match {
+            case None => exhausted = true // corpus smaller than k
+            case Some(p) =>
+              out += ((r, p.getLong(0), Some(p.getDouble(1))))
+              selected = selected :+ ((p.getLong(0), p.getSeq[Double](2)))
+              r += 1
+          }
+        }
+        (selected, out.toSeq)
     }
-    (selected, out.toSeq)
   }
 
   /** Q281 — coreset ASSIGNMENT audit: every vector assigned to its

@@ -878,21 +878,16 @@ object TextAnalysis {
     * checkpoint its own copy.
     */
   private val bpeMemo = new java.util.LinkedHashMap[
-    (SparkSession, String, Int, Long),
+    (String, String, Int, Long),
     (DataFrame, Seq[(Int, String, String, String, Long)])](8, 0.75f, true)
 
   /** documents.parquet fingerprint from filesystem METADATA only —
     * the Graph.dataFingerprint pattern pointed at the corpus table.
+    * None on a listing failure → compute without caching (round-11
+    * ADVICE: never memoize under an error-derived key).
     */
-  private def docsFingerprint(s: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-    try {
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).map(st =>
-        (st.getPath.getName, st.getLen, st.getModificationTime).hashCode.toLong)
-        .sorted.foldLeft(17L)((a, h) => a * 31 + h)
-    } catch { case e: Throwable => e.getClass.getName.hashCode.toLong }
-  }
+  private def docsFingerprint(s: SparkSession, dir: String): Option[Long] =
+    MemoKey.fingerprint(s, s"$dir/documents.parquet")
 
   /** Test hook: drop memoized trainings, releasing their checkpoint
     * blocks (mirrors Graph.clearLpMemo). */
@@ -903,19 +898,29 @@ object TextAnalysis {
 
   private def trainedSeg(s: SparkSession, dir: String, merges: Int)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) =
-    bpeMemo.synchronized {
-      val key = (s, dir, merges, docsFingerprint(s, dir))
-      val hit = bpeMemo.get(key)
-      if (hit != null) hit
-      else {
-        if (bpeMemo.size >= 4) {
-          val it = bpeMemo.entrySet().iterator()
-          releaseRound(it.next().getValue._1)
-          it.remove()
+    docsFingerprint(s, dir) match {
+      case None => trainSeg(s, dir, merges) // no fingerprint: bypass memo
+      case Some(fp) => bpeMemo.synchronized {
+        // purge entries whose owning context stopped — their
+        // checkpoint blocks died with the context; keeping them
+        // wastes slots and their release would no-op (round-11
+        // ADVICE)
+        bpeMemo.entrySet().removeIf(e =>
+          try e.getValue._1.sparkSession.sparkContext.isStopped
+          catch { case _: Throwable => true })
+        val key = (MemoKey.session(s), dir, merges, fp)
+        val hit = bpeMemo.get(key)
+        if (hit != null) hit
+        else {
+          if (bpeMemo.size >= 4) {
+            val it = bpeMemo.entrySet().iterator()
+            releaseRound(it.next().getValue._1)
+            it.remove()
+          }
+          val v = trainSeg(s, dir, merges)
+          bpeMemo.put(key, v)
+          v
         }
-        val v = trainSeg(s, dir, merges)
-        bpeMemo.put(key, v)
-        v
       }
     }
 

@@ -44,6 +44,13 @@ object ColumnBridge {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  /** The session's UUID string (`sessionUUID` is `private[sql]`,
+    * hence here) — the identity the cross-query memos key on so a
+    * stopped session is never pinned by a map key.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a function builder on a live session's registry
     * (`sessionState` is `private[sql]`, hence here).
     */

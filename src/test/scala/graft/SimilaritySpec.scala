@@ -560,6 +560,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coreset: an EMPTY corpus degrades to an empty selection, not a throw") {
+    // round-11 ADVICE: the seed collect()(0) threw on an empty
+    // embeddings table while the oracle degraded to zero rows
+    withEmbDir(Seq.empty) { dir =>
+      assert(coresetRows(dir, k = 4) === Seq.empty)
+      assert(Similarity.coresetAssign(spark, dir, k = 4).collect().isEmpty)
+    }
+  }
+
   test("coreset: outliers are covered before dense-cluster interiors") {
     // a tight cluster at the origin plus one far outlier: k-center
     // must take the outlier in round 2 (k-means would average it away)
