@@ -5572,14 +5572,8 @@ object OracleSql {
     * shared scrub tail rebuilds incoming text only.
     */
   def q282SpanScrubIngest(w: Int = 8, modN: Int = 5): String = {
-    val p = graft.functions.TextHash.P
-    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
     s"""WITH $tokenHashCtes,
-       |u0 AS (SELECT doc_id, $hSql AS u FROM documents),
-       |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
-       |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
-       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
-       |       FROM u2),
+       |${incomingFlagCtes(modN)},
        |itoks AS (
        |  SELECT t.doc_id, t.tk FROM toks t JOIN fl USING (doc_id)
        |  WHERE incoming
@@ -7099,13 +7093,119 @@ object OracleSql {
        |    CAST(nullif(coalesce(a.n_words, 0), 0) AS DOUBLE) AS fertility
        |FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id""".stripMargin
 
-  /** The shared Q277/Q279 unrolled-round CTE chain: vocab → seg0 →
-    * (pair count, argmax, run-parity selection, re-segmentation) × k.
-    * `withFinalSeg` controls whether round k's re-segmentation is
-    * emitted (the trainer only needs its argmax; the encoder reads
-    * seg{k}).
+  /** Q283 — frozen-vocabulary BPE encode of the incoming shard
+    * (mirrors TextAnalysis.bpeEncodeFrozen): the q282 'inc:' scramble
+    * splits the corpus; the q277 training chain runs on the EXISTING
+    * shard's vocabulary; a REPLAY chain re-applies each round's frozen
+    * argmax pair (b$r) to the INCOMING shard's vocabulary with the
+    * same run-parity selection — no argmax of its own — and the q279
+    * fertility tail rolls up incoming documents only. A word that
+    * exists only in the incoming shard still encodes (characters +
+    * whichever frozen merges fire inside it).
     */
-  private def bpeChainSql(merges: Int, withFinalSeg: Boolean): String = {
+  def q283BpeEncodeFrozen(merges: Int = 8, modN: Int = 5): String =
+    s"""WITH ${incomingFlagCtes(modN)},
+       |${bpeChainSql(merges, withFinalSeg = false,
+           docsSrc = "(SELECT text FROM documents JOIN fl USING (doc_id) WHERE NOT incoming)")},
+       |${bpeReplaySql(merges,
+           "(SELECT text FROM documents JOIN fl USING (doc_id) WHERE incoming)")},
+       |ws AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n_sub
+       |  FROM rseg$merges GROUP BY 1
+       |),
+       |occ AS (
+       |  SELECT doc_id, unnest($tokensSql) AS w
+       |  FROM documents JOIN fl USING (doc_id) WHERE incoming
+       |),
+       |ag AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |  FROM occ JOIN ws USING (w) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords,
+       |  CAST(coalesce(a.n_subwords, 0) AS DOUBLE) /
+       |    CAST(nullif(coalesce(a.n_words, 0), 0) AS DOUBLE) AS fertility
+       |FROM (SELECT doc_id FROM documents JOIN fl USING (doc_id)
+       |      WHERE incoming) d
+       |LEFT JOIN ag a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** The q282/q283 'inc:' scramble membership CTEs (u0→u1→u2→fl):
+    * deterministic 20% incoming-shard flag per doc_id. */
+  private def incomingFlagCtes(modN: Int): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
+    s"""u0 AS (SELECT doc_id, $hSql AS u FROM documents),
+       |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
+       |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
+       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |       FROM u2)""".stripMargin
+  }
+
+  /** The Q283 replay chain: rvocab/rseg0 over the incoming shard's
+    * vocabulary, then per round the SAME run-parity selection and
+    * re-segmentation as the training chain — but driven by the
+    * training chain's frozen b$r instead of an argmax of its own.
+    * Mirrors TextAnalysis.replaySeg/mergePass.
+    */
+  private def bpeReplaySql(merges: Int, docsSrc: String): String = {
+    def leadCtes(prev: String): String =
+      s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
+    val rounds = (1 to merges).map { r =>
+      val prev = if (r == 1) "rseg0" else s"rseg${r - 1}"
+      s"""rsl$r AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rin
+         |    FROM (
+         |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+         |      FROM (
+         |        SELECT c.w, c.i
+         |        FROM (${leadCtes(prev)}) c, b$r
+         |        WHERE c.sym = b$r.ls AND c.nxt = b$r.rs
+         |      )
+         |    )
+         |  ) WHERE rin % 2 = 1
+         |),
+         |rseg$r AS MATERIALIZED (
+         |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
+         |  FROM (
+         |    -- scalar-subquery merged symbol, as the training chain:
+         |    -- an exhausted b$r leaves rsl$r empty and the replayed
+         |    -- segmentation carries forward unchanged
+         |    SELECT s.w, s.n, s.i AS oi,
+         |      CASE WHEN h.w IS NOT NULL
+         |           THEN (SELECT ls || rs FROM b$r) ELSE s.sym END AS sym
+         |    FROM $prev s
+         |    LEFT JOIN rsl$r h ON s.w = h.w AND s.i = h.i
+         |    LEFT JOIN rsl$r pv ON s.w = pv.w AND s.i = pv.i + 1
+         |    WHERE pv.w IS NULL
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""rvocab AS MATERIALIZED (
+       |  SELECT token AS w, count(*) AS n
+       |  FROM (SELECT unnest($tokensSql) AS token FROM $docsSrc)
+       |  GROUP BY 1
+       |),
+       |rseg0 AS MATERIALIZED (
+       |  SELECT w, n, t.i,
+       |    CASE WHEN t.i <= len(w) THEN substring(w, CAST(t.i AS INT), 1)
+       |         ELSE '</w>' END AS sym
+       |  FROM rvocab, unnest(range(1, len(w) + 2)) AS t(i)
+       |),
+       |$rounds""".stripMargin
+  }
+
+  /** The shared Q277/Q279/Q283 unrolled-round CTE chain: vocab → seg0
+    * → (pair count, argmax, run-parity selection, re-segmentation) × k
+    * over `docsSrc` (the full corpus for q277/q279; the existing shard
+    * for q283's frozen training). `withFinalSeg` controls whether
+    * round k's re-segmentation is emitted (the trainer only needs its
+    * argmax; the encoder reads seg{k}).
+    */
+  private def bpeChainSql(merges: Int, withFinalSeg: Boolean,
+                          docsSrc: String = "documents"): String = {
     def leadCtes(prev: String): String =
       s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
     val rounds = (1 to merges).map { r =>
@@ -7156,7 +7256,7 @@ object OracleSql {
     }.mkString(",\n")
     s"""vocab AS MATERIALIZED (
        |  SELECT token AS w, count(*) AS n
-       |  FROM (SELECT unnest($tokensSql) AS token FROM documents)
+       |  FROM (SELECT unnest($tokensSql) AS token FROM $docsSrc)
        |  GROUP BY 1
        |),
        |seg0 AS MATERIALIZED (

@@ -878,7 +878,7 @@ object TextAnalysis {
     * checkpoint its own copy.
     */
   private val bpeMemo = new java.util.LinkedHashMap[
-    (String, String, Int, Long),
+    (String, String, Int, String, Long),
     (DataFrame, Seq[(Int, String, String, String, Long)])](8, 0.75f, true)
 
   /** documents.parquet fingerprint from filesystem METADATA only —
@@ -896,10 +896,17 @@ object TextAnalysis {
     bpeMemo.clear()
   }
 
-  private def trainedSeg(s: SparkSession, dir: String, merges: Int)
+  /** Memo wrapper shared by the full-corpus training (q277/q279), the
+    * existing-shard training and the incoming-shard replay (q283):
+    * `shard` discriminates which segmentation the entry holds. The
+    * value's DataFrame is the memo-owned checkpointed segmentation;
+    * the Seq is the merge table that produced it.
+    */
+  private def memoSeg(s: SparkSession, dir: String, merges: Int, shard: String)
+      (compute: => (DataFrame, Seq[(Int, String, String, String, Long)]))
       : (DataFrame, Seq[(Int, String, String, String, Long)]) =
     docsFingerprint(s, dir) match {
-      case None => trainSeg(s, dir, merges) // no fingerprint: bypass memo
+      case None => compute // no fingerprint: bypass memo
       case Some(fp) => bpeMemo.synchronized {
         // purge entries whose owning context stopped — their
         // checkpoint blocks died with the context; keeping them
@@ -908,7 +915,7 @@ object TextAnalysis {
         bpeMemo.entrySet().removeIf(e =>
           try e.getValue._1.sparkSession.sparkContext.isStopped
           catch { case _: Throwable => true })
-        val key = (MemoKey.session(s), dir, merges, fp)
+        val key = (MemoKey.session(s), dir, merges, shard, fp)
         val hit = bpeMemo.get(key)
         if (hit != null) hit
         else {
@@ -917,30 +924,73 @@ object TextAnalysis {
             releaseRound(it.next().getValue._1)
             it.remove()
           }
-          val v = trainSeg(s, dir, merges)
+          val v = compute
           bpeMemo.put(key, v)
           v
         }
       }
     }
 
-  /** The shared training loop behind Q277/Q279: runs `merges` rounds
-    * and returns BOTH the final localCheckpoint'd segmentation (the
-    * caller owns its blocks — see releaseRound) and the learned merge
-    * rows (round, left, right, merged, count).
-    */
-  private def trainSeg(s: SparkSession, dir: String, merges: Int)
-      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
-    val vocab = docs(s, dir)
-      .select(explode(TextHash.tokens(col("text"))).as("w"))
+  private def trainedSeg(s: SparkSession, dir: String, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) =
+    memoSeg(s, dir, merges, "all")(trainSeg(docs(s, dir), merges))
+
+  /** Word-frequency vocabulary of a documents slice — the single
+    * corpus pass every BPE variant starts from. */
+  private def vocabOf(d: DataFrame): DataFrame =
+    d.select(explode(TextHash.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+
+  /** Character-level round-0 segmentation of a vocabulary: one row
+    * per (word, position, symbol), characters plus the terminal
+    * '</w>' marker (Sennrich et al. 2016 §3.2). */
+  private def charSeg(vocab: DataFrame): DataFrame =
+    vocab.select(col("w"), col("n"),
+      posexplode(concat(
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        array(lit("</w>")))).as(Seq("i", "sym")))
+
+  /** One greedy LEFT-TO-RIGHT NON-OVERLAPPING application of merge
+    * (bl, br) to a (w, n, i, sym) segmentation — the run-parity rule
+    * (see bpeTrain's scaladoc) shared by the trainer (applied to each
+    * round's argmax winner) and the Q283 FROZEN-merge replay (applied
+    * to a shipped merge table, no argmax). Returns the re-indexed
+    * segmentation, not yet checkpointed — the caller owns the
+    * checkpoint/release discipline.
+    */
+  private def mergePass(seg: DataFrame, bl: String, br: String): DataFrame = {
     val wOrd = Window.partitionBy(col("w")).orderBy(col("i"))
-    var seg = vocab
-      .select(col("w"), col("n"),
-        posexplode(concat(
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          array(lit("</w>")))).as(Seq("i", "sym")))
-      .localCheckpoint()
+    val c1 = seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+    // run-parity greedy selection over the winning pair's positions
+    val sel = c1
+      .filter(col("sym") === lit(bl) && col("nxt") === lit(br))
+      .select(col("w"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(wOrd))
+      .withColumn("rin", row_number().over(
+        Window.partitionBy(col("w"), col("grp")).orderBy(col("i"))))
+      .filter(col("rin") % 2 === 1)
+      .select(col("w"), col("i"))
+    c1.join(sel.withColumn("sel_here", lit(true)), Seq("w", "i"), "left")
+      .join(sel.select(col("w"), (col("i") + 1).as("i"),
+        lit(true).as("sel_prev")), Seq("w", "i"), "left")
+      .filter(col("sel_prev").isNull)
+      .select(col("w"), col("n"), col("i"),
+        when(col("sel_here"), lit(bl + br)).otherwise(col("sym")).as("sym"))
+      // re-index so positions stay consecutive for the next round's
+      // adjacency windows and +1-shift join
+      .withColumn("i", row_number().over(wOrd))
+  }
+
+  /** The shared training loop behind Q277/Q279/Q283: runs `merges`
+    * rounds over the given documents slice and returns BOTH the final
+    * localCheckpoint'd segmentation (the caller owns its blocks — see
+    * releaseRound) and the learned merge rows (round, left, right,
+    * merged, count).
+    */
+  private def trainSeg(src: DataFrame, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val wOrd = Window.partitionBy(col("w")).orderBy(col("i"))
+    var seg = charSeg(vocabOf(src)).localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var r = 1
@@ -957,28 +1007,8 @@ object TextAnalysis {
       else {
         val (bl, br) = (best(0).getString(0), best(0).getString(1))
         out += ((r, bl, br, bl + br, best(0).getLong(2)))
-        val c1 = seg.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
-        // run-parity greedy selection over the winning pair's positions
-        val sel = c1
-          .filter(col("sym") === lit(bl) && col("nxt") === lit(br))
-          .select(col("w"), col("i"))
-          .withColumn("grp", col("i") - row_number().over(wOrd))
-          .withColumn("rin", row_number().over(
-            Window.partitionBy(col("w"), col("grp")).orderBy(col("i"))))
-          .filter(col("rin") % 2 === 1)
-          .select(col("w"), col("i"))
-        val newSeg = c1
-          .join(sel.withColumn("sel_here", lit(true)), Seq("w", "i"), "left")
-          .join(sel.select(col("w"), (col("i") + 1).as("i"),
-            lit(true).as("sel_prev")), Seq("w", "i"), "left")
-          .filter(col("sel_prev").isNull)
-          .select(col("w"), col("n"), col("i"),
-            when(col("sel_here"), lit(bl + br)).otherwise(col("sym")).as("sym"))
-          // re-index so positions stay consecutive for the next round's
-          // adjacency windows and +1-shift join
-          .withColumn("i", row_number().over(wOrd))
         val prev = seg
-        seg = newSeg.localCheckpoint()
+        seg = mergePass(seg, bl, br).localCheckpoint()
         releaseRound(prev)
         r += 1
       }
@@ -1005,13 +1035,25 @@ object TextAnalysis {
     */
   def bpeEncode(s: SparkSession, dir: String, merges: Int = 8): DataFrame = {
     val (seg, _) = trainedSeg(s, dir, merges)
+    fertilityOf(docs(s, dir), seg)
+  }
+
+  /** The shared Q279/Q283 encode tail: per-word subword counts from a
+    * segmentation, joined back to the slice's token occurrences for
+    * per-document fertility. The occurrence→vocabulary join is
+    * complete by construction whenever `seg` was segmented from the
+    * SAME slice's vocabulary (Q279: training corpus; Q283: the
+    * incoming shard's replayed vocabulary — which is what makes the
+    * frozen-vocab encode cover UNSEEN words).
+    */
+  private def fertilityOf(d: DataFrame, seg: DataFrame): DataFrame = {
     val wordSub = seg.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
-    val occ = docs(s, dir)
+    val occ = d
       .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("w"))
     val agg = occ.join(wordSub, Seq("w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
-    docs(s, dir).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+    d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
@@ -1020,6 +1062,74 @@ object TextAnalysis {
         (coalesce(col("n_subwords"), lit(0L)).cast("double") /
           nullif(coalesce(col("n_words"), lit(0L)), lit(0L)).cast("double"))
           .as("fertility"))
+  }
+
+  /** Replay a FROZEN merge table over a documents slice: character-
+    * segment the slice's OWN vocabulary, then apply each learned merge
+    * in training order with the same run-parity greedy rule — no pair
+    * counting, no argmax, no driver sync. A word absent from the
+    * training corpus still encodes: it stays at characters plus
+    * whatever frozen merges fire inside it — exactly how a shipped
+    * BPE tokenizer treats novel words (vs Q279's inner join on the
+    * training vocabulary, which is only complete when encoding the
+    * training corpus itself).
+    */
+  private def replaySeg(d: DataFrame, merges: Seq[(String, String)])
+      : DataFrame = {
+    var seg = charSeg(vocabOf(d)).localCheckpoint()
+    merges.foreach { case (bl, br) =>
+      val prev = seg
+      seg = mergePass(seg, bl, br).localCheckpoint()
+      releaseRound(prev)
+    }
+    seg
+  }
+
+  /** Test hook: frozen-merge encode over hand-built existing/incoming
+    * slices (no memo, no hash split) — lets a spec plant a word that
+    * exists ONLY in the incoming slice. */
+  private[graft] def encodeFrozenOn(existing: DataFrame, incoming: DataFrame,
+                                    merges: Int): DataFrame = {
+    val (trainedSegDf, learned) = trainSeg(existing, merges)
+    // only the merge LIST is frozen and shipped; the training
+    // segmentation is not needed downstream — release it now
+    releaseRound(trainedSegDf)
+    fertilityOf(incoming, replaySeg(incoming, learned.map(m => (m._2, m._3))))
+  }
+
+  /** Q283 — FROZEN-vocabulary BPE encoding of a daily-ingest shard:
+    * train the merge table on the EXISTING corpus (the Q282 'inc:'
+    * hash split — 80% existing, 20% incoming), then encode the
+    * INCOMING shard by replaying that frozen table (replaySeg) and
+    * report per-document fertility in the Q279 row shape. This is the
+    * operator an ingest pipeline actually runs: merges are learned
+    * once on the corpus snapshot and applied unchanged to every new
+    * shard, and words that never occurred in training still encode
+    * (round-11 verdict #1 — Q279's vocabulary inner join silently
+    * dropped them).
+    *
+    * Scale shape: training is Q277's one-existing-corpus-pass loop
+    * (memoized under the "existing" shard tag); the replay is
+    * `merges` window/join rounds over the INCOMING-vocabulary-sized
+    * table (memoized under "incoming") — no pair counts, no argmax,
+    * ZERO driver round-trips, so at 100 TB a daily shard pays one
+    * vocabulary aggregate plus vocabulary-sized passes; the frozen
+    * merge table itself is k rows. Encode never rescans the training
+    * corpus (plan-pinned: a memo-warm call scans documents only for
+    * the incoming occurrence pass and doc list).
+    */
+  def bpeEncodeFrozen(s: SparkSession, dir: String, merges: Int = 8,
+                      modN: Int = 5): DataFrame = {
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val d = docs(s, dir).withColumn("incoming", isInc)
+    val existing = d.filter(!col("incoming")).drop("incoming")
+    val incoming = d.filter(col("incoming")).drop("incoming")
+    val frozen = memoSeg(s, dir, merges, "existing")(
+      trainSeg(existing, merges))._2
+    val (seg, _) = memoSeg(s, dir, merges, "incoming")(
+      (replaySeg(incoming, frozen.map(m => (m._2, m._3))), frozen))
+    fertilityOf(incoming, seg)
   }
 
   /** Q48 — token-rarity document scoring, the integer-exact form of a

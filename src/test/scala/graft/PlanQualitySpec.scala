@@ -605,6 +605,48 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("q283: one corpus pass per shard to train+replay; a warm encode never rescans") {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    graft.operators.TextAnalysis.clearBpeMemo() // count a COLD run
+    try {
+      val df = SparkEntry.queries("q283_bpe_frozen")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      // cold: exactly TWO corpus passes — the existing-shard training
+      // vocabulary and the incoming-shard replay vocabulary; every
+      // merge/replay round runs on vocabulary-sized checkpoints
+      val cold = seen.asScala.count(_.contains("documents.parquet"))
+      assert(cold === 2,
+        s"expected training + replay vocab passes only, got $cold")
+      seen.clear()
+      // memo-warm: constructing the query again must not touch the
+      // corpus at all (round-11 verdict #1: encode-time must never
+      // rescan the training corpus)
+      val df2 = SparkEntry.queries("q283_bpe_frozen")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      val warm = seen.asScala.count(_.contains("documents.parquet"))
+      assert(warm === 0, s"warm encode construction rescans the corpus: $warm")
+      // the returned plan reads documents lazily (incoming occurrence
+      // pass + doc list) with keyed joins only
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("documents.parquet"),
+        "the encode pass reads the corpus lazily in the returned plan")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"q283 unkeyed join:\n$p")
+      df2.queryExecution // silence unused warning paths
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange

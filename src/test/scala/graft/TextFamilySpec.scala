@@ -559,6 +559,35 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeFrozen: words existing ONLY in the incoming shard still encode") {
+    // Train on the classic Sennrich corpus (learns es, est, est</w>,
+    // then lo at merges=4); encode an incoming doc whose words
+    // 'lowest' and 'chest' never occurred in training. The frozen
+    // replay must still segment them — characters + whichever frozen
+    // merges fire — where q279's training-vocabulary inner join would
+    // silently drop them (round-11 verdict #1).
+    val trainText = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val existing = Seq((0L, trainText, trainText.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val incoming = Seq((100L, "lowest chest low", 16L))
+      .toDF("doc_id", "text", "n_chars")
+    // merges=3 (es, est, est</w>):
+    //  lowest -> [l,o,w,est</w>] = 4, chest -> [c,h,est</w>] = 3,
+    //  low -> [l,o,w,</w>] = 4 => 11 subwords over 3 words
+    val m3 = graft.operators.TextAnalysis
+      .encodeFrozenOn(existing, incoming, merges = 3).collect()
+    assert(m3.length === 1 && m3.head.getAs[Long]("doc_id") === 100L)
+    assert(m3.head.getAs[Long]("n_words") === 3L)
+    assert(m3.head.getAs[Long]("n_subwords") === 11L)
+    assert(m3.head.getAs[Double]("fertility") === 11.0 / 3.0)
+    // merges=4 adds (l,o), which fires inside the UNSEEN 'lowest':
+    //  lowest -> [lo,w,est</w>] = 3, low -> [lo,w,</w>] = 3 => 9
+    val m4 = graft.operators.TextAnalysis
+      .encodeFrozenOn(existing, incoming, merges = 4).collect().head
+    assert(m4.getAs[Long]("n_subwords") === 9L)
+  }
+
   test("bpe memo: train and encode share one training; clearBpeMemo releases it") {
     graft.operators.TextAnalysis.clearBpeMemo()
     val before = spark.sparkContext.getPersistentRDDs.keySet
