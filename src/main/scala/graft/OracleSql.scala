@@ -7131,6 +7131,46 @@ object OracleSql {
        |      WHERE incoming) d
        |LEFT JOIN ag a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Q284 — PII redaction (mirrors TextAnalysis.piiRedact): the SAME
+    * doc_id-derived PII decoration (the digit-free fixture needs
+    * injected signal — see FIXTURES.md), per-category match counts
+    * via regexp_extract_all, and the email → phone → IP global
+    * replacement chain. The regex constants are shared with the Spark
+    * operator (TextAnalysis.EmailRe/PhoneRe/IpRe) and sit in the
+    * RE2 ∩ java.util.regex common subset, so both engines match the
+    * same spans.
+    */
+  def q284PiiRedact(): String = {
+    val e = graft.operators.TextAnalysis.EmailRe
+    val ph = graft.operators.TextAnalysis.PhoneRe
+    val ip = graft.operators.TextAnalysis.IpRe
+    def n(re: String) = s"CAST(len(regexp_extract_all(t, '$re')) AS BIGINT)"
+    s"""WITH pii AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+       |      || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+       |      || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || CASE WHEN doc_id % 4 = 0
+       |              THEN ' or +44-020-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0')
+       |              ELSE '' END
+       |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |      || '.' || CAST(doc_id % 10 AS VARCHAR) || '.7' AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  ${n(e)} AS n_emails,
+       |  ${n(ph)} AS n_phones,
+       |  ${n(ip)} AS n_ips,
+       |  ${n(e)} + ${n(ph)} + ${n(ip)} AS n_pii,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(t, '$e', '<EMAIL>', 'g'),
+       |      '$ph', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g') AS redacted_text
+       |FROM pii""".stripMargin
+  }
+
   /** The q282/q283 'inc:' scramble membership CTEs (u0→u1→u2→fl):
     * deterministic 20% incoming-shard flag per doc_id. */
   private def incomingFlagCtes(modN: Int): String = {

@@ -1132,6 +1132,73 @@ object TextAnalysis {
     fertilityOf(incoming, seg)
   }
 
+  /** The q284 PII patterns, shared verbatim with the generated oracle
+    * SQL (single definition — the two engines cannot drift). Kept to
+    * the RE2 ∩ java.util.regex common subset: character classes,
+    * bounded repetition, word boundaries — no backreferences, no
+    * lookaround (RE2 has neither).
+    */
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Deterministic PII decoration of the fixture corpus — the q284
+    * test-signal stand-in. The synthetic documents table contains NO
+    * digits, '@' or '+' (verified; the round-11 lesson), so a
+    * redaction operator run on it is vacuously green. Until the
+    * driver-generated fixture carries digit/PII-shaped text, both
+    * engines append the SAME doc_id-derived decorations — an email
+    * (two for doc_id % 3 == 0), a phone (two for % 4 == 0) and an
+    * IPv4 — so counts vary per document and the scrub has real work.
+    * Documented in FIXTURES.md; the OPERATOR (redactOn) is
+    * injection-agnostic and runs on any text column.
+    */
+  private def piiInjected: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+    when(col("doc_id") % 3 === 0, lit(" cc admin@corp.io")).otherwise(lit("")),
+    lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit(" or +44-020-"),
+        lpad((col("doc_id") % 100).cast("string"), 4, "0"))).otherwise(lit("")),
+    lit(" from 10."), (col("doc_id") % 256).cast("string"),
+    lit("."), (col("doc_id") % 10).cast("string"), lit(".7"))
+
+  /** Q284 — PII REDACTION: per document, count email/phone/IPv4
+    * matches and emit the text with every match replaced by a typed
+    * placeholder — the scrub every production curation pipeline runs
+    * before training (emails, phone numbers and host addresses must
+    * not reach the model). Counts are taken BEFORE replacement, per
+    * category; replacement order email → phone → IP is fixed (the
+    * patterns are mutually exclusive on this charset, but the pinned
+    * order makes the output deterministic regardless).
+    *
+    * Scale shape: a pure per-row projection — scan → project, ZERO
+    * exchanges (plan-pinned), and every regex is a codegen'd native
+    * expression (RegExpExtractAll/RegExpReplace), no UDF
+    * deserialization: at 100 TB this runs at scan throughput and the
+    * text column never moves between executors.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    redactOn(docs(s, dir).select(col("doc_id"), piiInjected.as("text")))
+
+  /** The injection-agnostic redaction core over (doc_id, text). */
+  private[graft] def redactOn(d: DataFrame): DataFrame = {
+    def n(re: String) =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    d.select(col("doc_id"),
+        n(EmailRe).as("n_emails"),
+        n(PhoneRe).as("n_phones"),
+        n(IpRe).as("n_ips"),
+        (n(EmailRe) + n(PhoneRe) + n(IpRe)).as("n_pii"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("redacted_text"))
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer

@@ -647,6 +647,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("q284: redaction is a pure projection — one scan, zero exchanges, codegen regex") {
+    val p = plan("q284_pii_redact")
+    // scan → project: the text column never moves between executors,
+    // and the whole scrub runs at scan throughput
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"expected a single documents scan:\n$p")
+    // native RegExpExtractAll/RegExpReplace expressions, no UDF
+    // deserialization on the hot path
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"regexes must be native expressions:\n$p")
+    // the '*(n)' star prefix is executedPlan.toString's
+    // WholeStageCodegen marker
+    assert(p.contains("*(1) Project"), s"projection must codegen:\n$p")
+  }
+
   test("q137: one channel-keyed window pass; stack is a narrow Generate") {
     val p = plan("q137_signal_autocorr")
     // all three leads share ONE window sort over the channel exchange

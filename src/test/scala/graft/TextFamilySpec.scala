@@ -588,6 +588,45 @@ class TextFamilySpec extends SparkSpec {
     assert(m4.getAs[Long]("n_subwords") === 9L)
   }
 
+  test("piiRedact: hand-planted emails, phones and IPs are counted and scrubbed") {
+    val rows = Seq(
+      (0L, "reach jo.user@corp.example.org or +1-202-5550 via 192.168.0.1"),
+      (1L, "no pii in this text at all"),
+      (2L, "a@b.io c@d.io and 10.0.0.1 twice 10.0.0.2"),
+      (3L, "almost an ip 1.2.3 and a bare 555-0100 are NOT matches"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.redactOn(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[Long]("n_pii"),
+          r.getAs[String]("redacted_text")))).toMap
+    assert(got(0L) === ((1L, 1L, 1L, 3L,
+      "reach <EMAIL> or <PHONE> via <IP>")))
+    assert(got(1L) === ((0L, 0L, 0L, 0L, "no pii in this text at all")))
+    assert(got(2L) === ((2L, 0L, 2L, 4L,
+      "<EMAIL> <EMAIL> and <IP> twice <IP>")))
+    // a 3-group dotted number and an unprefixed phone must NOT match
+    assert(got(3L) === ((0L, 0L, 0L, 0L,
+      "almost an ip 1.2.3 and a bare 555-0100 are NOT matches")))
+  }
+
+  test("piiRedact: the deterministic fixture injection varies counts by doc_id") {
+    // doc 0: %3==0 and %4==0 -> 2 emails + 2 phones + 1 ip = 5;
+    // doc 1: 1+1+1 = 3; doc 3: %3==0 -> 4
+    withDocsDir(Seq("alpha", "beta", "gamma", "delta")) { dir =>
+      val got = graft.operators.TextAnalysis.piiRedact(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pii")).toMap
+      assert(got === Map(0L -> 5L, 1L -> 3L, 2L -> 3L, 3L -> 4L))
+      // the scrub leaves no raw pii behind
+      val clean = graft.operators.TextAnalysis.piiRedact(spark, dir)
+        .collect().map(_.getAs[String]("redacted_text"))
+      clean.foreach { t =>
+        assert(!t.contains("@mail") && !t.contains("+1-555") &&
+          !t.contains("from 10."), s"residual pii in: $t")
+      }
+    }
+  }
+
   test("bpe memo: train and encode share one training; clearBpeMemo releases it") {
     graft.operators.TextAnalysis.clearBpeMemo()
     val before = spark.sparkContext.getPersistentRDDs.keySet
