@@ -929,25 +929,99 @@ object Dedup {
     */
   def spanScrubIngest(s: SparkSession, dir: String, w: Int = 8,
                       modN: Int = 5): DataFrame = {
+    val (incoming, index) = ingestSplit(s, dir, w, modN)
+    scrubIncomingWith(incoming, index, w)
+  }
+
+  /** The q282/q285 split: (incoming documents slice, existing-corpus
+    * DISTINCT span-hash index). */
+  private def ingestSplit(s: SparkSession, dir: String, w: Int, modN: Int)
+      : (DataFrame, DataFrame) = {
     val isInc = Relational.scrambleMod(TextHash.polyHash(
       concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
     val d = docs(s, dir).withColumn("incoming", isInc)
-    val existingIndex = spanOccurrences(d.filter(!col("incoming")), w)
-      .select(col("h")).distinct()
-    val incSpans = spanOccurrences(d.filter(col("incoming")), w)
+    (d.filter(col("incoming")).drop("incoming"),
+      spanOccurrences(d.filter(!col("incoming")), w)
+        .select(col("h")).distinct())
+  }
+
+  /** The shared q282/q285 scrub: incoming occurrences cut on an index
+    * hit or by Q278's within-batch first-occurrence rule, regardless
+    * of whether `index` was derived inline (q282) or read back from a
+    * persisted parquet sink (q285).
+    */
+  private def scrubIncomingWith(incoming: DataFrame, index: DataFrame,
+                                w: Int): DataFrame = {
+    val incSpans = spanOccurrences(incoming, w)
     val wH = Window.partitionBy(col("h"))
     // corpus-owned spans: every incoming occurrence is cut
-    val inIndex = incSpans.join(existingIndex, Seq("h"), "left_semi")
+    val inIndex = incSpans.join(index, Seq("h"), "left_semi")
       .select(col("doc_id"), col("pos"))
     // fresh spans: Q278's within-batch first-occurrence-wins
-    val dupWithin = incSpans.join(existingIndex, Seq("h"), "left_anti")
+    val dupWithin = incSpans.join(index, Seq("h"), "left_anti")
       .withColumn("occ", count(lit(1)).over(wH))
       .withColumn("rk",
         row_number().over(wH.orderBy(col("doc_id"), col("pos"))))
       .filter(col("occ") >= 2 && col("rk") > 1)
       .select(col("doc_id"), col("pos"))
-    scrubTail(d.filter(col("incoming")).drop("incoming"),
-      inIndex.unionAll(dupWithin), w)
+    scrubTail(incoming, inIndex.unionAll(dupWithin), w)
+  }
+
+  /** Span-hash index SINK: the existing-corpus distinct-hash index as
+    * deterministic hash-sharded parquet — the artifact a 100 TB
+    * pipeline persists between ingest runs (q282's scaladoc promised
+    * it; this materializes it). Shard membership is `h mod nShards` —
+    * a pure function of the row (the q39 writeShards discipline), so
+    * re-writing reproduces byte-identical layout regardless of
+    * cluster size or input partitioning, and rows sort by h within a
+    * shard so the files themselves are deterministic. A daily ingest
+    * APPENDS its fresh distinct hashes shard-aligned instead of
+    * rebuilding (union + distinct per shard, no corpus rescan).
+    */
+  def writeSpanIndex(index: DataFrame, outDir: String,
+                     nShards: Int = 8): Unit =
+    index.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
+  /** Span-hash index SOURCE: read a persisted index back to the
+    * (h)-column shape scrubIncomingWith probes. Shard directories
+    * prune on h-derived predicates when a probe is selective. */
+  def readSpanIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).select(col("h"))
+
+  /** Test hook: the derived existing-corpus index (spec round-trips
+    * it through the sink/source pair). */
+  private[graft] def indexForSpec(s: SparkSession, dir: String,
+                                  w: Int = 8, modN: Int = 5): DataFrame =
+    ingestSplit(s, dir, w, modN)._2
+
+  /** Q285 — span-scrub ingest against a PERSISTED index: derive the
+    * existing-corpus index once, WRITE it as sharded parquet, READ it
+    * back, and scrub the incoming shard with the read index — the
+    * actual artifact flow q282 simulates inline (round-11 verdict #3).
+    * Output is byte-identical to q282 (round-trip identity, spec- and
+    * oracle-checked): what this query adds is coverage of the
+    * sink/source pair — a writer bug (dropped hashes, shard
+    * mis-assignment, type mangling through the partition column)
+    * breaks the hash compare.
+    *
+    * Scale shape: the write is one distinct-hash shuffle keyed by
+    * shard (8-byte rows, ~|distinct spans| — the index is the SMALL
+    * artifact, never the corpus); the read-side scrub is q282's
+    * asymmetric probe, with the index now costing a parquet scan
+    * instead of a corpus derivation — which is the whole point at
+    * 100 TB: day N pays O(|new shard| + index scan), not a corpus
+    * rescan.
+    */
+  def spanIndexRoundTrip(s: SparkSession, dir: String, w: Int = 8,
+                         modN: Int = 5): DataFrame = {
+    val (incoming, index) = ingestSplit(s, dir, w, modN)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_span_index").toString
+    writeSpanIndex(index, out)
+    scrubIncomingWith(incoming, readSpanIndex(s, out), w)
   }
 
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the

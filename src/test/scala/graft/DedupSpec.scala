@@ -572,6 +572,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanIndexRoundTrip: derive -> write -> read -> identical scrub output") {
+    // the q285 contract: scrubbing with the PERSISTED index must be
+    // byte-identical to q282's inline-index scrub, and the sink/source
+    // pair must preserve the exact distinct-hash set
+    val shared = (1 to 8).map(i => s"rt$i").mkString(" ")
+    val texts = (0L until 30L).map { id =>
+      if (id % 3 == 0) s"$shared x${id}a x${id}b"
+      else s"y${id}a y${id}b y${id}c y${id}d y${id}e y${id}f y${id}g y${id}h y${id}i"
+    }
+    withDocsDir(texts) { dir =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed_tokens"),
+          r.getAs[String]("cleaned_text"))).sortBy(_._1).toSeq
+      val inline = rows(Dedup.spanScrubIngest(spark, dir))
+      val viaSink = rows(Dedup.spanIndexRoundTrip(spark, dir))
+      assert(viaSink === inline)
+      assert(inline.nonEmpty) // the split must leave incoming docs
+      // the sink/source pair preserves the exact distinct-hash set
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_span_index_spec").toString
+      try {
+        val idx = Dedup.indexForSpec(spark, dir)
+        Dedup.writeSpanIndex(idx, out)
+        val back = Dedup.readSpanIndex(spark, out)
+        assert(back.collect().map(_.getLong(0)).sorted.toSeq ===
+          idx.collect().map(_.getLong(0)).sorted.toSeq)
+        // distinctness survives the round trip
+        assert(back.count() === back.distinct().count())
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
     import spark.implicits._
     val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")

@@ -463,8 +463,11 @@ class PlanQualitySpec extends SparkSpec {
     // §2.9 rule that only smoothing-spine queries get join-free pins)
   }
 
-  test("q278/q282: no cartesians; text never enters a shuffle exchange") {
-    for (q <- Seq("q278_span_scrub", "q282_span_scrub_ingest")) {
+  test("q278/q282/q285: no cartesians; text never enters a shuffle exchange") {
+    // q285 additionally proves the scrub side reads the PERSISTED
+    // index parquet (asserted below) instead of re-deriving it
+    for (q <- Seq("q278_span_scrub", "q282_span_scrub_ingest",
+        "q285_span_index_rt")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       // materialize so AQE finalizes and the formatted explain carries
       // the real exchanges with their Input column lists
@@ -485,6 +488,11 @@ class PlanQualitySpec extends SparkSpec {
       assert(shuffles.nonEmpty, s"expected the h-keyed and rms shuffles:\n$fmt")
       shuffles.foreach(s =>
         assert(!s.contains("text#"), s"text must not shuffle in $q:\n$s"))
+      // the q285 probe side must be the persisted index, not an
+      // inline re-derivation: its plan scans the span-index parquet
+      if (q == "q285_span_index_rt")
+        assert(fmt.contains("graft_span_index"),
+          s"q285 must scrub against the PERSISTED index:\n$fmt")
     }
   }
 
