@@ -5604,6 +5604,41 @@ object OracleSql {
        |${scrubTailSql("itoks", w)}""".stripMargin
   }
 
+  /** Q286 — span-index refresh audit (mirrors Dedup.spanIndexRefresh):
+    * the per-shard (h mod nShards) hash counts of the existing-corpus
+    * distinct index, the incoming shard's NOVEL hashes, and their
+    * union — derived from the raw documents table alone, so the Spark
+    * side's file-level counts over the refreshed directory must agree
+    * exactly (the writer kept a distinct set, the append neither
+    * duplicated nor dropped, shards were assigned by the same
+    * arithmetic).
+    */
+  def q286SpanIndexRefresh(w: Int = 8, modN: Int = 5,
+                           nShards: Int = 8): String =
+    s"""WITH $tokenHashCtes,
+       |${incomingFlagCtes(modN)},
+       |sp AS MATERIALIZED (
+       |  SELECT z.doc_id, ${spanFoldSql(w)} AS h, z.incoming
+       |  FROM (SELECT thc.doc_id, th, incoming
+       |        FROM thc JOIN fl USING (doc_id)) z,
+       |    unnest(range(1, len(th) - ${w - 2})) AS t(i)
+       |),
+       |ex AS MATERIALIZED (SELECT DISTINCT h FROM sp WHERE NOT incoming),
+       |nw AS (
+       |  SELECT DISTINCT h FROM sp WHERE incoming
+       |  AND h NOT IN (SELECT h FROM ex)
+       |),
+       |u AS (
+       |  SELECT h, false AS is_new FROM ex
+       |  UNION ALL
+       |  SELECT h, true AS is_new FROM nw
+       |)
+       |SELECT CAST(h % $nShards AS BIGINT) AS shard,
+       |  CAST(count(*) FILTER (WHERE NOT is_new) AS BIGINT) AS n_existing,
+       |  CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+       |  CAST(count(*) AS BIGINT) AS n_refreshed
+       |FROM u GROUP BY 1""".stripMargin
+
   /** The shared q278/q282 scrub finish: positioned tokens from
     * `tokSrc(doc_id, tk)`, dense-position trailing-max coverage over
     * the `rm(doc_id, pos)` removal set, per-doc accounting and the

@@ -1024,6 +1024,79 @@ object Dedup {
     scrubIncomingWith(incoming, readSpanIndex(s, out), w)
   }
 
+  /** Append-mode companion to [[writeSpanIndex]]: lay the FRESH
+    * hashes down shard-aligned next to the existing files (same
+    * `h mod nShards` membership, h-sorted within shards, append
+    * mode). The caller guarantees the rows are index-absent (q286
+    * anti-joins before appending), so the refreshed directory stays a
+    * DISTINCT set without any rewrite of the existing files — the
+    * O(|new|) daily refresh, never an index rebuild.
+    */
+  def appendSpanIndex(fresh: DataFrame, outDir: String,
+                      nShards: Int = 8): Unit =
+    fresh.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"))
+      .write.partitionBy("shard").mode("append").parquet(outDir)
+
+  /** Q286 — span-index REFRESH audit: the day-N+1 step q285 leads to.
+    * Persist the existing-corpus index, anti-join the incoming
+    * shard's distinct span hashes against it, APPEND only the novel
+    * hashes shard-aligned (appendSpanIndex), and audit the refreshed
+    * directory per shard: hashes before, hashes added, hashes after.
+    * The index tracks spans EVER SEEN (existing ∪ incoming), so every
+    * future occurrence of any seen span is cut — the standard
+    * cross-run contract of a dedup index.
+    *
+    * The oracle derives the same per-shard counts from the raw
+    * documents table alone, so the row is a strong sink audit: a
+    * duplicated append, a dropped hash, shard mis-assignment, or an
+    * anti-join leak all break the count compare (n_refreshed in
+    * Spark is a plain count(*) over the refreshed FILES — it only
+    * equals the oracle's distinct-set size if the writer kept the
+    * directory an exact distinct set).
+    *
+    * Scale shape: the refresh is O(|incoming spans| + index probe) —
+    * one distinct aggregate over the new shard, one anti-join against
+    * the index scan, one append of ~|novel| 8-byte rows; the existing
+    * files are never read-modified-rewritten. The pre-append
+    * per-shard counts are ONE nShards-row collect (a bounded audit
+    * sync, not corpus data). At 100 TB the same flow runs daily with
+    * the index as the only cross-run state.
+    */
+  def spanIndexRefresh(s: SparkSession, dir: String, w: Int = 8,
+                       modN: Int = 5, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val d = docs(s, dir).withColumn("incoming", isInc)
+    val existingIdx = spanOccurrences(d.filter(!col("incoming")), w)
+      .select(col("h")).distinct()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_span_index_refresh").toString
+    writeSpanIndex(existingIdx, out, nShards)
+    // pre-append audit: nShards rows, collected eagerly BEFORE the
+    // append (a lazy plan would re-list the directory afterwards)
+    val pre = s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_existing"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fresh = spanOccurrences(d.filter(col("incoming")), w)
+      .select(col("h")).distinct()
+      .join(readSpanIndex(s, out), Seq("h"), "left_anti")
+    appendSpanIndex(fresh, out, nShards)
+    val preDf = pre.toDF("shard", "n_existing")
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_refreshed"))
+      .join(preDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
+          .as("n_new"),
+        col("n_refreshed"))
+  }
+
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the
     * native [[graft.functions.JaroWinklerExpr]] scorer: every distinct
     * token pair sharing a first character and scoring ≥ `minJw` is a

@@ -606,6 +606,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanIndexRefresh: only novel incoming hashes append; refreshed set = ever-seen set") {
+    import org.apache.spark.sql.functions._
+    // recover the 'inc:' membership (as the spanScrubIngest spec)
+    val member = spark.range(30).select(col("id"),
+      (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+        .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+        % 5 === 0L).as("inc")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val incIds = member.filter(_._2).keys.toSeq.sorted
+    val exId = member.filter(!_._2).keys.min
+    val shared = (1 to 8).map(i => s"sh$i").mkString(" ") // 1 span, dup
+    val texts = (0L until 30L).map { id =>
+      if (id == exId) shared // existing owns the shared span
+      else if (id == incIds.head) shared // incoming dup: NOT novel
+      else if (id == incIds(1)) (1 to 8).map(i => s"nv$i").mkString(" ") // novel
+      else s"f${id}a f${id}b f${id}c" // < w tokens: no spans
+    }
+    withDocsDir(texts) { dir =>
+      val rows = Dedup.spanIndexRefresh(spark, dir).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_existing"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("n_refreshed")))
+      // exactly one existing hash (the shared span) and one novel one
+      assert(rows.map(_._2).sum === 1L, s"n_existing: $rows")
+      assert(rows.map(_._3).sum === 1L, s"n_new: $rows")
+      assert(rows.map(_._4).sum === 2L, s"n_refreshed: $rows")
+      rows.foreach { case (_, ex, nw, rf) => assert(rf === ex + nw) }
+      // a second day with nothing new appends nothing: refresh again
+      // over the same corpus — the incoming dup stays index-absent
+      val again = Dedup.spanIndexRefresh(spark, dir).collect()
+        .map(r => (r.getAs[Long]("n_existing"), r.getAs[Long]("n_new")))
+      assert(again.map(_._2).sum === 1L) // fresh temp index per call
+    }
+  }
+
   test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
     import spark.implicits._
     val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
