@@ -987,9 +987,18 @@ object Dedup {
 
   /** Span-hash index SOURCE: read a persisted index back to the
     * (h)-column shape scrubIncomingWith probes. Shard directories
-    * prune on h-derived predicates when a probe is selective. */
+    * prune on h-derived predicates when a probe is selective. The
+    * schema is EXPLICIT so an empty index (degenerate corpus: every
+    * doc shorter than w tokens writes zero part files) reads as an
+    * empty relation instead of failing parquet schema inference —
+    * matching the oracle's empty-set degradation. */
   def readSpanIndex(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir).select(col("h"))
+    readIndexDir(s, dir).select(col("h"))
+
+  /** The shared explicit-schema index reader (h + the shard partition
+    * column). */
+  private def readIndexDir(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("h BIGINT, shard BIGINT").parquet(dir)
 
   /** Test hook: the derived existing-corpus index (spec round-trips
     * it through the sink/source pair). */
@@ -1077,7 +1086,7 @@ object Dedup {
     writeSpanIndex(existingIdx, out, nShards)
     // pre-append audit: nShards rows, collected eagerly BEFORE the
     // append (a lazy plan would re-list the directory afterwards)
-    val pre = s.read.parquet(out)
+    val pre = readIndexDir(s, out)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_existing"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -1086,7 +1095,7 @@ object Dedup {
       .join(readSpanIndex(s, out), Seq("h"), "left_anti")
     appendSpanIndex(fresh, out, nShards)
     val preDf = pre.toDF("shard", "n_existing")
-    s.read.parquet(out)
+    readIndexDir(s, out)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_refreshed"))
       .join(preDf, Seq("shard"), "left")

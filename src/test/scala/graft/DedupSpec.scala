@@ -640,6 +640,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span index: a span-free corpus writes an EMPTY index that reads back, not a throw") {
+    // every doc shorter than w tokens -> zero spans -> writeSpanIndex
+    // lays down no part files; the explicit-schema reader must
+    // degrade to an empty relation (matching the oracle) instead of
+    // failing parquet schema inference
+    withDocsDir(Seq("a b c", "d e f", "g h i", "j k l", "m n o")) { dir =>
+      val rt = Dedup.spanIndexRoundTrip(spark, dir).collect()
+      assert(rt.forall(r => r.getAs[Long]("n_dup_spans") === 0L &&
+        r.getAs[Long]("n_removed_tokens") === 0L))
+      assert(Dedup.spanIndexRefresh(spark, dir).collect().isEmpty)
+    }
+  }
+
   test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
     import spark.implicits._
     val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
