@@ -560,6 +560,59 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coreset + assignment == sequential greedy reference on seeded random vectors") {
+    // exact replica of the pinned arithmetic: float->double casts,
+    // ascending-order sqDist fold, min over selected, argmax with
+    // (dmin desc, vec_id) tie-break — so the comparison is EXACT on
+    // selection and radius; the mean replicates the DECIMAL(38,10)
+    // quantization
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    for (seed <- Seq(3L, 97L, 1223L)) {
+      val k = 5
+      val vecs = randVecs(17, dim = 16, seed = seed)
+      val dv = vecs.map(_.map(_.toDouble))
+      var selected = List(0)
+      val want = scala.collection.mutable.ArrayBuffer(
+        (1, 0L, Option.empty[Double]))
+      var r = 2
+      while (r <= k) {
+        val cands = dv.indices.filterNot(selected.contains).map { i =>
+          (i.toLong, selected.map(s => sq(dv(i), dv(s))).min)
+        }
+        val best = cands.sortBy(c => (-c._2, c._1)).head
+        want += ((r, best._1, Some(best._2)))
+        selected = selected :+ best._1.toInt
+        r += 1
+      }
+      withEmbDir(vecs) { dir =>
+        assert(coresetRows(dir, k) === want.toSeq, s"seed=$seed")
+        // assignment reference: argmin (d, sid), per-center rollup
+        val assign = dv.indices.map { i =>
+          selected.map(s => (sq(dv(i), dv(s)), s.toLong)).minBy(identity)
+        }
+        val byC = assign.groupBy(_._2)
+        val got = Similarity.coresetAssign(spark, dir, k).collect()
+          .map(x => x.getAs[Long]("center_id") ->
+            ((x.getAs[Long]("n_assigned"), x.getAs[Double]("radius_sq"),
+              x.getAs[Double]("mean_sq")))).toMap
+        assert(got.keySet === byC.keySet, s"seed=$seed centers")
+        byC.foreach { case (c, ds) =>
+          val (n, rad, mean) = got(c)
+          assert(n === ds.size.toLong, s"seed=$seed n($c)")
+          assert(rad === ds.map(_._1).max, s"seed=$seed radius($c)")
+          val qsum = ds.map(d => BigDecimal(d._1)
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+          assert(math.abs(mean - qsum.toDouble / ds.size) < 1e-12,
+            s"seed=$seed mean($c)")
+        }
+      }
+    }
+  }
+
   test("coreset: an EMPTY corpus degrades to an empty selection, not a throw") {
     // round-11 ADVICE: the seed collect()(0) threw on an empty
     // embeddings table while the oracle degraded to zero rows

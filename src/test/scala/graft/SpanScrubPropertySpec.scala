@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Randomized cross-check of the duplicated-span removal family
+  * (q278 spanScrub, q282 spanScrubIngest, q285 spanIndexRoundTrip)
+  * against a direct sequential reference: span keys here are the
+  * w-token CONTENT (not hashes), so the check also stands witness
+  * that the hashed relational pipeline implements the content-level
+  * semantics (a hash collision or a window off-by-one would diverge).
+  * Corpora are seeded and built from a small phrase pool so cross-doc
+  * and within-doc span repetitions occur by construction.
+  */
+class SpanScrubPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 8
+
+  private def toks(t: String): Vector[String] =
+    t.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+
+  /** Sequential q278 semantics: global (doc_id, pos)-first occurrence
+    * of every duplicated w-token span survives; every other occurrence
+    * removes tokens [pos, pos+w-1]; kept = tokens covered by no
+    * removal interval.
+    */
+  private def refScrub(docs: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, String)] = {
+    val tk = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val occ = for {
+      (id, _) <- docs
+      ts = tk(id)
+      p <- 1 to math.max(0, ts.length - W + 1)
+    } yield (id, p.toLong, ts.slice(p - 1, p - 1 + W))
+    val removed = occ.groupBy(_._3).values.flatMap { os =>
+      if (os.size >= 2) os.sortBy(o => (o._1, o._2)).tail.map(o => (o._1, o._2))
+      else Nil
+    }.toSet
+    finish(docs, tk, removed)
+  }
+
+  /** Sequential q282 semantics over an existing/incoming split: an
+    * incoming occurrence is cut when its span content exists in the
+    * existing corpus, or by the within-batch first-occurrence rule.
+    */
+  private def refIngest(existing: Seq[(Long, String)],
+                        incoming: Seq[(Long, String)])
+      : Map[Long, (Long, Long, Long, String)] = {
+    def spans(docs: Seq[(Long, String)]) = for {
+      (id, t) <- docs
+      ts = toks(t)
+      p <- 1 to math.max(0, ts.length - W + 1)
+    } yield (id, p.toLong, ts.slice(p - 1, p - 1 + W))
+    val index = spans(existing).map(_._3).toSet
+    val inc = spans(incoming)
+    val inIdx = inc.filter(o => index.contains(o._3)).map(o => (o._1, o._2))
+    val dupWithin = inc.filterNot(o => index.contains(o._3))
+      .groupBy(_._3).values.flatMap { os =>
+        if (os.size >= 2) os.sortBy(o => (o._1, o._2)).tail.map(o => (o._1, o._2))
+        else Nil
+      }
+    val tk = incoming.map { case (id, t) => id -> toks(t) }.toMap
+    finish(incoming, tk, (inIdx ++ dupWithin).toSet)
+  }
+
+  private def finish(docs: Seq[(Long, String)],
+                     tk: Map[Long, Vector[String]],
+                     removed: Set[(Long, Long)])
+      : Map[Long, (Long, Long, Long, String)] =
+    docs.map { case (id, _) =>
+      val ts = tk(id)
+      val rms = removed.collect { case (d, p) if d == id => p }
+      val kept = ts.zipWithIndex.collect {
+        case (t, i0) if !rms.exists(r => r <= i0 + 1 && i0 + 1 <= r + W - 1) => t
+      }
+      id -> ((ts.length.toLong, rms.size.toLong,
+        (ts.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+
+  /** Seeded corpus with guaranteed span repeats: each doc concatenates
+    * 2–4 segments, each either a phrase from a 3-phrase pool (8 tokens
+    * — exactly one span per occurrence) or 8 fresh random tokens.
+    */
+  private def randCorpus(seed: Long, nDocs: Int): Seq[String] = {
+    val rng = new java.util.Random(seed)
+    val pool = (1 to 3).map(p => (1 to W).map(i => s"p${p}w$i").mkString(" "))
+    var fresh = 0
+    (1 to nDocs).map { _ =>
+      (1 to (2 + rng.nextInt(3))).map { _ =>
+        if (rng.nextBoolean()) pool(rng.nextInt(pool.size))
+        else { fresh += 1; (1 to W).map(i => s"f${fresh}x$i").mkString(" ") }
+      }.mkString(" ")
+    }
+  }
+
+  private def withDocsDir(texts: Seq[String])(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("spanprop").toString
+    try {
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t.length.toLong) }
+        .toDF("doc_id", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  private def collectRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Long, String)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("n_removed_tokens"),
+        r.getAs[String]("cleaned_text")))).toMap
+
+  test("spanScrub == sequential reference on seeded random corpora") {
+    for (seed <- Seq(13L, 47L, 907L)) {
+      val docs = randCorpus(seed, nDocs = 6)
+      val want = refScrub(docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      withDocsDir(docs) { dir =>
+        assert(collectRows(Dedup.spanScrub(spark, dir)) === want,
+          s"seed=$seed")
+      }
+    }
+  }
+
+  test("spanScrubIngest and spanIndexRoundTrip == sequential ingest reference") {
+    for (seed <- Seq(67L, 811L)) {
+      val docs = randCorpus(seed, nDocs = 10)
+      // recover the 'inc:' shard membership the operators will apply
+      val member = spark.range(docs.size).select(col("id"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+          % 5 === 0L).as("inc")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val ids = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val want = refIngest(ids.filterNot(d => member(d._1)),
+        ids.filter(d => member(d._1)))
+      withDocsDir(docs) { dir =>
+        assert(collectRows(Dedup.spanScrubIngest(spark, dir)) === want,
+          s"seed=$seed inline")
+        assert(collectRows(Dedup.spanIndexRoundTrip(spark, dir)) === want,
+          s"seed=$seed via persisted index")
+      }
+    }
+  }
+}
