@@ -7224,39 +7224,54 @@ object OracleSql {
     * training chain's frozen b$r instead of an argmax of its own.
     * Mirrors TextAnalysis.replaySeg/mergePass.
     */
+  /** The adjacency-lead projection every BPE round body starts from. */
+  private def bpeLeadSql(prev: String): String =
+    s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
+
+  /** ONE run-parity selection + re-segmentation round body, shared by
+    * the training chain (pair source = its own round's argmax b_r)
+    * and the q283 replay chain (pair source = the training chain's
+    * frozen b_r). The hand-mirrored equivalence between trainer and
+    * replay IS the q283 correctness invariant, so the SQL lives in
+    * exactly one place (round-12 review finding).
+    */
+  private def paritySelSegSql(sel: String, seg: String, prev: String,
+                              b: String): String =
+    s"""$sel AS MATERIALIZED (
+       |  SELECT w, i FROM (
+       |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rin
+       |    FROM (
+       |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+       |      FROM (
+       |        SELECT c.w, c.i
+       |        FROM (${bpeLeadSql(prev)}) c, $b
+       |        WHERE c.sym = $b.ls AND c.nxt = $b.rs
+       |      )
+       |    )
+       |  ) WHERE rin % 2 = 1
+       |),
+       |$seg AS MATERIALIZED (
+       |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
+       |  FROM (
+       |    -- the merged symbol comes from a SCALAR subquery, not a
+       |    -- cross join: when $b is empty (pair-exhausted training)
+       |    -- $sel is empty too, every row keeps s.sym, and the
+       |    -- segmentation carries forward unchanged — matching the
+       |    -- Spark side (trainer early-stop / replay no-op round)
+       |    SELECT s.w, s.n, s.i AS oi,
+       |      CASE WHEN h.w IS NOT NULL
+       |           THEN (SELECT ls || rs FROM $b) ELSE s.sym END AS sym
+       |    FROM $prev s
+       |    LEFT JOIN $sel h ON s.w = h.w AND s.i = h.i
+       |    LEFT JOIN $sel pv ON s.w = pv.w AND s.i = pv.i + 1
+       |    WHERE pv.w IS NULL
+       |  )
+       |)""".stripMargin
+
   private def bpeReplaySql(merges: Int, docsSrc: String): String = {
-    def leadCtes(prev: String): String =
-      s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
     val rounds = (1 to merges).map { r =>
       val prev = if (r == 1) "rseg0" else s"rseg${r - 1}"
-      s"""rsl$r AS MATERIALIZED (
-         |  SELECT w, i FROM (
-         |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rin
-         |    FROM (
-         |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
-         |      FROM (
-         |        SELECT c.w, c.i
-         |        FROM (${leadCtes(prev)}) c, b$r
-         |        WHERE c.sym = b$r.ls AND c.nxt = b$r.rs
-         |      )
-         |    )
-         |  ) WHERE rin % 2 = 1
-         |),
-         |rseg$r AS MATERIALIZED (
-         |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
-         |  FROM (
-         |    -- scalar-subquery merged symbol, as the training chain:
-         |    -- an exhausted b$r leaves rsl$r empty and the replayed
-         |    -- segmentation carries forward unchanged
-         |    SELECT s.w, s.n, s.i AS oi,
-         |      CASE WHEN h.w IS NOT NULL
-         |           THEN (SELECT ls || rs FROM b$r) ELSE s.sym END AS sym
-         |    FROM $prev s
-         |    LEFT JOIN rsl$r h ON s.w = h.w AND s.i = h.i
-         |    LEFT JOIN rsl$r pv ON s.w = pv.w AND s.i = pv.i + 1
-         |    WHERE pv.w IS NULL
-         |  )
-         |)""".stripMargin
+      paritySelSegSql(s"rsl$r", s"rseg$r", prev, s"b$r")
     }.mkString(",\n")
     s"""rvocab AS MATERIALIZED (
        |  SELECT token AS w, count(*) AS n
@@ -7281,53 +7296,19 @@ object OracleSql {
     */
   private def bpeChainSql(merges: Int, withFinalSeg: Boolean,
                           docsSrc: String = "documents"): String = {
-    def leadCtes(prev: String): String =
-      s"SELECT w, n, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt FROM $prev"
     val rounds = (1 to merges).map { r =>
       val prev = if (r == 1) "seg0" else s"seg${r - 1}"
       val pb =
         s"""p$r AS MATERIALIZED (
            |  SELECT sym AS ls, nxt AS rs, CAST(sum(n) AS BIGINT) AS cnt
-           |  FROM (${leadCtes(prev)})
+           |  FROM (${bpeLeadSql(prev)})
            |  WHERE nxt IS NOT NULL GROUP BY 1, 2
            |),
            |b$r AS MATERIALIZED (
            |  SELECT ls, rs, cnt FROM p$r ORDER BY cnt DESC, ls, rs LIMIT 1
            |)""".stripMargin
       if (r == merges && !withFinalSeg) pb
-      else
-        pb + s""",
-           |sl$r AS MATERIALIZED (
-           |  SELECT w, i FROM (
-           |    SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rin
-           |    FROM (
-           |      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
-           |      FROM (
-           |        SELECT c.w, c.i
-           |        FROM (${leadCtes(prev)}) c, b$r
-           |        WHERE c.sym = b$r.ls AND c.nxt = b$r.rs
-           |      )
-           |    )
-           |  ) WHERE rin % 2 = 1
-           |),
-           |seg$r AS MATERIALIZED (
-           |  SELECT w, n, row_number() OVER (PARTITION BY w ORDER BY oi) AS i, sym
-           |  FROM (
-           |    -- the merged symbol comes from a SCALAR subquery, not a
-           |    -- cross join: when b$r is empty (pair-exhausted corpus)
-           |    -- sl$r is empty too, every row keeps s.sym, and the
-           |    -- segmentation carries forward unchanged — matching the
-           |    -- Spark trainer, which stops and keeps the last
-           |    -- non-empty segmentation (a cross join would wipe it)
-           |    SELECT s.w, s.n, s.i AS oi,
-           |      CASE WHEN h.w IS NOT NULL
-           |           THEN (SELECT ls || rs FROM b$r) ELSE s.sym END AS sym
-           |    FROM $prev s
-           |    LEFT JOIN sl$r h ON s.w = h.w AND s.i = h.i
-           |    LEFT JOIN sl$r pv ON s.w = pv.w AND s.i = pv.i + 1
-           |    WHERE pv.w IS NULL
-           |  )
-           |)""".stripMargin
+      else pb + ",\n" + paritySelSegSql(s"sl$r", s"seg$r", prev, s"b$r")
     }.mkString(",\n")
     s"""vocab AS MATERIALIZED (
        |  SELECT token AS w, count(*) AS n

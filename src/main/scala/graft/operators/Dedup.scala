@@ -980,10 +980,18 @@ object Dedup {
     */
   def writeSpanIndex(index: DataFrame, outDir: String,
                      nShards: Int = 8): Unit =
+    layShards(index, outDir, nShards, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** The one shard-layout writer behind writeSpanIndex and
+    * appendSpanIndex (differing ONLY in SaveMode): the q286 invariant
+    * that appends land shard-aligned with the original write holds
+    * because both paths share this exact derivation. */
+  private def layShards(index: DataFrame, outDir: String, nShards: Int,
+                        mode: org.apache.spark.sql.SaveMode): Unit =
     index.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("h"))
-      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+      .write.partitionBy("shard").mode(mode).parquet(outDir)
 
   /** Span-hash index SOURCE: read a persisted index back to the
     * (h)-column shape scrubIncomingWith probes. Shard directories
@@ -1006,6 +1014,35 @@ object Dedup {
                                   w: Int = 8, modN: Int = 5): DataFrame =
     ingestSplit(s, dir, w, modN)._2
 
+  /** Deterministic per-(tag, corpus, params) scratch directory for
+    * the q285/q286 index artifacts: repeated invocations (bench
+    * cold+steady passes, Verify, specs) REUSE and overwrite ONE
+    * directory instead of leaking a fresh copy of the index per call
+    * (review finding); every dir ever handed out is deleted by one
+    * JVM shutdown hook. Contract: a call overwrites the tag's dir, so
+    * a previously returned lazy result must be consumed before the
+    * next same-tag call — which every harness path (Verify collect,
+    * bench noop-write, specs) does.
+    */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () }
+      }))
+  }
+  private def indexScratchDir(tag: String, dir: String, w: Int,
+                              modN: Int): String = {
+    val key = java.lang.Integer.toHexString((dir, w, modN).hashCode)
+    val p = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft_span_index_${tag}_$key")
+    scratchDirs.add(p.toString)
+    p.toString
+  }
+
   /** Q285 — span-scrub ingest against a PERSISTED index: derive the
     * existing-corpus index once, WRITE it as sharded parquet, READ it
     * back, and scrub the incoming shard with the read index — the
@@ -1027,8 +1064,7 @@ object Dedup {
   def spanIndexRoundTrip(s: SparkSession, dir: String, w: Int = 8,
                          modN: Int = 5): DataFrame = {
     val (incoming, index) = ingestSplit(s, dir, w, modN)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_span_index").toString
+    val out = indexScratchDir("rt", dir, w, modN)
     writeSpanIndex(index, out)
     scrubIncomingWith(incoming, readSpanIndex(s, out), w)
   }
@@ -1043,10 +1079,7 @@ object Dedup {
     */
   def appendSpanIndex(fresh: DataFrame, outDir: String,
                       nShards: Int = 8): Unit =
-    fresh.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("h"))
-      .write.partitionBy("shard").mode("append").parquet(outDir)
+    layShards(fresh, outDir, nShards, org.apache.spark.sql.SaveMode.Append)
 
   /** Q286 — span-index REFRESH audit: the day-N+1 step q285 leads to.
     * Persist the existing-corpus index, anti-join the incoming
@@ -1076,13 +1109,8 @@ object Dedup {
   def spanIndexRefresh(s: SparkSession, dir: String, w: Int = 8,
                        modN: Int = 5, nShards: Int = 8): DataFrame = {
     import s.implicits._
-    val isInc = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
-    val d = docs(s, dir).withColumn("incoming", isInc)
-    val existingIdx = spanOccurrences(d.filter(!col("incoming")), w)
-      .select(col("h")).distinct()
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_span_index_refresh").toString
+    val (incoming, existingIdx) = ingestSplit(s, dir, w, modN)
+    val out = indexScratchDir("refresh", dir, w, modN)
     writeSpanIndex(existingIdx, out, nShards)
     // pre-append audit: nShards rows, collected eagerly BEFORE the
     // append (a lazy plan would re-list the directory afterwards)
@@ -1090,7 +1118,7 @@ object Dedup {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_existing"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val fresh = spanOccurrences(d.filter(col("incoming")), w)
+    val fresh = spanOccurrences(incoming, w)
       .select(col("h")).distinct()
       .join(readSpanIndex(s, out), Seq("h"), "left_anti")
     appendSpanIndex(fresh, out, nShards)

@@ -321,17 +321,29 @@ object Graph {
     lpMemo.clear()
   }
 
+  /** The one LP compute path behind both lpLabels branches (memo miss
+    * and fingerprint-bypass): derive the co-purchase edges, run the
+    * byte-gated fixpoint, release the derivation cache once the
+    * result is checkpointed. */
+  private def runLp(s: SparkSession, dir: String, iters: Int,
+                    minSupport: Int): DataFrame = {
+    val edges = copurchaseEdges(s, dir, minSupport).cache()
+    val v = lpFrom(edges, iters,
+      tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
+    // lpFrom checkpointed its result, so the co-purchase derivation
+    // cache has served its only consumer — release it now instead
+    // of leaving it to session-level clearCache() hygiene
+    edges.unpersist(blocking = false)
+    v
+  }
+
   private def lpLabels(s: SparkSession, dir: String, iters: Int,
                        minSupport: Int): DataFrame = dataFingerprint(s, dir) match {
     case None =>
       // fingerprint unavailable: compute WITHOUT caching (see
       // dataFingerprint's scaladoc — never memoize under an
       // error-derived key)
-      val edges = copurchaseEdges(s, dir, minSupport).cache()
-      val v = lpFrom(edges, iters,
-        tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
-      edges.unpersist(blocking = false)
-      v
+      runLp(s, dir, iters, minSupport)
     case Some(fp) => lpMemo.synchronized {
     // drop entries whose owning context already stopped: their blocks
     // died with the context, and releasing them at LRU time would be
@@ -361,13 +373,7 @@ object Graph {
         releaseLabels(it.next().getValue)
         it.remove()
       }
-      val edges = copurchaseEdges(s, dir, minSupport).cache()
-      val v = lpFrom(edges, iters,
-        tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
-      // lpFrom checkpointed its result, so the co-purchase derivation
-      // cache has served its only consumer — release it now instead
-      // of leaving it to session-level clearCache() hygiene
-      edges.unpersist(blocking = false)
+      val v = runLp(s, dir, iters, minSupport)
       lpMemo.put(key, v)
       v
     }

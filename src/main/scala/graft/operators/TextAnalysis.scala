@@ -893,9 +893,12 @@ object TextAnalysis {
 
   /** Test hook: drop memoized trainings, releasing their checkpoint
     * blocks (mirrors Graph.clearLpMemo). */
-  private[graft] def clearBpeMemo(): Unit = bpeMemo.synchronized {
-    bpeMemo.values().forEach(v => releaseRound(v._1))
-    bpeMemo.clear()
+  private[graft] def clearBpeMemo(): Unit = {
+    bpeMemo.synchronized {
+      bpeMemo.values().forEach(v => releaseRound(v._1))
+      bpeMemo.clear()
+    }
+    clearFrozenMemo() // keep "cold" cold for the q283 plan pins
   }
 
   /** Memo wrapper shared by the full-corpus training (q277/q279), the
@@ -904,10 +907,11 @@ object TextAnalysis {
     * value's DataFrame is the memo-owned checkpointed segmentation;
     * the Seq is the merge table that produced it.
     */
-  private def memoSeg(s: SparkSession, dir: String, merges: Int, shard: String)
+  private def memoSeg(s: SparkSession, dir: String, merges: Int, shard: String,
+                      fingerprint: Option[Long])
       (compute: => (DataFrame, Seq[(Int, String, String, String, Long)]))
       : (DataFrame, Seq[(Int, String, String, String, Long)]) =
-    docsFingerprint(s, dir) match {
+    fingerprint match {
       case None => compute // no fingerprint: bypass memo
       case Some(fp) => bpeMemo.synchronized {
         // purge entries whose owning context stopped — their
@@ -939,7 +943,53 @@ object TextAnalysis {
 
   private def trainedSeg(s: SparkSession, dir: String, merges: Int)
       : (DataFrame, Seq[(Int, String, String, String, Long)]) =
-    memoSeg(s, dir, merges, "all")(trainSeg(docs(s, dir), merges))
+    memoSeg(s, dir, merges, "all", docsFingerprint(s, dir))(
+      trainSeg(docs(s, dir), merges))
+
+  /** Frozen merge tables are PURE DRIVER DATA (≤ merges rows), so
+    * they get their own memo: the existing-shard training's
+    * checkpointed segmentation has NO reader (only the merge list
+    * ships to the replay), and parking it in bpeMemo would pin a
+    * vocabulary-sized checkpoint behind an entry nobody consumes —
+    * release it at compute time instead. Keyed like the coresetMemo
+    * (session UUID + params + fingerprint; modN is part of the key
+    * because it changes the existing/incoming split); eviction needs
+    * no release.
+    */
+  private val frozenMemo = new java.util.LinkedHashMap[
+    (String, String, Int, Int, Long),
+    Seq[(Int, String, String, String, Long)]](8, 0.75f, true)
+
+  private[graft] def clearFrozenMemo(): Unit =
+    frozenMemo.synchronized { frozenMemo.clear() }
+
+  private def frozenMerges(s: SparkSession, dir: String, merges: Int,
+                           modN: Int, fingerprint: Option[Long],
+                           existing: => DataFrame)
+      : Seq[(Int, String, String, String, Long)] = {
+    def compute = {
+      val (seg, rows) = trainSeg(existing, merges)
+      releaseRound(seg) // only the merge LIST is frozen and shipped
+      rows
+    }
+    fingerprint match {
+      case None => compute
+      case Some(fp) => frozenMemo.synchronized {
+        val key = (MemoKey.session(s), dir, merges, modN, fp)
+        val hit = frozenMemo.get(key)
+        if (hit != null) hit
+        else {
+          if (frozenMemo.size >= 8) {
+            val it = frozenMemo.entrySet().iterator()
+            it.next(); it.remove()
+          }
+          val v = compute
+          frozenMemo.put(key, v)
+          v
+        }
+      }
+    }
+  }
 
   /** Word-frequency vocabulary of a documents slice — the single
     * corpus pass every BPE variant starts from. */
@@ -1114,10 +1164,14 @@ object TextAnalysis {
     * (round-11 verdict #1 — Q279's vocabulary inner join silently
     * dropped them).
     *
-    * Scale shape: training is Q277's one-existing-corpus-pass loop
-    * (memoized under the "existing" shard tag); the replay is
+    * Scale shape: training is Q277's one-existing-corpus-pass loop —
+    * the frozen merge table is memoized as PURE DRIVER ROWS
+    * (frozenMemo; the training segmentation has no reader and its
+    * checkpoint is released at train time); the replay is
     * `merges` window/join rounds over the INCOMING-vocabulary-sized
-    * table (memoized under "incoming") — no pair counts, no argmax,
+    * table (memoized under the "incoming:modN" shard tag — modN is
+    * part of both keys because it changes the split) — no pair
+    * counts, no argmax,
     * ZERO driver round-trips, so at 100 TB a daily shard pays one
     * vocabulary aggregate plus vocabulary-sized passes; the frozen
     * merge table itself is k rows. Encode never rescans the training
@@ -1131,9 +1185,13 @@ object TextAnalysis {
     val d = docs(s, dir).withColumn("incoming", isInc)
     val existing = d.filter(!col("incoming")).drop("incoming")
     val incoming = d.filter(col("incoming")).drop("incoming")
-    val frozen = memoSeg(s, dir, merges, "existing")(
-      trainSeg(existing, merges))._2
-    val (seg, _) = memoSeg(s, dir, merges, "incoming")(
+    // ONE fingerprint read threaded through both memos: reading it
+    // per-lookup would let an in-place corpus rewrite between the two
+    // land frozen merges from the OLD corpus in an entry keyed by the
+    // NEW fingerprint — a permanently stale mix (review finding)
+    val fp = docsFingerprint(s, dir)
+    val frozen = frozenMerges(s, dir, merges, modN, fp, existing)
+    val (seg, _) = memoSeg(s, dir, merges, s"incoming:$modN", fp)(
       (replaySeg(incoming, frozen.map(m => (m._2, m._3))), frozen))
     fertilityOf(incoming, seg)
   }
