@@ -1263,6 +1263,96 @@ object TextAnalysis {
           IpRe, "<IP>").as("redacted_text"))
   }
 
+  /** Merge-table SINK: the learned BPE merge table as parquet — the
+    * artifact a tokenizer-prep pipeline actually ships to the
+    * tokenizer (q277's scaladoc calls it exactly that; this
+    * materializes the handoff the way q285 did for the span index).
+    * One file, merge_round-ordered: the table is ≤ `merges` rows, so
+    * a single sorted part keeps the artifact deterministic and
+    * diff-able.
+    */
+  def writeMergeTable(s: SparkSession,
+                      merges: Seq[(Int, String, String, String, Long)],
+                      outDir: String): Unit = {
+    import s.implicits._
+    merges.toDF("merge_round", "left_sym", "right_sym", "merged",
+        "pair_count")
+      .coalesce(1).sortWithinPartitions(col("merge_round"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Merge-table SOURCE: read a shipped merge table back in training
+    * order. Explicit schema (the q285 lesson: an empty artifact must
+    * read as empty, not fail inference); the collect is the artifact
+    * itself — ≤ `merges` driver rows by construction, never corpus
+    * data.
+    */
+  def readMergeTable(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, String, Long)] =
+    s.read.schema("merge_round INT, left_sym STRING, right_sym STRING," +
+        " merged STRING, pair_count BIGINT")
+      .parquet(dir).orderBy(col("merge_round")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+
+  /** Per-(corpus, params) scratch dir for the q287 merge-table
+    * artifact — the Dedup.indexScratchDir discipline (reuse +
+    * shutdown-hook delete, never a leak per call). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () }
+      }))
+  }
+  private def mergeScratchDir(dir: String, merges: Int, modN: Int): String = {
+    val key = java.lang.Integer.toHexString((dir, merges, modN).hashCode)
+    val p = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft_bpe_merges_$key")
+    scratchDirs.add(p.toString)
+    p.toString
+  }
+
+  /** Q287 — frozen-vocabulary encode from a PERSISTED merge table:
+    * train on the existing shard, WRITE the merge table as parquet,
+    * READ it back, and replay the READ artifact over the incoming
+    * shard — the actual tokenizer handoff q283 simulates in-memory
+    * (the same relationship q285 has to q282). Output is
+    * byte-identical to q283 (round-trip identity; q287 shares q283's
+    * oracle SQL), so the row's new coverage is the merge-table
+    * sink/source pair: a dropped or reordered merge row, a type
+    * mangled through parquet, or an ordering bug in the reader all
+    * change the replayed segmentation and break the hash compare
+    * (merge ORDER is semantic in BPE — replaying the same set in a
+    * different order yields different subwords).
+    *
+    * Scale shape: identical to q283 plus one ≤ merges-row write and
+    * read — the artifact cost is nil by construction; at 100 TB the
+    * merge table is the bytes that cross the team boundary while the
+    * corpus never moves.
+    */
+  def bpeEncodeFromArtifact(s: SparkSession, dir: String, merges: Int = 8,
+                            modN: Int = 5): DataFrame = {
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val d = docs(s, dir).withColumn("incoming", isInc)
+    val existing = d.filter(!col("incoming")).drop("incoming")
+    val incoming = d.filter(col("incoming")).drop("incoming")
+    val fp = docsFingerprint(s, dir)
+    val out = mergeScratchDir(dir, merges, modN)
+    writeMergeTable(s, frozenMerges(s, dir, merges, modN, fp, existing), out)
+    val shipped = readMergeTable(s, out)
+    // a DISTINCT memo tag from q283: sharing "incoming:modN" would
+    // memo-hit q283's replay and silently bypass the shipped artifact
+    // — exactly the coverage this query exists to provide
+    val (seg, _) = memoSeg(s, dir, merges, s"incoming-artifact:$modN", fp)(
+      (replaySeg(incoming, shipped.map(m => (m._2, m._3))), shipped))
+    fertilityOf(incoming, seg)
+  }
+
   /** Q48 — token-rarity document scoring, the integer-exact form of a
     * unigram-LM quality proxy: each token's document frequency is
     * bucketed to ⌊log2 df⌋ (`length(bin(df))-1`, the same integer

@@ -627,6 +627,39 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("merge table round-trip: write -> read preserves rows in training order") {
+    val learned = Seq((1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L))
+    val out = java.nio.file.Files
+      .createTempDirectory("mergetable_spec").toString
+    try {
+      // write in a scrambled order: the READER owns training order
+      TextAnalysis.writeMergeTable(spark, Seq(learned(2), learned(0),
+        learned(1)), out)
+      assert(TextAnalysis.readMergeTable(spark, out) === learned)
+      // an empty artifact reads as empty (explicit schema, q285 lesson)
+      TextAnalysis.writeMergeTable(spark, Seq.empty, out)
+      assert(TextAnalysis.readMergeTable(spark, out) === Seq.empty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
+  test("bpeEncodeFromArtifact == bpeEncodeFrozen (round-trip identity)") {
+    // enough docs that the 'inc:' split leaves both shards non-empty
+    val texts = (0 until 40).map(i =>
+      (1 to 6).map(j => s"w${(i * 7 + j * 3) % 11}").mkString(" "))
+    withDocsDir(texts) { dir =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_subwords"))).sortBy(_._1).toSeq
+      val direct = rows(TextAnalysis.bpeEncodeFrozen(spark, dir, merges = 4))
+      val viaArtifact =
+        rows(TextAnalysis.bpeEncodeFromArtifact(spark, dir, merges = 4))
+      assert(direct.nonEmpty, "split must leave incoming docs")
+      assert(viaArtifact === direct)
+    }
+  }
+
   test("bpe memo: train and encode share one training; clearBpeMemo releases it") {
     graft.operators.TextAnalysis.clearBpeMemo()
     val before = spark.sparkContext.getPersistentRDDs.keySet
