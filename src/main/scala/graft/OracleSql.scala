@@ -7206,6 +7206,58 @@ object OracleSql {
        |FROM pii""".stripMargin
   }
 
+  /** Q288 — second-day scrub through the refreshed index (mirrors
+    * Dedup.spanScrubDayTwo): three generations from the 'inc:'
+    * scramble (m=0 day 1, m=1 day 2, else existing). The refreshed
+    * index the Spark side builds by write+append — existing hashes ∪
+    * day-1 novel hashes — is SET-equal to the distinct hashes of
+    * everything that is not day 2 (m <> 1), which is how the oracle
+    * states it; day-2 occurrences are cut on an index hit or by the
+    * q278 first-occurrence rule within day 2.
+    */
+  def q288SpanScrubDayTwo(w: Int = 8, modN: Int = 5): String =
+    s"""WITH $tokenHashCtes,
+       |${genFlagCtes(modN)},
+       |itoks AS (
+       |  SELECT t.doc_id, t.tk FROM toks t JOIN gn USING (doc_id)
+       |  WHERE m = 1
+       |),
+       |sp AS MATERIALIZED (
+       |  SELECT z.doc_id, CAST(t.i AS BIGINT) AS pos, ${spanFoldSql(w)} AS h,
+       |    z.m
+       |  FROM (SELECT thc.doc_id, th, m
+       |        FROM thc JOIN gn USING (doc_id)) z,
+       |    unnest(range(1, len(th) - ${w - 2})) AS t(i)
+       |),
+       |idx AS MATERIALIZED (SELECT DISTINCT h FROM sp WHERE m <> 1),
+       |isp AS MATERIALIZED (
+       |  SELECT doc_id, pos, h FROM sp WHERE m = 1
+       |),
+       |rin AS (SELECT i.doc_id, i.pos FROM isp i JOIN idx USING (h)),
+       |rdup AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      count(*) OVER (PARTITION BY h) AS occ,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |    FROM isp WHERE h NOT IN (SELECT h FROM idx)
+       |  ) WHERE occ >= 2 AND rk > 1
+       |),
+       |rm AS MATERIALIZED (
+       |  SELECT * FROM rin UNION ALL SELECT * FROM rdup
+       |),
+       |${scrubTailSql("itoks", w)}""".stripMargin
+
+  /** The three-generation variant of incomingFlagCtes: exposes the
+    * raw scramble residue m instead of one boolean. */
+  private def genFlagCtes(modN: Int): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
+    s"""u0 AS (SELECT doc_id, $hSql AS u FROM documents),
+       |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
+       |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
+       |gn AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN AS m FROM u2)""".stripMargin
+  }
+
   /** The q282/q283 'inc:' scramble membership CTEs (u0→u1→u2→fl):
     * deterministic 20% incoming-shard flag per doc_id. */
   private def incomingFlagCtes(modN: Int): String = {

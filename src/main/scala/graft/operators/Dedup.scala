@@ -1134,6 +1134,41 @@ object Dedup {
         col("n_refreshed"))
   }
 
+  /** Q288 — SECOND-DAY scrub through the refreshed index: the step
+    * that actually CONSUMES q286's refresh. Three deterministic
+    * generations from the q282 scramble (m = scramble('inc:'||id) mod
+    * 5): m=0 is day-1's shard, m=1 is day-2's, the rest is the
+    * existing corpus. Day 1 runs the q286 refresh (index = existing
+    * hashes, day-1 novel hashes appended shard-aligned); day 2 is
+    * then scrubbed against the REFRESHED directory — so a day-2
+    * occurrence of a span first seen on day 1 is cut by the INDEX
+    * (cross-generation memory), not by any within-batch rule, plus
+    * q278's first-occurrence rule within day 2 itself. Output is the
+    * q278 row shape over day-2 documents.
+    *
+    * This pins the multi-generation contract the single-shot q282/
+    * q285 rows cannot: the index is cumulative state, and each day's
+    * cost stays O(|day's spans| + index probe) while the scrub
+    * semantics remain exact across generations.
+    */
+  def spanScrubDayTwo(s: SparkSession, dir: String, w: Int = 8,
+                      modN: Int = 5, nShards: Int = 8): DataFrame = {
+    val m = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN
+    val d = docs(s, dir).withColumn("gen",
+      when(m === 0L, lit(1)).when(m === 1L, lit(2)).otherwise(lit(0)))
+    val existing = d.filter(col("gen") === 0).drop("gen")
+    val day1 = d.filter(col("gen") === 1).drop("gen")
+    val day2 = d.filter(col("gen") === 2).drop("gen")
+    val out = indexScratchDir("day2", dir, w, modN)
+    writeSpanIndex(
+      spanOccurrences(existing, w).select(col("h")).distinct(), out, nShards)
+    val fresh = spanOccurrences(day1, w).select(col("h")).distinct()
+      .join(readSpanIndex(s, out), Seq("h"), "left_anti")
+    appendSpanIndex(fresh, out, nShards)
+    scrubIncomingWith(day2, readSpanIndex(s, out), w)
+  }
+
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the
     * native [[graft.functions.JaroWinklerExpr]] scorer: every distinct
     * token pair sharing a first character and scoring ≥ `minJw` is a

@@ -653,6 +653,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanScrubDayTwo: day-1 spans cut day-2 copies via the refreshed index") {
+    import org.apache.spark.sql.functions._
+    // recover the three-generation membership (m = scramble mod 5)
+    val gens = spark.range(40).select(col("id"),
+      (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+        .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+        % 5).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d1 = gens.filter(_._2 == 0L).keys.min  // a day-1 doc
+    val d2s = gens.filter(_._2 == 1L).keys.toSeq.sorted
+    val (d2a, d2b) = (d2s.head, d2s(1))
+    val exId = gens.filter(kv => kv._2 != 0L && kv._2 != 1L).keys.min
+    val day1Span = (1 to 8).map(i => s"da$i").mkString(" ")
+    val exSpan = (1 to 8).map(i => s"ex$i").mkString(" ")
+    val texts = (0L until 40L).map { id =>
+      if (id == d1) day1Span                   // day 1 introduces it
+      else if (id == exId) exSpan              // existing owns this one
+      else if (id == d2a) s"qq rr $day1Span"   // day 2 repeats day 1's
+      else if (id == d2b) s"$exSpan tt uu"     // day 2 repeats existing's
+      else s"g${id}a g${id}b g${id}c"          // < w tokens: span-free
+    }
+    withDocsDir(texts) { dir =>
+      val out = Dedup.spanScrubDayTwo(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed_tokens"),
+            r.getAs[String]("cleaned_text")))).toMap
+      // only day-2 docs appear
+      assert(out.keySet === gens.filter(_._2 == 1L).keys.toSet)
+      // CROSS-GENERATION memory: the day-1 span is in the refreshed
+      // index, so day 2's copy is cut even though no q278-style
+      // within-batch duplicate exists
+      assert(out(d2a) === ((1L, 8L, "qq rr")))
+      // and spans owned by the original existing corpus still cut
+      assert(out(d2b) === ((1L, 8L, "tt uu")))
+      // untouched day-2 docs pass through
+      d2s.drop(2).foreach(id =>
+        assert(out(id) === ((0L, 0L, s"g${id}a g${id}b g${id}c"))))
+    }
+  }
+
   test("spanScrub round-trip: the cleaned corpus has zero duplicated spans left") {
     import spark.implicits._
     val doc24 = ((1 to 8) ++ (1 to 8) ++ (1 to 8)).map(i => s"s$i").mkString(" ")
