@@ -7260,15 +7260,50 @@ object OracleSql {
 
   /** The q282/q283 'inc:' scramble membership CTEs (u0→u1→u2→fl):
     * deterministic 20% incoming-shard flag per doc_id. */
-  private def incomingFlagCtes(modN: Int): String = {
+  private def incomingFlagCtes(modN: Int): String =
+    memberFlagCtes(modN, "inc:", "incoming")
+
+  /** Prefix-parameterized scramble membership (mirrors the Spark
+    * side's `scrambleMod(polyHash(prefix || doc_id)) % modN = 0`):
+    * 'inc:' selects the q282 incoming shard, 'purge:' the q290
+    * deleted-document set. */
+  private def memberFlagCtes(modN: Int, prefix: String,
+                             flag: String): String = {
     val p = graft.functions.TextHash.P
-    val hSql = polyHashSql("('inc:' || CAST(doc_id AS VARCHAR))")
+    val hSql = polyHashSql(s"('$prefix' || CAST(doc_id AS VARCHAR))")
     s"""u0 AS (SELECT doc_id, $hSql AS u FROM documents),
        |u1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM u0),
        |u2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM u1),
-       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |fl AS (SELECT doc_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS $flag
        |       FROM u2)""".stripMargin
   }
+
+  /** Q290 — span-index purge audit (mirrors Dedup.spanIndexPurge):
+    * per shard, the distinct span hashes of the whole corpus
+    * (n_before), the hashes exclusive to purged documents (n_purged —
+    * a hash survives when ANY surviving document contains it), and
+    * the remainder (n_after). Derived from the raw documents table
+    * alone, so the Spark side's file-level counts over the base and
+    * purged-generation directories must agree exactly.
+    */
+  def q290SpanIndexPurge(w: Int = 8, modN: Int = 5,
+                         nShards: Int = 8): String =
+    s"""WITH $tokenHashCtes,
+       |${memberFlagCtes(modN, "purge:", "purged")},
+       |sp AS MATERIALIZED (
+       |  SELECT z.doc_id, ${spanFoldSql(w)} AS h, z.purged
+       |  FROM (SELECT thc.doc_id, th, purged
+       |        FROM thc JOIN fl USING (doc_id)) z,
+       |    unnest(range(1, len(th) - ${w - 2})) AS t(i)
+       |),
+       |u AS MATERIALIZED (
+       |  SELECT h, bool_or(NOT purged) AS kept FROM sp GROUP BY 1
+       |)
+       |SELECT CAST(h % $nShards AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_before,
+       |  CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_purged,
+       |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_after
+       |FROM u GROUP BY 1""".stripMargin
 
   /** The Q283 replay chain: rvocab/rseg0 over the incoming shard's
     * vocabulary, then per round the SAME run-parity selection and

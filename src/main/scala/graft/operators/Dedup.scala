@@ -1008,40 +1008,51 @@ object Dedup {
   private def readIndexDir(s: SparkSession, dir: String): DataFrame =
     s.read.schema("h BIGINT, shard BIGINT").parquet(dir)
 
+  /** Multi-generation readers: an index is base ∪ delta generations
+    * (each dir immutable once written), unioned scan-side — no
+    * multi-root partition discovery, just one parquet scan per
+    * generation. Distinctness across generations is the writers'
+    * contract (deltas are anti-joined before landing).
+    */
+  private def readIndexDirs(s: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(readIndexDir(s, _)).reduce(_ unionAll _)
+
+  def readSpanIndexDirs(s: SparkSession, dirs: Seq[String]): DataFrame =
+    readIndexDirs(s, dirs).select(col("h"))
+
   /** Test hook: the derived existing-corpus index (spec round-trips
     * it through the sink/source pair). */
   private[graft] def indexForSpec(s: SparkSession, dir: String,
                                   w: Int = 8, modN: Int = 5): DataFrame =
     ingestSplit(s, dir, w, modN)._2
 
-  /** Deterministic per-(tag, corpus, params) scratch directory for
-    * the q285/q286 index artifacts: repeated invocations (bench
-    * cold+steady passes, Verify, specs) REUSE and overwrite ONE
-    * directory instead of leaking a fresh copy of the index per call
-    * (review finding); every dir ever handed out is deleted by one
-    * JVM shutdown hook. Contract: a call overwrites the tag's dir, so
-    * a previously returned lazy result must be consumed before the
-    * next same-tag call — which every harness path (Verify collect,
-    * bench noop-write, specs) does.
+  /** Scratch plumbing for the q285–q290 index artifacts now lives in
+    * [[ArtifactStore]] (digest-keyed roots, per-invocation generation
+    * dirs, write-once materialization — three round-12 ADVICE items).
+    * Naming note: every span-index family name starts with
+    * "span_index", so artifact paths carry the "graft_span_index"
+    * marker the q285 plan pin greps for.
     */
-  private val scratchDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchDirs.forEach { d =>
-        try org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(d))
-        catch { case _: Throwable => () }
-      }))
-  }
-  private def indexScratchDir(tag: String, dir: String, w: Int,
-                              modN: Int): String = {
-    val key = java.lang.Integer.toHexString((dir, w, modN).hashCode)
-    val p = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), s"graft_span_index_${tag}_$key")
-    scratchDirs.add(p.toString)
-    p.toString
-  }
+  private def docsFingerprint(s: SparkSession, dir: String): Option[Long] =
+    MemoKey.fingerprint(s, s"$dir/documents.parquet")
+
+  /** Write-once day-1 ("base") index materialization: the fixture
+    * state a refresh/scrub consumes, built AT MOST ONCE per (session,
+    * corpus fingerprint, params) so the measured operator pays only
+    * its own O(novel) work on warm invocations (round-12 verdict #5 —
+    * the old shape rewrote the full day-1 index inside every q286/q288
+    * invocation and billed it to the query). The returned directory is
+    * immutable: day-N additions land in per-invocation DELTA dirs and
+    * readers take base ∪ deltas — the generation design an immutable
+    * object store forces at 100 TB, and exactly what q289's compaction
+    * step folds back together.
+    */
+  private def baseIndexDir(s: SparkSession, dir: String, family: String,
+                           w: Int, modN: Int, nShards: Int)
+                          (index: => DataFrame): String =
+    ArtifactStore.materialized(s, family, docsFingerprint(s, dir),
+      dir, w.toString, modN.toString, nShards.toString)(
+      out => writeSpanIndex(index, out, nShards))
 
   /** Q285 — span-scrub ingest against a PERSISTED index: derive the
     * existing-corpus index once, WRITE it as sharded parquet, READ it
@@ -1064,22 +1075,30 @@ object Dedup {
   def spanIndexRoundTrip(s: SparkSession, dir: String, w: Int = 8,
                          modN: Int = 5): DataFrame = {
     val (incoming, index) = ingestSplit(s, dir, w, modN)
-    val out = indexScratchDir("rt", dir, w, modN)
+    // the WRITE is the operator under test here, so it runs per
+    // invocation — but into a fresh generation dir, so previously
+    // returned lazy plans stay valid (round-12 ADVICE)
+    val out = ArtifactStore.invocationDir("span_index_rt",
+      dir, w.toString, modN.toString)
     writeSpanIndex(index, out)
     scrubIncomingWith(incoming, readSpanIndex(s, out), w)
   }
 
-  /** Append-mode companion to [[writeSpanIndex]]: lay the FRESH
-    * hashes down shard-aligned next to the existing files (same
-    * `h mod nShards` membership, h-sorted within shards, append
-    * mode). The caller guarantees the rows are index-absent (q286
-    * anti-joins before appending), so the refreshed directory stays a
-    * DISTINCT set without any rewrite of the existing files — the
-    * O(|new|) daily refresh, never an index rebuild.
+  /** Delta-generation companion to [[writeSpanIndex]]: the FRESH
+    * hashes land shard-aligned in their OWN generation directory
+    * (same `h mod nShards` membership, h-sorted within shards), and
+    * readers take base ∪ deltas ([[readSpanIndexDirs]]). The caller
+    * guarantees the rows are index-absent (q286/q288 anti-join before
+    * writing), so the union stays a DISTINCT set while the existing
+    * files are never touched — the O(|new|) daily refresh of an
+    * immutable-generation index, never a rebuild. The cost of the
+    * design is file-count growth per generation, which is exactly
+    * what [[spanScrubCompacted]] (q289) folds back to one file per
+    * shard.
     */
-  def appendSpanIndex(fresh: DataFrame, outDir: String,
-                      nShards: Int = 8): Unit =
-    layShards(fresh, outDir, nShards, org.apache.spark.sql.SaveMode.Append)
+  def writeSpanDelta(fresh: DataFrame, deltaDir: String,
+                     nShards: Int = 8): Unit =
+    layShards(fresh, deltaDir, nShards, org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Q286 — span-index REFRESH audit: the day-N+1 step q285 leads to.
     * Persist the existing-corpus index, anti-join the incoming
@@ -1100,30 +1119,36 @@ object Dedup {
     *
     * Scale shape: the refresh is O(|incoming spans| + index probe) —
     * one distinct aggregate over the new shard, one anti-join against
-    * the index scan, one append of ~|novel| 8-byte rows; the existing
-    * files are never read-modified-rewritten. The pre-append
-    * per-shard counts are ONE nShards-row collect (a bounded audit
-    * sync, not corpus data). At 100 TB the same flow runs daily with
-    * the index as the only cross-run state.
+    * the index scan, one delta write of ~|novel| 8-byte rows; the
+    * existing files are never read, modified, or rewritten, and since
+    * round 13 the day-1 index itself is a write-once memoized base
+    * ([[baseIndexDir]], round-12 verdict #5) so a warm invocation
+    * pays ONLY the O(novel) refresh the scaladoc always claimed. The
+    * pre-refresh per-shard counts are ONE nShards-row collect (a
+    * bounded audit sync, not corpus data). At 100 TB the same flow
+    * runs daily with the base + delta generations as the only
+    * cross-run state, compacted periodically by the q289 step.
     */
   def spanIndexRefresh(s: SparkSession, dir: String, w: Int = 8,
                        modN: Int = 5, nShards: Int = 8): DataFrame = {
     import s.implicits._
     val (incoming, existingIdx) = ingestSplit(s, dir, w, modN)
-    val out = indexScratchDir("refresh", dir, w, modN)
-    writeSpanIndex(existingIdx, out, nShards)
-    // pre-append audit: nShards rows, collected eagerly BEFORE the
-    // append (a lazy plan would re-list the directory afterwards)
-    val pre = readIndexDir(s, out)
+    val base = baseIndexDir(s, dir, "span_index_base", w, modN, nShards)(
+      existingIdx)
+    // pre-refresh audit: nShards rows, collected eagerly so the audit
+    // pins the base generation's state independent of the delta scan
+    val pre = readIndexDir(s, base)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_existing"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val delta = ArtifactStore.invocationDir("span_index_delta",
+      dir, w.toString, modN.toString, nShards.toString)
     val fresh = spanOccurrences(incoming, w)
       .select(col("h")).distinct()
-      .join(readSpanIndex(s, out), Seq("h"), "left_anti")
-    appendSpanIndex(fresh, out, nShards)
+      .join(readSpanIndex(s, base), Seq("h"), "left_anti")
+    writeSpanDelta(fresh, delta, nShards)
     val preDf = pre.toDF("shard", "n_existing")
-    readIndexDir(s, out)
+    readIndexDirs(s, Seq(base, delta))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_refreshed"))
       .join(preDf, Seq("shard"), "left")
@@ -1153,6 +1178,21 @@ object Dedup {
     */
   def spanScrubDayTwo(s: SparkSession, dir: String, w: Int = 8,
                       modN: Int = 5, nShards: Int = 8): DataFrame = {
+    val (day2, dirs) = dayTwoIndexDirs(s, dir, w, modN, nShards)
+    scrubIncomingWith(day2, readSpanIndexDirs(s, dirs), w)
+  }
+
+  /** The shared q288/q289 day-2 state: the three-generation split
+    * (m=0 day 1, m=1 day 2, rest existing corpus), a write-once BASE
+    * index of the existing corpus and a write-once day-1 DELTA
+    * generation (both memoized per corpus fingerprint — they are day
+    * 1's work, not the measured day-2 operator; round-12 verdict #5).
+    * Returns the day-2 document slice and the generation dirs whose
+    * union is the refreshed index.
+    */
+  private def dayTwoIndexDirs(s: SparkSession, dir: String, w: Int,
+                              modN: Int, nShards: Int)
+      : (DataFrame, Seq[String]) = {
     val m = Relational.scrambleMod(TextHash.polyHash(
       concat(lit("inc:"), col("doc_id").cast("string")))) % modN
     val d = docs(s, dir).withColumn("gen",
@@ -1160,13 +1200,101 @@ object Dedup {
     val existing = d.filter(col("gen") === 0).drop("gen")
     val day1 = d.filter(col("gen") === 1).drop("gen")
     val day2 = d.filter(col("gen") === 2).drop("gen")
-    val out = indexScratchDir("day2", dir, w, modN)
-    writeSpanIndex(
-      spanOccurrences(existing, w).select(col("h")).distinct(), out, nShards)
-    val fresh = spanOccurrences(day1, w).select(col("h")).distinct()
-      .join(readSpanIndex(s, out), Seq("h"), "left_anti")
-    appendSpanIndex(fresh, out, nShards)
-    scrubIncomingWith(day2, readSpanIndex(s, out), w)
+    val base = baseIndexDir(s, dir, "span_index_day2base", w, modN, nShards)(
+      spanOccurrences(existing, w).select(col("h")).distinct())
+    val delta = ArtifactStore.materialized(s, "span_index_day2delta",
+      docsFingerprint(s, dir),
+      dir, w.toString, modN.toString, nShards.toString)(out =>
+      writeSpanDelta(
+        spanOccurrences(day1, w).select(col("h")).distinct()
+          .join(readSpanIndex(s, base), Seq("h"), "left_anti"),
+        out, nShards))
+    (day2, Seq(base, delta))
+  }
+
+  /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12
+    * verdict #1): each refresh leaves one more delta generation per
+    * shard, so a daily pipeline accumulates small files without
+    * bound. Compaction rewrites the accumulated generations —
+    * content-identically — into ONE h-sorted file per shard, then
+    * runs the day-2 scrub against the compacted directory: the output
+    * is hash-identical to q288's (same oracle), which is the whole
+    * contract — compaction changes LAYOUT, never content.
+    *
+    * Scale shape: the rewrite is one shard-keyed shuffle of 8-byte
+    * index rows (the index is the SMALL artifact — ~|distinct spans|,
+    * never corpus-sized) and the post-compaction read plans exactly
+    * one file per shard (spec-pinned); the scrub itself is q288's
+    * asymmetric probe, now against a single generation. At 100 TB
+    * this runs off-peak per shard group, and readers switch
+    * generations atomically by path — the standard OPTIMIZE
+    * discipline of immutable-file tables.
+    */
+  def spanScrubCompacted(s: SparkSession, dir: String, w: Int = 8,
+                         modN: Int = 5, nShards: Int = 8): DataFrame =
+    compactDayTwo(s, dir, w, modN, nShards)._2
+
+  /** Test-visible q289 split: (compacted dir, scrub result) so the
+    * spec can pin the one-file-per-shard layout of the compacted
+    * generation. */
+  private[graft] def compactDayTwo(s: SparkSession, dir: String, w: Int,
+                                   modN: Int, nShards: Int)
+      : (String, DataFrame) = {
+    val (day2, dirs) = dayTwoIndexDirs(s, dir, w, modN, nShards)
+    val compacted = ArtifactStore.invocationDir("span_index_compact",
+      dir, w.toString, modN.toString, nShards.toString)
+    layShards(readSpanIndexDirs(s, dirs), compacted, nShards,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    (compacted, scrubIncomingWith(day2, readSpanIndex(s, compacted), w))
+  }
+
+  /** Q290 — span-index PURGE (the VACUUM step, round-12 verdict #2):
+    * retire the hashes of deleted documents. Given a purged-document
+    * set (the deterministic 'purge:' scramble — the q202 purge-audit
+    * membership shape), a span hash leaves the index iff NO surviving
+    * document contains it (hash-count reference semantics: a span
+    * shared by a purged and a surviving doc stays — the surviving doc
+    * still owns it). The purged index is rewritten as a fresh
+    * generation; output is the per-shard audit (hashes before, purged,
+    * after), which the oracle derives from the raw documents table
+    * alone — so a dropped shard, a leaked exclusive hash, or an
+    * over-purged shared hash all break the count compare.
+    *
+    * Scale shape: the reference sets are two distinct aggregates over
+    * span hashes (8-byte rows, map-side combinable) and one anti-join
+    * between them; the rewrite is one shard-keyed shuffle of the
+    * SMALL index artifact. The corpus-side derivation of "surviving
+    * docs' hashes" is the worst-case path — a production pipeline
+    * keeps per-hash reference counts in the index rows instead and
+    * decrements them from the purged docs alone (O(|purged|)); the
+    * audit semantics pinned here are identical.
+    */
+  def spanIndexPurge(s: SparkSession, dir: String, w: Int = 8,
+                     modN: Int = 5, nShards: Int = 8): DataFrame = {
+    val isPurged = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("purge:"), col("doc_id").cast("string")))) % modN === 0L
+    val d = docs(s, dir).withColumn("purged", isPurged)
+    // the full-corpus index is day-1 state (write-once base) — the
+    // measured operator is the purge itself
+    val base = baseIndexDir(s, dir, "span_index_allbase", w, modN, nShards)(
+      spanOccurrences(docs(s, dir), w).select(col("h")).distinct())
+    val exclusive = spanOccurrences(d.filter(col("purged"))
+        .drop("purged"), w).select(col("h")).distinct()
+      .join(spanOccurrences(d.filter(!col("purged")).drop("purged"), w)
+        .select(col("h")).distinct(), Seq("h"), "left_anti")
+    val after = ArtifactStore.invocationDir("span_index_purged",
+      dir, w.toString, modN.toString, nShards.toString)
+    layShards(readSpanIndex(s, base).join(exclusive, Seq("h"), "left_anti"),
+      after, nShards, org.apache.spark.sql.SaveMode.Overwrite)
+    readIndexDir(s, base)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+      .join(readIndexDir(s, after)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_after")), Seq("shard"), "left")
+      .select(col("shard"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 
   /** Q118 — fuzzy record linkage over the corpus vocabulary with the

@@ -496,6 +496,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q289: compacted generation is one file per shard; scrub probes ONLY it") {
+    val (dir, scrub) =
+      graft.operators.Dedup.compactDayTwo(spark, sfDir, 8, 5, 8)
+    // OPTIMIZE contract: the accumulated base+delta part files fold to
+    // exactly one h-sorted file per shard directory
+    val shards = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shards.nonEmpty, s"no shard dirs under $dir")
+    shards.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"shard ${sd.getName} has ${parts.length} files after compaction")
+    }
+    // the scrub must read the compacted generation, not the source
+    // generations it replaced
+    scrub.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(scrub)
+    assert(fmt.contains("span_index_compact"),
+      s"q289 scrub must probe the compacted index:\n$fmt")
+    assert(!fmt.contains("day2base") && !fmt.contains("day2delta"),
+      s"q289 scrub still reads pre-compaction generations:\n$fmt")
+  }
+
+  test("q290: purge audit scans index generations only; corpus never joins the audit") {
+    val df = SparkEntry.queries("q290_span_index_purge")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    // the returned audit reads the base and purged generations (8-byte
+    // index rows); the corpus-sized derivations ran at write time
+    assert(fmt.contains("span_index_allbase") &&
+      fmt.contains("span_index_purged"),
+      s"q290 audit must read both index generations:\n$fmt")
+    assert(!fmt.contains("documents.parquet"),
+      s"q290 audit must not rescan the corpus:\n$fmt")
+    assert(!fmt.contains("CartesianProduct") &&
+      !fmt.contains("BroadcastNestedLoopJoin"), s"q290 unkeyed join:\n$fmt")
+  }
+
   test("q280: one scan per selection round; no exchange or join in the loop; local result") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
