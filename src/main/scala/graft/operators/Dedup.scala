@@ -1026,6 +1026,33 @@ object Dedup {
                                   w: Int = 8, modN: Int = 5): DataFrame =
     ingestSplit(s, dir, w, modN)._2
 
+  /** Q291 support (the streaming ingest in
+    * [[graft.streaming.StreamingOps.streamSpanScrubFixture]]): the
+    * q282/q285 split plus a write-once PERSISTED base index — the
+    * artifact the streaming scrub probes per micro-batch. Its own
+    * family tag keeps the streaming query from silently riding
+    * another query's materialization (the round-12 DISTINCT-tag
+    * lesson).
+    */
+  private[graft] def streamScrubParts(s: SparkSession, dir: String,
+                                      w: Int, modN: Int, nShards: Int)
+      : (DataFrame, String) = {
+    val (incoming, index) = ingestSplit(s, dir, w, modN)
+    val base = baseIndexDir(s, dir, "span_index_streambase", w, modN,
+      nShards)(index)
+    (incoming, base)
+  }
+
+  /** Q291 support: positioned span occurrences of a documents slice. */
+  private[graft] def spanOccurrencesOf(d: DataFrame, w: Int): DataFrame =
+    spanOccurrences(d, w)
+
+  /** Q291 support: the shared scrub finish over an explicit removal
+    * set (doc_id, pos). */
+  private[graft] def scrubWithRemovals(d: DataFrame, removed: DataFrame,
+                                       w: Int): DataFrame =
+    scrubTail(d, removed, w)
+
   /** Scratch plumbing for the q285–q290 index artifacts now lives in
     * [[ArtifactStore]] (digest-keyed roots, per-invocation generation
     * dirs, write-once materialization — three round-12 ADVICE items).

@@ -1592,6 +1592,121 @@ object StreamingOps {
     s.table(name).select(col("event_id"), col("event_type"))
   }
 
+  /** Q291 (operator) — STREAMING span scrub against a persisted span
+    * index (round-12 verdict #3: the continuous version of the q285
+    * batch flow — an incoming shard as a watermarked stream,
+    * stream-static joined against the cross-run index artifact).
+    * Input: span occurrences `(doc_id, pos, h, ts)` with event time
+    * ascending in (doc_id, pos) — the order a sharded ingest feeds
+    * documents. Output: removal decisions `(doc_id, pos)` in append
+    * mode. An occurrence is cut when
+    *
+    *  - its hash exists in the PERSISTED index (stream-static
+    *    left_outer probe — corpus-owned spans have no contest), or
+    *  - a previous occurrence of the hash was already seen in the
+    *    stream (cross-batch keyed state: first-occurrence-wins, the
+    *    q278 rule, which under the ascending feed picks the same
+    *    global (doc_id, pos)-min as the batch scrub).
+    *
+    * Scale shape: the static index probe is one hash-keyed join per
+    * micro-batch against the sharded parquet artifact (8-byte rows);
+    * keyed state holds ONE boolean per fresh hash seen, bounded by
+    * the event-time timeout `horizon` — state for a hash idle past
+    * the horizon is dropped exactly like the watermark-scoped dedup
+    * of q199. A batch≡stream equality (same oracle as q282/q285)
+    * pins the semantics.
+    */
+  def streamSpanScrub(occ: DataFrame, index: DataFrame,
+                      watermark: String = "10 minutes",
+                      horizonMs: Long = 60L * 60 * 1000): DataFrame = {
+    import occ.sparkSession.implicits._
+    occ.join(index.select(col("h"), lit(true).as("in_idx")),
+        Seq("h"), "left_outer")
+      .select(col("h"), col("doc_id"), col("pos"),
+        coalesce(col("in_idx"), lit(false)).as("in_idx"), col("ts"))
+      // the watermark column must survive into the stateful operator
+      // (event-time timeouts read it), so the watermark is declared on
+      // the post-join projection that still carries ts
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, rows, st) =>
+          if (st.hasTimedOut) { st.remove(); Iterator.empty }
+          else {
+            // per-batch occurrences of this hash, (doc_id, pos)-ordered
+            // (group iterators carry no order guarantee after the
+            // exchange; the batch is bounded by the hash's in-batch
+            // occurrence count)
+            val v = rows.toVector.sortBy(r => (r._2, r._3))
+            val removed =
+              if (v.head._4 || st.exists) v // index-owned or already seen
+              else v.tail                   // fresh: first occurrence wins
+            st.update(true)
+            st.setTimeoutTimestamp(v.map(_._5.getTime).max + horizonMs)
+            removed.iterator.map(r => (r._2, r._3))
+          }
+      }
+      .toDF("doc_id", "pos")
+  }
+
+  /** q291 — [[streamSpanScrub]] driven over the sfDir documents table:
+    * the q282/q285 incoming shard's span occurrences fed as THREE
+    * doc-aligned ascending micro-batches against the PERSISTED
+    * existing-corpus index ([[graft.operators.Dedup.streamScrubParts]]),
+    * then the removal decisions reassembled into cleaned documents by
+    * the batch scrub tail. Equality with the q282 oracle is the
+    * batch≡stream contract (the q58/q62 discipline applied to the
+    * artifact flow): an index hit must cut in every batch, and a span
+    * first seen in batch 1 must cut its batch-2/3 repeats through
+    * STATE, not arrival luck. The fixture horizon spans the whole
+    * feed so no state times out mid-proof; the collects feed the
+    * MemoryStream harness and read the memory sink only.
+    */
+  def streamSpanScrubFixture(s: SparkSession, dir: String, w: Int = 8,
+                             modN: Int = 5, nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (incoming, base) =
+      graft.operators.Dedup.streamScrubParts(s, dir, w, modN, nShards)
+    val occ = graft.operators.Dedup.spanOccurrencesOf(incoming, w)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val name = s"q291_stream_span_scrub_${System.nanoTime()}"
+    val in = stream.toDS().toDF("doc_id", "pos", "h")
+      // event time: one second per document — ascending with the feed
+      .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+    // horizon: past the whole feed (fixture-only; production uses the
+    // ingest-lag horizon and lets idle hash state expire)
+    val horizon = occ.lastOption.map(o =>
+      (o._1 + 2) * 1000L).getOrElse(1000L)
+    withFewStatePartitions(s) {
+      val q = streamSpanScrub(in,
+          graft.operators.Dedup.readSpanIndex(s, base),
+          horizonMs = horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val docIds = occ.map(_._1).distinct
+        val chunks = docIds.grouped(math.max(1, docIds.length / 3 + 1)).toSeq
+        chunks.foreach { ids =>
+          val set = ids.toSet
+          val chunk = occ.filter(o => set(o._1))
+          if (chunk.nonEmpty) {
+            chunk.grouped(math.max(1, chunk.length / 32 + 1))
+              .foreach(b => stream.addData(b.toIndexedSeq))
+            q.processAllAvailable()
+          }
+        }
+      } finally q.stop()
+    }
+    val removals = s.table(name).select(col("doc_id"), col("pos"))
+    graft.operators.Dedup.scrubWithRemovals(incoming, removals, w)
+  }
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

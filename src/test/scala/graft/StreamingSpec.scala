@@ -740,4 +740,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows((2L, 1)) === ((1L, 1.0, "view")))
     assert(rows((2L, 2)) === ((2L, 4.0, "click"))) // tie again -> asc
   }
+
+  test("q291: stream span scrub — index hits cut everywhere, state cuts cross-batch repeats") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Seq(100L).toDF("h")
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val in = stream.toDS().toDF("doc_id", "pos", "h")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(doc_id * 1000000)"))
+    val name = s"q291_hand_${System.nanoTime()}"
+    val q = graft.streaming.StreamingOps
+      .streamSpanScrub(in, index, horizonMs = 3600000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: h=100 is INDEX-owned (cut even on first sight);
+      // h=200 is fresh — its (doc 1, pos 2) first occurrence survives
+      // and (doc 1, pos 5) in the SAME batch is cut by in-batch order
+      stream.addData((1L, 1L, 100L), (1L, 2L, 200L), (1L, 5L, 200L))
+      q.processAllAvailable()
+      // batch 2: doc 2 repeats h=200 (cut by cross-batch STATE, not
+      // arrival luck), repeats h=100 (index again), introduces h=300
+      // (fresh -> kept)
+      stream.addData((2L, 1L, 200L), (2L, 2L, 100L), (2L, 3L, 300L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+    assert(got === Set((1L, 1L), (1L, 5L), (2L, 1L), (2L, 2L)))
+  }
 }
