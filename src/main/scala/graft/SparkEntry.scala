@@ -440,7 +440,8 @@ object SparkEntry {
     "q289_span_index_compact" -> ((s, dir) => Dedup.spanScrubCompacted(s, dir)),
     "q290_span_index_purge" -> ((s, dir) => Dedup.spanIndexPurge(s, dir)),
     "q291_stream_span_scrub" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSpanScrubFixture(s, dir))
+      graft.streaming.StreamingOps.streamSpanScrubFixture(s, dir)),
+    "q292_pq_artifact_rt" -> ((s, dir) => Similarity.pqTopKFromArtifact(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -772,6 +773,9 @@ object SparkEntry {
     // batch ≡ stream: the streaming scrub against the persisted index
     // must reproduce the q282/q285 batch scrub exactly, so q291 shares
     // their oracle SQL (the q58/q62 equality discipline)
-    "q291_stream_span_scrub" -> OracleSql.q282SpanScrubIngest()
+    "q291_stream_span_scrub" -> OracleSql.q282SpanScrubIngest(),
+    // the search FROM the persisted codebook artifact must equal the
+    // inline q61 search, so q292 shares its oracle SQL
+    "q292_pq_artifact_rt" -> OracleSql.q61PqTopK()
   )
 }

@@ -567,11 +567,31 @@ object Similarity {
     val e = embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
-    val subs = e.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
-          j => slice(col("de"), j * subDim + 1, lit(subDim)))).as(Seq("j", "sv")))
-    val cb = subs.filter(col("vec_id") < codebookK)
+    val subs = pqSubvectors(e, nSub, subDim)
+    pqSearch(e, subs, pqCodebookOf(subs, codebookK), k)
+  }
+
+  /** The per-vector subvector split shared by q61's inline path and
+    * q292's from-artifact path: one row per (vec_id, subspace j). */
+  private def pqSubvectors(e: DataFrame, nSub: Int, subDim: Int): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+        j => slice(col("de"), j * subDim + 1, lit(subDim)))).as(Seq("j", "sv")))
+
+  /** The q61 deterministic codebook: subspace j's codewords are the
+    * subvectors of vec_id < codebookK (the fixed-quantizer trick). */
+  private def pqCodebookOf(subs: DataFrame, codebookK: Int): DataFrame =
+    subs.filter(col("vec_id") < codebookK)
       .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv"))
+
+  /** The shared q61/q292 encode+search: assign each subvector its
+    * nearest codeword (argmin squared L2, ties to the smaller cw),
+    * reconstruct, score probes against the reconstruction. The
+    * codebook side is broadcast whether it was derived inline (q61)
+    * or read back from the parquet artifact (q292).
+    */
+  private def pqSearch(e: DataFrame, subs: DataFrame, cb: DataFrame,
+                       k: Int): DataFrame = {
     // ||sv - cv||² expanded with pinned association:
     // (sv·sv − 2·sv·cv) + cv·cv, each dot a left fold from 0.0
     val dist = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
@@ -596,6 +616,53 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select("probe_id", "vec_id", "score", "rnk")
+  }
+
+  /** PQ codebook SINK: the (j, cw, cv) codeword table as ONE sorted
+    * parquet file — nSub·codebookK rows (128 at defaults), the tiny
+    * artifact an ANN pipeline trains once and ships to every encode/
+    * search job. Doubles round-trip parquet bitwise, so the persisted
+    * codebook reconstructs exactly what the inline derivation would.
+    */
+  def writePqCodebook(cb: DataFrame, outDir: String): Unit =
+    cb.coalesce(1).sortWithinPartitions(col("j"), col("cw"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  /** PQ codebook SOURCE: explicit schema (the round-12 lesson — an
+    * empty artifact must read as an empty relation, never fail
+    * inference). */
+  def readPqCodebook(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("j INT, cw BIGINT, cv ARRAY<DOUBLE>").parquet(dir)
+
+  /** Q292 — PQ search from a PERSISTED codebook artifact (round-12
+    * verdict #4: the q287 merge-table discipline applied to the
+    * embedding side). The q61 codebooks are written ONCE per corpus
+    * fingerprint as a parquet artifact (write-once memoized — its own
+    * family tag, so no other query's materialization can stand in for
+    * the artifact under test), and the encode+search runs FROM the
+    * read-back table: a sink/source bug (dropped codewords, subspace
+    * id mangling, float truncation) breaks the hash compare against
+    * q61's oracle, and the plan pin proves search never re-derives
+    * the codebooks from the corpus.
+    *
+    * Scale shape: identical to q61 — the artifact is nSub·codebookK
+    * rows broadcast into the encode join; what changes at 100 TB is
+    * WHO pays for training: the codebook is derived and persisted
+    * once, then every daily encode/search job starts from the ~KB
+    * artifact instead of re-clustering the corpus.
+    */
+  def pqTopKFromArtifact(s: SparkSession, dir: String, nSub: Int = 8,
+                         subDim: Int = 8, codebookK: Int = 16,
+                         k: Int = 5): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val subs = pqSubvectors(e, nSub, subDim)
+    val art = ArtifactStore.materialized(s, "pq_codebook",
+      embFingerprint(s, dir),
+      dir, nSub.toString, subDim.toString, codebookK.toString)(out =>
+      writePqCodebook(pqCodebookOf(subs, codebookK), out))
+    pqSearch(e, subs, readPqCodebook(s, art), k)
   }
 
   /** Centroid count that keeps expected cluster occupancy ≈

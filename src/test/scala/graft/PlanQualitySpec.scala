@@ -534,6 +534,25 @@ class PlanQualitySpec extends SparkSpec {
       !fmt.contains("BroadcastNestedLoopJoin"), s"q290 unkeyed join:\n$fmt")
   }
 
+  test("q292: encode+search reads the codebook ARTIFACT; codebooks never re-derived") {
+    val df = SparkEntry.queries("q292_pq_artifact_rt")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("graft_pq_codebook"),
+      s"q292 must read the persisted codebook:\n$fmt")
+    // exactly TWO embeddings scans survive in the search plan — the
+    // subvector encode pass and the probe slice; a third would mean
+    // the codebook side re-derived from the corpus instead of the
+    // artifact (q61's inline plan carries that third scan)
+    // split on the numbered detail sections (the first one is glued to
+    // the tree header, so a blank-line split undercounts)
+    val scans = fmt.split("\n(?=\\(\\d+\\) )").count(p =>
+      p.linesIterator.toSeq.headOption.exists(_.contains("Scan parquet")) &&
+        p.contains("embeddings.parquet"))
+    assert(scans === 2,
+      s"expected 2 embeddings scans (encode + probes), got $scans:\n$fmt")
+  }
+
   test("q280: one scan per selection round; no exchange or join in the loop; local result") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()

@@ -632,4 +632,16 @@ class SimilaritySpec extends SparkSpec {
       assert(got.map(_._2) === Seq(0L, 6L))
     }
   }
+
+  test("q292: search from the persisted codebook == inline q61 bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSet
+    val inline = rows(Similarity.pqTopK(spark, dir))
+    val fromArt = rows(Similarity.pqTopKFromArtifact(spark, dir))
+    assert(inline.nonEmpty)
+    assert(fromArt === inline)
+  }
 }
