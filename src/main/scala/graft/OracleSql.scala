@@ -5720,6 +5720,70 @@ object OracleSql {
        |    / CAST(count(*) AS DOUBLE) AS mean_sq
        |FROM r WHERE rk = 1 GROUP BY 1""".stripMargin
 
+  /** Q293 — day-2 incremental k-center refresh (mirrors
+    * Similarity.coresetIncremental): the 'inc:' scramble on vec_id
+    * splits the corpus; rounds 1..k1 run the q280 chain over the
+    * EXISTING stratum (seed = its min vec_id), rounds k1+1..k2
+    * continue the same chain with the FULL corpus as the candidate
+    * source — the frozen-prefix form of Gonzalez. dmin per round is
+    * the same pinned-order sqDist fold / exact min; the artifact
+    * round-trip on the Spark side must be invisible (doubles are
+    * parquet-bitwise), so the whole flow hash-matches.
+    */
+  def q293CoresetIncremental(k1: Int = 8, k2: Int = 12, dim: Int = 64,
+                             modN: Int = 5): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('inc:' || CAST(vec_id AS VARCHAR))")
+    val rounds = (2 to k2).map { r =>
+      val src = if (r <= k1) "ex" else "e"
+      s"""m$r AS MATERIALIZED (
+         |  SELECT $src.vec_id, min(${sqDistTerms("de", "se", dim)}) AS dmin
+         |  FROM $src CROSS JOIN sel${r - 1} GROUP BY 1
+         |),
+         |p$r AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM (
+         |    SELECT vec_id, dmin,
+         |      row_number() OVER (ORDER BY dmin DESC, vec_id) AS rk
+         |    FROM m$r WHERE vec_id NOT IN (SELECT sid FROM sel${r - 1})
+         |  ) WHERE rk = 1
+         |),
+         |sel$r AS MATERIALIZED (
+         |  SELECT sid, se FROM sel${r - 1}
+         |  UNION ALL
+         |  SELECT p.vec_id, $src.de FROM p$r p
+         |  JOIN $src ON $src.vec_id = p.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (2 to k2).map(r =>
+      s"SELECT $r AS sel_round, vec_id, dmin FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |w0 AS (SELECT vec_id, $hSql AS u FROM embeddings),
+       |w1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM w0),
+       |w2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM w1),
+       |vf AS (SELECT vec_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |       FROM w2),
+       |ex AS MATERIALIZED (
+       |  SELECT e.vec_id, e.de FROM e JOIN vf USING (vec_id)
+       |  WHERE NOT incoming
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id AS sid, de AS se FROM ex
+       |  WHERE vec_id = (SELECT min(vec_id) FROM ex)
+       |),
+       |$rounds
+       |SELECT sel_round, vec_id, dmin,
+       |  CAST(sel_round > $k1 AS BIGINT) AS is_new
+       |FROM (
+       |  SELECT 1 AS sel_round, sid AS vec_id, CAST(NULL AS DOUBLE) AS dmin
+       |  FROM sel1
+       |  UNION ALL $union
+       |)""".stripMargin
+  }
+
   /** The shared Q280/Q281 farthest-point CTE chain: e → sel1 (seed) →
     * (min-distance pass m_r, argmax pick p_r, accumulated set sel_r)
     * for r = 2..k.

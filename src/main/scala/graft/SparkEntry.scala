@@ -441,7 +441,8 @@ object SparkEntry {
     "q290_span_index_purge" -> ((s, dir) => Dedup.spanIndexPurge(s, dir)),
     "q291_stream_span_scrub" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSpanScrubFixture(s, dir)),
-    "q292_pq_artifact_rt" -> ((s, dir) => Similarity.pqTopKFromArtifact(s, dir))
+    "q292_pq_artifact_rt" -> ((s, dir) => Similarity.pqTopKFromArtifact(s, dir)),
+    "q293_coreset_incr" -> ((s, dir) => Similarity.coresetIncremental(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -776,6 +777,7 @@ object SparkEntry {
     "q291_stream_span_scrub" -> OracleSql.q282SpanScrubIngest(),
     // the search FROM the persisted codebook artifact must equal the
     // inline q61 search, so q292 shares its oracle SQL
-    "q292_pq_artifact_rt" -> OracleSql.q61PqTopK()
+    "q292_pq_artifact_rt" -> OracleSql.q61PqTopK(),
+    "q293_coreset_incr" -> OracleSql.q293CoresetIncremental()
   )
 }

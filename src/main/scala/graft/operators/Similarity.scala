@@ -824,7 +824,7 @@ object Similarity {
     * never dangle.
     */
   private val coresetMemo = new java.util.LinkedHashMap[
-    (String, String, Int, Long),
+    (String, String, String, Long),
     (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])](8, 0.75f, true)
 
   /** embeddings.parquet fingerprint from filesystem METADATA only
@@ -840,10 +840,18 @@ object Similarity {
 
   private def selectCenters(s: SparkSession, dir: String, k: Int)
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
+    memoSelection(s, dir, s"all:$k")(runSelection(s, dir, k))
+
+  /** The coresetMemo wrapper: `variant` discriminates which selection
+    * the entry holds (full-corpus q280/q281 vs the q293 incremental
+    * chain). Fingerprint None bypasses (compute without caching). */
+  private def memoSelection(s: SparkSession, dir: String, variant: String)
+      (compute: => (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]))
+      : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
     embFingerprint(s, dir) match {
-      case None => runSelection(s, dir, k) // no fingerprint: bypass memo
+      case None => compute // no fingerprint: bypass memo
       case Some(fp) => coresetMemo.synchronized {
-        val key = (MemoKey.session(s), dir, k, fp)
+        val key = (MemoKey.session(s), dir, variant, fp)
         val hit = coresetMemo.get(key)
         if (hit != null) hit
         else {
@@ -851,7 +859,7 @@ object Similarity {
             val it = coresetMemo.entrySet().iterator()
             it.next(); it.remove()
           }
-          val v = runSelection(s, dir, k)
+          val v = compute
           coresetMemo.put(key, v)
           v
         }
@@ -867,17 +875,35 @@ object Similarity {
     * (round-11 ADVICE — the seed collect no longer throws).
     */
   private def runSelection(s: SparkSession, dir: String, k: Int)
-      : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) = {
-    val e = embeddings(s, dir)
+      : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
+    greedySelect(embDoubles(s, dir), k, Nil, Nil)
+
+  private def embDoubles(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("de"))
-    e.orderBy(col("vec_id")).limit(1).collect().headOption match {
+
+  /** The greedy farthest-point loop over an explicit candidate source,
+    * optionally SEEDED with an already-selected center list (the q293
+    * incremental path: day-1 centers come from the persisted artifact
+    * and only the extension rounds run). With an empty seed, round 1
+    * picks the min-vec_id vector of `e`.
+    */
+  private def greedySelect(e: DataFrame, k: Int,
+                           pre: List[(Long, Seq[Double])],
+                           audit0: Seq[(Int, Long, Option[Double])])
+      : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) = {
+    val seeded: Option[(List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])] =
+      if (pre.nonEmpty) Some((pre, audit0))
+      else e.orderBy(col("vec_id")).limit(1).collect().headOption.map(seed =>
+        (List((seed.getLong(0), seed.getSeq[Double](1))),
+          Seq((1, seed.getLong(0), Option.empty[Double]))))
+    seeded match {
       case None => (Nil, Nil) // empty corpus: empty selection + audit
-      case Some(seed) =>
-        var selected = List((seed.getLong(0), seed.getSeq[Double](1)))
-        val out = scala.collection.mutable.ArrayBuffer(
-          (1, seed.getLong(0), Option.empty[Double]))
-        var r = 2
+      case Some((pre0, a0)) =>
+        var selected = pre0
+        val out = scala.collection.mutable.ArrayBuffer(a0: _*)
+        var r = selected.size + 1
         var exhausted = false
         while (r <= k && !exhausted) {
           // ONE corpus pass per round, ZERO exchanges: the selected
@@ -944,6 +970,81 @@ object Similarity {
         col("radius_sq"),
         (col("dsum").cast("double") /
           col("n_assigned").cast("double")).as("mean_sq"))
+  }
+
+  /** Coreset artifact SINK: the selected centers with their vectors
+    * and per-round dmin audit as ONE sorted parquet file (k rows —
+    * pure driver data, the cross-run state an incremental curation
+    * pipeline persists between ingest days).
+    */
+  def writeCoreset(s: SparkSession,
+                   sel: List[(Long, Seq[Double])],
+                   audit: Seq[(Int, Long, Option[Double])],
+                   outDir: String): Unit = {
+    import s.implicits._
+    val vecs = sel.toMap
+    audit.map { case (r, id, dmin) => (r, id, dmin, vecs(id)) }
+      .toDF("sel_round", "vec_id", "dmin", "de")
+      .coalesce(1).sortWithinPartitions(col("sel_round"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+  }
+
+  /** Coreset artifact SOURCE (explicit schema — the round-12 lesson:
+    * an empty selection must read as an empty relation). */
+  def readCoreset(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(
+      "sel_round INT, vec_id BIGINT, dmin DOUBLE, de ARRAY<DOUBLE>")
+      .parquet(dir)
+
+  /** Q293 — DAY-2 INCREMENTAL k-center refresh (round-12 verdict #7:
+    * the q288 day-2 story told for coresets). Day 1 selects k1
+    * centers over the EXISTING stratum (the 'inc:' scramble on vec_id
+    * — the q282 membership discipline pointed at embeddings) and
+    * persists them as a parquet artifact ([[writeCoreset]],
+    * write-once per corpus fingerprint — day-1 work is fixture state,
+    * not the measured operator). Day 2 reads the artifact back, seeds
+    * the greedy loop with the persisted centers, and extends the
+    * selection to k2 over the FULL corpus (existing ∪ incoming) —
+    * incremental farthest-point-first: existing centers are never
+    * re-derived, and each extension round is the same one-scan
+    * zero-exchange pass as q280 (pin: exactly k2−k1 embeddings scans
+    * on the incremental path). Output: all k2 rounds with their dmin
+    * audit and an is_new flag.
+    *
+    * The greedy invariant that makes this sound: farthest-point
+    * rounds only APPEND to the selected set, so extending a day-1
+    * selection over the grown corpus is exactly the sequential
+    * algorithm run with the day-1 prefix frozen — the standard
+    * incremental form of Gonzalez (coverage degrades only where
+    * day-1 centers were chosen without seeing incoming data, which
+    * CoresetIncrSpec audits against a full recompute).
+    *
+    * Scale shape: the artifact is k·dim doubles (KBs); day 2 pays
+    * (k2−k1) corpus scans and nothing else — no reshuffle, no
+    * re-selection of the day-1 prefix. At 100 TB the same artifact
+    * seeds every day's refresh and the selection cost is O(new
+    * rounds), never O(k2) from scratch.
+    */
+  def coresetIncremental(s: SparkSession, dir: String, k1: Int = 8,
+                         k2: Int = 12, modN: Int = 5): DataFrame = {
+    import s.implicits._
+    val incoming = Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("inc:"), col("vec_id").cast("string")))) % modN === 0L
+    val art = ArtifactStore.materialized(s, "coreset_day1",
+      embFingerprint(s, dir), dir, k1.toString, modN.toString)(out => {
+      val (sel, audit) =
+        greedySelect(embDoubles(s, dir).filter(!incoming), k1, Nil, Nil)
+      writeCoreset(s, sel, audit, out)
+    })
+    val (_, rows) = memoSelection(s, dir, s"incr:$k1:$k2:$modN") {
+      val day1 = readCoreset(s, art).orderBy(col("sel_round")).collect()
+      val pre = day1.map(r => (r.getLong(1), r.getSeq[Double](3))).toList
+      val audit0 = day1.map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)))).toSeq
+      greedySelect(embDoubles(s, dir), k2, pre, audit0)
+    }
+    rows.toDF("sel_round", "vec_id", "dmin")
+      .withColumn("is_new", (col("sel_round") > k1).cast("long"))
   }
 
   /** Q127 — per-vector cluster-quality audit: the simplified

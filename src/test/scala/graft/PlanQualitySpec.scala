@@ -553,6 +553,48 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 2 embeddings scans (encode + probes), got $scans:\n$fmt")
   }
 
+  test("q293: cold pays k2 one-scan rounds; a warm artifact pays only the k2-k1 extension") {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    graft.operators.Similarity.clearCoresetMemo()
+    graft.operators.ArtifactStore.clearMaterialized()
+    try {
+      val (k1, k2) = (8, 12)
+      // COLD: day-1 selection over the existing stratum (seed + k1-1
+      // rounds) plus the k2-k1 extension rounds — exactly k2 scans;
+      // the artifact write/read moves k rows of driver data only
+      SparkEntry.queries("q293_coreset_incr")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      val cold = seen.asScala.count(_.contains("embeddings.parquet"))
+      assert(cold === k2, s"expected $k2 cold embeddings scans, got $cold")
+      seen.clear()
+      // WARM artifact (selection memo cleared): day-1 must NOT re-run —
+      // only the k2-k1 extension rounds scan the corpus, seeded from
+      // the persisted centers
+      graft.operators.Similarity.clearCoresetMemo()
+      SparkEntry.queries("q293_coreset_incr")(spark, sfDir)
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      val warm = seen.asScala.count(_.contains("embeddings.parquet"))
+      assert(warm === k2 - k1,
+        s"warm path must pay only the extension rounds, got $warm")
+      seen.asScala.filter(_.contains("embeddings.parquet")).foreach { p =>
+        assert(!p.contains("Exchange"), s"extension round shuffles:\n$p")
+        assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+          s"extension round joins a corpus side:\n$p")
+      }
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q280: one scan per selection round; no exchange or join in the loop; local result") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()

@@ -644,4 +644,67 @@ class SimilaritySpec extends SparkSpec {
     assert(inline.nonEmpty)
     assert(fromArt === inline)
   }
+
+  test("coresetIncremental == sequential frozen-prefix reference; radius audited vs full recompute") {
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // greedy farthest-point over candidate ids with a frozen prefix
+    def greedy(dv: Seq[Array[Double]], cand: Int => Seq[Int], upTo: Int,
+               pre: List[Int]): List[Int] = {
+      var selected = pre
+      for (r <- pre.size + 1 to upTo) {
+        val cs = cand(r).filterNot(selected.contains)
+          .map(i => (i.toLong, selected.map(s => sq(dv(i), dv(s))).min))
+        selected = selected :+ cs.sortBy(c => (-c._2, c._1)).head._1.toInt
+      }
+      selected
+    }
+    def radius(dv: Seq[Array[Double]], sel: List[Int]): Double =
+      dv.indices.map(i => sel.map(s => sq(dv(i), dv(s))).min).max
+    for (seed <- Seq(5L, 271L)) {
+      val (k1, k2) = (4, 7)
+      val vecs = randVecs(19, dim = 16, seed = seed)
+      val dv = vecs.map(_.map(_.toDouble))
+      val member = spark.range(vecs.size).select(col("id"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+          % 5 === 0L).as("inc")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val exIds = dv.indices.filterNot(i => member(i.toLong)).toList
+      assert(exIds.nonEmpty && dv.indices.exists(i => member(i.toLong)),
+        s"seed=$seed fixture must carry both strata")
+      // sequential reference: rounds 1..k1 over the existing stratum,
+      // k1+1..k2 over the full corpus (frozen day-1 prefix)
+      var selected = List(exIds.min)
+      val want = scala.collection.mutable.ArrayBuffer(
+        (1, exIds.min.toLong, Option.empty[Double], 0L))
+      for (r <- 2 to k2) {
+        val pool = if (r <= k1) exIds else dv.indices.toList
+        val cs = pool.filterNot(selected.contains)
+          .map(i => (i.toLong, selected.map(s => sq(dv(i), dv(s))).min))
+        val best = cs.sortBy(c => (-c._2, c._1)).head
+        want += ((r, best._1, Some(best._2), if (r > k1) 1L else 0L))
+        selected = selected :+ best._1.toInt
+      }
+      withEmbDir(vecs) { dir =>
+        val got = Similarity.coresetIncremental(spark, dir, k1, k2, 5)
+          .collect().map(r => (r.getAs[Int]("sel_round"),
+            r.getAs[Long]("vec_id"),
+            Option(r.getAs[java.lang.Double]("dmin")).map(_.toDouble),
+            r.getAs[Long]("is_new"))).toSeq.sortBy(_._1)
+        assert(got === want.toSeq, s"seed=$seed")
+      }
+      // radius audit: the frozen-prefix selection covers within a small
+      // factor of a full k2 recompute (both are deterministic here; the
+      // pipeline signal is a day-1 prefix going stale as data shifts)
+      val full = greedy(dv, _ => dv.indices.toList, k2, List(dv.indices.min))
+      val rIncr = radius(dv, selected)
+      val rFull = radius(dv, full)
+      assert(rIncr <= 3.0 * rFull,
+        s"seed=$seed incremental radius $rIncr vs full $rFull")
+    }
+  }
 }
