@@ -432,22 +432,35 @@ object Dedup {
     * / containment split, and the signal that catches quote-inflation
     * and wrapper-page duplication in a pretraining corpus.
     *
-    * Scale shape is q15e's: shingle explode → hot-shingle df cap via
-    * broadcast anti-join (bounded candidate fanout, dropped shingles
-    * auditable), intersection counts from the shingle-keyed
-    * self-join, sizes joined back. One extra `least()` — no new
-    * shuffle.
+    * Scale shape: shingle explode → hot-shingle df cap via broadcast
+    * anti-join (bounded candidate fanout, dropped shingles
+    * auditable); intersections come from ONE h-keyed aggregate that
+    * collects each surviving shingle's (≤ maxDf, df-capped) doc list,
+    * drops singleton shingles — the overwhelming majority, so the
+    * pair stage's input collapses — and explodes the sorted list's
+    * a<b pairs in-place; pair counts then aggregate on (doc_a, doc_b).
+    * Until round 12 this was a shingle-keyed SELF-JOIN over a cached
+    * copy of the exploded shingle table: two SMJ sort buffers plus
+    * columnar cache made q121 the canonical in-run memory spiker
+    * (round-12 verdict #6 — 28–43 s CPU in-run vs 9.5 standalone).
+    * The aggregate form shuffles the shingle table once, holds ≤
+    * maxDf ids per group, and needs no cache; per-shingle pair volume
+    * stays ≤ maxDf²/2, linear in corpus size.
     */
   def shingleContainment(s: SparkSession, dir: String,
                          minContainment: Double = 0.8,
                          maxDf: Long = 100L): DataFrame = {
     val hot = droppedShingles(s, dir, maxDf).select("h")
     val sh = shingleHashes(docs(s, dir))
-      .join(broadcast(hot), Seq("h"), "left_anti").cache()
+      .join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val inter = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))

@@ -61,6 +61,18 @@ class PlanQualitySpec extends SparkSpec {
       s"hot-shingle exclusion must be a broadcast anti-join:\n$p")
   }
 
+  test("q121: intersections via one h-keyed aggregate — no self-join, no cache") {
+    val p = plan("q121_containment")
+    // round-12 verdict #6: the old shingle-keyed SELF-JOIN over a
+    // cached exploded table was the canonical in-run memory spiker;
+    // the pair stage is now aggregate + in-place pair explosion
+    assert(!p.contains("InMemoryTableScan"),
+      s"q121 must not cache the shingle table:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q121 self-join returned:\n$p")
+    assert(p.contains("collect_list") || p.contains("sort_array"),
+      s"pair stage must be the doc-list aggregate:\n$p")
+  }
+
   test("q16b: multi-probe candidate join is an equi join on the bucket key") {
     val p = plan("q16b_lsh_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
