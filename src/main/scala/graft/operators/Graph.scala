@@ -279,13 +279,16 @@ object Graph {
     * table a recompute would build.
     */
   private val lpMemo =
-    // access-ordered so the eldest entry IS the least-recently-used
-    // one; all access goes through lpMemo.synchronized (LinkedHashMap
-    // is not thread-safe, and eviction must pair atomically with the
-    // explicit block release below). Keyed by the session's UUID
-    // STRING (MemoKey.session, round-11 ADVICE) — a SparkSession
-    // reference in the key pinned stopped sessions from GC.
-    new java.util.LinkedHashMap[(String, String, Int, Int, Long), DataFrame](16, 0.75f, true)
+    // GraftMemo since round 13 (round-12 ADVICE): values compute
+    // OUTSIDE the map lock, so one session's LP fixpoint no longer
+    // serializes unrelated keyed calls; LRU eviction still releases
+    // checkpoint blocks, dead-context entries purge on access. Keyed
+    // by the session's UUID STRING (MemoKey.session, round-11
+    // ADVICE) — a SparkSession reference in the key pinned stopped
+    // sessions from GC.
+    new GraftMemo[(String, String, Int, Int, Long), DataFrame](
+      cap = 8, release = releaseLabels,
+      dead = df => df.sparkSession.sparkContext.isStopped)
 
   /** Release the block-manager residue behind a memoized label table:
     * a localCheckpoint'd Dataset is a LogicalRDD over a persisted RDD,
@@ -316,10 +319,7 @@ object Graph {
   /** Test hook: drop memoized LP labels (e.g. to exercise both the
     * miss and hit paths in one suite), releasing their checkpoint
     * blocks on the way out. */
-  private[graft] def clearLpMemo(): Unit = lpMemo.synchronized {
-    lpMemo.values().forEach(releaseLabels(_))
-    lpMemo.clear()
-  }
+  private[graft] def clearLpMemo(): Unit = lpMemo.clear()
 
   /** The one LP compute path behind both lpLabels branches (memo miss
     * and fingerprint-bypass): derive the co-purchase edges, run the
@@ -342,42 +342,23 @@ object Graph {
     case None =>
       // fingerprint unavailable: compute WITHOUT caching (see
       // dataFingerprint's scaladoc — never memoize under an
-      // error-derived key)
-      runLp(s, dir, iters, minSupport)
-    case Some(fp) => lpMemo.synchronized {
-    // drop entries whose owning context already stopped: their blocks
-    // died with the context, and releasing them at LRU time would be
-    // a stopped-context no-op wasting the evicted slot (round-11
-    // ADVICE)
-    lpMemo.entrySet().removeIf(e =>
-      try e.getValue.sparkSession.sparkContext.isStopped
-      catch { case _: Throwable => true })
-    val key = (MemoKey.session(s), dir, iters, minSupport, fp)
-    val hit = lpMemo.get(key)
-    if (hit != null) hit
-    else {
+      // error-derived key). The bypassed result's checkpoint blocks
+      // have no memo owner, so they are ADOPTED: released as soon as
+      // the first query materializing them completes (round-12
+      // ADVICE — they used to leak until session end).
+      CheckpointOrphans.adopt(runLp(s, dir, iters, minSupport))
+    case Some(fp) =>
       // Bound the memo (checkpointed blocks are never GC'd while
-      // mapped): LRU-evict ONE entry and unpersist its checkpoint
-      // blocks explicitly. Round-9's wholesale clear() dropped
-      // references without releasing storage AND evicted hot entries
-      // alongside cold ones (round-10 ADVICE) — with the access-
-      // ordered map the eldest entry is exactly the LRU victim, and
-      // the next REQUEST for an evicted key recomputes correctly.
+      // mapped): GraftMemo LRU-evicts ONE entry and unpersists its
+      // checkpoint blocks explicitly; dead-context entries purge on
+      // access (round-10/11 ADVICE history in GraftMemo's scaladoc).
       // Ownership contract: the memo owns the checkpoint blocks; a
       // label table is consumed within the query that requested it.
       // A caller holding the DataFrame unexecuted across 8+ other
       // keyed calls would find its lineage-truncated blocks released
       // — such a caller must checkpoint its own copy.
-      if (lpMemo.size >= 8) {
-        val it = lpMemo.entrySet().iterator()
-        releaseLabels(it.next().getValue)
-        it.remove()
-      }
-      val v = runLp(s, dir, iters, minSupport)
-      lpMemo.put(key, v)
-      v
-    }
-    }
+      lpMemo.get((MemoKey.session(s), dir, iters, minSupport, fp))(
+        runLp(s, dir, iters, minSupport))
   }
 
   /** The synchronous LP loop over a canonical (a < b) edge set —

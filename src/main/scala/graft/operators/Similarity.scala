@@ -823,9 +823,9 @@ object Similarity {
     * eviction needs no storage release and handed-out results can
     * never dangle.
     */
-  private val coresetMemo = new java.util.LinkedHashMap[
+  private val coresetMemo = new GraftMemo[
     (String, String, String, Long),
-    (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])](8, 0.75f, true)
+    (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])](cap = 8)
 
   /** embeddings.parquet fingerprint from filesystem METADATA only
     * (the Graph.dataFingerprint pattern). None on a listing failure →
@@ -835,8 +835,7 @@ object Similarity {
 
   /** Test hook: drop memoized selections (pure data — nothing to
     * release). */
-  private[graft] def clearCoresetMemo(): Unit =
-    coresetMemo.synchronized { coresetMemo.clear() }
+  private[graft] def clearCoresetMemo(): Unit = coresetMemo.clear()
 
   private def selectCenters(s: SparkSession, dir: String, k: Int)
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
@@ -849,21 +848,9 @@ object Similarity {
       (compute: => (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]))
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) =
     embFingerprint(s, dir) match {
-      case None => compute // no fingerprint: bypass memo
-      case Some(fp) => coresetMemo.synchronized {
-        val key = (MemoKey.session(s), dir, variant, fp)
-        val hit = coresetMemo.get(key)
-        if (hit != null) hit
-        else {
-          if (coresetMemo.size >= 8) {
-            val it = coresetMemo.entrySet().iterator()
-            it.next(); it.remove()
-          }
-          val v = compute
-          coresetMemo.put(key, v)
-          v
-        }
-      }
+      case None => compute // no fingerprint: bypass memo (pure data)
+      case Some(fp) =>
+        coresetMemo.get((MemoKey.session(s), dir, variant, fp))(compute)
     }
 
   /** The shared Q280/Q281 greedy selection loop: returns the selected

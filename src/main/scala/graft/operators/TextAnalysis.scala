@@ -879,9 +879,15 @@ object TextAnalysis {
     * holding one unexecuted across 4+ other keyed trainings must
     * checkpoint its own copy.
     */
-  private val bpeMemo = new java.util.LinkedHashMap[
+  private val bpeMemo = new GraftMemo[
     (String, String, Int, String, Long),
-    (DataFrame, Seq[(Int, String, String, String, Long)])](8, 0.75f, true)
+    (DataFrame, Seq[(Int, String, String, String, Long)])](
+    // bound raised 4 → 6 in round 12: one corpus dir owns up to THREE
+    // entries (shards "all"/"existing"/"incoming"), and the bound must
+    // hold a full dir's working set plus one spec temp-dir without
+    // thrashing the bench's hot entries
+    cap = 6, release = v => releaseRound(v._1),
+    dead = v => v._1.sparkSession.sparkContext.isStopped)
 
   /** documents.parquet fingerprint from filesystem METADATA only —
     * the Graph.dataFingerprint pattern pointed at the corpus table.
@@ -894,10 +900,7 @@ object TextAnalysis {
   /** Test hook: drop memoized trainings, releasing their checkpoint
     * blocks (mirrors Graph.clearLpMemo). */
   private[graft] def clearBpeMemo(): Unit = {
-    bpeMemo.synchronized {
-      bpeMemo.values().forEach(v => releaseRound(v._1))
-      bpeMemo.clear()
-    }
+    bpeMemo.clear()
     clearFrozenMemo() // keep "cold" cold for the q283 plan pins
   }
 
@@ -912,33 +915,18 @@ object TextAnalysis {
       (compute: => (DataFrame, Seq[(Int, String, String, String, Long)]))
       : (DataFrame, Seq[(Int, String, String, String, Long)]) =
     fingerprint match {
-      case None => compute // no fingerprint: bypass memo
-      case Some(fp) => bpeMemo.synchronized {
-        // purge entries whose owning context stopped — their
-        // checkpoint blocks died with the context; keeping them
-        // wastes slots and their release would no-op (round-11
-        // ADVICE)
-        bpeMemo.entrySet().removeIf(e =>
-          try e.getValue._1.sparkSession.sparkContext.isStopped
-          catch { case _: Throwable => true })
-        val key = (MemoKey.session(s), dir, merges, shard, fp)
-        val hit = bpeMemo.get(key)
-        if (hit != null) hit
-        else {
-          // bound raised 4 → 6 in round 12: one corpus dir now owns up
-          // to THREE entries (shards "all"/"existing"/"incoming"), and
-          // the bound must hold a full dir's working set plus one
-          // spec temp-dir without thrashing the bench's hot entries
-          if (bpeMemo.size >= 6) {
-            val it = bpeMemo.entrySet().iterator()
-            releaseRound(it.next().getValue._1)
-            it.remove()
-          }
-          val v = compute
-          bpeMemo.put(key, v)
-          v
-        }
-      }
+      case None =>
+        // no fingerprint: bypass memo — and ADOPT the ownerless
+        // checkpointed segmentation so its blocks release once the
+        // requesting query materializes (round-12 ADVICE: the bypass
+        // path leaked them until session end)
+        val v = compute
+        (CheckpointOrphans.adopt(v._1), v._2)
+      case Some(fp) =>
+        // training runs OUTSIDE the map lock (GraftMemo) — the
+        // round-12 ADVICE fix: the old synchronized-block compute
+        // serialized unrelated concurrent queries behind one loop
+        bpeMemo.get((MemoKey.session(s), dir, merges, shard, fp))(compute)
     }
 
   private def trainedSeg(s: SparkSession, dir: String, merges: Int)
@@ -956,12 +944,11 @@ object TextAnalysis {
     * because it changes the existing/incoming split); eviction needs
     * no release.
     */
-  private val frozenMemo = new java.util.LinkedHashMap[
+  private val frozenMemo = new GraftMemo[
     (String, String, Int, Int, Long),
-    Seq[(Int, String, String, String, Long)]](8, 0.75f, true)
+    Seq[(Int, String, String, String, Long)]](cap = 8)
 
-  private[graft] def clearFrozenMemo(): Unit =
-    frozenMemo.synchronized { frozenMemo.clear() }
+  private[graft] def clearFrozenMemo(): Unit = frozenMemo.clear()
 
   private def frozenMerges(s: SparkSession, dir: String, merges: Int,
                            modN: Int, fingerprint: Option[Long],
@@ -974,20 +961,8 @@ object TextAnalysis {
     }
     fingerprint match {
       case None => compute
-      case Some(fp) => frozenMemo.synchronized {
-        val key = (MemoKey.session(s), dir, merges, modN, fp)
-        val hit = frozenMemo.get(key)
-        if (hit != null) hit
-        else {
-          if (frozenMemo.size >= 8) {
-            val it = frozenMemo.entrySet().iterator()
-            it.next(); it.remove()
-          }
-          val v = compute
-          frozenMemo.put(key, v)
-          v
-        }
-      }
+      case Some(fp) =>
+        frozenMemo.get((MemoKey.session(s), dir, merges, modN, fp))(compute)
     }
   }
 

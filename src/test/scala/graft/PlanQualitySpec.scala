@@ -62,6 +62,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q121: intersections via one h-keyed aggregate — no self-join, no cache") {
+    // earlier suites may have cached a shared subtree (q15e caches its
+    // shingle table); plan-level cache reuse would then inject an
+    // InMemoryTableScan that is not q121's own doing — clear first so
+    // the pin tests THIS operator's storage behavior
+    spark.catalog.clearCache()
     val p = plan("q121_containment")
     // round-12 verdict #6: the old shingle-keyed SELF-JOIN over a
     // cached exploded table was the canonical in-run memory spiker;
