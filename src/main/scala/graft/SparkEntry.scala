@@ -442,7 +442,8 @@ object SparkEntry {
     "q291_stream_span_scrub" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSpanScrubFixture(s, dir)),
     "q292_pq_artifact_rt" -> ((s, dir) => Similarity.pqTopKFromArtifact(s, dir)),
-    "q293_coreset_incr" -> ((s, dir) => Similarity.coresetIncremental(s, dir))
+    "q293_coreset_incr" -> ((s, dir) => Similarity.coresetIncremental(s, dir)),
+    "q294_ivf_artifact_rt" -> ((s, dir) => Similarity.ivfTopKFromArtifact(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -778,6 +779,9 @@ object SparkEntry {
     // the search FROM the persisted codebook artifact must equal the
     // inline q61 search, so q292 shares its oracle SQL
     "q292_pq_artifact_rt" -> OracleSql.q61PqTopK(),
-    "q293_coreset_incr" -> OracleSql.q293CoresetIncremental()
+    "q293_coreset_incr" -> OracleSql.q293CoresetIncremental(),
+    // the search FROM the persisted coarse quantizer must equal the
+    // inline q16c search, so q294 shares its oracle SQL
+    "q294_ivf_artifact_rt" -> OracleSql.q16cIvfTopK()
   )
 }

@@ -458,6 +458,13 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("de"))
     val cent = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("de").as("ce"))
+    ivfSearch(e, cent, nProbe, k)
+  }
+
+  /** The shared q16c/q294 assign+search against an explicit centroid
+    * table (inline-derived or read back from the parquet artifact). */
+  private def ivfSearch(e: DataFrame, cent: DataFrame, nProbe: Int,
+                        k: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(cent))
@@ -476,6 +483,41 @@ object Similarity {
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= k)
       .select("probe_id", "vec_id", "sim", "rnk")
+  }
+
+  /** IVF centroid SINK/SOURCE: the coarse quantizer as ONE sorted
+    * parquet file (nCentroids rows) with an explicit read schema —
+    * the second half of the round-12 #4 ask (q292 persisted the PQ
+    * codebooks; this persists the IVF quantizer). */
+  def writeIvfCentroids(cent: DataFrame, outDir: String): Unit =
+    cent.coalesce(1).sortWithinPartitions(col("cid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  def readIvfCentroids(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("cid BIGINT, ce ARRAY<DOUBLE>").parquet(dir)
+
+  /** Q294 — IVF search from a PERSISTED coarse-quantizer artifact:
+    * q16c's centroid table written once per corpus fingerprint
+    * ([[writeIvfCentroids]]), read back, and the assign+search run
+    * FROM the read table — output byte-identical to q16c (shared
+    * oracle SQL). Together with q292 this makes the ANN "index" a
+    * real cross-run artifact: quantizer + codebooks persist, daily
+    * jobs broadcast the KB-sized tables and never re-derive them
+    * from the corpus (plan-pinned: exactly two embeddings scans —
+    * list building and probe assignment both ride the same
+    * broadcast).
+    */
+  def ivfTopKFromArtifact(s: SparkSession, dir: String,
+                          nCentroids: Int = 8, nProbe: Int = 2,
+                          k: Int = 5): DataFrame = {
+    val e = embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val art = ArtifactStore.materialized(s, "ivf_centroids",
+      embFingerprint(s, dir), dir, nCentroids.toString)(out =>
+      writeIvfCentroids(e.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("de").as("ce")), out))
+    ivfSearch(e, readIvfCentroids(s, art), nProbe, k)
   }
 
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /

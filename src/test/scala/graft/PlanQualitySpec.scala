@@ -612,6 +612,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
+    val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("graft_ivf_centroids"),
+      s"q294 must read the persisted quantizer:\n$fmt")
+    // exactly TWO embeddings scans (inverted-list build + probe
+    // assignment); a third would mean the centroid side re-derived
+    // from the corpus instead of the artifact
+    val scans = fmt.split("\n(?=\\(\\d+\\) )").count(p =>
+      p.linesIterator.toSeq.headOption.exists(_.contains("Scan parquet")) &&
+        p.contains("embeddings.parquet"))
+    assert(scans === 2,
+      s"expected 2 embeddings scans (lists + probes), got $scans:\n$fmt")
+  }
+
   test("q280: one scan per selection round; no exchange or join in the loop; local result") {
     import scala.jdk.CollectionConverters._
     val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()

@@ -707,4 +707,16 @@ class SimilaritySpec extends SparkSpec {
         s"seed=$seed incremental radius $rIncr vs full $rFull")
     }
   }
+
+  test("q294: search from the persisted IVF quantizer == inline q16c bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"),
+        r.getAs[Int]("rnk"))).toSet
+    val inline = rows(Similarity.ivfTopK(spark, dir))
+    val fromArt = rows(Similarity.ivfTopKFromArtifact(spark, dir))
+    assert(inline.nonEmpty)
+    assert(fromArt === inline)
+  }
 }
