@@ -995,10 +995,11 @@ object Dedup {
                      nShards: Int = 8): Unit =
     layShards(index, outDir, nShards, org.apache.spark.sql.SaveMode.Overwrite)
 
-  /** The one shard-layout writer behind writeSpanIndex and
-    * appendSpanIndex (differing ONLY in SaveMode): the q286 invariant
-    * that appends land shard-aligned with the original write holds
-    * because both paths share this exact derivation. */
+  /** The one shard-layout writer behind writeSpanIndex,
+    * writeSpanDelta, and the q289 compaction rewrite: the invariant
+    * that every generation lands shard-aligned with every other
+    * (same h-mod membership, h-sorted within shards) holds because
+    * all paths share this exact derivation. */
   private def layShards(index: DataFrame, outDir: String, nShards: Int,
                         mode: org.apache.spark.sql.SaveMode): Unit =
     index.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
@@ -1141,10 +1142,11 @@ object Dedup {
     layShards(fresh, deltaDir, nShards, org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Q286 — span-index REFRESH audit: the day-N+1 step q285 leads to.
-    * Persist the existing-corpus index, anti-join the incoming
-    * shard's distinct span hashes against it, APPEND only the novel
-    * hashes shard-aligned (appendSpanIndex), and audit the refreshed
-    * directory per shard: hashes before, hashes added, hashes after.
+    * Against the write-once BASE index of the existing corpus,
+    * anti-join the incoming shard's distinct span hashes and land
+    * ONLY the novel ones shard-aligned in a fresh DELTA generation
+    * (writeSpanDelta); audit the refreshed index (base ∪ delta) per
+    * shard: hashes before, hashes added, hashes after.
     * The index tracks spans EVER SEEN (existing ∪ incoming), so every
     * future occurrence of any seen span is cut — the standard
     * cross-run contract of a dedup index.

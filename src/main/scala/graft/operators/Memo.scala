@@ -20,10 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Eviction discipline (the round-9/10 adjudicated contract,
   * unchanged): evict ONE LRU entry, releasing its checkpoint blocks
   * via `release`; entries whose value reports `dead` (owning context
-  * stopped — blocks died with it) are purged on every access. A
-  * victim still IN FLIGHT is skipped by the release (its computing
-  * caller owns the result; rare, and bounded by the map cap) rather
-  * than released under a live reader.
+  * stopped — blocks died with it) are purged on every access. Only
+  * COMPLETED entries are eviction candidates: evicting an in-flight
+  * cell would orphan its result's blocks and let a same-key racer
+  * start a duplicate compute — instead the map briefly exceeds `cap`
+  * by the number of concurrently-computing keys.
   */
 private[graft] final class GraftMemo[K, V](cap: Int,
                                            release: V => Unit = (_: V) => (),
@@ -49,9 +50,21 @@ private[graft] final class GraftMemo[K, V](cap: Int,
       if (hit != null) hit
       else {
         if (m.size >= cap) {
+          // evict the LRU COMPLETED entry only: evicting an in-flight
+          // cell would orphan its result's checkpoint blocks AND let a
+          // same-key racer start a duplicate compute (review finding).
+          // With every entry in flight the map briefly exceeds cap —
+          // bounded by the number of concurrently-computing keys.
           val it = m.entrySet().iterator()
-          evicted = it.next().getValue
-          it.remove()
+          var victim: java.util.Map.Entry[K, Cell] = null
+          while (victim == null && it.hasNext) {
+            val e = it.next()
+            if (e.getValue.done) victim = e
+          }
+          if (victim != null) {
+            evicted = victim.getValue
+            m.remove(victim.getKey)
+          }
         }
         val c = new Cell(() => f)
         m.put(key, c)
@@ -83,11 +96,15 @@ private[graft] final class GraftMemo[K, V](cap: Int,
   *
   * [[adopt]] records the result's checkpoint RDDs and registers (once
   * per session) a QueryExecutionListener that unpersists them as soon
-  * as any query materializing the plan completes — the "consumed
-  * within the requesting query" ownership contract the memos already
-  * document, applied to the ownerless path. Best-effort throughout: a
-  * sweep failure degrades to the old leak-until-session-end, never to
-  * an error on the query path.
+  * as a query materializing the plan completes SUCCESSFULLY — the
+  * "consumed within the requesting query" ownership contract the
+  * memos already document, applied to the ownerless path. A failed
+  * action keeps the blocks so a retry of the same plan still works;
+  * a bypass caller that needs MULTIPLE successful actions over one
+  * result must checkpoint its own copy (same contract as holding a
+  * memo value across evictions). Best-effort throughout: a sweep
+  * failure degrades to the old leak-until-session-end, never to an
+  * error on the query path.
   */
 private[graft] object CheckpointOrphans {
 
@@ -110,9 +127,13 @@ private[graft] object CheckpointOrphans {
               override def onSuccess(funcName: String,
                   qe: org.apache.spark.sql.execution.QueryExecution,
                   durationNs: Long): Unit = sweep(qe)
+              // a FAILED action keeps the blocks (review finding): the
+              // caller's retry of the same plan must still find its
+              // lineage-truncated checkpoint — release only after a
+              // successful materialization
               override def onFailure(funcName: String,
                   qe: org.apache.spark.sql.execution.QueryExecution,
-                  exception: Exception): Unit = sweep(qe)
+                  exception: Exception): Unit = ()
             })
       }
     } catch { case _: Throwable => () }

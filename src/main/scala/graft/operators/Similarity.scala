@@ -916,11 +916,17 @@ object Similarity {
     * optionally SEEDED with an already-selected center list (the q293
     * incremental path: day-1 centers come from the persisted artifact
     * and only the extension rounds run). With an empty seed, round 1
-    * picks the min-vec_id vector of `e`.
+    * picks the min-vec_id vector of `e`. `firstRound` (when > 0)
+    * overrides the number of the first NEW round — the q293 case
+    * where a day-1 stratum smaller than k1 exhausted early: rounds
+    * |day1|+1..k1 had no candidates and must stay ABSENT (the
+    * oracle's empty-argmax CTEs skip them), so the extension numbers
+    * its picks from k1+1 regardless of the seed's size.
     */
   private def greedySelect(e: DataFrame, k: Int,
                            pre: List[(Long, Seq[Double])],
-                           audit0: Seq[(Int, Long, Option[Double])])
+                           audit0: Seq[(Int, Long, Option[Double])],
+                           firstRound: Int = 0)
       : (List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])]) = {
     val seeded: Option[(List[(Long, Seq[Double])], Seq[(Int, Long, Option[Double])])] =
       if (pre.nonEmpty) Some((pre, audit0))
@@ -932,7 +938,7 @@ object Similarity {
       case Some((pre0, a0)) =>
         var selected = pre0
         val out = scala.collection.mutable.ArrayBuffer(a0: _*)
-        var r = selected.size + 1
+        var r = if (firstRound > 0) firstRound else selected.size + 1
         var exhausted = false
         while (r <= k && !exhausted) {
           // ONE corpus pass per round, ZERO exchanges: the selected
@@ -1067,10 +1073,18 @@ object Similarity {
     })
     val (_, rows) = memoSelection(s, dir, s"incr:$k1:$k2:$modN") {
       val day1 = readCoreset(s, art).orderBy(col("sel_round")).collect()
-      val pre = day1.map(r => (r.getLong(1), r.getSeq[Double](3))).toList
-      val audit0 = day1.map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)))).toSeq
-      greedySelect(embDoubles(s, dir), k2, pre, audit0)
+      if (day1.isEmpty) (Nil, Nil) // empty existing stratum: the
+      // oracle's seed CTE is empty and every later argmax degrades to
+      // zero rows — an empty artifact extends to NOTHING, matching it
+      else {
+        val pre = day1.map(r => (r.getLong(1), r.getSeq[Double](3))).toList
+        val audit0 = day1.map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2)))).toSeq
+        // extension rounds are numbered from k1+1 even when day 1
+        // exhausted early (stratum smaller than k1): the skipped
+        // rounds had no candidates and stay absent in both engines
+        greedySelect(embDoubles(s, dir), k2, pre, audit0, firstRound = k1 + 1)
+      }
     }
     rows.toDF("sel_round", "vec_id", "dmin")
       .withColumn("is_new", (col("sel_round") > k1).cast("long"))

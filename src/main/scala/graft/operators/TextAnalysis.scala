@@ -1270,27 +1270,6 @@ object TextAnalysis {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
 
-  /** Per-(corpus, params) scratch dir for the q287 merge-table
-    * artifact — the Dedup.indexScratchDir discipline (reuse +
-    * shutdown-hook delete, never a leak per call). */
-  private val scratchDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchDirs.forEach { d =>
-        try org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(d))
-        catch { case _: Throwable => () }
-      }))
-  }
-  private def mergeScratchDir(dir: String, merges: Int, modN: Int): String = {
-    val key = java.lang.Integer.toHexString((dir, merges, modN).hashCode)
-    val p = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), s"graft_bpe_merges_$key")
-    scratchDirs.add(p.toString)
-    p.toString
-  }
-
   /** Q287 — frozen-vocabulary encode from a PERSISTED merge table:
     * train on the existing shard, WRITE the merge table as parquet,
     * READ it back, and replay the READ artifact over the incoming
@@ -1317,8 +1296,12 @@ object TextAnalysis {
     val existing = d.filter(!col("incoming")).drop("incoming")
     val incoming = d.filter(col("incoming")).drop("incoming")
     val fp = docsFingerprint(s, dir)
-    val out = mergeScratchDir(dir, merges, modN)
-    writeMergeTable(s, frozenMerges(s, dir, merges, modN, fp, existing), out)
+    // ArtifactStore since round 13 (review finding): the old local
+    // scratch key was the 32-bit Tuple.hashCode — collidable across
+    // corpus dirs — and overwrote one directory per invocation
+    val out = ArtifactStore.materialized(s, "bpe_merges", fp,
+      dir, merges.toString, modN.toString)(o =>
+      writeMergeTable(s, frozenMerges(s, dir, merges, modN, fp, existing), o))
     val shipped = readMergeTable(s, out)
     // a DISTINCT memo tag from q283: sharing "incoming:modN" would
     // memo-hit q283's replay and silently bypass the shipped artifact

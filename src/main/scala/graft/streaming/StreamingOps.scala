@@ -1640,12 +1640,22 @@ object StreamingOps {
             // exchange; the batch is bounded by the hash's in-batch
             // occurrence count)
             val v = rows.toVector.sortBy(r => (r._2, r._3))
-            val removed =
-              if (v.head._4 || st.exists) v // index-owned or already seen
-              else v.tail                   // fresh: first occurrence wins
-            st.update(true)
-            st.setTimeoutTimestamp(v.map(_._5.getTime).max + horizonMs)
-            removed.iterator.map(r => (r._2, r._3))
+            if (v.head._4) {
+              // index-owned: every occurrence is cut by the static
+              // probe in EVERY batch — no keyed state needed, so the
+              // state store holds only FRESH hashes (review finding:
+              // updating state here too made it O(all distinct
+              // hashes), ~1000x the documented O(fresh) at a real
+              // ingest's index hit rate)
+              v.iterator.map(r => (r._2, r._3))
+            } else {
+              val removed =
+                if (st.exists) v // seen in an earlier batch
+                else v.tail      // fresh: first occurrence wins
+              st.update(true)
+              st.setTimeoutTimestamp(v.map(_._5.getTime).max + horizonMs)
+              removed.iterator.map(r => (r._2, r._3))
+            }
           }
       }
       .toDF("doc_id", "pos")

@@ -93,4 +93,31 @@ class MemoSpec extends SparkSpec {
       org.apache.spark.storage.StorageLevel.NONE,
       "adopted checkpoint blocks must be unpersisted after the query completes")
   }
+
+  test("GraftMemo: an in-flight entry is never evicted (no duplicate compute, no orphan)") {
+    val released = scala.collection.mutable.ArrayBuffer[Int]()
+    val memo = new GraftMemo[String, Int](cap = 1, release = released += _)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fa = pool.submit(() => memo.get("slow") {
+        started.countDown()
+        assert(gate.await(10, java.util.concurrent.TimeUnit.SECONDS))
+        1
+      }: Integer)
+      assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // over-cap inserts while "slow" is in flight: the in-flight cell
+      // must survive (only DONE entries are eviction candidates)
+      memo.get("b")(2)
+      memo.get("c")(3) // evicts b (done), not slow (in flight)
+      gate.countDown()
+      assert(fa.get(10, java.util.concurrent.TimeUnit.SECONDS) === 1)
+      assert(released.toSeq === Seq(2))
+      // "slow" is still mapped: a hit, not a duplicate compute
+      val computed = new java.util.concurrent.atomic.AtomicInteger(0)
+      assert(memo.get("slow") { computed.incrementAndGet(); 99 } === 1)
+      assert(computed.get() === 0)
+    } finally pool.shutdownNow()
+  }
 }

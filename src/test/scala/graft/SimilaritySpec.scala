@@ -719,4 +719,49 @@ class SimilaritySpec extends SparkSpec {
     assert(inline.nonEmpty)
     assert(fromArt === inline)
   }
+
+  test("coresetIncremental: stratum smaller than k1 skips dead rounds; all-incoming stratum extends to nothing") {
+    // membership of ids 0..999 under the 'inc:' scramble
+    val inc = spark.range(1000).select(col("id"),
+      (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+        .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+        % 5 === 0L).as("inc")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def writeIds(ids: Seq[Long], dir: String): Unit = {
+      val rng = new java.util.Random(41L)
+      ids.map(id => (id, Array.fill(8)(rng.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val (k1, k2) = (4, 6)
+    // case 1: 2 existing + 3 incoming ids — day 1 exhausts at 2
+    // centers, rounds 3..k1 are absent, extension numbers from k1+1
+    val ex2 = inc.collect { case (id, false) => id }.toSeq.sorted.take(2)
+    val in3 = inc.collect { case (id, true) => id }.toSeq.sorted.take(3)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("incr1").toString
+      try {
+        writeIds(ex2 ++ in3, dir)
+        val rounds = Similarity.coresetIncremental(spark, dir, k1, k2, 5)
+          .collect().map(r => (r.getAs[Int]("sel_round"),
+            r.getAs[Long]("is_new"))).toSeq.sorted
+        assert(rounds.map(_._1) === Seq(1, 2, k1 + 1, k1 + 2),
+          "dead rounds (|ex|+1..k1) must stay absent; extension starts at k1+1")
+        assert(rounds.map(_._2) === Seq(0L, 0L, 1L, 1L))
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+    // case 2: every vector incoming — the day-1 artifact is empty and
+    // the extension degrades to zero rows (the oracle's empty-seed
+    // chain yields nothing at every round)
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("incr2").toString
+      try {
+        writeIds(in3, dir)
+        assert(Similarity.coresetIncremental(spark, dir, k1, k2, 5)
+          .collect().isEmpty)
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
