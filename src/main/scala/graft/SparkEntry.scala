@@ -443,7 +443,9 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamSpanScrubFixture(s, dir)),
     "q292_pq_artifact_rt" -> ((s, dir) => Similarity.pqTopKFromArtifact(s, dir)),
     "q293_coreset_incr" -> ((s, dir) => Similarity.coresetIncremental(s, dir)),
-    "q294_ivf_artifact_rt" -> ((s, dir) => Similarity.ivfTopKFromArtifact(s, dir))
+    "q294_ivf_artifact_rt" -> ((s, dir) => Similarity.ivfTopKFromArtifact(s, dir)),
+    "q295_stream_index_refresh" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSpanIndexRefreshFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -782,6 +784,10 @@ object SparkEntry {
     "q293_coreset_incr" -> OracleSql.q293CoresetIncremental(),
     // the search FROM the persisted coarse quantizer must equal the
     // inline q16c search, so q294 shares its oracle SQL
-    "q294_ivf_artifact_rt" -> OracleSql.q16cIvfTopK()
+    "q294_ivf_artifact_rt" -> OracleSql.q16cIvfTopK(),
+    // stream ≡ batch for index MAINTENANCE: the per-batch delta chain
+    // must refresh the index to exactly the batch q286 state, so q295
+    // shares its oracle SQL
+    "q295_stream_index_refresh" -> OracleSql.q286SpanIndexRefresh()
   )
 }

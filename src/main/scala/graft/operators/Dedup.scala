@@ -1049,13 +1049,21 @@ object Dedup {
     * lesson).
     */
   private[graft] def streamScrubParts(s: SparkSession, dir: String,
-                                      w: Int, modN: Int, nShards: Int)
+                                      w: Int, modN: Int, nShards: Int,
+                                      family: String = "span_index_streambase")
       : (DataFrame, String) = {
     val (incoming, index) = ingestSplit(s, dir, w, modN)
-    val base = baseIndexDir(s, dir, "span_index_streambase", w, modN,
-      nShards)(index)
+    val base = baseIndexDir(s, dir, family, w, modN, nShards)(index)
     (incoming, base)
   }
+
+  /** Q295 support: per-shard hash counts of one or more index
+    * generations — the q286 audit shape over an explicit dir list. */
+  private[graft] def shardCounts(s: SparkSession, dirs: Seq[String],
+                                 as: String): DataFrame =
+    readIndexDirs(s, dirs)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as(as))
 
   /** Q291 support: positioned span occurrences of a documents slice. */
   private[graft] def spanOccurrencesOf(d: DataFrame, w: Int): DataFrame =

@@ -1717,6 +1717,94 @@ object StreamingOps {
     graft.operators.Dedup.scrubWithRemovals(incoming, removals, w)
   }
 
+  /** Q295 — STREAMING span-index refresh: continuous maintenance of
+    * the persisted index (the write side of the q291 story — q291
+    * scrubs against the artifact, q295 GROWS it). Incoming span
+    * hashes arrive as a stream; each micro-batch anti-joins its
+    * distinct hashes against base ∪ all previously-written delta
+    * generations and lands ONLY the still-novel ones as one more
+    * shard-aligned delta (foreachBatch → writeSpanDelta). The
+    * cross-batch memory is the ARTIFACT ITSELF — no state store, no
+    * watermark: a hash seen in batch 1 is anti-joined away in batch
+    * 2 by reading batch 1's delta, so the refreshed index stays an
+    * exact distinct set and the final per-shard audit is
+    * bit-identical to the batch refresh (q295 shares q286's oracle:
+    * stream ≡ batch for index maintenance, the q291 equality
+    * discipline applied to the write path).
+    *
+    * Scale shape: each batch pays O(|batch| + index probe) — the
+    * same O(novel) contract as q286 — and produces one immutable
+    * generation; q289's compaction folds the accumulated generations
+    * back to one file per shard off-peak. Exactly-once at 100 TB
+    * comes from the checkpointed batch id: foreachBatch re-delivery
+    * overwrites the SAME generation directory (idempotent by
+    * construction — the delta for batch i is a pure function of
+    * batch i and the prior generations).
+    */
+  def streamSpanIndexRefreshFixture(s: SparkSession, dir: String,
+                                    w: Int = 8, modN: Int = 5,
+                                    nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (incoming, base) = graft.operators.Dedup.streamScrubParts(
+      s, dir, w, modN, nShards, family = "span_index_streamref_base")
+    // pre-refresh audit of the base generation (nShards rows)
+    val pre = graft.operators.Dedup.shardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val occ = graft.operators.Dedup.spanOccurrencesOf(incoming, w)
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)].collect().sortBy(identity)
+    val deltaRoot = ArtifactRootForStream(dir, w, modN, nShards)
+    val deltas = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("doc_id", "h")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import scala.jdk.CollectionConverters._
+        val sofar = base +: deltas.asScala.toSeq
+        val novel = batch.select(col("h")).distinct()
+          .join(graft.operators.Dedup.readSpanIndexDirs(batch.sparkSession,
+            sofar), Seq("h"), "left_anti")
+        val gen = s"$deltaRoot/b$id"
+        graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
+        deltas.add(gen): Unit
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three doc-aligned micro-batches: cross-batch novelty must be
+      // resolved by READING the earlier generations, not by state
+      val docIds = occ.map(_._1).distinct
+      val chunks = docIds.grouped(math.max(1, docIds.length / 3 + 1)).toSeq
+      chunks.foreach { ids =>
+        val set = ids.toSet
+        val chunk = occ.filter(o => set(o._1))
+        if (chunk.nonEmpty) {
+          chunk.grouped(math.max(1, chunk.length / 32 + 1))
+            .foreach(b => stream.addData(b.toIndexedSeq))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val preDf = pre.toDF("shard", "n_existing")
+    graft.operators.Dedup.shardCounts(s, base +: deltas.asScala.toSeq,
+        "n_refreshed")
+      .join(preDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
+          .as("n_new"),
+        col("n_refreshed"))
+  }
+
+  /** One scratch root per (corpus, params) invocation for the q295
+    * delta generations (ArtifactStore generation discipline). */
+  private def ArtifactRootForStream(dir: String, w: Int, modN: Int,
+                                    nShards: Int): String =
+    graft.operators.ArtifactStore.invocationDir("span_index_streamref",
+      dir, w.toString, modN.toString, nShards.toString)
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

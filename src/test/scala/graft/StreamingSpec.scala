@@ -771,4 +771,60 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
     assert(got === Set((1L, 1L), (1L, 5L), (2L, 1L), (2L, 2L)))
   }
+
+  test("q291: fresh-hash state expires past the horizon and the hash is re-kept") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val index = Seq(-1L).toDF("h") // nothing the feed uses
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val in = stream.toDS().toDF("doc_id", "pos", "h")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros(doc_id * 1000000)"))
+    val name = s"q291_ttl_${System.nanoTime()}"
+    // 1-second state horizon: a hash idle past it is forgotten
+    val q = graft.streaming.StreamingOps
+      .streamSpanScrub(in, index, horizonMs = 1000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // batch 1: h=500 kept at (1,1), its (1,2) repeat cut in-batch;
+      // state timeout lands at t=2s
+      stream.addData((1L, 1L, 500L), (1L, 2L, 500L))
+      q.processAllAvailable()
+      // batch 2 advances the watermark far past the timeout (doc 5000
+      // => t=5000s; watermark = 5000s - 10min)
+      stream.addData((5000L, 1L, 777L))
+      q.processAllAvailable()
+      // batch 3 carries NO h=500 data, so the expired group fires its
+      // timeout and drops the state
+      stream.addData((6000L, 1L, 888L))
+      q.processAllAvailable()
+      // batch 4: h=500 returns after the horizon -> treated as fresh
+      // and KEPT (no removal emitted); with live state it would be cut
+      stream.addData((7000L, 1L, 500L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))).toSet
+    assert(got === Set((1L, 2L)),
+      "only the in-batch repeat is cut; the post-horizon return is re-kept")
+  }
+
+  test("q295: streaming index refresh == batch refresh audit, row for row") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_refreshed"))).toSet
+    val batch = rows(graft.operators.Dedup.spanIndexRefresh(spark, dir))
+    val stream = rows(graft.streaming.StreamingOps
+      .streamSpanIndexRefreshFixture(spark, dir))
+    assert(batch.nonEmpty && batch.exists(_._3 > 0),
+      "fixture must carry novel hashes")
+    // the three-micro-batch delta chain must refresh the index to the
+    // exact batch state: cross-batch duplicates anti-joined away by
+    // READING earlier generations, not by state
+    assert(stream === batch)
+  }
 }
