@@ -788,6 +788,12 @@ object Graph {
     var auth = eByP.select(col("p")).distinct()
       .withColumn("a", lit(1).cast("decimal(28,14)"))
     var hub: DataFrame = null
+    // superseded half-step checkpoints: each iteration's masses are
+    // eagerly materialized, so every checkpoint except the LAST hraw/
+    // araw is dead once the loop ends
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var lastH: DataFrame = null
+    var lastA: DataFrame = null
     for (_ <- 1 to iters) {
       // materialize each mass table BEFORE branching it into its own
       // normalizing total — the q173 lesson: a lazy aggregate consumed
@@ -796,6 +802,8 @@ object Graph {
       val hraw = (if (bcast) eByC.join(broadcast(auth), "p")
         else eByP.join(auth, "p")).groupBy(col("c"))
         .agg(sum(col("a")).as("hr")).localCheckpoint()
+      if (lastH != null) stale += lastH
+      lastH = hraw
       hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
         .select(col("c"),
           (col("hr").cast("double") / col("sh").cast("double"))
@@ -803,11 +811,22 @@ object Graph {
       val araw = (if (bcast) eByP.join(broadcast(hub), "c")
         else eByC.join(hub, "c")).groupBy(col("p"))
         .agg(sum(col("h")).as("ar")).localCheckpoint()
+      if (lastA != null) stale += lastA
+      lastA = araw
       auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
         .select(col("p"),
           (col("ar").cast("double") / col("sa").cast("double"))
             .cast("decimal(28,14)").as("a"))
     }
+    // the returned plan reads ONLY the last half-step checkpoints (the
+    // masses were materialized eagerly), so the two adjacency caches
+    // and the superseded checkpoints are dead weight from here — left
+    // resident they pressured every later query in the bench chunk
+    // (the q121 in-run lesson applied to the graph family; q183 was
+    // the next-largest in-run CPU line at 5x its standalone cost)
+    eByC.unpersist(blocking = false)
+    eByP.unpersist(blocking = false)
+    stale.foreach(releaseLabels)
     hub.select(lit("hub").as("kind"), col("c").as("id"),
         col("h").cast("double").as("score"))
       .unionAll(auth.select(lit("auth").as("kind"), col("p").as("id"),
