@@ -4414,6 +4414,169 @@ object OracleSql {
        |FROM rk WHERE rnk <= $k""".stripMargin
   }
 
+  /** The 'inc:' scramble membership on vec_id (mirrors
+    * Similarity.incomingVec — the q293 split): CTEs `e` (double
+    * vectors), `vf` (vec_id, incoming), `ex` (existing stratum). */
+  private def vecSplitCtes(modN: Int): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('inc:' || CAST(vec_id AS VARCHAR))")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |w0 AS (SELECT vec_id, $hSql AS u FROM embeddings),
+       |w1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM w0),
+       |w2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM w1),
+       |vf AS (SELECT vec_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS incoming
+       |       FROM w2),
+       |ex AS MATERIALIZED (
+       |  SELECT e.vec_id, e.de FROM e JOIN vf USING (vec_id)
+       |  WHERE NOT incoming
+       |)""".stripMargin
+  }
+
+  /** The frozen day-1 quantizer + full-corpus assignment shared by
+    * the q297/q298/q299/q301 oracles: centroids are the nCentroids
+    * smallest vec_ids of the EXISTING stratum; every vector ranks its
+    * lists by (cosine desc, cid). */
+  private def sliceAssignCtes(nCentroids: Int, dim: Int): String =
+    s"""cent AS MATERIALIZED (
+       |  SELECT vec_id AS cid, de AS ce FROM ex ORDER BY vec_id
+       |  LIMIT $nCentroids
+       |),
+       |sims AS (
+       |  SELECT e.vec_id, e.de, c.cid, ${cosSql("e.de", "c.ce", dim)} AS csim
+       |  FROM e CROSS JOIN cent c
+       |),
+       |asg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS crk
+       |  FROM sims
+       |)""".stripMargin
+
+  /** Q297/Q301 — IVF postings refresh audit (mirrors
+    * Similarity.ivfPostingsRefresh and the streaming ingest): per
+    * inverted list under the frozen existing-stratum quantizer, the
+    * existing members, the incoming additions, and the refreshed
+    * total — derived from the raw embeddings table alone, so the
+    * Spark side's file-level counts over the base ∪ delta generations
+    * must agree exactly.
+    */
+  def q297IvfPostingsRefresh(nCentroids: Int = 8, modN: Int = 5,
+                             dim: Int = 64): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${sliceAssignCtes(nCentroids, dim)},
+       |own AS (
+       |  SELECT a.vec_id, a.cid, vf.incoming
+       |  FROM asg a JOIN vf USING (vec_id) WHERE crk = 1
+       |)
+       |SELECT CAST(cid AS BIGINT) AS list_id,
+       |  CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT) AS n_existing,
+       |  CAST(count(*) FILTER (WHERE incoming) AS BIGINT) AS n_new,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM own GROUP BY 1""".stripMargin
+
+  /** Q298/Q299 — day-2 IVF search through the refreshed postings
+    * (mirrors Similarity.ivfDayTwoSearch / ivfPostingsCompact): the
+    * q16c search shape with the quantizer frozen on the existing
+    * stratum and the lists covering the FULL corpus (base ∪ delta).
+    */
+  def q298IvfDayTwoSearch(nCentroids: Int = 8, modN: Int = 5,
+                          nProbe: Int = 2, k: Int = 5,
+                          dim: Int = 64): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${sliceAssignCtes(nCentroids, dim)},
+       |lists AS (SELECT vec_id, de, cid AS list_id FROM asg WHERE crk = 1),
+       |pl AS (
+       |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id
+       |  FROM asg WHERE vec_id < 3 AND crk <= $nProbe
+       |),
+       |cs AS (
+       |  SELECT p.probe_id, l.vec_id, ${cosSql("p.pe", "l.de", dim)} AS sim
+       |  FROM pl p JOIN lists l USING (list_id) WHERE l.vec_id <> p.probe_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM cs
+       |)
+       |SELECT probe_id, vec_id, sim, rnk FROM rk WHERE rnk <= $k""".stripMargin
+
+  /** Q300 — IVF postings purge audit (mirrors
+    * Similarity.ivfPostingsPurge): the full-corpus q16c assignment,
+    * the 'purge:' scramble membership, per-list before/purged/after
+    * counts — a leaked row, an over-purged list, or a dropped list
+    * all break the compare.
+    */
+  def q300IvfPostingsPurge(nCentroids: Int = 8, modN: Int = 5,
+                           dim: Int = 64): String = {
+    val p = graft.functions.TextHash.P
+    val hSql = polyHashSql("('purge:' || CAST(vec_id AS VARCHAR))")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |  FROM embeddings
+       |),
+       |cent AS (SELECT vec_id AS cid, de AS ce FROM e WHERE vec_id < $nCentroids),
+       |sims AS (
+       |  SELECT e.vec_id, c.cid, ${cosSql("e.de", "c.ce", dim)} AS csim
+       |  FROM e CROSS JOIN cent c
+       |),
+       |asg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS crk
+       |  FROM sims
+       |),
+       |own AS (SELECT vec_id, cid FROM asg WHERE crk = 1),
+       |p0 AS (SELECT vec_id, $hSql AS u FROM embeddings),
+       |p1 AS (SELECT *, (u * u + 12345) % $p AS v1 FROM p0),
+       |p2 AS (SELECT *, (v1 * 31 + u) % $p AS v2 FROM p1),
+       |pf AS (SELECT vec_id, ((v2 * v2 + 6789) % $p) % $modN = 0 AS purged
+       |       FROM p2)
+       |SELECT CAST(cid AS BIGINT) AS list_id,
+       |  CAST(count(*) AS BIGINT) AS n_before,
+       |  CAST(count(*) FILTER (WHERE purged) AS BIGINT) AS n_purged,
+       |  CAST(count(*) FILTER (WHERE NOT purged) AS BIGINT) AS n_after
+       |FROM own JOIN pf USING (vec_id) GROUP BY 1""".stripMargin
+  }
+
+  /** Q302 — frozen-codebook PQ encode of the incoming shard (mirrors
+    * Similarity.pqFrozenEncode): codewords are the subvectors of the
+    * codebookK smallest EXISTING vec_ids; each incoming subvector
+    * takes its argmin codeword ((dist asc, cw asc) total order) with
+    * the pinned (sv·sv − 2·sv·cv) + cv·cv distortion.
+    */
+  def q302PqFrozenEncode(nSub: Int = 8, subDim: Int = 8,
+                         codebookK: Int = 16, modN: Int = 5): String = {
+    val distSql = s"${sumTerms("s.sv", "s.sv", subDim)} - 2 * " +
+      s"${sumTerms("s.sv", "c.cv", subDim)} + ${sumTerms("c.cv", "c.cv", subDim)}"
+    s"""WITH ${vecSplitCtes(modN)},
+       |cwv AS MATERIALIZED (
+       |  SELECT vec_id, de FROM ex ORDER BY vec_id LIMIT $codebookK
+       |),
+       |cb AS (
+       |  SELECT j, vec_id AS cw,
+       |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS cv
+       |  FROM cwv, range(0, $nSub) t(j)
+       |),
+       |sub AS (
+       |  SELECT e.vec_id, j,
+       |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS sv
+       |  FROM e JOIN vf USING (vec_id), range(0, $nSub) t(j)
+       |  WHERE vf.incoming
+       |),
+       |d AS (
+       |  SELECT s.vec_id, s.j, c.cw, $distSql AS dist
+       |  FROM sub s JOIN cb c ON s.j = c.j
+       |),
+       |best AS (
+       |  SELECT vec_id, j, cw, dist,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rk
+       |  FROM d
+       |)
+       |SELECT vec_id, CAST(j AS INT) AS j, cw AS code, dist AS distortion
+       |FROM best WHERE rk = 1""".stripMargin
+  }
+
   /** Q62 — streaming exactly-once dedup (mirrors
     * StreamingOps.streamDedupFixture): the oracle is the BATCH rollup
     * over the canonical events — equality proves the replayed

@@ -445,7 +445,19 @@ object SparkEntry {
     "q293_coreset_incr" -> ((s, dir) => Similarity.coresetIncremental(s, dir)),
     "q294_ivf_artifact_rt" -> ((s, dir) => Similarity.ivfTopKFromArtifact(s, dir)),
     "q295_stream_index_refresh" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSpanIndexRefreshFixture(s, dir))
+      graft.streaming.StreamingOps.streamSpanIndexRefreshFixture(s, dir)),
+    "q296_ivf_postings_rt" -> ((s, dir) =>
+      Similarity.ivfPostingsRoundTrip(s, dir)),
+    "q297_ivf_postings_refresh" -> ((s, dir) =>
+      Similarity.ivfPostingsRefresh(s, dir)),
+    "q298_ivf_day2_search" -> ((s, dir) => Similarity.ivfDayTwoSearch(s, dir)),
+    "q299_ivf_postings_compact" -> ((s, dir) =>
+      Similarity.ivfPostingsCompact(s, dir)),
+    "q300_ivf_postings_purge" -> ((s, dir) =>
+      Similarity.ivfPostingsPurge(s, dir)),
+    "q301_stream_ann_ingest" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIvfIngestFixture(s, dir)),
+    "q302_pq_frozen_encode" -> ((s, dir) => Similarity.pqFrozenEncode(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -788,6 +800,21 @@ object SparkEntry {
     // stream ≡ batch for index MAINTENANCE: the per-batch delta chain
     // must refresh the index to exactly the batch q286 state, so q295
     // shares its oracle SQL
-    "q295_stream_index_refresh" -> OracleSql.q286SpanIndexRefresh()
+    "q295_stream_index_refresh" -> OracleSql.q286SpanIndexRefresh(),
+    // the search FROM the persisted postings generation must equal the
+    // inline q16c search, so q296 shares its oracle SQL
+    "q296_ivf_postings_rt" -> OracleSql.q16cIvfTopK(),
+    "q297_ivf_postings_refresh" -> OracleSql.q297IvfPostingsRefresh(),
+    "q298_ivf_day2_search" -> OracleSql.q298IvfDayTwoSearch(),
+    // compaction changes LAYOUT, never content: the post-compaction
+    // day-2 search must be hash-identical to q298, so q299 shares its
+    // oracle SQL (the q289 precedent on the ANN side)
+    "q299_ivf_postings_compact" -> OracleSql.q298IvfDayTwoSearch(),
+    "q300_ivf_postings_purge" -> OracleSql.q300IvfPostingsPurge(),
+    // stream ≡ batch for ANN index maintenance: the per-batch delta
+    // chain must refresh the postings to exactly the batch q297 state,
+    // so q301 shares its oracle SQL (the q295 discipline)
+    "q301_stream_ann_ingest" -> OracleSql.q297IvfPostingsRefresh(),
+    "q302_pq_frozen_encode" -> OracleSql.q302PqFrozenEncode()
   )
 }

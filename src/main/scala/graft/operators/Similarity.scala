@@ -465,16 +465,35 @@ object Similarity {
     * table (inline-derived or read back from the parquet artifact). */
   private def ivfSearch(e: DataFrame, cent: DataFrame, nProbe: Int,
                         k: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("de"), col("ce")))
-      .withColumn("crk", row_number().over(wAssign))
+    val assigned = assignTo(e, cent)
     val lists = assigned.filter(col("crk") === 1)
       .select(col("vec_id"), col("de"), col("cid").as("list_id"))
     val probeLists = assigned.filter(col("vec_id") < 3 && col("crk") <= nProbe)
       .select(col("vec_id").as("probe_id"), col("de").as("pe"),
         col("cid").as("list_id"))
+    probeSearch(probeLists, lists, k)
+  }
+
+  /** Nearest-centroid ranking shared by every IVF path (q16c/q294
+    * search, q296–q301 postings lifecycle): each vector crossed with
+    * the BROADCAST centroid table, ranked by (cosine desc, cid) — crk
+    * 1 is the owning inverted list, crk ≤ nProbe are a probe's search
+    * lists. */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("de"), col("ce")))
+      .withColumn("crk", row_number().over(wAssign))
+  }
+
+  /** The shared IVF search tail: probes (probe_id, pe, list_id) join
+    * their nProbe inverted lists (vec_id, de, list_id) — whether the
+    * lists were derived inline (q16c/q294) or read back from a
+    * persisted postings generation (q296/q298/q299) — then the exact
+    * cosine top-k window per probe. */
+  private def probeSearch(probeLists: DataFrame, lists: DataFrame,
+                          k: Int): DataFrame = {
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     probeLists.join(lists, "list_id")
@@ -518,6 +537,389 @@ object Similarity {
       writeIvfCentroids(e.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("cid"), col("de").as("ce")), out))
     ivfSearch(e, readIvfCentroids(s, art), nProbe, k)
+  }
+
+  // =====================================================================
+  // IVF postings lifecycle (q296–q301): the span-index artifact
+  // discipline (q285–q291) applied to the ANN side. q292/q294 persisted
+  // the QUANTIZER (centroids, codebooks); these persist and maintain
+  // the POSTINGS — the corpus-sized half of an IVF index — as immutable
+  // list-partitioned parquet generations: round-trip (q296), day-2
+  // refresh audit (q297), day-2 search through base ∪ delta (q298),
+  // compaction back to one file per list (q299), purge of deleted
+  // vectors (q300), and streaming ingest (q301, StreamingOps).
+  // =====================================================================
+
+  /** The one postings-layout writer behind every generation (base,
+    * delta, compaction, purge): rows land partitioned by their
+    * inverted-list id, vec_id-sorted within a list — membership is a
+    * pure function of the row (nearest centroid under a FROZEN
+    * quantizer), so every generation is list-aligned with every other
+    * regardless of cluster size or input partitioning, and the files
+    * themselves are deterministic. */
+  private def layLists(rows: DataFrame, outDir: String): Unit =
+    rows.select(col("vec_id"), col("de"), col("list"))
+      .repartition(col("list"))
+      .sortWithinPartitions(col("list"), col("vec_id"))
+      .write.partitionBy("list")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  /** Postings SINK: one generation of inverted lists. `assigned` is
+    * the crk=1 slice of [[assignTo]] reshaped to (vec_id, de, list). */
+  def writeIvfPostings(assigned: DataFrame, outDir: String): Unit =
+    layLists(assigned, outDir)
+
+  /** Postings SOURCE: explicit schema (an empty generation must read
+    * as an empty relation, never fail inference); `list` is the
+    * partition column, so list-selective probes prune directories. */
+  def readIvfPostings(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("vec_id BIGINT, de ARRAY<DOUBLE>, list BIGINT")
+      .parquet(dir)
+
+  /** Multi-generation postings reader: base ∪ deltas, one parquet scan
+    * per immutable generation dir — the readSpanIndexDirs discipline. */
+  def readIvfPostingsDirs(s: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(readIvfPostings(s, _)).reduce(_ unionAll _)
+
+  /** crk=1 of [[assignTo]] in the postings row shape. */
+  private def listsFor(e: DataFrame, cent: DataFrame): DataFrame =
+    assignTo(e, cent).filter(col("crk") === 1)
+      .select(col("vec_id"), col("de"), col("cid").as("list"))
+
+  /** The 'inc:' scramble membership on vec_id (the q293 split pointed
+    * at the postings lifecycle): ~1/modN of the corpus is the
+    * "incoming" day-2 shard. */
+  private def incomingVec(modN: Int): Column =
+    Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("inc:"), col("vec_id").cast("string")))) % modN === 0L
+
+  /** The day-1 coarse quantizer of a split corpus: the nCentroids
+    * smallest vec_ids of the EXISTING stratum (deterministic — the
+    * q16c fixed-quantizer trick pointed at the stratum). Day-2 vectors
+    * are assigned under this FROZEN quantizer, the frozen-merge-table
+    * discipline (q283) on the embedding side. */
+  private def sliceCentroids(ex: DataFrame, nCentroids: Int): DataFrame =
+    ex.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("de").as("ce"))
+
+  /** Write-once centroid artifact under the caller's OWN family tag
+    * (the round-12 DISTINCT-tag lesson: a shared tag silently bypasses
+    * the artifact under test). */
+  private def centArtifact(s: SparkSession, dir: String, family: String,
+                           params: Seq[String])(src: => DataFrame): String =
+    ArtifactStore.materialized(s, family, embFingerprint(s, dir),
+      (dir +: params): _*)(out => writeIvfCentroids(src, out))
+
+  /** Q296 — IVF postings ROUND TRIP: q16c's inverted lists WRITTEN as
+    * a list-partitioned parquet generation, read back, and the probe
+    * search run FROM the read postings — output byte-identical to
+    * q16c (shared oracle). The write is the operator under test (the
+    * q285 discipline): a writer bug — dropped vectors, list
+    * mis-assignment, float truncation through the layout — breaks the
+    * hash compare, and the plan pin proves the search-side list scan
+    * never touches the corpus (exactly ONE embeddings scan: the
+    * probes; the lists come from the artifact).
+    *
+    * Scale shape: the postings write is one list-keyed shuffle of the
+    * corpus rows — paid ONCE per index build, after which every
+    * search job scans nProbe/nCentroids of the ARTIFACT instead of
+    * re-deriving assignments; probe assignment broadcasts the KB-sized
+    * persisted quantizer. This is what an IVF index on disk IS.
+    */
+  def ivfPostingsRoundTrip(s: SparkSession, dir: String,
+                           nCentroids: Int = 8, nProbe: Int = 2,
+                           k: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_postings_rt_cent", Seq(nCentroids.toString))(
+        e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("de").as("ce"))))
+    val out = ArtifactStore.invocationDir("ivf_postings_rt",
+      dir, nCentroids.toString)
+    writeIvfPostings(listsFor(e, cent), out)
+    val probes = assignTo(e.filter(col("vec_id") < 3), cent)
+      .filter(col("crk") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
+        col("cid").as("list_id"))
+    probeSearch(probes,
+      readIvfPostings(s, out).withColumnRenamed("list", "list_id"), k)
+  }
+
+  /** Q297 — IVF postings REFRESH audit (q286's shape on the ANN side):
+    * against the write-once BASE postings of the existing stratum,
+    * the incoming shard is assigned under the FROZEN day-1 quantizer
+    * and lands as a fresh DELTA generation — existing files never
+    * read, modified, or rewritten; audit per inverted list: vectors
+    * before, vectors added, vectors after. The oracle derives the
+    * same per-list counts from the raw embeddings table alone, so a
+    * duplicated append, a dropped vector, or a drifted assignment
+    * (recomputed centroids instead of the frozen artifact) all break
+    * the count compare.
+    *
+    * Scale shape: the refresh is O(|incoming|) — one assignment
+    * against the broadcast KB-sized quantizer, one list-keyed shuffle
+    * of the new rows, zero corpus rescan. The pre-refresh per-list
+    * counts are ONE nCentroids-row collect (bounded audit sync). At
+    * 100 TB this is the nightly index maintenance job; q299 folds the
+    * accumulated generations off-peak.
+    */
+  def ivfPostingsRefresh(s: SparkSession, dir: String,
+                         nCentroids: Int = 8, modN: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_postings_cent",
+        Seq(nCentroids.toString, modN.toString))(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    val base = ArtifactStore.materialized(s, "ivf_postings_base",
+      embFingerprint(s, dir), dir, nCentroids.toString, modN.toString)(
+      out => writeIvfPostings(listsFor(e.filter(!inc), cent), out))
+    val pre = readIvfPostings(s, base)
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_existing"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val delta = ArtifactStore.invocationDir("ivf_postings_delta",
+      dir, nCentroids.toString, modN.toString)
+    writeIvfPostings(listsFor(e.filter(inc), cent), delta)
+    val preDf = pre.toDF("list_id", "n_existing")
+    readIvfPostingsDirs(s, Seq(base, delta))
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(preDf, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
+        col("n_total"))
+  }
+
+  /** The shared q298/q299 day-2 state: existing/incoming split, a
+    * write-once frozen quantizer, write-once BASE postings (existing
+    * stratum) and a write-once day-1 DELTA generation (incoming
+    * stratum) — all memoized per corpus fingerprint under the
+    * caller's family prefix (day-1 work is fixture state, not the
+    * measured search; round-12 verdict #5). Returns the centroid
+    * table and the generation dirs. */
+  private def dayTwoPostings(s: SparkSession, dir: String, fam: String,
+                             nCentroids: Int, modN: Int)
+      : (DataFrame, Seq[String]) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids.toString, modN.toString)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, s"${fam}_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    def gen(tag: String, slice: DataFrame): String =
+      ArtifactStore.materialized(s, s"${fam}_$tag",
+        embFingerprint(s, dir), (dir +: params): _*)(
+        out => writeIvfPostings(listsFor(slice, cent), out))
+    (cent, Seq(gen("base", e.filter(!inc)), gen("delta", e.filter(inc))))
+  }
+
+  /** Q298 — DAY-2 search through the REFRESHED postings: the step
+    * that actually CONSUMES q297's refresh (the q288 discipline).
+    * Probes are assigned under the persisted frozen quantizer and
+    * search base ∪ delta — so a hit on a day-2 vector proves the
+    * search reads the delta generation, and a hit on a day-1 vector
+    * proves the base files still serve. The measured operator is the
+    * SEARCH alone: quantizer, base, and delta are write-once day-1
+    * state.
+    *
+    * Scale shape: the search scans nProbe/nCentroids of the postings
+    * artifact (one parquet scan per generation, list-partition
+    * pruned) plus one probe-side embeddings scan; nothing re-derives
+    * assignments. At 100 TB this is every query's steady-state path.
+    */
+  def ivfDayTwoSearch(s: SparkSession, dir: String, nCentroids: Int = 8,
+                      modN: Int = 5, nProbe: Int = 2,
+                      k: Int = 5): DataFrame = {
+    val (cent, dirs) = dayTwoPostings(s, dir, "ivf_postings_d2",
+      nCentroids, modN)
+    val probes = assignTo(embDoubles(s, dir).filter(col("vec_id") < 3), cent)
+      .filter(col("crk") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
+        col("cid").as("list_id"))
+    probeSearch(probes, readIvfPostingsDirs(s, dirs)
+      .withColumnRenamed("list", "list_id"), k)
+  }
+
+  /** Q299 — postings COMPACTION (q289's OPTIMIZE step on the ANN
+    * side): every refresh leaves one more delta generation per list,
+    * so a daily pipeline accumulates small files without bound.
+    * Compaction rewrites base ∪ deltas — content-identically — into
+    * ONE vec_id-sorted file per list, then re-runs the day-2 search
+    * against the compacted generation: output hash-identical to
+    * q298's (same oracle), which is the whole contract — compaction
+    * changes LAYOUT, never content. Spec-pinned: one file per list
+    * directory after the rewrite.
+    *
+    * Scale shape: one list-keyed shuffle of the index rows, run
+    * off-peak per list group; readers switch generations atomically
+    * by path.
+    */
+  def ivfPostingsCompact(s: SparkSession, dir: String, nCentroids: Int = 8,
+                         modN: Int = 5, nProbe: Int = 2,
+                         k: Int = 5): DataFrame =
+    compactPostings(s, dir, nCentroids, modN, nProbe, k)._2
+
+  /** Test-visible q299 split: (compacted dir, search result) so the
+    * spec can pin the one-file-per-list layout. */
+  private[graft] def compactPostings(s: SparkSession, dir: String,
+                                     nCentroids: Int, modN: Int,
+                                     nProbe: Int, k: Int)
+      : (String, DataFrame) = {
+    val (cent, dirs) = dayTwoPostings(s, dir, "ivf_postings_cmp",
+      nCentroids, modN)
+    val compacted = ArtifactStore.invocationDir("ivf_postings_compact",
+      dir, nCentroids.toString, modN.toString)
+    layLists(readIvfPostingsDirs(s, dirs), compacted)
+    val probes = assignTo(embDoubles(s, dir).filter(col("vec_id") < 3), cent)
+      .filter(col("crk") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
+        col("cid").as("list_id"))
+    (compacted, probeSearch(probes, readIvfPostings(s, compacted)
+      .withColumnRenamed("list", "list_id"), k))
+  }
+
+  /** Q300 — postings PURGE (q290's VACUUM step on the ANN side):
+    * retire the vectors of deleted documents. Given the purged-vector
+    * set (the deterministic 'purge:' scramble — the q202/q290
+    * membership shape), their rows leave the postings via one
+    * anti-join and a fresh-generation rewrite; the QUANTIZER stays —
+    * centroids are frozen index structure, not corpus rows. Output is
+    * the per-list audit (vectors before, purged, after), which the
+    * oracle derives from the raw embeddings table alone — a leaked
+    * row, an over-purged list, or a dropped list all break the count
+    * compare.
+    *
+    * Scale shape: the purge set is an id projection of the corpus
+    * (8-byte rows); the anti-join and rewrite shuffle only the INDEX
+    * artifact. A production pipeline runs this weekly against the
+    * deletion log; readers switch generations atomically by path.
+    */
+  def ivfPostingsPurge(s: SparkSession, dir: String, nCentroids: Int = 8,
+                       modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_postings_purge_cent",
+        Seq(nCentroids.toString))(
+        e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("de").as("ce"))))
+    val base = ArtifactStore.materialized(s, "ivf_postings_allbase",
+      embFingerprint(s, dir), dir, nCentroids.toString)(
+      out => writeIvfPostings(listsFor(e, cent), out))
+    val purgedIds = e.filter(Relational.scrambleMod(
+        graft.functions.TextHash.polyHash(concat(lit("purge:"),
+          col("vec_id").cast("string")))) % modN === 0L)
+      .select(col("vec_id"))
+    val after = ArtifactStore.invocationDir("ivf_postings_purged",
+      dir, nCentroids.toString, modN.toString)
+    layLists(readIvfPostings(s, base)
+      .join(purgedIds, Seq("vec_id"), "left_anti"), after)
+    readIvfPostings(s, base)
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_before"))
+      .join(readIvfPostings(s, after)
+        .groupBy(col("list").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_after")), Seq("list_id"), "left")
+      .select(col("list_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** Q301 support (the streaming ingest in
+    * [[graft.streaming.StreamingOps]]): the existing/incoming split,
+    * a write-once frozen quantizer and base postings generation under
+    * the streaming query's OWN family tags, plus the incoming slice
+    * to feed. */
+  private[graft] def streamIngestParts(s: SparkSession, dir: String,
+                                       nCentroids: Int, modN: Int)
+      : (String, String, DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids.toString, modN.toString)
+    val cent = centArtifact(s, dir, "ivf_postings_stream_cent", params)(
+      sliceCentroids(e.filter(!inc), nCentroids))
+    val base = ArtifactStore.materialized(s, "ivf_postings_stream_base",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writeIvfPostings(listsFor(e.filter(!inc),
+        readIvfCentroids(s, cent)), out))
+    (cent, base, e.filter(inc))
+  }
+
+  /** Q301 support: one postings delta generation from a micro-batch —
+    * assignment under the frozen persisted quantizer, vec_id anti-join
+    * against all prior generations (re-delivery idempotence), the
+    * shared layout writer. Returns the rows written. */
+  private[graft] def ingestBatch(s: SparkSession, centDir: String,
+                                 priorDirs: Seq[String], batch: DataFrame,
+                                 outDir: String): Unit =
+    writeIvfPostings(
+      listsFor(batch, readIvfCentroids(s, centDir))
+        .join(readIvfPostingsDirs(s, priorDirs).select(col("vec_id")),
+          Seq("vec_id"), "left_anti"),
+      outDir)
+
+  /** Q301 support: the q297 audit shape over explicit generation dirs
+    * (pre-counts from the base generation only). */
+  private[graft] def postingsAudit(s: SparkSession, base: String,
+                                   deltas: Seq[String]): DataFrame = {
+    import s.implicits._
+    val pre = readIvfPostings(s, base)
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_existing"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val preDf = pre.toDF("list_id", "n_existing")
+    readIvfPostingsDirs(s, base +: deltas)
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(preDf, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
+        col("n_total"))
+  }
+
+  /** Q302 — FROZEN-codebook PQ encode of the incoming shard (the q283
+    * frozen-BPE discipline on the embedding side): codebooks are
+    * trained on the EXISTING stratum only (subvectors of its
+    * codebookK smallest vec_ids), persisted once, and the day-2 shard
+    * is encoded FROM the artifact — one (vec_id, subspace, codeword,
+    * distortion) row per incoming subvector. An unseen vector always
+    * encodes (argmin over a frozen codebook is total), the exact
+    * property the round-11 frozen-BPE ask pinned for tokens; the
+    * distortion column is the quantization-error audit a pipeline
+    * tracks for codebook-drift alarms.
+    *
+    * Scale shape: the codebook is nSub·codebookK rows broadcast into
+    * the encode join; encoding is a per-row scan of the incoming
+    * shard with map-side argmin — O(|incoming|), zero corpus rescan,
+    * no retraining.
+    */
+  def pqFrozenEncode(s: SparkSession, dir: String, nSub: Int = 8,
+                     subDim: Int = 8, codebookK: Int = 16,
+                     modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val art = ArtifactStore.materialized(s, "pq_frozen_cb",
+      embFingerprint(s, dir), dir, nSub.toString, subDim.toString,
+      codebookK.toString, modN.toString)(out =>
+      writePqCodebook(
+        pqSubvectors(e.filter(!inc).orderBy(col("vec_id")).limit(codebookK),
+            nSub, subDim)
+          .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv")),
+        out))
+    val subs = pqSubvectors(e.filter(inc), nSub, subDim)
+    val dist = dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist"), col("cw"))
+    subs.join(broadcast(readPqCodebook(s, art)), "j")
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("j"), col("cw").as("code"),
+        col("dist").as("distortion"))
   }
 
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /

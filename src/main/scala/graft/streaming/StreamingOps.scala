@@ -1805,6 +1805,71 @@ object StreamingOps {
     graft.operators.ArtifactStore.invocationDir("span_index_streamref",
       dir, w.toString, modN.toString, nShards.toString)
 
+  /** Q301 — STREAMING ANN ingest against the persisted IVF index (the
+    * q295 write-path discipline on the embedding side): incoming
+    * vectors arrive as a stream; each micro-batch is assigned under
+    * the FROZEN persisted quantizer (stream-static against the
+    * centroid artifact), anti-joined by vec_id against base ∪ all
+    * previously-written delta generations (re-delivery idempotence —
+    * the cross-batch memory is the ARTIFACT ITSELF, no state store,
+    * no watermark), and lands as one more list-partitioned delta
+    * (foreachBatch → writeIvfPostings). The final per-list audit is
+    * bit-identical to the batch refresh — q301 shares q297's oracle:
+    * stream ≡ batch for index maintenance.
+    *
+    * Scale shape: each batch pays O(|batch| + prior-generation id
+    * probe) against the broadcast KB-sized quantizer and produces one
+    * immutable generation; q299's compaction folds the accumulated
+    * generations off-peak. Exactly-once at 100 TB comes from the
+    * checkpointed batch id: a re-delivered batch overwrites the SAME
+    * generation directory (idempotent — the delta for batch i is a
+    * pure function of batch i and the prior generations). The collect
+    * feeds the MemoryStream harness only.
+    */
+  def streamIvfIngestFixture(s: SparkSession, dir: String,
+                             nCentroids: Int = 8,
+                             modN: Int = 5): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (cent, base, incoming) = graft.operators.Similarity
+      .streamIngestParts(s, dir, nCentroids, modN)
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "ivf_postings_streamref", dir, nCentroids.toString, modN.toString)
+    val deltas = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import scala.jdk.CollectionConverters._
+        val gen = s"$deltaRoot/b$id"
+        graft.operators.Similarity.ingestBatch(batch.sparkSession, cent,
+          base +: deltas.asScala.toSeq, batch, gen)
+        deltas.add(gen): Unit
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // three vec_id-aligned micro-batches; a batch-2 re-send of a
+      // batch-1 vector must be dropped by READING batch 1's delta
+      val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        if (chunk.nonEmpty) {
+          // re-deliver the previous chunk's tail with this batch: the
+          // anti-join against prior generations must drop it
+          val redeliver =
+            if (i > 0) chunks(i - 1).takeRight(2)
+            else Array.empty[(Long, Array[Double])]
+          stream.addData((redeliver ++ chunk).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Similarity.postingsAudit(s, base, deltas.asScala.toSeq)
+  }
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

@@ -612,6 +612,68 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  /** Count the "Scan parquet …embeddings.parquet" nodes of a formatted
+    * plan's MAIN section (the q294 pin's idiom, shared by the
+    * postings-lifecycle pins). Dynamic-partition-pruning subqueries
+    * re-plan the tiny probe side below "===== Subqueries =====" — that
+    * duplicate is the pruning machinery, not a corpus re-derivation,
+    * so it stays out of the count. */
+  private def embScans(fmt: String): Int =
+    fmt.split("===== Subqueries =====")(0).split("\n(?=\\(\\d+\\) )").count(p =>
+      p.linesIterator.toSeq.headOption.exists(_.contains("Scan parquet")) &&
+        p.contains("embeddings.parquet"))
+
+  test("q296: search reads the PERSISTED postings; corpus scanned once (probes only)") {
+    val df = SparkEntry.queries("q296_ivf_postings_rt")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("graft_ivf_postings_rt"),
+      s"q296 must read the persisted postings generation:\n$fmt")
+    // exactly ONE embeddings scan (the probe side); a second would
+    // mean the inverted lists were re-derived from the corpus instead
+    // of read from the artifact
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+    // the IVF trade itself, in the plan: the postings scan is
+    // dynamic-partition-pruned to the probes' nProbe lists
+    assert(fmt.contains("dynamicpruning"),
+      s"q296 postings scan must prune to the probed lists:\n$fmt")
+  }
+
+  test("q298: day-2 search reads base AND delta generations; corpus scanned once") {
+    val df = SparkEntry.queries("q298_ivf_day2_search")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_d2_base"),
+      s"q298 must read the base postings generation:\n$fmt")
+    assert(fmt.contains("ivf_postings_d2_delta"),
+      s"q298 must read the delta postings generation:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q299: compacted generation is one file per list; search probes ONLY it") {
+    val (dir, search) = graft.operators.Similarity
+      .compactPostings(spark, sfDir, 8, 5, 2, 5)
+    val lists = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(lists.nonEmpty, s"no list dirs under $dir")
+    lists.foreach { ld =>
+      val parts = ld.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"list ${ld.getName} has ${parts.length} files after compaction")
+    }
+    search.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(search)
+    assert(fmt.contains("ivf_postings_compact"),
+      s"q299 search must probe the compacted postings:\n$fmt")
+    assert(!fmt.contains("cmp_base") && !fmt.contains("cmp_delta"),
+      s"q299 search still reads pre-compaction generations:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
@@ -621,11 +683,8 @@ class PlanQualitySpec extends SparkSpec {
     // exactly TWO embeddings scans (inverted-list build + probe
     // assignment); a third would mean the centroid side re-derived
     // from the corpus instead of the artifact
-    val scans = fmt.split("\n(?=\\(\\d+\\) )").count(p =>
-      p.linesIterator.toSeq.headOption.exists(_.contains("Scan parquet")) &&
-        p.contains("embeddings.parquet"))
-    assert(scans === 2,
-      s"expected 2 embeddings scans (lists + probes), got $scans:\n$fmt")
+    assert(embScans(fmt) === 2,
+      s"expected 2 embeddings scans (lists + probes), got ${embScans(fmt)}:\n$fmt")
   }
 
   test("q280: one scan per selection round; no exchange or join in the loop; local result") {

@@ -708,6 +708,134 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  private def searchRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("sim"),
+      r.getAs[Int]("rnk"))).toSet
+
+  test("q296: search from the persisted postings generation == inline q16c bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val inline = searchRows(Similarity.ivfTopK(spark, dir))
+    val fromArt = searchRows(Similarity.ivfPostingsRoundTrip(spark, dir))
+    assert(inline.nonEmpty)
+    assert(fromArt === inline)
+  }
+
+  test("q297: refresh audit — per-list identity and stratum-total conservation") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = Similarity.ivfPostingsRefresh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("n_existing"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_total")))
+    assert(audit.nonEmpty)
+    audit.foreach { case (l, ex, nw, tot) =>
+      assert(ex + nw === tot, s"list $l: $ex + $nw != $tot")
+    }
+    // conservation: the per-list sums must equal the scramble-split
+    // stratum sizes of the raw corpus (no dropped or duplicated rows
+    // through the base/delta generations)
+    val m = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((graft.operators.Relational.scrambleMod(graft.functions
+        .TextHash.polyHash(concat(lit("inc:"),
+          col("vec_id").cast("string")))) % 5 === 0L).as("inc"))
+      .groupBy(col("inc")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(audit.map(_._2).sum === m.getOrElse(false, 0L))
+    assert(audit.map(_._3).sum === m.getOrElse(true, 0L))
+  }
+
+  test("q299: postings compaction is content-neutral — compacted day-2 search == q298") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = searchRows(Similarity.ivfDayTwoSearch(spark, dir))
+    val compacted = searchRows(Similarity.ivfPostingsCompact(spark, dir))
+    assert(direct.nonEmpty)
+    assert(compacted === direct)
+  }
+
+  test("q300: purge audit — per-list identity; totals match the purge membership") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = Similarity.ivfPostingsPurge(spark, dir).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_purged"), r.getAs[Long]("n_after")))
+    assert(audit.nonEmpty)
+    audit.foreach { case (l, b, p, a) =>
+      assert(p + a === b, s"list $l: $p + $a != $b")
+    }
+    val m = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((graft.operators.Relational.scrambleMod(graft.functions
+        .TextHash.polyHash(concat(lit("purge:"),
+          col("vec_id").cast("string")))) % 5 === 0L).as("p"))
+      .groupBy(col("p")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(audit.map(_._2).sum === m.values.sum) // every vector indexed
+    assert(audit.map(_._3).sum === m.getOrElse(true, 0L))
+    assert(audit.map(_._4).sum === m.getOrElse(false, 0L))
+  }
+
+  test("q302: frozen-codebook encode matches a sequential reference; every incoming subvector encodes") {
+    val (nSub, subDim, cbK, modN) = (2, 4, 3, 5)
+    val dim = nSub * subDim
+    val rng = new java.util.Random(509L)
+    val vecs = Seq.fill(24)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    // membership of ids under the 'inc:' scramble (engine arithmetic)
+    val inc = spark.range(vecs.size).select(col("id"),
+      (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+        .polyHash(concat(lit("inc:"), col("id").cast("string"))))
+        % modN === 0L).as("inc")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assume(inc.values.exists(identity) && inc.values.exists(!_))
+    // sequential reference: left-assoc double folds from 0.0, argmin
+    // by (dist, codeword id)
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val dv = vecs.map(_.map(_.toDouble))
+    val cwIds = inc.collect { case (id, false) => id }.toSeq.sorted.take(cbK)
+    val want = (for {
+      id <- inc.collect { case (i, true) => i }.toSeq.sorted
+      j <- 0 until nSub
+    } yield {
+      val sv = dv(id.toInt).slice(j * subDim, j * subDim + subDim)
+      val (code, dist) = cwIds.map { cw =>
+        val cv = dv(cw.toInt).slice(j * subDim, j * subDim + subDim)
+        (cw, dotd(sv, sv) - 2.0 * dotd(sv, cv) + dotd(cv, cv))
+      }.minBy { case (cw, d) => (d, cw) }
+      (id, j, code, dist)
+    }).toSet
+    withEmbDir(vecs) { dir =>
+      val got = Similarity.pqFrozenEncode(spark, dir, nSub, subDim, cbK, modN)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("j"),
+          r.getAs[Long]("code"), r.getAs[Double]("distortion"))).toSet
+      assert(got === want)
+      // totality: |incoming| · nSub rows — an unseen vector always
+      // encodes under a frozen codebook
+      assert(got.size === inc.values.count(identity) * nSub)
+    }
+  }
+
+  test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivf_postings_spec").toString
+    try {
+      val rows = Seq((0L, Array(1.0, 2.0), 0L), (5L, Array(3.0, 4.0), 0L),
+        (3L, Array(0.5, 0.25), 2L))
+      rows.toDF("vec_id", "de", "list")
+        .createOrReplaceTempView("postings_spec_in")
+      Similarity.writeIvfPostings(spark.table("postings_spec_in"), out)
+      val back = Similarity.readIvfPostings(spark, out).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+        .toSet
+      assert(back === rows.map(r => (r._1, r._2.toSeq, r._3)).toSet)
+      // explicit-schema contract: a generation with zero part files
+      // (degenerate corpus) must read as an EMPTY relation, never fail
+      // parquet schema inference
+      val empty = java.nio.file.Files
+        .createTempDirectory("graft_ivf_postings_empty").toString
+      try assert(Similarity.readIvfPostings(spark, empty).count() === 0L)
+      finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(empty))
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(out))
+  }
+
   test("q294: search from the persisted IVF quantizer == inline q16c bit-for-bit") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =

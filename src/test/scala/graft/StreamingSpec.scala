@@ -827,4 +827,22 @@ class StreamingSpec extends SparkSpec {
     // READING earlier generations, not by state
     assert(stream === batch)
   }
+
+  test("q301: streaming ANN ingest == batch q297 refresh audit (re-delivery dropped)") {
+    // the fixture re-sends each chunk's tail with the next batch, so
+    // equality with the batch audit ALSO proves the vec_id anti-join
+    // against prior generations drops re-delivered vectors (a leak
+    // would inflate n_new)
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("list_id"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_total"))).toSet
+    val stream = rows(
+      graft.streaming.StreamingOps.streamIvfIngestFixture(spark, dir))
+    val batch = rows(
+      graft.operators.Similarity.ivfPostingsRefresh(spark, dir))
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
 }
