@@ -586,12 +586,31 @@ object Similarity {
     assignTo(e, cent).filter(col("crk") === 1)
       .select(col("vec_id"), col("de"), col("cid").as("list"))
 
-  /** The 'inc:' scramble membership on vec_id (the q293 split pointed
-    * at the postings lifecycle): ~1/modN of the corpus is the
-    * "incoming" day-2 shard. */
-  private def incomingVec(modN: Int): Column =
+  /** Deterministic scramble membership on vec_id (the q293 split
+    * pointed at the postings lifecycle): ~1/modN of the corpus is in
+    * the set. One definition for every prefix ('inc:' day-2 shard,
+    * 'purge:' deletion set) so the engine arithmetic that must mirror
+    * the oracle's split CTEs lives in one place. */
+  private def memberVec(prefix: String, modN: Int): Column =
     Relational.scrambleMod(graft.functions.TextHash.polyHash(
-      concat(lit("inc:"), col("vec_id").cast("string")))) % modN === 0L
+      concat(lit(prefix), col("vec_id").cast("string")))) % modN === 0L
+
+  private def incomingVec(modN: Int): Column = memberVec("inc:", modN)
+
+  /** The shared probe derivation of every postings-lifecycle search
+    * (q296/q298/q299, and inline ivfSearch's equivalent): the fixed
+    * probe set (vec_id < 3) assigned under `cent`, keeping the nProbe
+    * nearest lists per probe. */
+  private def probesFor(e: DataFrame, cent: DataFrame,
+                        nProbe: Int): DataFrame =
+    assignTo(e.filter(col("vec_id") < 3), cent)
+      .filter(col("crk") <= nProbe)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
+        col("cid").as("list_id"))
+
+  /** Postings generations reshaped to probeSearch's lists side. */
+  private def postingsAsLists(s: SparkSession, dirs: Seq[String]): DataFrame =
+    readIvfPostingsDirs(s, dirs).withColumnRenamed("list", "list_id")
 
   /** The day-1 coarse quantizer of a split corpus: the nCentroids
     * smallest vec_ids of the EXISTING stratum (deterministic — the
@@ -630,19 +649,17 @@ object Similarity {
                            nCentroids: Int = 8, nProbe: Int = 2,
                            k: Int = 5): DataFrame = {
     val e = embDoubles(s, dir)
+    // family deliberately NOT a prefix-mate of "ivf_postings_rt": the
+    // plan pin greps for the postings root and must not be satisfied
+    // by the centroid artifact's path
     val cent = readIvfCentroids(s,
-      centArtifact(s, dir, "ivf_postings_rt_cent", Seq(nCentroids.toString))(
+      centArtifact(s, dir, "ivf_rt_cent", Seq(nCentroids.toString))(
         e.filter(col("vec_id") < nCentroids)
           .select(col("vec_id").as("cid"), col("de").as("ce"))))
     val out = ArtifactStore.invocationDir("ivf_postings_rt",
       dir, nCentroids.toString)
     writeIvfPostings(listsFor(e, cent), out)
-    val probes = assignTo(e.filter(col("vec_id") < 3), cent)
-      .filter(col("crk") <= nProbe)
-      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
-        col("cid").as("list_id"))
-    probeSearch(probes,
-      readIvfPostings(s, out).withColumnRenamed("list", "list_id"), k)
+    probeSearch(probesFor(e, cent, nProbe), postingsAsLists(s, Seq(out)), k)
   }
 
   /** Q297 — IVF postings REFRESH audit (q286's shape on the ANN side):
@@ -665,7 +682,6 @@ object Similarity {
     */
   def ivfPostingsRefresh(s: SparkSession, dir: String,
                          nCentroids: Int = 8, modN: Int = 5): DataFrame = {
-    import s.implicits._
     val e = embDoubles(s, dir)
     val inc = incomingVec(modN)
     val cent = readIvfCentroids(s,
@@ -675,22 +691,10 @@ object Similarity {
     val base = ArtifactStore.materialized(s, "ivf_postings_base",
       embFingerprint(s, dir), dir, nCentroids.toString, modN.toString)(
       out => writeIvfPostings(listsFor(e.filter(!inc), cent), out))
-    val pre = readIvfPostings(s, base)
-      .groupBy(col("list").cast("long").as("list_id"))
-      .agg(count(lit(1)).as("n_existing"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val delta = ArtifactStore.invocationDir("ivf_postings_delta",
       dir, nCentroids.toString, modN.toString)
     writeIvfPostings(listsFor(e.filter(inc), cent), delta)
-    val preDf = pre.toDF("list_id", "n_existing")
-    readIvfPostingsDirs(s, Seq(base, delta))
-      .groupBy(col("list").cast("long").as("list_id"))
-      .agg(count(lit(1)).as("n_total"))
-      .join(preDf, Seq("list_id"), "left")
-      .select(col("list_id"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
-        col("n_total"))
+    postingsAudit(s, base, Seq(delta))
   }
 
   /** The shared q298/q299 day-2 state: existing/incoming split, a
@@ -735,12 +739,8 @@ object Similarity {
                       k: Int = 5): DataFrame = {
     val (cent, dirs) = dayTwoPostings(s, dir, "ivf_postings_d2",
       nCentroids, modN)
-    val probes = assignTo(embDoubles(s, dir).filter(col("vec_id") < 3), cent)
-      .filter(col("crk") <= nProbe)
-      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
-        col("cid").as("list_id"))
-    probeSearch(probes, readIvfPostingsDirs(s, dirs)
-      .withColumnRenamed("list", "list_id"), k)
+    probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
+      postingsAsLists(s, dirs), k)
   }
 
   /** Q299 — postings COMPACTION (q289's OPTIMIZE step on the ANN
@@ -773,12 +773,8 @@ object Similarity {
     val compacted = ArtifactStore.invocationDir("ivf_postings_compact",
       dir, nCentroids.toString, modN.toString)
     layLists(readIvfPostingsDirs(s, dirs), compacted)
-    val probes = assignTo(embDoubles(s, dir).filter(col("vec_id") < 3), cent)
-      .filter(col("crk") <= nProbe)
-      .select(col("vec_id").as("probe_id"), col("de").as("pe"),
-        col("cid").as("list_id"))
-    (compacted, probeSearch(probes, readIvfPostings(s, compacted)
-      .withColumnRenamed("list", "list_id"), k))
+    (compacted, probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
+      postingsAsLists(s, Seq(compacted)), k))
   }
 
   /** Q300 — postings PURGE (q290's VACUUM step on the ANN side):
@@ -808,9 +804,7 @@ object Similarity {
     val base = ArtifactStore.materialized(s, "ivf_postings_allbase",
       embFingerprint(s, dir), dir, nCentroids.toString)(
       out => writeIvfPostings(listsFor(e, cent), out))
-    val purgedIds = e.filter(Relational.scrambleMod(
-        graft.functions.TextHash.polyHash(concat(lit("purge:"),
-          col("vec_id").cast("string")))) % modN === 0L)
+    val purgedIds = e.filter(memberVec("purge:", modN))
       .select(col("vec_id"))
     val after = ArtifactStore.invocationDir("ivf_postings_purged",
       dir, nCentroids.toString, modN.toString)
@@ -850,7 +844,7 @@ object Similarity {
   /** Q301 support: one postings delta generation from a micro-batch —
     * assignment under the frozen persisted quantizer, vec_id anti-join
     * against all prior generations (re-delivery idempotence), the
-    * shared layout writer. Returns the rows written. */
+    * shared layout writer. */
   private[graft] def ingestBatch(s: SparkSession, centDir: String,
                                  priorDirs: Seq[String], batch: DataFrame,
                                  outDir: String): Unit =

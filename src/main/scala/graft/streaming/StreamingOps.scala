@@ -1837,17 +1837,25 @@ object StreamingOps {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val deltaRoot = graft.operators.ArtifactStore.invocationDir(
       "ivf_postings_streamref", dir, nCentroids.toString, modN.toString)
-    val deltas = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // keyed by batch id so a foreachBatch RETRY of batch i excludes its
+    // own (possibly half-written) generation from the anti-join side
+    // and overwrites it in place — the idempotence the scaladoc claims
+    // (a self-read would either fail the overwrite or anti-join the
+    // batch against itself and land an empty delta)
+    val deltas =
+      new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
     val q = stream.toDS().toDF("vec_id", "de")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         import scala.jdk.CollectionConverters._
+        val prior = base +: deltas.asScala.toSeq
+          .collect { case (i, d) if i != id => d }
         val gen = s"$deltaRoot/b$id"
         graft.operators.Similarity.ingestBatch(batch.sparkSession, cent,
-          base +: deltas.asScala.toSeq, batch, gen)
-        deltas.add(gen): Unit
+          prior, batch, gen)
+        deltas.put(id, gen): Unit
       }
       .outputMode(OutputMode.Update()).start()
     try {
@@ -1867,7 +1875,8 @@ object StreamingOps {
       }
     } finally q.stop()
     import scala.jdk.CollectionConverters._
-    graft.operators.Similarity.postingsAudit(s, base, deltas.asScala.toSeq)
+    graft.operators.Similarity.postingsAudit(s, base,
+      deltas.asScala.values.toSeq)
   }
 
   /** [[userProfileStream]] emission (one per updated key per batch). */
