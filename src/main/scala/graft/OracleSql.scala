@@ -4539,6 +4539,34 @@ object OracleSql {
        |FROM own JOIN pf USING (vec_id) GROUP BY 1""".stripMargin
   }
 
+  /** Q305 — quantizer-drift audit (mirrors Similarity.quantizerDrift):
+    * per inverted list under the frozen existing-stratum quantizer,
+    * the stratum counts and each stratum's mean cosine distance
+    * (1 − csim) to its own centroid, with DECIMAL(38,10)-quantized
+    * summands (the q281 discipline) and NULL degradation for empty
+    * strata.
+    */
+  def q305QuantizerDrift(nCentroids: Int = 8, modN: Int = 5,
+                         dim: Int = 64): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${sliceAssignCtes(nCentroids, dim)},
+       |own AS (
+       |  SELECT a.cid, (CAST(1.0 AS DOUBLE) - a.csim) AS cd, vf.incoming
+       |  FROM asg a JOIN vf USING (vec_id) WHERE crk = 1
+       |)
+       |SELECT CAST(cid AS BIGINT) AS list_id,
+       |  CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT) AS n_existing,
+       |  CAST(count(*) FILTER (WHERE incoming) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN NOT incoming THEN CAST(cd AS DECIMAL(38,10)) END)
+       |      AS DOUBLE)
+       |    / CAST(nullif(count(*) FILTER (WHERE NOT incoming), 0) AS DOUBLE)
+       |    AS mean_dist_existing,
+       |  CAST(sum(CASE WHEN incoming THEN CAST(cd AS DECIMAL(38,10)) END)
+       |      AS DOUBLE)
+       |    / CAST(nullif(count(*) FILTER (WHERE incoming), 0) AS DOUBLE)
+       |    AS mean_dist_new
+       |FROM own GROUP BY 1""".stripMargin
+
   /** Q302 — frozen-codebook PQ encode of the incoming shard (mirrors
     * Similarity.pqFrozenEncode): codewords are the subvectors of the
     * codebookK smallest EXISTING vec_ids; each incoming subvector

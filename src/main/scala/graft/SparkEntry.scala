@@ -457,7 +457,14 @@ object SparkEntry {
       Similarity.ivfPostingsPurge(s, dir)),
     "q301_stream_ann_ingest" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIvfIngestFixture(s, dir)),
-    "q302_pq_frozen_encode" -> ((s, dir) => Similarity.pqFrozenEncode(s, dir))
+    "q302_pq_frozen_encode" -> ((s, dir) => Similarity.pqFrozenEncode(s, dir)),
+    "q303_span_manifest_scrub" -> ((s, dir) =>
+      Dedup.spanScrubViaManifest(s, dir)),
+    "q304_ivf_manifest_search" -> ((s, dir) =>
+      Similarity.ivfManifestSearch(s, dir)),
+    "q305_quantizer_drift" -> ((s, dir) => Similarity.quantizerDrift(s, dir)),
+    "q306_ivf_retrain_switch" -> ((s, dir) =>
+      Similarity.ivfRetrainSwitch(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -815,6 +822,16 @@ object SparkEntry {
     // chain must refresh the postings to exactly the batch q297 state,
     // so q301 shares its oracle SQL (the q295 discipline)
     "q301_stream_ann_ingest" -> OracleSql.q297IvfPostingsRefresh(),
-    "q302_pq_frozen_encode" -> OracleSql.q302PqFrozenEncode()
+    "q302_pq_frozen_encode" -> OracleSql.q302PqFrozenEncode(),
+    // the manifest switch changes WHICH dirs a reader scans, never
+    // content: q303's post-compaction scrub must equal q288's, and
+    // q304's manifest-resolved day-2 search must equal q298's
+    "q303_span_manifest_scrub" -> OracleSql.q288SpanScrubDayTwo(),
+    "q304_ivf_manifest_search" -> OracleSql.q298IvfDayTwoSearch(),
+    "q305_quantizer_drift" -> OracleSql.q305QuantizerDrift(),
+    // retraining on the full corpus IS the q16c quantizer, and the
+    // rebuilt postings cover the full corpus — so the post-switch
+    // search must equal inline q16c exactly
+    "q306_ivf_retrain_switch" -> OracleSql.q16cIvfTopK()
   )
 }

@@ -1241,7 +1241,8 @@ object Dedup {
     * union is the refreshed index.
     */
   private def dayTwoIndexDirs(s: SparkSession, dir: String, w: Int,
-                              modN: Int, nShards: Int)
+                              modN: Int, nShards: Int,
+                              fam: String = "span_index_day2")
       : (DataFrame, Seq[String]) = {
     val m = Relational.scrambleMod(TextHash.polyHash(
       concat(lit("inc:"), col("doc_id").cast("string")))) % modN
@@ -1250,9 +1251,9 @@ object Dedup {
     val existing = d.filter(col("gen") === 0).drop("gen")
     val day1 = d.filter(col("gen") === 1).drop("gen")
     val day2 = d.filter(col("gen") === 2).drop("gen")
-    val base = baseIndexDir(s, dir, "span_index_day2base", w, modN, nShards)(
+    val base = baseIndexDir(s, dir, s"${fam}base", w, modN, nShards)(
       spanOccurrences(existing, w).select(col("h")).distinct())
-    val delta = ArtifactStore.materialized(s, "span_index_day2delta",
+    val delta = ArtifactStore.materialized(s, s"${fam}delta",
       docsFingerprint(s, dir),
       dir, w.toString, modN.toString, nShards.toString)(out =>
       writeSpanDelta(
@@ -1260,6 +1261,40 @@ object Dedup {
           .join(readSpanIndex(s, base), Seq("h"), "left_anti"),
         out, nShards))
     (day2, Seq(base, delta))
+  }
+
+  /** Q303 — day-2 scrub through a MANIFEST-resolved index: the atomic
+    * generation switch the q286/q289 scaladocs promised ("readers
+    * switch by path"), made a real commit protocol
+    * ([[IndexManifest]]). Three commits replay the index's life —
+    * day 1 (base only), day 2 (base ∪ delta, the refresh landing),
+    * post-OPTIMIZE (the compacted rewrite retiring both) — and the
+    * scrub reads whatever the LATEST manifest names, so its output
+    * being hash-identical to q288's (shared oracle) proves resolve
+    * returned the complete post-compaction set and none of the
+    * retired generations. A reader racing any of the commits would
+    * have seen an older manifest's complete set, never a partial one.
+    *
+    * Scale shape: the manifest is a handful of path strings (the
+    * resolve collect is metadata-bounded); everything else is q289's
+    * compaction + q288's scrub. At 100 TB this is the Iceberg/Delta
+    * pointer-swap discipline over the same immutable generations.
+    */
+  def spanScrubViaManifest(s: SparkSession, dir: String, w: Int = 8,
+                           modN: Int = 5, nShards: Int = 8): DataFrame = {
+    val (day2, dirs) = dayTwoIndexDirs(s, dir, w, modN, nShards,
+      fam = "span_index_mf")
+    val root = ArtifactStore.invocationDir("span_manifest",
+      dir, w.toString, modN.toString, nShards.toString)
+    IndexManifest.commit(s, root, Seq(dirs.head))
+    IndexManifest.commit(s, root, dirs)
+    val compacted = ArtifactStore.invocationDir("span_index_mfcompact",
+      dir, w.toString, modN.toString, nShards.toString)
+    layShards(readIndexDirs(s, dirs), compacted, nShards,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    IndexManifest.commit(s, root, Seq(compacted))
+    scrubIncomingWith(day2,
+      readSpanIndexDirs(s, IndexManifest.resolve(s, root)), w)
   }
 
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12

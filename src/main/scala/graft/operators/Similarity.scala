@@ -916,6 +916,111 @@ object Similarity {
         col("dist").as("distortion"))
   }
 
+  /** Q304 — day-2 search through a MANIFEST-resolved postings set:
+    * q303's atomic-switch discipline on the ANN side. Three commits
+    * replay the index's life (base → base ∪ delta → compacted), the
+    * search reads whatever the LATEST manifest names, and its output
+    * being hash-identical to q298's (shared oracle) proves resolve
+    * returned the complete post-compaction set and none of the
+    * retired generations.
+    */
+  def ivfManifestSearch(s: SparkSession, dir: String, nCentroids: Int = 8,
+                        modN: Int = 5, nProbe: Int = 2,
+                        k: Int = 5): DataFrame = {
+    val (cent, dirs) = dayTwoPostings(s, dir, "ivf_postings_mf",
+      nCentroids, modN)
+    val root = ArtifactStore.invocationDir("ivf_manifest",
+      dir, nCentroids.toString, modN.toString)
+    IndexManifest.commit(s, root, Seq(dirs.head))
+    IndexManifest.commit(s, root, dirs)
+    val compacted = ArtifactStore.invocationDir("ivf_postings_mfcompact",
+      dir, nCentroids.toString, modN.toString)
+    layLists(readIvfPostingsDirs(s, dirs), compacted)
+    IndexManifest.commit(s, root, Seq(compacted))
+    probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
+      postingsAsLists(s, IndexManifest.resolve(s, root)), k)
+  }
+
+  /** Q305 — quantizer-DRIFT audit: the alarm that decides when the
+    * frozen day-1 quantizer (q297/q298's discipline) is stale. Per
+    * inverted list, the existing and incoming member counts and each
+    * stratum's mean cosine distance (1 − csim) to its own centroid —
+    * incoming vectors landing systematically farther from the frozen
+    * centroids than the data they were trained on is the
+    * distribution-shift signal that triggers a q306 retrain. Means
+    * use DECIMAL(38,10)-quantized summands (the q281 discipline) so
+    * shuffle order can't leak into the floats; empty strata degrade
+    * to NULL on both engines.
+    *
+    * Scale shape: one corpus scan against the broadcast KB quantizer,
+    * one list-keyed aggregate with map-side partials — the same cost
+    * as the assignment the daily refresh already pays.
+    */
+  def quantizerDrift(s: SparkSession, dir: String, nCentroids: Int = 8,
+                     modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_drift_cent",
+        Seq(nCentroids.toString, modN.toString))(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    def meanOf(sumCol: Column, nCol: Column): Column =
+      sumCol.cast("double") / nullif(nCol, lit(0L)).cast("double")
+    assignTo(e.withColumn("incoming", inc), cent)
+      .filter(col("crk") === 1)
+      .withColumn("cd", lit(1.0) - col("csim"))
+      .groupBy(col("cid").cast("long").as("list_id"))
+      .agg(
+        count(when(!col("incoming"), lit(1))).as("n_existing"),
+        count(when(col("incoming"), lit(1))).as("n_new"),
+        sum(when(!col("incoming"), col("cd")).cast("decimal(38,10)"))
+          .as("ex_sum"),
+        sum(when(col("incoming"), col("cd")).cast("decimal(38,10)"))
+          .as("new_sum"))
+      .select(col("list_id"), col("n_existing"), col("n_new"),
+        meanOf(col("ex_sum"), col("n_existing")).as("mean_dist_existing"),
+        meanOf(col("new_sum"), col("n_new")).as("mean_dist_new"))
+  }
+
+  /** Q306 — quantizer RETRAIN and atomic switch: the step q305's
+    * alarm triggers, retiring the frozen day-1 quantizer. The
+    * pre-retrain state (frozen-quantizer base + delta generations) is
+    * committed to a manifest; the quantizer is retrained on the FULL
+    * corpus (the q16c fixed-quantizer derivation), the postings are
+    * rebuilt as ONE fresh generation under the new centroids, and a
+    * final manifest commit switches readers atomically — the search
+    * then runs from the resolved set with the new quantizer, and its
+    * output is byte-identical to inline q16c (shared oracle): the
+    * proof that the switch landed the retrained index and none of the
+    * stale generations.
+    *
+    * Scale shape: retraining + rebuild is the q296 build cost — one
+    * corpus assignment and one list-keyed shuffle — run off-peak; the
+    * switch itself is a metadata commit. Old generations stay on disk
+    * for time-travel until a retention job deletes them (the q300
+    * purge shape pointed at whole generations).
+    */
+  def ivfRetrainSwitch(s: SparkSession, dir: String, nCentroids: Int = 8,
+                       modN: Int = 5, nProbe: Int = 2,
+                       k: Int = 5): DataFrame = {
+    val (_, dirs) = dayTwoPostings(s, dir, "ivf_postings_rs",
+      nCentroids, modN)
+    val root = ArtifactStore.invocationDir("ivf_manifest_rs",
+      dir, nCentroids.toString, modN.toString)
+    IndexManifest.commit(s, root, dirs)
+    val e = embDoubles(s, dir)
+    val cent2 = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_rs_cent2", Seq(nCentroids.toString))(
+        e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("de").as("ce"))))
+    val rebuilt = ArtifactStore.invocationDir("ivf_postings_rebuilt",
+      dir, nCentroids.toString)
+    writeIvfPostings(listsFor(e, cent2), rebuilt)
+    IndexManifest.commit(s, root, Seq(rebuilt))
+    probeSearch(probesFor(e, cent2, nProbe),
+      postingsAsLists(s, IndexManifest.resolve(s, root)), k)
+  }
+
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /
     * max|x|), the storage/bandwidth scale path for ANN (4× smaller
     * than float32, integer SIMD dot products). Zero vectors quantize

@@ -674,6 +674,32 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q304: manifest-resolved search reads ONLY the compacted generation; corpus scanned once") {
+    val df = SparkEntry.queries("q304_ivf_manifest_search")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_mfcompact"),
+      s"q304 must read the manifest-resolved compacted generation:\n$fmt")
+    assert(!fmt.contains("ivf_postings_mf_base") &&
+      !fmt.contains("ivf_postings_mf_delta"),
+      s"q304 search still reads manifest-retired generations:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q306: post-retrain search reads ONLY the rebuilt generation; stale dirs retired") {
+    val df = SparkEntry.queries("q306_ivf_retrain_switch")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_rebuilt"),
+      s"q306 must read the rebuilt postings generation:\n$fmt")
+    assert(!fmt.contains("ivf_postings_rs_base") &&
+      !fmt.contains("ivf_postings_rs_delta"),
+      s"q306 search still reads pre-retrain generations:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

@@ -811,6 +811,76 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q304: manifest-resolved day-2 search == q298 (the switch changes dirs, never content)") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = searchRows(Similarity.ivfDayTwoSearch(spark, dir))
+    val viaManifest = searchRows(Similarity.ivfManifestSearch(spark, dir))
+    assert(direct.nonEmpty)
+    assert(viaManifest === direct)
+  }
+
+  test("q306: post-retrain search through the switched manifest == inline q16c") {
+    val dir = "/root/testdata/sf0.001"
+    val inline = searchRows(Similarity.ivfTopK(spark, dir))
+    val switched = searchRows(Similarity.ivfRetrainSwitch(spark, dir))
+    assert(inline.nonEmpty)
+    assert(switched === inline)
+  }
+
+  test("q305: drift audit matches a sequential reference; empty strata degrade to NULL means") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.quantizerDrift(spark, dir).collect()
+      .map(r => (r.getAs[Long]("list_id"), r.getAs[Long]("n_existing"),
+        r.getAs[Long]("n_new"),
+        Option(r.getAs[java.lang.Double]("mean_dist_existing")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("mean_dist_new")).map(_.toDouble)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    // sequential reference from the raw table: the 'inc:' split, the
+    // existing stratum's smallest-8 centroids, left-assoc cosine
+    // folds, HALF_UP decimal(?,10) summands
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("inc:"), col("vec_id").cast("string"))))
+          % 5 === 0L).as("inc"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getBoolean(2)))
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotd(a, b) / math.sqrt(dotd(a, a) * dotd(b, b))
+    val cent = raw.filter(!_._3).sortBy(_._1).take(8)
+      .map(r => (r._1, r._2))
+    val assigned = raw.map { case (id, de, inc) =>
+      val (cid, _) = cent.map { case (c, ce) => (c, cos(de, ce)) }
+        .minBy { case (c, s) => (-s, c) }
+      (cid, 1.0 - cos(de, cent.find(_._1 == cid).get._2), inc)
+    }
+    def mean(cds: Seq[Double]): Option[Double] =
+      if (cds.isEmpty) None
+      else Some(cds.map(d => new java.math.BigDecimal(d)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue / cds.size)
+    val want = assigned.groupBy(_._1).toSeq.map { case (cid, rows) =>
+      val ex = rows.filter(!_._3).map(_._2).toSeq
+      val nw = rows.filter(_._3).map(_._2).toSeq
+      (cid, ex.size.toLong, nw.size.toLong, mean(ex), mean(nw))
+    }.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case _ => false
+      }
+      assert(close(g._4, w._4) && close(g._5, w._5),
+        s"list ${g._1}: got (${g._4}, ${g._5}) want (${w._4}, ${w._5})")
+    }
+  }
+
   test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_postings_spec").toString

@@ -135,6 +135,14 @@ class SpanScrubPropertySpec extends SparkSpec {
     assert(compacted === direct)
   }
 
+  test("q303: manifest-resolved scrub == q288 scrub (the switch changes dirs, never content)") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = collectRows(Dedup.spanScrubDayTwo(spark, dir))
+    val viaManifest = collectRows(Dedup.spanScrubViaManifest(spark, dir))
+    assert(direct.nonEmpty, "day-2 slice must carry documents")
+    assert(viaManifest === direct)
+  }
+
   /** Sequential q290 semantics at span-CONTENT level: n_before = all
     * distinct spans, a span is purged iff NO surviving doc contains
     * it. Shard assignment is hash arithmetic the content-level
