@@ -1290,7 +1290,9 @@ object Dedup {
     IndexManifest.commit(s, root, dirs)
     val compacted = ArtifactStore.invocationDir("span_index_mfcompact",
       dir, w.toString, modN.toString, nShards.toString)
-    layShards(readIndexDirs(s, dirs), compacted, nShards,
+    // h-only input, exactly like the q289 compaction: every rewrite
+    // path feeds layShards the same shape (one-writer-one-shape)
+    layShards(readSpanIndexDirs(s, dirs), compacted, nShards,
       org.apache.spark.sql.SaveMode.Overwrite)
     IndexManifest.commit(s, root, Seq(compacted))
     scrubIncomingWith(day2,

@@ -45,19 +45,45 @@ object IndexManifest {
       }
   }
 
+  /** Every allocated manifest id under `root` — committed or not. Id
+    * allocation must skip CRASHED commits too (a half-written m_<id>
+    * dir without its marker): allocating from max(committed) would
+    * make the next ErrorIfExists write collide with the orphan
+    * forever, bricking the root — the opposite of the
+    * crash-invisibility the protocol promises. Readers still see only
+    * committed ids; orphans merely burn their number. */
+  private def allocated(s: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("m_"))
+      .flatMap(_.getPath.getName.stripPrefix("m_").toLongOption)
+  }
+
   /** Commit a new live generation set: the next manifest id is
-    * max(committed) + 1, and the write is ErrorIfExists so two racing
+    * max(allocated) + 1, and the write is ErrorIfExists so two racing
     * writers cannot silently clobber one id (one of them fails loudly
-    * — the single-JVM stand-in for the catalog CAS). */
+    * — the single-JVM stand-in for the catalog CAS). The `_SUCCESS`
+    * marker is verified after the write: resolve's visibility
+    * contract depends on it, and a session configured with
+    * success-markers disabled would otherwise commit silently while
+    * every resolve fails. */
   def commit(s: SparkSession, root: String,
              generations: Seq[String]): Unit = {
     import s.implicits._
-    val id = (committed(s, root).map(_._1) :+ 0L).max + 1
+    val id = (allocated(s, root) :+ 0L).max + 1
+    val dir = s"$root/m_$id"
     generations.zipWithIndex.map { case (g, i) => (i, g) }
       .toDF("pos", "gen")
       .coalesce(1).sortWithinPartitions(col("pos"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(s"$root/m_$id")
+      .parquet(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    require(marker.getFileSystem(s.sessionState.newHadoopConf())
+        .exists(marker),
+      s"commit wrote $dir but its _SUCCESS marker is missing — " +
+        "success markers must be enabled for the manifest protocol")
   }
 
   /** The generation dirs of the LATEST committed manifest, in commit

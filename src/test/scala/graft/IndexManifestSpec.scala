@@ -33,9 +33,13 @@ class IndexManifestSpec extends SparkSpec {
       val crashed = new java.io.File(s"$root/m_99")
       assert(crashed.mkdirs())
       assert(IndexManifest.resolve(spark, root) === Seq("/gen/a"))
-      // crashed dirs are ignored for id allocation too: the next
-      // commit lands as m_2 and resolve keeps working
+      // id allocation SKIPS the orphan (a max-committed allocator
+      // would collide with m_99 forever once ids reached it): the
+      // next commit lands ABOVE it and resolve keeps working
       IndexManifest.commit(spark, root, Seq("/gen/b"))
+      val m100 = new java.io.File(s"$root/m_100")
+      assert(m100.isDirectory,
+        "commit must allocate past the crashed m_99 orphan")
       assert(IndexManifest.resolve(spark, root) === Seq("/gen/b"))
     }
   }

@@ -674,6 +674,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q303: manifest-resolved scrub reads ONLY the compacted generation") {
+    // the content test (scrub == q288) cannot catch a resolve that
+    // returns retired generations too — the scrub's semi/anti probes
+    // are duplicate-blind — so the retired-dirs-absent proof must be
+    // a plan pin
+    val df = SparkEntry.queries("q303_span_manifest_scrub")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("span_index_mfcompact"),
+      s"q303 must read the manifest-resolved compacted generation:\n$fmt")
+    assert(!fmt.contains("span_index_mfbase") &&
+      !fmt.contains("span_index_mfdelta"),
+      s"q303 scrub still reads manifest-retired generations:\n$fmt")
+  }
+
   test("q304: manifest-resolved search reads ONLY the compacted generation; corpus scanned once") {
     val df = SparkEntry.queries("q304_ivf_manifest_search")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
