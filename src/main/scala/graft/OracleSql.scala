@@ -4567,6 +4567,36 @@ object OracleSql {
        |    AS mean_dist_new
        |FROM own GROUP BY 1""".stripMargin
 
+  /** Q308 — time-travel search (mirrors Similarity.ivfTimeTravel):
+    * today's probes against the day-1 snapshot, so the inverted lists
+    * are RESTRICTED to the existing stratum while probe assignment is
+    * unrestricted (queries exist today, the index is yesterday's).
+    */
+  def q308IvfTimeTravel(nCentroids: Int = 8, modN: Int = 5,
+                        nProbe: Int = 2, k: Int = 5,
+                        dim: Int = 64): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${sliceAssignCtes(nCentroids, dim)},
+       |lists AS (
+       |  SELECT a.vec_id, a.de, a.cid AS list_id
+       |  FROM asg a JOIN vf USING (vec_id)
+       |  WHERE crk = 1 AND NOT vf.incoming
+       |),
+       |pl AS (
+       |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id
+       |  FROM asg WHERE vec_id < 3 AND crk <= $nProbe
+       |),
+       |cs AS (
+       |  SELECT p.probe_id, l.vec_id, ${cosSql("p.pe", "l.de", dim)} AS sim
+       |  FROM pl p JOIN lists l USING (list_id) WHERE l.vec_id <> p.probe_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, vec_id) AS rnk
+       |  FROM cs
+       |)
+       |SELECT probe_id, vec_id, sim, rnk FROM rk WHERE rnk <= $k""".stripMargin
+
   /** Q302 — frozen-codebook PQ encode of the incoming shard (mirrors
     * Similarity.pqFrozenEncode): codewords are the subvectors of the
     * codebookK smallest EXISTING vec_ids; each incoming subvector

@@ -464,7 +464,10 @@ object SparkEntry {
       Similarity.ivfManifestSearch(s, dir)),
     "q305_quantizer_drift" -> ((s, dir) => Similarity.quantizerDrift(s, dir)),
     "q306_ivf_retrain_switch" -> ((s, dir) =>
-      Similarity.ivfRetrainSwitch(s, dir))
+      Similarity.ivfRetrainSwitch(s, dir)),
+    "q307_ivf_generation_gc" -> ((s, dir) =>
+      Similarity.ivfGenerationGc(s, dir)),
+    "q308_ivf_time_travel" -> ((s, dir) => Similarity.ivfTimeTravel(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -832,6 +835,10 @@ object SparkEntry {
     // retraining on the full corpus IS the q16c quantizer, and the
     // rebuilt postings cover the full corpus — so the post-switch
     // search must equal inline q16c exactly
-    "q306_ivf_retrain_switch" -> OracleSql.q16cIvfTopK()
+    "q306_ivf_retrain_switch" -> OracleSql.q16cIvfTopK(),
+    // GC deletes only manifest-retired generations: the post-GC day-2
+    // search must still equal q298's
+    "q307_ivf_generation_gc" -> OracleSql.q298IvfDayTwoSearch(),
+    "q308_ivf_time_travel" -> OracleSql.q308IvfTimeTravel()
   )
 }

@@ -92,9 +92,57 @@ object IndexManifest {
   def resolve(s: SparkSession, root: String): Seq[String] = {
     val c = committed(s, root)
     require(c.nonEmpty, s"no committed manifest under $root")
-    readManifest(s, c.maxBy(_._1)._2.toString)
-      .orderBy(col("pos")).collect().map(_.getString(1)).toSeq
+    gensOf(s, c.maxBy(_._1)._2)
   }
+
+  /** TIME TRAVEL: the generation dirs of a SPECIFIC committed
+    * manifest id — a reader pinned to a past snapshot (the Delta
+    * `versionAsOf` shape). Loud error on an id that was never
+    * committed (crashed or GC'd snapshots must not silently degrade
+    * to a neighbor). */
+  def resolveAt(s: SparkSession, root: String, id: Long): Seq[String] = {
+    val c = committed(s, root).toMap
+    require(c.contains(id), s"manifest m_$id is not committed under $root")
+    gensOf(s, c(id))
+  }
+
+  /** Committed manifest ids, ascending (test + retention hook). */
+  def committedIds(s: SparkSession, root: String): Seq[Long] =
+    committed(s, root).map(_._1).sorted
+
+  /** Retention GC: delete every generation dir referenced ONLY by
+    * manifests older than the `keepLast` most recent commits. The
+    * kept window preserves time travel and in-flight readers (a
+    * reader that resolved before the GC still has its dirs as long
+    * as its manifest is inside the window — the standard
+    * retention-period contract). Manifest files themselves are
+    * metadata and stay. Returns the deleted dirs.
+    *
+    * At 100 TB this runs as the off-peak retention job; the listing
+    * and reference set are manifest-sized metadata, and the deletes
+    * are whole immutable directories.
+    */
+  def retire(s: SparkSession, root: String, keepLast: Int = 1)
+      : Seq[String] = {
+    require(keepLast >= 1, "retention must keep at least the live manifest")
+    val c = committed(s, root).sortBy(_._1)
+    if (c.size <= keepLast) return Seq.empty
+    val (old, kept) = c.splitAt(c.size - keepLast)
+    val live = kept.flatMap(m => gensOf(s, m._2)).toSet
+    val dead = old.flatMap(m => gensOf(s, m._2)).distinct
+      .filterNot(live)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    dead.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit
+    }
+    dead
+  }
+
+  private def gensOf(s: SparkSession,
+                     dir: org.apache.hadoop.fs.Path): Seq[String] =
+    readManifest(s, dir.toString)
+      .orderBy(col("pos")).collect().map(_.getString(1)).toSeq
 
   /** Explicit-schema manifest reader (test hook + resolve). */
   private[graft] def readManifest(s: SparkSession, dir: String): DataFrame =

@@ -1021,6 +1021,87 @@ object Similarity {
       postingsAsLists(s, IndexManifest.resolve(s, root)), k)
   }
 
+  /** Q307 — generation GC with a retention window: the "retired
+    * generations stay on disk until a retention job deletes them"
+    * step the q306 scaladoc promised. The index's life is replayed in
+    * PER-INVOCATION generations (GC is the operator under test, so
+    * the dirs it deletes must be its own — never the memoized day-1
+    * state other queries share), three manifests are committed
+    * (base → base ∪ delta → compacted), and
+    * [[IndexManifest.retire]](keepLast = 1) deletes the generations
+    * referenced only by the retired manifests. The day-2 search then
+    * runs from the resolved live set and is hash-identical to q298's
+    * (shared oracle) — the proof GC removed nothing a live reader
+    * needs. The spec additionally pins that the retired dirs are
+    * really gone from disk and the kept window's dirs survive.
+    *
+    * Scale shape: the GC's working set is manifest metadata (path
+    * strings); the deletes are whole immutable directories — the
+    * off-peak retention job of every immutable-generation store.
+    */
+  def ivfGenerationGc(s: SparkSession, dir: String, nCentroids: Int = 8,
+                      modN: Int = 5, nProbe: Int = 2,
+                      k: Int = 5): DataFrame =
+    generationGc(s, dir, nCentroids, modN, nProbe, k)._2
+
+  /** Test-visible q307 split: (deleted dirs, live dirs, search) so
+    * the spec can pin the on-disk outcome. */
+  private[graft] def generationGc(s: SparkSession, dir: String,
+                                  nCentroids: Int, modN: Int,
+                                  nProbe: Int, k: Int)
+      : (Seq[String], DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids.toString, modN.toString)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_gc_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    def gen(tag: String, slice: DataFrame): String = {
+      val d = ArtifactStore.invocationDir(s"ivf_postings_$tag",
+        (dir +: params): _*)
+      writeIvfPostings(listsFor(slice, cent), d)
+      d
+    }
+    val base = gen("gcbase", e.filter(!inc))
+    val delta = gen("gcdelta", e.filter(inc))
+    val root = ArtifactStore.invocationDir("ivf_manifest_gc",
+      (dir +: params): _*)
+    IndexManifest.commit(s, root, Seq(base))
+    IndexManifest.commit(s, root, Seq(base, delta))
+    val compacted = ArtifactStore.invocationDir("ivf_postings_gccompact",
+      (dir +: params): _*)
+    layLists(readIvfPostingsDirs(s, Seq(base, delta)), compacted)
+    IndexManifest.commit(s, root, Seq(compacted))
+    val deleted = IndexManifest.retire(s, root, keepLast = 1)
+    (deleted, probeSearch(probesFor(e, cent, nProbe),
+      postingsAsLists(s, IndexManifest.resolve(s, root)), k))
+  }
+
+  /** Q308 — TIME-TRAVEL search: today's probes against YESTERDAY's
+    * snapshot ([[IndexManifest.resolveAt]] pinned to the day-1
+    * manifest — the Delta `versionAsOf` shape). The resolved set is
+    * the base generation alone, so every hit is an existing-stratum
+    * vector: the oracle searches the frozen-quantizer lists
+    * RESTRICTED to the existing stratum, and the spec additionally
+    * pins that no incoming vec_id appears in the result. This is the
+    * reproducibility contract a training pipeline needs — re-running
+    * yesterday's retrieval job after today's refresh must return
+    * yesterday's answers.
+    */
+  def ivfTimeTravel(s: SparkSession, dir: String, nCentroids: Int = 8,
+                    modN: Int = 5, nProbe: Int = 2,
+                    k: Int = 5): DataFrame = {
+    val (cent, dirs) = dayTwoPostings(s, dir, "ivf_postings_tt",
+      nCentroids, modN)
+    val root = ArtifactStore.invocationDir("ivf_manifest_tt",
+      dir, nCentroids.toString, modN.toString)
+    IndexManifest.commit(s, root, Seq(dirs.head))
+    IndexManifest.commit(s, root, dirs)
+    val snap1 = IndexManifest.committedIds(s, root).head
+    probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
+      postingsAsLists(s, IndexManifest.resolveAt(s, root, snap1)), k)
+  }
+
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /
     * max|x|), the storage/bandwidth scale path for ANN (4× smaller
     * than float32, integer SIMD dot products). Zero vectors quantize

@@ -52,4 +52,42 @@ class IndexManifestSpec extends SparkSpec {
       assert(e.getMessage.contains("no committed manifest"))
     }
   }
+
+  test("resolveAt pins a past snapshot; an uncommitted id is a loud error") {
+    withRoot { root =>
+      IndexManifest.commit(spark, root, Seq("/gen/a"))
+      IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
+      val ids = IndexManifest.committedIds(spark, root)
+      assert(IndexManifest.resolveAt(spark, root, ids.head) ===
+        Seq("/gen/a"))
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.resolveAt(spark, root, 42L)
+      }
+      assert(e.getMessage.contains("not committed"))
+    }
+  }
+
+  test("retire deletes only generations exclusive to manifests outside the kept window") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val (a, b, c) = (mkGen("a"), mkGen("b"), mkGen("c"))
+      IndexManifest.commit(spark, root, Seq(a))
+      IndexManifest.commit(spark, root, Seq(a, b))
+      IndexManifest.commit(spark, root, Seq(c))
+      // keepLast=2 keeps m_2 (a, b) and m_3 (c): m_1's only gen `a`
+      // is still referenced by the kept window -> nothing deleted
+      assert(IndexManifest.retire(spark, root, keepLast = 2) === Seq.empty)
+      assert(new java.io.File(a).isDirectory)
+      // keepLast=1 keeps only m_3: a and b are now exclusive to
+      // retired manifests and go; c survives
+      val deleted = IndexManifest.retire(spark, root, keepLast = 1)
+      assert(deleted.toSet === Set(a, b))
+      assert(!new java.io.File(a).exists && !new java.io.File(b).exists)
+      assert(new java.io.File(c).isDirectory)
+      assert(IndexManifest.resolve(spark, root) === Seq(c))
+    }
+  }
 }

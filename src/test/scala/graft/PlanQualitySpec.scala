@@ -715,6 +715,31 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q307: post-GC search reads ONLY the surviving compacted generation") {
+    val df = SparkEntry.queries("q307_ivf_generation_gc")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_gccompact"),
+      s"q307 must read the surviving generation:\n$fmt")
+    assert(!fmt.contains("ivf_postings_gcbase") &&
+      !fmt.contains("ivf_postings_gcdelta"),
+      s"q307 search references a GC'd generation:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q308: time-travel search reads ONLY the day-1 base generation") {
+    val df = SparkEntry.queries("q308_ivf_time_travel")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_tt_base"),
+      s"q308 must read the pinned day-1 snapshot:\n$fmt")
+    assert(!fmt.contains("ivf_postings_tt_delta"),
+      s"q308 snapshot read leaks the day-2 delta:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

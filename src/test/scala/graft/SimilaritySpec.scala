@@ -827,6 +827,34 @@ class SimilaritySpec extends SparkSpec {
     assert(switched === inline)
   }
 
+  test("q307: GC deletes the retired generations from disk; post-GC search == q298") {
+    val dir = "/root/testdata/sf0.001"
+    val (deleted, search) =
+      Similarity.generationGc(spark, dir, 8, 5, 2, 5)
+    assert(deleted.size === 2, s"expected base+delta retired, got $deleted")
+    deleted.foreach(d => assert(!new java.io.File(d).exists,
+      s"retired generation $d still on disk"))
+    val direct = searchRows(Similarity.ivfDayTwoSearch(spark, dir))
+    assert(direct.nonEmpty)
+    assert(searchRows(search) === direct)
+  }
+
+  test("q308: time travel returns yesterday's answers — no incoming vector can be a hit") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.ivfTimeTravel(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(got.nonEmpty)
+    val incIds = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"))
+      .filter(graft.operators.Relational.scrambleMod(graft.functions
+        .TextHash.polyHash(concat(lit("inc:"),
+          col("vec_id").cast("string")))) % 5 === 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(incIds.nonEmpty, "split must produce incoming vectors")
+    got.foreach(id => assert(!incIds(id),
+      s"incoming vector $id leaked into the day-1 snapshot search"))
+  }
+
   test("q305: drift audit matches a sequential reference; empty strata degrade to NULL means") {
     val dir = "/root/testdata/sf0.001"
     val got = Similarity.quantizerDrift(spark, dir).collect()
