@@ -111,12 +111,18 @@ object IndexManifest {
     committed(s, root).map(_._1).sorted
 
   /** Retention GC: delete every generation dir referenced ONLY by
-    * manifests older than the `keepLast` most recent commits. The
-    * kept window preserves time travel and in-flight readers (a
-    * reader that resolved before the GC still has its dirs as long
-    * as its manifest is inside the window — the standard
-    * retention-period contract). Manifest files themselves are
-    * metadata and stay. Returns the deleted dirs.
+    * manifests older than the `keepLast` most recent commits, AND the
+    * retired manifest dirs themselves — a GC'd snapshot must fail
+    * [[resolveAt]]'s committed check loudly, never resolve to
+    * dangling generation paths (deleting retired manifests is safe
+    * for id allocation: keepLast ≥ 1 keeps the max id, so
+    * max(allocated)+1 never goes backwards). The kept window
+    * preserves time travel and in-flight readers (a reader that
+    * resolved before the GC still has its dirs as long as its
+    * manifest is inside the window — the standard retention-period
+    * contract). Returns the generation dirs whose delete actually
+    * succeeded — an already-gone or failed delete is not reported as
+    * reclaimed.
     *
     * At 100 TB this runs as the off-peak retention job; the listing
     * and reference set are manifest-sized metadata, and the deletes
@@ -133,10 +139,13 @@ object IndexManifest {
       .filterNot(live)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
-    dead.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true): Unit
-    }
-    dead
+    val reclaimed = dead.filter(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // generations first, manifests last: a crash in between leaves
+    // dangling manifests, which the next retire pass re-retires —
+    // never a live manifest with deleted generations
+    old.foreach(m => fs.delete(m._2, true): Unit)
+    reclaimed
   }
 
   private def gensOf(s: SparkSession,

@@ -1044,8 +1044,8 @@ object Similarity {
                       k: Int = 5): DataFrame =
     generationGc(s, dir, nCentroids, modN, nProbe, k)._2
 
-  /** Test-visible q307 split: (deleted dirs, live dirs, search) so
-    * the spec can pin the on-disk outcome. */
+  /** Test-visible q307 split: (deleted dirs, search) so the spec can
+    * pin the on-disk outcome. */
   private[graft] def generationGc(s: SparkSession, dir: String,
                                   nCentroids: Int, modN: Int,
                                   nProbe: Int, k: Int)

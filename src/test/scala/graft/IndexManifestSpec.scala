@@ -78,9 +78,16 @@ class IndexManifestSpec extends SparkSpec {
       IndexManifest.commit(spark, root, Seq(a, b))
       IndexManifest.commit(spark, root, Seq(c))
       // keepLast=2 keeps m_2 (a, b) and m_3 (c): m_1's only gen `a`
-      // is still referenced by the kept window -> nothing deleted
+      // is still referenced by the kept window -> no data deleted,
+      // but the m_1 SNAPSHOT leaves the committed set (a GC'd
+      // snapshot must fail resolveAt loudly, never resolve to
+      // dangling paths)
       assert(IndexManifest.retire(spark, root, keepLast = 2) === Seq.empty)
       assert(new java.io.File(a).isDirectory)
+      assert(IndexManifest.committedIds(spark, root) === Seq(2L, 3L))
+      intercept[IllegalArgumentException] {
+        IndexManifest.resolveAt(spark, root, 1L)
+      }
       // keepLast=1 keeps only m_3: a and b are now exclusive to
       // retired manifests and go; c survives
       val deleted = IndexManifest.retire(spark, root, keepLast = 1)
@@ -88,6 +95,8 @@ class IndexManifestSpec extends SparkSpec {
       assert(!new java.io.File(a).exists && !new java.io.File(b).exists)
       assert(new java.io.File(c).isDirectory)
       assert(IndexManifest.resolve(spark, root) === Seq(c))
+      // a repeat pass has nothing left to reclaim or retire
+      assert(IndexManifest.retire(spark, root, keepLast = 1) === Seq.empty)
     }
   }
 }
