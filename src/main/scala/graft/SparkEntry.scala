@@ -467,7 +467,9 @@ object SparkEntry {
       Similarity.ivfRetrainSwitch(s, dir)),
     "q307_ivf_generation_gc" -> ((s, dir) =>
       Similarity.ivfGenerationGc(s, dir)),
-    "q308_ivf_time_travel" -> ((s, dir) => Similarity.ivfTimeTravel(s, dir))
+    "q308_ivf_time_travel" -> ((s, dir) => Similarity.ivfTimeTravel(s, dir)),
+    "q309_incremental_clusters" -> ((s, dir) =>
+      Dedup.incrementalClusters(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -839,6 +841,10 @@ object SparkEntry {
     // GC deletes only manifest-retired generations: the post-GC day-2
     // search must still equal q298's
     "q307_ivf_generation_gc" -> OracleSql.q298IvfDayTwoSearch(),
-    "q308_ivf_time_travel" -> OracleSql.q308IvfTimeTravel()
+    "q308_ivf_time_travel" -> OracleSql.q308IvfTimeTravel(),
+    // the incremental day-2 clustering must equal the full recompute
+    // EXACTLY (contraction preserves connectivity; min-labels are
+    // canonical), so q309 shares q38's oracle
+    "q309_incremental_clusters" -> OracleSql.q38DupClusters()
   )
 }

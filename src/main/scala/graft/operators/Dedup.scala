@@ -66,31 +66,39 @@ object Dedup {
     * shuffles on (band, band-key) only.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val params = TextHash.minhashParams()
     val sig = minhashSignatures(s, docs(s, dir)).cache()
-    val byBand = params.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (band, ps) => band -> ps.map(_._1) }
-    val stackArgs = byBand
-      .map { case (band, his) => Seq(lit(band), bandKey(his)) }
-    val bands = sig.select(col("doc_id"),
-      explode(array(stackArgs.map(p => struct(p(0).as("band"), p(1).as("bh"))): _*))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandTable(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val matches = params
-      .map { case (i, _, _, _) =>
-        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
-      .reduce(_ + _)
     cand
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (matches.cast("double") / lit(16.0)).as("est_jaccard"))
+        (sigMatches.cast("double") / lit(16.0)).as("est_jaccard"))
   }
+
+  /** The one (doc_id, band, bh) unpivot behind every LSH path (q15c,
+    * q204, q309): bands in ascending order, the ordered bandKey fold
+    * per band. */
+  private def bandTable(sig: DataFrame): DataFrame = {
+    val byBand = TextHash.minhashParams().groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (band, ps) => band -> ps.map(_._1) }
+    val stackArgs = byBand.map { case (band, his) =>
+      struct(lit(band).as("band"), bandKey(his).as("bh")) }
+    sig.select(col("doc_id"), explode(array(stackArgs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Signature-agreement count between aliases `sa` and `sb` (the
+    * est-Jaccard numerator shared by every gated LSH path). */
+  private def sigMatches: Column =
+    TextHash.minhashParams()
+      .map { case (i, _, _, _) =>
+        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
+      .reduce(_ + _)
 
   /** Q182 — LSH banding TUNING CURVE over the 16-slot MinHash
     * signature: for each (bands × rows) split of the signature —
@@ -127,33 +135,20 @@ object Dedup {
     */
   def incrementalDedup(s: SparkSession, dir: String, modN: Int = 5,
                        tau: Double = 0.5): DataFrame = {
-    val params = TextHash.minhashParams()
     val isInc = Relational.scrambleMod(TextHash.polyHash(
       concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
     val sig = minhashSignatures(s, docs(s, dir))
       .withColumn("incoming", isInc).cache()
-    val byBand = params.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (band, ps) => band -> ps.map(_._1) }
-    val stackArgs = byBand
-      .map { case (band, his) => struct(lit(band).as("band"),
-        bandKey(his).as("bh")) }
-    def bands(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(array(stackArgs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bands(sig.filter(col("incoming"))).as("x")
-      .join(bands(sig.filter(!col("incoming"))).as("y"),
+    val cand = bandTable(sig.filter(col("incoming"))).as("x")
+      .join(bandTable(sig.filter(!col("incoming"))).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("inc_id"), col("y.doc_id").as("ex_id"))
       .distinct()
-    val matches = params
-      .map { case (i, _, _, _) =>
-        when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
-      .reduce(_ + _)
     val minMatch = math.ceil(tau * 16).toInt
     val scored = cand
       .join(sig.as("sa"), col("inc_id") === col("sa.doc_id"))
       .join(sig.as("sb"), col("ex_id") === col("sb.doc_id"))
-      .select(col("inc_id"), col("ex_id"), matches.as("n_match"))
+      .select(col("inc_id"), col("ex_id"), sigMatches.as("n_match"))
     val agg = scored.groupBy(col("inc_id"))
       .agg(count(lit(1)).as("n_candidates"),
         sum(when(col("n_match") >= minMatch, 1L).otherwise(0L))
@@ -662,6 +657,151 @@ object Dedup {
       minhashLsh(s, dir)
         .filter(col("est_jaccard") >= minJaccard)
         .select(col("doc_a"), col("doc_b")))._1
+
+  /** LSH signature-index SINK: the per-doc MinHash signatures of the
+    * existing corpus as doc-sharded parquet — the third persisted
+    * index family (spans q285, IVF postings q296). Shard membership
+    * is `doc_id mod nShards`, doc_id-sorted within — deterministic
+    * layout, same discipline as writeSpanIndex. */
+  def writeLshSigIndex(sig: DataFrame, outDir: String,
+                       nShards: Int = 8): Unit =
+    sig.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.partitionBy("shard")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  /** LSH signature-index SOURCE (explicit schema; longs round-trip
+    * parquet exactly, so band keys and match counts over the
+    * read-back table are bit-identical to inline derivation). */
+  def readLshSigIndex(s: SparkSession, dir: String): DataFrame = {
+    val mh = (1 to 16).map(i => s"mh$i BIGINT").mkString(", ")
+    s.read.schema(s"doc_id BIGINT, $mh, shard BIGINT").parquet(dir)
+      .drop("shard")
+  }
+
+  /** Day-1 cluster-label SINK/SOURCE: (doc_id, cluster_id) sharded
+    * like the signature index — the cross-run state an incremental
+    * clustering pipeline carries between ingest days. */
+  def writeCcLabels(labels: DataFrame, outDir: String,
+                    nShards: Int = 8): Unit =
+    labels.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.partitionBy("shard")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+
+  def readCcLabels(s: SparkSession, dir: String): DataFrame =
+    s.read.schema("doc_id BIGINT, cluster_id BIGINT, shard BIGINT")
+      .parquet(dir).select(col("doc_id"), col("cluster_id"))
+
+  /** Q309 — day-2 INCREMENTAL duplicate clustering: the q288/q293
+    * day-2 discipline brought to the GRAPH family, against two
+    * persisted day-1 artifacts — the LSH signature index of the
+    * existing corpus and its cluster labels. Day 2 computes
+    * signatures for the INCOMING shard only, probes the persisted
+    * band index (incoming×existing + incoming×incoming — never
+    * existing×existing, which day 1 already resolved), CONTRACTS each
+    * new edge's endpoints to their day-1 component labels, runs the
+    * large-star/small-star fixpoint on the contracted graph (day-1
+    * components are supernodes, so the graph is |new edges|-sized),
+    * and expands: a day-1 doc inherits its supernode's final label, a
+    * fresh node keeps its own.
+    *
+    * Output is IDENTICAL to the full q38 recompute (shared oracle):
+    * existing×existing candidate pairs are corpus-independent (band
+    * membership and signature agreement are per-doc/per-pair
+    * functions), contraction preserves connectivity, and min-labels
+    * are canonical — the component minimum of the contracted graph
+    * (day-1 minima ∪ fresh ids) IS the full component minimum. That
+    * identity is the whole point: a daily pipeline pays
+    * O(|incoming| + collisions + |new edges| log) instead of a
+    * corpus-wide self-join and fixpoint, and provably loses nothing.
+    *
+    * Scale shape: one documents scan (the incoming slice — the
+    * existing corpus is never re-read, plan-pinned), band probes
+    * against the sharded artifact, and a fixpoint whose edge table is
+    * new-pair-sized. The artifacts are the q286-style cross-run
+    * state; a nightly job appends incoming signatures and rewrites
+    * labels shard-aligned (the q296 refresh shape, not re-shown
+    * here).
+    */
+  def incrementalClusters(s: SparkSession, dir: String,
+                          minJaccard: Double = 0.5, modN: Int = 5,
+                          nShards: Int = 8): DataFrame = {
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val fp = docsFingerprint(s, dir)
+    val sigDir = ArtifactStore.materialized(s, "lsh_sig_index", fp,
+      dir, modN.toString, nShards.toString)(out =>
+      writeLshSigIndex(
+        minhashSignatures(s, docs(s, dir).filter(!isInc)), out, nShards))
+    val labDir = ArtifactStore.materialized(s, "cc_labels_day1", fp,
+      dir, minJaccard.toString, modN.toString, nShards.toString)(out => {
+      val sigEx = readLshSigIndex(s, sigDir)
+      val bandsEx = bandTable(sigEx)
+      val pairs = bandsEx.as("x").join(bandsEx.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(sigEx.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigEx.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .filter(sigMatches.cast("double") / lit(16.0) >= lit(minJaccard))
+        .select(col("doc_a"), col("doc_b"))
+      writeCcLabels(connectedComponentsStar(pairs)._1, out, nShards)
+    })
+    // ---- the measured day-2 path ----
+    val sigEx = readLshSigIndex(s, sigDir)
+    val sigIn = minhashSignatures(s, docs(s, dir).filter(isInc)).cache()
+    val bandsIn = bandTable(sigIn)
+    val candCross = bandsIn.as("x").join(bandTable(sigEx).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val candIn = bandsIn.as("x").join(bandsIn.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val sigAll = sigEx.unionByName(sigIn)
+    val newPairs = candCross.unionAll(candIn).distinct()
+      .join(sigAll.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigAll.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(sigMatches.cast("double") / lit(16.0) >= lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds the fixpoint AND the expansion below
+    mergeIncremental(newPairs, readCcLabels(s, labDir))
+  }
+
+  /** The q309 contract → fixpoint → expand step over an explicit
+    * (doc_a, doc_b) new-pair table and a (doc_id, cluster_id) day-1
+    * label table — separated so the merge propagation is unit-testable
+    * with hand-built topologies (a banding-gated LSH corpus cannot
+    * deterministically force a two-sided bridge). */
+  private[graft] def mergeIncremental(newPairs: DataFrame,
+                                      labels1: DataFrame): DataFrame = {
+    val contracted = newPairs
+      .join(labels1.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("la")), Seq("doc_a"), "left")
+      .join(labels1.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("lb")), Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val cc2 = connectedComponentsStar(contracted)._1
+      .select(col("doc_id").as("node"), col("cluster_id").as("final"))
+    val day1Out = labels1.join(cc2,
+        labels1("cluster_id") === cc2("node"), "left")
+      .select(labels1("doc_id"),
+        coalesce(col("final"), labels1("cluster_id")).as("cluster_id"))
+    val freshOut = newPairs.select(col("doc_a").as("doc_id"))
+      .unionAll(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+      .join(labels1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(cc2, col("doc_id") === cc2("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("final"), col("doc_id")).as("cluster_id"))
+    day1Out.unionByName(freshOut)
+  }
 
   /** Min-label propagation over an undirected pair list
     * (`doc_a`, `doc_b`); returns (doc_id, cluster_id = component min).

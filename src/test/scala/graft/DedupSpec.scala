@@ -713,4 +713,34 @@ class DedupSpec extends SparkSpec {
         .deleteDirectory(new java.io.File(dir2))
     }
   }
+
+  private def clusterRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cluster_id"))).toSet
+
+  test("q309: incremental day-2 clustering == full q38 recompute bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val full = clusterRows(Dedup.dupClusters(spark, dir))
+    val incr = clusterRows(Dedup.incrementalClusters(spark, dir))
+    assert(full.nonEmpty)
+    assert(incr === full)
+  }
+
+  test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
+    import spark.implicits._
+    // day 1: components {0,1}→0, {2,3}→2, {7,9}→7
+    val labels1 = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),
+      (7L, 7L), (9L, 7L)).toDF("doc_id", "cluster_id")
+    // day 2: incoming 15 bridges members of BOTH components (via a
+    // non-label member on one side — contraction must still merge),
+    // incoming 20/21 pair only with each other
+    val newPairs = Seq((1L, 15L), (15L, 3L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.mergeIncremental(newPairs, labels1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (15L, 0L), // merged to 0
+      (20L, 20L), (21L, 20L),                            // fresh cluster
+      (7L, 7L), (9L, 7L)))                               // untouched
+  }
 }

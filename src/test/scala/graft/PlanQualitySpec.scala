@@ -740,6 +740,41 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q309: warm day-2 clustering scans documents ONCE (the incoming slice); existing corpus served by the artifacts") {
+    import scala.jdk.CollectionConverters._
+    // warm the write-once day-1 artifacts so the measured invocation
+    // is the steady-state daily run
+    SparkEntry.queries("q309_incremental_clusters")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val df = SparkEntry.queries("q309_incremental_clusters")(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+      val docScans = seen.asScala.count(_.contains("documents.parquet"))
+      assert(docScans === 1,
+        s"day-2 path must scan documents once (incoming sigs), got $docScans")
+      assert(seen.asScala.exists(_.contains("lsh_sig_index")),
+        "existing signatures must come from the persisted index")
+      val fmt =
+        org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+      assert(fmt.contains("cc_labels_day1"),
+        s"expansion must read the day-1 label artifact:\n$fmt")
+      assert(!fmt.contains("documents.parquet"),
+        s"the returned plan must not re-read the corpus:\n$fmt")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
