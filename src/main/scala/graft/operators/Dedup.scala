@@ -100,6 +100,18 @@ object Dedup {
         when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column }
       .reduce(_ + _)
 
+  /** The one est-Jaccard gate behind every thresholded LSH pair path
+    * (q38's day-1 derivation and q309's day-2 newPairs): candidates
+    * joined to their signatures, kept iff agreement/16 ≥ minJaccard —
+    * a single definition so the q309 ≡ q38 shared-oracle contract is
+    * structural, not a convention across copies. */
+  private def gatedPairs(cand: DataFrame, sig: DataFrame,
+                         minJaccard: Double): DataFrame =
+    cand.join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(sigMatches.cast("double") / lit(16.0) >= lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"))
+
   /** Q182 — LSH banding TUNING CURVE over the 16-slot MinHash
     * signature: for each (bands × rows) split of the signature —
     * 8×2, 4×4, 2×8, 1×16 — the candidate-pair count, the count
@@ -665,11 +677,8 @@ object Dedup {
     * layout, same discipline as writeSpanIndex. */
   def writeLshSigIndex(sig: DataFrame, outDir: String,
                        nShards: Int = 8): Unit =
-    sig.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
-      .write.partitionBy("shard")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    layByKey(sig, "doc_id", outDir, nShards,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** LSH signature-index SOURCE (explicit schema; longs round-trip
     * parquet exactly, so band keys and match counts over the
@@ -685,11 +694,8 @@ object Dedup {
     * clustering pipeline carries between ingest days. */
   def writeCcLabels(labels: DataFrame, outDir: String,
                     nShards: Int = 8): Unit =
-    labels.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
-      .write.partitionBy("shard")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+    layByKey(labels, "doc_id", outDir, nShards,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   def readCcLabels(s: SparkSession, dir: String): DataFrame =
     s.read.schema("doc_id BIGINT, cluster_id BIGINT, shard BIGINT")
@@ -740,16 +746,14 @@ object Dedup {
       dir, minJaccard.toString, modN.toString, nShards.toString)(out => {
       val sigEx = readLshSigIndex(s, sigDir)
       val bandsEx = bandTable(sigEx)
-      val pairs = bandsEx.as("x").join(bandsEx.as("y"),
+      val cand = bandsEx.as("x").join(bandsEx.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-        .join(sigEx.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sigEx.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(sigMatches.cast("double") / lit(16.0) >= lit(minJaccard))
-        .select(col("doc_a"), col("doc_b"))
-      writeCcLabels(connectedComponentsStar(pairs)._1, out, nShards)
+      writeCcLabels(
+        connectedComponentsStar(gatedPairs(cand, sigEx, minJaccard))._1,
+        out, nShards)
     })
     // ---- the measured day-2 path ----
     val sigEx = readLshSigIndex(s, sigDir)
@@ -763,12 +767,8 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val sigAll = sigEx.unionByName(sigIn)
-    val newPairs = candCross.unionAll(candIn).distinct()
-      .join(sigAll.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigAll.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(sigMatches.cast("double") / lit(16.0) >= lit(minJaccard))
-      .select(col("doc_a"), col("doc_b"))
+    val newPairs = gatedPairs(candCross.unionAll(candIn).distinct(),
+        sigEx.unionByName(sigIn), minJaccard)
       .localCheckpoint() // feeds the fixpoint AND the expansion below
     mergeIncremental(newPairs, readCcLabels(s, labDir))
   }
@@ -1142,9 +1142,19 @@ object Dedup {
     * all paths share this exact derivation. */
   private def layShards(index: DataFrame, outDir: String, nShards: Int,
                         mode: org.apache.spark.sql.SaveMode): Unit =
-    index.withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    layByKey(index, "h", outDir, nShards, mode)
+
+  /** The ONE shard-layout derivation behind every sharded artifact
+    * (span index on `h`, LSH signature index and day-1 labels on
+    * `doc_id`): shard = key mod nShards, key-sorted within a shard —
+    * a single definition so cross-artifact shard alignment can never
+    * drift between writers. */
+  private def layByKey(df: DataFrame, key: String, outDir: String,
+                       nShards: Int,
+                       mode: org.apache.spark.sql.SaveMode): Unit =
+    df.withColumn("shard", pmod(col(key), lit(nShards.toLong)))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("h"))
+      .sortWithinPartitions(col("shard"), col(key))
       .write.partitionBy("shard").mode(mode).parquet(outDir)
 
   /** Span-hash index SOURCE: read a persisted index back to the
