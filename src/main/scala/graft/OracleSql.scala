@@ -4567,6 +4567,28 @@ object OracleSql {
        |    AS mean_dist_new
        |FROM own GROUP BY 1""".stripMargin
 
+  /** Q310 — LSH signature-index refresh audit (mirrors
+    * Dedup.lshSigRefresh): per doc-shard (doc_id mod nShards), the
+    * existing signatures, incoming additions, and refreshed total —
+    * derived from the raw documents table alone (a doc carries a
+    * signature iff it has ≥ 3 tokens, i.e. at least one 3-shingle),
+    * so the Spark side's file-level counts over the base ∪ delta
+    * generations must agree exactly.
+    */
+  def q310LshSigRefresh(modN: Int = 5, nShards: Int = 8): String =
+    s"""WITH $tokenHashCtes,
+       |${incomingFlagCtes(modN)},
+       |sd AS (
+       |  SELECT thc.doc_id, incoming
+       |  FROM thc JOIN fl USING (doc_id)
+       |  WHERE len(th) >= 3
+       |)
+       |SELECT CAST(doc_id % $nShards AS BIGINT) AS shard,
+       |  CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT) AS n_existing,
+       |  CAST(count(*) FILTER (WHERE incoming) AS BIGINT) AS n_new,
+       |  CAST(count(*) AS BIGINT) AS n_total
+       |FROM sd GROUP BY 1""".stripMargin
+
   /** Q308 — time-travel search (mirrors Similarity.ivfTimeTravel):
     * today's probes against the day-1 snapshot, so the inverted lists
     * are RESTRICTED to the existing stratum while probe assignment is

@@ -469,7 +469,10 @@ object SparkEntry {
       Similarity.ivfGenerationGc(s, dir)),
     "q308_ivf_time_travel" -> ((s, dir) => Similarity.ivfTimeTravel(s, dir)),
     "q309_incremental_clusters" -> ((s, dir) =>
-      Dedup.incrementalClusters(s, dir))
+      Dedup.incrementalClusters(s, dir)),
+    "q310_lsh_sig_refresh" -> ((s, dir) => Dedup.lshSigRefresh(s, dir)),
+    "q311_stream_manifest_refresh" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamManifestRefreshFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -845,6 +848,11 @@ object SparkEntry {
     // the incremental day-2 clustering must equal the full recompute
     // EXACTLY (contraction preserves connectivity; min-labels are
     // canonical), so q309 shares q38's oracle
-    "q309_incremental_clusters" -> OracleSql.q38DupClusters()
+    "q309_incremental_clusters" -> OracleSql.q38DupClusters(),
+    "q310_lsh_sig_refresh" -> OracleSql.q310LshSigRefresh(),
+    // stream ≡ batch for MANIFEST-mediated index maintenance: the
+    // per-batch resolve → delta → commit chain must refresh the index
+    // to exactly the batch q286 state, so q311 shares its oracle
+    "q311_stream_manifest_refresh" -> OracleSql.q286SpanIndexRefresh()
   )
 }

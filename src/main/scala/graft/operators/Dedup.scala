@@ -701,6 +701,59 @@ object Dedup {
     s.read.schema("doc_id BIGINT, cluster_id BIGINT, shard BIGINT")
       .parquet(dir).select(col("doc_id"), col("cluster_id"))
 
+  /** Q310 — LSH signature-index REFRESH audit (the q286/q297 shape on
+    * the third index family): the incoming shard's signatures land as
+    * a doc-sharded DELTA generation next to the write-once existing
+    * base — no anti-join needed here, because signature rows are
+    * per-doc and the strata are disjoint by construction — and the
+    * audit counts per shard: docs before, docs added, docs after,
+    * from the FILES. The oracle derives the same counts from the raw
+    * documents table (a doc carries a signature iff it has ≥ 3
+    * tokens, i.e. at least one shingle), so a dropped signature, a
+    * duplicated append, or shard mis-assignment breaks the compare.
+    *
+    * Scale shape: one signature pass over the incoming slice (the
+    * existing corpus is never re-read), one doc-keyed shard shuffle
+    * of 17-column rows, an nShards-bounded audit. This is the
+    * artifact-maintenance job that keeps q309's day-2 clustering
+    * O(|incoming|) forever: tomorrow's "existing" index is today's
+    * base ∪ delta.
+    */
+  def lshSigRefresh(s: SparkSession, dir: String, modN: Int = 5,
+                    nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val isInc = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val base = ArtifactStore.materialized(s, "lsh_sig_base",
+      docsFingerprint(s, dir), dir, modN.toString, nShards.toString)(out =>
+      writeLshSigIndex(
+        minhashSignatures(s, docs(s, dir).filter(!isInc)), out, nShards))
+    val pre = sigShardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val delta = ArtifactStore.invocationDir("lsh_sig_delta",
+      dir, modN.toString, nShards.toString)
+    writeLshSigIndex(
+      minhashSignatures(s, docs(s, dir).filter(isInc)), delta, nShards)
+    val preDf = pre.toDF("shard", "n_existing")
+    sigShardCounts(s, Seq(base, delta), "n_total")
+      .join(preDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
+        col("n_total"))
+  }
+
+  /** Per-shard signature counts over one or more index generations. */
+  private def sigShardCounts(s: SparkSession, dirs: Seq[String],
+                             as: String): DataFrame = {
+    val mh = (1 to 16).map(i => s"mh$i BIGINT").mkString(", ")
+    dirs.map(d => s.read.schema(s"doc_id BIGINT, $mh, shard BIGINT")
+        .parquet(d).select(col("shard")))
+      .reduce(_ unionAll _)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as(as))
+  }
+
   /** Q309 — day-2 INCREMENTAL duplicate clustering: the q288/q293
     * day-2 discipline brought to the GRAPH family, against two
     * persisted day-1 artifacts — the LSH signature index of the

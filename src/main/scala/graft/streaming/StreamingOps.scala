@@ -1805,6 +1805,85 @@ object StreamingOps {
     graft.operators.ArtifactStore.invocationDir("span_index_streamref",
       dir, w.toString, modN.toString, nShards.toString)
 
+  /** Q311 — STREAMING span-index refresh through the MANIFEST: q295's
+    * write path where the cross-batch memory is the COMMITTED MANIFEST
+    * rather than a driver-side dir list — the full production
+    * composition: each micro-batch resolves the current manifest,
+    * anti-joins its distinct hashes against the resolved generations,
+    * lands the novel ones as one more shard-aligned delta, and COMMITS
+    * a new manifest naming the extended set. Readers racing any batch
+    * see a complete committed set; a foreachBatch RETRY of batch i
+    * excludes its own generation from the resolved prior set (the
+    * q301 idempotence fix) and skips the duplicate commit. The final
+    * audit reads via resolve() and is bit-identical to the batch q286
+    * (shared oracle: stream ≡ batch for manifest-mediated index
+    * maintenance).
+    *
+    * Scale shape: per batch O(|batch| + index probe) + one metadata
+    * commit; the manifest allocation is the single-writer CAS
+    * stand-in ([[graft.operators.IndexManifest.commit]]).
+    */
+  def streamManifestRefreshFixture(s: SparkSession, dir: String,
+                                   w: Int = 8, modN: Int = 5,
+                                   nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (incoming, base) = graft.operators.Dedup.streamScrubParts(
+      s, dir, w, modN, nShards, family = "span_index_streammf_base")
+    val pre = graft.operators.Dedup.shardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val occ = graft.operators.Dedup.spanOccurrencesOf(incoming, w)
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)].collect().sortBy(identity)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "span_index_streammf", dir, w.toString, modN.toString,
+      nShards.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "span_manifest_stream", dir, w.toString, modN.toString,
+      nShards.toString)
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base))
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("doc_id", "h")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        // retry-safe: the resolved prior set never includes this
+        // batch's own (possibly half-written) generation
+        val prior = graft.operators.IndexManifest.resolve(ss, mroot)
+          .filterNot(_ == gen)
+        val novel = batch.select(col("h")).distinct()
+          .join(graft.operators.Dedup.readSpanIndexDirs(ss, prior),
+            Seq("h"), "left_anti")
+        graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
+        graft.operators.IndexManifest.commit(ss, mroot, prior :+ gen)
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val docIds = occ.map(_._1).distinct
+      val chunks = docIds.grouped(math.max(1, docIds.length / 3 + 1)).toSeq
+      chunks.foreach { ids =>
+        val set = ids.toSet
+        val chunk = occ.filter(o => set(o._1))
+        if (chunk.nonEmpty) {
+          chunk.grouped(math.max(1, chunk.length / 32 + 1))
+            .foreach(b => stream.addData(b.toIndexedSeq))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    val preDf = pre.toDF("shard", "n_existing")
+    graft.operators.Dedup.shardCounts(s,
+        graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed")
+      .join(preDf, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
+          .as("n_new"),
+        col("n_refreshed"))
+  }
+
   /** Q301 — STREAMING ANN ingest against the persisted IVF index (the
     * q295 write-path discipline on the embedding side): incoming
     * vectors arrive as a stream; each micro-batch is assigned under

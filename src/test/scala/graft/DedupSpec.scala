@@ -726,6 +726,28 @@ class DedupSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("q310: signature-index refresh audit — per-shard identity; totals match the shingle-bearing strata") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = Dedup.lshSigRefresh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_existing"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_total")))
+    assert(audit.nonEmpty)
+    audit.foreach { case (sh, ex, nw, tot) =>
+      assert(ex + nw === tot, s"shard $sh: $ex + $nw != $tot")
+    }
+    // conservation: a doc carries a signature iff it has >= 3 tokens
+    val m = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        (size(split(trim(lower(col("text"))), "\\s+")) >= 3).as("sig"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("inc:"), col("doc_id").cast("string"))))
+          % 5 === 0L).as("inc"))
+      .filter(col("sig")).groupBy(col("inc")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(audit.map(_._2).sum === m.getOrElse(false, 0L))
+    assert(audit.map(_._3).sum === m.getOrElse(true, 0L))
+  }
+
   test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
     import spark.implicits._
     // day 1: components {0,1}→0, {2,3}→2, {7,9}→7

@@ -828,6 +828,23 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("q311: manifest-mediated streaming refresh == batch q286 audit") {
+    // the cross-batch memory is the COMMITTED MANIFEST: batch i's
+    // novelty anti-join reads whatever resolve() returns, so equality
+    // with the batch refresh proves every commit named the complete
+    // generation set and no delta was lost or double-counted
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_refreshed"))).toSet
+    val stream = rows(graft.streaming.StreamingOps
+      .streamManifestRefreshFixture(spark, dir))
+    val batch = rows(graft.operators.Dedup.spanIndexRefresh(spark, dir))
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("q301: streaming ANN ingest == batch q297 refresh audit (re-delivery dropped)") {
     // the fixture re-sends each chunk's tail with the next batch, so
     // equality with the batch audit ALSO proves the vec_id anti-join
