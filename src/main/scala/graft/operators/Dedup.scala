@@ -92,6 +92,33 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** Deterministic scramble membership on doc_id — the ONE Spark
+    * mirror of the oracle's memberFlagCtes ('inc:' selects the
+    * incoming shard, 'purge:' the deleted-document set), so the
+    * arithmetic that every membership-split query's oracle compare
+    * depends on has a single definition. */
+  private[graft] def memberDoc(prefix: String, modN: Int): Column =
+    Relational.scrambleMod(TextHash.polyHash(
+      concat(lit(prefix), col("doc_id").cast("string")))) % modN === 0L
+
+  /** The shared refresh-audit finish (q286/q295/q297/q301/q310/q311):
+    * eagerly collected pre-refresh per-key counts joined onto the
+    * refreshed per-key totals; n_new = total − existing, absent keys
+    * coalesce to 0. `key` is the shard/list column name and
+    * `totalName` the caller's total column (already aggregated). */
+  private[graft] def refreshAuditOf(s: SparkSession,
+                                    pre: Seq[(Long, Long)],
+                                    totals: DataFrame, key: String,
+                                    totalName: String): DataFrame = {
+    import s.implicits._
+    totals.join(pre.toDF(key, "n_existing"), Seq(key), "left")
+      .select(col(key),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        (col(totalName) - coalesce(col("n_existing"), lit(0L)))
+          .as("n_new"),
+        col(totalName))
+  }
+
   /** Signature-agreement count between aliases `sa` and `sb` (the
     * est-Jaccard numerator shared by every gated LSH path). */
   private def sigMatches: Column =
@@ -147,8 +174,7 @@ object Dedup {
     */
   def incrementalDedup(s: SparkSession, dir: String, modN: Int = 5,
                        tau: Double = 0.5): DataFrame = {
-    val isInc = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val isInc = memberDoc("inc:", modN)
     val sig = minhashSignatures(s, docs(s, dir))
       .withColumn("incoming", isInc).cache()
     val cand = bandTable(sig.filter(col("incoming"))).as("x")
@@ -721,10 +747,14 @@ object Dedup {
     */
   def lshSigRefresh(s: SparkSession, dir: String, modN: Int = 5,
                     nShards: Int = 8): DataFrame = {
-    import s.implicits._
-    val isInc = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
-    val base = ArtifactStore.materialized(s, "lsh_sig_base",
+    val isInc = memberDoc("inc:", modN)
+    // DELIBERATELY the same family q309 reads (identical writer,
+    // identical params): q310 maintains THAT index — its delta is the
+    // generation tomorrow's q309 run unions in. The artifact under
+    // test here is the per-invocation DELTA, so the shared base tag
+    // cannot mask it (the round-12 distinct-tag rule targets the
+    // tested artifact, not shared day-1 fixture state).
+    val base = ArtifactStore.materialized(s, "lsh_sig_index",
       docsFingerprint(s, dir), dir, modN.toString, nShards.toString)(out =>
       writeLshSigIndex(
         minhashSignatures(s, docs(s, dir).filter(!isInc)), out, nShards))
@@ -734,13 +764,8 @@ object Dedup {
       dir, modN.toString, nShards.toString)
     writeLshSigIndex(
       minhashSignatures(s, docs(s, dir).filter(isInc)), delta, nShards)
-    val preDf = pre.toDF("shard", "n_existing")
-    sigShardCounts(s, Seq(base, delta), "n_total")
-      .join(preDf, Seq("shard"), "left")
-      .select(col("shard"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
-        col("n_total"))
+    refreshAuditOf(s, pre, sigShardCounts(s, Seq(base, delta), "n_total"),
+      "shard", "n_total")
   }
 
   /** Per-shard signature counts over one or more index generations. */
@@ -788,8 +813,7 @@ object Dedup {
   def incrementalClusters(s: SparkSession, dir: String,
                           minJaccard: Double = 0.5, modN: Int = 5,
                           nShards: Int = 8): DataFrame = {
-    val isInc = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val isInc = memberDoc("inc:", modN)
     val fp = docsFingerprint(s, dir)
     val sigDir = ArtifactStore.materialized(s, "lsh_sig_index", fp,
       dir, modN.toString, nShards.toString)(out =>
@@ -1143,8 +1167,7 @@ object Dedup {
     * DISTINCT span-hash index). */
   private def ingestSplit(s: SparkSession, dir: String, w: Int, modN: Int)
       : (DataFrame, DataFrame) = {
-    val isInc = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("inc:"), col("doc_id").cast("string")))) % modN === 0L
+    val isInc = memberDoc("inc:", modN)
     val d = docs(s, dir).withColumn("incoming", isInc)
     (d.filter(col("incoming")).drop("incoming"),
       spanOccurrences(d.filter(!col("incoming")), w)
@@ -1384,7 +1407,6 @@ object Dedup {
     */
   def spanIndexRefresh(s: SparkSession, dir: String, w: Int = 8,
                        modN: Int = 5, nShards: Int = 8): DataFrame = {
-    import s.implicits._
     val (incoming, existingIdx) = ingestSplit(s, dir, w, modN)
     val base = baseIndexDir(s, dir, "span_index_base", w, modN, nShards)(
       existingIdx)
@@ -1400,16 +1422,8 @@ object Dedup {
       .select(col("h")).distinct()
       .join(readSpanIndex(s, base), Seq("h"), "left_anti")
     writeSpanDelta(fresh, delta, nShards)
-    val preDf = pre.toDF("shard", "n_existing")
-    readIndexDirs(s, Seq(base, delta))
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_refreshed"))
-      .join(preDf, Seq("shard"), "left")
-      .select(col("shard"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
-          .as("n_new"),
-        col("n_refreshed"))
+    refreshAuditOf(s, pre, shardCounts(s, Seq(base, delta), "n_refreshed"),
+      "shard", "n_refreshed")
   }
 
   /** Q288 — SECOND-DAY scrub through the refreshed index: the step
@@ -1561,8 +1575,7 @@ object Dedup {
     */
   def spanIndexPurge(s: SparkSession, dir: String, w: Int = 8,
                      modN: Int = 5, nShards: Int = 8): DataFrame = {
-    val isPurged = Relational.scrambleMod(TextHash.polyHash(
-      concat(lit("purge:"), col("doc_id").cast("string")))) % modN === 0L
+    val isPurged = memberDoc("purge:", modN)
     val d = docs(s, dir).withColumn("purged", isPurged)
     // the full-corpus index is day-1 state (write-once base) — the
     // measured operator is the purge itself

@@ -858,20 +858,14 @@ object Similarity {
     * (pre-counts from the base generation only). */
   private[graft] def postingsAudit(s: SparkSession, base: String,
                                    deltas: Seq[String]): DataFrame = {
-    import s.implicits._
-    val pre = readIvfPostings(s, base)
-      .groupBy(col("list").cast("long").as("list_id"))
-      .agg(count(lit(1)).as("n_existing"))
+    def counts(dirs: Seq[String], as: String): DataFrame =
+      readIvfPostingsDirs(s, dirs)
+        .groupBy(col("list").cast("long").as("list_id"))
+        .agg(count(lit(1)).as(as))
+    val pre = counts(Seq(base), "n_existing")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val preDf = pre.toDF("list_id", "n_existing")
-    readIvfPostingsDirs(s, base +: deltas)
-      .groupBy(col("list").cast("long").as("list_id"))
-      .agg(count(lit(1)).as("n_total"))
-      .join(preDf, Seq("list_id"), "left")
-      .select(col("list_id"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_total") - coalesce(col("n_existing"), lit(0L))).as("n_new"),
-        col("n_total"))
+    Dedup.refreshAuditOf(s, pre, counts(base +: deltas, "n_total"),
+      "list_id", "n_total")
   }
 
   /** Q302 — FROZEN-codebook PQ encode of the incoming shard (the q283

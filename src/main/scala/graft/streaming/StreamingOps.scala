@@ -1787,15 +1787,10 @@ object StreamingOps {
       }
     } finally q.stop()
     import scala.jdk.CollectionConverters._
-    val preDf = pre.toDF("shard", "n_existing")
-    graft.operators.Dedup.shardCounts(s, base +: deltas.asScala.toSeq,
-        "n_refreshed")
-      .join(preDf, Seq("shard"), "left")
-      .select(col("shard"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
-          .as("n_new"),
-        col("n_refreshed"))
+    graft.operators.Dedup.refreshAuditOf(s, pre,
+      graft.operators.Dedup.shardCounts(s, base +: deltas.asScala.toSeq,
+        "n_refreshed"),
+      "shard", "n_refreshed")
   }
 
   /** One scratch root per (corpus, params) invocation for the q295
@@ -1812,10 +1807,11 @@ object StreamingOps {
     * anti-joins its distinct hashes against the resolved generations,
     * lands the novel ones as one more shard-aligned delta, and COMMITS
     * a new manifest naming the extended set. Readers racing any batch
-    * see a complete committed set; a foreachBatch RETRY of batch i
-    * excludes its own generation from the resolved prior set (the
-    * q301 idempotence fix) and skips the duplicate commit. The final
-    * audit reads via resolve() and is bit-identical to the batch q286
+    * see a complete committed set; a foreachBatch RETRY whose
+    * generation is already committed skips the step entirely (never
+    * rewriting files a live manifest names), and one that crashed
+    * before its commit safely rewrites the invisible generation. The
+    * final audit reads via resolve() and is bit-identical to the batch q286
     * (shared oracle: stream ≡ batch for manifest-mediated index
     * maintenance).
     *
@@ -1849,15 +1845,20 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
         val gen = s"$deltaRoot/b$id"
-        // retry-safe: the resolved prior set never includes this
-        // batch's own (possibly half-written) generation
-        val prior = graft.operators.IndexManifest.resolve(ss, mroot)
-          .filterNot(_ == gen)
-        val novel = batch.select(col("h")).distinct()
-          .join(graft.operators.Dedup.readSpanIndexDirs(ss, prior),
-            Seq("h"), "left_anti")
-        graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
-        graft.operators.IndexManifest.commit(ss, mroot, prior :+ gen)
+        val resolved = graft.operators.IndexManifest.resolve(ss, mroot)
+        // retry-idempotence: if this batch's generation is already
+        // COMMITTED, the whole step is done — rewriting it in place
+        // would delete files a live manifest names (the reader race
+        // the manifest exists to prevent). If the crash fell between
+        // delta write and commit, gen is uncommitted (invisible) and
+        // the rewrite below is safe.
+        if (!resolved.contains(gen)) {
+          val novel = batch.select(col("h")).distinct()
+            .join(graft.operators.Dedup.readSpanIndexDirs(ss, resolved),
+              Seq("h"), "left_anti")
+          graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
+          graft.operators.IndexManifest.commit(ss, mroot, resolved :+ gen)
+        }
       }
       .outputMode(OutputMode.Update()).start()
     try {
@@ -1873,15 +1874,10 @@ object StreamingOps {
         }
       }
     } finally q.stop()
-    val preDf = pre.toDF("shard", "n_existing")
-    graft.operators.Dedup.shardCounts(s,
-        graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed")
-      .join(preDf, Seq("shard"), "left")
-      .select(col("shard"),
-        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
-        (col("n_refreshed") - coalesce(col("n_existing"), lit(0L)))
-          .as("n_new"),
-        col("n_refreshed"))
+    graft.operators.Dedup.refreshAuditOf(s, pre,
+      graft.operators.Dedup.shardCounts(s,
+        graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed"),
+      "shard", "n_refreshed")
   }
 
   /** Q301 — STREAMING ANN ingest against the persisted IVF index (the
