@@ -766,6 +766,7 @@ object Graph {
     */
   def hits(s: SparkSession, dir: String, iters: Int = 2,
            broadcastScores: Option[Boolean] = None): DataFrame = {
+    require(iters >= 1, s"hits needs at least one iteration, got $iters")
     val base = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -788,48 +789,65 @@ object Graph {
     var auth = eByP.select(col("p")).distinct()
       .withColumn("a", lit(1).cast("decimal(28,14)"))
     var hub: DataFrame = null
-    // superseded half-step checkpoints: each iteration's masses are
-    // eagerly materialized, so every checkpoint except the LAST hraw/
-    // araw is dead once the loop ends
-    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // each iteration's masses are eagerly materialized, so a
+    // superseded hraw/araw checkpoint is dead THE MOMENT its successor
+    // lands — released immediately, which caps resident checkpoints at
+    // O(1) instead of O(iters)
     var lastH: DataFrame = null
     var lastA: DataFrame = null
-    for (_ <- 1 to iters) {
-      // materialize each mass table BEFORE branching it into its own
-      // normalizing total — the q173 lesson: a lazy aggregate consumed
-      // twice (scalar + main branch) inlines the whole upstream chain
-      // into both, doubling work per half-step (2^(2·iters) blowup)
-      val hraw = (if (bcast) eByC.join(broadcast(auth), "p")
-        else eByP.join(auth, "p")).groupBy(col("c"))
-        .agg(sum(col("a")).as("hr")).localCheckpoint()
-      if (lastH != null) stale += lastH
-      lastH = hraw
-      hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
-        .select(col("c"),
-          (col("hr").cast("double") / col("sh").cast("double"))
-            .cast("decimal(28,14)").as("h"))
-      val araw = (if (bcast) eByP.join(broadcast(hub), "c")
-        else eByC.join(hub, "c")).groupBy(col("p"))
-        .agg(sum(col("h")).as("ar")).localCheckpoint()
-      if (lastA != null) stale += lastA
-      lastA = araw
-      auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
-        .select(col("p"),
-          (col("ar").cast("double") / col("sa").cast("double"))
-            .cast("decimal(28,14)").as("a"))
+    var ok = false
+    try {
+      for (_ <- 1 to iters) {
+        // materialize each mass table BEFORE branching it into its own
+        // normalizing total — the q173 lesson: a lazy aggregate consumed
+        // twice (scalar + main branch) inlines the whole upstream chain
+        // into both, doubling work per half-step (2^(2·iters) blowup)
+        val hraw = (if (bcast) eByC.join(broadcast(auth), "p")
+          else eByP.join(auth, "p")).groupBy(col("c"))
+          .agg(sum(col("a")).as("hr")).localCheckpoint()
+        if (lastH != null) releaseLabels(lastH)
+        lastH = hraw
+        hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
+          .select(col("c"),
+            (col("hr").cast("double") / col("sh").cast("double"))
+              .cast("decimal(28,14)").as("h"))
+        val araw = (if (bcast) eByP.join(broadcast(hub), "c")
+          else eByC.join(hub, "c")).groupBy(col("p"))
+          .agg(sum(col("h")).as("ar")).localCheckpoint()
+        if (lastA != null) releaseLabels(lastA)
+        lastA = araw
+        auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
+          .select(col("p"),
+            (col("ar").cast("double") / col("sa").cast("double"))
+              .cast("decimal(28,14)").as("a"))
+      }
+      ok = true
+    } finally {
+      // the returned plan reads ONLY the last half-step checkpoints
+      // (the masses were materialized eagerly), so the two adjacency
+      // caches are dead weight from here — left resident they
+      // pressured every later query in the bench chunk (the q121
+      // in-run lesson applied to the graph family). Released in a
+      // finally because a mid-loop failure doesn't end the bench
+      // chunk: Bench catches the throw and clearCache() cannot evict
+      // checkpoint blocks, so the failure path must also drop the
+      // current checkpoints or the rest of the chunk runs under the
+      // exact pressure this cleanup removes.
+      eByC.unpersist(blocking = false)
+      eByP.unpersist(blocking = false)
+      if (!ok) {
+        if (lastH != null) releaseLabels(lastH)
+        if (lastA != null) releaseLabels(lastA)
+      }
     }
-    // the returned plan reads ONLY the last half-step checkpoints (the
-    // masses were materialized eagerly), so the two adjacency caches
-    // and the superseded checkpoints are dead weight from here — left
-    // resident they pressured every later query in the bench chunk
-    // (the q121 in-run lesson applied to the graph family; q183 was
-    // the next-largest in-run CPU line at 5x its standalone cost)
-    eByC.unpersist(blocking = false)
-    eByP.unpersist(blocking = false)
-    stale.foreach(releaseLabels)
-    hub.select(lit("hub").as("kind"), col("c").as("id"),
-        col("h").cast("double").as("score"))
-      .unionAll(auth.select(lit("auth").as("kind"), col("p").as("id"),
-        col("a").cast("double").as("score")))
+    // the LAST hraw/araw checkpoints are ownerless once the returned
+    // plan has been materialized — adopt them so the first successful
+    // action releases their blocks instead of leaking them to session
+    // end (two leaked tables per hits() call otherwise)
+    CheckpointOrphans.adopt(
+      hub.select(lit("hub").as("kind"), col("c").as("id"),
+          col("h").cast("double").as("score"))
+        .unionAll(auth.select(lit("auth").as("kind"), col("p").as("id"),
+          col("a").cast("double").as("score"))))
   }
 }
