@@ -92,14 +92,11 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
-  /** Deterministic scramble membership on doc_id — the ONE Spark
-    * mirror of the oracle's memberFlagCtes ('inc:' selects the
-    * incoming shard, 'purge:' the deleted-document set), so the
-    * arithmetic that every membership-split query's oracle compare
-    * depends on has a single definition. */
+  /** Scramble membership on doc_id ('inc:' selects the incoming
+    * shard, 'purge:' the deleted-document set) — delegates to the one
+    * shared arithmetic in [[Relational.scrambleMember]]. */
   private[graft] def memberDoc(prefix: String, modN: Int): Column =
-    Relational.scrambleMod(TextHash.polyHash(
-      concat(lit(prefix), col("doc_id").cast("string")))) % modN === 0L
+    Relational.scrambleMember(col("doc_id"), prefix, modN)
 
   /** The shared refresh-audit finish (q286/q295/q297/q301/q310/q311):
     * eagerly collected pre-refresh per-key counts joined onto the
@@ -706,14 +703,19 @@ object Dedup {
     layByKey(sig, "doc_id", outDir, nShards,
       org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** The ONE explicit LSH signature-index read schema (readLshSigIndex
+    * and sigShardCounts both read through it — explicit-schema parquet
+    * reads null out silently on drift, so the string must not fork). */
+  private val lshSigSchema: String =
+    "doc_id BIGINT, " +
+      (1 to 16).map(i => s"mh$i BIGINT").mkString(", ") +
+      ", shard BIGINT"
+
   /** LSH signature-index SOURCE (explicit schema; longs round-trip
     * parquet exactly, so band keys and match counts over the
     * read-back table are bit-identical to inline derivation). */
-  def readLshSigIndex(s: SparkSession, dir: String): DataFrame = {
-    val mh = (1 to 16).map(i => s"mh$i BIGINT").mkString(", ")
-    s.read.schema(s"doc_id BIGINT, $mh, shard BIGINT").parquet(dir)
-      .drop("shard")
-  }
+  def readLshSigIndex(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(lshSigSchema).parquet(dir).drop("shard")
 
   /** Day-1 cluster-label SINK/SOURCE: (doc_id, cluster_id) sharded
     * like the signature index — the cross-run state an incremental
@@ -770,14 +772,12 @@ object Dedup {
 
   /** Per-shard signature counts over one or more index generations. */
   private def sigShardCounts(s: SparkSession, dirs: Seq[String],
-                             as: String): DataFrame = {
-    val mh = (1 to 16).map(i => s"mh$i BIGINT").mkString(", ")
-    dirs.map(d => s.read.schema(s"doc_id BIGINT, $mh, shard BIGINT")
-        .parquet(d).select(col("shard")))
+                             as: String): DataFrame =
+    dirs.map(d => s.read.schema(lshSigSchema).parquet(d)
+        .select(col("shard")))
       .reduce(_ unionAll _)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as(as))
-  }
 
   /** Q309 — day-2 INCREMENTAL duplicate clustering: the q288/q293
     * day-2 discipline brought to the GRAPH family, against two
@@ -847,7 +847,13 @@ object Dedup {
     val newPairs = gatedPairs(candCross.unionAll(candIn).distinct(),
         sigEx.unionByName(sigIn), minJaccard)
       .localCheckpoint() // feeds the fixpoint AND the expansion below
-    mergeIncremental(newPairs, readCcLabels(s, labDir))
+    // dead once newPairs is materialized (the only consumer)
+    sigIn.unpersist(blocking = false)
+    // the newPairs and fixpoint checkpoints are ownerless after the
+    // result materializes — adopt them (the Graph.hits discipline) so
+    // the first successful action releases their blocks
+    CheckpointOrphans.adopt(
+      mergeIncremental(newPairs, readCcLabels(s, labDir)))
   }
 
   /** The q309 contract → fixpoint → expand step over an explicit

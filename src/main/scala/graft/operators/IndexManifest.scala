@@ -61,30 +61,40 @@ object IndexManifest {
       .flatMap(_.getPath.getName.stripPrefix("m_").toLongOption)
   }
 
+  /** Per-root commit monitors: id allocation + write are
+    * check-then-act, so same-JVM committers to one root serialize on
+    * this lock — which makes the allocation genuinely atomic on
+    * local[*] (the only topology this engine runs). ErrorIfExists
+    * remains as the cross-JVM backstop, but it only NARROWS that
+    * race; a multi-driver deployment must allocate ids from a catalog
+    * CAS (the Iceberg/Delta commit service) — documented, not
+    * simulated. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Commit a new live generation set: the next manifest id is
-    * max(allocated) + 1, and the write is ErrorIfExists so two racing
-    * writers cannot silently clobber one id (one of them fails loudly
-    * — the single-JVM stand-in for the catalog CAS). The `_SUCCESS`
+    * max(allocated) + 1 under the root's commit lock. The `_SUCCESS`
     * marker is verified after the write: resolve's visibility
     * contract depends on it, and a session configured with
     * success-markers disabled would otherwise commit silently while
     * every resolve fails. */
   def commit(s: SparkSession, root: String,
-             generations: Seq[String]): Unit = {
-    import s.implicits._
-    val id = (allocated(s, root) :+ 0L).max + 1
-    val dir = s"$root/m_$id"
-    generations.zipWithIndex.map { case (g, i) => (i, g) }
-      .toDF("pos", "gen")
-      .coalesce(1).sortWithinPartitions(col("pos"))
-      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
-      .parquet(dir)
-    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    require(marker.getFileSystem(s.sessionState.newHadoopConf())
-        .exists(marker),
-      s"commit wrote $dir but its _SUCCESS marker is missing — " +
-        "success markers must be enabled for the manifest protocol")
-  }
+             generations: Seq[String]): Unit =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      import s.implicits._
+      val id = (allocated(s, root) :+ 0L).max + 1
+      val dir = s"$root/m_$id"
+      generations.zipWithIndex.map { case (g, i) => (i, g) }
+        .toDF("pos", "gen")
+        .coalesce(1).sortWithinPartitions(col("pos"))
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(dir)
+      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      require(marker.getFileSystem(s.sessionState.newHadoopConf())
+          .exists(marker),
+        s"commit wrote $dir but its _SUCCESS marker is missing — " +
+          "success markers must be enabled for the manifest protocol")
+    }
 
   /** The generation dirs of the LATEST committed manifest, in commit
     * order. Loud error when nothing is committed — an index with no
@@ -134,18 +144,23 @@ object IndexManifest {
     val c = committed(s, root).sortBy(_._1)
     if (c.size <= keepLast) return Seq.empty
     val (old, kept) = c.splitAt(c.size - keepLast)
-    val live = kept.flatMap(m => gensOf(s, m._2)).toSet
-    val dead = old.flatMap(m => gensOf(s, m._2)).distinct
-      .filterNot(live)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val reclaimed = dead.filter(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true))
-    // generations first, manifests last: a crash in between leaves
-    // dangling manifests, which the next retire pass re-retires —
-    // never a live manifest with deleted generations
-    old.foreach(m => fs.delete(m._2, true): Unit)
-    reclaimed
+    // read the retirees' generation lists BEFORE deleting anything,
+    // then delete MANIFESTS FIRST: a committed (still-present)
+    // manifest must never resolve to deleted paths, so a snapshot
+    // becomes loudly unresolvable before its data goes. A crash (or a
+    // failed manifest delete) in between leaves orphaned-but-intact
+    // generation dirs — a space leak the next pass can't see, never a
+    // dangling resolve; a manifest whose delete FAILS keeps every
+    // generation it references.
+    val oldGens = old.map(m => m._2 -> gensOf(s, m._2))
+    val dropped = oldGens.filter { case (m, _) => fs.delete(m, true) }
+    val live = kept.flatMap(m => gensOf(s, m._2)).toSet ++
+      oldGens.filterNot(g => dropped.exists(_._1 == g._1))
+        .flatMap(_._2)
+    dropped.flatMap(_._2).distinct.filterNot(live)
+      .filter(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
   private def gensOf(s: SparkSession,

@@ -1871,6 +1871,16 @@ object Relational {
     * (P−1)² < 2^63, so Spark Long and DuckDB BIGINT compute the
     * identical value with no overflow semantics in play.
     */
+  /** Deterministic scramble membership over any id column — the ONE
+    * Spark mirror of the oracle's memberFlagCtes arithmetic
+    * (`scrambleMod(polyHash(prefix || id)) % modN = 0`), shared by the
+    * doc_id splits (Dedup.memberDoc) and the vec_id splits
+    * (Similarity.memberVec) so the two families cannot drift. */
+  private[graft] def scrambleMember(id: Column, prefix: String,
+                                    modN: Int): Column =
+    scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit(prefix), id.cast("string")))) % modN === 0L
+
   private[graft] def scrambleMod(u: Column): Column = {
     val p = lit(graft.functions.TextHash.P)
     val v1 = (u * u + lit(12345L)) % p

@@ -586,14 +586,12 @@ object Similarity {
     assignTo(e, cent).filter(col("crk") === 1)
       .select(col("vec_id"), col("de"), col("cid").as("list"))
 
-  /** Deterministic scramble membership on vec_id (the q293 split
-    * pointed at the postings lifecycle): ~1/modN of the corpus is in
-    * the set. One definition for every prefix ('inc:' day-2 shard,
-    * 'purge:' deletion set) so the engine arithmetic that must mirror
-    * the oracle's split CTEs lives in one place. */
+  /** Scramble membership on vec_id (the q293 split pointed at the
+    * postings lifecycle; 'inc:' day-2 shard, 'purge:' deletion set) —
+    * delegates to the one shared arithmetic in
+    * [[Relational.scrambleMember]]. */
   private def memberVec(prefix: String, modN: Int): Column =
-    Relational.scrambleMod(graft.functions.TextHash.polyHash(
-      concat(lit(prefix), col("vec_id").cast("string")))) % modN === 0L
+    Relational.scrambleMember(col("vec_id"), prefix, modN)
 
   private def incomingVec(modN: Int): Column = memberVec("inc:", modN)
 
