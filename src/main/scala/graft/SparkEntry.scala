@@ -472,7 +472,9 @@ object SparkEntry {
       Dedup.incrementalClusters(s, dir)),
     "q310_lsh_sig_refresh" -> ((s, dir) => Dedup.lshSigRefresh(s, dir)),
     "q311_stream_manifest_refresh" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamManifestRefreshFixture(s, dir))
+      graft.streaming.StreamingOps.streamManifestRefreshFixture(s, dir)),
+    "q312_stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamDriftFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -853,6 +855,10 @@ object SparkEntry {
     // stream ≡ batch for MANIFEST-mediated index maintenance: the
     // per-batch resolve → delta → commit chain must refresh the index
     // to exactly the batch q286 state, so q311 shares its oracle
-    "q311_stream_manifest_refresh" -> OracleSql.q286SpanIndexRefresh()
+    "q311_stream_manifest_refresh" -> OracleSql.q286SpanIndexRefresh(),
+    // stream ≡ batch for the drift AUDIT: per-batch decimal partials
+    // fold to exactly the batch q305 aggregate, so q312 shares its
+    // oracle
+    "q312_stream_drift" -> OracleSql.q305QuantizerDrift()
   )
 }

@@ -1094,6 +1094,57 @@ object Similarity {
       postingsAsLists(s, IndexManifest.resolveAt(s, root, snap1)), k)
   }
 
+  /** Q312 support (the streaming drift monitor in
+    * [[graft.streaming.StreamingOps]]): the frozen quantizer under the
+    * streaming query's OWN tag, the EXISTING stratum's per-list
+    * (count, Σ cosine-distance) stats — day-1 batch state with q305's
+    * exact decimal summands — and the incoming slice to feed. */
+  private[graft] def streamDriftParts(s: SparkSession, dir: String,
+                                      nCentroids: Int, modN: Int)
+      : (String, DataFrame, DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val cent = centArtifact(s, dir, "ivf_drift_stream_cent",
+      Seq(nCentroids.toString, modN.toString))(
+      sliceCentroids(e.filter(!inc), nCentroids))
+    (cent, driftPartials(e.filter(!inc), readIvfCentroids(s, cent),
+      "n_existing", "ex_sum"), e.filter(inc))
+  }
+
+  /** One stratum's per-list drift partials: owning-list assignment
+    * under `cent`, cd = 1 − csim, exact DECIMAL(38,10) summands —
+    * associative, so per-batch partials sum to the batch total
+    * bitwise (the q305 arithmetic, split for streaming). */
+  private[graft] def driftPartials(slice: DataFrame, cent: DataFrame,
+                                   nName: String, sumName: String)
+      : DataFrame =
+    assignTo(slice, cent).filter(col("crk") === 1)
+      .withColumn("cd", lit(1.0) - col("csim"))
+      .groupBy(col("cid").cast("long").as("list_id"))
+      .agg(count(lit(1)).as(nName),
+        sum(col("cd").cast("decimal(38,10)")).as(sumName))
+
+  /** Q312 support: fold streamed per-batch incoming partials into the
+    * q305 audit row shape against the existing-stratum day-1 stats.
+    * Decimal partial sums are exact, so the result is bitwise equal
+    * to the batch q305. */
+  private[graft] def driftAudit(existing: DataFrame,
+                                incomingPartials: DataFrame): DataFrame = {
+    val in = incomingPartials
+      .groupBy(col("list_id"))
+      .agg(sum(col("n_new")).as("n_new"), sum(col("new_sum")).as("new_sum"))
+    def meanOf(sumCol: Column, nCol: Column): Column =
+      sumCol.cast("double") / nullif(nCol, lit(0L)).cast("double")
+    existing.join(in, Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+        coalesce(col("n_existing"), lit(0L)).as("n_existing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        meanOf(col("ex_sum"), coalesce(col("n_existing"), lit(0L)))
+          .as("mean_dist_existing"),
+        meanOf(col("new_sum"), coalesce(col("n_new"), lit(0L)))
+          .as("mean_dist_new"))
+  }
+
   /** Per-vector symmetric int8 quantization: q_i = round(x_i · 127 /
     * max|x|), the storage/bandwidth scale path for ANN (4× smaller
     * than float32, integer SIMD dot products). Zero vectors quantize

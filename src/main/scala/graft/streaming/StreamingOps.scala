@@ -1880,6 +1880,72 @@ object StreamingOps {
       "shard", "n_refreshed")
   }
 
+  /** Q312 — STREAMING quantizer-drift monitor: q305's staleness alarm
+    * computed continuously. Incoming vectors arrive as micro-batches;
+    * each batch is assigned under the FROZEN persisted quantizer
+    * (stream-static against the centroid artifact) and lands its
+    * per-list (count, Σ cosine-distance) PARTIALS as one immutable
+    * generation — map-side combine across batches, with exact
+    * DECIMAL(38,10) summands, so the final fold over all generations
+    * is bitwise the batch aggregate (decimal addition is associative;
+    * q312 shares q305's oracle: stream ≡ batch for a drift AUDIT, the
+    * equality discipline's fourth face after scrub q291, refresh
+    * q295/q311, and ingest q301). Re-delivery is idempotent by
+    * construction: batch i's partials are a pure function of batch i,
+    * overwritten into the SAME generation dir.
+    *
+    * Scale shape: per batch O(|batch|) against the broadcast KB
+    * quantizer, emitting ≤ nCentroids partial rows per generation;
+    * the final rollup reads nBatches·nCentroids tiny rows. This is
+    * the alarm a production ingest runs beside q301's index
+    * maintenance, triggering q306's retrain when incoming drifts.
+    */
+  def streamDriftFixture(s: SparkSession, dir: String,
+                         nCentroids: Int = 8,
+                         modN: Int = 5): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (cent, existingStats, incoming) = graft.operators.Similarity
+      .streamDriftParts(s, dir, nCentroids, modN)
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val root = graft.operators.ArtifactStore.invocationDir(
+      "ivf_drift_stream", dir, nCentroids.toString, modN.toString)
+    val gens = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val gen = s"$root/b$id"
+        graft.operators.Similarity.driftPartials(batch,
+            graft.operators.Similarity.readIvfCentroids(
+              batch.sparkSession, cent), "n_new", "new_sum")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(gen)
+        gens.put(id, gen): Unit
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+      chunks.foreach { chunk =>
+        if (chunk.nonEmpty) {
+          stream.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val schema = "list_id BIGINT, n_new BIGINT, new_sum DECIMAL(38,10)"
+    val partials =
+      if (gens.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      else gens.values.asScala.toSeq
+        .map(d => s.read.schema(schema).parquet(d))
+        .reduce(_ unionAll _)
+    graft.operators.Similarity.driftAudit(existingStats, partials)
+  }
+
   /** Q301 — STREAMING ANN ingest against the persisted IVF index (the
     * q295 write-path discipline on the embedding side): incoming
     * vectors arrive as a stream; each micro-batch is assigned under

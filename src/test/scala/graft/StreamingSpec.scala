@@ -845,6 +845,23 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("q312: streaming drift audit == batch q305 bitwise (decimal partials fold exactly)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("list_id"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        Option(r.getAs[java.lang.Double]("mean_dist_existing"))
+          .map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("mean_dist_new"))
+          .map(_.toDouble))).toSet
+    val stream = rows(
+      graft.streaming.StreamingOps.streamDriftFixture(spark, dir))
+    val batch = rows(
+      graft.operators.Similarity.quantizerDrift(spark, dir))
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("q301: streaming ANN ingest == batch q297 refresh audit (re-delivery dropped)") {
     // the fixture re-sends each chunk's tail with the next batch, so
     // equality with the batch audit ALSO proves the vec_id anti-join
