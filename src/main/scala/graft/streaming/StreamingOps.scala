@@ -1890,9 +1890,15 @@ object StreamingOps {
     * is bitwise the batch aggregate (decimal addition is associative;
     * q312 shares q305's oracle: stream ≡ batch for a drift AUDIT, the
     * equality discipline's fourth face after scrub q291, refresh
-    * q295/q311, and ingest q301). Re-delivery is idempotent by
-    * construction: batch i's partials are a pure function of batch i,
-    * overwritten into the SAME generation dir.
+    * q295/q311, and ingest q301). A foreachBatch RETRY of the same
+    * batch id is idempotent (the partials are a pure function of the
+    * batch, overwritten into the SAME generation dir); CROSS-batch
+    * re-delivery dedup is deliberately upstream's job — in production
+    * this monitor rides the deduped stream beside q301's ingest,
+    * whose vec_id anti-join drops re-sent vectors before either
+    * consumer sees them (aggregate-only generations cannot dedup by
+    * id, and duplicating q301's id-bearing state here would double
+    * the per-batch cost for a second copy of the same guarantee).
     *
     * Scale shape: per batch O(|batch|) against the broadcast KB
     * quantizer, emitting ≤ nCentroids partial rows per generation;
@@ -1925,15 +1931,8 @@ object StreamingOps {
         gens.put(id, gen): Unit
       }
       .outputMode(OutputMode.Update()).start()
-    try {
-      val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
-      chunks.foreach { chunk =>
-        if (chunk.nonEmpty) {
-          stream.addData(chunk.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      }
-    } finally q.stop()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
     import scala.jdk.CollectionConverters._
     val schema = "list_id BIGINT, n_new BIGINT, new_sum DECIMAL(38,10)"
     val partials =
