@@ -31,6 +31,28 @@ class TextFamilySpec extends SparkSpec {
     }
   }
 
+  test("nearDupCandidates: planted (length, prefix)-blocked pair is emitted; partial blocks are not") {
+    // round-13 verdict #4: q15b's CORRECTNESS row is agreed-empty on
+    // the sf fixture (no two docs share length AND 32-char prefix), so
+    // this is the non-empty witness for the blocking path itself.
+    // All four docs share the 32-char lowercase prefix; 0 and 1 also
+    // share n_chars (=41) and differ only past the prefix — the
+    // near-dup pair the blocking must surface. 2 breaks the length
+    // block (42 chars), 3 shares the length of nothing else.
+    val pfx = "the quick brown fox jumps over a" // 32 chars
+    withDocsDir(Seq(
+      pfx + " lazy dog",   // 0: 41 chars
+      pfx + " lazy cat",   // 1: 41 chars — same block as 0
+      pfx + " lazy dogs",  // 2: 42 chars -> length block fails
+      pfx)                 // 3: prefix-only, unique length
+    ) { dir =>
+      val got = TextAnalysis.nearDupCandidates(spark, dir).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(got === Set((0L, 1L)),
+        s"blocking must emit exactly the planted survivor pair, got $got")
+    }
+  }
+
   test("skyline: pareto frontier on (tokens up, chars down), ties kept") {
     withDocsDir(Seq(
       "a b c",      // 0: (3,5)  frontier
