@@ -763,6 +763,14 @@ object Graph {
     * the normalizing total is a one-row aggregate broadcast back
     * (the Q165 scalar discipline). The oracle unrolls the identical
     * CTE chain.
+    *
+    * CONSUME-ONCE: the returned DataFrame rides adopted localCheckpoint
+    * blocks ([[graft.operators.CheckpointOrphans.adopt]]) that are
+    * released after the FIRST successful action — run exactly one
+    * action over it (the driver/bench contract); a caller needing
+    * multiple actions must checkpoint or persist its own copy
+    * (round-13 ADVICE — the contract was documented only on adopt's
+    * internal scaladoc).
     */
   def hits(s: SparkSession, dir: String, iters: Int = 2,
            broadcastScores: Option[Boolean] = None): DataFrame = {

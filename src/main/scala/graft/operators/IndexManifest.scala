@@ -77,10 +77,22 @@ object IndexManifest {
     * marker is verified after the write: resolve's visibility
     * contract depends on it, and a session configured with
     * success-markers disabled would otherwise commit silently while
-    * every resolve fails. */
+    * every resolve fails.
+    *
+    * An EMPTY generation set is rejected loudly here: a committed
+    * empty manifest would make resolve return Seq.empty and the
+    * multi-generation readers (readSpanIndexDirs, readIvfPostingsDirs)
+    * fail far from the misuse site on `.reduce` of an empty dir list
+    * (round-13 ADVICE). Retiring an index is [[retire]]'s job, not an
+    * empty commit's. */
   def commit(s: SparkSession, root: String,
              generations: Seq[String]): Unit =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      require(generations.nonEmpty,
+        s"refusing to commit an EMPTY generation set under $root — " +
+          "an index with no live generations is a retirement " +
+          "(IndexManifest.retire), not a commit; resolve of an empty " +
+          "manifest would crash every multi-generation reader")
       import s.implicits._
       val id = (allocated(s, root) :+ 0L).max + 1
       val dir = s"$root/m_$id"
@@ -98,12 +110,31 @@ object IndexManifest {
 
   /** The generation dirs of the LATEST committed manifest, in commit
     * order. Loud error when nothing is committed — an index with no
-    * manifest is a broken deployment, not an empty relation. */
+    * manifest is a broken deployment, not an empty relation.
+    *
+    * A reader can race [[retire]]: the listing may name a manifest the
+    * GC deletes before its parquet is read. A newer manifest is live
+    * in exactly that case (retire keeps the most recent commits), so
+    * resolve re-lists and retries once on a vanished manifest instead
+    * of surfacing the transient FileNotFound (round-13 ADVICE). */
   def resolve(s: SparkSession, root: String): Seq[String] = {
-    val c = committed(s, root)
-    require(c.nonEmpty, s"no committed manifest under $root")
-    gensOf(s, c.maxBy(_._1)._2)
+    def once(): Seq[String] = {
+      val c = committed(s, root)
+      require(c.nonEmpty, s"no committed manifest under $root")
+      gensOf(s, c.maxBy(_._1)._2)
+    }
+    try once()
+    catch { case e: Throwable if vanished(e) => once() }
   }
+
+  /** True when an exception chain bottoms out in a missing file/path —
+    * the signature of a manifest deleted between listing and read. */
+  private def vanished(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case _: java.io.FileNotFoundException => true
+      case t => t.getMessage != null &&
+        t.getMessage.contains("Path does not exist")
+    }
 
   /** TIME TRAVEL: the generation dirs of a SPECIFIC committed
     * manifest id — a reader pinned to a past snapshot (the Delta
@@ -127,10 +158,16 @@ object IndexManifest {
     * dangling generation paths (deleting retired manifests is safe
     * for id allocation: keepLast ≥ 1 keeps the max id, so
     * max(allocated)+1 never goes backwards). The kept window
-    * preserves time travel and in-flight readers (a reader that
-    * resolved before the GC still has its dirs as long as its
-    * manifest is inside the window — the standard retention-period
-    * contract). Returns the generation dirs whose delete actually
+    * preserves time travel and readers that have ALREADY RESOLVED: a
+    * resolved generation list stays valid as long as its manifest is
+    * inside the window — the standard retention-period contract. A
+    * reader concurrently INSIDE resolve — it listed a manifest this
+    * pass deletes but has not yet read it — observes a vanished
+    * manifest instead; [[resolve]] re-lists and retries against the
+    * surviving latest commit (round-13 ADVICE), while [[resolveAt]]
+    * pinned to the retired id fails loudly, which is the time-travel
+    * contract (a GC'd snapshot must never silently degrade to a
+    * neighbor). Returns the generation dirs whose delete actually
     * succeeded — an already-gone or failed delete is not reported as
     * reclaimed.
     *

@@ -67,6 +67,17 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("an empty generation set is rejected at commit, not at a reader's reduce") {
+    withRoot { root =>
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.commit(spark, root, Seq.empty)
+      }
+      assert(e.getMessage.contains("EMPTY generation set"))
+      // the root is untouched: no orphan id burned, no manifest dir
+      assert(IndexManifest.committedIds(spark, root) === Seq.empty)
+    }
+  }
+
   test("retire deletes only generations exclusive to manifests outside the kept window") {
     withRoot { root =>
       def mkGen(name: String): String = {
@@ -97,6 +108,71 @@ class IndexManifestSpec extends SparkSpec {
       assert(IndexManifest.resolve(spark, root) === Seq(c))
       // a repeat pass has nothing left to reclaim or retire
       assert(IndexManifest.retire(spark, root, keepLast = 1) === Seq.empty)
+    }
+  }
+
+  test("contention: resolve stays complete and GC never deletes a referenced generation while a committer+GC churns the root") {
+    // round-13 verdict #3: the documented guarantees, enforced. One
+    // writer thread commits fresh generation sets and retires with
+    // keepLast=2; the reader thread resolves continuously. Pins:
+    //  (1) resolve NEVER throws (the retire race surfaces as a
+    //      vanished manifest; resolve re-lists and retries — the
+    //      round-13 ADVICE path, exercised here under real churn);
+    //  (2) every resolved list is a COMPLETE committed set — exactly
+    //      one of the sets the writer committed, never a partial or
+    //      interleaved one;
+    //  (3) after every retire, every still-committed manifest's
+    //      generations exist on disk (GC only deletes what no
+    //      committed manifest references).
+    withRoot { root =>
+      val committedSets =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[String]]()
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val writer = new Thread(() => {
+        try {
+          var live = Seq.empty[String]
+          for (i <- 1 to 12) {
+            val g = mkGen(s"g$i")
+            // alternate grow (refresh) and switch (compaction) commits
+            live = if (i % 3 == 0) Seq(g) else live :+ g
+            committedSets.add(live) // record BEFORE visibility
+            IndexManifest.commit(spark, root, live)
+            if (i % 2 == 0) {
+              IndexManifest.retire(spark, root, keepLast = 2)
+              // (3): race-free here — this thread is the only deleter
+              IndexManifest.committedIds(spark, root).foreach { id =>
+                IndexManifest.resolveAt(spark, root, id).foreach(gen =>
+                  assert(new java.io.File(gen).isDirectory,
+                    s"GC deleted $gen still referenced by m_$id"))
+              }
+            }
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+        finally done.set(true)
+      })
+      val reader = new Thread(() => {
+        try {
+          while (!done.get()) {
+            val r = IndexManifest.resolve(spark, root) // (1): must not throw
+            assert(committedSets.contains(r),          // (2): complete set
+              s"resolve returned a never-committed set: $r")
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      // first commit before the reader starts (a manifest-less root is
+      // a loud error by contract, not part of this race)
+      val g0 = mkGen("g0")
+      committedSets.add(Seq(g0))
+      IndexManifest.commit(spark, root, Seq(g0))
+      writer.start(); reader.start()
+      writer.join(120000); reader.join(120000)
+      assert(failure.get() == null,
+        s"contention run failed: ${failure.get()}")
     }
   }
 }
