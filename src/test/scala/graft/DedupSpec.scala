@@ -748,6 +748,57 @@ class DedupSpec extends SparkSpec {
     assert(audit.map(_._3).sum === m.getOrElse(true, 0L))
   }
 
+  test("q313: clustering over the COMPACTED signature index == full q38 recompute; compaction is layout-only") {
+    val dir = "/root/testdata/sf0.001"
+    val full = clusterRows(Dedup.dupClusters(spark, dir))
+    val (compacted, result) =
+      Dedup.compactSigIndex(spark, dir, 0.5, 5, 8)
+    assert(full.nonEmpty)
+    assert(clusterRows(result) === full)
+    // OPTIMIZE contract: one doc_id-sorted file per shard directory
+    val shards = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shards.nonEmpty, s"no shard dirs under $compacted")
+    shards.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"shard ${sd.getName} has ${parts.length} files after compaction")
+    }
+  }
+
+  test("q314: signature purge audit — per-shard identity; totals match the purge scramble over shingle-bearing docs") {
+    val dir = "/root/testdata/sf0.001"
+    val audit = Dedup.lshSigPurge(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_purged"), r.getAs[Long]("n_after")))
+    assert(audit.nonEmpty)
+    audit.foreach { case (sh, b, p, a) =>
+      assert(b === p + a, s"shard $sh: $b != $p + $a")
+    }
+    // conservation against the raw corpus: a doc carries a signature
+    // iff it has >= 3 tokens; purge membership is the 'purge:' scramble
+    val m = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        (size(split(trim(lower(col("text"))), "\\s+")) >= 3).as("sig"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("purge:"), col("doc_id").cast("string"))))
+          % 5 === 0L).as("purged"))
+      .filter(col("sig")).groupBy(col("purged")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(audit.map(_._3).sum === m.getOrElse(true, 0L),
+      "purged total must equal the scramble-selected signature count")
+    assert(audit.map(_._4).sum === m.getOrElse(false, 0L),
+      "surviving total must equal the surviving signature count")
+  }
+
+  test("q315: clustering through the manifest-resolved signature index == full q38 recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val full = clusterRows(Dedup.dupClusters(spark, dir))
+    val viaMf = clusterRows(Dedup.incrementalClustersViaManifest(spark, dir))
+    assert(full.nonEmpty)
+    assert(viaMf === full)
+  }
+
   test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
     import spark.implicits._
     // day 1: components {0,1}→0, {2,3}→2, {7,9}→7
