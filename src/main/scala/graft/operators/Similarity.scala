@@ -890,22 +890,219 @@ object Similarity {
     val art = ArtifactStore.materialized(s, "pq_frozen_cb",
       embFingerprint(s, dir), dir, nSub.toString, subDim.toString,
       codebookK.toString, modN.toString)(out =>
-      writePqCodebook(
-        pqSubvectors(e.filter(!inc).orderBy(col("vec_id")).limit(codebookK),
-            nSub, subDim)
-          .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv")),
-        out))
-    val subs = pqSubvectors(e.filter(inc), nSub, subDim)
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    pqEncodeAgainst(pqSubvectors(e.filter(inc), nSub, subDim),
+        readPqCodebook(s, art))
+      .select(col("vec_id"), col("j"), col("cw").as("code"),
+        col("dist").as("distortion"))
+  }
+
+  /** Codebook training, the q302 derivation: subspace j's codewords
+    * are the subvectors of the `codebookK` smallest vec_ids of the
+    * given slice (the fixed-quantizer trick) — one definition shared
+    * by the frozen (q302/q316/q317 day-1) and retrained (q317 day-2)
+    * codebooks, so "retrain" differs ONLY in which stratum feeds it. */
+  private def pqTrainedCodebook(slice: DataFrame, nSub: Int, subDim: Int,
+                                codebookK: Int): DataFrame =
+    pqSubvectors(slice.orderBy(col("vec_id")).limit(codebookK),
+        nSub, subDim)
+      .select(col("j"), col("vec_id").as("cw"), col("sv").as("cv"))
+
+  /** The shared frozen-codebook encode tail (q302/q316/q317): each
+    * subvector joins the BROADCAST codeword table of its subspace and
+    * keeps the argmin codeword — (dist asc, cw asc) total order — with
+    * the pinned (sv·sv − 2·sv·cv) + cv·cv distortion. Passthrough
+    * columns on `subs` (q316's incoming flag) survive the join. */
+  private def pqEncodeAgainst(subs: DataFrame, cb: DataFrame): DataFrame = {
     val dist = dot(col("sv"), col("sv")) -
       lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv"))
     val wCode = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("dist"), col("cw"))
-    subs.join(broadcast(readPqCodebook(s, art)), "j")
+    subs.join(broadcast(cb), "j")
       .withColumn("dist", dist)
       .withColumn("rk", row_number().over(wCode))
       .filter(col("rk") === 1)
+  }
+
+  /** PQ codebook multi-generation SOURCE (the readIvfPostingsDirs
+    * discipline): union of immutable codebook generation dirs — in
+    * practice a manifest resolve returns ONE live codebook (q317's
+    * atomic switch retires the stale one wholesale; codebooks are
+    * replaced, never appended to), but readers go through the shared
+    * shape so a resolve that wrongly returned two generations would
+    * surface as duplicate (j, cw) codewords and break the encode
+    * compare instead of silently picking one. */
+  def readPqCodebookDirs(s: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(readPqCodebook(s, _)).reduce(_ unionAll _)
+
+  /** Q316 — PQ codebook DRIFT audit (round-13 verdict #2: the q305
+    * alarm on the PQ artifact): per SUBSPACE, the existing and
+    * incoming subvector counts and each stratum's mean argmin-L2
+    * distortion against the FROZEN codebook (trained on the existing
+    * stratum, the q302 discipline, persisted under this query's own
+    * tag). Incoming subvectors quantizing systematically worse than
+    * the data the codebook was trained on is the classic PQ staleness
+    * signal — codebook drift — and triggers q317's retrain+switch.
+    * Means use DECIMAL(38,10)-quantized summands (the q305/q312
+    * discipline) so shuffle order can't leak into the floats; an
+    * empty stratum degrades to NULL on both engines.
+    *
+    * Scale shape: one corpus scan against the broadcast KB-sized
+    * codebook, one subspace-keyed aggregate with map-side partials —
+    * nSub output rows. The audit costs what the daily encode already
+    * pays; a production monitor runs it beside q312's quantizer
+    * drift, each guarding its own retrain trigger.
+    */
+  def pqCodebookDrift(s: SparkSession, dir: String, nSub: Int = 8,
+                      subDim: Int = 8, codebookK: Int = 16,
+                      modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val art = ArtifactStore.materialized(s, "pq_drift_cb",
+      embFingerprint(s, dir), dir, nSub.toString, subDim.toString,
+      codebookK.toString, modN.toString)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    def meanOf(sumCol: Column, nCol: Column): Column =
+      sumCol.cast("double") / nullif(nCol, lit(0L)).cast("double")
+    pqEncodeAgainst(
+        pqSubvectors(e, nSub, subDim)
+          .withColumn("incoming", incomingVec(modN)),
+        readPqCodebook(s, art))
+      .groupBy(col("j"))
+      .agg(
+        count(when(!col("incoming"), lit(1))).as("n_existing"),
+        count(when(col("incoming"), lit(1))).as("n_new"),
+        sum(when(!col("incoming"), col("dist")).cast("decimal(38,10)"))
+          .as("ex_sum"),
+        sum(when(col("incoming"), col("dist")).cast("decimal(38,10)"))
+          .as("new_sum"))
+      .select(col("j"), col("n_existing"), col("n_new"),
+        meanOf(col("ex_sum"), col("n_existing")).as("mean_dist_existing"),
+        meanOf(col("new_sum"), col("n_new")).as("mean_dist_new"))
+  }
+
+  /** Q317 — PQ codebook RETRAIN and atomic switch (round-13 verdict
+    * #2, the q306 shape on the PQ artifact): the step q316's alarm
+    * triggers. The frozen day-1 codebook is committed to a manifest;
+    * the codebook is RETRAINED on the full corpus (same derivation,
+    * wider stratum) and lands as a fresh immutable generation; a
+    * second commit switches readers atomically, and the incoming
+    * shard is encoded from whatever the manifest RESOLVES — output
+    * byte-identical to a fresh inline encode under the retrained
+    * codebook (shared-derivation oracle): the proof the switch landed
+    * the retrained artifact and none of the stale one. Plan-pinned:
+    * the encode reads the retrained generation only, through resolve.
+    *
+    * Scale shape: retraining is the q302 build cost — the codebook is
+    * KB-sized, the expensive half (re-ENCODING the corpus under the
+    * new codebook) runs off-peak exactly like q306's postings
+    * rebuild; the switch itself is a metadata commit, and the stale
+    * codebook stays on disk for time travel until q307-style
+    * retention deletes it.
+    */
+  def pqRetrainSwitch(s: SparkSession, dir: String, nSub: Int = 8,
+                      subDim: Int = 8, codebookK: Int = 16,
+                      modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nSub.toString, subDim.toString, codebookK.toString,
+      modN.toString)
+    val cb1 = ArtifactStore.materialized(s, "pq_rs_cb1",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    val root = ArtifactStore.invocationDir("pq_manifest_rs",
+      (dir +: params): _*)
+    IndexManifest.commit(s, root, Seq(cb1))
+    val cb2 = ArtifactStore.invocationDir("pq_cb_retrained",
+      (dir +: params): _*)
+    writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), cb2)
+    IndexManifest.commit(s, root, Seq(cb2))
+    pqEncodeAgainst(pqSubvectors(e.filter(inc), nSub, subDim),
+        readPqCodebookDirs(s, IndexManifest.resolve(s, root)))
       .select(col("vec_id"), col("j"), col("cw").as("code"),
         col("dist").as("distortion"))
+  }
+
+  /** Q318 — lifecycle SOAK: three simulated ingest days composed
+    * end-to-end on ONE index root (round-13 verdict #5) — the proof
+    * the individual lifecycle pieces (q297 refresh, q299 compaction,
+    * q307 GC, q304 manifest reads) compose without hidden
+    * re-derivation. The incoming stratum is split into three daily
+    * slices by a second deterministic scramble ('soak:' mod 3); each
+    * day assigns its slice under the FROZEN day-0 quantizer, lands it
+    * as a delta generation, commits base ∪ delta, compacts to one
+    * generation, commits the switch, and runs retention GC
+    * (keepLast = 2). The final search reads whatever the day-3
+    * manifest resolves — hash-identical to q298 (shared oracle: the
+    * three daily deltas union to exactly q298's incoming stratum), so
+    * a slice dropped by a refresh, leaked by a compaction, or deleted
+    * by an over-eager GC breaks the compare. Spec-pinned: the GC'd
+    * generations are really gone from disk, the kept window survives,
+    * and the day-3 search plan scans ONLY the day-3 compacted
+    * generation.
+    *
+    * Scale shape: each day pays O(|slice| + index rewrite) — the
+    * steady-state daily bill the lifecycle queries promise
+    * individually, here paid three times consecutively with the
+    * ARTIFACTS as the only cross-day state. At 100 TB this is a
+    * quarter's operations compressed: ingest, OPTIMIZE, VACUUM,
+    * pointer swap, repeat.
+    */
+  def ivfLifecycleSoak(s: SparkSession, dir: String, nCentroids: Int = 8,
+                       modN: Int = 5, nProbe: Int = 2,
+                       k: Int = 5): DataFrame =
+    lifecycleSoak(s, dir, nCentroids, modN, nProbe, k)._3
+
+  /** Test-visible q318 split: (manifest root, GC-deleted dirs,
+    * search) so the spec can pin the on-disk outcome and the
+    * resolved read set. */
+  private[graft] def lifecycleSoak(s: SparkSession, dir: String,
+                                   nCentroids: Int, modN: Int,
+                                   nProbe: Int, k: Int)
+      : (String, Seq[String], DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids.toString, modN.toString)
+    val day = Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("soak:"), col("vec_id").cast("string")))) % 3
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivf_soak_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    // every generation is PER-INVOCATION: GC deletes dirs, so they
+    // must be this run's own, never memoized state other queries
+    // share (the q307 discipline)
+    def gen(tag: String, slice: DataFrame): String = {
+      val d = ArtifactStore.invocationDir(s"ivf_postings_$tag",
+        (dir +: params): _*)
+      writeIvfPostings(listsFor(slice, cent), d)
+      d
+    }
+    val root = ArtifactStore.invocationDir("ivf_manifest_soak",
+      (dir +: params): _*)
+    val base = gen("soakbase", e.filter(!inc))
+    IndexManifest.commit(s, root, Seq(base))
+    var live = Seq(base)
+    val deleted = Seq.newBuilder[String]
+    for (d <- 0 until 3) {
+      // refresh: the day's slice only — the strata are disjoint by
+      // construction, so no anti-join is needed (the q297 shape)
+      val delta = gen(s"soakd$d", e.filter(inc && day === d))
+      IndexManifest.commit(s, root, live :+ delta)
+      // OPTIMIZE: fold the accumulated generations into one
+      val compacted = ArtifactStore.invocationDir(s"ivf_postings_soakc$d",
+        (dir +: params): _*)
+      layLists(readIvfPostingsDirs(s, live :+ delta), compacted)
+      IndexManifest.commit(s, root, Seq(compacted))
+      // VACUUM: retire everything outside the kept window
+      deleted ++= IndexManifest.retire(s, root, keepLast = 2)
+      live = Seq(compacted)
+    }
+    (root, deleted.result(),
+      probeSearch(probesFor(e, cent, nProbe),
+        postingsAsLists(s, IndexManifest.resolve(s, root)), k))
   }
 
   /** Q304 — day-2 search through a MANIFEST-resolved postings set:

@@ -1880,6 +1880,110 @@ object StreamingOps {
       "shard", "n_refreshed")
   }
 
+  /** Q319 — STREAMING RETENTION: the q307 generation-GC run BETWEEN
+    * micro-batches of the q311 manifest-mediated committer (round-13
+    * verdict #6 — the one uncomposed lifecycle pair). Each batch
+    * resolves the live set, anti-joins its novelty, lands a delta,
+    * commits base ∪ delta, COMPACTS to one generation, commits the
+    * switch, and runs retire(keepLast = 2) — so earlier batches'
+    * generations are genuinely DELETED from disk while the stream is
+    * still running. The final audit over the resolved index equals
+    * the batch q286 refresh (shared oracle): proof that every batch's
+    * reads — each resolved BEFORE the following GC pass — were served
+    * by generations the retention window kept, and that GC never
+    * deleted data the live manifest referenced. The spec additionally
+    * pins that the mid-stream delete set is non-empty (the GC really
+    * fired under load) and that the retired dirs are gone from disk.
+    *
+    * Retry note (the q311 discipline, extended past the compact
+    * commit): a foreachBatch retry before its commit re-runs the
+    * whole step against the resolved set; a retry AFTER the compact
+    * commit finds its novelty already absorbed and lands an empty
+    * delta generation — content-neutral for the index and the audit.
+    *
+    * Scale shape: per batch O(|batch| + index probe) plus one
+    * index-sized compaction rewrite — the fixture compacts every
+    * batch to force the GC interleaving; production compacts on a
+    * file-count trigger and runs retention off-peak. The reader-vs-GC
+    * race this pins at fixture scale is exactly the retention-period
+    * contract an object-store deployment relies on.
+    */
+  def streamRetentionFixture(s: SparkSession, dir: String, w: Int = 8,
+                             modN: Int = 5, nShards: Int = 8): DataFrame =
+    streamRetentionRun(s, dir, w, modN, nShards)._2
+
+  /** Test-visible q319 split: (GC-deleted generation dirs, audit). */
+  private[graft] def streamRetentionRun(s: SparkSession, dir: String,
+                                        w: Int = 8, modN: Int = 5,
+                                        nShards: Int = 8)
+      : (Seq[String], DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (incoming, base) = graft.operators.Dedup.streamRetentionParts(
+      s, dir, w, modN, nShards)
+    val pre = graft.operators.Dedup.shardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val occ = graft.operators.Dedup.spanOccurrencesOf(incoming, w)
+      .select(col("doc_id"), col("h"))
+      .as[(Long, Long)].collect().sortBy(identity)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "span_index_streamret", dir, w.toString, modN.toString,
+      nShards.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "span_manifest_streamret", dir, w.toString, modN.toString,
+      nShards.toString)
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base))
+    val deleted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = stream.toDS().toDF("doc_id", "h")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        val resolved = graft.operators.IndexManifest.resolve(ss, mroot)
+        if (!resolved.contains(gen)) {
+          val novel = batch.select(col("h")).distinct()
+            .join(graft.operators.Dedup.readSpanIndexDirs(ss, resolved),
+              Seq("h"), "left_anti")
+          graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
+          graft.operators.IndexManifest.commit(ss, mroot, resolved :+ gen)
+          // OPTIMIZE + switch: fold the live set to one generation
+          val compacted = graft.operators.ArtifactStore.invocationDir(
+            "span_index_streamretc", dir, w.toString, modN.toString,
+            nShards.toString)
+          graft.operators.Dedup.writeSpanIndex(
+            graft.operators.Dedup.readSpanIndexDirs(ss, resolved :+ gen),
+            compacted, nShards)
+          graft.operators.IndexManifest.commit(ss, mroot, Seq(compacted))
+          // VACUUM between micro-batches: the GC under test
+          graft.operators.IndexManifest.retire(ss, mroot, keepLast = 2)
+            .foreach(deleted.add(_): Unit)
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val docIds = occ.map(_._1).distinct
+      val chunks = docIds.grouped(math.max(1, docIds.length / 3 + 1)).toSeq
+      chunks.foreach { ids =>
+        val set = ids.toSet
+        val chunk = occ.filter(o => set(o._1))
+        if (chunk.nonEmpty) {
+          chunk.grouped(math.max(1, chunk.length / 32 + 1))
+            .foreach(b => stream.addData(b.toIndexedSeq))
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (deleted.asScala.toSeq,
+      graft.operators.Dedup.refreshAuditOf(s, pre,
+        graft.operators.Dedup.shardCounts(s,
+          graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed"),
+        "shard", "n_refreshed"))
+  }
+
   /** Q312 — STREAMING quantizer-drift monitor: q305's staleness alarm
     * computed continuously. Incoming vectors arrive as micro-batches;
     * each batch is assigned under the FROZEN persisted quantizer

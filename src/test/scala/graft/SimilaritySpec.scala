@@ -909,6 +909,99 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q316: PQ codebook drift matches a sequential reference per subspace") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.pqCodebookDrift(spark, dir).collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Long]("n_existing"),
+        r.getAs[Long]("n_new"),
+        Option(r.getAs[java.lang.Double]("mean_dist_existing")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("mean_dist_new")).map(_.toDouble)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) === (0 until 8),
+      "every subspace must report a drift row")
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"),
+        (graft.operators.Relational.scrambleMod(graft.functions.TextHash
+          .polyHash(concat(lit("inc:"), col("vec_id").cast("string"))))
+          % 5 === 0L).as("inc"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getBoolean(2)))
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val cb = raw.filter(!_._3).sortBy(_._1).take(16)
+    def argminDist(sv: Array[Double], j: Int): Double =
+      cb.map { case (cw, de, _) =>
+        val cv = de.slice(j * 8, j * 8 + 8)
+        (dotd(sv, sv) - 2.0 * dotd(sv, cv) + dotd(cv, cv), cw)
+      }.minBy(identity)._1
+    def mean(ds: Seq[Double]): Option[Double] =
+      if (ds.isEmpty) None
+      else Some(ds.map(d => new java.math.BigDecimal(d)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue / ds.size)
+    val want = (0 until 8).map { j =>
+      val dists = raw.map { case (_, de, inc) =>
+        (argminDist(de.slice(j * 8, j * 8 + 8), j), inc) }
+      val ex = dists.filter(!_._2).map(_._1).toSeq
+      val nw = dists.filter(_._2).map(_._1).toSeq
+      (j, ex.size.toLong, nw.size.toLong, mean(ex), mean(nw))
+    }
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      def close(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case _ => false
+      }
+      assert(close(g._4, w._4) && close(g._5, w._5),
+        s"subspace ${g._1}: got (${g._4}, ${g._5}) want (${w._4}, ${w._5})")
+    }
+  }
+
+  test("q317: the atomic switch lands the retrained codebook — encode differs from the frozen q302 encode; every incoming subvector encodes") {
+    val dir = "/root/testdata/sf0.001"
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("j"),
+        r.getAs[Long]("code"), r.getAs[Double]("distortion"))).toSet
+    val switched = codeRows(Similarity.pqRetrainSwitch(spark, dir))
+    val frozen = codeRows(Similarity.pqFrozenEncode(spark, dir))
+    assert(switched.nonEmpty)
+    // totality under the retrained codebook: same (vec_id, j) keys as
+    // the frozen encode — every incoming subvector still encodes
+    assert(switched.map(t => (t._1, t._2)) === frozen.map(t => (t._1, t._2)))
+    // the switch is VISIBLE: the full-corpus codebook includes
+    // incoming codewords the frozen one cannot, so some assignments
+    // (or at least distortions) must change — equality here would
+    // mean resolve() served the stale generation
+    assert(switched !== frozen,
+      "post-switch encode identical to the frozen encode — the " +
+        "manifest switch did not land")
+  }
+
+  test("q318: three-day soak — GC'd generations gone, kept window intact, final search == q298") {
+    val dir = "/root/testdata/sf0.001"
+    val (root, deleted, search) =
+      Similarity.lifecycleSoak(spark, dir, 8, 5, 2, 5)
+    // day-0 base + d0 + c0 + d1 retired across the three retention
+    // passes (d2/c1 stay inside the keepLast=2 window, c2 is live)
+    assert(deleted.size === 4, s"expected 4 GC'd generations, got $deleted")
+    deleted.foreach(d => assert(!new java.io.File(d).exists,
+      s"GC'd generation $d still on disk"))
+    // the resolved live set (and the kept window's dirs) survive
+    val live = graft.operators.IndexManifest.resolve(spark, root)
+    assert(live.size === 1 && live.head.contains("soakc2"))
+    graft.operators.IndexManifest.committedIds(spark, root).foreach { id =>
+      graft.operators.IndexManifest.resolveAt(spark, root, id).foreach(g =>
+        assert(new java.io.File(g).isDirectory,
+          s"kept-window generation $g missing from disk"))
+    }
+    val direct = searchRows(Similarity.ivfDayTwoSearch(spark, dir))
+    assert(direct.nonEmpty)
+    assert(searchRows(search) === direct)
+  }
+
   test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_postings_spec").toString

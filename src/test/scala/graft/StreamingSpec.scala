@@ -845,6 +845,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("q319: retention GC between micro-batches — audit still == batch q286; retired generations really deleted") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_refreshed"))).toSet
+    val (deleted, audit) =
+      graft.streaming.StreamingOps.streamRetentionRun(spark, dir)
+    // the GC must have fired UNDER the stream: batch 1 retires the
+    // original base+b0, batch 2 retires c0+b1 (keepLast=2 window)
+    assert(deleted.nonEmpty, "retention GC never deleted a generation")
+    deleted.foreach(d => assert(!new java.io.File(d).exists,
+      s"GC'd generation $d still on disk"))
+    // ...and every batch's resolve-before-GC reads were served by kept
+    // generations: the final resolved index audits to the exact batch
+    // refresh state
+    val batch = rows(graft.operators.Dedup.spanIndexRefresh(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(audit) === batch)
+  }
+
   test("q312: streaming drift audit == batch q305 bitwise (decimal partials fold exactly)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
