@@ -4589,6 +4589,29 @@ object OracleSql {
        |  CAST(count(*) AS BIGINT) AS n_total
        |FROM sd GROUP BY 1""".stripMargin
 
+  /** Q314 — LSH signature-index purge audit (mirrors
+    * Dedup.lshSigPurge): per doc-shard, signatures before, purged,
+    * and after — derived from the raw documents table alone (a doc
+    * carries a signature iff it has ≥ 3 tokens; purge membership is
+    * the 'purge:' scramble), so the Spark side's file-level counts
+    * over the base and purged generations must agree exactly. Unlike
+    * q290's span hashes, signature rows are doc-owned — no
+    * shared-with-survivor set to preserve.
+    */
+  def q314LshSigPurge(modN: Int = 5, nShards: Int = 8): String =
+    s"""WITH $tokenHashCtes,
+       |${memberFlagCtes(modN, "purge:", "purged")},
+       |sd AS (
+       |  SELECT thc.doc_id, purged
+       |  FROM thc JOIN fl USING (doc_id)
+       |  WHERE len(th) >= 3
+       |)
+       |SELECT CAST(doc_id % $nShards AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_before,
+       |  CAST(count(*) FILTER (WHERE purged) AS BIGINT) AS n_purged,
+       |  CAST(count(*) FILTER (WHERE NOT purged) AS BIGINT) AS n_after
+       |FROM sd GROUP BY 1""".stripMargin
+
   /** Q308 — time-travel search (mirrors Similarity.ivfTimeTravel):
     * today's probes against the day-1 snapshot, so the inverted lists
     * are RESTRICTED to the existing stratum while probe assignment is
@@ -4626,12 +4649,29 @@ object OracleSql {
     * the pinned (sv·sv − 2·sv·cv) + cv·cv distortion.
     */
   def q302PqFrozenEncode(nSub: Int = 8, subDim: Int = 8,
-                         codebookK: Int = 16, modN: Int = 5): String = {
+                         codebookK: Int = 16, modN: Int = 5,
+                         cbFrom: String = "ex"): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${pqEncodeCtes(nSub, subDim, codebookK, cbFrom)}
+       |SELECT vec_id, CAST(j AS INT) AS j, cw AS code, dist AS distortion
+       |FROM best WHERE rk = 1 AND incoming""".stripMargin
+
+  /** The shared PQ encode chain `cwv → cb → sub → d → best` behind
+    * the q302/q316/q317 oracles: codewords are the subvectors of the
+    * `codebookK` smallest vec_ids of `cbFrom` ('ex' = the frozen
+    * existing-stratum codebook, 'e' = the q317 full-corpus retrain),
+    * every vector's subvectors take their argmin codeword under the
+    * pinned (sv·sv − 2·sv·cv) + cv·cv distortion, and `best` carries
+    * the stratum flag so callers slice (q302/q317: incoming rows) or
+    * aggregate (q316: per-subspace drift means) without forking the
+    * arithmetic.
+    */
+  private def pqEncodeCtes(nSub: Int, subDim: Int, codebookK: Int,
+                           cbFrom: String): String = {
     val distSql = s"${sumTerms("s.sv", "s.sv", subDim)} - 2 * " +
       s"${sumTerms("s.sv", "c.cv", subDim)} + ${sumTerms("c.cv", "c.cv", subDim)}"
-    s"""WITH ${vecSplitCtes(modN)},
-       |cwv AS MATERIALIZED (
-       |  SELECT vec_id, de FROM ex ORDER BY vec_id LIMIT $codebookK
+    s"""cwv AS MATERIALIZED (
+       |  SELECT vec_id, de FROM $cbFrom ORDER BY vec_id LIMIT $codebookK
        |),
        |cb AS (
        |  SELECT j, vec_id AS cw,
@@ -4640,22 +4680,43 @@ object OracleSql {
        |),
        |sub AS (
        |  SELECT e.vec_id, j,
-       |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS sv
+       |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS sv,
+       |    vf.incoming
        |  FROM e JOIN vf USING (vec_id), range(0, $nSub) t(j)
-       |  WHERE vf.incoming
        |),
        |d AS (
-       |  SELECT s.vec_id, s.j, c.cw, $distSql AS dist
+       |  SELECT s.vec_id, s.j, s.incoming, c.cw, $distSql AS dist
        |  FROM sub s JOIN cb c ON s.j = c.j
        |),
        |best AS (
-       |  SELECT vec_id, j, cw, dist,
+       |  SELECT vec_id, j, incoming, cw, dist,
        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw) AS rk
        |  FROM d
-       |)
-       |SELECT vec_id, CAST(j AS INT) AS j, cw AS code, dist AS distortion
-       |FROM best WHERE rk = 1""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Q316 — PQ codebook drift audit (mirrors
+    * Similarity.pqCodebookDrift): per subspace, existing and incoming
+    * subvector counts and each stratum's mean argmin-L2 distortion
+    * against the frozen existing-stratum codebook, with
+    * DECIMAL(38,10)-quantized summands (the q305 discipline).
+    */
+  def q316PqCodebookDrift(nSub: Int = 8, subDim: Int = 8,
+                          codebookK: Int = 16, modN: Int = 5): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${pqEncodeCtes(nSub, subDim, codebookK, "ex")}
+       |SELECT CAST(j AS INT) AS j,
+       |  CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT) AS n_existing,
+       |  CAST(count(*) FILTER (WHERE incoming) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN NOT incoming THEN CAST(dist AS DECIMAL(38,10)) END)
+       |      AS DOUBLE)
+       |    / CAST(nullif(count(*) FILTER (WHERE NOT incoming), 0) AS DOUBLE)
+       |    AS mean_dist_existing,
+       |  CAST(sum(CASE WHEN incoming THEN CAST(dist AS DECIMAL(38,10)) END)
+       |      AS DOUBLE)
+       |    / CAST(nullif(count(*) FILTER (WHERE incoming), 0) AS DOUBLE)
+       |    AS mean_dist_new
+       |FROM best WHERE rk = 1 GROUP BY 1""".stripMargin
 
   /** Q62 — streaming exactly-once dedup (mirrors
     * StreamingOps.streamDedupFixture): the oracle is the BATCH rollup

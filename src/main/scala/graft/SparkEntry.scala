@@ -474,7 +474,20 @@ object SparkEntry {
     "q311_stream_manifest_refresh" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamManifestRefreshFixture(s, dir)),
     "q312_stream_drift" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamDriftFixture(s, dir))
+      graft.streaming.StreamingOps.streamDriftFixture(s, dir)),
+    "q313_lsh_sig_compact" -> ((s, dir) =>
+      Dedup.incrementalClustersCompacted(s, dir)),
+    "q314_lsh_sig_purge" -> ((s, dir) => Dedup.lshSigPurge(s, dir)),
+    "q315_lsh_sig_manifest" -> ((s, dir) =>
+      Dedup.incrementalClustersViaManifest(s, dir)),
+    "q316_pq_codebook_drift" -> ((s, dir) =>
+      Similarity.pqCodebookDrift(s, dir)),
+    "q317_pq_retrain_switch" -> ((s, dir) =>
+      Similarity.pqRetrainSwitch(s, dir)),
+    "q318_lifecycle_soak" -> ((s, dir) =>
+      Similarity.ivfLifecycleSoak(s, dir)),
+    "q319_stream_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamRetentionFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -859,6 +872,27 @@ object SparkEntry {
     // stream ≡ batch for the drift AUDIT: per-batch decimal partials
     // fold to exactly the batch q305 aggregate, so q312 shares its
     // oracle
-    "q312_stream_drift" -> OracleSql.q305QuantizerDrift()
+    "q312_stream_drift" -> OracleSql.q305QuantizerDrift(),
+    // compaction changes LAYOUT, never content: the day-2 clustering
+    // over the compacted (q313) / manifest-resolved (q315) signature
+    // index must equal the full q38 recompute, like q309
+    "q313_lsh_sig_compact" -> OracleSql.q38DupClusters(),
+    "q314_lsh_sig_purge" -> OracleSql.q314LshSigPurge(),
+    "q315_lsh_sig_manifest" -> OracleSql.q38DupClusters(),
+    "q316_pq_codebook_drift" -> OracleSql.q316PqCodebookDrift(),
+    // the atomic switch must land exactly the retrained codebook: the
+    // post-switch encode equals a fresh inline encode whose codewords
+    // come from the FULL corpus (same chain, cbFrom = 'e')
+    "q317_pq_retrain_switch" -> OracleSql.q302PqFrozenEncode(cbFrom = "e"),
+    // three daily deltas union to exactly q298's incoming stratum, so
+    // the post-soak search shares q298's oracle — a slice dropped by a
+    // refresh, leaked by a compaction, or deleted by an over-eager GC
+    // breaks the compare
+    "q318_lifecycle_soak" -> OracleSql.q298IvfDayTwoSearch(),
+    // stream ≡ batch survives RETENTION: per-batch GC deletes earlier
+    // generations mid-stream, yet the final resolved index must still
+    // audit to exactly the batch q286 state (q311's oracle) — the
+    // reader-vs-GC race pinned at fixture scale
+    "q319_stream_retention" -> OracleSql.q286SpanIndexRefresh()
   )
 }

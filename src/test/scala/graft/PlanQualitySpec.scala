@@ -775,6 +775,103 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(ql)
   }
 
+  /** Executed-plan capture for the q313/q315 pins: the clustering's
+    * signature probe feeds an EAGER localCheckpoint, so the returned
+    * plan's lineage is truncated at the checkpoint (the q309 lesson) —
+    * the generation-layout proof must read the plans that actually
+    * executed during the invocation. */
+  private def executedPlans(body: => Unit): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        seen.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      body
+      org.apache.spark.graftshim.TaskCpuMeter.drain(spark.sparkContext)
+    } finally spark.listenerManager.unregister(ql)
+    seen.asScala.toSeq
+  }
+
+  test("q313: clustering probes ONLY the compacted signature generation") {
+    // warm the write-once day-1 artifacts (gens + labels) so the
+    // measured invocation is the steady-state daily run
+    graft.operators.Dedup.compactSigIndex(spark, sfDir, 0.5, 5, 8)
+      ._2.write.format("noop").mode("overwrite").save()
+    val plans = executedPlans {
+      graft.operators.Dedup.compactSigIndex(spark, sfDir, 0.5, 5, 8)
+        ._2.write.format("noop").mode("overwrite").save()
+    }
+    // the banding probe (the one plan joining incoming signatures from
+    // the corpus against the existing index) must read the COMPACTED
+    // generation...
+    assert(plans.exists(p => p.contains("documents.parquet") &&
+      p.contains("lsh_sig_compact")),
+      "the clustering probe must read the compacted signature index")
+    // ...and never the generations compaction replaced (those appear
+    // only in the compaction REWRITE, which scans no corpus data)
+    plans.filter(_.contains("documents.parquet")).foreach(p =>
+      assert(!p.contains("lsh_sig_cmpbase") &&
+        !p.contains("lsh_sig_cmpdelta"),
+        s"clustering still probes a pre-compaction generation:\n$p"))
+  }
+
+  test("q315: manifest-resolved clustering reads ONLY the compacted generation") {
+    // the content test (q315 == q38) cannot catch a resolve that
+    // returns retired generations too — duplicated signature rows are
+    // absorbed by the candidate distinct() — so the retired-dirs-
+    // absent proof must come from the executed plans (q303/q304
+    // discipline, via the listener because of the checkpoint cut)
+    SparkEntry.queries("q315_lsh_sig_manifest")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val plans = executedPlans {
+      SparkEntry.queries("q315_lsh_sig_manifest")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(plans.exists(p => p.contains("documents.parquet") &&
+      p.contains("lsh_sig_mfcompact")),
+      "the clustering probe must read the manifest-resolved compacted " +
+        "generation")
+    plans.filter(_.contains("documents.parquet")).foreach(p =>
+      assert(!p.contains("lsh_sig_mfbase") &&
+        !p.contains("lsh_sig_mfdelta"),
+        s"clustering still probes a manifest-retired generation:\n$p"))
+  }
+
+  test("q317: post-switch encode reads ONLY the manifest-resolved retrained codebook") {
+    val df = SparkEntry.queries("q317_pq_retrain_switch")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("pq_cb_retrained"),
+      s"q317 encode must read the retrained codebook generation:\n$fmt")
+    assert(!fmt.contains("pq_rs_cb1"),
+      s"q317 encode still reads the retired frozen codebook:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (incoming subvectors), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q318: day-3 soak search reads ONLY the day-3 compacted generation; corpus scanned once") {
+    val (_, _, search) =
+      graft.operators.Similarity.lifecycleSoak(spark, sfDir, 8, 5, 2, 5)
+    search.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(search)
+    assert(fmt.contains("ivf_postings_soakc2"),
+      s"q318 search must read the day-3 compacted generation:\n$fmt")
+    assert(!fmt.contains("soakbase") && !fmt.contains("soakd") &&
+      !fmt.contains("soakc0") && !fmt.contains("soakc1"),
+      s"q318 search reads a superseded generation:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
