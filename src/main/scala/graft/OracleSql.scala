@@ -7583,7 +7583,8 @@ object OracleSql {
     * states it; day-2 occurrences are cut on an index hit or by the
     * q278 first-occurrence rule within day 2.
     */
-  def q288SpanScrubDayTwo(w: Int = 8, modN: Int = 5): String =
+  def q288SpanScrubDayTwo(w: Int = 8, modN: Int = 5,
+                          idxPred: String = "m <> 1"): String =
     s"""WITH $tokenHashCtes,
        |${genFlagCtes(modN)},
        |itoks AS (
@@ -7597,7 +7598,7 @@ object OracleSql {
        |        FROM thc JOIN gn USING (doc_id)) z,
        |    unnest(range(1, len(th) - ${w - 2})) AS t(i)
        |),
-       |idx AS MATERIALIZED (SELECT DISTINCT h FROM sp WHERE m <> 1),
+       |idx AS MATERIALIZED (SELECT DISTINCT h FROM sp WHERE $idxPred),
        |isp AS MATERIALIZED (
        |  SELECT doc_id, pos, h FROM sp WHERE m = 1
        |),

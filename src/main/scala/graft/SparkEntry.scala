@@ -487,7 +487,10 @@ object SparkEntry {
     "q318_lifecycle_soak" -> ((s, dir) =>
       Similarity.ivfLifecycleSoak(s, dir)),
     "q319_stream_retention" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamRetentionFixture(s, dir))
+      graft.streaming.StreamingOps.streamRetentionFixture(s, dir)),
+    "q320_span_time_travel" -> ((s, dir) =>
+      Dedup.spanScrubTimeTravel(s, dir)),
+    "q321_pq_time_travel" -> ((s, dir) => Similarity.pqTimeTravel(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -893,6 +896,15 @@ object SparkEntry {
     // generations mid-stream, yet the final resolved index must still
     // audit to exactly the batch q286 state (q311's oracle) — the
     // reader-vs-GC race pinned at fixture scale
-    "q319_stream_retention" -> OracleSql.q286SpanIndexRefresh()
+    "q319_stream_retention" -> OracleSql.q286SpanIndexRefresh(),
+    // time travel to the pre-day-1 snapshot: the probed index is the
+    // EXISTING stratum's hashes only (day-1 novel hashes excluded), so
+    // a resolveAt that leaked the delta generation breaks the compare
+    "q320_span_time_travel" ->
+      OracleSql.q288SpanScrubDayTwo(idxPred = "m NOT IN (0, 1)"),
+    // time travel to the pre-retrain snapshot: the encode must equal
+    // the inline FROZEN-codebook encode (q302's oracle) even though
+    // the latest manifest now names the retrained generation
+    "q321_pq_time_travel" -> OracleSql.q302PqFrozenEncode()
   )
 }

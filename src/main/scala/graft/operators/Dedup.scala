@@ -1726,6 +1726,33 @@ object Dedup {
       readSpanIndexDirs(s, IndexManifest.resolve(s, root)), w)
   }
 
+  /** Q320 — TIME-TRAVEL scrub (q308's reproducibility contract on the
+    * span family): today's day-2 shard scrubbed against YESTERDAY's
+    * snapshot — [[IndexManifest.resolveAt]] pinned to the day-1
+    * manifest, which names the BASE generation alone, so day-1's
+    * novel hashes are NOT in the probed index: a day-2 repeat of a
+    * span first seen on day 1 SURVIVES here (and is cut by q288's
+    * latest-manifest read). The oracle states the same index
+    * restriction (hashes of the existing stratum only), so a resolve
+    * that leaked the delta generation breaks the compare from the
+    * other side of the q308 pin. Re-running yesterday's scrub job
+    * after today's refresh must return yesterday's answers — the
+    * audit-reproducibility contract of a manifest-versioned dedup
+    * pipeline.
+    */
+  def spanScrubTimeTravel(s: SparkSession, dir: String, w: Int = 8,
+                          modN: Int = 5, nShards: Int = 8): DataFrame = {
+    val (day2, dirs) = dayTwoIndexDirs(s, dir, w, modN, nShards,
+      fam = "span_index_tt")
+    val root = ArtifactStore.invocationDir("span_manifest_tt",
+      dir, w.toString, modN.toString, nShards.toString)
+    IndexManifest.commit(s, root, Seq(dirs.head))
+    IndexManifest.commit(s, root, dirs)
+    val snap1 = IndexManifest.committedIds(s, root).head
+    scrubIncomingWith(day2,
+      readSpanIndexDirs(s, IndexManifest.resolveAt(s, root, snap1)), w)
+  }
+
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12
     * verdict #1): each refresh leaves one more delta generation per
     * shard, so a daily pipeline accumulates small files without

@@ -1026,6 +1026,44 @@ object Similarity {
         col("dist").as("distortion"))
   }
 
+  /** Q321 — PQ codebook TIME TRAVEL (q308's reproducibility contract
+    * on the codebook artifact): the q317 life is replayed — frozen
+    * day-1 codebook committed, full-corpus retrain committed as the
+    * switch — and the incoming shard is encoded under
+    * [[IndexManifest.resolveAt]] pinned to the DAY-1 snapshot: output
+    * byte-identical to the inline frozen encode (q302's shared
+    * oracle), while the latest-manifest read (q317) produces the
+    * retrained encode. Together the pair pins both directions of the
+    * switch: resolve() must serve ONLY the new generation, resolveAt
+    * must still serve ONLY the old one — re-running yesterday's
+    * encode job after today's retrain returns yesterday's codes,
+    * which is what makes persisted PQ codes reproducible.
+    */
+  def pqTimeTravel(s: SparkSession, dir: String, nSub: Int = 8,
+                   subDim: Int = 8, codebookK: Int = 16,
+                   modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nSub.toString, subDim.toString, codebookK.toString,
+      modN.toString)
+    val cb1 = ArtifactStore.materialized(s, "pq_tt_cb1",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    val root = ArtifactStore.invocationDir("pq_manifest_tt",
+      (dir +: params): _*)
+    IndexManifest.commit(s, root, Seq(cb1))
+    val cb2 = ArtifactStore.invocationDir("pq_tt_retrained",
+      (dir +: params): _*)
+    writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), cb2)
+    IndexManifest.commit(s, root, Seq(cb2))
+    val snap1 = IndexManifest.committedIds(s, root).head
+    pqEncodeAgainst(pqSubvectors(e.filter(inc), nSub, subDim),
+        readPqCodebookDirs(s, IndexManifest.resolveAt(s, root, snap1)))
+      .select(col("vec_id"), col("j"), col("cw").as("code"),
+        col("dist").as("distortion"))
+  }
+
   /** Q318 — lifecycle SOAK: three simulated ingest days composed
     * end-to-end on ONE index root (round-13 verdict #5) — the proof
     * the individual lifecycle pieces (q297 refresh, q299 compaction,

@@ -799,6 +799,30 @@ class DedupSpec extends SparkSpec {
     assert(viaMf === full)
   }
 
+  test("q320: time travel scrubs against yesterday's index — day-1 novel spans survive that q288 cuts") {
+    val dir = "/root/testdata/sf0.001"
+    def dups(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_dup_spans")).toMap
+    val tt = dups(Dedup.spanScrubTimeTravel(spark, dir))
+    val latest = dups(Dedup.spanScrubDayTwo(spark, dir))
+    assert(tt.keySet === latest.keySet,
+      "both reads scrub the same day-2 shard")
+    // the snapshot index is a SUBSET of the refreshed one, so time
+    // travel can only cut fewer (or equal) occurrences per doc...
+    tt.foreach { case (id, n) =>
+      assert(n <= latest(id), s"doc $id: snapshot cut MORE than latest")
+    }
+    // ...and the difference must be VISIBLE: the sf0.001 fixture
+    // carries day-2 repeats of day-1-novel spans (deterministic
+    // scramble split), which the latest-manifest read cuts and the
+    // day-1 snapshot must NOT — equality here would mean resolveAt
+    // leaked the delta generation
+    assert(tt.values.sum < latest.values.sum,
+      "time-travel scrub identical to the latest-manifest scrub — " +
+        "the snapshot read did not exclude the day-1 delta")
+  }
+
   test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
     import spark.implicits._
     // day 1: components {0,1}→0, {2,3}→2, {7,9}→7

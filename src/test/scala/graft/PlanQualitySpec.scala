@@ -872,6 +872,28 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q320: time-travel scrub probes ONLY the day-1 base generation") {
+    val df = SparkEntry.queries("q320_span_time_travel")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("span_index_ttbase"),
+      s"q320 must read the pinned day-1 snapshot:\n$fmt")
+    assert(!fmt.contains("span_index_ttdelta"),
+      s"q320 snapshot read leaks the day-1 delta:\n$fmt")
+  }
+
+  test("q321: time-travel encode reads ONLY the frozen day-1 codebook") {
+    val df = SparkEntry.queries("q321_pq_time_travel")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("pq_tt_cb1"),
+      s"q321 must read the pinned day-1 codebook:\n$fmt")
+    assert(!fmt.contains("pq_tt_retrained"),
+      s"q321 snapshot read leaks the retrained codebook:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (incoming subvectors), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q294: assign+search reads the centroid ARTIFACT; quantizer never re-derived") {
     val df = SparkEntry.queries("q294_ivf_artifact_rt")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

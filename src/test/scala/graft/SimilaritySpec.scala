@@ -1002,6 +1002,26 @@ class SimilaritySpec extends SparkSpec {
     assert(searchRows(search) === direct)
   }
 
+  test("q321: PQ time travel returns yesterday's codes — equal to the frozen encode, not the retrained one") {
+    val dir = "/root/testdata/sf0.001"
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("j"),
+        r.getAs[Long]("code"), r.getAs[Double]("distortion"))).toSet
+    val tt = codeRows(Similarity.pqTimeTravel(spark, dir))
+    val frozen = codeRows(Similarity.pqFrozenEncode(spark, dir))
+    val switched = codeRows(Similarity.pqRetrainSwitch(spark, dir))
+    assert(tt.nonEmpty)
+    // resolveAt(day-1) must serve ONLY the frozen codebook...
+    assert(tt === frozen,
+      "time-travel encode differs from the frozen encode — resolveAt " +
+        "did not serve the day-1 snapshot")
+    // ...which the q317 spec already proved differs from the
+    // retrained encode; restate the contrast on this pair directly
+    assert(tt !== switched,
+      "time-travel encode equals the retrained encode — the snapshot " +
+        "read leaked the switch")
+  }
+
   test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_postings_spec").toString
