@@ -490,7 +490,9 @@ object SparkEntry {
       graft.streaming.StreamingOps.streamRetentionFixture(s, dir)),
     "q320_span_time_travel" -> ((s, dir) =>
       Dedup.spanScrubTimeTravel(s, dir)),
-    "q321_pq_time_travel" -> ((s, dir) => Similarity.pqTimeTravel(s, dir))
+    "q321_pq_time_travel" -> ((s, dir) => Similarity.pqTimeTravel(s, dir)),
+    "q322_stream_sig_refresh" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSigRefreshFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -905,6 +907,10 @@ object SparkEntry {
     // time travel to the pre-retrain snapshot: the encode must equal
     // the inline FROZEN-codebook encode (q302's oracle) even though
     // the latest manifest now names the retrained generation
-    "q321_pq_time_travel" -> OracleSql.q302PqFrozenEncode()
+    "q321_pq_time_travel" -> OracleSql.q302PqFrozenEncode(),
+    // stream ≡ batch for signature-index maintenance: the per-batch
+    // delta generations must refresh the index to exactly the batch
+    // q310 state, so q322 shares its oracle
+    "q322_stream_sig_refresh" -> OracleSql.q310LshSigRefresh()
   )
 }

@@ -933,6 +933,33 @@ object Dedup {
       labDir, minJaccard, modN)
   }
 
+  /** Q322 support (the streaming signature refresh in
+    * [[graft.streaming.StreamingOps.streamSigRefreshFixture]]): the
+    * existing/incoming split and a write-once PERSISTED base
+    * signature index under the streaming query's OWN family tag (the
+    * round-12 distinct-tag rule), plus the incoming docs slice to
+    * feed. */
+  private[graft] def streamSigParts(s: SparkSession, dir: String,
+                                    modN: Int, nShards: Int)
+      : (DataFrame, String) = {
+    val isInc = memberDoc("inc:", modN)
+    val base = ArtifactStore.materialized(s, "lsh_sig_streambase",
+      docsFingerprint(s, dir), dir, modN.toString, nShards.toString)(out =>
+      writeLshSigIndex(
+        minhashSignatures(s, docs(s, dir).filter(!isInc)), out, nShards))
+    (docs(s, dir).filter(isInc), base)
+  }
+
+  /** Q322 support: q310's refresh audit over explicit generation
+    * dirs (pre-counts from the base generation only). */
+  private[graft] def sigRefreshAudit(s: SparkSession, base: String,
+                                     deltas: Seq[String]): DataFrame = {
+    val pre = sigShardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    refreshAuditOf(s, pre, sigShardCounts(s, base +: deltas, "n_total"),
+      "shard", "n_total")
+  }
+
   /** Per-shard signature counts over one or more index generations. */
   private def sigShardCounts(s: SparkSession, dirs: Seq[String],
                              as: String): DataFrame =

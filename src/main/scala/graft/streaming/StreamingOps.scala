@@ -1984,6 +1984,61 @@ object StreamingOps {
         "shard", "n_refreshed"))
   }
 
+  /** Q322 — STREAMING signature-index refresh: q310's maintenance job
+    * computed continuously, completing the stream ≡ batch discipline
+    * on the THIRD index family (scrub q291, span refresh q295/q311,
+    * ANN ingest q301, drift audit q312, retention q319 — and now the
+    * signature index). Incoming documents arrive as micro-batches;
+    * each batch's MinHash signatures (the identical one-aggregate
+    * columnar derivation the batch path uses) land as one doc-sharded
+    * immutable DELTA generation next to the persisted write-once base
+    * — no anti-join and no state store, because signature rows are
+    * per-doc and the feed's strata are disjoint (the q310 shape). The
+    * final per-shard audit over base ∪ deltas shares q310's oracle:
+    * a dropped signature, a duplicated append, or shard
+    * mis-assignment under the streaming writer breaks the compare.
+    * A foreachBatch RETRY of the same batch id is idempotent: the
+    * delta is a pure function of the batch, overwritten into the SAME
+    * generation dir (the q312 discipline — and the batch-id-keyed map
+    * excludes a half-written attempt from the audit until its
+    * overwrite lands).
+    *
+    * Scale shape: per batch O(|batch|) — one shingle+minhash pass and
+    * one doc-keyed shard shuffle of 17-column rows; the existing
+    * corpus is never re-read. This is the nightly q310 job as a
+    * continuous ingest consumer, feeding tomorrow's q309 incremental
+    * clustering. The collect feeds the MemoryStream harness only.
+    */
+  def streamSigRefreshFixture(s: SparkSession, dir: String,
+                              modN: Int = 5,
+                              nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val (incoming, base) =
+      graft.operators.Dedup.streamSigParts(s, dir, modN, nShards)
+    val feed = incoming.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "lsh_sig_stream", dir, modN.toString, nShards.toString)
+    val gens = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val gen = s"$deltaRoot/b$id"
+        graft.operators.Dedup.writeLshSigIndex(
+          graft.operators.Dedup.minhashSignatures(batch.sparkSession, batch),
+          gen, nShards)
+        gens.put(id, gen): Unit
+      }
+      .outputMode(OutputMode.Update()).start()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    graft.operators.Dedup.sigRefreshAudit(s, base, gens.values.asScala.toSeq)
+  }
+
   /** Q312 — STREAMING quantizer-drift monitor: q305's staleness alarm
     * computed continuously. Incoming vectors arrive as micro-batches;
     * each batch is assigned under the FROZEN persisted quantizer

@@ -866,6 +866,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows(audit) === batch)
   }
 
+  test("q322: streaming signature refresh == batch q310 audit") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_total"))).toSet
+    val stream = rows(graft.streaming.StreamingOps
+      .streamSigRefreshFixture(spark, dir))
+    val batch = rows(graft.operators.Dedup.lshSigRefresh(spark, dir))
+    assert(batch.nonEmpty && batch.exists(_._3 > 0),
+      "fixture must carry incoming signatures")
+    // the three per-batch delta generations must refresh the index to
+    // the exact batch state: same per-shard counts from the FILES
+    assert(stream === batch)
+  }
+
   test("q312: streaming drift audit == batch q305 bitwise (decimal partials fold exactly)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
