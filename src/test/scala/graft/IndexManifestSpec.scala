@@ -155,11 +155,16 @@ class IndexManifestSpec extends SparkSpec {
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
         finally done.set(true)
       })
+      // the reader runs on its OWN SparkSession (shared context,
+      // separate session state) — the two-session shape of the
+      // round-13 verdict ask; the per-root commit lock is JVM-wide,
+      // so the writer still serializes against any same-JVM session
+      val readerSession = spark.newSession()
       val reader = new Thread(() => {
         try {
           while (!done.get()) {
-            val r = IndexManifest.resolve(spark, root) // (1): must not throw
-            assert(committedSets.contains(r),          // (2): complete set
+            val r = IndexManifest.resolve(readerSession, root) // (1): must not throw
+            assert(committedSets.contains(r),                  // (2): complete set
               s"resolve returned a never-committed set: $r")
           }
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
