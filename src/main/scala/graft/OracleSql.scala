@@ -4664,10 +4664,16 @@ object OracleSql {
     * pinned (sv·sv − 2·sv·cv) + cv·cv distortion, and `best` carries
     * the stratum flag so callers slice (q302/q317: incoming rows) or
     * aggregate (q316: per-subspace drift means) without forking the
-    * arithmetic.
+    * arithmetic. `subPred` bounds the encoded stratum INSIDE the
+    * chain: the single-stratum oracles keep their pre-q316 cost
+    * (DuckDB cannot push a non-partition predicate below the argmin
+    * window, so filtering after `best` would encode the full corpus
+    * for nothing); q316 passes TRUE because it genuinely needs both
+    * strata.
     */
   private def pqEncodeCtes(nSub: Int, subDim: Int, codebookK: Int,
-                           cbFrom: String): String = {
+                           cbFrom: String,
+                           subPred: String = "vf.incoming"): String = {
     val distSql = s"${sumTerms("s.sv", "s.sv", subDim)} - 2 * " +
       s"${sumTerms("s.sv", "c.cv", subDim)} + ${sumTerms("c.cv", "c.cv", subDim)}"
     s"""cwv AS MATERIALIZED (
@@ -4683,6 +4689,7 @@ object OracleSql {
        |    list_slice(de, j * $subDim + 1, j * $subDim + $subDim) AS sv,
        |    vf.incoming
        |  FROM e JOIN vf USING (vec_id), range(0, $nSub) t(j)
+       |  WHERE $subPred
        |),
        |d AS (
        |  SELECT s.vec_id, s.j, s.incoming, c.cw, $distSql AS dist
@@ -4704,7 +4711,7 @@ object OracleSql {
   def q316PqCodebookDrift(nSub: Int = 8, subDim: Int = 8,
                           codebookK: Int = 16, modN: Int = 5): String =
     s"""WITH ${vecSplitCtes(modN)},
-       |${pqEncodeCtes(nSub, subDim, codebookK, "ex")}
+       |${pqEncodeCtes(nSub, subDim, codebookK, "ex", subPred = "TRUE")}
        |SELECT CAST(j AS INT) AS j,
        |  CAST(count(*) FILTER (WHERE NOT incoming) AS BIGINT) AS n_existing,
        |  CAST(count(*) FILTER (WHERE incoming) AS BIGINT) AS n_new,

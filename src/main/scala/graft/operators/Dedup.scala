@@ -885,12 +885,8 @@ object Dedup {
     writeLshSigIndex(
       readLshSigIndex(s, base).join(purgedIds, Seq("doc_id"), "left_anti"),
       after, nShards)
-    def counts(d: String, as: String): DataFrame =
-      s.read.schema(lshSigSchema).parquet(d)
-        .groupBy(col("shard").cast("long").as("shard"))
-        .agg(count(lit(1)).as(as))
-    counts(base, "n_before")
-      .join(counts(after, "n_after"), Seq("shard"), "left")
+    sigShardCounts(s, Seq(base), "n_before")
+      .join(sigShardCounts(s, Seq(after), "n_after"), Seq("shard"), "left")
       .select(col("shard"), col("n_before"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))

@@ -118,14 +118,35 @@ object IndexManifest {
     * resolve re-lists and retries once on a vanished manifest instead
     * of surfacing the transient FileNotFound (round-13 ADVICE). */
   def resolve(s: SparkSession, root: String): Seq[String] = {
-    def once(): Seq[String] = {
+    // progress-bounded retry: each attempt must see a STRICTLY newer
+    // latest id than the one that vanished (retire only deletes
+    // manifests when newer commits exist — keepLast ≥ 1), so under
+    // sustained churn the loop tracks the head instead of giving up
+    // after one retry; a manifest that vanishes with NO newer commit
+    // is a genuinely broken root and the error propagates.
+    var lastVanished = -1L
+    while (true) {
       val c = committed(s, root)
       require(c.nonEmpty, s"no committed manifest under $root")
-      gensOf(s, c.maxBy(_._1)._2)
+      val (id, p) = c.maxBy(_._1)
+      try return gensOf(s, p)
+      catch {
+        case e: Throwable if vanished(e) =>
+          if (id <= lastVanished) throw e // no progress — not a GC race
+          lastVanished = id
+      }
     }
-    try once()
-    catch { case e: Throwable if vanished(e) => once() }
+    sys.error("unreachable")
   }
+
+  /** Every generation dir referenced by ANY committed manifest — the
+    * immutability guard a RETRYING committer needs: a generation that
+    * appears here may be named by a kept (non-latest) manifest, so it
+    * must never be rewritten in place even when the LATEST manifest no
+    * longer lists it (q319's compact-then-retry window; round-14
+    * review). Metadata-sized: one parquet read per committed manifest. */
+  def committedGens(s: SparkSession, root: String): Set[String] =
+    committed(s, root).flatMap(m => gensOf(s, m._2)).toSet
 
   /** True when an exception chain bottoms out in a missing file/path —
     * the signature of a manifest deleted between listing and read. */
@@ -176,7 +197,19 @@ object IndexManifest {
     * are whole immutable directories.
     */
   def retire(s: SparkSession, root: String, keepLast: Int = 1)
-      : Seq[String] = {
+      : Seq[String] =
+    // retire serializes against same-JVM commits on the root's commit
+    // lock (round-14 review): its list → read-gens → delete sequence
+    // is check-then-act, and an unserialized concurrent commit could
+    // land a manifest referencing a generation this pass is about to
+    // delete — leaving the LATEST committed manifest dangling. Same
+    // scope note as commit(): cross-JVM needs the catalog CAS.
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      retireLocked(s, root, keepLast)
+    }
+
+  private def retireLocked(s: SparkSession, root: String,
+                           keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "retention must keep at least the live manifest")
     val c = committed(s, root).sortBy(_._1)
     if (c.size <= keepLast) return Seq.empty

@@ -1895,11 +1895,15 @@ object StreamingOps {
     * pins that the mid-stream delete set is non-empty (the GC really
     * fired under load) and that the retired dirs are gone from disk.
     *
-    * Retry note (the q311 discipline, extended past the compact
-    * commit): a foreachBatch retry before its commit re-runs the
-    * whole step against the resolved set; a retry AFTER the compact
-    * commit finds its novelty already absorbed and lands an empty
-    * delta generation — content-neutral for the index and the audit.
+    * Retry note (the q311 discipline, HARDENED for the compact step):
+    * the idempotence guard checks every COMMITTED manifest, not the
+    * latest resolve — this committer's compact commit replaces the
+    * batch's generation in the live set, so a resolve-only check
+    * would let a redelivered batch overwrite a generation a kept
+    * manifest still names. A retry before the grow commit re-runs the
+    * whole step (its half-written generation is uncommitted and
+    * invisible); a retry after it skips entirely — the content
+    * already landed, and the next batch's compaction folds it.
     *
     * Scale shape: per batch O(|batch| + index probe) plus one
     * index-sized compaction rewrite — the fixture compacts every
@@ -1943,7 +1947,18 @@ object StreamingOps {
         val ss = batch.sparkSession
         val gen = s"$deltaRoot/b$id"
         val resolved = graft.operators.IndexManifest.resolve(ss, mroot)
-        if (!resolved.contains(gen)) {
+        // the retry guard must check EVERY committed manifest, not the
+        // latest resolve: this committer's compact commit REPLACES gen
+        // in the live set, so after a crash between compact-commit and
+        // retire a redelivered batch would pass a resolve-only check
+        // and overwrite gen in place while the kept previous manifest
+        // still names it (round-14 review) — mutating a committed
+        // snapshot. A gen committed ANYWHERE is immutable; its
+        // content is already absorbed (the grow commit landed), so
+        // skipping the whole step is content-neutral and the next
+        // batch's compaction folds it.
+        if (!graft.operators.IndexManifest.committedGens(ss, mroot)
+            .contains(gen)) {
           val novel = batch.select(col("h")).distinct()
             .join(graft.operators.Dedup.readSpanIndexDirs(ss, resolved),
               Seq("h"), "left_anti")

@@ -78,6 +78,22 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("committedGens spans ALL committed manifests — a generation replaced in the live set stays immutable") {
+    withRoot { root =>
+      IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
+      IndexManifest.commit(spark, root, Seq("/gen/c")) // compact-style switch
+      assert(IndexManifest.resolve(spark, root) === Seq("/gen/c"))
+      // the grow manifest still names a and b: a RETRYING committer
+      // must treat them as committed (immutable) even though resolve
+      // no longer returns them — the q319 redelivery guard
+      assert(IndexManifest.committedGens(spark, root) ===
+        Set("/gen/a", "/gen/b", "/gen/c"))
+      // once the grow manifest is retired they leave the committed set
+      IndexManifest.retire(spark, root, keepLast = 1)
+      assert(IndexManifest.committedGens(spark, root) === Set("/gen/c"))
+    }
+  }
+
   test("retire deletes only generations exclusive to manifests outside the kept window") {
     withRoot { root =>
       def mkGen(name: String): String = {
