@@ -859,7 +859,8 @@ object Dedup {
     * row per document — so the reference-count rule degenerates to a
     * doc_id anti-join with nothing shared to preserve; the interesting
     * contract is the audit: per doc-shard, signatures before, purged,
-    * after, counted from the FILES (base and purged generations),
+    * after, each counted INDEPENDENTLY from the files (before and
+    * purged from the base generation, after from the purged rewrite),
     * while the oracle derives the same counts from the raw documents
     * table alone (a doc carries a signature iff it has ≥ 3 tokens;
     * purge membership is the deterministic 'purge:' scramble). A
@@ -885,10 +886,21 @@ object Dedup {
     writeLshSigIndex(
       readLshSigIndex(s, base).join(purgedIds, Seq("doc_id"), "left_anti"),
       after, nShards)
+    // n_purged is counted DIRECTLY (base-file rows semi-joined to the
+    // purge set — the rows the anti-join above removed), never derived
+    // as n_before - n_after: the three audit columns come from three
+    // independent measurements, so the per-shard identity
+    // b = p + a is a genuine writer check instead of being true by
+    // construction (round-14 ADVICE).
+    val purgedPerShard = s.read.schema(lshSigSchema).parquet(base)
+      .join(purgedIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_purged"))
     sigShardCounts(s, Seq(base), "n_before")
+      .join(purgedPerShard, Seq("shard"), "left")
       .join(sigShardCounts(s, Seq(after), "n_after"), Seq("shard"), "left")
       .select(col("shard"), col("n_before"),
-        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+        coalesce(col("n_purged"), lit(0L)).as("n_purged"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
   }
 

@@ -144,9 +144,21 @@ object IndexManifest {
     * appears here may be named by a kept (non-latest) manifest, so it
     * must never be rewritten in place even when the LATEST manifest no
     * longer lists it (q319's compact-then-retry window; round-14
-    * review). Metadata-sized: one parquet read per committed manifest. */
+    * review). Metadata-sized: one parquet read per committed manifest.
+    *
+    * Like [[resolve]], this can race a concurrent [[retire]]: the
+    * listing may name a manifest the GC deletes before its parquet is
+    * read. A manifest that vanishes mid-read is SKIPPED rather than
+    * surfaced — a deleted manifest's generations are by definition no
+    * longer committed, so the conservative immutability answer is the
+    * surviving manifests' union (round-14 ADVICE; resolve retries
+    * instead because it must return the live HEAD, which a skip would
+    * silently age). */
   def committedGens(s: SparkSession, root: String): Set[String] =
-    committed(s, root).flatMap(m => gensOf(s, m._2)).toSet
+    committed(s, root).flatMap { m =>
+      try gensOf(s, m._2)
+      catch { case e: Throwable if vanished(e) => Seq.empty[String] }
+    }.toSet
 
   /** True when an exception chain bottoms out in a missing file/path —
     * the signature of a manifest deleted between listing and read. */

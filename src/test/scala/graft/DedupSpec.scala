@@ -772,6 +772,9 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_before"),
         r.getAs[Long]("n_purged"), r.getAs[Long]("n_after")))
     assert(audit.nonEmpty)
+    // a REAL identity since round 15: n_purged is measured from the
+    // base files ∩ purge set, not derived as b - a, so a writer that
+    // leaked or over-purged rows breaks this (round-14 ADVICE)
     audit.foreach { case (sh, b, p, a) =>
       assert(b === p + a, s"shard $sh: $b != $p + $a")
     }
