@@ -930,14 +930,15 @@ object Dedup {
       minJaccard, modN, nShards)
     val root = ArtifactStore.invocationDir("lsh_sig_manifest",
       dir, minJaccard.toString, modN.toString, nShards.toString)
-    IndexManifest.commit(s, root, Seq(gens.head))
-    IndexManifest.commit(s, root, gens)
+    IndexManifest.commit(s, root, Seq(gens.head), IndexManifest.LshSigFormat)
+    IndexManifest.commit(s, root, gens, IndexManifest.LshSigFormat)
     val compacted = ArtifactStore.invocationDir("lsh_sig_mfcompact",
       dir, minJaccard.toString, modN.toString, nShards.toString)
     writeLshSigIndex(readLshSigIndexDirs(s, gens), compacted, nShards)
-    IndexManifest.commit(s, root, Seq(compacted))
+    IndexManifest.commit(s, root, Seq(compacted), IndexManifest.LshSigFormat)
     dayTwoClustering(s, dir,
-      readLshSigIndexDirs(s, IndexManifest.resolve(s, root)),
+      readLshSigIndexDirs(s,
+        IndexManifest.resolve(s, root, IndexManifest.LshSigFormat)),
       labDir, minJaccard, modN)
   }
 
@@ -1748,17 +1749,20 @@ object Dedup {
       fam = "span_index_mf")
     val root = ArtifactStore.invocationDir("span_manifest",
       dir, w.toString, modN.toString, nShards.toString)
-    IndexManifest.commit(s, root, Seq(dirs.head))
-    IndexManifest.commit(s, root, dirs)
+    IndexManifest.commit(s, root, Seq(dirs.head),
+      IndexManifest.SpanIndexFormat)
+    IndexManifest.commit(s, root, dirs, IndexManifest.SpanIndexFormat)
     val compacted = ArtifactStore.invocationDir("span_index_mfcompact",
       dir, w.toString, modN.toString, nShards.toString)
     // h-only input, exactly like the q289 compaction: every rewrite
     // path feeds layShards the same shape (one-writer-one-shape)
     layShards(readSpanIndexDirs(s, dirs), compacted, nShards,
       org.apache.spark.sql.SaveMode.Overwrite)
-    IndexManifest.commit(s, root, Seq(compacted))
+    IndexManifest.commit(s, root, Seq(compacted),
+      IndexManifest.SpanIndexFormat)
     scrubIncomingWith(day2,
-      readSpanIndexDirs(s, IndexManifest.resolve(s, root)), w)
+      readSpanIndexDirs(s,
+        IndexManifest.resolve(s, root, IndexManifest.SpanIndexFormat)), w)
   }
 
   /** Q320 — TIME-TRAVEL scrub (q308's reproducibility contract on the
@@ -1781,11 +1785,13 @@ object Dedup {
       fam = "span_index_tt")
     val root = ArtifactStore.invocationDir("span_manifest_tt",
       dir, w.toString, modN.toString, nShards.toString)
-    IndexManifest.commit(s, root, Seq(dirs.head))
-    IndexManifest.commit(s, root, dirs)
+    IndexManifest.commit(s, root, Seq(dirs.head),
+      IndexManifest.SpanIndexFormat)
+    IndexManifest.commit(s, root, dirs, IndexManifest.SpanIndexFormat)
     val snap1 = IndexManifest.committedIds(s, root).head
     scrubIncomingWith(day2,
-      readSpanIndexDirs(s, IndexManifest.resolveAt(s, root, snap1)), w)
+      readSpanIndexDirs(s, IndexManifest.resolveAt(s, root, snap1,
+        IndexManifest.SpanIndexFormat)), w)
   }
 
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12

@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object IndexManifest {
 
+  /** Generation FORMAT tags — `<family>/<layout version>`, written
+    * per generation row at commit and require-checked by each
+    * family's reader at resolve (round-14 verdict #4, the Iceberg
+    * format-version discipline): a root written by a different index
+    * family, or by a newer engine with a changed layout, must fail
+    * LOUDLY at resolve instead of being silently misread through an
+    * explicit-schema parquet scan that nulls unknown columns. Bump
+    * the version half when a family's on-disk layout changes. */
+  val SpanIndexFormat = "span_index/1"
+  val IvfPostingsFormat = "ivf_postings/1"
+  val LshSigFormat = "lsh_sig/1"
+  val PqCodebookFormat = "pq_codebook/1"
+
   /** Committed manifest ids under `root` (dirs named m_<id> whose
     * `_SUCCESS` marker exists). */
   private def committed(s: SparkSession, root: String)
@@ -84,9 +97,16 @@ object IndexManifest {
     * multi-generation readers (readSpanIndexDirs, readIvfPostingsDirs)
     * fail far from the misuse site on `.reduce` of an empty dir list
     * (round-13 ADVICE). Retiring an index is [[retire]]'s job, not an
-    * empty commit's. */
+    * empty commit's.
+    *
+    * `format` is the family/layout tag ([[SpanIndexFormat]] etc.)
+    * recorded per generation row; family readers pass the same tag to
+    * [[resolve]]/[[resolveAt]] to reject a foreign or newer-layout
+    * root loudly. A null format writes a LEGACY (pre-tag) manifest —
+    * kept for the generic protocol specs; every index family commits
+    * tagged. */
   def commit(s: SparkSession, root: String,
-             generations: Seq[String]): Unit =
+             generations: Seq[String], format: String = null): Unit =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       require(generations.nonEmpty,
         s"refusing to commit an EMPTY generation set under $root — " +
@@ -96,8 +116,8 @@ object IndexManifest {
       import s.implicits._
       val id = (allocated(s, root) :+ 0L).max + 1
       val dir = s"$root/m_$id"
-      generations.zipWithIndex.map { case (g, i) => (i, g) }
-        .toDF("pos", "gen")
+      generations.zipWithIndex.map { case (g, i) => (i, g, format) }
+        .toDF("pos", "gen", "format")
         .coalesce(1).sortWithinPartitions(col("pos"))
         .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
         .parquet(dir)
@@ -116,8 +136,14 @@ object IndexManifest {
     * GC deletes before its parquet is read. A newer manifest is live
     * in exactly that case (retire keeps the most recent commits), so
     * resolve re-lists and retries once on a vanished manifest instead
-    * of surfacing the transient FileNotFound (round-13 ADVICE). */
-  def resolve(s: SparkSession, root: String): Seq[String] = {
+    * of surfacing the transient FileNotFound (round-13 ADVICE).
+    *
+    * A non-null `expectFormat` rejects generations tagged with a
+    * DIFFERENT format loudly (wrong family, or a newer layout
+    * version); untagged rows (legacy pre-format manifests) pass any
+    * expectation — backward compatible by construction. */
+  def resolve(s: SparkSession, root: String,
+              expectFormat: String = null): Seq[String] = {
     // progress-bounded retry: each attempt must see a STRICTLY newer
     // latest id than the one that vanished (retire only deletes
     // manifests when newer commits exist — keepLast ≥ 1), so under
@@ -129,7 +155,7 @@ object IndexManifest {
       val c = committed(s, root)
       require(c.nonEmpty, s"no committed manifest under $root")
       val (id, p) = c.maxBy(_._1)
-      try return gensOf(s, p)
+      try return gensOf(s, p, expectFormat)
       catch {
         case e: Throwable if vanished(e) =>
           if (id <= lastVanished) throw e // no progress — not a GC race
@@ -173,11 +199,12 @@ object IndexManifest {
     * manifest id — a reader pinned to a past snapshot (the Delta
     * `versionAsOf` shape). Loud error on an id that was never
     * committed (crashed or GC'd snapshots must not silently degrade
-    * to a neighbor). */
-  def resolveAt(s: SparkSession, root: String, id: Long): Seq[String] = {
+    * to a neighbor). `expectFormat` as on [[resolve]]. */
+  def resolveAt(s: SparkSession, root: String, id: Long,
+                expectFormat: String = null): Seq[String] = {
     val c = committed(s, root).toMap
     require(c.contains(id), s"manifest m_$id is not committed under $root")
-    gensOf(s, c(id))
+    gensOf(s, c(id), expectFormat)
   }
 
   /** Committed manifest ids, ascending (test + retention hook). */
@@ -245,12 +272,23 @@ object IndexManifest {
       .filter(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
-  private def gensOf(s: SparkSession,
-                     dir: org.apache.hadoop.fs.Path): Seq[String] =
+  private def gensOf(s: SparkSession, dir: org.apache.hadoop.fs.Path,
+                     expectFormat: String = null): Seq[String] =
     readManifest(s, dir.toString)
-      .orderBy(col("pos")).collect().map(_.getString(1)).toSeq
+      .orderBy(col("pos")).collect().map { r =>
+        val fmt = r.getString(2)
+        if (expectFormat != null)
+          require(fmt == null || fmt == expectFormat,
+            s"manifest $dir names generation '${r.getString(1)}' with " +
+              s"format '$fmt' but this reader expects '$expectFormat' — " +
+              "refusing to misread a generation written by a different " +
+              "index family or a newer layout version")
+        r.getString(1)
+      }.toSeq
 
-  /** Explicit-schema manifest reader (test hook + resolve). */
+  /** Explicit-schema manifest reader (test hook + resolve). The
+    * `format` column reads as null from pre-tag manifests — the
+    * legacy pass-through [[resolve]] documents. */
   private[graft] def readManifest(s: SparkSession, dir: String): DataFrame =
-    s.read.schema("pos INT, gen STRING").parquet(dir)
+    s.read.schema("pos INT, gen STRING, format STRING").parquet(dir)
 }

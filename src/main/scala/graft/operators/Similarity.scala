@@ -1015,13 +1015,14 @@ object Similarity {
         codebookK), out))
     val root = ArtifactStore.invocationDir("pq_manifest_rs",
       (dir +: params): _*)
-    IndexManifest.commit(s, root, Seq(cb1))
+    IndexManifest.commit(s, root, Seq(cb1), IndexManifest.PqCodebookFormat)
     val cb2 = ArtifactStore.invocationDir("pq_cb_retrained",
       (dir +: params): _*)
     writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), cb2)
-    IndexManifest.commit(s, root, Seq(cb2))
+    IndexManifest.commit(s, root, Seq(cb2), IndexManifest.PqCodebookFormat)
     pqEncodeAgainst(pqSubvectors(e.filter(inc), nSub, subDim),
-        readPqCodebookDirs(s, IndexManifest.resolve(s, root)))
+        readPqCodebookDirs(s,
+          IndexManifest.resolve(s, root, IndexManifest.PqCodebookFormat)))
       .select(col("vec_id"), col("j"), col("cw").as("code"),
         col("dist").as("distortion"))
   }
@@ -1052,14 +1053,15 @@ object Similarity {
         codebookK), out))
     val root = ArtifactStore.invocationDir("pq_manifest_tt",
       (dir +: params): _*)
-    IndexManifest.commit(s, root, Seq(cb1))
+    IndexManifest.commit(s, root, Seq(cb1), IndexManifest.PqCodebookFormat)
     val cb2 = ArtifactStore.invocationDir("pq_tt_retrained",
       (dir +: params): _*)
     writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), cb2)
-    IndexManifest.commit(s, root, Seq(cb2))
+    IndexManifest.commit(s, root, Seq(cb2), IndexManifest.PqCodebookFormat)
     val snap1 = IndexManifest.committedIds(s, root).head
     pqEncodeAgainst(pqSubvectors(e.filter(inc), nSub, subDim),
-        readPqCodebookDirs(s, IndexManifest.resolveAt(s, root, snap1)))
+        readPqCodebookDirs(s, IndexManifest.resolveAt(s, root, snap1,
+          IndexManifest.PqCodebookFormat)))
       .select(col("vec_id"), col("j"), col("cw").as("code"),
         col("dist").as("distortion"))
   }
@@ -1121,26 +1123,30 @@ object Similarity {
     val root = ArtifactStore.invocationDir("ivf_manifest_soak",
       (dir +: params): _*)
     val base = gen("soakbase", e.filter(!inc))
-    IndexManifest.commit(s, root, Seq(base))
+    IndexManifest.commit(s, root, Seq(base),
+      IndexManifest.IvfPostingsFormat)
     var live = Seq(base)
     val deleted = Seq.newBuilder[String]
     for (d <- 0 until 3) {
       // refresh: the day's slice only — the strata are disjoint by
       // construction, so no anti-join is needed (the q297 shape)
       val delta = gen(s"soakd$d", e.filter(inc && day === d))
-      IndexManifest.commit(s, root, live :+ delta)
+      IndexManifest.commit(s, root, live :+ delta,
+        IndexManifest.IvfPostingsFormat)
       // OPTIMIZE: fold the accumulated generations into one
       val compacted = ArtifactStore.invocationDir(s"ivf_postings_soakc$d",
         (dir +: params): _*)
       layLists(readIvfPostingsDirs(s, live :+ delta), compacted)
-      IndexManifest.commit(s, root, Seq(compacted))
+      IndexManifest.commit(s, root, Seq(compacted),
+        IndexManifest.IvfPostingsFormat)
       // VACUUM: retire everything outside the kept window
       deleted ++= IndexManifest.retire(s, root, keepLast = 2)
       live = Seq(compacted)
     }
     (root, deleted.result(),
       probeSearch(probesFor(e, cent, nProbe),
-        postingsAsLists(s, IndexManifest.resolve(s, root)), k))
+        postingsAsLists(s, IndexManifest.resolve(s, root,
+          IndexManifest.IvfPostingsFormat)), k))
   }
 
   /** Q304 — day-2 search through a MANIFEST-resolved postings set:
@@ -1158,14 +1164,17 @@ object Similarity {
       nCentroids, modN)
     val root = ArtifactStore.invocationDir("ivf_manifest",
       dir, nCentroids.toString, modN.toString)
-    IndexManifest.commit(s, root, Seq(dirs.head))
-    IndexManifest.commit(s, root, dirs)
+    IndexManifest.commit(s, root, Seq(dirs.head),
+      IndexManifest.IvfPostingsFormat)
+    IndexManifest.commit(s, root, dirs, IndexManifest.IvfPostingsFormat)
     val compacted = ArtifactStore.invocationDir("ivf_postings_mfcompact",
       dir, nCentroids.toString, modN.toString)
     layLists(readIvfPostingsDirs(s, dirs), compacted)
-    IndexManifest.commit(s, root, Seq(compacted))
+    IndexManifest.commit(s, root, Seq(compacted),
+      IndexManifest.IvfPostingsFormat)
     probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
-      postingsAsLists(s, IndexManifest.resolve(s, root)), k)
+      postingsAsLists(s, IndexManifest.resolve(s, root,
+        IndexManifest.IvfPostingsFormat)), k)
   }
 
   /** Q305 — quantizer-DRIFT audit: the alarm that decides when the
@@ -1234,7 +1243,7 @@ object Similarity {
       nCentroids, modN)
     val root = ArtifactStore.invocationDir("ivf_manifest_rs",
       dir, nCentroids.toString, modN.toString)
-    IndexManifest.commit(s, root, dirs)
+    IndexManifest.commit(s, root, dirs, IndexManifest.IvfPostingsFormat)
     val e = embDoubles(s, dir)
     val cent2 = readIvfCentroids(s,
       centArtifact(s, dir, "ivf_rs_cent2", Seq(nCentroids.toString))(
@@ -1243,9 +1252,11 @@ object Similarity {
     val rebuilt = ArtifactStore.invocationDir("ivf_postings_rebuilt",
       dir, nCentroids.toString)
     writeIvfPostings(listsFor(e, cent2), rebuilt)
-    IndexManifest.commit(s, root, Seq(rebuilt))
+    IndexManifest.commit(s, root, Seq(rebuilt),
+      IndexManifest.IvfPostingsFormat)
     probeSearch(probesFor(e, cent2, nProbe),
-      postingsAsLists(s, IndexManifest.resolve(s, root)), k)
+      postingsAsLists(s, IndexManifest.resolve(s, root,
+        IndexManifest.IvfPostingsFormat)), k)
   }
 
   /** Q307 — generation GC with a retention window: the "retired
@@ -1293,15 +1304,19 @@ object Similarity {
     val delta = gen("gcdelta", e.filter(inc))
     val root = ArtifactStore.invocationDir("ivf_manifest_gc",
       (dir +: params): _*)
-    IndexManifest.commit(s, root, Seq(base))
-    IndexManifest.commit(s, root, Seq(base, delta))
+    IndexManifest.commit(s, root, Seq(base),
+      IndexManifest.IvfPostingsFormat)
+    IndexManifest.commit(s, root, Seq(base, delta),
+      IndexManifest.IvfPostingsFormat)
     val compacted = ArtifactStore.invocationDir("ivf_postings_gccompact",
       (dir +: params): _*)
     layLists(readIvfPostingsDirs(s, Seq(base, delta)), compacted)
-    IndexManifest.commit(s, root, Seq(compacted))
+    IndexManifest.commit(s, root, Seq(compacted),
+      IndexManifest.IvfPostingsFormat)
     val deleted = IndexManifest.retire(s, root, keepLast = 1)
     (deleted, probeSearch(probesFor(e, cent, nProbe),
-      postingsAsLists(s, IndexManifest.resolve(s, root)), k))
+      postingsAsLists(s, IndexManifest.resolve(s, root,
+        IndexManifest.IvfPostingsFormat)), k))
   }
 
   /** Q308 — TIME-TRAVEL search: today's probes against YESTERDAY's
@@ -1322,11 +1337,13 @@ object Similarity {
       nCentroids, modN)
     val root = ArtifactStore.invocationDir("ivf_manifest_tt",
       dir, nCentroids.toString, modN.toString)
-    IndexManifest.commit(s, root, Seq(dirs.head))
-    IndexManifest.commit(s, root, dirs)
+    IndexManifest.commit(s, root, Seq(dirs.head),
+      IndexManifest.IvfPostingsFormat)
+    IndexManifest.commit(s, root, dirs, IndexManifest.IvfPostingsFormat)
     val snap1 = IndexManifest.committedIds(s, root).head
     probeSearch(probesFor(embDoubles(s, dir), cent, nProbe),
-      postingsAsLists(s, IndexManifest.resolveAt(s, root, snap1)), k)
+      postingsAsLists(s, IndexManifest.resolveAt(s, root, snap1,
+        IndexManifest.IvfPostingsFormat)), k)
   }
 
   /** Q312 support (the streaming drift monitor in

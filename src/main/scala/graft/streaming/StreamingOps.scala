@@ -1837,15 +1837,16 @@ object StreamingOps {
     val mroot = graft.operators.ArtifactStore.invocationDir(
       "span_manifest_stream", dir, w.toString, modN.toString,
       nShards.toString)
-    graft.operators.IndexManifest.commit(s, mroot, Seq(base))
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base), graft.operators.IndexManifest.SpanIndexFormat)
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val q = stream.toDS().toDF("doc_id", "h")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
-        val gen = s"$deltaRoot/b$id"
-        val resolved = graft.operators.IndexManifest.resolve(ss, mroot)
+        val gen = s"$$deltaRoot/b$$id"
+        val resolved =
+          graft.operators.IndexManifest.resolve(ss, mroot, graft.operators.IndexManifest.SpanIndexFormat)
         // retry-idempotence: if this batch's generation is already
         // COMMITTED, the whole step is done — rewriting it in place
         // would delete files a live manifest names (the reader race
@@ -1857,7 +1858,8 @@ object StreamingOps {
             .join(graft.operators.Dedup.readSpanIndexDirs(ss, resolved),
               Seq("h"), "left_anti")
           graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
-          graft.operators.IndexManifest.commit(ss, mroot, resolved :+ gen)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            resolved :+ gen, graft.operators.IndexManifest.SpanIndexFormat)
         }
       }
       .outputMode(OutputMode.Update()).start()
@@ -1876,7 +1878,8 @@ object StreamingOps {
     } finally q.stop()
     graft.operators.Dedup.refreshAuditOf(s, pre,
       graft.operators.Dedup.shardCounts(s,
-        graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed"),
+        graft.operators.IndexManifest.resolve(s, mroot, graft.operators.IndexManifest.SpanIndexFormat),
+        "n_refreshed"),
       "shard", "n_refreshed")
   }
 
@@ -1936,7 +1939,7 @@ object StreamingOps {
     val mroot = graft.operators.ArtifactStore.invocationDir(
       "span_manifest_streamret", dir, w.toString, modN.toString,
       nShards.toString)
-    graft.operators.IndexManifest.commit(s, mroot, Seq(base))
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base), graft.operators.IndexManifest.SpanIndexFormat)
     val deleted =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val stream =
@@ -1946,7 +1949,8 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
         val gen = s"$deltaRoot/b$id"
-        val resolved = graft.operators.IndexManifest.resolve(ss, mroot)
+        val resolved =
+          graft.operators.IndexManifest.resolve(ss, mroot, graft.operators.IndexManifest.SpanIndexFormat)
         // the retry guard must check EVERY committed manifest, not the
         // latest resolve: this committer's compact commit REPLACES gen
         // in the live set, so after a crash between compact-commit and
@@ -1963,7 +1967,8 @@ object StreamingOps {
             .join(graft.operators.Dedup.readSpanIndexDirs(ss, resolved),
               Seq("h"), "left_anti")
           graft.operators.Dedup.writeSpanDelta(novel, gen, nShards)
-          graft.operators.IndexManifest.commit(ss, mroot, resolved :+ gen)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            resolved :+ gen, graft.operators.IndexManifest.SpanIndexFormat)
           // OPTIMIZE + switch: fold the live set to one generation
           val compacted = graft.operators.ArtifactStore.invocationDir(
             "span_index_streamretc", dir, w.toString, modN.toString,
@@ -1971,7 +1976,8 @@ object StreamingOps {
           graft.operators.Dedup.writeSpanIndex(
             graft.operators.Dedup.readSpanIndexDirs(ss, resolved :+ gen),
             compacted, nShards)
-          graft.operators.IndexManifest.commit(ss, mroot, Seq(compacted))
+          graft.operators.IndexManifest.commit(ss, mroot,
+            Seq(compacted), graft.operators.IndexManifest.SpanIndexFormat)
           // VACUUM between micro-batches: the GC under test
           graft.operators.IndexManifest.retire(ss, mroot, keepLast = 2)
             .foreach(deleted.add(_): Unit)
@@ -1995,7 +2001,8 @@ object StreamingOps {
     (deleted.asScala.toSeq,
       graft.operators.Dedup.refreshAuditOf(s, pre,
         graft.operators.Dedup.shardCounts(s,
-          graft.operators.IndexManifest.resolve(s, mroot), "n_refreshed"),
+          graft.operators.IndexManifest.resolve(s, mroot, graft.operators.IndexManifest.SpanIndexFormat),
+          "n_refreshed"),
         "shard", "n_refreshed"))
   }
 

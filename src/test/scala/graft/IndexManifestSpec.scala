@@ -78,6 +78,50 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("format tags: resolving a root under the WRONG family reader fails loudly") {
+    withRoot { root =>
+      IndexManifest.commit(spark, root, Seq("/gen/a"),
+        IndexManifest.LshSigFormat)
+      // the right family reads through
+      assert(IndexManifest.resolve(spark, root,
+        IndexManifest.LshSigFormat) === Seq("/gen/a"))
+      // a foreign family (or a newer layout version) must fail at
+      // resolve, never be silently misread by an explicit-schema scan
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.resolve(spark, root, IndexManifest.SpanIndexFormat)
+      }
+      assert(e.getMessage.contains(IndexManifest.LshSigFormat) &&
+        e.getMessage.contains(IndexManifest.SpanIndexFormat))
+      // time travel enforces the same expectation
+      val id = IndexManifest.committedIds(spark, root).head
+      intercept[IllegalArgumentException] {
+        IndexManifest.resolveAt(spark, root, id, "lsh_sig/2")
+      }
+      // a format-agnostic read (retire, committedGens, generic specs)
+      // still works
+      assert(IndexManifest.resolve(spark, root) === Seq("/gen/a"))
+    }
+  }
+
+  test("format tags: a LEGACY 2-column manifest resolves under any expected format") {
+    withRoot { root =>
+      // hand-write a pre-tag manifest: (pos, gen) only, no format
+      // column — the on-disk shape every pre-round-15 root has
+      import spark.implicits._
+      Seq((0, "/gen/old")).toDF("pos", "gen")
+        .coalesce(1).write.parquet(s"$root/m_1")
+      assert(IndexManifest.resolve(spark, root,
+        IndexManifest.SpanIndexFormat) === Seq("/gen/old"))
+      assert(IndexManifest.resolve(spark, root,
+        IndexManifest.IvfPostingsFormat) === Seq("/gen/old"))
+      // and a tagged commit on the same root coexists with it
+      IndexManifest.commit(spark, root, Seq("/gen/new"),
+        IndexManifest.SpanIndexFormat)
+      assert(IndexManifest.resolve(spark, root,
+        IndexManifest.SpanIndexFormat) === Seq("/gen/new"))
+    }
+  }
+
   test("committedGens spans ALL committed manifests — a generation replaced in the live set stays immutable") {
     withRoot { root =>
       IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
