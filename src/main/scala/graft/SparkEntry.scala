@@ -492,7 +492,9 @@ object SparkEntry {
       Dedup.spanScrubTimeTravel(s, dir)),
     "q321_pq_time_travel" -> ((s, dir) => Similarity.pqTimeTravel(s, dir)),
     "q322_stream_sig_refresh" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSigRefreshFixture(s, dir))
+      graft.streaming.StreamingOps.streamSigRefreshFixture(s, dir)),
+    "q323_orphan_sweep" -> ((s, dir) =>
+      Dedup.spanScrubOrphanSweep(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -911,6 +913,12 @@ object SparkEntry {
     // stream ≡ batch for signature-index maintenance: the per-batch
     // delta generations must refresh the index to exactly the batch
     // q310 state, so q322 shares its oracle
-    "q322_stream_sig_refresh" -> OracleSql.q310LshSigRefresh()
+    "q322_stream_sig_refresh" -> OracleSql.q310LshSigRefresh(),
+    // the scrub after the orphan sweep must still see the COMPLETE
+    // committed index (base ∪ delta = q288's state): a sweep that
+    // deleted a live generation drops index hashes and un-cuts day-2
+    // spans, breaking the compare; the planted orphans are invisible
+    // to the oracle because they never held novel content
+    "q323_orphan_sweep" -> OracleSql.q288SpanScrubDayTwo()
   )
 }

@@ -1794,6 +1794,81 @@ object Dedup {
         IndexManifest.SpanIndexFormat)), w)
   }
 
+  /** Q323 — ORPHAN-generation sweep (round-14 verdict #1, the missing
+    * half of VACUUM): the span index's day-1/day-2 life is replayed
+    * with every generation under ONE gens directory, then two crash
+    * artifacts are planted — a compaction job's generation written in
+    * full but never committed (the crash-between-write-and-commit
+    * window [[IndexManifest]] documents), and a half-written manifest
+    * dir without its `_SUCCESS` marker — and
+    * [[IndexManifest.sweepOrphans]] reclaims both. The day-2 scrub
+    * then runs through the swept root's resolve: output
+    * hash-identical to q288 (shared oracle) is the content half of
+    * the proof (the sweep deleted NOTHING a committed manifest
+    * references — a swept live generation would drop index hashes and
+    * un-cut day-2 spans); the spec pins the disk half (stray and
+    * crashed-manifest dirs really gone, committed generations and
+    * snapshots intact) and the plan pin proves the scrub probes only
+    * the committed generations, never the stray.
+    *
+    * Everything lives in a PER-INVOCATION root — the sweep deletes
+    * dirs, so they must be this run's own (the q307/q319 GC-ownership
+    * rule); the base-index rebuild that costs is billed to the query.
+    *
+    * Scale shape: the sweep itself is one directory listing of
+    * generation names against a manifest-sized reference set plus
+    * whole-directory deletes — the weekly orphan sweep of a 100 TB
+    * index costs metadata, not data; the scrub is q288's asymmetric
+    * probe unchanged.
+    */
+  def spanScrubOrphanSweep(s: SparkSession, dir: String, w: Int = 8,
+                           modN: Int = 5, nShards: Int = 8): DataFrame =
+    orphanSweepParts(s, dir, w, modN, nShards)._4
+
+  /** Test-visible q323 split: (root, swept dirs, committed generation
+    * dirs, scrub result) so the spec can pin the on-disk outcome. */
+  private[graft] def orphanSweepParts(s: SparkSession, dir: String,
+                                      w: Int, modN: Int, nShards: Int)
+      : (String, Seq[String], Seq[String], DataFrame) = {
+    val root = ArtifactStore.invocationDir("span_orphan_root",
+      dir, w.toString, modN.toString, nShards.toString)
+    val gens = s"$root/gens"
+    val m = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN
+    val d = docs(s, dir).withColumn("gen",
+      when(m === 0L, lit(1)).when(m === 1L, lit(2)).otherwise(lit(0)))
+    val existing = d.filter(col("gen") === 0).drop("gen")
+    val day1 = d.filter(col("gen") === 1).drop("gen")
+    val day2 = d.filter(col("gen") === 2).drop("gen")
+    val base = s"$gens/base"
+    writeSpanIndex(
+      spanOccurrences(existing, w).select(col("h")).distinct(),
+      base, nShards)
+    IndexManifest.commit(s, root, Seq(base), IndexManifest.SpanIndexFormat)
+    val delta = s"$gens/delta"
+    writeSpanDelta(
+      spanOccurrences(day1, w).select(col("h")).distinct()
+        .join(readSpanIndex(s, base), Seq("h"), "left_anti"),
+      delta, nShards)
+    IndexManifest.commit(s, root, Seq(base, delta),
+      IndexManifest.SpanIndexFormat)
+    // crash 1: a compaction rewrite landed in full, its commit never
+    // did — an intact generation no manifest (committed or not) names
+    val stray = s"$gens/stray_compact"
+    layShards(readSpanIndexDirs(s, Seq(base, delta)), stray, nShards,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // crash 2: a commit died mid-write — an m_ dir without _SUCCESS
+    // (invisible to resolve; its id stays burned)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/m_99"))
+    val swept = IndexManifest.sweepOrphans(s, root, gens)
+    (root, swept, Seq(base, delta),
+      scrubIncomingWith(day2,
+        readSpanIndexDirs(s, IndexManifest.resolve(s, root,
+          IndexManifest.SpanIndexFormat)), w))
+  }
+
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12
     * verdict #1): each refresh leaves one more delta generation per
     * shard, so a daily pipeline accumulates small files without

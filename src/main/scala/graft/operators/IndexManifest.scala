@@ -272,6 +272,68 @@ object IndexManifest {
       .filter(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
   }
 
+  /** ORPHAN SWEEP — the missing half of VACUUM (round-14 verdict #1):
+    * [[retire]] reclaims what retired manifests referenced, but a
+    * crash between generation write and manifest commit, or a failed
+    * manifest delete inside retire, leaves INTACT generation dirs
+    * referenced by no manifest at all — dead data no retention pass
+    * can see, accreting forever on a pipeline with any crash rate
+    * (the Delta `VACUUM`-of-unreferenced-files counterpart to the
+    * retention GC). This pass deletes, under `gensRoot` (the one
+    * directory a deployment lands its generation dirs in), every
+    * subdirectory referenced by NO committed manifest, plus the
+    * crashed manifest dirs themselves (m_<id> without `_SUCCESS` —
+    * their ids stay burned, [[allocated]] already skips re-listing
+    * deleted names).
+    *
+    * Runs under the root's commit lock: same-JVM committers serialize
+    * on it, so while the sweep holds it there is NO in-flight commit
+    * whose written-but-not-yet-visible generations could be swept
+    * mid-commit — which is exactly why an uncommitted m_ dir can be
+    * treated as a genuine crash rather than a racing writer
+    * (cross-JVM needs the catalog CAS, the [[commit]] scope note).
+    * Refuses to run against a root with NO committed manifest: a
+    * mid-bootstrap index (first generation written, first commit not
+    * yet landed) would otherwise lose that generation. Returns the
+    * generation dirs whose delete succeeded.
+    *
+    * At 100 TB this is the weekly orphan-file sweep: the listing is
+    * one directory scan of generation NAMES (metadata-sized), the
+    * reference set is manifest-sized, and deletes are whole immutable
+    * directories. */
+  def sweepOrphans(s: SparkSession, root: String,
+                   gensRoot: String): Seq[String] =
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      val c = committed(s, root)
+      require(c.nonEmpty,
+        s"refusing to sweep $gensRoot: no committed manifest under " +
+          s"$root — a mid-bootstrap index would lose its first generation")
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
+      // crashed commits first: under the lock an uncommitted m_ dir is
+      // a dead half-write, never a racing committer
+      val committedIdSet = c.map(_._1).toSet
+      fs.listStatus(rp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("m_"))
+        .filterNot(st => st.getPath.getName.stripPrefix("m_")
+          .toLongOption.exists(committedIdSet))
+        .foreach(st => fs.delete(st.getPath, true): Unit)
+      // a generation is live iff SOME committed manifest names it;
+      // compare fs-qualified paths so scheme/normalization differences
+      // between the stored strings and the listing can't mislabel
+      val live = c.flatMap(m => gensOf(s, m._2))
+        .map(g => fs.makeQualified(new org.apache.hadoop.fs.Path(g)))
+        .toSet
+      val gp = new org.apache.hadoop.fs.Path(gensRoot)
+      if (!fs.exists(gp)) Seq.empty
+      else fs.listStatus(gp).toSeq
+        .filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("m_")) // never a manifest dir
+        .filterNot(st => live.contains(fs.makeQualified(st.getPath)))
+        .filter(st => fs.delete(st.getPath, true))
+        .map(_.getPath.toUri.getPath)
+    }
+
   private def gensOf(s: SparkSession, dir: org.apache.hadoop.fs.Path,
                      expectFormat: String = null): Seq[String] =
     readManifest(s, dir.toString)

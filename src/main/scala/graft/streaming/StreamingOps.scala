@@ -1844,7 +1844,7 @@ object StreamingOps {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val ss = batch.sparkSession
-        val gen = s"$$deltaRoot/b$$id"
+        val gen = s"$deltaRoot/b$id"
         val resolved =
           graft.operators.IndexManifest.resolve(ss, mroot, graft.operators.IndexManifest.SpanIndexFormat)
         // retry-idempotence: if this batch's generation is already

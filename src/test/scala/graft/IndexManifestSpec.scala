@@ -171,6 +171,52 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("sweepOrphans reclaims crashed commits and unreferenced generations; every committed set survives") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val (a, b) = (mkGen("a"), mkGen("b"))
+      // planted crash 1: a generation written in full whose commit
+      // never landed — referenced by NO manifest
+      val orphan = mkGen("orphan")
+      IndexManifest.commit(spark, root, Seq(a))
+      IndexManifest.commit(spark, root, Seq(a, b))
+      // planted crash 2: a commit that died mid-write (m_ dir, no
+      // _SUCCESS) — invisible to resolve, reclaimed by the sweep
+      assert(new java.io.File(s"$root/m_99").mkdirs())
+      val swept = IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      assert(swept === Seq(orphan))
+      assert(!new java.io.File(orphan).exists)
+      assert(!new java.io.File(s"$root/m_99").exists)
+      // every committed manifest's generations are intact, and both
+      // live reads are unaffected
+      assert(new java.io.File(a).isDirectory &&
+        new java.io.File(b).isDirectory)
+      assert(IndexManifest.resolve(spark, root) === Seq(a, b))
+      val ids = IndexManifest.committedIds(spark, root)
+      assert(IndexManifest.resolveAt(spark, root, ids.head) === Seq(a))
+      // a repeat pass has nothing left to reclaim
+      assert(IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+        === Seq.empty)
+    }
+  }
+
+  test("sweepOrphans refuses a root with no committed manifest — the mid-bootstrap guard") {
+    withRoot { root =>
+      // first generation written, first commit not yet landed: a sweep
+      // here would delete the index being born
+      val g = new java.io.File(s"$root/gens/first")
+      assert(g.mkdirs())
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      }
+      assert(e.getMessage.contains("no committed manifest"))
+      assert(g.isDirectory, "the bootstrap generation must survive")
+    }
+  }
+
   test("contention: resolve stays complete and GC never deletes a referenced generation while a committer+GC churns the root") {
     // round-13 verdict #3: the documented guarantees, enforced. One
     // writer thread commits fresh generation sets and retires with

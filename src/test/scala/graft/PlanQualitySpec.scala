@@ -882,6 +882,19 @@ class PlanQualitySpec extends SparkSpec {
       s"q320 snapshot read leaks the day-1 delta:\n$fmt")
   }
 
+  test("q323: post-sweep scrub probes the committed generations, never the stray") {
+    // content equality cannot catch a stray leak (the stray is a
+    // content-identical compaction of base ∪ delta), so the
+    // not-probed proof must come from the plan
+    val df = SparkEntry.queries("q323_orphan_sweep")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("gens/base") && fmt.contains("gens/delta"),
+      s"q323 scrub must probe both committed generations:\n$fmt")
+    assert(!fmt.contains("stray_compact"),
+      s"q323 scrub reads the never-committed stray generation:\n$fmt")
+  }
+
   test("q321: time-travel encode reads ONLY the frozen day-1 codebook") {
     val df = SparkEntry.queries("q321_pq_time_travel")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

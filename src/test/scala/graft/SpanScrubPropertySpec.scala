@@ -143,6 +143,31 @@ class SpanScrubPropertySpec extends SparkSpec {
     assert(viaManifest === direct)
   }
 
+  test("q323: orphan sweep reclaims the stray generation and crashed manifest; scrub == q288; committed state intact") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = collectRows(Dedup.spanScrubDayTwo(spark, dir))
+    val (root, swept, gens, scrub) =
+      Dedup.orphanSweepParts(spark, dir, 8, 5, 8)
+    assert(direct.nonEmpty, "day-2 slice must carry documents")
+    // content half: the sweep deleted nothing a committed manifest
+    // references — a swept live generation would un-cut day-2 spans
+    assert(collectRows(scrub) === direct)
+    // disk half: both planted crash artifacts are really gone...
+    assert(swept === Seq(s"$root/gens/stray_compact"),
+      "the sweep must reclaim exactly the never-committed generation")
+    assert(!new java.io.File(s"$root/gens/stray_compact").exists)
+    assert(!new java.io.File(s"$root/m_99").exists,
+      "the crashed manifest dir must be reclaimed too")
+    // ...and the committed generations and snapshots are untouched
+    gens.foreach(g => assert(new java.io.File(g).isDirectory,
+      s"sweep deleted the LIVE generation $g"))
+    assert(graft.operators.IndexManifest.resolve(spark, root) === gens)
+    val ids = graft.operators.IndexManifest.committedIds(spark, root)
+    assert(graft.operators.IndexManifest
+      .resolveAt(spark, root, ids.head) === Seq(gens.head),
+      "time travel to the day-1 snapshot must survive the sweep")
+  }
+
   /** Sequential q290 semantics at span-CONTENT level: n_before = all
     * distinct spans, a span is purged iff NO surviving doc contains
     * it. Shard assignment is hash arithmetic the content-level
