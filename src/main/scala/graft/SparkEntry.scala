@@ -494,7 +494,9 @@ object SparkEntry {
     "q322_stream_sig_refresh" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSigRefreshFixture(s, dir)),
     "q323_orphan_sweep" -> ((s, dir) =>
-      Dedup.spanScrubOrphanSweep(s, dir))
+      Dedup.spanScrubOrphanSweep(s, dir)),
+    "q324_sig_time_travel" -> ((s, dir) =>
+      Dedup.incrementalClustersTimeTravel(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -919,6 +921,12 @@ object SparkEntry {
     // deleted a live generation drops index hashes and un-cuts day-2
     // spans, breaking the compare; the planted orphans are invisible
     // to the oracle because they never held novel content
-    "q323_orphan_sweep" -> OracleSql.q288SpanScrubDayTwo()
+    "q323_orphan_sweep" -> OracleSql.q288SpanScrubDayTwo(),
+    // time travel to the pre-OPTIMIZE snapshot: compaction is
+    // layout-only, so the base ∪ delta snapshot must cluster
+    // identically to the full q38 recompute (q309/q313/q315's shared
+    // oracle); the only-pre-compaction-generations proof is the plan
+    // pin (duplicated signature generations are distinct()-absorbed)
+    "q324_sig_time_travel" -> OracleSql.q38DupClusters()
   )
 }

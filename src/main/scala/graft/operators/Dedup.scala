@@ -942,6 +942,49 @@ object Dedup {
       labDir, minJaccard, modN)
   }
 
+  /** Q324 — signature-index TIME TRAVEL (q308's reproducibility
+    * contract on the THIRD index family — the last q320/q321 symmetry
+    * seam, round-14 verdict #2): q315's life is replayed — base
+    * committed, base ∪ delta committed (the q310 refresh landing),
+    * compacted rewrite committed as the OPTIMIZE switch — and the
+    * day-2 incremental clustering runs under
+    * [[IndexManifest.resolveAt]] pinned to the base ∪ delta snapshot.
+    * Output hash-identical to q309 (the shared q38 oracle): the
+    * compaction switch is LAYOUT-only, so the pre-switch snapshot
+    * must still produce identical clusters — re-running yesterday's
+    * clustering job after today's OPTIMIZE returns yesterday's
+    * answer, and the identity is itself the proof the compaction
+    * added nothing. The plan pin carries the other half (only the
+    * pre-compaction generations scanned): the content test cannot,
+    * because a resolveAt that leaked the compacted generation too
+    * would only duplicate signature rows, which the candidate
+    * `distinct()` absorbs. CONSUME-ONCE result (the q309
+    * adopted-checkpoint contract).
+    */
+  def incrementalClustersTimeTravel(s: SparkSession, dir: String,
+                                    minJaccard: Double = 0.5,
+                                    modN: Int = 5,
+                                    nShards: Int = 8): DataFrame = {
+    val (gens, labDir) = dayTwoSigGens(s, dir, "lsh_sig_tt",
+      minJaccard, modN, nShards)
+    val root = ArtifactStore.invocationDir("lsh_sig_manifest_tt",
+      dir, minJaccard.toString, modN.toString, nShards.toString)
+    IndexManifest.commit(s, root, Seq(gens.head),
+      IndexManifest.LshSigFormat)
+    IndexManifest.commit(s, root, gens, IndexManifest.LshSigFormat)
+    val compacted = ArtifactStore.invocationDir("lsh_sig_ttcompact",
+      dir, minJaccard.toString, modN.toString, nShards.toString)
+    writeLshSigIndex(readLshSigIndexDirs(s, gens), compacted, nShards)
+    IndexManifest.commit(s, root, Seq(compacted),
+      IndexManifest.LshSigFormat)
+    // the second snapshot: base ∪ delta, the pre-OPTIMIZE state
+    val snap2 = IndexManifest.committedIds(s, root)(1)
+    dayTwoClustering(s, dir,
+      readLshSigIndexDirs(s, IndexManifest.resolveAt(s, root, snap2,
+        IndexManifest.LshSigFormat)),
+      labDir, minJaccard, modN)
+  }
+
   /** Q322 support (the streaming signature refresh in
     * [[graft.streaming.StreamingOps.streamSigRefreshFixture]]): the
     * existing/incoming split and a write-once PERSISTED base

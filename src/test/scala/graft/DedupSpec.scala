@@ -826,6 +826,17 @@ class DedupSpec extends SparkSpec {
         "the snapshot read did not exclude the day-1 delta")
   }
 
+  test("q324: clustering under resolveAt(base ∪ delta) == full q38 recompute — the pre-OPTIMIZE snapshot lost nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val full = clusterRows(Dedup.dupClusters(spark, dir))
+    val viaTt = clusterRows(Dedup.incrementalClustersTimeTravel(spark, dir))
+    assert(full.nonEmpty)
+    // the compacted switch is layout-only, so yesterday's snapshot
+    // must reproduce today's clusters exactly; the retired-generation-
+    // absent half of the contract is PlanQualitySpec's q324 pin
+    assert(viaTt === full)
+  }
+
   test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
     import spark.implicits._
     // day 1: components {0,1}→0, {2,3}→2, {7,9}→7

@@ -882,6 +882,27 @@ class PlanQualitySpec extends SparkSpec {
       s"q320 snapshot read leaks the day-1 delta:\n$fmt")
   }
 
+  test("q324: time-travel clustering probes ONLY the pre-compaction generations") {
+    // the content test (q324 == q38) cannot catch a resolveAt that
+    // leaked the compacted generation — duplicated signature rows are
+    // absorbed by the candidate distinct() — and the clustering rides
+    // an eager checkpoint, so the proof reads the EXECUTED plans
+    // (q313/q315 discipline)
+    SparkEntry.queries("q324_sig_time_travel")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val plans = executedPlans {
+      SparkEntry.queries("q324_sig_time_travel")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(plans.exists(p => p.contains("documents.parquet") &&
+      p.contains("lsh_sig_ttbase") && p.contains("lsh_sig_ttdelta")),
+      "the snapshot clustering probe must read BOTH pre-compaction " +
+        "generations")
+    plans.filter(_.contains("documents.parquet")).foreach(p =>
+      assert(!p.contains("lsh_sig_ttcompact"),
+        s"snapshot clustering probes the post-switch generation:\n$p"))
+  }
+
   test("q323: post-sweep scrub probes the committed generations, never the stray") {
     // content equality cannot catch a stray leak (the stray is a
     // content-identical compaction of base ∪ delta), so the
