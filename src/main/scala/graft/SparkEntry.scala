@@ -496,7 +496,8 @@ object SparkEntry {
     "q323_orphan_sweep" -> ((s, dir) =>
       Dedup.spanScrubOrphanSweep(s, dir)),
     "q324_sig_time_travel" -> ((s, dir) =>
-      Dedup.incrementalClustersTimeTravel(s, dir))
+      Dedup.incrementalClustersTimeTravel(s, dir)),
+    "q325_span_soak" -> ((s, dir) => Dedup.spanLifecycleSoak(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -927,6 +928,13 @@ object SparkEntry {
     // identically to the full q38 recompute (q309/q313/q315's shared
     // oracle); the only-pre-compaction-generations proof is the plan
     // pin (duplicated signature generations are distinct()-absorbed)
-    "q324_sig_time_travel" -> OracleSql.q38DupClusters()
+    "q324_sig_time_travel" -> OracleSql.q38DupClusters(),
+    // three refresh→compact→retire days on one span root: each day-1
+    // hash enters the index on the first day a slice carries it and
+    // never leaves, so the final resolved content is exactly q288's
+    // base ∪ delta — the scrub shares its oracle, and a slice dropped
+    // by a refresh, leaked by a compaction, or deleted by an
+    // over-eager GC breaks the compare
+    "q325_span_soak" -> OracleSql.q288SpanScrubDayTwo()
   )
 }

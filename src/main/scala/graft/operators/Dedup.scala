@@ -1912,6 +1912,88 @@ object Dedup {
           IndexManifest.SpanIndexFormat)), w))
   }
 
+  /** Q325 — span-index lifecycle SOAK (round-14 verdict #5): q318's
+    * three-ingest-day composition on the SPAN family, whose scrub
+    * semantics — cross-generation memory, hashes shared between days
+    * kept forever — make an over-eager GC likelier to corrupt than
+    * the postings family's doc-owned rows. The day-1 stratum is split
+    * into three daily slices ('soakspan:' mod 3); day 0 commits the
+    * existing-corpus base, then each day anti-joins its slice's
+    * hashes against the RESOLVED live index (the q286 refresh), lands
+    * the novelty as a delta generation, commits base ∪ delta,
+    * COMPACTS to one generation, commits the switch, and runs
+    * retire(keepLast = 2). The final day-2 scrub reads whatever the
+    * last manifest resolves and shares q288's oracle: each day-1 hash
+    * enters the index on the FIRST day a slice carries it and never
+    * leaves, so the final content is exactly q288's base ∪ delta — a
+    * slice dropped by a refresh, leaked by a compaction, or deleted
+    * by an over-eager GC breaks the compare. Spec-pinned: exactly 4
+    * generations GC'd and gone from disk (base, day-0 delta, day-0
+    * compaction, day-1 delta), the kept window intact on disk, and
+    * the scrub plan scanning ONLY the day-2 compacted generation.
+    *
+    * Every generation is PER-INVOCATION (the q307/q319 GC-ownership
+    * rule — retire deletes them), so the existing-corpus rebuild is
+    * billed to the query by design. Scale shape: each day pays
+    * O(|slice spans| + index rewrite) — the steady-state daily bill
+    * the lifecycle queries promise individually, paid three times
+    * consecutively with the artifacts as the ONLY cross-day state.
+    */
+  def spanLifecycleSoak(s: SparkSession, dir: String, w: Int = 8,
+                        modN: Int = 5, nShards: Int = 8): DataFrame =
+    spanSoakParts(s, dir, w, modN, nShards)._3
+
+  /** Test-visible q325 split: (manifest root, GC-deleted dirs, scrub)
+    * so the spec can pin the on-disk outcome. */
+  private[graft] def spanSoakParts(s: SparkSession, dir: String, w: Int,
+                                   modN: Int, nShards: Int)
+      : (String, Seq[String], DataFrame) = {
+    val m = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN
+    val d = docs(s, dir).withColumn("gen",
+      when(m === 0L, lit(1)).when(m === 1L, lit(2)).otherwise(lit(0)))
+    val existing = d.filter(col("gen") === 0).drop("gen")
+    val day1 = d.filter(col("gen") === 1).drop("gen")
+    val day2 = d.filter(col("gen") === 2).drop("gen")
+    val slice = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("soakspan:"), col("doc_id").cast("string")))) % 3
+    val params = Seq(w.toString, modN.toString, nShards.toString)
+    def gen(tag: String)(index: DataFrame): String = {
+      val out = ArtifactStore.invocationDir(s"span_soak_$tag",
+        (dir +: params): _*)
+      layShards(index, out, nShards,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      out
+    }
+    val root = ArtifactStore.invocationDir("span_manifest_soak",
+      (dir +: params): _*)
+    val base = gen("base")(
+      spanOccurrences(existing, w).select(col("h")).distinct())
+    IndexManifest.commit(s, root, Seq(base), IndexManifest.SpanIndexFormat)
+    var live = Seq(base)
+    val deleted = Seq.newBuilder[String]
+    for (day <- 0 until 3) {
+      // refresh: the day's slice novelty against the LIVE index
+      val delta = gen(s"d$day")(
+        spanOccurrences(day1.filter(slice === day), w)
+          .select(col("h")).distinct()
+          .join(readSpanIndexDirs(s, live), Seq("h"), "left_anti"))
+      IndexManifest.commit(s, root, live :+ delta,
+        IndexManifest.SpanIndexFormat)
+      // OPTIMIZE: fold the accumulated generations into one
+      val compacted = gen(s"c$day")(readSpanIndexDirs(s, live :+ delta))
+      IndexManifest.commit(s, root, Seq(compacted),
+        IndexManifest.SpanIndexFormat)
+      // VACUUM: retire everything outside the kept window
+      deleted ++= IndexManifest.retire(s, root, keepLast = 2)
+      live = Seq(compacted)
+    }
+    (root, deleted.result(),
+      scrubIncomingWith(day2,
+        readSpanIndexDirs(s, IndexManifest.resolve(s, root,
+          IndexManifest.SpanIndexFormat)), w))
+  }
+
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12
     * verdict #1): each refresh leaves one more delta generation per
     * shard, so a daily pipeline accumulates small files without

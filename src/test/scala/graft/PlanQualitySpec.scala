@@ -882,6 +882,19 @@ class PlanQualitySpec extends SparkSpec {
       s"q320 snapshot read leaks the day-1 delta:\n$fmt")
   }
 
+  test("q325: final soak scrub probes ONLY the day-2 compacted generation") {
+    val (_, _, scrub) =
+      graft.operators.Dedup.spanSoakParts(spark, sfDir, 8, 5, 8)
+    scrub.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(scrub)
+    assert(fmt.contains("span_soak_c2"),
+      s"q325 scrub must read the day-2 compacted generation:\n$fmt")
+    assert(!fmt.contains("span_soak_base") && !fmt.contains("span_soak_d") &&
+      !fmt.contains("span_soak_c0") && !fmt.contains("span_soak_c1"),
+      s"q325 scrub reads a superseded generation:\n$fmt")
+  }
+
   test("q324: time-travel clustering probes ONLY the pre-compaction generations") {
     // the content test (q324 == q38) cannot catch a resolveAt that
     // leaked the compacted generation — duplicated signature rows are

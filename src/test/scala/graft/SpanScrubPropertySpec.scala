@@ -168,6 +168,33 @@ class SpanScrubPropertySpec extends SparkSpec {
       "time travel to the day-1 snapshot must survive the sweep")
   }
 
+  test("q325: three-day span soak — final scrub == q288; exactly 4 generations GC'd and gone; kept window intact") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = collectRows(Dedup.spanScrubDayTwo(spark, dir))
+    val (root, deleted, scrub) = Dedup.spanSoakParts(spark, dir, 8, 5, 8)
+    assert(direct.nonEmpty, "day-2 slice must carry documents")
+    // content: the three daily deltas union to exactly q288's delta,
+    // and GC deleted nothing the final read needed
+    assert(collectRows(scrub) === direct)
+    // GC reclaimed exactly: base, day-0 delta, day-0 compaction,
+    // day-1 delta (keepLast = 2 walks the window forward each day)
+    assert(deleted.size === 4, s"deleted: $deleted")
+    Seq("span_soak_base", "span_soak_d0", "span_soak_c0", "span_soak_d1")
+      .foreach(tag => assert(deleted.exists(_.contains(tag)),
+        s"$tag not GC'd: $deleted"))
+    deleted.foreach(g => assert(!new java.io.File(g).exists,
+      s"GC'd generation still on disk: $g"))
+    // the kept window is intact on disk and resolves
+    val live = graft.operators.IndexManifest.resolve(spark, root)
+    assert(live.size === 1 && live.head.contains("span_soak_c2"),
+      s"final resolve must name the day-2 compaction alone: $live")
+    graft.operators.IndexManifest.committedIds(spark, root).foreach { id =>
+      graft.operators.IndexManifest.resolveAt(spark, root, id).foreach(g =>
+        assert(new java.io.File(g).isDirectory,
+          s"kept snapshot m_$id names a missing generation: $g"))
+    }
+  }
+
   /** Sequential q290 semantics at span-CONTENT level: n_before = all
     * distinct spans, a span is purged iff NO surviving doc contains
     * it. Shard assignment is hash arithmetic the content-level
