@@ -497,7 +497,8 @@ object SparkEntry {
       Dedup.spanScrubOrphanSweep(s, dir)),
     "q324_sig_time_travel" -> ((s, dir) =>
       Dedup.incrementalClustersTimeTravel(s, dir)),
-    "q325_span_soak" -> ((s, dir) => Dedup.spanLifecycleSoak(s, dir))
+    "q325_span_soak" -> ((s, dir) => Dedup.spanLifecycleSoak(s, dir)),
+    "q326_sig_soak" -> ((s, dir) => Dedup.sigLifecycleSoak(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -935,6 +936,11 @@ object SparkEntry {
     // base ∪ delta — the scrub shares its oracle, and a slice dropped
     // by a refresh, leaked by a compaction, or deleted by an
     // over-eager GC breaks the compare
-    "q325_span_soak" -> OracleSql.q288SpanScrubDayTwo()
+    "q325_span_soak" -> OracleSql.q288SpanScrubDayTwo(),
+    // three ingest days on the signature root: the daily slices union
+    // to exactly q309's existing-signature set, so the post-soak
+    // incremental clustering must equal the full q38 recompute
+    // (q309/q313/q315/q324's shared oracle)
+    "q326_sig_soak" -> OracleSql.q38DupClusters()
   )
 }

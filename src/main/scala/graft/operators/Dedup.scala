@@ -985,6 +985,84 @@ object Dedup {
       labDir, minJaccard, modN)
   }
 
+  /** Q326 — signature-index lifecycle SOAK: the q318/q325 three-day
+    * composition on the THIRD family, fully closing the round-14
+    * "family asymmetry" gap (q324 closed its time-travel half). The
+    * EXISTING stratum — the signature index's content; the incoming
+    * shard is day-2 clustering work, never index rows — is split
+    * 'soaksig:' mod 4 into a base (slice 3) plus three daily ingest
+    * slices; each day lands its slice's signatures as a delta
+    * generation (doc-owned rows, disjoint slices — no anti-join, the
+    * q297/q322 shape), commits base ∪ delta, COMPACTS to one
+    * doc-sorted generation, commits the switch, and runs
+    * retire(keepLast = 2). The final day-2 incremental clustering
+    * reads whatever the last manifest resolves: the three slices
+    * union to exactly q309's existing-signature set, so the output is
+    * hash-identical to the full q38 recompute (the shared oracle) —
+    * a slice dropped by a refresh, leaked by a compaction, or deleted
+    * by an over-eager GC breaks the compare. Spec-pinned: exactly 4
+    * generations GC'd and gone from disk, the kept window intact, and
+    * the clustering probe scanning ONLY the day-3 compacted
+    * generation (executed plans — the checkpoint cut).
+    *
+    * Generations are PER-INVOCATION (retire deletes them — the
+    * q307/q319 ownership rule); the day-1 label artifact is NOT a
+    * generation (retire never touches it), so it memoizes per corpus
+    * fingerprint like q309's. CONSUME-ONCE result (the q309
+    * adopted-checkpoint contract).
+    */
+  def sigLifecycleSoak(s: SparkSession, dir: String,
+                       minJaccard: Double = 0.5, modN: Int = 5,
+                       nShards: Int = 8): DataFrame =
+    sigSoakParts(s, dir, minJaccard, modN, nShards)._3
+
+  /** Test-visible q326 split: (manifest root, GC-deleted dirs,
+    * clustering) so the spec can pin the on-disk outcome. */
+  private[graft] def sigSoakParts(s: SparkSession, dir: String,
+                                  minJaccard: Double, modN: Int,
+                                  nShards: Int)
+      : (String, Seq[String], DataFrame) = {
+    val isInc = memberDoc("inc:", modN)
+    val existing = docs(s, dir).filter(!isInc)
+    val slice = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("soaksig:"), col("doc_id").cast("string")))) % 4
+    val params = Seq(minJaccard.toString, modN.toString, nShards.toString)
+    def gen(tag: String)(sig: DataFrame): String = {
+      val out = ArtifactStore.invocationDir(s"lsh_sig_soak$tag",
+        (dir +: params): _*)
+      writeLshSigIndex(sig, out, nShards)
+      out
+    }
+    val labDir = ArtifactStore.materialized(s, "lsh_sig_soaklabels",
+      docsFingerprint(s, dir), (dir +: params): _*)(out =>
+      writeCcLabels(
+        day1LabelsOf(minhashSignatures(s, existing), minJaccard),
+        out, nShards))
+    val root = ArtifactStore.invocationDir("lsh_sig_manifest_soak",
+      (dir +: params): _*)
+    val base = gen("base")(
+      minhashSignatures(s, existing.filter(slice === 3)))
+    IndexManifest.commit(s, root, Seq(base), IndexManifest.LshSigFormat)
+    var live = Seq(base)
+    val deleted = Seq.newBuilder[String]
+    for (day <- 0 until 3) {
+      val delta = gen(s"d$day")(
+        minhashSignatures(s, existing.filter(slice === day)))
+      IndexManifest.commit(s, root, live :+ delta,
+        IndexManifest.LshSigFormat)
+      val compacted = gen(s"c$day")(readLshSigIndexDirs(s, live :+ delta))
+      IndexManifest.commit(s, root, Seq(compacted),
+        IndexManifest.LshSigFormat)
+      deleted ++= IndexManifest.retire(s, root, keepLast = 2)
+      live = Seq(compacted)
+    }
+    (root, deleted.result(),
+      dayTwoClustering(s, dir,
+        readLshSigIndexDirs(s, IndexManifest.resolve(s, root,
+          IndexManifest.LshSigFormat)),
+        labDir, minJaccard, modN))
+  }
+
   /** Q322 support (the streaming signature refresh in
     * [[graft.streaming.StreamingOps.streamSigRefreshFixture]]): the
     * existing/incoming split and a write-once PERSISTED base

@@ -837,6 +837,31 @@ class DedupSpec extends SparkSpec {
     assert(viaTt === full)
   }
 
+  test("q326: post-soak clustering == full q38 recompute; exactly 4 generations GC'd and gone; kept window intact") {
+    val dir = "/root/testdata/sf0.001"
+    val full = clusterRows(Dedup.dupClusters(spark, dir))
+    val (root, deleted, result) = Dedup.sigSoakParts(spark, dir, 0.5, 5, 8)
+    assert(full.nonEmpty)
+    // the three daily slices union to exactly q309's existing set, and
+    // GC deleted nothing the final read needed
+    assert(clusterRows(result) === full)
+    assert(deleted.size === 4, s"deleted: $deleted")
+    Seq("lsh_sig_soakbase", "lsh_sig_soakd0", "lsh_sig_soakc0",
+        "lsh_sig_soakd1")
+      .foreach(tag => assert(deleted.exists(_.contains(tag)),
+        s"$tag not GC'd: $deleted"))
+    deleted.foreach(g => assert(!new java.io.File(g).exists,
+      s"GC'd generation still on disk: $g"))
+    val live = graft.operators.IndexManifest.resolve(spark, root)
+    assert(live.size === 1 && live.head.contains("lsh_sig_soakc2"),
+      s"final resolve must name the day-3 compaction alone: $live")
+    graft.operators.IndexManifest.committedIds(spark, root).foreach { id =>
+      graft.operators.IndexManifest.resolveAt(spark, root, id).foreach(g =>
+        assert(new java.io.File(g).isDirectory,
+          s"kept snapshot m_$id names a missing generation: $g"))
+    }
+  }
+
   test("q309 merge step: a bridge node MERGES two day-1 components; fresh-only pairs form new clusters; untouched components keep their labels") {
     import spark.implicits._
     // day 1: components {0,1}→0, {2,3}→2, {7,9}→7

@@ -882,6 +882,29 @@ class PlanQualitySpec extends SparkSpec {
       s"q320 snapshot read leaks the day-1 delta:\n$fmt")
   }
 
+  test("q326: post-soak clustering probes ONLY the day-3 compacted signature generation") {
+    // warm the memoized label artifact so the measured invocation is
+    // the steady state; executed plans because of the checkpoint cut
+    SparkEntry.queries("q326_sig_soak")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val plans = executedPlans {
+      SparkEntry.queries("q326_sig_soak")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // unlike q313/q315 the soak's generations are per-invocation, so
+    // their WRITE plans scan documents.parquet with a soak dir as the
+    // insert target — read-side pins must exclude write commands
+    val reads = plans.filter(p => p.contains("documents.parquet") &&
+      !p.contains("InsertIntoHadoopFsRelationCommand"))
+    assert(reads.exists(_.contains("lsh_sig_soakc2")),
+      "the clustering probe must read the day-3 compacted generation")
+    reads.foreach(p =>
+      assert(!p.contains("lsh_sig_soakbase") &&
+        !p.contains("lsh_sig_soakd") && !p.contains("lsh_sig_soakc0") &&
+        !p.contains("lsh_sig_soakc1"),
+        s"clustering probes a superseded soak generation:\n$p"))
+  }
+
   test("q325: final soak scrub probes ONLY the day-2 compacted generation") {
     val (_, _, scrub) =
       graft.operators.Dedup.spanSoakParts(spark, sfDir, 8, 5, 8)
