@@ -498,7 +498,9 @@ object SparkEntry {
     "q324_sig_time_travel" -> ((s, dir) =>
       Dedup.incrementalClustersTimeTravel(s, dir)),
     "q325_span_soak" -> ((s, dir) => Dedup.spanLifecycleSoak(s, dir)),
-    "q326_sig_soak" -> ((s, dir) => Dedup.sigLifecycleSoak(s, dir))
+    "q326_sig_soak" -> ((s, dir) => Dedup.sigLifecycleSoak(s, dir)),
+    "q327_stream_sig_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamSigRetentionFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -941,6 +943,11 @@ object SparkEntry {
     // to exactly q309's existing-signature set, so the post-soak
     // incremental clustering must equal the full q38 recompute
     // (q309/q313/q315/q324's shared oracle)
-    "q326_sig_soak" -> OracleSql.q38DupClusters()
+    "q326_sig_soak" -> OracleSql.q38DupClusters(),
+    // stream ≡ batch survives RETENTION on the signature family:
+    // per-batch GC deletes earlier generations (including the base)
+    // mid-stream, yet the final resolved index must still audit to
+    // exactly the batch q310 state (q322's shared oracle)
+    "q327_stream_sig_retention" -> OracleSql.q310LshSigRefresh()
   )
 }

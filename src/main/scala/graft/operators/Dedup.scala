@@ -1090,8 +1090,27 @@ object Dedup {
       "shard", "n_total")
   }
 
-  /** Per-shard signature counts over one or more index generations. */
-  private def sigShardCounts(s: SparkSession, dirs: Seq[String],
+  /** Q327 support (the streaming signature retention in
+    * [[graft.streaming.StreamingOps.streamSigRetentionFixture]]): the
+    * incoming slice to feed plus a PER-INVOCATION persisted base —
+    * the retention GC retires and deletes it mid-stream, so it must
+    * be this run's own, never the memoized q322 state (the q307/q319
+    * ownership rule; the rebuild is billed to the query). */
+  private[graft] def streamSigRetentionParts(s: SparkSession, dir: String,
+                                             modN: Int, nShards: Int)
+      : (DataFrame, String) = {
+    val isInc = memberDoc("inc:", modN)
+    val base = ArtifactStore.invocationDir("lsh_sig_sretbase",
+      dir, modN.toString, nShards.toString)
+    writeLshSigIndex(minhashSignatures(s, docs(s, dir).filter(!isInc)),
+      base, nShards)
+    (docs(s, dir).filter(isInc), base)
+  }
+
+  /** Per-shard signature counts over one or more index generations
+    * (q310's audit shape; private[graft] for the q327 fixture, whose
+    * pre-counts must be collected BEFORE the GC deletes the base). */
+  private[graft] def sigShardCounts(s: SparkSession, dirs: Seq[String],
                              as: String): DataFrame =
     dirs.map(d => s.read.schema(lshSigSchema).parquet(d)
         .select(col("shard")))

@@ -2061,6 +2061,109 @@ object StreamingOps {
     graft.operators.Dedup.sigRefreshAudit(s, base, gens.values.asScala.toSeq)
   }
 
+  /** Q327 — STREAMING signature-index RETENTION: q319's
+    * GC-between-micro-batches composition on the THIRD index family,
+    * completing the retention face of the lifecycle matrix (soak
+    * q326, time travel q324). Each micro-batch lands its MinHash
+    * delta (the q322 derivation), commits base ∪ delta, COMPACTS the
+    * live set to one doc-sharded generation, commits the switch, and
+    * runs retire(keepLast = 2) — so earlier batches' generations
+    * (including the original base) are genuinely deleted from disk
+    * WHILE the stream runs. The final per-shard audit over the
+    * resolved index shares q310's oracle (q322's equality): proof
+    * that every batch's resolve-before-GC reads were served by kept
+    * generations and the retention window never deleted referenced
+    * data. Retry semantics are q319's: the idempotence guard checks
+    * every COMMITTED manifest (committedGens), because this
+    * committer's own compact commit replaces the batch generation in
+    * the live set.
+    *
+    * The base index is PER-INVOCATION
+    * ([[graft.operators.Dedup.streamSigRetentionParts]]) — the GC
+    * retires and deletes it mid-stream, so it must be this run's own
+    * (the q307/q319 ownership rule; the rebuild is billed). Scale
+    * shape: per batch O(|batch|) plus one index-sized compaction
+    * rewrite — the fixture compacts EVERY batch to force the GC
+    * interleaving; production compacts on a file-count trigger and
+    * retires off-peak.
+    */
+  def streamSigRetentionFixture(s: SparkSession, dir: String,
+                                modN: Int = 5,
+                                nShards: Int = 8): DataFrame =
+    streamSigRetentionRun(s, dir, modN, nShards)._2
+
+  /** Test-visible q327 split: (GC-deleted generation dirs, audit). */
+  private[graft] def streamSigRetentionRun(s: SparkSession, dir: String,
+                                           modN: Int = 5,
+                                           nShards: Int = 8)
+      : (Seq[String], DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val F = graft.operators.IndexManifest.LshSigFormat
+    val (incoming, base) = graft.operators.Dedup
+      .streamSigRetentionParts(s, dir, modN, nShards)
+    // pre-refresh audit counts, collected EAGERLY: the retention GC
+    // deletes the base generation mid-stream, so a lazy read of it at
+    // audit time would find nothing (nShards rows, a bounded sync)
+    val pre = graft.operators.Dedup
+      .sigShardCounts(s, Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val feed = incoming.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "lsh_sig_streamret", dir, modN.toString, nShards.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "lsh_sig_manifest_streamret", dir, modN.toString,
+      nShards.toString)
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base), F)
+    val deleted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = stream.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        val resolved = graft.operators.IndexManifest.resolve(ss, mroot, F)
+        // the q319 retry guard: a gen committed ANYWHERE is immutable
+        // (this committer's compact commit replaces it in the live
+        // set, so a resolve-only check would let a redelivered batch
+        // overwrite a generation a kept manifest still names); its
+        // content is already absorbed, so skipping is content-neutral
+        if (!graft.operators.IndexManifest.committedGens(ss, mroot)
+            .contains(gen)) {
+          // signature rows are per-doc and the feed's strata disjoint
+          // — no anti-join, the q322 shape
+          graft.operators.Dedup.writeLshSigIndex(
+            graft.operators.Dedup.minhashSignatures(ss, batch),
+            gen, nShards)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            resolved :+ gen, F)
+          // OPTIMIZE + switch: fold the live set to one generation
+          val compacted = graft.operators.ArtifactStore.invocationDir(
+            "lsh_sig_streamretc", dir, modN.toString, nShards.toString)
+          graft.operators.Dedup.writeLshSigIndex(
+            graft.operators.Dedup.readLshSigIndexDirs(ss, resolved :+ gen),
+            compacted, nShards)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            Seq(compacted), F)
+          // VACUUM between micro-batches: the GC under test
+          graft.operators.IndexManifest.retire(ss, mroot, keepLast = 2)
+            .foreach(deleted.add(_): Unit)
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (deleted.asScala.toSeq,
+      graft.operators.Dedup.refreshAuditOf(s, pre,
+        graft.operators.Dedup.sigShardCounts(s,
+          graft.operators.IndexManifest.resolve(s, mroot, F), "n_total"),
+        "shard", "n_total"))
+  }
+
   /** Q312 — STREAMING quantizer-drift monitor: q305's staleness alarm
     * computed continuously. Incoming vectors arrive as micro-batches;
     * each batch is assigned under the FROZEN persisted quantizer

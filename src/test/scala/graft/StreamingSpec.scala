@@ -882,6 +882,27 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("q327: retention GC between micro-batches on the signature index — audit still == batch q310; retired generations really deleted") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_total"))).toSet
+    val (deleted, audit) =
+      graft.streaming.StreamingOps.streamSigRetentionRun(spark, dir)
+    // the GC fired UNDER the stream (batch 1 retires base+b0, batch 2
+    // retires c0+b1 — the keepLast=2 window walking forward)...
+    assert(deleted.nonEmpty, "retention GC never deleted a generation")
+    deleted.foreach(d => assert(!new java.io.File(d).exists,
+      s"GC'd generation $d still on disk"))
+    // ...and the final resolved index audits to the exact batch
+    // refresh state: nothing a live read needed was deleted
+    val batch = rows(graft.operators.Dedup.lshSigRefresh(spark, dir))
+    assert(batch.nonEmpty && batch.exists(_._3 > 0),
+      "fixture must carry incoming signatures")
+    assert(rows(audit) === batch)
+  }
+
   test("q312: streaming drift audit == batch q305 bitwise (decimal partials fold exactly)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
