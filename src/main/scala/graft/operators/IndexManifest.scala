@@ -286,12 +286,19 @@ object IndexManifest {
     * their ids stay burned, [[allocated]] already skips re-listing
     * deleted names).
     *
-    * Runs under the root's commit lock: same-JVM committers serialize
-    * on it, so while the sweep holds it there is NO in-flight commit
-    * whose written-but-not-yet-visible generations could be swept
-    * mid-commit — which is exactly why an uncommitted m_ dir can be
-    * treated as a genuine crash rather than a racing writer
-    * (cross-JVM needs the catalog CAS, the [[commit]] scope note).
+    * Runs under the root's commit lock, which makes MANIFEST state
+    * stable (manifest dirs are written under the same lock, so an
+    * uncommitted m_ dir seen here is a genuine crash, never a racing
+    * same-JVM writer; cross-JVM needs the catalog CAS, the [[commit]]
+    * scope note). GENERATION dirs are different: committers write
+    * them OUTSIDE the lock, before their commit, so "unreferenced"
+    * alone cannot distinguish crash debris from a write racing toward
+    * its commit. `minAgeMs` is that distinction — the Delta-VACUUM
+    * retention-threshold discipline: a generation is sweepable only
+    * when it is BOTH unreferenced and older than the in-flight write
+    * horizon. Production passes the pipeline's max write-to-commit
+    * latency (hours); the default 0 is only safe when no committer
+    * can be mid-write (single-threaded fixtures, off-peak windows).
     * Refuses to run against a root with NO committed manifest: a
     * mid-bootstrap index (first generation written, first commit not
     * yet landed) would otherwise lose that generation. Returns the
@@ -302,7 +309,7 @@ object IndexManifest {
     * reference set is manifest-sized, and deletes are whole immutable
     * directories. */
   def sweepOrphans(s: SparkSession, root: String,
-                   gensRoot: String): Seq[String] =
+                   gensRoot: String, minAgeMs: Long = 0L): Seq[String] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val c = committed(s, root)
       require(c.nonEmpty,
@@ -325,10 +332,12 @@ object IndexManifest {
         .map(g => fs.makeQualified(new org.apache.hadoop.fs.Path(g)))
         .toSet
       val gp = new org.apache.hadoop.fs.Path(gensRoot)
+      val horizon = System.currentTimeMillis() - minAgeMs
       if (!fs.exists(gp)) Seq.empty
       else fs.listStatus(gp).toSeq
         .filter(st => st.isDirectory &&
           !st.getPath.getName.startsWith("m_")) // never a manifest dir
+        .filter(_.getModificationTime <= horizon) // in-flight writes
         .filterNot(st => live.contains(fs.makeQualified(st.getPath)))
         .filter(st => fs.delete(st.getPath, true))
         .map(_.getPath.toUri.getPath)

@@ -217,6 +217,66 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("contention: sweepOrphans never deletes a committed generation while a committer churns the root") {
+    // the sweep's safety argument is the commit LOCK (an uncommitted
+    // m_ dir is a dead crash only because no same-JVM commit can be
+    // in flight while the sweep holds the lock) — enforce it under
+    // real churn instead of narrating it. A writer thread keeps
+    // committing fresh generation sets (grow and switch style) under
+    // gensRoot plus planting sweepable orphans; a sweeper thread
+    // loops sweepOrphans. Pins: (1) neither thread throws, (2) after
+    // the churn every committed manifest's generations exist on disk,
+    // (3) the planted orphans are all gone.
+    withRoot { root =>
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val orphans =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      IndexManifest.commit(spark, root, Seq(mkGen("g0")))
+      val writer = new Thread(() => {
+        try {
+          var live = IndexManifest.resolve(spark, root)
+          for (i <- 1 to 10) {
+            val g = mkGen(s"g$i")
+            live = if (i % 3 == 0) Seq(g) else live :+ g
+            IndexManifest.commit(spark, root, live)
+            orphans.add(mkGen(s"orphan$i")): Unit // crash debris
+          }
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+        finally done.set(true)
+      })
+      val sweeper = new Thread(() => {
+        // minAge = the in-flight write horizon: the writer creates a
+        // generation dir BEFORE committing it, so a 0-age sweep could
+        // reclaim a write racing toward its commit — the exact race
+        // the threshold exists for (fresh dirs are never swept)
+        try while (!done.get) {
+          IndexManifest.sweepOrphans(spark, root, s"$root/gens",
+            minAgeMs = 600000L): Unit
+        } catch { case t: Throwable => failure.compareAndSet(null, t) }
+      })
+      writer.start(); sweeper.start()
+      writer.join(120000); sweeper.join(120000)
+      assert(failure.get == null, s"a thread threw: ${failure.get}")
+      // (2) every committed snapshot still resolves to on-disk dirs
+      IndexManifest.committedIds(spark, root).foreach { id =>
+        IndexManifest.resolveAt(spark, root, id).foreach(gen =>
+          assert(new java.io.File(gen).isDirectory,
+            s"sweep deleted $gen still referenced by m_$id"))
+      }
+      // (3) a final 0-horizon pass (no committer can be mid-write
+      // now) reclaims all the planted debris
+      IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      import scala.jdk.CollectionConverters._
+      orphans.asScala.foreach(o => assert(!new java.io.File(o).exists,
+        s"orphan $o survived the sweep"))
+    }
+  }
+
   test("contention: resolve stays complete and GC never deletes a referenced generation while a committer+GC churns the root") {
     // round-13 verdict #3: the documented guarantees, enforced. One
     // writer thread commits fresh generation sets and retires with
