@@ -240,7 +240,7 @@ class IndexManifestSpec extends SparkSpec {
       val writer = new Thread(() => {
         try {
           var live = IndexManifest.resolve(spark, root)
-          for (i <- 1 to 10) {
+          for (i <- 1 to 6) {
             val g = mkGen(s"g$i")
             live = if (i % 3 == 0) Seq(g) else live :+ g
             IndexManifest.commit(spark, root, live)
@@ -253,14 +253,24 @@ class IndexManifestSpec extends SparkSpec {
         // minAge = the in-flight write horizon: the writer creates a
         // generation dir BEFORE committing it, so a 0-age sweep could
         // reclaim a write racing toward its commit — the exact race
-        // the threshold exists for (fresh dirs are never swept)
+        // the threshold exists for (fresh dirs are never swept).
+        // Paced, not tight-looped: each pass reads EVERY committed
+        // manifest (the writer never retires here), and a hot loop of
+        // collects starves the writer under a loaded parallel suite
         try while (!done.get) {
           IndexManifest.sweepOrphans(spark, root, s"$root/gens",
             minAgeMs = 600000L): Unit
+          Thread.sleep(50)
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
       })
       writer.start(); sweeper.start()
-      writer.join(120000); sweeper.join(120000)
+      writer.join(300000)
+      done.set(true) // stop the sweeper even if the writer timed out
+      sweeper.join(300000)
+      // a timed-out join must fail HERE, loudly — falling through to
+      // withRoot's cleanup with a live thread races the tempdir delete
+      assert(!writer.isAlive && !sweeper.isAlive,
+        "contention threads did not finish in time")
       assert(failure.get == null, s"a thread threw: ${failure.get}")
       // (2) every committed snapshot still resolves to on-disk dirs
       IndexManifest.committedIds(spark, root).foreach { id =>
