@@ -307,7 +307,11 @@ object IndexManifest {
     * At 100 TB this is the weekly orphan-file sweep: the listing is
     * one directory scan of generation NAMES (metadata-sized), the
     * reference set is manifest-sized, and deletes are whole immutable
-    * directories. */
+    * directories. Age comes from the filesystem's modification time
+    * here (local/HDFS); an object-store deployment, where prefixes
+    * have no mtime, derives it from the objects' own timestamps or a
+    * writer-recorded creation marker — the same horizon, different
+    * clock source. */
   def sweepOrphans(s: SparkSession, root: String,
                    gensRoot: String, minAgeMs: Long = 0L): Seq[String] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
