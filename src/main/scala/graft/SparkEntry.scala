@@ -500,7 +500,9 @@ object SparkEntry {
     "q325_span_soak" -> ((s, dir) => Dedup.spanLifecycleSoak(s, dir)),
     "q326_sig_soak" -> ((s, dir) => Dedup.sigLifecycleSoak(s, dir)),
     "q327_stream_sig_retention" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamSigRetentionFixture(s, dir))
+      graft.streaming.StreamingOps.streamSigRetentionFixture(s, dir)),
+    "q328_stream_ann_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamAnnRetentionFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,6 +950,11 @@ object SparkEntry {
     // per-batch GC deletes earlier generations (including the base)
     // mid-stream, yet the final resolved index must still audit to
     // exactly the batch q310 state (q322's shared oracle)
-    "q327_stream_sig_retention" -> OracleSql.q310LshSigRefresh()
+    "q327_stream_sig_retention" -> OracleSql.q310LshSigRefresh(),
+    // stream ≡ batch survives RETENTION on the postings family: the
+    // per-batch deltas union to exactly the incoming stratum, and the
+    // post-stream search over the resolved (compacted, GC-survived)
+    // set must equal the batch day-2 search (q298's shared oracle)
+    "q328_stream_ann_retention" -> OracleSql.q298IvfDayTwoSearch()
   )
 }

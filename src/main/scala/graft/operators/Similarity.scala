@@ -852,6 +852,46 @@ object Similarity {
           Seq("vec_id"), "left_anti"),
       outDir)
 
+  /** Q328 support (the streaming retention in
+    * [[graft.streaming.StreamingOps.streamAnnRetentionFixture]]): the
+    * frozen quantizer (memoized — centroids are not a generation,
+    * retire never touches them), a PER-INVOCATION base postings
+    * generation (the GC retires and deletes it mid-stream, so it must
+    * be this run's own — the q307/q319 ownership rule; the rebuild is
+    * billed to the query), and the incoming slice to feed. */
+  private[graft] def streamAnnRetentionParts(s: SparkSession, dir: String,
+                                             nCentroids: Int, modN: Int)
+      : (String, String, DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids.toString, modN.toString)
+    val cent = centArtifact(s, dir, "ivf_sret_cent", params)(
+      sliceCentroids(e.filter(!inc), nCentroids))
+    val base = ArtifactStore.invocationDir("ivf_postings_sretbase",
+      (dir +: params): _*)
+    writeIvfPostings(listsFor(e.filter(!inc), readIvfCentroids(s, cent)),
+      base)
+    (cent, base, e.filter(inc))
+  }
+
+  /** Q328 support: one postings generation from a micro-batch under
+    * the frozen persisted quantizer — no anti-join (the feed's batches
+    * are vec-disjoint; re-delivery idempotence is the manifest
+    * committedGens guard's job in the retention fixture, the q319
+    * shape, not the write's as in q301). */
+  private[graft] def assignBatch(s: SparkSession, centDir: String,
+                                 batch: DataFrame, outDir: String): Unit =
+    writeIvfPostings(listsFor(batch, readIvfCentroids(s, centDir)), outDir)
+
+  /** Q328 support: the q298 search shape over explicit generation dirs
+    * under a persisted quantizer. */
+  private[graft] def searchPostingsDirs(s: SparkSession, dir: String,
+                                        centDir: String, dirs: Seq[String],
+                                        nProbe: Int, k: Int): DataFrame =
+    probeSearch(
+      probesFor(embDoubles(s, dir), readIvfCentroids(s, centDir), nProbe),
+      postingsAsLists(s, dirs), k)
+
   /** Q301 support: the q297 audit shape over explicit generation dirs
     * (pre-counts from the base generation only). */
   private[graft] def postingsAudit(s: SparkSession, base: String,

@@ -2303,6 +2303,98 @@ object StreamingOps {
       deltas.asScala.values.toSeq)
   }
 
+  /** Q328 — STREAMING ANN RETENTION: the q319/q327 GC-under-stream
+    * composition on the IVF postings family, making the retention
+    * face symmetric across the three postings-style index families
+    * (span q319, signature q327, postings here; the PQ codebook has
+    * no doc-owned generations to retain). Each micro-batch of
+    * incoming vectors is assigned under the FROZEN persisted
+    * quantizer and lands as a delta generation; the committer then
+    * commits base ∪ delta, COMPACTS the live set to one
+    * list-partitioned generation, commits the switch, and runs
+    * retire(keepLast = 2) — the original base and earlier batches'
+    * generations are deleted from disk WHILE the stream runs. The
+    * final day-2 search over the resolved set shares q298's oracle
+    * (the deltas union to exactly the incoming stratum): proof the
+    * GC never deleted data a live read needed. Retry guard is q319's
+    * committedGens check.
+    *
+    * Base postings are PER-INVOCATION
+    * ([[graft.operators.Similarity.streamAnnRetentionParts]], the
+    * q307/q319 ownership rule); the quantizer memoizes — centroids
+    * are not a generation and retire never touches them. Scale shape:
+    * per batch O(|batch|) against the broadcast KB quantizer plus one
+    * index-sized compaction rewrite — the fixture compacts every
+    * batch to force the GC interleaving; production compacts on a
+    * file-count trigger and retires off-peak.
+    */
+  def streamAnnRetentionFixture(s: SparkSession, dir: String,
+                                nCentroids: Int = 8, modN: Int = 5,
+                                nProbe: Int = 2, k: Int = 5): DataFrame =
+    streamAnnRetentionRun(s, dir, nCentroids, modN, nProbe, k)._2
+
+  /** Test-visible q328 split: (GC-deleted generation dirs, search). */
+  private[graft] def streamAnnRetentionRun(s: SparkSession, dir: String,
+                                           nCentroids: Int = 8,
+                                           modN: Int = 5, nProbe: Int = 2,
+                                           k: Int = 5)
+      : (Seq[String], DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val F = graft.operators.IndexManifest.IvfPostingsFormat
+    val (cent, base, incoming) = graft.operators.Similarity
+      .streamAnnRetentionParts(s, dir, nCentroids, modN)
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "ivf_postings_streamret", dir, nCentroids.toString, modN.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "ivf_manifest_streamret", dir, nCentroids.toString, modN.toString)
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base), F)
+    val deleted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        val resolved = graft.operators.IndexManifest.resolve(ss, mroot, F)
+        // the q319 retry guard: a gen committed ANYWHERE is immutable
+        // (this committer's own compact commit replaces it in the live
+        // set); its content is already absorbed, so skipping the whole
+        // step on redelivery is content-neutral
+        if (!graft.operators.IndexManifest.committedGens(ss, mroot)
+            .contains(gen)) {
+          // frozen-quantizer assignment; batches are vec-disjoint so
+          // no anti-join (the q318/q322 delta shape)
+          graft.operators.Similarity.assignBatch(ss, cent, batch, gen)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            resolved :+ gen, F)
+          // OPTIMIZE + switch: fold the live set to one generation
+          val compacted = graft.operators.ArtifactStore.invocationDir(
+            "ivf_postings_streamretc", dir, nCentroids.toString,
+            modN.toString)
+          graft.operators.Similarity.writeIvfPostings(
+            graft.operators.Similarity.readIvfPostingsDirs(
+              ss, resolved :+ gen), compacted)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            Seq(compacted), F)
+          // VACUUM between micro-batches: the GC under test
+          graft.operators.IndexManifest.retire(ss, mroot, keepLast = 2)
+            .foreach(deleted.add(_): Unit)
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (deleted.asScala.toSeq,
+      graft.operators.Similarity.searchPostingsDirs(s, dir, cent,
+        graft.operators.IndexManifest.resolve(s, mroot, F), nProbe, k))
+  }
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

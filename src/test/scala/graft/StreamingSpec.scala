@@ -903,6 +903,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows(audit) === batch)
   }
 
+  test("q328: retention GC between micro-batches on the postings index — search == batch q298; retired generations really deleted") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Int]("rnk"),
+        r.getAs[Double]("sim"))).toSet
+    val (deleted, search) =
+      graft.streaming.StreamingOps.streamAnnRetentionRun(spark, dir)
+    assert(deleted.nonEmpty, "retention GC never deleted a generation")
+    deleted.foreach(d => assert(!new java.io.File(d).exists,
+      s"GC'd generation $d still on disk"))
+    // the resolved (compacted, GC-survived) set searches identically
+    // to the batch day-2 path: nothing a live read needed was deleted
+    val batch = rows(graft.operators.Similarity.ivfDayTwoSearch(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(search) === batch)
+  }
+
   test("q312: streaming drift audit == batch q305 bitwise (decimal partials fold exactly)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
