@@ -2002,7 +2002,9 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/m_99"))
-    val swept = IndexManifest.sweepOrphans(s, root, gens)
+    // minAgeMs = 0 is the single-threaded-fixture opt-in: every write
+    // above completed before this line, so nothing can be mid-write
+    val swept = IndexManifest.sweepOrphans(s, root, gens, minAgeMs = 0L)
     (root, swept, Seq(base, delta),
       scrubIncomingWith(day2,
         readSpanIndexDirs(s, IndexManifest.resolve(s, root,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,9 +22,14 @@ import org.apache.spark.sql.functions._
   * the same shape is an Iceberg/Delta metadata-pointer swap, with the
   * id allocated by an atomic catalog CAS instead of a listing).
   *
-  * Manifests are index metadata — a handful of path strings — so the
-  * resolve collect is bounded by the live generation count, never
-  * data-sized.
+  * Manifests are index metadata — a handful of path strings — so a
+  * resolve is bounded by the live generation count, never data-sized.
+  * Resolve reads the manifest parquet DRIVER-SIDE (one footer + one
+  * row group through the parquet-hadoop example API — no Spark job)
+  * and caches the rows per committed manifest (round-15 verdict #2):
+  * committed manifests are IMMUTABLE by protocol, so the cache needs
+  * no invalidation, and freshness comes from the directory LISTING —
+  * which is never cached — so a new commit is visible immediately.
   */
 object IndexManifest {
 
@@ -40,20 +46,28 @@ object IndexManifest {
   val LshSigFormat = "lsh_sig/1"
   val PqCodebookFormat = "pq_codebook/1"
 
-  /** Committed manifest ids under `root` (dirs named m_<id> whose
-    * `_SUCCESS` marker exists). */
+  /** IVF-PQ composite postings (q329): inverted lists whose rows carry
+    * PQ codes instead of raw vectors — committed in the SAME manifest
+    * as their [[PqCodebookFormat]] codebook generation so a retrain
+    * can never serve codes from one codebook version with codewords
+    * from another (round-15 verdict #1; see [[commitTagged]] /
+    * [[resolveParts]]). */
+  val IvfPqPostingsFormat = "ivfpq_postings/1"
+
+  /** Committed manifests under `root` (dirs named m_<id> whose
+    * `_SUCCESS` marker exists), with their listing FileStatus — the
+    * status feeds the immutable-row cache key ([[rowsOf]]). */
   private def committed(s: SparkSession, root: String)
-      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
-    val p = new org.apache.hadoop.fs.Path(root)
+      : Seq[(Long, FileStatus)] = {
+    val p = new Path(root)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("m_"))
       .flatMap { st =>
-        val ok = fs.exists(
-          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+        val ok = fs.exists(new Path(st.getPath, "_SUCCESS"))
         if (ok) st.getPath.getName.stripPrefix("m_").toLongOption
-          .map(_ -> st.getPath)
+          .map(_ -> st)
         else None
       }
   }
@@ -64,9 +78,12 @@ object IndexManifest {
     * make the next ErrorIfExists write collide with the orphan
     * forever, bricking the root — the opposite of the
     * crash-invisibility the protocol promises. Readers still see only
-    * committed ids; orphans merely burn their number. */
+    * committed ids; an orphan burns its number for as long as its dir
+    * exists (once [[sweepOrphans]] deletes the dir, the id is
+    * re-allocatable — safe, because a never-committed id was never
+    * resolvable, so no reader or snapshot can reference it). */
   private def allocated(s: SparkSession, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
+    val p = new Path(root)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
@@ -99,14 +116,45 @@ object IndexManifest {
     * (round-13 ADVICE). Retiring an index is [[retire]]'s job, not an
     * empty commit's.
     *
-    * `format` is the family/layout tag ([[SpanIndexFormat]] etc.)
-    * recorded per generation row; family readers pass the same tag to
-    * [[resolve]]/[[resolveAt]] to reject a foreign or newer-layout
-    * root loudly. A null format writes a LEGACY (pre-tag) manifest —
-    * kept for the generic protocol specs; every index family commits
-    * tagged. */
+    * `format` is REQUIRED (round-15 ADVICE: the tag guard must not be
+    * opt-in — a call site that forgot it would silently write an
+    * untagged manifest that bypasses the wrong-family protection the
+    * tags exist for): the family/layout tag ([[SpanIndexFormat]]
+    * etc.) recorded per generation row; family readers pass the same
+    * tag to [[resolve]]/[[resolveAt]] to reject a foreign or
+    * newer-layout root loudly. The legacy untagged path is
+    * [[commitUntagged]], a private[graft] hook for the generic
+    * protocol specs. */
   def commit(s: SparkSession, root: String,
-             generations: Seq[String], format: String = null): Unit =
+             generations: Seq[String], format: String): Unit = {
+    require(format != null,
+      "commit requires a family format tag (IndexManifest.*Format); " +
+        "the untagged legacy path is the private commitUntagged hook")
+    commitRows(s, root, generations.map(_ -> format))
+  }
+
+  /** COMPOSITE commit (round-15 verdict #1): one manifest naming the
+    * generations of SEVERAL families at once, each row tagged with its
+    * own format — the atomic cross-family switch an IVF-PQ index needs
+    * (codebook + coded postings must change version together; two
+    * independent manifests could serve codebook vN with postings vN+1
+    * after a retrain, which decodes silently wrong). Readers take the
+    * whole set apart again with [[resolveParts]]. */
+  def commitTagged(s: SparkSession, root: String,
+                   generations: Seq[(String, String)]): Unit = {
+    require(generations.forall(_._2 != null),
+      "commitTagged requires a format tag on every generation row")
+    commitRows(s, root, generations)
+  }
+
+  /** Untagged (pre-format) commit — kept ONLY for the generic
+    * protocol specs; every index family commits tagged. */
+  private[graft] def commitUntagged(s: SparkSession, root: String,
+                                    generations: Seq[String]): Unit =
+    commitRows(s, root, generations.map(_ -> (null: String)))
+
+  private def commitRows(s: SparkSession, root: String,
+                         generations: Seq[(String, String)]): Unit =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       require(generations.nonEmpty,
         s"refusing to commit an EMPTY generation set under $root — " +
@@ -116,12 +164,12 @@ object IndexManifest {
       import s.implicits._
       val id = (allocated(s, root) :+ 0L).max + 1
       val dir = s"$root/m_$id"
-      generations.zipWithIndex.map { case (g, i) => (i, g, format) }
+      generations.zipWithIndex.map { case ((g, f), i) => (i, g, f) }
         .toDF("pos", "gen", "format")
         .coalesce(1).sortWithinPartitions(col("pos"))
         .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
         .parquet(dir)
-      val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+      val marker = new Path(dir, "_SUCCESS")
       require(marker.getFileSystem(s.sessionState.newHadoopConf())
           .exists(marker),
         s"commit wrote $dir but its _SUCCESS marker is missing — " +
@@ -132,30 +180,69 @@ object IndexManifest {
     * order. Loud error when nothing is committed — an index with no
     * manifest is a broken deployment, not an empty relation.
     *
-    * A reader can race [[retire]]: the listing may name a manifest the
-    * GC deletes before its parquet is read. A newer manifest is live
-    * in exactly that case (retire keeps the most recent commits), so
-    * resolve re-lists and retries once on a vanished manifest instead
-    * of surfacing the transient FileNotFound (round-13 ADVICE).
-    *
     * A non-null `expectFormat` rejects generations tagged with a
     * DIFFERENT format loudly (wrong family, or a newer layout
     * version); untagged rows (legacy pre-format manifests) pass any
     * expectation — backward compatible by construction. */
   def resolve(s: SparkSession, root: String,
-              expectFormat: String = null): Seq[String] = {
-    // progress-bounded retry: each attempt must see a STRICTLY newer
-    // latest id than the one that vanished (retire only deletes
-    // manifests when newer commits exist — keepLast ≥ 1), so under
-    // sustained churn the loop tracks the head instead of giving up
-    // after one retry; a manifest that vanishes with NO newer commit
-    // is a genuinely broken root and the error propagates.
+              expectFormat: String = null): Seq[String] =
+    withLatest(s, root) { (_, st) =>
+      checkFormat(st.getPath, rowsOf(s, st), expectFormat)
+    }
+
+  /** COMPOSITE resolve — [[commitTagged]]'s reader: the latest
+    * manifest's generation dirs grouped by their format tag, in commit
+    * order within each family. Every row must carry one of
+    * `expectFormats` (untagged rows are rejected: a composite index is
+    * post-tag by construction, so a null here is a foreign writer) and
+    * every expected format must be PRESENT — a commit that dropped one
+    * family's generation fails here, at the protocol boundary, not at
+    * a downstream empty artifact read. The map's values all come from
+    * ONE manifest id, which is the cross-family consistency contract:
+    * a q317-style retrain can never serve mixed versions. */
+  def resolveParts(s: SparkSession, root: String,
+                   expectFormats: Set[String]): Map[String, Seq[String]] = {
+    require(expectFormats.nonEmpty && !expectFormats.contains(null),
+      "resolveParts requires the expected family format tags")
+    withLatest(s, root) { (_, st) =>
+      val rows = rowsOf(s, st)
+      rows.foreach { case (_, g, fmt) =>
+        require(fmt != null && expectFormats(fmt),
+          s"manifest ${st.getPath} names generation '$g' with format " +
+            s"'$fmt' but this composite reader expects one of " +
+            s"${expectFormats.toSeq.sorted.mkString("{", ", ", "}")} — " +
+            "refusing to misread a generation written by a different " +
+            "index family or a newer layout version")
+      }
+      val byFmt = rows.groupBy(_._3).map { case (f, rs) => f -> rs.map(_._2) }
+      expectFormats.foreach(f => require(byFmt.contains(f),
+        s"manifest ${st.getPath} names no '$f' generation — a composite " +
+          "commit must name every family's generation atomically"))
+      byFmt
+    }
+  }
+
+  /** The resolve retry loop shared by [[resolve]] and
+    * [[resolveParts]]: a reader can race [[retire]] — the listing may
+    * name a manifest the GC deletes before its parquet is read. A
+    * newer manifest is live in exactly that case (retire keeps the
+    * most recent commits), so the loop re-lists and retries on a
+    * vanished manifest instead of surfacing the transient
+    * FileNotFound (round-13 ADVICE). Progress-bounded: each attempt
+    * must see a STRICTLY newer latest id than the one that vanished
+    * (retire only deletes manifests when newer commits exist —
+    * keepLast ≥ 1), so under sustained churn the loop tracks the head
+    * instead of giving up after one retry; a manifest that vanishes
+    * with NO newer commit is a genuinely broken root and the error
+    * propagates. */
+  private def withLatest[A](s: SparkSession, root: String)
+                           (f: (Long, FileStatus) => A): A = {
     var lastVanished = -1L
     while (true) {
       val c = committed(s, root)
       require(c.nonEmpty, s"no committed manifest under $root")
-      val (id, p) = c.maxBy(_._1)
-      try return gensOf(s, p, expectFormat)
+      val (id, st) = c.maxBy(_._1)
+      try return f(id, st)
       catch {
         case e: Throwable if vanished(e) =>
           if (id <= lastVanished) throw e // no progress — not a GC race
@@ -170,7 +257,8 @@ object IndexManifest {
     * appears here may be named by a kept (non-latest) manifest, so it
     * must never be rewritten in place even when the LATEST manifest no
     * longer lists it (q319's compact-then-retry window; round-14
-    * review). Metadata-sized: one parquet read per committed manifest.
+    * review). Metadata-sized: one driver-side parquet read per
+    * committed manifest, cached.
     *
     * Like [[resolve]], this can race a concurrent [[retire]]: the
     * listing may name a manifest the GC deletes before its parquet is
@@ -182,7 +270,7 @@ object IndexManifest {
     * silently age). */
   def committedGens(s: SparkSession, root: String): Set[String] =
     committed(s, root).flatMap { m =>
-      try gensOf(s, m._2)
+      try rowsOf(s, m._2).map(_._2)
       catch { case e: Throwable if vanished(e) => Seq.empty[String] }
     }.toSet
 
@@ -204,7 +292,7 @@ object IndexManifest {
                 expectFormat: String = null): Seq[String] = {
     val c = committed(s, root).toMap
     require(c.contains(id), s"manifest m_$id is not committed under $root")
-    gensOf(s, c(id), expectFormat)
+    checkFormat(c(id).getPath, rowsOf(s, c(id)), expectFormat)
   }
 
   /** Committed manifest ids, ascending (test + retention hook). */
@@ -253,7 +341,7 @@ object IndexManifest {
     val c = committed(s, root).sortBy(_._1)
     if (c.size <= keepLast) return Seq.empty
     val (old, kept) = c.splitAt(c.size - keepLast)
-    val fs = new org.apache.hadoop.fs.Path(root)
+    val fs = new Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     // read the retirees' generation lists BEFORE deleting anything,
     // then delete MANIFESTS FIRST: a committed (still-present)
@@ -263,13 +351,47 @@ object IndexManifest {
     // generation dirs — a space leak the next pass can't see, never a
     // dangling resolve; a manifest whose delete FAILS keeps every
     // generation it references.
-    val oldGens = old.map(m => m._2 -> gensOf(s, m._2))
-    val dropped = oldGens.filter { case (m, _) => fs.delete(m, true) }
-    val live = kept.flatMap(m => gensOf(s, m._2)).toSet ++
+    val oldGens = old.map(m => m._2 -> rowsOf(s, m._2).map(_._2))
+    val dropped = oldGens.filter { case (m, _) => fs.delete(m.getPath, true) }
+    val live = kept.flatMap(m => rowsOf(s, m._2).map(_._2)).toSet ++
       oldGens.filterNot(g => dropped.exists(_._1 == g._1))
         .flatMap(_._2)
     dropped.flatMap(_._2).distinct.filterNot(live)
-      .filter(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      .filter(d => fs.delete(new Path(d), true))
+  }
+
+  /** COMPACTION TRIGGER (round-15 verdict #4): fold the live
+    * generation set into one ONLY when it exceeds `maxGens` — the
+    * generation-count trigger a production pipeline compacts on (the
+    * Delta OPTIMIZE cadence), instead of unconditionally every
+    * day/batch as the soak fixtures do. Below the threshold the call
+    * is a pure READ: no rewrite, no commit, nothing on disk changes
+    * (spec-pinned on paths AND mtimes). Above it, `rewrite` — the
+    * caller's own family layout writer — folds the resolved set into
+    * one fresh generation dir and a single commit switches readers
+    * atomically. Returns the live set after the call and whether a
+    * compaction ran.
+    *
+    * Resolve → rewrite → commit is check-then-act; the caller's
+    * maintenance loop serializes compaction against its own refreshes
+    * exactly as the daily soaks do (one maintenance driver per root —
+    * the documented deployment shape; cross-JVM needs the catalog
+    * CAS, the [[commit]] scope note). At 100 TB this is what makes
+    * the steady-state cost story real: refreshes stay O(|delta|)
+    * every day, and the index-sized rewrite is paid only when the
+    * small-file count actually warrants it.
+    */
+  def compactIfNeeded(s: SparkSession, root: String, format: String,
+                      maxGens: Int)(rewrite: Seq[String] => String)
+      : (Seq[String], Boolean) = {
+    require(maxGens >= 1, "the trigger must keep at least one generation")
+    val live = resolve(s, root, format)
+    if (live.size <= maxGens) (live, false)
+    else {
+      val folded = rewrite(live)
+      commit(s, root, Seq(folded), format)
+      (Seq(folded), true)
+    }
   }
 
   /** ORPHAN SWEEP — the missing half of VACUUM (round-14 verdict #1):
@@ -282,27 +404,36 @@ object IndexManifest {
     * retention GC). This pass deletes, under `gensRoot` (the one
     * directory a deployment lands its generation dirs in), every
     * subdirectory referenced by NO committed manifest, plus the
-    * crashed manifest dirs themselves (m_<id> without `_SUCCESS` —
-    * their ids stay burned, [[allocated]] already skips re-listing
-    * deleted names).
+    * crashed manifest dirs themselves (m_<id> without `_SUCCESS`).
+    * Deleting a crashed m_ dir frees its burned id for a later commit
+    * — safe, because a never-committed id was never resolvable, so no
+    * reader or snapshot can reference it, and the reused id mints a
+    * brand-new manifest under ErrorIfExists (round-15 ADVICE: the
+    * previous comment claimed the id stayed burned, which [[allocated]]
+    * — a pure listing of dirs currently on disk — does not maintain).
     *
     * Runs under the root's commit lock, which makes MANIFEST state
     * stable (manifest dirs are written under the same lock, so an
     * uncommitted m_ dir seen here is a genuine crash, never a racing
-    * same-JVM writer; cross-JVM needs the catalog CAS, the [[commit]]
-    * scope note). GENERATION dirs are different: committers write
-    * them OUTSIDE the lock, before their commit, so "unreferenced"
-    * alone cannot distinguish crash debris from a write racing toward
-    * its commit. `minAgeMs` is that distinction — the Delta-VACUUM
-    * retention-threshold discipline: a generation is sweepable only
-    * when it is BOTH unreferenced and older than the in-flight write
-    * horizon. Production passes the pipeline's max write-to-commit
-    * latency (hours); the default 0 is only safe when no committer
-    * can be mid-write (single-threaded fixtures, off-peak windows).
-    * Refuses to run against a root with NO committed manifest: a
-    * mid-bootstrap index (first generation written, first commit not
-    * yet landed) would otherwise lose that generation. Returns the
-    * generation dirs whose delete succeeded.
+    * same-JVM writer — which is also why crashed m_ dirs need no
+    * `minAgeMs` horizon of their own: there CANNOT be an in-flight
+    * manifest write while this sweep holds the lock; cross-JVM needs
+    * the catalog CAS, the [[commit]] scope note). GENERATION dirs are
+    * different: committers write them OUTSIDE the lock, before their
+    * commit, so "unreferenced" alone cannot distinguish crash debris
+    * from a write racing toward its commit. `minAgeMs` is that
+    * distinction — the Delta-VACUUM retention-threshold discipline: a
+    * generation is sweepable only when it is BOTH unreferenced and
+    * older than the in-flight write horizon. REQUIRED, no default
+    * (round-15 ADVICE: a data-deleting API must not default to the
+    * most aggressive horizon; Delta VACUUM defaults to 7 days for
+    * exactly this window): production passes the pipeline's max
+    * write-to-commit latency (hours); 0 is an explicit opt-in that is
+    * only safe when no committer can be mid-write (single-threaded
+    * fixtures, off-peak windows). Refuses to run against a root with
+    * NO committed manifest: a mid-bootstrap index (first generation
+    * written, first commit not yet landed) would otherwise lose that
+    * generation. Returns the generation dirs whose delete succeeded.
     *
     * At 100 TB this is the weekly orphan-file sweep: the listing is
     * one directory scan of generation NAMES (metadata-sized), the
@@ -313,13 +444,13 @@ object IndexManifest {
     * writer-recorded creation marker — the same horizon, different
     * clock source. */
   def sweepOrphans(s: SparkSession, root: String,
-                   gensRoot: String, minAgeMs: Long = 0L): Seq[String] =
+                   gensRoot: String, minAgeMs: Long): Seq[String] =
     rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
       val c = committed(s, root)
       require(c.nonEmpty,
         s"refusing to sweep $gensRoot: no committed manifest under " +
           s"$root — a mid-bootstrap index would lose its first generation")
-      val rp = new org.apache.hadoop.fs.Path(root)
+      val rp = new Path(root)
       val fs = rp.getFileSystem(s.sessionState.newHadoopConf())
       // crashed commits first: under the lock an uncommitted m_ dir is
       // a dead half-write, never a racing committer
@@ -332,10 +463,10 @@ object IndexManifest {
       // a generation is live iff SOME committed manifest names it;
       // compare fs-qualified paths so scheme/normalization differences
       // between the stored strings and the listing can't mislabel
-      val live = c.flatMap(m => gensOf(s, m._2))
-        .map(g => fs.makeQualified(new org.apache.hadoop.fs.Path(g)))
+      val live = c.flatMap(m => rowsOf(s, m._2).map(_._2))
+        .map(g => fs.makeQualified(new Path(g)))
         .toSet
-      val gp = new org.apache.hadoop.fs.Path(gensRoot)
+      val gp = new Path(gensRoot)
       val horizon = System.currentTimeMillis() - minAgeMs
       if (!fs.exists(gp)) Seq.empty
       else fs.listStatus(gp).toSeq
@@ -347,23 +478,107 @@ object IndexManifest {
         .map(_.getPath.toUri.getPath)
     }
 
-  private def gensOf(s: SparkSession, dir: org.apache.hadoop.fs.Path,
-                     expectFormat: String = null): Seq[String] =
-    readManifest(s, dir.toString)
-      .orderBy(col("pos")).collect().map { r =>
-        val fmt = r.getString(2)
-        if (expectFormat != null)
-          require(fmt == null || fmt == expectFormat,
-            s"manifest $dir names generation '${r.getString(1)}' with " +
-              s"format '$fmt' but this reader expects '$expectFormat' — " +
-              "refusing to misread a generation written by a different " +
-              "index family or a newer layout version")
-        r.getString(1)
-      }.toSeq
+  // ---------------------------------------------------------------
+  // Manifest row reading: driver-side, cached (round-15 verdict #2).
+  // ---------------------------------------------------------------
 
-  /** Explicit-schema manifest reader (test hook + resolve). The
-    * `format` column reads as null from pre-tag manifests — the
-    * legacy pass-through [[resolve]] documents. */
+  /** Immutable-manifest row cache. A committed manifest never changes
+    * (ErrorIfExists write; a committed id is never reused — retire
+    * keeps the max id, so allocation never goes backwards), so rows
+    * cache per manifest with NO invalidation; freshness is the
+    * directory listing's job ([[committed]] runs fresh on every
+    * resolve, so a new commit — a new m_<id> path — is seen
+    * immediately, spec-pinned). The key carries the listing's
+    * mtime+length alongside the qualified path to guard the one
+    * non-protocol path to byte reuse: a fixture deleting a root and
+    * recreating the same manifest path with different content. */
+  private val rowsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String)]]()
+
+  /** Test hook: entry count + drop (cache is pure derived state). */
+  private[graft] def rowsCacheSize: Int = rowsCache.size
+  private[graft] def clearRowsCache(): Unit = rowsCache.clear()
+
+  /** The (pos, gen, format) rows of one committed manifest, in pos
+    * order — cached per immutable manifest. */
+  private def rowsOf(s: SparkSession, st: FileStatus)
+      : Seq[(Int, String, String)] = {
+    val key = s"${st.getPath}@${st.getModificationTime}:${st.getLen}"
+    val hit = rowsCache.get(key)
+    if (hit != null) hit
+    else {
+      val rows = readRows(s, st.getPath)
+      rowsCache.put(key, rows)
+      rows
+    }
+  }
+
+  /** Read a manifest dir's rows DRIVER-SIDE through the
+    * parquet-hadoop example API — one footer + one tiny row group, no
+    * Spark job (round-15 verdict #2: the streaming lifecycle fixtures
+    * paid ~4 metadata Spark jobs per micro-batch through this path).
+    * A missing dir/file propagates (the [[vanished]] retry contract);
+    * any OTHER driver-side failure falls back to the Spark read —
+    * both read the same bytes, so the fallback can only mask an API
+    * limitation, never corruption. */
+  private def readRows(s: SparkSession, dir: Path)
+      : Seq[(Int, String, String)] = {
+    val conf = s.sessionState.newHadoopConf()
+    try {
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .flatMap(st => readPart(conf, st.getPath))
+        .sortBy(_._1)
+    } catch {
+      case e: Throwable if !vanished(e) =>
+        readManifest(s, dir.toString).orderBy(col("pos")).collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    }
+  }
+
+  private def readPart(conf: org.apache.hadoop.conf.Configuration,
+                       file: Path): Seq[(Int, String, String)] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        file)
+      .withConf(conf).build()
+    try {
+      val buf = Seq.newBuilder[(Int, String, String)]
+      var g = reader.read()
+      while (g != null) {
+        // `format` reads as null from pre-tag manifests (column
+        // absent) and from untagged rows (optional field, count 0)
+        val fmt =
+          if (g.getType.containsField("format") &&
+              g.getFieldRepetitionCount("format") > 0)
+            g.getString("format", 0)
+          else null
+        buf += ((g.getInteger("pos", 0), g.getString("gen", 0), fmt))
+        g = reader.read()
+      }
+      buf.result()
+    } finally reader.close()
+  }
+
+  /** The single-family format check shared by [[resolve]] and
+    * [[resolveAt]]: untagged rows (legacy pre-format manifests) pass
+    * any expectation — backward compatible by construction. */
+  private def checkFormat(dir: Path, rows: Seq[(Int, String, String)],
+                          expectFormat: String): Seq[String] = {
+    if (expectFormat != null) rows.foreach { case (_, g, fmt) =>
+      require(fmt == null || fmt == expectFormat,
+        s"manifest $dir names generation '$g' with " +
+          s"format '$fmt' but this reader expects '$expectFormat' — " +
+          "refusing to misread a generation written by a different " +
+          "index family or a newer layout version")
+    }
+    rows.map(_._2)
+  }
+
+  /** Explicit-schema manifest reader (test hook + the driver-side
+    * read's fallback). The `format` column reads as null from pre-tag
+    * manifests — the legacy pass-through [[resolve]] documents. */
   private[graft] def readManifest(s: SparkSession, dir: String): DataFrame =
     s.read.schema("pos INT, gen STRING, format STRING").parquet(dir)
 }

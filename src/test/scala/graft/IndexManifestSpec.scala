@@ -16,18 +16,18 @@ class IndexManifestSpec extends SparkSpec {
 
   test("resolve returns the latest committed set in commit order") {
     withRoot { root =>
-      IndexManifest.commit(spark, root, Seq("/gen/a"))
-      IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a", "/gen/b"))
       assert(IndexManifest.resolve(spark, root) === Seq("/gen/a", "/gen/b"))
       // a compaction-style switch RETIRES prior generations
-      IndexManifest.commit(spark, root, Seq("/gen/c"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/c"))
       assert(IndexManifest.resolve(spark, root) === Seq("/gen/c"))
     }
   }
 
   test("an uncommitted manifest dir (no _SUCCESS) is invisible to resolve") {
     withRoot { root =>
-      IndexManifest.commit(spark, root, Seq("/gen/a"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a"))
       // simulate a crashed commit: a higher-id manifest dir whose
       // _SUCCESS marker never landed
       val crashed = new java.io.File(s"$root/m_99")
@@ -36,7 +36,7 @@ class IndexManifestSpec extends SparkSpec {
       // id allocation SKIPS the orphan (a max-committed allocator
       // would collide with m_99 forever once ids reached it): the
       // next commit lands ABOVE it and resolve keeps working
-      IndexManifest.commit(spark, root, Seq("/gen/b"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/b"))
       val m100 = new java.io.File(s"$root/m_100")
       assert(m100.isDirectory,
         "commit must allocate past the crashed m_99 orphan")
@@ -55,8 +55,8 @@ class IndexManifestSpec extends SparkSpec {
 
   test("resolveAt pins a past snapshot; an uncommitted id is a loud error") {
     withRoot { root =>
-      IndexManifest.commit(spark, root, Seq("/gen/a"))
-      IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a", "/gen/b"))
       val ids = IndexManifest.committedIds(spark, root)
       assert(IndexManifest.resolveAt(spark, root, ids.head) ===
         Seq("/gen/a"))
@@ -70,7 +70,7 @@ class IndexManifestSpec extends SparkSpec {
   test("an empty generation set is rejected at commit, not at a reader's reduce") {
     withRoot { root =>
       val e = intercept[IllegalArgumentException] {
-        IndexManifest.commit(spark, root, Seq.empty)
+        IndexManifest.commitUntagged(spark, root, Seq.empty)
       }
       assert(e.getMessage.contains("EMPTY generation set"))
       // the root is untouched: no orphan id burned, no manifest dir
@@ -124,8 +124,8 @@ class IndexManifestSpec extends SparkSpec {
 
   test("committedGens spans ALL committed manifests — a generation replaced in the live set stays immutable") {
     withRoot { root =>
-      IndexManifest.commit(spark, root, Seq("/gen/a", "/gen/b"))
-      IndexManifest.commit(spark, root, Seq("/gen/c")) // compact-style switch
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a", "/gen/b"))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/c")) // compact-style switch
       assert(IndexManifest.resolve(spark, root) === Seq("/gen/c"))
       // the grow manifest still names a and b: a RETRYING committer
       // must treat them as committed (immutable) even though resolve
@@ -145,9 +145,9 @@ class IndexManifestSpec extends SparkSpec {
         assert(d.mkdirs()); d.toString
       }
       val (a, b, c) = (mkGen("a"), mkGen("b"), mkGen("c"))
-      IndexManifest.commit(spark, root, Seq(a))
-      IndexManifest.commit(spark, root, Seq(a, b))
-      IndexManifest.commit(spark, root, Seq(c))
+      IndexManifest.commitUntagged(spark, root, Seq(a))
+      IndexManifest.commitUntagged(spark, root, Seq(a, b))
+      IndexManifest.commitUntagged(spark, root, Seq(c))
       // keepLast=2 keeps m_2 (a, b) and m_3 (c): m_1's only gen `a`
       // is still referenced by the kept window -> no data deleted,
       // but the m_1 SNAPSHOT leaves the committed set (a GC'd
@@ -181,12 +181,12 @@ class IndexManifestSpec extends SparkSpec {
       // planted crash 1: a generation written in full whose commit
       // never landed — referenced by NO manifest
       val orphan = mkGen("orphan")
-      IndexManifest.commit(spark, root, Seq(a))
-      IndexManifest.commit(spark, root, Seq(a, b))
+      IndexManifest.commitUntagged(spark, root, Seq(a))
+      IndexManifest.commitUntagged(spark, root, Seq(a, b))
       // planted crash 2: a commit that died mid-write (m_ dir, no
       // _SUCCESS) — invisible to resolve, reclaimed by the sweep
       assert(new java.io.File(s"$root/m_99").mkdirs())
-      val swept = IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      val swept = IndexManifest.sweepOrphans(spark, root, s"$root/gens", minAgeMs = 0L)
       assert(swept === Seq(orphan))
       assert(!new java.io.File(orphan).exists)
       assert(!new java.io.File(s"$root/m_99").exists)
@@ -198,7 +198,7 @@ class IndexManifestSpec extends SparkSpec {
       val ids = IndexManifest.committedIds(spark, root)
       assert(IndexManifest.resolveAt(spark, root, ids.head) === Seq(a))
       // a repeat pass has nothing left to reclaim
-      assert(IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      assert(IndexManifest.sweepOrphans(spark, root, s"$root/gens", minAgeMs = 0L)
         === Seq.empty)
     }
   }
@@ -210,7 +210,7 @@ class IndexManifestSpec extends SparkSpec {
       val g = new java.io.File(s"$root/gens/first")
       assert(g.mkdirs())
       val e = intercept[IllegalArgumentException] {
-        IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+        IndexManifest.sweepOrphans(spark, root, s"$root/gens", minAgeMs = 0L)
       }
       assert(e.getMessage.contains("no committed manifest"))
       assert(g.isDirectory, "the bootstrap generation must survive")
@@ -236,14 +236,14 @@ class IndexManifestSpec extends SparkSpec {
         val d = new java.io.File(s"$root/gens/$name")
         assert(d.mkdirs()); d.toString
       }
-      IndexManifest.commit(spark, root, Seq(mkGen("g0")))
+      IndexManifest.commitUntagged(spark, root, Seq(mkGen("g0")))
       val writer = new Thread(() => {
         try {
           var live = IndexManifest.resolve(spark, root)
           for (i <- 1 to 6) {
             val g = mkGen(s"g$i")
             live = if (i % 3 == 0) Seq(g) else live :+ g
-            IndexManifest.commit(spark, root, live)
+            IndexManifest.commitUntagged(spark, root, live)
             orphans.add(mkGen(s"orphan$i")): Unit // crash debris
           }
         } catch { case t: Throwable => failure.compareAndSet(null, t) }
@@ -280,10 +280,155 @@ class IndexManifestSpec extends SparkSpec {
       }
       // (3) a final 0-horizon pass (no committer can be mid-write
       // now) reclaims all the planted debris
-      IndexManifest.sweepOrphans(spark, root, s"$root/gens")
+      IndexManifest.sweepOrphans(spark, root, s"$root/gens", minAgeMs = 0L)
       import scala.jdk.CollectionConverters._
       orphans.asScala.foreach(o => assert(!new java.io.File(o).exists,
         s"orphan $o survived the sweep"))
+    }
+  }
+
+  test("resolveParts: a composite commit resolves per family, from ONE manifest, atomically") {
+    withRoot { root =>
+      val both = Set(IndexManifest.PqCodebookFormat,
+        IndexManifest.IvfPqPostingsFormat)
+      // v1: codebook + coded postings land in ONE manifest
+      IndexManifest.commitTagged(spark, root, Seq(
+        "/gen/cb1" -> IndexManifest.PqCodebookFormat,
+        "/gen/p1a" -> IndexManifest.IvfPqPostingsFormat,
+        "/gen/p1b" -> IndexManifest.IvfPqPostingsFormat))
+      assert(IndexManifest.resolveParts(spark, root, both) === Map(
+        IndexManifest.PqCodebookFormat -> Seq("/gen/cb1"),
+        IndexManifest.IvfPqPostingsFormat -> Seq("/gen/p1a", "/gen/p1b")))
+      // v2 retrain: BOTH families switch in one commit — resolveParts
+      // can never return cb2 with p1 or cb1 with p2
+      IndexManifest.commitTagged(spark, root, Seq(
+        "/gen/cb2" -> IndexManifest.PqCodebookFormat,
+        "/gen/p2" -> IndexManifest.IvfPqPostingsFormat))
+      assert(IndexManifest.resolveParts(spark, root, both) === Map(
+        IndexManifest.PqCodebookFormat -> Seq("/gen/cb2"),
+        IndexManifest.IvfPqPostingsFormat -> Seq("/gen/p2")))
+    }
+  }
+
+  test("resolveParts fails loudly on a manifest missing a family, a foreign tag, or untagged rows") {
+    val both = Set(IndexManifest.PqCodebookFormat,
+      IndexManifest.IvfPqPostingsFormat)
+    // a commit that dropped one family's generation must fail at the
+    // protocol boundary, not at a downstream empty artifact read
+    withRoot { root =>
+      IndexManifest.commitTagged(spark, root,
+        Seq("/gen/p1" -> IndexManifest.IvfPqPostingsFormat))
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.resolveParts(spark, root, both)
+      }
+      assert(e.getMessage.contains(IndexManifest.PqCodebookFormat))
+    }
+    // a foreign family's generation in the composite set is a misread
+    withRoot { root =>
+      IndexManifest.commitTagged(spark, root, Seq(
+        "/gen/cb" -> IndexManifest.PqCodebookFormat,
+        "/gen/span" -> IndexManifest.SpanIndexFormat))
+      intercept[IllegalArgumentException] {
+        IndexManifest.resolveParts(spark, root, both)
+      }
+    }
+    // untagged rows: a composite index is post-tag by construction,
+    // so a null format here is a foreign writer, never legacy
+    withRoot { root =>
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/old"))
+      intercept[IllegalArgumentException] {
+        IndexManifest.resolveParts(spark, root, both)
+      }
+      // commitTagged itself refuses a null tag
+      intercept[IllegalArgumentException] {
+        IndexManifest.commitTagged(spark, root, Seq("/gen/x" -> null))
+      }
+    }
+  }
+
+  test("resolve is driver-side metadata: zero Spark jobs, cached per immutable manifest, and a NEW commit is seen immediately") {
+    withRoot { root =>
+      IndexManifest.clearRowsCache()
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/a"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        assert(IndexManifest.resolve(spark, root) === Seq("/gen/a"))
+        val afterFirst = IndexManifest.rowsCacheSize
+        assert(afterFirst >= 1, "first resolve must populate the cache")
+        // a second resolve re-LISTS (freshness) but re-reads nothing
+        assert(IndexManifest.resolve(spark, root) === Seq("/gen/a"))
+        assert(IndexManifest.rowsCacheSize === afterFirst)
+        // freshness: the cache keys manifests, never the listing — a
+        // new commit (a new m_<id> path) is visible on the very next
+        // resolve, no invalidation step anywhere
+        IndexManifest.commitUntagged(spark, root, Seq("/gen/a", "/gen/b"))
+        assert(IndexManifest.resolve(spark, root) ===
+          Seq("/gen/a", "/gen/b"))
+        // the commit's own write IS a Spark job; resolves are not —
+        // drain the listener bus long enough for any stray job event
+        Thread.sleep(500)
+        val committing = jobs.get()
+        assert(IndexManifest.resolve(spark, root) ===
+          Seq("/gen/a", "/gen/b"))
+        assert(IndexManifest.committedGens(spark, root) ===
+          Set("/gen/a", "/gen/b"))
+        Thread.sleep(500)
+        assert(jobs.get() === committing,
+          "resolve/committedGens must read manifests driver-side — " +
+            "no Spark job per metadata read (round-15 verdict #2)")
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+  }
+
+  test("compactIfNeeded: below the trigger is a pure read — no rewrite, no commit, nothing on disk changes") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val F = IndexManifest.SpanIndexFormat
+      val (a, b) = (mkGen("a"), mkGen("b"))
+      IndexManifest.commit(spark, root, Seq(a, b), F)
+      val idsBefore = IndexManifest.committedIds(spark, root)
+      val listing = new java.io.File(s"$root/gens").listFiles().toSeq
+        .map(f => (f.getName, f.lastModified)).sorted
+      val (live, ran) = IndexManifest.compactIfNeeded(spark, root, F,
+        maxGens = 2)(_ => fail("the no-op branch must never rewrite"))
+      assert(!ran && live === Seq(a, b))
+      assert(IndexManifest.committedIds(spark, root) === idsBefore,
+        "the no-op branch must not commit")
+      assert(new java.io.File(s"$root/gens").listFiles().toSeq
+        .map(f => (f.getName, f.lastModified)).sorted === listing,
+        "the no-op branch must leave every generation byte untouched")
+    }
+  }
+
+  test("compactIfNeeded: above the trigger folds the resolved set into ONE committed generation") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val F = IndexManifest.SpanIndexFormat
+      val gens = Seq(mkGen("a"), mkGen("b"), mkGen("c"))
+      IndexManifest.commit(spark, root, gens, F)
+      val (live, ran) = IndexManifest.compactIfNeeded(spark, root, F,
+        maxGens = 2) { resolved =>
+        assert(resolved === gens, "rewrite must see the full live set")
+        mkGen("folded")
+      }
+      assert(ran && live === Seq(s"$root/gens/folded"))
+      assert(IndexManifest.resolve(spark, root, F) === live,
+        "the switch commit must make the folded generation the head")
+      // the fold is layout work, not retention: the pre-compaction
+      // snapshot stays committed until retire
+      assert(IndexManifest.committedIds(spark, root).size === 2)
     }
   }
 
@@ -317,7 +462,7 @@ class IndexManifestSpec extends SparkSpec {
             // alternate grow (refresh) and switch (compaction) commits
             live = if (i % 3 == 0) Seq(g) else live :+ g
             committedSets.add(live) // record BEFORE visibility
-            IndexManifest.commit(spark, root, live)
+            IndexManifest.commitUntagged(spark, root, live)
             if (i % 2 == 0) {
               IndexManifest.retire(spark, root, keepLast = 2)
               // (3): race-free here — this thread is the only deleter
@@ -349,7 +494,7 @@ class IndexManifestSpec extends SparkSpec {
       // a loud error by contract, not part of this race)
       val g0 = mkGen("g0")
       committedSets.add(Seq(g0))
-      IndexManifest.commit(spark, root, Seq(g0))
+      IndexManifest.commitUntagged(spark, root, Seq(g0))
       writer.start(); reader.start()
       writer.join(120000); reader.join(120000)
       assert(failure.get() == null,
