@@ -10370,4 +10370,77 @@ object OracleSql {
        |  CAST(ssd AS DOUBLE) / CAST(n_segments AS DOUBLE) / $rate AS sdnni_s
        |FROM sgc""".stripMargin
   }
+
+  /** Q329 — IVF-PQ composite search (mirrors Similarity.ivfPqSearch):
+    * the same ADC arithmetic restated inline over the raw embeddings
+    * table under the RETRAINED state the switch must serve — lists
+    * from the frozen existing-stratum quantizer (the q298 assignment
+    * CTEs), codes from the full-corpus codebook (the q317 retrain:
+    * pqEncodeCtes with cbFrom = 'e', both strata encoded), candidates
+    * reconstructed through the codebook and scored by the pinned
+    * probe·reconstruction dot, top-k per probe over the probed lists.
+    * A stale v1 codebook, a mixed-version read, or a code/decode bug
+    * through the persisted layout all break this compare.
+    */
+  def q329IvfPqSearch(nCentroids: Int = 8, nSub: Int = 8,
+                      subDim: Int = 8, codebookK: Int = 16,
+                      modN: Int = 5, nProbe: Int = 2, k: Int = 5,
+                      dim: Int = 64): String =
+    s"""WITH ${vecSplitCtes(modN)},
+       |${sliceAssignCtes(nCentroids, dim)},
+       |lists AS (SELECT vec_id, cid AS list_id FROM asg WHERE crk = 1),
+       |pl AS (
+       |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id
+       |  FROM asg WHERE vec_id < 3 AND crk <= $nProbe
+       |),
+       |${pqEncodeCtes(nSub, subDim, codebookK, "e", subPred = "TRUE")},
+       |code AS (
+       |  SELECT b.vec_id, b.j, c.cv FROM best b
+       |  JOIN cb c ON c.j = b.j AND c.cw = b.cw WHERE b.rk = 1
+       |),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(cv ORDER BY j)) AS rvec
+       |  FROM code GROUP BY vec_id
+       |),
+       |cs AS (
+       |  SELECT p.probe_id, l.vec_id,
+       |    ${sumTerms("p.pe", "r.rvec", dim)} AS score
+       |  FROM pl p JOIN lists l USING (list_id)
+       |  JOIN recon r ON r.vec_id = l.vec_id
+       |  WHERE l.vec_id <> p.probe_id
+       |),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, vec_id) AS rnk
+       |  FROM cs
+       |)
+       |SELECT probe_id, vec_id, score, rnk FROM rk WHERE rnk <= $k""".stripMargin
+
+  /** Q330 — lifecycle recall certification (mirrors
+    * Similarity.lifecycleRecall): the q90 recall tail with the approx
+    * side swapped from the inline q16c index to the state the q318
+    * composition serves — which the three-day refresh→compact→retire
+    * life must leave exactly equal to the q298 day-2 search (q325's
+    * argument on the postings family). Per probe, |served ∩ exact|/k;
+    * a slice dropped by a refresh, leaked by a compaction, or deleted
+    * by an over-eager GC shifts the served top-k and breaks the
+    * compare.
+    */
+  def q330LifecycleRecall(k: Int = 5): String =
+    s"""WITH truth AS (
+       |  SELECT probe_id, vec_id FROM (${q16CosineTopK(k = k)}) t
+       |),
+       |approx AS (
+       |  SELECT probe_id, vec_id FROM (${q298IvfDayTwoSearch(k = k)}) a
+       |),
+       |hits AS (
+       |  SELECT t.probe_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx x
+       |    ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $k AS recall
+       |FROM (SELECT DISTINCT probe_id FROM truth) p
+       |LEFT JOIN hits h USING (probe_id)""".stripMargin
 }

@@ -502,7 +502,11 @@ object SparkEntry {
     "q327_stream_sig_retention" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamSigRetentionFixture(s, dir)),
     "q328_stream_ann_retention" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamAnnRetentionFixture(s, dir))
+      graft.streaming.StreamingOps.streamAnnRetentionFixture(s, dir)),
+    "q329_ivfpq_search" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
+    "q330_lifecycle_recall" -> ((s, dir) =>
+      Similarity.lifecycleRecall(s, dir)),
+    "q331_span_soak_trigger" -> ((s, dir) => Dedup.spanSoakTriggered(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -955,6 +959,18 @@ object SparkEntry {
     // per-batch deltas union to exactly the incoming stratum, and the
     // post-stream search over the resolved (compacted, GC-survived)
     // set must equal the batch day-2 search (q298's shared oracle)
-    "q328_stream_ann_retention" -> OracleSql.q298IvfDayTwoSearch()
+    "q328_stream_ann_retention" -> OracleSql.q298IvfDayTwoSearch(),
+    // the composite switch must serve the RETRAINED codebook with the
+    // postings coded under it — the oracle restates the ADC search
+    // inline under the full-corpus codebook, so a stale or
+    // mixed-version read breaks the compare
+    "q329_ivfpq_search" -> OracleSql.q329IvfPqSearch(),
+    // recall of the lifecycle-SERVED index against full-corpus brute
+    // force: the soak leaves the served state exactly equal to the
+    // q298 search, so the oracle is q90's tail over that approx side
+    "q330_lifecycle_recall" -> OracleSql.q330LifecycleRecall(),
+    // compaction CADENCE changes layout and cost timing, never
+    // content: the triggered soak's final scrub shares q325's oracle
+    "q331_span_soak_trigger" -> OracleSql.q288SpanScrubDayTwo()
   )
 }

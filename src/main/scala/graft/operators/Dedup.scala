@@ -2093,6 +2093,87 @@ object Dedup {
           IndexManifest.SpanIndexFormat)), w))
   }
 
+  /** Q331 — the q325 soak driven through the COMPACTION TRIGGER
+    * (round-15 verdict #4): production does not compact every day —
+    * it compacts when the live generation count exceeds a threshold
+    * (SURVEY §6.0's file-count trigger; the Delta OPTIMIZE cadence).
+    * Same three ingest days as q325, but each day runs
+    * [[IndexManifest.compactIfNeeded]](maxGens = 2) instead of an
+    * unconditional fold: day 0 ends at two generations (base + d0) —
+    * a pure read, nothing rewritten or committed; day 1 would reach
+    * three, so the trigger folds them to one and commits the switch;
+    * day 2 ends at two again (c + d2) — no-op. The final scrub reads
+    * whatever the last manifest resolves and is hash-identical to
+    * q325's (q288's shared oracle): compaction cadence changes
+    * LAYOUT and cost timing, never content — a trigger that skipped
+    * a needed fold, folded the wrong set, or dropped a generation
+    * breaks the compare. Spec-pinned: exactly ONE compaction across
+    * the three days, the no-op days leave every live generation
+    * byte-untouched on disk, and the final live set is the day-1
+    * fold plus the day-2 delta.
+    *
+    * Scale shape: this is the steady-state cost story made real —
+    * refreshes stay O(|slice|) every day, and the index-sized
+    * rewrite is paid only when small files actually accumulate,
+    * amortized by maxGens instead of billed per day.
+    */
+  def spanSoakTriggered(s: SparkSession, dir: String, w: Int = 8,
+                        modN: Int = 5, nShards: Int = 8,
+                        maxGens: Int = 2): DataFrame =
+    spanTrigParts(s, dir, w, modN, nShards, maxGens)._4
+
+  /** Test-visible q331 split: (manifest root, per-day compaction
+    * flags, final live set, scrub). */
+  private[graft] def spanTrigParts(s: SparkSession, dir: String, w: Int,
+                                   modN: Int, nShards: Int, maxGens: Int)
+      : (String, Seq[Boolean], Seq[String], DataFrame) = {
+    val m = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("inc:"), col("doc_id").cast("string")))) % modN
+    val d = docs(s, dir).withColumn("gen",
+      when(m === 0L, lit(1)).when(m === 1L, lit(2)).otherwise(lit(0)))
+    val existing = d.filter(col("gen") === 0).drop("gen")
+    val day1 = d.filter(col("gen") === 1).drop("gen")
+    val day2 = d.filter(col("gen") === 2).drop("gen")
+    val slice = Relational.scrambleMod(TextHash.polyHash(
+      concat(lit("soakspan:"), col("doc_id").cast("string")))) % 3
+    val params = Seq(w.toString, modN.toString, nShards.toString)
+    def gen(tag: String)(index: DataFrame): String = {
+      val out = ArtifactStore.invocationDir(s"span_trig_$tag",
+        (dir +: params): _*)
+      layShards(index, out, nShards,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      out
+    }
+    val root = ArtifactStore.invocationDir("span_manifest_trig",
+      (dir +: params): _*)
+    val base = gen("base")(
+      spanOccurrences(existing, w).select(col("h")).distinct())
+    IndexManifest.commit(s, root, Seq(base), IndexManifest.SpanIndexFormat)
+    var live = Seq(base)
+    val ran = Seq.newBuilder[Boolean]
+    for (day <- 0 until 3) {
+      // refresh: the day's slice novelty against the LIVE index
+      val delta = gen(s"d$day")(
+        spanOccurrences(day1.filter(slice === day), w)
+          .select(col("h")).distinct()
+          .join(readSpanIndexDirs(s, live), Seq("h"), "left_anti"))
+      IndexManifest.commit(s, root, live :+ delta,
+        IndexManifest.SpanIndexFormat)
+      // OPTIMIZE only when the live set exceeds the trigger
+      val (after, folded) = IndexManifest.compactIfNeeded(s, root,
+        IndexManifest.SpanIndexFormat, maxGens)(resolved =>
+        gen(s"c$day")(readSpanIndexDirs(s, resolved)))
+      ran += folded
+      // VACUUM: retire everything outside the kept window
+      IndexManifest.retire(s, root, keepLast = 2): Unit
+      live = after
+    }
+    (root, ran.result(), live,
+      scrubIncomingWith(day2,
+        readSpanIndexDirs(s, IndexManifest.resolve(s, root,
+          IndexManifest.SpanIndexFormat)), w))
+  }
+
   /** Q289 — span-index COMPACTION (the OPTIMIZE step, round-12
     * verdict #1): each refresh leaves one more delta generation per
     * shard, so a daily pipeline accumulates small files without

@@ -918,6 +918,61 @@ class PlanQualitySpec extends SparkSpec {
       s"q325 scrub reads a superseded generation:\n$fmt")
   }
 
+  test("q329: ADC search reads the v2 coded postings through the v2 codebook; corpus scanned once; coded scan pruned") {
+    val df = SparkEntry.queries("q329_ivfpq_search")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_posts2"),
+      s"q329 must read the re-coded postings generation:\n$fmt")
+    assert(fmt.contains("ivfpq_cb2"),
+      s"q329 must decode through the retrained codebook:\n$fmt")
+    // the atomic-switch contract, visible in the plan: neither half of
+    // the retired v1 pair is read — a mixed-version read (v2 codes
+    // decoded through v1 codewords) would be silently wrong
+    assert(!fmt.contains("ivfpq_posts1") && !fmt.contains("ivfpq_cb1"),
+      s"q329 reads a retired v1 generation:\n$fmt")
+    // exactly ONE embeddings scan (the probes); candidates come from
+    // the coded artifact — 32× less bandwidth than raw floats
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+    // the IVF half of the trade: the coded scan is
+    // dynamic-partition-pruned to the probes' nProbe lists
+    assert(fmt.contains("dynamicpruning"),
+      s"q329 coded scan must prune to the probed lists:\n$fmt")
+  }
+
+  test("q330: the certified side reads ONLY the day-3 compacted lifecycle generation") {
+    val df = SparkEntry.queries("q330_lifecycle_recall")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivf_postings_lrcc2"),
+      s"q330 must certify the day-3 compacted generation:\n$fmt")
+    assert(!fmt.contains("lrcbase") && !fmt.contains("lrcd") &&
+      !fmt.contains("lrcc0") && !fmt.contains("lrcc1"),
+      s"q330 certifies a superseded generation:\n$fmt")
+    // three embeddings scans BY DESIGN: the brute-force truth side
+    // (probes + corpus — the certification's one-off cost) and the
+    // served side's probes; the INDEX side contributes zero — served
+    // candidates come from the resolved artifact
+    assert(embScans(fmt) === 3,
+      s"expected 3 embeddings scans (truth probes+corpus, served " +
+        s"probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q331: the triggered-soak scrub reads the day-1 fold and the day-2 delta — nothing else") {
+    val (_, _, _, scrub) =
+      graft.operators.Dedup.spanTrigParts(spark, sfDir, 8, 5, 8, 2)
+    scrub.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(scrub)
+    assert(fmt.contains("span_trig_c1") && fmt.contains("span_trig_d2"),
+      s"q331 scrub must read the day-1 fold and the day-2 delta:\n$fmt")
+    assert(!fmt.contains("span_trig_base") && !fmt.contains("span_trig_d0") &&
+      !fmt.contains("span_trig_d1") && !fmt.contains("span_trig_c0") &&
+      !fmt.contains("span_trig_c2"),
+      s"q331 scrub reads a generation the trigger never made live:\n$fmt")
+  }
+
   test("q324: time-travel clustering probes ONLY the pre-compaction generations") {
     // the content test (q324 == q38) cannot catch a resolveAt that
     // leaked the compacted generation — duplicated signature rows are

@@ -1022,6 +1022,51 @@ class SimilaritySpec extends SparkSpec {
         "read leaked the switch")
   }
 
+  test("q329: the composite switch serves the retrained codebook+postings pair from ONE manifest — never a mixed version") {
+    val dir = "/root/testdata/sf0.001"
+    val (root, parts, search) =
+      Similarity.ivfPqParts(spark, dir, 8, 8, 8, 16, 5, 2, 5)
+    // both families resolve from the SAME (latest) commit: the v2 pair
+    val cbs = parts(graft.operators.IndexManifest.PqCodebookFormat)
+    val posts = parts(graft.operators.IndexManifest.IvfPqPostingsFormat)
+    assert(cbs.size === 1 && cbs.head.contains("ivfpq_cb2"),
+      s"switch must serve the retrained codebook: $cbs")
+    assert(posts.size === 1 && posts.head.contains("ivfpq_posts2"),
+      s"switch must serve the re-coded postings: $posts")
+    // the v1 pair stays committed (time travel) but is not served
+    assert(graft.operators.IndexManifest.committedIds(spark, root)
+      .size === 2)
+    val snap1 = graft.operators.IndexManifest.committedIds(spark, root).head
+    val v1 = graft.operators.IndexManifest.resolveAt(spark, root, snap1)
+    assert(v1.exists(_.contains("ivfpq_cb1")) &&
+      v1.exists(_.contains("ivfpq_posts1")),
+      s"the day-1 snapshot must pin the frozen pair: $v1")
+    // every persisted posting carries exactly nSub codes — the
+    // 32×-smaller row the composite layout exists for
+    val badLen = Similarity.readIvfPqPostings(spark, posts.head)
+      .filter(org.apache.spark.sql.functions.size(col("codes")) =!= 8)
+      .count()
+    assert(badLen === 0L, s"$badLen postings rows without nSub codes")
+    // and the served search is non-degenerate (the oracle pins its
+    // exact content against the inline v2 ADC restatement)
+    assert(search.count() > 0)
+  }
+
+  test("q330: lifecycle recall is 1.0 on every probe when nProbe = nCentroids — probing every list IS the exact scan") {
+    val dir = "/root/testdata/sf0.001"
+    val (_, recall) =
+      Similarity.lifecycleRecallParts(spark, dir, 8, 5, 8, 5)
+    val rows = recall.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall")))
+    assert(rows.length === 3, s"expected the 3 fixed probes: ${rows.toSeq}")
+    rows.foreach { case (p, n, rc) =>
+      assert(n === 5L && rc === 1.0,
+        s"probe $p: recall $rc ($n/5) — the lifecycle-served index " +
+          "missed true neighbours even with every list probed")
+    }
+  }
+
   test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_postings_spec").toString

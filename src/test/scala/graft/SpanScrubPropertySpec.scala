@@ -195,6 +195,30 @@ class SpanScrubPropertySpec extends SparkSpec {
     }
   }
 
+  test("q331: the triggered soak compacts exactly once — no-op days rewrite nothing, content == q288") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = collectRows(Dedup.spanScrubDayTwo(spark, dir))
+    val (root, ran, live, scrub) = Dedup.spanTrigParts(spark, dir, 8, 5, 8,
+      maxGens = 2)
+    // cadence: day 0 ends at base+d0 (2 ≤ maxGens, pure read), day 1
+    // reaches 3 and folds, day 2 ends at c1+d2 (no-op again)
+    assert(ran === Seq(false, true, false),
+      s"expected exactly the day-1 compaction, got $ran")
+    assert(live.size === 2 && live.head.contains("span_trig_c1") &&
+      live(1).contains("span_trig_d2"),
+      s"final live set must be the day-1 fold plus the day-2 delta: $live")
+    assert(graft.operators.IndexManifest.resolve(spark, root) === live)
+    // the no-op days really wrote nothing: the only compaction dir on
+    // disk under this invocation's roots is the day-1 fold
+    val cDirs = live ++ graft.operators.IndexManifest
+      .committedGens(spark, root)
+    assert(cDirs.filter(_.contains("span_trig_c")).toSet.size === 1,
+      s"a no-op day materialized a compaction: $cDirs")
+    // content: compaction CADENCE never changes what the index holds —
+    // the final scrub equals q288's (q325's shared-oracle argument)
+    assert(collectRows(scrub) === direct)
+  }
+
   /** Sequential q290 semantics at span-CONTENT level: n_before = all
     * distinct spans, a span is purged iff NO surviving doc contains
     * it. Shard assignment is hash arithmetic the content-level
