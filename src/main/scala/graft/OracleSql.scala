@@ -10443,4 +10443,27 @@ object OracleSql {
        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $k AS recall
        |FROM (SELECT DISTINCT probe_id FROM truth) p
        |LEFT JOIN hits h USING (probe_id)""".stripMargin
+
+  /** Q332 — IVF-PQ recall certification (mirrors
+    * Similarity.ivfPqRecall): the q90 recall tail with the approx
+    * side swapped to the q329 composite ADC search — exact cosine
+    * truth vs coded-index answers, per probe, integer-exact.
+    */
+  def q332IvfPqRecall(k: Int = 5): String =
+    s"""WITH truth AS (
+       |  SELECT probe_id, vec_id FROM (${q16CosineTopK(k = k)}) t
+       |),
+       |approx AS (
+       |  SELECT probe_id, vec_id FROM (${q329IvfPqSearch(k = k)}) a
+       |),
+       |hits AS (
+       |  SELECT t.probe_id, count(*) AS n_hit
+       |  FROM truth t JOIN approx x
+       |    ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $k AS recall
+       |FROM (SELECT DISTINCT probe_id FROM truth) p
+       |LEFT JOIN hits h USING (probe_id)""".stripMargin
 }

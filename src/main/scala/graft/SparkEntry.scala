@@ -506,7 +506,8 @@ object SparkEntry {
     "q329_ivfpq_search" -> ((s, dir) => Similarity.ivfPqSearch(s, dir)),
     "q330_lifecycle_recall" -> ((s, dir) =>
       Similarity.lifecycleRecall(s, dir)),
-    "q331_span_soak_trigger" -> ((s, dir) => Dedup.spanSoakTriggered(s, dir))
+    "q331_span_soak_trigger" -> ((s, dir) => Dedup.spanSoakTriggered(s, dir)),
+    "q332_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -971,6 +972,9 @@ object SparkEntry {
     "q330_lifecycle_recall" -> OracleSql.q330LifecycleRecall(),
     // compaction CADENCE changes layout and cost timing, never
     // content: the triggered soak's final scrub shares q325's oracle
-    "q331_span_soak_trigger" -> OracleSql.q288SpanScrubDayTwo()
+    "q331_span_soak_trigger" -> OracleSql.q288SpanScrubDayTwo(),
+    // recall of the COMPOSITE coded index against exact cosine truth —
+    // q90's tail with the approx side swapped to the q329 ADC search
+    "q332_ivfpq_recall" -> OracleSql.q332IvfPqRecall()
   )
 }

@@ -1285,6 +1285,31 @@ object Similarity {
       ivfPqAdcSearch(probesFor(e, cent, nProbe), coded, cb, k))
   }
 
+  /** Q332 — IVF-PQ recall certification: q90's recall@k pointed at
+    * the COMPOSITE index (q329) — per probe, |ADC top-k ∩ exact
+    * cosine top-k| / k. This is the number that tunes the
+    * quantization trade (nSub, codebookK, nProbe): q90 certifies the
+    * IVF approximation alone (raw vectors, fewer lists scanned); this
+    * adds the PQ approximation (coded vectors, reconstruction error,
+    * and dot-vs-cosine ranking drift on unnormalized corpora) on top.
+    * Spec-pinned exact-in-the-limit: with EVERY vector a codeword
+    * (codebookK = corpus size → zero reconstruction error) and every
+    * list probed, the ADC search degrades to exact max-inner-product
+    * search, score-for-score.
+    *
+    * Scale shape: the brute-force side is the certification's
+    * one-off sampled-probe cost (the q90 discipline); the ADC side is
+    * q329's steady-state search. A production pipeline runs this
+    * after every retrain to decide whether the coded index may keep
+    * serving.
+    */
+  def ivfPqRecall(s: SparkSession, dir: String, nCentroids: Int = 8,
+                  nSub: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                  modN: Int = 5, nProbe: Int = 2, k: Int = 5): DataFrame =
+    recallOf(bruteForceTopK(s, dir, k),
+      ivfPqSearch(s, dir, nCentroids, nSub, subDim, codebookK, modN,
+        nProbe, k), k)
+
   /** Q330 — LIFECYCLE recall certification (round-15 verdict #3):
     * q90's recall@k pointed at the index a lifecycle actually SERVES.
     * The q318 refresh→compact→retire composition replays on its own

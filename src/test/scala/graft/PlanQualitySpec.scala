@@ -959,6 +959,20 @@ class PlanQualitySpec extends SparkSpec {
         s"probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q332: the certified ADC side reads the v2 coded artifact, never a v1 generation") {
+    val df = SparkEntry.queries("q332_ivfpq_recall")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_posts2") && fmt.contains("ivfpq_cb2"),
+      s"q332 must certify the served v2 pair:\n$fmt")
+    assert(!fmt.contains("ivfpq_posts1") && !fmt.contains("ivfpq_cb1"),
+      s"q332 certifies a retired v1 generation:\n$fmt")
+    // truth probes + truth corpus + ADC probes; the coded side
+    // contributes zero embeddings scans
+    assert(embScans(fmt) === 3,
+      s"expected 3 embeddings scans, got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q331: the triggered-soak scrub reads the day-1 fold and the day-2 delta — nothing else") {
     val (_, _, _, scrub) =
       graft.operators.Dedup.spanTrigParts(spark, sfDir, 8, 5, 8, 2)
