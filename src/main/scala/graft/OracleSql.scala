@@ -10381,11 +10381,17 @@ object OracleSql {
     * probe·reconstruction dot, top-k per probe over the probed lists.
     * A stale v1 codebook, a mixed-version read, or a code/decode bug
     * through the persisted layout all break this compare.
+    *
+    * `cbFrom = "ex"` is the FROZEN-codebook variant (codewords from
+    * the existing stratum, the q302 discipline) shared by the q333
+    * day-2 search, the q334 compaction (layout-only), and the q335
+    * time travel (the q329 root's v1 snapshot IS the full corpus
+    * coded under the frozen codebook).
     */
   def q329IvfPqSearch(nCentroids: Int = 8, nSub: Int = 8,
                       subDim: Int = 8, codebookK: Int = 16,
                       modN: Int = 5, nProbe: Int = 2, k: Int = 5,
-                      dim: Int = 64): String =
+                      dim: Int = 64, cbFrom: String = "e"): String =
     s"""WITH ${vecSplitCtes(modN)},
        |${sliceAssignCtes(nCentroids, dim)},
        |lists AS (SELECT vec_id, cid AS list_id FROM asg WHERE crk = 1),
@@ -10393,7 +10399,7 @@ object OracleSql {
        |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id
        |  FROM asg WHERE vec_id < 3 AND crk <= $nProbe
        |),
-       |${pqEncodeCtes(nSub, subDim, codebookK, "e", subPred = "TRUE")},
+       |${pqEncodeCtes(nSub, subDim, codebookK, cbFrom, subPred = "TRUE")},
        |code AS (
        |  SELECT b.vec_id, b.j, c.cv FROM best b
        |  JOIN cb c ON c.j = b.j AND c.cw = b.cw WHERE b.rk = 1

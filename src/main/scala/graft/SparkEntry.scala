@@ -507,7 +507,12 @@ object SparkEntry {
     "q330_lifecycle_recall" -> ((s, dir) =>
       Similarity.lifecycleRecall(s, dir)),
     "q331_span_soak_trigger" -> ((s, dir) => Dedup.spanSoakTriggered(s, dir)),
-    "q332_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir))
+    "q332_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecall(s, dir)),
+    "q333_ivfpq_day2_search" -> ((s, dir) =>
+      Similarity.ivfPqDayTwoSearch(s, dir)),
+    "q334_ivfpq_compact" -> ((s, dir) => Similarity.ivfPqCompact(s, dir)),
+    "q335_ivfpq_time_travel" -> ((s, dir) =>
+      Similarity.ivfPqTimeTravel(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -975,6 +980,17 @@ object SparkEntry {
     "q331_span_soak_trigger" -> OracleSql.q288SpanScrubDayTwo(),
     // recall of the COMPOSITE coded index against exact cosine truth —
     // q90's tail with the approx side swapped to the q329 ADC search
-    "q332_ivfpq_recall" -> OracleSql.q332IvfPqRecall()
+    "q332_ivfpq_recall" -> OracleSql.q332IvfPqRecall(),
+    // day-2 composite search: base ∪ coded delta under the FROZEN
+    // codebook — the inline ADC restatement with cbFrom = 'ex'
+    "q333_ivfpq_day2_search" -> OracleSql.q329IvfPqSearch(cbFrom = "ex"),
+    // folding codes never retrains them: the compacted search must be
+    // hash-identical to q333's, so q334 shares its oracle
+    "q334_ivfpq_compact" -> OracleSql.q329IvfPqSearch(cbFrom = "ex"),
+    // resolvePartsAt pinned to v1 serves yesterday's codebook WITH
+    // yesterday's codes — the v1 postings ARE the corpus coded under
+    // the frozen codebook, so q335 shares q333's oracle while the
+    // latest read (q329) produces the retrained search
+    "q335_ivfpq_time_travel" -> OracleSql.q329IvfPqSearch(cbFrom = "ex")
   )
 }

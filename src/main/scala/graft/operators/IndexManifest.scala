@@ -201,25 +201,47 @@ object IndexManifest {
     * ONE manifest id, which is the cross-family consistency contract:
     * a q317-style retrain can never serve mixed versions. */
   def resolveParts(s: SparkSession, root: String,
-                   expectFormats: Set[String]): Map[String, Seq[String]] = {
+                   expectFormats: Set[String]): Map[String, Seq[String]] =
+    withLatest(s, root)((_, st) => partsOf(s, st, expectFormats))
+
+  /** COMPOSITE time travel — [[resolveAt]] for [[commitTagged]]
+    * manifests: the per-family generation dirs of a SPECIFIC committed
+    * snapshot. The same cross-family consistency contract as
+    * [[resolveParts]], pinned to the past: re-running yesterday's
+    * IVF-PQ job returns yesterday's codebook WITH yesterday's codes —
+    * never a mix — and a GC'd or never-committed snapshot fails
+    * loudly. */
+  def resolvePartsAt(s: SparkSession, root: String, id: Long,
+                     expectFormats: Set[String]): Map[String, Seq[String]] = {
+    val c = committed(s, root).toMap
+    require(c.contains(id), s"manifest m_$id is not committed under $root")
+    partsOf(s, c(id), expectFormats)
+  }
+
+  /** The shared composite read: every row must carry one of
+    * `expectFormats` (untagged rows are rejected: a composite index is
+    * post-tag by construction, so a null here is a foreign writer) and
+    * every expected format must be PRESENT — a commit that dropped one
+    * family's generation fails here, at the protocol boundary, not at
+    * a downstream empty artifact read. */
+  private def partsOf(s: SparkSession, st: FileStatus,
+                      expectFormats: Set[String]): Map[String, Seq[String]] = {
     require(expectFormats.nonEmpty && !expectFormats.contains(null),
-      "resolveParts requires the expected family format tags")
-    withLatest(s, root) { (_, st) =>
-      val rows = rowsOf(s, st)
-      rows.foreach { case (_, g, fmt) =>
-        require(fmt != null && expectFormats(fmt),
-          s"manifest ${st.getPath} names generation '$g' with format " +
-            s"'$fmt' but this composite reader expects one of " +
-            s"${expectFormats.toSeq.sorted.mkString("{", ", ", "}")} — " +
-            "refusing to misread a generation written by a different " +
-            "index family or a newer layout version")
-      }
-      val byFmt = rows.groupBy(_._3).map { case (f, rs) => f -> rs.map(_._2) }
-      expectFormats.foreach(f => require(byFmt.contains(f),
-        s"manifest ${st.getPath} names no '$f' generation — a composite " +
-          "commit must name every family's generation atomically"))
-      byFmt
+      "a composite read requires the expected family format tags")
+    val rows = rowsOf(s, st)
+    rows.foreach { case (_, g, fmt) =>
+      require(fmt != null && expectFormats(fmt),
+        s"manifest ${st.getPath} names generation '$g' with format " +
+          s"'$fmt' but this composite reader expects one of " +
+          s"${expectFormats.toSeq.sorted.mkString("{", ", ", "}")} — " +
+          "refusing to misread a generation written by a different " +
+          "index family or a newer layout version")
     }
+    val byFmt = rows.groupBy(_._3).map { case (f, rs) => f -> rs.map(_._2) }
+    expectFormats.foreach(f => require(byFmt.contains(f),
+      s"manifest ${st.getPath} names no '$f' generation — a composite " +
+        "commit must name every family's generation atomically"))
+    byFmt
   }
 
   /** The resolve retry loop shared by [[resolve]] and

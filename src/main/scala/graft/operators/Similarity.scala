@@ -1285,6 +1285,185 @@ object Similarity {
       ivfPqAdcSearch(probesFor(e, cent, nProbe), coded, cb, k))
   }
 
+  /** The shared q333/q334 day-2 composite state: existing/incoming
+    * split, a write-once frozen quantizer AND frozen codebook (both
+    * trained on the existing stratum — the q297/q302 disciplines),
+    * write-once BASE coded postings (existing stratum) and a
+    * write-once day-1 coded DELTA (incoming stratum, coded under the
+    * SAME frozen codebook — an unseen vector always encodes, the q302
+    * totality argument). All memoized under the caller's family
+    * prefix: day-1 work is fixture state, the measured operator is
+    * the search (the q298 discipline). */
+  private def dayTwoCoded(s: SparkSession, dir: String, fam: String,
+                          nCentroids: Int, nSub: Int, subDim: Int,
+                          codebookK: Int, modN: Int)
+      : (DataFrame, String, Seq[String]) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, s"${fam}_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    val cb = ArtifactStore.materialized(s, s"${fam}_cb",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    def gen(tag: String, slice: DataFrame): String =
+      ArtifactStore.materialized(s, s"${fam}_$tag",
+        embFingerprint(s, dir), (dir +: params): _*)(out =>
+        writeIvfPqPostings(codedListsFor(slice, cent,
+          readPqCodebook(s, cb), nSub, subDim), out))
+    (cent, cb,
+      Seq(gen("base", e.filter(!inc)), gen("delta", e.filter(inc))))
+  }
+
+  /** The q329 search tail from explicit composite parts. */
+  private def ivfPqSearchFrom(s: SparkSession, dir: String,
+                              cent: DataFrame, cbDirs: Seq[String],
+                              postDirs: Seq[String], nProbe: Int,
+                              k: Int): DataFrame =
+    ivfPqAdcSearch(probesFor(embDoubles(s, dir), cent, nProbe),
+      postDirs.map(readIvfPqPostings(s, _)).reduce(_ unionAll _)
+        .withColumnRenamed("list", "list_id"),
+      readPqCodebookDirs(s, cbDirs), k)
+
+  /** Q333 — composite DAY-2 search: the q298 refresh-consumption step
+    * on the IVF-PQ family. The incoming shard is coded under the
+    * FROZEN day-1 codebook and lands as a coded DELTA generation —
+    * base files never rewritten, the codebook unchanged — and two
+    * composite commits replay the life (codebook+base, then
+    * codebook+base+delta). The search reads whatever resolveParts
+    * serves: a hit on a day-2 vector proves the delta generation is
+    * read, a day-1 hit proves the base still serves, and the output
+    * equals the inline ADC restatement under the frozen codebook
+    * (q329's oracle with cbFrom = 'ex') — so a dropped delta, a
+    * re-coded base, or a drifted codebook all break the compare.
+    *
+    * Scale shape: the refresh is O(|incoming|) — one encode against
+    * the broadcast KB codebook, one list-keyed shuffle of code-sized
+    * rows, zero corpus re-encode; the search is q329's steady-state
+    * scan. This is the composite family's nightly maintenance +
+    * every-query path.
+    */
+  def ivfPqDayTwoSearch(s: SparkSession, dir: String, nCentroids: Int = 8,
+                        nSub: Int = 8, subDim: Int = 8,
+                        codebookK: Int = 16, modN: Int = 5,
+                        nProbe: Int = 2, k: Int = 5): DataFrame = {
+    val (cent, cb, gens) = dayTwoCoded(s, dir, "ivfpq_d2",
+      nCentroids, nSub, subDim, codebookK, modN)
+    val root = ArtifactStore.invocationDir("ivfpq_manifest_d2", dir)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      gens.head -> IndexManifest.IvfPqPostingsFormat))
+    IndexManifest.commitTagged(s, root,
+      (cb -> IndexManifest.PqCodebookFormat) +:
+        gens.map(_ -> IndexManifest.IvfPqPostingsFormat))
+    val parts = IndexManifest.resolveParts(s, root,
+      Set(IndexManifest.PqCodebookFormat, IndexManifest.IvfPqPostingsFormat))
+    ivfPqSearchFrom(s, dir, cent, parts(IndexManifest.PqCodebookFormat),
+      parts(IndexManifest.IvfPqPostingsFormat), nProbe, k)
+  }
+
+  /** Q334 — composite COMPACTION: the OPTIMIZE step on the coded
+    * postings, with the codebook rolled forward UNCHANGED in the same
+    * composite commit (folding codes never retrains them — layout and
+    * versioning are orthogonal, which is exactly what commitTagged
+    * expresses: the switch re-names the live codebook beside the
+    * folded postings so readers still resolve ONE consistent pair).
+    * Output hash-identical to q333's (shared oracle): compaction
+    * changes layout, never content. Spec-pinned: one file per list
+    * after the fold.
+    *
+    * Scale shape: one list-keyed shuffle of code-sized rows — 32×
+    * cheaper than compacting raw postings, the quiet payoff of
+    * storing codes — run off-peak on the q331 trigger cadence.
+    */
+  def ivfPqCompact(s: SparkSession, dir: String, nCentroids: Int = 8,
+                   nSub: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                   modN: Int = 5, nProbe: Int = 2,
+                   k: Int = 5): DataFrame =
+    compactCoded(s, dir, nCentroids, nSub, subDim, codebookK, modN,
+      nProbe, k)._2
+
+  /** Test-visible q334 split: (compacted dir, search). */
+  private[graft] def compactCoded(s: SparkSession, dir: String,
+                                  nCentroids: Int, nSub: Int, subDim: Int,
+                                  codebookK: Int, modN: Int, nProbe: Int,
+                                  k: Int): (String, DataFrame) = {
+    val (cent, cb, gens) = dayTwoCoded(s, dir, "ivfpq_cmp",
+      nCentroids, nSub, subDim, codebookK, modN)
+    val root = ArtifactStore.invocationDir("ivfpq_manifest_cmp", dir)
+    IndexManifest.commitTagged(s, root,
+      (cb -> IndexManifest.PqCodebookFormat) +:
+        gens.map(_ -> IndexManifest.IvfPqPostingsFormat))
+    val folded = ArtifactStore.invocationDir("ivfpq_compact", dir)
+    writeIvfPqPostings(
+      gens.map(readIvfPqPostings(s, _)).reduce(_ unionAll _), folded)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      folded -> IndexManifest.IvfPqPostingsFormat))
+    val parts = IndexManifest.resolveParts(s, root,
+      Set(IndexManifest.PqCodebookFormat, IndexManifest.IvfPqPostingsFormat))
+    (folded, ivfPqSearchFrom(s, dir, cent,
+      parts(IndexManifest.PqCodebookFormat),
+      parts(IndexManifest.IvfPqPostingsFormat), nProbe, k))
+  }
+
+  /** Q335 — composite TIME TRAVEL (q321's reproducibility contract on
+    * the PAIRED artifact): the q329 life replays under this query's
+    * own tags — v1 (frozen codebook + corpus coded under it)
+    * committed, v2 (full-corpus retrain + re-code) committed as the
+    * switch — and the search runs from [[IndexManifest
+    * .resolvePartsAt]] pinned to the v1 snapshot: yesterday's codebook
+    * WITH yesterday's codes, never a mix. Output equals the inline
+    * ADC restatement under the FROZEN codebook (q333's shared oracle:
+    * the v1 postings ARE the full corpus coded under it), while the
+    * latest-manifest read (q329) produces the retrained search — the
+    * pair pins both directions of the composite switch exactly as
+    * q317/q321 pin them for the codebook alone.
+    */
+  def ivfPqTimeTravel(s: SparkSession, dir: String, nCentroids: Int = 8,
+                      nSub: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                      modN: Int = 5, nProbe: Int = 2,
+                      k: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivfpq_tt_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    val cb1 = ArtifactStore.materialized(s, "ivfpq_tt_cb1",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    val p1 = ArtifactStore.materialized(s, "ivfpq_tt_posts1",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writeIvfPqPostings(codedListsFor(e, cent, readPqCodebook(s, cb1),
+        nSub, subDim), out))
+    val root = ArtifactStore.invocationDir("ivfpq_manifest_tt",
+      (dir +: params): _*)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb1 -> IndexManifest.PqCodebookFormat,
+      p1 -> IndexManifest.IvfPqPostingsFormat))
+    val cb2 = ArtifactStore.invocationDir("ivfpq_tt_cb2",
+      (dir +: params): _*)
+    writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), cb2)
+    val p2 = ArtifactStore.invocationDir("ivfpq_tt_posts2",
+      (dir +: params): _*)
+    writeIvfPqPostings(codedListsFor(e, cent, readPqCodebook(s, cb2),
+      nSub, subDim), p2)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb2 -> IndexManifest.PqCodebookFormat,
+      p2 -> IndexManifest.IvfPqPostingsFormat))
+    val snap1 = IndexManifest.committedIds(s, root).head
+    val parts = IndexManifest.resolvePartsAt(s, root, snap1,
+      Set(IndexManifest.PqCodebookFormat, IndexManifest.IvfPqPostingsFormat))
+    ivfPqSearchFrom(s, dir, cent, parts(IndexManifest.PqCodebookFormat),
+      parts(IndexManifest.IvfPqPostingsFormat), nProbe, k)
+  }
+
   /** Q332 — IVF-PQ recall certification: q90's recall@k pointed at
     * the COMPOSITE index (q329) — per probe, |ADC top-k ∩ exact
     * cosine top-k| / k. This is the number that tunes the

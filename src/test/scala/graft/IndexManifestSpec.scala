@@ -310,6 +310,36 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("resolvePartsAt pins a composite snapshot — yesterday's pair, never a mix; uncommitted ids and part-less snapshots fail loudly") {
+    withRoot { root =>
+      val both = Set(IndexManifest.PqCodebookFormat,
+        IndexManifest.IvfPqPostingsFormat)
+      IndexManifest.commitTagged(spark, root, Seq(
+        "/gen/cb1" -> IndexManifest.PqCodebookFormat,
+        "/gen/p1" -> IndexManifest.IvfPqPostingsFormat))
+      IndexManifest.commitTagged(spark, root, Seq(
+        "/gen/cb2" -> IndexManifest.PqCodebookFormat,
+        "/gen/p2" -> IndexManifest.IvfPqPostingsFormat))
+      val ids = IndexManifest.committedIds(spark, root)
+      // the pinned snapshot is the WHOLE v1 pair — never cb1 with p2
+      assert(IndexManifest.resolvePartsAt(spark, root, ids.head, both)
+        === Map(IndexManifest.PqCodebookFormat -> Seq("/gen/cb1"),
+          IndexManifest.IvfPqPostingsFormat -> Seq("/gen/p1")))
+      // a never-committed id must not silently degrade to a neighbor
+      intercept[IllegalArgumentException] {
+        IndexManifest.resolvePartsAt(spark, root, 42L, both)
+      }
+      // a snapshot missing one family fails at the protocol boundary
+      IndexManifest.commitTagged(spark, root,
+        Seq("/gen/p3" -> IndexManifest.IvfPqPostingsFormat))
+      val lone = IndexManifest.committedIds(spark, root).last
+      val e = intercept[IllegalArgumentException] {
+        IndexManifest.resolvePartsAt(spark, root, lone, both)
+      }
+      assert(e.getMessage.contains(IndexManifest.PqCodebookFormat))
+    }
+  }
+
   test("resolveParts fails loudly on a manifest missing a family, a foreign tag, or untagged rows") {
     val both = Set(IndexManifest.PqCodebookFormat,
       IndexManifest.IvfPqPostingsFormat)

@@ -973,6 +973,46 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 3 embeddings scans, got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q333: day-2 composite search reads base AND coded delta through the frozen codebook; corpus scanned once") {
+    val df = SparkEntry.queries("q333_ivfpq_day2_search")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_d2_base") && fmt.contains("ivfpq_d2_delta"),
+      s"q333 must read both coded generations:\n$fmt")
+    assert(fmt.contains("ivfpq_d2_cb"),
+      s"q333 must decode through the frozen codebook artifact:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+    assert(fmt.contains("dynamicpruning"),
+      s"q333 coded scan must prune to the probed lists:\n$fmt")
+  }
+
+  test("q334: compacted composite search reads ONLY the folded generation; codebook unchanged") {
+    val df = SparkEntry.queries("q334_ivfpq_compact")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_compact"),
+      s"q334 must read the folded generation:\n$fmt")
+    assert(!fmt.contains("ivfpq_cmp_base") && !fmt.contains("ivfpq_cmp_delta"),
+      s"q334 reads a superseded pre-fold generation:\n$fmt")
+    assert(fmt.contains("ivfpq_cmp_cb"),
+      s"q334 must still decode through the same codebook:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
+  test("q335: composite time travel reads ONLY the v1 pair") {
+    val df = SparkEntry.queries("q335_ivfpq_time_travel")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_tt_cb1") && fmt.contains("ivfpq_tt_posts1"),
+      s"q335 must read the pinned v1 codebook+postings pair:\n$fmt")
+    assert(!fmt.contains("ivfpq_tt_cb2") && !fmt.contains("ivfpq_tt_posts2"),
+      s"q335 snapshot read leaks the composite switch:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q331: the triggered-soak scrub reads the day-1 fold and the day-2 delta — nothing else") {
     val (_, _, _, scrub) =
       graft.operators.Dedup.spanTrigParts(spark, sfDir, 8, 5, 8, 2)

@@ -1067,6 +1067,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q334: the composite compaction is one file per list; the codebook rolls forward unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val (folded, search) =
+      Similarity.compactCoded(spark, dir, 8, 8, 8, 16, 5, 2, 5)
+    val lists = new java.io.File(folded).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list="))
+    assert(lists.nonEmpty, s"no list dirs under $folded")
+    lists.foreach { ld =>
+      val parts = ld.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1,
+        s"list ${ld.getName} has ${parts.length} files after compaction")
+    }
+    assert(search.count() > 0)
+  }
+
+  test("q335: composite time travel serves yesterday's codebook WITH yesterday's codes — equal to the frozen day-2 state, not the retrained one") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val tt = rows(Similarity.ivfPqTimeTravel(spark, dir))
+    val frozen = rows(Similarity.ivfPqDayTwoSearch(spark, dir))
+    val switched = rows(Similarity.ivfPqSearch(spark, dir))
+    assert(tt.nonEmpty)
+    // the v1 postings ARE the corpus coded under the frozen codebook,
+    // so the pinned snapshot must reproduce the day-2 search exactly
+    assert(tt === frozen,
+      "time-travel search differs from the frozen-codebook search — " +
+        "resolvePartsAt did not serve the v1 pair")
+    // ...and must NOT equal the retrained search the live head serves
+    assert(tt !== switched,
+      "time-travel search equals the retrained search — the snapshot " +
+        "read leaked the composite switch")
+  }
+
   test("q332: with every vector a codeword and every list probed, ADC degrades to exact max-inner-product search") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
