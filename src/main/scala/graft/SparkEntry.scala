@@ -512,7 +512,8 @@ object SparkEntry {
       Similarity.ivfPqDayTwoSearch(s, dir)),
     "q334_ivfpq_compact" -> ((s, dir) => Similarity.ivfPqCompact(s, dir)),
     "q335_ivfpq_time_travel" -> ((s, dir) =>
-      Similarity.ivfPqTimeTravel(s, dir))
+      Similarity.ivfPqTimeTravel(s, dir)),
+    "q336_ivfpq_soak" -> ((s, dir) => Similarity.ivfPqLifecycleSoak(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -991,6 +992,11 @@ object SparkEntry {
     // yesterday's codes — the v1 postings ARE the corpus coded under
     // the frozen codebook, so q335 shares q333's oracle while the
     // latest read (q329) produces the retrained search
-    "q335_ivfpq_time_travel" -> OracleSql.q329IvfPqSearch(cbFrom = "ex")
+    "q335_ivfpq_time_travel" -> OracleSql.q329IvfPqSearch(cbFrom = "ex"),
+    // three coded daily deltas union to exactly the incoming stratum,
+    // so the post-soak composite search equals the frozen day-2 search
+    // — a slice dropped by a refresh, leaked by a compaction, a GC'd
+    // live generation, or a vanished shared codebook all break it
+    "q336_ivfpq_soak" -> OracleSql.q329IvfPqSearch(cbFrom = "ex")
   )
 }

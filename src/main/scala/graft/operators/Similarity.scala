@@ -1410,6 +1410,102 @@ object Similarity {
       parts(IndexManifest.IvfPqPostingsFormat), nProbe, k))
   }
 
+  /** Q336 — composite lifecycle SOAK: q318's three-ingest-day
+    * refresh→commit→compact→switch→retire(keepLast = 2) composition
+    * on the IVF-PQ family, which adds one thing no single-family soak
+    * can exercise: every commit re-names the SAME codebook generation
+    * beside that day's postings, so the retention GC must keep a
+    * generation that is shared across every manifest window while
+    * deleting the postings generations that become exclusive to
+    * retired snapshots — a reference-counting case [[IndexManifest
+    * .retire]]'s exclusivity rule has to get right or the codebook
+    * vanishes mid-life and every later resolve serves undecodable
+    * codes. The final search reads whatever the day-3 manifest
+    * resolves; the three coded daily deltas union to exactly the
+    * incoming stratum, so the served content is the full corpus coded
+    * under the frozen codebook — q333's shared oracle. Spec-pinned:
+    * exactly 4 postings generations GC'd and gone (base, d0, c0, d1),
+    * the codebook generation ON DISK and still resolving, the kept
+    * window intact; plan pin: the search reads ONLY the day-3
+    * compaction plus the codebook.
+    *
+    * Every committed artifact is PER-INVOCATION (the q307/q319
+    * GC-ownership rule — retire's delete set must be this run's own;
+    * the KB-sized codebook rebuild is billed by design). Scale shape:
+    * each day pays O(|slice| encode + code-sized index rewrite) — the
+    * composite family's steady-state daily bill, paid three times
+    * with the artifacts as the only cross-day state.
+    */
+  def ivfPqLifecycleSoak(s: SparkSession, dir: String, nCentroids: Int = 8,
+                         nSub: Int = 8, subDim: Int = 8,
+                         codebookK: Int = 16, modN: Int = 5,
+                         nProbe: Int = 2, k: Int = 5): DataFrame =
+    ivfPqSoakParts(s, dir, nCentroids, nSub, subDim, codebookK, modN,
+      nProbe, k)._4
+
+  /** Test-visible q336 split: (manifest root, codebook dir, GC-deleted
+    * dirs, search). */
+  private[graft] def ivfPqSoakParts(s: SparkSession, dir: String,
+                                    nCentroids: Int, nSub: Int,
+                                    subDim: Int, codebookK: Int,
+                                    modN: Int, nProbe: Int, k: Int)
+      : (String, String, Seq[String], DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val day = Relational.scrambleMod(graft.functions.TextHash.polyHash(
+      concat(lit("soak:"), col("vec_id").cast("string")))) % 3
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivfpq_soak_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    val cb = ArtifactStore.invocationDir("ivfpq_soak_cb",
+      (dir +: params): _*)
+    writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+      codebookK), cb)
+    val cbRow = cb -> IndexManifest.PqCodebookFormat
+    def gen(tag: String, slice: DataFrame): String = {
+      val d = ArtifactStore.invocationDir(s"ivfpq_soak_$tag",
+        (dir +: params): _*)
+      writeIvfPqPostings(codedListsFor(slice, cent,
+        readPqCodebook(s, cb), nSub, subDim), d)
+      d
+    }
+    val root = ArtifactStore.invocationDir("ivfpq_manifest_soak",
+      (dir +: params): _*)
+    val base = gen("base", e.filter(!inc))
+    IndexManifest.commitTagged(s, root, Seq(cbRow,
+      base -> IndexManifest.IvfPqPostingsFormat))
+    var live = Seq(base)
+    val deleted = Seq.newBuilder[String]
+    for (d <- 0 until 3) {
+      // refresh: the day's slice coded under the frozen pair (the
+      // strata are disjoint by construction — no anti-join, the q318
+      // shape)
+      val delta = gen(s"d$d", e.filter(inc && day === d))
+      IndexManifest.commitTagged(s, root, cbRow +:
+        (live :+ delta).map(_ -> IndexManifest.IvfPqPostingsFormat))
+      // OPTIMIZE: fold the coded generations; the codebook rolls
+      // forward UNCHANGED in the same composite commit (q334's rule)
+      val compacted = ArtifactStore.invocationDir(s"ivfpq_soak_c$d",
+        (dir +: params): _*)
+      writeIvfPqPostings(
+        (live :+ delta).map(readIvfPqPostings(s, _)).reduce(_ unionAll _),
+        compacted)
+      IndexManifest.commitTagged(s, root, Seq(cbRow,
+        compacted -> IndexManifest.IvfPqPostingsFormat))
+      // VACUUM: retire everything outside the kept window — the
+      // shared codebook row must survive every pass
+      deleted ++= IndexManifest.retire(s, root, keepLast = 2)
+      live = Seq(compacted)
+    }
+    val parts = IndexManifest.resolveParts(s, root,
+      Set(IndexManifest.PqCodebookFormat, IndexManifest.IvfPqPostingsFormat))
+    (root, cb, deleted.result(),
+      ivfPqSearchFrom(s, dir, cent, parts(IndexManifest.PqCodebookFormat),
+        parts(IndexManifest.IvfPqPostingsFormat), nProbe, k))
+  }
+
   /** Q335 — composite TIME TRAVEL (q321's reproducibility contract on
     * the PAIRED artifact): the q329 life replays under this query's
     * own tags — v1 (frozen codebook + corpus coded under it)

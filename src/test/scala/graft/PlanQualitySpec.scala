@@ -1013,6 +1013,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q336: post-soak composite search reads ONLY the day-3 compaction plus the codebook; corpus scanned once") {
+    val df = SparkEntry.queries("q336_ivfpq_soak")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_soak_c2"),
+      s"q336 must read the day-3 compacted generation:\n$fmt")
+    assert(fmt.contains("ivfpq_soak_cb"),
+      s"q336 must decode through the surviving shared codebook:\n$fmt")
+    assert(!fmt.contains("ivfpq_soak_base") && !fmt.contains("ivfpq_soak_d") &&
+      !fmt.contains("ivfpq_soak_c0") && !fmt.contains("ivfpq_soak_c1"),
+      s"q336 reads a superseded soak generation:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q331: the triggered-soak scrub reads the day-1 fold and the day-2 delta — nothing else") {
     val (_, _, _, scrub) =
       graft.operators.Dedup.spanTrigParts(spark, sfDir, 8, 5, 8, 2)

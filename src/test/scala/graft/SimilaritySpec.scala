@@ -1102,6 +1102,40 @@ class SimilaritySpec extends SparkSpec {
         "read leaked the composite switch")
   }
 
+  test("q336: composite soak — 4 postings generations GC'd, the SHARED codebook survives every retention pass") {
+    val dir = "/root/testdata/sf0.001"
+    val (root, cb, deleted, search) =
+      Similarity.ivfPqSoakParts(spark, dir, 8, 8, 8, 16, 5, 2, 5)
+    // keepLast = 2 walks the window forward each day: base, d0, c0, d1
+    // become exclusive to retired snapshots and go
+    assert(deleted.size === 4, s"expected 4 GC'd generations: $deleted")
+    Seq("ivfpq_soak_base", "ivfpq_soak_d0", "ivfpq_soak_c0",
+      "ivfpq_soak_d1").foreach(tag =>
+      assert(deleted.exists(_.contains(tag)), s"$tag not GC'd: $deleted"))
+    deleted.foreach(g => assert(!new java.io.File(g).exists,
+      s"GC'd generation still on disk: $g"))
+    // the codebook generation is named by EVERY commit, so it is never
+    // exclusive to a retired snapshot — retire must keep it or every
+    // later resolve serves undecodable codes
+    assert(!deleted.contains(cb) && new java.io.File(cb).isDirectory,
+      "retention deleted the shared codebook generation")
+    val parts = graft.operators.IndexManifest.resolveParts(spark, root,
+      Set(graft.operators.IndexManifest.PqCodebookFormat,
+        graft.operators.IndexManifest.IvfPqPostingsFormat))
+    assert(parts(graft.operators.IndexManifest.PqCodebookFormat)
+      === Seq(cb))
+    val posts = parts(graft.operators.IndexManifest.IvfPqPostingsFormat)
+    assert(posts.size === 1 && posts.head.contains("ivfpq_soak_c2"),
+      s"final resolve must serve the day-3 compaction alone: $posts")
+    // kept window intact on disk
+    graft.operators.IndexManifest.committedIds(spark, root).foreach { id =>
+      graft.operators.IndexManifest.resolveAt(spark, root, id).foreach(g =>
+        assert(new java.io.File(g).isDirectory,
+          s"kept snapshot m_$id names a missing generation: $g"))
+    }
+    assert(search.count() > 0)
+  }
+
   test("q332: with every vector a codeword and every list probed, ADC degrades to exact max-inner-product search") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
