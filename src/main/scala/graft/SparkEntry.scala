@@ -513,7 +513,10 @@ object SparkEntry {
     "q334_ivfpq_compact" -> ((s, dir) => Similarity.ivfPqCompact(s, dir)),
     "q335_ivfpq_time_travel" -> ((s, dir) =>
       Similarity.ivfPqTimeTravel(s, dir)),
-    "q336_ivfpq_soak" -> ((s, dir) => Similarity.ivfPqLifecycleSoak(s, dir))
+    "q336_ivfpq_soak" -> ((s, dir) => Similarity.ivfPqLifecycleSoak(s, dir)),
+    "q337_ivfpq_purge" -> ((s, dir) => Similarity.ivfPqPurge(s, dir)),
+    "q338_stream_ivfpq_ingest" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIvfPqIngestFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -997,6 +1000,13 @@ object SparkEntry {
     // so the post-soak composite search equals the frozen day-2 search
     // — a slice dropped by a refresh, leaked by a compaction, a GC'd
     // live generation, or a vanished shared codebook all break it
-    "q336_ivfpq_soak" -> OracleSql.q329IvfPqSearch(cbFrom = "ex")
+    "q336_ivfpq_soak" -> OracleSql.q329IvfPqSearch(cbFrom = "ex"),
+    // purging coded rows never changes list membership or counts, so
+    // the composite purge audit shares q300's raw-table oracle
+    "q337_ivfpq_purge" -> OracleSql.q300IvfPostingsPurge(),
+    // stream ≡ batch on the composite family: the coded micro-batch
+    // deltas union to exactly the incoming stratum and counts are
+    // code-independent, so the resolved audit shares q297's oracle
+    "q338_stream_ivfpq_ingest" -> OracleSql.q297IvfPostingsRefresh()
   )
 }

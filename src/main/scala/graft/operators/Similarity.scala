@@ -1410,6 +1410,124 @@ object Similarity {
       parts(IndexManifest.IvfPqPostingsFormat), nProbe, k))
   }
 
+  /** Q337 — composite PURGE: q300's VACUUM-of-vectors on the CODED
+    * postings. Given the purged-vector set (the 'purge:' scramble),
+    * their coded rows leave via one vec_id anti-join and a fresh
+    * coded generation; the codebook rolls forward UNCHANGED in the
+    * switch commit (deleting vectors never retrains codewords —
+    * q334's orthogonality rule, enforced by the composite manifest).
+    * Output is the per-list audit (rows before, purged, after) over
+    * the ARTIFACT dirs, which the oracle derives from the raw
+    * embeddings table alone (q300's shared oracle — list membership
+    * and counts are code-independent), so a leaked coded row, an
+    * over-purged list, or a dropped list all break the compare.
+    *
+    * Scale shape: the anti-join and rewrite shuffle only the CODED
+    * index — 32× less than purging raw postings; the purge set is an
+    * 8-byte id projection. The weekly deletion-log job on the
+    * composite family.
+    */
+  def ivfPqPurge(s: SparkSession, dir: String, nCentroids: Int = 8,
+                 nSub: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                 modN: Int = 5): DataFrame = {
+    val e = embDoubles(s, dir)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    // the q300 shape: full-corpus quantizer and codebook — the purge
+    // audit's counts are stratum-free
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivfpq_purge_cent", params)(
+        e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("de").as("ce"))))
+    val cb = ArtifactStore.materialized(s, "ivfpq_purge_cb",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK), out))
+    val base = ArtifactStore.materialized(s, "ivfpq_purge_base",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writeIvfPqPostings(codedListsFor(e, cent, readPqCodebook(s, cb),
+        nSub, subDim), out))
+    val root = ArtifactStore.invocationDir("ivfpq_manifest_purge",
+      (dir +: params): _*)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      base -> IndexManifest.IvfPqPostingsFormat))
+    val purgedIds = e.filter(memberVec("purge:", modN)).select(col("vec_id"))
+    val after = ArtifactStore.invocationDir("ivfpq_purged",
+      (dir +: params): _*)
+    writeIvfPqPostings(readIvfPqPostings(s, base)
+      .join(purgedIds, Seq("vec_id"), "left_anti"), after)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      after -> IndexManifest.IvfPqPostingsFormat))
+    readIvfPqPostings(s, base)
+      .groupBy(col("list").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_before"))
+      .join(readIvfPqPostings(s, after)
+        .groupBy(col("list").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_after")), Seq("list_id"), "left")
+      .select(col("list_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_purged"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** Q338 support (the streaming composite ingest in
+    * [[graft.streaming.StreamingOps.streamIvfPqIngestFixture]]): the
+    * existing/incoming split, a write-once frozen quantizer, frozen
+    * codebook, and base CODED generation under the streaming query's
+    * own family tags, plus the incoming slice to feed. */
+  private[graft] def streamCodedParts(s: SparkSession, dir: String,
+                                      nCentroids: Int, nSub: Int,
+                                      subDim: Int, codebookK: Int,
+                                      modN: Int)
+      : (String, String, String, DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val cent = centArtifact(s, dir, "ivfpq_stream_cent", params)(
+      sliceCentroids(e.filter(!inc), nCentroids))
+    val cb = ArtifactStore.materialized(s, "ivfpq_stream_cb",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+        codebookK), out))
+    val base = ArtifactStore.materialized(s, "ivfpq_stream_base",
+      embFingerprint(s, dir), (dir +: params): _*)(out =>
+      writeIvfPqPostings(codedListsFor(e.filter(!inc),
+        readIvfCentroids(s, cent), readPqCodebook(s, cb),
+        nSub, subDim), out))
+    (cent, cb, base, e.filter(inc))
+  }
+
+  /** Q338 support: one CODED delta generation from a micro-batch —
+    * encode under the frozen persisted pair, vec_id anti-join against
+    * all prior coded generations (re-delivery idempotence, q301's
+    * guard on the composite family), the shared coded layout writer. */
+  private[graft] def codedIngestBatch(s: SparkSession, centDir: String,
+                                      cbDir: String, priorDirs: Seq[String],
+                                      batch: DataFrame, nSub: Int,
+                                      subDim: Int, outDir: String): Unit =
+    writeIvfPqPostings(
+      codedListsFor(batch, readIvfCentroids(s, centDir),
+          readPqCodebook(s, cbDir), nSub, subDim)
+        .join(priorDirs.map(readIvfPqPostings(s, _))
+            .reduce(_ unionAll _).select(col("vec_id")),
+          Seq("vec_id"), "left_anti"),
+      outDir)
+
+  /** Q338 support: the q297 refresh-audit shape over CODED generation
+    * dirs (pre-counts from the base generation only). */
+  private[graft] def codedPostingsAudit(s: SparkSession, base: String,
+                                        deltas: Seq[String]): DataFrame = {
+    def counts(dirs: Seq[String], as: String): DataFrame =
+      dirs.map(readIvfPqPostings(s, _)).reduce(_ unionAll _)
+        .groupBy(col("list").cast("long").as("list_id"))
+        .agg(count(lit(1)).as(as))
+    val pre = counts(Seq(base), "n_existing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Dedup.refreshAuditOf(s, pre, counts(base +: deltas, "n_total"),
+      "list_id", "n_total")
+  }
+
   /** Q336 — composite lifecycle SOAK: q318's three-ingest-day
     * refresh→commit→compact→switch→retire(keepLast = 2) composition
     * on the IVF-PQ family, which adds one thing no single-family soak

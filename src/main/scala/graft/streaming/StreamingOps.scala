@@ -2303,6 +2303,89 @@ object StreamingOps {
       deltas.asScala.values.toSeq)
   }
 
+  /** Q338 — STREAMING COMPOSITE INGEST: q301's micro-batch ingest on
+    * the IVF-PQ family, with the manifest dimension q311 added — each
+    * batch encodes under the FROZEN persisted quantizer+codebook pair,
+    * anti-joins prior CODED generations (re-delivery idempotence),
+    * lands a coded delta, and a COMPOSITE commit re-names the codebook
+    * beside the grown postings set, so a reader that resolves
+    * mid-stream always gets one consistent pair. The final audit runs
+    * over whatever [[graft.operators.IndexManifest.resolveParts]]
+    * serves and shares q297's oracle (list membership and counts are
+    * code-independent, and the batches union to exactly the incoming
+    * stratum): a double-landed re-delivery, a dropped batch, or a
+    * drifted assignment all break the count compare.
+    *
+    * Scale shape: per batch O(|batch|) against two broadcast KB
+    * artifacts plus one list-keyed shuffle of code-sized rows; the
+    * accumulated small generations are q334/q331's trigger-compaction
+    * problem, deliberately left unfolded here so the audit proves the
+    * multi-generation read path.
+    */
+  def streamIvfPqIngestFixture(s: SparkSession, dir: String,
+                               nCentroids: Int = 8, nSub: Int = 8,
+                               subDim: Int = 8, codebookK: Int = 16,
+                               modN: Int = 5): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val F = graft.operators.IndexManifest
+    val (cent, cb, base, incoming) = graft.operators.Similarity
+      .streamCodedParts(s, dir, nCentroids, nSub, subDim, codebookK, modN)
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "ivfpq_postings_streamref", dir, nCentroids.toString, modN.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "ivfpq_manifest_stream", dir, nCentroids.toString, modN.toString)
+    F.commitTagged(s, mroot, Seq(cb -> F.PqCodebookFormat,
+      base -> F.IvfPqPostingsFormat))
+    // keyed by batch id so a foreachBatch RETRY of batch i excludes
+    // its own (possibly half-written) generation from the anti-join
+    // side and overwrites it in place (the q301 idempotence shape)
+    val deltas =
+      new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import scala.jdk.CollectionConverters._
+        val ss = batch.sparkSession
+        val prior = base +: deltas.asScala.toSeq
+          .collect { case (i, d) if i != id => d }
+        val gen = s"$deltaRoot/b$id"
+        graft.operators.Similarity.codedIngestBatch(ss, cent, cb,
+          prior, batch, nSub, subDim, gen)
+        deltas.put(id, gen)
+        // the composite switch: codebook re-named beside the grown
+        // postings set in ONE commit — mid-stream readers always
+        // resolve a consistent pair
+        F.commitTagged(ss, mroot, (cb -> F.PqCodebookFormat) +:
+          (base +: deltas.asScala.toSeq.sortBy(_._1).map(_._2))
+            .map(_ -> F.IvfPqPostingsFormat))
+      }
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val chunks = feed.grouped(math.max(1, feed.length / 3 + 1)).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        if (chunk.nonEmpty) {
+          // re-deliver the previous chunk's tail: the anti-join
+          // against prior coded generations must drop it
+          val redeliver =
+            if (i > 0) chunks(i - 1).takeRight(2)
+            else Array.empty[(Long, Array[Double])]
+          stream.addData((redeliver ++ chunk).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    val parts = F.resolveParts(s, mroot,
+      Set(F.PqCodebookFormat, F.IvfPqPostingsFormat))
+    val posts = parts(F.IvfPqPostingsFormat)
+    graft.operators.Similarity.codedPostingsAudit(s, posts.head,
+      posts.tail)
+  }
+
   /** Q328 — STREAMING ANN RETENTION: the q319/q327 GC-under-stream
     * composition on the IVF postings family, making the retention
     * face symmetric across the three postings-style index families

@@ -1028,6 +1028,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q337: the composite purge audit reads the coded artifact dirs only — the corpus is never rescanned") {
+    val df = SparkEntry.queries("q337_ivfpq_purge")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_purge_base") && fmt.contains("ivfpq_purged"),
+      s"q337 audit must read both coded generations:\n$fmt")
+    assert(embScans(fmt) === 0,
+      s"the purge audit is artifact-only, got ${embScans(fmt)} " +
+        s"embeddings scans:\n$fmt")
+  }
+
   test("q331: the triggered-soak scrub reads the day-1 fold and the day-2 delta — nothing else") {
     val (_, _, _, scrub) =
       graft.operators.Dedup.spanTrigParts(spark, sfDir, 8, 5, 8, 2)

@@ -955,4 +955,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(stream === batch)
   }
+
+  test("q338: streaming composite ingest == batch q297 refresh audit (re-delivery dropped, pair resolved)") {
+    // stream ≡ batch on the IVF-PQ family: the audit runs over
+    // whatever resolveParts serves after the last composite commit,
+    // so equality with the batch raw-postings audit proves (1) every
+    // coded delta landed and none double-landed (the re-delivered
+    // tails are anti-joined away — a leak inflates n_new), and
+    // (2) the per-batch composite commits left a resolvable
+    // codebook+postings pair
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("list_id"),
+        r.getAs[Long]("n_existing"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_total"))).toSet
+    val stream = rows(
+      graft.streaming.StreamingOps.streamIvfPqIngestFixture(spark, dir))
+    val batch = rows(
+      graft.operators.Similarity.ivfPostingsRefresh(spark, dir))
+    assert(batch.nonEmpty)
+    assert(stream === batch)
+  }
 }
