@@ -516,7 +516,9 @@ object SparkEntry {
     "q336_ivfpq_soak" -> ((s, dir) => Similarity.ivfPqLifecycleSoak(s, dir)),
     "q337_ivfpq_purge" -> ((s, dir) => Similarity.ivfPqPurge(s, dir)),
     "q338_stream_ivfpq_ingest" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamIvfPqIngestFixture(s, dir))
+      graft.streaming.StreamingOps.streamIvfPqIngestFixture(s, dir)),
+    "q339_stream_trigger_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamAnnTriggerFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1007,6 +1009,11 @@ object SparkEntry {
     // stream ≡ batch on the composite family: the coded micro-batch
     // deltas union to exactly the incoming stratum and counts are
     // code-independent, so the resolved audit shares q297's oracle
-    "q338_stream_ivfpq_ingest" -> OracleSql.q297IvfPostingsRefresh()
+    "q338_stream_ivfpq_ingest" -> OracleSql.q297IvfPostingsRefresh(),
+    // the q328 retention stream on the q331 trigger cadence: folding
+    // only when the live set exceeds maxGens changes layout and cost
+    // timing, never content — the final search still equals the batch
+    // day-2 search
+    "q339_stream_trigger_retention" -> OracleSql.q298IvfDayTwoSearch()
   )
 }

@@ -869,14 +869,15 @@ object Similarity {
     * be this run's own — the q307/q319 ownership rule; the rebuild is
     * billed to the query), and the incoming slice to feed. */
   private[graft] def streamAnnRetentionParts(s: SparkSession, dir: String,
-                                             nCentroids: Int, modN: Int)
+                                             nCentroids: Int, modN: Int,
+                                             fam: String = "sret")
       : (String, String, DataFrame) = {
     val e = embDoubles(s, dir)
     val inc = incomingVec(modN)
     val params = Seq(nCentroids.toString, modN.toString)
-    val cent = centArtifact(s, dir, "ivf_sret_cent", params)(
+    val cent = centArtifact(s, dir, s"ivf_${fam}_cent", params)(
       sliceCentroids(e.filter(!inc), nCentroids))
-    val base = ArtifactStore.invocationDir("ivf_postings_sretbase",
+    val base = ArtifactStore.invocationDir(s"ivf_postings_${fam}base",
       (dir +: params): _*)
     writeIvfPostings(listsFor(e.filter(!inc), readIvfCentroids(s, cent)),
       base)

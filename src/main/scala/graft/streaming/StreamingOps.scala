@@ -2478,6 +2478,94 @@ object StreamingOps {
         graft.operators.IndexManifest.resolve(s, mroot, F), nProbe, k))
   }
 
+  /** Q339 — STREAMING RETENTION ON THE TRIGGER CADENCE: q328's
+    * GC-under-stream composition with the per-batch unconditional
+    * fold replaced by [[graft.operators.IndexManifest
+    * .compactIfNeeded]](maxGens = 2) — the production cadence q328's
+    * own scaladoc promises ("production compacts on a file-count
+    * trigger"), now executable in the streaming path exactly as q331
+    * made it executable in the batch path. With three micro-batches
+    * the cadence is deterministic: batch 0 ends at base+d0 (pure
+    * read), batch 1 reaches three generations and folds, batch 2 ends
+    * at fold+d2 (no-op again) — and retire(keepLast = 2) still
+    * deletes the superseded generations from disk WHILE the stream
+    * runs. The final day-2 search over the resolved set shares q298's
+    * oracle: cadence changes layout and cost timing, never content.
+    * Retry guard is q319's committedGens check.
+    *
+    * Scale shape: the steady-state streaming bill becomes
+    * O(|batch|) per trigger with the index-sized rewrite amortized
+    * over maxGens batches — the cost story the unconditional-fold
+    * fixtures deliberately overpay to force GC interleaving.
+    */
+  def streamAnnTriggerFixture(s: SparkSession, dir: String,
+                              nCentroids: Int = 8, modN: Int = 5,
+                              nProbe: Int = 2, k: Int = 5): DataFrame =
+    streamAnnTriggerRun(s, dir, nCentroids, modN, nProbe, k)._3
+
+  /** Test-visible q339 split: (per-batch fold flags, GC-deleted dirs,
+    * search). */
+  private[graft] def streamAnnTriggerRun(s: SparkSession, dir: String,
+                                         nCentroids: Int = 8,
+                                         modN: Int = 5, nProbe: Int = 2,
+                                         k: Int = 5)
+      : (Seq[Boolean], Seq[String], DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val F = graft.operators.IndexManifest.IvfPostingsFormat
+    val (cent, base, incoming) = graft.operators.Similarity
+      .streamAnnRetentionParts(s, dir, nCentroids, modN, fam = "strig")
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "ivf_postings_strigref", dir, nCentroids.toString, modN.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "ivf_manifest_strig", dir, nCentroids.toString, modN.toString)
+    graft.operators.IndexManifest.commit(s, mroot, Seq(base), F)
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val deleted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        val resolved = graft.operators.IndexManifest.resolve(ss, mroot, F)
+        // the q319 retry guard: a gen committed ANYWHERE is immutable
+        if (!graft.operators.IndexManifest.committedGens(ss, mroot)
+            .contains(gen)) {
+          graft.operators.Similarity.assignBatch(ss, cent, batch, gen)
+          graft.operators.IndexManifest.commit(ss, mroot,
+            resolved :+ gen, F)
+          // OPTIMIZE only when the live set exceeds the trigger —
+          // the q331 cadence inside the stream
+          val (_, folded) = graft.operators.IndexManifest
+            .compactIfNeeded(ss, mroot, F, maxGens = 2) { live =>
+              val compacted = graft.operators.ArtifactStore
+                .invocationDir("ivf_postings_strigc", dir,
+                  nCentroids.toString, modN.toString)
+              graft.operators.Similarity.writeIvfPostings(
+                graft.operators.Similarity.readIvfPostingsDirs(ss, live),
+                compacted)
+              compacted
+            }
+          ran.add(folded)
+          // VACUUM between micro-batches: the GC under test
+          graft.operators.IndexManifest.retire(ss, mroot, keepLast = 2)
+            .foreach(deleted.add(_): Unit)
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (ran.asScala.toSeq, deleted.asScala.toSeq,
+      graft.operators.Similarity.searchPostingsDirs(s, dir, cent,
+        graft.operators.IndexManifest.resolve(s, mroot, F), nProbe, k))
+  }
+
   /** [[userProfileStream]] emission (one per updated key per batch). */
   case class TwsOut(user_id: Long, version: Int, n_events: Long,
                     total_value: Double, top_type: String)

@@ -1028,6 +1028,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q339: the trigger-cadence stream's final search reads the batch-1 fold and the batch-2 delta — nothing else") {
+    val (_, _, search) = graft.streaming.StreamingOps
+      .streamAnnTriggerRun(spark, sfDir)
+    search.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(search)
+    assert(fmt.contains("ivf_postings_strigc") && fmt.contains("/b2"),
+      s"q339 search must read the batch-1 fold plus the live delta:\n$fmt")
+    assert(!fmt.contains("strigbase") && !fmt.contains("/b0") &&
+      !fmt.contains("/b1"),
+      s"q339 search reads a generation the trigger superseded:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q337: the composite purge audit reads the coded artifact dirs only — the corpus is never rescanned") {
     val df = SparkEntry.queries("q337_ivfpq_purge")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

@@ -976,4 +976,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(stream === batch)
   }
+
+  test("q339: trigger-cadence streaming retention — one fold across three batches, GC'd dirs gone, search == batch q298") {
+    val dir = "/root/testdata/sf0.001"
+    val (ran, deleted, search) =
+      graft.streaming.StreamingOps.streamAnnTriggerRun(spark, dir)
+    // batch 0 ends at base+d0 (pure read), batch 1 reaches three and
+    // folds, batch 2 ends at fold+d2 — deterministic with maxGens = 2
+    assert(ran === Seq(false, true, false),
+      s"expected exactly the batch-1 fold, got $ran")
+    // the GC really ran under the stream: the superseded base and
+    // early deltas are gone from disk
+    assert(deleted.nonEmpty, "retention deleted nothing under the stream")
+    deleted.foreach(g => assert(!new java.io.File(g).exists,
+      s"GC'd generation still on disk: $g"))
+    // cadence never changes content: the final search equals the
+    // batch day-2 search bitwise
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"),
+        r.getAs[Int]("rnk"))).toSet
+    val batch = rows(graft.operators.Similarity.ivfDayTwoSearch(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(search) === batch)
+  }
 }
