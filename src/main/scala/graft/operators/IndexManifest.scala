@@ -530,6 +530,11 @@ object IndexManifest {
     if (hit != null) hit
     else {
       val rows = readRows(s, st.getPath)
+      // bound the cache in long-lived sessions (each streaming
+      // micro-batch mints a new manifest): entries are a few path
+      // strings, but "tiny forever" is still a leak — a rare full
+      // clear is correct because this is a pure read-through cache
+      if (rowsCache.size >= 8192) rowsCache.clear()
       rowsCache.put(key, rows)
       rows
     }
