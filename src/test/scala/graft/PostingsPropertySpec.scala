@@ -125,4 +125,61 @@ class PostingsPropertySpec extends SparkSpec {
       assert(compacted === direct)
     }
   }
+
+  test("q329 ADC search matches a sequential reference across seeds, codebook- and quantizer-starved strata included") {
+    // the composite search restated as plain Scala folds in the
+    // engine's pinned association order: frozen existing-stratum
+    // quantizer, full-corpus codebook (the retrained v2 the switch
+    // must serve), per-subspace argmin with the (sv·sv − 2·sv·cv) +
+    // cv·cv distortion, flattened reconstruction, probe·recon ADC.
+    // Scores compare EXACTLY — identical IEEE ops in identical order.
+    for ((seed, nCent, cbK) <- Seq((41L, 4, 8), (97L, 4, 64),
+        (131L, 32, 6))) { // cbK=64 > n: every subvector a codeword;
+                          // nCent=32 > |existing|: starved quantizer
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(20)
+      val nSub = 4; val subDim = 4; val nProbe = 2; val k = 5
+      val vecs = Seq.fill(n)(Array.fill(16)(rnd.nextGaussian().toFloat))
+      val dv = vecs.map(_.map(_.toDouble))
+      val inc = member(n, "inc:")
+      // frozen quantizer: nCent smallest existing ids, ranked per
+      // vector by (cos desc, cid)
+      val cent = dv.indices.map(_.toLong).filterNot(inc).sorted
+        .take(nCent).map(c => c -> dv(c.toInt))
+      def ranked(v: Array[Double]) =
+        cent.map { case (c, ce) => (c, cos(v, ce)) }
+          .sortBy { case (c, sim) => (-sim, c) }
+      val owner = dv.indices.map(i => i.toLong -> ranked(dv(i)).head._1)
+        .toMap
+      // full-corpus codebook: subvectors of the cbK smallest ids
+      val cws = dv.indices.map(_.toLong).sorted.take(cbK)
+      def sub(v: Array[Double], j: Int) =
+        v.slice(j * subDim, j * subDim + subDim)
+      val recon = dv.indices.map { i =>
+        i.toLong -> (0 until nSub).flatMap { j =>
+          val sv = sub(dv(i), j)
+          val best = cws.map { cw =>
+            val cv = sub(dv(cw.toInt), j)
+            (cw, dotd(sv, sv) - 2.0 * dotd(sv, cv) + dotd(cv, cv))
+          }.minBy { case (cw, d) => (d, cw) }._1
+          sub(dv(best.toInt), j)
+        }.toArray
+      }.toMap
+      val want = (0L until 3L).flatMap { p =>
+        val lists = ranked(dv(p.toInt)).take(nProbe).map(_._1).toSet
+        dv.indices.map(_.toLong)
+          .filter(v => v != p && lists(owner(v)))
+          .map(v => (v, dotd(dv(p.toInt), recon(v))))
+          .sortBy { case (v, s) => (-s, v) }.take(k).zipWithIndex
+          .map { case ((v, s), r) => (p, v, s, r + 1) }
+      }.toSet
+      withEmb(vecs) { dir =>
+        val got = Similarity.ivfPqSearch(spark, dir, nCent, nSub, subDim,
+            cbK, 5, nProbe, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getInt(3))).toSet
+        assert(got === want, s"seed=$seed n=$n nCent=$nCent cbK=$cbK")
+      }
+    }
+  }
 }
