@@ -416,6 +416,31 @@ class IndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("driver-side manifest decode equals the Spark reader on random composite manifests (unicode paths, mixed tags)") {
+    withRoot { root =>
+      val rnd = new scala.util.Random(7L)
+      val fmts = Seq(IndexManifest.SpanIndexFormat,
+        IndexManifest.IvfPqPostingsFormat, IndexManifest.PqCodebookFormat)
+      for (_ <- 1 to 5) {
+        val gens = Seq.fill(1 + rnd.nextInt(6))(
+          "/gen/" + rnd.alphanumeric.take(1 + rnd.nextInt(40)).mkString +
+            "_π·√≈") // non-ASCII survives the example-API UTF-8 decode
+        IndexManifest.commitTagged(spark, root,
+          gens.map(g => g -> fmts(rnd.nextInt(fmts.size))))
+      }
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/legacy_ü"))
+      IndexManifest.clearRowsCache() // force fresh driver-side reads
+      IndexManifest.committedIds(spark, root).foreach { id =>
+        val driverSide = IndexManifest.resolveAt(spark, root, id)
+        val sparkSide = IndexManifest
+          .readManifest(spark, s"$root/m_$id")
+          .orderBy("pos").collect().map(_.getString(1)).toSeq
+        assert(driverSide === sparkSide,
+          s"m_$id: driver-side parquet decode diverged from Spark's")
+      }
+    }
+  }
+
   test("compactIfNeeded: below the trigger is a pure read — no rewrite, no commit, nothing on disk changes") {
     withRoot { root =>
       def mkGen(name: String): String = {
