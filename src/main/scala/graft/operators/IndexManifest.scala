@@ -54,6 +54,17 @@ object IndexManifest {
     * [[resolveParts]]). */
   val IvfPqPostingsFormat = "ivfpq_postings/1"
 
+  /** Coarse-quantizer generation (q340, round-16 verdict #1): the IVF
+    * centroid table as a THIRD composite family beside
+    * [[PqCodebookFormat]] and [[IvfPqPostingsFormat]]. A quantizer
+    * retrain re-lists every vector, so serving new-quantizer probes
+    * against old-quantizer postings misroutes every probe silently —
+    * the same mixed-version vector the codebook tag closes for codes,
+    * closed the same way: the quantizer generation is named in the
+    * SAME [[commitTagged]] manifest as the codebook and postings it
+    * listed, and search resolves all three from ONE commit. */
+  val IvfCentroidsFormat = "ivf_centroids/1"
+
   /** Committed manifests under `root` (dirs named m_<id> whose
     * `_SUCCESS` marker exists), with their listing FileStatus — the
     * status feeds the immutable-row cache key ([[rowsOf]]). */
@@ -394,26 +405,75 @@ object IndexManifest {
     * atomically. Returns the live set after the call and whether a
     * compaction ran.
     *
-    * Resolve → rewrite → commit is check-then-act; the caller's
-    * maintenance loop serializes compaction against its own refreshes
-    * exactly as the daily soaks do (one maintenance driver per root —
-    * the documented deployment shape; cross-JVM needs the catalog
-    * CAS, the [[commit]] scope note). At 100 TB this is what makes
-    * the steady-state cost story real: refreshes stay O(|delta|)
-    * every day, and the index-sized rewrite is paid only when the
-    * small-file count actually warrants it.
+    * The index-sized `rewrite` runs OUTSIDE the root lock (holding it
+    * for the rewrite's duration would block every concurrent refresh
+    * commit); the switch commit then re-resolves UNDER the lock and
+    * only lands when the live set is still the one that was folded —
+    * the optimistic-concurrency check Delta's OPTIMIZE runs before
+    * its swap (round-16 ADVICE: the previous resolve → rewrite →
+    * commit was check-then-act, so a refresh committed by another
+    * same-JVM thread mid-fold was silently dropped from the live
+    * set). On a conflict the fold RETRIES against the refreshed set;
+    * the abandoned fold dir becomes an unreferenced orphan
+    * [[sweepOrphans]] reclaims — the standard abandoned-rewrite
+    * shape. Cross-JVM still needs the catalog CAS (the [[commit]]
+    * scope note). At 100 TB this is what makes the steady-state cost
+    * story real: refreshes stay O(|delta|) every day, and the
+    * index-sized rewrite is paid only when the small-file count
+    * actually warrants it.
     */
   def compactIfNeeded(s: SparkSession, root: String, format: String,
                       maxGens: Int)(rewrite: Seq[String] => String)
       : (Seq[String], Boolean) = {
     require(maxGens >= 1, "the trigger must keep at least one generation")
-    val live = resolve(s, root, format)
-    if (live.size <= maxGens) (live, false)
-    else {
+    var live = resolve(s, root, format)
+    while (live.size > maxGens) {
       val folded = rewrite(live)
-      commit(s, root, Seq(folded), format)
-      (Seq(folded), true)
+      val committed =
+        rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+          val now = resolve(s, root, format)
+          if (now == live) { commit(s, root, Seq(folded), format); true }
+          else { live = now; false }
+        }
+      if (committed) return (Seq(folded), true)
     }
+    (live, false)
+  }
+
+  /** [[compactIfNeeded]] for COMPOSITE roots (q341): fold only the
+    * `foldFormat` generations when they exceed `maxGens`, re-naming
+    * every OTHER family's live generations unchanged in the same
+    * switch commit — folding coded postings never retrains the
+    * codebook or quantizer beside them (q334's orthogonality rule),
+    * but the switch must still name all three so readers keep
+    * resolving ONE consistent set. Same optimistic-concurrency
+    * discipline: rewrite outside the lock, validate-and-commit under
+    * it, retry the fold on a conflicting commit. */
+  def compactPartsIfNeeded(s: SparkSession, root: String,
+                           foldFormat: String, expectFormats: Set[String],
+                           maxGens: Int)(rewrite: Seq[String] => String)
+      : (Map[String, Seq[String]], Boolean) = {
+    require(maxGens >= 1, "the trigger must keep at least one generation")
+    require(expectFormats.contains(foldFormat),
+      "the folded family must be one of the expected composite formats")
+    var parts = resolveParts(s, root, expectFormats)
+    while (parts(foldFormat).size > maxGens) {
+      val folded = rewrite(parts(foldFormat))
+      val committed =
+        rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+          val now = resolveParts(s, root, expectFormats)
+          if (now == parts) {
+            commitTagged(s, root,
+              (expectFormats - foldFormat).toSeq.sorted
+                .flatMap(f => parts(f).map(_ -> f)) :+
+                (folded -> foldFormat))
+            true
+          } else { parts = now; false }
+        }
+      if (committed)
+        return (parts.updated(foldFormat, Seq(folded)), true)
+    }
+    (parts, false)
   }
 
   /** ORPHAN SWEEP — the missing half of VACUUM (round-14 verdict #1):
@@ -510,56 +570,82 @@ object IndexManifest {
     * cache per manifest with NO invalidation; freshness is the
     * directory listing's job ([[committed]] runs fresh on every
     * resolve, so a new commit — a new m_<id> path — is seen
-    * immediately, spec-pinned). The key carries the listing's
-    * mtime+length alongside the qualified path to guard the one
-    * non-protocol path to byte reuse: a fixture deleting a root and
-    * recreating the same manifest path with different content. */
-  private val rowsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Int, String, String)]]()
+    * immediately, spec-pinned). The key carries the manifest's DATA
+    * FILES (name + length + mtime of each .parquet part) alongside
+    * the qualified dir path to guard the one non-protocol path to
+    * byte reuse: a fixture deleting a root and recreating the same
+    * m_<id> path with different content. Part-file names embed a
+    * fresh UUID per Spark write, so a recreate always mints a new key
+    * (round-16 ADVICE: the previous directory mtime+length key was
+    * blind inside the mtime granularity window — directory lengths
+    * read 0 on most filesystems).
+    *
+    * Insertion-ordered so the bound can evict the OLDEST half at the
+    * cap instead of clearing everything (round-16 verdict #4: a
+    * long-lived streaming session that trips the cap must keep
+    * serving its hot recent manifests, not pay a thundering re-read
+    * of every one on the next trigger). */
+  private val rowsCache =
+    new java.util.LinkedHashMap[String, Seq[(Int, String, String)]]()
 
-  /** Test hook: entry count + drop (cache is pure derived state). */
-  private[graft] def rowsCacheSize: Int = rowsCache.size
-  private[graft] def clearRowsCache(): Unit = rowsCache.clear()
+  /** Cache bound; var so the eviction spec can cross it cheaply.
+    * Entries are a few path strings each. */
+  private[graft] var rowsCacheCap = 8192
+
+  /** Test hooks: entry count, keys in insertion order, drop (the
+    * cache is pure derived state). */
+  private[graft] def rowsCacheSize: Int =
+    rowsCache.synchronized(rowsCache.size)
+  private[graft] def rowsCacheKeys: Seq[String] = rowsCache.synchronized {
+    import scala.jdk.CollectionConverters._
+    rowsCache.keySet.asScala.toSeq
+  }
+  private[graft] def clearRowsCache(): Unit =
+    rowsCache.synchronized(rowsCache.clear())
 
   /** The (pos, gen, format) rows of one committed manifest, in pos
-    * order — cached per immutable manifest. */
+    * order — read DRIVER-SIDE through the parquet-hadoop example API
+    * (one footer + one tiny row group, no Spark job; round-15 verdict
+    * #2: the streaming lifecycle fixtures paid ~4 metadata Spark jobs
+    * per micro-batch through this path) and cached per immutable
+    * manifest. A missing dir/file propagates (the [[vanished]] retry
+    * contract); any OTHER driver-side failure falls back to the
+    * (uncached) Spark read — both read the same bytes, so the
+    * fallback can only mask an API limitation, never corruption. */
   private def rowsOf(s: SparkSession, st: FileStatus)
-      : Seq[(Int, String, String)] = {
-    val key = s"${st.getPath}@${st.getModificationTime}:${st.getLen}"
-    val hit = rowsCache.get(key)
-    if (hit != null) hit
-    else {
-      val rows = readRows(s, st.getPath)
-      // bound the cache in long-lived sessions (each streaming
-      // micro-batch mints a new manifest): entries are a few path
-      // strings, but "tiny forever" is still a leak — a rare full
-      // clear is correct because this is a pure read-through cache
-      if (rowsCache.size >= 8192) rowsCache.clear()
-      rowsCache.put(key, rows)
-      rows
-    }
-  }
-
-  /** Read a manifest dir's rows DRIVER-SIDE through the
-    * parquet-hadoop example API — one footer + one tiny row group, no
-    * Spark job (round-15 verdict #2: the streaming lifecycle fixtures
-    * paid ~4 metadata Spark jobs per micro-batch through this path).
-    * A missing dir/file propagates (the [[vanished]] retry contract);
-    * any OTHER driver-side failure falls back to the Spark read —
-    * both read the same bytes, so the fallback can only mask an API
-    * limitation, never corruption. */
-  private def readRows(s: SparkSession, dir: Path)
       : Seq[(Int, String, String)] = {
     val conf = s.sessionState.newHadoopConf()
     try {
-      val fs = dir.getFileSystem(conf)
-      fs.listStatus(dir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .flatMap(st => readPart(conf, st.getPath))
-        .sortBy(_._1)
+      val fs = st.getPath.getFileSystem(conf)
+      val parts = fs.listStatus(st.getPath).toSeq
+        .filter(p => p.isFile && p.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val key = parts
+        .map(p => s"${p.getPath.getName}:${p.getLen}:" +
+          s"${p.getModificationTime}")
+        .mkString(s"${st.getPath}@", ",", "")
+      val hit = rowsCache.synchronized(rowsCache.get(key))
+      if (hit != null) hit
+      else {
+        // read outside the cache lock: parquet I/O must not serialize
+        // every concurrent resolve behind one manifest's footer read
+        val rows = parts.flatMap(p => readPart(conf, p.getPath))
+          .sortBy(_._1)
+        rowsCache.synchronized {
+          if (rowsCache.size >= rowsCacheCap) {
+            val it = rowsCache.entrySet().iterator()
+            var toDrop = rowsCache.size - rowsCacheCap / 2
+            while (toDrop > 0 && it.hasNext) {
+              it.next(); it.remove(); toDrop -= 1
+            }
+          }
+          rowsCache.put(key, rows)
+        }
+        rows
+      }
     } catch {
       case e: Throwable if !vanished(e) =>
-        readManifest(s, dir.toString).orderBy(col("pos")).collect()
+        readManifest(s, st.getPath.toString).orderBy(col("pos")).collect()
           .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     }
   }

@@ -556,4 +556,141 @@ class IndexManifestSpec extends SparkSpec {
         s"contention run failed: ${failure.get()}")
     }
   }
+
+  test("rowsCache: crossing the cap evicts the OLDEST half — recent hot manifests keep serving from cache") {
+    withRoot { root =>
+      IndexManifest.clearRowsCache()
+      val prevCap = IndexManifest.rowsCacheCap
+      IndexManifest.rowsCacheCap = 4
+      try {
+        // 7 commits = 7 immutable manifests; resolveAt each once so
+        // every manifest enters the cache in commit order
+        for (i <- 1 to 7)
+          IndexManifest.commitUntagged(spark, root, Seq(s"/gen/g$i"))
+        val ids = IndexManifest.committedIds(spark, root)
+        ids.foreach(id => IndexManifest.resolveAt(spark, root, id))
+        // the bound held: never more than cap entries, and the
+        // SURVIVORS are the most recently inserted — not an empty map
+        assert(IndexManifest.rowsCacheSize <= 4,
+          s"cache crossed its cap: ${IndexManifest.rowsCacheSize}")
+        assert(IndexManifest.rowsCacheSize >= 2,
+          "crossing the cap must evict HALF, not clear everything")
+        val hot = IndexManifest.rowsCacheKeys
+        assert(hot.exists(_.contains(s"m_${ids.last}@")),
+          s"the newest manifest must survive the eviction: $hot")
+        assert(!hot.exists(_.contains(s"m_${ids.head}@")),
+          s"the oldest manifest must be the one evicted: $hot")
+        // a hot re-resolve is served from cache: no new entry appears
+        val before = IndexManifest.rowsCacheSize
+        assert(IndexManifest.resolve(spark, root) === Seq("/gen/g7"))
+        assert(IndexManifest.rowsCacheSize === before,
+          "re-resolving a cached hot manifest must not repopulate")
+      } finally {
+        IndexManifest.rowsCacheCap = prevCap
+        IndexManifest.clearRowsCache()
+      }
+    }
+  }
+
+  test("rowsCache: a root deleted and recreated at the SAME m_<id> path serves the NEW rows, never stale cached ones") {
+    withRoot { root =>
+      // protocol violation by construction (committed manifests are
+      // immutable; only a fixture can do this) — the cache key must
+      // still not alias the two writes. Part-file names embed a fresh
+      // UUID per Spark write, so the key changes even when the dir
+      // mtime does not (round-16 ADVICE: dir mtimes are coarse and
+      // dir lengths read 0).
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/old"))
+      assert(IndexManifest.resolve(spark, root) === Seq("/gen/old"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+      IndexManifest.commitUntagged(spark, root, Seq("/gen/new"))
+      assert(new java.io.File(s"$root/m_1").isDirectory,
+        "the recreate must land on the same m_1 path for this test " +
+          "to exercise the aliasing window")
+      assert(IndexManifest.resolve(spark, root) === Seq("/gen/new"),
+        "resolve served STALE cached rows for a recreated manifest path")
+    }
+  }
+
+  test("compactIfNeeded: a refresh committed mid-fold is never lost — the fold re-resolves under the lock and retries") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val F = IndexManifest.SpanIndexFormat
+      val gens = Seq(mkGen("a"), mkGen("b"), mkGen("c"))
+      IndexManifest.commit(spark, root, gens, F)
+      val racer = mkGen("racer")
+      val folds = Seq.newBuilder[Seq[String]]
+      var raced = false
+      val (live, ran) = IndexManifest.compactIfNeeded(spark, root, F,
+        maxGens = 2) { resolved =>
+        folds += resolved
+        if (!raced) {
+          // a concurrent refresher lands BETWEEN this fold and its
+          // switch commit (same-JVM, the streaming foreachBatch
+          // topology the round-16 ADVICE names)
+          raced = true
+          IndexManifest.commit(spark, root, resolved :+ racer, F)
+        }
+        mkGen(s"folded${folds.result().size}")
+      }
+      // the first fold's switch must NOT have landed (it would have
+      // silently dropped the racer); the retry folded racer in
+      assert(ran, "the trigger was exceeded — a fold must run")
+      assert(folds.result() === Seq(gens, gens :+ racer),
+        "the conflicted fold must retry against the refreshed set")
+      assert(live === Seq(s"$root/gens/folded2"))
+      assert(IndexManifest.resolve(spark, root, F) === live)
+      // the racer's content survived INTO the committed fold input —
+      // nothing the refresh added was dropped from the live set
+      assert(folds.result().last.contains(racer),
+        "the refresh committed mid-fold was lost")
+    }
+  }
+
+  test("compactPartsIfNeeded: folds ONLY the postings family, re-names the others unchanged; below the trigger is a pure read") {
+    withRoot { root =>
+      def mkGen(name: String): String = {
+        val d = new java.io.File(s"$root/gens/$name")
+        assert(d.mkdirs()); d.toString
+      }
+      val fmts = Set(IndexManifest.PqCodebookFormat,
+        IndexManifest.IvfPqPostingsFormat)
+      val cb = mkGen("cb")
+      val posts = Seq(mkGen("p1"), mkGen("p2"))
+      IndexManifest.commitTagged(spark, root,
+        (cb -> IndexManifest.PqCodebookFormat) +:
+          posts.map(_ -> IndexManifest.IvfPqPostingsFormat))
+      // below the trigger: pure read, no commit
+      val idsBefore = IndexManifest.committedIds(spark, root)
+      val (same, ranNot) = IndexManifest.compactPartsIfNeeded(spark,
+        root, IndexManifest.IvfPqPostingsFormat, fmts, maxGens = 2)(
+        _ => fail("the no-op branch must never rewrite"))
+      assert(!ranNot &&
+        same(IndexManifest.IvfPqPostingsFormat) === posts &&
+        same(IndexManifest.PqCodebookFormat) === Seq(cb))
+      assert(IndexManifest.committedIds(spark, root) === idsBefore)
+      // above it: the postings fold, the codebook re-named unchanged
+      val p3 = mkGen("p3")
+      IndexManifest.commitTagged(spark, root,
+        (cb -> IndexManifest.PqCodebookFormat) +:
+          (posts :+ p3).map(_ -> IndexManifest.IvfPqPostingsFormat))
+      val (after, ran) = IndexManifest.compactPartsIfNeeded(spark, root,
+        IndexManifest.IvfPqPostingsFormat, fmts, maxGens = 2) { live =>
+        assert(live === posts :+ p3,
+          "the rewrite must see the postings family alone")
+        mkGen("folded")
+      }
+      assert(ran)
+      assert(after(IndexManifest.IvfPqPostingsFormat) ===
+        Seq(s"$root/gens/folded"))
+      assert(after(IndexManifest.PqCodebookFormat) === Seq(cb),
+        "the switch must re-name the codebook unchanged")
+      assert(IndexManifest.resolveParts(spark, root, fmts) === after,
+        "the switch commit must be the resolved head")
+    }
+  }
 }
