@@ -4438,11 +4438,16 @@ object OracleSql {
   /** The frozen day-1 quantizer + full-corpus assignment shared by
     * the q297/q298/q299/q301 oracles: centroids are the nCentroids
     * smallest vec_ids of the EXISTING stratum; every vector ranks its
-    * lists by (cosine desc, cid). */
-  private def sliceAssignCtes(nCentroids: Int, dim: Int): String =
+    * lists by (cosine desc, cid). `centFrom`/`centOffset` swap in the
+    * q340 RETRAINED quantizer — the next nCentroids vec_ids of the
+    * full corpus after the day-1 seed window (mirrors
+    * Similarity.retrainedCentroids). */
+  private def sliceAssignCtes(nCentroids: Int, dim: Int,
+                              centFrom: String = "ex",
+                              centOffset: Int = 0): String =
     s"""cent AS MATERIALIZED (
-       |  SELECT vec_id AS cid, de AS ce FROM ex ORDER BY vec_id
-       |  LIMIT $nCentroids
+       |  SELECT vec_id AS cid, de AS ce FROM $centFrom ORDER BY vec_id
+       |  LIMIT $nCentroids${if (centOffset > 0) s" OFFSET $centOffset" else ""}
        |),
        |sims AS (
        |  SELECT e.vec_id, e.de, c.cid, ${cosSql("e.de", "c.ce", dim)} AS csim
@@ -10386,14 +10391,18 @@ object OracleSql {
     * the existing stratum, the q302 discipline) shared by the q333
     * day-2 search, the q334 compaction (layout-only), and the q335
     * time travel (the q329 root's v1 snapshot IS the full corpus
-    * coded under the frozen codebook).
+    * coded under the frozen codebook). `centFrom`/`centOffset` swap
+    * in the q340 RETRAINED quantizer: lists AND probe routing re-rank
+    * under the shifted-window centroids the retrain installs.
     */
   def q329IvfPqSearch(nCentroids: Int = 8, nSub: Int = 8,
                       subDim: Int = 8, codebookK: Int = 16,
                       modN: Int = 5, nProbe: Int = 2, k: Int = 5,
-                      dim: Int = 64, cbFrom: String = "e"): String =
+                      dim: Int = 64, cbFrom: String = "e",
+                      centFrom: String = "ex",
+                      centOffset: Int = 0): String =
     s"""WITH ${vecSplitCtes(modN)},
-       |${sliceAssignCtes(nCentroids, dim)},
+       |${sliceAssignCtes(nCentroids, dim, centFrom, centOffset)},
        |lists AS (SELECT vec_id, cid AS list_id FROM asg WHERE crk = 1),
        |pl AS (
        |  SELECT vec_id AS probe_id, de AS pe, cid AS list_id

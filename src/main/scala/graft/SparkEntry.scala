@@ -518,7 +518,9 @@ object SparkEntry {
     "q338_stream_ivfpq_ingest" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIvfPqIngestFixture(s, dir)),
     "q339_stream_trigger_retention" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamAnnTriggerFixture(s, dir))
+      graft.streaming.StreamingOps.streamAnnTriggerFixture(s, dir)),
+    "q340_ivfpq_quantizer_retrain" -> ((s, dir) =>
+      Similarity.ivfPqQuantizerRetrain(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1014,6 +1016,13 @@ object SparkEntry {
     // only when the live set exceeds maxGens changes layout and cost
     // timing, never content — the final search still equals the batch
     // day-2 search
-    "q339_stream_trigger_retention" -> OracleSql.q298IvfDayTwoSearch()
+    "q339_stream_trigger_retention" -> OracleSql.q298IvfDayTwoSearch(),
+    // the quantizer retrain: the q329 ADC restatement with BOTH the
+    // codebook retrained on the full corpus AND the centroid seed
+    // window shifted past the day-1 seeds (retrainedCentroids) — every
+    // vector re-lists and every probe re-routes, so a stale quantizer,
+    // a mixed-version triple, or a re-list bug all break the compare
+    "q340_ivfpq_quantizer_retrain" -> OracleSql.q329IvfPqSearch(
+      cbFrom = "e", centFrom = "e", centOffset = 8)
   )
 }

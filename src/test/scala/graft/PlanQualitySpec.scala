@@ -1028,6 +1028,26 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q340: retrained search resolves ALL THREE families from the head commit — no v1 generation of any family; corpus scanned once; coded scan pruned") {
+    val df = SparkEntry.queries("q340_ivfpq_quantizer_retrain")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_rt_cent2") && fmt.contains("ivfpq_rt_cb2") &&
+      fmt.contains("ivfpq_rt_posts2"),
+      s"q340 must read the retrained quantizer, codebook, and " +
+        s"re-coded postings:\n$fmt")
+    // the three-way atomic-switch contract, visible in the plan: no
+    // generation of ANY v1 family is read — a v1 quantizer beside v2
+    // postings would misroute every probe silently
+    assert(!fmt.contains("ivfpq_rt_cent1") && !fmt.contains("ivfpq_rt_cb1") &&
+      !fmt.contains("ivfpq_rt_posts1"),
+      s"q340 reads a retired v1 generation:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+    assert(fmt.contains("dynamicpruning"),
+      s"q340 coded scan must prune to the probed lists:\n$fmt")
+  }
+
   test("q339: the trigger-cadence stream's final search reads the batch-1 fold and the batch-2 delta — nothing else") {
     val (_, _, search) = graft.streaming.StreamingOps
       .streamAnnTriggerRun(spark, sfDir)

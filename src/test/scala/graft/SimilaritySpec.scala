@@ -1136,6 +1136,47 @@ class SimilaritySpec extends SparkSpec {
     assert(search.count() > 0)
   }
 
+  test("q340: the three-way switch serves quantizer+codebook+postings from ONE commit; resolvePartsAt pinned to v1 serves yesterday's quantizer WITH yesterday's lists") {
+    val dir = "/root/testdata/sf0.001"
+    val F = graft.operators.IndexManifest
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val (root, parts, search) =
+      Similarity.ivfPqRetrainParts(spark, dir, 8, 8, 8, 16, 5, 2, 5)
+    // the head serves the retrained TRIPLE — all three families from
+    // one commit, the quantizer no longer a memoized side channel
+    assert(parts(F.IvfCentroidsFormat).size === 1 &&
+      parts(F.IvfCentroidsFormat).head.contains("ivfpq_rt_cent2"),
+      s"switch must serve the retrained quantizer: $parts")
+    assert(parts(F.PqCodebookFormat).head.contains("ivfpq_rt_cb2") &&
+      parts(F.IvfPqPostingsFormat).head.contains("ivfpq_rt_posts2"),
+      s"switch must serve the retrained codebook and re-coded " +
+        s"postings: $parts")
+    // three-way time travel: the v1 snapshot pins yesterday's
+    // quantizer WITH yesterday's codebook AND yesterday's lists
+    val snap1 = F.committedIds(spark, root).head
+    val v1 = F.resolvePartsAt(spark, root, snap1, Similarity.IvfPqComposite)
+    assert(v1(F.IvfCentroidsFormat).head.contains("ivfpq_rt_cent1") &&
+      v1(F.PqCodebookFormat).head.contains("ivfpq_rt_cb1") &&
+      v1(F.IvfPqPostingsFormat).head.contains("ivfpq_rt_posts1"),
+      s"the day-1 snapshot must pin the frozen triple: $v1")
+    val v1Search = rows(Similarity.ivfPqSearchFromParts(spark, dir, v1,
+      nProbe = 2, k = 5))
+    // the v1 triple IS the full corpus listed+coded under the frozen
+    // quantizer and codebook — exactly the day-2 composite state, so
+    // the pinned search must reproduce it row for row
+    assert(v1Search === rows(Similarity.ivfPqDayTwoSearch(spark, dir)),
+      "v1-pinned search differs from the frozen-pair search — " +
+        "resolvePartsAt did not serve yesterday's quantizer with " +
+        "yesterday's lists")
+    // ...and must NOT equal the retrained head: the retrain re-routes
+    // every probe and re-codes every vector
+    assert(v1Search !== rows(search),
+      "v1-pinned search equals the retrained search — the snapshot " +
+        "read leaked the three-way switch")
+  }
+
   test("q332: with every vector a codeword and every list probed, ADC degrades to exact max-inner-product search") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
