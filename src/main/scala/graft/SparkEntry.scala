@@ -520,7 +520,9 @@ object SparkEntry {
     "q339_stream_trigger_retention" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamAnnTriggerFixture(s, dir)),
     "q340_ivfpq_quantizer_retrain" -> ((s, dir) =>
-      Similarity.ivfPqQuantizerRetrain(s, dir))
+      Similarity.ivfPqQuantizerRetrain(s, dir)),
+    "q341_stream_ivfpq_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamIvfPqRetentionFixture(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1023,6 +1025,14 @@ object SparkEntry {
     // vector re-lists and every probe re-routes, so a stale quantizer,
     // a mixed-version triple, or a re-list bug all break the compare
     "q340_ivfpq_quantizer_retrain" -> OracleSql.q329IvfPqSearch(
-      cbFrom = "e", centFrom = "e", centOffset = 8)
+      cbFrom = "e", centFrom = "e", centOffset = 8),
+    // composite GC-under-stream: the coded micro-batch deltas union to
+    // exactly the incoming stratum and trigger-fold + retire change
+    // layout, never content — the final search over the resolved
+    // composite equals the batch day-2 composite search (q333's
+    // oracle); a GC'd live generation or a vanished shared codebook
+    // breaks it
+    "q341_stream_ivfpq_retention" -> OracleSql.q329IvfPqSearch(
+      cbFrom = "ex")
   )
 }

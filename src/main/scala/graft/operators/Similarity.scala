@@ -1510,6 +1510,60 @@ object Similarity {
     (cent, cb, base, e.filter(inc))
   }
 
+  /** Q341 support (the composite GC-under-stream fixture in
+    * [[graft.streaming.StreamingOps.streamIvfPqRetentionFixture]]):
+    * like [[streamCodedParts]] but with the codebook AND base coded
+    * generation PER-INVOCATION — the fixture runs retire, and
+    * anything a GC pass may delete must be this run's own (the
+    * q307/q319 ownership rule; a GC'd memoized dir would poison every
+    * later same-key invocation). The quantizer memoizes: centroids
+    * are not a committed generation and retire never touches them. */
+  private[graft] def streamCodedRetentionParts(s: SparkSession,
+                                               dir: String,
+                                               nCentroids: Int, nSub: Int,
+                                               subDim: Int, codebookK: Int,
+                                               modN: Int)
+      : (String, String, String, DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val cent = centArtifact(s, dir, "ivfpq_sret_cent", params)(
+      sliceCentroids(e.filter(!inc), nCentroids))
+    val cb = ArtifactStore.invocationDir("ivfpq_sret_cb",
+      (dir +: params): _*)
+    writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+      codebookK), cb)
+    val base = ArtifactStore.invocationDir("ivfpq_sret_base",
+      (dir +: params): _*)
+    writeIvfPqPostings(codedListsFor(e.filter(!inc),
+      readIvfCentroids(s, cent), readPqCodebook(s, cb),
+      nSub, subDim), base)
+    (cent, cb, base, e.filter(inc))
+  }
+
+  /** Q341 support: one CODED delta generation from a micro-batch of
+    * vec-disjoint vectors — encode under the frozen persisted pair,
+    * no anti-join (the q318/q339 disjoint-batch delta shape; the
+    * redelivery face is q338's [[codedIngestBatch]]). */
+  private[graft] def codedAssignBatch(s: SparkSession, centDir: String,
+                                      cbDir: String, batch: DataFrame,
+                                      nSub: Int, subDim: Int,
+                                      outDir: String): Unit =
+    writeIvfPqPostings(
+      codedListsFor(batch, readIvfCentroids(s, centDir),
+        readPqCodebook(s, cbDir), nSub, subDim), outDir)
+
+  /** Q341 support: the q329 ADC search shape over explicit coded
+    * generation dirs under a persisted quantizer + codebook (the
+    * [[searchPostingsDirs]] analogue on the composite family). */
+  private[graft] def searchCodedDirs(s: SparkSession, dir: String,
+                                     centDir: String, cbDirs: Seq[String],
+                                     postDirs: Seq[String], nProbe: Int,
+                                     k: Int): DataFrame =
+    ivfPqSearchFrom(s, dir, readIvfCentroids(s, centDir), cbDirs,
+      postDirs, nProbe, k)
+
   /** Q338 support: one CODED delta generation from a micro-batch —
     * encode under the frozen persisted pair, vec_id anti-join against
     * all prior coded generations (re-delivery idempotence, q301's

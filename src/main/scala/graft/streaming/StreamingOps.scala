@@ -2339,30 +2339,35 @@ object StreamingOps {
       "ivfpq_manifest_stream", dir, nCentroids.toString, modN.toString)
     F.commitTagged(s, mroot, Seq(cb -> F.PqCodebookFormat,
       base -> F.IvfPqPostingsFormat))
-    // keyed by batch id so a foreachBatch RETRY of batch i excludes
-    // its own (possibly half-written) generation from the anti-join
-    // side and overwrites it in place (the q301 idempotence shape)
-    val deltas =
-      new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val stream =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
     val q = stream.toDS().toDF("vec_id", "de")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        import scala.jdk.CollectionConverters._
         val ss = batch.sparkSession
-        val prior = base +: deltas.asScala.toSeq
-          .collect { case (i, d) if i != id => d }
         val gen = s"$deltaRoot/b$id"
-        graft.operators.Similarity.codedIngestBatch(ss, cent, cb,
-          prior, batch, nSub, subDim, gen)
-        deltas.put(id, gen)
-        // the composite switch: codebook re-named beside the grown
-        // postings set in ONE commit — mid-stream readers always
-        // resolve a consistent pair
-        F.commitTagged(ss, mroot, (cb -> F.PqCodebookFormat) +:
-          (base +: deltas.asScala.toSeq.sortBy(_._1).map(_._2))
-            .map(_ -> F.IvfPqPostingsFormat))
+        // the q319 retry guard: a generation committed ANYWHERE is
+        // immutable, so a foreachBatch RETRY of batch i skips the
+        // whole step instead of overwriting the committed b$i in
+        // place (round-16 ADVICE: unlike q301, every batch here
+        // COMMITS its delta, so an overwrite would mutate a
+        // generation kept manifests still name). Content-neutral:
+        // the batch's rows were already absorbed by the commit.
+        if (!F.committedGens(ss, mroot).contains(gen)) {
+          // prior generations come from the RESOLVED head (base plus
+          // every earlier batch's committed delta, in commit order) —
+          // the anti-join side the re-delivery idempotence needs
+          val prior = F.resolveParts(ss, mroot,
+            Set(F.PqCodebookFormat, F.IvfPqPostingsFormat))(
+            F.IvfPqPostingsFormat)
+          graft.operators.Similarity.codedIngestBatch(ss, cent, cb,
+            prior, batch, nSub, subDim, gen)
+          // the composite switch: codebook re-named beside the grown
+          // postings set in ONE commit — mid-stream readers always
+          // resolve a consistent pair
+          F.commitTagged(ss, mroot, (cb -> F.PqCodebookFormat) +:
+            (prior :+ gen).map(_ -> F.IvfPqPostingsFormat))
+        }
       }
       .outputMode(OutputMode.Update()).start()
     try {
@@ -2564,6 +2569,117 @@ object StreamingOps {
     (ran.asScala.toSeq, deleted.asScala.toSeq,
       graft.operators.Similarity.searchPostingsDirs(s, dir, cent,
         graft.operators.IndexManifest.resolve(s, mroot, F), nProbe, k))
+  }
+
+  /** Q341 — COMPOSITE GC-UNDER-STREAM: q339's trigger-cadence
+    * retention composition on the IVF-PQ family, exercising the one
+    * case the composite adds that no single-family stream can — the
+    * SHARED codebook generation, re-named by every commit, must
+    * survive every retention pass raced against the live stream
+    * while the postings generations around it die (q336 proves the
+    * exclusivity rule in batch; this runs it with retire deleting
+    * superseded generations from disk WHILE micro-batches commit).
+    * Each batch encodes under the frozen persisted quantizer+codebook
+    * pair, lands a coded delta, commits the grown composite set, runs
+    * [[graft.operators.IndexManifest.compactPartsIfNeeded]](maxGens =
+    * 2) — folding ONLY the postings family, the codebook re-named
+    * unchanged — and retires(keepLast = 2). With three batches the
+    * cadence is deterministic (no-fold, fold, no-fold; batch 2's
+    * retire reclaims base/b0/b1), and the final search over whatever
+    * resolveParts serves equals the batch day-2 composite search
+    * (q333's shared oracle): cadence and GC change layout and cost
+    * timing, never content — and a vanished shared codebook would
+    * leave the final search undecodable. Retry guard is q319's
+    * committedGens check.
+    *
+    * Scale shape: per batch O(|batch|) encode against two broadcast
+    * KB artifacts plus one code-sized list shuffle; the index-sized
+    * fold is amortized over maxGens batches and the retention deletes
+    * are whole immutable directories — the composite family's
+    * steady-state streaming bill.
+    */
+  def streamIvfPqRetentionFixture(s: SparkSession, dir: String,
+                                  nCentroids: Int = 8, nSub: Int = 8,
+                                  subDim: Int = 8, codebookK: Int = 16,
+                                  modN: Int = 5, nProbe: Int = 2,
+                                  k: Int = 5): DataFrame =
+    streamIvfPqRetentionRun(s, dir, nCentroids, nSub, subDim, codebookK,
+      modN, nProbe, k)._4
+
+  /** Test-visible q341 split: (per-batch fold flags, GC-deleted dirs,
+    * codebook dir, search). */
+  private[graft] def streamIvfPqRetentionRun(s: SparkSession, dir: String,
+                                             nCentroids: Int = 8,
+                                             nSub: Int = 8,
+                                             subDim: Int = 8,
+                                             codebookK: Int = 16,
+                                             modN: Int = 5,
+                                             nProbe: Int = 2, k: Int = 5)
+      : (Seq[Boolean], Seq[String], String, DataFrame) = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val F = graft.operators.IndexManifest
+    val fmts = Set(F.PqCodebookFormat, F.IvfPqPostingsFormat)
+    val (cent, cb, base, incoming) = graft.operators.Similarity
+      .streamCodedRetentionParts(s, dir, nCentroids, nSub, subDim,
+        codebookK, modN)
+    val feed = incoming.select(col("vec_id"), col("de"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val deltaRoot = graft.operators.ArtifactStore.invocationDir(
+      "ivfpq_postings_sretref", dir, nCentroids.toString, modN.toString)
+    val mroot = graft.operators.ArtifactStore.invocationDir(
+      "ivfpq_manifest_sret", dir, nCentroids.toString, modN.toString)
+    F.commitTagged(s, mroot, Seq(cb -> F.PqCodebookFormat,
+      base -> F.IvfPqPostingsFormat))
+    val ran = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val deleted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = stream.toDS().toDF("vec_id", "de")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ss = batch.sparkSession
+        val gen = s"$deltaRoot/b$id"
+        // the q319 retry guard: a gen committed ANYWHERE is immutable
+        if (!F.committedGens(ss, mroot).contains(gen)) {
+          val prior = F.resolveParts(ss, mroot, fmts)(F.IvfPqPostingsFormat)
+          // frozen-pair encode; batches are vec-disjoint so no
+          // anti-join (the q318/q339 delta shape)
+          graft.operators.Similarity.codedAssignBatch(ss, cent, cb,
+            batch, nSub, subDim, gen)
+          F.commitTagged(ss, mroot, (cb -> F.PqCodebookFormat) +:
+            (prior :+ gen).map(_ -> F.IvfPqPostingsFormat))
+          // OPTIMIZE only when the postings family exceeds the
+          // trigger; the codebook rolls forward UNCHANGED in the
+          // same switch commit (q334's orthogonality rule)
+          val (_, folded) = F.compactPartsIfNeeded(ss, mroot,
+            F.IvfPqPostingsFormat, fmts, maxGens = 2) { live =>
+            val compacted = graft.operators.ArtifactStore.invocationDir(
+              "ivfpq_sretc", dir, nCentroids.toString, modN.toString)
+            graft.operators.Similarity.writeIvfPqPostings(
+              live.map(graft.operators.Similarity
+                .readIvfPqPostings(ss, _)).reduce(_ unionAll _),
+              compacted)
+            compacted
+          }
+          ran.add(folded)
+          // VACUUM between micro-batches: the retention GC under test
+          // — the shared codebook is named by EVERY kept manifest, so
+          // the exclusivity rule must keep it alive every pass
+          F.retire(ss, mroot, keepLast = 2)
+            .foreach(deleted.add(_): Unit)
+        }
+      }
+      .outputMode(OutputMode.Update()).start()
+    try feedBatches(stream, q, feed, nBatches = 3)
+    finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val parts = F.resolveParts(s, mroot, fmts)
+    (ran.asScala.toSeq, deleted.asScala.toSeq, cb,
+      graft.operators.Similarity.searchCodedDirs(s, dir, cent,
+        parts(F.PqCodebookFormat), parts(F.IvfPqPostingsFormat),
+        nProbe, k))
   }
 
   /** [[userProfileStream]] emission (one per updated key per batch). */

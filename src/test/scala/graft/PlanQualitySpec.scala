@@ -1063,6 +1063,23 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q341: the composite retention stream's final search reads the batch-1 fold, the batch-2 delta, and the surviving codebook — nothing else") {
+    val (_, _, _, search) = graft.streaming.StreamingOps
+      .streamIvfPqRetentionRun(spark, sfDir)
+    search.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(search)
+    assert(fmt.contains("ivfpq_sretc") && fmt.contains("/b2"),
+      s"q341 search must read the batch-1 fold plus the live delta:\n$fmt")
+    assert(fmt.contains("ivfpq_sret_cb"),
+      s"q341 must decode through the surviving shared codebook:\n$fmt")
+    assert(!fmt.contains("ivfpq_sret_base") && !fmt.contains("/b0") &&
+      !fmt.contains("/b1"),
+      s"q341 search reads a generation the GC superseded:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q337: the composite purge audit reads the coded artifact dirs only — the corpus is never rescanned") {
     val df = SparkEntry.queries("q337_ivfpq_purge")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

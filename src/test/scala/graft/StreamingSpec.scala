@@ -1000,4 +1000,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
     assert(rows(search) === batch)
   }
+
+  test("q341: composite GC-under-stream — the SHARED codebook survives every retention pass; folds on cadence; search == batch day-2 composite") {
+    val dir = "/root/testdata/sf0.001"
+    val (ran, deleted, cb, search) =
+      graft.streaming.StreamingOps.streamIvfPqRetentionRun(spark, dir)
+    // q339's deterministic cadence on the composite family: batch 0
+    // ends at base+b0 (pure read), batch 1 reaches three postings
+    // generations and folds, batch 2 ends at fold+b2
+    assert(ran === Seq(false, true, false),
+      s"expected exactly the batch-1 fold, got $ran")
+    // batch 2's retire reclaims base/b0/b1 (exclusive to retired
+    // snapshots after the fold window moved past them)
+    assert(deleted.size === 3, s"expected 3 GC'd generations: $deleted")
+    assert(deleted.exists(_.contains("ivfpq_sret_base")) &&
+      deleted.exists(_.contains("/b0")) &&
+      deleted.exists(_.contains("/b1")),
+      s"expected base, b0, b1 reclaimed: $deleted")
+    deleted.foreach(g => assert(!new java.io.File(g).exists,
+      s"GC'd generation still on disk: $g"))
+    // the composite's own case: the codebook generation is re-named by
+    // EVERY commit, so it is never exclusive to a retired snapshot —
+    // a retention pass that deleted it would leave every later
+    // resolve serving undecodable codes
+    assert(!deleted.exists(_ == cb) && new java.io.File(cb).isDirectory,
+      "retention deleted the shared codebook generation under the stream")
+    // GC and cadence never change content: the final search over the
+    // resolved composite equals the batch day-2 composite search
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSet
+    val batch = rows(graft.operators.Similarity.ivfPqDayTwoSearch(spark, dir))
+    assert(batch.nonEmpty)
+    assert(rows(search) === batch)
+  }
 }
