@@ -522,7 +522,9 @@ object SparkEntry {
     "q340_ivfpq_quantizer_retrain" -> ((s, dir) =>
       Similarity.ivfPqQuantizerRetrain(s, dir)),
     "q341_stream_ivfpq_retention" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamIvfPqRetentionFixture(s, dir))
+      graft.streaming.StreamingOps.streamIvfPqRetentionFixture(s, dir)),
+    "q342_ivfpq_orphan_sweep" -> ((s, dir) =>
+      Similarity.ivfPqOrphanSweep(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1033,6 +1035,14 @@ object SparkEntry {
     // oracle); a GC'd live generation or a vanished shared codebook
     // breaks it
     "q341_stream_ivfpq_retention" -> OracleSql.q329IvfPqSearch(
+      cbFrom = "ex"),
+    // orphan sweep on a composite root: the sweep deleted NOTHING a
+    // committed manifest references, so the post-sweep search over the
+    // resolved composite (base ∪ delta under the frozen pair) still
+    // equals the inline frozen-pair ADC restatement — a swept live
+    // coded generation drops candidates, a swept live codebook leaves
+    // codes undecodable; either breaks the compare
+    "q342_ivfpq_orphan_sweep" -> OracleSql.q329IvfPqSearch(
       cbFrom = "ex")
   )
 }

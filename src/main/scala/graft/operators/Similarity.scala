@@ -1859,6 +1859,100 @@ object Similarity {
     (root, parts, ivfPqSearchFromParts(s, dir, parts, nProbe, k))
   }
 
+  /** Q342 — ORPHAN SWEEP on a COMPOSITE root (round-16 verdict #3):
+    * q323's crashed-job reclamation run against a [[IndexManifest
+    * .commitTagged]] root, proving the sweep's live-set logic — which
+    * reads ALL format rows — on the one layout where getting it wrong
+    * deletes a SHARED artifact. The composite day-1/day-2 life is
+    * replayed with every generation under ONE gens directory (frozen
+    * codebook + base coded generation committed, then codebook +
+    * base + coded delta), then a crashed RE-CODE job is planted: its
+    * retrained codebook AND its re-coded postings landed in full, the
+    * three-way switch commit never did — an orphan PAIR no manifest
+    * names — plus a half-written manifest dir without `_SUCCESS`.
+    * [[IndexManifest.sweepOrphans]] must reclaim both strays and the
+    * crashed manifest while keeping every generation ANY committed
+    * manifest names — including the live codebook, which only format-
+    * blind row reading keeps alive. The search then runs through the
+    * swept root's resolveParts: output equal to the inline ADC
+    * restatement under the frozen pair (q333's shared oracle) is the
+    * content half of the proof — a swept live generation would drop
+    * candidates or leave codes undecodable; the spec pins the disk
+    * half and the plan pin proves the search never touches the
+    * strays.
+    *
+    * Everything lives in a PER-INVOCATION root (the q307/q319
+    * GC-ownership rule — the sweep deletes dirs, so they must be this
+    * run's own); the day-1 rebuild that costs is billed to the query.
+    * Scale shape: the sweep is one directory listing against a
+    * manifest-sized reference set plus whole-directory deletes —
+    * the weekly orphan sweep of a crashed re-code costs metadata; the
+    * search is q329's steady-state scan.
+    */
+  def ivfPqOrphanSweep(s: SparkSession, dir: String, nCentroids: Int = 8,
+                       nSub: Int = 8, subDim: Int = 8,
+                       codebookK: Int = 16, modN: Int = 5,
+                       nProbe: Int = 2, k: Int = 5): DataFrame =
+    ivfPqOrphanParts(s, dir, nCentroids, nSub, subDim, codebookK, modN,
+      nProbe, k)._4
+
+  /** Test-visible q342 split: (root, swept dirs, committed generation
+    * dirs, search) so the spec can pin the on-disk outcome. */
+  private[graft] def ivfPqOrphanParts(s: SparkSession, dir: String,
+                                      nCentroids: Int, nSub: Int,
+                                      subDim: Int, codebookK: Int,
+                                      modN: Int, nProbe: Int, k: Int)
+      : (String, Seq[String], Seq[String], DataFrame) = {
+    val e = embDoubles(s, dir)
+    val inc = incomingVec(modN)
+    val params = Seq(nCentroids, nSub, subDim, codebookK, modN)
+      .map(_.toString)
+    val cent = readIvfCentroids(s,
+      centArtifact(s, dir, "ivfpq_orph_cent", params)(
+        sliceCentroids(e.filter(!inc), nCentroids)))
+    val root = ArtifactStore.invocationDir("ivfpq_orphan_root",
+      (dir +: params): _*)
+    val gens = s"$root/gens"
+    val cb = s"$gens/cb"
+    writePqCodebook(pqTrainedCodebook(e.filter(!inc), nSub, subDim,
+      codebookK), cb)
+    val base = s"$gens/base"
+    writeIvfPqPostings(codedListsFor(e.filter(!inc), cent,
+      readPqCodebook(s, cb), nSub, subDim), base)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      base -> IndexManifest.IvfPqPostingsFormat))
+    val delta = s"$gens/delta"
+    writeIvfPqPostings(codedListsFor(e.filter(inc), cent,
+      readPqCodebook(s, cb), nSub, subDim), delta)
+    IndexManifest.commitTagged(s, root, Seq(
+      cb -> IndexManifest.PqCodebookFormat,
+      base -> IndexManifest.IvfPqPostingsFormat,
+      delta -> IndexManifest.IvfPqPostingsFormat))
+    // crash 1: a RE-CODE job's retrained codebook AND re-coded
+    // postings landed in full; its switch commit never did — an
+    // intact orphan PAIR no manifest (committed or not) names
+    val strayCb = s"$gens/stray_cb"
+    writePqCodebook(pqTrainedCodebook(e, nSub, subDim, codebookK),
+      strayCb)
+    val strayPosts = s"$gens/stray_recode"
+    writeIvfPqPostings(codedListsFor(e, cent,
+      readPqCodebook(s, strayCb), nSub, subDim), strayPosts)
+    // crash 2: a commit died mid-write — an m_ dir without _SUCCESS
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/m_99"))
+    // minAgeMs = 0 is the single-threaded-fixture opt-in: every write
+    // above completed before this line, so nothing can be mid-write
+    val swept = IndexManifest.sweepOrphans(s, root, gens, minAgeMs = 0L)
+    val parts = IndexManifest.resolveParts(s, root,
+      Set(IndexManifest.PqCodebookFormat,
+        IndexManifest.IvfPqPostingsFormat))
+    (root, swept, Seq(cb, base, delta),
+      ivfPqSearchFrom(s, dir, cent, parts(IndexManifest.PqCodebookFormat),
+        parts(IndexManifest.IvfPqPostingsFormat), nProbe, k))
+  }
+
   /** Q332 — IVF-PQ recall certification: q90's recall@k pointed at
     * the COMPOSITE index (q329) — per probe, |ADC top-k ∩ exact
     * cosine top-k| / k. This is the number that tunes the

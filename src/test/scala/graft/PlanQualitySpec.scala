@@ -1080,6 +1080,22 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q342: the post-sweep search reads the committed composite generations, never a stray; corpus scanned once") {
+    val (_, _, _, search) = graft.operators.Similarity
+      .ivfPqOrphanParts(spark, sfDir, 8, 8, 8, 16, 5, 2, 5)
+    search.write.format("noop").mode("overwrite").save()
+    val fmt =
+      org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(search)
+    assert(fmt.contains("gens/base") && fmt.contains("gens/delta") &&
+      fmt.contains("gens/cb"),
+      s"q342 must read the committed codebook and both coded " +
+        s"generations:\n$fmt")
+    assert(!fmt.contains("stray_cb") && !fmt.contains("stray_recode"),
+      s"q342 search touches a crashed-job stray:\n$fmt")
+    assert(embScans(fmt) === 1,
+      s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q337: the composite purge audit reads the coded artifact dirs only — the corpus is never rescanned") {
     val df = SparkEntry.queries("q337_ivfpq_purge")(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()

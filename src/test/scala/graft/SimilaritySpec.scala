@@ -1177,6 +1177,38 @@ class SimilaritySpec extends SparkSpec {
         "read leaked the three-way switch")
   }
 
+  test("q342: the composite sweep reclaims the crashed re-code PAIR and the crashed manifest; every committed generation — the codebook included — survives") {
+    val dir = "/root/testdata/sf0.001"
+    val (root, swept, committed, search) =
+      Similarity.ivfPqOrphanParts(spark, dir, 8, 8, 8, 16, 5, 2, 5)
+    // both halves of the crashed re-code are reclaimed — and nothing
+    // else: the sweep's reference set read EVERY format row, so the
+    // live codebook was never mistaken for a stray
+    assert(swept.size === 2, s"expected exactly the stray pair: $swept")
+    assert(swept.exists(_.endsWith("stray_cb")) &&
+      swept.exists(_.endsWith("stray_recode")),
+      s"expected the crashed codebook AND re-coded postings: $swept")
+    swept.foreach(g => assert(!new java.io.File(g).exists,
+      s"swept stray still on disk: $g"))
+    // the crashed manifest dir is gone too (its id is re-allocatable)
+    assert(!new java.io.File(s"$root/m_99").exists,
+      "the half-written manifest dir survived the sweep")
+    // every generation a committed manifest names is intact on disk
+    // and still resolving — codebook, base, and delta
+    committed.foreach(g => assert(new java.io.File(g).isDirectory,
+      s"the sweep deleted a committed generation: $g"))
+    val F = graft.operators.IndexManifest
+    val parts = F.resolveParts(spark, root,
+      Set(F.PqCodebookFormat, F.IvfPqPostingsFormat))
+    assert(parts(F.PqCodebookFormat) === Seq(committed.head) &&
+      parts(F.IvfPqPostingsFormat) === committed.tail,
+      s"post-sweep resolve must serve the committed composite: $parts")
+    // both snapshots still time-travel (the sweep touches no
+    // committed manifest)
+    assert(F.committedIds(spark, root).size === 2)
+    assert(search.count() > 0)
+  }
+
   test("q332: with every vector a codeword and every list probed, ADC degrades to exact max-inner-product search") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
