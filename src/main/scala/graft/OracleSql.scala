@@ -10442,11 +10442,17 @@ object OracleSql {
     * compare.
     */
   def q330LifecycleRecall(k: Int = 5): String =
+    recallVsExactSql(q298IvfDayTwoSearch(k = k), k)
+
+  /** The shared recall tail of q330/q332/q343: exact cosine truth
+    * (q16's top-k) vs an approximate search's answers, per probe,
+    * zero-hit probes preserved, integer-exact ratios. */
+  private def recallVsExactSql(approxSql: String, k: Int): String =
     s"""WITH truth AS (
        |  SELECT probe_id, vec_id FROM (${q16CosineTopK(k = k)}) t
        |),
        |approx AS (
-       |  SELECT probe_id, vec_id FROM (${q298IvfDayTwoSearch(k = k)}) a
+       |  SELECT probe_id, vec_id FROM ($approxSql) a
        |),
        |hits AS (
        |  SELECT t.probe_id, count(*) AS n_hit
@@ -10465,20 +10471,14 @@ object OracleSql {
     * truth vs coded-index answers, per probe, integer-exact.
     */
   def q332IvfPqRecall(k: Int = 5): String =
-    s"""WITH truth AS (
-       |  SELECT probe_id, vec_id FROM (${q16CosineTopK(k = k)}) t
-       |),
-       |approx AS (
-       |  SELECT probe_id, vec_id FROM (${q329IvfPqSearch(k = k)}) a
-       |),
-       |hits AS (
-       |  SELECT t.probe_id, count(*) AS n_hit
-       |  FROM truth t JOIN approx x
-       |    ON x.probe_id = t.probe_id AND x.vec_id = t.vec_id
-       |  GROUP BY 1
-       |)
-       |SELECT p.probe_id, coalesce(h.n_hit, 0) AS n_hit,
-       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $k AS recall
-       |FROM (SELECT DISTINCT probe_id FROM truth) p
-       |LEFT JOIN hits h USING (probe_id)""".stripMargin
+    recallVsExactSql(q329IvfPqSearch(k = k), k)
+
+  /** Q343 — post-retrain recall certification (mirrors
+    * Similarity.ivfPqRetrainRecall): the q332 tail with the approx
+    * side under the q340 retrained state — full-corpus codebook AND
+    * the shifted-window quantizer routing both lists and probes.
+    */
+  def q343RetrainRecall(k: Int = 5): String =
+    recallVsExactSql(q329IvfPqSearch(k = k, cbFrom = "e",
+      centFrom = "e", centOffset = 8), k)
 }

@@ -524,7 +524,9 @@ object SparkEntry {
     "q341_stream_ivfpq_retention" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamIvfPqRetentionFixture(s, dir)),
     "q342_ivfpq_orphan_sweep" -> ((s, dir) =>
-      Similarity.ivfPqOrphanSweep(s, dir))
+      Similarity.ivfPqOrphanSweep(s, dir)),
+    "q343_ivfpq_retrain_recall" -> ((s, dir) =>
+      Similarity.ivfPqRetrainRecall(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1043,6 +1045,9 @@ object SparkEntry {
     // coded generation drops candidates, a swept live codebook leaves
     // codes undecodable; either breaks the compare
     "q342_ivfpq_orphan_sweep" -> OracleSql.q329IvfPqSearch(
-      cbFrom = "ex")
+      cbFrom = "ex"),
+    // q332's certification pointed at the retrained index q340 serves
+    // — the go/no-go gate a pipeline runs after every retrain
+    "q343_ivfpq_retrain_recall" -> OracleSql.q343RetrainRecall()
   )
 }

@@ -1978,6 +1978,33 @@ object Similarity {
       ivfPqSearch(s, dir, nCentroids, nSub, subDim, codebookK, modN,
         nProbe, k), k)
 
+  /** Q343 — POST-RETRAIN recall certification: q332's recall@k
+    * pointed at the index the q340 quantizer retrain SERVES — the
+    * go/no-go number the retrain operator itself creates the need
+    * for (q332's own contract: "a production pipeline runs this
+    * after every retrain to decide whether the coded index may keep
+    * serving"; q340 is that retrain). Per probe, |served top-k ∩
+    * exact cosine top-k| / k over the three-way-resolved composite:
+    * a misrouting quantizer switch, a mixed-version triple, or a
+    * re-code bug all surface as recall loss — and break the oracle
+    * compare exactly. Spec-pinned exact-in-the-limit on the
+    * RETRAINED routing: with every vector a codeword and every list
+    * probed, the post-retrain ADC still degrades to exact
+    * max-inner-product search — re-listing is a pure routing change.
+    *
+    * Scale shape: brute force is the certification's one-off
+    * sampled-probe cost (the q90 discipline); the served side is
+    * q340's steady-state search.
+    */
+  def ivfPqRetrainRecall(s: SparkSession, dir: String,
+                         nCentroids: Int = 8, nSub: Int = 8,
+                         subDim: Int = 8, codebookK: Int = 16,
+                         modN: Int = 5, nProbe: Int = 2,
+                         k: Int = 5): DataFrame =
+    recallOf(bruteForceTopK(s, dir, k),
+      ivfPqQuantizerRetrain(s, dir, nCentroids, nSub, subDim, codebookK,
+        modN, nProbe, k), k)
+
   /** Q330 — LIFECYCLE recall certification (round-15 verdict #3):
     * q90's recall@k pointed at the index a lifecycle actually SERVES.
     * The q318 refresh→compact→retire composition replays on its own

@@ -1063,6 +1063,22 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 1 embeddings scan (probes), got ${embScans(fmt)}:\n$fmt")
   }
 
+  test("q343: the certified post-retrain side reads the retrained triple, never a v1 generation") {
+    val df = SparkEntry.queries("q343_ivfpq_retrain_recall")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val fmt = org.apache.spark.sql.graftshim.ColumnBridge.explainFormatted(df)
+    assert(fmt.contains("ivfpq_rt_cent2") && fmt.contains("ivfpq_rt_cb2") &&
+      fmt.contains("ivfpq_rt_posts2"),
+      s"q343 must certify the served retrained triple:\n$fmt")
+    assert(!fmt.contains("ivfpq_rt_cent1") && !fmt.contains("ivfpq_rt_cb1") &&
+      !fmt.contains("ivfpq_rt_posts1"),
+      s"q343 certifies a retired v1 generation:\n$fmt")
+    // truth probes + truth corpus + ADC probes; the coded side
+    // contributes zero embeddings scans
+    assert(embScans(fmt) === 3,
+      s"expected 3 embeddings scans, got ${embScans(fmt)}:\n$fmt")
+  }
+
   test("q341: the composite retention stream's final search reads the batch-1 fold, the batch-2 delta, and the surviving codebook — nothing else") {
     val (_, _, _, search) = graft.streaming.StreamingOps
       .streamIvfPqRetentionRun(spark, sfDir)

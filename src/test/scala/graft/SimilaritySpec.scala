@@ -1242,6 +1242,41 @@ class SimilaritySpec extends SparkSpec {
         "score-for-score — the coded path distorted a vector")
   }
 
+  test("q343: post-retrain ADC with every vector a codeword and every list probed still degrades to exact MIPS — re-listing is a pure routing change") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+    val n = e.count().toInt
+    // the q332 limit under the RETRAINED quantizer: different centers
+    // route vectors to different lists, but with nProbe = nCentroids
+    // every list is scanned and with codebookK = corpus size the
+    // reconstruction is bitwise exact — so the routing change must be
+    // invisible in the output
+    val adc = Similarity.ivfPqQuantizerRetrain(spark, dir, nCentroids = 8,
+        nSub = 8, subDim = 8, codebookK = n, modN = 5, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("de").as("pe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val mips = probes.crossJoin(e)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score", Similarity.dot(col("pe"), col("de")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rnk"))).toSet
+    assert(adc.nonEmpty)
+    assert(adc === mips,
+      "zero-reconstruction-error ADC under the retrained quantizer " +
+        "must equal exact MIPS — the re-list dropped or duplicated " +
+        "a vector")
+  }
+
   test("postings sink/source: exact row round trip; an EMPTY generation reads as an empty relation") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ivf_postings_spec").toString
