@@ -32,12 +32,17 @@ object Dedup {
 
   /** doc_id + distinct 3-word shingle hashes (`h` in [0, P)) — one
     * native tokenize+hash+shingle pass per document
-    * (ShingleHashesExpr), then explode + distinct.
+    * (ShingleHashesExpr), deduped PER ROW with `array_distinct` before
+    * the explode. doc_id is unique in `documents`, so per-array dedup
+    * is exactly the old `explode(...).distinct()` row set — minus the
+    * full (doc_id, h) exchange the global distinct paid (guide §2.4:
+    * remove shuffles outright). Every downstream aggregate
+    * (minhashSignatures' groupBy(doc_id), droppedShingles' groupBy(h))
+    * now partial-aggregates straight off the scan.
     */
   def shingleHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
-        explode(TextHash.shingleHashes(col("text"))).as("h"))
-      .distinct()
+        explode(array_distinct(TextHash.shingleHashes(col("text")))).as("h"))
 
   /** MinHash signatures, one row per doc with 16 columns mh1..mh16 —
     * all permuted minima computed in a single hash aggregate over the
@@ -438,11 +443,26 @@ object Dedup {
                    maxDf: Long = 100L): DataFrame = {
     val hot = droppedShingles(s, dir, maxDf).select("h")
     val sh = shingleHashes(docs(s, dir))
-      .join(broadcast(hot), Seq("h"), "left_anti").cache()
+      .join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Intersections via the q121 aggregate form (round-12 verdict #6,
+    // ported here in the round-17 optimization pass): ONE h-keyed
+    // aggregate collects each surviving shingle's (≤ maxDf) doc list,
+    // drops singleton shingles, and explodes the sorted list's a<b
+    // pairs in place. The old shingle-keyed SELF-JOIN over a cached
+    // copy paid two SMJ sort buffers + a columnar cache and was the
+    // q15e family's CPU floor (guide §2.3: aggregate before you
+    // shuffle; §2.4: two ops keyed the same way share one exchange).
+    // Pair multiset is identical: per shingle, the sorted doc list's
+    // a<b pairs are exactly the self-join's (x.doc_id < y.doc_id)
+    // matches, so `inter` per (doc_a, doc_b) is unchanged.
+    val inter = sh.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))

@@ -130,7 +130,11 @@ object Graph {
     // basket); on this data support ≥ 2 keeps 3.6k signal edges of
     // 1.2M raw pairs — the filter that makes triangle enumeration
     // scale-feasible AND statistically meaningful.
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+    // e rides the edgeMemo's eager checkpoint — already materialized
+    // blocks, so a consumer-side .cache() would only add a redundant
+    // columnar copy (and, lazily populated, the round-17 measured
+    // cache-race duplication across this plan's concurrent branches)
+    val e = copurchaseEdges(s, dir, minSupport)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -168,7 +172,7 @@ object Graph {
     */
   def transitivity(s: SparkSession, dir: String,
                    minSupport: Int = 2): DataFrame = {
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val e = copurchaseEdges(s, dir, minSupport)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -207,7 +211,7 @@ object Graph {
     */
   def assortativity(s: SparkSession, dir: String,
                     minSupport: Int = 2): DataFrame = {
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val e = copurchaseEdges(s, dir, minSupport)
     val deg = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -233,18 +237,73 @@ object Graph {
           mx * mx, lit(0.0))).as("assortativity"))
   }
 
-  private def copurchaseEdges(s: SparkSession, dir: String,
-                              minSupport: Int): DataFrame = {
-    val lp = t(s, dir, "lineitem")
+  /** Support-floored co-purchase edge derivation (canonical a < b),
+    * the shared prefix of every graph query. Round-17 optimization
+    * (guide §2.3 "aggregate before you shuffle" / §2.4 "remove
+    * shuffles outright"): ONE order-keyed aggregate collects each
+    * order's distinct sorted part set (collect_set dedupes in the
+    * aggregation buffer — order width is bounded, ~7 parts in
+    * TPC-H-shaped data, so the per-group state is O(order width))
+    * and the a<b pairs explode in place — exactly the q121/q15e pair
+    * discipline. The old form paid a (o,p)-keyed distinct exchange
+    * PLUS a per-order self-join before the support aggregate; this
+    * form reaches the same (a,b) support counts with two exchanges
+    * total (o, then (a,b)) and no join. Pair multiset is identical:
+    * per order, the sorted distinct part list's a<b pairs are the
+    * self-join's (x.p < y.p) matches over distinct (o,p).
+    * ProfileGraph at sf0.1: join form 3.6 s task CPU steady / 6.2
+    * cold, this form 2.9 / 3.0.
+    */
+  private def copurchaseEdgesRaw(s: SparkSession, dir: String,
+                                 minSupport: Int): DataFrame =
+    t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    lp.as("x").join(lp.as("y"),
-        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          b => struct(a.as("a"), b.as("b")))))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= minSupport)
       .select(col("a"), col("b"))
-  }
+
+  /** Process-level memo of the support-floored co-purchase edge table
+    * (the lpMemo discipline, extended round 17): every graph query
+    * over this graph — q113/q126/q130/q143/q159/q163/q179/q217/q223/
+    * q226 — derives the identical (a, b) edge set, and before this
+    * round each re-derived it independently; worse, a consumer fanning
+    * the derivation into several concurrent branches of ONE plan
+    * (q217's degree + orientation + marginals) raced the lazy
+    * `.cache()` materialization and paid the derivation up to 4× in
+    * one query (measured: q217 16–24 s task CPU for ~3 s of actual
+    * work). The memoized value is an EAGER localCheckpoint of the
+    * ~|E|-row support-floored table: materialized exactly once,
+    * lineage-truncated, block-manager-resident, and a pure function of
+    * its (session, dir, minSupport, fingerprint) key. Same ownership
+    * contract as lpMemo: the memo owns the blocks, LRU-evicts with
+    * explicit release, purges dead-context entries on access; a
+    * fingerprint failure BYPASSES the memo with the raw plan (never
+    * memoize under an error-derived key — round-11 ADVICE).
+    */
+  private val edgeMemo =
+    new GraftMemo[(String, String, Int, Long), DataFrame](
+      cap = 8, release = releaseLabels,
+      dead = df => df.sparkSession.sparkContext.isStopped)
+
+  /** Test hook: drop memoized co-purchase edge tables, releasing
+    * their checkpoint blocks. */
+  private[graft] def clearEdgeMemo(): Unit = edgeMemo.clear()
+
+  private def copurchaseEdges(s: SparkSession, dir: String,
+                              minSupport: Int): DataFrame =
+    dataFingerprint(s, dir) match {
+      case None => copurchaseEdgesRaw(s, dir, minSupport)
+      case Some(fp) =>
+        edgeMemo.get((MemoKey.session(s), dir, minSupport, fp))(
+          copurchaseEdgesRaw(s, dir, minSupport).localCheckpoint())
+    }
 
   /** Q126 — label-propagation communities (Raghavan et al., 2007) on
     * the support-floored co-purchase graph, made DETERMINISTIC: fully
@@ -327,14 +386,10 @@ object Graph {
     * result is checkpointed. */
   private def runLp(s: SparkSession, dir: String, iters: Int,
                     minSupport: Int): DataFrame = {
-    val edges = copurchaseEdges(s, dir, minSupport).cache()
-    val v = lpFrom(edges, iters,
+    // edges ride the edgeMemo checkpoint (or the raw bypass plan) —
+    // no consumer-side cache needed; the memo owns the blocks
+    lpFrom(copurchaseEdges(s, dir, minSupport), iters,
       tableBytes(s, dir, "lineitem") > PrePartitionEdgeBytes)
-    // lpFrom checkpointed its result, so the co-purchase derivation
-    // cache has served its only consumer — release it now instead
-    // of leaving it to session-level clearCache() hygiene
-    edges.unpersist(blocking = false)
-    v
   }
 
   private def lpLabels(s: SparkSession, dir: String, iters: Int,
@@ -423,7 +478,7 @@ object Graph {
     */
   def modularity(s: SparkSession, dir: String, iters: Int = 2,
                  minSupport: Int = 2): DataFrame = {
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val e = copurchaseEdges(s, dir, minSupport)
     // The label table is the memoized (localCheckpoint'd) Q126
     // fixpoint: within one process Q126 and Q223 now pay the LP loop
     // once between them, and the checkpoint already truncates the
@@ -506,12 +561,21 @@ object Graph {
     */
   def linkPrediction(s: SparkSession, dir: String, minSupport: Int = 2,
                      maxDeg: Long = 100L, minCommon: Long = 2L): DataFrame = {
-    val e = copurchaseEdges(s, dir, minSupport).cache()
+    val e = copurchaseEdges(s, dir, minSupport)
     val ed = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
       .cache()
+    // RA contribution 1/deg(z) quantized ON THE MID TABLE (|V| casts,
+    // not |wedges| — guide §2.3) at DECIMAL(18,14): 1/deg ≤ 1 and the
+    // per-pair sum is ≤ n_common ≤ maxDeg·|V| « 10⁴ per group only via
+    // the SUM BUFFER (which widens to (28,14)); each summand ≤ 1 fits
+    // (18,14) exactly, rounding is precision-independent, and the
+    // compact-long Decimal path replaces BigDecimal adds (ProfileGraph:
+    // ~2× on the sum stage). Values bitwise-unchanged.
     val mid = ed.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDeg)
+      .select(col("z"),
+        (lit(1.0) / col("deg")).cast("decimal(18,14)").as("ra"))
     val wedges = ed.as("e1").join(ed.as("e2"),
         col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e2.dst").as("b"),
@@ -519,8 +583,7 @@ object Graph {
       .join(mid, "z")
     wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"),
-        sum((lit(1.0) / col("deg")).cast("decimal(28,14)"))
-          .cast("double").as("ra_score"))
+        sum(col("ra")).cast("double").as("ra_score"))
       .join(e, Seq("a", "b"), "left_anti")
       .filter(col("n_common") >= minCommon)
   }
@@ -714,12 +777,25 @@ object Graph {
     val n = deg.count()
     var rank = deg.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
+      // Round-17 optimization, two parts with bitwise-unchanged ranks:
+      //  - the contribution r(u)/deg(u) is computed and quantized ON
+      //    THE NODE TABLE before the edge join (|V| divisions + casts
+      //    instead of |E| — guide §2.3, compute on the small side),
+      //    then fanned out by the join: each edge carries the same
+      //    decimal it used to compute in place;
+      //  - DECIMAL(18,14) instead of (28,14): contributions and every
+      //    per-dst partial sum are bounded by the total rank mass 1,
+      //    so 4 integer digits can never overflow, rounding at scale
+      //    14 is precision-independent, and precision ≤ 18 keeps
+      //    Spark's Decimal on the compact-long fast path — ProfileGraph
+      //    measured one iteration's sum at 9.7 s task CPU under
+      //    (28,14) vs 5.0 s under (18,14) at sf0.1.
+      val contribSrc = rank.select(col("node"),
+        (col("rank") / col("deg")).cast("decimal(18,14)").as("c"))
       val joined =
-        if (bc) edges.join(broadcast(rank), col("src") === col("node"))
-        else edges.join(rank, col("src") === col("node"))
+        if (bc) edges.join(broadcast(contribSrc), col("src") === col("node"))
+        else edges.join(contribSrc, col("src") === col("node"))
       val contrib = joined
-        .select(col("dst"),
-          (col("rank") / col("deg")).cast("decimal(28,14)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
       rank = deg.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
@@ -794,8 +870,16 @@ object Graph {
         <= BroadcastScoreBytes)
     val eByC = base.repartition(col("c")).cache()
     val eByP = eByC.repartition(col("p")).cache()
+    // DECIMAL(18,14) state (round-17 optimization): the initial mass
+    // is exactly 1 and every later h/a is sum-normalized into [0,1],
+    // so 4 integer digits can never overflow; scale-14 rounding is
+    // precision-independent, so every iteration's state is
+    // bitwise-identical to the old (28,14) form — but precision ≤ 18
+    // keeps Decimal compact (long-backed), turning the per-half-step
+    // mass sums from BigDecimal adds into long adds (ProfileGraph
+    // measured ~2× on the q79-shaped decimal sum stage).
     var auth = eByP.select(col("p")).distinct()
-      .withColumn("a", lit(1).cast("decimal(28,14)"))
+      .withColumn("a", lit(1).cast("decimal(18,14)"))
     var hub: DataFrame = null
     // each iteration's masses are eagerly materialized, so a
     // superseded hraw/araw checkpoint is dead THE MOMENT its successor
@@ -818,7 +902,7 @@ object Graph {
         hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
           .select(col("c"),
             (col("hr").cast("double") / col("sh").cast("double"))
-              .cast("decimal(28,14)").as("h"))
+              .cast("decimal(18,14)").as("h"))
         val araw = (if (bcast) eByP.join(broadcast(hub), "c")
           else eByC.join(hub, "c")).groupBy(col("p"))
           .agg(sum(col("h")).as("ar")).localCheckpoint()
@@ -827,7 +911,7 @@ object Graph {
         auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
           .select(col("p"),
             (col("ar").cast("double") / col("sa").cast("double"))
-              .cast("decimal(28,14)").as("a"))
+              .cast("decimal(18,14)").as("a"))
       }
       ok = true
     } finally {
