@@ -49,7 +49,17 @@ object BeatMetrics {
     val wch = Window.partitionBy(keys: _*)
     val wo = Window.partitionBy(keys: _*).orderBy("sample_idx")
     val wPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = wo.rowsBetween(1, Window.unboundedFollowing)
+    // The "nearest following crossing" aggregates run over the DESC
+    // ordering as running [unboundedPreceding, -1] frames (round-17
+    // optimization): a `[1, unboundedFollowing]` frame is recomputed
+    // from scratch per row by Spark's UnboundedFollowing frame
+    // processor — O(n²) per channel — while the desc running frame is
+    // O(n). sample_idx is unique per channel, so the desc frame is
+    // exactly the asc following-frame's row set and the min/max values
+    // are identical.
+    val wNext = Window.partitionBy(keys: _*)
+      .orderBy(col("sample_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
 
     // Aggregate struct(sample_idx, y_smooth) instead of the bare index:
     // struct ordering is by leading field, so max/min-by-index also
@@ -317,9 +327,11 @@ object BeatMetrics {
       col("sample_idx").as("idx"), lit(0).as("kind"))
     val bt = beatPeaks.select(col("experiment_id"), col("channel"),
       col("peak_idx").as("idx"), lit(1).as("kind"))
+    // desc running frame ≡ asc [currentRow, following] row set over the
+    // unique (idx, kind) order — O(n), not O(n²) (round 17; see dfdt)
     val w = Window.partitionBy(col("experiment_id"), col("channel"))
-      .orderBy(col("idx"), col("kind"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("idx").desc, col("kind").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lat = st.unionAll(bt)
       .withColumn("next_beat",
         min(when(col("kind") === 1, col("idx"))).over(w))
@@ -444,9 +456,14 @@ object BeatMetrics {
       .unionAll(peaks.select(keys :+ col("peak_idx").as("idx") :+
         lit(1).as("kind") :+ lit(null).cast("double").as("dy"): _*))
     val wu = Window.partitionBy(keys: _*).orderBy(col("idx"), col("kind"))
+    // desc running frame ≡ the asc [currentRow, unboundedFollowing]
+    // row set ((idx, kind) is a unique total order) — O(n) instead of
+    // Spark's O(n²) unbounded-following recomputation (round 17)
+    val wuD = Window.partitionBy(keys: _*)
+      .orderBy(col("idx").desc, col("kind").desc)
     val tagged = u
       .withColumn("nb", min(when(col("kind") === 1, col("idx")))
-        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .over(wuD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("pb", max(when(col("kind") === 1, col("idx")))
         .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
     val samples = tagged.filter(col("kind") === 0 && col("dy").isNotNull)
@@ -715,8 +732,12 @@ object BeatMetrics {
       .when(col("nb").isNull, col("pb"))
       .otherwise(when(col("idx") - col("pb") <= col("nb") - col("idx"),
         col("pb")).otherwise(col("nb")))
+    // desc running frame ≡ asc [currentRow, following] row set over the
+    // unique (idx, kind) order — O(n), not O(n²) (round 17; see dfdt)
+    val wuD = Window.partitionBy(keys: _*)
+      .orderBy(col("idx").desc, col("kind").desc)
     u.withColumn("nb", min(when(col("kind") === 1, col("idx")))
-        .over(wu.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .over(wuD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("pb", max(when(col("kind") === 1, col("idx")))
         .over(wu.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(col("kind") === 0)
@@ -877,8 +898,12 @@ object BeatMetrics {
     val tagged = u
       .withColumn("ps", max(when(col("kind") === 0, col("idx")))
         .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // desc running frame ≡ asc [1, following] row set over the unique
+      // (idx, kind) order — O(n), not O(n²) (round 17; see dfdt)
       .withColumn("ns", min(when(col("kind") === 0, col("idx")))
-        .over(wu.rowsBetween(1, Window.unboundedFollowing)))
+        .over(Window.partitionBy(keys: _*)
+          .orderBy(col("idx").desc, col("kind").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
     val phi = lit(2.0 * math.Pi) *
       (col("idx") - col("ps")).cast("double") /
       (col("ns") - col("ps")).cast("double")

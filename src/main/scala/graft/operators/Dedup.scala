@@ -71,7 +71,15 @@ object Dedup {
     * shuffles on (band, band-key) only.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, docs(s, dir)).cache()
+    // Eager checkpoint, not a lazy cache (round-17 optimization): the
+    // signature table feeds FOUR concurrent branches of one plan
+    // (bands ×2, sa, sb), and branches racing a lazy cache's first
+    // materialization recompute the signature aggregate per branch
+    // (the q217 measurement). CONSUME-ONCE: blocks are adopted and
+    // released after the first successful action — the driver/bench
+    // contract (see Graph.hits).
+    val sig = CheckpointOrphans.adopt(
+      minhashSignatures(s, docs(s, dir)).localCheckpoint())
     val bands = bandTable(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -177,8 +185,11 @@ object Dedup {
   def incrementalDedup(s: SparkSession, dir: String, modN: Int = 5,
                        tau: Double = 0.5): DataFrame = {
     val isInc = memberDoc("inc:", modN)
-    val sig = minhashSignatures(s, docs(s, dir))
-      .withColumn("incoming", isInc).cache()
+    // eager checkpoint: FIVE concurrent branches (bands ×2, sa, sb,
+    // the incoming left side) raced the lazy cache; consume-once
+    val sig = CheckpointOrphans.adopt(
+      minhashSignatures(s, docs(s, dir))
+        .withColumn("incoming", isInc).localCheckpoint())
     val cand = bandTable(sig.filter(col("incoming"))).as("x")
       .join(bandTable(sig.filter(!col("incoming"))).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
@@ -207,7 +218,11 @@ object Dedup {
   }
 
   def lshTuning(s: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(s, docs(s, dir)).cache()
+    // eager checkpoint: the four banding configs union into ONE plan
+    // with EIGHT signature scans (bands ×2 + sa + sb per config) — the
+    // worst cache-race fanout in the repo; consume-once contract
+    val sig = CheckpointOrphans.adopt(
+      minhashSignatures(s, docs(s, dir)).localCheckpoint())
     val minMatch = math.ceil(tau * 16).toInt
     val matches = (1 to 16)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column)
@@ -395,7 +410,10 @@ object Dedup {
     * a quadratic blowup at 100 TB corpus sizes.
     */
   def simhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(s, docs(s, dir)).cache()
+    // eager checkpoint for the same reason as minhashLsh (the blocks
+    // self-join scans it twice concurrently); consume-once contract
+    val sig = CheckpointOrphans.adopt(
+      simhashSignatures(s, docs(s, dir)).localCheckpoint())
     val blocks = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
         col("sim_lo").bitwiseAND(lit(65535L)),

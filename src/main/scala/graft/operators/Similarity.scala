@@ -423,12 +423,19 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("de").as("ce"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    val lists = e.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("de"), col("ce")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("label"), col("de"), col("cid").as("list_id"))
-      .cache()
+    // eager checkpoint, not a lazy cache (round-17 optimization): the
+    // list table feeds three concurrent branches (nn self-join ×2 +
+    // per-label totals), and branches racing a lazy cache recompute
+    // the centroid-assignment window per branch. CONSUME-ONCE: blocks
+    // released after the first successful action (see Graph.hits).
+    val lists = CheckpointOrphans.adopt(
+      e.crossJoin(broadcast(cent))
+        .withColumn("csim", cosine(col("de"), col("ce")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("label"), col("de"),
+          col("cid").as("list_id"))
+        .localCheckpoint())
     val nn = lists.as("x").join(lists.as("y"),
         col("x.list_id") === col("y.list_id") &&
           col("x.vec_id") =!= col("y.vec_id"))
