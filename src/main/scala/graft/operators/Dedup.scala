@@ -286,7 +286,11 @@ object Dedup {
           col("b.rnk") > col("a.rnk") && col("b.rnk") <= col("a.rnk") + w)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("b.rnk") - col("a.rnk")).as("rank_gap"))
-    val sig = minhashSignatures(s, d)
+    // eager checkpoint (round 17, the minhashLsh rationale): the
+    // signature table is scanned by both sides of the scoring join —
+    // uncheckpointed it was computed twice; consume-once contract
+    val sig = CheckpointOrphans.adopt(
+      minhashSignatures(s, d).localCheckpoint())
     val matches = (1 to 16)
       .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0): Column)
       .reduce(_ + _)
