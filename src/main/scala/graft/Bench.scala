@@ -71,6 +71,23 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // MEASUREMENT FIX, stated loudly (round 18; guide §1.2 step 3,
+      // after the algorithm work): the interleaved two-pass design
+      // exists so the steady pass excludes one-time codegen/JIT
+      // inflation (scaladoc above) — but Spark's generated-class cache
+      // holds only 100 entries (spark.sql.codegen.cache.maxEntries
+      // default) and a 40-query chunk generates far more stages
+      // between a query's two passes, so every heavy query's steady
+      // pass silently re-generated, re-loaded and re-JIT-compiled all
+      // of its stages: measured q79 29.0 s task CPU after a 12-query
+      // churn vs 9.7 s immediately re-run (OPTIMIZATION_r18.md,
+      // diagnosis of the round-17 verdict's #2). A multi-query session
+      // is exactly the workload a bigger codegen cache exists for;
+      // 4096 entries hold the whole chunk's stages so "steady"
+      // measures steady-state code. Parameterised; the A/B against
+      // the 100-entry default is in OPTIMIZATION_r18.md.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up with the shapes real queries use — parquet scan,
@@ -126,12 +143,23 @@ object Bench {
           val p1 = processCpuNs()
           val cpu = (k1 - k0) / 1e9
           val proc = if (p0 < 0 || p1 < 0) -1.0 else (p1 - p0) / 1e9
-          // session hygiene: a query's caches (spine, signatures)
-          // exist to dedupe work WITHIN one query; left persisted
-          // they pile up across the session and late queries pay for
-          // them. Clearing between the two runs also keeps "steady"
-          // honest: it re-reads parquet, so the delta vs "cold" is
-          // codegen/JIT, not a hidden data cache.
+          // session hygiene: a query's caches (signatures, edge
+          // orientations) exist to dedupe work WITHIN one query; left
+          // persisted they pile up across the session and late
+          // queries pay for them. Clearing between runs means a
+          // NON-memoized query's steady pass re-reads parquet, so its
+          // cold/steady delta is codegen/JIT, not a hidden data cache.
+          // MEASUREMENT RULE (round-17 ADVICE, adjudicated): the
+          // GraftMemo families (lpMemo since round 9, and round 17's
+          // edgeMemo/spineMemo) intentionally SURVIVE this clear —
+          // their checkpoint blocks are memo-owned, keyed on (session,
+          // fingerprint), and a pure function of the committed inputs.
+          // For those ~70 graph/signal queries the chunk's FIRST
+          // consumer pays the shared derivation in its cold pass and
+          // every later pass measures memo-hit cost: totals stay
+          // honest (each chunk is a fresh session), but round-over-
+          // round PER-QUERY comparisons must compare like-for-like
+          // (memo-warm vs memo-warm) — see OPTIMIZATION_r17.md/§C8.
           spark.catalog.clearCache()
           // streaming fixtures leave JVM-GLOBAL state-store
           // providers loaded (HDFSBackedStateStoreProvider keeps its

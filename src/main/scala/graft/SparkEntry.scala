@@ -92,7 +92,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q9_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CONSUME-ONCE CONTRACT (round-17 ADVICE, documented at the
+    * boundary): several queries return DataFrames riding ADOPTED
+    * localCheckpoint blocks ([[graft.operators.CheckpointOrphans]]) —
+    * the blocks are released after the FIRST successful action over
+    * the returned plan. The driver, Bench and Verify all run exactly
+    * one action per returned frame (a noop write or one dump), which
+    * is the contract these entries are built for; a library caller
+    * needing multiple actions (e.g. count() then collect()) over one
+    * returned frame must `.persist()` or checkpoint its own copy
+    * first. Affected today: the hits/LSH/ANN/clustering families and
+    * every eager-checkpoint conversion listed in OPTIMIZATION_r17/18.
+    *
+    * SCALE-SAFETY NOTE (round-17 verdict #6): the memo/checkpoint
+    * layer (spineMemo here, Graph.lpMemo/edgeMemo, the adopted
+    * orphans) uses `localCheckpoint` — non-replicated, lineage-
+    * truncated executor blocks. That is the right trade in this
+    * harness (local[N]: the "executor" is the driver process, blocks
+    * cannot be "lost" short of process death). On a real cluster an
+    * executor loss would make a consume-once checkpoint unrecoverable
+    * mid-query; a production deployment should flip these to
+    * reliable `checkpoint()` (HDFS/object-store backed) or
+    * `persist(MEMORY_AND_DISK_2)` behind the same GraftMemo key
+    * discipline — a storage-level knob, not a plan-shape change.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_smooth" -> ((s, _) =>
       Smoothing.withSmooth(sig(s))

@@ -292,6 +292,82 @@ object BigramHashPairsExpr {
   }
 }
 
+/** DISTINCT sliding-window minima of an array<long> column — the
+  * winnowing selection of the q20 fingerprint path, one native
+  * monotonic-deque pass per document (O(n)) in place of the old
+  * per-doc exchange + sort + WindowExec whose bounded
+  * `[current, +w-1]` min frame re-aggregates the w-row buffer per row
+  * (O(n·w)), plus a global (doc_id, fp) distinct exchange.
+  *
+  * Element set contract (exactly the old plan's row set per doc):
+  * { min(a[i..min(i+w-1, n-1)]) : i in 0..n-1 } — every window START
+  * gets a minimum, trailing windows truncate at the array end (the
+  * row-frame semantics of `rowsBetween(0, w-1)` over the dense
+  * position ordering), and the per-document distinct replaces the
+  * global one (doc_id is unique, so the (doc_id, fp) distinct row set
+  * is identical). Output sorted ascending: deterministic, and order
+  * is irrelevant to consumers (exploded into a row SET).
+  */
+case class WinnowMinsExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_mins"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WinnowMinsExpr.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowMinsExpr.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinsExpr =
+    copy(child = newChild)
+}
+
+object WinnowMinsExpr {
+  def compute(a: ArrayData, w: Int): ArrayData = {
+    val xs = a.toLongArray()
+    val n = xs.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    // monotonic deque of indices with strictly increasing values:
+    // front is the argmin of the current window [i, min(i+w-1, n-1)]
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    val mins = new Array[Long](n)
+    var j = 0 // next index to admit
+    var i = 0
+    while (i < n) {
+      val r = math.min(i + w - 1, n - 1)
+      while (j <= r) {
+        while (tail > head && xs(dq(tail - 1)) >= xs(j)) tail -= 1
+        dq(tail) = j
+        tail += 1
+        j += 1
+      }
+      while (dq(head) < i) head += 1
+      mins(i) = xs(dq(head))
+      i += 1
+    }
+    // per-document distinct, ascending
+    java.util.Arrays.sort(mins)
+    var cnt = 1
+    i = 1
+    while (i < n) { if (mins(i) != mins(i - 1)) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    out(0) = mins(0)
+    var o = 1
+    i = 1
+    while (i < n) {
+      if (mins(i) != mins(i - 1)) { out(o) = mins(i); o += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native dot product of two array<double> columns — the same
   * left-associative ascending fold from 0.0 as
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (bitwise-identical

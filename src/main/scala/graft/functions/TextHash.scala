@@ -44,6 +44,15 @@ object TextHash {
       GramHashesExpr(
         org.apache.spark.sql.graftshim.ColumnBridge.expression(s), k, base))
 
+  /** Distinct sliding-window minima of an array<long> column (window
+    * w, trailing windows truncated) — the native winnowing selection
+    * behind q20's fingerprints (WinnowMinsExpr).
+    */
+  def winnowMins(a: Column, w: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      WinnowMinsExpr(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a), w))
+
   /** Lowercased whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")

@@ -27,6 +27,17 @@ object Dedup {
 
   import TextHash.P
 
+  /** PRECONDITION (round-17 ADVICE, recorded): `doc_id` is unique in
+    * documents.parquet — the generator writes it as a dense primary
+    * key, and TESTDATA.md states the contract. [[shingleHashes]]'s
+    * per-row `array_distinct` (and every per-doc-distinct rewrite
+    * like it) is row-identical to a global distinct ONLY under that
+    * key-uniqueness; a corpus with duplicated doc_id rows would
+    * silently inflate per-shingle df counts where the old global
+    * distinct was robust. Enforcing it here would cost the exact
+    * corpus-wide exchange the rewrite removed, so it stays a
+    * documented contract on the input, not a runtime guard.
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -675,6 +686,14 @@ object Dedup {
     val prefLen = k * q + 1
     val boundary = ranked.filter(col("rnk") === prefLen)
       .select(col("doc_id"), col("gdf").as("bdf"), col("gram").as("bgram"))
+    // Lazy cache, DELIBERATELY not the eager-checkpoint conversion
+    // (round-18 A/B): both self-join sides scan this table, but the
+    // measured eager localCheckpoint REGRESSED q83 2.6 → 4.4 s CPU
+    // in-bench — the gram-level table is wide enough that the
+    // checkpoint write costs more than the bounded 2× recompute the
+    // lazy cache risks (and BlockManager serializes same-block
+    // computes, so the per-partition race cost rarely materializes
+    // for a two-branch consumer).
     val kept = ranked.join(boundary, Seq("doc_id"), "left")
       .filter(col("bdf").isNull || col("gdf") < col("bdf") ||
         (col("gdf") === col("bdf") && col("gram") <= col("bgram")))
@@ -1240,7 +1259,16 @@ object Dedup {
                                sigEx: DataFrame, labDir: String,
                                minJaccard: Double, modN: Int): DataFrame = {
     val isInc = memberDoc("inc:", modN)
-    val sigIn = minhashSignatures(s, docs(s, dir).filter(isInc)).cache()
+    // Eager checkpoint, not a lazy cache (round-18, the q217/C7
+    // discipline): the incoming-signature table feeds FOUR concurrent
+    // branches of the newPairs checkpoint job (bandsIn in the cross
+    // and in both within-batch candidate sides, plus the union inside
+    // gatedPairs), and branches racing a lazy cache recompute the
+    // shingle+minhash aggregate per branch. Adopted: released after
+    // the first successful action (newPairs' own checkpoint job),
+    // which replaces the old explicit unpersist.
+    val sigIn = CheckpointOrphans.adopt(
+      minhashSignatures(s, docs(s, dir).filter(isInc)).localCheckpoint())
     val bandsIn = bandTable(sigIn)
     val candCross = bandsIn.as("x").join(bandTable(sigEx).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
@@ -1253,8 +1281,6 @@ object Dedup {
     val newPairs = gatedPairs(candCross.unionAll(candIn).distinct(),
         sigEx.unionByName(sigIn), minJaccard)
       .localCheckpoint() // feeds the fixpoint AND the expansion below
-    // dead once newPairs is materialized (the only consumer)
-    sigIn.unpersist(blocking = false)
     // the newPairs and fixpoint checkpoints are ownerless after the
     // result materializes — adopt them (the Graph.hits discipline) so
     // the first successful action releases their blocks

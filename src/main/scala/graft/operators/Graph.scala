@@ -299,7 +299,16 @@ object Graph {
   private def copurchaseEdges(s: SparkSession, dir: String,
                               minSupport: Int): DataFrame =
     dataFingerprint(s, dir) match {
-      case None => copurchaseEdgesRaw(s, dir, minSupport)
+      case None =>
+        // fingerprint unavailable: compute WITHOUT memoizing (never
+        // memoize under an error-derived key — round-11 ADVICE), but
+        // still checkpoint ONCE and adopt the ownerless blocks
+        // (round-17 ADVICE): the consumers' .cache() calls were
+        // removed when the memo landed, so a raw plan here would
+        // re-derive the edge table per concurrent branch — the exact
+        // 4× race the memo fixed, reintroduced on the error path.
+        CheckpointOrphans.adopt(
+          copurchaseEdgesRaw(s, dir, minSupport).localCheckpoint())
       case Some(fp) =>
         edgeMemo.get((MemoKey.session(s), dir, minSupport, fp))(
           copurchaseEdgesRaw(s, dir, minSupport).localCheckpoint())
@@ -572,10 +581,20 @@ object Graph {
     // (18,14) exactly, rounding is precision-independent, and the
     // compact-long Decimal path replaces BigDecimal adds (ProfileGraph:
     // ~2× on the sum stage). Values bitwise-unchanged.
+    // Round-18 (the q79 long-sum discipline): the wedge-row sum runs
+    // on the contribution's UNSCALED LONG (ra × 10^14, still quantized
+    // decimal(18,14) HALF_UP on the |V|-row mid table first — same
+    // values). Per-pair sums are ≤ n_common ≤ maxDeg contributions of
+    // ≤ 10^14 each — far from long overflow but possibly above 2^53,
+    // so the final double goes through an EXACT decimal rescale
+    // (× 1E-14, lossless) and ONE cast — the identical single rounding
+    // the old decimal sum's cast performed.
     val mid = ed.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxDeg)
       .select(col("z"),
-        (lit(1.0) / col("deg")).cast("decimal(18,14)").as("ra"))
+        ((lit(1.0) / col("deg")).cast("decimal(18,14)") *
+          lit(new java.math.BigDecimal(100000000000000L)))
+          .cast("long").as("ral"))
     val wedges = ed.as("e1").join(ed.as("e2"),
         col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
       .select(col("e1.src").as("a"), col("e2.dst").as("b"),
@@ -583,7 +602,13 @@ object Graph {
       .join(mid, "z")
     wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"),
-        sum(col("ra")).cast("double").as("ra_score"))
+        // decimal(23,0): wide enough for the ≤ maxDeg·10^14 sum, and
+        // 23+14+1 = 38 keeps the × 1E-14 product inside precision 38 —
+        // one more digit would trip Spark's precision-loss adjustment
+        // and silently round the scale from 14 to 9
+        (sum(col("ral")).cast("decimal(23,0)") *
+          lit(new java.math.BigDecimal("1E-14")))
+          .cast("double").as("ra_score"))
       .join(e, Seq("a", "b"), "left_anti")
       .filter(col("n_common") >= minCommon)
   }
@@ -790,8 +815,25 @@ object Graph {
       //    Spark's Decimal on the compact-long fast path — ProfileGraph
       //    measured one iteration's sum at 9.7 s task CPU under
       //    (28,14) vs 5.0 s under (18,14) at sf0.1.
+      // Round-18 (guide §1.2 per-task work / §2.3 narrower types): the
+      // |E|-row fan-out and per-dst sum now run on the contribution's
+      // UNSCALED LONG (c × 10^14) instead of Decimal — a primitive
+      // long sum in place of per-row Decimal boxing in the hottest
+      // codegen stage of the query. Bitwise-unchanged ranks:
+      //  - the quantization is the same decimal(18,14) HALF_UP cast
+      //    (still on the |V|-row table); × 10^14 (exact decimal
+      //    multiply, integral by construction) → long is lossless;
+      //  - per-dst sums are bounded by the scaled total mass ~10^14
+      //    (each dst receives ≤ the whole rank mass 1), so the long
+      //    sum can never overflow AND stays below 2^53, making the
+      //    final cast-to-double EXACT; dividing that exact double by
+      //    the exactly-representable 1e14 is one correctly-rounded
+      //    IEEE op — the same real rounded once, identical to the old
+      //    Decimal(…,14).toDouble.
       val contribSrc = rank.select(col("node"),
-        (col("rank") / col("deg")).cast("decimal(18,14)").as("c"))
+        ((col("rank") / col("deg")).cast("decimal(18,14)") *
+          lit(new java.math.BigDecimal(100000000000000L)))
+          .cast("long").as("c"))
       val joined =
         if (bc) edges.join(broadcast(contribSrc), col("src") === col("node"))
         else edges.join(contribSrc, col("src") === col("node"))
@@ -800,7 +842,8 @@ object Graph {
       rank = deg.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("sc").cast("double"), lit(0.0)))
+            lit(damping) *
+              coalesce(col("sc").cast("double") / lit(1.0e14), lit(0.0)))
             .as("rank"))
     }
     rank.select(col("node"), col("rank"))
@@ -878,8 +921,30 @@ object Graph {
     // keeps Decimal compact (long-backed), turning the per-half-step
     // mass sums from BigDecimal adds into long adds (ProfileGraph
     // measured ~2× on the q79-shaped decimal sum stage).
+    // Round-18 (guide §1.2/§2.3 — the q79 long-sum discipline): the
+    // score state CROSSING the |E|-row half-step join/sum is now the
+    // UNSCALED LONG of that decimal (score × 10^14) — primitive long
+    // adds in the hottest codegen stage instead of per-row Decimal
+    // boxing. Bitwise-unchanged scores:
+    //  - a per-key raw-mass sum Σ score_l is bounded by the scaled
+    //    total mass ~10^14 (each c/p receives ≤ the whole normalized
+    //    mass 1), so the long sum can't overflow;
+    //  - the raw mass converts back to an EXACT decimal on the
+    //    |V|-row aggregate output (× the exact 1E-14 literal — a
+    //    lossless rescale, no division), so the normalizing total and
+    //    both normalization casts see the identical exact values the
+    //    decimal form produced, and the h/a quantization is the same
+    //    decimal(18,14) HALF_UP cast as before.
+    val Scale = new java.math.BigDecimal(100000000000000L) // 10^14
+    val Unscale = new java.math.BigDecimal("1E-14")
+    // exact long ↔ decimal rescales (both multiplies are exact: the
+    // product of an integer-valued decimal and 1E-14 has ≤ 14
+    // fractional digits; a (18,14) decimal × 10^14 is integral)
+    def toL(c: org.apache.spark.sql.Column) = (c * lit(Scale)).cast("long")
+    def toDec(c: org.apache.spark.sql.Column) =
+      (c.cast("decimal(18,0)") * lit(Unscale))
     var auth = eByP.select(col("p")).distinct()
-      .withColumn("a", lit(1).cast("decimal(18,14)"))
+      .withColumn("al", toL(lit(1).cast("decimal(18,14)")))
     var hub: DataFrame = null
     // each iteration's masses are eagerly materialized, so a
     // superseded hraw/araw checkpoint is dead THE MOMENT its successor
@@ -896,22 +961,24 @@ object Graph {
         // into both, doubling work per half-step (2^(2·iters) blowup)
         val hraw = (if (bcast) eByC.join(broadcast(auth), "p")
           else eByP.join(auth, "p")).groupBy(col("c"))
-          .agg(sum(col("a")).as("hr")).localCheckpoint()
+          .agg(sum(col("al")).as("hrl")).localCheckpoint()
         if (lastH != null) releaseLabels(lastH)
         lastH = hraw
-        hub = hraw.crossJoin(broadcast(hraw.agg(sum(col("hr")).as("sh"))))
+        val hrd = hraw.select(col("c"), toDec(col("hrl")).as("hr"))
+        hub = hrd.crossJoin(broadcast(hrd.agg(sum(col("hr")).as("sh"))))
           .select(col("c"),
-            (col("hr").cast("double") / col("sh").cast("double"))
-              .cast("decimal(18,14)").as("h"))
+            toL((col("hr").cast("double") / col("sh").cast("double"))
+              .cast("decimal(18,14)")).as("hl"))
         val araw = (if (bcast) eByP.join(broadcast(hub), "c")
           else eByC.join(hub, "c")).groupBy(col("p"))
-          .agg(sum(col("h")).as("ar")).localCheckpoint()
+          .agg(sum(col("hl")).as("arl")).localCheckpoint()
         if (lastA != null) releaseLabels(lastA)
         lastA = araw
-        auth = araw.crossJoin(broadcast(araw.agg(sum(col("ar")).as("sa"))))
+        val ard = araw.select(col("p"), toDec(col("arl")).as("ar"))
+        auth = ard.crossJoin(broadcast(ard.agg(sum(col("ar")).as("sa"))))
           .select(col("p"),
-            (col("ar").cast("double") / col("sa").cast("double"))
-              .cast("decimal(18,14)").as("a"))
+            toL((col("ar").cast("double") / col("sa").cast("double"))
+              .cast("decimal(18,14)")).as("al"))
       }
       ok = true
     } finally {
@@ -936,10 +1003,13 @@ object Graph {
     // plan has been materialized — adopt them so the first successful
     // action releases their blocks instead of leaking them to session
     // end (two leaked tables per hits() call otherwise)
+    // score_l ≤ 10^14 < 2^53, so the long→double cast is exact and the
+    // division by the exactly-representable 1e14 is one correctly-
+    // rounded IEEE op — identical to the old Decimal(18,14).toDouble
     CheckpointOrphans.adopt(
       hub.select(lit("hub").as("kind"), col("c").as("id"),
-          col("h").cast("double").as("score"))
+          (col("hl").cast("double") / lit(1.0e14)).as("score"))
         .unionAll(auth.select(lit("auth").as("kind"), col("p").as("id"),
-          col("a").cast("double").as("score"))))
+          (col("al").cast("double") / lit(1.0e14)).as("score"))))
   }
 }

@@ -186,7 +186,7 @@ object Multimodal {
   def phashBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = 65
-    val sig = blobs(s, dir).mapPartitions { it =>
+    val sigRaw = blobs(s, dir).mapPartitions { it =>
       it.map { case (id, bytes) =>
         if (bytes.isEmpty) (id, None: Option[Long], None: Option[Long])
         else {
@@ -203,7 +203,13 @@ object Multimodal {
           (id, Some(lo), Some(hi))
         }
       }
-    }.toDF("doc_id", "ph_lo", "ph_hi").cache()
+    }.toDF("doc_id", "ph_lo", "ph_hi")
+    // Eager checkpoint, not a lazy cache (round-18, the q217/C7
+    // discipline): the signature table feeds three concurrent
+    // branches (both band-join sides + the final left join), and
+    // branches racing a lazy cache re-run the blob mapPartitions
+    // pass per branch. CONSUME-ONCE (see Graph.hits).
+    val sig = CheckpointOrphans.adopt(sigRaw.localCheckpoint())
     val blocks = sig.filter(col("ph_lo").isNotNull)
       .select(col("doc_id"), col("ph_lo"), col("ph_hi"),
         posexplode(array(

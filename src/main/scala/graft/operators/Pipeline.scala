@@ -593,8 +593,14 @@ object Pipeline {
     * construction, no skew). N is a one-row broadcast.
     */
   def negativeSample(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
-    val ranks = GlobalRank.globalRank(
-      docs(s, dir).select(col("doc_id")), "pos", col("doc_id")).cache()
+    // Eager checkpoint, not a lazy cache (round-18, the q217/C7
+    // discipline): the position index feeds three concurrent branches
+    // of one plan (the N scalar, the ×k fan-out, and the resolve-join
+    // side), and branches racing a lazy cache re-run the two-level
+    // global rank per branch. CONSUME-ONCE (see Graph.hits).
+    val ranks = CheckpointOrphans.adopt(GlobalRank.globalRank(
+      docs(s, dir).select(col("doc_id")), "pos", col("doc_id"))
+      .localCheckpoint())
     val n = ranks.agg(count(lit(1)).as("n"))
     val fan = ranks.select(col("doc_id"), col("pos").as("apos"),
         explode(array((0 until k).map(j => lit(j)): _*)).as("j"))

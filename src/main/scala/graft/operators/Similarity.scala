@@ -2612,12 +2612,19 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("de").as("ce"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    val lists = e.crossJoin(broadcast(cent))
+    // Eager checkpoint, not a lazy cache (round-18, the q217/C7
+    // discipline): the assignment table feeds THREE concurrent
+    // branches of one plan (both pair-join sides + the decision
+    // table), and branches racing a lazy cache's first
+    // materialization recompute the centroid crossJoin + assignment
+    // window per branch. CONSUME-ONCE: blocks released after the
+    // first successful action (see Graph.hits).
+    val lists = CheckpointOrphans.adopt(e.crossJoin(broadcast(cent))
       .withColumn("csim", cosine(col("de"), col("ce")))
       .withColumn("crk", row_number().over(wAssign))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("de"), col("cid").as("cluster"))
-      .cache() // consumed twice: both sides of the pair join + the decision table
+      .localCheckpoint())
     val dups = lists.as("a").join(lists.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -57,8 +57,15 @@ object Sketches {
   def cmFrequency(s: SparkSession, dir: String, d: Int = 4, w: Int = 256,
                   topK: Int = 20): DataFrame = {
     val ev = s.read.parquet(s"$dir/events.parquet")
-    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-      .cache() // feeds the counter build AND the probe selection
+    // Eager checkpoint, not a lazy cache (round-18, the q217/C7
+    // discipline): the per-user aggregate feeds three concurrent
+    // branches of one plan (the broadcast counter build, the top-K
+    // probe selection, and the lookup fan-out), and branches racing a
+    // lazy cache recompute the event-log aggregate per branch.
+    // CONSUME-ONCE: blocks released after the first successful action.
+    val exact = CheckpointOrphans.adopt(
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint())
     val rows = cmHashRows(d)
     def bucket(a: Long, b: Long, key: Column): Column =
       pmod(pmod(lit(a) * key + lit(b), lit(P)), lit(w.toLong))

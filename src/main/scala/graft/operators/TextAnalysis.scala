@@ -1539,21 +1539,24 @@ object TextAnalysis {
     * gram explode is a narrow flatMap and the winnow is one bounded
     * window frame per document.
     */
-  def fingerprints(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame = {
+  def fingerprints(s: SparkSession, dir: String, k: Int = 8, w: Int = 16): DataFrame =
     // All gram hashes of a document come from ONE native rolling pass
-    // (GramHashesExpr) — not k substring/ascii expressions per gram
-    // position; posexplode preserves the position for the winnow
-    // window's ordering.
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(0, w - 1)
+    // (GramHashesExpr), and the winnow selection is a SECOND native
+    // pass over that array (WinnowMinsExpr: monotonic-deque sliding
+    // min, O(n) per doc, per-doc distinct). Round-18 rewrite (guide
+    // §2.4/§1.2): the old plan exploded every gram position, paid a
+    // doc_id exchange + per-doc sort for a WindowExec whose bounded
+    // [0, w-1] min frame re-aggregates its w-row buffer per row
+    // (O(n·w)), then a second global exchange for the (doc_id, fp)
+    // distinct. Row set is identical (doc_id unique ⇒ per-doc
+    // distinct ≡ global distinct; the expression emits min over
+    // [i, min(i+w-1, n-1)] for every i — exactly the truncated
+    // row-frame semantics); the new plan has ZERO exchanges.
     docs(s, dir)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        posexplode(TextHash.gramHashes(lower(col("text")), k)).as(Seq("p", "gh")))
-      .select(col("doc_id"), min(col("gh")).over(win).as("fp"))
-      .distinct()
-  }
+        explode(TextHash.winnowMins(
+          TextHash.gramHashes(lower(col("text")), k), w)).as("fp"))
 
   /** Q168 — inter-rater agreement (Cohen's kappa) per source between
     * two document-quality classifiers: the Q18 score thresholded at
@@ -1607,25 +1610,48 @@ object TextAnalysis {
     * per-source table.
     *
     * Exactness: all counts integer, one terminal division. Scale:
-    * corpus collapses once to (source, token) counts; the pair join
+    * corpus collapses once to (source, token) counts; the pair stage
     * is token-keyed with source-bounded fanout — never corpus-sized.
+    *
+    * Round-18 optimization (guide §2.3/§2.4 — the q121/q15e
+    * discipline): the (source, token) count table is an EAGER
+    * localCheckpoint, not a lazy cache — it feeds three concurrent
+    * branches of ONE plan (both totals sides + the pair stage), and
+    * branches racing a lazy cache's first materialization recompute
+    * the tokenize+count aggregate per branch (the round-17 q217
+    * measurement). The per-pair minima come from a token-keyed
+    * aggregate (sorted collect_list of (source, c), a<b pairs exploded
+    * in place — per-token list bounded by the SOURCE dimension, ≤
+    * n_sources entries) instead of the old token self-join: identical
+    * pair multiset — per token, the sorted distinct source list's a<b
+    * pairs are exactly the self-join's (x.source < y.source) matches —
+    * minus the self-join's exchange pair and sort buffers.
+    * CONSUME-ONCE: the checkpoint blocks are adopted and released
+    * after the first successful action (the driver/bench contract —
+    * see Graph.hits).
     */
   def weightedSourceJaccard(s: SparkSession, dir: String): DataFrame = {
-    val counts = docs(s, dir)
+    val counts = CheckpointOrphans.adopt(docs(s, dir)
       .select(col("source"), explode(TextHash.tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
-      .cache()
+      .localCheckpoint())
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
     val pairs = totals.as("a").join(totals.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
         col("a.tot").as("tot_a"), col("b.tot").as("tot_b"))
-    val inter = counts.as("x").join(counts.as("y"),
-        col("x.token") === col("y.token") &&
-          col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    val inter = counts
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("source"), col("c")))).as("sc"))
+      .filter(size(col("sc")) >= 2)
+      .select(explode(flatten(transform(col("sc"), (a, i) =>
+        transform(slice(col("sc"), i + lit(2), size(col("sc"))),
+          b => struct(a.getField("source").as("sa"),
+            b.getField("source").as("sb"),
+            least(a.getField("c"), b.getField("c")).as("m")))))).as("pr"))
+      .groupBy(col("pr.sa").as("src_a"), col("pr.sb").as("src_b"))
       .agg(count(lit(1)).as("shared_tokens"),
-        sum(least(col("x.c"), col("y.c"))).as("inter_w"))
+        sum(col("pr.m")).as("inter_w"))
     val iw = coalesce(col("inter_w"), lit(0L))
     pairs.join(inter, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),

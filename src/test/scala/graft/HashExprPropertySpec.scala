@@ -68,6 +68,27 @@ class HashExprPropertySpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("winnowMins equals the window-min + distinct reference") {
+    val rng = new java.util.Random(7)
+    // arrays shorter than, equal to, and longer than the window, with
+    // duplicate values to exercise the per-doc distinct and ties
+    val arrays = Seq.fill(200) {
+      val len = rng.nextInt(60)
+      (0 until len).map(_ => rng.nextInt(12).toLong)
+    } :+ Seq.empty[Long] :+ Seq(5L) :+ Seq.fill(40)(3L)
+    for (w <- Seq(1, 2, 16)) {
+      val got = arrays.toDF("a")
+        .select(TextHash.winnowMins($"a", w).as("m"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      val want = arrays.map { a =>
+        val n = a.length
+        (0 until n).map(i => a.slice(i, math.min(i + w, n)).min)
+          .distinct.sorted
+      }
+      assert(got.toSeq === want, s"w=$w")
+    }
+  }
+
   test("native dot equals the zip_with/aggregate fold bitwise") {
     val rng = new java.util.Random(5)
     val vecs = Seq.fill(30)((Array.fill(64)(rng.nextGaussian()),

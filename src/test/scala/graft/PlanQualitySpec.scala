@@ -166,7 +166,8 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q93_column_stats")
     // the 6 stacked branches each scan the InMemoryRelation of the
     // single cached aggregate — the parquet scan materializes once,
-    // at cache fill, not per branch
+    // at cache fill, not per branch (round-18 A/B kept the lazy cache:
+    // the eager-checkpoint variant measured slower, see columnStats)
     assert(p.contains("InMemoryTableScan"),
       "stacked stat rows must come from the cached aggregate")
   }
@@ -809,17 +810,24 @@ class PlanQualitySpec extends SparkSpec {
       graft.operators.Dedup.compactSigIndex(spark, sfDir, 0.5, 5, 8)
         ._2.write.format("noop").mode("overwrite").save()
     }
-    // the banding probe (the one plan joining incoming signatures from
-    // the corpus against the existing index) must read the COMPACTED
-    // generation...
-    assert(plans.exists(p => p.contains("documents.parquet") &&
+    // the banding probe joins the incoming signatures against the
+    // existing index. Since round 18 the incoming-signature table is an
+    // EAGER checkpoint (the C7 race fix), so the corpus scan and the
+    // index probe live in TWO executed plans: the signature derivation
+    // reads documents.parquet, and the probe joins its Scan ExistingRDD
+    // against the COMPACTED generation...
+    assert(plans.exists(p => p.contains("documents.parquet")),
+      "the incoming-signature derivation must scan the corpus")
+    assert(plans.exists(p => p.contains("Scan ExistingRDD") &&
       p.contains("lsh_sig_compact")),
       "the clustering probe must read the compacted signature index")
-    // ...and never the generations compaction replaced (those appear
-    // only in the compaction REWRITE, which scans no corpus data)
-    plans.filter(_.contains("documents.parquet")).foreach(p =>
-      assert(!p.contains("lsh_sig_cmpbase") &&
-        !p.contains("lsh_sig_cmpdelta"),
+    // ...and never the generations compaction replaced: any plan
+    // touching a replaced generation must be the pure compaction
+    // REWRITE (no corpus scan, no checkpointed signature input)
+    plans.filter(p => p.contains("lsh_sig_cmpbase") ||
+      p.contains("lsh_sig_cmpdelta")).foreach(p =>
+      assert(!p.contains("documents.parquet") &&
+        !p.contains("Scan ExistingRDD"),
         s"clustering still probes a pre-compaction generation:\n$p"))
   }
 
@@ -835,13 +843,18 @@ class PlanQualitySpec extends SparkSpec {
       SparkEntry.queries("q315_lsh_sig_manifest")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
-    assert(plans.exists(p => p.contains("documents.parquet") &&
+    // two plans since the round-18 eager signature checkpoint — see
+    // the q313 pin for the split rationale
+    assert(plans.exists(p => p.contains("documents.parquet")),
+      "the incoming-signature derivation must scan the corpus")
+    assert(plans.exists(p => p.contains("Scan ExistingRDD") &&
       p.contains("lsh_sig_mfcompact")),
       "the clustering probe must read the manifest-resolved compacted " +
         "generation")
-    plans.filter(_.contains("documents.parquet")).foreach(p =>
-      assert(!p.contains("lsh_sig_mfbase") &&
-        !p.contains("lsh_sig_mfdelta"),
+    plans.filter(p => p.contains("lsh_sig_mfbase") ||
+      p.contains("lsh_sig_mfdelta")).foreach(p =>
+      assert(!p.contains("documents.parquet") &&
+        !p.contains("Scan ExistingRDD"),
         s"clustering still probes a manifest-retired generation:\n$p"))
   }
 
@@ -893,10 +906,17 @@ class PlanQualitySpec extends SparkSpec {
     }
     // unlike q313/q315 the soak's generations are per-invocation, so
     // their WRITE plans scan documents.parquet with a soak dir as the
-    // insert target — read-side pins must exclude write commands
-    val reads = plans.filter(p => p.contains("documents.parquet") &&
+    // insert target — read-side pins must exclude write commands.
+    // Since round 18 the incoming-signature table is an eager
+    // checkpoint (the C7 race fix), so the corpus scan and the index
+    // probe live in two executed plans (see the q313 pin): the probe
+    // is the non-write plan joining the checkpointed signatures
+    // (Scan ExistingRDD) against the index generations.
+    val reads = plans.filter(p => (p.contains("documents.parquet") ||
+      p.contains("Scan ExistingRDD")) &&
       !p.contains("InsertIntoHadoopFsRelationCommand"))
-    assert(reads.exists(_.contains("lsh_sig_soakc2")),
+    assert(reads.exists(p => p.contains("Scan ExistingRDD") &&
+      p.contains("lsh_sig_soakc2")),
       "the clustering probe must read the day-3 compacted generation")
     reads.foreach(p =>
       assert(!p.contains("lsh_sig_soakbase") &&
@@ -1149,11 +1169,16 @@ class PlanQualitySpec extends SparkSpec {
       SparkEntry.queries("q324_sig_time_travel")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
-    assert(plans.exists(p => p.contains("documents.parquet") &&
+    // two plans since the round-18 eager signature checkpoint — see
+    // the q313 pin for the split rationale
+    assert(plans.exists(p => p.contains("documents.parquet")),
+      "the incoming-signature derivation must scan the corpus")
+    assert(plans.exists(p => p.contains("Scan ExistingRDD") &&
       p.contains("lsh_sig_ttbase") && p.contains("lsh_sig_ttdelta")),
       "the snapshot clustering probe must read BOTH pre-compaction " +
         "generations")
-    plans.filter(_.contains("documents.parquet")).foreach(p =>
+    plans.filter(p => p.contains("documents.parquet") ||
+      p.contains("Scan ExistingRDD")).foreach(p =>
       assert(!p.contains("lsh_sig_ttcompact"),
         s"snapshot clustering probes the post-switch generation:\n$p"))
   }
